@@ -1,0 +1,56 @@
+package graft.app
+
+import graft.pipeline.{CdcPipeline, StreamSpec}
+import org.apache.spark.sql.SparkSession
+
+/** Process entry point — reference lifecycle parity (SURVEY.md §2.A25):
+  * configuration arrives as one JSON document in `STREAMCONTEXT__SPEC`,
+  * mode is selected by `STREAMCONTEXT__BACKFILL`, SIGTERM stops the stream
+  * gracefully, and retryable failures exit with code 2 (the reference's
+  * `StreamFailException` convention — K8s restarts the Job on it,
+  * `/root/reference/.helm/values.yaml:174-177`).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val specJson = sys.env.getOrElse("STREAMCONTEXT__SPEC",
+      args.headOption.getOrElse(sys.error("pass spec JSON via STREAMCONTEXT__SPEC or argv[0]")))
+    val backfill = sys.env.get("STREAMCONTEXT__BACKFILL").exists(_.equalsIgnoreCase("true"))
+    val spec0 = StreamSpec.fromJson(specJson)
+    val spec = spec0.copy(backfill = spec0.backfill || backfill)
+
+    // spark-submit injects spark.master; standalone runs default to local.
+    val master = sys.props.get("spark.master")
+      .orElse(sys.env.get("SPARK_MASTER"))
+      .getOrElse(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]")
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(s"synapse-cdm-stream:${spec.entityName}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+    val exit =
+      try {
+        if (spec.backfill) { CdcPipeline.runBackfill(spark, spec); 0 }
+        else {
+          val query = CdcPipeline.startStream(spark, spec)
+          sys.addShutdownHook { if (query.isActive) query.stop() }
+          query.awaitTermination()
+          0
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[synapse-cdm-stream] failed: ${e.getMessage}")
+          if (isRetryable(e)) 2 else 1
+      } finally spark.stop()
+    if (exit != 0) sys.exit(exit)
+  }
+
+  /** Transient infrastructure failures → exit 2 (retry); logic errors → 1. */
+  private def isRetryable(e: Throwable): Boolean = e match {
+    case _: java.io.IOException => true
+    case _ => Option(e.getCause).exists(isRetryable)
+  }
+}

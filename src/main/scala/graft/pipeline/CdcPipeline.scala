@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import graft.cdm.CsvCast
+import graft.ops.{FieldSelection, LatestVersionDedup, MergeKey}
+import graft.sources.SynapseCdmLayout
+import graft.tables.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
+
+/** The CDC ingestion pipeline — reference lifecycle §3.1/§3.2 of SURVEY.md,
+  * re-expressed as Structured Streaming + a batch backfill job.
+  *
+  * Stage order inside one micro-batch mirrors the reference's processor
+  * graph (`/root/reference/src/main/scala/main.scala:57-117`):
+  * source scan → typed casts → field selection → merge-key derivation →
+  * latest-version dedup → schema migration → MERGE → watermark → scheduled
+  * maintenance.
+  */
+object CdcPipeline {
+
+  /** Transform a raw (all-string + _folder) micro-batch into the staged,
+    * key-unique change set ready to MERGE. Pure DataFrame → DataFrame, unit
+    * testable without streaming.
+    */
+  def stage(raw: DataFrame, typedSchema: StructType, spec: StreamSpec): DataFrame = {
+    val typed = CsvCast(typedSchema, raw.drop("_folder"))
+    val selected = FieldSelection(typed, spec.fieldSelectionRule, spec.essentialFields)
+    val keyed = MergeKey(selected, spec.keyColumns)
+    LatestVersionDedup(keyed, MergeKey.ColumnName, spec.versionColumn)
+  }
+
+  /** Reconcile target schema with the staged batch: new staged columns are
+    * ADDed to the target (NULL-filled for history); columns the batch lacks
+    * stay and read as NULL — `/root/reference/docs/backfill.md:14-19`.
+    */
+  def migrateSchema(table: SnapshotTable, staged: StructType): Unit = {
+    val have = table.schema.fieldNames.map(_.toLowerCase).toSet
+    val missing = staged.fields.filterNot(f => have.contains(f.name.toLowerCase))
+    if (missing.nonEmpty) table.addColumns(missing.toSeq)
+  }
+
+  /** One merge round: schema-migrate, MERGE, commit watermark as a table
+    * property (`IcebergTablePropertyManager` parity — SURVEY.md §2.A15).
+    */
+  def mergeBatch(table: SnapshotTable, staged: DataFrame, spec: StreamSpec, watermark: String): Unit = {
+    if (!table.exists) {
+      table.createOrReplace(
+        staged.where(!coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false))),
+        MergeKey.ColumnName, spec.numBuckets,
+        Map(SnapshotTable.PropWatermark -> watermark))
+    } else {
+      migrateSchema(table, staged.schema)
+      table.merge(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
+        Map(SnapshotTable.PropWatermark -> watermark))
+    }
+  }
+
+  /** Scheduled target maintenance — every `batchThreshold` batches run
+    * compaction + snapshot expiration + orphan removal, every
+    * `analyzeBatchThreshold` run ANALYZE (SURVEY.md §2.A17-A20).
+    */
+  def maintenanceTick(table: SnapshotTable, spec: StreamSpec, batchNumber: Long): Unit = {
+    val m = spec.maintenance
+    if (batchNumber > 0 && batchNumber % m.batchThreshold == 0) {
+      table.compact(m.fileSizeThresholdBytes)
+      val cutoff = System.currentTimeMillis() - m.snapshotRetentionMs
+      table.expireSnapshots(cutoff)
+      table.removeOrphanFiles(cutoff)
+    }
+    if (batchNumber > 0 && batchNumber % m.analyzeBatchThreshold == 0) table.analyze()
+  }
+
+  /** Streaming change-capture run (§3.1). The returned query is started;
+    * callers stop it via lifecycle signals (tests: processAllAvailable).
+    */
+  def startStream(spark: SparkSession, spec: StreamSpec): StreamingQuery = {
+    val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val typedSchema = layout.entitySchema(conf, layout.changelogValue(conf))
+    val table = SnapshotTable(spark, spec.targetLocation)
+    val startWm = if (table.exists) table.properties.getOrElse(SnapshotTable.PropWatermark, "") else ""
+
+    val reader = spark.readStream
+      .format("synapse-cdm")
+      .option("path", spec.sourcePath)
+      .option("entity", spec.entityName)
+      .option("startingWatermark", startWm)
+    spec.maxFoldersPerTrigger.foreach(n => reader.option("maxFoldersPerTrigger", n.toString))
+
+    val batchCounter = new AtomicLong(0)
+    val writer = reader.load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime(spec.changeCaptureIntervalSeconds * 1000L))
+      .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        if (!raw.isEmpty) {
+          // Folder watermark = newest folder in this micro-batch (the batch
+          // range end); mirrors the reference's per-batch watermark commit.
+          val wm = raw.select(max(col("_folder"))).head().getString(0)
+          val staged = stage(raw, typedSchema, spec)
+          mergeBatch(table, staged, spec, wm)
+          maintenanceTick(table, spec, batchCounter.incrementAndGet())
+        }
+      }
+    spec.checkpointLocation.foreach(cp => writer.option("checkpointLocation", cp))
+    writer.start()
+  }
+
+  /** Backfill run (§3.2): read ALL folders from `backfillStartDate` as one
+    * batch DataFrame, dedup to latest-per-key, then either atomically
+    * replace the target (`Overwrite`) or MERGE into it (`Merge`)
+    * (`/root/reference/docs/backfill.md:27-47`). Sharding is unnecessary:
+    * Spark's partition parallelism plays that role (SURVEY.md §2.A22).
+    */
+  def runBackfill(spark: SparkSession, spec: StreamSpec): Unit = {
+    val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val typedSchema = layout.entitySchema(conf, layout.changelogValue(conf))
+    val newest = layout.changelogValue(conf).getOrElse(
+      sys.error(s"no changelog at ${spec.sourcePath} — nothing is closed for backfill"))
+
+    val reader = spark.read
+      .format("synapse-cdm")
+      .option("path", spec.sourcePath)
+      .option("entity", spec.entityName)
+    spec.backfillStartDate.foreach(d => reader.option("backfillStartDate", d))
+    val raw = reader.load()
+
+    val staged = stage(raw, typedSchema, spec)
+    val table = SnapshotTable(spark, spec.targetLocation)
+    spec.backfillBehavior.toLowerCase match {
+      case "merge" if table.exists =>
+        migrateSchema(table, staged.schema)
+        table.merge(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
+          Map(SnapshotTable.PropWatermark -> newest))
+      case _ =>
+        val live = staged.where(!coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false)))
+        table.createOrReplace(live, MergeKey.ColumnName, spec.numBuckets,
+          Map(SnapshotTable.PropWatermark -> newest))
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.ops.{FieldSelection, FieldSelectionRule}
+
+import scala.jdk.CollectionConverters._
+
+/** Typed stream configuration — the Spark-native equivalent of the
+  * reference's single-JSON-document context
+  * (`/root/reference/stream-context-serialized-example.json:1-139`,
+  * `MicrosoftSynapseLinkPluginStreamContext.scala:21-38`): one document
+  * selects source location/entity, run mode (stream vs backfill), sink
+  * target, throughput shaping and maintenance cadence.
+  */
+final case class MaintenanceSettings(
+    batchThreshold: Int = 60,                       // CRD beta:353-366
+    fileSizeThresholdBytes: Long = 100L * 1024 * 1024,
+    snapshotRetentionMs: Long = 6L * 3600 * 1000,   // CRD beta:339-352
+    analyzeBatchThreshold: Int = 180                // CRD beta:367-383
+)
+
+final case class StreamSpec(
+    sourcePath: String,
+    entityName: String,
+    targetLocation: String,
+    backfill: Boolean = false,
+    backfillBehavior: String = "Overwrite",          // Overwrite | Merge (docs/backfill.md:40-47)
+    backfillStartDate: Option[String] = None,
+    changeCaptureIntervalSeconds: Int = 300,         // CRD beta:213-215
+    maxFoldersPerTrigger: Option[Int] = None,        // throughput shaping (CRD beta:401-470)
+    fieldSelectionRuleName: String = "all",          // all | include | exclude (CRD beta:474-523)
+    fieldSelectionFields: Set[String] = Set.empty,
+    essentialFields: Set[String] = FieldSelection.DefaultEssentialFields,
+    numBuckets: Int = 10,                            // bucket(arcane_merge_key, 10) (docs/crd.md:211)
+    keyColumns: Seq[String] = Seq("Id"),
+    versionColumn: String = "versionnumber",
+    isDeleteColumn: String = "IsDelete",
+    maintenance: MaintenanceSettings = MaintenanceSettings(),
+    checkpointLocation: Option[String] = None
+) {
+  def fieldSelectionRule: FieldSelectionRule = fieldSelectionRuleName.toLowerCase match {
+    case "include" => FieldSelectionRule.Include(fieldSelectionFields)
+    case "exclude" => FieldSelectionRule.Exclude(fieldSelectionFields)
+    case _         => FieldSelectionRule.All
+  }
+}
+
+object StreamSpec {
+  private val mapper = new ObjectMapper()
+
+  /** Parse from JSON (environment-delivered, like the reference's
+    * `STREAMCONTEXT__SPEC`). Unknown fields ignored; absent fields default.
+    */
+  def fromJson(json: String): StreamSpec = {
+    val r = mapper.readTree(json)
+    def str(f: String, d: String) = if (r.has(f)) r.get(f).asText() else d
+    def opt(f: String) = if (r.has(f) && !r.get(f).isNull) Some(r.get(f).asText()) else None
+    def int(f: String, d: Int) = if (r.has(f)) r.get(f).asInt(d) else d
+    val maint =
+      if (!r.has("maintenance")) MaintenanceSettings()
+      else {
+        val m = r.get("maintenance")
+        MaintenanceSettings(
+          batchThreshold = if (m.has("batchThreshold")) m.get("batchThreshold").asInt(60) else 60,
+          fileSizeThresholdBytes =
+            if (m.has("fileSizeThresholdBytes")) m.get("fileSizeThresholdBytes").asLong() else 100L * 1024 * 1024,
+          snapshotRetentionMs =
+            if (m.has("snapshotRetentionMs")) m.get("snapshotRetentionMs").asLong() else 6L * 3600 * 1000,
+          analyzeBatchThreshold =
+            if (m.has("analyzeBatchThreshold")) m.get("analyzeBatchThreshold").asInt(180) else 180
+        )
+      }
+    StreamSpec(
+      sourcePath = opt("sourcePath").getOrElse(sys.error("sourcePath required")),
+      entityName = opt("entityName").getOrElse(sys.error("entityName required")),
+      targetLocation = opt("targetLocation").getOrElse(sys.error("targetLocation required")),
+      backfill = r.has("backfill") && r.get("backfill").asBoolean(false),
+      backfillBehavior = str("backfillBehavior", "Overwrite"),
+      backfillStartDate = opt("backfillStartDate"),
+      changeCaptureIntervalSeconds = int("changeCaptureIntervalSeconds", 300),
+      maxFoldersPerTrigger = opt("maxFoldersPerTrigger").map(_.toInt),
+      fieldSelectionRuleName = str("fieldSelectionRuleName", "all"),
+      fieldSelectionFields =
+        if (r.has("fieldSelectionFields")) r.get("fieldSelectionFields").elements().asScala.map(_.asText()).toSet
+        else Set.empty,
+      numBuckets = int("numBuckets", 10),
+      keyColumns =
+        if (r.has("keyColumns")) r.get("keyColumns").elements().asScala.map(_.asText()).toSeq else Seq("Id"),
+      versionColumn = str("versionColumn", "versionnumber"),
+      isDeleteColumn = str("isDeleteColumn", "IsDelete"),
+      maintenance = maint,
+      checkpointLocation = opt("checkpointLocation")
+    )
+  }
+}

@@ -1,0 +1,335 @@
+package graft.sources
+
+import graft.cdm.{CdmModel, CdmSchema}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.StandardCharsets
+import java.util.regex.Pattern
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 provider for Microsoft Synapse Link "Incremental CSV"
+  * exports — registered as `synapse-cdm` (SURVEY.md §2.A1/A2/A10).
+  *
+  * Storage layout consumed (reference
+  * `/root/reference/src/test/scala/integration/Fixtures.scala:25-72`):
+  * {{{
+  * <root>/
+  *   model.json                       # root copy of the CDM model
+  *   Changelog/changelog.info         # name of newest CLOSED batch folder
+  *   <yyyy-MM-dd'T'HH.mm.ss'Z'>/      # one folder per change batch
+  *     model.json                     # per-batch schema
+  *     <entity>/<chunk>.csv           # change rows (names collide ACROSS folders)
+  * }}}
+  *
+  * Semantics:
+  *  - The changelog blob is the offset log: `latestOffset` is its content,
+  *    so a folder becomes visible only after Synapse closes it
+  *    (`Fixtures.scala:66-72` stamps the changelog after uploading data —
+  *    that ordering guarantee replaces event-time watermarks, SURVEY.md §2.C).
+  *  - An offset is a batch-folder name; names are `yyyy-MM-dd'T'HH.mm.ss'Z'`
+  *    so lexicographic order == chronological order.
+  *  - A micro-batch (start, end] expands to every closed folder in that
+  *    range; each CSV chunk is one `InputPartition` (file-parallel reads).
+  *  - Admission control (`SupportsAdmissionControl`): `maxFoldersPerTrigger`
+  *    caps folders per micro-batch — the Spark-native form of the
+  *    reference's throughput shaper (CRD beta:401-470).
+  *
+  * The scan emits RAW STRING columns (normalized CDM attribute names, in
+  * model.json order) plus `_folder` — typed casts are applied downstream by
+  * [[graft.cdm.CsvCast]] inside whole-stage codegen, keeping this reader
+  * trivially simple and the cast surface in Catalyst.
+  *
+  * Options: `path`, `entity`, `startingWatermark` (exclusive folder name),
+  * `maxFoldersPerTrigger`, `backfillStartDate` (inclusive folder cutoff for
+  * batch reads — SURVEY.md §2.A21).
+  */
+class SynapseCdmSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "synapse-cdm"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val layout = SynapseCdmLayout(options, spark.sparkContext.hadoopConfiguration)
+    layout.rawSchemaWithMeta
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]
+  ): Table =
+    new SynapseCdmTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+/** Path/layout helpers shared by streaming and batch scans. Serializable so
+  * executors can relist on their own if ever needed (they don't today — all
+  * listing happens on the driver, partitions carry explicit file paths).
+  */
+final case class SynapseCdmLayout(root: String, entity: String, changelogPath: String) {
+
+  @transient private var fsCache: FileSystem = _
+  private def fs(conf: Configuration): FileSystem = {
+    if (fsCache == null) fsCache = new Path(root).getFileSystem(conf)
+    fsCache
+  }
+
+  /** Latest closed batch folder per the changelog blob; None before the
+    * first batch closes.
+    */
+  def changelogValue(conf: Configuration): Option[String] = {
+    val p = new Path(root, changelogPath)
+    val f = fs(conf)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Batch folders with `start < name <= end` in ascending (chronological)
+    * order. Listing is a single directory scan of the root; at very large
+    * folder counts a real deployment bounds this with `startingWatermark`
+    * (processed folders are typically archived by Synapse retention).
+    */
+  def foldersInRange(conf: Configuration, startExclusive: String, endInclusive: String): Seq[String] =
+    fs(conf)
+      .listStatus(new Path(root))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(SynapseCdmLayout.FolderName.matcher(_).matches())
+      .filter(n => n > startExclusive && n <= endInclusive)
+      .sorted
+      .toSeq
+
+  /** CSV chunks of one folder for our entity — folder-qualified paths
+    * (chunk names recur across folders; SURVEY.md §7 hard-part 5).
+    */
+  def chunkFiles(conf: Configuration, folder: String): Seq[(String, Long)] = {
+    val d = new Path(new Path(root, folder), entity)
+    val f = fs(conf)
+    if (!f.exists(d)) Seq.empty
+    else
+      f.listStatus(d)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".csv"))
+        .map(st => (st.getPath.toString, st.getLen))
+        .sortBy(_._1)
+        .toSeq
+  }
+
+  /** Entity schema from a model.json: root copy if present, else the newest
+    * folder's (per-batch model.json is authoritative during reads).
+    */
+  def entitySchema(conf: Configuration, folder: Option[String]): StructType = {
+    val f = fs(conf)
+    val candidates = folder.map(fo => new Path(new Path(root, fo), "model.json")).toSeq :+
+      new Path(root, "model.json")
+    val p = candidates.find(f.exists).getOrElse(
+      throw new IllegalArgumentException(s"no model.json found under $root"))
+    val in = f.open(p)
+    val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    CdmSchema.forEntity(CdmModel.parse(json), entity)
+  }
+
+  def rawSchemaWithMeta: StructType = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val typed = entitySchema(conf, changelogValue(conf))
+    StructType(CdmSchema.rawStringSchema(typed).fields :+ StructField("_folder", StringType, nullable = false))
+  }
+}
+
+object SynapseCdmLayout {
+  private val FolderName = Pattern.compile("\\d{4}-\\d{2}-\\d{2}T\\d{2}\\.\\d{2}\\.\\d{2}Z")
+
+  def apply(options: CaseInsensitiveStringMap, conf: Configuration): SynapseCdmLayout = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("synapse-cdm requires option 'path'"))
+    val entity = Option(options.get("entity")).getOrElse(
+      throw new IllegalArgumentException("synapse-cdm requires option 'entity'"))
+    SynapseCdmLayout(root, entity, Option(options.get("changelogPath")).getOrElse("Changelog/changelog.info"))
+  }
+}
+
+class SynapseCdmTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"synapse-cdm:${options.get("path")}#${options.get("entity")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(opts.asCaseSensitiveMap())
+    new SynapseCdmScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged))
+  }
+}
+
+class SynapseCdmScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  // Column pruning pushed into the reader: unread CSV fields are parsed
+  // positionally but never materialized into rows (the reference's
+  // `isServerSide` field selection — CRD beta:483-486).
+  private var required: StructType = schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (requiredSchema.nonEmpty) required = requiredSchema
+  override def build(): Scan = new SynapseCdmScan(schema, required, options)
+}
+
+class SynapseCdmScan(fullSchema: StructType, required: StructType, options: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String = "SynapseCdmScan"
+
+  override def toBatch: Batch = new Batch {
+    private val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    private val layout = SynapseCdmLayout(options, conf)
+    override def planInputPartitions(): Array[InputPartition] = {
+      val start = Option(options.get("backfillStartDate")).map(fo => decrementLexically(fo)).getOrElse("")
+      val end = layout.changelogValue(conf).getOrElse("￿")
+      val folders = layout.foldersInRange(conf, start, end)
+      SynapseCdmScanHelper.partitions(layout, conf, folders, fullSchema, required)
+    }
+    override def createReaderFactory(): PartitionReaderFactory = new CsvChunkReaderFactory()
+  }
+
+  /** Largest string strictly below `s` with the same length — makes the
+    * inclusive backfillStartDate cutoff work with the exclusive-start range
+    * listing.
+    */
+  private def decrementLexically(s: String): String =
+    if (s.isEmpty) s else s.init + (s.last - 1).toChar + "￿"
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynapseCdmMicroBatchStream(fullSchema, required, options)
+}
+
+/** Offset = last fully processed batch-folder name (the reference's
+  * `SynapseWatermark.version`, SURVEY.md §2.A15). Empty string = nothing
+  * processed yet.
+  */
+case class ChangelogOffset(folder: String) extends Offset {
+  override def json(): String = folder
+}
+
+class SynapseCdmMicroBatchStream(fullSchema: StructType, required: StructType, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val conf = SparkSession.active.sparkContext.hadoopConfiguration
+  private val layout = SynapseCdmLayout(options, conf)
+  private val startingWatermark = Option(options.get("startingWatermark")).getOrElse("")
+  private val maxFoldersPerTrigger = Option(options.get("maxFoldersPerTrigger")).map(_.toInt)
+
+  override def initialOffset(): Offset = ChangelogOffset(startingWatermark)
+  override def deserializeOffset(json: String): Offset = ChangelogOffset(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def latestOffset(): Offset =
+    ChangelogOffset(layout.changelogValue(conf).getOrElse(startingWatermark))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFoldersPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: cap how many closed folders one micro-batch absorbs
+    * (ReadLimit.maxFiles ~ max folders). This is the reference's throughput
+    * shaper surface (static rate variant); a memory-bound variant would
+    * compute the cap from executor memory metrics here.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startFolder = start.asInstanceOf[ChangelogOffset].folder
+    val newest = layout.changelogValue(conf).getOrElse(startFolder)
+    val capped = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        val folders = layout.foldersInRange(conf, startFolder, newest)
+        if (folders.size <= mf.maxFiles()) newest
+        else folders(mf.maxFiles() - 1)
+      case _ => newest
+    }
+    ChangelogOffset(if (capped > startFolder) capped else startFolder)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ChangelogOffset].folder
+    val e = end.asInstanceOf[ChangelogOffset].folder
+    val folders = layout.foldersInRange(conf, s, e)
+    SynapseCdmScanHelper.partitions(layout, conf, folders, fullSchema, required)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new CsvChunkReaderFactory()
+}
+
+object SynapseCdmScanHelper {
+  /** One InputPartition per CSV chunk, tagged with its folder. The full CSV
+    * column list rides along so positional parsing stays correct no matter
+    * which columns were pruned.
+    */
+  def partitions(
+      layout: SynapseCdmLayout,
+      conf: Configuration,
+      folders: Seq[String],
+      fullSchema: StructType,
+      required: StructType
+  ): Array[InputPartition] = {
+    val csvCols = fullSchema.fieldNames.filter(_ != "_folder")
+    val proj: Array[Int] = required.fieldNames.map { n =>
+      if (n == "_folder") -1 else csvCols.indexOf(n)
+    }
+    folders.flatMap { folder =>
+      layout.chunkFiles(conf, folder).map { case (path, _) =>
+        CsvChunkPartition(path, folder, csvCols.length, proj)
+      }
+    }.toArray
+  }
+}
+
+/** `projection(i)` = CSV column index feeding output column i; -1 = `_folder`. */
+final case class CsvChunkPartition(path: String, folder: String, numCsvCols: Int, projection: Array[Int])
+    extends InputPartition
+
+class CsvChunkReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CsvChunkPartition]
+    new PartitionReader[InternalRow] {
+      private val path = new Path(p.path)
+      private val fs = path.getFileSystem(new Configuration())
+      private val content = {
+        val in = fs.open(path)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      private val it = CsvRecordParser.parse(content, p.numCsvCols)
+      private val folderUtf8 = UTF8String.fromString(p.folder)
+      private var current: InternalRow = _
+
+      override def next(): Boolean =
+        if (!it.hasNext) false
+        else {
+          val rec = it.next()
+          val vals = new Array[Any](p.projection.length)
+          var i = 0
+          while (i < p.projection.length) {
+            val src = p.projection(i)
+            vals(i) =
+              if (src == -1) folderUtf8
+              else if (src < rec.length && rec(src) != null) UTF8String.fromString(rec(src))
+              else null
+            i += 1
+          }
+          current = new GenericInternalRow(vals)
+          true
+        }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,406 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** A minimal snapshot-isolated Parquet table with Iceberg-like semantics,
+  * executed entirely by Spark. The runtime ships no lakehouse format jar, so
+  * this supplies the subset the reference relies on (via Trino/Iceberg —
+  * `/root/reference/src/main/scala/main.scala:26,111`):
+  * atomic commits, MERGE, CREATE OR REPLACE, ADD COLUMNS, table properties
+  * (watermark), compaction, snapshot expiration, orphan-file removal, stats.
+  *
+  * Layout:
+  * {{{
+  * tableDir/
+  *   _current                # name of live snapshot file; atomically swapped
+  *   _snapshots/v<N>.json    # schema + data-file list + properties + stats
+  *   data/<commit-uuid>/b=<bucket>/part-*.parquet
+  * }}}
+  *
+  * The table is hash-bucketed on the merge key — `bucket(arcane_merge_key, N)`
+  * exactly as the reference documents for its Iceberg targets
+  * (`/root/reference/docs/crd.md:211`). A merge only rewrites the buckets
+  * that contain changed keys and carries every other bucket's files forward
+  * as metadata, so merge cost scales with the change set, not the table:
+  * at 100 TB with (say) 4096 buckets, a micro-batch touching 10k keys
+  * rewrites only the affected buckets.
+  *
+  * Readers always see the snapshot named by `_current`; the pointer swap is a
+  * filesystem rename (atomic on HDFS/local; on S3 a real deployment would
+  * put this pointer in a catalog service — single-writer is assumed here,
+  * matching the reference's one-stream-per-target model).
+  */
+final case class DataFile(path: String, bucket: Int)
+
+final case class Snapshot(
+    version: Long,
+    schema: StructType,
+    numBuckets: Int,
+    files: Seq[DataFile],
+    properties: Map[String, String],
+    timestampMs: Long
+)
+
+class SnapshotTable(val spark: SparkSession, val location: String) {
+  import SnapshotTable._
+
+  private val dir = new Path(location)
+  private def fs: FileSystem = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val currentPtr = new Path(dir, "_current")
+  private val snapshotsDir = new Path(dir, "_snapshots")
+  private val dataDir = new Path(dir, "data")
+
+  def exists: Boolean = fs.exists(currentPtr)
+
+  def currentSnapshot: Snapshot = {
+    val name = readText(fs, currentPtr).trim
+    readSnapshot(new Path(snapshotsDir, name))
+  }
+
+  private def readSnapshot(p: Path): Snapshot = fromJson(readText(fs, p))
+
+  /** All snapshot files still on disk, oldest first. */
+  def snapshotVersions: Seq[Long] =
+    if (!fs.exists(snapshotsDir)) Seq.empty
+    else
+      fs.listStatus(snapshotsDir)
+        .map(_.getPath.getName)
+        .collect { case SnapshotFileName(v) => v.toLong }
+        .sorted
+        .toSeq
+
+  def schema: StructType = currentSnapshot.schema
+  def properties: Map[String, String] = currentSnapshot.properties
+
+  /** Bucket assignment: pmod(xxhash64(key), n) — stable across Spark jobs,
+    * cheap, codegen'd.
+    */
+  def bucketExpr(keyCol: String, n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col(keyCol)), lit(n)).cast("int")
+
+  // ------------------------------------------------------------------ reads
+
+  /** DataFrame over the current snapshot (optionally only some buckets). */
+  def read(buckets: Option[Set[Int]] = None): DataFrame = {
+    val snap = currentSnapshot
+    val files = buckets match {
+      case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
+      case None     => snap.files
+    }
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else
+      spark.read
+        .schema(snap.schema) // schema-on-read: files written before an ADD COLUMNS fill NULL
+        .parquet(files.map(f => new Path(dataDir, f.path).toString): _*)
+  }
+
+  // ----------------------------------------------------------------- writes
+
+  /** CREATE OR REPLACE TABLE ... AS SELECT — atomic full swap
+    * (reference backfill `Overwrite` completion, `docs/backfill.md:42-47`).
+    */
+  def createOrReplace(
+      df: DataFrame,
+      mergeKeyCol: String,
+      numBuckets: Int,
+      extraProps: Map[String, String] = Map.empty
+  ): Snapshot = {
+    val commitId = UUID.randomUUID().toString
+    val written = writeBucketed(df, mergeKeyCol, numBuckets, commitId, targetBuckets = None)
+    val prevProps = if (exists) currentSnapshot.properties else Map.empty[String, String]
+    val prevVersion = if (exists) currentSnapshot.version else 0L
+    commit(Snapshot(prevVersion + 1, df.schema, numBuckets, written,
+      prevProps ++ extraProps + (PropMergeKeyCol -> mergeKeyCol), now()))
+  }
+
+  /** ALTER TABLE ... ADD COLUMNS — metadata-only commit; existing Parquet
+    * files lack the columns and read as NULL (`docs/backfill.md:14-19`:
+    * staging-only columns are added, target-only columns read as NULL).
+    */
+  def addColumns(newFields: Seq[StructField]): Snapshot = {
+    val snap = currentSnapshot
+    val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
+    val toAdd = newFields.filterNot(f => existing.contains(f.name.toLowerCase))
+    if (toAdd.isEmpty) snap
+    else commit(snap.copy(version = snap.version + 1, schema = StructType(snap.schema.fields ++ toAdd), timestampMs = now()))
+  }
+
+  def setProperties(props: Map[String, String]): Snapshot = {
+    val snap = currentSnapshot
+    commit(snap.copy(version = snap.version + 1, properties = snap.properties ++ props, timestampMs = now()))
+  }
+
+  /** MERGE INTO target USING staged — the reference's core operator
+    * (`MergeBatchProcessor`, SURVEY.md §2.A13):
+    *   - matched AND staged.IsDelete                      → DELETE
+    *   - matched AND staged.version >  target.version     → UPDATE (full row)
+    *   - matched AND staged.version <= target.version     → no-op (replay)
+    *   - not matched AND NOT IsDelete                     → INSERT
+    *
+    * `staged` must be key-unique (apply [[graft.ops.LatestVersionDedup]]
+    * first). Only buckets containing staged keys are rewritten; everything
+    * else is carried forward as metadata. The union+argmax formulation below
+    * is one shuffle of (affected target buckets + staged rows) — equivalent
+    * to the anti-join+union MERGE rewrite but with a single exchange.
+    */
+  def merge(
+      staged: DataFrame,
+      mergeKeyCol: String,
+      versionCol: String,
+      isDeleteCol: String,
+      extraProps: Map[String, String] = Map.empty
+  ): Snapshot = {
+    val snap = currentSnapshot
+    val n = snap.numBuckets
+
+    // Buckets touched by this change set. Collecting distinct bucket ids is
+    // bounded by numBuckets (ints), never by data size.
+    val stagedB = staged.withColumn("gbk", bucketExpr(mergeKeyCol, n)).cache()
+    val affected: Set[Int] =
+      try stagedB.select("gbk").distinct().collect().map(_.getInt(0)).toSet
+      finally ()
+
+    val targetAffected = read(Some(affected))
+
+    // Align schemas: target may have gained columns the staged batch lacks
+    // (and vice versa — run addColumns/schema migration BEFORE merge).
+    val unionSchema = snap.schema
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.columns.map(_.toLowerCase).toSet
+      val cols = unionSchema.fields.map { f =>
+        if (have.contains(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
+
+    val tgt = aligned(targetAffected).withColumn("_del", lit(false))
+    val src = aligned(stagedB.drop("gbk"))
+      .withColumn("_del", coalesce(col(isDeleteCol).cast("boolean"), lit(false)))
+
+    // Latest version wins across {existing row, staged row}; a tombstone
+    // only deletes when it IS the latest version (SURVEY.md §7 hard-part 4).
+    // Tie (replayed row, equal version): prefer the target row — no-op.
+    val winner = tgt
+      .withColumn("_pri", lit(1))
+      .unionByName(src.withColumn("_pri", lit(0)))
+      .groupBy(col(mergeKeyCol))
+      .agg(max(struct(col(versionCol), col("_pri"), col("_del"),
+        struct(unionSchema.fieldNames.map(col).toIndexedSeq: _*).as("row"))).as("w"))
+      .where(!col("w._del"))
+      .select(unionSchema.fieldNames.map(f => col(s"w.row.$f").as(f)).toIndexedSeq: _*)
+
+    val commitId = UUID.randomUUID().toString
+    val written = writeBucketed(winner, mergeKeyCol, n, commitId, targetBuckets = Some(affected))
+    stagedB.unpersist()
+    val carried = snap.files.filterNot(f => affected.contains(f.bucket))
+    commit(snap.copy(
+      version = snap.version + 1,
+      files = carried ++ written,
+      properties = snap.properties ++ extraProps,
+      timestampMs = now()))
+  }
+
+  // ------------------------------------------------------------ maintenance
+
+  /** OPTIMIZE: rewrite buckets whose files are smaller than the threshold
+    * into one file per bucket (reference `TargetMaintenanceProcessor` +
+    * Trino `ALTER TABLE EXECUTE optimize`, `docs/crd.md:150-159`).
+    */
+  def compact(fileSizeThresholdBytes: Long): Snapshot = {
+    val snap = currentSnapshot
+    val byBucket = snap.files.groupBy(_.bucket)
+    val needs = byBucket.filter { case (_, fsOfB) =>
+      fsOfB.size > 1 || fsOfB.exists(f => fileLen(f) < fileSizeThresholdBytes)
+    }.keySet
+    if (needs.isEmpty) return snap
+    val df = read(Some(needs))
+    val commitId = UUID.randomUUID().toString
+    val written = writeBucketed(df, keyColForBucketing(snap), snap.numBuckets, commitId, Some(needs), coalesceOne = true)
+    val carried = snap.files.filterNot(f => needs.contains(f.bucket))
+    commit(snap.copy(version = snap.version + 1, files = carried ++ written, timestampMs = now()))
+  }
+
+  /** expire_snapshots(olderThan): drop snapshot manifests older than the
+    * cutoff (always keeping the current one) — `docs/crd.md:172-182`.
+    */
+  def expireSnapshots(olderThanMs: Long): Seq[Long] = {
+    val curName = readText(fs, currentPtr).trim
+    val removed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    snapshotVersions.foreach { v =>
+      val p = new Path(snapshotsDir, snapshotFileName(v))
+      if (p.getName != curName && readSnapshot(p).timestampMs < olderThanMs) {
+        fs.delete(p, false)
+        removed += v
+      }
+    }
+    removed.toSeq
+  }
+
+  /** remove_orphan_files(olderThan): delete data files referenced by NO
+    * remaining snapshot — `docs/crd.md:161-170`.
+    */
+  def removeOrphanFiles(olderThanMs: Long): Seq[String] = {
+    val live: Set[String] = snapshotVersions
+      .map(v => readSnapshot(new Path(snapshotsDir, snapshotFileName(v))))
+      .flatMap(_.files.map(_.path))
+      .toSet
+    if (!fs.exists(dataDir)) return Seq.empty
+    val it = fs.listFiles(dataDir, true)
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = relativize(st.getPath)
+      if (st.isFile && !live.contains(rel) && st.getModificationTime < olderThanMs) {
+        fs.delete(st.getPath, false)
+        removed += rel
+      }
+    }
+    removed.toSeq
+  }
+
+  /** ANALYZE: row count + per-bucket counts into snapshot properties
+    * (`docs/crd.md:142-148`).
+    */
+  def analyze(): Snapshot = {
+    val cnt = read().count()
+    setProperties(Map("stats.row_count" -> cnt.toString, "stats.analyzed_at_ms" -> now().toString))
+  }
+
+  // -------------------------------------------------------------- internals
+
+  private def keyColForBucketing(snap: Snapshot): String =
+    snap.properties.getOrElse(PropMergeKeyCol, graft.ops.MergeKey.ColumnName)
+
+  private def fileLen(f: DataFile): Long = fs.getFileStatus(new Path(dataDir, f.path)).getLen
+
+  private def relativize(p: Path): String = {
+    val base = fs.makeQualified(dataDir).toString + "/"
+    val full = fs.makeQualified(p).toString
+    require(full.startsWith(base), s"$full not under $base")
+    full.substring(base.length)
+  }
+
+  /** Write df's rows for the given buckets under data/<commitId>/b=<k>/ and
+    * return the new DataFile entries. One shuffle by bucket id; with
+    * `coalesceOne` each bucket lands in exactly one file (compaction), else
+    * Spark's task parallelism decides within the bucket directory.
+    */
+  private def writeBucketed(
+      df: DataFrame,
+      mergeKeyCol: String,
+      n: Int,
+      commitId: String,
+      targetBuckets: Option[Set[Int]],
+      coalesceOne: Boolean = false
+  ): Seq[DataFile] = {
+    val out = new Path(dataDir, commitId)
+    val withB = df.withColumn("gbk", bucketExpr(mergeKeyCol, n))
+    val filtered = targetBuckets match {
+      case Some(bs) => withB.where(col("gbk").isin(bs.toSeq.map(Integer.valueOf): _*))
+      case None     => withB
+    }
+    // repartition by _b so each output task writes few bucket dirs (avoids
+    // the many-small-files explosion of unpartitioned writes at scale).
+    val parts = targetBuckets.map(_.size).getOrElse(n).max(1)
+    val arranged = filtered.repartition(math.min(parts, maxWriteTasks), col("gbk"))
+    arranged.write.partitionBy("gbk").mode("append").parquet(out.toString)
+
+    if (!fs.exists(out)) return Seq.empty
+    fs.listStatus(out)
+      .filter(_.isDirectory)
+      .flatMap { bdir =>
+        val b = bdir.getPath.getName.stripPrefix("gbk=").toInt
+        fs.listStatus(bdir.getPath)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .map(st => DataFile(s"$commitId/${bdir.getPath.getName}/${st.getPath.getName}", b))
+      }
+      .toSeq
+  }
+
+  private def maxWriteTasks: Int = spark.sparkContext.defaultParallelism * 2
+
+  private def commit(snap: Snapshot): Snapshot = {
+    fs.mkdirs(snapshotsDir)
+    val name = snapshotFileName(snap.version)
+    writeText(fs, new Path(snapshotsDir, name), toJson(snap))
+    // Atomic pointer swap: write sibling temp, rename over _current.
+    val tmp = new Path(dir, s"_current.tmp.${UUID.randomUUID()}")
+    writeText(fs, tmp, name)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(currentPtr),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    snap
+  }
+
+  private def now(): Long = System.currentTimeMillis()
+}
+
+object SnapshotTable {
+  val PropMergeKeyCol = "merge.key.column"
+  val PropWatermark = "arcane.watermark" // SURVEY.md §2.A15 external watermark mirror
+
+  private val SnapshotFileName = "v(\\d+)\\.json".r.anchored
+  private[tables] def snapshotFileName(v: Long): String = f"v$v%08d.json"
+
+  def apply(spark: SparkSession, location: String): SnapshotTable = new SnapshotTable(spark, location)
+
+  // ------------------------------------------------------- JSON (de)serde
+
+  private val mapper = new ObjectMapper()
+
+  def toJson(s: Snapshot): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", s.version)
+    root.put("numBuckets", s.numBuckets)
+    root.put("timestampMs", s.timestampMs)
+    root.put("schema", s.schema.json)
+    val files = root.putArray("files")
+    s.files.foreach { f =>
+      val o = files.addObject()
+      o.put("path", f.path); o.put("bucket", f.bucket)
+    }
+    val props = root.putObject("properties")
+    s.properties.foreach { case (k, v) => props.put(k, v) }
+    root.toString
+  }
+
+  def fromJson(json: String): Snapshot = {
+    val root = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val files = root.get("files").asInstanceOf[ArrayNode].elements().asScala.map { f =>
+      DataFile(f.get("path").asText(), f.get("bucket").asInt())
+    }.toSeq
+    val props = root.get("properties").properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+    Snapshot(
+      version = root.get("version").asLong(),
+      schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType],
+      numBuckets = root.get("numBuckets").asInt(),
+      files = files,
+      properties = props,
+      timestampMs = root.get("timestampMs").asLong()
+    )
+  }
+
+  private[tables] def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private[tables] def writeText(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.pipeline.{CdcPipeline, StreamSpec}
+import graft.tables.SnapshotTable
+import org.apache.spark.sql.functions._
+
+import java.time.{OffsetDateTime, ZoneOffset}
+
+/** Replays the reference's single end-to-end integration scenario
+  * (`/root/reference/src/test/scala/integration/StreamRunner.scala:176-234`)
+  * on local filesystem + the SnapshotTable sink:
+  *
+  *  1. backfill 2 folders (changelog stamped on the first) → 5 rows,
+  *     watermark = folder(-1h);
+  *  2. stream 3 more folders — (+delete of id1, +upsert file), (+delete
+  *     replay), (no-op replays, changelog stamped) →
+  *     rows = 5 − 1 + 2 = 6; id1 absent; id2.versionnumber = 2111000012;
+  *     watermark = folder(-5min).
+  */
+class ConformanceSpec extends SparkSpec {
+
+  private val now = OffsetDateTime.of(2026, 1, 2, 12, 0, 0, 0, ZoneOffset.UTC)
+
+  test("reference conformance: backfill then stream-merge") {
+    val root = tmpDir("cdm-e2e-src")
+    val target = tmpDir("cdm-e2e-target")
+    CdmFixture.initRoot(root)
+
+    // --- backfill: two folders, changelog stamped on the first (-1h) ------
+    val wmFolder = CdmFixture.uploadBatch(root, now.minusHours(1), updateChangelog = true, chunkSeed = 1)
+    CdmFixture.uploadBatch(root, now.minusHours(2), chunkSeed = 2)
+
+    val spec = StreamSpec(
+      sourcePath = root,
+      entityName = CdmFixture.entityName,
+      targetLocation = target,
+      backfillBehavior = "Overwrite",
+      numBuckets = 4,
+      changeCaptureIntervalSeconds = 1
+    )
+    CdcPipeline.runBackfill(spark, spec)
+
+    val table = SnapshotTable(spark, target)
+    assert(table.read().count() === 5)
+    assert(table.properties(SnapshotTable.PropWatermark) === wmFolder)
+
+    // --- streaming: three folders --------------------------------------
+    CdmFixture.uploadBatch(root, now.minusMinutes(45), addDelete = true, addUpsert = true, chunkSeed = 3)
+    CdmFixture.uploadBatch(root, now.minusMinutes(30), addDelete = true, chunkSeed = 4)
+    val lastFolder = CdmFixture.uploadBatch(root, now.minusMinutes(5), chunkSeed = 5)
+    CdmFixture.stampChangelog(root, lastFolder)
+
+    val query = CdcPipeline.startStream(spark, spec)
+    try query.processAllAvailable()
+    finally query.stop()
+
+    val result = table.read()
+    assert(result.count() === 6, "5 backfilled - 1 deleted + 2 inserted = 6")
+    assert(result.where(col("Id") === CdmFixture.id1).count() === 0, "deleted Id must be gone")
+    val v = result.where(col("Id") === CdmFixture.id2).select("versionnumber").head().getLong(0)
+    assert(v === 2111000012L, "updated Id must carry the max versionnumber")
+    assert(table.properties(SnapshotTable.PropWatermark) === lastFolder)
+  }
+
+  test("streaming resume from watermark skips processed folders") {
+    val root = tmpDir("cdm-resume-src")
+    val target = tmpDir("cdm-resume-target")
+    CdmFixture.initRoot(root)
+    CdmFixture.uploadBatch(root, now.minusHours(3), updateChangelog = true, chunkSeed = 1)
+
+    val spec = StreamSpec(root, CdmFixture.entityName, target, numBuckets = 4, changeCaptureIntervalSeconds = 1)
+    CdcPipeline.runBackfill(spark, spec)
+    val table = SnapshotTable(spark, target)
+    val v1 = table.currentSnapshot.version
+
+    // New stream with nothing new closed: no merge should happen.
+    val q = CdcPipeline.startStream(spark, spec)
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(table.currentSnapshot.version === v1, "no new folders → no new snapshot")
+  }
+}
