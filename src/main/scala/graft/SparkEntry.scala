@@ -1,13 +1,197 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.Queries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's declared surface (implemented in
+  * [[graft.queries.Queries]]); `oracleSql` gives the DuckDB-equivalent SQL
+  * for every query whose semantics are SQL-expressible. Queries built on
+  * engine-specific primitives (xxhash sketches, LSH banding, stub codecs)
+  * are deliberately absent from `oracleSql` → rows-only check.
+  *
+  * Float determinism contract with the oracles: aggregates over doubles go
+  * through exact decimal summation on BOTH sides (see Queries.xsum), and
+  * per-row double expressions use structurally identical IEEE op sequences,
+  * so hashes match bit-for-bit.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.q5LocalSupplierVolume(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2 + north-star ext ops. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  /** DuckDB oracles. Table names resolve to `<sfDir>/<name>.parquet`. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q3_join_revenue" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_multijoin_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2024-01-01' AND l_shipdate < TIMESTAMP '2024-07-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24""".stripMargin,
+
+    "q_window_top_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 1000
+        |  EXCEPT
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 1000) t
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS event_hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_sessionize" ->
+      """SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS session_value
+        |FROM (
+        |  SELECT user_id, value,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+        |  FROM (
+        |    SELECT user_id, ts, event_id, value,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+        |        THEN 1 ELSE 0 END AS new_session
+        |    FROM events) t1) t2
+        |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_cdc_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_cdc_merge" ->
+      """WITH cut AS (SELECT 500 * greatest(1, COUNT(*) // 1000) AS c FROM events),
+        |tgt AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_id < (SELECT c FROM cut)) x WHERE rn = 1),
+        |stg AS (
+        |  SELECT *, event_type = 'error' AS is_delete FROM (
+        |    SELECT user_id, event_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_id >= (SELECT c FROM cut)) y WHERE rn = 1)
+        |SELECT coalesce(s.user_id, t.user_id) AS user_id,
+        |  CASE WHEN s.event_id IS NOT NULL THEN s.event_id ELSE t.event_id END AS event_id,
+        |  CASE WHEN s.event_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type
+        |FROM tgt t FULL OUTER JOIN stg s ON t.user_id = s.user_id
+        |WHERE NOT coalesce(s.is_delete, false)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_merge_key_projection" ->
+      """SELECT event_id, user_id, lower(CAST(user_id AS VARCHAR)) AS arcane_merge_key, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, fingerprint FROM (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |    row_number() OVER (
+        |      PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS s
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_brute_force" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) DESC,
+        |      b.vec_id) AS rn
+        |  FROM e a, e b WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id) t
+        |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, punct_ratio, stopword_ratio,
+        |  (least(CAST(ws_tokens AS DOUBLE) / 50.0, 1.0)
+        |   + (1.0 - least(punct_ratio * 5.0, 1.0))
+        |   + least(stopword_ratio * 4.0, 1.0)) / 3.0 AS quality_score
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        |    CASE WHEN len(text) = 0 THEN 0.0
+        |      ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS punct_ratio,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','this','by','at','be','are'], x))) AS DOUBLE)
+        |        / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END AS stopword_ratio
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_length, md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

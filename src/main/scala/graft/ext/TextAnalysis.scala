@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification and document
+  * fingerprinting. No reference counterpart (the reference is a CDC engine,
+  * SURVEY.md §2.C) — these extend the engine per the north-star scope.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` columnar
+  * expressions (whole-stage-codegen friendly, no UDFs), so each operator
+  * distributes across executors with no shuffle: they are per-row map
+  * transforms that scale linearly to 100 TB inputs.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token estimate: word chunks + standalone punctuation,
+    * the usual pre-tokenization regex shape of BPE tokenizers.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+          length(text).cast("double"))
+
+  /** Common-English stopword set used by the quality heuristic. Public
+    * knowledge (standard IR stopword list head).
+    */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "this", "by", "at", "be", "are")
+
+  /** Fraction of whitespace tokens (lowercased) that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(length(trim(text)) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => array_contains(lit(Stopwords.toArray), t))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Mean whitespace-token length — long "words" signal non-text noise. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Composite document quality score in [0,1] — C4/Gopher-style length,
+    * punctuation and stopword heuristics folded into one number:
+    * docs that are too short, all punctuation, or stopword-free (word salad /
+    * non-language) score low.
+    */
+  def qualityScore(text: Column): Column = {
+    val lengthTerm = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val punctTerm = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * 4.0, lit(1.0))
+    (lengthTerm + punctTerm + stopTerm) / 3.0
+  }
+
+  /** Character-frequency profiles for the n-gram language-ID heuristic:
+    * per-language marker substrings with weights. Tiny, broadcast as a
+    * literal into the plan (no join, no shuffle).
+    */
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to ", "ing ", " a "),
+    "de" -> Seq(" der ", " und ", " die ", " das ", " ist ", "sch", " ein "),
+    "fr" -> Seq(" le ", " la ", " les ", " et ", " est ", " une ", " des "),
+    "es" -> Seq(" el ", " la ", " los ", " y ", " es ", " una ", "ción"),
+    "it" -> Seq(" il ", " la ", " di ", " e ", " che ", " una ", "zione"),
+    "pt" -> Seq(" o ", " a ", " de ", " e ", " que ", " uma ", "ção"),
+    "nl" -> Seq(" de ", " het ", " een ", " en ", " van ", " ij", " is "),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和")
+  )
+
+  /** Language-ID by marker-n-gram scoring: count marker occurrences per
+    * language, take the argmax, "und" (undetermined) when no marker hits.
+    * A columnar heuristic — real pipelines would broadcast a trained n-gram
+    * model; the scoring plumbing (per-row argmax over per-language scores)
+    * is identical.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val score = markers
+        .map(m => (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / m.length)
+        .reduce(_ + _)
+      struct(score.cast("long").as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Document fingerprint: digest of the whitespace-normalized, lowercased
+    * text — stable across formatting-only edits. Used as the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Convenience: annotate a corpus with the full analysis column set. */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("token_count", tokenCount(t))
+      .withColumn("bpe_token_count", bpeTokenCount(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,385 @@
+package graft.queries
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's declared query surface over the driver testdata
+  * (`/root/testdata/sf*`): CDC semantics (the reference's operator
+  * inventory, SURVEY.md §2.A/2.B, re-expressed as queries over the
+  * `events` table), the relational-analytics surface, and the north-star
+  * training-data operators (dedup / similarity / text / multimodal).
+  *
+  * Every query has a matching DuckDB oracle in [[graft.SparkEntry.oracleSql]]
+  * unless its semantics are engine-specific (xxhash sketches, stub codecs) —
+  * those get rows-only checks.
+  *
+  * Cross-engine float determinism: double summation is order-dependent, so
+  * every aggregate over doubles casts per-row values to decimal first
+  * (exact, associative), sums, and casts the exact total back to double —
+  * bit-identical in Spark and DuckDB regardless of partitioning. Per-row
+  * expressions are kept structurally identical to their SQL oracle so both
+  * engines execute the same IEEE op sequence.
+  *
+  * Scale notes are on each query: joins declare broadcast sides, windows
+  * partition on high-cardinality keys, aggregates are partial-agg friendly.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; read nanos as long and convert to a micros
+    * timestamp (truncation — invisible at the second/hour granularity the
+    * queries use, and matching DuckDB's nanos-native reads there).
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact associative sum of a double expression: per-row decimal cast →
+    * exact decimal sum → double. Deterministic under any partitioning.
+    * Scale 4 keeps the unscaled total below 2^53 for sums up to ~9e11, so
+    * the final decimal→double conversion is exact (bit-identical in Spark
+    * and DuckDB); higher scales differ by 1 ulp between the engines'
+    * conversion routines.
+    */
+  private def xsum(c: Column): Column = sum(c.cast("decimal(27,4)")).cast("double")
+
+  // ------------------------------------------------------------ analytics
+
+  /** TPC-H Q1 shape: scan-heavy partial-agg pricing summary. Group keys are
+    * tiny (6 combos) → map-side combine does nearly all the work; the
+    * shuffle moves a handful of rows regardless of input scale.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        xsum(col("l_quantity")).as("sum_qty"),
+        xsum(col("l_extendedprice")).as("sum_base_price"),
+        xsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        (xsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (xsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Filtered aggregate — predicate pushdown showcase: both filters reach
+    * the parquet scan (`PushedFilters` on l_shipdate min/max + l_quantity).
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("2024-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("2024-07-01").cast("timestamp")
+        && col("l_discount").between(0.02, 0.09) && col("l_quantity") < 24)
+      .agg(xsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** Global top-k — `orderBy().limit(k)` compiles to TakeOrderedAndProject:
+    * per-partition heap + driver merge of k rows, no full sort at any scale.
+    */
+  def q2TopOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** 3-way join + agg (TPC-H Q3 shape). customer is the small side →
+    * broadcast; orders⋈lineitem shuffles on the join key only.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(xsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** 6-way join revenue rollup (TPC-H Q5 shape). All dimension tables are
+    * tiny → broadcast chain; the only shuffle is lineitem⋈orders + final
+    * small agg. At 100 TB this stays two exchange boundaries.
+    */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region")
+    val nation = t(spark, dir, "nation")
+    val customer = t(spark, dir, "customer")
+    val supplier = t(spark, dir, "supplier")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(xsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window function surface: per-customer order ranking, keep top 3.
+    * Partitioned on o_custkey (high cardinality) — parallel at any scale.
+    */
+  def qWindowTopPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Set-operation surface: nations with low-balance customers but no
+    * low-balance suppliers (EXCEPT over two distinct projections).
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = t(spark, dir, "customer")
+      .where(col("c_acctbal") < 1000).select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = t(spark, dir, "supplier")
+      .where(col("s_acctbal") < 1000).select(col("s_nationkey").as("nationkey")).distinct()
+    custNations.except(suppNations).orderBy(col("nationkey"))
+  }
+
+  /** Event-time tumbling window aggregation (streaming-shaped but batch
+    * here): hourly event counts + value sums per type.
+    */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("event_hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), xsum(col("value")).as("sum_value"))
+      .orderBy(col("event_hour"), col("event_type"))
+
+  /** Sessionization (gaps-and-islands): new session when >30 min since the
+    * user's previous event; emit per-session stats. Two windows over the
+    * same (user_id, ts) partitioning → single shuffle, reused sort.
+    */
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"), xsum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  // -------------------------------------------------- CDC semantics (§2.A)
+
+  /** A14 latest-version dedup, expressed over `events` (key=user_id,
+    * version=event_id): the winning row per key is the max-version one.
+    */
+  def qCdcLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A13 MERGE fold-in semantics as a query: "target" = latest state from
+    * the first half of the stream; "staging" = second half with
+    * `event_type='error'` as delete tombstones. Result = merged live state:
+    * deletes drop the key, newer versions win, unmatched staging inserts.
+    * Same latest-wins + tombstone logic the SnapshotTable MERGE runs.
+    */
+  def qCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cut = 500L * math.max(1L, ev.count() / 1000L) // half, sf-proportional
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    val target = latest(ev.where(col("event_id") < cut))
+    val staging = latest(ev.where(col("event_id") >= cut))
+      .withColumn("is_delete", col("event_type") === "error")
+    target.as("t")
+      .join(staging.as("s"), col("t.user_id") === col("s.user_id"), "full_outer")
+      .where(!coalesce(col("s.is_delete"), lit(false)))
+      .select(
+        coalesce(col("s.user_id"), col("t.user_id")).as("user_id"),
+        when(col("s.event_id").isNotNull, col("s.event_id")).otherwise(col("t.event_id")).as("event_id"),
+        when(col("s.event_id").isNotNull, col("s.event_type")).otherwise(col("t.event_type")).as("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A7 merge-key derivation + A5 field selection as a projection query. */
+  def qMergeKeyProjection(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        lower(col("user_id").cast("string")).as("arcane_merge_key"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+
+  // ------------------------------------------------ dedup (north star)
+
+  /** Exact dedup winners on the documents corpus (fingerprint groupBy). */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash+LSH per-doc signatures (engine-specific hashing → rows-only
+    * oracle). Deterministic; `sig_hash` is the near-dup blocking summary.
+    */
+  def qMinHashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("sig_hash"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash-LSH verified near-duplicate pairs (jaccard ≥ 0.5 on word
+    * 3-gram shingles). The corpus is the documents table plus a perturbed
+    * copy of each doc (last word dropped, id+1_000_000) so near-duplicates
+    * exist by construction; the LSH banding must recover the planted pairs.
+    * Rows-only oracle (xxhash-based banding).
+    */
+  def qNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val perturbed = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+    Dedup.nearDuplicatePairs(docs.unionByName(perturbed), threshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash per-doc 64-bit sketches (rows-only oracle). */
+  def qSimHash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashes(t(spark, dir, "documents"))
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Exact 1-gram Jaccard similarity pairs over a bounded id range —
+    * SQL-expressible (DuckDB list functions) so it gets a full oracle.
+    */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").where(col("doc_id") < 100)
+    val a = docs.select(col("doc_id").as("id_a"), Dedup.tokenSet(col("text")).as("sa"))
+    val b = docs.select(col("doc_id").as("id_b"), Dedup.tokenSet(col("text")).as("sb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------- similarity (north star)
+
+  /** Brute-force cosine top-10 for the first 50 vectors as queries —
+    * output is the (query, neighbor) id set only: double-precision dot
+    * products are bit-identical cross-engine; scores stay internal.
+    */
+  def qAnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.where(col("vec_id") < 50), emb, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** LSH-bucketed approximate top-10 (scale path; rows-only oracle). */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    Similarity.lshTopK(emb.where(col("vec_id") < 50), emb, k = 10, dim = dim, numPlanes = 6)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  // ------------------------------------------------- text (north star)
+
+  /** Token counting: whitespace + BPE-ish regex counts. */
+  def qTextTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: punctuation/stopword/length heuristics. Raw doubles —
+    * both engines execute the same per-row IEEE expression tree.
+    */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprints (normalized-text digest). */
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic (rows-only oracle; accuracy asserted in unit
+    * tests against the corpus `lang` labels).
+    */
+  def qTextLangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+      .orderBy(col("doc_id"))
+
+  // -------------------------------------------- multimodal (north star)
+
+  /** Binary transport + metadata: text bytes as the opaque payload. */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withMediaMeta(
+      t(spark, dir, "documents").withColumn("content", col("text").cast("binary")),
+      "content", modality = "image")
+      .select(col("doc_id"),
+        col("media_meta.byte_length").as("byte_length"),
+        col("media_meta.content_md5").as("content_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Stub decode + feature extraction through the real mapPartitions
+    * plumbing (rows-only oracle — stub codec is engine-specific).
+    */
+  def qImageFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(
+      t(spark, dir, "documents").withColumn("content", col("text").cast("binary")),
+      "doc_id", "content")
+      .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"))
+      .orderBy(col("doc_id"))
+
+  /** All queries, keyed — the SparkEntry surface. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_agg" -> (q1PricingSummary _),
+    "q2_topk_orders" -> (q2TopOrders _),
+    "q3_join_revenue" -> (q3ShippingPriority _),
+    "q5_multijoin_revenue" -> (q5LocalSupplierVolume _),
+    "q6_filter_agg" -> (q6ForecastRevenue _),
+    "q_window_top_per_customer" -> (qWindowTopPerCustomer _),
+    "q_set_ops" -> (qSetOps _),
+    "q_events_hourly" -> (qEventsHourly _),
+    "q_events_sessionize" -> (qEventsSessionize _),
+    "q_cdc_latest" -> (qCdcLatest _),
+    "q_cdc_merge" -> (qCdcMerge _),
+    "q_merge_key_projection" -> (qMergeKeyProjection _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_minhash_lsh" -> (qMinHashLsh _),
+    "q_near_dup_pairs" -> (qNearDupPairs _),
+    "q_simhash" -> (qSimHash _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_ann_brute_force" -> (qAnnBruteForce _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_langid" -> (qTextLangId _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_image_features" -> (qImageFeatures _)
+  )
+}
