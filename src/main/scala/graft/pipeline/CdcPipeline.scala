@@ -86,26 +86,39 @@ object CdcPipeline {
     val table = SnapshotTable(spark, spec.targetLocation)
     val startWm = if (table.exists) table.properties.getOrElse(SnapshotTable.PropWatermark, "") else ""
 
+    Metrics.install(spark, spec.statsdAddress,
+      spec.metricTags + ("entity" -> spec.entityName))
+
     val reader = spark.readStream
       .format("synapse-cdm")
       .option("path", spec.sourcePath)
       .option("entity", spec.entityName)
       .option("startingWatermark", startWm)
     spec.maxFoldersPerTrigger.foreach(n => reader.option("maxFoldersPerTrigger", n.toString))
+    spec.shaper.foreach { s =>
+      reader.option("shaper", s)
+      reader.option("memoryHeadroomFraction", spec.memoryHeadroomFraction.toString)
+    }
 
     val batchCounter = new AtomicLong(0)
     val writer = reader.load()
       .writeStream
       .trigger(Trigger.ProcessingTime(spec.changeCaptureIntervalSeconds * 1000L))
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
-        if (!raw.isEmpty) {
-          // Folder watermark = newest folder in this micro-batch (the batch
-          // range end); mirrors the reference's per-batch watermark commit.
-          val wm = raw.select(max(col("_folder"))).head().getString(0)
-          val staged = stage(raw, typedSchema, spec)
-          mergeBatch(table, staged, spec, wm)
-          maintenanceTick(table, spec, batchCounter.incrementAndGet())
-        }
+        // The batch body takes several passes over the micro-batch (empty
+        // check, watermark max, merge join) — cache the parsed CSV once so
+        // the chunk files are read and parsed a single time per batch.
+        raw.persist()
+        try {
+          if (!raw.isEmpty) {
+            // Folder watermark = newest folder in this micro-batch (the batch
+            // range end); mirrors the reference's per-batch watermark commit.
+            val wm = raw.select(max(col("_folder"))).head().getString(0)
+            val staged = stage(raw, typedSchema, spec)
+            Retry(spec.retry) { mergeBatch(table, staged, spec, wm) }
+            maintenanceTick(table, spec, batchCounter.incrementAndGet())
+          }
+        } finally raw.unpersist()
       }
     spec.checkpointLocation.foreach(cp => writer.option("checkpointLocation", cp))
     writer.start()

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress}
+import java.nio.charset.StandardCharsets
+
+/** Observability — the reference emits DataDog StatsD metrics for stream
+  * progress (SURVEY.md §2.A26; `/root/reference/src/main/scala/main.scala:28,112-114`,
+  * CRD beta:137-148). Spark-native equivalent: a `StreamingQueryListener`
+  * publishing micro-batch progress as DogStatsD-format UDP datagrams (the
+  * protocol is plain text — `metric:value|type|#tags` — so no client
+  * library is needed) plus log lines. With no StatsD address configured it
+  * degrades to logging only.
+  */
+final class StatsdEmitter(host: String, port: Int, globalTags: Map[String, String]) {
+  private val socket = new DatagramSocket()
+  private val target = new InetSocketAddress(host, port)
+  private val tagSuffix =
+    if (globalTags.isEmpty) ""
+    else "|#" + globalTags.map { case (k, v) => s"$k:$v" }.mkString(",")
+
+  def gauge(name: String, value: Double): Unit = send(s"$name:$value|g$tagSuffix")
+  def count(name: String, value: Long): Unit = send(s"$name:$value|c$tagSuffix")
+
+  private def send(payload: String): Unit =
+    try {
+      val bytes = payload.getBytes(StandardCharsets.UTF_8)
+      socket.send(new DatagramPacket(bytes, bytes.length, target))
+    } catch { case _: java.io.IOException => () } // metrics must never fail the stream
+
+  def close(): Unit = socket.close()
+}
+
+/** Listener publishing per-batch throughput/latency — the same signal set
+  * the reference's framework tracks (rows in, processing rate, batch
+  * duration, watermark).
+  */
+final class GraftMetricsListener(statsd: Option[StatsdEmitter], prefix: String = "graft.stream")
+    extends StreamingQueryListener {
+
+  import StreamingQueryListener._
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    statsd.foreach { s =>
+      s.count(s"$prefix.rows", p.numInputRows)
+      s.gauge(s"$prefix.rows_per_second", Option(p.processedRowsPerSecond).getOrElse(0.0))
+      Option(p.durationMs.get("triggerExecution")).foreach(d => s.gauge(s"$prefix.batch_ms", d.toDouble))
+      s.count(s"$prefix.batches", 1L)
+    }
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    statsd.foreach(_.count(s"$prefix.terminated", 1L))
+}
+
+object Metrics {
+  /** Install the metrics listener on a session. StatsD target comes from
+    * `statsdAddress` ("host:port"); absent → log-only listener is skipped
+    * (Spark already logs progress JSON).
+    */
+  def install(spark: SparkSession, statsdAddress: Option[String], tags: Map[String, String] = Map.empty): Option[GraftMetricsListener] =
+    statsdAddress.map { addr =>
+      val (host, port) = addr.split(":", 2) match {
+        case Array(h, p) => (h, p.toInt)
+        case Array(h)    => (h, 8125)
+      }
+      val listener = new GraftMetricsListener(Some(new StatsdEmitter(host, port, tags)))
+      spark.streams.addListener(listener)
+      listener
+    }
+}

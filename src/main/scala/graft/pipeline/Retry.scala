@@ -1,0 +1,43 @@
+package graft.pipeline
+
+/** Query retry with exponential backoff — the reference retries merge SQL
+  * whose failure message matches configured substrings (e.g. "No worker
+  * nodes available"), modes never/always, with base duration × scale
+  * factor, capped attempts (SURVEY.md §2.A27;
+  * `/root/reference/dev.env.example:82-93`, CRD beta:265-293).
+  *
+  * In Spark most transient failures are absorbed by task retries and
+  * streaming restart-from-checkpoint; this wrapper covers driver-side
+  * actions (MERGE job submission, maintenance procedures) where a matching
+  * transient error should be retried in place instead of failing the batch.
+  */
+final case class RetryPolicy(
+    maxAttempts: Int = 3,
+    baseDelayMs: Long = 100,
+    scaleFactor: Double = 2.0,
+    retryOnMessageContains: Seq[String] = Seq.empty // empty = retry any exception
+) {
+  def shouldRetry(e: Throwable): Boolean =
+    retryOnMessageContains.isEmpty ||
+      Iterator
+        .iterate(e)(_.getCause)
+        .takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(m => retryOnMessageContains.exists(m.contains)))
+}
+
+object Retry {
+  def apply[T](policy: RetryPolicy)(body: => T): T = {
+    var attempt = 1
+    var delay = policy.baseDelayMs.toDouble
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if attempt < policy.maxAttempts && policy.shouldRetry(e) =>
+          Thread.sleep(delay.toLong)
+          delay *= policy.scaleFactor
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+}

@@ -36,7 +36,12 @@ final case class StreamSpec(
     versionColumn: String = "versionnumber",
     isDeleteColumn: String = "IsDelete",
     maintenance: MaintenanceSettings = MaintenanceSettings(),
-    checkpointLocation: Option[String] = None
+    checkpointLocation: Option[String] = None,
+    statsdAddress: Option[String] = None,              // A26 observability
+    metricTags: Map[String, String] = Map.empty,
+    retry: RetryPolicy = RetryPolicy(),                // A27 merge-query retry
+    shaper: Option[String] = None,                     // A10: memoryBound | none
+    memoryHeadroomFraction: Double = 0.2
 ) {
   def fieldSelectionRule: FieldSelectionRule = fieldSelectionRuleName.toLowerCase match {
     case "include" => FieldSelectionRule.Include(fieldSelectionFields)
@@ -89,7 +94,29 @@ object StreamSpec {
       versionColumn = str("versionColumn", "versionnumber"),
       isDeleteColumn = str("isDeleteColumn", "IsDelete"),
       maintenance = maint,
-      checkpointLocation = opt("checkpointLocation")
+      checkpointLocation = opt("checkpointLocation"),
+      statsdAddress = opt("statsdAddress"),
+      metricTags =
+        if (r.has("metricTags"))
+          r.get("metricTags").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        else Map.empty,
+      retry =
+        if (!r.has("retry")) RetryPolicy()
+        else {
+          val q = r.get("retry")
+          RetryPolicy(
+            maxAttempts = if (q.has("maxAttempts")) q.get("maxAttempts").asInt(3) else 3,
+            baseDelayMs = if (q.has("baseDelayMs")) q.get("baseDelayMs").asLong() else 100L,
+            scaleFactor = if (q.has("scaleFactor")) q.get("scaleFactor").asDouble(2.0) else 2.0,
+            retryOnMessageContains =
+              if (q.has("retryOnMessageContains"))
+                q.get("retryOnMessageContains").elements().asScala.map(_.asText()).toSeq
+              else Seq.empty
+          )
+        },
+      shaper = opt("shaper"),
+      memoryHeadroomFraction =
+        if (r.has("memoryHeadroomFraction")) r.get("memoryHeadroomFraction").asDouble(0.2) else 0.2
     )
   }
 }

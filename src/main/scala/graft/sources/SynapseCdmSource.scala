@@ -228,6 +228,14 @@ class SynapseCdmMicroBatchStream(fullSchema: StructType, required: StructType, o
   private val layout = SynapseCdmLayout(options, conf)
   private val startingWatermark = Option(options.get("startingWatermark")).getOrElse("")
   private val maxFoldersPerTrigger = Option(options.get("maxFoldersPerTrigger")).map(_.toInt)
+  private val memoryBound = Option(options.get("shaper")).exists(_.equalsIgnoreCase("memoryBound"))
+  private val memoryHeadroomFraction =
+    Option(options.get("memoryHeadroomFraction")).map(_.toDouble).getOrElse(0.2)
+  // CSV text expands ~4x when parsed into row objects — the same role as the
+  // reference's objectTypeSizeEstimate/fallbackStringTypeSizeEstimate knobs
+  // (CRD beta:438-470).
+  private val bytesExpansionFactor =
+    Option(options.get("bytesExpansionFactor")).map(_.toDouble).getOrElse(4.0)
 
   override def initialOffset(): Offset = ChangelogOffset(startingWatermark)
   override def deserializeOffset(json: String): Offset = ChangelogOffset(json)
@@ -240,21 +248,38 @@ class SynapseCdmMicroBatchStream(fullSchema: StructType, required: StructType, o
   override def getDefaultReadLimit: ReadLimit =
     maxFoldersPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
 
-  /** Admission control: cap how many closed folders one micro-batch absorbs
-    * (ReadLimit.maxFiles ~ max folders). This is the reference's throughput
-    * shaper surface (static rate variant); a memory-bound variant would
-    * compute the cap from executor memory metrics here.
+  /** Admission control — the reference's throughput-shaper surface
+    * (CRD beta:401-470) in Spark's `SupportsAdmissionControl` form:
+    *  - static shaper: `maxFoldersPerTrigger` → `ReadLimit.maxFiles`;
+    *  - memory-bound shaper (`shaper=memoryBound`): admit folders until the
+    *    estimated in-memory batch size (folder CSV bytes × expansion factor)
+    *    exceeds `memoryHeadroomFraction` of current free heap — the
+    *    Spark-native analog of the reference's free-heap sigmoid cost model
+    *    (always admits at least one folder so the stream can't stall).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startFolder = start.asInstanceOf[ChangelogOffset].folder
     val newest = layout.changelogValue(conf).getOrElse(startFolder)
-    val capped = limit match {
-      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        val folders = layout.foldersInRange(conf, startFolder, newest)
-        if (folders.size <= mf.maxFiles()) newest
-        else folders(mf.maxFiles() - 1)
-      case _ => newest
+    val folders = layout.foldersInRange(conf, startFolder, newest)
+    val staticCapped = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles if folders.size > mf.maxFiles() =>
+        folders.take(mf.maxFiles())
+      case _ => folders
     }
+    val admitted =
+      if (!memoryBound || staticCapped.isEmpty) staticCapped
+      else {
+        val rt = Runtime.getRuntime
+        val freeHeap = rt.maxMemory() - (rt.totalMemory() - rt.freeMemory())
+        val budget = (freeHeap * memoryHeadroomFraction).toLong
+        var used = 0L
+        val taken = staticCapped.takeWhile { folder =>
+          used += (layout.chunkFiles(conf, folder).map(_._2).sum * bytesExpansionFactor).toLong
+          used <= budget
+        }
+        if (taken.isEmpty) staticCapped.take(1) else taken
+      }
+    val capped = if (admitted.size == folders.size) newest else admitted.lastOption.getOrElse(startFolder)
     ChangelogOffset(if (capped > startFolder) capped else startFolder)
   }
 

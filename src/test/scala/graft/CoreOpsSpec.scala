@@ -1,0 +1,132 @@
+package graft
+
+import graft.cdm.{CdmModel, CdmSchema, CsvCast}
+import graft.ops.{FieldSelection, FieldSelectionRule, LatestVersionDedup, MergeKey}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-operator unit specs for the core CDM/CDC layer (SURVEY.md §5 test
+  * plan: schema factory, CSV cast matrix, field rules, merge key, dedup).
+  */
+class CoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------- schema factory
+
+  test("model.json parse + StructType mapping incl. decimal traits") {
+    val json =
+      """{"name":"cdm","version":"1.0","entities":[
+        |  {"$type":"LocalEntity","name":"currency","attributes":[
+        |    {"name":"Id","dataType":"guid"},
+        |    {"name":"roundingprecision","dataType":"decimal","cdm:traits":[
+        |      {"traitReference":"is.dataFormat.numeric.shaped","arguments":[
+        |        {"name":"precision","value":"38"},{"name":"scale","value":"6"}]}]},
+        |    {"name":"cur$code","dataType":"string","maxLength":3},
+        |    {"name":"iseuro","dataType":"int64"},
+        |    {"name":"createdon","dataType":"dateTimeOffset"},
+        |    {"name":"modifiedon","dataType":"dateTime"},
+        |    {"name":"IsDelete","dataType":"boolean"},
+        |    {"name":"mystery","dataType":"somethingNew"}]}]}""".stripMargin
+    val schema = CdmSchema.forEntity(CdmModel.parse(json), "currency")
+    assert(schema.fieldNames.toSeq ==
+      Seq("Id", "roundingprecision", "curcode", "iseuro", "createdon", "modifiedon", "IsDelete", "mystery"))
+    assert(schema("roundingprecision").dataType == DecimalType(38, 6))
+    assert(schema("curcode").metadata.getLong(CdmSchema.MaxLengthMetadataKey) == 3L)
+    assert(schema("iseuro").dataType == LongType)
+    assert(schema("createdon").dataType == TimestampType)
+    assert(schema("modifiedon").dataType == TimestampNTZType)
+    assert(schema("IsDelete").dataType == BooleanType)
+    assert(schema("mystery").dataType == StringType) // unknown types degrade, don't fail
+  }
+
+  // ---------------------------------------------------------- cast matrix
+
+  test("cast matrix: D365 timestamps, ISO 7-digit fractions, booleans, nulls") {
+    val rows = Seq(
+      // (dateTime string, expected NTZ as string)
+      ("1/1/2020 0:00:00 PM", "2020-01-01 00:00:00"),   // hour 0 WITH meridiem (vestigial)
+      ("1/1/2020 0:00:01 PM", "2020-01-01 00:00:01"),
+      ("3/14/2021 1:30:00 PM", "2021-03-14 13:30:00"),  // normal 12h resolution
+      ("3/14/2021 12:00:00 AM", "2021-03-14 00:00:00"), // 12 AM → 0
+      ("2020-01-01T00:15:00.0000000Z", "2020-01-01 00:15:00"),
+      ("2020-01-01T00:15:00.1234567Z", "2020-01-01 00:15:00.123456"), // 7→6 digit truncation
+      ("2020-06-01T10:15:00", "2020-06-01 10:15:00")
+    ).toDF("raw", "expected")
+    val out = rows.select(CsvCast.timestampNtz(col("raw")).cast("string").as("got"), col("expected"))
+      .as[(String, String)].collect()
+    out.foreach { case (got, exp) => assert(got == exp, s"got $got expected $exp") }
+
+    val tz = Seq(
+      ("2020-01-01T00:15:00.0000000+00:00", "2020-01-01 00:15:00"),
+      ("2020-01-01T02:15:00.0000000+02:00", "2020-01-01 00:15:00"), // offset applied
+      ("0001-01-03T00:00:00.0000000", "0001-01-03 00:00:00")        // tombstone, no offset
+    ).toDF("raw", "expected")
+    tz.select(CsvCast.timestampTz(col("raw")).cast("string").as("got"), col("expected"))
+      .as[(String, String)].collect()
+      .foreach { case (got, exp) => assert(got == exp, s"got $got expected $exp") }
+
+    val bools = Seq(("True", Some(true)), ("False", Some(false)), ("true", Some(true)),
+      ("1", Some(true)), ("0", Some(false)), ("", None), ("garbage", None))
+      .toDF("raw", "expected")
+    bools.select(CsvCast.boolean(col("raw")).as("got"), col("expected"))
+      .as[(Option[Boolean], Option[Boolean])].collect()
+      .foreach { case (got, exp) => assert(got == exp) }
+  }
+
+  test("cast applies full schema: empty → NULL, decimal, passthrough extras") {
+    val schema = StructType(Seq(
+      StructField("Id", StringType),
+      StructField("amount", DecimalType(38, 6)),
+      StructField("n", LongType),
+      StructField("IsDelete", BooleanType)))
+    val raw = Seq(("a-1", "12.345678", "42", ""), ("b-2", "", "", "True"))
+      .toDF("Id", "amount", "n", "IsDelete")
+      .select(col("Id"), when(col("amount") === "", lit(null)).otherwise(col("amount")).as("amount"),
+        when(col("n") === "", lit(null)).otherwise(col("n")).as("n"),
+        when(col("IsDelete") === "", lit(null)).otherwise(col("IsDelete")).as("IsDelete"))
+      .withColumn("_folder", lit("f1"))
+    val typed = CsvCast(schema, raw)
+    assert(typed.schema("amount").dataType == DecimalType(38, 6))
+    assert(typed.schema("_folder").dataType == StringType) // passthrough
+    val r = typed.orderBy("Id").collect()
+    assert(r(0).getDecimal(1).toPlainString == "12.345678")
+    assert(r(0).getLong(2) == 42L)
+    assert(r(0).isNullAt(3))
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2) && r(1).getBoolean(3))
+  }
+
+  // ------------------------------------------------------- field selection
+
+  test("field selection rules keep essential fields") {
+    val df = Seq((1L, "x", "y", 2L, false)).toDF("Id", "a", "b", "versionnumber", "IsDelete")
+    assert(FieldSelection(df, FieldSelectionRule.All).columns.toSeq ==
+      Seq("Id", "a", "b", "versionnumber", "IsDelete"))
+    assert(FieldSelection(df, FieldSelectionRule.Include(Set("a"))).columns.toSeq ==
+      Seq("Id", "a", "versionnumber", "IsDelete"))
+    assert(FieldSelection(df, FieldSelectionRule.Exclude(Set("b", "versionnumber"))).columns.toSeq ==
+      Seq("Id", "a", "versionnumber", "IsDelete")) // essential survives exclude
+  }
+
+  // ------------------------------------------------------------ merge key
+
+  test("merge key derivation lowercases and joins multi-keys") {
+    val df = Seq(("ABC-123", "West")).toDF("Id", "region")
+    assert(MergeKey(df).select(MergeKey.ColumnName).as[String].head() == "abc-123")
+    assert(MergeKey(df, Seq("Id", "region")).select(MergeKey.ColumnName).as[String].head() == "abc-123|west")
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  test("latest-version dedup: tombstone with lower version must not shadow") {
+    val df = Seq(
+      ("k1", 5L, "new", false),
+      ("k1", 3L, "tomb", true),  // older delete — must lose
+      ("k1", 1L, "old", false),
+      ("k2", 1L, "only", false),
+      ("k2", 1L, "only", false)  // exact replay — collapses
+    ).toDF("arcane_merge_key", "versionnumber", "v", "IsDelete")
+    val out = LatestVersionDedup(df).orderBy("arcane_merge_key")
+      .as[(String, Long, String, Boolean)].collect().toSeq
+    assert(out == Seq(("k1", 5L, "new", false), ("k2", 1L, "only", false)))
+  }
+}

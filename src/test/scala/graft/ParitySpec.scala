@@ -1,0 +1,86 @@
+package graft
+
+import graft.pipeline.{Retry, RetryPolicy, StatsdEmitter}
+import graft.sources.SynapseCdmMicroBatchStream
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.net.{DatagramPacket, DatagramSocket}
+import java.time.OffsetDateTime
+import scala.jdk.CollectionConverters._
+
+/** Specs for the reference-parity wrappers: query retry (A27), StatsD
+  * observability (A26), memory-bound admission control (A10).
+  */
+class ParitySpec extends SparkSpec {
+
+  test("retry: backs off on matching messages, gives up at maxAttempts") {
+    var calls = 0
+    val policy = RetryPolicy(maxAttempts = 3, baseDelayMs = 1,
+      retryOnMessageContains = Seq("No worker nodes available"))
+    val out = Retry(policy) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("No worker nodes available right now")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+
+    var calls2 = 0
+    intercept[RuntimeException] {
+      Retry(policy) { calls2 += 1; throw new RuntimeException("syntax error") }
+    }
+    assert(calls2 == 1) // non-matching message → no retry
+
+    var calls3 = 0
+    intercept[RuntimeException] {
+      Retry(policy) { calls3 += 1; throw new RuntimeException("No worker nodes available") }
+    }
+    assert(calls3 == 3) // exhausted attempts
+  }
+
+  test("statsd emitter sends DogStatsD datagrams with tags") {
+    val server = new DatagramSocket(0)
+    server.setSoTimeout(5000)
+    val emitter = new StatsdEmitter("127.0.0.1", server.getLocalPort, Map("env" -> "test"))
+    emitter.count("graft.stream.rows", 42)
+    emitter.gauge("graft.stream.batch_ms", 12.5)
+    def recv(): String = {
+      val buf = new Array[Byte](512)
+      val p = new DatagramPacket(buf, buf.length)
+      server.receive(p)
+      new String(p.getData, 0, p.getLength)
+    }
+    assert(recv() == "graft.stream.rows:42|c|#env:test")
+    assert(recv() == "graft.stream.batch_ms:12.5|g|#env:test")
+    emitter.close(); server.close()
+  }
+
+  test("memory-bound shaper admits at least one but not unbounded folders") {
+    val root = tmpDir("shaper-src")
+    CdmFixture.initRoot(root)
+    val t0 = OffsetDateTime.parse("2020-01-01T00:00:00Z")
+    (0 until 5).foreach { i =>
+      CdmFixture.uploadBatch(root, t0.plusHours(i), updateChangelog = i == 4)
+    }
+    // touch the session so SparkSession.active works inside the source
+    spark.range(1).count()
+    val opts = new CaseInsensitiveStringMap(Map(
+      "path" -> root, "entity" -> CdmFixture.entityName,
+      "shaper" -> "memoryBound",
+      // budget ≈ free-heap × 1e-12 → below one folder's estimated bytes
+      "memoryHeadroomFraction" -> "0.000000000001").asJava)
+    val stream = new SynapseCdmMicroBatchStream(new StructType(), new StructType(), opts)
+    val end = stream.latestOffset(stream.initialOffset(), ReadLimit.allAvailable())
+    // tiny budget → exactly one folder admitted per trigger (no stall)
+    assert(end.json() == CdmFixture.folderName(t0))
+
+    val opts2 = new CaseInsensitiveStringMap(Map(
+      "path" -> root, "entity" -> CdmFixture.entityName,
+      "shaper" -> "memoryBound", "memoryHeadroomFraction" -> "0.9").asJava)
+    val stream2 = new SynapseCdmMicroBatchStream(new StructType(), new StructType(), opts2)
+    val end2 = stream2.latestOffset(stream2.initialOffset(), ReadLimit.allAvailable())
+    // ample budget → everything closed is admitted
+    assert(end2.json() == CdmFixture.folderName(t0.plusHours(4)))
+  }
+}
