@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over event streams: event-time windowed
+  * aggregation with watermarks (tumbling / sliding / session) and custom
+  * keyed state via `flatMapGroupsWithState`.
+  *
+  * The reference handles late data structurally (Synapse only advances
+  * `changelog.info` once a folder is closed — SURVEY.md §2.C), so it has no
+  * event-time windows; these operators extend the engine to generic event
+  * streams (the `events` testdata table shape) the Spark-native way:
+  * `readStream → withWatermark → groupBy(window(...)) → writeStream`.
+  *
+  * Everything here works identically on batch DataFrames (Spark's unified
+  * semantics) — the batch specs assert values, the streaming specs assert
+  * incremental emission.
+  */
+object StreamOps {
+
+  /** Tumbling or sliding event-time aggregation. Watermark bounds state: at
+    * 100 TB/day the state store holds only windows newer than the delay.
+    */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      slideDuration: Option[String] = None,
+      keys: Seq[Column] = Seq.empty,
+      aggs: Seq[Column]
+  ): DataFrame = {
+    val win = slideDuration match {
+      case Some(slide) => window(col(tsCol), windowDuration, slide)
+      case None        => window(col(tsCol), windowDuration)
+    }
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(win +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Session-window aggregation (built-in `session_window`, gap-based close;
+    * watermark required so closed sessions can be finalized and state
+    * evicted).
+    */
+  def sessionWindowAgg(
+      events: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      gapDuration: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDuration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  // ----------------------------------------------- custom state (FMGWS)
+
+  /** Input shape for the stateful ops (the events table). */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Per-user running state. */
+  final case class UserState(user_id: Long, n: Long, total: Double, lastEventMs: Long)
+
+  /** Emitted when a user goes idle past the timeout: a closed activity
+    * burst with its totals.
+    */
+  final case class ClosedBurst(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state with EVENT-TIME timeout: accumulate per-user
+    * totals; when the watermark passes `lastEvent + idleGapMs` for a key,
+    * emit the closed burst and clear its state — the
+    * `flatMapGroupsWithState` pattern the built-in windows can't express
+    * (emission on inactivity, measured in event time — deterministic under
+    * replay, no wall-clock dependence).
+    *
+    * State is partitioned by user across the cluster; each key's state is a
+    * constant-size record and the watermark evicts idle keys, so state
+    * store size is O(recently-active users) at any corpus scale.
+    */
+  def idleSessionBursts(
+      events: Dataset[Event],
+      idleGapMs: Long,
+      watermarkDelay: String = "0 seconds"
+  ): Dataset[ClosedBurst] = {
+    implicit val stateEnc = Encoders.product[UserState]
+    implicit val outEnc = Encoders.product[ClosedBurst]
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserState, ClosedBurst](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedBurst(s.user_id, s.n, s.total))
+          } else {
+            val prev = state.getOption.getOrElse(UserState(userId, 0L, 0.0, 0L))
+            val next = rows.foldLeft(prev) { (s, e) =>
+              UserState(userId, s.n + 1, s.total + e.value, math.max(s.lastEventMs, e.ts.getTime))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastEventMs + idleGapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.tables.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+/** Specs for the snapshot table format: schema evolution, time travel
+  * pointers, and the maintenance procedures (SURVEY.md §2.A12, A17-A20).
+  */
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(prefix: String): SnapshotTable = {
+    val t = SnapshotTable(spark, tmpDir(prefix))
+    val df = (1 to 100).map(i => (s"k$i", i.toLong, s"v$i")).toDF("arcane_merge_key", "versionnumber", "payload")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 4)
+    t
+  }
+
+  test("ADD COLUMNS is metadata-only and old files read as NULL") {
+    val t = freshTable("snap-evolve")
+    val before = t.currentSnapshot
+    t.addColumns(Seq(StructField("new_col", LongType), StructField("payload", StringType)))
+    val after = t.currentSnapshot
+    assert(after.version == before.version + 1)
+    assert(after.files == before.files)                       // no data rewritten
+    assert(after.schema.fieldNames.count(_ == "payload") == 1) // existing col not duplicated
+    val rows = t.read()
+    assert(rows.schema.fieldNames.contains("new_col"))
+    assert(rows.where(col("new_col").isNotNull).count() == 0) // NULL-filled history
+    assert(rows.count() == 100)
+  }
+
+  test("merge rewrites only affected buckets, carries the rest forward") {
+    val t = freshTable("snap-bucketed")
+    val before = t.currentSnapshot
+    // single-key change set → at most 1 bucket touched
+    val change = Seq(("k1", 1000L, "updated", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    val after = t.currentSnapshot
+    val carried = after.files.toSet.intersect(before.files.toSet)
+    val touchedBuckets = after.files.toSet.diff(before.files.toSet).map(_.bucket)
+    assert(touchedBuckets.size == 1)                           // only k1's bucket rewritten
+    assert(carried.map(_.bucket) == before.files.map(_.bucket).toSet.diff(touchedBuckets))
+    assert(t.read().where(col("arcane_merge_key") === "k1").select("payload").as[String].head() == "updated")
+    assert(t.read().count() == 100)
+  }
+
+  test("compaction folds multi-file buckets into one file per bucket") {
+    val t = freshTable("snap-compact")
+    // merges accumulate extra files in touched buckets
+    (1 to 3).foreach { i =>
+      val change = Seq((s"k$i", 2000L + i, "again", null.asInstanceOf[java.lang.Boolean]))
+        .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+      if (i == 1) t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+      t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    }
+    t.compact(fileSizeThresholdBytes = 512L * 1024 * 1024)
+    val after = t.currentSnapshot
+    assert(after.files.groupBy(_.bucket).forall(_._2.size == 1), "one file per bucket after compaction")
+    assert(t.read().count() == 100)
+  }
+
+  test("snapshot expiration + orphan removal leave the current snapshot readable") {
+    val t = freshTable("snap-gc")
+    val change = Seq(("k2", 5000L, "live", null.asInstanceOf[java.lang.Boolean]))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.snapshotVersions.size >= 3)
+
+    val removedSnaps = t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 3600_000)
+    assert(removedSnaps.nonEmpty)
+    assert(t.snapshotVersions == Seq(t.currentSnapshot.version)) // only current kept
+
+    val removedFiles = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 3600_000)
+    assert(removedFiles.nonEmpty) // the pre-merge bucket file is now orphaned
+    assert(t.read().count() == 100)
+    assert(t.read().where(col("payload") === "live").count() == 1)
+  }
+
+  test("analyze records row count in properties") {
+    val t = freshTable("snap-stats")
+    t.analyze()
+    assert(t.properties("stats.row_count") == "100")
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+/** Streaming operator specs: event-time windows with watermarks over a
+  * MemoryStream, plus unified batch semantics over the events table.
+  */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window agg over a stream emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+
+    val out = StreamOps.windowedAgg(
+      events, "ts", watermarkDelay = "10 minutes", windowDuration = "1 hour",
+      keys = Seq(col("user_id")),
+      aggs = Seq(count(lit(1)).as("n"), sum(col("value")).as("total")))
+
+    val q = out.writeStream.format("memory").queryName("wins").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), 1L, 1.0),
+        (ts("2024-01-01 10:20:00"), 1L, 2.0),
+        (ts("2024-01-01 10:30:00"), 2L, 5.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window → it finalizes
+      input.addData((ts("2024-01-01 12:00:00"), 1L, 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("wins")
+        .select(col("window.start").cast("string"), col("user_id"), col("n"), col("total"))
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", 1L, 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 10:00:00", 2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("session window agg closes on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+
+    val out = StreamOps.sessionWindowAgg(
+      events, "ts", watermarkDelay = "5 minutes", gapDuration = "30 minutes",
+      keys = Seq(col("user_id")),
+      aggs = Seq(count(lit(1)).as("n")))
+
+    val q = out.writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 09:00:00"), 7L, 1.0),
+        (ts("2024-01-01 09:10:00"), 7L, 1.0), // same session (gap < 30m)
+        (ts("2024-01-01 11:00:00"), 7L, 1.0)) // new session
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 13:00:00"), 7L, 1.0)) // advance watermark
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .select(col("session_window.start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toSet
+      assert(sessions.contains(("2024-01-01 09:00:00", 2L)))
+      assert(sessions.contains(("2024-01-01 11:00:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits closed bursts on event-time idle gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val out = StreamOps.idleSessionBursts(input.toDS(), idleGapMs = 60000) // 1 min gap
+
+    val q = out.writeStream.format("memory").queryName("bursts").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        StreamOps.Event(1L, ts("2024-01-01 10:00:00"), 42L, "click", 2.0),
+        StreamOps.Event(2L, ts("2024-01-01 10:00:10"), 42L, "click", 3.0))
+      q.processAllAvailable()
+      // another user's event far in the future advances the watermark past
+      // 42's idle deadline (10:01:10) → 42's burst flushes on this batch
+      input.addData(StreamOps.Event(3L, ts("2024-01-01 10:30:00"), 99L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.Event(4L, ts("2024-01-01 10:31:00"), 99L, "view", 1.0))
+      q.processAllAvailable()
+      val bursts = spark.table("bursts").as[StreamOps.ClosedBurst].collect()
+      assert(bursts.exists(b => b.user_id == 42L && b.n == 2L && b.total == 5.0))
+    } finally q.stop()
+  }
+
+  test("windowed agg has unified batch semantics on the events table") {
+    // events.parquet carries TIMESTAMP(NANOS); read via the long path as in
+    // Queries.events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = StreamOps.windowedAgg(
+      ev, "ts", watermarkDelay = "1 hour", windowDuration = "1 day",
+      keys = Seq(col("event_type")),
+      aggs = Seq(count(lit(1)).as("n")))
+    val total = out.agg(sum("n")).head().getLong(0)
+    assert(total == ev.count()) // every event lands in exactly one window
+  }
+}
