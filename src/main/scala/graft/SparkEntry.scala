@@ -163,6 +163,15 @@ object SparkEntry {
         |  FROM e a, e b WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id) t
         |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
 
+    "q_embedding_near_dup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
+        |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id + 1000000 AS vec_id, v FROM base)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM corpus a, corpus b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,

@@ -48,12 +48,26 @@ object CdcPipeline {
   /** One merge round: schema-migrate, MERGE, commit watermark as a table
     * property (`IcebergTablePropertyManager` parity — SURVEY.md §2.A15).
     */
+  /** Table-layout properties from the spec (write-time sort order + parquet
+    * bloom filters — reference CREATE TABLE surface, SURVEY.md §2.B).
+    */
+  private def layoutProps(spec: StreamSpec): Map[String, String] = {
+    val sort =
+      if (spec.sortedBy.nonEmpty) Map(SnapshotTable.PropSortOrder -> spec.sortedBy.mkString(","))
+      else Map.empty[String, String]
+    val bloom =
+      if (spec.bloomFilterColumns.nonEmpty)
+        Map(SnapshotTable.PropBloomColumns -> spec.bloomFilterColumns.mkString(","))
+      else Map.empty[String, String]
+    sort ++ bloom
+  }
+
   def mergeBatch(table: SnapshotTable, staged: DataFrame, spec: StreamSpec, watermark: String): Unit = {
     if (!table.exists) {
       table.createOrReplace(
         staged.where(!coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false))),
         MergeKey.ColumnName, spec.numBuckets,
-        Map(SnapshotTable.PropWatermark -> watermark))
+        layoutProps(spec) + (SnapshotTable.PropWatermark -> watermark))
     } else {
       migrateSchema(table, staged.schema)
       table.merge(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
@@ -154,7 +168,7 @@ object CdcPipeline {
       case _ =>
         val live = staged.where(!coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false)))
         table.createOrReplace(live, MergeKey.ColumnName, spec.numBuckets,
-          Map(SnapshotTable.PropWatermark -> newest))
+          layoutProps(spec) + (SnapshotTable.PropWatermark -> newest))
     }
   }
 }

@@ -41,7 +41,9 @@ final case class StreamSpec(
     metricTags: Map[String, String] = Map.empty,
     retry: RetryPolicy = RetryPolicy(),                // A27 merge-query retry
     shaper: Option[String] = None,                     // A10: memoryBound | none
-    memoryHeadroomFraction: Double = 0.2
+    memoryHeadroomFraction: Double = 0.2,
+    sortedBy: Seq[String] = Seq.empty,                 // write-time sort order (CRD beta:302-306)
+    bloomFilterColumns: Seq[String] = Seq.empty        // parquetBloomFilterColumns
 ) {
   def fieldSelectionRule: FieldSelectionRule = fieldSelectionRuleName.toLowerCase match {
     case "include" => FieldSelectionRule.Include(fieldSelectionFields)
@@ -116,7 +118,12 @@ object StreamSpec {
         },
       shaper = opt("shaper"),
       memoryHeadroomFraction =
-        if (r.has("memoryHeadroomFraction")) r.get("memoryHeadroomFraction").asDouble(0.2) else 0.2
+        if (r.has("memoryHeadroomFraction")) r.get("memoryHeadroomFraction").asDouble(0.2) else 0.2,
+      sortedBy =
+        if (r.has("sortedBy")) r.get("sortedBy").elements().asScala.map(_.asText()).toSeq else Seq.empty,
+      bloomFilterColumns =
+        if (r.has("bloomFilterColumns")) r.get("bloomFilterColumns").elements().asScala.map(_.asText()).toSeq
+        else Seq.empty
     )
   }
 }

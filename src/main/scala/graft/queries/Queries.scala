@@ -289,6 +289,30 @@ object Queries {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** Embedding-cosine near-duplicate detection (the dedup-by-embedding
+    * variant): pairs above a high cosine threshold. The corpus is the
+    * bounded embedding set plus an identical copy per vector (id+1e6) so
+    * near-dups exist by construction; exact pairwise cosine on the bounded
+    * set keeps the DuckDB oracle applicable (the LSH scale path is
+    * exercised by q_ann_lsh).
+    */
+  def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.sql.VecDot.ensureRegistered(spark)
+    val base = t(spark, dir, "embeddings").where(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(
+      base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      Similarity.norm(col("embedding")).as("na"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      Similarity.norm(col("embedding")).as("nb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .where(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.999)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** LSH-bucketed approximate top-10 (scale path; rows-only oracle). */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -375,6 +399,7 @@ object Queries {
     "q_simhash" -> (qSimHash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ann_brute_force" -> (qAnnBruteForce _),
+    "q_embedding_near_dup" -> (qEmbeddingNearDup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),

@@ -115,11 +115,12 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       extraProps: Map[String, String] = Map.empty
   ): Snapshot = {
     val commitId = UUID.randomUUID().toString
-    val written = writeBucketed(df, mergeKeyCol, numBuckets, commitId, targetBuckets = None)
     val prevProps = if (exists) currentSnapshot.properties else Map.empty[String, String]
+    val mergedProps = prevProps ++ extraProps + (PropMergeKeyCol -> mergeKeyCol)
+    val written = writeBucketed(df, mergeKeyCol, numBuckets, commitId, targetBuckets = None,
+      props = mergedProps)
     val prevVersion = if (exists) currentSnapshot.version else 0L
-    commit(Snapshot(prevVersion + 1, df.schema, numBuckets, written,
-      prevProps ++ extraProps + (PropMergeKeyCol -> mergeKeyCol), now()))
+    commit(Snapshot(prevVersion + 1, df.schema, numBuckets, written, mergedProps, now()))
   }
 
   /** ALTER TABLE ... ADD COLUMNS — metadata-only commit; existing Parquet
@@ -200,7 +201,8 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       .select(unionSchema.fieldNames.map(f => col(s"w.row.$f").as(f)).toIndexedSeq: _*)
 
     val commitId = UUID.randomUUID().toString
-    val written = writeBucketed(winner, mergeKeyCol, n, commitId, targetBuckets = Some(affected))
+    val written = writeBucketed(winner, mergeKeyCol, n, commitId, targetBuckets = Some(affected),
+      props = snap.properties)
     stagedB.unpersist()
     val carried = snap.files.filterNot(f => affected.contains(f.bucket))
     commit(snap.copy(
@@ -225,7 +227,8 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     if (needs.isEmpty) return snap
     val df = read(Some(needs))
     val commitId = UUID.randomUUID().toString
-    val written = writeBucketed(df, keyColForBucketing(snap), snap.numBuckets, commitId, Some(needs), coalesceOne = true)
+    val written = writeBucketed(df, keyColForBucketing(snap), snap.numBuckets, commitId, Some(needs),
+      coalesceOne = true, props = snap.properties)
     val carried = snap.files.filterNot(f => needs.contains(f.bucket))
     commit(snap.copy(version = snap.version + 1, files = carried ++ written, timestampMs = now()))
   }
@@ -301,7 +304,8 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       n: Int,
       commitId: String,
       targetBuckets: Option[Set[Int]],
-      coalesceOne: Boolean = false
+      coalesceOne: Boolean = false,
+      props: Map[String, String] = Map.empty
   ): Seq[DataFile] = {
     val out = new Path(dataDir, commitId)
     val withB = df.withColumn("gbk", bucketExpr(mergeKeyCol, n))
@@ -312,8 +316,21 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     // repartition by _b so each output task writes few bucket dirs (avoids
     // the many-small-files explosion of unpartitioned writes at scale).
     val parts = targetBuckets.map(_.size).getOrElse(n).max(1)
-    val arranged = filtered.repartition(math.min(parts, maxWriteTasks), col("gbk"))
-    arranged.write.partitionBy("gbk").mode("append").parquet(out.toString)
+    val partitioned = filtered.repartition(math.min(parts, maxWriteTasks), col("gbk"))
+    // Write-time data layout (reference CREATE TABLE `sortedBy` +
+    // `parquetBloomFilterColumns`, CRD beta:294-318 / docs/crd.md:203-232):
+    // sort rows within each task for min/max-skippable files, and enable
+    // parquet bloom filters on the configured columns.
+    val arranged = props.get(PropSortOrder) match {
+      case Some(orderCols) if orderCols.nonEmpty =>
+        partitioned.sortWithinPartitions(col("gbk") +: orderCols.split(",").map(c => col(c.trim)): _*)
+      case _ => partitioned
+    }
+    val writer = arranged.write.partitionBy("gbk").mode("append")
+    props.get(PropBloomColumns).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .foreach(c => writer.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    writer.parquet(out.toString)
 
     if (!fs.exists(out)) return Seq.empty
     fs.listStatus(out)
@@ -349,6 +366,8 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
 object SnapshotTable {
   val PropMergeKeyCol = "merge.key.column"
   val PropWatermark = "arcane.watermark" // SURVEY.md §2.A15 external watermark mirror
+  val PropSortOrder = "write.sort.order"          // comma-separated columns (sortedBy)
+  val PropBloomColumns = "write.bloom.columns"    // comma-separated columns
 
   private val SnapshotFileName = "v(\\d+)\\.json".r.anchored
   private[tables] def snapshotFileName(v: Long): String = f"v$v%08d.json"

@@ -62,6 +62,46 @@ class ConformanceSpec extends SparkSpec {
     assert(table.properties(SnapshotTable.PropWatermark) === lastFolder)
   }
 
+  test("schema evolution across restart: new model.json column is ADDed, history NULL") {
+    val root = tmpDir("cdm-evolve-src")
+    val target = tmpDir("cdm-evolve-target")
+    CdmFixture.initRoot(root)
+    CdmFixture.uploadBatch(root, now.minusHours(3), updateChangelog = true, chunkSeed = 1)
+
+    val spec = StreamSpec(root, CdmFixture.entityName, target, numBuckets = 4, changeCaptureIntervalSeconds = 1)
+    CdcPipeline.runBackfill(spark, spec)
+    val table = SnapshotTable(spark, target)
+    assert(!table.schema.fieldNames.contains("newbizcol"))
+
+    // Synapse ships a widened model.json in a later folder (rename/add are
+    // both adds — docs/backfill.md:16). The engine handles it the way the
+    // reference does: the restarted stream reads the widened schema, ADDs
+    // the column to the target, and NULL-fills history.
+    val extra = Seq("newbizcol" -> "int64")
+    val folder = CdmFixture.folderName(now.minusHours(1))
+    val fdir = java.nio.file.Paths.get(root, folder, CdmFixture.entityName)
+    java.nio.file.Files.createDirectories(fdir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, folder, "model.json"),
+      CdmFixture.modelJson(extra).getBytes("UTF-8"))
+    // root model.json must also widen (newest-schema authority on restart)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "model.json"),
+      CdmFixture.modelJson(extra).getBytes("UTF-8"))
+    val row = CdmFixture.insertRow("cafe0000-0000-4000-8000-000000000001", 9, 3111000099L, "F999") + ",77"
+    java.nio.file.Files.write(fdir.resolve("9.csv"), (row + "\n").getBytes("UTF-8"))
+    CdmFixture.stampChangelog(root, folder)
+
+    // "restart": a fresh stream picks up the widened schema
+    val q = CdcPipeline.startStream(spark, spec)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val result = table.read()
+    assert(result.schema("newbizcol").dataType == org.apache.spark.sql.types.LongType)
+    assert(result.where(col("Id") === "cafe0000-0000-4000-8000-000000000001")
+      .select("newbizcol").head().getLong(0) === 77L)
+    assert(result.where(col("newbizcol").isNull).count() === 5, "pre-evolution rows read as NULL")
+  }
+
   test("streaming resume from watermark skips processed folders") {
     val root = tmpDir("cdm-resume-src")
     val target = tmpDir("cdm-resume-target")

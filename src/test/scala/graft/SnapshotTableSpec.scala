@@ -81,6 +81,24 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().where(col("payload") === "live").count() == 1)
   }
 
+  test("write-time sort order yields sorted files; bloom option accepted") {
+    val t = SnapshotTable(spark, tmpDir("snap-layout"))
+    val df = (1 to 100).reverse.map(i => (s"k$i", i.toLong, s"v$i"))
+      .toDF("arcane_merge_key", "versionnumber", "payload")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 2, extraProps = Map(
+      SnapshotTable.PropSortOrder -> "versionnumber",
+      SnapshotTable.PropBloomColumns -> "arcane_merge_key"))
+    assert(t.properties(SnapshotTable.PropSortOrder) == "versionnumber")
+    // every data file must be internally sorted by versionnumber
+    val snap = t.currentSnapshot
+    snap.files.foreach { f =>
+      val vs = spark.read.parquet(s"${t.location}/data/${f.path}")
+        .select("versionnumber").as[Long].collect()
+      assert(vs.sameElements(vs.sorted), s"file ${f.path} not sorted")
+    }
+    assert(t.read().count() == 100)
+  }
+
   test("analyze records row count in properties") {
     val t = freshTable("snap-stats")
     t.analyze()
