@@ -10,16 +10,17 @@ import org.apache.spark.sql.functions._
   * (Broder '97 MinHash, Charikar '02 SimHash, banding LSH from Mining of
   * Massive Datasets ch.3).
   *
-  * Scale design: sketches (MinHash, SimHash) are computed as
-  * explode → hash → groupBy(doc) aggregations rather than per-row
-  * higher-order-function trees: the HOF formulation duplicates the
-  * shingle pipeline into every one of the 128 permutations (codegen blowup,
-  * measured 100× slower), while the aggregate formulation hashes each
-  * shingle once and reduces map-side — the shuffle carries one 1 KB
-  * signature per document regardless of corpus size. Candidate generation
-  * is band-bucket based (LSH), never an O(n²) cross join, so the same plan
-  * runs at 100 TB: pair-comparison cost is bounded by bucket collisions,
-  * not corpus size².
+  * Scale design: sketches (MinHash, SimHash) are single-pass custom
+  * expressions ([[graft.sql.MinHashSig]], [[graft.sql.SimHash64]]) — pure
+  * map operations with no shuffle, one tight loop per document. (Two
+  * rejected formulations, both measured: per-row higher-order-function
+  * trees duplicate the shingle pipeline into every permutation — codegen
+  * blowup, ~100× slower; explode → groupBy aggregation materializes
+  * |docs|×|shingles| rows and updates numHashes agg buffers per row — ~3×
+  * slower.) Candidate generation is band-bucket based (LSH), never an
+  * O(n²) cross join, so the same plan runs at 100 TB: pair-comparison cost
+  * is bounded by bucket collisions, not corpus size²; verification uses
+  * the one-pass [[graft.sql.JaccardSim]] expression per candidate pair.
   */
 object Dedup {
 
@@ -43,17 +44,13 @@ object Dedup {
   def tokenSet(text: Column): Column =
     array_distinct(filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0))
 
-  /** Distinct word n-gram shingles (space-joined) — MinHash input. Texts
-    * shorter than `n` tokens contribute their whole token string.
+  /** Distinct word n-gram shingles (space-joined) — MinHash input; the
+    * single-pass [[graft.sql.WordShingles]] expression. Texts shorter than
+    * `n` tokens contribute their whole token string. Callers must have the
+    * engine functions registered (every DataFrame-level op here does).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    array_distinct(when(size(toks) < n,
-      when(size(toks) > 0, array(concat_ws(" ", toks))).otherwise(array())).otherwise(grams))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("word_shingles", text, lit(n))
 
   // -------------------------------------------------------------- MinHash
 
@@ -68,10 +65,12 @@ object Dedup {
     Seq.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Per-document MinHash signatures: (id, signature array<bigint>).
-    * Plan: explode shingles → xxhash64 once per shingle → groupBy(id) with
-    * `numHashes` min-aggregates (map-side combined). sig_j = min over
-    * shingles of (a_j*h+b_j mod p); empty docs get the `p` sentinel.
+  /** Per-document MinHash signatures: (id, signature array<bigint>) via the
+    * single-pass [[graft.sql.MinHashSig]] expression — a pure map operation
+    * with NO shuffle (the explode→groupBy formulation materialized
+    * |docs|×|shingles| rows and updated `numHashes` agg buffers per row;
+    * measured ~3× slower). sig_j = min over shingles of (a_j*h+b_j mod p);
+    * empty docs get the `p` sentinel.
     */
   def minHashSignatures(
       docs: DataFrame,
@@ -81,17 +80,10 @@ object Dedup {
       numHashes: Int = 128,
       seed: Long = 42L
   ): DataFrame = {
-    val p = lit(MinHashPrime)
-    val exploded = docs
-      .select(col(idCol).as("id"), explode_outer(wordShingles(col(textCol), shingleSize)).as("sh"))
-      .withColumn("_h", pmod(xxhash64(col("sh")), p))
-    val mins = hashCoefficients(numHashes, seed).zipWithIndex.map { case ((a, b), j) =>
-      coalesce(min(pmod(col("_h") * a + b, p)), p).as(s"_m$j")
-    }
-    exploded
-      .groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(j => col(s"_m$j")): _*).as("signature"))
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      call_function("minhash_sig",
+        wordShingles(col(textCol), shingleSize), lit(numHashes), lit(seed)).as("signature"))
   }
 
   /** LSH band keys from a MinHash signature: `numBands` hashes, each over a
@@ -140,6 +132,7 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucketSize: Int = 10000
   ): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
     val shingled = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles"))
     // Skew guard via a count window over the bucket key: the window's
     // hash-partitioning on bk is exactly what the self-join below needs, so
@@ -156,9 +149,7 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    val jaccard =
-      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    val jaccard = call_function("jaccard_sim", col("sh_a"), col("sh_b"))
     candidates
       .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
@@ -168,24 +159,14 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** Per-document 64-bit SimHash: (id, simhash). Plan: explode the token
-    * set → xxhash64 once per token → groupBy(id) with 64 signed-bit-count
-    * aggregates → pack bits. Near-dups have small Hamming distance.
+  /** Per-document 64-bit SimHash: (id, simhash) via the single-pass
+    * [[graft.sql.SimHash64]] expression — map-only, no shuffle. Near-dups
+    * have small Hamming distance.
     */
   def simHashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("id"), explode_outer(tokenSet(col(textCol))).as("tok"))
-      .withColumn("_h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("_h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"_b$i")
-    }
-    val packed = (0 until 64).map { i =>
-      when(coalesce(col(s"_b$i"), lit(0L)) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    exploded
-      .groupBy(col("id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), packed.as("simhash"))
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      call_function("simhash64", tokenSet(col(textCol))).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit SimHashes. */

@@ -1,15 +1,43 @@
 package graft.sql
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Engine SQL extensions — registered with
   * `spark.sql.extensions=graft.sql.GraftExtensions` (or
-  * `SparkSession.builder.withExtensions`). Currently injects the custom
-  * codegen'd vector functions used by the similarity-search operators.
+  * `SparkSession.builder.withExtensions`). Injects the custom codegen'd /
+  * single-pass expressions used by the similarity and dedup operators.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit = {
-    extensions.injectFunction((FunctionIdentifier("vec_dot"), VecDot.info, VecDot.builder))
-  }
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      extensions.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", VecDot.info, VecDot.builder),
+    ("minhash_sig", MinHashSig.info, MinHashSig.builder),
+    ("simhash64", SimHash64.info, SimHash64.builder),
+    ("jaccard_sim", JaccardSim.info, JaccardSim.builder),
+    ("word_shingles", WordShingles.info, WordShingles.builder)
+  )
+
+  /** Idempotently register every engine function on an existing session
+    * (for sessions not built with the extensions config).
+    * `SparkSession.sessionState` is `private[sql]`, so this goes through
+    * the public-at-bytecode accessor reflectively.
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.catalog.functionExists(functions.head._1)) {
+      val ss = spark.getClass.getMethod("sessionState").invoke(spark)
+      val fr = ss.getClass.getMethod("functionRegistry").invoke(ss)
+        .asInstanceOf[FunctionRegistry]
+      functions.foreach { case (name, info, builder) =>
+        fr.registerFunction(FunctionIdentifier(name), info, builder)
+      }
+    }
 }

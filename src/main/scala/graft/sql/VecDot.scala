@@ -104,16 +104,6 @@ object VecDot {
     VecDot(args.head, args(1))
   }
 
-  /** Idempotently register `vec_dot` on an existing session (for sessions
-    * not built with `spark.sql.extensions=graft.sql.GraftExtensions`).
-    * `SparkSession.sessionState` is `private[sql]`, so this goes through
-    * the public-at-bytecode accessor reflectively.
-    */
-  def ensureRegistered(spark: SparkSession): Unit =
-    if (!spark.catalog.functionExists("vec_dot")) {
-      val ss = spark.getClass.getMethod("sessionState").invoke(spark)
-      val fr = ss.getClass.getMethod("functionRegistry").invoke(ss)
-        .asInstanceOf[FunctionRegistry]
-      fr.registerFunction(FunctionIdentifier("vec_dot"), info, builder)
-    }
+  /** Back-compat alias: register all engine functions. */
+  def ensureRegistered(spark: SparkSession): Unit = GraftExtensions.ensureRegistered(spark)
 }
