@@ -125,6 +125,49 @@ object Queries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Semi-join surface (TPC-H Q4 shape): orders having at least one
+    * high-quantity lineitem, counted per priority. LEFT SEMI join — the
+    * probe side streams, no row duplication, Catalyst picks
+    * broadcast/shuffled-hash by stats.
+    */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val bigItems = t(spark, dir, "lineitem").where(col("l_quantity") > 45)
+    orders
+      .join(bigItems, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Anti-join surface: customers that placed no orders. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** ROLLUP surface: revenue by (returnflag, linestatus) with subtotals and
+    * grand total — multi-level aggregation in one pass.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(xsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** COUNT(DISTINCT) surface: distinct parts and suppliers per return flag
+    * (expand + two-phase distinct aggregation).
+    */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** Window function surface: per-customer order ranking, keep top 3.
     * Partitioned on o_custkey (high cardinality) — parallel at any scale.
     */
@@ -386,6 +429,10 @@ object Queries {
     "q3_join_revenue" -> (q3ShippingPriority _),
     "q5_multijoin_revenue" -> (q5LocalSupplierVolume _),
     "q6_filter_agg" -> (q6ForecastRevenue _),
+    "q4_semi_join" -> (q4SemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_rollup" -> (qRollup _),
+    "q_distinct_agg" -> (qDistinctAgg _),
     "q_window_top_per_customer" -> (qWindowTopPerCustomer _),
     "q_set_ops" -> (qSetOps _),
     "q_events_hourly" -> (qEventsHourly _),

@@ -90,8 +90,19 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
   // ------------------------------------------------------------------ reads
 
   /** DataFrame over the current snapshot (optionally only some buckets). */
-  def read(buckets: Option[Set[Int]] = None): DataFrame = {
-    val snap = currentSnapshot
+  def read(buckets: Option[Set[Int]] = None): DataFrame =
+    readSnapshotDf(currentSnapshot, buckets)
+
+  /** Time travel: read the table as of an earlier (unexpired) snapshot
+    * version — Iceberg `VERSION AS OF` parity.
+    */
+  def readAt(version: Long): DataFrame = {
+    val p = new Path(snapshotsDir, snapshotFileName(version))
+    require(fs.exists(p), s"snapshot v$version expired or never existed (have: ${snapshotVersions.mkString(",")})")
+    readSnapshotDf(readSnapshot(p), None)
+  }
+
+  private def readSnapshotDf(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
     val files = buckets match {
       case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
       case None     => snap.files

@@ -99,6 +99,20 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() == 100)
   }
 
+  test("time travel reads an earlier snapshot until it expires") {
+    val t = freshTable("snap-travel")
+    val v1 = t.currentSnapshot.version
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    val change = Seq(("k1", 9999L, "future", null.asInstanceOf[java.lang.Boolean]))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.read().where(col("payload") === "future").count() == 1)
+    assert(t.readAt(v1).where(col("payload") === "future").count() == 0) // pre-merge state
+    assert(t.readAt(v1).count() == 100)
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 3600_000)
+    intercept[IllegalArgumentException] { t.readAt(v1) }
+  }
+
   test("analyze records row count in properties") {
     val t = freshTable("snap-stats")
     t.analyze()
