@@ -153,6 +153,30 @@ object SparkEntry {
         |WHERE NOT coalesce(s.is_delete, false)
         |ORDER BY user_id""".stripMargin,
 
+    // Oracle for the END-TO-END CDC pipeline run (CSV export → DSv2 source →
+    // cast → dedup → backfill → streaming MERGE): the same fold expressed
+    // relationally. Backfill drops tombstones (latest-per-key first-half rows
+    // whose type is 'error'); the streamed second half then deletes /
+    // updates / inserts by latest version.
+    "q_cdc_pipeline_e2e" ->
+      """WITH cut AS (SELECT 500 * greatest(1, COUNT(*) // 1000) AS c FROM events),
+        |t1 AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id < (SELECT c FROM cut)),
+        |tgt AS (SELECT user_id, event_id, event_type FROM t1 WHERE rn = 1 AND event_type <> 'error'),
+        |s1 AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id >= (SELECT c FROM cut)),
+        |stg AS (SELECT user_id, event_id, event_type, event_type = 'error' AS is_delete FROM s1 WHERE rn = 1)
+        |SELECT coalesce(s.user_id, t.user_id) AS user_id,
+        |  CASE WHEN s.user_id IS NOT NULL THEN s.event_id ELSE t.event_id END AS event_id,
+        |  CASE WHEN s.user_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type
+        |FROM tgt t FULL OUTER JOIN stg s ON t.user_id = s.user_id
+        |WHERE NOT coalesce(s.is_delete, false)
+        |ORDER BY user_id""".stripMargin,
+
     "q_merge_key_projection" ->
       """SELECT event_id, user_id, lower(CAST(user_id AS VARCHAR)) AS arcane_merge_key, event_type
         |FROM events ORDER BY event_id""".stripMargin,

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+/** Deterministically materializes the `events` table as a Synapse Link
+  * incremental-CSV export (batch folders + model.json + changelog) so the
+  * gate can drive the REAL CDC pipeline end-to-end and compare its merged
+  * output against a DuckDB oracle.
+  *
+  * CDC mapping of the events stream: key = `user_id` (→ CDM `Id`),
+  * version = `event_id` (→ `versionnumber`), tombstone =
+  * `event_type == "error"` (→ `IsDelete`). Folder 1 holds events below the
+  * half cut, folder 2 the rest — the same split as `q_cdc_merge`, so the
+  * expected post-merge state is SQL-expressible.
+  */
+object CdcFixtureGen {
+  val EntityName = "events_cdm"
+  val Folder1 = "2024-01-01T00.00.00Z"
+  val Folder2 = "2024-01-02T00.00.00Z"
+
+  private val modelJson =
+    s"""{"name":"cdm","version":"1.0","entities":[
+       |  {"$$type":"LocalEntity","name":"$EntityName","attributes":[
+       |    {"name":"Id","dataType":"guid"},
+       |    {"name":"SinkCreatedOn","dataType":"dateTime"},
+       |    {"name":"eventtype","dataType":"string"},
+       |    {"name":"versionnumber","dataType":"int64"},
+       |    {"name":"IsDelete","dataType":"boolean"}]}]}""".stripMargin
+
+  /** The sf-proportional half cut, identical to `Queries.qCdcMerge`. */
+  def cut(totalEvents: Long): Long = 500L * math.max(1L, totalEvents / 1000L)
+
+  /** Write (or reuse) the export at a location derived from the source dir;
+    * returns the export root. Rows are sorted by event_id so repeated
+    * generations are byte-identical.
+    */
+  def materialize(spark: SparkSession, sfDir: String): String = {
+    val digest = java.lang.Integer.toHexString(sfDir.hashCode)
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-cdc-export-$digest")
+    val done = root.resolve("_complete")
+    if (Files.exists(done)) return root.toString
+
+    val events = spark.conf.synchronized {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+    }
+    val total = events.count()
+    val c = cut(total)
+    val rows = events
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+      .collect()
+
+    def csvLine(eventId: Long, userId: Long, eventType: String): String = {
+      val isDel = if (eventType == "error") "True" else ""
+      s"""$userId,"1/1/2024 0:00:00 PM","$eventType",$eventId,$isDel"""
+    }
+    def writeFolder(name: String, lines: Seq[String]): Unit = {
+      val d = root.resolve(name).resolve(EntityName)
+      Files.createDirectories(d)
+      Files.write(root.resolve(name).resolve("model.json"), modelJson.getBytes(StandardCharsets.UTF_8))
+      // several chunk files per folder — exercises file-parallel partitions
+      lines.grouped(math.max(1, lines.size / 8 + 1)).zipWithIndex.foreach { case (chunk, i) =>
+        Files.write(d.resolve(s"$i.csv"), (chunk.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
+    val (first, second) = rows.partition(_.getLong(0) < c)
+    writeFolder(Folder1, first.map(r => csvLine(r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
+    writeFolder(Folder2, second.map(r => csvLine(r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
+    Files.write(root.resolve("model.json"), modelJson.getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(root.resolve("Changelog"))
+    Files.write(done, Array.emptyByteArray)
+    root.toString
+  }
+
+  def stampChangelog(root: String, folder: String): Unit = {
+    val p = Paths.get(root, "Changelog")
+    Files.createDirectories(p)
+    Files.write(p.resolve("changelog.info"), folder.getBytes(StandardCharsets.UTF_8))
+  }
+}

@@ -255,6 +255,51 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** The WHOLE CDC pipeline end-to-end as a gate query: the events table is
+    * materialized as a Synapse Link CSV export (2 batch folders), the real
+    * engine runs backfill on folder 1 (DSv2 source → CSV parse → CsvCast →
+    * field selection → merge key → latest-version dedup → bucketed
+    * overwrite) and then STREAMS folder 2 through the changelog-driven
+    * MicroBatchStream into a MERGE — and the merged table is compared
+    * against a DuckDB oracle computing the same CDC semantics relationally.
+    * This is the strongest correctness check in the suite: it validates
+    * source listing, positional CSV parsing, casts, dedup, tombstones and
+    * merge in one shot, and Bench times it as ingest throughput.
+    */
+  def qCdcPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{CdcPipeline, StreamSpec}
+    import graft.tables.SnapshotTable
+    val root = CdcFixtureGen.materialize(spark, dir)
+    val digest = java.lang.Integer.toHexString(dir.hashCode)
+    val target = s"${System.getProperty("java.io.tmpdir")}/graft-cdc-target-$digest"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-cdc-ckpt-$digest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(target))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+
+    val spec = StreamSpec(
+      sourcePath = root,
+      entityName = CdcFixtureGen.EntityName,
+      targetLocation = target,
+      backfillBehavior = "Overwrite",
+      numBuckets = 16,
+      changeCaptureIntervalSeconds = 1,
+      checkpointLocation = Some(ckpt))
+
+    CdcFixtureGen.stampChangelog(root, CdcFixtureGen.Folder1)
+    CdcPipeline.runBackfill(spark, spec)
+    CdcFixtureGen.stampChangelog(root, CdcFixtureGen.Folder2)
+    val q = CdcPipeline.startStream(spark, spec)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    SnapshotTable(spark, target).read()
+      .select(
+        col("Id").cast("long").as("user_id"),
+        col("versionnumber").as("event_id"),
+        col("eventtype").as("event_type"))
+      .orderBy(col("user_id"))
+  }
+
   /** A7 merge-key derivation + A5 field selection as a projection query. */
   def qMergeKeyProjection(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -439,6 +484,7 @@ object Queries {
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_cdc_latest" -> (qCdcLatest _),
     "q_cdc_merge" -> (qCdcMerge _),
+    "q_cdc_pipeline_e2e" -> (qCdcPipelineE2e _),
     "q_merge_key_projection" -> (qMergeKeyProjection _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_lsh" -> (qMinHashLsh _),
