@@ -108,6 +108,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Polynomial rolling-hash fingerprint over the token stream:
+    * h = Σ h*31 + hash(token) (mod p). Order-sensitive (unlike the
+    * set-based sketches) — two docs with the same words in different order
+    * fingerprint differently. Columnar, deterministic, codegen-friendly.
+    */
+  def rollingHash(text: Column): Column = {
+    val p = lit(1000000007L)
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    aggregate(
+      transform(toks, t => pmod(xxhash64(t), p)),
+      lit(0L),
+      (acc, h) => pmod(acc * 31L + h, p))
+  }
+
   /** Convenience: annotate a corpus with the full analysis column set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

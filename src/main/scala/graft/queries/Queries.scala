@@ -437,6 +437,27 @@ object Queries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Order-sensitive rolling-hash fingerprints (rows-only oracle —
+    * xxhash-based).
+    */
+  def qTextRollingHash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+      .orderBy(col("doc_id"))
+
+  /** Pivot-style conditional aggregation: per-user event counts by type in
+    * one pass (sum of CASE WHEN — the portable PIVOT form).
+    */
+  def qPivotEventCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+      .orderBy(col("user_id"))
+
   /** Language-ID heuristic (rows-only oracle; accuracy asserted in unit
     * tests against the corpus `lang` labels).
     */
@@ -497,6 +518,8 @@ object Queries {
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_rolling_hash" -> (qTextRollingHash _),
+    "q_pivot_event_counts" -> (qPivotEventCounts _),
     "q_text_langid" -> (qTextLangId _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_image_features" -> (qImageFeatures _)

@@ -95,6 +95,24 @@ class CoreOpsSpec extends SparkSpec {
     assert(r(1).isNullAt(1) && r(1).isNullAt(2) && r(1).getBoolean(3))
   }
 
+  // ------------------------------------------------------------ csv parser
+
+  test("csv parser: quotes, escaped quotes, embedded commas/newlines, trailing nulls") {
+    import graft.sources.CsvRecordParser
+    val content =
+      "a,\"b,with,commas\",\"say \"\"hi\"\"\",,True\r\n" +
+        "\"multi\nline\",x,,y,\n" +
+        "plain,1,2,3,4\n"
+    val recs = CsvRecordParser.parse(content, 5).toArray
+    assert(recs.length == 3)
+    assert(recs(0).toSeq == Seq("a", "b,with,commas", "say \"hi\"", null, "True"))
+    assert(recs(1).toSeq == Seq("multi\nline", "x", null, "y", null))
+    assert(recs(2).toSeq == Seq("plain", "1", "2", "3", "4"))
+    // quoted empty string is an empty string, unquoted empty is null
+    val r = CsvRecordParser.parse("\"\",b\n", 2).toArray
+    assert(r(0)(0) == "" && r(0)(1) == "b")
+  }
+
   // ------------------------------------------------------- field selection
 
   test("field selection rules keep essential fields") {
