@@ -102,6 +102,52 @@ class ConformanceSpec extends SparkSpec {
     assert(result.where(col("newbizcol").isNull).count() === 5, "pre-evolution rows read as NULL")
   }
 
+  test("backfill Merge mode folds into an existing target without replace") {
+    val root = tmpDir("cdm-bfmerge-src")
+    val target = tmpDir("cdm-bfmerge-target")
+    CdmFixture.initRoot(root)
+    CdmFixture.uploadBatch(root, now.minusHours(4), updateChangelog = true, chunkSeed = 1)
+
+    val spec = StreamSpec(root, CdmFixture.entityName, target, numBuckets = 4, changeCaptureIntervalSeconds = 1)
+    CdcPipeline.runBackfill(spark, spec) // initial Overwrite → 5 rows
+    val table = SnapshotTable(spark, target)
+    assert(table.read().count() === 5)
+
+    // later folder with delete+upsert; re-backfill in Merge mode
+    val f2 = CdmFixture.uploadBatch(root, now.minusHours(2), addDelete = true, addUpsert = true,
+      updateChangelog = true, chunkSeed = 2)
+    val mergeSpec = spec.copy(backfillBehavior = "Merge")
+    CdcPipeline.runBackfill(spark, mergeSpec)
+
+    val result = table.read()
+    assert(result.count() === 6)
+    assert(result.where(col("Id") === CdmFixture.id1).count() === 0)
+    assert(result.where(col("Id") === CdmFixture.id2).select("versionnumber").head().getLong(0) === 2111000012L)
+    assert(table.properties(SnapshotTable.PropWatermark) === f2)
+  }
+
+  test("maxFoldersPerTrigger splits the backlog into multiple micro-batches") {
+    val root = tmpDir("cdm-shape-src")
+    val target = tmpDir("cdm-shape-target")
+    CdmFixture.initRoot(root)
+    // 3 closed folders of backlog
+    (1 to 3).foreach(i => CdmFixture.uploadBatch(root, now.minusHours(4 - i),
+      updateChangelog = i == 3, chunkSeed = i))
+
+    val spec = StreamSpec(root, CdmFixture.entityName, target,
+      numBuckets = 4, changeCaptureIntervalSeconds = 1, maxFoldersPerTrigger = Some(1))
+    val q = CdcPipeline.startStream(spark, spec)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val table = SnapshotTable(spark, target)
+    assert(table.read().count() === 5)
+    // one snapshot commit per admitted folder → ≥3 snapshot versions
+    assert(table.currentSnapshot.version >= 3,
+      s"expected one commit per folder, got version ${table.currentSnapshot.version}")
+    assert(table.properties(SnapshotTable.PropWatermark) === CdmFixture.folderName(now.minusHours(1)))
+  }
+
   test("streaming resume from watermark skips processed folders") {
     val root = tmpDir("cdm-resume-src")
     val target = tmpDir("cdm-resume-target")
