@@ -27,15 +27,17 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on the normalized-text fingerprint: one winner per
-    * fingerprint (smallest `idCol`). Single hash-aggregate shuffle on the
-    * 128-bit digest — the canonical 100 TB exact-dedup plan.
+    * fingerprint (smallest `idCol`). `min_by(struct(*), id)` hash
+    * aggregation — map-side partial combine means the shuffle carries one
+    * candidate row per fingerprint per partition (a window formulation
+    * would sort whole partitions). The canonical 100 TB exact-dedup plan.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol))).orderBy(col(idCol))
+    val cols = docs.columns
     docs
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn")
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as("_w"))
+      .select(cols.map(c => col(s"_w.$c").as(c)).toIndexedSeq: _*)
   }
 
   // -------------------------------------------------------------- shingles
