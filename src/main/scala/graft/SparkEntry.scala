@@ -87,6 +87,32 @@ object SparkEntry {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  substring(p_name, 1, 8) AS prefix,
+        |  upper(p_brand) AS brand_upper,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  p_name LIKE '%al%' AS has_al
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  date_trunc('month', o_orderdate) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,

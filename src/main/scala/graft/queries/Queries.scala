@@ -156,6 +156,42 @@ object Queries {
       .agg(xsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE surface: all grouping-set combinations in one pass. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Scalar string-function surface: substring / upper / replace / LIKE /
+    * concat / length over the part names.
+    */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 8).as("prefix"),
+        upper(col("p_brand")).as("brand_upper"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("long").as("name_len"),
+        col("p_name").like("%al%").as("has_al"))
+      .orderBy(col("p_partkey"))
+
+  /** Scalar date-function surface: year / month / day / quarter /
+    * date_trunc over order dates.
+    */
+  def qDateFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .orderBy(col("o_orderkey"))
+
   /** COUNT(DISTINCT) surface: distinct parts and suppliers per return flag
     * (expand + two-phase distinct aggregation).
     */
@@ -498,6 +534,9 @@ object Queries {
     "q4_semi_join" -> (q4SemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_window_top_per_customer" -> (qWindowTopPerCustomer _),
     "q_set_ops" -> (qSetOps _),
