@@ -192,6 +192,19 @@ object Queries {
         date_trunc("month", col("o_orderdate")).as("month_start"))
       .orderBy(col("o_orderkey"))
 
+  /** Exact percentile surface (sort-based, R-7 linear interpolation — the
+    * same definition DuckDB's quantile_cont uses, so the oracle matches
+    * bit-for-bit on identical input doubles).
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
   /** COUNT(DISTINCT) surface: distinct parts and suppliers per return flag
     * (expand + two-phase distinct aggregation).
     */
@@ -538,6 +551,7 @@ object Queries {
     "q_string_funcs" -> (qStringFuncs _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_distinct_agg" -> (qDistinctAgg _),
+    "q_percentiles" -> (qPercentiles _),
     "q_window_top_per_customer" -> (qWindowTopPerCustomer _),
     "q_set_ops" -> (qSetOps _),
     "q_events_hourly" -> (qEventsHourly _),
