@@ -72,6 +72,19 @@ object Multimodal {
       */
     def sampleFrameOffsets(bytes: Array[Byte], everyNBytes: Int): Array[Long] =
       (0L until bytes.length.toLong by everyNBytes.toLong).toArray
+
+    /** "Resize" an image payload to a target pixel budget: deterministic
+      * byte-decimation proportional to the area ratio (a real
+      * implementation re-encodes at the target WxH; the payload-shrinks,
+      * stays-binary, schema-stable contract is what matters here).
+      */
+    def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val (w, h, _, _) = decodeImage(bytes)
+      val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h).toDouble)
+      val outLen = math.max(1, math.ceil(bytes.length * ratio).toInt)
+      val step = bytes.length.toDouble / outLen
+      Array.tabulate(outLen)(i => bytes(math.min(bytes.length - 1, (i * step).toInt)))
+    }
   }
 
   /** Decode+featurize an image binary column batch-wise. Input: any frame
@@ -92,6 +105,24 @@ object Multimodal {
         Row(id, w, h, c, feats.toSeq)
       }
     }.toDF("id", "width", "height", "channels", "features")
+  }
+
+  /** Resize an image binary column to a target pixel budget — batch-wise,
+    * partition-local, payload stays opaque binary with refreshed metadata.
+    */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String, targetW: Int, targetH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("content", BinaryType),
+      StructField("byte_length", LongType)))
+    val in = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = StubCodec.resizeImage(r.getAs[Array[Byte]](1), targetW, targetH)
+        Row(r.getLong(0), resized, resized.length.toLong)
+      }
+    }.toDF("id", "content", "byte_length")
   }
 
   /** Frame-sample a video binary column: one output row per sampled frame

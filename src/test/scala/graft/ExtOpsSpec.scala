@@ -112,5 +112,18 @@ class ExtOpsSpec extends SparkSpec {
     assert(f1.length === 50)
     val frames = Multimodal.sampleFrames(media, "doc_id", "content", everyNBytes = 64)
     assert(frames.count() > 50) // multiple frames per doc
+
+    val resized = Multimodal.resizeImages(media, "doc_id", "content", targetW = 8, targetH = 8)
+    val joined = media.select(col("doc_id").cast("long").as("id"),
+        length(col("content")).cast("long").as("orig_len"))
+      .join(resized, "id")
+    // resize shrinks (or keeps) every payload and output stays binary
+    assert(joined.where(col("byte_length") > col("orig_len")).count() === 0)
+    assert(joined.where(col("byte_length") < col("orig_len")).count() > 0)
+    val r1 = resized.orderBy("id").collect()
+    val r2 = Multimodal.resizeImages(media, "doc_id", "content", 8, 8).orderBy("id").collect()
+    assert(r1.zip(r2).forall { case (a, b) =>
+      java.util.Arrays.equals(a.getAs[Array[Byte]]("content"), b.getAs[Array[Byte]]("content"))
+    }) // deterministic
   }
 }
