@@ -43,6 +43,9 @@ object CdcFixtureGen {
     val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-cdc-export-$digest")
     val done = root.resolve("_complete")
     if (Files.exists(done)) return root.toString
+    // no completion marker → a previous generation may have died mid-write;
+    // start from a clean slate so stale chunks can't duplicate rows
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
 
     val events = spark.conf.synchronized {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
