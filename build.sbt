@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of routing it via
+// sbt's logger: the logger prefixes every line with "[info] ", which broke
+// the driver's JSON-line parse of Bench output in round 1 (BENCH_r01.json
+// "parsed": null). With StdoutOutput the one-line bench JSON arrives bare.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
