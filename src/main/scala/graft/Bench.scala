@@ -53,5 +53,14 @@ object Bench {
     graft.ext.Similarity.bruteForceTopK(emb.limit(4), emb, k = 2).count()
     graft.ext.Dedup.minHashSignatures(
       spark.read.parquet(s"$sfDir/documents.parquet").limit(16), numHashes = 16).count()
+    // dynamic-partition parquet write machinery (FileFormatWriter, parquet
+    // output committer, writer codegen) — the CDC pipeline query writes
+    // bucketed tables and should not absorb this one-time init.
+    val wdir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-warm-write"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wdir))
+    nation.withColumn("gbk", pmod(xxhash64(col("n_name")), lit(4)).cast("int"))
+      .repartition(4, col("gbk"))
+      .write.partitionBy("gbk").mode("overwrite").parquet(wdir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wdir))
   }
 }

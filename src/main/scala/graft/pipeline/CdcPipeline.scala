@@ -62,7 +62,8 @@ object CdcPipeline {
     sort ++ bloom
   }
 
-  def mergeBatch(table: SnapshotTable, staged: DataFrame, spec: StreamSpec, watermark: String): Unit = {
+  def mergeBatch(table: SnapshotTable, staged: DataFrame, spec: StreamSpec, watermark: String,
+      knownAffected: Option[Set[Int]] = None): Unit = {
     if (!table.exists) {
       table.createOrReplace(
         staged.where(!coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false))),
@@ -71,7 +72,7 @@ object CdcPipeline {
     } else {
       migrateSchema(table, staged.schema)
       table.merge(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
-        Map(SnapshotTable.PropWatermark -> watermark))
+        Map(SnapshotTable.PropWatermark -> watermark), knownAffected)
     }
   }
 
@@ -124,12 +125,29 @@ object CdcPipeline {
         // the chunk files are read and parsed a single time per batch.
         raw.persist()
         try {
-          if (!raw.isEmpty) {
-            // Folder watermark = newest folder in this micro-batch (the batch
-            // range end); mirrors the reference's per-batch watermark commit.
-            val wm = raw.select(max(col("_folder"))).head().getString(0)
+          // One action answers "is the batch empty?", "what is the folder
+          // watermark?" (= newest folder in this micro-batch — the
+          // reference's per-batch watermark commit) AND "which target
+          // buckets does this change set touch?" — so the merge itself is a
+          // single further action (the bucket write).
+          //
+          // The bucket set is computed from the RAW string key columns:
+          // dedup preserves the key set, and the merge key is cast-stable
+          // for CDM guid/string/int64 keys (lower(concat) of the raw string
+          // equals lower(concat) of the typed value's string form).
+          val bucketAgg: Option[(Int, org.apache.spark.sql.Column)] =
+            if (table.exists) {
+              val n = table.currentSnapshot.numBuckets
+              val rawKey = MergeKey.expression(spec.keyColumns.map(raw.col))
+              Some(n -> collect_set(pmod(xxhash64(rawKey), lit(n)).cast("int")))
+            } else None
+          val aggs = Seq(count(lit(1)), max(col("_folder"))) ++ bucketAgg.map(_._2)
+          val head = raw.agg(aggs.head, aggs.tail: _*).head()
+          if (head.getLong(0) > 0) {
+            val wm = head.getString(1)
+            val affected = bucketAgg.map(_ => head.getSeq[Int](2).toSet)
             val staged = stage(raw, typedSchema, spec)
-            Retry(spec.retry) { mergeBatch(table, staged, spec, wm) }
+            Retry(spec.retry) { mergeBatch(table, staged, spec, wm, affected) }
             maintenanceTick(table, spec, batchCounter.incrementAndGet())
           }
         } finally raw.unpersist()

@@ -51,30 +51,35 @@ object CdcFixtureGen {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/events.parquet")
     }
-    val total = events.count()
-    val c = cut(total)
+    // One Spark action: collect unsorted, order driver-side (cheap at any
+    // tested SF), derive the cut from the collected length — avoids the
+    // separate count() and the distributed sort.
     val rows = events
       .select(col("event_id"), col("user_id"), col("event_type"))
-      .orderBy(col("event_id"))
       .collect()
+      .sortBy(_.getLong(0))
+    val c = cut(rows.length.toLong)
 
     def csvLine(eventId: Long, userId: Long, eventType: String): String = {
       val isDel = if (eventType == "error") "True" else ""
       s"""$userId,"1/1/2024 0:00:00 PM","$eventType",$eventId,$isDel"""
     }
-    def writeFolder(name: String, lines: Seq[String]): Unit = {
+    def writeFolder(name: String, lines: Array[String]): Unit = {
       val d = root.resolve(name).resolve(EntityName)
       Files.createDirectories(d)
       Files.write(root.resolve(name).resolve("model.json"), modelJson.getBytes(StandardCharsets.UTF_8))
-      // several chunk files per folder — exercises file-parallel partitions
-      lines.grouped(math.max(1, lines.size / 8 + 1)).zipWithIndex.foreach { case (chunk, i) =>
+      // several chunk files per folder — exercises file-parallel partitions;
+      // chunks are independent → write them concurrently
+      val chunkSize = math.max(1, lines.length / 8 + 1)
+      val chunks = lines.grouped(chunkSize).zipWithIndex.toArray
+      java.util.Arrays.stream(chunks).parallel().forEach { case (chunk, i) =>
         Files.write(d.resolve(s"$i.csv"), (chunk.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
       }
     }
 
     val (first, second) = rows.partition(_.getLong(0) < c)
-    writeFolder(Folder1, first.map(r => csvLine(r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
-    writeFolder(Folder2, second.map(r => csvLine(r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
+    writeFolder(Folder1, first.map(r => csvLine(r.getLong(0), r.getLong(1), r.getString(2))))
+    writeFolder(Folder2, second.map(r => csvLine(r.getLong(0), r.getLong(1), r.getString(2))))
     Files.write(root.resolve("model.json"), modelJson.getBytes(StandardCharsets.UTF_8))
     Files.createDirectories(root.resolve("Changelog"))
     Files.write(done, Array.emptyByteArray)

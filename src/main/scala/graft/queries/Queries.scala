@@ -331,7 +331,10 @@ object Queries {
       targetLocation = target,
       backfillBehavior = "Overwrite",
       numBuckets = 16,
-      changeCaptureIntervalSeconds = 1,
+      // 0 → Trigger.ProcessingTime(0): micro-batches run back-to-back with
+      // no idle trigger waits — right for a bounded gate run (prod default
+      // stays 300 s, CRD beta:213-215).
+      changeCaptureIntervalSeconds = 0,
       checkpointLocation = Some(ckpt))
 
     CdcFixtureGen.stampChangelog(root, CdcFixtureGen.Folder1)

@@ -169,17 +169,20 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       mergeKeyCol: String,
       versionCol: String,
       isDeleteCol: String,
-      extraProps: Map[String, String] = Map.empty
+      extraProps: Map[String, String] = Map.empty,
+      knownAffected: Option[Set[Int]] = None
   ): Snapshot = {
     val snap = currentSnapshot
     val n = snap.numBuckets
 
-    // Buckets touched by this change set. Collecting distinct bucket ids is
-    // bounded by numBuckets (ints), never by data size.
-    val stagedB = staged.withColumn("gbk", bucketExpr(mergeKeyCol, n)).cache()
-    val affected: Set[Int] =
-      try stagedB.select("gbk").distinct().collect().map(_.getInt(0)).toSet
-      finally ()
+    // Buckets touched by this change set — either precomputed by the caller
+    // (e.g. folded into an earlier pass over the batch) or collected here.
+    // Collecting distinct bucket ids is bounded by numBuckets (ints), never
+    // by data size. Cache staged only when we must act on it twice.
+    val stagedB = staged.withColumn("gbk", bucketExpr(mergeKeyCol, n))
+    val cached = if (knownAffected.isEmpty) { stagedB.cache(); true } else false
+    val affected: Set[Int] = knownAffected.getOrElse(
+      stagedB.select("gbk").distinct().collect().map(_.getInt(0)).toSet)
 
     val targetAffected = read(Some(affected))
 
@@ -214,7 +217,7 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     val commitId = UUID.randomUUID().toString
     val written = writeBucketed(winner, mergeKeyCol, n, commitId, targetBuckets = Some(affected),
       props = snap.properties)
-    stagedB.unpersist()
+    if (cached) stagedB.unpersist()
     val carried = snap.files.filterNot(f => affected.contains(f.bucket))
     commit(snap.copy(
       version = snap.version + 1,
