@@ -56,11 +56,11 @@ object Bench {
     // dynamic-partition parquet write machinery (FileFormatWriter, parquet
     // output committer, writer codegen) — the CDC pipeline query writes
     // bucketed tables and should not absorb this one-time init.
-    val wdir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-warm-write"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wdir))
-    nation.withColumn("gbk", pmod(xxhash64(col("n_name")), lit(4)).cast("int"))
-      .repartition(4, col("gbk"))
-      .write.partitionBy("gbk").mode("overwrite").parquet(wdir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wdir))
+    val wdir = java.nio.file.Files.createTempDirectory("graft-bench-warm-write").toFile
+    try
+      nation.withColumn("gbk", pmod(xxhash64(col("n_name")), lit(4)).cast("int"))
+        .repartition(4, col("gbk"))
+        .write.partitionBy("gbk").mode("overwrite").parquet(wdir.getAbsolutePath)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(wdir)
   }
 }

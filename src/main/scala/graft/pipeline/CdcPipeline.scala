@@ -76,6 +76,22 @@ object CdcPipeline {
     }
   }
 
+  /** The affected-bucket fast path hashes the RAW string key columns, while
+    * the write path re-buckets on the TYPED merge key — valid only when the
+    * raw CSV text and the typed value's string form are provably identical.
+    * That holds for StringType keys (guid/string CDM types: the cast is the
+    * identity). It does NOT hold in general for int64 ("0042" → "42"),
+    * decimal ("1.5" → "1.500000"), or dateTime keys, where a divergent
+    * bucket set would silently filter staged rows out of the write.
+    * Non-string keys therefore take the safe path (buckets collected from
+    * the typed, staged frame).
+    */
+  private[graft] def rawKeyBucketsStable(typedSchema: StructType, keyColumns: Seq[String]): Boolean =
+    keyColumns.forall { k =>
+      typedSchema.fields.find(_.name.equalsIgnoreCase(k))
+        .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    }
+
   /** Scheduled target maintenance — every `batchThreshold` batches run
     * compaction + snapshot expiration + orphan removal, every
     * `analyzeBatchThreshold` run ANALYZE (SURVEY.md §2.A17-A20).
@@ -131,12 +147,13 @@ object CdcPipeline {
           // buckets does this change set touch?" — so the merge itself is a
           // single further action (the bucket write).
           //
-          // The bucket set is computed from the RAW string key columns:
-          // dedup preserves the key set, and the merge key is cast-stable
-          // for CDM guid/string/int64 keys (lower(concat) of the raw string
-          // equals lower(concat) of the typed value's string form).
+          // The bucket set is computed from the RAW string key columns —
+          // dedup preserves the key set — but ONLY when every key column is
+          // StringType in the typed schema (see rawKeyBucketsStable); other
+          // key types fall back to collecting buckets from the typed frame
+          // inside merge.
           val bucketAgg: Option[(Int, org.apache.spark.sql.Column)] =
-            if (table.exists) {
+            if (table.exists && rawKeyBucketsStable(typedSchema, spec.keyColumns)) {
               val n = table.currentSnapshot.numBuckets
               val rawKey = MergeKey.expression(spec.keyColumns.map(raw.col))
               Some(n -> collect_set(pmod(xxhash64(rawKey), lit(n)).cast("int")))

@@ -133,6 +133,25 @@ class CoreOpsSpec extends SparkSpec {
     assert(MergeKey(df, Seq("Id", "region")).select(MergeKey.ColumnName).as[String].head() == "abc-123|west")
   }
 
+  test("raw-key bucket fast path only engages for string-typed keys") {
+    import graft.pipeline.CdcPipeline.rawKeyBucketsStable
+    val s = StructType(Seq(
+      StructField("Id", StringType),
+      StructField("code", StringType),
+      StructField("seq", LongType),
+      StructField("amount", DecimalType(38, 6)),
+      StructField("modified", TimestampNTZType)))
+    assert(rawKeyBucketsStable(s, Seq("Id")))
+    assert(rawKeyBucketsStable(s, Seq("Id", "code")))
+    assert(rawKeyBucketsStable(s, Seq("id"))) // case-insensitive lookup
+    // int64 "0042" → "42", decimal "1.5" → "1.500000", dateTime reformats:
+    // raw-string hashing would diverge from the typed write-time bucket.
+    assert(!rawKeyBucketsStable(s, Seq("seq")))
+    assert(!rawKeyBucketsStable(s, Seq("Id", "amount")))
+    assert(!rawKeyBucketsStable(s, Seq("modified")))
+    assert(!rawKeyBucketsStable(s, Seq("missing"))) // absent column → safe path
+  }
+
   // ---------------------------------------------------------------- dedup
 
   test("latest-version dedup: tombstone with lower version must not shadow") {
