@@ -18,6 +18,78 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** Render a double array as a DuckDB list literal. Double.toString is the
+    * shortest round-trip decimal form, so DuckDB parses back the exact same
+    * IEEE value — the oracle's plane/centroid constants are bit-identical
+    * to the Spark plan literals.
+    */
+  private def sqlArr(xs: Array[Double]): String = xs.mkString("[", ", ", "]")
+
+  /** DuckDB oracle for q_ann_lsh, generated from the SAME hyperplane
+    * constants the Spark query uses (Similarity.hyperplanes(4, 64)): sign
+    * buckets, Hamming-1 multi-probe, cosine top-10 — the oracle replays the
+    * exact approximate semantics, so the gate proves the distributed
+    * bucketed join implements the declared LSH algorithm bit-exactly.
+    */
+  private def annLshOracle: String = {
+    val planes = graft.ext.Similarity.hyperplanes(numPlanes = 4, dim = 64)
+    val bits = planes.zipWithIndex
+      .map { case (p, i) =>
+        s"CASE WHEN list_dot_product(v, ${sqlArr(p)}) >= 0 THEN ${1L << i} ELSE 0 END" }
+      .mkString("\n      + ")
+    val probes = (0 until planes.length).map(i => s"xor(bucket, ${1L << i})").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |    CAST($bits AS BIGINT) AS bucket
+       |  FROM e),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+       |    unnest([bucket, $probes]) AS probe
+       |  FROM b WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(qv, c.v) / (qn * c.nrm) AS score
+       |  FROM probes JOIN b c ON c.bucket = probes.probe AND probes.query_id <> c.vec_id)
+       |SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  /** DuckDB oracle for q_text_langid, generated from the SAME marker table
+    * the Spark expression uses (TextAnalysis.LangMarkers): per-language
+    * marker-occurrence counts, argmax with (score, lang) lexicographic
+    * tie-break, 'und' when nothing scores.
+    */
+  private def langIdOracle: String = {
+    val langs = graft.ext.TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (lang, markers) =>
+      val terms = markers
+        .map { m =>
+          val esc = m.replace("'", "''")
+          s"(len(pad) - len(replace(pad, '$esc', ''))) // ${m.length}" }
+        .mkString(" + ")
+      s"$terms AS s_$lang"
+    }.mkString(",\n    ")
+    val branches = langs.map { case (lang, _) =>
+      s"SELECT doc_id, '$lang' AS lang, s_$lang AS score FROM s" }.mkString("\n  UNION ALL ")
+    s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    $scoreCols
+       |  FROM p),
+       |x AS (
+       |  $branches),
+       |r AS (
+       |  SELECT doc_id, lang, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+       |  FROM x)
+       |SELECT doc_id, CASE WHEN score <= 0 THEN 'und' ELSE lang END AS lang_id
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Queries.q5LocalSupplierVolume(spark, "/root/testdata/sf0.001")
@@ -224,6 +296,38 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // Real correctness gate for the MinHash-LSH near-dup path: the exact
+    // 3-gram-shingle Jaccard ≥ 0.5 pair set over the planted corpus
+    // (documents ∪ last-word-dropped copies, id+1e6), computed directly in
+    // DuckDB. The LSH banding output must recover EXACTLY this set (recall
+    // 1.0 on the planted data) with bit-matching jaccard values — int/int
+    // division of identical intersection/union counts on both sides.
+    "q_near_dup_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '\s+\S+\s*$', '') AS text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_distinct(list_concat(a.s, b.s))) > 0
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -254,6 +358,59 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_lsh" -> annLshOracle,
+
+    // SimHash exact-collision pairs: over distinct-token sets a SimHash
+    // collision ⟺ identical token set on this corpus (verified), so the
+    // oracle enumerates equal-set pairs directly.
+    "q_simhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |ts AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0))) AS s
+        |  FROM corpus)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM ts a, ts b WHERE a.doc_id < b.doc_id AND a.s = b.s
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_langid" -> langIdOracle,
+
+    // IVF ANN: centroids are the first 8 corpus vectors by id, so the
+    // oracle reads them straight from the embeddings table and replays the
+    // coarse quantization (argmax assignment with (score, list) tie-break),
+    // the nprobe=1 list join and the cosine top-10 exactly.
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS list, v AS cv FROM e WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, list FROM (
+        |    SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, c.list,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)) DESC, c.list DESC) AS rn
+        |    FROM e, cents c) t
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
+        |  FROM assign q JOIN assign c ON q.list = c.list AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 50)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // Frame sampling is pure arithmetic over the payload length (stub codec
+    // samples every 64th byte offset), so the mapPartitions flatMap gets a
+    // full oracle: generate_series over octet_length.
+    "q_frame_sample" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, blen, 64)) AS off FROM d)
+        |SELECT doc_id, CAST(off // 64 AS BIGINT) AS frame_index, CAST(off AS BIGINT) AS frame_offset
+        |FROM f ORDER BY doc_id, frame_index""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,

@@ -72,9 +72,10 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: `numPlanes` x `dim` doubles
     * from a fixed-seed PRNG (gaussian), materialized as a plan literal —
-    * broadcast for free, no join.
+    * broadcast for free, no join. Public so the correctness oracle can
+    * render the same plane constants into its SQL (SparkEntry).
     */
-  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }

@@ -73,7 +73,7 @@ object TextAnalysis {
     * per-language marker substrings with weights. Tiny, broadcast as a
     * literal into the plan (no join, no shuffle).
     */
-  private val LangMarkers: Map[String, Seq[String]] = Map(
+  val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq(" the ", " and ", " of ", " is ", " to ", "ing ", " a "),
     "de" -> Seq(" der ", " und ", " die ", " das ", " ist ", "sch", " ein "),
     "fr" -> Seq(" le ", " la ", " les ", " et ", " est ", " une ", " des "),

@@ -381,7 +381,10 @@ object Queries {
     * 3-gram shingles). The corpus is the documents table plus a perturbed
     * copy of each doc (last word dropped, id+1_000_000) so near-duplicates
     * exist by construction; the LSH banding must recover the planted pairs.
-    * Rows-only oracle (xxhash-based banding).
+    * Full DuckDB oracle: the exact 3-gram Jaccard ≥ 0.5 pair set is
+    * SQL-expressible, so the gate asserts the banding achieves recall 1.0
+    * on this corpus (min pair Jaccard 0.8 → per-pair miss probability
+    * (1−0.8⁴)¹⁶ ≈ 2·10⁻⁴, and the seeded hashes make it deterministic).
     */
   def qNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
@@ -394,11 +397,31 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash per-doc 64-bit sketches (rows-only oracle). */
+  /** SimHash per-doc 64-bit sketches (rows-only oracle; the sketch values
+    * are pinned by a differential unit test against an independent
+    * re-derivation from the XXH64 primitive — see SketchPinningSpec).
+    */
   def qSimHash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashes(t(spark, dir, "documents"))
       .select(col("id").as("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
+
+  /** SimHash block-permutation pairs on a planted corpus (each doc plus an
+    * identical copy at id+1e6) in exact-collision mode (maxHamming = 0):
+    * a SimHash over the distinct-token set collides exactly iff the token
+    * sets are identical (verified on this corpus), so the full DuckDB
+    * oracle is the set-equality pair set — the pigeonhole block join must
+    * recover every planted copy AND every cross doc pair with an identical
+    * token set. The hamming-tolerant mode (maxHamming = 3) produces
+    * engine-specific distances and is pinned by SketchPinningSpec instead.
+    */
+  def qSimHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.simHashPairs(docs.unionByName(copies), maxHamming = 0)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Exact 1-gram Jaccard similarity pairs over a bounded id range —
     * SQL-expressible (DuckDB list functions) so it gets a full oracle.
@@ -453,11 +476,33 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** LSH-bucketed approximate top-10 (scale path; rows-only oracle). */
+  /** LSH-bucketed approximate top-10 (scale path). Full DuckDB oracle: the
+    * hyperplanes are deterministic constants, so SparkEntry renders them as
+    * SQL literals and the oracle replays the EXACT approximate semantics —
+    * sign-bucket assignment, Hamming-1 multi-probe, cosine top-k — proving
+    * the distributed banding implements the declared algorithm bit-exactly
+    * (a recall floor vs brute force is asserted separately in AnnRecallSpec).
+    */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     Similarity.lshTopK(emb.where(col("vec_id") < 50), emb, k = 10, dim = dim, numPlanes = 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** IVF (inverted-file) ANN top-10: centroids are the first 8 corpus
+    * vectors by id — deterministic AND readable from the embeddings table,
+    * so the DuckDB oracle replays the same coarse quantization (assignment
+    * argmax, nprobe=1 list join, cosine top-k) exactly. Recall floor vs
+    * brute force asserted in AnnRecallSpec.
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val centroids = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, k = 10, centroids)
       .select(col("query_id"), col("neighbor_id"))
       .orderBy(col("query_id"), col("neighbor_id"))
   }
@@ -490,7 +535,8 @@ object Queries {
       .orderBy(col("doc_id"))
 
   /** Order-sensitive rolling-hash fingerprints (rows-only oracle —
-    * xxhash-based).
+    * xxhash-based; the fold is pinned by a differential unit test against
+    * an independent re-derivation, see SketchPinningSpec).
     */
   def qTextRollingHash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -510,8 +556,9 @@ object Queries {
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
       .orderBy(col("user_id"))
 
-  /** Language-ID heuristic (rows-only oracle; accuracy asserted in unit
-    * tests against the corpus `lang` labels).
+  /** Language-ID heuristic. Full DuckDB oracle: the marker-count argmax is
+    * SQL-expressible (SparkEntry renders the marker table into the SQL), so
+    * the per-doc label is gated bit-exactly, not just counted.
     */
   def qTextLangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -540,6 +587,29 @@ object Queries {
       .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"))
       .orderBy(col("doc_id"))
 
+  /** Stub-codec image resize through the real mapPartitions plumbing
+    * (rows-only oracle — the stub codec is engine-specific; determinism and
+    * payload-shrink contract asserted in ExtOpsSpec).
+    */
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImages(
+      t(spark, dir, "documents").withColumn("content", col("text").cast("binary")),
+      "doc_id", "content", targetW = 64, targetH = 64)
+      .select(col("id").as("doc_id"), col("byte_length"), md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Video frame sampling (stub: every 64th byte offset) — the offsets are
+    * pure arithmetic over the payload length, so this mapPartitions flatMap
+    * gets a full DuckDB oracle (generate_series over octet_length).
+    */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      t(spark, dir, "documents").withColumn("content", col("text").cast("binary")),
+      "doc_id", "content", everyNBytes = 64)
+      .select(col("id").as("doc_id"), col("frame_index").cast("long").as("frame_index"),
+        col("frame_offset"))
+      .orderBy(col("doc_id"), col("frame_index"))
+
   /** All queries, keyed — the SparkEntry surface. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_agg" -> (q1PricingSummary _),
@@ -567,10 +637,12 @@ object Queries {
     "q_minhash_lsh" -> (qMinHashLsh _),
     "q_near_dup_pairs" -> (qNearDupPairs _),
     "q_simhash" -> (qSimHash _),
+    "q_simhash_pairs" -> (qSimHashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ann_brute_force" -> (qAnnBruteForce _),
     "q_embedding_near_dup" -> (qEmbeddingNearDup _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
@@ -578,6 +650,8 @@ object Queries {
     "q_pivot_event_counts" -> (qPivotEventCounts _),
     "q_text_langid" -> (qTextLangId _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
-    "q_image_features" -> (qImageFeatures _)
+    "q_image_features" -> (qImageFeatures _),
+    "q_multimodal_resize" -> (qMultimodalResize _),
+    "q_frame_sample" -> (qFrameSample _)
   )
 }
