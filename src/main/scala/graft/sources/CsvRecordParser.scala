@@ -19,41 +19,58 @@ import scala.collection.mutable.ArrayBuffer
   */
 object CsvRecordParser {
 
-  /** Parse a full chunk into records; `null` entries are empty fields. */
-  def parse(content: String, expectedCols: Int): Iterator[Array[String]] = new Iterator[Array[String]] {
-    private var i = 0
-    private val n = content.length
+  /** Convenience overload for in-memory content (tests, tiny blobs). */
+  def parse(content: String, expectedCols: Int): Iterator[Array[String]] =
+    parse(new java.io.StringReader(content), expectedCols)
+
+  /** Parse a char stream into records; `null` entries are empty fields.
+    * Streaming: the chunk is never materialized as one String, so an
+    * arbitrarily large chunk file parses in constant memory (bounded by the
+    * longest single record). One-char pushback handles the `""` escape
+    * lookahead across buffer boundaries.
+    */
+  def parse(reader: java.io.Reader, expectedCols: Int): Iterator[Array[String]] = new Iterator[Array[String]] {
+    private val in = reader match {
+      case b: java.io.BufferedReader => b
+      case r => new java.io.BufferedReader(r, 1 << 16)
+    }
+    private var pushback: Int = -2 // -2 = empty; -1..0xFFFF = pending char/EOF
+    private def readChar(): Int =
+      if (pushback != -2) { val c = pushback; pushback = -2; c } else in.read()
+    private def unread(c: Int): Unit = pushback = c
+
     private var nextRec: Array[String] = advance()
 
     private def advance(): Array[String] = {
-      while (i < n && (content.charAt(i) == '\n' || content.charAt(i) == '\r')) i += 1
-      if (i >= n) return null
+      var lead = readChar()
+      while (lead == '\n' || lead == '\r') lead = readChar()
+      if (lead == -1) return null
+      unread(lead)
       val fields = new ArrayBuffer[String](expectedCols.max(8))
       val sb = new StringBuilder
       var quoted = false
       var wasQuoted = false
       var done = false
       while (!done) {
-        if (i >= n) {
+        val c = readChar()
+        if (c == -1) {
           fields += finishField(sb, wasQuoted)
           done = true
-        } else {
-          val c = content.charAt(i)
-          if (quoted) {
-            if (c == '"') {
-              if (i + 1 < n && content.charAt(i + 1) == '"') { sb.append('"'); i += 2 }
-              else { quoted = false; i += 1 }
-            } else { sb.append(c); i += 1 }
-          } else c match {
-            case '"' => quoted = true; wasQuoted = true; i += 1
-            case ',' =>
-              fields += finishField(sb, wasQuoted)
-              sb.clear(); wasQuoted = false; i += 1
-            case '\r' | '\n' =>
-              fields += finishField(sb, wasQuoted)
-              done = true
-            case other => sb.append(other); i += 1
-          }
+        } else if (quoted) {
+          if (c == '"') {
+            val nxt = readChar()
+            if (nxt == '"') sb.append('"')
+            else { quoted = false; unread(nxt) }
+          } else sb.append(c.toChar)
+        } else c.toChar match {
+          case '"' => quoted = true; wasQuoted = true
+          case ',' =>
+            fields += finishField(sb, wasQuoted)
+            sb.clear(); wasQuoted = false
+          case '\r' | '\n' =>
+            fields += finishField(sb, wasQuoted)
+            done = true
+          case other => sb.append(other)
         }
       }
       fields.toArray

@@ -99,19 +99,39 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
   }
 
   /** Batch folders with `start < name <= end` in ascending (chronological)
-    * order. Listing is a single directory scan of the root; at very large
-    * folder counts a real deployment bounds this with `startingWatermark`
-    * (processed folders are typically archived by Synapse retention).
+    * order. When both bounds are real folder names spanning at most
+    * [[SynapseCdmLayout.MaxBoundedListingDays]] days, the listing is bounded
+    * to per-day `yyyy-MM-ddT*` glob prefixes — on object stores these become
+    * prefix listings, so a steady-state poll (watermark near head) costs
+    * O(folders-per-day), not O(all folders ever exported). Falls back to the
+    * full root scan for unbounded reads (backfill, first poll).
     */
-  def foldersInRange(conf: Configuration, startExclusive: String, endInclusive: String): Seq[String] =
-    fs(conf)
-      .listStatus(new Path(root))
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
+  def foldersInRange(conf: Configuration, startExclusive: String, endInclusive: String): Seq[String] = {
+    val f = fs(conf)
+    val bounded = SynapseCdmLayout.FolderName.matcher(startExclusive).matches() &&
+      SynapseCdmLayout.FolderName.matcher(endInclusive).matches()
+    val names: Seq[String] =
+      if (bounded) {
+        val startDay = java.time.LocalDate.parse(startExclusive.take(10))
+        val endDay = java.time.LocalDate.parse(endInclusive.take(10))
+        val span = java.time.temporal.ChronoUnit.DAYS.between(startDay, endDay)
+        if (span >= 0 && span <= SynapseCdmLayout.MaxBoundedListingDays) {
+          Iterator.iterate(startDay)(_.plusDays(1)).takeWhile(!_.isAfter(endDay))
+            .flatMap { d =>
+              Option(f.globStatus(new Path(root, s"${d}T*"))).iterator.flatten
+                .filter(_.isDirectory).map(_.getPath.getName)
+            }
+            .toSeq
+        } else listAll(f)
+      } else listAll(f)
+    names
       .filter(SynapseCdmLayout.FolderName.matcher(_).matches())
       .filter(n => n > startExclusive && n <= endInclusive)
       .sorted
-      .toSeq
+  }
+
+  private def listAll(f: FileSystem): Seq[String] =
+    f.listStatus(new Path(root)).filter(_.isDirectory).map(_.getPath.getName).toSeq
 
   /** CSV chunks of one folder for our entity — folder-qualified paths
     * (chunk names recur across folders; SURVEY.md §7 hard-part 5).
@@ -150,7 +170,13 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
 }
 
 object SynapseCdmLayout {
-  private val FolderName = Pattern.compile("\\d{4}-\\d{2}-\\d{2}T\\d{2}\\.\\d{2}\\.\\d{2}Z")
+  private[sources] val FolderName = Pattern.compile("\\d{4}-\\d{2}-\\d{2}T\\d{2}\\.\\d{2}\\.\\d{2}Z")
+
+  /** Widest start→end day span served by per-day prefix globs; beyond this
+    * (a months-deep backlog) one full root listing is cheaper than
+    * per-day round trips.
+    */
+  val MaxBoundedListingDays = 62L
 
   def apply(options: CaseInsensitiveStringMap, conf: Configuration): SynapseCdmLayout = {
     val root = Option(options.get("path")).getOrElse(
@@ -199,7 +225,8 @@ class SynapseCdmScan(fullSchema: StructType, required: StructType, options: Case
       val folders = layout.foldersInRange(conf, start, end)
       SynapseCdmScanHelper.partitions(layout, conf, folders, fullSchema, required)
     }
-    override def createReaderFactory(): PartitionReaderFactory = new CsvChunkReaderFactory()
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CsvChunkReaderFactory(new SerializableHadoopConf(conf))
   }
 
   /** Largest string strictly below `s` with the same length — makes the
@@ -290,7 +317,8 @@ class SynapseCdmMicroBatchStream(fullSchema: StructType, required: StructType, o
     SynapseCdmScanHelper.partitions(layout, conf, folders, fullSchema, required)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new CsvChunkReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CsvChunkReaderFactory(new SerializableHadoopConf(conf))
 }
 
 object SynapseCdmScanHelper {
@@ -321,18 +349,36 @@ object SynapseCdmScanHelper {
 final case class CsvChunkPartition(path: String, folder: String, numCsvCols: Int, projection: Array[Int])
     extends InputPartition
 
-class CsvChunkReaderFactory extends PartitionReaderFactory {
+/** Serializable carrier shipping the DRIVER's Hadoop configuration to
+  * executor-side chunk readers, so filesystem credentials configured on the
+  * session (fs.azure.*, fs.s3a.* — the reference's native ABFS habitat,
+  * `/root/reference/dev.env.example:13-19`) apply wherever the partition is
+  * read. Uses Hadoop's own Writable serialization (Spark's equivalent
+  * helper is private[spark]).
+  */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+class CsvChunkReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CsvChunkPartition]
     new PartitionReader[InternalRow] {
       private val path = new Path(p.path)
-      private val fs = path.getFileSystem(new Configuration())
-      private val content = {
-        val in = fs.open(path)
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        finally in.close()
-      }
-      private val it = CsvRecordParser.parse(content, p.numCsvCols)
+      private val fs = path.getFileSystem(conf.value)
+      // Stream the chunk through the Reader-based parser: constant memory
+      // regardless of chunk size (no whole-blob String materialization).
+      private val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(path), StandardCharsets.UTF_8), 1 << 16)
+      private val it = CsvRecordParser.parse(reader, p.numCsvCols)
       private val folderUtf8 = UTF8String.fromString(p.folder)
       private var current: InternalRow = _
 
@@ -354,7 +400,7 @@ class CsvChunkReaderFactory extends PartitionReaderFactory {
           true
         }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = reader.close()
     }
   }
 }

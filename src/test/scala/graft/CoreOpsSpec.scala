@@ -113,6 +113,34 @@ class CoreOpsSpec extends SparkSpec {
     assert(r(0)(0) == "" && r(0)(1) == "b")
   }
 
+  test("csv parser streams: records crossing the read-buffer boundary parse intact") {
+    import graft.sources.CsvRecordParser
+    // A quoted field longer than the 64 KiB buffer, with an escaped quote
+    // planted far past the boundary so the `""` lookahead must span refills.
+    val big = "x" * 70000 + "\"\"" + "y" * 1000
+    val content = s"first,\"$big\",last\nshort,a,b\n"
+    val recs = CsvRecordParser.parse(new java.io.StringReader(content), 3).toArray
+    assert(recs.length == 2)
+    assert(recs(0)(0) == "first" && recs(0)(2) == "last")
+    assert(recs(0)(1) == "x" * 70000 + "\"" + "y" * 1000)
+    assert(recs(1).toSeq == Seq("short", "a", "b"))
+  }
+
+  test("reader factory ships the driver Hadoop conf to executors (serialization round-trip)") {
+    import graft.sources.SerializableHadoopConf
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("fs.graft.test.credential", "secret-value")
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(new SerializableHadoopConf(conf)); oos.close()
+      bos.toByteArray
+    }
+    val back = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+      .readObject().asInstanceOf[SerializableHadoopConf]
+    assert(back.value.get("fs.graft.test.credential") == "secret-value")
+  }
+
   // ------------------------------------------------------- field selection
 
   test("field selection rules keep essential fields") {
