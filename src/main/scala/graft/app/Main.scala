@@ -44,14 +44,22 @@ object Main {
       } catch {
         case e: Throwable =>
           System.err.println(s"[synapse-cdm-stream] failed: ${e.getMessage}")
-          if (isRetryable(e)) 2 else 1
+          if (isRetryable(e, spec.retryableFailureMessages)) 2 else 1
       } finally spark.stop()
     if (exit != 0) sys.exit(exit)
   }
 
-  /** Transient infrastructure failures → exit 2 (retry); logic errors → 1. */
-  private def isRetryable(e: Throwable): Boolean = e match {
-    case _: java.io.IOException => true
-    case _ => Option(e.getCause).exists(isRetryable)
+  /** Transient infrastructure failures → exit 2 (K8s restarts the Job, the
+    * reference's StreamFailException convention); logic errors → 1.
+    * Retryable = any IOException in the cause chain, plus any failure whose
+    * message matches the spec's `retryableFailureMessages` substrings (the
+    * message-content matcher shared with the in-place query retry).
+    */
+  private[graft] def isRetryable(e: Throwable, retryableMessages: Seq[String]): Boolean = {
+    def ioChain(t: Throwable): Boolean = t match {
+      case _: java.io.IOException => true
+      case _ => Option(t.getCause).exists(ioChain)
+    }
+    ioChain(e) || graft.pipeline.RetryPolicy.messageMatches(e, retryableMessages)
   }
 }

@@ -104,7 +104,28 @@ object CdcPipeline {
       table.expireSnapshots(cutoff)
       table.removeOrphanFiles(cutoff)
     }
-    if (batchNumber > 0 && batchNumber % m.analyzeBatchThreshold == 0) table.analyze()
+    if (batchNumber > 0 && batchNumber % m.analyzeBatchThreshold == 0) table.analyze(m.analyzedColumns)
+  }
+
+  /** Poll interval with jitter (reference CRD beta:216-221): the stream's
+    * interval is drawn ONCE at start from `base × (1 ± U(0, variance))`.
+    * Spark's ProcessingTimeTrigger is fixed-rate, so per-trigger jitter is
+    * not expressible — but the jitter's purpose (de-synchronizing a fleet of
+    * hundreds of streams polling one storage account) only needs each
+    * stream's phase/rate to differ, which a per-stream draw provides. Seed 0
+    * (the reference default) derives a per-stream seed from the identity so
+    * distinct streams land on distinct intervals out of the box.
+    */
+  private[graft] def jitteredIntervalMs(spec: StreamSpec): Long = {
+    val base = spec.changeCaptureIntervalSeconds * 1000L
+    if (spec.changeCaptureJitterVariance <= 0) base
+    else {
+      val seed =
+        if (spec.changeCaptureJitterSeed != 0) spec.changeCaptureJitterSeed
+        else (spec.entityName + "#" + spec.targetLocation).hashCode.toLong
+      val u = new scala.util.Random(seed).nextDouble() * 2.0 - 1.0
+      math.max(1000L, (base * (1.0 + spec.changeCaptureJitterVariance * u)).toLong)
+    }
   }
 
   /** Streaming change-capture run (§3.1). The returned query is started;
@@ -126,6 +147,7 @@ object CdcPipeline {
       .option("entity", spec.entityName)
       .option("startingWatermark", startWm)
     spec.maxFoldersPerTrigger.foreach(n => reader.option("maxFoldersPerTrigger", n.toString))
+    spec.maxChunksPerTrigger.foreach(n => reader.option("maxChunksPerTrigger", n.toString))
     spec.shaper.foreach { s =>
       reader.option("shaper", s)
       reader.option("memoryHeadroomFraction", spec.memoryHeadroomFraction.toString)
@@ -134,7 +156,7 @@ object CdcPipeline {
     val batchCounter = new AtomicLong(0)
     val writer = reader.load()
       .writeStream
-      .trigger(Trigger.ProcessingTime(spec.changeCaptureIntervalSeconds * 1000L))
+      .trigger(Trigger.ProcessingTime(jitteredIntervalMs(spec)))
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
         // The batch body takes several passes over the micro-batch (empty
         // check, watermark max, merge join) — cache the parsed CSV once so

@@ -18,11 +18,21 @@ final case class RetryPolicy(
     retryOnMessageContains: Seq[String] = Seq.empty // empty = retry any exception
 ) {
   def shouldRetry(e: Throwable): Boolean =
-    retryOnMessageContains.isEmpty ||
+    retryOnMessageContains.isEmpty || RetryPolicy.messageMatches(e, retryOnMessageContains)
+}
+
+object RetryPolicy {
+  /** True iff any message in the cause chain contains one of `needles`.
+    * Shared by the in-place query retry above and by the process exit-code
+    * classification (Main: matching stream failures → exit 2, the
+    * reference's StreamFailException convention).
+    */
+  def messageMatches(e: Throwable, needles: Seq[String]): Boolean =
+    needles.nonEmpty &&
       Iterator
         .iterate(e)(_.getCause)
         .takeWhile(_ != null)
-        .exists(t => Option(t.getMessage).exists(m => retryOnMessageContains.exists(m.contains)))
+        .exists(t => Option(t.getMessage).exists(m => needles.exists(m.contains)))
 }
 
 object Retry {

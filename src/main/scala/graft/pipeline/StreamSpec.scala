@@ -16,7 +16,8 @@ final case class MaintenanceSettings(
     batchThreshold: Int = 60,                       // CRD beta:353-366
     fileSizeThresholdBytes: Long = 100L * 1024 * 1024,
     snapshotRetentionMs: Long = 6L * 3600 * 1000,   // CRD beta:339-352
-    analyzeBatchThreshold: Int = 180                // CRD beta:367-383
+    analyzeBatchThreshold: Int = 180,               // CRD beta:367-383
+    analyzedColumns: Seq[String] = Seq.empty        // ANALYZE includedColumns (docs/crd.md:142-148)
 )
 
 final case class StreamSpec(
@@ -27,7 +28,11 @@ final case class StreamSpec(
     backfillBehavior: String = "Overwrite",          // Overwrite | Merge (docs/backfill.md:40-47)
     backfillStartDate: Option[String] = None,
     changeCaptureIntervalSeconds: Int = 300,         // CRD beta:213-215
+    changeCaptureJitterVariance: Double = 0.1,       // CRD beta:216-218
+    changeCaptureJitterSeed: Long = 0,               // CRD beta:219-221 (0 = derive per stream)
     maxFoldersPerTrigger: Option[Int] = None,        // throughput shaping (CRD beta:401-470)
+    maxChunksPerTrigger: Option[Int] = None,         // sub-folder grouping (rowsPerGroup analog, docs/crd.md:36-43)
+    retryableFailureMessages: Seq[String] = Seq.empty, // stream failures → exit 2 (StreamFailException convention)
     fieldSelectionRuleName: String = "all",          // all | include | exclude (CRD beta:474-523)
     fieldSelectionFields: Set[String] = Set.empty,
     essentialFields: Set[String] = FieldSelection.DefaultEssentialFields,
@@ -74,7 +79,10 @@ object StreamSpec {
           snapshotRetentionMs =
             if (m.has("snapshotRetentionMs")) m.get("snapshotRetentionMs").asLong() else 6L * 3600 * 1000,
           analyzeBatchThreshold =
-            if (m.has("analyzeBatchThreshold")) m.get("analyzeBatchThreshold").asInt(180) else 180
+            if (m.has("analyzeBatchThreshold")) m.get("analyzeBatchThreshold").asInt(180) else 180,
+          analyzedColumns =
+            if (m.has("analyzedColumns")) m.get("analyzedColumns").elements().asScala.map(_.asText()).toSeq
+            else Seq.empty
         )
       }
     StreamSpec(
@@ -85,7 +93,16 @@ object StreamSpec {
       backfillBehavior = str("backfillBehavior", "Overwrite"),
       backfillStartDate = opt("backfillStartDate"),
       changeCaptureIntervalSeconds = int("changeCaptureIntervalSeconds", 300),
+      changeCaptureJitterVariance =
+        if (r.has("changeCaptureJitterVariance")) r.get("changeCaptureJitterVariance").asDouble(0.1) else 0.1,
+      changeCaptureJitterSeed =
+        if (r.has("changeCaptureJitterSeed")) r.get("changeCaptureJitterSeed").asLong() else 0L,
       maxFoldersPerTrigger = opt("maxFoldersPerTrigger").map(_.toInt),
+      maxChunksPerTrigger = opt("maxChunksPerTrigger").map(_.toInt),
+      retryableFailureMessages =
+        if (r.has("retryableFailureMessages"))
+          r.get("retryableFailureMessages").elements().asScala.map(_.asText()).toSeq
+        else Seq.empty,
       fieldSelectionRuleName = str("fieldSelectionRuleName", "all"),
       fieldSelectionFields =
         if (r.has("fieldSelectionFields")) r.get("fieldSelectionFields").elements().asScala.map(_.asText()).toSet

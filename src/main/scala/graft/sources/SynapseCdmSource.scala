@@ -223,7 +223,7 @@ class SynapseCdmScan(fullSchema: StructType, required: StructType, options: Case
       val start = Option(options.get("backfillStartDate")).map(fo => decrementLexically(fo)).getOrElse("")
       val end = layout.changelogValue(conf).getOrElse("￿")
       val folders = layout.foldersInRange(conf, start, end)
-      SynapseCdmScanHelper.partitions(layout, conf, folders, fullSchema, required)
+      SynapseCdmScanHelper.partitions(layout, conf, folders.map(f => (f, 0, -1)), fullSchema, required)
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new CsvChunkReaderFactory(new SerializableHadoopConf(conf))
@@ -240,12 +240,23 @@ class SynapseCdmScan(fullSchema: StructType, required: StructType, options: Case
     new SynapseCdmMicroBatchStream(fullSchema, required, options)
 }
 
-/** Offset = last fully processed batch-folder name (the reference's
-  * `SynapseWatermark.version`, SURVEY.md §2.A15). Empty string = nothing
-  * processed yet.
+/** Offset = last processed batch-folder name (the reference's
+  * `SynapseWatermark.version`, SURVEY.md §2.A15), optionally with
+  * sub-folder progress: `chunksDone >= 0` means only the first `chunksDone`
+  * CSV chunks of `folder` are processed (admission split a folder across
+  * micro-batches); -1 means the folder is complete. Empty string = nothing
+  * processed yet. JSON form `folder[#chunksDone]` stays readable in
+  * checkpoints and parses old folder-only offsets unchanged.
   */
-case class ChangelogOffset(folder: String) extends Offset {
-  override def json(): String = folder
+case class ChangelogOffset(folder: String, chunksDone: Int = -1) extends Offset {
+  override def json(): String = if (chunksDone < 0) folder else s"$folder#$chunksDone"
+}
+
+object ChangelogOffset {
+  def parse(s: String): ChangelogOffset = s.lastIndexOf('#') match {
+    case -1 => ChangelogOffset(s)
+    case i  => ChangelogOffset(s.take(i), s.drop(i + 1).toInt)
+  }
 }
 
 class SynapseCdmMicroBatchStream(fullSchema: StructType, required: StructType, options: CaseInsensitiveStringMap)
@@ -255,6 +266,7 @@ class SynapseCdmMicroBatchStream(fullSchema: StructType, required: StructType, o
   private val layout = SynapseCdmLayout(options, conf)
   private val startingWatermark = Option(options.get("startingWatermark")).getOrElse("")
   private val maxFoldersPerTrigger = Option(options.get("maxFoldersPerTrigger")).map(_.toInt)
+  private val maxChunksPerTrigger = Option(options.get("maxChunksPerTrigger")).map(_.toInt)
   private val memoryBound = Option(options.get("shaper")).exists(_.equalsIgnoreCase("memoryBound"))
   private val memoryHeadroomFraction =
     Option(options.get("memoryHeadroomFraction")).map(_.toDouble).getOrElse(0.2)
@@ -265,7 +277,7 @@ class SynapseCdmMicroBatchStream(fullSchema: StructType, required: StructType, o
     Option(options.get("bytesExpansionFactor")).map(_.toDouble).getOrElse(4.0)
 
   override def initialOffset(): Offset = ChangelogOffset(startingWatermark)
-  override def deserializeOffset(json: String): Offset = ChangelogOffset(json)
+  override def deserializeOffset(json: String): Offset = ChangelogOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -278,43 +290,87 @@ class SynapseCdmMicroBatchStream(fullSchema: StructType, required: StructType, o
   /** Admission control — the reference's throughput-shaper surface
     * (CRD beta:401-470) in Spark's `SupportsAdmissionControl` form:
     *  - static shaper: `maxFoldersPerTrigger` → `ReadLimit.maxFiles`;
-    *  - memory-bound shaper (`shaper=memoryBound`): admit folders until the
-    *    estimated in-memory batch size (folder CSV bytes × expansion factor)
+    *  - sub-folder grouping: `maxChunksPerTrigger` caps CSV chunks per
+    *    micro-batch (the `rowsPerGroup` analog — Synapse pre-chunks rows, so
+    *    the chunk is the natural grouping unit, `docs/crd.md:36-43`);
+    *  - memory-bound shaper (`shaper=memoryBound`): admit chunks until the
+    *    estimated in-memory batch size (CSV bytes × expansion factor)
     *    exceeds `memoryHeadroomFraction` of current free heap — the
-    *    Spark-native analog of the reference's free-heap sigmoid cost model
-    *    (always admits at least one folder so the stream can't stall).
+    *    Spark-native analog of the reference's free-heap sigmoid cost model.
+    * Chunk-level budgets SPLIT oversized folders across micro-batches
+    * (offset records sub-folder progress), so one huge folder can't blow
+    * the memory budget; at least one chunk is always admitted so the
+    * stream can't stall.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val startFolder = start.asInstanceOf[ChangelogOffset].folder
-    val newest = layout.changelogValue(conf).getOrElse(startFolder)
-    val folders = layout.foldersInRange(conf, startFolder, newest)
+    val s = start.asInstanceOf[ChangelogOffset]
+    val newest = layout.changelogValue(conf).getOrElse(s.folder)
+    val newFolders = layout.foldersInRange(conf, s.folder, newest)
+    // Candidates: the partially-read start folder's remaining chunks first,
+    // then each newer closed folder from chunk 0.
+    val candidates: Seq[(String, Int)] =
+      (if (s.chunksDone >= 0) Seq(s.folder -> s.chunksDone) else Seq.empty) ++ newFolders.map(_ -> 0)
     val staticCapped = limit match {
-      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles if folders.size > mf.maxFiles() =>
-        folders.take(mf.maxFiles())
-      case _ => folders
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        candidates.take(math.max(1, mf.maxFiles()))
+      case _ => candidates
     }
-    val admitted =
-      if (!memoryBound || staticCapped.isEmpty) staticCapped
+    if (staticCapped.isEmpty) return s
+
+    val chunkBudget = maxChunksPerTrigger.getOrElse(Int.MaxValue)
+    val byteBudget =
+      if (!memoryBound) Long.MaxValue
       else {
         val rt = Runtime.getRuntime
         val freeHeap = rt.maxMemory() - (rt.totalMemory() - rt.freeMemory())
-        val budget = (freeHeap * memoryHeadroomFraction).toLong
-        var used = 0L
-        val taken = staticCapped.takeWhile { folder =>
-          used += (layout.chunkFiles(conf, folder).map(_._2).sum * bytesExpansionFactor).toLong
-          used <= budget
-        }
-        if (taken.isEmpty) staticCapped.take(1) else taken
+        (freeHeap * memoryHeadroomFraction).toLong
       }
-    val capped = if (admitted.size == folders.size) newest else admitted.lastOption.getOrElse(startFolder)
-    ChangelogOffset(if (capped > startFolder) capped else startFolder)
+    if (chunkBudget == Int.MaxValue && byteBudget == Long.MaxValue) {
+      // No sub-folder shaping: whole folders through (no chunk listing RPCs).
+      return ChangelogOffset(staticCapped.last._1)
+    }
+
+    var usedBytes = 0L
+    var usedChunks = 0
+    var endFolder = s.folder
+    var endDone = s.chunksDone
+    var stop = false
+    staticCapped.iterator.takeWhile(_ => !stop).foreach { case (folder, skip) =>
+      val files = layout.chunkFiles(conf, folder)
+      if (files.size <= skip) { endFolder = folder; endDone = -1 } // empty folder closes
+      else {
+        var i = skip
+        while (i < files.size && !stop) {
+          val cost = (files(i)._2 * bytesExpansionFactor).toLong
+          if (usedChunks > 0 && (usedBytes + cost > byteBudget || usedChunks + 1 > chunkBudget)) stop = true
+          else {
+            usedBytes += cost
+            usedChunks += 1
+            endFolder = folder
+            endDone = if (i == files.size - 1) -1 else i + 1
+            i += 1
+          }
+        }
+      }
+    }
+    val end = ChangelogOffset(endFolder, endDone)
+    if (end == s) s else end
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[ChangelogOffset].folder
-    val e = end.asInstanceOf[ChangelogOffset].folder
-    val folders = layout.foldersInRange(conf, s, e)
-    SynapseCdmScanHelper.partitions(layout, conf, folders, fullSchema, required)
+    val s = start.asInstanceOf[ChangelogOffset]
+    val e = end.asInstanceOf[ChangelogOffset]
+    // (folder, fromChunk, untilChunk); untilChunk -1 = through end of folder.
+    val slices: Seq[(String, Int, Int)] =
+      if (s.folder == e.folder) {
+        if (e.chunksDone == s.chunksDone) Seq.empty
+        else Seq((s.folder, math.max(s.chunksDone, 0), e.chunksDone))
+      } else {
+        val mids = layout.foldersInRange(conf, s.folder, e.folder) // (s, e]
+        val startSlice = if (s.chunksDone >= 0) Seq((s.folder, s.chunksDone, -1)) else Seq.empty
+        startSlice ++ mids.map(f => if (f == e.folder) (f, 0, e.chunksDone) else (f, 0, -1))
+      }
+    SynapseCdmScanHelper.partitions(layout, conf, slices, fullSchema, required)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -322,14 +378,16 @@ class SynapseCdmMicroBatchStream(fullSchema: StructType, required: StructType, o
 }
 
 object SynapseCdmScanHelper {
-  /** One InputPartition per CSV chunk, tagged with its folder. The full CSV
-    * column list rides along so positional parsing stays correct no matter
-    * which columns were pruned.
+  /** One InputPartition per CSV chunk in the given folder slices
+    * (`(folder, fromChunk, untilChunk)`, until -1 = rest of folder; chunk
+    * order is the sorted file listing, stable because closed folders are
+    * immutable). The full CSV column list rides along so positional parsing
+    * stays correct no matter which columns were pruned.
     */
   def partitions(
       layout: SynapseCdmLayout,
       conf: Configuration,
-      folders: Seq[String],
+      slices: Seq[(String, Int, Int)],
       fullSchema: StructType,
       required: StructType
   ): Array[InputPartition] = {
@@ -337,10 +395,10 @@ object SynapseCdmScanHelper {
     val proj: Array[Int] = required.fieldNames.map { n =>
       if (n == "_folder") -1 else csvCols.indexOf(n)
     }
-    folders.flatMap { folder =>
-      layout.chunkFiles(conf, folder).map { case (path, _) =>
-        CsvChunkPartition(path, folder, csvCols.length, proj)
-      }
+    slices.flatMap { case (folder, from, until) =>
+      val files = layout.chunkFiles(conf, folder)
+      val sliced = if (until < 0) files.drop(from) else files.slice(from, until)
+      sliced.map { case (path, _) => CsvChunkPartition(path, folder, csvCols.length, proj) }
     }.toArray
   }
 }

@@ -285,12 +285,36 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     removed.toSeq
   }
 
-  /** ANALYZE: row count + per-bucket counts into snapshot properties
-    * (`docs/crd.md:142-148`).
+  /** ANALYZE: row count plus, for each requested column, min / max /
+    * null_count / approximate NDV (HyperLogLog++) into snapshot properties —
+    * the reference's `ANALYZE ... WITH (columns = includedColumns)` surface
+    * (`docs/crd.md:142-148`). All stats come from ONE aggregation pass over
+    * the table (each stat is an agg column with map-side partial combine),
+    * not a per-column rescan — at 100 TB this is a single scan regardless of
+    * how many columns are analyzed. Unknown column names are ignored, like
+    * ANALYZE on a dropped column.
     */
-  def analyze(): Snapshot = {
-    val cnt = read().count()
-    setProperties(Map("stats.row_count" -> cnt.toString, "stats.analyzed_at_ms" -> now().toString))
+  def analyze(includedColumns: Seq[String] = Seq.empty): Snapshot = {
+    val df = read()
+    val cols = includedColumns.filter(df.columns.contains)
+    val aggs = count(lit(1)).as("_cnt") +: cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c"),
+        approx_count_distinct(col(c)).as(s"_ndv_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val colStats = cols.flatMap { c =>
+      Seq(
+        s"stats.col.$c.min" -> Option(row.getAs[String](s"_min_$c")).getOrElse("null"),
+        s"stats.col.$c.max" -> Option(row.getAs[String](s"_max_$c")).getOrElse("null"),
+        s"stats.col.$c.null_count" -> row.getAs[Long](s"_nulls_$c").toString,
+        s"stats.col.$c.ndv" -> row.getAs[Long](s"_ndv_$c").toString)
+    }
+    setProperties(Map(
+      "stats.row_count" -> row.getAs[Long]("_cnt").toString,
+      "stats.analyzed_at_ms" -> now().toString) ++ colStats)
   }
 
   // -------------------------------------------------------------- internals

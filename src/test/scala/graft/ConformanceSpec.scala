@@ -148,6 +148,49 @@ class ConformanceSpec extends SparkSpec {
     assert(table.properties(SnapshotTable.PropWatermark) === CdmFixture.folderName(now.minusHours(1)))
   }
 
+  test("maxChunksPerTrigger splits one folder across micro-batches (rowsPerGroup analog)") {
+    val root = tmpDir("cdm-chunksplit-src")
+    val target = tmpDir("cdm-chunksplit-target")
+    CdmFixture.initRoot(root)
+    // one folder, two CSV chunks (base + upsert) — must split into 2 batches
+    CdmFixture.uploadBatch(root, now.minusHours(2), addUpsert = true, updateChangelog = true, chunkSeed = 1)
+
+    val spec = StreamSpec(root, CdmFixture.entityName, target, numBuckets = 4,
+      changeCaptureIntervalSeconds = 1, maxChunksPerTrigger = Some(1))
+    val q = CdcPipeline.startStream(spark, spec)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val table = SnapshotTable(spark, target)
+    assert(table.read().count() === 7, "5 base + 2 new upsert identities")
+    val v = table.read().where(col("Id") === CdmFixture.id2).select("versionnumber").head().getLong(0)
+    assert(v === 2111000012L, "cross-chunk upsert must resolve by version")
+    assert(table.currentSnapshot.version >= 2,
+      s"folder must split into ≥2 commits, got ${table.currentSnapshot.version}")
+    assert(table.properties(SnapshotTable.PropWatermark) === CdmFixture.folderName(now.minusHours(2)))
+  }
+
+  test("memoryBound shaper splits a folder exceeding the byte budget into bounded batches") {
+    val root = tmpDir("cdm-membound-src")
+    val target = tmpDir("cdm-membound-target")
+    CdmFixture.initRoot(root)
+    CdmFixture.uploadBatch(root, now.minusHours(2), addUpsert = true, updateChangelog = true, chunkSeed = 1)
+
+    // A vanishingly small headroom fraction makes every chunk exceed the
+    // budget — the shaper must still admit one chunk per batch (no stall)
+    // and stream the oversized folder in bounded pieces.
+    val spec = StreamSpec(root, CdmFixture.entityName, target, numBuckets = 4,
+      changeCaptureIntervalSeconds = 1, shaper = Some("memoryBound"), memoryHeadroomFraction = 1e-12)
+    val q = CdcPipeline.startStream(spark, spec)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val table = SnapshotTable(spark, target)
+    assert(table.read().count() === 7)
+    assert(table.currentSnapshot.version >= 2,
+      s"budget-splitting must commit per chunk, got version ${table.currentSnapshot.version}")
+  }
+
   test("streaming resume from watermark skips processed folders") {
     val root = tmpDir("cdm-resume-src")
     val target = tmpDir("cdm-resume-target")

@@ -141,6 +141,41 @@ class CoreOpsSpec extends SparkSpec {
     assert(back.value.get("fs.graft.test.credential") == "secret-value")
   }
 
+  test("changelog offsets round-trip sub-folder progress") {
+    import graft.sources.ChangelogOffset
+    assert(ChangelogOffset.parse("2020-01-01T00.00.00Z") == ChangelogOffset("2020-01-01T00.00.00Z", -1))
+    assert(ChangelogOffset.parse("2020-01-01T00.00.00Z#3") == ChangelogOffset("2020-01-01T00.00.00Z", 3))
+    assert(ChangelogOffset("f", 2).json() == "f#2")
+    assert(ChangelogOffset("f").json() == "f")
+    assert(ChangelogOffset.parse(ChangelogOffset("f", 0).json()) == ChangelogOffset("f", 0))
+  }
+
+  test("poll jitter draws a bounded per-stream interval deterministically") {
+    import graft.pipeline.{CdcPipeline, StreamSpec}
+    val spec = StreamSpec("s", "e", "t", changeCaptureIntervalSeconds = 100,
+      changeCaptureJitterVariance = 0.1, changeCaptureJitterSeed = 7)
+    val a = CdcPipeline.jitteredIntervalMs(spec)
+    assert(a == CdcPipeline.jitteredIntervalMs(spec), "same seed → same interval")
+    assert(a >= 90000 && a <= 110000, s"interval $a outside ±variance band")
+    assert(CdcPipeline.jitteredIntervalMs(spec.copy(changeCaptureJitterVariance = 0.0)) == 100000L)
+    // seed 0 derives a per-stream seed from the identity → distinct streams diverge
+    val b = CdcPipeline.jitteredIntervalMs(spec.copy(changeCaptureJitterSeed = 0))
+    val c = CdcPipeline.jitteredIntervalMs(spec.copy(changeCaptureJitterSeed = 0, entityName = "other"))
+    assert(b != c)
+  }
+
+  test("retryable failure classification: IOException or configured message → exit 2") {
+    val needles = Seq("No worker nodes available", "Query killed")
+    assert(graft.app.Main.isRetryable(new java.io.IOException("conn reset"), Nil))
+    assert(graft.app.Main.isRetryable(new RuntimeException(new java.io.IOException("x")), Nil))
+    assert(graft.app.Main.isRetryable(
+      new RuntimeException("merge failed: No worker nodes available right now"), needles))
+    assert(graft.app.Main.isRetryable(
+      new RuntimeException(new IllegalStateException("Query killed by admin")), needles))
+    assert(!graft.app.Main.isRetryable(new RuntimeException("schema mismatch"), needles))
+    assert(!graft.app.Main.isRetryable(new RuntimeException("boom"), Nil))
+  }
+
   // ------------------------------------------------------- field selection
 
   test("field selection rules keep essential fields") {

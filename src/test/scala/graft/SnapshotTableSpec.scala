@@ -118,4 +118,18 @@ class SnapshotTableSpec extends SparkSpec {
     t.analyze()
     assert(t.properties("stats.row_count") == "100")
   }
+
+  test("analyze with includedColumns records min/max/null-count/ndv per column") {
+    val t = freshTable("snap-colstats")
+    t.analyze(Seq("versionnumber", "payload", "no_such_column"))
+    val p = t.properties
+    assert(p("stats.row_count") == "100")
+    assert(p("stats.col.versionnumber.min") == "1")
+    assert(p("stats.col.versionnumber.max") == "100")
+    assert(p("stats.col.versionnumber.null_count") == "0")
+    // HLL++ approximate NDV: within a few percent of the true 100
+    assert(math.abs(p("stats.col.versionnumber.ndv").toLong - 100L) <= 5)
+    assert(p("stats.col.payload.min") == "v1" && p("stats.col.payload.max") == "v99")
+    assert(!p.contains("stats.col.no_such_column.min"), "unknown columns are ignored")
+  }
 }
