@@ -118,13 +118,14 @@ object CdcPipeline {
     */
   private[graft] def jitteredIntervalMs(spec: StreamSpec): Long = {
     val base = spec.changeCaptureIntervalSeconds * 1000L
-    if (spec.changeCaptureJitterVariance <= 0) base
+    // base 0 = back-to-back micro-batches (bounded gate runs) — no jitter.
+    if (spec.changeCaptureJitterVariance <= 0 || base == 0) base
     else {
       val seed =
         if (spec.changeCaptureJitterSeed != 0) spec.changeCaptureJitterSeed
         else (spec.entityName + "#" + spec.targetLocation).hashCode.toLong
       val u = new scala.util.Random(seed).nextDouble() * 2.0 - 1.0
-      math.max(1000L, (base * (1.0 + spec.changeCaptureJitterVariance * u)).toLong)
+      math.max(1L, (base * (1.0 + spec.changeCaptureJitterVariance * u)).toLong)
     }
   }
 
