@@ -32,22 +32,28 @@ object Main {
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .getOrCreate()
 
-    val exit =
-      try {
-        if (spec.backfill) { CdcPipeline.runBackfill(spark, spec); 0 }
-        else {
-          val query = CdcPipeline.startStream(spark, spec)
-          sys.addShutdownHook { if (query.isActive) query.stop() }
-          query.awaitTermination()
-          0
-        }
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[synapse-cdm-stream] failed: ${e.getMessage}")
-          if (isRetryable(e, spec.retryableFailureMessages)) 2 else 1
-      } finally spark.stop()
+    val exit = try run(spark, spec) finally spark.stop()
     if (exit != 0) sys.exit(exit)
   }
+
+  /** The whole lifecycle minus session creation/teardown and the process
+    * exit — testable in-JVM: returns the exit code the process would use
+    * (0 success, 2 retryable failure, 1 fatal).
+    */
+  private[graft] def run(spark: SparkSession, spec: StreamSpec): Int =
+    try {
+      if (spec.backfill) { CdcPipeline.runBackfill(spark, spec); 0 }
+      else {
+        val query = CdcPipeline.startStream(spark, spec)
+        sys.addShutdownHook { if (query.isActive) query.stop() }
+        query.awaitTermination()
+        0
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[synapse-cdm-stream] failed: ${e.getMessage}")
+        if (isRetryable(e, spec.retryableFailureMessages)) 2 else 1
+    }
 
   /** Transient infrastructure failures → exit 2 (K8s restarts the Job, the
     * reference's StreamFailException convention); logic errors → 1.

@@ -191,6 +191,29 @@ class ConformanceSpec extends SparkSpec {
       s"budget-splitting must commit per chunk, got version ${table.currentSnapshot.version}")
   }
 
+  test("Main lifecycle: backfill exits 0; failures map to retryable/fatal exit codes") {
+    val root = tmpDir("cdm-main-src")
+    val target = tmpDir("cdm-main-target")
+    CdmFixture.initRoot(root)
+    CdmFixture.uploadBatch(root, now.minusHours(1), updateChangelog = true)
+    val spec = StreamSpec.fromJson(
+      s"""{"sourcePath":"$root","entityName":"${CdmFixture.entityName}",
+         |"targetLocation":"$target","backfill":true,"numBuckets":4,
+         |"retryableFailureMessages":["transient glitch"]}""".stripMargin)
+    assert(graft.app.Main.run(spark, spec) === 0)
+    assert(SnapshotTable(spark, target).read().count() === 5)
+
+    // empty source (no changelog) → logic failure, no configured match → exit 1
+    val badRoot = tmpDir("cdm-main-bad")
+    CdmFixture.initRoot(badRoot)
+    val bad = spec.copy(sourcePath = badRoot, targetLocation = tmpDir("cdm-main-bad-t"))
+    assert(graft.app.Main.run(spark, bad) === 1)
+
+    // same failure with a matching retryable message pattern → exit 2
+    val retrySpec = bad.copy(retryableFailureMessages = Seq("nothing is closed for backfill"))
+    assert(graft.app.Main.run(spark, retrySpec) === 2)
+  }
+
   test("streaming resume from watermark skips processed folders") {
     val root = tmpDir("cdm-resume-src")
     val target = tmpDir("cdm-resume-target")
