@@ -218,6 +218,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Sliding windows: every event belongs to exactly window/slide = 2
+    // epoch-aligned windows; floor-to-second is membership-safe because
+    // boundaries are 1800 s multiples.
+    "q_events_sliding" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS s1
+        |  FROM events),
+        |x AS (SELECT event_type, value, unnest([s1, s1 - 1800]) AS ws FROM ev)
+        |SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_events_sessionize" ->
       """SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS session_value

@@ -248,6 +248,22 @@ object Queries {
       .agg(count(lit(1)).as("n"), xsum(col("value")).as("sum_value"))
       .orderBy(col("event_hour"), col("event_type"))
 
+  /** Sliding event-time window aggregation (1 h window, 30 min slide)
+    * through the SAME StreamOps.windowedAgg operator the streaming path
+    * uses — Spark's unified batch/streaming semantics make the batch run
+    * the oracle-checkable twin of the watermarked stream. Each event lands
+    * in exactly window/slide = 2 windows; the DuckDB oracle replays the
+    * epoch-aligned window assignment via unnest.
+    */
+  def qEventsSliding(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.windowedAgg(
+      events(spark, dir), tsCol = "ts", watermarkDelay = "1 hour",
+      windowDuration = "1 hour", slideDuration = Some("30 minutes"),
+      keys = Seq(col("event_type")),
+      aggs = Seq(count(lit(1)).as("n"), xsum(col("value")).as("sum_value")))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Sessionization (gaps-and-islands): new session when >30 min since the
     * user's previous event; emit per-session stats. Two windows over the
     * same (user_id, ts) partitioning → single shuffle, reused sort.
@@ -628,6 +644,7 @@ object Queries {
     "q_window_top_per_customer" -> (qWindowTopPerCustomer _),
     "q_set_ops" -> (qSetOps _),
     "q_events_hourly" -> (qEventsHourly _),
+    "q_events_sliding" -> (qEventsSliding _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_cdc_latest" -> (qCdcLatest _),
     "q_cdc_merge" -> (qCdcMerge _),
