@@ -191,6 +191,44 @@ class ConformanceSpec extends SparkSpec {
       s"budget-splitting must commit per chunk, got version ${table.currentSnapshot.version}")
   }
 
+  test("chunk admission covers every chunk exactly once across micro-batch offsets") {
+    import graft.sources.{ChangelogOffset, CsvChunkPartition, SynapseCdmLayout, SynapseCdmMicroBatchStream}
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("cdm-offsets-src")
+    CdmFixture.initRoot(root)
+    // 2 folders: 3 chunks + 1 chunk; changelog at the newest
+    CdmFixture.uploadBatch(root, now.minusHours(2), addDelete = true, addUpsert = true, chunkSeed = 1)
+    val last = CdmFixture.uploadBatch(root, now.minusHours(1), updateChangelog = true, chunkSeed = 2)
+
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("path" -> root, "entity" -> CdmFixture.entityName, "maxChunksPerTrigger" -> "1").asJava)
+    val layout = SynapseCdmLayout(opts, spark.sparkContext.hadoopConfiguration)
+    val schema = layout.rawSchemaWithMeta
+    val stream = new SynapseCdmMicroBatchStream(schema, schema, opts)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    var off = stream.initialOffset()
+    var batches = 0
+    var progressed = true
+    while (progressed && batches < 50) {
+      val next = stream.latestOffset(off, stream.getDefaultReadLimit)
+      progressed = next.asInstanceOf[ChangelogOffset] != off.asInstanceOf[ChangelogOffset]
+      if (progressed) {
+        val parts = stream.planInputPartitions(off, next)
+        assert(parts.length === 1, s"maxChunksPerTrigger=1 must admit exactly one chunk, got ${parts.length}")
+        seen ++= parts.map(_.asInstanceOf[CsvChunkPartition].path)
+        off = next
+        batches += 1
+      }
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val expected = layout.foldersInRange(conf, "", last)
+      .flatMap(f => layout.chunkFiles(conf, f).map(_._1))
+    assert(batches === expected.size, "one micro-batch per chunk")
+    assert(seen.toSeq === expected, "every chunk exactly once, in folder+name order")
+    assert(off.asInstanceOf[ChangelogOffset] === ChangelogOffset(last), "final offset = newest folder, complete")
+  }
+
   test("Main lifecycle: backfill exits 0; failures map to retryable/fatal exit codes") {
     val root = tmpDir("cdm-main-src")
     val target = tmpDir("cdm-main-target")
