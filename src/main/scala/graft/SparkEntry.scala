@@ -426,6 +426,35 @@ object SparkEntry {
         |SELECT doc_id, CAST(off // 64 AS BIGINT) AS frame_index, CAST(off AS BIGINT) AS frame_offset
         |FROM f ORDER BY doc_id, frame_index""".stripMargin,
 
+    // LSH scale-path embedding near-dup: oracle = the exact cosine >= 0.999
+    // pair set over the full planted corpus; exact duplicates always share
+    // a sign bucket, so the bucketed join must recover it all.
+    "q_embedding_near_dup_lsh" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id + 1000000 AS vec_id, v FROM base)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM corpus a, corpus b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Rational-idf tf-idf: tf * (N/df) — no transcendentals, so scores are
+    // bit-identical cross-engine; ties break on term ascending.
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, score, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, term, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,

@@ -128,6 +128,33 @@ object Similarity {
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
 
+  /** Embedding near-duplicate pairs at scale: bucket every vector by its
+    * LSH sign key and compare only within-bucket pairs — the O(n²/2^planes)
+    * scale path for duplicate detection over a whole corpus (the exact
+    * pairwise variant is the bounded-id baseline). Exact duplicates always
+    * share a bucket (identical signs), so recall on true duplicates is 1 by
+    * construction; near-duplicates at very high cosine share it with
+    * probability (1 − θ/π)^planes ≈ 1.
+    */
+  def lshNearDupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      numPlanes: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    VecDot.ensureRegistered(corpus.sparkSession)
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+    val a = b.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val c = b.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(c, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   // --------------------------------------------------------- IVF ANN
 
   /** IVF coarse assignment: nearest of `centroids` (by cosine) per vector.

@@ -122,6 +122,34 @@ object TextAnalysis {
       (acc, h) => pmod(acc * 31L + h, p))
   }
 
+  /** Per-document top-k keyword extraction by TF-IDF with a RATIONAL idf
+    * (tf · N/df instead of tf · ln(N/df)) — monotone in the same ranking and
+    * free of transcendental functions, so scores are bit-identical across
+    * engines (cross-engine `ln` implementations differ in the last ulp).
+    *
+    * Distributed shape: explode tokens → per-(doc, term) counts and
+    * per-term document frequencies (two hash aggregations with map-side
+    * combine) → join scores back (the df table is vocabulary-sized —
+    * broadcast-able on real corpora) → per-doc top-k window. At 100 TB this
+    * is the standard two-aggregation tf-idf plan; nothing is driver-side
+    * except the corpus row count (a scalar any real deployment reads from
+    * table stats).
+    */
+  def tfIdfTopK(docs: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(df, "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * (lit(n.toDouble) / col("df").cast("double"))).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rn").cast("long").as("rn"))
+  }
+
   /** Convenience: annotate a corpus with the full analysis column set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -523,7 +523,34 @@ object Queries {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** Embedding near-duplicate pairs via the LSH SCALE path (vs the
+    * bounded-id exact baseline of q_embedding_near_dup): the whole corpus
+    * plus an identical copy per vector (id+1e6), sign-bucketed, compared
+    * within buckets only. Full DuckDB oracle: the exact cosine ≥ 0.999
+    * pair set over the full corpus — exact duplicates share a bucket by
+    * construction (identical sign pattern), so the bucketed join must
+    * recover the entire exact answer.
+    */
+  def qEmbeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(
+      base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    Similarity.lshNearDupPairs(corpus, threshold = 0.999, numPlanes = 8, dim = dim)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------- text (north star)
+
+  /** Per-document top-5 TF-IDF keywords — the two-aggregation distributed
+    * tf-idf plan (explode → tf and df hash aggs → vocabulary join → top-k
+    * window). Rational idf (tf · N/df) keeps the oracle bit-exact (ln
+    * differs across engines in the last ulp).
+    */
+  def qTextTfIdf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopK(t(spark, dir, "documents"), k = 5)
+      .orderBy(col("doc_id"), col("rn"))
 
   /** Token counting: whitespace + BPE-ish regex counts. */
   def qTextTokens(spark: SparkSession, dir: String): DataFrame =
@@ -658,6 +685,8 @@ object Queries {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ann_brute_force" -> (qAnnBruteForce _),
     "q_embedding_near_dup" -> (qEmbeddingNearDup _),
+    "q_embedding_near_dup_lsh" -> (qEmbeddingNearDupLsh _),
+    "q_text_tfidf" -> (qTextTfIdf _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_text_tokens" -> (qTextTokens _),
