@@ -455,6 +455,46 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
 
+    // Word 8-gram shingles with the short-text rule (texts under 8 tokens
+    // contribute their whole token string), then document frequency >= 2.
+    "q_boilerplate_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_distinct([array_to_string(tk[i:i+7], ' ') for i in range(1, len(tk) - 6)])
+        |    END AS s
+        |  FROM toks),
+        |x AS (SELECT doc_id, unnest(s) AS shingle FROM sh)
+        |SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM x GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, shingle""".stripMargin,
+
+    // Same RE2-compatible replacement chain as TextAnalysis.redactPii
+    // (email → URL → phone), over text with planted PII.
+    "q_text_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact: user' || doc_id || '@example.com or https://ex.example/p/' || doc_id || ' tel 555-010-1234',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Multiplicative-hash per-mille split: (id * 2654435761) mod 1000.
+    "q_dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,

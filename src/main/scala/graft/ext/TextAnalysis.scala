@@ -150,6 +150,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("score"), col("rn").cast("long").as("rn"))
   }
 
+  /** PII redaction: replace emails, URLs and phone-shaped digit runs with
+    * typed placeholder tokens. Columnar regexp_replace chain (codegen'd, no
+    * UDF); the patterns use only constructs with identical semantics in
+    * Java regex and RE2 (char classes, quantifiers, ASCII \b) so the
+    * correctness oracle can replay them in DuckDB verbatim.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b", "<PHONE>")
+  }
+
   /** Convenience: annotate a corpus with the full analysis column set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Datasets, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -608,6 +608,42 @@ object Queries {
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
       .orderBy(col("doc_id"))
 
+  /** Cross-document repeated n-gram detection (boilerplate / benchmark
+    * contamination): distinct word 8-gram shingles per doc → explode →
+    * per-shingle document frequency ≥ 2. Two hash aggregations with
+    * map-side combine — the standard distributed shape; shuffle keys are
+    * shingles, so cost scales with corpus token count, not doc pairs.
+    */
+  def qBoilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(spark)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 8)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("shingle"))
+  }
+
+  /** PII redaction over a corpus with planted PII (synthetic email / URL /
+    * phone appended per doc, so the redaction path is exercised on every
+    * row); output is the redacted text, hash-compared against a DuckDB
+    * oracle replaying the same RE2-compatible pattern chain.
+    */
+  def qTextRedactPii(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.redactPii(concat(col("text"),
+          lit(" contact: user"), col("doc_id"), lit("@example.com or https://ex.example/p/"),
+          col("doc_id"), lit(" tel 555-010-1234"))).as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic train/valid/test split (80/10/10) by multiplicative id
+    * hashing — reproducible across engines, runs and partitionings.
+    */
+  def qDatasetSplit(spark: SparkSession, dir: String): DataFrame =
+    Datasets.deterministicSplit(t(spark, dir, "documents").select(col("doc_id")))
+      .orderBy(col("doc_id"))
+
   // -------------------------------------------- multimodal (north star)
 
   /** Binary transport + metadata: text bytes as the opaque payload. */
@@ -687,6 +723,9 @@ object Queries {
     "q_embedding_near_dup" -> (qEmbeddingNearDup _),
     "q_embedding_near_dup_lsh" -> (qEmbeddingNearDupLsh _),
     "q_text_tfidf" -> (qTextTfIdf _),
+    "q_boilerplate_ngrams" -> (qBoilerplateNgrams _),
+    "q_text_redact_pii" -> (qTextRedactPii _),
+    "q_dataset_split" -> (qDatasetSplit _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_text_tokens" -> (qTextTokens _),

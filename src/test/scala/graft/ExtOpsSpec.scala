@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Datasets, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Behavior specs for the north-star extension operators over the
@@ -102,6 +102,21 @@ class ExtOpsSpec extends SparkSpec {
       TextAnalysis.qualityScore(col("text")).as("q"))
     val bad = out.where(col("n") <= 0 || col("b") < col("n") || col("q") < 0 || col("q") > 1).count()
     assert(bad === 0)
+  }
+
+  test("deterministic split lands near 80/10/10 and is stable across runs and partitionings") {
+    val ids = docs.select(col("doc_id"))
+    val s1 = Datasets.deterministicSplit(ids).as[(Long, String)].collect().toMap
+    val s2 = Datasets.deterministicSplit(ids.repartition(7)).as[(Long, String)].collect().toMap
+    assert(s1 == s2, "split must not depend on partitioning")
+    val n = s1.size.toDouble
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08 && math.abs(frac.getOrElse("valid", 0.0) - 0.1) < 0.05)
+    // hashSample(p) selects exactly the rows whose bucket clears p — a
+    // subset of any larger rate, and consistent with the split buckets
+    val s100 = Datasets.hashSample(ids, 100).as[Long].collect().toSet
+    val s300 = Datasets.hashSample(ids, 300).as[Long].collect().toSet
+    assert(s100.subsetOf(s300) && s100.nonEmpty && s300.size < s1.size)
   }
 
   test("multimodal stub decode is deterministic and partition-parallel") {
