@@ -32,6 +32,12 @@ object Bench {
 
     warmUp(spark, sfDir)
     graft.queries.CdcFixtureGen.materialize(spark, sfDir)
+    // Full CDC pipeline once at the smallest SF: absorbs the streaming
+    // engine's one-time init (micro-batch execution, offset/commit logs,
+    // state machinery, write-committer codegen ≈ 10 s) that would otherwise
+    // land on the first timed q_cdc_pipeline_e2e pass.
+    try graft.queries.Queries.qCdcPipelineE2e(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     def onePass(): Seq[(String, Double)] = names.map { case (name, fn) =>
