@@ -530,6 +530,32 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Stub decode dimensions = arithmetic on the first 60 bits of the
+    // payload MD5 (identical in both engines) — gates the mapPartitions
+    // decode plumbing bit-exactly.
+    "q_image_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  16 + h % 1024 AS width,
+        |  16 + (h // 1024) % 1024 AS height,
+        |  1 + h % 3 AS channels
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Resize output length: ceil(len * min(1, 4096/(w*h))) with MD5-derived
+    // w,h — same IEEE op order both sides.
+    "q_multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, len, (16 + h % 1024) * (16 + (h // 1024) % 1024) AS area FROM d)
+        |SELECT doc_id,
+        |  greatest(1, CAST(ceil(CAST(len AS DOUBLE) * least(1.0, CAST(4096 AS DOUBLE) / CAST(area AS DOUBLE))) AS BIGINT)) AS byte_length
+        |FROM dims ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_length, md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin

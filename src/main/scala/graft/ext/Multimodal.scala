@@ -53,13 +53,18 @@ object Multimodal {
     */
   object StubCodec {
     /** "Decode" an image: derive (width, height, channels) and a 8-float
-      * feature vector deterministically from the payload bytes.
+      * feature vector deterministically from the payload bytes. Dimensions
+      * come from the first 60 bits of the payload's MD5 — content-addressed
+      * AND replayable in SQL (both engines agree on md5 + hex→int), so the
+      * correctness oracle can check the decode plumbing end to end.
       */
     def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-      val h = java.util.Arrays.hashCode(bytes)
-      val width = 16 + math.abs(h % 1024)
-      val height = 16 + math.abs((h / 1024) % 1024)
-      val channels = 1 + math.abs(h % 3)
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val hex = md.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16) // 60 bits, nonnegative
+      val width = (16 + h % 1024).toInt
+      val height = (16 + (h / 1024) % 1024).toInt
+      val channels = (1 + h % 3).toInt
       // Deterministic "features": byte histogram moments over 8 buckets.
       val buckets = new Array[Long](8)
       bytes.foreach(b => buckets((b & 0xff) / 32) += 1)

@@ -657,24 +657,28 @@ object Queries {
       .orderBy(col("doc_id"))
 
   /** Stub decode + feature extraction through the real mapPartitions
-    * plumbing (rows-only oracle — stub codec is engine-specific).
+    * plumbing. Full DuckDB oracle: the stub derives dimensions from the
+    * payload MD5, which both engines compute identically, so the
+    * partition-local decode path is gated bit-exactly.
     */
   def qImageFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.imageFeatures(
       t(spark, dir, "documents").withColumn("content", col("text").cast("binary")),
       "doc_id", "content")
-      .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"))
+      .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("channels").cast("long").as("channels"))
       .orderBy(col("doc_id"))
 
-  /** Stub-codec image resize through the real mapPartitions plumbing
-    * (rows-only oracle — the stub codec is engine-specific; determinism and
-    * payload-shrink contract asserted in ExtOpsSpec).
+  /** Stub-codec image resize through the real mapPartitions plumbing.
+    * The output length is pure arithmetic over the MD5-derived dimensions
+    * and payload size → full DuckDB oracle; the decimated payload bytes
+    * themselves are pinned by the ExtOpsSpec determinism test.
     */
   def qMultimodalResize(spark: SparkSession, dir: String): DataFrame =
     Multimodal.resizeImages(
       t(spark, dir, "documents").withColumn("content", col("text").cast("binary")),
       "doc_id", "content", targetW = 64, targetH = 64)
-      .select(col("id").as("doc_id"), col("byte_length"), md5(col("content")).as("content_md5"))
+      .select(col("id").as("doc_id"), col("byte_length"))
       .orderBy(col("doc_id"))
 
   /** Video frame sampling (stub: every 64th byte offset) — the offsets are
