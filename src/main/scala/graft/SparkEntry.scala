@@ -199,6 +199,19 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // Scale-path percentile gate (planted-property oracle): the Spark side
+    // emits whether approx_percentile(accuracy=10000) landed between the
+    // exact interpolated percentiles at p ± 0.001; the contract says it
+    // always must, so the oracle is the literal `true` per group. A sketch
+    // regression (rank error beyond the declared bound) flips a boolean
+    // and fails the hash compare.
+    "q_percentiles_approx" ->
+      """SELECT o_orderstatus,
+        |  true AS p50_in_bound,
+        |  true AS p95_in_bound,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_window_top_per_customer" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -178,15 +178,24 @@ object Dedup {
   /** SimHash near-duplicate pairs by block-permutation LSH: split each
     * 64-bit hash into 4 16-bit blocks; docs within Hamming distance ≤ 3
     * share at least one exact block (pigeonhole). Join per (block idx,
-    * block value) — shuffle-bounded, no cross join.
+    * block value) — shuffle-bounded, no cross join. Skew guard: a block
+    * value shared by more than `maxBucketSize` docs (e.g. every empty doc
+    * simhashes to 0) carries no discriminative signal and would make the
+    * within-bucket pairing quadratic in that one hot bucket; such buckets
+    * are dropped via a count window that reuses the join's own (block)
+    * exchange — same pattern as [[nearDuplicatePairs]].
     */
-  def simHashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     val sh = simHashes(docs, idCol, textCol)
     val blocks = sh.select(
       col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("blk"), shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("blkval"))
       }: _*)).as("block"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("block"))))
+      .where(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val a = blocks.select(col("block"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = blocks.select(col("block"), col("id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, a("block") === b("block") && col("id_a") < col("id_b"))

@@ -135,6 +135,15 @@ object Similarity {
     * share a bucket (identical signs), so recall on true duplicates is 1 by
     * construction; near-duplicates at very high cosine share it with
     * probability (1 − θ/π)^planes ≈ 1.
+    *
+    * Skew guard: clustered corpora (the norm for embeddings) concentrate
+    * mass in few sign buckets, and the within-bucket O(n_b²) pairing then
+    * skews onto one straggler task. Buckets larger than `maxBucketSize`
+    * are dropped via a count window over the bucket key — the window's
+    * hash-partitioning on `bucket` is exactly the exchange the self-join
+    * needs, so the guard costs no extra shuffle (the
+    * [[graft.ext.Dedup.nearDuplicatePairs]] pattern). At scale, raise
+    * `numPlanes` with corpus size so buckets stay under the cap.
     */
   def lshNearDupPairs(
       corpus: DataFrame,
@@ -142,11 +151,15 @@ object Similarity {
       numPlanes: Int,
       dim: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      maxBucketSize: Int = 10000
   ): DataFrame = {
     VecDot.ensureRegistered(corpus.sparkSession)
     val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .where(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val a = b.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val c = b.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(c, Seq("bucket"))

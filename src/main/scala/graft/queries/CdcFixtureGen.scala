@@ -47,10 +47,8 @@ object CdcFixtureGen {
     // start from a clean slate so stale chunks can't duplicate rows
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
 
-    val events = spark.conf.synchronized {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-    }
+    // nanosAsLong is session-build config (Main/Bench/Verify/test session)
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
     // One Spark action: collect unsorted, order driver-side (cheap at any
     // tested SF), derive the cut from the collected length — avoids the
     // separate count() and the distributed sort.

@@ -34,9 +34,13 @@ object Queries {
     * vectorized reader rejects; read nanos as long and convert to a micros
     * timestamp (truncation — invisible at the second/hour granularity the
     * queries use, and matching DuckDB's nanos-native reads there).
+    * `spark.sql.legacy.parquet.nanosAsLong` must be set at session build
+    * (Main/Bench/Verify and the test session all do) — a query function
+    * must not mutate shared-session config.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read the events table")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -204,6 +208,37 @@ object Queries {
         expr("percentile(o_totalprice, 0.95)").as("p95"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
+
+  /** The 100 TB percentile path: `approx_percentile` (Greenwald-Khanna
+    * style mergeable sketch — bounded memory per group, partial-agg
+    * friendly), where exact `percentile` buffers every value of a group in
+    * aggregation state (with 3 order-status groups, one group's buffer is
+    * the whole column at scale). The gate asserts the declared accuracy
+    * contract rather than sketch internals: accuracy=10000 bounds rank
+    * error by n/10000, so the approx value must lie between the exact
+    * interpolated percentiles at p ± 0.001 (10× slack over the guarantee —
+    * robust to interpolation edge effects, still a 0.1%-rank bound). The
+    * booleans are deterministic even though the sketch's merge order is
+    * not, which is what makes this oracle-checkable; the oracle side is
+    * the literal `true` per group (planted-property pattern).
+    */
+  def qPercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.001
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(o_totalprice, 0.95, 10000)").as("a95"),
+        expr(s"percentile(o_totalprice, array(${0.5 - eps}, ${0.5 + eps}, ${0.95 - eps}, ${0.95 + eps}))")
+          .as("bounds"),
+        count(lit(1)).as("n"))
+      .select(
+        col("o_orderstatus"),
+        (col("a50") >= col("bounds")(0) && col("a50") <= col("bounds")(1)).as("p50_in_bound"),
+        (col("a95") >= col("bounds")(2) && col("a95") <= col("bounds")(3)).as("p95_in_bound"),
+        col("n"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   /** COUNT(DISTINCT) surface: distinct parts and suppliers per return flag
     * (expand + two-phase distinct aggregation).
@@ -708,6 +743,7 @@ object Queries {
     "q_date_funcs" -> (qDateFuncs _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_percentiles" -> (qPercentiles _),
+    "q_percentiles_approx" -> (qPercentilesApprox _),
     "q_window_top_per_customer" -> (qWindowTopPerCustomer _),
     "q_set_ops" -> (qSetOps _),
     "q_events_hourly" -> (qEventsHourly _),

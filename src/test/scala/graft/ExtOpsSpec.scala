@@ -47,6 +47,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall > 0.9, s"LSH recall $recall too low")
   }
 
+  test("simHashPairs skew guard drops degenerate blocks, keeps normal pairs") {
+    // 1000 token-identical docs simhash to one value → one hot bucket per
+    // block whose within-bucket pairing is quadratic (≈500k pairs). The
+    // guard must drop those buckets (no signal) while the small-bucket
+    // planted pair still surfaces.
+    val degenerate = Seq.tabulate(1000)(i => (5000000L + i, "aaa aaa aaa")).toDF("doc_id", "text")
+    val normal = Seq(
+      (1L, "spark is a distributed engine for large scale data processing workloads"),
+      (2L, "spark is a distributed engine for large scale data processing workloads")).toDF("doc_id", "text")
+    val out = Dedup.simHashPairs(normal.unionByName(degenerate), maxHamming = 3, maxBucketSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.contains((1L, 2L)), "small-bucket pair must survive the guard")
+    assert(!out.exists { case (a, b) => a >= 5000000L || b >= 5000000L },
+      s"degenerate-bucket pairs must be dropped, got ${out.length} pairs")
+  }
+
+  test("lshNearDupPairs skew guard drops oversized sign buckets, keeps small-bucket pairs") {
+    val dim = 8
+    val hot = Seq.tabulate(1000)(i => (100000L + i, Seq.fill(dim)(1.0f))).toDF("vec_id", "embedding")
+    val pair = Seq((1L, Seq.fill(dim)(-1.0f)), (2L, Seq.fill(dim)(-1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshNearDupPairs(hot.unionByName(pair), threshold = 0.999,
+        numPlanes = 8, dim = dim, maxBucketSize = 100)
+      .as[(Long, Long)].collect()
+    assert(out.contains((1L, 2L)), "small-bucket pair must survive the guard")
+    assert(!out.exists { case (a, b) => a >= 100000L || b >= 100000L },
+      s"hot-bucket pairs must be dropped, got ${out.length} pairs")
+  }
+
   test("simhash of near-identical texts has small hamming distance") {
     val df = Seq(
       (1L, "spark is a distributed engine for large scale data processing workloads"),

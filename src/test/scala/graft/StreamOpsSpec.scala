@@ -94,8 +94,7 @@ class StreamOpsSpec extends SparkSpec {
 
   test("windowed agg has unified batch semantics on the events table") {
     // events.parquet carries TIMESTAMP(NANOS); read via the long path as in
-    // Queries.events
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Queries.events (nanosAsLong is set at session build in SparkSpec)
     val ev = spark.read.parquet(s"${sf()}/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val out = StreamOps.windowedAgg(
