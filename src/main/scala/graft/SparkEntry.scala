@@ -309,6 +309,18 @@ object SparkEntry {
         |WHERE NOT coalesce(s.is_delete, false)
         |ORDER BY user_id""".stripMargin,
 
+    // External-readability gate: the oracle does NOT re-derive the result
+    // relationally — it reads the symlink-manifest EXPORT of the live
+    // snapshot (written by the Spark side into a fixed tmp location) with
+    // DuckDB's own parquet reader. A bit-exact match proves any external
+    // engine can query the live table through the export: dead files from
+    // superseded snapshots excluded, carried (unmerged) buckets included.
+    // Correctness runs at sf0.01, hence the pinned path segment.
+    "q_export_symlink" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, v, is_del
+        |FROM read_parquet('/tmp/graft-export-gate/sf0.01/export/data/*.parquet')
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_merge_key_projection" ->
       """SELECT event_id, user_id, lower(CAST(user_id AS VARCHAR)) AS arcane_merge_key, event_type
         |FROM events ORDER BY event_id""".stripMargin,

@@ -45,6 +45,25 @@ object CdcPipeline {
     if (missing.nonEmpty) table.addColumns(missing.toSeq)
   }
 
+  /** `isUnifiedSchema: true` (reference CRD beta:166-169) declares the
+    * source schema fixed for the stream's lifetime: automatic migration is
+    * disabled, and a widened source batch is a deployment error, not data.
+    * Drift fails the batch fast with a retryable (exit-code 2) failure —
+    * K8s restarts the Job, which re-reads the now-corrected model.json —
+    * instead of silently widening a target other consumers depend on.
+    */
+  def assertUnifiedSchema(table: SnapshotTable, staged: StructType): Unit = {
+    val have = table.schema.fieldNames.map(_.toLowerCase).toSet
+    val drift = staged.fields.map(_.name).filterNot(n => have.contains(n.toLowerCase))
+    if (drift.nonEmpty) throw new SchemaDriftException(
+      s"schema drift with isUnifiedSchema=true: source added column(s) ${drift.mkString(", ")} " +
+        "not present in the target; fix the stream definition or disable isUnifiedSchema")
+  }
+
+  private def reconcileSchema(table: SnapshotTable, staged: StructType, spec: StreamSpec): Unit =
+    if (spec.isUnifiedSchema) assertUnifiedSchema(table, staged)
+    else migrateSchema(table, staged)
+
   /** One merge round: schema-migrate, MERGE, commit watermark as a table
     * property (`IcebergTablePropertyManager` parity — SURVEY.md §2.A15).
     */
@@ -70,7 +89,7 @@ object CdcPipeline {
         MergeKey.ColumnName, spec.numBuckets,
         layoutProps(spec) + (SnapshotTable.PropWatermark -> watermark))
     } else {
-      migrateSchema(table, staged.schema)
+      reconcileSchema(table, staged.schema, spec)
       table.merge(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
         Map(SnapshotTable.PropWatermark -> watermark), knownAffected)
     }
@@ -133,7 +152,8 @@ object CdcPipeline {
     * callers stop it via lifecycle signals (tests: processAllAvailable).
     */
   def startStream(spark: SparkSession, spec: StreamSpec): StreamingQuery = {
-    val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info")
+    val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info",
+      spec.listingRetry)
     val conf = spark.sparkContext.hadoopConfiguration
     val typedSchema = layout.entitySchema(conf, layout.changelogValue(conf))
     val table = SnapshotTable(spark, spec.targetLocation)
@@ -147,6 +167,8 @@ object CdcPipeline {
       .option("path", spec.sourcePath)
       .option("entity", spec.entityName)
       .option("startingWatermark", startWm)
+      .option("httpMaxRetries", spec.httpMaxRetries.toString)
+      .option("httpRetryDelayMs", spec.httpRetryDelayMs.toString)
     spec.maxFoldersPerTrigger.foreach(n => reader.option("maxFoldersPerTrigger", n.toString))
     spec.maxChunksPerTrigger.foreach(n => reader.option("maxChunksPerTrigger", n.toString))
     spec.shaper.foreach { s =>
@@ -203,7 +225,8 @@ object CdcPipeline {
     * Spark's partition parallelism plays that role (SURVEY.md §2.A22).
     */
   def runBackfill(spark: SparkSession, spec: StreamSpec): Unit = {
-    val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info")
+    val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info",
+      spec.listingRetry)
     val conf = spark.sparkContext.hadoopConfiguration
     val typedSchema = layout.entitySchema(conf, layout.changelogValue(conf))
     val newest = layout.changelogValue(conf).getOrElse(
@@ -213,6 +236,8 @@ object CdcPipeline {
       .format("synapse-cdm")
       .option("path", spec.sourcePath)
       .option("entity", spec.entityName)
+      .option("httpMaxRetries", spec.httpMaxRetries.toString)
+      .option("httpRetryDelayMs", spec.httpRetryDelayMs.toString)
     spec.backfillStartDate.foreach(d => reader.option("backfillStartDate", d))
     val raw = reader.load()
 
@@ -220,7 +245,7 @@ object CdcPipeline {
     val table = SnapshotTable(spark, spec.targetLocation)
     spec.backfillBehavior.toLowerCase match {
       case "merge" if table.exists =>
-        migrateSchema(table, staged.schema)
+        reconcileSchema(table, staged.schema, spec)
         table.merge(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
           Map(SnapshotTable.PropWatermark -> newest))
       case _ =>

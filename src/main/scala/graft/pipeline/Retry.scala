@@ -35,6 +35,13 @@ object RetryPolicy {
         .exists(t => Option(t.getMessage).exists(m => needles.exists(m.contains)))
 }
 
+/** Schema drift under `isUnifiedSchema: true`. An IOException subtype so
+  * the process exit classifier (Main.isRetryable) routes it to exit code 2 —
+  * the restart-and-re-read-config path, matching the reference's
+  * StreamFailException convention for recoverable stream definition issues.
+  */
+class SchemaDriftException(msg: String) extends java.io.IOException(msg)
+
 object Retry {
   def apply[T](policy: RetryPolicy)(body: => T): T = {
     var attempt = 1

@@ -48,13 +48,24 @@ final case class StreamSpec(
     shaper: Option[String] = None,                     // A10: memoryBound | none
     memoryHeadroomFraction: Double = 0.2,
     sortedBy: Seq[String] = Seq.empty,                 // write-time sort order (CRD beta:302-306)
-    bloomFilterColumns: Seq[String] = Seq.empty        // parquetBloomFilterColumns
+    bloomFilterColumns: Seq[String] = Seq.empty,       // parquetBloomFilterColumns
+    isUnifiedSchema: Boolean = false,                  // disable auto schema migration (CRD beta:166-169)
+    httpMaxRetries: Int = 3,                           // source listing retry (CRD beta:576-598)
+    httpRetryDelayMs: Long = 1000
 ) {
   def fieldSelectionRule: FieldSelectionRule = fieldSelectionRuleName.toLowerCase match {
     case "include" => FieldSelectionRule.Include(fieldSelectionFields)
     case "exclude" => FieldSelectionRule.Exclude(fieldSelectionFields)
     case _         => FieldSelectionRule.All
   }
+
+  /** Retry policy for source-side metadata operations (changelog read,
+    * folder/chunk listing, model.json read) — the reference's blob-listing
+    * `httpMaxRetries`/delay knobs. Message-blind: any transient listing
+    * exception retries, the (maxAttempts)-th propagates.
+    */
+  def listingRetry: RetryPolicy =
+    RetryPolicy(maxAttempts = math.max(1, httpMaxRetries), baseDelayMs = httpRetryDelayMs)
 }
 
 object StreamSpec {
@@ -140,7 +151,10 @@ object StreamSpec {
         if (r.has("sortedBy")) r.get("sortedBy").elements().asScala.map(_.asText()).toSeq else Seq.empty,
       bloomFilterColumns =
         if (r.has("bloomFilterColumns")) r.get("bloomFilterColumns").elements().asScala.map(_.asText()).toSeq
-        else Seq.empty
+        else Seq.empty,
+      isUnifiedSchema = r.has("isUnifiedSchema") && r.get("isUnifiedSchema").asBoolean(false),
+      httpMaxRetries = int("httpMaxRetries", 3),
+      httpRetryDelayMs = if (r.has("httpRetryDelayMs")) r.get("httpRetryDelayMs").asLong() else 1000L
     )
   }
 }

@@ -412,6 +412,35 @@ object Queries {
         col("event_type"))
       .orderBy(col("event_id"))
 
+  /** External-readability gate for the SnapshotTable format: build a
+    * bucketed table (CREATE OR REPLACE, then a MERGE with updates, inserts
+    * and tombstones, so superseded files are left dead on the table's disk
+    * and unaffected buckets are carried forward), export the live snapshot
+    * via [[graft.tables.SnapshotTable.exportSymlinkManifest]], and return
+    * `read()`. The DuckDB oracle reads the EXPORTED data directory — not
+    * the table's internal layout and not a relational re-derivation — so a
+    * bit-exact match proves an external engine sees exactly the live
+    * snapshot (dead files excluded, carried buckets included).
+    */
+  def qExportSymlink(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.SnapshotTable
+    val sfName = new java.io.File(dir).getName
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-export-gate/$sfName"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val tbl = SnapshotTable(spark, s"$root/table")
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        lit(1L).as("v"), lit(false).as("is_del"))
+    tbl.createOrReplace(cust.where(col("c_custkey") % 3 =!= 0), "c_custkey", numBuckets = 32)
+    val staged = cust.where(col("c_custkey") % 100 === 0)
+      .withColumn("v", lit(2L))
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+      .withColumn("is_del", col("c_custkey") % 400 === 0)
+    tbl.merge(staged, "c_custkey", "v", "is_del")
+    tbl.exportSymlinkManifest(s"$root/export")
+    tbl.read().orderBy(col("c_custkey"))
+  }
+
   // ------------------------------------------------ dedup (north star)
 
   /** Exact dedup winners on the documents corpus (fingerprint groupBy). */
@@ -753,6 +782,7 @@ object Queries {
     "q_cdc_merge" -> (qCdcMerge _),
     "q_cdc_pipeline_e2e" -> (qCdcPipelineE2e _),
     "q_merge_key_projection" -> (qMergeKeyProjection _),
+    "q_export_symlink" -> (qExportSymlink _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_lsh" -> (qMinHashLsh _),
     "q_near_dup_pairs" -> (qNearDupPairs _),

@@ -76,7 +76,8 @@ class SynapseCdmSource extends TableProvider with DataSourceRegister {
   * executors can relist on their own if ever needed (they don't today — all
   * listing happens on the driver, partitions carry explicit file paths).
   */
-final case class SynapseCdmLayout(root: String, entity: String, changelogPath: String) {
+final case class SynapseCdmLayout(root: String, entity: String, changelogPath: String,
+    retry: graft.pipeline.RetryPolicy = graft.pipeline.RetryPolicy()) {
 
   @transient private var fsCache: FileSystem = _
   private def fs(conf: Configuration): FileSystem = {
@@ -84,10 +85,20 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
     fsCache
   }
 
+  /** Every metadata round trip (changelog read, folder/chunk listing,
+    * model.json read) runs under the listing retry policy — the reference's
+    * blob-API `httpMaxRetries`/delay knobs (CRD beta:576-598). A flaky
+    * store's transient exception is retried with backoff in place; the
+    * final attempt's failure propagates to the poll (and from there to the
+    * exit-code-2 path). Data-path reads are covered separately by Spark
+    * task retries.
+    */
+  private def listing[T](body: => T): T = graft.pipeline.Retry(retry)(body)
+
   /** Latest closed batch folder per the changelog blob; None before the
     * first batch closes.
     */
-  def changelogValue(conf: Configuration): Option[String] = {
+  def changelogValue(conf: Configuration): Option[String] = listing {
     val p = new Path(root, changelogPath)
     val f = fs(conf)
     if (!f.exists(p)) None
@@ -106,7 +117,7 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
     * O(folders-per-day), not O(all folders ever exported). Falls back to the
     * full root scan for unbounded reads (backfill, first poll).
     */
-  def foldersInRange(conf: Configuration, startExclusive: String, endInclusive: String): Seq[String] = {
+  def foldersInRange(conf: Configuration, startExclusive: String, endInclusive: String): Seq[String] = listing {
     val f = fs(conf)
     val bounded = SynapseCdmLayout.FolderName.matcher(startExclusive).matches() &&
       SynapseCdmLayout.FolderName.matcher(endInclusive).matches()
@@ -136,7 +147,7 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
   /** CSV chunks of one folder for our entity — folder-qualified paths
     * (chunk names recur across folders; SURVEY.md §7 hard-part 5).
     */
-  def chunkFiles(conf: Configuration, folder: String): Seq[(String, Long)] = {
+  def chunkFiles(conf: Configuration, folder: String): Seq[(String, Long)] = listing {
     val d = new Path(new Path(root, folder), entity)
     val f = fs(conf)
     if (!f.exists(d)) Seq.empty
@@ -151,7 +162,7 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
   /** Entity schema from a model.json: root copy if present, else the newest
     * folder's (per-batch model.json is authoritative during reads).
     */
-  def entitySchema(conf: Configuration, folder: Option[String]): StructType = {
+  def entitySchema(conf: Configuration, folder: Option[String]): StructType = listing {
     val f = fs(conf)
     val candidates = folder.map(fo => new Path(new Path(root, fo), "model.json")).toSeq :+
       new Path(root, "model.json")
@@ -183,7 +194,11 @@ object SynapseCdmLayout {
       throw new IllegalArgumentException("synapse-cdm requires option 'path'"))
     val entity = Option(options.get("entity")).getOrElse(
       throw new IllegalArgumentException("synapse-cdm requires option 'entity'"))
-    SynapseCdmLayout(root, entity, Option(options.get("changelogPath")).getOrElse("Changelog/changelog.info"))
+    val retry = graft.pipeline.RetryPolicy(
+      maxAttempts = math.max(1, options.getInt("httpMaxRetries", 3)),
+      baseDelayMs = options.getLong("httpRetryDelayMs", 1000L))
+    SynapseCdmLayout(root, entity,
+      Option(options.get("changelogPath")).getOrElse("Changelog/changelog.info"), retry)
   }
 }
 

@@ -317,6 +317,52 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       "stats.analyzed_at_ms" -> now().toString) ++ colStats)
   }
 
+  /** Export the CURRENT snapshot for external engines — the feasible-offline
+    * answer to the reference's biggest interop property (its targets are
+    * Iceberg tables any engine reads — `/root/reference/src/main/scala/
+    * main.scala:26,111`). Two artifacts under `exportDir`:
+    *
+    *   - `manifest`: one absolute data-file URI per line — the Hive
+    *     symlink-manifest convention (`SymlinkTextInputFormat`), consumable
+    *     by Trino/Hive/Spark on any filesystem, and the only scale-correct
+    *     artifact (a metadata-only listing; no data moves). `schema.json`
+    *     carries the snapshot schema for readers that want it.
+    *   - `data/`: a flat directory of symlinks (copy fallback for
+    *     filesystems without link support) to exactly the live files, so
+    *     glob-based readers (DuckDB `read_parquet` over the export dir)
+    *     see the snapshot without symlink-manifest support. Dead files from
+    *     superseded snapshots remain under the table's own `data/` until
+    *     expiry, so globbing THAT directory is wrong — the export dir is
+    *     the glob-safe view.
+    *
+    * Metadata-only (O(files), zero data scan); re-export after each commit
+    * for an always-current external view. Returns the manifest entries.
+    */
+  def exportSymlinkManifest(exportDir: String): Seq[String] = {
+    val snap = currentSnapshot
+    val out = new Path(exportDir)
+    fs.delete(out, true)
+    fs.mkdirs(out)
+    val abs = snap.files.map(f => fs.makeQualified(new Path(dataDir, f.path)).toString)
+    writeText(fs, new Path(out, "manifest"), if (abs.isEmpty) "" else abs.mkString("\n") + "\n")
+    writeText(fs, new Path(out, "schema.json"), snap.schema.json)
+    val dataOut = new Path(out, "data")
+    fs.mkdirs(dataOut)
+    snap.files.zipWithIndex.foreach { case (f, i) =>
+      val src = fs.makeQualified(new Path(dataDir, f.path))
+      val dst = fs.makeQualified(new Path(dataOut, f"part-$i%05d-b${f.bucket}.parquet"))
+      try
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(dst.toUri), java.nio.file.Paths.get(src.toUri))
+      catch { case _: Exception => // non-POSIX or non-local FS → materialize
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+    }
+    writeText(fs, new Path(out, "_SUCCESS"), "")
+    abs
+  }
+
   // -------------------------------------------------------------- internals
 
   private def keyColForBucketing(snap: Snapshot): String =

@@ -102,6 +102,47 @@ class ConformanceSpec extends SparkSpec {
     assert(result.where(col("newbizcol").isNull).count() === 5, "pre-evolution rows read as NULL")
   }
 
+  test("isUnifiedSchema=true: widened model.json fails fast as retryable, target schema unchanged") {
+    val root = tmpDir("cdm-unified-src")
+    val target = tmpDir("cdm-unified-target")
+    CdmFixture.initRoot(root)
+    CdmFixture.uploadBatch(root, now.minusHours(3), updateChangelog = true, chunkSeed = 1)
+
+    val spec = StreamSpec(root, CdmFixture.entityName, target, numBuckets = 4,
+      changeCaptureIntervalSeconds = 1, isUnifiedSchema = true)
+    CdcPipeline.runBackfill(spark, spec)
+    val table = SnapshotTable(spark, target)
+    val schemaBefore = table.schema
+
+    // source ships a widened model.json — under isUnifiedSchema this is a
+    // stream-definition error, not data to migrate
+    val extra = Seq("newbizcol" -> "int64")
+    val folder = CdmFixture.folderName(now.minusHours(1))
+    val fdir = java.nio.file.Paths.get(root, folder, CdmFixture.entityName)
+    java.nio.file.Files.createDirectories(fdir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, folder, "model.json"),
+      CdmFixture.modelJson(extra).getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "model.json"),
+      CdmFixture.modelJson(extra).getBytes("UTF-8"))
+    val row = CdmFixture.insertRow("cafe0000-0000-4000-8000-000000000002", 9, 3111000099L, "F999") + ",77"
+    java.nio.file.Files.write(fdir.resolve("9.csv"), (row + "\n").getBytes("UTF-8"))
+    CdmFixture.stampChangelog(root, folder)
+
+    val q = CdcPipeline.startStream(spark, spec)
+    val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(failure).exists(_.isInstanceOf[graft.pipeline.SchemaDriftException]),
+      s"expected SchemaDriftException in ${chain(failure).map(_.getClass.getName)}")
+    // drift is the exit-code-2 (restart, re-read config) path
+    assert(graft.app.Main.isRetryable(failure, Seq.empty))
+    assert(table.schema == schemaBefore, "target schema must not be migrated")
+    assert(!table.schema.fieldNames.map(_.toLowerCase).contains("newbizcol"))
+  }
+
   test("backfill Merge mode folds into an existing target without replace") {
     val root = tmpDir("cdm-bfmerge-src")
     val target = tmpDir("cdm-bfmerge-target")

@@ -113,6 +113,41 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.readAt(v1) }
   }
 
+  test("symlink-manifest export exposes exactly the live snapshot to external readers") {
+    val t = freshTable("snap-export")
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    val change = Seq(("k1", 7000L, "exported", null.asInstanceOf[java.lang.Boolean]))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+
+    val exportDir = tmpDir("snap-export-out")
+    val manifest = t.exportSymlinkManifest(exportDir)
+    // manifest lists exactly the live files (dead pre-merge file stays on
+    // the table's own disk but must not be exported)
+    assert(manifest.toSet ==
+      t.currentSnapshot.files.map(f => s"file:${t.location}/data/${f.path}").toSet)
+    val deadOnDisk = {
+      val it = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .listFiles(new org.apache.hadoop.fs.Path(s"${t.location}/data"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().isFile) n += 1 }
+      n
+    }
+    assert(deadOnDisk > t.currentSnapshot.files.size, "superseded files should still be on disk")
+    // schema sidecar parses back to the snapshot schema; an external reader
+    // applies it over the export glob (schema evolution means pre-ADD
+    // COLUMNS files physically lack the new column) and sees read()
+    // bit-exactly
+    val schemaJson = scala.io.Source.fromFile(s"$exportDir/schema.json").mkString
+    val exported = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(exported == t.schema)
+    val external = spark.read.schema(exported).parquet(s"$exportDir/data")
+      .orderBy("arcane_merge_key").collect()
+    val internal = t.read().orderBy("arcane_merge_key").collect()
+    assert(external.length == 100 && external.sameElements(internal))
+  }
+
   test("analyze records row count in properties") {
     val t = freshTable("snap-stats")
     t.analyze()
