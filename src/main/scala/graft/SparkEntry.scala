@@ -335,6 +335,25 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // Planted-property oracles for the three engine-specific sketches
+    // (values use xxhash64 — no DuckDB equivalent; the VALUES are pinned
+    // differentially in SketchPinningSpec). The Spark side re-sketches
+    // planted transforms of the first 100 docs through SEPARATE frames and
+    // emits whether each algebraic property held; the properties are
+    // constant-true by contract, so the oracle states them as literals and
+    // any determinism/algebra regression fails the hash compare.
+    "q_minhash_lsh" ->
+      """SELECT doc_id, true AS copy_sig_matches, true AS copy_bands_match
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_simhash" ->
+      """SELECT doc_id, true AS order_insensitive, true AS extra_token_differs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_rolling_hash" ->
+      """SELECT doc_id, true AS copy_matches, true AS reorder_differs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Real correctness gate for the MinHash-LSH near-dup path: the exact
     // 3-gram-shingle Jaccard ≥ 0.5 pair set over the planted corpus
     // (documents ∪ last-word-dropped copies, id+1e6), computed directly in

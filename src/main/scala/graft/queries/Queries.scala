@@ -449,13 +449,31 @@ object Queries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
-  /** MinHash+LSH per-doc signatures (engine-specific hashing → rows-only
-    * oracle). Deterministic; `sig_hash` is the near-dup blocking summary.
+  /** MinHash+LSH per-doc summary, gated by a planted-property oracle: the
+    * sketch values are engine-specific (xxhash64 — no DuckDB equivalent;
+    * pinned differentially in SketchPinningSpec), but the algebra is not.
+    * A planted copy of the first 100 docs (id+1e6) is sketched through a
+    * SEPARATE frame — different rows, partitions and (in general) tasks —
+    * and joined back: signature hash and every band key must agree with
+    * the original's. The booleans are constant-true by the algorithm's
+    * determinism contract, so the DuckDB oracle states them as literals;
+    * any nondeterminism (seed drift, partition-dependent state, slice
+    * misalignment) flips a row and fails the hash compare.
     */
-  def qMinHashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLsh(t(spark, dir, "documents"))
-      .select(col("doc_id"), col("sig_hash"))
+  def qMinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val base = Dedup.minHashLsh(docs)
+    val copies = Dedup.minHashLsh(
+      docs.where(col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .select((col("doc_id") - 1000000L).as("doc_id"),
+        col("sig_hash").as("copy_sig_hash"), col("bands").as("copy_bands"))
+    base.join(copies, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sig_hash") === col("copy_sig_hash"), lit(true)).as("copy_sig_matches"),
+        coalesce(col("bands") === col("copy_bands"), lit(true)).as("copy_bands_match"))
       .orderBy(col("doc_id"))
+  }
 
   /** MinHash-LSH verified near-duplicate pairs (jaccard ≥ 0.5 on word
     * 3-gram shingles). The corpus is the documents table plus a perturbed
@@ -477,14 +495,35 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash per-doc 64-bit sketches (rows-only oracle; the sketch values
-    * are pinned by a differential unit test against an independent
-    * re-derivation from the XXH64 primitive — see SketchPinningSpec).
+  /** SimHash per-doc sketches, gated by a planted-property oracle (values
+    * themselves are engine-specific and pinned in SketchPinningSpec). Two
+    * algebraic properties distinguish SimHash from the order-sensitive
+    * fingerprints, each verified through a separately-sketched planted
+    * frame for the first 100 docs: (a) token-ORDER insensitivity — the
+    * sketch hashes the distinct-token SET, so a token-reversed copy must
+    * collide exactly; (b) set sensitivity — appending a fresh unique token
+    * must change the sketch (deterministic on this corpus under the fixed
+    * hash). DuckDB states the constant-true booleans; any drift fails the
+    * hash compare.
     */
-  def qSimHash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simHashes(t(spark, dir, "documents"))
-      .select(col("id").as("doc_id"), col("simhash"))
+  def qSimHash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val base = Dedup.simHashes(docs).select(col("id").as("doc_id"), col("simhash"))
+    val planted = docs.where(col("doc_id") < 100)
+    val reordered = Dedup.simHashes(
+      planted.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", reverse(split(lower(trim(col("text"))), "\\s+"))).as("text")))
+      .select((col("id") - 1000000L).as("doc_id"), col("simhash").as("sh_reordered"))
+    val extended = Dedup.simHashes(
+      planted.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" zzqxgraftuniquetoken")).as("text")))
+      .select((col("id") - 2000000L).as("doc_id"), col("simhash").as("sh_extended"))
+    base.join(reordered, Seq("doc_id"), "left").join(extended, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("simhash") === col("sh_reordered"), lit(true)).as("order_insensitive"),
+        coalesce(col("simhash") =!= col("sh_extended"), lit(true)).as("extra_token_differs"))
       .orderBy(col("doc_id"))
+  }
 
   /** SimHash block-permutation pairs on a planted corpus (each doc plus an
     * identical copy at id+1e6) in exact-collision mode (maxHamming = 0):
@@ -645,10 +684,31 @@ object Queries {
     * xxhash-based; the fold is pinned by a differential unit test against
     * an independent re-derivation, see SketchPinningSpec).
     */
-  def qTextRollingHash(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+  def qTextRollingHash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("h"))
+    // Planted copies sketched through separate frames (different rows and
+    // partitions) so the comparisons exercise two real executions, not one
+    // common-subexpression-eliminated column.
+    val copies = docs.where(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") - 1000000L).as("doc_id"), TextAnalysis.rollingHash(col("text")).as("h_copy"))
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
+    val reversedText = concat_ws(" ", reverse(split(lower(trim(col("text"))), "\\s+")))
+    val reordered = docs.where(col("doc_id") < 100)
+      .select((col("doc_id") + 2000000L).as("doc_id"), reversedText.as("text"),
+        (toks === reverse(toks)).as("palindrome"))
+      .select((col("doc_id") - 2000000L).as("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("h_rev"), col("palindrome"))
+    base.join(copies, Seq("doc_id"), "left").join(reordered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("h") === col("h_copy"), lit(true)).as("copy_matches"),
+        // order SENSITIVITY (the property that separates the rolling hash
+        // from the set-based sketches): a token-reversed doc must hash
+        // differently — unless reversal is the identity (palindrome seq)
+        coalesce(col("palindrome") || (col("h") =!= col("h_rev")), lit(true)).as("reorder_differs"))
       .orderBy(col("doc_id"))
+  }
 
   /** Pivot-style conditional aggregation: per-user event counts by type in
     * one pass (sum of CASE WHEN — the portable PIVOT form).

@@ -29,4 +29,35 @@ class AnnRecallSpec extends SparkSpec {
     val recall = exact.count(pairs(Queries.qAnnIvf(spark, dir)).contains).toDouble / exact.size
     assert(recall >= 0.20, s"IVF recall@10 $recall below floor")
   }
+
+  test("lshNearDupPairs recovers ε-noised (non-identical) planted near-dups above floor") {
+    // The q_embedding_near_dup_lsh gate plants EXACT copies (recall 1.0 by
+    // construction — identical sign pattern). This spec plants genuinely
+    // NEAR duplicates: v + ε·|v|·û with ε = 0.0316 → cosine ≈
+    // 1/sqrt(1+ε²) ≈ 0.9995, above the 0.999 verify threshold but free to
+    // land across a hyperplane. Theoretical bucket-agreement probability is
+    // (1 − θ/π)^8 ≈ 0.92 at θ = arccos(0.9995); the floor sits below that
+    // with slack for the seeded noise draw.
+    import graft.ext.Similarity
+    val dim = 64
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").select("vec_id", "embedding")
+    val rows = emb.as[(Long, Seq[Float])].collect()
+    val rnd = new scala.util.Random(7)
+    val eps = 0.0316
+    val noised = rows.toSeq.map { case (id, v) =>
+      val u = Array.fill(dim)(rnd.nextGaussian())
+      val un = math.sqrt(u.map(x => x * x).sum)
+      val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+      (id + 1000000L, v.toArray.zip(u).map { case (x, y) => (x + eps * vn * y / un).toFloat }.toSeq)
+    }
+    val corpus = emb.unionByName(noised.toDF("vec_id", "embedding"))
+    val found = Similarity.lshNearDupPairs(corpus, threshold = 0.999, numPlanes = 8, dim = dim)
+      .as[(Long, Long)].collect().toSet
+    val planted = rows.map(r => (r._1, r._1 + 1000000L)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= 0.75, s"ε-noised near-dup recall $recall below floor 0.75")
+    // and the pairs it reports are real: every found planted pair clears the
+    // cosine threshold by construction of the operator's verify stage
+    assert(found.nonEmpty)
+  }
 }
