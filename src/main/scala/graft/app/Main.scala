@@ -52,8 +52,11 @@ object Main {
       }
     } catch {
       case e: Throwable =>
-        System.err.println(s"[synapse-cdm-stream] failed: ${e.getMessage}")
-        if (isRetryable(e, spec.retryableFailureMessages)) 2 else 1
+        val retryable = isRetryable(e, spec.retryableFailureMessages)
+        graft.pipeline.JsonLog.error("stream_failed",
+          "message" -> e.getMessage, "retryable" -> retryable,
+          "exit_code" -> (if (retryable) 2 else 1))
+        if (retryable) 2 else 1
     }
 
   /** Transient infrastructure failures → exit 2 (K8s restarts the Job, the

@@ -120,8 +120,10 @@ object CdcPipeline {
     if (batchNumber > 0 && batchNumber % m.batchThreshold == 0) {
       table.compact(m.fileSizeThresholdBytes)
       val cutoff = System.currentTimeMillis() - m.snapshotRetentionMs
-      table.expireSnapshots(cutoff)
-      table.removeOrphanFiles(cutoff)
+      val snaps = table.expireSnapshots(cutoff)
+      val orphans = table.removeOrphanFiles(cutoff)
+      JsonLog.info("maintenance_completed", "batch" -> batchNumber,
+        "expired_snapshots" -> snaps.size, "removed_orphans" -> orphans.size)
     }
     if (batchNumber > 0 && batchNumber % m.analyzeBatchThreshold == 0) table.analyze(m.analyzedColumns)
   }
@@ -161,6 +163,10 @@ object CdcPipeline {
 
     Metrics.install(spark, spec.statsdAddress,
       spec.metricTags + ("entity" -> spec.entityName))
+    JsonLog.install(spec.metricTags + ("entity" -> spec.entityName))
+    JsonLog.info("stream_started", "source" -> spec.sourcePath,
+      "target" -> spec.targetLocation, "interval_ms" -> jitteredIntervalMs(spec),
+      "starting_watermark" -> (if (startWm.isEmpty) null else startWm))
 
     val reader = spark.readStream
       .format("synapse-cdm")
@@ -209,7 +215,12 @@ object CdcPipeline {
             val wm = head.getString(1)
             val affected = bucketAgg.map(_ => head.getSeq[Int](2).toSet)
             val staged = stage(raw, typedSchema, spec)
+            val t0 = System.nanoTime()
             Retry(spec.retry) { mergeBatch(table, staged, spec, wm, affected) }
+            JsonLog.info("batch_committed", "batch_id" -> batchId,
+              "rows" -> head.getLong(0), "watermark" -> wm,
+              "affected_buckets" -> affected.map(_.size.toString).getOrElse("all"),
+              "merge_ms" -> (System.nanoTime() - t0) / 1000000L)
             maintenanceTick(table, spec, batchCounter.incrementAndGet())
           }
         } finally raw.unpersist()
@@ -253,5 +264,7 @@ object CdcPipeline {
         table.createOrReplace(live, MergeKey.ColumnName, spec.numBuckets,
           layoutProps(spec) + (SnapshotTable.PropWatermark -> newest))
     }
+    JsonLog.install(spec.metricTags + ("entity" -> spec.entityName))
+    JsonLog.info("backfill_completed", "mode" -> spec.backfillBehavior, "watermark" -> newest)
   }
 }

@@ -56,6 +56,27 @@ class ParitySpec extends SparkSpec {
     emitter.close(); server.close()
   }
 
+  test("structured JSON log lines carry global tags, fields and parse cleanly") {
+    import graft.pipeline.JsonLog
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    JsonLog.install(Map("entity" -> "e1", "stream" -> "s1"), buf += _)
+    try {
+      JsonLog.info("batch_committed", "batch_id" -> 7L, "rows" -> 120L,
+        "watermark" -> "2020-01-01T00.00.00Z", "merge_ms" -> 42L)
+      JsonLog.error("stream_failed", "message" -> "boom \"quoted\"\nline2", "retryable" -> true)
+      assert(buf.size == 2)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n1 = mapper.readTree(buf(0)) // must be valid JSON (collector contract)
+      assert(n1.get("level").asText() == "INFO" && n1.get("event").asText() == "batch_committed")
+      assert(n1.get("tags").get("entity").asText() == "e1")
+      assert(n1.get("rows").asLong() == 120L && n1.get("merge_ms").asLong() == 42L)
+      assert(java.time.Instant.parse(n1.get("ts").asText()) != null)
+      val n2 = mapper.readTree(buf(1)) // quotes/newlines must not break the line
+      assert(n2.get("retryable").asBoolean() && n2.get("message").asText().contains("line2"))
+      assert(!buf(1).contains("\n"), "one event = one line")
+    } finally JsonLog.install(Map.empty)
+  }
+
   test("memory-bound shaper admits at least one but not unbounded folders") {
     val root = tmpDir("shaper-src")
     CdmFixture.initRoot(root)
