@@ -185,7 +185,7 @@ object Similarity {
 
   /** Sample-based centroid bootstrap: take `numLists` deterministic sample
     * vectors as centroids (k-means++ seeding step 1). Good enough to
-    * demonstrate the IVF plumbing; swap in trained centroids at will.
+    * demonstrate the IVF plumbing; [[trainCentroids]] refines them.
     */
   def sampleCentroids(corpus: DataFrame, numLists: Int, idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] =
     corpus
@@ -195,8 +195,68 @@ object Similarity {
       .collect()
       .map(_.getSeq[Double](0).toArray)
 
-  /** IVF top-k: both sides assigned to their nearest centroid list; the
-    * equi-join on list id bounds comparisons to same-list pairs (nprobe=1).
+  /** Distributed spherical k-means for IVF coarse centroids (the training
+    * step the FAISS lineage runs offline). Per iteration: every vector is
+    * assigned to its max-cosine centroid (map-only columnar argmax), then
+    * centroids move to their list's mean direction — `posexplode` →
+    * per-(list, dim) average (hash agg with map-side combine) → ordered
+    * reassembly — and are re-normalized to unit length (the spherical
+    * variant, which makes the cosine objective monotone non-decreasing).
+    * Driver-side state is only the numLists × dim centroid matrix; both
+    * shuffles per iteration are keyed on (list, dim) — corpus-size
+    * independent state, so the same plan trains on 100 TB. Empty lists
+    * keep their previous centroid.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      numLists: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Array[Array[Double]] = {
+    VecDot.ensureRegistered(corpus.sparkSession)
+    var centroids = sampleCentroids(corpus, numLists, idCol, vecCol)
+      .map(Similarity.unit)
+    val v = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    for (_ <- 1 to iters) {
+      val means = v
+        .select(ivfAssign(col("v"), centroids).as("list"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        means.get(i).map(Similarity.unit).getOrElse(old)
+      }
+    }
+    centroids
+  }
+
+  private def unit(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Top-`nprobe` centroid lists by cosine — the IVF multi-probe widening
+    * (nprobe > 1 recovers recall lost at list boundaries at the cost of
+    * scanning nprobe/numLists of the corpus).
+    */
+  def ivfProbes(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (ctr, i) =>
+      struct((call_function("vec_dot", vec, lit(ctr)) /
+        sqrt(call_function("vec_dot", vec, vec))).as("score"), lit(i).as("list"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, math.min(nprobe, centroids.length)),
+      s => s.getField("list"))
+  }
+
+  /** IVF top-k: the corpus is assigned to its single nearest centroid list;
+    * each query probes its `nprobe` nearest lists (nprobe=1 = the classic
+    * coarse quantizer). The equi-join on list id bounds comparisons to
+    * probed-list pairs.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -204,13 +264,14 @@ object Similarity {
       k: Int,
       centroids: Array[Array[Double]],
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      nprobe: Int = 1
   ): DataFrame = {
     VecDot.ensureRegistered(queries.sparkSession)
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"),
-      ivfAssign(col(vecCol), centroids).as("q_list"))
+      explode(ivfProbes(col(vecCol), centroids, nprobe)).as("q_list"))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       norm(col(vecCol)).as("c_norm"),

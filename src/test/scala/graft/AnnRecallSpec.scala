@@ -30,6 +30,42 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.20, s"IVF recall@10 $recall below floor")
   }
 
+  test("IVF multi-probe: nprobe=all equals brute force exactly, nprobe grows recall monotonically") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val queries = emb.where(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val centroids = Similarity.sampleCentroids(emb, numLists = 8)
+    val exactSet = pairs(Similarity.bruteForceTopK(queries, emb, k = 5))
+    def ivf(nprobe: Int) = pairs(Similarity.ivfTopK(queries, emb, k = 5, centroids, nprobe = nprobe))
+    // probing every list scans the whole corpus → must reproduce brute force
+    assert(ivf(8) == exactSet, "nprobe=numLists must equal exact top-k")
+    val r1 = exactSet.count(ivf(1).contains).toDouble / exactSet.size
+    val r4 = exactSet.count(ivf(4).contains).toDouble / exactSet.size
+    assert(r4 >= r1, s"recall must not drop when probing more lists (r1=$r1 r4=$r4)")
+    assert(r4 > r1, s"on this corpus widening probes should strictly help (r1=$r1 r4=$r4)")
+  }
+
+  test("spherical k-means training improves (never degrades) the quantizer objective") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    def objective(cs: Array[Array[Double]]): Double = {
+      // mean over the corpus of max-cosine to any centroid — the spherical
+      // k-means objective the training loop ascends
+      val best = greatest(cs.map(c =>
+        call_function("vec_dot", col("embedding"), lit(c)) /
+          (sqrt(call_function("vec_dot", col("embedding"), col("embedding"))) *
+            math.sqrt(c.map(x => x * x).sum))): _*)
+      emb.select(avg(best)).head().getDouble(0)
+    }
+    graft.sql.GraftExtensions.ensureRegistered(spark)
+    val seeded = Similarity.sampleCentroids(emb, numLists = 8)
+    val trained = Similarity.trainCentroids(emb, numLists = 8, iters = 3)
+    val (o0, o1) = (objective(seeded), objective(trained))
+    assert(o1 >= o0 - 1e-9, s"training must not degrade the objective ($o0 -> $o1)")
+    assert(o1 > o0 + 1e-4, s"three Lloyd iterations should measurably improve a sampled seed ($o0 -> $o1)")
+  }
+
   test("lshNearDupPairs recovers ε-noised (non-identical) planted near-dups above floor") {
     // The q_embedding_near_dup_lsh gate plants EXACT copies (recall 1.0 by
     // construction — identical sign pattern). This spec plants genuinely
