@@ -398,6 +398,52 @@ object SparkEntry {
         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Decontamination: the benchmark is every 50th doc's text (planted
+    // eval-set leak); a doc is contaminated iff it shares any word 8-gram
+    // with the benchmark. Same shingling CASE as the near-dup oracle.
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_distinct([array_to_string(tk[i:i+7], ' ') for i in range(1, len(tk) - 6)])
+        |    END AS s
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0)),
+        |hits AS (
+        |  SELECT doc_id, count(DISTINCT g) AS n_overlaps
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) x JOIN bench USING (g)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n_overlaps, 0) AS n_overlaps,
+        |  coalesce(h.n_overlaps, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Repetition ratio over NON-distinct 2-grams (every occurrence kept):
+    // 1 − distinct/total, 0 for empty docs. int/int division in double on
+    // both engines → bit-exact.
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |      ELSE [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |    END AS gs
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN len(gs) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE) END AS rep_ratio,
+        |  len(gs) AS n_ngrams
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "q_ann_brute_force" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT query_id, neighbor_id FROM (

@@ -41,16 +41,26 @@ object Main {
     * exit — testable in-JVM: returns the exit code the process would use
     * (0 success, 2 retryable failure, 1 fatal).
     */
-  private[graft] def run(spark: SparkSession, spec: StreamSpec): Int =
+  private[graft] def run(spark: SparkSession, spec: StreamSpec): Int = {
+    // Set by the SIGTERM hook BEFORE query.stop(): when the stop races an
+    // in-flight micro-batch, Spark surfaces the cancelled batch as a
+    // StreamingQueryException — that is a GRACEFUL stop (the uncommitted
+    // batch replays from the checkpoint on restart; the merge is
+    // idempotent), not a stream failure.
+    val stopping = new java.util.concurrent.atomic.AtomicBoolean(false)
     try {
       if (spec.backfill) { CdcPipeline.runBackfill(spark, spec); 0 }
       else {
         val query = CdcPipeline.startStream(spark, spec)
-        sys.addShutdownHook { if (query.isActive) query.stop() }
+        sys.addShutdownHook { stopping.set(true); if (query.isActive) query.stop() }
         query.awaitTermination()
         0
       }
     } catch {
+      case e: Throwable if stopping.get() =>
+        graft.pipeline.JsonLog.info("stream_stopped",
+          "message" -> e.getMessage, "in_flight_batch_cancelled" -> true)
+        0
       case e: Throwable =>
         val retryable = isRetryable(e, spec.retryableFailureMessages)
         graft.pipeline.JsonLog.error("stream_failed",
@@ -58,6 +68,7 @@ object Main {
           "exit_code" -> (if (retryable) 2 else 1))
         if (retryable) 2 else 1
     }
+  }
 
   /** Transient infrastructure failures → exit 2 (K8s restarts the Job, the
     * reference's StreamFailException convention); logic errors → 1.

@@ -204,6 +204,42 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * `shingleSize`-gram with a benchmark/eval set — the standard
+    * n-gram-overlap decontamination step of LLM training pipelines (e.g.
+    * 13-gram overlap in GPT-3's appendix; RefinedWeb/FineWeb use similar).
+    * Returns one row per corpus doc: distinct overlapping n-gram count and
+    * the contaminated flag.
+    *
+    * Scale shape: the benchmark side is tiny by nature (an eval set), so
+    * its distinct shingle set is BROADCAST — the corpus is scanned once
+    * map-side, followed by one hash aggregation keyed on doc id (map-side
+    * combine) and a broadcast left join back to the id spine. No
+    * corpus-sized shuffle anywhere.
+    */
+  def contaminationFlags(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      shingleSize: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchTextCol: String = "text"
+  ): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val ids = docs.select(col(idCol).as("id"))
+    val dsh = docs.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleSize)).as("g"))
+    val bsh = benchmark.select(explode(wordShingles(col(benchTextCol), shingleSize)).as("g")).distinct()
+    val hits = dsh.join(broadcast(bsh), Seq("g"))
+      .groupBy(col("id")).agg(countDistinct(col("g")).as("n_overlaps"))
+    ids.join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"),
+        (coalesce(col("n_overlaps"), lit(0L)) > 0).as("contaminated"))
+  }
+
   // ------------------------------------------------------ n-gram Jaccard
 
   /** Exact n-gram Jaccard similarity of two texts (columnar). */

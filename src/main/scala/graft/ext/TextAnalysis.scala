@@ -102,6 +102,32 @@ object TextAnalysis {
     when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** Non-distinct word n-grams (space-joined), the repetition-analysis
+    * input: unlike `word_shingles` (a distinct SET for Jaccard/MinHash),
+    * this keeps every occurrence. Texts shorter than `n` tokens contribute
+    * their whole token string; empty texts an empty list. Pure columnar
+    * (sequence/slice/transform) — codegen-friendly, no UDF.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Repetition ratio: fraction of n-gram occurrences that are repeats of
+    * an earlier occurrence within the same document — the Gopher-rule
+    * family's "repetitious document" quality signal (high ratio = looping
+    * or boilerplate-stuffed text). 0 for empty docs; int/int division in
+    * double, bit-stable across engines.
+    */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val g = wordNgrams(text, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+  }
+
   /** Document fingerprint: digest of the whitespace-normalized, lowercased
     * text — stable across formatting-only edits. Used as the exact-dedup key.
     */

@@ -710,6 +710,30 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination gate: the "benchmark" is every 50th doc's
+    * full text (a planted eval-set leak), the corpus is all documents;
+    * 8-gram overlap flags the leaked docs (and any doc that genuinely
+    * shares an 8-gram with them). Full DuckDB oracle — the same shingling
+    * and overlap count expressed relationally.
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contaminationFlags(docs, docs.where(col("doc_id") % 50 === 0), shingleSize = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-document repetition ratio (Gopher-style quality signal): the
+    * fraction of 2-gram occurrences that repeat within the doc, plus the
+    * occurrence count. Full DuckDB oracle via list comprehension.
+    */
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), n = 2).as("rep_ratio"),
+        size(TextAnalysis.wordNgrams(col("text"), 2)).cast("long").as("n_ngrams"))
+      .orderBy(col("doc_id"))
+
   /** Pivot-style conditional aggregation: per-user event counts by type in
     * one pass (sum of CASE WHEN — the portable PIVOT form).
     */
@@ -862,6 +886,8 @@ object Queries {
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_rolling_hash" -> (qTextRollingHash _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_text_repetition" -> (qTextRepetition _),
     "q_pivot_event_counts" -> (qPivotEventCounts _),
     "q_text_langid" -> (qTextLangId _),
     "q_multimodal_meta" -> (qMultimodalMeta _),

@@ -123,6 +123,29 @@ class ExtOpsSpec extends SparkSpec {
     out.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
   }
 
+  test("decontamination flags docs sharing benchmark n-grams and only those") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely unrelated text about distributed query engines and shuffles"),
+      (3L, "prefix words then the quick brown fox jumps over the lazy dog too")).toDF("doc_id", "text")
+    val benchmark = Seq((99L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val out = Dedup.contaminationFlags(corpus, benchmark, shingleSize = 8)
+      .select("id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && out(3L), "docs containing a benchmark 8-gram must be flagged")
+    assert(!out(2L), "clean doc must not be flagged")
+  }
+
+  test("repetition ratio: looping text scores high, varied text scores 0") {
+    val df = Seq(
+      (1L, "a a a a"),                         // 2-grams: "a a" ×3, 1 distinct → 2/3
+      (2L, "all words here are fully unique"), // no repeated 2-gram → 0
+      (3L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.repetitionRatio(col("text"), 2).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 2.0 / 3.0) < 1e-12)
+    assert(out(2L) === 0.0 && out(3L) === 0.0)
+  }
+
   test("token counts and quality scores are sane") {
     val out = docs.select(
       TextAnalysis.tokenCount(col("text")).as("n"),
