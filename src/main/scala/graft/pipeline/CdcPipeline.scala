@@ -216,7 +216,9 @@ object CdcPipeline {
             val affected = bucketAgg.map(_ => head.getSeq[Int](2).toSet)
             val staged = stage(raw, typedSchema, spec)
             val t0 = System.nanoTime()
-            Retry(spec.retry) { mergeBatch(table, staged, spec, wm, affected) }
+            Retry(spec.retry.forContext(backfill = false)) {
+              mergeBatch(table, staged, spec, wm, affected)
+            }
             JsonLog.info("batch_committed", "batch_id" -> batchId,
               "rows" -> head.getLong(0), "watermark" -> wm,
               "affected_buckets" -> affected.map(_.size.toString).getOrElse("all"),
@@ -254,15 +256,21 @@ object CdcPipeline {
 
     val staged = stage(raw, typedSchema, spec)
     val table = SnapshotTable(spark, spec.targetLocation)
-    spec.backfillBehavior.toLowerCase match {
-      case "merge" if table.exists =>
-        reconcileSchema(table, staged.schema, spec)
-        table.merge(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
-          Map(SnapshotTable.PropWatermark -> newest))
-      case _ =>
-        val live = staged.where(!coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false)))
-        table.createOrReplace(live, MergeKey.ColumnName, spec.numBuckets,
-          layoutProps(spec) + (SnapshotTable.PropWatermark -> newest))
+    // A27 retry covers backfill completion too (mode `backfillOnly` exists
+    // precisely for this: one long job with no streaming checkpoint to
+    // resume from, so an in-place retry is the only recovery short of a
+    // full re-run).
+    Retry(spec.retry.forContext(backfill = true)) {
+      spec.backfillBehavior.toLowerCase match {
+        case "merge" if table.exists =>
+          reconcileSchema(table, staged.schema, spec)
+          table.merge(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
+            Map(SnapshotTable.PropWatermark -> newest))
+        case _ =>
+          val live = staged.where(!coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false)))
+          table.createOrReplace(live, MergeKey.ColumnName, spec.numBuckets,
+            layoutProps(spec) + (SnapshotTable.PropWatermark -> newest))
+      }
     }
     JsonLog.install(spec.metricTags + ("entity" -> spec.entityName))
     JsonLog.info("backfill_completed", "mode" -> spec.backfillBehavior, "watermark" -> newest)

@@ -15,10 +15,22 @@ final case class RetryPolicy(
     maxAttempts: Int = 3,
     baseDelayMs: Long = 100,
     scaleFactor: Double = 2.0,
-    retryOnMessageContains: Seq[String] = Seq.empty // empty = retry any exception
+    retryOnMessageContains: Seq[String] = Seq.empty, // empty = retry any exception
+    mode: String = "always"                         // never | always | backfillOnly (CRD beta:265-293)
 ) {
   def shouldRetry(e: Throwable): Boolean =
     retryOnMessageContains.isEmpty || RetryPolicy.messageMatches(e, retryOnMessageContains)
+
+  /** The policy in effect for a given run mode: `never` disables in-place
+    * retry everywhere, `backfillOnly` disables it for streaming merges
+    * (where checkpoint restart-from-last-commit is the recovery story) but
+    * keeps it for backfill (one long job, no checkpoint to resume).
+    */
+  def forContext(backfill: Boolean): RetryPolicy = mode.toLowerCase match {
+    case "never"                        => copy(maxAttempts = 1)
+    case "backfillonly" if !backfill    => copy(maxAttempts = 1)
+    case _                              => this
+  }
 }
 
 object RetryPolicy {

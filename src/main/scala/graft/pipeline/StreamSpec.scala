@@ -141,7 +141,8 @@ object StreamSpec {
             retryOnMessageContains =
               if (q.has("retryOnMessageContains"))
                 q.get("retryOnMessageContains").elements().asScala.map(_.asText()).toSeq
-              else Seq.empty
+              else Seq.empty,
+            mode = if (q.has("mode")) q.get("mode").asText("always") else "always"
           )
         },
       shaper = opt("shaper"),

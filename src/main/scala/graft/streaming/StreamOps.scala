@@ -42,6 +42,27 @@ object StreamOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming exact dedup on the normalized-text fingerprint: keeps the
+    * FIRST occurrence per fingerprint, dropping later duplicates that
+    * arrive within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — the streaming counterpart of
+    * [[graft.ext.Dedup.exact]] for continuous corpus ingestion. Watermark
+    * bounds the dedup state store: at 100 TB/day the state holds only
+    * fingerprints newer than the delay, instead of growing without bound
+    * the way plain `dropDuplicates` state would.
+    */
+  def dedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      textCol: String = "text"
+  ): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("_fp", graft.ext.TextAnalysis.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Session-window aggregation (built-in `session_window`, gap-based close;
     * watermark required so closed sessions can be finalized and state
     * evicted).

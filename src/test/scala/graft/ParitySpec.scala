@@ -39,6 +39,27 @@ class ParitySpec extends SparkSpec {
     assert(calls3 == 3) // exhausted attempts
   }
 
+  test("retry modes: never disables everywhere, backfillOnly only for backfill") {
+    val policy = RetryPolicy(maxAttempts = 3, baseDelayMs = 1, mode = "never")
+    var n1 = 0
+    intercept[RuntimeException] {
+      Retry(policy.forContext(backfill = true)) { n1 += 1; throw new RuntimeException("boom") }
+    }
+    assert(n1 == 1, "mode=never must not retry even for backfill")
+
+    val bf = RetryPolicy(maxAttempts = 3, baseDelayMs = 1, mode = "backfillOnly")
+    var n2 = 0
+    intercept[RuntimeException] {
+      Retry(bf.forContext(backfill = false)) { n2 += 1; throw new RuntimeException("boom") }
+    }
+    assert(n2 == 1, "backfillOnly must not retry streaming merges")
+    var n3 = 0
+    val out = Retry(bf.forContext(backfill = true)) {
+      n3 += 1; if (n3 < 3) throw new RuntimeException("boom"); "ok"
+    }
+    assert(out == "ok" && n3 == 3, "backfillOnly must retry backfill")
+  }
+
   test("statsd emitter sends DogStatsD datagrams with tags") {
     val server = new DatagramSocket(0)
     server.setSoTimeout(5000)

@@ -15,6 +15,27 @@ class StreamOpsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("streaming dedup keeps first occurrence per fingerprint within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamOps.dedupStream(docs, "ts", watermarkDelay = "10 minutes")
+
+    val q = out.writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "hello   world"),
+        (ts("2024-01-01 10:01:00"), 2L, "Hello World"),   // same fingerprint as doc 1
+        (ts("2024-01-01 10:02:00"), 3L, "different doc"))
+      q.processAllAvailable()
+      // later batch: another duplicate inside the watermark horizon → dropped
+      input.addData((ts("2024-01-01 10:03:00"), 4L, "hello world"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"expected first occurrences only, got $ids")
+    } finally q.stop()
+  }
+
   test("tumbling window agg over a stream emits finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
