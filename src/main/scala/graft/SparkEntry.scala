@@ -259,6 +259,20 @@ object SparkEntry {
         |    FROM events) t1) t2
         |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
 
+    // Funnel interval self-join: click → purchase by the same user within
+    // 30 minutes; latency summed in exact integer microseconds (Spark
+    // reads the nanos column truncated to micros; the generator emits
+    // micro-precision timestamps, so the truncation is lossless).
+    "q_events_funnel" ->
+      """WITH f AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |t AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT f.user_id, date_diff('microsecond', f.ts, t.ts) AS lat
+        |  FROM f JOIN t ON f.user_id = t.user_id
+        |    AND t.ts > f.ts AND t.ts <= f.ts + INTERVAL 30 MINUTE)
+        |SELECT user_id, COUNT(*) AS n_funnels, CAST(SUM(lat) AS BIGINT) AS sum_latency_us
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_cdc_latest" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

@@ -734,6 +734,23 @@ object Queries {
         size(TextAnalysis.wordNgrams(col("text"), 2)).cast("long").as("n_ngrams"))
       .orderBy(col("doc_id"))
 
+  /** Conversion funnel over the events stream: click → purchase by the
+    * same user within 30 minutes, aggregated per user (pair count + total
+    * conversion latency in exact integer microseconds — no float risk).
+    * Runs through [[graft.streaming.StreamOps.funnelPairs]], the same
+    * operator the stream-stream interval join uses, exercising Spark's
+    * unified batch semantics. Full DuckDB oracle.
+    */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.funnelPairs(
+      events(spark, dir), fromType = "click", toType = "purchase",
+      maxSpan = "30 minutes", watermarkDelay = "1 hour")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_funnels"),
+        sum(unix_micros(col("to_ts")) - unix_micros(col("from_ts"))).as("sum_latency_us"))
+      .orderBy(col("user_id"))
+
   /** Pivot-style conditional aggregation: per-user event counts by type in
     * one pass (sum of CASE WHEN — the portable PIVOT form).
     */
@@ -862,6 +879,7 @@ object Queries {
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_sessionize" -> (qEventsSessionize _),
+    "q_events_funnel" -> (qEventsFunnel _),
     "q_cdc_latest" -> (qCdcLatest _),
     "q_cdc_merge" -> (qCdcMerge _),
     "q_cdc_pipeline_e2e" -> (qCdcPipelineE2e _),

@@ -63,6 +63,41 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Conversion-funnel pairs via an interval self-join: every `fromType`
+    * event joined to the same user's `toType` events that land strictly
+    * after it and within `maxSpan`. Works identically on batch frames
+    * (watermark is a no-op) and as a STREAM-STREAM interval join: the time
+    * bound plus per-side watermarks let Spark evict join state older than
+    * `watermarkDelay + maxSpan`, so state is O(recent events), not
+    * O(history). The join shuffles both sides on the user key once — the
+    * standard distributed funnel plan; the range predicate is evaluated
+    * post-match inside the same exchange.
+    */
+  def funnelPairs(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      maxSpan: String,
+      watermarkDelay: String,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    val from = events.where(col(typeCol) === fromType)
+      .select(col(userCol).as("_fuser"), col(idCol).as("from_id"), col(tsCol).as("from_ts"))
+      .withWatermark("from_ts", watermarkDelay)
+    val to = events.where(col(typeCol) === toType)
+      .select(col(userCol).as("_tuser"), col(idCol).as("to_id"), col(tsCol).as("to_ts"))
+      .withWatermark("to_ts", watermarkDelay)
+    from.join(to,
+        col("_fuser") === col("_tuser") &&
+          col("to_ts") > col("from_ts") &&
+          col("to_ts") <= col("from_ts") + expr(s"INTERVAL $maxSpan"))
+      .select(col("_fuser").as(userCol), col("from_id"), col("to_id"),
+        col("from_ts"), col("to_ts"))
+  }
+
   /** Session-window aggregation (built-in `session_window`, gap-based close;
     * watermark required so closed sessions can be finalized and state
     * evicted).

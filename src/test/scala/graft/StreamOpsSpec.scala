@@ -36,6 +36,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel interval join emits in-window pairs stream-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, String)]
+    val ev = input.toDF().toDF("ts", "event_id", "user_id", "event_type")
+    val out = StreamOps.funnelPairs(ev, fromType = "click", toType = "purchase",
+      maxSpan = "30 minutes", watermarkDelay = "10 minutes")
+
+    val q = out.writeStream.format("memory").queryName("funnel").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 7L, "click"),
+        (ts("2024-01-01 10:10:00"), 2L, 7L, "purchase"), // in window → pair
+        (ts("2024-01-01 11:30:00"), 3L, 7L, "purchase"), // 90 min later → out of window
+        (ts("2024-01-01 10:05:00"), 4L, 8L, "purchase")) // no prior click
+      q.processAllAvailable()
+      val pairs = spark.table("funnel")
+        .select("user_id", "from_id", "to_id").as[(Long, Long, Long)].collect().toSet
+      assert(pairs == Set((7L, 1L, 2L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("tumbling window agg over a stream emits finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
