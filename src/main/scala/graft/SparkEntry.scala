@@ -599,6 +599,14 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Stratified rebalancing: per-label keep rates over the same
+    // multiplicative hash (en 30%, fr 50%, everything else kept whole).
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |  CASE WHEN lang = 'en' THEN 300 WHEN lang = 'fr' THEN 500 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,

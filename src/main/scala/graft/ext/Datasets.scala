@@ -42,4 +42,26 @@ object Datasets {
     */
   def hashSample(df: DataFrame, permille: Int, idCol: String = "doc_id"): DataFrame =
     df.where(permilleBucket(col(idCol)) < permille)
+
+  /** Stratified deterministic sampling: a per-label keep rate (per mille),
+    * labels absent from `rates` keep `defaultPermille` — the standard
+    * corpus-rebalancing step (e.g. downsample the dominant language,
+    * keep the tail whole). Same multiplicative-hash basis as
+    * [[hashSample]]: per-label selections are NESTED as the rate grows
+    * (raising one label's rate only adds rows), and assignment stays a
+    * pure per-row function — map-only, no shuffle, engine- and
+    * partitioning-independent.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      rates: Map[String, Int],
+      labelCol: String = "lang",
+      idCol: String = "doc_id",
+      defaultPermille: Int = 1000
+  ): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPermille).cast("long")) {
+      case (acc, (label, p)) => when(col(labelCol) === label, lit(p.toLong)).otherwise(acc)
+    }
+    df.where(permilleBucket(col(idCol)) < rate)
+  }
 }

@@ -734,6 +734,17 @@ object Queries {
         size(TextAnalysis.wordNgrams(col("text"), 2)).cast("long").as("n_ngrams"))
       .orderBy(col("doc_id"))
 
+  /** Stratified rebalancing gate: downsample English to 30%, French to
+    * 50%, keep every other language whole — per-label deterministic hash
+    * sampling, the corpus-rebalancing step of multilingual training
+    * pipelines. Full DuckDB oracle (same multiplicative hash + CASE).
+    */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Datasets.stratifiedSample(
+      t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      rates = Map("en" -> 300, "fr" -> 500))
+      .orderBy(col("doc_id"))
+
   /** Conversion funnel over the events stream: click → purchase by the
     * same user within 30 minutes, aggregated per user (pair count + total
     * conversion latency in exact integer microseconds — no float risk).
@@ -898,6 +909,7 @@ object Queries {
     "q_boilerplate_ngrams" -> (qBoilerplateNgrams _),
     "q_text_redact_pii" -> (qTextRedactPii _),
     "q_dataset_split" -> (qDatasetSplit _),
+    "q_stratified_sample" -> (qStratifiedSample _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_text_tokens" -> (qTextTokens _),

@@ -170,6 +170,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(s100.subsetOf(s300) && s100.nonEmpty && s300.size < s1.size)
   }
 
+  test("stratified sampling hits per-label rates and nests as rates grow") {
+    val labeled = docs.select(col("doc_id"), col("lang"))
+    val sampled = Datasets.stratifiedSample(labeled, Map("en" -> 300, "fr" -> 500))
+    val kept = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = labeled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("en").toDouble / total("en") - 0.3) < 0.12, s"en rate ${kept("en")}/${total("en")}")
+    assert(kept.view.filterKeys(k => k != "en" && k != "fr").toMap ==
+      total.view.filterKeys(k => k != "en" && k != "fr").toMap, "unlisted labels kept whole")
+    // nesting: raising a label's rate only ADDS rows
+    val wider = Datasets.stratifiedSample(labeled, Map("en" -> 600, "fr" -> 500))
+      .select("doc_id").as[Long].collect().toSet
+    val narrow = sampled.select("doc_id").as[Long].collect().toSet
+    assert(narrow.subsetOf(wider))
+  }
+
   test("multimodal stub decode is deterministic and partition-parallel") {
     val media = docs.limit(50).withColumn("content", col("text").cast("binary")).repartition(4)
     val f1 = Multimodal.imageFeatures(media, "doc_id", "content").orderBy("id").collect()
