@@ -599,6 +599,35 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // End-to-end corpus curation: quality ≥ 0.72 → fingerprint-dedup
+    // winner → split assignment → per-(split, lang) counts. Composes the
+    // q_text_quality, q_dedup_exact and q_dataset_split oracle fragments.
+    "q_corpus_curation" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    (least(CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) / 50.0, 1.0)
+        |     + (1.0 - least(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END * 5.0, 1.0))
+        |     + least(CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |         x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','this','by','at','be','are'], x))) AS DOUBLE)
+        |         / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END * 4.0, 1.0)) / 3.0 AS score
+        |  FROM documents),
+        |kept AS (SELECT doc_id, lang, text FROM q WHERE score >= 0.72),
+        |dedup AS (
+        |  SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang,
+        |      row_number() OVER (
+        |        PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |        ORDER BY doc_id) AS rn
+        |    FROM kept) t WHERE rn = 1),
+        |assigned AS (
+        |  SELECT lang,
+        |    CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM dedup)
+        |SELECT split, lang, COUNT(*) AS n_docs
+        |FROM assigned GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
     // Stratified rebalancing: per-label keep rates over the same
     // multiplicative hash (en 30%, fr 50%, everything else kept whole).
     "q_stratified_sample" ->

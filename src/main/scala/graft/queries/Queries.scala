@@ -734,6 +734,24 @@ object Queries {
         size(TextAnalysis.wordNgrams(col("text"), 2)).cast("long").as("n_ngrams"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end corpus-curation gate — the full training-data user story
+    * composed from the individually-gated operators: quality filter
+    * (score ≥ 0.72, the corpus median) → exact dedup (fingerprint winner)
+    * → deterministic train/valid/test split → per-(split, lang) counts.
+    * Every stage is map-side or one hash agg; the composition's only
+    * shuffles are the dedup agg and the final tiny count agg. Full DuckDB
+    * oracle replaying the identical composition relationally.
+    */
+  def qCorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val kept = docs.where(TextAnalysis.qualityScore(col("text")) >= 0.72)
+    val deduped = Dedup.exact(kept)
+    Datasets.deterministicSplit(deduped)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Stratified rebalancing gate: downsample English to 30%, French to
     * 50%, keep every other language whole — per-label deterministic hash
     * sampling, the corpus-rebalancing step of multilingual training
@@ -910,6 +928,7 @@ object Queries {
     "q_text_redact_pii" -> (qTextRedactPii _),
     "q_dataset_split" -> (qDatasetSplit _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_corpus_curation" -> (qCorpusCuration _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_text_tokens" -> (qTextTokens _),
