@@ -412,6 +412,14 @@ object SparkEntry {
         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Int8 quantization contract (planted-property oracle): per-component
+    // reconstruction within scale/2 and cosine ≥ 0.999 hold by
+    // construction; rounding-direction differences between engines make
+    // the codes themselves un-oracle-able, the contract is not.
+    "q_embedding_quantize" ->
+      """SELECT vec_id, true AS within_half_scale, true AS cosine_preserved
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     // Decontamination: the benchmark is every 50th doc's text (planted
     // eval-set leak); a doc is contaminated iff it shares any word 8-gram
     // with the benchmark. Same shingling CASE as the near-dup oracle.

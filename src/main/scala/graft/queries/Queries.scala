@@ -646,6 +646,29 @@ object Queries {
 
   // ------------------------------------------------- text (north star)
 
+  /** Int8 embedding quantization gate (planted-property oracle — rounding
+    * direction differs across engines, so the gate asserts the CONTRACT,
+    * not the codes): per vector, every reconstructed component must lie
+    * within scale/2 of the original, and the reconstruction must keep
+    * cosine ≥ 0.999 with the original (64-dim uniform vectors reconstruct
+    * at ≈ 0.9999). Booleans constant-true by construction → literal-true
+    * oracle; codes themselves are exercised by AnnRecallSpec's quantized
+    * recall floor.
+    */
+  def qEmbeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = Similarity.quantizeInt8(col("embedding"))
+    val dq = Similarity.dequantizeInt8(col("q"))
+    emb.select(col("vec_id"), col("embedding"), q.as("q"))
+      .select(col("vec_id"), col("embedding"), col("q"), dq.as("dq"))
+      .select(
+        col("vec_id"),
+        forall(zip_with(col("embedding").cast("array<double>"), col("dq"),
+          (a, b) => abs(a - b) <= col("q.scale") / 2.0 + lit(1e-9)), x => x).as("within_half_scale"),
+        (Similarity.cosine(col("embedding"), col("dq")) >= 0.999).as("cosine_preserved"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-document top-5 TF-IDF keywords — the two-aggregation distributed
     * tf-idf plan (explode → tf and df hash aggs → vocabulary join → top-k
     * window). Rational idf (tf · N/df) keeps the oracle bit-exact (ln
@@ -923,6 +946,7 @@ object Queries {
     "q_ann_brute_force" -> (qAnnBruteForce _),
     "q_embedding_near_dup" -> (qEmbeddingNearDup _),
     "q_embedding_near_dup_lsh" -> (qEmbeddingNearDupLsh _),
+    "q_embedding_quantize" -> (qEmbeddingQuantize _),
     "q_text_tfidf" -> (qTextTfIdf _),
     "q_boilerplate_ngrams" -> (qBoilerplateNgrams _),
     "q_text_redact_pii" -> (qTextRedactPii _),

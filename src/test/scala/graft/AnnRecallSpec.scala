@@ -66,6 +66,17 @@ class AnnRecallSpec extends SparkSpec {
     assert(o1 > o0 + 1e-4, s"three Lloyd iterations should measurably improve a sampled seed ($o0 -> $o1)")
   }
 
+  test("int8-quantized brute force keeps high top-k agreement with exact") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dq = emb.select(col("vec_id"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("embedding"))
+    val approx = pairs(Similarity.bruteForceTopK(dq.where(col("vec_id") < 50), dq, k = 10))
+    val overlap = exact.count(approx.contains).toDouble / exact.size
+    assert(overlap >= 0.8, s"quantized top-k overlap $overlap below 0.8 — SQ8 should barely move rankings")
+  }
+
   test("lshNearDupPairs recovers ε-noised (non-identical) planted near-dups above floor") {
     // The q_embedding_near_dup_lsh gate plants EXACT copies (recall 1.0 by
     // construction — identical sign pattern). This spec plants genuinely
