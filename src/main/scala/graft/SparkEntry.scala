@@ -331,8 +331,8 @@ object SparkEntry {
     // superseded snapshots excluded, carried (unmerged) buckets included.
     // Correctness runs at sf0.01, hence the pinned path segment.
     "q_export_symlink" ->
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, v, is_del
-        |FROM read_parquet('/tmp/graft-export-gate/sf0.01/export/data/*.parquet')
+      s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, v, is_del
+        |FROM read_parquet('${graft.queries.Queries.ExportGateRoot}/sf0.01/export/data/*.parquet')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_merge_key_projection" ->

@@ -57,7 +57,12 @@ object Main {
         0
       }
     } catch {
-      case e: Throwable if stopping.get() =>
+      // Graceful-stop path: ONLY the cancelled in-flight batch surfacing
+      // through awaitTermination is a clean stop. A genuine merge/commit
+      // failure (or OOM) racing the shutdown hook falls through to the
+      // retryable/fatal classifier below — exiting 0 on it would mask a
+      // real failure as stream_stopped.
+      case e: Throwable if stopping.get() && isCancellation(e) =>
         graft.pipeline.JsonLog.info("stream_stopped",
           "message" -> e.getMessage, "in_flight_batch_cancelled" -> true)
         0
@@ -76,11 +81,25 @@ object Main {
     * message matches the spec's `retryableFailureMessages` substrings (the
     * message-content matcher shared with the in-place query retry).
     */
-  private[graft] def isRetryable(e: Throwable, retryableMessages: Seq[String]): Boolean = {
-    def ioChain(t: Throwable): Boolean = t match {
-      case _: java.io.IOException => true
-      case _ => Option(t.getCause).exists(ioChain)
+  private[graft] def isRetryable(e: Throwable, retryableMessages: Seq[String]): Boolean =
+    graft.pipeline.RetryPolicy.ioChain(e) ||
+      graft.pipeline.RetryPolicy.messageMatches(e, retryableMessages)
+
+  /** True iff the failure is the stop-raced batch cancellation: a
+    * cancellation/interrupt type, or a job-cancelled message, anywhere in
+    * the cause chain. Spark surfaces a stopped in-flight micro-batch as a
+    * StreamingQueryException wrapping a SparkException whose message says
+    * the job was cancelled ("cancelled because SparkContext was shut
+    * down", "Job ... cancelled"); anything else during shutdown is a real
+    * failure.
+    */
+  private[graft] def isCancellation(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { t =>
+      t.isInstanceOf[java.util.concurrent.CancellationException] ||
+        t.isInstanceOf[InterruptedException] ||
+        Option(t.getMessage).exists { m =>
+          val l = m.toLowerCase
+          l.contains("cancel") || l.contains("interrupt")
+        }
     }
-    ioChain(e) || graft.pipeline.RetryPolicy.messageMatches(e, retryableMessages)
-  }
 }

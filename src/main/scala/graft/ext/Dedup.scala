@@ -178,28 +178,41 @@ object Dedup {
   /** SimHash near-duplicate pairs by block-permutation LSH: split each
     * 64-bit hash into 4 16-bit blocks; docs within Hamming distance ≤ 3
     * share at least one exact block (pigeonhole). Join per (block idx,
-    * block value) — shuffle-bounded, no cross join. Skew guard: a block
-    * value shared by more than `maxBucketSize` docs (e.g. every empty doc
-    * simhashes to 0) carries no discriminative signal and would make the
-    * within-bucket pairing quadratic in that one hot bucket; such buckets
-    * are dropped via a count window that reuses the join's own (block)
-    * exchange — same pattern as [[nearDuplicatePairs]].
+    * block value) — shuffle-bounded, no cross join.
+    *
+    * Skew guard: a block value shared by more than `maxBucketSize` docs
+    * (e.g. >10k copies of one boilerplate page, or every empty doc
+    * simhashing to 0) would make the within-bucket pairing quadratic in
+    * that one hot bucket. Hot buckets degrade to LINEAR
+    * representative-vs-rest pairing — the bucket's min-id doc is compared
+    * against every other member — instead of being dropped outright, so
+    * mass duplication (exactly the thing dedup exists to find) still
+    * surfaces as rep→member pairs and duplicate GROUPS are recoverable by
+    * connected components over the output; only member↔member edges
+    * inside a hot bucket are elided. Both the count window and the rep
+    * window reuse the join's own (block) exchange — same pattern as
+    * [[nearDuplicatePairs]].
     */
   def simHashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", maxHamming: Int = 3,
       maxBucketSize: Int = 10000): DataFrame = {
     val sh = simHashes(docs, idCol, textCol)
+    val w = Window.partitionBy(col("block"))
     val blocks = sh.select(
       col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("blk"), shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("blkval"))
       }: _*)).as("block"))
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("block"))))
-      .where(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    val a = blocks.select(col("block"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = blocks.select(col("block"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, a("block") === b("block") && col("id_a") < col("id_b"))
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("rep", min(struct(col("id"), col("simhash"))).over(w))
+    val normal = blocks.where(col("bucket_n") <= maxBucketSize)
+    val a = normal.select(col("block"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = normal.select(col("block"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    val allPairs = a.join(b, a("block") === b("block") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+    val hotPairs = blocks.where(col("bucket_n") > maxBucketSize && col("id") > col("rep.id"))
+      .select(col("rep.id").as("id_a"), col("id").as("id_b"),
+        hammingDistance(col("rep.simhash"), col("simhash")).as("hamming"))
+    allPairs.unionByName(hotPairs)
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -131,17 +131,23 @@ object Similarity {
   /** Embedding near-duplicate pairs at scale: bucket every vector by its
     * LSH sign key and compare only within-bucket pairs — the O(n²/2^planes)
     * scale path for duplicate detection over a whole corpus (the exact
-    * pairwise variant is the bounded-id baseline). Exact duplicates always
-    * share a bucket (identical signs), so recall on true duplicates is 1 by
-    * construction; near-duplicates at very high cosine share it with
-    * probability (1 − θ/π)^planes ≈ 1.
+    * pairwise variant is the bounded-id baseline). Exact duplicates
+    * share a bucket (identical signs), so in an UNGUARDED bucket recall on
+    * true duplicates is 1 by construction; near-duplicates at very high
+    * cosine share it with probability (1 − θ/π)^planes ≈ 1. In a bucket
+    * over `maxBucketSize` the guard below keeps only rep↔member edges, so
+    * the full-recall claim holds bucket-by-bucket only up to the cap —
+    * duplicate GROUPS in hot buckets still surface (via the
+    * representative), member↔member edges there do not.
     *
     * Skew guard: clustered corpora (the norm for embeddings) concentrate
     * mass in few sign buckets, and the within-bucket O(n_b²) pairing then
     * skews onto one straggler task. Buckets larger than `maxBucketSize`
-    * are dropped via a count window over the bucket key — the window's
-    * hash-partitioning on `bucket` is exactly the exchange the self-join
-    * needs, so the guard costs no extra shuffle (the
+    * degrade to LINEAR representative-vs-rest pairing (min-id member vs
+    * each other member) instead of being dropped — mass-duplicated
+    * vectors are exactly the hot buckets, and dropping them would hide
+    * the worst duplication. The count/rep windows reuse the self-join's
+    * own `bucket` exchange, so the guard costs no extra shuffle (the
     * [[graft.ext.Dedup.nearDuplicatePairs]] pattern). At scale, raise
     * `numPlanes` with corpus size so buckets stay under the cap.
     */
@@ -155,17 +161,22 @@ object Similarity {
       maxBucketSize: Int = 10000
   ): DataFrame = {
     VecDot.ensureRegistered(corpus.sparkSession)
+    val w = Window.partitionBy(col("bucket"))
     val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .where(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    val a = b.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val c = b.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(c, Seq("bucket"))
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("rep", min(struct(col("id"), col("v"), col("nrm"))).over(w))
+    val normal = b.where(col("bucket_n") <= maxBucketSize)
+    val a = normal.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val c = normal.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val allPairs = a.join(c, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select(col("id_a"), col("id_b"))
+    val hotPairs = b.where(col("bucket_n") > maxBucketSize && col("id") > col("rep.id"))
+      .where(dot(col("rep.v"), col("v")) / (col("rep.nrm") * col("nrm")) >= threshold)
+      .select(col("rep.id").as("id_a"), col("id").as("id_b"))
+    allPairs.unionByName(hotPairs)
   }
 
   // ------------------------------------------------- int8 quantization

@@ -238,6 +238,11 @@ object CdcPipeline {
     * Spark's partition parallelism plays that role (SURVEY.md §2.A22).
     */
   def runBackfill(spark: SparkSession, spec: StreamSpec): Unit = {
+    // Tags installed FIRST so any emission during the backfill itself —
+    // retry logging, a failure surfacing through Main's stream_failed path —
+    // carries this stream's tags, not empty/stale ones from a previous
+    // stream in the same JVM (same placement as startStream).
+    JsonLog.install(spec.metricTags + ("entity" -> spec.entityName))
     val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info",
       spec.listingRetry)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -272,7 +277,6 @@ object CdcPipeline {
             layoutProps(spec) + (SnapshotTable.PropWatermark -> newest))
       }
     }
-    JsonLog.install(spec.metricTags + ("entity" -> spec.entityName))
     JsonLog.info("backfill_completed", "mode" -> spec.backfillBehavior, "watermark" -> newest)
   }
 }

@@ -16,10 +16,12 @@ final case class RetryPolicy(
     baseDelayMs: Long = 100,
     scaleFactor: Double = 2.0,
     retryOnMessageContains: Seq[String] = Seq.empty, // empty = retry any exception
-    mode: String = "always"                         // never | always | backfillOnly (CRD beta:265-293)
+    mode: String = "always",                        // never | always | backfillOnly (CRD beta:265-293)
+    ioOnly: Boolean = false                         // retry only IOExceptions (listing paths)
 ) {
   def shouldRetry(e: Throwable): Boolean =
-    retryOnMessageContains.isEmpty || RetryPolicy.messageMatches(e, retryOnMessageContains)
+    (!ioOnly || RetryPolicy.ioChain(e)) &&
+      (retryOnMessageContains.isEmpty || RetryPolicy.messageMatches(e, retryOnMessageContains))
 
   /** The policy in effect for a given run mode: `never` disables in-place
     * retry everywhere, `backfillOnly` disables it for streaming merges
@@ -45,6 +47,16 @@ object RetryPolicy {
         .iterate(e)(_.getCause)
         .takeWhile(_ != null)
         .exists(t => Option(t.getMessage).exists(m => needles.exists(m.contains)))
+
+  /** True iff an IOException appears anywhere in the cause chain — the
+    * transient-store signal. Listing retries (`ioOnly = true`) use this so
+    * non-transient failures (malformed changelog, missing model.json, logic
+    * errors) propagate on the first throw instead of burning the backoff
+    * budget; the process exit classifier (Main.isRetryable) shares it.
+    */
+  def ioChain(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .exists(_.isInstanceOf[java.io.IOException])
 }
 
 /** Schema drift under `isUnifiedSchema: true`. An IOException subtype so

@@ -61,11 +61,14 @@ final case class StreamSpec(
 
   /** Retry policy for source-side metadata operations (changelog read,
     * folder/chunk listing, model.json read) — the reference's blob-listing
-    * `httpMaxRetries`/delay knobs. Message-blind: any transient listing
-    * exception retries, the (maxAttempts)-th propagates.
+    * `httpMaxRetries`/delay knobs. IO-only: transient store failures
+    * (IOException in the cause chain) retry with backoff; anything else
+    * (malformed changelog, missing model.json, logic errors) propagates on
+    * the first throw instead of burning the backoff budget.
     */
   def listingRetry: RetryPolicy =
-    RetryPolicy(maxAttempts = math.max(1, httpMaxRetries), baseDelayMs = httpRetryDelayMs)
+    RetryPolicy(maxAttempts = math.max(1, httpMaxRetries), baseDelayMs = httpRetryDelayMs,
+      ioOnly = true)
 }
 
 object StreamSpec {

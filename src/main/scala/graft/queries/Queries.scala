@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Queries {
 
+  /** Root of the export-gate scratch area. ONE pinned literal shared by
+    * [[qExportSymlink]] (which writes `$root/<sf>/export`) and the DuckDB
+    * oracle in [[graft.SparkEntry.oracleSql]] (which reads the exported
+    * parquet by path) — a literal rather than `java.io.tmpdir` so a JVM
+    * launched with `-Djava.io.tmpdir` elsewhere cannot desync the two
+    * sides. The oracle depends on the Spark query having run first in the
+    * same verify pass (it reads the query's side effect); Verify runs
+    * queries before oracles by construction.
+    */
+  val ExportGateRoot = "/tmp/graft-export-gate"
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -425,7 +436,7 @@ object Queries {
   def qExportSymlink(spark: SparkSession, dir: String): DataFrame = {
     import graft.tables.SnapshotTable
     val sfName = new java.io.File(dir).getName
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-export-gate/$sfName"
+    val root = s"${Queries.ExportGateRoot}/$sfName"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val tbl = SnapshotTable(spark, s"$root/table")
     val cust = t(spark, dir, "customer")

@@ -196,7 +196,8 @@ object SynapseCdmLayout {
       throw new IllegalArgumentException("synapse-cdm requires option 'entity'"))
     val retry = graft.pipeline.RetryPolicy(
       maxAttempts = math.max(1, options.getInt("httpMaxRetries", 3)),
-      baseDelayMs = options.getLong("httpRetryDelayMs", 1000L))
+      baseDelayMs = options.getLong("httpRetryDelayMs", 1000L),
+      ioOnly = true)
     SynapseCdmLayout(root, entity,
       Option(options.get("changelogPath")).getOrElse("Changelog/changelog.info"), retry)
   }

@@ -176,6 +176,19 @@ class CoreOpsSpec extends SparkSpec {
     assert(!graft.app.Main.isRetryable(new RuntimeException("boom"), Nil))
   }
 
+  test("graceful-stop guard only recognizes batch cancellation, not real failures") {
+    import graft.app.Main
+    // the shapes Spark produces when stop() races an in-flight micro-batch
+    assert(Main.isCancellation(new RuntimeException(
+      new org.apache.spark.SparkException("Job 7 cancelled because SparkContext was shut down"))))
+    assert(Main.isCancellation(new java.util.concurrent.CancellationException()))
+    assert(Main.isCancellation(new RuntimeException(new InterruptedException())))
+    // a genuine merge/commit failure racing the shutdown hook must NOT
+    // classify as a clean stop (it falls through to exit 1/2)
+    assert(!Main.isCancellation(new RuntimeException("merge failed: duplicate key")))
+    assert(!Main.isCancellation(new RuntimeException(new OutOfMemoryError("java heap space"))))
+  }
+
   // ------------------------------------------------------- field selection
 
   test("field selection rules keep essential fields") {

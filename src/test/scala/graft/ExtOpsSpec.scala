@@ -47,11 +47,12 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall > 0.9, s"LSH recall $recall too low")
   }
 
-  test("simHashPairs skew guard drops degenerate blocks, keeps normal pairs") {
+  test("simHashPairs skew guard: hot buckets degrade to linear rep-vs-rest, normal pairs kept") {
     // 1000 token-identical docs simhash to one value → one hot bucket per
-    // block whose within-bucket pairing is quadratic (≈500k pairs). The
-    // guard must drop those buckets (no signal) while the small-bucket
-    // planted pair still surfaces.
+    // block whose all-pairs comparison would be quadratic (≈500k pairs).
+    // The guard must degrade that bucket to representative-vs-rest (999
+    // rep→member pairs — mass duplication still DETECTED, cost linear)
+    // while the small-bucket planted pair still goes through all-pairs.
     val degenerate = Seq.tabulate(1000)(i => (5000000L + i, "aaa aaa aaa")).toDF("doc_id", "text")
     val normal = Seq(
       (1L, "spark is a distributed engine for large scale data processing workloads"),
@@ -59,11 +60,12 @@ class ExtOpsSpec extends SparkSpec {
     val out = Dedup.simHashPairs(normal.unionByName(degenerate), maxHamming = 3, maxBucketSize = 100)
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(out.contains((1L, 2L)), "small-bucket pair must survive the guard")
-    assert(!out.exists { case (a, b) => a >= 5000000L || b >= 5000000L },
-      s"degenerate-bucket pairs must be dropped, got ${out.length} pairs")
+    val hotPairs = out.filter { case (a, b) => a >= 5000000L || b >= 5000000L }
+    assert(hotPairs.length == 999 && hotPairs.forall(_._1 == 5000000L),
+      s"hot bucket must yield exactly rep-vs-rest (999 pairs from min id), got ${hotPairs.length}")
   }
 
-  test("lshNearDupPairs skew guard drops oversized sign buckets, keeps small-bucket pairs") {
+  test("lshNearDupPairs skew guard: hot sign buckets degrade to rep-vs-rest, small-bucket pairs kept") {
     val dim = 8
     val hot = Seq.tabulate(1000)(i => (100000L + i, Seq.fill(dim)(1.0f))).toDF("vec_id", "embedding")
     val pair = Seq((1L, Seq.fill(dim)(-1.0f)), (2L, Seq.fill(dim)(-1.0f))).toDF("vec_id", "embedding")
@@ -71,8 +73,9 @@ class ExtOpsSpec extends SparkSpec {
         numPlanes = 8, dim = dim, maxBucketSize = 100)
       .as[(Long, Long)].collect()
     assert(out.contains((1L, 2L)), "small-bucket pair must survive the guard")
-    assert(!out.exists { case (a, b) => a >= 100000L || b >= 100000L },
-      s"hot-bucket pairs must be dropped, got ${out.length} pairs")
+    val hotPairs = out.filter { case (a, b) => a >= 100000L || b >= 100000L }
+    assert(hotPairs.length == 999 && hotPairs.forall(_._1 == 100000L),
+      s"hot bucket must yield exactly rep-vs-rest (999 pairs from min id), got ${hotPairs.length}")
   }
 
   test("simhash of near-identical texts has small hamming distance") {

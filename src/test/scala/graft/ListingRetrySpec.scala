@@ -56,4 +56,24 @@ class ListingRetrySpec extends SparkSpec {
     assert(graft.app.Main.isRetryable(e, Seq.empty))
     FlakyFileSystem.failures.set(0)
   }
+
+  test("non-IO failures propagate on the FIRST attempt (no backoff burn)") {
+    // The listing retry is IO-only: a logic error (malformed changelog,
+    // missing model.json) must not consume the retry budget.
+    var attempts = 0
+    val policy = RetryPolicy(maxAttempts = 5, baseDelayMs = 1, ioOnly = true)
+    val e = intercept[IllegalStateException] {
+      graft.pipeline.Retry(policy) { attempts += 1; throw new IllegalStateException("malformed") }
+    }
+    assert(e.getMessage == "malformed")
+    assert(attempts == 1, s"non-IO failure must not retry, saw $attempts attempts")
+    // while a wrapped IOException still retries
+    attempts = 0
+    intercept[RuntimeException] {
+      graft.pipeline.Retry(policy.copy(maxAttempts = 3)) {
+        attempts += 1; throw new RuntimeException(new java.io.IOException("conn reset"))
+      }
+    }
+    assert(attempts == 3, s"IO failure must use the budget, saw $attempts attempts")
+  }
 }
