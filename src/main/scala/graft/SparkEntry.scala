@@ -607,6 +607,74 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Sequence packing: the distributed two-pass prefix sum must equal a
+    // plain ordered window cumsum (exclusive), and pack_id its integer
+    // division by the 2048-token budget. Pure integer arithmetic — exact.
+    "q_doc_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS token_offset
+        |  FROM c)
+        |SELECT doc_id, n_tokens, token_offset,
+        |  token_offset // 2048 AS pack_id
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Cross-document line dedup with two PLANTED boilerplate lines per doc:
+    // first occurrence (min of doc_id·2^20 + pos) survives, later copies
+    // and blank lines are removed, docs reassemble in line order.
+    "q_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'subscribe to our newsletter today'
+        |         || chr(10) || 'all rights reserved example corp' AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(ls))) - 1 AS pos,
+        |    unnest(ls) AS line
+        |  FROM l0),
+        |nz AS (
+        |  SELECT doc_id, pos, line, doc_id * 1048576 + pos AS ord
+        |  FROM lines WHERE len(trim(line)) > 0),
+        |firsts AS (SELECT line, min(ord) AS first_ord FROM nz GROUP BY line),
+        |kept AS (
+        |  SELECT n.doc_id, n.pos, n.line
+        |  FROM nz n JOIN firsts f ON n.line = f.line AND n.ord = f.first_ord),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS kept_lines
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.clean_text, '') AS clean_text,
+        |  coalesce(a.kept_lines, 0) AS kept_lines
+        |FROM d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Weighted corpus mixing: src0 2.3× (2 copies + hash-gated 3rd),
+    // src1 0.4× (hash-gated single copy), default 1× — same multiplicative
+    // hash as q_dataset_split, copies replayed via generate_series.
+    "q_corpus_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source = 'src0'
+        |           THEN 2 + CASE WHEN (doc_id * 2654435761) % 1000 < 300 THEN 1 ELSE 0 END
+        |         WHEN source = 'src1'
+        |           THEN CASE WHEN (doc_id * 2654435761) % 1000 < 400 THEN 1 ELSE 0 END
+        |         ELSE 1 END AS n_copies
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id, source,
+        |    CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
+        |  FROM d WHERE n_copies > 0)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+
     // End-to-end corpus curation: quality ≥ 0.72 → fingerprint-dedup
     // winner → split assignment → per-(split, lang) counts. Composes the
     // q_text_quality, q_dedup_exact and q_dataset_split oracle fragments.

@@ -64,4 +64,104 @@ object Datasets {
     }
     df.where(permilleBucket(col(idCol)) < rate)
   }
+
+  /** Distributed prefix sum of a numeric column in `idCol` order — the
+    * scalable cumulative sum a single `Window.orderBy` (one task holding
+    * the whole corpus) cannot provide. Two passes:
+    *
+    *   1. range-bucket ids into `numRanges` contiguous spans; per-range
+    *      totals are one hash aggregation whose result (≤ numRanges rows)
+    *      is collected and prefix-scanned on the driver — bounded by the
+    *      range count, never by data size;
+    *   2. a per-range window cumsum (partitionBy range, orderBy id — each
+    *      range is one ordinary window partition) plus the broadcast range
+    *      offset.
+    *
+    * The result depends only on the id ordering, not on partitioning or
+    * cluster size. Returns the input plus `<outCol>` = sum of `valueCol`
+    * over all rows with smaller id (exclusive prefix sum).
+    */
+  def prefixSum(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String = "doc_id",
+      outCol: String = "prefix_sum",
+      numRanges: Int = 256
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(0L))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / numRanges + 1)
+    val ranged = df.withColumn("_rg", ((col(idCol).cast("long") - lo) / width).cast("long"))
+    val totals = ranged.groupBy(col("_rg")).agg(sum(col(valueCol)).cast("long").as("_t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (rg, off)) =>
+      when(col("_rg") === rg, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("_rg")).orderBy(col(idCol))
+    ranged
+      .withColumn(outCol,
+        offsetCol + sum(col(valueCol).cast("long")).over(w) - col(valueCol).cast("long"))
+      .drop("_rg")
+  }
+
+  /** Sequence packing for training: assign each document a pack id so
+    * that pack k holds the documents whose cumulative token START offset
+    * (in `idCol` order) falls in `[k·budget, (k+1)·budget)` — the
+    * deterministic block-packing used to cut fixed-length training
+    * sequences from a corpus. Built on [[prefixSum]], so it scales to any
+    * corpus (no single-task global window) and the assignment depends
+    * only on the id order. A document straddling a boundary stays in the
+    * pack its first token falls in (standard block semantics; the
+    * training loader splits residuals).
+    *
+    * Output: id, `n_tokens` (whitespace tokens), `token_offset`
+    * (exclusive prefix sum), `pack_id` (= token_offset div budget).
+    */
+  def packSequences(
+      docs: DataFrame,
+      budgetTokens: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val counted = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    prefixSum(counted, "n_tokens", idCol, "token_offset")
+      .withColumn("pack_id", floor(col("token_offset") / lit(budgetTokens)).cast("long"))
+  }
+
+  /** Weighted corpus mixing — the domain/epoch up- and down-sampling step
+    * of pretraining data assembly: each label gets a target weight w;
+    * every row is emitted `floor(w)` times plus one more with probability
+    * `frac(w)`, decided by the same multiplicative id hash as
+    * [[hashSample]] (deterministic, engine- and partitioning-independent;
+    * w = 0.5 halves a domain, w = 2.3 repeats it 2.3 epochs). Map-side
+    * `explode(sequence(...))` — no shuffle, output scales with Σ w·rows.
+    * Output: input columns plus `copy_idx` (0 until the row's copy count).
+    */
+  def mixCorpus(
+      df: DataFrame,
+      weights: Map[String, Double],
+      labelCol: String = "source",
+      idCol: String = "doc_id",
+      defaultWeight: Double = 1.0
+  ): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
+      "weights must be in [0,100]")
+    def copies(w: Double): Column = {
+      val whole = math.floor(w).toLong
+      val fracPermille = math.round((w - whole) * 1000)
+      lit(whole) + when(permilleBucket(col(idCol)) < fracPermille, 1L).otherwise(0L)
+    }
+    val nCopies = weights.foldLeft(copies(defaultWeight)) {
+      case (acc, (label, w)) => when(col(labelCol) === label, copies(w)).otherwise(acc)
+    }
+    df.withColumn("_n", nCopies)
+      .where(col("_n") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_n")
+  }
 }

@@ -217,6 +217,53 @@ object Dedup {
       .distinct()
   }
 
+  // ---------------------------------------------------- line-level dedup
+
+  /** Cross-document line deduplication — the C4/RefinedWeb boilerplate
+    * cleanup: a line survives only in its FIRST occurrence across the
+    * whole corpus (smallest (doc id, line position)); every later copy of
+    * the same line (navigation chrome, cookie banners, footers) is
+    * removed, and blank lines are dropped. Documents are reassembled from
+    * their surviving lines in original order; a document whose every line
+    * was boilerplate comes back with empty text.
+    *
+    * Scale shape: explode to one row per line, ONE hash aggregation keyed
+    * on the line content to find each line's global first occurrence
+    * (map-side combine carries one candidate per line per partition), an
+    * equi-join back on (line, order key), and a per-document re-aggregation
+    * — shuffles keyed on line text and doc id, cost linear in total line
+    * count, no window over the whole corpus. The order key packs
+    * (id, pos) into one long (pos < 2^20 lines per doc) so first-occurrence
+    * is a single `min`.
+    */
+  def dedupLines(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val PosBits = 20
+    val lines = docs
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .where(length(trim(col("line"))) > 0)
+      .withColumn("ord", shiftleft(col("id").cast("long"), PosBits) + col("pos"))
+    val firsts = lines.groupBy(col("line")).agg(min(col("ord")).as("first_ord"))
+      .withColumnRenamed("line", "first_line")
+    val kept = lines
+      .join(firsts, col("line") === col("first_line") && col("ord") === col("first_ord"))
+      .select(col("id"), col("pos"), col("line"))
+    kept
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))), s => s.getField("line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("kept_lines"))
+      .join(docs.select(col(idCol).as("id")), Seq("id"), "right")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"))
+  }
+
   // ------------------------------------------------- decontamination
 
   /** Benchmark decontamination: flag corpus documents that share any word

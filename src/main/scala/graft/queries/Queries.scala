@@ -872,6 +872,43 @@ object Queries {
     Datasets.deterministicSplit(t(spark, dir, "documents").select(col("doc_id")))
       .orderBy(col("doc_id"))
 
+  /** Sequence packing gate: cumulative whitespace-token offsets in doc_id
+    * order → 2048-token pack ids, via the distributed two-pass prefix sum
+    * ([[graft.ext.Datasets.prefixSum]] — no single-task global window).
+    * Full DuckDB oracle: the same exclusive cumsum as a window sum.
+    */
+  def qDocPack(spark: SparkSession, dir: String): DataFrame =
+    Datasets.packSequences(t(spark, dir, "documents"), budgetTokens = 2048L)
+      .orderBy(col("doc_id"))
+
+  /** Cross-document line dedup gate (C4-style boilerplate removal). Two
+    * boilerplate lines are PLANTED onto every document, so exactly one
+    * document (the smallest doc_id) keeps them and every other loses them
+    * — the dedup path fires on every row, and any naturally repeated
+    * corpus line is removed too. Full DuckDB oracle replays the same
+    * first-occurrence fold relationally.
+    */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val planted = t(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit("\nsubscribe to our newsletter today"),
+        lit("\nall rights reserved example corp")).as("text"))
+    Dedup.dedupLines(planted)
+      .select(col("id").as("doc_id"), col("clean_text"), col("kept_lines"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Weighted corpus-mixing gate: source src0 upsampled 2.3×, src1
+    * downsampled to 0.4×, everything else kept at 1× — deterministic
+    * fractional epochs via the multiplicative id hash. Full DuckDB oracle
+    * (CASE + generate_series replay).
+    */
+  def qCorpusMix(spark: SparkSession, dir: String): DataFrame =
+    Datasets.mixCorpus(
+      t(spark, dir, "documents").select(col("doc_id"), col("source")),
+      weights = Map("src0" -> 2.3, "src1" -> 0.4))
+      .orderBy(col("doc_id"), col("copy_idx"))
+
   // -------------------------------------------- multimodal (north star)
 
   /** Binary transport + metadata: text bytes as the opaque payload. */
@@ -962,6 +999,9 @@ object Queries {
     "q_boilerplate_ngrams" -> (qBoilerplateNgrams _),
     "q_text_redact_pii" -> (qTextRedactPii _),
     "q_dataset_split" -> (qDatasetSplit _),
+    "q_doc_pack" -> (qDocPack _),
+    "q_line_dedup" -> (qLineDedup _),
+    "q_corpus_mix" -> (qCorpusMix _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_corpus_curation" -> (qCorpusCuration _),
     "q_ann_lsh" -> (qAnnLsh _),

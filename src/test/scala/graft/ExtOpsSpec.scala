@@ -78,6 +78,65 @@ class ExtOpsSpec extends SparkSpec {
       s"hot bucket must yield exactly rep-vs-rest (999 pairs from min id), got ${hotPairs.length}")
   }
 
+  test("prefixSum equals a sequential exclusive scan regardless of range bucketing") {
+    val rows = Seq.tabulate(97)(i => (i * 3L + 5, (i % 7 + 1).toLong)).reverse
+    val df = rows.toDF("doc_id", "v")
+    // tiny numRanges forces multi-range offsets; result must not care
+    val out = Datasets.prefixSum(df, "v", idCol = "doc_id", outCol = "ps", numRanges = 4)
+      .select("doc_id", "ps").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (id, v) =>
+      assert(out(id) == acc, s"prefix at $id: ${out(id)} != $acc"); acc += v
+    }
+  }
+
+  test("packSequences: pack id is the token start offset divided by the budget") {
+    val df = Seq(
+      (1L, "a b c"),        // 3 tokens, offset 0  → pack 0
+      (2L, "d e f g"),      // 4 tokens, offset 3  → pack 0
+      (3L, "h i"),          // 2 tokens, offset 7  → pack 1 (budget 5)
+      (4L, ""),             // 0 tokens, offset 9  → pack 1
+      (5L, "j k l m n o")   // 6 tokens, offset 9  → pack 1 (straddles)
+    ).toDF("doc_id", "text")
+    val out = Datasets.packSequences(df, budgetTokens = 5L)
+      .select("doc_id", "n_tokens", "token_offset", "pack_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 0L, 0L), (2L, 4L, 3L, 0L), (3L, 2L, 7L, 1L),
+      (4L, 0L, 9L, 1L), (5L, 6L, 9L, 1L)))
+  }
+
+  test("dedupLines keeps the global first occurrence and preserves line order") {
+    val df = Seq(
+      (1L, "alpha\nshared footer\nbeta"),
+      (2L, "shared footer\ngamma\n  \ngamma"),
+      (3L, "shared footer")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df).as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("alpha\nshared footer\nbeta", 3L)))
+    // doc 2 loses the footer (doc 1 owns it), keeps gamma once, blank dropped
+    assert(out(2L) == (("gamma", 1L)))
+    // doc 3 was all boilerplate → empty text, zero lines — but the row survives
+    assert(out(3L) == (("", 0L)))
+  }
+
+  test("mixCorpus emits floor(w) copies plus a hash-gated fractional copy") {
+    val df = Seq.tabulate(1000)(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "source")
+    val out = Datasets.mixCorpus(df, Map("a" -> 2.5, "b" -> 0.0))
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect()
+    // b rows vanish entirely
+    assert(out.forall(_._1 % 2 == 0))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // every a row has copies 0,1 and possibly 2; copy_idx is dense from 0
+    assert(byDoc.values.forall(v => v == Seq(0L, 1L) || v == Seq(0L, 1L, 2L)))
+    val frac = byDoc.values.count(_.size == 3).toDouble / byDoc.size
+    assert(math.abs(frac - 0.5) < 0.1, s"fractional copy rate $frac should be ~0.5")
+    // deterministic: same rows again
+    val again = Datasets.mixCorpus(df, Map("a" -> 2.5, "b" -> 0.0))
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("simhash of near-identical texts has small hamming distance") {
     val df = Seq(
       (1L, "spark is a distributed engine for large scale data processing workloads"),
