@@ -339,6 +339,21 @@ object SparkEntry {
       """SELECT event_id, user_id, lower(CAST(user_id AS VARCHAR)) AS arcane_merge_key, event_type
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // As-of join gated by DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    // as-of implementation, so the union-merge window formulation is
+    // checked against another engine's semantics (inclusive ties, latest
+    // right row ≤ left ts, unmatched → NULL).
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.click_id, c.user_id, c.ts AS click_ts, p.purchase_id
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.click_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT doc_id, fingerprint FROM (
         |  SELECT doc_id,

@@ -814,6 +814,28 @@ object Queries {
         sum(unix_micros(col("to_ts")) - unix_micros(col("from_ts"))).as("sum_latency_us"))
       .orderBy(col("user_id"))
 
+  /** Backward as-of join gate: every click picks up the latest purchase
+    * by the same user at-or-before the click — the point-in-time lookup,
+    * via the union-merge [[graft.ops.AsOfJoin]] (one shuffle + one per-key
+    * window; no quadratic range join). Right side is argmax-deduped per
+    * (user, ts) so the match is deterministic. Oracle: DuckDB's NATIVE
+    * `ASOF LEFT JOIN` — an independent engine's own as-of implementation,
+    * not a relational replay of ours.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    graft.ops.AsOfJoin.asOfJoin(clicks, purchases,
+        keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "ts",
+        rightPayloadCols = Seq("purchase_id"))
+      .select(col("click_id"), col("user_id"), col("ts").as("click_ts"), col("purchase_id"))
+      .orderBy(col("click_id"))
+  }
+
   /** Pivot-style conditional aggregation: per-user event counts by type in
     * one pass (sum of CASE WHEN — the portable PIVOT form).
     */
@@ -980,6 +1002,7 @@ object Queries {
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_funnel" -> (qEventsFunnel _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_cdc_latest" -> (qCdcLatest _),
     "q_cdc_merge" -> (qCdcMerge _),
     "q_cdc_pipeline_e2e" -> (qCdcPipelineE2e _),

@@ -228,6 +228,24 @@ class CoreOpsSpec extends SparkSpec {
     assert(!rawKeyBucketsStable(s, Seq("missing"))) // absent column → safe path
   }
 
+  // ---------------------------------------------------------------- as-of
+
+  test("asOfJoin: latest right row at-or-before, inclusive ties, null when none") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "c1"), (1L, 5L, "c2"), (1L, 2L, "c3"), (2L, 7L, "c4"))
+      .toDF("k", "ts", "ev")
+    val right = Seq((1L, 3L, "p-early"), (1L, 10L, "p-tie"), (3L, 1L, "p-other"))
+      .toDF("k", "ts", "state")
+    val out = graft.ops.AsOfJoin.asOfJoin(left, right,
+        keyCols = Seq("k"), leftTsCol = "ts", rightTsCol = "ts",
+        rightPayloadCols = Seq("state"))
+      .select("ev", "state").as[(String, Option[String])].collect().toMap
+    assert(out("c1").contains("p-tie"))    // equal ts matches (inclusive)
+    assert(out("c2").contains("p-early"))  // latest ≤ 5 is ts=3
+    assert(out("c3").isEmpty)              // nothing at-or-before ts=2... ts=3 is after
+    assert(out("c4").isEmpty)              // key 2 has no right rows
+  }
+
   // ---------------------------------------------------------------- dedup
 
   test("latest-version dedup: tombstone with lower version must not shadow") {
