@@ -622,6 +622,70 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Extended window functions: lag/lead/ntile/percent_rank/cume_dist.
+    // Rank ratios are exact integer divisions — engine-stable doubles.
+    "q_window_funcs" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Token commonness: Σ document-frequency over each doc's distinct
+    // tokens; integer-exact with one final double division. Corpus size
+    // comes from a subquery, so the same SQL is valid at any SF.
+    "q_token_rarity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY tok),
+        |per_doc AS (
+        |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |    CAST(sum(df) AS BIGINT) AS df_sum
+        |  FROM pairs p JOIN dft USING (tok) GROUP BY p.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_distinct_tokens, 0) AS n_distinct_tokens,
+        |  coalesce(df_sum, 0) AS df_sum,
+        |  CASE WHEN coalesce(n_distinct_tokens, 0) = 0 THEN 0.0
+        |       ELSE CAST(df_sum AS DOUBLE) /
+        |            CAST(n_distinct_tokens * (SELECT count(*) FROM documents) AS DOUBLE)
+        |  END AS commonness
+        |FROM documents d LEFT JOIN per_doc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Log2-bucketed token-count histogram per language. Bucket boundaries
+    // are powers of two where log2 is IEEE-exact, so floor is stable.
+    "q_token_histogram" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang AS label,
+        |  CAST(floor(log2(CAST(n_tokens AS DOUBLE) + 1.0)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(n_tokens) AS BIGINT) AS min_v,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_v,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_v
+        |FROM c GROUP BY lang, bucket
+        |ORDER BY label, bucket""".stripMargin,
+
+    // Approximate distinct: the exact count is oracle-checked; the HLL++
+    // estimate is engine-specific, so its ≤5% relative-error contract is
+    // the gated value (literal true — any blowout fails the hash compare).
+    "q_approx_distinct" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT lang,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_exact, true AS approx_within_bound
+        |FROM pairs GROUP BY lang ORDER BY lang""".stripMargin,
+
     // Sequence packing: the distributed two-pass prefix sum must equal a
     // plain ordered window cumsum (exclusive), and pack_id its integer
     // division by the 2048-token budget. Pure integer arithmetic — exact.

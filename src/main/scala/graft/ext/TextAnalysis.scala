@@ -176,6 +176,54 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("score"), col("rn").cast("long").as("rn"))
   }
 
+  /** Per-document token commonness/rarity score from corpus document
+    * frequencies — the cheap LM-filtering proxy (CCNet-lineage): documents
+    * whose distinct tokens are mostly corpus-rare score low on commonness
+    * (gibberish, OCR noise), mostly-common score high (boilerplate-ish).
+    * All-integer accumulation (Σ df over the doc's distinct tokens, token
+    * count, corpus size) with ONE final double division — bit-identical
+    * across engines, no transcendental functions.
+    *
+    * Distributed shape: distinct (doc, token) pairs → one hash agg for
+    * per-token df → join back on token (vocabulary-sized right side) →
+    * per-doc sum. Two shuffles keyed on token and doc id, cost linear in
+    * corpus token count. The corpus doc count is the only driver-side
+    * scalar (read from table stats in a real deployment).
+    *
+    * Output: id, `n_distinct_tokens`, `df_sum`, `commonness`
+    * (= df_sum / (n_distinct_tokens · corpusDocs), 0 for empty docs).
+    */
+  def tokenRarity(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val pairs = docs.select(col(idCol).as("id"),
+      explode(graft.ext.Dedup.tokenSet(col(textCol))).as("tok"))
+    val dfTab = pairs.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val perDoc = pairs.join(dfTab, "tok")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_distinct_tokens"), sum(col("df")).as("df_sum"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
+        coalesce(col("df_sum"), lit(0L)).as("df_sum"),
+        when(coalesce(col("n_distinct_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("df_sum").cast("double") /
+            (col("n_distinct_tokens") * lit(n)).cast("double")).as("commonness"))
+  }
+
+  /** Log₂-bucketed histogram of a per-row value, grouped by a label — the
+    * corpus-report primitive (token-length distributions per language,
+    * etc.). Bucket k holds values with floor(log₂(v+1)) = k, so bucket
+    * boundaries are powers of two (log₂ is exact there in IEEE — the floor
+    * is engine-stable). One hash aggregation, map-side combined.
+    */
+  def logHistogram(df: DataFrame, valueCol: Column, labelCol: Column): DataFrame =
+    df.groupBy(labelCol.as("label"),
+        floor(log2(valueCol.cast("double") + 1.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(valueCol).cast("long").as("min_v"),
+        max(valueCol).cast("long").as("max_v"),
+        sum(valueCol).cast("long").as("sum_v"))
+
   /** PII redaction: replace emails, URLs and phone-shaped digit runs with
     * typed placeholder tokens. Columnar regexp_replace chain (codegen'd, no
     * UDF); the patterns use only constructs with identical semantics in

@@ -894,6 +894,63 @@ object Queries {
     Datasets.deterministicSplit(t(spark, dir, "documents").select(col("doc_id")))
       .orderBy(col("doc_id"))
 
+  /** Extended window-function surface: lag/lead, ntile quartiles,
+    * percent_rank and cume_dist per customer order history. All rank-based
+    * values are exact integer ratios (one final division) — bit-stable
+    * across engines; o_orderkey is unique so every window is
+    * deterministic.
+    */
+  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Corpus-commonness scoring gate ([[graft.ext.TextAnalysis.tokenRarity]]):
+    * per-doc Σ df over distinct tokens, integer-exact, one final division.
+    * Full DuckDB oracle (corpus size via subquery — no baked constant).
+    */
+  def qTokenRarity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenRarity(t(spark, dir, "documents"))
+      .select(col("id").as("doc_id"), col("n_distinct_tokens"), col("df_sum"), col("commonness"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-report gate: log₂-bucketed token-count histogram per language
+    * ([[graft.ext.TextAnalysis.logHistogram]]).
+    */
+  def qTokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.logHistogram(
+      t(spark, dir, "documents").select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      valueCol = col("n_tokens"), labelCol = col("lang"))
+      .orderBy(col("label"), col("bucket"))
+
+  /** Approximate-distinct gate: HLL++ (`approx_count_distinct`, rsd 2%)
+    * vs exact per-language distinct token counts. The sketch value is
+    * engine-specific, so the gate asserts the RELATIVE ERROR BOUND (≤ 5%,
+    * 2.5× the configured rsd) as a boolean the oracle states as literal
+    * true, alongside the exact count which IS oracle-checked — the
+    * documented 100 TB path for distinct counting (one pass, bounded
+    * sketch memory, no exact-distinct shuffle).
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), explode(Dedup.tokenSet(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("tok")).as("n_exact"),
+        approx_count_distinct(col("tok"), 0.02).as("n_approx"))
+      .select(col("lang"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact").cast("double") <= 0.05)
+          .as("approx_within_bound"))
+      .orderBy(col("lang"))
+
   /** Sequence packing gate: cumulative whitespace-token offsets in doc_id
     * order → 2048-token pack ids, via the distributed two-pass prefix sum
     * ([[graft.ext.Datasets.prefixSum]] — no single-task global window).
@@ -1022,6 +1079,10 @@ object Queries {
     "q_boilerplate_ngrams" -> (qBoilerplateNgrams _),
     "q_text_redact_pii" -> (qTextRedactPii _),
     "q_dataset_split" -> (qDatasetSplit _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_token_rarity" -> (qTokenRarity _),
+    "q_token_histogram" -> (qTokenHistogram _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_doc_pack" -> (qDocPack _),
     "q_line_dedup" -> (qLineDedup _),
     "q_corpus_mix" -> (qCorpusMix _),
