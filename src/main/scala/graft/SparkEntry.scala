@@ -686,6 +686,42 @@ object SparkEntry {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_exact, true AS approx_within_bound
         |FROM pairs GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // Fixed-size per-group sample: the 20 smallest multiplicative hashes
+    // per language (id tiebreak; the hash is injective so ties can't occur).
+    "q_fixed_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    // Inverted index with a 50-posting skew cap: true df from a full
+    // count, postings = first 50 doc ids per token, CSV-serialized.
+    "q_inverted_index" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT tok, doc_id,
+        |    CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df,
+        |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+        |  FROM pairs)
+        |SELECT tok, max(df) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_csv
+        |FROM r WHERE rn <= 50 GROUP BY tok ORDER BY tok""".stripMargin,
+
+    // Diacritic/whitespace normalization with planted accents on every row
+    // — explicit fold table, no locale-dependent library call.
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    translate(lower(text || '  Résumé  Çédille  ÀÉÎÕÜ niño façade'),
+        |      'áàâäãåéèêëíìîïóòôöõúùûüçñýÿ', 'aaaaaaeeeeiiiiooooouuuucnyy'),
+        |    '\s+', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Sequence packing: the distributed two-pass prefix sum must equal a
     // plain ordered window cumsum (exclusive), and pack_id its integer
     // division by the 2048-token budget. Pure integer arithmetic — exact.

@@ -65,6 +65,28 @@ object Datasets {
     df.where(permilleBucket(col(idCol)) < rate)
   }
 
+  /** Exact-size deterministic per-group sample: the `k` rows of each label
+    * with the smallest multiplicative id hash (id tiebreak — the hash is
+    * injective for ids < 2^32 so ties cannot occur, but belt and braces).
+    * Unlike rate-based [[stratifiedSample]] this carves a FIXED budget per
+    * group (eval slices, per-domain probes) and is nested: k+1 adds one
+    * row. One per-label window over the same exchange a groupBy would
+    * need; groups far larger than k should pre-filter with a permille
+    * rate first (hash monotonicity makes that sound: the k smallest
+    * hashes survive any rate ≥ k/n).
+    */
+  def fixedSizeSample(
+      df: DataFrame,
+      k: Int,
+      labelCol: String = "lang",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hk = pmod(col(idCol) * GoldenRatioHash, lit(4294967296L))
+    val w = Window.partitionBy(col(labelCol)).orderBy(hk, col(idCol))
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
   /** Distributed prefix sum of a numeric column in `idCol` order — the
     * scalable cumulative sum a single `Window.orderBy` (one task holding
     * the whole corpus) cannot provide. Two passes:

@@ -210,6 +210,44 @@ object TextAnalysis {
             (col("n_distinct_tokens") * lit(n)).cast("double")).as("commonness"))
   }
 
+  /** Inverted-index build: token → (document frequency, posting list of
+    * the first `maxPostings` doc ids) — the search/retrieval-index step
+    * over a corpus. Skew-safe by construction: the posting list is capped
+    * BEFORE aggregation by a per-token row_number window (smallest ids
+    * win, deterministic), so a stop-word's collect buffer holds at most
+    * `maxPostings` ids instead of the whole corpus; the true document
+    * frequency is still reported (count window over the same exchange the
+    * ranking needs — one shuffle keyed on token total).
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      maxPostings: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("tok"))
+    val pairs = docs.select(col(idCol).as("id"),
+      explode(graft.ext.Dedup.tokenSet(col(textCol))).as("tok"))
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("_rn", row_number().over(w.orderBy(col("id"))))
+      .where(col("_rn") <= maxPostings)
+    pairs.groupBy(col("tok"))
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(col("id"))).as("postings"))
+  }
+
+  /** Charset/diacritic normalization before fingerprinting and dedup:
+    * lowercase, fold common Latin diacritics to ASCII, collapse whitespace
+    * runs, trim. Pure columnar translate/regexp chain — map-only,
+    * codegen'd, and expressible identically in any engine (the fold table
+    * is explicit, no locale-dependent library call).
+    */
+  val DiacriticsFrom = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"
+  val DiacriticsTo = "aaaaaaeeeeiiiiooooouuuucnyy"
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(translate(lower(text), DiacriticsFrom, DiacriticsTo), "\\s+", " "))
+
   /** Log₂-bucketed histogram of a per-row value, grouped by a label — the
     * corpus-report primitive (token-length distributions per language,
     * etc.). Bucket k holds values with floor(log₂(v+1)) = k, so bucket

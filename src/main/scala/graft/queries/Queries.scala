@@ -951,6 +951,37 @@ object Queries {
           .as("approx_within_bound"))
       .orderBy(col("lang"))
 
+  /** Fixed-size per-group sampling gate: exactly 20 docs per language by
+    * smallest multiplicative id hash ([[graft.ext.Datasets.fixedSizeSample]]).
+    */
+  def qFixedSample(spark: SparkSession, dir: String): DataFrame =
+    Datasets.fixedSizeSample(
+      t(spark, dir, "documents").select(col("doc_id"), col("lang")), k = 20)
+      .orderBy(col("lang"), col("doc_id"))
+
+  /** Inverted-index gate ([[graft.ext.TextAnalysis.invertedIndex]]) with a
+    * LOW posting cap (50) so the skew guard fires on the corpus's common
+    * tokens: true document frequency plus the first-50-ids posting list
+    * (serialized to CSV — engine-portable compare).
+    */
+  def qInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(t(spark, dir, "documents"), maxPostings = 50)
+      .select(col("tok"), col("df"),
+        concat_ws(",", col("postings").cast("array<string>")).as("postings_csv"))
+      .orderBy(col("tok"))
+
+  /** Charset/diacritic normalization gate with planted accented text on
+    * every row ([[graft.ext.TextAnalysis.normalizeText]]): lowercase,
+    * fold diacritics, collapse whitespace — the cleanup pass that runs
+    * before fingerprint dedup.
+    */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.normalizeText(
+          concat(col("text"), lit("  Résumé  Çédille  ÀÉÎÕÜ niño façade"))).as("norm_text"))
+      .orderBy(col("doc_id"))
+
   /** Sequence packing gate: cumulative whitespace-token offsets in doc_id
     * order → 2048-token pack ids, via the distributed two-pass prefix sum
     * ([[graft.ext.Datasets.prefixSum]] — no single-task global window).
@@ -1080,6 +1111,9 @@ object Queries {
     "q_text_redact_pii" -> (qTextRedactPii _),
     "q_dataset_split" -> (qDatasetSplit _),
     "q_window_funcs" -> (qWindowFuncs _),
+    "q_fixed_sample" -> (qFixedSample _),
+    "q_inverted_index" -> (qInvertedIndex _),
+    "q_text_normalize" -> (qTextNormalize _),
     "q_token_rarity" -> (qTokenRarity _),
     "q_token_histogram" -> (qTokenHistogram _),
     "q_approx_distinct" -> (qApproxDistinct _),

@@ -137,6 +137,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("fixedSizeSample carves exactly k per group and nests as k grows") {
+    val df = Seq.tabulate(300)(i => (i.toLong, s"l${i % 3}")).toDF("doc_id", "lang")
+    val k5 = Datasets.fixedSizeSample(df, 5).select("doc_id").as[Long].collect().toSet
+    val k6 = Datasets.fixedSizeSample(df, 6).select("doc_id").as[Long].collect().toSet
+    assert(k5.size == 15 && k6.size == 18)
+    assert(k5.subsetOf(k6), "samples must nest as k grows")
+  }
+
+  test("invertedIndex caps postings at maxPostings but reports true df") {
+    val df = Seq.tabulate(30)(i => (i.toLong, "common tok" + (i % 10))).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(df, maxPostings = 4)
+      .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("common") == ((30L, Seq(0L, 1L, 2L, 3L))), "df true, postings capped to smallest ids")
+    assert(out("tok0") == ((3L, Seq(0L, 10L, 20L))))
+  }
+
+  test("normalizeText folds diacritics and collapses whitespace") {
+    val df = Seq((1L, "  Über\tCafé   RÉSUMÉ  niño ")).toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.normalizeText(col("text"))).as[String].head()
+    assert(out == "uber cafe resume nino")
+  }
+
   test("simhash of near-identical texts has small hamming distance") {
     val df = Seq(
       (1L, "spark is a distributed engine for large scale data processing workloads"),
