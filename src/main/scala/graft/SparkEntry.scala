@@ -339,6 +339,21 @@ object SparkEntry {
       """SELECT event_id, user_id, lower(CAST(user_id AS VARCHAR)) AS arcane_merge_key, event_type
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // Bloom pre-filter changes only the physical shape — oracle is the
+    // plain semi join.
+    "q_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Salting preserves join multiplicity exactly — oracle is the plain
+    // inner join.
+    "q_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
     // As-of join gated by DuckDB's NATIVE ASOF LEFT JOIN — an independent
     // as-of implementation, so the union-merge window formulation is
     // checked against another engine's semantics (inclusive ties, latest
@@ -538,6 +553,29 @@ object SparkEntry {
         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
         |  FROM assign q JOIN assign c ON q.list = c.list AND q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 50)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // IVF multi-probe (nprobe=2): queries take their TWO nearest centroid
+    // lists (score DESC, list DESC — the engine's tie order), corpus stays
+    // single-list; otherwise the q_ann_ivf replay.
+    "q_ann_ivf_mp" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS list, v AS cv FROM e WHERE vec_id < 8),
+        |ranked AS (
+        |  SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, c.list,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)) DESC, c.list DESC) AS rn
+        |  FROM e, cents c),
+        |assign AS (SELECT vec_id, v, nrm, list FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id, v, nrm, list FROM ranked WHERE rn <= 2 AND vec_id < 50),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
+        |  FROM probes q JOIN assign c ON q.list = c.list AND q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id FROM (
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join patterns for the 100 TB regime. Results are EXACTLY the plain
+  * join's — these operators change the physical shape (what gets shuffled,
+  * how skew spreads), never the answer, so both are gate-able against a
+  * vanilla SQL oracle.
+  */
+object JoinOps {
+
+  /** Bloom-pre-filtered left-semi join: build a Bloom filter over the
+    * small side's keys (one aggregation row), broadcast it, and drop
+    * non-matching large-side rows BEFORE the exact semi join — so the
+    * shuffle (or even the scan output, once pushed) carries only probable
+    * matches. This is the runtime-filter pattern Spark's AQE injects for
+    * selective joins, exposed as an explicit operator: at 100 TB the
+    * large side is scanned once map-side against ~MBs of bloom bits, and
+    * the exact semi join then works on the surviving fraction. No false
+    * negatives (Bloom property) + exact finish ⇒ result ≡ plain semi
+    * join; false positives only cost work.
+    */
+  def bloomSemiJoin(
+      large: DataFrame,
+      small: DataFrame,
+      largeKey: String,
+      smallKey: String,
+      expectedItems: Long = 1000000L
+  ): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(large.sparkSession)
+    // might_contain requires a CONSTANT bloom binary, so the filter is
+    // materialized on the driver — the same shape as Spark's own runtime
+    // filter (aggregate the build side, broadcast the bits). Size is
+    // bounded by numBits/8 (≤ 8 MiB at the 64M-bit cap), independent of
+    // the build side's row count.
+    val bf = small.agg(
+      call_function("bloom_agg", xxhash64(col(smallKey)),
+        lit(expectedItems), lit(math.min(expectedItems * 8, 67108864L))).as("_bf"))
+      .head().getAs[Array[Byte]](0)
+    large
+      .where(call_function("bloom_might_contain", lit(bf), xxhash64(col(largeKey))))
+      .join(small.select(col(smallKey).as(largeKey)).distinct(), Seq(largeKey), "left_semi")
+  }
+
+  /** Salted equi-join for skewed keys: the large side gets a DETERMINISTIC
+    * salt (row-content hash mod `saltFactor`), the small side is exploded
+    * `saltFactor`× — so one hot key's rows spread over `saltFactor`
+    * reducers instead of one straggler task. Join multiplicity is
+    * preserved exactly (every large row meets each matching small row in
+    * precisely one salt bucket) ⇒ result ≡ plain join. Cost: small side
+    * ×saltFactor — size it like a broadcast decision. AQE's skew-join
+    * split handles sort-merge skew automatically; explicit salting is the
+    * portable form that also covers aggregations and older planners.
+    */
+  def saltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltFactor: Int
+  ): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val l = large.withColumn("_salt",
+      pmod(xxhash64(struct(large.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)))
+    val s = small.withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(s, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -637,6 +637,22 @@ object Queries {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** IVF ANN with MULTI-PROBE (nprobe=2): each query scans its two
+    * nearest centroid lists — the recall-recovery knob for list-boundary
+    * misses. Same readable centroids as q_ann_ivf, so the DuckDB oracle
+    * replays the two-list probe exactly (top-2 centroid rank per query,
+    * single-list corpus assignment, cosine top-k).
+    */
+  def qAnnIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val centroids = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, k = 10, centroids, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** Embedding near-duplicate pairs via the LSH SCALE path (vs the
     * bounded-id exact baseline of q_embedding_near_dup): the whole corpus
     * plus an identical copy per vector (id+1e6), sign-bucketed, compared
@@ -835,6 +851,31 @@ object Queries {
       .select(col("click_id"), col("user_id"), col("ts").as("click_ts"), col("purchase_id"))
       .orderBy(col("click_id"))
   }
+
+  /** Bloom-pre-filtered semi join gate ([[graft.ops.JoinOps.bloomSemiJoin]]):
+    * lineitems of high-value orders. The bloom changes only the physical
+    * shape (map-side pruning before the exact semi join), so the oracle is
+    * the plain semi join.
+    */
+  def qBloomSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.JoinOps.bloomSemiJoin(
+      t(spark, dir, "lineitem"),
+      t(spark, dir, "orders").where(col("o_totalprice") > 400000.0),
+      largeKey = "l_orderkey", smallKey = "o_orderkey",
+      expectedItems = 100000L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Salted skew-join gate ([[graft.ops.JoinOps.saltedJoin]], factor 8):
+    * join multiplicity is provably preserved, so the oracle is the plain
+    * inner join.
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.JoinOps.saltedJoin(
+      t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      t(spark, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+      key = "l_orderkey", saltFactor = 8)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** Pivot-style conditional aggregation: per-user event counts by type in
     * one pass (sum of CASE WHEN — the portable PIVOT form).
@@ -1091,6 +1132,8 @@ object Queries {
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_bloom_semi_join" -> (qBloomSemiJoin _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_cdc_latest" -> (qCdcLatest _),
     "q_cdc_merge" -> (qCdcMerge _),
     "q_cdc_pipeline_e2e" -> (qCdcPipelineE2e _),
@@ -1124,6 +1167,7 @@ object Queries {
     "q_corpus_curation" -> (qCorpusCuration _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivf_mp" -> (qAnnIvfMultiprobe _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

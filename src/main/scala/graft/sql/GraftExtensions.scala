@@ -23,7 +23,22 @@ object GraftExtensions {
     ("minhash_sig", MinHashSig.info, MinHashSig.builder),
     ("simhash64", SimHash64.info, SimHash64.builder),
     ("jaccard_sim", JaccardSim.info, JaccardSim.builder),
-    ("word_shingles", WordShingles.info, WordShingles.builder)
+    ("word_shingles", WordShingles.info, WordShingles.builder),
+    // Spark's internal runtime-filter expressions, surfaced as engine
+    // functions for the explicit bloom-pre-filter join pattern
+    // (org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // blooms xxhash64'd longs; BloomFilterMightContain probes the binary).
+    ("bloom_agg",
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate", "bloom_agg"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))),
+    ("bloom_might_contain",
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain", "bloom_might_contain"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1)))
   )
 
   /** Idempotently register every engine function on an existing session

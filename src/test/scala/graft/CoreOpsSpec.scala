@@ -246,6 +246,27 @@ class CoreOpsSpec extends SparkSpec {
     assert(out("c4").isEmpty)              // key 2 has no right rows
   }
 
+  test("bloomSemiJoin equals the exact semi join (no false negatives survive)") {
+    import spark.implicits._
+    val large = Seq.tabulate(1000)(i => (i.toLong, s"p$i")).toDF("k", "payload")
+    val small = Seq.tabulate(50)(i => (i * 7L, "x")).toDF("sk", "v")
+    val out = graft.ops.JoinOps.bloomSemiJoin(large, small, "k", "sk", expectedItems = 100L)
+      .select("k").as[Long].collect().toSet
+    val exact = (0 until 50).map(_ * 7L).filter(_ < 1000).toSet
+    assert(out == exact)
+  }
+
+  test("saltedJoin preserves join multiplicity, including duplicate rows") {
+    import spark.implicits._
+    // hot key 1 appears 100× on the large side, plus a duplicated row pair
+    val large = (Seq.fill(100)((1L, "hot")) ++ Seq((2L, "a"), (2L, "a"), (3L, "b")))
+      .toDF("k", "payload")
+    val small = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price")
+    val out = graft.ops.JoinOps.saltedJoin(large, small, "k", saltFactor = 8)
+      .groupBy("k").count().as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 100L, 2L -> 2L)) // k=3 unmatched, dup rows kept
+  }
+
   // ---------------------------------------------------------------- dedup
 
   test("latest-version dedup: tombstone with lower version must not shadow") {
