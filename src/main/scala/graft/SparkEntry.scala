@@ -339,6 +339,49 @@ object SparkEntry {
       """SELECT event_id, user_id, lower(CAST(user_id AS VARCHAR)) AS arcane_merge_key, event_type
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // JSON extraction: path-string and schema'd parse must agree with
+    // DuckDB's json_extract_string on the same payload.
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // Asymmetric GROUPING SETS — identical syntax and NULL-group
+    // semantics in DuckDB; decimal-exact revenue.
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    // Array/HOF surface: list size, distinct-sort-slice, length fold, min
+    // element — DuckDB's list functions compute the same exact values.
+    "q_array_funcs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS ls
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(list_sort(list_distinct(ls)), 1, 3), ',') AS first3_csv,
+        |  CAST(list_sum(list_transform(ls, t -> len(t))) AS BIGINT) AS total_chars,
+        |  list_min(ls) AS min_tok
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Levenshtein between raw and normalized 40-char prefixes — integer
+    // edit distance, exact in both engines.
+    "q_string_distance" ->
+      """SELECT doc_id,
+        |  CAST(levenshtein(
+        |    substring(text, 1, 40),
+        |    substring(trim(regexp_replace(
+        |      translate(lower(text), 'áàâäãåéèêëíìîïóòôöõúùûüçñýÿ', 'aaaaaaeeeeiiiiooooouuuucnyy'),
+        |      '\s+', ' ', 'g')), 1, 40)) AS BIGINT) AS lev
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Bloom pre-filter changes only the physical shape — oracle is the
     // plain semi join.
     "q_bloom_semi_join" ->

@@ -877,6 +877,61 @@ object Queries {
       key = "l_orderkey", saltFactor = 8)
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Semi-structured (JSON) processing surface: both extraction paths —
+    * path-string `get_json_object` and schema'd `from_json` — over the
+    * events props payload. Row-level, map-only, codegen'd.
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+        .getField("k").as("k_int"))
+      .orderBy(col("event_id"))
+
+  /** Explicit GROUPING SETS (an asymmetric set neither ROLLUP nor CUBE
+    * produces) through the SQL surface. Same decimal-exact revenue as the
+    * rollup/cube gates.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Array / higher-order-function surface over the token list: size,
+    * distinct-sort-slice, fold to total chars, min element — all integer
+    * or string outputs, engine-exact.
+    */
+  def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      concat_ws(",", slice(sort_array(array_distinct(toks)), 1, 3)).as("first3_csv"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+      array_min(toks).as("min_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** String-distance surface: Levenshtein between each document's raw and
+    * normalized 40-char prefix — integer-exact cleanup-delta diagnostic.
+    */
+  def qStringDistance(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      levenshtein(
+        substring(col("text"), 1, 40),
+        substring(TextAnalysis.normalizeText(col("text")), 1, 40)).cast("long").as("lev"))
+      .orderBy(col("doc_id"))
+
   /** Pivot-style conditional aggregation: per-user event counts by type in
     * one pass (sum of CASE WHEN — the portable PIVOT form).
     */
@@ -1175,6 +1230,10 @@ object Queries {
     "q_decontaminate" -> (qDecontaminate _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_pivot_event_counts" -> (qPivotEventCounts _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_string_distance" -> (qStringDistance _),
     "q_text_langid" -> (qTextLangId _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_image_features" -> (qImageFeatures _),
