@@ -339,6 +339,15 @@ object SparkEntry {
       """SELECT event_id, user_id, lower(CAST(user_id AS VARCHAR)) AS arcane_merge_key, event_type
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // Order-invariant checksum: sum over rows of the md5 digest's last 8
+    // bytes little-endian (DuckDB's md5_number_lower) folded mod 2^31.
+    "q_table_checksum" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(md5_number_lower(
+        |    concat_ws(chr(1), CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR))
+        |  ) % 2147483648 AS BIGINT)) AS BIGINT) AS checksum
+        |FROM customer""".stripMargin,
+
     // JSON extraction: path-string and schema'd parse must agree with
     // DuckDB's json_extract_string on the same payload.
     "q_json_extract" ->

@@ -932,6 +932,16 @@ object Queries {
         substring(TextAnalysis.normalizeText(col("text")), 1, 40)).cast("long").as("lev"))
       .orderBy(col("doc_id"))
 
+  /** Order-invariant content checksum gate
+    * ([[graft.ops.Integrity.orderInvariantChecksum]]) over engine-stable
+    * renderings (int + string columns): both engines must fold the whole
+    * customer table to the same (n_rows, checksum) pair regardless of row
+    * order or partitioning.
+    */
+  def qTableChecksum(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Integrity.orderInvariantChecksum(
+      t(spark, dir, "customer"), Seq("c_custkey", "c_name", "c_nationkey"))
+
   /** Pivot-style conditional aggregation: per-user event counts by type in
     * one pass (sum of CASE WHEN — the portable PIVOT form).
     */
@@ -1231,6 +1241,7 @@ object Queries {
     "q_text_repetition" -> (qTextRepetition _),
     "q_pivot_event_counts" -> (qPivotEventCounts _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_table_checksum" -> (qTableChecksum _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_string_distance" -> (qStringDistance _),

@@ -48,6 +48,25 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() == 100)
   }
 
+  test("merge replay is idempotent: re-applying the same batch changes no row") {
+    // the crash-recovery contract: a micro-batch whose merge committed but
+    // whose streaming offset didn't gets REPLAYED from the checkpoint —
+    // equal versions prefer the target row, so data is unchanged.
+    val t = freshTable("snap-replay")
+    val change = Seq(
+      ("k1", 1000L, "updated", false),
+      ("k2", 1L, "stale-tombstone", true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    val rows1 = t.read().orderBy("arcane_merge_key")
+      .collect().map(_.toString).toSeq
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete") // replay
+    val rows2 = t.read().orderBy("arcane_merge_key")
+      .collect().map(_.toString).toSeq
+    assert(rows1 == rows2, "replayed merge must be a data no-op")
+  }
+
   test("compaction folds multi-file buckets into one file per bucket") {
     val t = freshTable("snap-compact")
     // merges accumulate extra files in touched buckets
