@@ -264,6 +264,62 @@ object Dedup {
         coalesce(col("kept_lines"), lit(0L)).as("kept_lines"))
   }
 
+  // ------------------------------------------- duplicate-group resolution
+
+  /** Connected components over a near-duplicate pair graph — the step
+    * that turns PAIRS into duplicate GROUPS with one canonical document
+    * each (the min id). Iterative min-label propagation with pointer
+    * jumping: each round every node takes the minimum label among itself,
+    * its neighbors' labels, AND its current label's label (path halving),
+    * so convergence is O(log diameter) rounds, not O(diameter); each
+    * round is two equi-joins + one hash aggregation keyed on node id. The
+    * driver-side per-round scalar is only the changed-row count
+    * (convergence test). Near-dup graphs are overwhelmingly tiny cliques
+    * and short chains, so rounds ≈ 2-3 in practice; `maxIters` bounds
+    * pathological chains.
+    *
+    * Returns (id, component) for every node appearing in `pairs`;
+    * component = min node id reachable.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIters: Int = 20
+  ): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("comp", "vcomp"), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("ncomp"))
+      val jumped = labels
+        .join(labels.select(col("id").as("comp"), col("comp").as("ccomp")), Seq("comp"), "left")
+      val next = jumped
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")),
+            coalesce(col("ccomp"), col("comp"))).as("comp"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .where(col("comp") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ------------------------------------------------- decontamination
 
   /** Benchmark decontamination: flag corpus documents that share any word

@@ -506,6 +506,26 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Duplicate-GROUP resolution gate: connected components over the
+    * near-dup pair graph of the q_near_dup_pairs corpus →
+    * (doc, canonical = min reachable id). The LSH pair set equals the
+    * exact Jaccard ≥ 0.5 set on this corpus (that IS the q_near_dup_pairs
+    * gate), so the DuckDB oracle takes the transitive closure of the
+    * exact pair set with a recursive CTE — an independent relational
+    * computation of the same components.
+    */
+  def qDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val perturbed = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+    val pairs = Dedup.nearDuplicatePairs(docs.unionByName(perturbed), threshold = 0.5,
+      numHashes = 64, numBands = 16)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash per-doc sketches, gated by a planted-property oracle (values
     * themselves are engine-specific and pinned in SketchPinningSpec). Two
     * algebraic properties distinguish SimHash from the order-sensitive
@@ -1207,6 +1227,7 @@ object Queries {
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_lsh" -> (qMinHashLsh _),
     "q_near_dup_pairs" -> (qNearDupPairs _),
+    "q_dedup_groups" -> (qDedupGroups _),
     "q_simhash" -> (qSimHash _),
     "q_simhash_pairs" -> (qSimHashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),

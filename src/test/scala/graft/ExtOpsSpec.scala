@@ -159,6 +159,18 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == "uber cafe resume nino")
   }
 
+  test("connectedComponents: chains, cliques and isolated pairs resolve to min-id roots") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L), // long chain
+      (10L, 11L), (10L, 12L), (11L, 12L),                                   // clique
+      (20L, 21L)                                                            // isolated pair
+    ).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    (1L to 8L).foreach(i => assert(out(i) == 1L, s"chain node $i"))
+    Seq(10L, 11L, 12L).foreach(i => assert(out(i) == 10L))
+    assert(out(20L) == 20L && out(21L) == 20L)
+  }
+
   test("simhash of near-identical texts has small hamming distance") {
     val df = Seq(
       (1L, "spark is a distributed engine for large scale data processing workloads"),
