@@ -292,9 +292,17 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .persist()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Round 0 fused into initialization: every node starts at
+    // min(self, direct neighbors) — one aggregation instead of a full
+    // propagation round. Pair-graphs (components of size 2) are already
+    // converged here; the loop then only confirms.
+    var labels = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("_mv"))
+      .select(col("id"), least(col("id"), col("_mv")).as("comp"))
       .persist()
+    // Labels only ever DECREASE (min-propagation), so the label sum is a
+    // strictly decreasing potential until the fixpoint — convergence is
+    // one scalar aggregation per round, no compare join.
+    var prevSum = BigDecimal(-1)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -309,11 +317,13 @@ object Dedup {
           least(col("comp"), coalesce(col("ncomp"), col("comp")),
             coalesce(col("ccomp"), col("comp"))).as("comp"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .where(col("comp") =!= col("old")).limit(1).count()
+      val sum = BigDecimal(
+        next.agg(org.apache.spark.sql.functions.sum(col("comp")).cast("decimal(38,0)"))
+          .head().getDecimal(0))
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = sum == prevSum
+      prevSum = sum
       it += 1
     }
     edges.unpersist()
