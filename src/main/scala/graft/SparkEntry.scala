@@ -404,6 +404,7 @@ object SparkEntry {
     "q_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_quantity >= 40.0
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
 
     // As-of join gated by DuckDB's NATIVE ASOF LEFT JOIN — an independent

@@ -892,7 +892,8 @@ object Queries {
     */
   def qSaltedJoin(spark: SparkSession, dir: String): DataFrame =
     graft.ops.JoinOps.saltedJoin(
-      t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      t(spark, dir, "lineitem").where(col("l_quantity") >= 40.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
       t(spark, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
       key = "l_orderkey", saltFactor = 8)
       .orderBy(col("l_orderkey"), col("l_linenumber"))

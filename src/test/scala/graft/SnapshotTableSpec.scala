@@ -67,6 +67,28 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rows1 == rows2, "replayed merge must be a data no-op")
   }
 
+  test("changesBetween emits exactly the insert/update/delete delta of a merge") {
+    val t = freshTable("snap-cdf")
+    val v1 = t.currentSnapshot.version
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    val change = Seq(
+      ("k1", 1000L, "updated", false),   // update (higher version)
+      ("k2", 1L, "stale", false),        // replay no-op (lower version) — must NOT appear
+      ("k3", 1000L, "gone", true),       // delete tombstone
+      ("k999", 1000L, "brand-new", false)) // insert
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    val v2 = t.currentSnapshot.version
+    val cdf = t.changesBetween(v1, v2)
+      .select("arcane_merge_key", "_change_type", "payload")
+      .as[(String, String, String)].collect().toSet
+      // addColumns puts IsDelete=NULL everywhere; ignore it via projection
+    assert(cdf == Set(
+      ("k1", "update", "updated"),
+      ("k3", "delete", "v3"),            // the removed FROM row
+      ("k999", "insert", "brand-new")))
+  }
+
   test("compaction folds multi-file buckets into one file per bucket") {
     val t = freshTable("snap-compact")
     // merges accumulate extra files in touched buckets

@@ -36,6 +36,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches a stream with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val enriched = input.toDF().toDF("ts", "event_id", "cust_id")
+      .join(broadcast(dim), Seq("cust_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 100L, 1L),
+        (ts("2024-01-01 10:00:01"), 101L, 2L),
+        (ts("2024-01-01 10:00:02"), 102L, 3L)) // no dim row → NULL tier
+      q.processAllAvailable()
+      val rows = spark.table("enrich").select("event_id", "tier")
+        .as[(Long, Option[String])].collect().toMap
+      assert(rows == Map(100L -> Some("gold"), 101L -> Some("silver"), 102L -> None))
+    } finally q.stop()
+  }
+
   test("funnel interval join emits in-window pairs stream-stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long, String)]
