@@ -78,7 +78,12 @@ object CdcPipeline {
       if (spec.bloomFilterColumns.nonEmpty)
         Map(SnapshotTable.PropBloomColumns -> spec.bloomFilterColumns.mkString(","))
       else Map.empty[String, String]
-    sort ++ bloom
+    val maxRows = spec.maxRowsPerFile
+      .map(n => Map(SnapshotTable.PropMaxRowsPerFile -> n.toString))
+      .getOrElse(Map.empty[String, String])
+    // Arbitrary passthrough props (reference sink.targetTableProperties)
+    // go first so engine-managed layout keys win on collision.
+    spec.targetTableProperties ++ sort ++ bloom ++ maxRows
   }
 
   def mergeBatch(table: SnapshotTable, staged: DataFrame, spec: StreamSpec, watermark: String,

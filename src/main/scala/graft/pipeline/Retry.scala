@@ -17,7 +17,8 @@ final case class RetryPolicy(
     scaleFactor: Double = 2.0,
     retryOnMessageContains: Seq[String] = Seq.empty, // empty = retry any exception
     mode: String = "always",                        // never | always | backfillOnly (CRD beta:265-293)
-    ioOnly: Boolean = false                         // retry only IOExceptions (listing paths)
+    ioOnly: Boolean = false,                        // retry only IOExceptions (listing paths)
+    maxDelayMs: Long = Long.MaxValue                // backoff growth cap (httpMaxRetryDelay)
 ) {
   def shouldRetry(e: Throwable): Boolean =
     (!ioOnly || RetryPolicy.ioChain(e)) &&
@@ -74,7 +75,7 @@ object Retry {
       try return body
       catch {
         case e: Throwable if attempt < policy.maxAttempts && policy.shouldRetry(e) =>
-          Thread.sleep(delay.toLong)
+          Thread.sleep(math.min(delay.toLong, policy.maxDelayMs))
           delay *= policy.scaleFactor
           attempt += 1
       }

@@ -51,7 +51,10 @@ final case class StreamSpec(
     bloomFilterColumns: Seq[String] = Seq.empty,       // parquetBloomFilterColumns
     isUnifiedSchema: Boolean = false,                  // disable auto schema migration (CRD beta:166-169)
     httpMaxRetries: Int = 3,                           // source listing retry (CRD beta:576-598)
-    httpRetryDelayMs: Long = 1000
+    httpRetryDelayMs: Long = 1000,                     // httpMinRetryDelay
+    httpMaxRetryDelayMs: Long = 30000,                 // httpMaxRetryDelay — backoff growth cap
+    maxRowsPerFile: Option[Long] = None,               // sink.maxRowsPerFile
+    targetTableProperties: Map[String, String] = Map.empty // arbitrary table props passthrough
 ) {
   def fieldSelectionRule: FieldSelectionRule = fieldSelectionRuleName.toLowerCase match {
     case "include" => FieldSelectionRule.Include(fieldSelectionFields)
@@ -68,7 +71,7 @@ final case class StreamSpec(
     */
   def listingRetry: RetryPolicy =
     RetryPolicy(maxAttempts = math.max(1, httpMaxRetries), baseDelayMs = httpRetryDelayMs,
-      ioOnly = true)
+      maxDelayMs = httpMaxRetryDelayMs, ioOnly = true)
 }
 
 object StreamSpec {
@@ -158,7 +161,17 @@ object StreamSpec {
         else Seq.empty,
       isUnifiedSchema = r.has("isUnifiedSchema") && r.get("isUnifiedSchema").asBoolean(false),
       httpMaxRetries = int("httpMaxRetries", 3),
-      httpRetryDelayMs = if (r.has("httpRetryDelayMs")) r.get("httpRetryDelayMs").asLong() else 1000L
+      httpRetryDelayMs = if (r.has("httpRetryDelayMs")) r.get("httpRetryDelayMs").asLong() else 1000L,
+      httpMaxRetryDelayMs =
+        if (r.has("httpMaxRetryDelayMs")) r.get("httpMaxRetryDelayMs").asLong() else 30000L,
+      maxRowsPerFile =
+        if (r.has("maxRowsPerFile") && !r.get("maxRowsPerFile").isNull)
+          Some(r.get("maxRowsPerFile").asLong()) else None,
+      targetTableProperties =
+        if (r.has("targetTableProperties"))
+          r.get("targetTableProperties").properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        else Map.empty
     )
   }
 }

@@ -462,6 +462,11 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     props.get(PropBloomColumns).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       .foreach(c => writer.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    // Reference `maxRowsPerFile` (CRD beta sink.maxRowsPerFile): cap file
+    // size at write time so one hot bucket still produces scan-parallel
+    // files.
+    props.get(PropMaxRowsPerFile).filter(_.nonEmpty)
+      .foreach(nr => writer.option("maxRecordsPerFile", nr))
     writer.parquet(out.toString)
 
     if (!fs.exists(out)) return Seq.empty
@@ -500,6 +505,7 @@ object SnapshotTable {
   val PropWatermark = "arcane.watermark" // SURVEY.md §2.A15 external watermark mirror
   val PropSortOrder = "write.sort.order"          // comma-separated columns (sortedBy)
   val PropBloomColumns = "write.bloom.columns"    // comma-separated columns
+  val PropMaxRowsPerFile = "write.max.rows.per.file" // sink.maxRowsPerFile
 
   private val SnapshotFileName = "v(\\d+)\\.json".r.anchored
   private[tables] def snapshotFileName(v: Long): String = f"v$v%08d.json"

@@ -39,6 +39,34 @@ class ParitySpec extends SparkSpec {
     assert(calls3 == 3) // exhausted attempts
   }
 
+  test("spec knobs: retry delay cap, maxRowsPerFile, targetTableProperties") {
+    val spec = graft.pipeline.StreamSpec.fromJson(
+      """{"sourcePath":"/s","entityName":"e","targetLocation":"/t",
+        |"httpMaxRetries":5,"httpRetryDelayMs":2,"httpMaxRetryDelayMs":4,
+        |"maxRowsPerFile":12345,
+        |"targetTableProperties":{"owner":"data-eng","write.sort.order":"ignored-loses"}}""".stripMargin)
+    assert(spec.listingRetry.maxDelayMs == 4 && spec.listingRetry.baseDelayMs == 2)
+    assert(spec.maxRowsPerFile.contains(12345L))
+    assert(spec.targetTableProperties("owner") == "data-eng")
+    // backoff sleeps are capped: 5 attempts with scale 2 must not exceed
+    // maxAttempts * maxDelay wall time by much (coarse upper bound)
+    val t0 = System.nanoTime()
+    intercept[java.io.IOException] {
+      Retry(spec.listingRetry) { throw new java.io.IOException("transient") }
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(elapsedMs < 500, s"capped backoff should stay small, took ${elapsedMs}ms")
+
+    // maxRowsPerFile reaches the parquet writer: one 100-row bucket splits
+    val t = graft.tables.SnapshotTable(spark, tmpDir("parity-maxrows"))
+    import spark.implicits._
+    val df = (1 to 100).map(i => (s"k$i", i.toLong)).toDF("arcane_merge_key", "versionnumber")
+    val snap = t.createOrReplace(df, "arcane_merge_key", numBuckets = 1,
+      extraProps = Map(graft.tables.SnapshotTable.PropMaxRowsPerFile -> "30"))
+    assert(snap.files.size >= 4, s"100 rows / 30 per file -> >= 4 files, got ${snap.files.size}")
+    assert(t.read().count() == 100)
+  }
+
   test("retry modes: never disables everywhere, backfillOnly only for backfill") {
     val policy = RetryPolicy(maxAttempts = 3, baseDelayMs = 1, mode = "never")
     var n1 = 0
