@@ -866,6 +866,23 @@ object SparkEntry {
         |  token_offset // 2048 AS pack_id
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // Pack materialization: per-pack doc concat in id order + token totals.
+    "q_pack_concat" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    (CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)) // 2048 AS pack_id
+        |  FROM c)
+        |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  string_agg(text, chr(10) ORDER BY doc_id) AS pack_text
+        |FROM s GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+
     // Cross-document line dedup with two PLANTED boilerplate lines per doc:
     // first occurrence (min of doc_id·2^20 + pos) survives, later copies
     // and blank lines are removed, docs reassemble in line order.

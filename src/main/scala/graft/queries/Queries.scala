@@ -1118,6 +1118,24 @@ object Queries {
     Datasets.packSequences(t(spark, dir, "documents"), budgetTokens = 2048L)
       .orderBy(col("doc_id"))
 
+  /** Pack materialization gate: documents concatenated per pack in id
+    * order — the artifact a training loader consumes. Per-pack
+    * aggregation keyed on pack_id (bounded by budget ÷ mean doc length).
+    */
+  def qPackConcat(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Datasets.packSequences(docs, budgetTokens = 2048L)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy(col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s.getField("text")), "\n").as("pack_text"))
+      .orderBy(col("pack_id"))
+  }
+
   /** Cross-document line dedup gate (C4-style boilerplate removal). Two
     * boilerplate lines are PLANTED onto every document, so exactly one
     * document (the smallest doc_id) keeps them and every other loses them
@@ -1248,6 +1266,7 @@ object Queries {
     "q_token_histogram" -> (qTokenHistogram _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_doc_pack" -> (qDocPack _),
+    "q_pack_concat" -> (qPackConcat _),
     "q_line_dedup" -> (qLineDedup _),
     "q_corpus_mix" -> (qCorpusMix _),
     "q_stratified_sample" -> (qStratifiedSample _),
