@@ -822,6 +822,24 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
 
+    // Token frequency table: exact counts + deterministic rank.
+    "q_token_freq" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok)
+        |SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank
+        |FROM c ORDER BY rank""".stripMargin,
+
+    // Full outer join: unmatched rows on either side surface with NULLs /
+    // zero counts.
+    "q_full_outer_join" ->
+      """WITH o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+        |  coalesce(o.n_orders, 0) AS n_orders
+        |FROM customer c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
     // Inverted index with a 50-posting skew cap: true df from a full
     // count, postings = first 50 doc ids per token, CSV-serialized.
     "q_inverted_index" ->

@@ -1078,6 +1078,37 @@ object Queries {
           .as("approx_within_bound"))
       .orderBy(col("lang"))
 
+  /** Corpus token-frequency table: every (token, count, rank) — the
+    * vocabulary/frequency artifact tokenizer and filter decisions are made
+    * from. One explode + hash agg; the global rank window runs over the
+    * AGGREGATED vocabulary (vocab ≪ corpus — the post-agg row count is
+    * bounded by distinct tokens, not corpus size; at true web scale rank
+    * only the count-filtered head).
+    */
+  def qTokenFreq(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    t(spark, dir, "documents")
+      .select(explode(filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  /** Full-outer join surface: per-customer order presence on both sides
+    * (customers with no orders and any orphaned orders both surface).
+    */
+  def qFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val custs = t(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val ordersPerCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    custs.join(ordersPerCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
   /** Fixed-size per-group sampling gate: exactly 20 docs per language by
     * smallest multiplicative id hash ([[graft.ext.Datasets.fixedSizeSample]]).
     */
@@ -1260,6 +1291,8 @@ object Queries {
     "q_dataset_split" -> (qDatasetSplit _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_fixed_sample" -> (qFixedSample _),
+    "q_token_freq" -> (qTokenFreq _),
+    "q_full_outer_join" -> (qFullOuterJoin _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_token_rarity" -> (qTokenRarity _),
