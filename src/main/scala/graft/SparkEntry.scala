@@ -822,14 +822,14 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
 
-    // Token frequency table: exact counts + deterministic rank.
+    // Token frequency head: exact counts + deterministic rank, top 100.
     "q_token_freq" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok
         |  FROM documents),
-        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok)
-        |SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank
-        |FROM c ORDER BY rank""".stripMargin,
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+        |r AS (SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank FROM c)
+        |SELECT tok, n, rank FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     // Full outer join: unmatched rows on either side surface with NULLs /
     // zero counts.

@@ -1078,19 +1078,20 @@ object Queries {
           .as("approx_within_bound"))
       .orderBy(col("lang"))
 
-  /** Corpus token-frequency table: every (token, count, rank) — the
+  /** Corpus token-frequency head: top-100 tokens by count with rank — the
     * vocabulary/frequency artifact tokenizer and filter decisions are made
-    * from. One explode + hash agg; the global rank window runs over the
-    * AGGREGATED vocabulary (vocab ≪ corpus — the post-agg row count is
-    * bounded by distinct tokens, not corpus size; at true web scale rank
-    * only the count-filtered head).
+    * from. One explode + hash agg, then a DISTRIBUTED top-k
+    * (TakeOrderedAndProject — per-partition heads, no global sort); the
+    * rank window runs over the ≤ k surviving rows, so its single
+    * partition is bounded by k, not by vocabulary size.
     */
   def qTokenFreq(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("n").desc, col("tok"))
-    t(spark, dir, "documents")
+    val top = t(spark, dir, "documents")
       .select(explode(filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("n").desc, col("tok")).limit(100)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
       .orderBy(col("rank"))
   }
 
