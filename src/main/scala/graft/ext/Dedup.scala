@@ -287,39 +287,59 @@ object Dedup {
       bCol: String = "id_b",
       maxIters: Int = 20
   ): DataFrame = {
-    val spark = pairs.sparkSession
+    import org.apache.spark.sql.Observation
+    // Materialize the symmetric edge set ONCE and truncate its lineage:
+    // without the checkpoint every round's plan embeds the full upstream
+    // pair-generation plan (MinHash pipeline, band joins, …) k times over,
+    // so analysis/optimization cost — and hence wall time — grows with the
+    // round count even though the data is tiny. After the checkpoint each
+    // round re-analyzes a leaf RDD scan.
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
-      .persist()
+      .localCheckpoint()
+    val nEdges = edges.count() // served from the checkpoint cache
+    if (nEdges == 0) return edges.select(col("u").as("id"), col("u").as("comp"))
+    // Size the per-round shuffles to the graph, not the session default:
+    // a near-dup graph is orders of magnitude smaller than the corpus, so
+    // conf-width (32-200 partition) exchanges over a few thousand labels
+    // are pure task-scheduling overhead. Hash-partitioning the edge side
+    // on the join key lets EnsureRequirements run every in-loop join and
+    // aggregation at `p` partitions; at 100 TB, p scales with |E|.
+    val p = math.max(1, math.min(edges.rdd.getNumPartitions, (nEdges / 500000L + 1).toInt))
+    val edgesByV = edges.repartition(p, col("v")).localCheckpoint()
     // Round 0 fused into initialization: every node starts at
     // min(self, direct neighbors) — one aggregation instead of a full
     // propagation round. Pair-graphs (components of size 2) are already
-    // converged here; the loop then only confirms.
-    var labels = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("_mv"))
-      .select(col("id"), least(col("id"), col("_mv")).as("comp"))
-      .persist()
-    // Labels only ever DECREASE (min-propagation), so the label sum is a
-    // strictly decreasing potential until the fixpoint — convergence is
-    // one scalar aggregation per round, no compare join.
-    var prevSum = BigDecimal(-1)
+    // converged here; the loop then only confirms. Labels only ever
+    // DECREASE (min-propagation), so the label sum is a strictly
+    // decreasing potential until the fixpoint — the convergence test is a
+    // scalar `observe`d during the SAME action that materializes the
+    // round's labels (one job per round, no separate agg action).
+    def checkpointWithSum(df: DataFrame): (DataFrame, BigDecimal) = {
+      val obs = Observation()
+      val out = df
+        .observe(obs, sum(col("comp")).cast("decimal(38,0)").as("s"))
+        .localCheckpoint()
+      (out, BigDecimal(obs.get("s").asInstanceOf[java.math.BigDecimal]))
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      edgesByV.groupBy(col("u").as("id")).agg(min(col("v")).as("_mv"))
+        .select(col("id"), least(col("id"), col("_mv")).as("comp")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val neighborMin = edges
+      val neighborMin = edgesByV
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("comp", "vcomp"), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("ncomp"))
       val jumped = labels
         .join(labels.select(col("id").as("comp"), col("comp").as("ccomp")), Seq("comp"), "left")
-      val next = jumped
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp")),
-            coalesce(col("ccomp"), col("comp"))).as("comp"))
-        .persist()
-      val sum = BigDecimal(
-        next.agg(org.apache.spark.sql.functions.sum(col("comp")).cast("decimal(38,0)"))
-          .head().getDecimal(0))
+      val (next, sum) = checkpointWithSum(
+        jumped
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp")),
+              coalesce(col("ccomp"), col("comp"))).as("comp")))
       labels.unpersist()
       labels = next
       converged = sum == prevSum
@@ -327,6 +347,7 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    edgesByV.unpersist()
     labels
   }
 
