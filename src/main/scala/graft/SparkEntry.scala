@@ -1023,31 +1023,31 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    // Stub decode dimensions = arithmetic on the first 60 bits of the
-    // payload MD5 (identical in both engines) — gates the mapPartitions
-    // decode plumbing bit-exactly.
+    // REAL ImageIO decode gate: the oracle states the PLANTED dims
+    // arithmetic (Queries.plantedImageDims); the Spark side must recover
+    // the same numbers by parsing the planted PNG bytes (grayscale color
+    // type -> 1 channel, truecolor -> 3).
     "q_image_features" ->
-      """WITH d AS (
-        |  SELECT doc_id, CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h
-        |  FROM documents)
-        |SELECT doc_id,
-        |  16 + h % 1024 AS width,
-        |  16 + (h // 1024) % 1024 AS height,
-        |  1 + h % 3 AS channels
-        |FROM d ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 120 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id // 7) % 120 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // Resize output length: ceil(len * min(1, 4096/(w*h))) with MD5-derived
-    // w,h — same IEEE op order both sides.
+    // Fit-within resize arithmetic replay: scale = min(1, 64/w, 64/h),
+    // out dim = max(1, floor(dim*scale)) — same IEEE double op order as
+    // ImageCodec.resizeImage; the Spark side RE-DECODES the resized PNG to
+    // report dims.
     "q_multimodal_resize" ->
-      """WITH d AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS len,
-        |    CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h
+      """WITH d AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 120 AS DOUBLE) AS w,
+        |    CAST(16 + (doc_id // 7) % 120 AS DOUBLE) AS h
         |  FROM documents),
-        |dims AS (
-        |  SELECT doc_id, len, (16 + h % 1024) * (16 + (h // 1024) % 1024) AS area FROM d)
+        |s AS (SELECT doc_id, w, h, least(1.0, least(64.0 / w, 64.0 / h)) AS sc FROM d)
         |SELECT doc_id,
-        |  greatest(1, CAST(ceil(CAST(len AS DOUBLE) * least(1.0, CAST(4096 AS DOUBLE) / CAST(area AS DOUBLE))) AS BIGINT)) AS byte_length
-        |FROM dims ORDER BY doc_id""".stripMargin,
+        |  CAST(greatest(1.0, floor(w * sc)) AS BIGINT) AS width,
+        |  CAST(greatest(1.0, floor(h * sc)) AS BIGINT) AS height
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_length, md5(text) AS content_md5

@@ -1,5 +1,10 @@
 package graft.ext
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -11,11 +16,13 @@ import org.apache.spark.sql.types._
   * (`mapPartitions` — the Scala analog of arrow-batched Python UDFs).
   * North-star extension (SURVEY.md §2.C).
   *
-  * The actual media codecs are NOT in this environment, so the decode step
-  * is a clearly-marked deterministic STUB (`StubCodec`) — everything around
-  * it (schema contract, binary transport, batch iteration shape,
-  * partition-parallel execution, output schema) is real and is exactly what
-  * a codec-backed implementation would keep.
+  * IMAGE decode/resize is REAL: `javax.imageio` (PNG/JPEG/GIF/BMP ship in
+  * the JDK) parses the payload bytes, `BufferedImage` + bilinear
+  * `Graphics2D` does the resize, and the resized frame is re-encoded as
+  * PNG. Undecodable payloads surface as NULL output fields (never a task
+  * failure — at corpus scale corrupt images are data, not errors). Only the
+  * VIDEO path keeps a clearly-marked stub ([[StubCodec]]) — no video codec
+  * ships with the JDK.
   *
   * Scale design: per-row transforms only — no shuffle. Binary payloads
   * never hit the driver; `mapPartitions` streams batches through the
@@ -31,7 +38,7 @@ object Multimodal {
     StructField("byte_length", LongType),
     StructField("content_md5", StringType)))
 
-  /** Output schema of the stub image decoder / feature extractor. */
+  /** Output schema of the image decoder / feature extractor. */
   val ImageFeatureType: StructType = StructType(Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),
@@ -46,74 +53,160 @@ object Multimodal {
       length(col(binCol)).cast("long").as("byte_length"),
       md5(col(binCol)).as("content_md5")))
 
-  /** STUB media codec — deterministic fake decode so the pipeline shape is
-    * testable without image/audio libraries in the container. A real build
-    * swaps `decodeImage` for e.g. an ImageIO/JavaCV call with the SAME
-    * signature; nothing else changes.
+  /** Real JDK image codec: `javax.imageio` decode, `Graphics2D` bilinear
+    * resize, PNG re-encode. Executor-side only; `ImageIO`'s temp-file disk
+    * cache is disabled (pure in-memory streams).
     */
-  object StubCodec {
-    /** "Decode" an image: derive (width, height, channels) and a 8-float
-      * feature vector deterministically from the payload bytes. Dimensions
-      * come from the first 60 bits of the payload's MD5 — content-addressed
-      * AND replayable in SQL (both engines agree on md5 + hex→int), so the
-      * correctness oracle can check the decode plumbing end to end.
+  object ImageCodec {
+    private lazy val init: Unit = ImageIO.setUseCache(false)
+
+    /** Decode an image payload. Returns NULL for undecodable bytes (corrupt
+      * rows are data at corpus scale). Channels = color-model component
+      * count (1 = grayscale, 3 = RGB, 4 = RGBA); features = 8-bucket
+      * luminance histogram normalized by pixel count.
       */
-    def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      val hex = md.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
-      val h = java.lang.Long.parseLong(hex, 16) // 60 bits, nonnegative
-      val width = (16 + h % 1024).toInt
-      val height = (16 + (h / 1024) % 1024).toInt
-      val channels = (1 + h % 3).toInt
-      // Deterministic "features": byte histogram moments over 8 buckets.
-      val buckets = new Array[Long](8)
-      bytes.foreach(b => buckets((b & 0xff) / 32) += 1)
-      val n = math.max(bytes.length, 1).toFloat
-      (width, height, channels, buckets.map(_ / n))
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+      init
+      Option(bytes).filter(_.nonEmpty)
+        .flatMap(b => Option(ImageIO.read(new ByteArrayInputStream(b))))
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val buckets = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              buckets(lum / 32) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = math.max(1L, w.toLong * h).toFloat
+          (w, h, img.getColorModel.getNumComponents, buckets.map(_ / n))
+        }
     }
 
+    /** Fit-within resize: scale = min(1, targetW/w, targetH/h) (never
+      * upscales), output dims = max(1, floor(dim*scale)) — plain IEEE
+      * doubles so an external oracle can replay the arithmetic bit-exactly.
+      * Bilinear `Graphics2D` resample, PNG re-encode preserving
+      * grayscale-vs-color. NULL for undecodable input.
+      */
+    def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+      init
+      Option(bytes).filter(_.nonEmpty)
+        .flatMap(b => Option(ImageIO.read(new ByteArrayInputStream(b))))
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val scale = math.min(1.0, math.min(targetW.toDouble / w, targetH.toDouble / h))
+          val ow = math.max(1, math.floor(w * scale).toInt)
+          val oh = math.max(1, math.floor(h * scale).toInt)
+          val outType =
+            if (img.getColorModel.getNumComponents == 1) BufferedImage.TYPE_BYTE_GRAY
+            else BufferedImage.TYPE_INT_RGB
+          val out = new BufferedImage(ow, oh, outType)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(RenderingHints.KEY_INTERPOLATION, RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, ow, oh, null)
+          } finally g.dispose()
+          encodePng(out)
+        }
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      init
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    /** Deterministic synthetic PNG: gradient pixels derived from (id, x, y).
+      * Fixture generator for gates/specs — real PNG bytes that only a real
+      * PNG parser can recover the dimensions from.
+      */
+    def syntheticPng(id: Long, width: Int, height: Int, gray: Boolean): Array[Byte] = {
+      val img = new BufferedImage(width, height,
+        if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          if (gray) img.getRaster.setSample(x, y, 0, ((x * 31 + y * 17 + id) % 256).toInt)
+          else {
+            val r = ((x + id) % 256).toInt
+            val g = ((y + 2 * id) % 256).toInt
+            val b = (x ^ y) % 256
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+  }
+
+  /** STUB video codec — no video codec ships with the JDK, so frame
+    * sampling is a clearly-marked deterministic stand-in: a real build
+    * swaps `sampleFrameOffsets` for a demuxer call with the SAME signature
+    * (offsets become frame timestamps); nothing else changes.
+    */
+  object StubCodec {
     /** "Sample" video frame offsets: every `everyNBytes` offset (a real
       * implementation samples every Nth frame timestamp).
       */
     def sampleFrameOffsets(bytes: Array[Byte], everyNBytes: Int): Array[Long] =
       (0L until bytes.length.toLong by everyNBytes.toLong).toArray
-
-    /** "Resize" an image payload to a target pixel budget: deterministic
-      * byte-decimation proportional to the area ratio (a real
-      * implementation re-encodes at the target WxH; the payload-shrinks,
-      * stays-binary, schema-stable contract is what matters here).
-      */
-    def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-      val (w, h, _, _) = decodeImage(bytes)
-      val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h).toDouble)
-      val outLen = math.max(1, math.ceil(bytes.length * ratio).toInt)
-      val step = bytes.length.toDouble / outLen
-      Array.tabulate(outLen)(i => bytes(math.min(bytes.length - 1, (i * step).toInt)))
-    }
   }
 
-  /** Decode+featurize an image binary column batch-wise. Input: any frame
-    * with (`idCol` long, `binCol` binary). Output: id + ImageFeatureType
-    * fields. Runs partition-local: executors stream rows, no shuffle, and
-    * the iterator shape matches an arrow-batched UDF (batch in, batch out).
+  /** Plant one deterministic synthetic PNG per row: `dims(id)` gives
+    * (width, height, grayscale). Partition-local generation (mapPartitions,
+    * no shuffle) — the distributed fixture path for image gates: the
+    * arithmetic dims are external-oracle-replayable while the payload is a
+    * real PNG only a real decoder can read back.
+    */
+  def syntheticImages(df: DataFrame, idCol: String)(dims: Long => (Int, Int, Boolean)): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("content", BinaryType)))
+    val in = df.select(col(idCol).cast("long").as("id"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h, gray) = dims(id)
+        Row(id, ImageCodec.syntheticPng(id, w, h, gray))
+      }
+    }.toDF("id", "content")
+  }
+
+  /** Decode+featurize an image binary column batch-wise via the real
+    * ImageIO codec. Input: any frame with (`idCol` long, `binCol` binary).
+    * Output: id + ImageFeatureType fields (NULLs for undecodable payloads).
+    * Runs partition-local: executors stream rows, no shuffle, and the
+    * iterator shape matches an arrow-batched UDF (batch in, batch out).
     */
   def imageFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(StructField("id", LongType) +: ImageFeatureType.fields)
     val in = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
     implicit val enc = RowEncoder.encoderFor(outSchema)
     in.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val (w, h, c, feats) = StubCodec.decodeImage(bytes)
-        Row(id, w, h, c, feats.toSeq)
+        ImageCodec.decodeImage(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, c, feats)) => Row(id, w, h, c, feats.toSeq)
+          case None                   => Row(id, null, null, null, null)
+        }
       }
     }.toDF("id", "width", "height", "channels", "features")
   }
 
-  /** Resize an image binary column to a target pixel budget — batch-wise,
-    * partition-local, payload stays opaque binary with refreshed metadata.
+  /** Resize an image binary column to fit within a target box — batch-wise,
+    * partition-local, real bilinear resample + PNG re-encode; payload stays
+    * opaque binary. Undecodable payloads yield NULL content/byte_length.
     */
   def resizeImages(df: DataFrame, idCol: String, binCol: String, targetW: Int, targetH: Int): DataFrame = {
     val outSchema = StructType(Seq(
@@ -124,14 +217,17 @@ object Multimodal {
     implicit val enc = RowEncoder.encoderFor(outSchema)
     in.mapPartitions { rows =>
       rows.map { r =>
-        val resized = StubCodec.resizeImage(r.getAs[Array[Byte]](1), targetW, targetH)
-        Row(r.getLong(0), resized, resized.length.toLong)
+        ImageCodec.resizeImage(r.getAs[Array[Byte]](1), targetW, targetH) match {
+          case Some(resized) => Row(r.getLong(0), resized, resized.length.toLong)
+          case None          => Row(r.getLong(0), null, null)
+        }
       }
     }.toDF("id", "content", "byte_length")
   }
 
   /** Frame-sample a video binary column: one output row per sampled frame
-    * offset (flatMap shape — batch in, variable batch out).
+    * offset (flatMap shape — batch in, variable batch out). Stub codec —
+    * see [[StubCodec]].
     */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String, everyNBytes: Int = 4096): DataFrame = {
     val outSchema = StructType(Seq(

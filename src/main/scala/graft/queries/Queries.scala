@@ -1208,30 +1208,46 @@ object Queries {
         col("media_meta.content_md5").as("content_md5"))
       .orderBy(col("doc_id"))
 
-  /** Stub decode + feature extraction through the real mapPartitions
-    * plumbing. Full DuckDB oracle: the stub derives dimensions from the
-    * payload MD5, which both engines compute identically, so the
-    * partition-local decode path is gated bit-exactly.
+  /** Planted image dims for the multimodal gates: arithmetic over doc_id
+    * that DuckDB can state independently, while the Spark side must
+    * recover them by actually parsing planted PNG bytes with the real
+    * ImageIO codec.
     */
-  def qImageFeatures(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.imageFeatures(
-      t(spark, dir, "documents").withColumn("content", col("text").cast("binary")),
-      "doc_id", "content")
+  private def plantedImageDims(id: Long): (Int, Int, Boolean) =
+    ((16 + id % 120).toInt, (16 + (id / 7) % 120).toInt, id % 4 == 0)
+
+  /** REAL image decode gate: one deterministic PNG is planted per doc
+    * (dims/colorspace from doc_id arithmetic), then decoded back with the
+    * JDK ImageIO codec through the mapPartitions plumbing. The DuckDB
+    * oracle restates the planted arithmetic — the gate passes only if the
+    * engine genuinely parses PNG headers+pixels (grayscale vs RGB channel
+    * counts included), not if it replays arithmetic.
+    */
+  def qImageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.syntheticImages(
+      t(spark, dir, "documents"), "doc_id")(plantedImageDims)
+    Multimodal.imageFeatures(imgs, "id", "content")
       .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"), col("channels").cast("long").as("channels"))
       .orderBy(col("doc_id"))
+  }
 
-  /** Stub-codec image resize through the real mapPartitions plumbing.
-    * The output length is pure arithmetic over the MD5-derived dimensions
-    * and payload size → full DuckDB oracle; the decimated payload bytes
-    * themselves are pinned by the ExtOpsSpec determinism test.
+  /** REAL image resize gate: planted PNGs are bilinear-resized to fit
+    * within 64×64 (never upscaled), re-encoded as PNG, and RE-DECODED —
+    * the reported dims come from parsing the resized payload, so the gate
+    * covers decode → resample → encode → decode round-trip. The oracle
+    * replays the fit-within arithmetic (floor(dim·scale), IEEE doubles on
+    * both sides).
     */
-  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.resizeImages(
-      t(spark, dir, "documents").withColumn("content", col("text").cast("binary")),
-      "doc_id", "content", targetW = 64, targetH = 64)
-      .select(col("id").as("doc_id"), col("byte_length"))
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.syntheticImages(
+      t(spark, dir, "documents"), "doc_id")(plantedImageDims)
+    val resized = Multimodal.resizeImages(imgs, "id", "content", targetW = 64, targetH = 64)
+    Multimodal.imageFeatures(resized, "id", "content")
+      .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
       .orderBy(col("doc_id"))
+  }
 
   /** Video frame sampling (stub: every 64th byte offset) — the offsets are
     * pure arithmetic over the payload length, so this mapPartitions flatMap

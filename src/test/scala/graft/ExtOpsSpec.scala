@@ -281,26 +281,55 @@ class ExtOpsSpec extends SparkSpec {
     assert(narrow.subsetOf(wider))
   }
 
-  test("multimodal stub decode is deterministic and partition-parallel") {
-    val media = docs.limit(50).withColumn("content", col("text").cast("binary")).repartition(4)
-    val f1 = Multimodal.imageFeatures(media, "doc_id", "content").orderBy("id").collect()
-    val f2 = Multimodal.imageFeatures(media, "doc_id", "content").orderBy("id").collect()
-    assert(f1.sameElements(f2))
+  test("real ImageIO decode recovers planted PNG dims/channels; corrupt rows go NULL") {
+    val dims: Long => (Int, Int, Boolean) = id =>
+      ((10 + id % 30).toInt, (10 + (id / 3) % 30).toInt, id % 4 == 0)
+    val media = Multimodal.syntheticImages(docs.limit(50), "doc_id")(dims).repartition(4)
+    val f1 = Multimodal.imageFeatures(media, "id", "content").orderBy("id").collect()
     assert(f1.length === 50)
-    val frames = Multimodal.sampleFrames(media, "doc_id", "content", everyNBytes = 64)
-    assert(frames.count() > 50) // multiple frames per doc
+    f1.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, gray) = dims(id)
+      assert(r.getInt(1) === w, s"width of $id")
+      assert(r.getInt(2) === h, s"height of $id")
+      assert(r.getInt(3) === (if (gray) 1 else 3), s"channels of $id")
+      val feats = r.getSeq[Float](4)
+      assert(feats.length === 8 && math.abs(feats.sum - 1.0f) < 1e-3, s"histogram of $id")
+    }
+    // determinism of the full decode+featurize path
+    val f2 = Multimodal.imageFeatures(media, "id", "content").orderBy("id").collect()
+    assert(f1.sameElements(f2))
+    // corrupt payloads surface as NULL fields, never task failures
+    val corrupt = spark.range(3).selectExpr("id", "CAST(concat('junk', id) AS BINARY) AS content")
+    val cf = Multimodal.imageFeatures(corrupt, "id", "content").collect()
+    assert(cf.length === 3 && cf.forall(r => r.isNullAt(1) && r.isNullAt(4)))
+  }
 
-    val resized = Multimodal.resizeImages(media, "doc_id", "content", targetW = 8, targetH = 8)
-    val joined = media.select(col("doc_id").cast("long").as("id"),
-        length(col("content")).cast("long").as("orig_len"))
-      .join(resized, "id")
-    // resize shrinks (or keeps) every payload and output stays binary
-    assert(joined.where(col("byte_length") > col("orig_len")).count() === 0)
-    assert(joined.where(col("byte_length") < col("orig_len")).count() > 0)
+  test("real image resize fits within target box, round-trips through PNG, deterministic") {
+    val dims: Long => (Int, Int, Boolean) = id =>
+      ((20 + id % 60).toInt, (20 + (id / 5) % 60).toInt, id % 4 == 0)
+    val media = Multimodal.syntheticImages(docs.limit(40), "doc_id")(dims).repartition(4)
+    val resized = Multimodal.resizeImages(media, "id", "content", targetW = 32, targetH = 32)
+    // re-decode the resized payloads: dims must equal the fit-within arithmetic
+    val redecoded = Multimodal.imageFeatures(resized, "id", "content").orderBy("id").collect()
+    assert(redecoded.length === 40)
+    redecoded.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, gray) = dims(id)
+      val scale = math.min(1.0, math.min(32.0 / w, 32.0 / h))
+      assert(r.getInt(1) === math.max(1, math.floor(w * scale).toInt), s"out width of $id")
+      assert(r.getInt(2) === math.max(1, math.floor(h * scale).toInt), s"out height of $id")
+      assert(r.getInt(3) === (if (gray) 1 else 3), s"colorspace preserved for $id")
+      assert(r.getInt(1) <= 32 && r.getInt(2) <= 32)
+    }
     val r1 = resized.orderBy("id").collect()
-    val r2 = Multimodal.resizeImages(media, "doc_id", "content", 8, 8).orderBy("id").collect()
+    val r2 = Multimodal.resizeImages(media, "id", "content", 32, 32).orderBy("id").collect()
     assert(r1.zip(r2).forall { case (a, b) =>
       java.util.Arrays.equals(a.getAs[Array[Byte]]("content"), b.getAs[Array[Byte]]("content"))
-    }) // deterministic
+    }) // deterministic re-encode
+
+    // video frame sampling stays the documented stub over opaque binary
+    val vid = docs.limit(20).withColumn("content", col("text").cast("binary"))
+    assert(Multimodal.sampleFrames(vid, "doc_id", "content", everyNBytes = 64).count() > 20)
   }
 }
