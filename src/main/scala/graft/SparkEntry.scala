@@ -486,6 +486,21 @@ object SparkEntry {
     // Duplicate groups: recursive-CTE transitive closure over the exact
     // Jaccard >= 0.5 pair set (the same CTE as q_near_dup_pairs), min
     // reachable id as the canonical component.
+    // Hot-bucket stress gates: the oracle states the PLANTED truth (25k /
+    // 15k identical copies of item 0 resolve through representative 0);
+    // matching is only possible if the skew guard bounds the hot bucket to
+    // linear rep-vs-rest edges (an unguarded bucket emits ~10^8 pairs) while
+    // keeping the duplicate group connected.
+    "q_hot_bucket_groups" ->
+      """SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS component
+        |UNION ALL
+        |SELECT CAST(2000000 + g AS BIGINT), CAST(0 AS BIGINT) FROM range(25000) t(g)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_hot_bucket_embedding" ->
+      """SELECT CAST(0 AS BIGINT) AS id_a, CAST(3000000 + g AS BIGINT) AS id_b
+        |FROM range(15000) t(g) ORDER BY id_a, id_b""".stripMargin,
+
     "q_dedup_groups" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents

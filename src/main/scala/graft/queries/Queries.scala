@@ -526,6 +526,53 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** SCALE-STRESS gate for the SimHash hot-bucket skew guard + group
+    * resolution: one page is planted at 25 000 identical copies — 2.5× the
+    * 10 000 `maxBucketSize` cap, the mass-duplication pathology dedup
+    * exists to catch. An unguarded within-bucket self-join would emit
+    * ~312 M member↔member pairs; the guard must degrade the hot bucket to
+    * LINEAR representative-vs-rest edges, and connected components must
+    * still recover the ONE duplicate group through the representative.
+    * The DuckDB oracle states the planted truth: every copy (and the
+    * original, id 0 = the group minimum) resolves to component 0 —
+    * independent of the engine's sketch values, and only reachable if the
+    * guard both bounds the candidate set and keeps the group connected.
+    */
+  def qHotBucketGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val copies = docs.where(col("doc_id") === 0)
+      .select(explode(sequence(lit(0L), lit(24999L))).as("i"), col("text"))
+      .select((col("i") + 2000000L).as("doc_id"), col("text"))
+    val pairs = Dedup.simHashPairs(docs.unionByName(copies), maxHamming = 0)
+    Dedup.connectedComponents(pairs)
+      .where(col("id") === 0L || col("id") >= 2000000L)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SCALE-STRESS gate for the embedding sign-bucket skew guard: one
+    * vector is planted at 15 000 identical copies, so its sign bucket
+    * holds >75 % of the corpus and blows the 10 000 cap. The guard must
+    * emit exactly the linear rep→copy edge set (the representative is the
+    * original, id 0 = bucket minimum); an unguarded bucket would emit
+    * ~112 M member↔member pairs and mismatch the oracle. Output is
+    * restricted to planted-copy edges so the expectation is deterministic
+    * regardless of which background vectors happen to share the bucket.
+    */
+  def qHotBucketEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val copies = emb.where(col("vec_id") === 0)
+      .select(explode(sequence(lit(0L), lit(14999L))).as("i"), col("embedding"))
+      .select((col("i") + 3000000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .unionByName(copies)
+    Similarity.lshNearDupPairs(corpus, threshold = 0.999, numPlanes = 8, dim = dim)
+      .where((col("id_a") === 0L || col("id_a") >= 3000000L) && col("id_b") >= 3000000L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash per-doc sketches, gated by a planted-property oracle (values
     * themselves are engine-specific and pinned in SketchPinningSpec). Two
     * algebraic properties distinguish SimHash from the order-sensitive
@@ -1295,6 +1342,8 @@ object Queries {
     "q_minhash_lsh" -> (qMinHashLsh _),
     "q_near_dup_pairs" -> (qNearDupPairs _),
     "q_dedup_groups" -> (qDedupGroups _),
+    "q_hot_bucket_groups" -> (qHotBucketGroups _),
+    "q_hot_bucket_embedding" -> (qHotBucketEmbedding _),
     "q_simhash" -> (qSimHash _),
     "q_simhash_pairs" -> (qSimHashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),

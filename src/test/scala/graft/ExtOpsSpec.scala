@@ -281,6 +281,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(narrow.subsetOf(wider))
   }
 
+  test("hot-bucket stress: 15k identical copies stay LINEAR through the guard and resolve to one group") {
+    val base = docs.limit(100).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val copies = base.where(col("doc_id") === 0)
+      .select(explode(sequence(lit(0L), lit(14999L))).as("i"), col("text"))
+      .select((col("i") + 500000L).as("doc_id"), col("text"))
+    // 15001-member bucket vs the default 10000 cap: unguarded would emit
+    // ~112M member-member pairs; the guard must emit exactly the 15000
+    // rep(0)->copy edges and nothing copy<->copy.
+    val pairs = Dedup.simHashPairs(base.unionByName(copies), maxHamming = 0)
+    val planted = pairs.where(col("id_a") >= 500000L || col("id_b") >= 500000L)
+    assert(planted.where(col("id_a") === 0L).count() === 15000L)
+    assert(planted.where(col("id_a") =!= 0L).count() === 0L, "no member-member edges in the hot bucket")
+    // group resolution still recovers the full duplicate group through the rep
+    val comps = Dedup.connectedComponents(pairs)
+    assert(comps.where(col("id") >= 500000L && col("comp") === 0L).count() === 15000L)
+  }
+
   test("real ImageIO decode recovers planted PNG dims/channels; corrupt rows go NULL") {
     val dims: Long => (Int, Int, Boolean) = id =>
       ((10 + id % 30).toInt, (10 + (id / 3) % 30).toInt, id % 4 == 0)
