@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   * of it. The CDC export fixture is pre-materialized in the warm-up too, so
   * q_cdc_pipeline_e2e times the pipeline, not one-time fixture generation.
   *
-  * Each query runs TWICE and the minimum is reported (best-of-2): the
-  * engine's own execution is deterministic, so the min strips transient
-  * machine noise (concurrent load, GC pauses, page-cache misses) that a
-  * single-shot measurement can record as a phantom regression.
+  * Each query runs TWICE and the minimum is reported (best-of-2); queries
+  * over 2 s get a THIRD run (best-of-3) — the engine's own execution is
+  * deterministic, so the min strips transient machine noise (concurrent
+  * load, GC pauses, page-cache misses) that a single-shot measurement can
+  * record as a phantom regression, and heavy queries need the extra run
+  * because a single noisy window can poison both passes. A per-query
+  * `spread` (max/min across its runs) is emitted beside the timings so a
+  * real regression is distinguishable from measurement noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,17 +45,32 @@ object Bench {
     catch { case _: Throwable => () }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    def onePass(): Seq[(String, Double)] = names.map { case (name, fn) =>
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    def onePass(): Seq[(String, Double)] = names.map { case (name, fn) => name -> time(fn) }
     val (p1, p2) = (onePass(), onePass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // Queries above 2 s get a THIRD run: best-of-2 failed to stabilize the
+    // heaviest query across rounds (1.5x swing on identical code), and only
+    // heavy queries are worth the extra pass. The per-query spread
+    // (max/min across runs) is reported so a regression is distinguishable
+    // from machine noise without re-running the bench.
+    val runs0: Map[String, Seq[Double]] =
+      p1.zip(p2).map { case ((n, a), (_, b)) => n -> Seq(a, b) }.toMap
+    val runs = names.map { case (n, fn) =>
+      val r = runs0(n)
+      n -> (if (r.min > 2.0) r :+ time(fn) else r)
+    }
+    val results = runs.map { case (n, r) => n -> r.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = runs.map { case (k, r) =>
+      s"\"" + k + "\":" + (if (r.min > 0) math.round(r.max / r.min * 1000.0) / 1000.0 else 1.0)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -91,17 +91,21 @@ object Datasets {
     * scalable cumulative sum a single `Window.orderBy` (one task holding
     * the whole corpus) cannot provide. Two passes:
     *
-    *   1. range-bucket ids into `numRanges` contiguous spans; per-range
-    *      totals are one hash aggregation whose result (≤ numRanges rows)
-    *      is collected and prefix-scanned on the driver — bounded by the
-    *      range count, never by data size;
+    *   1. bucket ids into `numRanges` contiguous ranges split at
+    *      approximate id quantiles (balanced by row count — see
+    *      [[quantileBoundaries]]); per-range totals are one hash aggregation
+    *      whose result (≤ numRanges rows) is collected and prefix-scanned
+    *      on the driver — bounded by the range count, never by data size;
     *   2. a per-range window cumsum (partitionBy range, orderBy id — each
-    *      range is one ordinary window partition) plus the broadcast range
-    *      offset.
+    *      range is one ordinary window partition) plus the per-range
+    *      offset attached via a BROADCAST equi-join on the range id
+    *      (constant per-row cost however large `numRanges` grows — a
+    *      literal `when`-chain would be O(numRanges) per row and break
+    *      codegen at high range counts).
     *
-    * The result depends only on the id ordering, not on partitioning or
-    * cluster size. Returns the input plus `<outCol>` = sum of `valueCol`
-    * over all rows with smaller id (exclusive prefix sum).
+    * The result depends only on the id ordering, not on partitioning,
+    * bucketing or cluster size. Returns the input plus `<outCol>` = sum of
+    * `valueCol` over all rows with smaller id (exclusive prefix sum).
     */
   def prefixSum(
       df: DataFrame,
@@ -113,21 +117,45 @@ object Datasets {
     import org.apache.spark.sql.expressions.Window
     val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
     if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(0L))
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val width = math.max(1L, (hi - lo) / numRanges + 1)
-    val ranged = df.withColumn("_rg", ((col(idCol).cast("long") - lo) / width).cast("long"))
+    val interior = quantileBoundaries(df, idCol, numRanges)
+    // _rg = number of interior boundaries at or below this id — a single
+    // array scan over ≤ numRanges-1 broadcast literals, contiguous by
+    // construction.
+    val ranged = df.withColumn("_rg",
+      if (interior.isEmpty) lit(0)
+      else size(filter(typedLit(interior.toSeq), b => col(idCol).cast("long") >= b)))
     val totals = ranged.groupBy(col("_rg")).agg(sum(col(valueCol)).cast("long").as("_t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
-    val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (rg, off)) =>
-      when(col("_rg") === rg, lit(off)).otherwise(acc)
-    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("_rg", "_off")
     val w = Window.partitionBy(col("_rg")).orderBy(col(idCol))
     ranged
+      .join(broadcast(offsetsDf), Seq("_rg"))
       .withColumn(outCol,
-        offsetCol + sum(col(valueCol).cast("long")).over(w) - col(valueCol).cast("long"))
-      .drop("_rg")
+        col("_off") + sum(col(valueCol).cast("long")).over(w) - col(valueCol).cast("long"))
+      .drop("_rg", "_off")
   }
+
+  /** Distinct sorted interior boundaries at id quantiles i/numRanges
+    * (Greenwald-Khanna, one pass). Quantile (row-count) splits, not
+    * span-uniform ones: a clustered id distribution — all ids packed into
+    * 1 % of the span — would land every row in one span-uniform range and
+    * hand the per-range window cumsum to a single straggler task, while
+    * quantile boundaries stay balanced under any distribution. Boundary
+    * placement only affects load balance, never the result (the prefix
+    * sum depends solely on the id ordering), so the approximation is
+    * harmless.
+    */
+  private[graft] def quantileBoundaries(df: DataFrame, idCol: String, numRanges: Int): Array[Long] =
+    if (numRanges <= 1) Array.empty
+    else {
+      val probs = (1 until numRanges).map(_.toDouble / numRanges).toArray
+      df.select(col(idCol).cast("double").as("_idq")).stat
+        .approxQuantile("_idq", probs, 0.25 / numRanges)
+        .map(_.toLong).distinct.sorted
+    }
 
   /** Sequence packing for training: assign each document a pack id so
     * that pack k holds the documents whose cumulative token START offset

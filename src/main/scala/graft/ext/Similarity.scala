@@ -229,41 +229,53 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
 
   /** Distributed spherical k-means for IVF coarse centroids (the training
-    * step the FAISS lineage runs offline). Per iteration: every vector is
-    * assigned to its max-cosine centroid (map-only columnar argmax), then
-    * centroids move to their list's mean direction — `posexplode` →
-    * per-(list, dim) average (hash agg with map-side combine) → ordered
-    * reassembly — and are re-normalized to unit length (the spherical
-    * variant, which makes the cosine objective monotone non-decreasing).
-    * Driver-side state is only the numLists × dim centroid matrix; both
-    * shuffles per iteration are keyed on (list, dim) — corpus-size
-    * independent state, so the same plan trains on 100 TB. Empty lists
-    * keep their previous centroid.
+    * step the FAISS lineage runs offline). Per iteration ONE job: every
+    * vector is assigned to its max-cosine centroid (map-only columnar
+    * argmax) fused with `posexplode` into a single per-(list, dim) average
+    * (hash agg with map-side combine) — the only shuffle, keyed on
+    * (list, dim). The numLists × dim mean rows are reassembled into the
+    * centroid matrix on the DRIVER (bounded by numLists·dim, corpus-size
+    * independent) and re-normalized to unit length (the spherical variant,
+    * which makes the cosine objective monotone non-decreasing), so the
+    * same plan trains on 100 TB. Empty lists keep their previous centroid.
+    *
+    * Early exit: iteration stops once the largest per-centroid movement
+    * `1 − cos(old, new)` drops to `tol` (default 0 = stop only at an exact
+    * fixpoint, where further iterations provably change nothing — results
+    * are bit-identical to running all `iters`).
     */
   def trainCentroids(
       corpus: DataFrame,
       numLists: Int,
       iters: Int = 5,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      tol: Double = 0.0
   ): Array[Array[Double]] = {
     VecDot.ensureRegistered(corpus.sparkSession)
     var centroids = sampleCentroids(corpus, numLists, idCol, vecCol)
       .map(Similarity.unit)
     val v = corpus.select(col(vecCol).cast("array<double>").as("v"))
-    for (_ <- 1 to iters) {
-      val means = v
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < iters && moved > tol) {
+      val meanRows = v
         .select(ivfAssign(col("v"), centroids).as("list"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("list"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("list"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-        .toMap
-      centroids = centroids.zipWithIndex.map { case (old, i) =>
-        means.get(i).map(Similarity.unit).getOrElse(old)
+      val byList = meanRows.groupBy(_.getInt(0))
+      val next = centroids.zipWithIndex.map { case (old, i) =>
+        byList.get(i).map { rs =>
+          val arr = new Array[Double](rs.length)
+          rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          Similarity.unit(arr)
+        }.getOrElse(old)
       }
+      moved = centroids.zip(next).map { case (o, n) =>
+        1.0 - o.zip(n).map { case (a, b) => a * b }.sum
+      }.max
+      centroids = next
+      it += 1
     }
     centroids
   }

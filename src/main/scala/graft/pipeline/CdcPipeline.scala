@@ -224,6 +224,11 @@ object CdcPipeline {
             Retry(spec.retry.forContext(backfill = false)) {
               mergeBatch(table, staged, spec, wm, affected)
             }
+            // Reference parity: the target is ALWAYS externally readable
+            // (its sinks are open-format tables any engine reads). Re-export
+            // the symlink manifest after every commit so the external view
+            // tracks the live table — metadata-only, O(files), no data scan.
+            spec.exportDir.foreach(table.exportSymlinkManifest)
             JsonLog.info("batch_committed", "batch_id" -> batchId,
               "rows" -> head.getLong(0), "watermark" -> wm,
               "affected_buckets" -> affected.map(_.size.toString).getOrElse("all"),
@@ -282,6 +287,7 @@ object CdcPipeline {
             layoutProps(spec) + (SnapshotTable.PropWatermark -> newest))
       }
     }
+    spec.exportDir.foreach(table.exportSymlinkManifest)
     JsonLog.info("backfill_completed", "mode" -> spec.backfillBehavior, "watermark" -> newest)
   }
 }

@@ -54,7 +54,8 @@ final case class StreamSpec(
     httpRetryDelayMs: Long = 1000,                     // httpMinRetryDelay
     httpMaxRetryDelayMs: Long = 30000,                 // httpMaxRetryDelay — backoff growth cap
     maxRowsPerFile: Option[Long] = None,               // sink.maxRowsPerFile
-    targetTableProperties: Map[String, String] = Map.empty // arbitrary table props passthrough
+    targetTableProperties: Map[String, String] = Map.empty, // arbitrary table props passthrough
+    exportDir: Option[String] = None                   // re-export symlink manifest after every commit
 ) {
   def fieldSelectionRule: FieldSelectionRule = fieldSelectionRuleName.toLowerCase match {
     case "include" => FieldSelectionRule.Include(fieldSelectionFields)
@@ -171,7 +172,8 @@ object StreamSpec {
         if (r.has("targetTableProperties"))
           r.get("targetTableProperties").properties().asScala
             .map(e => e.getKey -> e.getValue.asText()).toMap
-        else Map.empty
+        else Map.empty,
+      exportDir = opt("exportDir")
     )
   }
 }

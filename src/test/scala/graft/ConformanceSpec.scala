@@ -30,19 +30,23 @@ class ConformanceSpec extends SparkSpec {
     val wmFolder = CdmFixture.uploadBatch(root, now.minusHours(1), updateChangelog = true, chunkSeed = 1)
     CdmFixture.uploadBatch(root, now.minusHours(2), chunkSeed = 2)
 
+    val exportDir = tmpDir("cdm-e2e-export")
     val spec = StreamSpec(
       sourcePath = root,
       entityName = CdmFixture.entityName,
       targetLocation = target,
       backfillBehavior = "Overwrite",
       numBuckets = 4,
-      changeCaptureIntervalSeconds = 1
+      changeCaptureIntervalSeconds = 1,
+      exportDir = Some(exportDir)
     )
     CdcPipeline.runBackfill(spark, spec)
 
     val table = SnapshotTable(spark, target)
     assert(table.read().count() === 5)
     assert(table.properties(SnapshotTable.PropWatermark) === wmFolder)
+    // export-on-commit: the external view tracks the backfill commit
+    assert(spark.read.parquet(s"$exportDir/data").count() === 5)
 
     // --- streaming: three folders --------------------------------------
     CdmFixture.uploadBatch(root, now.minusMinutes(45), addDelete = true, addUpsert = true, chunkSeed = 3)
@@ -60,6 +64,16 @@ class ConformanceSpec extends SparkSpec {
     val v = result.where(col("Id") === CdmFixture.id2).select("versionnumber").head().getLong(0)
     assert(v === 2111000012L, "updated Id must carry the max versionnumber")
     assert(table.properties(SnapshotTable.PropWatermark) === lastFolder)
+
+    // export-on-commit after the streamed merges: a plain parquet glob of
+    // the export dir (what an external engine reads) equals the live table
+    // row-for-row — every commit re-exported, dead files excluded.
+    val exported = spark.read.parquet(s"$exportDir/data")
+    assert(exported.count() === 6)
+    val cols = result.columns.sorted.toIndexedSeq.map(col)
+    assert(exported.select(cols: _*).except(result.select(cols: _*)).isEmpty &&
+      result.select(cols: _*).except(exported.select(cols: _*)).isEmpty,
+      "export view must match SnapshotTable.read() exactly")
   }
 
   test("schema evolution across restart: new model.json column is ADDed, history NULL") {

@@ -281,6 +281,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(narrow.subsetOf(wider))
   }
 
+  test("prefixSum ranges stay balanced when ids cluster in 1% of the span") {
+    import spark.implicits._
+    // 2000 ids packed into [0,2000) plus one far outlier: span-uniform
+    // bucketing would put 99.95% of rows in range 0.
+    val ids = (0L until 2000L) :+ 200000L
+    val df = ids.toDF("doc_id").withColumn("v", lit(1L))
+    val boundaries = Datasets.quantileBoundaries(df, "doc_id", 16)
+    assert(boundaries.nonEmpty)
+    val counts = df
+      .withColumn("_rg", size(filter(typedLit(boundaries.toSeq), b => col("doc_id") >= b)))
+      .groupBy("_rg").count().collect().map(_.getLong(1))
+    val ideal = math.ceil(ids.length / 16.0)
+    assert(counts.max <= 2 * ideal, s"hot range ${counts.max} rows vs ideal $ideal")
+    // correctness unchanged: with v=1 the exclusive prefix sum in id order is the rank
+    val out = Datasets.prefixSum(df, "v", "doc_id").orderBy("doc_id")
+      .select("doc_id", "prefix_sum").as[(Long, Long)].collect()
+    out.zipWithIndex.foreach { case ((_, ps), i) => assert(ps === i.toLong) }
+  }
+
   test("hot-bucket stress: 15k identical copies stay LINEAR through the guard and resolve to one group") {
     val base = docs.limit(100).select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val copies = base.where(col("doc_id") === 0)
