@@ -168,7 +168,8 @@ object CdcPipeline {
 
     Metrics.install(spark, spec.statsdAddress,
       spec.metricTags + ("entity" -> spec.entityName))
-    JsonLog.install(spec.metricTags + ("entity" -> spec.entityName))
+    JsonLog.install(spec.metricTags + ("entity" -> spec.entityName),
+      DataDogLogShipper.sinkFor(spec.logShipAddress))
     JsonLog.info("stream_started", "source" -> spec.sourcePath,
       "target" -> spec.targetLocation, "interval_ms" -> jitteredIntervalMs(spec),
       "starting_watermark" -> (if (startWm.isEmpty) null else startWm))
@@ -252,7 +253,8 @@ object CdcPipeline {
     // retry logging, a failure surfacing through Main's stream_failed path —
     // carries this stream's tags, not empty/stale ones from a previous
     // stream in the same JVM (same placement as startStream).
-    JsonLog.install(spec.metricTags + ("entity" -> spec.entityName))
+    JsonLog.install(spec.metricTags + ("entity" -> spec.entityName),
+      DataDogLogShipper.sinkFor(spec.logShipAddress))
     val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info",
       spec.listingRetry)
     val conf = spark.sparkContext.hadoopConfiguration

@@ -55,7 +55,8 @@ final case class StreamSpec(
     httpMaxRetryDelayMs: Long = 30000,                 // httpMaxRetryDelay — backoff growth cap
     maxRowsPerFile: Option[Long] = None,               // sink.maxRowsPerFile
     targetTableProperties: Map[String, String] = Map.empty, // arbitrary table props passthrough
-    exportDir: Option[String] = None                   // re-export symlink manifest after every commit
+    exportDir: Option[String] = None,                  // re-export symlink manifest after every commit
+    logShipAddress: Option[String] = None              // DataDog-shape shipper: udp://host:port | file:/path
 ) {
   def fieldSelectionRule: FieldSelectionRule = fieldSelectionRuleName.toLowerCase match {
     case "include" => FieldSelectionRule.Include(fieldSelectionFields)
@@ -173,7 +174,8 @@ object StreamSpec {
           r.get("targetTableProperties").properties().asScala
             .map(e => e.getKey -> e.getValue.asText()).toMap
         else Map.empty,
-      exportDir = opt("exportDir")
+      exportDir = opt("exportDir"),
+      logShipAddress = opt("logShipAddress")
     )
   }
 }

@@ -126,6 +126,57 @@ class ParitySpec extends SparkSpec {
     } finally JsonLog.install(Map.empty)
   }
 
+  test("DataDog log shipper envelopes JsonLog lines with the LogstashEncoder field shape") {
+    import graft.pipeline.{DataDogLogShipper, JsonLog}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    // capture a real JsonLog line
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    JsonLog.install(Map("entity" -> "e1", "stream" -> "s9"), buf += _)
+    try JsonLog.warn("batch_committed", "batch_id" -> 3L, "rows" -> 12L)
+    finally JsonLog.install(Map.empty)
+
+    // field parity with the reference's logback.datadog.xml encoder output
+    val shipper = new DataDogLogShipper("udp://127.0.0.1:1", "graft-stream-runner")
+    val n = mapper.readTree(shipper.envelope(buf.head))
+    assert(java.time.Instant.parse(n.get("@timestamp").asText()) != null)
+    assert(n.get("@version").asText() == "1")
+    assert(n.get("message").asText() == "batch_committed")
+    assert(n.get("logger_name").asText() == "graft.pipeline")
+    assert(n.get("thread_name").asText().nonEmpty)
+    assert(n.get("level").asText() == "WARN" && n.get("level_value").asInt() == 30000)
+    assert(n.get("service").asText() == "graft-stream-runner")
+    assert(n.get("ddsource").asText() == "java")
+    assert(n.get("host").asText().nonEmpty)
+    // event fields and stream tags carried through verbatim
+    assert(n.get("rows").asLong() == 12L && n.get("batch_id").asLong() == 3L)
+    assert(n.get("tags").get("entity").asText() == "e1" && n.get("tags").get("stream").asText() == "s9")
+
+    // UDP destination actually receives the envelope
+    val server = new DatagramSocket(0)
+    server.setSoTimeout(5000)
+    val udp = new DataDogLogShipper(s"udp://127.0.0.1:${server.getLocalPort}")
+    udp.ship(buf.head)
+    val p = new DatagramPacket(new Array[Byte](4096), 4096)
+    server.receive(p)
+    val got = mapper.readTree(new String(p.getData, 0, p.getLength))
+    assert(got.get("message").asText() == "batch_committed" && got.get("ddsource").asText() == "java")
+    udp.close(); server.close()
+
+    // file destination appends one envelope per line; failures only count
+    val f = java.nio.file.Files.createTempFile("ddship", ".jsonl")
+    val fileShipper = new DataDogLogShipper("file:" + f.toAbsolutePath)
+    fileShipper.ship(buf.head)
+    fileShipper.ship(buf.head)
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(f)).asScala
+    assert(lines.size == 2 && lines.forall(l => mapper.readTree(l).has("@timestamp")))
+    assert(fileShipper.dropped == 0)
+    val broken = new DataDogLogShipper("file:/nonexistent-dir-xyz/out.jsonl")
+    broken.ship(buf.head)
+    assert(broken.dropped == 1, "shipping failure must count, not throw")
+  }
+
   test("memory-bound shaper admits at least one but not unbounded folders") {
     val root = tmpDir("shaper-src")
     CdmFixture.initRoot(root)
