@@ -1066,6 +1066,18 @@ object SparkEntry {
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_length, md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // REAL javax.sound WAV decode gate: planted PCM format arithmetic
+    // (Queries.qAudioFeatures) restated; duration is integer ms both sides.
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |    CAST(400 + doc_id % 1600 AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, sample_rate, channels, n_frames,
+        |  CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

@@ -157,6 +157,78 @@ object Multimodal {
     }
   }
 
+  /** Real JDK audio codec: `javax.sound.sampled` WAV parse (PCM). Executor
+    * side only, in-memory streams.
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Decode a WAV payload. Returns NULL for undecodable bytes. Features =
+      * 8-segment RMS envelope over the first channel, normalized to [0,1]
+      * (16-bit full scale).
+      */
+    def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
+      Option(bytes).filter(_.nonEmpty).flatMap { b =>
+        try {
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(b))
+          try {
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            val frameBytes = fmt.getFrameSize
+            val all = in.readAllBytes()
+            val nSeg = 8
+            val rms = new Array[Float](nSeg)
+            if (frames > 0 && fmt.getSampleSizeInBits == 16) {
+              val segLen = math.max(1L, frames / nSeg)
+              var seg = 0
+              while (seg < nSeg) {
+                val from = seg * segLen
+                val to = math.min(frames, from + segLen)
+                var acc = 0.0; var n = 0L; var f = from
+                while (f < to) {
+                  val off = (f * frameBytes).toInt // first channel, 16-bit LE
+                  if (off + 1 < all.length) {
+                    val s = ((all(off + 1) << 8) | (all(off) & 0xff)).toShort
+                    acc += s.toDouble * s; n += 1
+                  }
+                  f += 1
+                }
+                rms(seg) = if (n == 0) 0f else (math.sqrt(acc / n) / 32768.0).toFloat
+                seg += 1
+              }
+            }
+            Some((fmt.getSampleRate.toInt, fmt.getChannels, frames, rms))
+          } finally in.close()
+        } catch { case _: Exception => None }
+      }
+    }
+
+    /** Deterministic synthetic 16-bit PCM WAV: sine-ish samples derived
+      * from (id, frame) arithmetic. Fixture generator — real WAV bytes only
+      * a real RIFF/PCM parser can recover the format from.
+      */
+    def syntheticWav(id: Long, sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+      val data = new Array[Byte](nFrames * channels * 2)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val v = (math.sin((f * (1 + id % 7) + c).toDouble / 16.0) * 12000).toInt.toShort
+          val off = (f * channels + c) * 2
+          data(off) = (v & 0xff).toByte
+          data(off + 1) = ((v >> 8) & 0xff).toByte
+          c += 1
+        }
+        f += 1
+      }
+      val stream = new AudioInputStream(new ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val baos = new ByteArrayOutputStream()
+      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+  }
+
   /** STUB video codec — no video codec ships with the JDK, so frame
     * sampling is a clearly-marked deterministic stand-in: a real build
     * swaps `sampleFrameOffsets` for a demuxer call with the SAME signature
@@ -195,6 +267,53 @@ object Multimodal {
         Row(id, ImageCodec.syntheticPng(id, w, h, gray))
       }
     }.toDF("id", "content")
+  }
+
+  /** Plant one deterministic synthetic WAV per row: `dims(id)` gives
+    * (sampleRate, channels, nFrames). Same distributed fixture shape as
+    * [[syntheticImages]].
+    */
+  def syntheticAudio(df: DataFrame, idCol: String)(dims: Long => (Int, Int, Int)): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("content", BinaryType)))
+    val in = df.select(col(idCol).cast("long").as("id"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (rate, ch, frames) = dims(id)
+        Row(id, AudioCodec.syntheticWav(id, rate, ch, frames))
+      }
+    }.toDF("id", "content")
+  }
+
+  /** Decode+featurize an audio (WAV/PCM) binary column batch-wise via the
+    * real javax.sound codec. Output per row: id, sample_rate, channels,
+    * n_frames, duration_ms (integer ms = frames*1000/rate) and an
+    * 8-segment RMS envelope; NULLs for undecodable payloads. Partition-
+    * local, no shuffle.
+    */
+  def audioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType),
+      StructField("rms_envelope", ArrayType(FloatType))))
+    val in = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        AudioCodec.decodeWav(r.getAs[Array[Byte]](1)) match {
+          case Some((rate, ch, frames, rms)) =>
+            Row(r.getLong(0), rate, ch, frames, frames * 1000L / rate, rms.toSeq)
+          case None => Row(r.getLong(0), null, null, null, null, null)
+        }
+      }
+    }.toDF("id", "sample_rate", "channels", "n_frames", "duration_ms", "rms_envelope")
   }
 
   /** Decode+featurize an image binary column batch-wise via the real

@@ -1296,6 +1296,25 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL audio decode gate: one deterministic 16-bit PCM WAV is planted
+    * per doc (sample rate / channel count / frame count from doc_id
+    * arithmetic), then parsed back with the JDK javax.sound codec through
+    * the mapPartitions plumbing. The DuckDB oracle restates the planted
+    * arithmetic incl. integer-ms duration — recoverable only by genuinely
+    * parsing the RIFF/PCM header.
+    */
+  def qAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val wavs = Multimodal.syntheticAudio(t(spark, dir, "documents"), "doc_id") { id =>
+      ((8000 + (id % 3) * 4000).toInt, (1 + id % 2).toInt, (400 + id % 1600).toInt)
+    }
+    Multimodal.audioFeatures(wavs, "id", "content")
+      .select(col("id").as("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_frames"), col("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Video frame sampling (stub: every 64th byte offset) — the offsets are
     * pure arithmetic over the payload length, so this mapPartitions flatMap
     * gets a full DuckDB oracle (generate_series over octet_length).
@@ -1344,6 +1363,7 @@ object Queries {
     "q_dedup_groups" -> (qDedupGroups _),
     "q_hot_bucket_groups" -> (qHotBucketGroups _),
     "q_hot_bucket_embedding" -> (qHotBucketEmbedding _),
+    "q_audio_features" -> (qAudioFeatures _),
     "q_simhash" -> (qSimHash _),
     "q_simhash_pairs" -> (qSimHashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),

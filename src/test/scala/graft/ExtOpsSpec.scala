@@ -341,6 +341,31 @@ class ExtOpsSpec extends SparkSpec {
     assert(cf.length === 3 && cf.forall(r => r.isNullAt(1) && r.isNullAt(4)))
   }
 
+  test("real javax.sound WAV decode recovers planted PCM format; corrupt rows go NULL") {
+    val dims: Long => (Int, Int, Int) = id =>
+      ((8000 + (id % 2) * 8000).toInt, (1 + id % 2).toInt, (100 + id % 500).toInt)
+    val wavs = Multimodal.syntheticAudio(docs.limit(40), "doc_id")(dims).repartition(4)
+    val f1 = Multimodal.audioFeatures(wavs, "id", "content").orderBy("id").collect()
+    assert(f1.length === 40)
+    f1.foreach { r =>
+      val id = r.getLong(0)
+      val (rate, ch, frames) = dims(id)
+      assert(r.getInt(1) === rate, s"sample rate of $id")
+      assert(r.getInt(2) === ch, s"channels of $id")
+      assert(r.getLong(3) === frames.toLong, s"frames of $id")
+      assert(r.getLong(4) === frames.toLong * 1000L / rate, s"duration of $id")
+      val rms = r.getSeq[Float](5)
+      assert(rms.length === 8 && rms.exists(_ > 0.1f), s"non-silent RMS envelope of $id")
+    }
+    // determinism
+    val f2 = Multimodal.audioFeatures(wavs, "id", "content").orderBy("id").collect()
+    assert(f1.sameElements(f2))
+    // corrupt payloads -> NULL fields, not task failures
+    val corrupt = spark.range(3).selectExpr("id", "CAST(concat('nota', id, 'wav') AS BINARY) AS content")
+    val cf = Multimodal.audioFeatures(corrupt, "id", "content").collect()
+    assert(cf.length === 3 && cf.forall(r => r.isNullAt(1) && r.isNullAt(5)))
+  }
+
   test("real image resize fits within target box, round-trips through PNG, deterministic") {
     val dims: Long => (Int, Int, Boolean) = id =>
       ((20 + id % 60).toInt, (20 + (id / 5) % 60).toInt, id % 4 == 0)
