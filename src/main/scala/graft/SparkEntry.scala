@@ -1074,7 +1074,7 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id,
         |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
         |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,
-        |    CAST(400 + doc_id % 1600 AS BIGINT) AS n_frames
+        |    CAST(200 + doc_id % 600 AS BIGINT) AS n_frames
         |  FROM documents)
         |SELECT doc_id, sample_rate, channels, n_frames,
         |  CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms

@@ -161,7 +161,7 @@ object Multimodal {
     * side only, in-memory streams.
     */
   object AudioCodec {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.AudioSystem
 
     /** Decode a WAV payload. Returns NULL for undecodable bytes. Features =
       * 8-segment RMS envelope over the first channel, normalized to [0,1]
@@ -197,35 +197,46 @@ object Multimodal {
                 seg += 1
               }
             }
-            Some((fmt.getSampleRate.toInt, fmt.getChannels, frames, rms))
+            // a parseable-but-degenerate header (rate 0, unknown frame
+            // length) is corrupt data, not a decodable clip
+            if (fmt.getSampleRate <= 0 || frames < 0) None
+            else Some((fmt.getSampleRate.toInt, fmt.getChannels, frames, rms))
           } finally in.close()
         } catch { case _: Exception => None }
       }
     }
 
     /** Deterministic synthetic 16-bit PCM WAV: sine-ish samples derived
-      * from (id, frame) arithmetic. Fixture generator — real WAV bytes only
-      * a real RIFF/PCM parser can recover the format from.
+      * from (id, frame) arithmetic, with the canonical 44-byte RIFF header
+      * written directly (the fixture generator needs the FORMAT, not the
+      * codec — and skipping the per-clip AudioSystem SPI machinery makes
+      * planting 5k clips ~2x cheaper; DECODING stays on the real
+      * javax.sound parser, which is what the gate exercises).
       */
     def syntheticWav(id: Long, sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
-      val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
-      val data = new Array[Byte](nFrames * channels * 2)
+      val dataLen = nFrames * channels * 2
+      val out = new Array[Byte](44 + dataLen)
+      def le16(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def le32(off: Int, v: Int): Unit = { le16(off, v & 0xffff); le16(off + 2, (v >>> 16) & 0xffff) }
+      def tag(off: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, off)
+      tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16); le16(20, 1 /* PCM */); le16(22, channels)
+      le32(24, sampleRate); le32(28, sampleRate * channels * 2)
+      le16(32, channels * 2 /* block align */); le16(34, 16 /* bits */)
+      tag(36, "data"); le32(40, dataLen)
       var f = 0
       while (f < nFrames) {
         var c = 0
         while (c < channels) {
-          val v = (math.sin((f * (1 + id % 7) + c).toDouble / 16.0) * 12000).toInt.toShort
-          val off = (f * channels + c) * 2
-          data(off) = (v & 0xff).toByte
-          data(off + 1) = ((v >> 8) & 0xff).toByte
+          val v = (math.sin((f * (1 + id % 7) + c).toDouble / 16.0) * 12000).toInt
+          le16(44 + (f * channels + c) * 2, v & 0xffff)
           c += 1
         }
         f += 1
       }
-      val stream = new AudioInputStream(new ByteArrayInputStream(data), fmt, nFrames.toLong)
-      val baos = new ByteArrayOutputStream()
-      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, baos)
-      baos.toByteArray
+      out
     }
   }
 

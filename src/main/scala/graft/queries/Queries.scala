@@ -1305,7 +1305,7 @@ object Queries {
     */
   def qAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
     val wavs = Multimodal.syntheticAudio(t(spark, dir, "documents"), "doc_id") { id =>
-      ((8000 + (id % 3) * 4000).toInt, (1 + id % 2).toInt, (400 + id % 1600).toInt)
+      ((8000 + (id % 3) * 4000).toInt, (1 + id % 2).toInt, (200 + id % 600).toInt)
     }
     Multimodal.audioFeatures(wavs, "id", "content")
       .select(col("id").as("doc_id"),
