@@ -501,6 +501,44 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS id_a, CAST(3000000 + g AS BIGINT) AS id_b
         |FROM range(15000) t(g) ORDER BY id_a, id_b""".stripMargin,
 
+    // End-to-end cleaning composition: the same independent recursive-CTE
+    // closure as q_dedup_groups (even-id half corpus), then survivors =
+    // corpus minus non-canonical group members.
+    "q_dedup_clean_corpus" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '\s+\S+\s*$', '') AS text
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_distinct(list_concat(a.s, b.s))) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM (SELECT DISTINCT u FROM edges) t
+        |  UNION
+        |  SELECT e.u AS id, r.comp FROM edges e JOIN reach r ON e.v = r.id),
+        |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT CAST(c.doc_id AS BIGINT) AS doc_id FROM corpus c
+        |WHERE c.doc_id NOT IN (SELECT id FROM labels WHERE comp <> id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_groups" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents

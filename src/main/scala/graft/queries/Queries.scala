@@ -526,6 +526,32 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end dedup CLEANING gate — the composition a pipeline user
+    * actually runs: near-dup pairs → connected components → drop every
+    * non-canonical group member (keep the min-id representative), return
+    * the cleaned corpus id set. Even-id half of the q_dedup_groups corpus
+    * (the pair+closure machinery is already fully gated there; this gates
+    * the anti-join composition at half the cost). Oracle: the independent
+    * recursive-CTE transitive closure, minus non-canonical members.
+    */
+  def qDedupCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    val perturbed = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+    val corpus = docs.unionByName(perturbed)
+    val pairs = Dedup.nearDuplicatePairs(corpus, threshold = 0.5,
+      numHashes = 64, numBands = 16)
+    val dropped = Dedup.connectedComponents(pairs)
+      .where(col("comp") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    corpus.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SCALE-STRESS gate for the SimHash hot-bucket skew guard + group
     * resolution: one page is planted at 25 000 identical copies — 2.5× the
     * 10 000 `maxBucketSize` cap, the mass-duplication pathology dedup
@@ -1364,6 +1390,7 @@ object Queries {
     "q_hot_bucket_groups" -> (qHotBucketGroups _),
     "q_hot_bucket_embedding" -> (qHotBucketEmbedding _),
     "q_audio_features" -> (qAudioFeatures _),
+    "q_dedup_clean_corpus" -> (qDedupCleanCorpus _),
     "q_simhash" -> (qSimHash _),
     "q_simhash_pairs" -> (qSimHashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
