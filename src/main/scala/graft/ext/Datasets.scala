@@ -115,8 +115,9 @@ object Datasets {
       numRanges: Int = 256
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
-    if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(0L))
+    // cheap emptiness probe (limit-1 take), not a full min/max scan — the
+    // quantile pass is the only whole-input read before the cumsum
+    if (df.where(col(idCol).isNotNull).isEmpty) return df.withColumn(outCol, lit(0L))
     val interior = quantileBoundaries(df, idCol, numRanges)
     // _rg = number of interior boundaries at or below this id — a single
     // array scan over ≤ numRanges-1 broadcast literals, contiguous by

@@ -288,6 +288,17 @@ object Dedup {
       maxIters: Int = 20
   ): DataFrame = {
     import org.apache.spark.sql.Observation
+    // Dataset.unpersist is a NO-OP on a localCheckpoint'd frame (it only
+    // clears CacheManager entries, not the checkpoint's persisted RDD
+    // blocks) — release the underlying RDD so superseded rounds free
+    // executor storage deterministically instead of waiting for driver GC.
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach { leaf =>
+        if (leaf.getClass.getSimpleName == "LogicalRDD")
+          try leaf.getClass.getMethod("rdd").invoke(leaf)
+            .asInstanceOf[org.apache.spark.rdd.RDD[_]].unpersist(false)
+          catch { case _: Exception => () }
+      }
     // Materialize the symmetric edge set ONCE and truncate its lineage:
     // without the checkpoint every round's plan embeds the full upstream
     // pair-generation plan (MinHash pipeline, band joins, …) k times over,
@@ -308,6 +319,7 @@ object Dedup {
     // aggregation at `p` partitions; at 100 TB, p scales with |E|.
     val p = math.max(1, math.min(edges.rdd.getNumPartitions, (nEdges / 500000L + 1).toInt))
     val edgesByV = edges.repartition(p, col("v")).localCheckpoint()
+    releaseCheckpoint(edges) // superseded by edgesByV
     // Round 0 fused into initialization: every node starts at
     // min(self, direct neighbors) — one aggregation instead of a full
     // propagation round. Pair-graphs (components of size 2) are already
@@ -340,14 +352,13 @@ object Dedup {
           .select(col("id"),
             least(col("comp"), coalesce(col("ncomp"), col("comp")),
               coalesce(col("ccomp"), col("comp"))).as("comp")))
-      labels.unpersist()
+      releaseCheckpoint(labels)
       labels = next
       converged = sum == prevSum
       prevSum = sum
       it += 1
     }
-    edges.unpersist()
-    edgesByV.unpersist()
+    releaseCheckpoint(edgesByV)
     labels
   }
 

@@ -240,9 +240,11 @@ object Similarity {
     * same plan trains on 100 TB. Empty lists keep their previous centroid.
     *
     * Early exit: iteration stops once the largest per-centroid movement
-    * `1 − cos(old, new)` drops to `tol` (default 0 = stop only at an exact
-    * fixpoint, where further iterations provably change nothing — results
-    * are bit-identical to running all `iters`).
+    * `1 − cos(old, new)` drops to `tol`; the default tol=0 stops only at a
+    * BITWISE fixpoint (tested by array equality, since the floating dot
+    * product of a fixpoint rounds to ±1 ulp of 1, not exactly 1) — there
+    * further iterations provably change nothing, so results are
+    * bit-identical to running all `iters`.
     */
   def trainCentroids(
       corpus: DataFrame,
@@ -271,9 +273,15 @@ object Similarity {
           Similarity.unit(arr)
         }.getOrElse(old)
       }
-      moved = centroids.zip(next).map { case (o, n) =>
-        1.0 - o.zip(n).map { case (a, b) => a * b }.sum
-      }.max
+      // Exact-fixpoint test by ARRAY equality, not the dot product: at a
+      // true fixpoint 1 − Σaᵢ² is ±1 ulp of 0, so a dot-based test with
+      // tol=0 would almost never fire (and could fire spuriously). The
+      // cosine movement metric only arbitrates a user-supplied tol > 0.
+      moved =
+        if (centroids.zip(next).forall { case (o, n) => java.util.Arrays.equals(o, n) }) 0.0
+        else centroids.zip(next).map { case (o, n) =>
+          math.max(0.0, 1.0 - o.zip(n).map { case (a, b) => a * b }.sum)
+        }.max.max(Double.MinPositiveValue) // non-identical arrays never read as 0
       centroids = next
       it += 1
     }

@@ -28,7 +28,11 @@ import scala.jdk.CollectionConverters._
   */
 final class DataDogLogShipper(dest: String, service: String = "graft-stream-runner") {
   private val mapper = new ObjectMapper()
-  private val uri = new URI(dest)
+  // A malformed destination must not take down the stream either: the
+  // shipper degrades to drop-and-count, honoring the never-throw contract
+  // even for a config typo.
+  private val uri: Option[URI] =
+    try Some(new URI(dest)) catch { case _: Exception => None }
   private val droppedLines = new AtomicLong(0)
   private lazy val socket = new DatagramSocket()
   private val host =
@@ -69,32 +73,46 @@ final class DataDogLogShipper(dest: String, service: String = "graft-stream-runn
     root.toString
   }
 
-  def ship(jsonLogLine: String): Unit =
-    try {
-      val line = envelope(jsonLogLine)
-      uri.getScheme match {
-        case "udp" =>
-          val bytes = line.getBytes(StandardCharsets.UTF_8)
-          socket.send(new DatagramPacket(bytes, bytes.length,
-            InetAddress.getByName(uri.getHost), uri.getPort))
-        case _ =>
-          Files.write(Paths.get(uri.getPath), (line + "\n").getBytes(StandardCharsets.UTF_8),
-            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-      }
-    } catch { case _: Exception => droppedLines.incrementAndGet() }
+  def ship(jsonLogLine: String): Unit = uri match {
+    case None => droppedLines.incrementAndGet()
+    case Some(u) =>
+      try {
+        val line = envelope(jsonLogLine)
+        u.getScheme match {
+          case "udp" =>
+            val bytes = line.getBytes(StandardCharsets.UTF_8)
+            socket.send(new DatagramPacket(bytes, bytes.length,
+              InetAddress.getByName(u.getHost), u.getPort))
+          case _ =>
+            Files.write(Paths.get(u.getPath), (line + "\n").getBytes(StandardCharsets.UTF_8),
+              StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        }
+      } catch { case _: Exception => droppedLines.incrementAndGet() }
+  }
 
   def close(): Unit =
-    try if (uri.getScheme == "udp") socket.close() catch { case _: Exception => () }
+    try if (uri.exists(_.getScheme == "udp")) socket.close() catch { case _: Exception => () }
 }
 
 object DataDogLogShipper {
+  // One live shipper per JVM: each JsonLog.install (stream start, backfill)
+  // replaces the sink, so the previous shipper's UDP socket would otherwise
+  // leak for the JVM lifetime in a runner hosting streams sequentially.
+  @volatile private var current: Option[DataDogLogShipper] = None
+
   /** JsonLog sink that keeps the stderr line AND ships the DataDog
-    * envelope when a destination is configured.
+    * envelope when a destination is configured; closes the previously
+    * installed shipper, if any.
     */
-  def sinkFor(dest: Option[String]): String => Unit = dest match {
-    case None => System.err.println(_)
-    case Some(d) =>
-      val shipper = new DataDogLogShipper(d)
-      line => { System.err.println(line); shipper.ship(line) }
+  def sinkFor(dest: Option[String]): String => Unit = synchronized {
+    current.foreach(_.close())
+    current = None
+    dest match {
+      case None => System.err.println(_)
+      case Some(d) =>
+        val shipper = new DataDogLogShipper(d)
+        current = Some(shipper)
+        line => { System.err.println(line); shipper.ship(line) }
+    }
   }
 }

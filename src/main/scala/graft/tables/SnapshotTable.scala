@@ -385,16 +385,23 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     *
     * Metadata-only (O(files), zero data scan); re-export after each commit
     * for an always-current external view. Returns the manifest entries.
+    *
+    * ATOMIC publish: the export is built in a versioned sibling directory
+    * and `exportDir` itself is an atomically-swapped symlink to it, so an
+    * external reader racing a streamed commit always sees a complete export
+    * (old or new), never a missing/partial one. On filesystems without
+    * symlink support the publish falls back to delete+rename (a short
+    * non-atomic window — the POSIX path has none).
     */
   def exportSymlinkManifest(exportDir: String): Seq[String] = {
     val snap = currentSnapshot
-    val out = new Path(exportDir)
-    fs.delete(out, true)
-    fs.mkdirs(out)
+    val versioned = new Path(s"$exportDir.v${System.nanoTime()}")
+    fs.delete(versioned, true)
+    fs.mkdirs(versioned)
     val abs = snap.files.map(f => fs.makeQualified(new Path(dataDir, f.path)).toString)
-    writeText(fs, new Path(out, "manifest"), if (abs.isEmpty) "" else abs.mkString("\n") + "\n")
-    writeText(fs, new Path(out, "schema.json"), snap.schema.json)
-    val dataOut = new Path(out, "data")
+    writeText(fs, new Path(versioned, "manifest"), if (abs.isEmpty) "" else abs.mkString("\n") + "\n")
+    writeText(fs, new Path(versioned, "schema.json"), snap.schema.json)
+    val dataOut = new Path(versioned, "data")
     fs.mkdirs(dataOut)
     snap.files.zipWithIndex.foreach { case (f, i) =>
       val src = fs.makeQualified(new Path(dataDir, f.path))
@@ -407,8 +414,35 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
           spark.sparkContext.hadoopConfiguration)
       }
     }
-    writeText(fs, new Path(out, "_SUCCESS"), "")
+    writeText(fs, new Path(versioned, "_SUCCESS"), "")
+    publishExport(exportDir, versioned)
     abs
+  }
+
+  /** Atomically point `exportDir` at the freshly-built `versioned` dir:
+    * a temp symlink is renamed over the old one (POSIX rename-over-symlink
+    * is atomic), then the superseded export version is removed. Legacy
+    * real-directory layouts (or symlink-less filesystems) fall back to
+    * delete+rename.
+    */
+  private def publishExport(exportDir: String, versioned: Path): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val outUri = fs.makeQualified(new Path(exportDir)).toUri
+    val verUri = fs.makeQualified(versioned).toUri
+    try {
+      val outNio = Paths.get(outUri)
+      val prevTarget =
+        if (Files.isSymbolicLink(outNio)) Some(Files.readSymbolicLink(outNio)) else None
+      if (prevTarget.isEmpty) fs.delete(new Path(exportDir), true) // legacy plain dir (one-time)
+      val swp = Paths.get(outUri.getPath + ".swp")
+      Files.deleteIfExists(swp)
+      Files.createSymbolicLink(swp, Paths.get(verUri))
+      Files.move(swp, outNio, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      prevTarget.foreach(p => fs.delete(new Path(p.toString), true))
+    } catch { case _: Exception => // symlink-less FS: short-window fallback
+      fs.delete(new Path(exportDir), true)
+      fs.rename(versioned, new Path(exportDir))
+    }
   }
 
   // -------------------------------------------------------------- internals

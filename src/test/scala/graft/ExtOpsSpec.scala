@@ -165,10 +165,16 @@ class ExtOpsSpec extends SparkSpec {
       (10L, 11L), (10L, 12L), (11L, 12L),                                   // clique
       (20L, 21L)                                                            // isolated pair
     ).toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = Dedup.connectedComponents(edges)
+    val out = labels.as[(Long, Long)].collect().toMap
     (1L to 8L).foreach(i => assert(out(i) == 1L, s"chain node $i"))
     Seq(10L, 11L, 12L).foreach(i => assert(out(i) == 10L))
     assert(out(20L) == 20L && out(21L) == 20L)
+    // superseded per-round checkpoints are released deterministically:
+    // only the returned labels frame's checkpoint may remain
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
   }
 
   test("simhash of near-identical texts has small hamming distance") {

@@ -175,6 +175,11 @@ class ParitySpec extends SparkSpec {
     val broken = new DataDogLogShipper("file:/nonexistent-dir-xyz/out.jsonl")
     broken.ship(buf.head)
     assert(broken.dropped == 1, "shipping failure must count, not throw")
+    // a malformed destination (URI syntax error) must not throw either —
+    // not even at construction (stream start must survive a config typo)
+    val malformed = new DataDogLogShipper("udp://bad host:8125")
+    malformed.ship(buf.head)
+    assert(malformed.dropped == 1, "malformed destination degrades to drop-and-count")
   }
 
   test("memory-bound shaper admits at least one but not unbounded folders") {
