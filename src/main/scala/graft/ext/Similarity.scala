@@ -203,18 +203,17 @@ object Similarity {
 
   // --------------------------------------------------------- IVF ANN
 
-  /** IVF coarse assignment: nearest of `centroids` (by cosine) per vector.
+  /** IVF coarse assignment: nearest of `centroids` (by cosine) per vector
+    * — map-only columnar argmax via the [[graft.sql.VecTopLists]]
+    * expression (a data-driven loop over the broadcast flat centroid
+    * matrix: constant code size at ANY list count, where a
+    * `greatest(struct...)` tree is O(numLists) generated code and stops
+    * compiling at the ~10^4-10^5 lists a 100 TB IVF index needs).
     * Centroids arrive as a driver-side array (k-means training is a
-    * separate, offline concern); assignment is columnar argmax — map-only.
+    * separate, offline concern).
     */
-  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (ctr, i) =>
-      val d = call_function("vec_dot", vec, lit(ctr))
-      val n = sqrt(call_function("vec_dot", vec, vec))
-      struct((d / n).as("score"), lit(i).as("list"))
-    }
-    greatest(scored: _*).getField("list")
-  }
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column =
+    element_at(ivfProbes(vec, centroids, 1), 1)
 
   /** Sample-based centroid bootstrap: take `numLists` deterministic sample
     * vectors as centroids (k-means++ seeding step 1). Good enough to
@@ -295,15 +294,15 @@ object Similarity {
 
   /** Top-`nprobe` centroid lists by cosine — the IVF multi-probe widening
     * (nprobe > 1 recovers recall lost at list boundaries at the cost of
-    * scanning nprobe/numLists of the corpus).
+    * scanning nprobe/numLists of the corpus). Same [[graft.sql.VecTopLists]]
+    * scale shape as [[ivfAssign]]; tie order (larger list first) and IEEE
+    * op order match the array_sort formulation it replaced, keeping the
+    * IVF oracles bit-identical.
     */
   def ivfProbes(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (ctr, i) =>
-      struct((call_function("vec_dot", vec, lit(ctr)) /
-        sqrt(call_function("vec_dot", vec, vec))).as("score"), lit(i).as("list"))
-    }: _*)
-    transform(slice(reverse(array_sort(scored)), 1, math.min(nprobe, centroids.length)),
-      s => s.getField("list"))
+    require(centroids.nonEmpty, "ivfProbes requires at least one centroid")
+    call_function("vec_top_lists", vec, lit(centroids.flatten),
+      lit(centroids.head.length), lit(math.min(nprobe, centroids.length)))
   }
 
   /** IVF top-k: the corpus is assigned to its single nearest centroid list;

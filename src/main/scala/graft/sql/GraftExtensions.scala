@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot", VecDot.info, VecDot.builder),
+    ("vec_top_lists", VecTopLists.info, VecTopLists.builder),
     ("minhash_sig", MinHashSig.info, MinHashSig.builder),
     ("simhash64", SimHash64.info, SimHash64.builder),
     ("jaccard_sim", JaccardSim.info, JaccardSim.builder),
