@@ -82,8 +82,13 @@ object Similarity {
 
   /** LSH sign-bucket key: bit i = sign of <v, plane_i>. Vectors with equal
     * keys lie in the same angular region — candidates for high cosine.
+    * The per-plane `when` chain is bounded by the 64-bit bucket word
+    * (numPlanes ≤ 63 by representation, not corpus size — 2^63 buckets
+    * outstrips any corpus), so unlike the old per-centroid IVF tree this
+    * expression tree cannot grow past codegen limits.
     */
   def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    require(numPlanes > 0 && numPlanes <= 63, s"numPlanes must be in [1,63], got $numPlanes")
     val planes = hyperplanes(numPlanes, dim, seed)
     val bits = planes.zipWithIndex.map { case (p, i) =>
       when(call_function("vec_dot", vec, lit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
