@@ -293,11 +293,9 @@ object Dedup {
     // blocks) — release the underlying RDD so superseded rounds free
     // executor storage deterministically instead of waiting for driver GC.
     def releaseCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collectLeaves().foreach { leaf =>
-        if (leaf.getClass.getSimpleName == "LogicalRDD")
-          try leaf.getClass.getMethod("rdd").invoke(leaf)
-            .asInstanceOf[org.apache.spark.rdd.RDD[_]].unpersist(false)
-          catch { case _: Exception => () }
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
       }
     // Materialize the symmetric edge set ONCE and truncate its lineage:
     // without the checkpoint every round's plan embeds the full upstream

@@ -166,6 +166,12 @@ object Multimodal {
     /** Decode a WAV payload. Returns NULL for undecodable bytes. Features =
       * 8-segment RMS envelope over the first channel, normalized to [0,1]
       * (16-bit full scale).
+      *
+      * The whole clip is buffered in memory (`readAllBytes`), so a single
+      * payload is bounded by JVM array size (< 2 GiB) — the right unit for
+      * a per-row binary column; longer recordings should arrive pre-split.
+      * Sample offsets are computed in Long so a near-limit clip cannot
+      * overflow Int frame×frameBytes arithmetic into silently-zeroed RMS.
       */
     def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
       Option(bytes).filter(_.nonEmpty).flatMap { b =>
@@ -186,9 +192,10 @@ object Multimodal {
                 val to = math.min(frames, from + segLen)
                 var acc = 0.0; var n = 0L; var f = from
                 while (f < to) {
-                  val off = (f * frameBytes).toInt // first channel, 16-bit LE
-                  if (off + 1 < all.length) {
-                    val s = ((all(off + 1) << 8) | (all(off) & 0xff)).toShort
+                  val off = f * frameBytes // Long: first channel, 16-bit LE
+                  if (off + 1 < all.length.toLong) {
+                    val o = off.toInt // proven < all.length, so it fits Int
+                    val s = ((all(o + 1) << 8) | (all(o) & 0xff)).toShort
                     acc += s.toDouble * s; n += 1
                   }
                   f += 1

@@ -1,7 +1,8 @@
 package graft.ext
 
 import graft.sql.VecDot
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -220,6 +221,10 @@ object Similarity {
   def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column =
     element_at(ivfProbes(vec, centroids, 1), 1)
 
+  /** [[ivfAssign]] over an already-broadcast flat centroid matrix. */
+  def ivfAssign(vec: Column, centroids: Broadcast[Array[Double]], dim: Int, numLists: Int): Column =
+    element_at(ivfProbes(vec, centroids, dim, numLists, 1), 1)
+
   /** Sample-based centroid bootstrap: take `numLists` deterministic sample
     * vectors as centroids (k-means++ seeding step 1). Good enough to
     * demonstrate the IVF plumbing; [[trainCentroids]] refines them.
@@ -265,10 +270,17 @@ object Similarity {
     var it = 0
     var moved = Double.MaxValue
     while (it < iters && moved > tol) {
+      // Fresh centroids each iteration → fresh broadcast; the collect()
+      // below ends every job that reads it, so eager unpersist is safe and
+      // keeps k×dim×iters blocks from accumulating on executors.
+      val bc = broadcastCentroids(centroids)
       val meanRows = v
-        .select(ivfAssign(col("v"), centroids).as("list"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(
+          ivfAssign(col("v"), bc, centroids.head.length, centroids.length).as("list"),
+          posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("list"), col("pos")).agg(avg(col("x")).as("m"))
         .collect()
+      bc.unpersist(false)
       val byList = meanRows.groupBy(_.getInt(0))
       val next = centroids.zipWithIndex.map { case (old, i) =>
         byList.get(i).map { rs =>
@@ -299,16 +311,43 @@ object Similarity {
 
   /** Top-`nprobe` centroid lists by cosine — the IVF multi-probe widening
     * (nprobe > 1 recovers recall lost at list boundaries at the cost of
-    * scanning nprobe/numLists of the corpus). Same [[graft.sql.VecTopLists]]
-    * scale shape as [[ivfAssign]]; tie order (larger list first) and IEEE
-    * op order match the array_sort formulation it replaced, keeping the
-    * IVF oracles bit-identical.
+    * scanning nprobe/numLists of the corpus). Same
+    * [[graft.sql.VecTopListsBcast]] scale shape as [[ivfAssign]]; tie
+    * order (larger list first) and IEEE op order match the array_sort
+    * formulation it replaced, keeping the IVF oracles bit-identical.
+    *
+    * The centroid matrix ships as a real broadcast variable (one
+    * block-manager transfer per executor), NOT a plan literal — at the
+    * 10^4–10^5-list scale a 100 TB index needs, a literal would serialize
+    * tens of MB into every task closure and plan string. Each call
+    * broadcasts once; to share one broadcast across several columns, use
+    * the `Broadcast` overload.
     */
   def ivfProbes(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
     require(centroids.nonEmpty, "ivfProbes requires at least one centroid")
-    call_function("vec_top_lists", vec, lit(centroids.flatten),
-      lit(centroids.head.length), lit(math.min(nprobe, centroids.length)))
+    ivfProbes(vec, broadcastCentroids(centroids), centroids.head.length,
+      centroids.length, nprobe)
   }
+
+  /** [[ivfProbes]] over an already-broadcast flat centroid matrix
+    * (`numLists × dim`, row-major) — lets one broadcast serve both sides
+    * of an IVF join or every iteration of a training loop.
+    */
+  def ivfProbes(
+      vec: Column,
+      centroids: Broadcast[Array[Double]],
+      dim: Int,
+      numLists: Int,
+      nprobe: Int
+  ): Column =
+    GraftSqlBridge.column(graft.sql.VecTopListsBcast(
+      GraftSqlBridge.expression(vec), centroids, dim, math.min(nprobe, numLists)))
+
+  /** Broadcast a driver-side centroid matrix (row-major flattening) for
+    * reuse across [[ivfProbes]]/[[ivfAssign]] call sites.
+    */
+  def broadcastCentroids(centroids: Array[Array[Double]]): Broadcast[Array[Double]] =
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(centroids.flatten)
 
   /** IVF top-k: the corpus is assigned to its single nearest centroid list;
     * each query probes its `nprobe` nearest lists (nprobe=1 = the classic
@@ -325,14 +364,18 @@ object Similarity {
       nprobe: Int = 1
   ): DataFrame = {
     VecDot.ensureRegistered(queries.sparkSession)
+    require(centroids.nonEmpty, "ivfTopK requires at least one centroid")
+    // One broadcast serves both sides of the list-id equi-join.
+    val bc = broadcastCentroids(centroids)
+    val (dim, nLists) = (centroids.head.length, centroids.length)
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"),
-      explode(ivfProbes(col(vecCol), centroids, nprobe)).as("q_list"))
+      explode(ivfProbes(col(vecCol), bc, dim, nLists, nprobe)).as("q_list"))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       norm(col(vecCol)).as("c_norm"),
-      ivfAssign(col(vecCol), centroids).as("c_list"))
+      ivfAssign(col(vecCol), bc, dim, nLists).as("c_list"))
     val scored = c
       .join(broadcast(q), col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

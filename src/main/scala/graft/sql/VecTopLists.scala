@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -39,25 +39,7 @@ case class VecTopLists(children: Seq[Expression]) extends Expression with Codege
       "vec_top_lists(vec array, centroids_flat array, dim int, nprobe int)")
   }
 
-  private def elemType(e: Expression): DataType = e.dataType match {
-    case ArrayType(et, _) => et
-    case other => other
-  }
-
-  private def get(a: ArrayData, i: Int, et: DataType): Double = et match {
-    case FloatType  => a.getFloat(i).toDouble
-    case DoubleType => a.getDouble(i)
-    case IntegerType => a.getInt(i).toDouble
-    case LongType   => a.getLong(i).toDouble
-    case _          => 0.0
-  }
-
-  // better-than under descending (score, index) — Double.compare semantics
-  // match Spark's double ordering for the sort this replaces
-  private def better(s1: Double, i1: Int, s2: Double, i2: Int): Boolean = {
-    val c = java.lang.Double.compare(s1, s2)
-    c > 0 || (c == 0 && i1 > i2)
-  }
+  import VecTopLists.{better, elemType, get}
 
   override def eval(input: InternalRow): Any = {
     val v = children(0).eval(input)
@@ -125,4 +107,107 @@ object VecTopLists {
     require(args.length == 4, s"vec_top_lists expects 4 arguments, got ${args.length}")
     VecTopLists(args)
   }
+
+  private[sql] def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other => other
+  }
+
+  private[sql] def get(a: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType  => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType   => a.getLong(i).toDouble
+    case _          => 0.0
+  }
+
+  // better-than under descending (score, index) — Double.compare semantics
+  // match Spark's double ordering for the sort this replaces
+  private[sql] def better(s1: Double, i1: Int, s2: Double, i2: Int): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 > i2)
+  }
+}
+
+/** Broadcast-matrix variant of [[VecTopLists]] for the Scala API path: the
+  * flat centroid matrix rides a real `Broadcast` handle instead of a plan
+  * `Literal`. At the 10^4–10^5-list × dim scale a 100 TB IVF index needs
+  * (numLists ~ √N), a literal matrix is tens of MB serialized into every
+  * task closure and rendered into plan strings/UI; the broadcast ships the
+  * matrix to each executor once via the block manager and the plan carries
+  * only a handle. The scoring loop keeps [[VecTopLists]]'s exact IEEE op
+  * order (same norm accumulation, same multiply-add order, same
+  * descending (score, index) tie-break), so IVF oracle results are
+  * bit-identical between the two forms.
+  */
+case class VecTopListsBcast(
+    child: Expression,
+    centroids: org.apache.spark.broadcast.Broadcast[Array[Double]],
+    dim: Int,
+    nprobe: Int
+) extends UnaryExpression with CodegenFallback {
+  import VecTopLists.{better, get}
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "vec_top_lists_bcast(vec numeric-array)")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val va = v.asInstanceOf[ArrayData]
+    val cents = centroids.value
+    val vt = VecTopLists.elemType(child)
+    val vn = va.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < vn) {
+      if (!va.isNullAt(i)) { val x = get(va, i, vt); ss += x * x }
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    val numLists = cents.length / math.max(1, dim)
+    val k = math.max(0, math.min(nprobe, numLists))
+    val topIdx = new Array[Int](k)
+    val topScore = new Array[Double](k)
+    var filled = 0
+    var li = 0
+    while (li < numLists) {
+      val base = li * dim
+      val m = math.min(dim, vn)
+      var d = 0.0
+      var j = 0
+      while (j < m) {
+        if (!va.isNullAt(j)) d += get(va, j, vt) * cents(base + j)
+        j += 1
+      }
+      val score = d / norm
+      var pos = -1
+      if (filled < k) { pos = filled; filled += 1 }
+      else if (k > 0 && better(score, li, topScore(k - 1), topIdx(k - 1))) pos = k - 1
+      if (pos >= 0) {
+        topScore(pos) = score; topIdx(pos) = li
+        var p = pos
+        while (p > 0 && better(topScore(p), topIdx(p), topScore(p - 1), topIdx(p - 1))) {
+          val ts = topScore(p); topScore(p) = topScore(p - 1); topScore(p - 1) = ts
+          val ti = topIdx(p); topIdx(p) = topIdx(p - 1); topIdx(p - 1) = ti
+          p -= 1
+        }
+      }
+      li += 1
+    }
+    new GenericArrayData(topIdx.take(filled))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_top_lists_bcast"
 }

@@ -389,9 +389,11 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     * ATOMIC publish: the export is built in a versioned sibling directory
     * and `exportDir` itself is an atomically-swapped symlink to it, so an
     * external reader racing a streamed commit always sees a complete export
-    * (old or new), never a missing/partial one. On filesystems without
-    * symlink support the publish falls back to delete+rename (a short
-    * non-atomic window — the POSIX path has none).
+    * (old or new), never a missing/partial one — and the superseded version
+    * survives one more publish (see [[publishExport]]) so a reader that
+    * resolved the old target mid-listing finishes too. On filesystems
+    * without symlink support the publish falls back to delete+rename (a
+    * short non-atomic window — the POSIX path has none).
     */
   def exportSymlinkManifest(exportDir: String): Seq[String] = {
     val snap = currentSnapshot
@@ -421,9 +423,12 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
 
   /** Atomically point `exportDir` at the freshly-built `versioned` dir:
     * a temp symlink is renamed over the old one (POSIX rename-over-symlink
-    * is atomic), then the superseded export version is removed. Legacy
-    * real-directory layouts (or symlink-less filesystems) fall back to
-    * delete+rename.
+    * is atomic). The immediately superseded version is RETAINED — a reader
+    * that resolved the old target just before the swap (e.g. listed
+    * `exportDir/data`) can finish against an intact directory; only
+    * versions older than that (N-2 and earlier) are removed, so disk usage
+    * is bounded at two live exports. Legacy real-directory layouts (or
+    * symlink-less filesystems) fall back to delete+rename.
     */
   private def publishExport(exportDir: String, versioned: Path): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -438,7 +443,19 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       Files.deleteIfExists(swp)
       Files.createSymbolicLink(swp, Paths.get(verUri))
       Files.move(swp, outNio, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      prevTarget.foreach(p => fs.delete(new Path(p.toString), true))
+      // Grace retention: keep the new target AND the one it replaced; every
+      // older `<exportDir>.v*` sibling is now at least two publishes stale
+      // and safe to drop (no single-syscall-reader assumption needed).
+      val keep = Set(new Path(verUri).getName) ++
+        prevTarget.map(p => Paths.get(p.toString).getFileName.toString)
+      val exportPath = fs.makeQualified(new Path(exportDir))
+      val prefix = exportPath.getName + ".v"
+      val parent = exportPath.getParent
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(prefix) && !keep.contains(n)) fs.delete(st.getPath, true)
+        }
     } catch { case _: Exception => // symlink-less FS: short-window fallback
       fs.delete(new Path(exportDir), true)
       fs.rename(versioned, new Path(exportDir))

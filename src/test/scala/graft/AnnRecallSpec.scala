@@ -30,6 +30,29 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.20, s"IVF recall@10 $recall below floor")
   }
 
+  test("broadcast centroid path is bit-identical to the literal function and keeps the matrix out of the plan") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    graft.sql.VecDot.ensureRegistered(spark)
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .where(col("vec_id") < 200)
+    val centroids = Similarity.sampleCentroids(emb, numLists = 8)
+    val viaBcast = emb.select(col("vec_id"),
+      Similarity.ivfProbes(col("embedding"), centroids, 3).as("p"))
+    val viaLit = emb.select(col("vec_id"),
+      call_function("vec_top_lists", col("embedding"), lit(centroids.flatten),
+        lit(centroids.head.length), lit(3)).as("p"))
+    val b = viaBcast.orderBy("vec_id").as[(Long, Seq[Int])].collect().toSeq
+    val l = viaLit.orderBy("vec_id").as[(Long, Seq[Int])].collect().toSeq
+    assert(b == l, "broadcast and literal vec_top_lists must agree bit-exactly")
+    // the literal plan embeds numLists×dim doubles; the broadcast plan
+    // carries only a handle — that delta is the whole point of the change
+    val bLen = viaBcast.queryExecution.executedPlan.toString.length
+    val lLen = viaLit.queryExecution.executedPlan.toString.length
+    assert(bLen + centroids.map(_.length).sum * 8 < lLen,
+      s"broadcast plan ($bLen chars) should be far smaller than literal plan ($lLen chars)")
+  }
+
   test("IVF multi-probe: nprobe=all equals brute force exactly, nprobe grows recall monotonically") {
     import graft.ext.Similarity
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")

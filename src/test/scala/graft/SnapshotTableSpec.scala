@@ -4,6 +4,8 @@ import graft.tables.SnapshotTable
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField}
 
+import scala.jdk.CollectionConverters._
+
 /** Specs for the snapshot table format: schema evolution, time travel
   * pointers, and the maintenance procedures (SURVEY.md §2.A12, A17-A20).
   */
@@ -187,6 +189,34 @@ class SnapshotTableSpec extends SparkSpec {
       .orderBy("arcane_merge_key").collect()
     val internal = t.read().orderBy("arcane_merge_key").collect()
     assert(external.length == 100 && external.sameElements(internal))
+  }
+
+  test("export publish retains the superseded version for one grace publish") {
+    val t = freshTable("snap-export-grace")
+    val exportDir = tmpDir("snap-export-grace-out")
+    def target: java.nio.file.Path =
+      java.nio.file.Files.readSymbolicLink(java.nio.file.Paths.get(exportDir))
+    def versions: Set[String] = {
+      val parent = java.nio.file.Paths.get(exportDir).getParent
+      val name = java.nio.file.Paths.get(exportDir).getFileName.toString
+      val s = java.nio.file.Files.list(parent)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(name + ".v")).toSet
+      finally s.close()
+    }
+    t.exportSymlinkManifest(exportDir)
+    val v1 = target.getFileName.toString
+    t.exportSymlinkManifest(exportDir)
+    val v2 = target.getFileName.toString
+    // an in-flight reader of v1 (resolved just before the swap) still sees
+    // an intact directory
+    assert(versions == Set(v1, v2), s"expected {$v1,$v2}, got $versions")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(exportDir).resolveSibling(v1).resolve("_SUCCESS")))
+    t.exportSymlinkManifest(exportDir)
+    val v3 = target.getFileName.toString
+    // two publishes stale → dropped; disk bounded at two live exports
+    assert(versions == Set(v2, v3), s"expected {$v2,$v3}, got $versions")
   }
 
   test("analyze records row count in properties") {
