@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * deterministic, so the min strips transient machine noise (concurrent
   * load, GC pauses, page-cache misses) that a single-shot measurement can
   * record as a phantom regression, and heavy queries need the extra run
-  * because a single noisy window can poison both passes. A per-query
-  * `spread` (max/min across its runs) is emitted beside the timings so a
-  * real regression is distinguishable from measurement noise.
+  * because a single noisy window can poison both passes. Per-query `spread`
+  * (max/min across runs) and raw run times land in `bench_detail.json` so a
+  * real regression is distinguishable from measurement noise; stdout gets a
+  * single SHORT JSON line (heaviest queries + an aggregate of the fast
+  * rest) sized to survive tail-truncating log capture.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -64,13 +66,49 @@ object Bench {
       n -> (if (r.min > 2.0) r :+ time(fn) else r)
     }
     val results = runs.map { case (n, r) => n -> r.min }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spread = runs.map { case (k, r) =>
-      s"\"" + k + "\":" + (if (r.min > 0) math.round(r.max / r.min * 1000.0) / 1000.0 else 1.0)
-    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+
+    // FULL per-query detail (timings + per-query spread + raw runs) goes to
+    // a file; stdout carries ONE compact JSON line. The harness that
+    // captures this process keeps only the tail of its output, so the line
+    // must stay short enough to survive tail truncation with its head (the
+    // `{"metric":...` prefix) intact — the full 82-query × (time + spread)
+    // map stopped fitting rounds ago and the head was silently cut off.
+    val detailPath = "bench_detail.json"
+    val detail = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      val spread = runs.map { case (k, r) =>
+        "\"" + k + "\":" + (if (r.min > 0) r3(r.max / r.min) else 1.0)
+      }.mkString("{", ",", "}")
+      val raw = runs.map { case (k, r) =>
+        "\"" + k + "\":[" + r.map(r3).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$raw,"sf":"$sfDir"}"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+
+    // Compact line: heaviest queries first until a ~1500-char budget, the
+    // fast remainder folded into one aggregate — keeps every expensive
+    // query individually visible while guaranteeing the line parses.
+    val byCost = results.sortBy(-_._2)
+    val budget = 1500
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","detail":"$detailPath","queries":{"""
+    val sb = new StringBuilder(header)
+    var kept = 0
+    var full = false
+    byCost.foreach { case (k, v) =>
+      val entry = (if (kept > 0) "," else "") + "\"" + k + "\":" + r3(v)
+      if (!full && sb.length + entry.length < budget) { sb.append(entry); kept += 1 }
+      else full = true
+    }
+    val rest = byCost.drop(kept)
+    val maxSpread = runs.map { case (_, r) => if (r.min > 0) r.max / r.min else 1.0 }.max
+    sb.append("}")
+    sb.append(s""","fast_n":${rest.size},"fast_total":${r3(rest.map(_._2).sum)}""")
+    sb.append(s""","max_spread":${r3(maxSpread)}}""")
+    println(sb.toString)
     spark.stop()
   }
 

@@ -723,8 +723,23 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
 
-    // Frame sampling is pure arithmetic over the payload length (stub codec
-    // samples every 64th byte offset), so the mapPartitions flatMap gets a
+    // REAL video decode gate: the Spark side plants one MJPEG AVI per doc
+    // and must demux the RIFF container (frame count = counted movi
+    // chunks, fps = strh rate/scale) and JPEG-decode every second frame
+    // for its dims; the oracle restates the planted arithmetic with a
+    // lateral unnest(range(...)) per doc.
+    "q_video_frames" ->
+      """WITH d AS (SELECT doc_id, (3 + doc_id % 6) AS n_frames FROM documents),
+        |f AS (SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS i FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_index,
+        |  CAST(16 + doc_id % 48 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id // 5) % 48 AS BIGINT) AS height,
+        |  CAST(10 + doc_id % 20 AS BIGINT) AS fps,
+        |  CAST(n_frames AS BIGINT) AS n_frames
+        |FROM f ORDER BY doc_id, frame_index""".stripMargin,
+
+    // Byte-offset sampling is pure arithmetic over the payload length
+    // (every 64th byte offset), so the mapPartitions flatMap gets a
     // full oracle: generate_series over octet_length.
     "q_frame_sample" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),

@@ -16,13 +16,14 @@ import org.apache.spark.sql.types._
   * (`mapPartitions` — the Scala analog of arrow-batched Python UDFs).
   * North-star extension (SURVEY.md §2.C).
   *
-  * IMAGE decode/resize is REAL: `javax.imageio` (PNG/JPEG/GIF/BMP ship in
-  * the JDK) parses the payload bytes, `BufferedImage` + bilinear
-  * `Graphics2D` does the resize, and the resized frame is re-encoded as
-  * PNG. Undecodable payloads surface as NULL output fields (never a task
-  * failure — at corpus scale corrupt images are data, not errors). Only the
-  * VIDEO path keeps a clearly-marked stub ([[StubCodec]]) — no video codec
-  * ships with the JDK.
+  * ALL THREE modalities decode for real with nothing beyond the JDK:
+  * images via `javax.imageio` (PNG/JPEG/GIF/BMP) with `BufferedImage`
+  * bilinear resize, audio via `javax.sound.sampled` (RIFF/PCM WAV), and
+  * video via [[VideoCodec]] — an MJPEG-in-AVI demuxer (RIFF container
+  * walk + per-frame ImageIO JPEG decode). Undecodable payloads surface as
+  * NULL output fields (never a task failure — at corpus scale corrupt
+  * media is data, not errors). [[StubCodec]] remains only as the generic
+  * byte-offset sampler for containers no installed codec handles.
   *
   * Scale design: per-row transforms only — no shuffle. Binary payloads
   * never hit the driver; `mapPartitions` streams batches through the
@@ -247,17 +248,160 @@ object Multimodal {
     }
   }
 
-  /** STUB video codec — no video codec ships with the JDK, so frame
-    * sampling is a clearly-marked deterministic stand-in: a real build
-    * swaps `sampleFrameOffsets` for a demuxer call with the SAME signature
-    * (offsets become frame timestamps); nothing else changes.
+  /** Generic byte-offset sampler for UNKNOWN binary containers — kept as
+    * the fallback path for formats no installed codec handles (the offsets
+    * are pure arithmetic over payload length). Real video decode lives in
+    * [[VideoCodec]] (MJPEG-in-AVI, pure JDK).
     */
   object StubCodec {
-    /** "Sample" video frame offsets: every `everyNBytes` offset (a real
-      * implementation samples every Nth frame timestamp).
-      */
+    /** Sample byte offsets: every `everyNBytes` offset. */
     def sampleFrameOffsets(bytes: Array[Byte], everyNBytes: Int): Array[Long] =
       (0L until bytes.length.toLong by everyNBytes.toLong).toArray
+  }
+
+  /** REAL video codec, pure JDK: MJPEG-in-AVI. The RIFF/AVI container
+    * (`LIST hdrl` → `avih` main header + `strl` stream header/format,
+    * `LIST movi` → one `00dc` chunk per frame) is parsed directly — the
+    * same little-endian RIFF walking the WAV path does — and each frame
+    * payload is a standalone JPEG decoded by `javax.imageio`. Motion-JPEG
+    * is the one mainstream video format whose every component ships with
+    * the JDK, which makes the video path genuinely end-to-end: container
+    * demux, per-frame decode, frame sampling. Non-MJPEG codecs (H.264…)
+    * would need a native decoder and surface as NULL rows, the same
+    * corrupt-is-data contract as the image/audio codecs.
+    */
+  object VideoCodec {
+    /** Parsed AVI: header dims, fps (strh dwRate/dwScale), and the raw
+      * JPEG payload of every `00dc`/`00db` movi chunk in stream order.
+      */
+    final case class Avi(width: Int, height: Int, fps: Int, frames: IndexedSeq[Array[Byte]])
+
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], off: Int): Int =
+      le16(b, off) | (le16(b, off + 2) << 16)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** Demux an AVI payload. Returns None for anything malformed (bad
+      * magic, truncated chunk, zero-scale rate) — corrupt rows are data.
+      */
+    def decodeAvi(bytes: Array[Byte]): Option[Avi] = {
+      try {
+        if (bytes == null || bytes.length < 24) return None
+        if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return None
+        val end = math.min(bytes.length.toLong, 8L + le32(bytes, 4)).toInt
+        var width = -1; var height = -1; var scale = 0; var rate = 0
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+        // Walk a chunk run [from, until); LIST chunks recurse one level at
+        // a time so hdrl/strl/movi nesting needs no format-specific jumps.
+        def walk(from: Int, until: Int): Unit = {
+          var p = from
+          while (p + 8 <= until) {
+            val id = fourcc(bytes, p)
+            val sz = le32(bytes, p + 4)
+            val body = p + 8
+            if (sz < 0 || body + sz > until) throw new IllegalArgumentException("truncated chunk")
+            id match {
+              case "LIST" if sz >= 4 => walk(body + 4, body + sz) // skip list type fourcc
+              case "avih" if sz >= 40 =>
+                width = le32(bytes, body + 32); height = le32(bytes, body + 36)
+              case "strh" if sz >= 32 && fourcc(bytes, body) == "vids" =>
+                scale = le32(bytes, body + 20); rate = le32(bytes, body + 24)
+              case other if other.endsWith("dc") || other.endsWith("db") =>
+                frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+              case _ => ()
+            }
+            p = body + sz + (sz & 1) // chunks pad to even
+          }
+        }
+        walk(12, end)
+        if (width <= 0 || height <= 0 || scale <= 0 || rate <= 0) None
+        else Some(Avi(width, height, rate / scale, frames.toIndexedSeq))
+      } catch { case _: Exception => None }
+    }
+
+    /** Build an MJPEG AVI from pre-encoded JPEG frames — bottom-up chunk
+      * assembly (every RIFF list is sized before its parent is written).
+      */
+    def buildAvi(width: Int, height: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      def bytes(build: java.io.DataOutputStream => Unit): Array[Byte] = {
+        val bo = new ByteArrayOutputStream(); val o = new java.io.DataOutputStream(bo)
+        build(o); o.flush(); bo.toByteArray
+      }
+      def w16(o: java.io.DataOutputStream, v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      def w32(o: java.io.DataOutputStream, v: Int): Unit = { w16(o, v & 0xffff); w16(o, (v >>> 16) & 0xffff) }
+      def tag(o: java.io.DataOutputStream, s: String): Unit = o.write(s.getBytes("US-ASCII"))
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = bytes { o =>
+        tag(o, id); w32(o, body.length); o.write(body)
+        if ((body.length & 1) == 1) o.write(0) // RIFF chunks pad to even
+      }
+      def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+        val inner = bodies.foldLeft(Array.emptyByteArray)(_ ++ _)
+        bytes { o => tag(o, "LIST"); w32(o, 4 + inner.length); tag(o, listType); o.write(inner) }
+      }
+      val avih = chunk("avih", bytes { o =>
+        w32(o, if (fps > 0) 1000000 / fps else 0) // dwMicroSecPerFrame
+        w32(o, 0); w32(o, 0); w32(o, 0)           // maxBytesPerSec, padding, flags
+        w32(o, frames.size); w32(o, 0); w32(o, 1) // totalFrames, initialFrames, streams
+        w32(o, 0); w32(o, width); w32(o, height)  // suggestedBufferSize, dims
+        (0 until 4).foreach(_ => w32(o, 0))       // reserved
+      })
+      val strh = chunk("strh", bytes { o =>
+        tag(o, "vids"); tag(o, "MJPG"); w32(o, 0) // fccType, fccHandler, flags
+        w16(o, 0); w16(o, 0); w32(o, 0)           // priority, language, initialFrames
+        w32(o, 1); w32(o, fps)                    // dwScale, dwRate → fps = rate/scale
+        w32(o, 0); w32(o, frames.size)            // start, length (frames)
+        w32(o, 0); w32(o, -1); w32(o, 0)          // suggestedBufferSize, quality, sampleSize
+        w16(o, 0); w16(o, 0); w16(o, width); w16(o, height) // rcFrame
+      })
+      val strf = chunk("strf", bytes { o =>
+        w32(o, 40); w32(o, width); w32(o, height) // biSize, dims
+        w16(o, 1); w16(o, 24); tag(o, "MJPG")     // planes, bitCount, compression
+        w32(o, width * height * 3)                // biSizeImage
+        (0 until 4).foreach(_ => w32(o, 0))       // xpels/ypels/clrUsed/clrImportant
+      })
+      val hdrl = list("hdrl", Seq(avih, list("strl", Seq(strh, strf))))
+      val movi = list("movi", frames.map(chunk("00dc", _)))
+      val body = hdrl ++ movi
+      bytes { o => tag(o, "RIFF"); w32(o, 4 + body.length); tag(o, "AVI "); o.write(body) }
+    }
+
+    /** Deterministic synthetic MJPEG AVI: `nFrames` JPEG-encoded gradient
+      * frames derived from (id, frame) arithmetic. The fixture generator
+      * for video gates — dims/fps/frame-count are replayable arithmetic
+      * while recovering them requires genuinely demuxing the container
+      * (and per-frame JPEG decode for the frame dims).
+      */
+    def syntheticAvi(id: Long, width: Int, height: Int, nFrames: Int, fps: Int): Array[Byte] = {
+      val frames = (0 until nFrames).map { f =>
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        val px = new Array[Int](width * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val r = ((x + id + f) % 256).toInt
+            val g = ((y + 2 * id) % 256).toInt
+            val b = ((x ^ y) + f) % 256
+            px(y * width + x) = (r << 16) | (g << 8) | b
+            x += 1
+          }
+          y += 1
+        }
+        img.setRGB(0, 0, width, height, px, 0, width)
+        encodeJpeg(img)
+      }
+      buildAvi(width, height, fps, frames)
+    }
+
+    def encodeJpeg(img: BufferedImage): Array[Byte] = {
+      ImageIO.setUseCache(false)
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
   }
 
   /** Plant one deterministic synthetic PNG per row: `dims(id)` gives
@@ -376,9 +520,66 @@ object Multimodal {
     }.toDF("id", "content", "byte_length")
   }
 
-  /** Frame-sample a video binary column: one output row per sampled frame
-    * offset (flatMap shape — batch in, variable batch out). Stub codec —
-    * see [[StubCodec]].
+  /** Plant one deterministic synthetic MJPEG AVI per row: `dims(id)` gives
+    * (width, height, nFrames, fps). Same distributed fixture shape as
+    * [[syntheticImages]].
+    */
+  def syntheticVideos(df: DataFrame, idCol: String)(dims: Long => (Int, Int, Int, Int)): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("content", BinaryType)))
+    val in = df.select(col(idCol).cast("long").as("id"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h, nf, fps) = dims(id)
+        Row(id, VideoCodec.syntheticAvi(id, w, h, nf, fps))
+      }
+    }.toDF("id", "content")
+  }
+
+  /** REAL video frame sampling: demux the AVI container, take every
+    * `everyN`-th frame, JPEG-decode each sampled frame and report its
+    * decoded dims beside the stream header's fps and the demuxed frame
+    * count (flatMap shape — batch in, variable batch out). Undecodable
+    * payloads (or non-MJPEG codecs) surface as a single all-NULL row for
+    * that id — corrupt rows are data, never task failures. Partition-local,
+    * no shuffle; a frame an installed decoder cannot parse yields NULL
+    * frame dims but keeps its index.
+    */
+  def sampleVideoFrames(df: DataFrame, idCol: String, binCol: String, everyN: Int = 2): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_index", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("fps", IntegerType),
+      StructField("n_frames", IntegerType)))
+    val in = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        VideoCodec.decodeAvi(r.getAs[Array[Byte]](1)) match {
+          case Some(avi) =>
+            (0 until avi.frames.size by math.max(1, everyN)).iterator.map { i =>
+              Option(ImageIO.read(new ByteArrayInputStream(avi.frames(i)))) match {
+                case Some(img) => Row(id, i, img.getWidth, img.getHeight, avi.fps, avi.frames.size)
+                case None      => Row(id, i, null, null, avi.fps, avi.frames.size)
+              }
+            }
+          case None => Iterator.single(Row(id, null, null, null, null, null))
+        }
+      }
+    }.toDF("id", "frame_index", "width", "height", "fps", "n_frames")
+  }
+
+  /** Byte-offset sampling over an opaque binary column: one output row per
+    * sampled offset (flatMap shape). Generic fallback for containers no
+    * installed codec handles — see [[StubCodec]]; real video sampling is
+    * [[sampleVideoFrames]].
     */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String, everyNBytes: Int = 4096): DataFrame = {
     val outSchema = StructType(Seq(

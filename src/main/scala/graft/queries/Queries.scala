@@ -1341,9 +1341,33 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  /** Video frame sampling (stub: every 64th byte offset) — the offsets are
-    * pure arithmetic over the payload length, so this mapPartitions flatMap
-    * gets a full DuckDB oracle (generate_series over octet_length).
+  /** REAL video decode gate: one deterministic MJPEG AVI is planted per
+    * doc (dims / frame count / fps from doc_id arithmetic), then demuxed
+    * back with [[graft.ext.Multimodal.VideoCodec]] — every second frame is
+    * JPEG-decoded and its DECODED dims reported beside the stream header's
+    * fps and the counted movi chunks. The DuckDB oracle restates the
+    * planted arithmetic (unnest(range(0, n_frames, 2)) per doc) — the gate
+    * passes only if the engine genuinely walks the RIFF container and
+    * parses the frame JPEGs.
+    */
+  def qVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val vids = Multimodal.syntheticVideos(t(spark, dir, "documents"), "doc_id") { id =>
+      ((16 + id % 48).toInt, (16 + (id / 5) % 48).toInt, (3 + id % 6).toInt, (10 + id % 20).toInt)
+    }
+    Multimodal.sampleVideoFrames(vids, "id", "content", everyN = 2)
+      .select(col("id").as("doc_id"),
+        col("frame_index").cast("long").as("frame_index"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("fps").cast("long").as("fps"),
+        col("n_frames").cast("long").as("n_frames"))
+      .orderBy(col("doc_id"), col("frame_index"))
+  }
+
+  /** Byte-offset sampling over an opaque binary payload (every 64th byte
+    * offset) — the offsets are pure arithmetic over the payload length, so
+    * this mapPartitions flatMap gets a full DuckDB oracle (generate_series
+    * over octet_length). Real video decode is [[qVideoFrames]].
     */
   def qFrameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
@@ -1436,6 +1460,7 @@ object Queries {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_image_features" -> (qImageFeatures _),
     "q_multimodal_resize" -> (qMultimodalResize _),
-    "q_frame_sample" -> (qFrameSample _)
+    "q_frame_sample" -> (qFrameSample _),
+    "q_video_frames" -> (qVideoFrames _)
   )
 }

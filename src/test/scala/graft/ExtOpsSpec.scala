@@ -372,6 +372,59 @@ class ExtOpsSpec extends SparkSpec {
     assert(cf.length === 3 && cf.forall(r => r.isNullAt(1) && r.isNullAt(5)))
   }
 
+  test("real MJPEG-AVI video demux recovers planted container + frame dims; corrupt rows go NULL") {
+    import Multimodal.VideoCodec
+    // unit round-trip: container fields survive build -> decode
+    val avi = VideoCodec.syntheticAvi(7L, 32, 24, 5, 15)
+    val dec = VideoCodec.decodeAvi(avi).get
+    assert((dec.width, dec.height, dec.fps, dec.frames.size) === ((32, 24, 15, 5)))
+    // every frame payload is a standalone decodable JPEG with the frame dims
+    dec.frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth === 32 && img.getHeight === 24)
+    }
+    // frame content survives the lossy JPEG round-trip approximately:
+    // a solid-color frame decodes back to within quantization error
+    val solid = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = solid.createGraphics()
+    try { g.setColor(new java.awt.Color(120, 60, 200)); g.fillRect(0, 0, 16, 16) } finally g.dispose()
+    val solidAvi = VideoCodec.buildAvi(16, 16, 10, Seq(VideoCodec.encodeJpeg(solid)))
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(VideoCodec.decodeAvi(solidAvi).get.frames.head))
+    val rgb = back.getRGB(8, 8)
+    assert(math.abs(((rgb >> 16) & 0xff) - 120) <= 8 &&
+      math.abs(((rgb >> 8) & 0xff) - 60) <= 8 && math.abs((rgb & 0xff) - 200) <= 8,
+      s"solid color survived JPEG: ${(rgb >> 16) & 0xff},${(rgb >> 8) & 0xff},${rgb & 0xff}")
+    // malformed containers are rejected, not crashed on
+    assert(VideoCodec.decodeAvi("not an avi at all".getBytes).isEmpty)
+    assert(VideoCodec.decodeAvi(avi.take(100)).isEmpty)
+    assert(VideoCodec.decodeAvi(Array.emptyByteArray).isEmpty)
+
+    // distributed path: plant per-doc AVIs, sample every 2nd frame
+    val dims: Long => (Int, Int, Int, Int) = id =>
+      ((16 + id % 32).toInt, (16 + (id / 3) % 32).toInt, (3 + id % 4).toInt, (10 + id % 15).toInt)
+    val vids = Multimodal.syntheticVideos(docs.limit(30), "doc_id")(dims).repartition(4)
+    val f1 = Multimodal.sampleVideoFrames(vids, "id", "content", everyN = 2)
+      .orderBy("id", "frame_index").collect()
+    f1.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val (w, h, nf, fps) = dims(id)
+      assert(rows.length === (nf + 1) / 2, s"sampled frame count of $id")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) === i * 2, s"frame index of $id")
+        assert(r.getInt(2) === w && r.getInt(3) === h, s"decoded frame dims of $id")
+        assert(r.getInt(4) === fps && r.getInt(5) === nf, s"container fields of $id")
+      }
+    }
+    // determinism of the full demux+decode path
+    val f2 = Multimodal.sampleVideoFrames(vids, "id", "content", everyN = 2)
+      .orderBy("id", "frame_index").collect()
+    assert(f1.sameElements(f2))
+    // corrupt payloads -> one NULL row per id, not task failures
+    val corrupt = spark.range(3).selectExpr("id", "CAST(concat('nota', id, 'avi') AS BINARY) AS content")
+    val cf = Multimodal.sampleVideoFrames(corrupt, "id", "content").collect()
+    assert(cf.length === 3 && cf.forall(r => r.isNullAt(1) && r.isNullAt(5)))
+  }
+
   test("real image resize fits within target box, round-trips through PNG, deterministic") {
     val dims: Long => (Int, Int, Boolean) = id =>
       ((20 + id % 60).toInt, (20 + (id / 5) % 60).toInt, id % 4 == 0)
