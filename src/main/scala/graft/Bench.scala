@@ -65,10 +65,6 @@ object Bench {
       val r = runs0(n)
       n -> (if (r.min > 2.0) r :+ time(fn) else r)
     }
-    val results = runs.map { case (n, r) => n -> r.min }
-    val total = results.map(_._2).sum
-    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
-
     // FULL per-query detail (timings + per-query spread + raw runs) goes to
     // a file; stdout carries ONE compact JSON line. The harness that
     // captures this process keeps only the tail of its output, so the line
@@ -76,24 +72,43 @@ object Bench {
     // `{"metric":...` prefix) intact — the full 82-query × (time + spread)
     // map stopped fitting rounds ago and the head was silently cut off.
     val detailPath = "bench_detail.json"
-    val detail = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-      val spread = runs.map { case (k, r) =>
-        "\"" + k + "\":" + (if (r.min > 0) r3(r.max / r.min) else 1.0)
-      }.mkString("{", ",", "}")
-      val raw = runs.map { case (k, r) =>
-        "\"" + k + "\":[" + r.map(r3).mkString(",") + "]"
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$raw,"sf":"$sfDir"}"""
-    }
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (detail + "\n").getBytes("UTF-8"))
+      (detailJson(runs, sfDir) + "\n").getBytes("UTF-8"))
+    println(compactLine(runs, sfDir, detailPath))
+    spark.stop()
+  }
 
-    // Compact line: heaviest queries first until a ~1500-char budget, the
-    // fast remainder folded into one aggregate — keeps every expensive
-    // query individually visible while guaranteeing the line parses.
+  private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+
+  /** Full bench detail as one JSON document: best-of-runs per query, the
+    * max/min spread per query, and the raw run times.
+    */
+  def detailJson(runs: Seq[(String, Seq[Double])], sfDir: String): String = {
+    val results = runs.map { case (n, r) => n -> r.min }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val spread = runs.map { case (k, r) =>
+      "\"" + k + "\":" + (if (r.min > 0) r3(r.max / r.min) else 1.0)
+    }.mkString("{", ",", "}")
+    val raw = runs.map { case (k, r) =>
+      "\"" + k + "\":[" + r.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${r3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$raw,"sf":"$sfDir"}"""
+  }
+
+  /** The single stdout line: heaviest queries individually until a
+    * `budget`-char cap, the fast remainder folded into one aggregate
+    * (`fast_n`/`fast_total`) — every expensive query stays visible while
+    * the line is guaranteed to fit an output-tail capture window whole.
+    */
+  def compactLine(
+      runs: Seq[(String, Seq[Double])],
+      sfDir: String,
+      detailPath: String,
+      budget: Int = 1500
+  ): String = {
+    val results = runs.map { case (n, r) => n -> r.min }
+    val total = results.map(_._2).sum
     val byCost = results.sortBy(-_._2)
-    val budget = 1500
     val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","detail":"$detailPath","queries":{"""
     val sb = new StringBuilder(header)
     var kept = 0
@@ -104,12 +119,13 @@ object Bench {
       else full = true
     }
     val rest = byCost.drop(kept)
-    val maxSpread = runs.map { case (_, r) => if (r.min > 0) r.max / r.min else 1.0 }.max
+    val maxSpread =
+      if (runs.isEmpty) 1.0
+      else runs.map { case (_, r) => if (r.min > 0) r.max / r.min else 1.0 }.max
     sb.append("}")
     sb.append(s""","fast_n":${rest.size},"fast_total":${r3(rest.map(_._2).sum)}""")
     sb.append(s""","max_spread":${r3(maxSpread)}}""")
-    println(sb.toString)
-    spark.stop()
+    sb.toString
   }
 
   /** Exercise scan + agg + broadcast join + window + vec_dot + sketch

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's stdout contract: ONE JSON line short enough that a
+  * tail-truncating output capture (the round harness keeps the last
+  * ~2000 chars) retains the line WHOLE — head included. The full
+  * per-query map stopped fitting rounds ago, which silently nulled the
+  * harness-parsed metrics; these tests pin the budget invariant so it
+  * cannot regress as the query surface grows.
+  */
+class BenchOutputSpec extends AnyFunSuite {
+
+  private def fakeRuns(n: Int): Seq[(String, Seq[Double])] =
+    (0 until n).map { i =>
+      // realistic worst case: long query names, mixed magnitudes
+      val name = f"q_some_rather_long_query_name_$i%03d"
+      name -> Seq(0.05 + (i % 17) * 1.234, 0.05 + (i % 13) * 1.567)
+    }
+
+  test("compact line stays under budget for far more queries than we have") {
+    val line = Bench.compactLine(fakeRuns(200), "/root/testdata/sf0.1", "bench_detail.json")
+    assert(line.length < 1600, s"line length ${line.length}")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.endsWith("}"))
+    // balanced braces => structurally parseable
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    // no whitespace/newlines — must survive line-oriented tail capture
+    assert(!line.exists(c => c == '\n' || c == ' '))
+  }
+
+  test("heaviest queries are the ones kept individually") {
+    val runs = fakeRuns(200)
+    val line = Bench.compactLine(runs, "sf", "d.json")
+    val heaviest = runs.map { case (n, r) => n -> r.min }.sortBy(-_._2).take(10)
+    heaviest.foreach { case (n, _) => assert(line.contains("\"" + n + "\":"), s"missing $n") }
+  }
+
+  test("total equals sum of kept + fast_total (within rounding)") {
+    val runs = fakeRuns(50)
+    val line = Bench.compactLine(runs, "sf", "d.json", budget = 400)
+    val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    val fastTotal = """"fast_total":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    val kept = """"(q_[a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(line).map(_.group(2).toDouble).sum
+    assert(math.abs(total - (kept + fastTotal)) < 0.1, s"$total vs $kept + $fastTotal")
+    val fastN = """"fast_n":([0-9]+)""".r.findFirstMatchIn(line).get.group(1).toInt
+    val keptN = """"(q_[a-z0-9_]+)":""".r.findAllMatchIn(line).size
+    assert(keptN + fastN === 50)
+  }
+
+  test("small query sets keep every query individually") {
+    val runs = fakeRuns(5)
+    val line = Bench.compactLine(runs, "sf", "d.json")
+    assert(line.contains(""""fast_n":0"""))
+    runs.foreach { case (n, _) => assert(line.contains("\"" + n + "\":")) }
+  }
+
+  test("detail json carries every query, its spread, and raw runs") {
+    val runs = fakeRuns(30)
+    val detail = Bench.detailJson(runs, "sfX")
+    runs.foreach { case (n, _) => assert(detail.contains("\"" + n + "\":")) }
+    assert(detail.contains(""""spread":{"""))
+    assert(detail.contains(""""runs":{"""))
+    assert(detail.count(_ == '{') === detail.count(_ == '}'))
+  }
+
+  test("degenerate inputs do not throw") {
+    assert(Bench.compactLine(Seq.empty, "sf", "d.json").contains(""""fast_n":0"""))
+    val zero = Seq("q_zero" -> Seq(0.0, 0.0))
+    assert(Bench.compactLine(zero, "sf", "d.json").contains(""""max_spread":1.0"""))
+  }
+}
