@@ -61,15 +61,26 @@ object Multimodal {
   object ImageCodec {
     private lazy val init: Unit = ImageIO.setUseCache(false)
 
+    /** `ImageIO.read` returns null only for UNRECOGNIZED formats; a
+      * recognized-but-corrupt payload (truncated PNG body, bad JPEG
+      * huffman tables) makes the selected reader THROW. Both cases are
+      * corrupt data at corpus scale, so both collapse to None here —
+      * never a task failure.
+      */
+    private[ext] def readImage(bytes: Array[Byte]): Option[BufferedImage] = {
+      init
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
     /** Decode an image payload. Returns NULL for undecodable bytes (corrupt
       * rows are data at corpus scale). Channels = color-model component
       * count (1 = grayscale, 3 = RGB, 4 = RGBA); features = 8-bucket
       * luminance histogram normalized by pixel count.
       */
     def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
-      init
       Option(bytes).filter(_.nonEmpty)
-        .flatMap(b => Option(ImageIO.read(new ByteArrayInputStream(b))))
+        .flatMap(readImage)
         .map { img =>
           val (w, h) = (img.getWidth, img.getHeight)
           val buckets = new Array[Long](8)
@@ -100,9 +111,8 @@ object Multimodal {
       * grayscale-vs-color. NULL for undecodable input.
       */
     def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
-      init
       Option(bytes).filter(_.nonEmpty)
-        .flatMap(b => Option(ImageIO.read(new ByteArrayInputStream(b))))
+        .flatMap(readImage)
         .map { img =>
           val (w, h) = (img.getWidth, img.getHeight)
           val scale = math.min(1.0, math.min(targetW.toDouble / w, targetH.toDouble / h))
@@ -565,7 +575,7 @@ object Multimodal {
         VideoCodec.decodeAvi(r.getAs[Array[Byte]](1)) match {
           case Some(avi) =>
             (0 until avi.frames.size by math.max(1, everyN)).iterator.map { i =>
-              Option(ImageIO.read(new ByteArrayInputStream(avi.frames(i)))) match {
+              ImageCodec.readImage(avi.frames(i)) match {
                 case Some(img) => Row(id, i, img.getWidth, img.getHeight, avi.fps, avi.frames.size)
                 case None      => Row(id, i, null, null, avi.fps, avi.frames.size)
               }

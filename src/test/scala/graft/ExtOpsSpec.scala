@@ -425,6 +425,51 @@ class ExtOpsSpec extends SparkSpec {
     assert(cf.length === 3 && cf.forall(r => r.isNullAt(1) && r.isNullAt(5)))
   }
 
+  test("recognized-but-corrupt media decodes to NULL, never a thrown task failure") {
+    import Multimodal.{ImageCodec, VideoCodec}
+    // a truncated PNG has the valid 8-byte signature, so ImageIO SELECTS
+    // the PNG reader and the reader THROWS mid-decode — the codec must
+    // swallow that into None (corrupt rows are data)
+    val png = ImageCodec.syntheticPng(3L, 40, 30, gray = false)
+    val truncatedPng = png.take(40)
+    assert(ImageCodec.decodeImage(truncatedPng).isEmpty)
+    assert(ImageCodec.resizeImage(truncatedPng, 16, 16).isEmpty)
+    // a VALID AVI container whose frame payloads are not decodable JPEGs:
+    // demux succeeds, per-frame decode yields NULL dims but keeps index
+    val jpeg = {
+      val img = new java.awt.image.BufferedImage(24, 18, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      VideoCodec.encodeJpeg(img)
+    }
+    val mixedAvi = VideoCodec.buildAvi(24, 18, 12, Seq(jpeg, "garbage-not-a-jpeg".getBytes, jpeg.take(jpeg.length / 2)))
+    val avi = VideoCodec.decodeAvi(mixedAvi).get
+    assert(avi.frames.size === 3)
+    // sampled through the DataFrame path with everyN=1: three rows, the
+    // garbage frame has NULL dims, no task failure
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, mixedAvi)).toDF("id", "content")
+    val rows = Multimodal.sampleVideoFrames(df, "id", "content", everyN = 1)
+      .orderBy("frame_index").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getInt(2) === 24 && rows(0).getInt(3) === 18)
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(3))
+    rows.foreach(r => assert(r.getInt(5) === 3))
+
+    // deterministic fuzz: byte-flipped containers and pure garbage must
+    // never escape as exceptions from the demux + frame-decode path
+    val base = VideoCodec.syntheticAvi(11L, 20, 16, 3, 10)
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { _ =>
+      val mutated = base.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      VideoCodec.decodeAvi(mutated).foreach(_.frames.foreach(ImageCodec.decodeImage))
+      val garbage = Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte)
+      VideoCodec.decodeAvi(garbage)
+    }
+  }
+
   test("real image resize fits within target box, round-trips through PNG, deterministic") {
     val dims: Long => (Int, Int, Boolean) = id =>
       ((20 + id % 60).toInt, (20 + (id / 5) % 60).toInt, id % 4 == 0)
