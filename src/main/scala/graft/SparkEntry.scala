@@ -616,6 +616,21 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // SEMANTIC decontamination: every 47th embedding is the planted eval
+    // set; max cosine over the eval set per corpus row, flag >= 0.999.
+    // Same dot/norm accumulation order as the Spark-side broadcast kernel,
+    // so the doubles are bit-identical.
+    "q_decontaminate_semantic" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT v FROM base WHERE vec_id % 47 = 0),
+        |scored AS (
+        |  SELECT b.vec_id,
+        |    max(list_dot_product(b.v, e.v) /
+        |        (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(e.v, e.v)))) AS max_eval_sim
+        |  FROM base b, ev e GROUP BY b.vec_id)
+        |SELECT vec_id, max_eval_sim, max_eval_sim >= 0.999 AS contaminated
+        |FROM scored ORDER BY vec_id""".stripMargin,
+
     // Repetition ratio over NON-distinct 2-grams (every occurrence kept):
     // 1 − distinct/total, 0 for empty docs. int/int division in double on
     // both engines → bit-exact.

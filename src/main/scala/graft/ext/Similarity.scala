@@ -349,6 +349,75 @@ object Similarity {
   def broadcastCentroids(centroids: Array[Array[Double]]): Broadcast[Array[Double]] =
     org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(centroids.flatten)
 
+  /** Collect + broadcast an eval/benchmark embedding set for
+    * [[vecMaxSim]]/[[decontaminateSemantic]]: row-major flat matrix plus
+    * per-row norms accumulated in ARRAY ORDER (so the downstream score
+    * `dot / (normV * normRow)` replays bit-identically as
+    * `list_dot_product(c,e)/(sqrt(ldp(c,c))*sqrt(ldp(e,e)))` in an
+    * external engine). The collect is bounded BY CONTRACT: an eval set is
+    * 10^3–10^5 vectors (a benchmark), never corpus-sized. Returns the
+    * broadcast handle and the dimension (0 rows → dim 0; scoring then
+    * yields NULL for every corpus row).
+    */
+  def broadcastEvalMatrix(
+      eval: DataFrame,
+      vecCol: String = "embedding"
+  ): (Broadcast[(Array[Double], Array[Double])], Int) = {
+    val rows: Array[Array[Double]] = eval.select(col(vecCol)).collect().map { r =>
+      r.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case i: java.lang.Integer => i.toDouble
+        case l: java.lang.Long => l.toDouble
+        case null => 0.0
+      }.toArray
+    }
+    val dim = if (rows.isEmpty) 0 else rows.head.length
+    val norms = rows.map { v =>
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i) * v(i); i += 1 }
+      math.sqrt(ss)
+    }
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast((rows.flatten, norms))
+    (bc, dim)
+  }
+
+  /** Max cosine of a vector column against a broadcast eval matrix — the
+    * codegen-friendly map-side kernel of semantic decontamination
+    * ([[graft.sql.VecMaxSimBcast]]): no join, no shuffle, eval set ships
+    * once per executor.
+    */
+  def vecMaxSim(vec: Column, data: Broadcast[(Array[Double], Array[Double])], dim: Int): Column =
+    GraftSqlBridge.column(graft.sql.VecMaxSimBcast(GraftSqlBridge.expression(vec), data, dim))
+
+  /** SEMANTIC DECONTAMINATION: score every corpus row's embedding against
+    * a benchmark/eval embedding set (max cosine over the whole set) and
+    * flag rows at or above `threshold` — the embedding-space counterpart
+    * of the n-gram [[Dedup.decontaminate]]. Adds `max_eval_sim` (NULL
+    * when the eval set is empty or the vector is NULL — "no evidence"
+    * stays distinct from a low score) and `contaminated` to the corpus
+    * frame.
+    *
+    * 100 TB shape: one map-only corpus scan; the eval set is a single
+    * broadcast; no shuffle at any size. A 10× eval set changes per-row
+    * cost linearly, not the plan.
+    */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.999
+  ): DataFrame = {
+    val (bc, dim) = broadcastEvalMatrix(evalSet, vecCol)
+    corpus
+      .withColumn("max_eval_sim", vecMaxSim(col(vecCol), bc, dim))
+      .withColumn("contaminated",
+        when(col("max_eval_sim").isNull, lit(false))
+          .otherwise(col("max_eval_sim") >= threshold))
+  }
+
   /** IVF top-k: the corpus is assigned to its single nearest centroid list;
     * each query probes its `nprobe` nearest lists (nprobe=1 = the classic
     * coarse quantizer). The equi-join on list id bounds comparisons to

@@ -866,6 +866,22 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** SEMANTIC decontamination gate — the embedding-space counterpart of
+    * [[qDecontaminate]]: the "benchmark" is every 47th embedding (a
+    * planted eval-set leak — those corpus rows score max cosine ≈ 1
+    * against themselves), scored map-side against the broadcast eval
+    * matrix via the [[graft.sql.VecMaxSimBcast]] kernel. The DuckDB
+    * oracle replays the exact arithmetic (same dot/norm accumulation
+    * order) with a cross join + max aggregate.
+    */
+  def qDecontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Similarity.decontaminateSemantic(
+      emb, emb.where(col("vec_id") % 47 === 0), "vec_id", "embedding", threshold = 0.999)
+      .select(col("vec_id"), col("max_eval_sim"), col("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Intra-document repetition ratio (Gopher-style quality signal): the
     * fraction of 2-gram occurrences that repeat within the doc, plus the
     * occurrence count. Full DuckDB oracle via list comprehension.
@@ -1449,6 +1465,7 @@ object Queries {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_rolling_hash" -> (qTextRollingHash _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_pivot_event_counts" -> (qPivotEventCounts _),
     "q_json_extract" -> (qJsonExtract _),

@@ -89,6 +89,29 @@ class AnnRecallSpec extends SparkSpec {
     assert(o1 > o0 + 1e-4, s"three Lloyd iterations should measurably improve a sampled seed ($o0 -> $o1)")
   }
 
+  test("semantic decontamination flags exactly the planted leak; empty eval set flags nothing") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    // planted leak: the eval set IS a subset of the corpus, so those rows
+    // score max cosine ~1 against themselves and must all be flagged
+    val evalIds = Set(3L, 17L, 101L)
+    val eval = emb.where(col("vec_id").isin(evalIds.toSeq: _*))
+    val out = Similarity.decontaminateSemantic(emb, eval, threshold = 0.999)
+      .select("vec_id", "max_eval_sim", "contaminated")
+    val flagged = out.where(col("contaminated")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(evalIds.subsetOf(flagged), s"planted leak not fully flagged: $flagged")
+    // uniform random embeddings: nothing else comes near cosine 0.999
+    assert(flagged === evalIds, s"false positives: ${flagged -- evalIds}")
+    // every row got a real score against a non-empty eval set
+    assert(out.where(col("max_eval_sim").isNull).count() === 0)
+    // empty eval set: max_eval_sim NULL everywhere ("no evidence"), no flags
+    val empty = Similarity.decontaminateSemantic(emb, eval.where(lit(false)))
+    assert(empty.where(col("max_eval_sim").isNotNull).count() === 0)
+    assert(empty.where(col("contaminated")).count() === 0)
+  }
+
   test("int8-quantized brute force keeps high top-k agreement with exact") {
     import graft.ext.Similarity
     import org.apache.spark.sql.functions._
