@@ -56,6 +56,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("media decode composes with Structured Streaming: AVI frame sampling per micro-batch") {
+    import graft.ext.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    // plant a deterministic AVI per streamed id, then demux it — the same
+    // mapPartitions plumbing the batch path uses must run incrementally,
+    // emitting each micro-batch's frames in append mode with no state
+    val vids = Multimodal.syntheticVideos(input.toDF().toDF("doc_id"), "doc_id") { id =>
+      ((16 + id % 8).toInt, 16, (2 + id % 3).toInt, 10)
+    }
+    val frames = Multimodal.sampleVideoFrames(vids, "id", "content", everyN = 1)
+    val q = frames.writeStream.format("memory").queryName("vframes")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(1L, 2L)
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("vframes").count()
+      // ids 1,2 → 2+(1%3)=3 and 2+(2%3)=4 frames
+      assert(afterBatch1 === 3 + 4, s"batch-1 frames: $afterBatch1")
+      input.addData(3L)
+      q.processAllAvailable()
+      val rows = spark.table("vframes")
+        .select("id", "frame_index", "width", "height", "n_frames")
+        .as[(Long, Int, Int, Int, Int)].collect()
+      assert(rows.length === 3 + 4 + 2) // id 3 → 2 frames
+      rows.foreach { case (id, fi, w, h, nf) =>
+        assert(w === (16 + id % 8).toInt && h === 16, s"decoded dims of $id")
+        assert(nf === (2 + id % 3).toInt && fi < nf, s"frame count of $id")
+      }
+    } finally q.stop()
+  }
+
   test("funnel interval join emits in-window pairs stream-stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long, String)]
