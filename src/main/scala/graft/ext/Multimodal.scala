@@ -306,7 +306,12 @@ object Multimodal {
 
         // Walk a chunk run [from, until); LIST chunks recurse one level at
         // a time so hdrl/strl/movi nesting needs no format-specific jumps.
-        def walk(from: Int, until: Int): Unit = {
+        // Real AVI nesting is ≤ 4 (RIFF→hdrl→strl / RIFF→movi→rec); the
+        // depth bound rejects adversarial LIST-in-LIST chains that would
+        // otherwise overflow the stack (StackOverflowError is an Error —
+        // it would escape the Exception guard below and kill the task).
+        def walk(from: Int, until: Int, depth: Int): Unit = {
+          if (depth > 16) throw new IllegalArgumentException("LIST nesting too deep")
           var p = from
           while (p + 8 <= until) {
             val id = fourcc(bytes, p)
@@ -314,7 +319,7 @@ object Multimodal {
             val body = p + 8
             if (sz < 0 || body + sz > until) throw new IllegalArgumentException("truncated chunk")
             id match {
-              case "LIST" if sz >= 4 => walk(body + 4, body + sz) // skip list type fourcc
+              case "LIST" if sz >= 4 => walk(body + 4, body + sz, depth + 1) // skip list type fourcc
               case "avih" if sz >= 40 =>
                 width = le32(bytes, body + 32); height = le32(bytes, body + 36)
               case "strh" if sz >= 32 && fourcc(bytes, body) == "vids" =>
@@ -326,7 +331,7 @@ object Multimodal {
             p = body + sz + (sz & 1) // chunks pad to even
           }
         }
-        walk(12, end)
+        walk(12, end, 0)
         if (width <= 0 || height <= 0 || scale <= 0 || rate <= 0) None
         else Some(Avi(width, height, rate / scale, frames.toIndexedSeq))
       } catch { case _: Exception => None }

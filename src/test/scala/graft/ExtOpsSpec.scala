@@ -399,6 +399,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(VideoCodec.decodeAvi("not an avi at all".getBytes).isEmpty)
     assert(VideoCodec.decodeAvi(avi.take(100)).isEmpty)
     assert(VideoCodec.decodeAvi(Array.emptyByteArray).isEmpty)
+    // adversarial LIST-in-LIST chain: must be REJECTED (bounded depth),
+    // not walked into a StackOverflowError that would kill the task
+    val deep = {
+      val bo = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = (0 until 4).foreach(i => bo.write((v >> (8 * i)) & 0xff))
+      val levels = 100000
+      bo.write("RIFF".getBytes); w32(4 + levels * 12); bo.write("AVI ".getBytes)
+      (0 until levels).foreach { i =>
+        bo.write("LIST".getBytes); w32((levels - i) * 12 - 8); bo.write("mov ".getBytes)
+      }
+      bo.toByteArray
+    }
+    assert(VideoCodec.decodeAvi(deep).isEmpty)
 
     // distributed path: plant per-doc AVIs, sample every 2nd frame
     val dims: Long => (Int, Int, Int, Int) = id =>
