@@ -616,6 +616,22 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Token-budget sampling: greedy fill in multiplicative-hash order,
+    // exclusive prefix sum below the budget keeps the crossing doc. The
+    // window cumsum replays the distributed prefix sum relationally.
+    "q_token_budget_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    (doc_id * 2654435761) % 2147483648 * 4294967296 + doc_id AS ord
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM d)
+        |SELECT doc_id, n_tokens, tokens_before
+        |FROM c WHERE tokens_before < 25000 ORDER BY doc_id""".stripMargin,
+
     // SEMANTIC decontamination: every 47th embedding is the planted eval
     // set; max cosine over the eval set per corpus row, flag >= 0.999.
     // Same dot/norm accumulation order as the Spark-side broadcast kernel,

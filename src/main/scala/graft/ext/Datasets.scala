@@ -171,6 +171,37 @@ object Datasets {
     * Output: id, `n_tokens` (whitespace tokens), `token_offset`
     * (exclusive prefix sum), `pack_id` (= token_offset div budget).
     */
+  /** TOKEN-BUDGET sampling — "give me N tokens of this corpus": documents
+    * are taken in deterministic multiplicative-hash order (unbiased w.r.t.
+    * generation order; id tie-broken, so the order is total) until the
+    * cumulative token count reaches `budgetTokens`. The document that
+    * CROSSES the budget boundary is included (fill semantics — the loader
+    * truncates); equivalently: keep rows whose exclusive prefix sum is
+    * below the budget.
+    *
+    * 100 TB shape: ordering key is a pure per-row hash; the cumulative sum
+    * is the distributed two-pass [[prefixSum]] (per-range windows + driver
+    * scan of ≤ numRanges totals) — no global single-task window at any
+    * corpus size. Output adds `n_tokens` from `tokenCol` and
+    * `tokens_before` (exclusive prefix in sample order).
+    */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      tokenCol: String,
+      budgetTokens: Long,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    // hash ∈ [0, 2^31) shifted left 32 bits + id < 2^32 stays inside Long:
+    // a total order (hash, id) encoded in ONE column for prefixSum.
+    val ord = pmod(col(idCol) * GoldenRatioHash, lit(2147483648L)) * lit(4294967296L) + col(idCol)
+    prefixSum(
+      docs.withColumn("_ord", ord)
+        .withColumn("n_tokens", col(tokenCol).cast("long")),
+      "n_tokens", "_ord", "tokens_before")
+      .where(col("tokens_before") < budgetTokens)
+      .drop("_ord")
+  }
+
   def packSequences(
       docs: DataFrame,
       budgetTokens: Long,

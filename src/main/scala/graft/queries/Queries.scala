@@ -866,6 +866,20 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget sampling gate — "take 25k tokens of the corpus" in
+    * deterministic multiplicative-hash order via the distributed prefix
+    * sum (no global window). The DuckDB oracle replays the hash order and
+    * an exclusive window cumsum relationally; the crossing document is
+    * included by the `tokens_before < budget` fill semantics.
+    */
+  def qTokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    Datasets.tokenBudgetSample(docs, "n_tokens", budgetTokens = 25000L)
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SEMANTIC decontamination gate — the embedding-space counterpart of
     * [[qDecontaminate]]: the "benchmark" is every 47th embedding (a
     * planted eval-set leak — those corpus rows score max cosine ≈ 1
@@ -1466,6 +1480,7 @@ object Queries {
     "q_text_rolling_hash" -> (qTextRollingHash _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
+    "q_token_budget_sample" -> (qTokenBudgetSample _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_pivot_event_counts" -> (qPivotEventCounts _),
     "q_json_extract" -> (qJsonExtract _),

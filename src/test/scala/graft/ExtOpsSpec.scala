@@ -90,6 +90,30 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSample: greedy hash-order fill, nested across budgets, exact boundaries") {
+    val df = Seq.tabulate(60)(i => (i.toLong, (i % 9 + 1).toLong)).toDF("doc_id", "n_tokens")
+    def sample(budget: Long): Map[Long, Long] =
+      Datasets.tokenBudgetSample(df, "n_tokens", budget)
+        .select("doc_id", "tokens_before").as[(Long, Long)].collect().toMap
+    // reference: greedy scan in (hash, id) order
+    val order = (0L until 60L).sortBy(id => (Math.floorMod(id * 2654435761L, 2147483648L), id))
+    val toks = (0L until 60L).map(id => id -> (id % 9 + 1)).toMap
+    def ref(budget: Long): Map[Long, Long] = {
+      var acc = 0L
+      order.flatMap { id =>
+        val r = if (acc < budget) Some(id -> acc) else None
+        acc += toks(id); r
+      }.toMap
+    }
+    Seq(0L, 1L, 37L, 150L, 10000L).foreach { b =>
+      assert(sample(b) === ref(b), s"budget $b")
+    }
+    // budget 0 → empty; huge budget → everything; nesting: smaller ⊆ larger
+    assert(sample(0L).isEmpty)
+    assert(sample(10000L).size === 60)
+    assert(sample(37L).keySet.subsetOf(sample(150L).keySet))
+  }
+
   test("packSequences: pack id is the token start offset divided by the budget") {
     val df = Seq(
       (1L, "a b c"),        // 3 tokens, offset 0  → pack 0
