@@ -65,22 +65,32 @@ case class VecMaxSimBcast(
       i += 1
     }
     val normV = math.sqrt(ss)
+    // a zero-norm vector has no direction — cosine is undefined, and the
+    // 0/0 NaN it would produce has ENGINE-SPECIFIC max semantics (IEEE
+    // comparisons ignore NaN; some SQL engines sort it above all values).
+    // NULL ("no evidence") keeps the result portable; zero-norm EVAL rows
+    // are skipped for the same reason.
+    if (normV == 0.0) return null
     var best = Double.NegativeInfinity
+    var any = false
     var r = 0
     while (r < numRows) {
-      val base = r * dim
-      val m = math.min(dim, vn)
-      var d = 0.0
-      var j = 0
-      while (j < m) {
-        if (!va.isNullAt(j)) d += get(va, j, vt) * matrix(base + j)
-        j += 1
+      if (norms(r) > 0.0) {
+        val base = r * dim
+        val m = math.min(dim, vn)
+        var d = 0.0
+        var j = 0
+        while (j < m) {
+          if (!va.isNullAt(j)) d += get(va, j, vt) * matrix(base + j)
+          j += 1
+        }
+        val score = d / (normV * norms(r))
+        if (score > best) best = score
+        any = true
       }
-      val score = d / (normV * norms(r))
-      if (score > best) best = score
       r += 1
     }
-    best
+    if (any) best else null
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

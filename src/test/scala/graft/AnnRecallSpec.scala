@@ -110,6 +110,18 @@ class AnnRecallSpec extends SparkSpec {
     val empty = Similarity.decontaminateSemantic(emb, eval.where(lit(false)))
     assert(empty.where(col("max_eval_sim").isNotNull).count() === 0)
     assert(empty.where(col("contaminated")).count() === 0)
+    // zero-norm vectors have no direction: NULL score (portable — never a
+    // NaN whose max semantics differ between engines), zero-norm eval rows
+    // skipped rather than poisoning every score
+    import spark.implicits._
+    val withZero = emb.select("vec_id", "embedding").limit(5).union(
+      Seq((999999L, Array.fill(64)(0f))).toDF("vec_id", "embedding"))
+    val scored = Similarity.decontaminateSemantic(withZero, withZero, threshold = 0.999)
+    val zeroRow = scored.where(col("vec_id") === 999999L).collect().head
+    assert(zeroRow.isNullAt(zeroRow.fieldIndex("max_eval_sim")))
+    assert(!zeroRow.getBoolean(zeroRow.fieldIndex("contaminated")))
+    // the real vectors still self-match despite the zero eval row present
+    assert(scored.where(col("vec_id") =!= 999999L && col("contaminated")).count() === 5)
   }
 
   test("int8-quantized brute force keeps high top-k agreement with exact") {
