@@ -81,9 +81,12 @@ object CdcPipeline {
     val maxRows = spec.maxRowsPerFile
       .map(n => Map(SnapshotTable.PropMaxRowsPerFile -> n.toString))
       .getOrElse(Map.empty[String, String])
+    val format = spec.format
+      .map(f => Map(SnapshotTable.PropFormat -> f))
+      .getOrElse(Map.empty[String, String])
     // Arbitrary passthrough props (reference sink.targetTableProperties)
     // go first so engine-managed layout keys win on collision.
-    spec.targetTableProperties ++ sort ++ bloom ++ maxRows
+    spec.targetTableProperties ++ sort ++ bloom ++ maxRows ++ format
   }
 
   def mergeBatch(table: SnapshotTable, staged: DataFrame, spec: StreamSpec, watermark: String,

@@ -49,6 +49,7 @@ final case class StreamSpec(
     memoryHeadroomFraction: Double = 0.2,
     sortedBy: Seq[String] = Seq.empty,                 // write-time sort order (CRD beta:302-306)
     bloomFilterColumns: Seq[String] = Seq.empty,       // parquetBloomFilterColumns
+    format: Option[String] = None,                     // CREATE TABLE format: parquet (default) | orc (CRD beta:294-318)
     isUnifiedSchema: Boolean = false,                  // disable auto schema migration (CRD beta:166-169)
     httpMaxRetries: Int = 3,                           // source listing retry (CRD beta:576-598)
     httpRetryDelayMs: Long = 1000,                     // httpMinRetryDelay
@@ -158,6 +159,7 @@ object StreamSpec {
         if (r.has("memoryHeadroomFraction")) r.get("memoryHeadroomFraction").asDouble(0.2) else 0.2,
       sortedBy =
         if (r.has("sortedBy")) r.get("sortedBy").elements().asScala.map(_.asText()).toSeq else Seq.empty,
+      format = opt("format"),
       bloomFilterColumns =
         if (r.has("bloomFilterColumns")) r.get("bloomFilterColumns").elements().asScala.map(_.asText()).toSeq
         else Seq.empty,

@@ -156,10 +156,15 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       case None     => snap.files
     }
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else
-      spark.read
-        .schema(snap.schema) // schema-on-read: files written before an ADD COLUMNS fill NULL
-        .parquet(files.map(f => new Path(dataDir, f.path).toString): _*)
+    else {
+      val paths = files.map(f => new Path(dataDir, f.path).toString)
+      // schema-on-read: files written before an ADD COLUMNS fill NULL
+      val reader = spark.read.schema(snap.schema)
+      SnapshotTable.resolveFormat(snap.properties) match {
+        case "orc" => reader.orc(paths: _*)
+        case _     => reader.parquet(paths: _*)
+      }
+    }
   }
 
   // ----------------------------------------------------------------- writes
@@ -405,9 +410,10 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     writeText(fs, new Path(versioned, "schema.json"), snap.schema.json)
     val dataOut = new Path(versioned, "data")
     fs.mkdirs(dataOut)
+    val ext = SnapshotTable.resolveFormat(snap.properties)
     snap.files.zipWithIndex.foreach { case (f, i) =>
       val src = fs.makeQualified(new Path(dataDir, f.path))
-      val dst = fs.makeQualified(new Path(dataOut, f"part-$i%05d-b${f.bucket}.parquet"))
+      val dst = fs.makeQualified(new Path(dataOut, f"part-$i%05d-b${f.bucket}.$ext"))
       try
         java.nio.file.Files.createSymbolicLink(
           java.nio.file.Paths.get(dst.toUri), java.nio.file.Paths.get(src.toUri))
@@ -509,16 +515,25 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
         partitioned.sortWithinPartitions(col("gbk") +: orderCols.split(",").map(c => col(c.trim)): _*)
       case _ => partitioned
     }
+    val format = SnapshotTable.resolveFormat(props)
     val writer = arranged.write.partitionBy("gbk").mode("append")
-    props.get(PropBloomColumns).toSeq
+    val bloomCols = props.get(PropBloomColumns).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-      .foreach(c => writer.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    format match {
+      case "orc" =>
+        if (bloomCols.nonEmpty) writer.option("orc.bloom.filter.columns", bloomCols.mkString(","))
+      case _ =>
+        bloomCols.foreach(c => writer.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    }
     // Reference `maxRowsPerFile` (CRD beta sink.maxRowsPerFile): cap file
     // size at write time so one hot bucket still produces scan-parallel
     // files.
     props.get(PropMaxRowsPerFile).filter(_.nonEmpty)
       .foreach(nr => writer.option("maxRecordsPerFile", nr))
-    writer.parquet(out.toString)
+    format match {
+      case "orc" => writer.orc(out.toString)
+      case _     => writer.parquet(out.toString)
+    }
 
     if (!fs.exists(out)) return Seq.empty
     fs.listStatus(out)
@@ -557,6 +572,19 @@ object SnapshotTable {
   val PropSortOrder = "write.sort.order"          // comma-separated columns (sortedBy)
   val PropBloomColumns = "write.bloom.columns"    // comma-separated columns
   val PropMaxRowsPerFile = "write.max.rows.per.file" // sink.maxRowsPerFile
+  // Data file format, `parquet` (default) or `orc` — the reference's
+  // CREATE TABLE `format: PARQUET | ORC | AVRO` option (CRD beta:294-318).
+  // AVRO needs the spark-avro connector jar, absent in this offline
+  // environment, and is rejected with a clear error.
+  val PropFormat = "write.format"
+
+  private[tables] def resolveFormat(props: Map[String, String]): String =
+    props.getOrElse(PropFormat, "parquet").toLowerCase match {
+      case f @ ("parquet" | "orc") => f
+      case "avro" => throw new IllegalArgumentException(
+        "write.format=avro needs the spark-avro connector jar, which is not available offline; use parquet or orc")
+      case other => throw new IllegalArgumentException(s"unsupported write.format: $other")
+    }
 
   private val SnapshotFileName = "v(\\d+)\\.json".r.anchored
   private[tables] def snapshotFileName(v: Long): String = f"v$v%08d.json"

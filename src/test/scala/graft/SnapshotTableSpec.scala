@@ -19,6 +19,51 @@ class SnapshotTableSpec extends SparkSpec {
     t
   }
 
+  test("ORC table format: create, merge, compact, read-back parity with parquet") {
+    // the reference's CREATE TABLE format option (PARQUET | ORC | AVRO,
+    // CRD beta:294-318): same table semantics, different data file codec
+    val df = (1 to 100).map(i => (s"k$i", i.toLong, s"v$i")).toDF("arcane_merge_key", "versionnumber", "payload")
+    val orcLoc = tmpDir("snap-orc")
+    val orc = SnapshotTable(spark, orcLoc)
+    orc.createOrReplace(df, "arcane_merge_key", numBuckets = 4,
+      extraProps = Map(SnapshotTable.PropFormat -> "orc", SnapshotTable.PropBloomColumns -> "arcane_merge_key"))
+    val pq = SnapshotTable(spark, tmpDir("snap-orc-ref"))
+    pq.createOrReplace(df, "arcane_merge_key", numBuckets = 4)
+    // files on disk really are ORC
+    assert(orc.currentSnapshot.files.nonEmpty)
+    val anOrcFile = new java.io.File(s"$orcLoc/data/${orc.currentSnapshot.files.head.path}")
+    assert(anOrcFile.exists)
+    val magic = java.nio.file.Files.readAllBytes(anOrcFile.toPath)
+    assert(new String(magic.take(3), "US-ASCII") == "ORC", "ORC postscript magic at file start")
+    // identical merge semantics across formats
+    val change = Seq(
+      ("k1", 1000L, "updated", false),
+      ("k2", 1L, "stale", false),     // stale → no-op
+      ("k3", 1000L, null, true),      // delete
+      ("knew", 5L, "fresh", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    Seq(orc, pq).foreach { t =>
+      t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+      t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    }
+    val o = orc.read().select("arcane_merge_key", "versionnumber", "payload")
+      .as[(String, Long, String)].collect().toSet
+    val p = pq.read().select("arcane_merge_key", "versionnumber", "payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(o === p)
+    assert(!o.exists(_._1 == "k3") && o.exists(_._1 == "knew"))
+    // compaction keeps the format
+    orc.compact(fileSizeThresholdBytes = Long.MaxValue)
+    assert(orc.read().count() === p.size.toLong)
+    // avro is rejected with a clear error, not a runtime surprise
+    val bad = SnapshotTable(spark, tmpDir("snap-avro"))
+    val e = intercept[IllegalArgumentException] {
+      bad.createOrReplace(df, "arcane_merge_key", numBuckets = 2,
+        extraProps = Map(SnapshotTable.PropFormat -> "avro"))
+    }
+    assert(e.getMessage.contains("spark-avro"))
+  }
+
   test("ADD COLUMNS is metadata-only and old files read as NULL") {
     val t = freshTable("snap-evolve")
     val before = t.currentSnapshot
