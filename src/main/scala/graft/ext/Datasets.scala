@@ -194,9 +194,12 @@ object Datasets {
     // hash ∈ [0, 2^31) shifted left 32 bits + id < 2^32 stays inside Long:
     // a total order (hash, id) encoded in ONE column for prefixSum.
     val ord = pmod(col(idCol) * GoldenRatioHash, lit(2147483648L)) * lit(4294967296L) + col(idCol)
+    // NULL token counts read as 0 (a doc whose count is unknown spends no
+    // budget but is not silently DROPPED — NULL would poison every later
+    // row's cumulative sum and filter them all out).
     prefixSum(
       docs.withColumn("_ord", ord)
-        .withColumn("n_tokens", col(tokenCol).cast("long")),
+        .withColumn("n_tokens", coalesce(col(tokenCol).cast("long"), lit(0L))),
       "n_tokens", "_ord", "tokens_before")
       .where(col("tokens_before") < budgetTokens)
       .drop("_ord")

@@ -324,7 +324,11 @@ object Multimodal {
                 width = le32(bytes, body + 32); height = le32(bytes, body + 36)
               case "strh" if sz >= 32 && fourcc(bytes, body) == "vids" =>
                 scale = le32(bytes, body + 20); rate = le32(bytes, body + 24)
-              case other if other.endsWith("dc") || other.endsWith("db") =>
+              // Stream 00 only: a multi-stream AVI ("01dc", audio "01wb")
+              // must not interleave its other streams' payloads into the
+              // frame list (wrong n_frames, mixed dims); we parse strh for
+              // the first vids stream, so its chunks are the frames.
+              case "00dc" | "00db" =>
                 frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
               case _ => ()
             }
@@ -353,8 +357,13 @@ object Multimodal {
         if ((body.length & 1) == 1) o.write(0) // RIFF chunks pad to even
       }
       def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
-        val inner = bodies.foldLeft(Array.emptyByteArray)(_ ++ _)
-        bytes { o => tag(o, "LIST"); w32(o, 4 + inner.length); tag(o, listType); o.write(inner) }
+        // single stream, linear copies — a foldLeft(++) would re-copy the
+        // accumulated prefix once per chunk, O(n²) over the frame list
+        val innerLen = bodies.iterator.map(_.length).sum
+        bytes { o =>
+          tag(o, "LIST"); w32(o, 4 + innerLen); tag(o, listType)
+          bodies.foreach(o.write)
+        }
       }
       val avih = chunk("avih", bytes { o =>
         w32(o, if (fps > 0) 1000000 / fps else 0) // dwMicroSecPerFrame

@@ -363,16 +363,27 @@ object Similarity {
       eval: DataFrame,
       vecCol: String = "embedding"
   ): (Broadcast[(Array[Double], Array[Double])], Int) = {
-    val rows: Array[Array[Double]] = eval.select(col(vecCol)).collect().map { r =>
-      r.getSeq[Any](0).map {
-        case f: java.lang.Float => f.toDouble
-        case d: java.lang.Double => d.doubleValue
-        case i: java.lang.Integer => i.toDouble
-        case l: java.lang.Long => l.toDouble
-        case null => 0.0
-      }.toArray
-    }
+    // NULL/empty eval vectors carry no evidence — skip them (the corpus
+    // side already treats NULL as unscorable); any numeric element type
+    // is accepted. RAGGED dims are a configuration error, not data: a
+    // silently misaligned row-major matrix would read the wrong cells and
+    // miss contamination, so fail fast with the offending sizes.
+    val rows: Array[Array[Double]] = eval.select(col(vecCol)).collect()
+      .flatMap { r =>
+        if (r.isNullAt(0)) None
+        else {
+          val v = r.getSeq[Any](0).map {
+            case n: java.lang.Number => n.doubleValue
+            case null => 0.0
+          }.toArray
+          if (v.isEmpty) None else Some(v)
+        }
+      }
     val dim = if (rows.isEmpty) 0 else rows.head.length
+    rows.find(_.length != dim).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"eval set has inconsistent embedding dims: $dim vs ${bad.length}")
+    }
     val norms = rows.map { v =>
       var ss = 0.0; var i = 0
       while (i < v.length) { ss += v(i) * v(i); i += 1 }

@@ -65,22 +65,26 @@ case class VecMaxSimBcast(
       i += 1
     }
     val normV = math.sqrt(ss)
-    // a zero-norm vector has no direction — cosine is undefined, and the
-    // 0/0 NaN it would produce has ENGINE-SPECIFIC max semantics (IEEE
-    // comparisons ignore NaN; some SQL engines sort it above all values).
-    // NULL ("no evidence") keeps the result portable; zero-norm EVAL rows
-    // are skipped for the same reason.
-    if (normV == 0.0) return null
+    // Degenerate inputs score NULL ("no evidence"), never a sentinel:
+    //  - dimension mismatch: a truncated dot against a partial norm would
+    //    silently DEFLATE similarity and miss contamination;
+    //  - zero-norm: no direction, cosine undefined, and the 0/0 NaN has
+    //    ENGINE-SPECIFIC max semantics (IEEE comparisons ignore NaN; some
+    //    SQL engines sort it above all values);
+    //  - NaN elements: normV is NaN, every score is NaN, and the IEEE
+    //    `>` would quietly leave best at -Infinity.
+    // Zero-norm/NaN EVAL rows are skipped for the same reason (NaN > 0.0
+    // is false, so the norms(r) guard covers both).
+    if (vn != dim || normV == 0.0 || java.lang.Double.isNaN(normV)) return null
     var best = Double.NegativeInfinity
     var any = false
     var r = 0
     while (r < numRows) {
       if (norms(r) > 0.0) {
         val base = r * dim
-        val m = math.min(dim, vn)
         var d = 0.0
         var j = 0
-        while (j < m) {
+        while (j < dim) {
           if (!va.isNullAt(j)) d += get(va, j, vt) * matrix(base + j)
           j += 1
         }

@@ -124,6 +124,34 @@ class AnnRecallSpec extends SparkSpec {
     assert(scored.where(col("vec_id") =!= 999999L && col("contaminated")).count() === 5)
   }
 
+  test("semantic decontamination degenerate inputs: NULL/ragged eval rows, NaN and dim-mismatch vectors") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("vec_id", "embedding").limit(4)
+    // a NULL eval row carries no evidence: skipped, not an NPE on the driver
+    val evalWithNull = base.union(
+      Seq((888L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val ok = Similarity.decontaminateSemantic(base, evalWithNull, threshold = 0.999)
+    assert(ok.where(col("contaminated")).count() === 4) // self-matches intact
+    // ragged eval dims are a configuration error -> fail fast, not silent misalignment
+    val ragged = base.union(Seq((777L, Array.fill(3)(0.5f))).toDF("vec_id", "embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.decontaminateSemantic(base, ragged)
+    }
+    assert(e.getMessage.contains("inconsistent embedding dims"))
+    // corpus-side degenerate vectors score NULL, never a sentinel:
+    // wrong dims (truncated dot would deflate similarity) and NaN elements
+    val weird = Seq(
+      (1L, Array.fill(3)(0.5f)),                       // dim mismatch vs 64-dim eval
+      (2L, Array.fill(64)(Float.NaN))                  // NaN elements
+    ).toDF("vec_id", "embedding")
+    val scored = Similarity.decontaminateSemantic(weird, base, threshold = 0.999)
+    assert(scored.where(col("max_eval_sim").isNotNull).count() === 0)
+    assert(scored.where(col("contaminated")).count() === 0)
+  }
+
   test("int8-quantized brute force keeps high top-k agreement with exact") {
     import graft.ext.Similarity
     import org.apache.spark.sql.functions._

@@ -112,6 +112,16 @@ class ExtOpsSpec extends SparkSpec {
     assert(sample(0L).isEmpty)
     assert(sample(10000L).size === 60)
     assert(sample(37L).keySet.subsetOf(sample(150L).keySet))
+    // NULL token counts read as 0 — the row is kept (spending nothing),
+    // not dropped, and later rows' cumulative sums stay non-NULL
+    val withNull = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("doc_id", "n_tokens")
+    val out = Datasets.tokenBudgetSample(withNull, "n_tokens", 10000L)
+      .select("doc_id", "n_tokens", "tokens_before")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out.find(_._1 == 2L).get._2 === 0L)
+    assert(out.map(_._2).sum === 12L)
   }
 
   test("packSequences: pack id is the token start offset divided by the budget") {
@@ -423,6 +433,29 @@ class ExtOpsSpec extends SparkSpec {
     assert(VideoCodec.decodeAvi("not an avi at all".getBytes).isEmpty)
     assert(VideoCodec.decodeAvi(avi.take(100)).isEmpty)
     assert(VideoCodec.decodeAvi(Array.emptyByteArray).isEmpty)
+    // a second stream's chunks ("01dc") must NOT interleave into the
+    // frame list — only stream 00 is the parsed video stream
+    val twoStream = {
+      val jpeg1 = dec.frames.head
+      val raw = VideoCodec.buildAvi(32, 24, 15, Seq(jpeg1))
+      // splice an extra "01dc" chunk before RIFF end by rebuilding: append
+      // inside movi is complex — instead rename a copy's frames to 01dc
+      val copy = raw.clone()
+      var i = 0
+      var renamed = 0
+      while (i < copy.length - 4) {
+        if (copy(i) == '0'.toByte && copy(i + 1) == '0'.toByte &&
+            copy(i + 2) == 'd'.toByte && copy(i + 3) == 'c'.toByte && renamed == 0) {
+          copy(i + 1) = '1'.toByte // 00dc -> 01dc
+          renamed += 1
+        }
+        i += 1
+      }
+      copy
+    }
+    // the single frame now belongs to stream 01 → no stream-00 frames
+    assert(VideoCodec.decodeAvi(twoStream).get.frames.isEmpty)
+
     // adversarial LIST-in-LIST chain: must be REJECTED (bounded depth),
     // not walked into a StackOverflowError that would kill the task
     val deep = {
