@@ -616,6 +616,21 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Document chunking: 64-token windows, 16-token overlap (step 48);
+    // window starts replayed with range(0, n, 48), slices 1-based
+    // inclusive in both engines.
+    "q_doc_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |s AS (SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_index,
+        |  array_to_string(tk[start + 1 : start + 64], ' ') AS chunk_text,
+        |  CAST(least(64, len(tk) - start) AS BIGINT) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_index""".stripMargin,
+
     // Token-budget sampling: greedy fill in multiplicative-hash order,
     // exclusive prefix sum below the budget keeps the crossing doc. The
     // window cumsum replays the distributed prefix sum relationally.

@@ -57,6 +57,47 @@ object TextAnalysis {
           size(toks).cast("double"))
   }
 
+  /** DOCUMENT CHUNKING — split long documents into fixed-size token
+    * windows with overlap, the standard context-window preparation step
+    * (the inverse of [[Datasets.packSequences]], which concatenates short
+    * docs). Window starts are 0, step, 2·step, … while < n_tokens
+    * (step = chunkTokens − overlapTokens); the tail window is shorter,
+    * empty documents produce no chunks. Output: one row per chunk with
+    * `chunk_index`, `chunk_text` (tokens re-joined with single spaces)
+    * and `n_tokens`.
+    *
+    * 100 TB shape: pure columnar explode — per-row arithmetic only, no
+    * shuffle, no UDFs; output row count is corpus tokens ÷ step, the
+    * same order as the input token count.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkTokens: Int,
+      overlapTokens: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk size, got chunk=$chunkTokens overlap=$overlapTokens")
+    val step = chunkTokens - overlapTokens
+    val toks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    docs
+      .withColumn("_toks", toks)
+      .withColumn("_n", size(col("_toks")))
+      // sequence() demands start <= stop for a positive step — guard the
+      // empty-doc case to an empty start list instead of a runtime error
+      .withColumn("_starts",
+        when(col("_n") > 0, sequence(lit(0), col("_n") - 1, lit(step)))
+          .otherwise(array().cast("array<int>")))
+      .select(col(idCol), col("_toks"), explode(col("_starts")).as("_start"))
+      .select(
+        col(idCol),
+        (col("_start") / step).cast("long").as("chunk_index"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens), size(col("_toks")) - col("_start")).cast("long").as("n_tokens"))
+  }
+
   /** Composite document quality score in [0,1] — C4/Gopher-style length,
     * punctuation and stopword heuristics folded into one number:
     * docs that are too short, all punctuation, or stopword-free (word salad /

@@ -866,6 +866,16 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Document chunking gate — fixed 64-token windows with 16-token
+    * overlap (step 48), the context-window preparation step. Pure
+    * columnar explode; the DuckDB oracle replays the same window starts
+    * (range(0, n, 48)) and list slices relationally.
+    */
+  def qDocChunk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(
+      t(spark, dir, "documents"), chunkTokens = 64, overlapTokens = 16)
+      .orderBy(col("doc_id"), col("chunk_index"))
+
   /** Token-budget sampling gate — "take 25k tokens of the corpus" in
     * deterministic multiplicative-hash order via the distributed prefix
     * sum (no global window). The DuckDB oracle replays the hash order and
@@ -1481,6 +1491,7 @@ object Queries {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_token_budget_sample" -> (qTokenBudgetSample _),
+    "q_doc_chunk" -> (qDocChunk _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_pivot_event_counts" -> (qPivotEventCounts _),
     "q_json_extract" -> (qJsonExtract _),

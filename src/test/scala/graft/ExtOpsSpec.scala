@@ -124,6 +124,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.map(_._2).sum === 12L)
   }
 
+  test("chunkDocuments: sliding windows with overlap, tail and empty-doc boundaries") {
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // shorter than one chunk
+      (3L, ""),                    // empty -> no chunks
+      (4L, (1 to 8).map(i => s"t$i").mkString(" "))) // exactly 2 full windows at step 4
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 4, overlapTokens = 2)
+      .orderBy("doc_id", "chunk_index")
+      .select("doc_id", "chunk_index", "chunk_text", "n_tokens")
+      .as[(Long, Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    // doc 1: starts 0,2,4,6,8 -> 5 chunks; overlap repeats 2 tokens
+    assert(byDoc(1L).map(_._3).toSeq === Seq(
+      "a b c d", "c d e f", "e f g h", "g h i j", "i j"))
+    assert(byDoc(1L).map(_._4).toSeq === Seq(4L, 4L, 4L, 4L, 2L))
+    // doc 2: one short chunk
+    assert(byDoc(2L).map(_._3).toSeq === Seq("x y"))
+    // doc 3: no chunks at all
+    assert(!byDoc.contains(3L))
+    // doc 4: starts 0,2,4,6 over 8 tokens
+    assert(byDoc(4L).length === 4 && byDoc(4L).last._3 === "t7 t8")
+    // overlap 0 degenerates to disjoint windows
+    val disjoint = TextAnalysis.chunkDocuments(docs, chunkTokens = 5, overlapTokens = 0)
+      .where($"doc_id" === 1L).orderBy("chunk_index")
+      .select("chunk_text").as[String].collect()
+    assert(disjoint.toSeq === Seq("a b c d e", "f g h i j"))
+    // invalid configs rejected
+    intercept[IllegalArgumentException](TextAnalysis.chunkDocuments(docs, 4, 4))
+  }
+
   test("packSequences: pack id is the token start offset divided by the budget") {
     val df = Seq(
       (1L, "a b c"),        // 3 tokens, offset 0  → pack 0
