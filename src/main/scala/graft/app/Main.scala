@@ -94,12 +94,5 @@ object Main {
     * failure.
     */
   private[graft] def isCancellation(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { t =>
-      t.isInstanceOf[java.util.concurrent.CancellationException] ||
-        t.isInstanceOf[InterruptedException] ||
-        Option(t.getMessage).exists { m =>
-          val l = m.toLowerCase
-          l.contains("cancel") || l.contains("interrupt")
-        }
-    }
+    graft.pipeline.Retry.isCancellation(e)
 }

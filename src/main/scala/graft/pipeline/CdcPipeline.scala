@@ -29,7 +29,7 @@ object CdcPipeline {
     * testable without streaming.
     */
   def stage(raw: DataFrame, typedSchema: StructType, spec: StreamSpec): DataFrame = {
-    val typed = CsvCast(typedSchema, raw.drop("_folder"))
+    val typed = CsvCast(typedSchema, raw.drop("_folder", "_chunk_idx", "_chunk_last"))
     val selected = FieldSelection(typed, spec.fieldSelectionRule, spec.essentialFields)
     val keyed = MergeKey(selected, spec.keyColumns)
     LatestVersionDedup(keyed, MergeKey.ColumnName, spec.versionColumn)
@@ -125,7 +125,10 @@ object CdcPipeline {
     */
   def maintenanceTick(table: SnapshotTable, spec: StreamSpec, batchNumber: Long): Unit = {
     val m = spec.maintenance
-    if (batchNumber > 0 && batchNumber % m.batchThreshold == 0) {
+    // threshold <= 0 means DISABLED (the natural reading of 0 in config) —
+    // without the guard the first batch would divide by zero and fail the
+    // stream after its merge already committed
+    if (m.batchThreshold > 0 && batchNumber > 0 && batchNumber % m.batchThreshold == 0) {
       table.compact(m.fileSizeThresholdBytes)
       val cutoff = System.currentTimeMillis() - m.snapshotRetentionMs
       val snaps = table.expireSnapshots(cutoff)
@@ -133,7 +136,8 @@ object CdcPipeline {
       JsonLog.info("maintenance_completed", "batch" -> batchNumber,
         "expired_snapshots" -> snaps.size, "removed_orphans" -> orphans.size)
     }
-    if (batchNumber > 0 && batchNumber % m.analyzeBatchThreshold == 0) table.analyze(m.analyzedColumns)
+    if (m.analyzeBatchThreshold > 0 && batchNumber > 0 && batchNumber % m.analyzeBatchThreshold == 0)
+      table.analyze(m.analyzedColumns)
   }
 
   /** Poll interval with jitter (reference CRD beta:216-221): the stream's
@@ -218,10 +222,21 @@ object CdcPipeline {
               val rawKey = MergeKey.expression(spec.keyColumns.map(raw.col))
               Some(n -> collect_set(pmod(xxhash64(rawKey), lit(n)).cast("int")))
             } else None
-          val aggs = Seq(count(lit(1)), max(col("_folder"))) ++ bucketAgg.map(_._2)
+          // Watermark = the newest PROCESSED CHUNK's resume point, not just
+          // the newest folder name: a folder split across micro-batches by
+          // admission control commits "folder#chunksDone" until its last
+          // chunk lands, so a restart from the table watermark (checkpoint
+          // lost or absent) resumes the partial folder's remaining chunks
+          // instead of silently skipping them — and external readers of
+          // the mirrored property see honest partial progress.
+          val aggs = Seq(count(lit(1)),
+            max(struct(col("_folder"), col("_chunk_idx"), col("_chunk_last")))) ++ bucketAgg.map(_._2)
           val head = raw.agg(aggs.head, aggs.tail: _*).head()
           if (head.getLong(0) > 0) {
-            val wm = head.getString(1)
+            val w = head.getStruct(1)
+            val wm =
+              if (w.getBoolean(2)) w.getString(0)
+              else s"${w.getString(0)}#${w.getInt(1) + 1}"
             val affected = bucketAgg.map(_ => head.getSeq[Int](2).toSet)
             val staged = stage(raw, typedSchema, spec)
             val t0 = System.nanoTime()

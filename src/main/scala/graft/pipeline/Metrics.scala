@@ -37,16 +37,32 @@ final class StatsdEmitter(host: String, port: Int, globalTags: Map[String, Strin
   * the reference's framework tracks (rows in, processing rate, batch
   * duration, watermark).
   */
-final class GraftMetricsListener(statsd: Option[StatsdEmitter], prefix: String = "graft.stream")
-    extends StreamingQueryListener {
+final class GraftMetricsListener(
+    statsd: Option[StatsdEmitter],
+    prefix: String = "graft.stream",
+    session: Option[SparkSession] = None
+) extends StreamingQueryListener {
 
   import StreamingQueryListener._
 
-  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  // The listener is installed BEFORE its stream starts (Spark offers no
+  // per-query listener registration), so it binds to the first query that
+  // starts after installation and ignores every other query on the shared
+  // session — without this, a JVM hosting streams sequentially stacks
+  // unscoped listeners that double-count every batch under stale tags.
+  private val boundId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
+
+  private def owns(id: java.util.UUID): Boolean = {
+    val b = boundId.get
+    b != null && b == id
+  }
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    boundId.compareAndSet(null, event.id)
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
-    statsd.foreach { s =>
+    if (owns(p.id)) statsd.foreach { s =>
       s.count(s"$prefix.rows", p.numInputRows)
       s.gauge(s"$prefix.rows_per_second", Option(p.processedRowsPerSecond).getOrElse(0.0))
       Option(p.durationMs.get("triggerExecution")).foreach(d => s.gauge(s"$prefix.batch_ms", d.toDouble))
@@ -55,13 +71,22 @@ final class GraftMetricsListener(statsd: Option[StatsdEmitter], prefix: String =
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
-    statsd.foreach(_.count(s"$prefix.terminated", 1L))
+    if (owns(event.id)) {
+      statsd.foreach(_.count(s"$prefix.terminated", 1L))
+      // self-uninstall: the bound stream is gone — stop listening and
+      // release the emitter socket instead of leaking both for the JVM
+      // lifetime of a sequential-stream runner
+      session.foreach(_.streams.removeListener(this))
+      statsd.foreach(_.close())
+    }
 }
 
 object Metrics {
   /** Install the metrics listener on a session. StatsD target comes from
     * `statsdAddress` ("host:port"); absent → log-only listener is skipped
-    * (Spark already logs progress JSON).
+    * (Spark already logs progress JSON). The listener binds to the next
+    * query started on the session and removes itself (closing its socket)
+    * when that query terminates.
     */
   def install(spark: SparkSession, statsdAddress: Option[String], tags: Map[String, String] = Map.empty): Option[GraftMetricsListener] =
     statsdAddress.map { addr =>
@@ -69,7 +94,8 @@ object Metrics {
         case Array(h, p) => (h, p.toInt)
         case Array(h)    => (h, 8125)
       }
-      val listener = new GraftMetricsListener(Some(new StatsdEmitter(host, port, tags)))
+      val listener = new GraftMetricsListener(
+        Some(new StatsdEmitter(host, port, tags)), session = Some(spark))
       spark.streams.addListener(listener)
       listener
     }

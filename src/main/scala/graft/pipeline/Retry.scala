@@ -68,13 +68,36 @@ object RetryPolicy {
 class SchemaDriftException(msg: String) extends java.io.IOException(msg)
 
 object Retry {
+  /** True iff the failure is a cancellation/interruption anywhere in the
+    * cause chain — an OPERATOR decision (graceful stop, job kill), never a
+    * transient fault. Retrying one would resubmit whole jobs during
+    * teardown; both the retry loop here and the process exit classifier
+    * (Main) refuse to treat it as retryable.
+    */
+  def isCancellation(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { t =>
+      t.isInstanceOf[java.util.concurrent.CancellationException] ||
+        t.isInstanceOf[InterruptedException] ||
+        Option(t.getMessage).exists { m =>
+          val l = m.toLowerCase
+          l.contains("cancel") || l.contains("interrupt")
+        }
+    }
+
   def apply[T](policy: RetryPolicy)(body: => T): T = {
     var attempt = 1
     var delay = policy.baseDelayMs.toDouble
     while (true) {
       try return body
       catch {
-        case e: Throwable if attempt < policy.maxAttempts && policy.shouldRetry(e) =>
+        // NonFatal only: an OutOfMemoryError/LinkageError must propagate
+        // (retrying on a corrupted JVM hides the real failure), and
+        // NonFatal already treats InterruptedException as fatal so a stop
+        // signal is never absorbed into a backoff sleep. Cancellations
+        // (graceful stop kills the in-flight job) are operator decisions,
+        // not transient faults — rethrown immediately.
+        case scala.util.control.NonFatal(e)
+            if attempt < policy.maxAttempts && policy.shouldRetry(e) && !isCancellation(e) =>
           Thread.sleep(math.min(delay.toLong, policy.maxDelayMs))
           delay *= policy.scaleFactor
           attempt += 1

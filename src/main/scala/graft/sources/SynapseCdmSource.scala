@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -147,16 +147,40 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
   /** CSV chunks of one folder for our entity — folder-qualified paths
     * (chunk names recur across folders; SURVEY.md §7 hard-part 5).
     */
-  def chunkFiles(conf: Configuration, folder: String): Seq[(String, Long)] = listing {
-    val d = new Path(new Path(root, folder), entity)
-    val f = fs(conf)
-    if (!f.exists(d)) Seq.empty
-    else
-      f.listStatus(d)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".csv"))
-        .map(st => (st.getPath.toString, st.getLen))
-        .sortBy(_._1)
-        .toSeq
+  // Chunk listings are fetched on two paths per trigger (admission
+  // budgeting in latestOffset, then partition planning) — without a cache
+  // every admitted folder costs double the metadata RPCs. Closed folders
+  // (everything at or below the changelog value — the only folders ever
+  // listed) are IMMUTABLE, so a small bounded memo is safe; LRU-bounded so
+  // a months-deep backfill cannot grow driver state with the backlog.
+  @transient private lazy val chunkCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[(String, Long)]](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Seq[(String, Long)]]): Boolean =
+          size() > 64
+      })
+
+  def chunkFiles(conf: Configuration, folder: String): Seq[(String, Long)] = {
+    val cached = chunkCache.get(folder)
+    if (cached != null) cached
+    else {
+      val fresh = listing {
+        val d = new Path(new Path(root, folder), entity)
+        val f = fs(conf)
+        if (!f.exists(d)) Seq.empty
+        else
+          f.listStatus(d)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".csv"))
+            .map(st => (st.getPath.toString, st.getLen))
+            .sortBy(_._1)
+            .toSeq
+      }
+      // empty listings are NOT cached: an in-flight folder (changelog
+      // stamped before its files became visible to this lister) must be
+      // re-listed next trigger, not pinned empty
+      if (fresh.nonEmpty) chunkCache.put(folder, fresh)
+      fresh
+    }
   }
 
   /** Entity schema from a model.json: root copy if present, else the newest
@@ -176,7 +200,15 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
   def rawSchemaWithMeta: StructType = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val typed = entitySchema(conf, changelogValue(conf))
-    StructType(CdmSchema.rawStringSchema(typed).fields :+ StructField("_folder", StringType, nullable = false))
+    // _chunk_idx/_chunk_last carry per-chunk resume metadata so the
+    // pipeline can commit a watermark that encodes PARTIAL folder progress
+    // ("folder#chunksDone") instead of overshooting to the folder name
+    // while chunks remain unread (a checkpoint-less restart from such an
+    // overshot watermark would silently skip them).
+    StructType(CdmSchema.rawStringSchema(typed).fields ++ Seq(
+      StructField("_folder", StringType, nullable = false),
+      StructField("_chunk_idx", IntegerType, nullable = false),
+      StructField("_chunk_last", BooleanType, nullable = false)))
   }
 }
 
@@ -292,13 +324,17 @@ class SynapseCdmMicroBatchStream(fullSchema: StructType, required: StructType, o
   private val bytesExpansionFactor =
     Option(options.get("bytesExpansionFactor")).map(_.toDouble).getOrElse(4.0)
 
-  override def initialOffset(): Offset = ChangelogOffset(startingWatermark)
+  // parse, not wrap: a committed watermark can carry sub-folder progress
+  // ("folder#chunksDone") — a restart from it must resume the partial
+  // folder's remaining chunks, not skip them
+  override def initialOffset(): Offset = ChangelogOffset.parse(startingWatermark)
   override def deserializeOffset(json: String): Offset = ChangelogOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def latestOffset(): Offset =
-    ChangelogOffset(layout.changelogValue(conf).getOrElse(startingWatermark))
+    layout.changelogValue(conf).map(ChangelogOffset(_))
+      .getOrElse(ChangelogOffset.parse(startingWatermark))
 
   override def getDefaultReadLimit: ReadLimit =
     maxFoldersPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
@@ -400,6 +436,8 @@ object SynapseCdmScanHelper {
     * immutable). The full CSV column list rides along so positional parsing
     * stays correct no matter which columns were pruned.
     */
+  private val MetaCols = Set("_folder", "_chunk_idx", "_chunk_last")
+
   def partitions(
       layout: SynapseCdmLayout,
       conf: Configuration,
@@ -407,21 +445,36 @@ object SynapseCdmScanHelper {
       fullSchema: StructType,
       required: StructType
   ): Array[InputPartition] = {
-    val csvCols = fullSchema.fieldNames.filter(_ != "_folder")
-    val proj: Array[Int] = required.fieldNames.map { n =>
-      if (n == "_folder") -1 else csvCols.indexOf(n)
+    val csvCols = fullSchema.fieldNames.filterNot(MetaCols.contains)
+    val proj: Array[Int] = required.fieldNames.map {
+      case "_folder"     => -1
+      case "_chunk_idx"  => -2
+      case "_chunk_last" => -3
+      case n             => csvCols.indexOf(n)
     }
     slices.flatMap { case (folder, from, until) =>
       val files = layout.chunkFiles(conf, folder)
-      val sliced = if (until < 0) files.drop(from) else files.slice(from, until)
-      sliced.map { case (path, _) => CsvChunkPartition(path, folder, csvCols.length, proj) }
+      val sliced = if (until < 0) files.zipWithIndex.drop(from)
+        else files.zipWithIndex.slice(from, until)
+      sliced.map { case ((path, _), idx) =>
+        CsvChunkPartition(path, folder, csvCols.length, proj,
+          chunkIdx = idx, lastInFolder = idx == files.size - 1)
+      }
     }.toArray
   }
 }
 
-/** `projection(i)` = CSV column index feeding output column i; -1 = `_folder`. */
-final case class CsvChunkPartition(path: String, folder: String, numCsvCols: Int, projection: Array[Int])
-    extends InputPartition
+/** `projection(i)` = CSV column index feeding output column i;
+  * -1 = `_folder`, -2 = `_chunk_idx`, -3 = `_chunk_last`.
+  */
+final case class CsvChunkPartition(
+    path: String,
+    folder: String,
+    numCsvCols: Int,
+    projection: Array[Int],
+    chunkIdx: Int,
+    lastInFolder: Boolean
+) extends InputPartition
 
 /** Serializable carrier shipping the DRIVER's Hadoop configuration to
   * executor-side chunk readers, so filesystem credentials configured on the
@@ -466,6 +519,8 @@ class CsvChunkReaderFactory(conf: SerializableHadoopConf) extends PartitionReade
             val src = p.projection(i)
             vals(i) =
               if (src == -1) folderUtf8
+              else if (src == -2) p.chunkIdx
+              else if (src == -3) p.lastInFolder
               else if (src < rec.length && rec(src) != null) UTF8String.fromString(rec(src))
               else null
             i += 1

@@ -178,6 +178,7 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       numBuckets: Int,
       extraProps: Map[String, String] = Map.empty
   ): Snapshot = {
+    SnapshotTable.rejectReservedColumns(df.schema)
     val commitId = UUID.randomUUID().toString
     val prevProps = if (exists) currentSnapshot.properties else Map.empty[String, String]
     val mergedProps = prevProps ++ extraProps + (PropMergeKeyCol -> mergeKeyCol)
@@ -225,6 +226,7 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       extraProps: Map[String, String] = Map.empty,
       knownAffected: Option[Set[Int]] = None
   ): Snapshot = {
+    SnapshotTable.rejectReservedColumns(staged.schema)
     val snap = currentSnapshot
     val n = snap.numBuckets
 
@@ -288,8 +290,14 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
   def compact(fileSizeThresholdBytes: Long): Snapshot = {
     val snap = currentSnapshot
     val byBucket = snap.files.groupBy(_.bucket)
+    // Rewrite only buckets with SEVERAL files of which at least one is
+    // small (the reference's "files smaller than threshold into larger
+    // ones"): a single-file bucket has nothing to merge, and a bucket of
+    // uniformly-large files is already compact — either predicate firing
+    // on them would re-rewrite the same bytes every maintenance tick
+    // without converging.
     val needs = byBucket.filter { case (_, fsOfB) =>
-      fsOfB.size > 1 || fsOfB.exists(f => fileLen(f) < fileSizeThresholdBytes)
+      fsOfB.size > 1 && fsOfB.exists(f => fileLen(f) < fileSizeThresholdBytes)
     }.keySet
     if (needs.isEmpty) return snap
     val df = read(Some(needs))
@@ -409,17 +417,26 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     writeText(fs, new Path(versioned, "manifest"), if (abs.isEmpty) "" else abs.mkString("\n") + "\n")
     writeText(fs, new Path(versioned, "schema.json"), snap.schema.json)
     val dataOut = new Path(versioned, "data")
-    fs.mkdirs(dataOut)
-    val ext = SnapshotTable.resolveFormat(snap.properties)
-    snap.files.zipWithIndex.foreach { case (f, i) =>
-      val src = fs.makeQualified(new Path(dataDir, f.path))
-      val dst = fs.makeQualified(new Path(dataOut, f"part-$i%05d-b${f.bucket}.$ext"))
-      try
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(dst.toUri), java.nio.file.Paths.get(src.toUri))
-      catch { case _: Exception => // non-POSIX or non-local FS → materialize
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
-          spark.sparkContext.hadoopConfiguration)
+    // The glob-safe linked data directory is a LOCAL-filesystem convenience
+    // (symlinks). On remote stores (HDFS/ABFS/S3) every "link" would fall
+    // back to a full byte copy of every live data file — re-exporting after
+    // each commit would then amplify a T-byte table into T bytes of copy
+    // per trigger. There the manifest (absolute URIs) IS the export — the
+    // actual Hive symlink-manifest contract — and the data dir is skipped.
+    val localFs = fs.getUri.getScheme == "file"
+    if (localFs) {
+      fs.mkdirs(dataOut)
+      val ext = SnapshotTable.resolveFormat(snap.properties)
+      snap.files.zipWithIndex.foreach { case (f, i) =>
+        val src = fs.makeQualified(new Path(dataDir, f.path))
+        val dst = fs.makeQualified(new Path(dataOut, f"part-$i%05d-b${f.bucket}.$ext"))
+        try
+          java.nio.file.Files.createSymbolicLink(
+            java.nio.file.Paths.get(dst.toUri), java.nio.file.Paths.get(src.toUri))
+        catch { case _: Exception => // non-POSIX local FS → materialize
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+            spark.sparkContext.hadoopConfiguration)
+        }
       }
     }
     writeText(fs, new Path(versioned, "_SUCCESS"), "")
@@ -527,9 +544,12 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     }
     // Reference `maxRowsPerFile` (CRD beta sink.maxRowsPerFile): cap file
     // size at write time so one hot bucket still produces scan-parallel
-    // files.
-    props.get(PropMaxRowsPerFile).filter(_.nonEmpty)
-      .foreach(nr => writer.option("maxRecordsPerFile", nr))
+    // files. COMPACTION (coalesceOne) deliberately ignores the cap — its
+    // whole purpose is consolidating a bucket into one file, and honoring
+    // the cap there would re-split every rewrite and never converge.
+    if (!coalesceOne)
+      props.get(PropMaxRowsPerFile).filter(_.nonEmpty)
+        .foreach(nr => writer.option("maxRecordsPerFile", nr))
     format match {
       case "orc" => writer.orc(out.toString)
       case _     => writer.parquet(out.toString)
@@ -577,6 +597,19 @@ object SnapshotTable {
   // AVRO needs the spark-avro connector jar, absent in this offline
   // environment, and is rejected with a clear error.
   val PropFormat = "write.format"
+
+  // Internal helper column names used by the bucketed write (`gbk`) and
+  // the merge's union+argmax (`_del`/`_pri`). A same-named USER column
+  // would be silently overwritten and lost in every merged row — reject
+  // loudly up front instead (reserved-name collisions are schema bugs).
+  private val ReservedColumns = Set("gbk", "_del", "_pri")
+
+  private[tables] def rejectReservedColumns(schema: org.apache.spark.sql.types.StructType): Unit = {
+    val clash = schema.fieldNames.filter(n => ReservedColumns.contains(n.toLowerCase))
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} are reserved by the snapshot table " +
+        s"(internal bucketing/merge helpers); rename them in the source schema")
+  }
 
   private[tables] def resolveFormat(props: Map[String, String]): String =
     props.getOrElse(PropFormat, "parquet").toLowerCase match {

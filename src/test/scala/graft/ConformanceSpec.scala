@@ -307,6 +307,49 @@ class ConformanceSpec extends SparkSpec {
     assert(graft.app.Main.run(spark, retrySpec) === 2)
   }
 
+  test("partial-folder watermark carries chunk progress; checkpoint-less restart resumes remaining chunks") {
+    val root = tmpDir("cdm-partial-src")
+    val target = tmpDir("cdm-partial-target")
+    CdmFixture.initRoot(root)
+    // one folder, two chunks (base + upsert+delete); admit ONE chunk per
+    // trigger with a trigger interval long enough that batch 2 never fires
+    // during this test — freezing the table in the partially-ingested state
+    CdmFixture.uploadBatch(root, now.minusHours(2), addUpsert = true, updateChangelog = true, chunkSeed = 1)
+    val frozen = StreamSpec(root, CdmFixture.entityName, target, numBuckets = 4,
+      changeCaptureIntervalSeconds = 600, maxChunksPerTrigger = Some(1))
+    val folder = CdmFixture.folderName(now.minusHours(2))
+    val table = SnapshotTable(spark, target)
+
+    val q1 = CdcPipeline.startStream(spark, frozen)
+    try {
+      // batch 1 (chunk 1 of 2) commits shortly after start; the committed
+      // watermark must record the SUB-FOLDER progress, not the bare folder
+      // name (which would claim the whole folder ingested)
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+        !(table.exists && table.properties.get(SnapshotTable.PropWatermark).contains(s"$folder#1"))) {
+        Thread.sleep(50)
+      }
+      assert(table.properties.get(SnapshotTable.PropWatermark).contains(s"$folder#1"),
+        s"watermark after a partial folder must be $folder#1, got ${table.properties.get(SnapshotTable.PropWatermark)}")
+      assert(table.read().count() === 5, "only the base chunk is ingested at this point")
+    } finally q1.stop()
+
+    // RESTART with no checkpoint: the only resume state is the table
+    // watermark. Before the fix it read the bare folder name and skipped
+    // chunk 2 forever (silent data loss); now it parses "folder#1" and
+    // resumes the remaining chunk.
+    val resumed = frozen.copy(changeCaptureIntervalSeconds = 1)
+    val q2 = CdcPipeline.startStream(spark, resumed)
+    try q2.processAllAvailable()
+    finally q2.stop()
+    assert(table.read().count() === 7, "restart must ingest the folder's remaining chunk")
+    val v = table.read().where(col("Id") === CdmFixture.id2).select("versionnumber").head().getLong(0)
+    assert(v === 2111000012L, "chunk-2 upsert applied after resume")
+    assert(table.properties(SnapshotTable.PropWatermark) === folder,
+      "watermark settles to the bare folder name once the folder completes")
+  }
+
   test("streaming resume from watermark skips processed folders") {
     val root = tmpDir("cdm-resume-src")
     val target = tmpDir("cdm-resume-target")

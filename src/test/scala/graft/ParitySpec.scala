@@ -39,6 +39,35 @@ class ParitySpec extends SparkSpec {
     assert(calls3 == 3) // exhausted attempts
   }
 
+  test("retry: cancellations and fatal errors are never retried") {
+    val always = RetryPolicy(maxAttempts = 5, baseDelayMs = 1) // empty needles = retry anything
+    // graceful stop kills the in-flight job → the whole job must NOT be
+    // resubmitted during teardown
+    var cancels = 0
+    intercept[java.util.concurrent.CancellationException] {
+      Retry(always) { cancels += 1; throw new java.util.concurrent.CancellationException("job cancelled") }
+    }
+    assert(cancels == 1)
+    // message-level cancellation (Spark wraps cancellations in generic
+    // SparkException with a 'cancelled' message) — same contract
+    var msgCancels = 0
+    intercept[RuntimeException] {
+      Retry(always) { msgCancels += 1; throw new RuntimeException("Job 7 cancelled because of stop()") }
+    }
+    assert(msgCancels == 1)
+    // fatal JVM errors propagate immediately: retrying on a corrupted JVM
+    // hides the real failure
+    var ooms = 0
+    intercept[OutOfMemoryError] {
+      Retry(always) { ooms += 1; throw new OutOfMemoryError("synthetic") }
+    }
+    assert(ooms == 1)
+    // sanity: the same policy still retries a plain transient failure
+    var plain = 0
+    val ok = Retry(always) { plain += 1; if (plain < 2) throw new RuntimeException("flaky io") else "ok" }
+    assert(ok == "ok" && plain == 2)
+  }
+
   test("spec knobs: retry delay cap, maxRowsPerFile, targetTableProperties") {
     val spec = graft.pipeline.StreamSpec.fromJson(
       """{"sourcePath":"/s","entityName":"e","targetLocation":"/t",

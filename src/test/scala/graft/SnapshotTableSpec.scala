@@ -64,6 +64,32 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e.getMessage.contains("spark-avro"))
   }
 
+  test("compaction converges: a second compact after consolidation is a no-op") {
+    val t = freshTable("snap-converge")
+    // fragment one bucket: a single-key merge writes a second file there
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    val change = Seq(("k1", 1000L, "updated", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    val v1 = t.compact(fileSizeThresholdBytes = Long.MaxValue).version
+    // after consolidation every bucket holds ONE file — the predicate must
+    // not re-select them (the old size>1 OR small predicate re-rewrote all
+    // data every maintenance tick forever)
+    assert(t.currentSnapshot.files.groupBy(_.bucket).forall(_._2.size == 1))
+    val v2 = t.compact(fileSizeThresholdBytes = Long.MaxValue).version
+    assert(v2 === v1, "second compact must be a no-op, not a full rewrite")
+    assert(t.read().count() === 100)
+  }
+
+  test("reserved internal column names are rejected loudly") {
+    val t = SnapshotTable(spark, tmpDir("snap-reserved"))
+    val bad = (1 to 5).map(i => (s"k$i", i.toLong, s"v$i")).toDF("arcane_merge_key", "versionnumber", "gbk")
+    val e = intercept[IllegalArgumentException] {
+      t.createOrReplace(bad, "arcane_merge_key", numBuckets = 2)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("ADD COLUMNS is metadata-only and old files read as NULL") {
     val t = freshTable("snap-evolve")
     val before = t.currentSnapshot
