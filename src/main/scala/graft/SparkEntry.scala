@@ -344,7 +344,10 @@ object SparkEntry {
     "q_table_checksum" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(md5_number_lower(
-        |    concat_ws(chr(1), CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR))
+        |    concat_ws(chr(1),
+        |      coalesce(CAST(c_custkey AS VARCHAR), chr(2) || 'NULL'),
+        |      coalesce(c_name, chr(2) || 'NULL'),
+        |      coalesce(CAST(c_nationkey AS VARCHAR), chr(2) || 'NULL'))
         |  ) % 2147483648 AS BIGINT)) AS BIGINT) AS checksum
         |FROM customer""".stripMargin,
 
@@ -727,7 +730,7 @@ object SparkEntry {
     // the nprobe=1 list join and the cosine top-10 exactly.
     "q_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS list, v AS cv FROM e WHERE vec_id < 8),
+        |cents AS (SELECT vec_id AS list, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv FROM e WHERE vec_id < 8),
         |assign AS (
         |  SELECT vec_id, v, nrm, list FROM (
         |    SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, c.list,
@@ -751,7 +754,7 @@ object SparkEntry {
     // single-list; otherwise the q_ann_ivf replay.
     "q_ann_ivf_mp" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS list, v AS cv FROM e WHERE vec_id < 8),
+        |cents AS (SELECT vec_id AS list, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv FROM e WHERE vec_id < 8),
         |ranked AS (
         |  SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, c.list,
         |    row_number() OVER (PARTITION BY e.vec_id
@@ -1031,12 +1034,12 @@ object SparkEntry {
         |    unnest(ls) AS line
         |  FROM l0),
         |nz AS (
-        |  SELECT doc_id, pos, line, doc_id * 1048576 + pos AS ord
+        |  SELECT doc_id, pos, line
         |  FROM lines WHERE len(trim(line)) > 0),
-        |firsts AS (SELECT line, min(ord) AS first_ord FROM nz GROUP BY line),
+        |firsts AS (SELECT line, min(struct_pack(i := doc_id, p := pos)) AS f FROM nz GROUP BY line),
         |kept AS (
         |  SELECT n.doc_id, n.pos, n.line
-        |  FROM nz n JOIN firsts f ON n.line = f.line AND n.ord = f.first_ord),
+        |  FROM nz n JOIN firsts f ON n.line = f.line AND n.doc_id = f.f.i AND n.pos = f.f.p),
         |agg AS (
         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
         |    CAST(count(*) AS BIGINT) AS kept_lines
@@ -1054,9 +1057,9 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, source,
         |    CASE WHEN source = 'src0'
-        |           THEN 2 + CASE WHEN (doc_id * 2654435761) % 1000 < 300 THEN 1 ELSE 0 END
+        |           THEN 2 + CASE WHEN (doc_id * 2654435789) % 1000 < 300 THEN 1 ELSE 0 END
         |         WHEN source = 'src1'
-        |           THEN CASE WHEN (doc_id * 2654435761) % 1000 < 400 THEN 1 ELSE 0 END
+        |           THEN CASE WHEN (doc_id * 2654435789) % 1000 < 400 THEN 1 ELSE 0 END
         |         ELSE 1 END AS n_copies
         |  FROM documents)
         |SELECT * FROM (

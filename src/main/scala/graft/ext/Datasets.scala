@@ -16,6 +16,15 @@ object Datasets {
 
   /** Knuth's multiplicative-hash constant (2^32 / φ). */
   val GoldenRatioHash = 2654435761L
+  /** DISTINCT multiplier for [[mixCorpus]]'s fractional-copy bucket so
+    * corpus mixing and train/valid/test splitting draw independent
+    * selections from the same id. It must be a different MULTIPLIER, not
+    * an additive salt: (id+s)·K mod 1000 is only a constant rotation of
+    * id·K mod 1000 (still perfectly correlated — a fractional weight
+    * would again delete whole splits); a second multiplier coprime to
+    * 1000 is a genuinely different bijection of the residues.
+    */
+  val MixHash = 2654435789L
 
   /** Per-mille bucket of an integer id — the basis for splits/samples.
     * ids are bounded well below 2^31 in practice so the product stays in
@@ -125,7 +134,11 @@ object Datasets {
     val ranged = df.withColumn("_rg",
       if (interior.isEmpty) lit(0)
       else size(filter(typedLit(interior.toSeq), b => col(idCol).cast("long") >= b)))
-    val totals = ranged.groupBy(col("_rg")).agg(sum(col(valueCol)).cast("long").as("_t"))
+    // NULL values read as 0: sum() over an all-NULL range returns NULL
+    // (driver NPE on getLong), and per-row NULLs would silently NULL every
+    // downstream cumulative sum.
+    val v0 = coalesce(col(valueCol).cast("long"), lit(0L))
+    val totals = ranged.groupBy(col("_rg")).agg(sum(v0).as("_t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
     val spark = df.sparkSession
@@ -135,7 +148,7 @@ object Datasets {
     ranged
       .join(broadcast(offsetsDf), Seq("_rg"))
       .withColumn(outCol,
-        col("_off") + sum(col(valueCol).cast("long")).over(w) - col(valueCol).cast("long"))
+        col("_off") + sum(v0).over(w) - v0)
       .drop("_rg", "_off")
   }
 
@@ -236,10 +249,15 @@ object Datasets {
   ): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
       "weights must be in [0,100]")
+    // Decorrelated bucket (see [[MixHash]]): with the split's own hash a
+    // fractional weight w keeps exactly the rows whose split-bucket <
+    // w·1000 — all 'train' rows under the split thresholds, deleting the
+    // valid/test splits of that label entirely.
     def copies(w: Double): Column = {
       val whole = math.floor(w).toLong
       val fracPermille = math.round((w - whole) * 1000)
-      lit(whole) + when(permilleBucket(col(idCol)) < fracPermille, 1L).otherwise(0L)
+      val mixBucket = pmod(col(idCol) * MixHash, lit(1000L))
+      lit(whole) + when(mixBucket < fracPermille, 1L).otherwise(0L)
     }
     val nCopies = weights.foldLeft(copies(defaultWeight)) {
       case (acc, (label, w)) => when(col(labelCol) === label, copies(w)).otherwise(acc)

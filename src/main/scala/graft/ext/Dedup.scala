@@ -34,8 +34,15 @@ object Dedup {
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cols = docs.columns
+    // NULL text has no content to be a duplicate OF: give each such row a
+    // per-id unique key so it passes through — a NULL fingerprint would
+    // bucket EVERY null-text row into one group and silently delete all
+    // but one (placeholder rows are data, not duplicates of each other).
+    val fp = coalesce(
+      TextAnalysis.fingerprint(col(textCol)),
+      concat(lit("\u0000null:"), col(idCol).cast("string")))
     docs
-      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .groupBy(fp.as("_fp"))
       .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as("_w"))
       .select(cols.map(c => col(s"_w.$c").as(c)).toIndexedSeq: _*)
   }
@@ -123,6 +130,14 @@ object Dedup {
     * the distributed analog of the banding algorithm; no cross join at any
     * scale. Skew guard: buckets larger than `maxBucketSize` are dropped
     * (standard LSH practice — a giant bucket means a degenerate band).
+    *
+    * The shingle pipeline is deliberately RECOMPUTED on the banding branch
+    * and each verify-join side rather than persisted: the shingle
+    * expansion is corpus-sized, so materializing it (cache/checkpoint)
+    * costs a corpus-scale write + executor storage at 100 TB, while the
+    * recompute is a cheap codegen'd map over data already being scanned.
+    * Callers that DO want one-scan behavior (small corpora, many reruns)
+    * can pass a pre-persisted `docs`.
     */
   def nearDuplicatePairs(
       docs: DataFrame,
@@ -241,15 +256,21 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val PosBits = 20
+    // First occurrence = min STRUCT (id, pos) — unbounded, unlike a packed
+    // id<<20+pos long, where a document past 2^20 lines (or id ≥ 2^43)
+    // would overflow into a FOREIGN document's ord space and corrupt
+    // first-occurrence resolution both ways (web corpora do contain
+    // million-line documents).
     val lines = docs
       .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .where(length(trim(col("line"))) > 0)
-      .withColumn("ord", shiftleft(col("id").cast("long"), PosBits) + col("pos"))
-    val firsts = lines.groupBy(col("line")).agg(min(col("ord")).as("first_ord"))
-      .withColumnRenamed("line", "first_line")
+    val firsts = lines.groupBy(col("line"))
+      .agg(min(struct(col("id"), col("pos"))).as("_first"))
+      .select(col("line").as("first_line"),
+        col("_first.id").as("first_id"), col("_first.pos").as("first_pos"))
     val kept = lines
-      .join(firsts, col("line") === col("first_line") && col("ord") === col("first_ord"))
+      .join(firsts, col("line") === col("first_line") &&
+        col("id") === col("first_id") && col("pos") === col("first_pos"))
       .select(col("id"), col("pos"), col("line"))
     kept
       .groupBy(col("id"))

@@ -606,6 +606,7 @@ object Multimodal {
     * [[sampleVideoFrames]].
     */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String, everyNBytes: Int = 4096): DataFrame = {
+    require(everyNBytes > 0, s"everyNBytes must be positive, got $everyNBytes")
     val outSchema = StructType(Seq(
       StructField("id", LongType),
       StructField("frame_index", IntegerType),
@@ -615,8 +616,11 @@ object Multimodal {
     in.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
+        // NULL payload = corrupt row = data (same contract as the codec
+        // paths): zero sampled offsets, never an NPE task failure
         val bytes = r.getAs[Array[Byte]](1)
-        StubCodec.sampleFrameOffsets(bytes, everyNBytes).zipWithIndex.map {
+        if (bytes == null) Iterator.empty
+        else StubCodec.sampleFrameOffsets(bytes, everyNBytes).zipWithIndex.iterator.map {
           case (off, i) => Row(id, i, off)
         }
       }

@@ -235,7 +235,12 @@ object Similarity {
       .limit(numLists)
       .select(col(vecCol).cast("array<double>"))
       .collect()
+      // UNIT centroids: IVF scoring is dot/‖v‖, which equals cosine only
+      // when the centroid side is normalized — raw corpus vectors as
+      // centroids would rank by raw dot product and let large-norm
+      // centroids absorb everything (skewed lists, broken cosine contract)
       .map(_.getSeq[Double](0).toArray)
+      .map(Similarity.unit)
 
   /** Distributed spherical k-means for IVF coarse centroids (the training
     * step the FAISS lineage runs offline). Per iteration ONE job: every
@@ -264,8 +269,7 @@ object Similarity {
       tol: Double = 0.0
   ): Array[Array[Double]] = {
     VecDot.ensureRegistered(corpus.sparkSession)
-    var centroids = sampleCentroids(corpus, numLists, idCol, vecCol)
-      .map(Similarity.unit)
+    var centroids = sampleCentroids(corpus, numLists, idCol, vecCol) // already unit
     val v = corpus.select(col(vecCol).cast("array<double>").as("v"))
     var it = 0
     var moved = Double.MaxValue

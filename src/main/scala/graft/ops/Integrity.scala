@@ -25,7 +25,11 @@ object Integrity {
     */
   def orderInvariantChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "checksum needs at least one column")
-    val h = md5(concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*))
+    // NULLs render as an explicit marker: concat_ws SKIPS null arguments,
+    // so without it ('x', NULL) and (NULL, 'x') digest identically and a
+    // column-shifted migration would pass the integrity check.
+    val h = md5(concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002NULL"))): _*))
     // The last 8 digest bytes read little-endian (= DuckDB's
     // md5_number_lower): reverse the hex pairs, parse base-16, fold mod 2^31.
     val revLe = concat((0 until 8).reverse.map(i => substring(h, 17 + i * 2, 2)): _*)

@@ -34,13 +34,18 @@ object JoinOps {
     // filter (aggregate the build side, broadcast the bits). Size is
     // bounded by numBits/8 (≤ 8 MiB at the 64M-bit cap), independent of
     // the build side's row count.
+    // Hash the build side AS THE PROBE SIDE'S TYPE: xxhash64 hashes an
+    // INT and a BIGINT of equal value differently, so without the cast a
+    // type-mismatched key pair silently drops true matches (a false
+    // negative — the one failure mode a bloom semi join must never have).
+    val keyType = large.schema(largeKey).dataType
     val bf = small.agg(
-      call_function("bloom_agg", xxhash64(col(smallKey)),
+      call_function("bloom_agg", xxhash64(col(smallKey).cast(keyType)),
         lit(expectedItems), lit(math.min(expectedItems * 8, 67108864L))).as("_bf"))
       .head().getAs[Array[Byte]](0)
     large
       .where(call_function("bloom_might_contain", lit(bf), xxhash64(col(largeKey))))
-      .join(small.select(col(smallKey).as(largeKey)).distinct(), Seq(largeKey), "left_semi")
+      .join(small.select(col(smallKey).cast(keyType).as(largeKey)).distinct(), Seq(largeKey), "left_semi")
   }
 
   /** Salted equi-join for skewed keys: the large side gets a DETERMINISTIC

@@ -14,10 +14,15 @@ object MergeKey {
   val ColumnName = "arcane_merge_key"
 
   /** Key expression: lowercased string form of the entity key column(s);
-    * multiple key columns are joined with '|'.
+    * multiple key columns are joined with '|'. NULL components render as
+    * an explicit marker — `concat_ws` SKIPS null arguments, so without it
+    * composite keys ('a', NULL) and (NULL, 'a') would collide on the
+    * merge key 'a' and the MERGE would silently collapse two distinct
+    * entities' changes into one.
     */
   def expression(keyCols: Seq[Column]): Column =
-    lower(concat_ws("|", keyCols.map(_.cast("string")): _*))
+    lower(concat_ws("|",
+      keyCols.map(c => coalesce(c.cast("string"), lit("\u0000null"))): _*))
 
   def apply(df: DataFrame, keyColumns: Seq[String] = Seq("Id")): DataFrame =
     df.withColumn(ColumnName, expression(keyColumns.map(df.col)))

@@ -246,6 +246,34 @@ class CoreOpsSpec extends SparkSpec {
     assert(out("c4").isEmpty)              // key 2 has no right rows
   }
 
+  test("bloomSemiJoin matches across key TYPES (int build side vs bigint probe side)") {
+    import graft.ops.JoinOps
+    // xxhash64(int 1) != xxhash64(long 1): without aligning the build
+    // side's type to the probe side's, every true match is a false negative
+    val large = spark.range(0, 100).selectExpr("id AS k")                  // bigint
+    val small = Seq(1, 2, 3).toDF("sk").selectExpr("CAST(sk AS INT) AS sk") // int
+    val out = JoinOps.bloomSemiJoin(large, small, "k", "sk")
+      .select("k").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 3L))
+  }
+
+  test("orderInvariantChecksum distinguishes NULL-shifted rows") {
+    import graft.ops.Integrity
+    val a = Seq(("x", null.asInstanceOf[String])).toDF("c1", "c2")
+    val b = Seq((null.asInstanceOf[String], "x")).toDF("c1", "c2")
+    val ca = Integrity.orderInvariantChecksum(a, Seq("c1", "c2")).head().getLong(1)
+    val cb = Integrity.orderInvariantChecksum(b, Seq("c1", "c2")).head().getLong(1)
+    assert(ca !== cb, "('x',NULL) and (NULL,'x') must not collide")
+  }
+
+  test("composite merge keys with NULL components do not collide") {
+    import graft.ops.MergeKey
+    val df = Seq(("a", null.asInstanceOf[String]), (null.asInstanceOf[String], "a"), (null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("k1", "k2")
+    val keys = MergeKey(df, Seq("k1", "k2")).select(MergeKey.ColumnName).as[String].collect()
+    assert(keys.distinct.length === 3, s"expected 3 distinct keys, got ${keys.toSeq}")
+  }
+
   test("bloomSemiJoin equals the exact semi join (no false negatives survive)") {
     import spark.implicits._
     val large = Seq.tabulate(1000)(i => (i.toLong, s"p$i")).toDF("k", "payload")

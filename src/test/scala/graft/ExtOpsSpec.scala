@@ -124,6 +124,49 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.map(_._2).sum === 12L)
   }
 
+  test("NULL-safety: exact dedup passes NULL texts through; prefixSum reads NULL values as 0") {
+    // every NULL-text row survives (placeholders are data, not duplicates
+    // of each other), while real duplicates still collapse
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]), (5L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L, 4L, 5L), s"got $out")
+    // prefixSum: NULL values contribute 0 and do not NULL the cumsum
+    val vals = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L))).toDF("doc_id", "v")
+    val ps = Datasets.prefixSum(vals, "v", "doc_id", "ps")
+      .select("doc_id", "ps").as[(Long, Long)].collect().toMap
+    assert(ps === Map(1L -> 0L, 2L -> 5L, 3L -> 5L))
+  }
+
+  test("mixCorpus fractional selection is independent of the split hash") {
+    // a 0.5 weight must keep rows from train AND valid AND test — with the
+    // unsalted split hash it kept exactly the bucket<500 rows, all 'train'
+    val docs = spark.range(0, 2000).selectExpr("id AS doc_id", "'s' AS source")
+    val mixed = Datasets.mixCorpus(docs, Map("s" -> 0.5), labelCol = "source")
+    val kept = Datasets.deterministicSplit(mixed).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.getOrElse("train", 0L) > 0 && kept.getOrElse("valid", 0L) > 0 &&
+      kept.getOrElse("test", 0L) > 0, s"mix must sample every split, got $kept")
+    // roughly half kept overall
+    val total = kept.values.sum
+    assert(total > 800 && total < 1200, s"~half expected, got $total")
+  }
+
+  test("dedupLines first-occurrence is exact past the old 2^20 line-packing bound") {
+    // doc 5 has >2^20 lines of 'dup'; doc 6 repeats 'dup' and adds its own.
+    // the old packed ord (id<<20 + pos) overflowed doc 5's high positions
+    // into doc 6's ord space, corrupting first-occurrence both ways
+    val n = (1 << 20) + 8
+    val doc5 = Array.fill(n)("dup").mkString("\n")
+    val docs = Seq((5L, doc5), (6L, "dup\nonly-in-six")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs).orderBy("id")
+      .select("id", "clean_text", "kept_lines").as[(Long, String, Long)].collect()
+    assert(out(0) === ((5L, "dup", 1L)), s"doc 5 keeps exactly its first 'dup': ${out(0)}")
+    assert(out(1) === ((6L, "only-in-six", 1L)), s"doc 6 keeps only its unique line: ${out(1)}")
+  }
+
   test("chunkDocuments: sliding windows with overlap, tail and empty-doc boundaries") {
     import graft.ext.TextAnalysis
     val docs = Seq(
