@@ -39,18 +39,38 @@ object Bench {
 
     warmUp(spark, sfDir)
     graft.queries.CdcFixtureGen.materialize(spark, sfDir)
-    // Full CDC pipeline once at the smallest SF: absorbs the streaming
-    // engine's one-time init (micro-batch execution, offset/commit logs,
-    // state machinery, write-committer codegen ≈ 10 s) that would otherwise
-    // land on the first timed q_cdc_pipeline_e2e pass.
-    try graft.queries.Queries.qCdcPipelineE2e(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    // Full CDC pipeline once at the smallest available SF: absorbs the
+    // streaming engine's one-time init (micro-batch execution, offset/
+    // commit logs, state machinery, write-committer codegen ≈ 10 s) that
+    // would otherwise land on the first timed q_cdc_pipeline_e2e pass.
+    // Derived from sfDir (sibling sf0.001, else sfDir itself) — a
+    // hardcoded path would silently skip the warm-up on other layouts and
+    // poison the first timed pass with init cost.
+    val warmSf = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getAbsolutePath else sfDir
+    }
+    try graft.queries.Queries.qCdcPipelineE2e(spark, warmSf).count()
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"BENCH WARM-UP SKIPPED (first e2e pass will absorb init): ${e.getMessage}")
+    }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A FAILED query must not report its time-to-failure as a benchmark
+    // number — a regression-to-throwing would otherwise read as a speedup.
+    // -1 is the explicit failure marker (min() keeps it, the JSON shows it,
+    // and the total visibly drops below zero contributions).
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"BENCH QUERY FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          -1.0
+      }
     }
     def onePass(): Seq[(String, Double)] = names.map { case (name, fn) => name -> time(fn) }
     val (p1, p2) = (onePass(), onePass())

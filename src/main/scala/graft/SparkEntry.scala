@@ -332,7 +332,7 @@ object SparkEntry {
     // Correctness runs at sf0.01, hence the pinned path segment.
     "q_export_symlink" ->
       s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, v, is_del
-        |FROM read_parquet('${graft.queries.Queries.ExportGateRoot}/sf0.01/export/data/*.parquet')
+        |FROM read_parquet('${graft.queries.Queries.ExportGateRoot}/current/export/data/*.parquet')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_merge_key_projection" ->

@@ -308,10 +308,15 @@ object Similarity {
     centroids
   }
 
-  private def unit(v: Array[Double]): Array[Double] = {
+  /** Unit-normalize (norm accumulated in array order — bit-identical to
+    * `x / sqrt(list_dot_product(v, v))` in an external engine). Zero
+    * vectors pass through unchanged.
+    */
+  def unitVector(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
     if (n == 0) v else v.map(_ / n)
   }
+  private def unit(v: Array[Double]): Array[Double] = unitVector(v)
 
   /** Top-`nprobe` centroid lists by cosine — the IVF multi-probe widening
     * (nprobe > 1 recovers recall lost at list boundaries at the cost of

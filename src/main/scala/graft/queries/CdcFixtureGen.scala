@@ -39,12 +39,39 @@ object CdcFixtureGen {
     * generations are byte-identical.
     */
   def materialize(spark: SparkSession, sfDir: String): String = {
-    val digest = java.lang.Integer.toHexString(sfDir.hashCode)
-    val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-cdc-export-$digest")
+    // Cache key: full sanitized path (a 32-bit hashCode can collide across
+    // SF dirs and serve one SF's export for another) + the source
+    // parquet's (length, mtime) so a REGENERATED events table invalidates
+    // the cached export instead of stale-serving the old table.
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val srcSig = s"${src.length}-${src.lastModified}"
+    val dirKey = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-cdc-export-$dirKey")
     val done = root.resolve("_complete")
-    if (Files.exists(done)) return root.toString
-    // no completion marker → a previous generation may have died mid-write;
-    // start from a clean slate so stale chunks can't duplicate rows
+    // Cross-process exclusion: Verify and a test session may materialize
+    // the same export concurrently; without the lock one JVM's clean-slate
+    // delete races the other's chunk writes and the e2e ingests a partial
+    // folder nondeterministically.
+    Files.createDirectories(root.getParent)
+    val lockCh = java.nio.channels.FileChannel.open(
+      root.getParent.resolve(s".graft-cdc-export-$dirKey.lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockCh.lock()
+    try {
+      materializeLocked(spark, sfDir, root, done, srcSig)
+    } finally {
+      lock.release(); lockCh.close()
+    }
+  }
+
+  private def materializeLocked(
+      spark: SparkSession, sfDir: String, root: Path, done: Path, srcSig: String): String = {
+    if (Files.exists(done) &&
+      new String(Files.readAllBytes(done), StandardCharsets.UTF_8) == srcSig)
+      return root.toString
+    // missing/mismatched marker → prior generation died mid-write or the
+    // source changed; start from a clean slate so stale chunks can't
+    // duplicate rows
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
 
     // nanosAsLong is session-build config (Main/Bench/Verify/test session)
@@ -80,7 +107,7 @@ object CdcFixtureGen {
     writeFolder(Folder2, second.map(r => csvLine(r.getLong(0), r.getLong(1), r.getString(2))))
     Files.write(root.resolve("model.json"), modelJson.getBytes(StandardCharsets.UTF_8))
     Files.createDirectories(root.resolve("Changelog"))
-    Files.write(done, Array.emptyByteArray)
+    Files.write(done, srcSig.getBytes(StandardCharsets.UTF_8))
     root.toString
   }
 

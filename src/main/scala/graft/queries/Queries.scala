@@ -435,8 +435,11 @@ object Queries {
     */
   def qExportSymlink(spark: SparkSession, dir: String): DataFrame = {
     import graft.tables.SnapshotTable
-    val sfName = new java.io.File(dir).getName
-    val root = s"${Queries.ExportGateRoot}/$sfName"
+    // FIXED path ("current", not per-SF): the oracle SQL is a static
+    // string, so a per-SF path would make any non-sf0.01 verify run
+    // compare against a missing — or a stale earlier SF's — export.
+    // Each run rebuilds from scratch, so "current" is always this run's.
+    val root = s"${Queries.ExportGateRoot}/current"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val tbl = SnapshotTable(spark, s"$root/table")
     val cust = t(spark, dir, "customer")
@@ -495,12 +498,20 @@ object Queries {
     * on this corpus (min pair Jaccard 0.8 → per-pair miss probability
     * (1−0.8⁴)¹⁶ ≈ 2·10⁻⁴, and the seeded hashes make it deterministic).
     */
+  /** The near-dup gates' shared corpus shape: the given documents plus a
+    * last-word-dropped copy of each at id+1e6 — planted near-duplicates
+    * whose exact Jaccard the oracles restate. ONE definition: the pair,
+    * group and clean-corpus gates must build the identical corpus or they
+    * silently desync from each other and their oracles.
+    */
+  private def withPerturbedCopies(docs: DataFrame): DataFrame =
+    docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text")))
+
   def qNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val perturbed = docs.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
-    Dedup.nearDuplicatePairs(docs.unionByName(perturbed), threshold = 0.5,
+    Dedup.nearDuplicatePairs(withPerturbedCopies(docs), threshold = 0.5,
       numHashes = 64, numBands = 16)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -516,10 +527,7 @@ object Queries {
     */
   def qDedupGroups(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val perturbed = docs.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
-    val pairs = Dedup.nearDuplicatePairs(docs.unionByName(perturbed), threshold = 0.5,
+    val pairs = Dedup.nearDuplicatePairs(withPerturbedCopies(docs), threshold = 0.5,
       numHashes = 64, numBands = 16)
     Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("comp").as("component"))
@@ -538,10 +546,7 @@ object Queries {
     val docs = t(spark, dir, "documents")
       .where(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"))
-    val perturbed = docs.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
-    val corpus = docs.unionByName(perturbed)
+    val corpus = withPerturbedCopies(docs)
     val pairs = Dedup.nearDuplicatePairs(corpus, threshold = 0.5,
       numHashes = 64, numBands = 16)
     val dropped = Dedup.connectedComponents(pairs)
@@ -720,12 +725,21 @@ object Queries {
     * argmax, nprobe=1 list join, cosine top-k) exactly. Recall floor vs
     * brute force asserted in AnnRecallSpec.
     */
+  /** The IVF gates' centroid set: the first 8 corpus vectors by id,
+    * UNIT-NORMALIZED in the same op order as the oracle's
+    * `x / sqrt(list_dot_product(v, v))` — dot/‖v‖ scoring is cosine only
+    * over unit centroids, and relying on the testdata happening to be
+    * ~unit-norm would make the gate flip on any near-tie or regenerated
+    * corpus.
+    */
+  private def ivfGateCentroids(emb: DataFrame): Array[Array[Double]] =
+    emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(r => Similarity.unitVector(r.getSeq[Double](0).toArray))
+
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val centroids = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
-      .select(col("embedding").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, k = 10, centroids)
+    Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, k = 10, ivfGateCentroids(emb))
       .select(col("query_id"), col("neighbor_id"))
       .orderBy(col("query_id"), col("neighbor_id"))
   }
@@ -738,10 +752,7 @@ object Queries {
     */
   def qAnnIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val centroids = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
-      .select(col("embedding").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, k = 10, centroids, nprobe = 2)
+    Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, k = 10, ivfGateCentroids(emb), nprobe = 2)
       .select(col("query_id"), col("neighbor_id"))
       .orderBy(col("query_id"), col("neighbor_id"))
   }
