@@ -27,7 +27,15 @@ import java.nio.file.Files
 class MergeModelSpec extends SparkSpec {
 
   test("randomized change batches: table state equals the reference model after every merge") {
-    val rnd = new scala.util.Random(20260812L)
+    runModel(format = None, batches = 60, seed = 20260812L)
+  }
+
+  test("merge semantics are format-independent: the same model holds on an ORC table") {
+    runModel(format = Some("orc"), batches = 25, seed = 20260813L)
+  }
+
+  private def runModel(format: Option[String], batches: Int, seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
     val dir = Files.createTempDirectory("graft-merge-model").toFile.getAbsolutePath
     val table = new SnapshotTable(spark, s"$dir/t")
 
@@ -43,10 +51,11 @@ class MergeModelSpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("versionnumber", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("IsDelete", org.apache.spark.sql.types.BooleanType),
         org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType))))
-    table.createOrReplace(MergeKey(schemaDf), MergeKey.ColumnName, numBuckets = 4)
+    table.createOrReplace(MergeKey(schemaDf), MergeKey.ColumnName, numBuckets = 4,
+      extraProps = format.map(f => Map(SnapshotTable.PropFormat -> f)).getOrElse(Map.empty))
 
     var globalVersion = 0L
-    (1 to 60).foreach { batchNo =>
+    (1 to batches).foreach { batchNo =>
       // a batch: 1-8 change rows; ~25% tombstones; versions drawn from a
       // window around the current max so stale, replayed AND fresh
       // versions all appear; within-batch per-id versions kept unique so
