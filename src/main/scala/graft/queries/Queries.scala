@@ -582,6 +582,33 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** DEPTH-STRESS gate for connected components: a planted 10 000-node
+    * PATH graph (node i adjacent only to node i+1 along the path) — the
+    * opposite pathology of the hot-bucket cliques, whose gates all
+    * converge in 2-3 rounds. A path of diameter 9 999 converges only if
+    * the pointer-jumping (path halving) step actually doubles label reach
+    * per round: plain neighbor propagation would need ~10 000 rounds and
+    * hit `maxIters` = 20, returning WRONG labels for most of the chain.
+    * The path is laid out so the minimum node id (0) sits at the MIDDLE
+    * of the chain — the label must propagate ~5 000 hops in BOTH
+    * directions, catching any directional bias in the propagation. The
+    * DuckDB oracle states the planted truth (one component, canon 0);
+    * matching is only possible when the loop fully converges within its
+    * round budget. Round count itself is asserted < 20 in DedupSpec via
+    * [[Dedup.connectedComponentsDetailed]].
+    */
+  def qCcLongChain(spark: SparkSession, dir: String): DataFrame = {
+    val n = 10000L
+    // Path positions 0..n-2 link node ((p+5000) % n) to ((p+5001) % n):
+    // node ids are 0..9999, consecutive along the chain except the wrap
+    // point, which places id 0 at path position 5000.
+    val pairs = spark.range(0, n - 1)
+      .select(((col("id") + 5000L) % n).as("id_a"), ((col("id") + 5001L) % n).as("id_b"))
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SCALE-STRESS gate for the embedding sign-bucket skew guard: one
     * vector is planted at 15 000 identical copies, so its sign bucket
     * holds >75 % of the corpus and blows the 10 000 cap. The guard must
@@ -1462,6 +1489,7 @@ object Queries {
     "q_minhash_lsh" -> (qMinHashLsh _),
     "q_near_dup_pairs" -> (qNearDupPairs _),
     "q_dedup_groups" -> (qDedupGroups _),
+    "q_cc_long_chain" -> (qCcLongChain _),
     "q_hot_bucket_groups" -> (qHotBucketGroups _),
     "q_hot_bucket_embedding" -> (qHotBucketEmbedding _),
     "q_audio_features" -> (qAudioFeatures _),

@@ -286,6 +286,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
   }
 
+  test("connectedComponents: 10k-node path converges in O(log diameter) rounds") {
+    // Path of diameter 9 999 with the min id planted at the chain's
+    // MIDDLE: plain neighbor propagation needs ~5 000 rounds per
+    // direction; pointer jumping must close it within log2(10 000) ≈ 14
+    // (+1 confirmation round), well under the maxIters = 20 budget.
+    val n = 10000L
+    val pairs = spark.range(0, n - 1)
+      .select(((col("id") + 5000L) % n).as("id_a"), ((col("id") + 5001L) % n).as("id_b"))
+    val res = Dedup.connectedComponentsDetailed(pairs)
+    assert(res.rounds < 20, s"path-halving depth regression: ${res.rounds} rounds")
+    val labels = res.labels.as[(Long, Long)].collect()
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L), "all path nodes must resolve to component 0")
+  }
+
   test("simhash of near-identical texts has small hamming distance") {
     val df = Seq(
       (1L, "spark is a distributed engine for large scale data processing workloads"),
