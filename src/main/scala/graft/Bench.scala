@@ -73,18 +73,38 @@ object Bench {
       }
     }
     def onePass(): Seq[(String, Double)] = names.map { case (name, fn) => name -> time(fn) }
+    // Pass 0 is DISCARDED entirely: per-query-SHAPE init (codegen
+    // specializations, image/audio codec registries, streaming exec
+    // machinery, state-store setup) fires only on a query's first run, so
+    // a best-of-N that INCLUDES the first run still carries that init —
+    // measured as a +10.5% phantom total drift and 9.5x per-query spread
+    // on byte-identical code when only the generic warm-up above ran. The
+    // counted passes below run fully warm.
+    onePass()
     val (p1, p2) = (onePass(), onePass())
-    // Queries above 2 s get a THIRD run: best-of-2 failed to stabilize the
-    // heaviest query across rounds (1.5x swing on identical code), and only
-    // heavy queries are worth the extra pass. The per-query spread
-    // (max/min across runs) is reported so a regression is distinguishable
-    // from machine noise without re-running the bench.
+    // Queries above 2 s get a THIRD counted run: even warm, a single noisy
+    // window (GC pause, concurrent load) can poison both passes of a heavy
+    // query, and only heavy queries are worth the extra pass. The per-query
+    // spread (max/min across runs) is reported so a real regression is
+    // distinguishable from machine noise without re-running the bench.
     val runs0: Map[String, Seq[Double]] =
       p1.zip(p2).map { case ((n, a), (_, b)) => n -> Seq(a, b) }.toMap
     val runs = names.map { case (n, fn) =>
       val r = runs0(n)
       n -> (if (r.min > 2.0) r :+ time(fn) else r)
     }
+    val best = runs.map { case (n, r) => n -> r.min }.toMap
+
+    // The reference's only published performance envelope is its advised
+    // intake rate (rows/s); report the directly comparable A4 CSV→cast
+    // number instead of leaving it to be derived from the e2e time.
+    val (cdcRows, cdcSec) = cdcIngest(spark, sfDir)
+    // Empirical 10x scale point for the dedup/CC/ANN path: same queries,
+    // a 10x-row derivative corpus, time ratio vs the sf best time.
+    val scale = scale10xSection(spark, sfDir, best)
+    val extra =
+      s""""cdc_rows_per_sec":${r3(if (cdcSec > 0) cdcRows / cdcSec else -1.0)},"cdc_rows":$cdcRows,$scale"""
+
     // FULL per-query detail (timings + per-query spread + raw runs) goes to
     // a file; stdout carries ONE compact JSON line. The harness that
     // captures this process keeps only the tail of its output, so the line
@@ -93,17 +113,19 @@ object Bench {
     // map stopped fitting rounds ago and the head was silently cut off.
     val detailPath = "bench_detail.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (detailJson(runs, sfDir) + "\n").getBytes("UTF-8"))
-    println(compactLine(runs, sfDir, detailPath))
+      (detailJson(runs, sfDir, extra) + "\n").getBytes("UTF-8"))
+    println(compactLine(runs, sfDir, detailPath, extra = extra))
     spark.stop()
   }
 
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 
   /** Full bench detail as one JSON document: best-of-runs per query, the
-    * max/min spread per query, and the raw run times.
+    * max/min spread per query, and the raw run times. `extra` is a
+    * pre-rendered JSON fragment (`"k":v,...`) appended to the document —
+    * the ingest-rate and 10x-scale sections.
     */
-  def detailJson(runs: Seq[(String, Seq[Double])], sfDir: String): String = {
+  def detailJson(runs: Seq[(String, Seq[Double])], sfDir: String, extra: String = ""): String = {
     val results = runs.map { case (n, r) => n -> r.min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val spread = runs.map { case (k, r) =>
@@ -112,7 +134,8 @@ object Bench {
     val raw = runs.map { case (k, r) =>
       "\"" + k + "\":[" + r.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${r3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$raw,"sf":"$sfDir"}"""
+    val tail = if (extra.isEmpty) "" else "," + extra
+    s"""{"metric":"total","value":${r3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$raw$tail,"sf":"$sfDir"}"""
   }
 
   /** The single stdout line: heaviest queries individually until a
@@ -124,7 +147,8 @@ object Bench {
       runs: Seq[(String, Seq[Double])],
       sfDir: String,
       detailPath: String,
-      budget: Int = 1500
+      budget: Int = 1500,
+      extra: String = ""
   ): String = {
     val results = runs.map { case (n, r) => n -> r.min }
     val total = results.map(_._2).sum
@@ -133,9 +157,12 @@ object Bench {
     val sb = new StringBuilder(header)
     var kept = 0
     var full = false
+    // the extra fragment shares the line's budget so the total stdout line
+    // stays inside the tail-capture window regardless of section sizes
+    val entryBudget = budget - extra.length
     byCost.foreach { case (k, v) =>
       val entry = (if (kept > 0) "," else "") + "\"" + k + "\":" + r3(v)
-      if (!full && sb.length + entry.length < budget) { sb.append(entry); kept += 1 }
+      if (!full && sb.length + entry.length < entryBudget) { sb.append(entry); kept += 1 }
       else full = true
     }
     val rest = byCost.drop(kept)
@@ -144,8 +171,137 @@ object Bench {
       else runs.map { case (_, r) => if (r.min > 0) r.max / r.min else 1.0 }.max
     sb.append("}")
     sb.append(s""","fast_n":${rest.size},"fast_total":${r3(rest.map(_._2).sum)}""")
+    if (extra.nonEmpty) sb.append("," + extra)
     sb.append(s""","max_spread":${r3(maxSpread)}}""")
     sb.toString
+  }
+
+  /** A4 ingest-throughput leg: the CSV scan + type cast path alone over
+    * the CDC export fixture, best-of-2, returned as (rows, seconds). The
+    * aggregate hashes every TYPED column so column pruning cannot skip the
+    * casts (a bare count() parses the CSV but drops the cast projection).
+    * Comparable to the reference's advised intake rate — its only
+    * published throughput envelope
+    * (`/root/reference/src/test/scala/integration/StreamRunner.scala:132`).
+    */
+  private def cdcIngest(spark: SparkSession, sfDir: String): (Long, Double) = {
+    import graft.queries.CdcFixtureGen
+    try {
+      val root = CdcFixtureGen.materialize(spark, sfDir)
+      CdcFixtureGen.stampChangelog(root, CdcFixtureGen.Folder2)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", root, "entity", CdcFixtureGen.EntityName))
+      val layout = graft.sources.SynapseCdmLayout(opts, conf)
+      val typedSchema = layout.entitySchema(conf, layout.changelogValue(conf))
+      val raw = spark.read.format("synapse-cdm")
+        .option("path", root).option("entity", CdcFixtureGen.EntityName).load()
+      val typed = graft.cdm.CsvCast(typedSchema, raw.drop("_folder", "_chunk_idx", "_chunk_last"))
+      def run(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        // decimal sum: a long sum of 2^63-range hashes overflows under ANSI
+        val row = typed.agg(count(lit(1)),
+          sum(xxhash64(struct(typed.columns.map(col).toIndexedSeq: _*)).cast("decimal(38,0)"))).head()
+        (row.getLong(0), (System.nanoTime() - t0) / 1e9)
+      }
+      val (n, t1) = run()
+      val (_, t2) = run()
+      (n, math.min(t1, t2))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"BENCH CDC-INGEST LEG FAILED: ${e.getMessage}")
+        (0L, -1.0)
+    }
+  }
+
+  /** The dedup/CC/ANN queries measured at 10x rows — the empirical scale
+    * point behind the 100 TB design claims (band joins, skew guards and
+    * the CC loop should scale near-linearly in rows; a superlinear ratio
+    * here means hidden quadratic growth that plan-shape review missed).
+    */
+  private val Scale10xQueries =
+    Seq("q_dedup_clean_corpus", "q_hot_bucket_groups", "q_near_dup_pairs", "q_ann_ivf")
+
+  /** Build (once; cached by source signature) a 10x derivative of sfDir's
+    * documents/embeddings tables: ten id-shifted blocks. Block texts get a
+    * per-block per-token suffix and embeddings a per-block epsilon so
+    * blocks are NOT near-duplicates of each other — ten verbatim copies
+    * would grow the near-dup PAIR count quadratically and measure a
+    * different (pathological) workload, not a 10x corpus.
+    */
+  private def materialize10x(spark: SparkSession, sfDir: String): String = {
+    val docsSrc = new java.io.File(s"$sfDir/documents.parquet")
+    val embSrc = new java.io.File(s"$sfDir/embeddings.parquet")
+    val sig = s"${docsSrc.length}-${docsSrc.lastModified}-${embSrc.length}-${embSrc.lastModified}"
+    val dirKey = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-10x-$dirKey")
+    val marker = new java.io.File(root, s"_complete-$sig")
+    if (!marker.isFile) {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      // Block shift 1e8 clears every planted-copy offset the gate queries
+      // add on top (+1e6/+2e6/+3e6 over base ids < ~1e5): shifted blocks,
+      // their planted copies, and base ids can never collide.
+      val shift = 100000000L
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until 10).map { k =>
+        docs.select(
+          (col("doc_id") + k * shift).as("doc_id"),
+          (if (k == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", "$1x" + k)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$root/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until 10).map { k =>
+        emb.select(
+          (col("vec_id") + k * shift).as("vec_id"),
+          (if (k == 0) col("embedding")
+           else transform(col("embedding"), x => x + lit((k * 0.003).toFloat))).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+      marker.createNewFile()
+    }
+    root.getAbsolutePath
+  }
+
+  /** Render the 10x scale section: per-query seconds at 10x rows plus the
+    * ratio vs that query's best time at the base SF (near-linear operators
+    * should land around 10, comfortably under the ~12 gate; -1 marks a
+    * failed run). One timed pass per query — the code paths are fully warm
+    * after the counted passes, the parquet is primed by a count, and the
+    * ratio bound has the headroom single-shot noise needs.
+    */
+  private def scale10xSection(
+      spark: SparkSession, sfDir: String, base: Map[String, Double]): String = {
+    try {
+      val dir10 = materialize10x(spark, sfDir)
+      spark.read.parquet(s"$dir10/documents.parquet").count()
+      spark.read.parquet(s"$dir10/embeddings.parquet").count()
+      val timed = Scale10xQueries.map { name =>
+        val t0 = System.nanoTime()
+        val t =
+          try { SparkEntry.queries(name)(spark, dir10).count(); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"BENCH 10x QUERY FAILED ($name): ${e.getMessage}")
+              -1.0
+          }
+        (name, t)
+      }
+      val qs = timed.map { case (n, t) => "\"" + n + "\":" + r3(t) }.mkString("{", ",", "}")
+      val ratios = timed.map { case (n, t) =>
+        val r = base.get(n).filter(_ > 0).map(b => if (t > 0) r3(t / b) else -1.0).getOrElse(-1.0)
+        "\"" + n + "\":" + r
+      }.mkString("{", ",", "}")
+      s""""sf1":{"rows_factor":10,"queries":$qs,"ratio_vs_base":$ratios}"""
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"BENCH 10x SECTION FAILED: ${e.getMessage}")
+        s""""sf1":{"rows_factor":10,"queries":{},"ratio_vs_base":{}}"""
+    }
   }
 
   /** Exercise scan + agg + broadcast join + window + vec_dot + sketch

@@ -242,6 +242,115 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
       .map(Similarity.unit)
 
+  /** D²-weighted distributed seeding for IVF coarse centroids — the
+    * k-means|| formulation of k-means++ (Bahmani et al. VLDB'12): instead
+    * of one distributed pass PER centroid (classic k-means++, k passes —
+    * unusable at the 10^4-10^5 lists a 100 TB index needs), run `rounds`
+    * passes that each sample ~2·numLists candidates with probability
+    * ∝ d²(v, pool) (spherical distance 1 − max-cosine), then reduce the
+    * ≤ 1 + 2·numLists·rounds candidate pool to `numLists` seeds with a
+    * driver-side WEIGHTED k-means++ (weights = corpus vectors assigned to
+    * each candidate). Better-spread seeds than uniform sampling → tighter
+    * IVF lists at the same training budget (AnnRecallSpec pins the
+    * objective ordering).
+    *
+    * Scale shape: each round is two jobs — an aggregation for Σd² and a
+    * Bernoulli-sample collect whose expected size is 2·numLists (hash
+    * -seeded, deterministic across runs and partitionings; collected rows
+    * are id-sorted so the driver reduction is order-stable). Driver state
+    * is bounded by the candidate pool, never corpus size. The max-cosine
+    * kernel is the same broadcast codegen expression semantic
+    * decontamination uses ([[graft.sql.VecMaxSimBcast]]) — map-only, no
+    * shuffle.
+    */
+  def seedCentroids(
+      corpus: DataFrame,
+      numLists: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      rounds: Int = 4,
+      seed: Long = 42L
+  ): Array[Array[Double]] = {
+    VecDot.ensureRegistered(corpus.sparkSession)
+    if (numLists <= 1) return sampleCentroids(corpus, numLists, idCol, vecCol)
+    val sc = corpus.sparkSession.sparkContext
+    val v = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+    val dim = v.select(size(col("v"))).head().getInt(0)
+    val oversample = 2 * numLists
+    var pool = sampleCentroids(corpus, 1, idCol, vecCol) // unit; k-means|| step 1
+    for (r <- 1 to rounds) {
+      val bc = sc.broadcast((pool.flatten, pool.map(_ => 1.0))) // unit → norms all 1
+      // d² of a vector to the pool; NULL max-sim (zero-norm vector) reads
+      // as distance 1 — directionless rows stay sampleable, not poisonous
+      val d2 = greatest(lit(0.0), lit(1.0) - coalesce(vecMaxSim(col("v"), bc, dim), lit(0.0)))
+      val total = v.agg(sum(d2)).head() match {
+        case row if row.isNullAt(0) => 0.0
+        case row => row.getDouble(0)
+      }
+      if (total > 0) {
+        // deterministic Bernoulli draw: hash of (id, round) → uniform [0,1)
+        val u = pmod(xxhash64(col("id"), lit(seed + r)), lit(1L << 40)).cast("double") /
+          lit((1L << 40).toDouble)
+        val sampled = v
+          .where(u < least(lit(1.0), lit(oversample.toDouble) * d2 / lit(total)))
+          .orderBy(col("id"))
+          .select(col("v"))
+          .collect()
+          .map(row => Similarity.unit(row.getSeq[Double](0).toArray))
+        pool = pool ++ sampled
+      }
+      bc.unpersist(false)
+    }
+    // candidate weights: corpus vectors whose nearest pool member is i
+    val bcAll = broadcastCentroids(pool)
+    val weights = new Array[Long](pool.length)
+    v.select(ivfAssign(col("v"), bcAll, dim, pool.length).as("c"))
+      .groupBy(col("c")).count().collect()
+      .foreach(row => weights(row.getInt(0)) = row.getLong(1))
+    bcAll.unpersist(false)
+    reduceWeightedKpp(pool, weights, numLists, seed)
+  }
+
+  /** Driver-side weighted k-means++ over a small candidate pool: first
+    * pick = heaviest candidate, then D²·weight-proportional draws from a
+    * fixed-seed PRNG. O(k · |pool| · dim) — pool is O(numLists · rounds).
+    */
+  private def reduceWeightedKpp(
+      pool: Array[Array[Double]], weights: Array[Long], k: Int, seed: Long
+  ): Array[Array[Double]] = {
+    if (pool.length <= k) return pool
+    val rnd = new scala.util.Random(seed)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(pool(weights.indices.maxBy(weights)))
+    val d2 = Array.fill(pool.length)(Double.MaxValue)
+    while (chosen.size < k) {
+      val last = chosen.last
+      var i = 0
+      while (i < pool.length) {
+        d2(i) = math.min(d2(i), math.max(0.0, 1.0 - cos(pool(i), last)))
+        i += 1
+      }
+      val total = d2.indices.map(j => d2(j) * weights(j)).sum
+      if (total <= 0) {
+        // pool exhausted (all candidates coincide with picks): repeat the
+        // heaviest pick — duplicate centroids only yield empty lists
+        chosen += chosen.head
+      } else {
+        var r = rnd.nextDouble() * total
+        var j = 0
+        while (j < pool.length - 1 && r >= d2(j) * weights(j)) { r -= d2(j) * weights(j); j += 1 }
+        chosen += pool(j)
+      }
+    }
+    chosen.toArray
+  }
+
   /** Distributed spherical k-means for IVF coarse centroids (the training
     * step the FAISS lineage runs offline). Per iteration ONE job: every
     * vector is assigned to its max-cosine centroid (map-only columnar
@@ -269,7 +378,7 @@ object Similarity {
       tol: Double = 0.0
   ): Array[Array[Double]] = {
     VecDot.ensureRegistered(corpus.sparkSession)
-    var centroids = sampleCentroids(corpus, numLists, idCol, vecCol) // already unit
+    var centroids = seedCentroids(corpus, numLists, idCol, vecCol) // D² seeds, already unit
     val v = corpus.select(col(vecCol).cast("array<double>").as("v"))
     var it = 0
     var moved = Double.MaxValue

@@ -68,6 +68,69 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming NEAR-duplicate dedup via MinHash banding — the streaming
+    * counterpart of [[graft.ext.Dedup.nearDuplicatePairs]]'s candidate
+    * logic for continuous corpus ingestion: a document is suppressed when
+    * ANY of its LSH band keys was already seen inside the watermark
+    * horizon (same banding contract as batch: near-dups share a band with
+    * probability 1-(1-J^r)^b), so a paraphrased late duplicate is dropped,
+    * not just a byte-identical one.
+    *
+    * Two chained stateful stages, both watermark-bounded:
+    *   1. explode each doc into its `numBands` band keys and
+    *      `dropDuplicatesWithinWatermark` on the band key — first
+    *      occurrence of a band wins; a near-dup's shared bands are
+    *      swallowed here. State = band keys newer than the delay.
+    *   2. re-aggregate band survivors per (doc, event-time window): a doc
+    *      is emitted iff ALL its band rows survived stage 1 — i.e. no
+    *      band collided with an earlier doc. Emission happens when the
+    *      watermark closes the doc's window (latency = watermark delay,
+    *      the price of an exact all-bands decision in append mode).
+    *
+    * NULL/empty text never near-dups anything: such rows get one unique
+    * synthetic band (same contract as [[dedupStream]] /
+    * [[graft.ext.Dedup.exact]]) and pass through. Near-dups arriving in
+    * the SAME micro-batch: one of the two is suppressed (stage 1 keeps
+    * one row per band; intra-batch order is not defined).
+    *
+    * At 100 TB/day both state stores are bounded: stage 1 holds
+    * numBands keys per doc inside the horizon, stage 2 one count per
+    * in-flight doc window; both shuffle on high-cardinality keys.
+    */
+  def nearDedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 32
+  ): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val cols = docs.columns.toSeq
+    val sig = call_function("minhash_sig",
+      graft.ext.Dedup.wordShingles(col(textCol), shingleSize), lit(numHashes), lit(42L))
+    val banded = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("_bands",
+        when(coalesce(length(trim(col(textCol))), lit(0)) === 0,
+          array(struct(lit(-1).as("band"), xxhash64(expr("uuid()")).as("key"))))
+          .otherwise(graft.ext.Dedup.lshBandKeys(sig, numHashes, numBands)))
+      .withColumn("_expected", size(col("_bands")))
+      .withColumn("_b", explode(col("_bands")))
+      .drop("_bands")
+    val carried = cols.filterNot(_ == idCol)
+    val aggs = Seq(count(lit(1)).as("_survived"), first(col("_expected")).as("_exp")) ++
+      carried.map(c => first(col(c)).as(c))
+    banded
+      .dropDuplicatesWithinWatermark("_b")
+      .groupBy(window(col(tsCol), "1 second"), col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("_survived") === col("_exp"))
+      .select(cols.map(col): _*)
+  }
+
   /** Conversion-funnel pairs via an interval self-join: every `fromType`
     * event joined to the same user's `toType` events that land strictly
     * after it and within `maxSpan`. Works identically on batch frames

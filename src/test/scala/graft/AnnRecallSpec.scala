@@ -30,6 +30,28 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.20, s"IVF recall@10 $recall below floor")
   }
 
+  test("IVF over D²-seeded trained centroids raises recall vs a uniform seed at the same nprobe") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def recall(cs: Array[Array[Double]]): Double = {
+      val approx = pairs(Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, k = 10, cs))
+      exact.count(approx.contains).toDouble / exact.size
+    }
+    // same nprobe=1, same numLists: the only variable is centroid quality.
+    // Measured on this corpus: uniform sample 0.230 -> D² seed 0.258 ->
+    // trained-from-D² 0.266 (deterministic pipeline; floor has slack only
+    // for corpus regeneration). The fixed q_ann_ivf gate centroids score
+    // "higher" (0.328) by DEGENERACY — raw unbalanced vectors give one
+    // dominant list, so probing it rescans most of the corpus; balanced
+    // trained lists buy the same recall while scanning ~1/numLists.
+    val rUniform = recall(Similarity.sampleCentroids(emb, numLists = 8))
+    val rTrained = recall(Similarity.trainCentroids(emb, numLists = 8, iters = 3))
+    info(s"IVF recall@10 at nprobe=1: uniform seed $rUniform, D²-trained $rTrained")
+    assert(rTrained >= 0.25, s"trained-IVF recall@10 $rTrained below floor")
+    assert(rTrained > rUniform, s"D²-seeded training should beat a raw uniform seed ($rUniform -> $rTrained)")
+  }
+
   test("broadcast centroid path is bit-identical to the literal function and keeps the matrix out of the plan") {
     import graft.ext.Similarity
     import org.apache.spark.sql.functions._
@@ -68,25 +90,39 @@ class AnnRecallSpec extends SparkSpec {
     assert(r4 > r1, s"on this corpus widening probes should strictly help (r1=$r1 r4=$r4)")
   }
 
+  private def quantizerObjective(cs: Array[Array[Double]]): Double = {
+    import org.apache.spark.sql.functions._
+    // mean over the corpus of max-cosine to any centroid — the spherical
+    // k-means objective the training loop ascends
+    graft.sql.GraftExtensions.ensureRegistered(spark)
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val best = greatest(cs.map(c =>
+      call_function("vec_dot", col("embedding"), lit(c)) /
+        (sqrt(call_function("vec_dot", col("embedding"), col("embedding"))) *
+          math.sqrt(c.map(x => x * x).sum))): _*)
+    emb.select(avg(best)).head().getDouble(0)
+  }
+
   test("spherical k-means training improves (never degrades) the quantizer objective") {
     import graft.ext.Similarity
-    import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
-    def objective(cs: Array[Array[Double]]): Double = {
-      // mean over the corpus of max-cosine to any centroid — the spherical
-      // k-means objective the training loop ascends
-      val best = greatest(cs.map(c =>
-        call_function("vec_dot", col("embedding"), lit(c)) /
-          (sqrt(call_function("vec_dot", col("embedding"), col("embedding"))) *
-            math.sqrt(c.map(x => x * x).sum))): _*)
-      emb.select(avg(best)).head().getDouble(0)
-    }
-    graft.sql.GraftExtensions.ensureRegistered(spark)
     val seeded = Similarity.sampleCentroids(emb, numLists = 8)
     val trained = Similarity.trainCentroids(emb, numLists = 8, iters = 3)
-    val (o0, o1) = (objective(seeded), objective(trained))
+    val (o0, o1) = (quantizerObjective(seeded), quantizerObjective(trained))
+    info(s"objective: sampled seed $o0 -> trained $o1")
     assert(o1 >= o0 - 1e-9, s"training must not degrade the objective ($o0 -> $o1)")
     assert(o1 > o0 + 1e-4, s"three Lloyd iterations should measurably improve a sampled seed ($o0 -> $o1)")
+  }
+
+  test("D² (k-means||) seeding beats uniform sampling on the quantizer objective") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val uniform = Similarity.sampleCentroids(emb, numLists = 8)
+    val dsq = Similarity.seedCentroids(emb, numLists = 8)
+    assert(dsq.length == 8, s"seeding must return numLists seeds, got ${dsq.length}")
+    val (oU, oD) = (quantizerObjective(uniform), quantizerObjective(dsq))
+    info(s"objective: uniform seed $oU, D² seed $oD")
+    assert(oD > oU, s"D²-weighted seeds should spread better than a uniform sample ($oU -> $oD)")
   }
 
   test("semantic decontamination flags exactly the planted leak; empty eval set flags nothing") {

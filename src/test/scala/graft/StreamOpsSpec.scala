@@ -36,6 +36,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup suppresses paraphrases inside the watermark, readmits outside") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val base = "the quick brown fox jumps over the lazy dog every single morning before sunrise"
+    val paraphrase = base.stripSuffix(" sunrise") // last word dropped — near-dup, not exact
+    val out = StreamOps.nearDedupStream(docs, "ts", watermarkDelay = "10 minutes")
+
+    val q = out.writeStream.format("memory").queryName("neardedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, base),
+        (ts("2024-01-01 10:00:00"), 2L, "a completely unrelated piece of text about databases and storage"))
+      q.processAllAvailable()
+      // paraphrased LATE duplicate inside the watermark horizon → its bands
+      // collide with doc 1's still-live band state → suppressed
+      input.addData(
+        (ts("2024-01-01 10:03:00"), 3L, paraphrase),
+        (ts("2024-01-01 10:03:00"), 4L, "another fresh document discussing entirely different matters altogether"))
+      q.processAllAvailable()
+      // advance the watermark to 10:20: finalizes the windows above AND
+      // evicts doc 1's band state (older than ts+delay)
+      input.addData((ts("2024-01-01 10:30:00"), 5L, "watermark advancing filler document one"))
+      q.processAllAvailable()
+      val afterEvict = spark.table("neardedup").select("doc_id").as[Long].collect().toSet
+      assert(afterEvict == Set(1L, 2L, 4L), s"inside-watermark paraphrase must be suppressed: $afterEvict")
+      // the same paraphrase OUTSIDE the watermark (band state evicted) is
+      // readmitted — near-dup suppression is horizon-scoped, not global
+      input.addData((ts("2024-01-01 10:25:00"), 6L, paraphrase))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:00:00"), 7L, "watermark advancing filler document two"))
+      q.processAllAvailable()
+      val finals = spark.table("neardedup").select("doc_id").as[Long].collect().toSet
+      assert(finals.contains(6L), s"outside-watermark paraphrase must survive: $finals")
+      assert(!finals.contains(3L), s"suppressed doc must stay suppressed: $finals")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches a stream with a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long)]
