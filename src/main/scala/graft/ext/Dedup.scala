@@ -413,14 +413,18 @@ object Dedup {
       // (cand[cand]): hooked roots relabel their whole subtree this round
       // instead of next. Measured on 10k paths (ascending / middle-min /
       // random-permuted ids): 8-11 rounds vs 15-19 without, vs
-      // non-convergence at O(diameter) without hooking. cand is re-derived
-      // on the self-join's build side — two cheap label-sized joins beat a
-      // third checkpoint materialization per round.
+      // non-convergence at O(diameter) without hooking. The LAZY
+      // localCheckpoint makes the round's single action compute cand once
+      // and persist it for both sides of the jump self-join — without it
+      // the full candidate plan (4 joins + 2 aggs) executes twice per
+      // round, which measurably slowed the clique-graph dedup gates.
+      val candCk = cand.localCheckpoint(false)
       val (next, sum) = checkpointWithSum(
-        cand
-          .join(cand.select(col("id").as("comp"), col("comp").as("jcomp")), Seq("comp"), "left")
+        candCk
+          .join(candCk.select(col("id").as("comp"), col("comp").as("jcomp")), Seq("comp"), "left")
           .select(col("id"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp")))
       releaseCheckpoint(labels)
+      releaseCheckpoint(candCk)
       labels = next
       converged = sum == prevSum
       prevSum = sum

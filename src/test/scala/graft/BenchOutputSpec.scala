@@ -69,4 +69,16 @@ class BenchOutputSpec extends AnyFunSuite {
     val zero = Seq("q_zero" -> Seq(0.0, 0.0))
     assert(Bench.compactLine(zero, "sf", "d.json").contains(""""max_spread":1.0"""))
   }
+
+  test("extra sections ride both outputs and share the compact line's budget") {
+    val extra = """"cdc_rows_per_sec":12345.6,"sf1":{"rows_factor":10,"queries":{"q_a":1.5}}"""
+    val line = Bench.compactLine(fakeRuns(200), "sf", "d.json", extra = extra)
+    assert(line.contains(extra))
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    // the extra fragment must displace per-query entries, not grow the line
+    assert(line.length < 1700, s"line length ${line.length}")
+    val detail = Bench.detailJson(fakeRuns(5), "sf", extra)
+    assert(detail.contains(extra))
+    assert(detail.count(_ == '{') === detail.count(_ == '}'))
+  }
 }

@@ -286,6 +286,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
   }
 
+  test("connectedComponents matches a union-find oracle on randomized graphs") {
+    // Mixed random topologies (sparse G(n,m) + planted chains + cliques +
+    // isolated pairs) against an independent driver-side union-find — the
+    // hook/jump loop has layout-sensitive failure modes (a label crawling
+    // against the pointer gradient) that hand-picked shapes can miss.
+    val rnd = new scala.util.Random(20250813L)
+    for (trial <- 1 to 5) {
+      val n = 300 + rnd.nextInt(500)
+      val ids = rnd.shuffle((0L until n * 3L).toList).take(n).toArray // sparse, shuffled id space
+      val m = n / 2 + rnd.nextInt(n)
+      val edges = Seq.tabulate(m) { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b } ++
+        // planted chain over random ids, min potentially mid-chain
+        (0 until math.min(n - 1, 60)).map(i => (ids(i), ids(i + 1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val res = Dedup.connectedComponentsDetailed(edges.toDF("id_a", "id_b"))
+      val got = res.labels.as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: CC labels diverge from union-find oracle")
+      assert(res.rounds < 20, s"trial $trial: ${res.rounds} rounds on a ${edges.size}-edge graph")
+    }
+  }
+
   test("connectedComponents: 10k-node path converges in O(log diameter) rounds") {
     // Path of diameter 9 999 with the min id planted at the chain's
     // MIDDLE: plain neighbor propagation needs ~5 000 rounds per
