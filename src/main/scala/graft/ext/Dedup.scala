@@ -328,12 +328,27 @@ object Dedup {
 
   private val logger = org.slf4j.LoggerFactory.getLogger("graft.ext.Dedup")
 
-  /** [[connectedComponents]] plus the round count (see [[CcResult]]). */
+  /** [[connectedComponents]] plus the round count (see [[CcResult]]).
+    *
+    * Size-adaptive execution: a graph whose symmetric distinct edge set
+    * fits `driverEdgeLimit` (default 100k edges ≈ 3.2 MB of longs) is
+    * solved with a single collect + driver union-find — near-dup graphs
+    * are usually tiny relative to their corpus, and 8 distributed rounds
+    * of label joins on a 1k-edge graph is pure job-scheduling overhead
+    * (measured: ~2 s of wall for sub-millisecond union-find work).
+    * Larger graphs run the distributed hook+jump loop (rounds ≥ 1); the
+    * driver path reports rounds = 0. Identical labels either way (both
+    * compute min-reachable-id; a property test pins the equality), and
+    * the 100 TB case always exceeds the limit, so the distributed loop —
+    * whose convergence the q_cc_long_chain gate proves (it forces
+    * driverEdgeLimit = 0) — is the scale path, not the exception.
+    */
   def connectedComponentsDetailed(
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIters: Int = 20
+      maxIters: Int = 20,
+      driverEdgeLimit: Long = 100000L
   ): CcResult = {
     import org.apache.spark.sql.Observation
     // Dataset.unpersist is a NO-OP on a localCheckpoint'd frame (it only
@@ -357,6 +372,33 @@ object Dedup {
       .localCheckpoint()
     val nEdges = edges.count() // served from the checkpoint cache
     if (nEdges == 0) return CcResult(edges.select(col("u").as("id"), col("u").as("comp")), 0)
+    val keyType = edges.schema("u").dataType
+    val integralKeys = keyType == org.apache.spark.sql.types.LongType ||
+      keyType == org.apache.spark.sql.types.IntegerType ||
+      keyType == org.apache.spark.sql.types.ShortType
+    if (nEdges <= driverEdgeLimit && integralKeys) {
+      // Driver fast path: one collect (bounded by driverEdgeLimit) + path
+      // -compressed union-find with union-by-min, so the root of every set
+      // IS the component minimum — same labels as the distributed loop.
+      val collected = edges.collect().map(r =>
+        (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      collected.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labels = parent.keysIterator.map(x => (x, find(x))).toSeq.toDF("id", "comp")
+        .select(col("id").cast(keyType).as("id"), col("comp").cast(keyType).as("comp"))
+      releaseCheckpoint(edges)
+      return CcResult(labels, 0)
+    }
     // Size the per-round shuffles to the graph, not the session default:
     // a near-dup graph is orders of magnitude smaller than the corpus, so
     // conf-width (32-200 partition) exchanges over a few thousand labels

@@ -594,7 +594,7 @@ object Queries {
     * directions, catching any directional bias in the propagation. The
     * DuckDB oracle states the planted truth (one component, canon 0);
     * matching is only possible when the loop fully converges within its
-    * round budget. Round count itself is asserted < 20 in DedupSpec via
+    * round budget. Round count itself is asserted < 20 in ExtOpsSpec via
     * [[Dedup.connectedComponentsDetailed]].
     */
   def qCcLongChain(spark: SparkSession, dir: String): DataFrame = {
@@ -604,7 +604,9 @@ object Queries {
     // point, which places id 0 at path position 5000.
     val pairs = spark.range(0, n - 1)
       .select(((col("id") + 5000L) % n).as("id_a"), ((col("id") + 5001L) % n).as("id_b"))
-    Dedup.connectedComponents(pairs)
+    // driverEdgeLimit = 0: this gate exists to prove the DISTRIBUTED
+    // loop's convergence — the driver fast path would trivialize it
+    Dedup.connectedComponentsDetailed(pairs, driverEdgeLimit = 0L).labels
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy(col("doc_id"))
   }

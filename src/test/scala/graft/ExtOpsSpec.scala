@@ -275,7 +275,9 @@ class ExtOpsSpec extends SparkSpec {
       (20L, 21L)                                                            // isolated pair
     ).toDF("id_a", "id_b")
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val labels = Dedup.connectedComponents(edges)
+    // driverEdgeLimit = 0 forces the DISTRIBUTED loop — this test pins its
+    // label correctness and checkpoint release on small shapes
+    val labels = Dedup.connectedComponentsDetailed(edges, driverEdgeLimit = 0L).labels
     val out = labels.as[(Long, Long)].collect().toMap
     (1L to 8L).foreach(i => assert(out(i) == 1L, s"chain node $i"))
     Seq(10L, 11L, 12L).foreach(i => assert(out(i) == 10L))
@@ -311,10 +313,17 @@ class ExtOpsSpec extends SparkSpec {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(x => x -> find(x)).toMap
-      val res = Dedup.connectedComponentsDetailed(edges.toDF("id_a", "id_b"))
+      // distributed loop (forced) and driver fast path (these graphs fit
+      // the default edge limit) must both match the oracle — and so each
+      // other, pinning the adaptive-execution equivalence
+      val res = Dedup.connectedComponentsDetailed(edges.toDF("id_a", "id_b"), driverEdgeLimit = 0L)
       val got = res.labels.as[(Long, Long)].collect().toMap
-      assert(got == expected, s"trial $trial: CC labels diverge from union-find oracle")
-      assert(res.rounds < 20, s"trial $trial: ${res.rounds} rounds on a ${edges.size}-edge graph")
+      assert(got == expected, s"trial $trial: distributed CC diverges from union-find oracle")
+      assert(res.rounds >= 1 && res.rounds < 20, s"trial $trial: ${res.rounds} rounds on ${edges.size} edges")
+      val fast = Dedup.connectedComponentsDetailed(edges.toDF("id_a", "id_b"))
+      assert(fast.rounds == 0, s"trial $trial: small graph should take the driver path")
+      assert(fast.labels.as[(Long, Long)].collect().toMap == expected,
+        s"trial $trial: driver fast path diverges from union-find oracle")
     }
   }
 
@@ -326,7 +335,8 @@ class ExtOpsSpec extends SparkSpec {
     val n = 10000L
     val pairs = spark.range(0, n - 1)
       .select(((col("id") + 5000L) % n).as("id_a"), ((col("id") + 5001L) % n).as("id_b"))
-    val res = Dedup.connectedComponentsDetailed(pairs)
+    val res = Dedup.connectedComponentsDetailed(pairs, driverEdgeLimit = 0L)
+    assert(res.rounds >= 1, "forced-distributed run must report its rounds")
     assert(res.rounds < 20, s"path-halving depth regression: ${res.rounds} rounds")
     val labels = res.labels.as[(Long, Long)].collect()
     assert(labels.length == n)
