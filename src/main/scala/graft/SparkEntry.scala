@@ -410,6 +410,18 @@ object SparkEntry {
         |WHERE l.l_quantity >= 40.0
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
 
+    // Bucketized range join ≡ the plain BETWEEN join — oracle is DuckDB's
+    // native range join over identically-constructed interval bounds.
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT p_partkey,
+        |    p_retailprice - (p_partkey % 97) AS lo,
+        |    p_retailprice + (p_partkey % 89) AS hi
+        |  FROM part WHERE p_partkey < 200)
+        |SELECT l.l_orderkey, l.l_linenumber, iv.p_partkey
+        |FROM lineitem l JOIN iv ON l.l_extendedprice BETWEEN iv.lo AND iv.hi
+        |ORDER BY l.l_orderkey, l.l_linenumber, iv.p_partkey""".stripMargin,
+
     // As-of join gated by DuckDB's NATIVE ASOF LEFT JOIN — an independent
     // as-of implementation, so the union-merge window formulation is
     // checked against another engine's semantics (inclusive ties, latest

@@ -1051,6 +1051,29 @@ object Queries {
       key = "l_orderkey", saltFactor = 8)
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Bucketized RANGE join gate: lineitem prices joined to the part-price
+    * intervals containing them. The naive Spark plan for a pure range
+    * predicate is a nested-loop join — [[graft.ops.JoinOps.rangeJoin]]
+    * rewrites it as a bucket equi-join (explode intervals to overlapped
+    * buckets, point to its single bucket, verify exactly inside the
+    * join), and the result must equal DuckDB's plain BETWEEN join
+    * bit-for-bit. Interval bounds are one subtraction/addition from
+    * column values — the identical IEEE op in both engines, so boundary
+    * equality cannot drift.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val points = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val intervals = t(spark, dir, "part")
+      .where(col("p_partkey") < 200)
+      .select(col("p_partkey"),
+        (col("p_retailprice") - col("p_partkey") % 97).as("lo"),
+        (col("p_retailprice") + col("p_partkey") % 89).as("hi"))
+    graft.ops.JoinOps.rangeJoin(points, intervals, "l_extendedprice", "lo", "hi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+  }
+
   /** Semi-structured (JSON) processing surface: both extraction paths —
     * path-string `get_json_object` and schema'd `from_json` — over the
     * events props payload. Row-level, map-only, codegen'd.
@@ -1482,6 +1505,7 @@ object Queries {
     "q_asof_join" -> (qAsofJoin _),
     "q_bloom_semi_join" -> (qBloomSemiJoin _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_cdc_latest" -> (qCdcLatest _),
     "q_cdc_merge" -> (qCdcMerge _),
     "q_cdc_pipeline_e2e" -> (qCdcPipelineE2e _),

@@ -295,6 +295,34 @@ class CoreOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 100L, 2L -> 2L)) // k=3 unmatched, dup rows kept
   }
 
+  test("rangeJoin equals the naive range join, including bucket-boundary and degenerate cases") {
+    import spark.implicits._
+    // points planted ON bucket boundaries, interval endpoints, negatives;
+    // intervals spanning multiple buckets, zero-width, inverted, NULL
+    val points = Seq(0.0, 5.0, 9.999, 10.0, 15.0, 25.0, -3.5, 100.0)
+      .zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("pid", "x")
+      .union(Seq((99L, Option.empty[Double])).toDF("pid", "x"))
+    val intervals = Seq(
+      (1L, Some(0.0), Some(10.0)),   // multi-bucket, inclusive both ends
+      (2L, Some(9.999), Some(9.999)),// zero-width
+      (3L, Some(-5.0), Some(-1.0)),  // negative range
+      (4L, Some(20.0), Some(5.0)),   // inverted -> matches nothing
+      (5L, None, Some(50.0)),        // NULL lo -> matches nothing
+      (6L, Some(14.0), Some(30.0))
+    ).toDF("iid", "lo", "hi")
+    val out = graft.ops.JoinOps.rangeJoin(points, intervals, "x", "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == naive, s"bucketized vs naive diverge: ${out -- naive} / ${naive -- out}")
+    assert(out.contains((3L, 1L)) && out.contains((2L, 2L)) && out.contains((6L, 3L)))
+    assert(!out.exists(_._2 == 4L) && !out.exists(_._2 == 5L))
+    // explicit width exercising >2 buckets per interval
+    val wide = graft.ops.JoinOps.rangeJoin(points, intervals, "x", "lo", "hi", bucketWidth = Some(2.5))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(wide == naive, "explicit narrow buckets must not change the result")
+  }
+
   // ---------------------------------------------------------------- dedup
 
   test("latest-version dedup: tombstone with lower version must not shadow") {
