@@ -308,6 +308,34 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     commit(snap.copy(version = snap.version + 1, files = carried ++ written, timestampMs = now()))
   }
 
+  /** OPTIMIZE ... ZORDER BY (the Delta/Iceberg layout rewrite, an
+    * extension beyond the reference's plain optimize): rewrite EVERY
+    * bucket with rows sorted by the Morton interleave of `cols`
+    * ([[ZOrder.zvalue]]) and persist the layout in table properties, so
+    * every later merge/compaction write keeps z-sorting its rewritten
+    * buckets (at the cost of one stats pass over each written batch).
+    * Content is untouched — reads stay bit-identical; what changes is
+    * file/row-group min/max clustering, so scans with predicates on ANY
+    * layout column skip instead of reading a full stripe. Bucket
+    * membership (hash of the merge key) is unaffected — bucket pruning
+    * and z-skipping compose.
+    */
+  def zorder(cols: Seq[String]): Snapshot = {
+    val snap = currentSnapshot
+    val missing = cols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"z-order columns not in table schema: ${missing.mkString(",")}")
+    val props = snap.properties + (SnapshotTable.PropZOrderColumns -> cols.mkString(","))
+    val df = read()
+    val commitId = UUID.randomUUID().toString
+    // coalesceOne = false: unlike plain compaction, the z rewrite WANTS
+    // the maxRowsPerFile split — consecutive z-ranges land in separate
+    // files, which is exactly what makes file-level min/max boxes tight
+    val written = writeBucketed(df, keyColForBucketing(snap), snap.numBuckets, commitId,
+      targetBuckets = None, coalesceOne = false, props = props)
+    commit(snap.copy(version = snap.version + 1, files = written, properties = props,
+      timestampMs = now()))
+  }
+
   /** expire_snapshots(olderThan): drop snapshot manifests older than the
     * cutoff (always keeping the current one) — `docs/crd.md:172-182`.
     */
@@ -526,11 +554,20 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     // Write-time data layout (reference CREATE TABLE `sortedBy` +
     // `parquetBloomFilterColumns`, CRD beta:294-318 / docs/crd.md:203-232):
     // sort rows within each task for min/max-skippable files, and enable
-    // parquet bloom filters on the configured columns.
-    val arranged = props.get(PropSortOrder) match {
-      case Some(orderCols) if orderCols.nonEmpty =>
-        partitioned.sortWithinPartitions(col("gbk") +: orderCols.split(",").map(c => col(c.trim)): _*)
-      case _ => partitioned
+    // parquet bloom filters on the configured columns. A z-order layout
+    // (set by [[zorder]], persisted in properties so every later rewrite
+    // keeps it) takes precedence over the linear sort order: rows sort by
+    // the Morton interleave of the layout columns, clustering file and
+    // row-group min/max stats on ALL of them at once.
+    val arranged = props.get(PropZOrderColumns).filter(_.nonEmpty) match {
+      case Some(zc) =>
+        val zcols = zc.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        partitioned.sortWithinPartitions(col("gbk"), ZOrder.zvalue(filtered, zcols))
+      case None => props.get(PropSortOrder) match {
+        case Some(orderCols) if orderCols.nonEmpty =>
+          partitioned.sortWithinPartitions(col("gbk") +: orderCols.split(",").map(c => col(c.trim)): _*)
+        case _ => partitioned
+      }
     }
     val format = SnapshotTable.resolveFormat(props)
     val writer = arranged.write.partitionBy("gbk").mode("append")
@@ -590,6 +627,7 @@ object SnapshotTable {
   val PropMergeKeyCol = "merge.key.column"
   val PropWatermark = "arcane.watermark" // SURVEY.md §2.A15 external watermark mirror
   val PropSortOrder = "write.sort.order"          // comma-separated columns (sortedBy)
+  val PropZOrderColumns = "write.zorder.columns"  // comma-separated columns (OPTIMIZE ZORDER BY)
   val PropBloomColumns = "write.bloom.columns"    // comma-separated columns
   val PropMaxRowsPerFile = "write.max.rows.per.file" // sink.maxRowsPerFile
   // Data file format, `parquet` (default) or `orc` — the reference's

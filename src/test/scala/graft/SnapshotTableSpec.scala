@@ -309,4 +309,51 @@ class SnapshotTableSpec extends SparkSpec {
     assert(p("stats.col.payload.min") == "v1" && p("stats.col.payload.max") == "v99")
     assert(!p.contains("stats.col.no_such_column.min"), "unknown columns are ignored")
   }
+
+  test("zorder: content identical, layout persisted, and 2D box scans touch fewer files than a linear sort") {
+    import org.apache.spark.sql.functions._
+    // a 64x64 (a,b) grid, one bucket so layout (not bucket hash) decides
+    // placement, 256-row file cap -> 16 files per rewrite
+    val grid = (0 until 4096).map(i => (s"k$i", i.toLong, (i / 64).toLong, (i % 64).toLong, false))
+      .toDF("arcane_merge_key", "versionnumber", "a", "b", "is_del")
+    def fileBoxes(t: SnapshotTable): Seq[(Long, Long, Long, Long)] =
+      t.read().groupBy(input_file_name())
+        .agg(min("a"), max("a"), min("b"), max("b"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // box predicate a<16 && b<16 (1/16 of the grid): how many files MUST be read
+    def touched(boxes: Seq[(Long, Long, Long, Long)]): Int =
+      boxes.count { case (la, ha, lb, _) => la < 16 && ha >= 0 && lb < 16 }
+
+    val lin = SnapshotTable(spark, tmpDir("snap-zorder-lin"))
+    lin.createOrReplace(grid, "arcane_merge_key", numBuckets = 1,
+      extraProps = Map(SnapshotTable.PropMaxRowsPerFile -> "256",
+        SnapshotTable.PropSortOrder -> "a"))
+    val z = SnapshotTable(spark, tmpDir("snap-zorder"))
+    z.createOrReplace(grid, "arcane_merge_key", numBuckets = 1,
+      extraProps = Map(SnapshotTable.PropMaxRowsPerFile -> "256"))
+    z.zorder(Seq("a", "b"))
+
+    // layout change only: content bit-identical to the linear table
+    val zRows = z.read().select("arcane_merge_key", "versionnumber", "a", "b")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val linRows = lin.read().select("arcane_merge_key", "versionnumber", "a", "b")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(zRows == linRows && zRows.size == 4096)
+    assert(z.properties(SnapshotTable.PropZOrderColumns) == "a,b")
+
+    val (zBoxes, linBoxes) = (fileBoxes(z), fileBoxes(lin))
+    assert(zBoxes.size > 4, s"file cap should split the rewrite (${zBoxes.size} files)")
+    // linear sort on a: every file spans all of b, so the box scan reads
+    // every file overlapping a<16; z-order confines the box to the curve
+    // cells inside it
+    val (zt, lt) = (touched(zBoxes), touched(linBoxes))
+    assert(zt < lt, s"z-order must prune better than linear sort ($zt vs $lt files)")
+    assert(zt <= 2, s"a 1/16-area box should touch at most 2 of ${zBoxes.size} z-files, got $zt")
+
+    // the persisted layout survives later writes: a merge rewrite keeps
+    // z-sorting, so boxes stay tight after an update
+    val upd = Seq(("k0", 2L, 0L, 0L, false)).toDF("arcane_merge_key", "versionnumber", "a", "b", "is_del")
+    z.merge(upd, "arcane_merge_key", "versionnumber", "is_del")
+    assert(touched(fileBoxes(z)) <= 2 + 1, "post-merge layout should stay box-clustered")
+  }
 }
