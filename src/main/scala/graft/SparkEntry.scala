@@ -422,6 +422,16 @@ object SparkEntry {
         |FROM lineitem l JOIN iv ON l.l_extendedprice BETWEEN iv.lo AND iv.hi
         |ORDER BY l.l_orderkey, l.l_linenumber, iv.p_partkey""".stripMargin,
 
+    // Bounded-heap grouped top-k ≡ the window formulation — the oracle IS
+    // the row_number window SQL, so the heap path must reproduce it
+    // exactly (total ordering via the orderkey tiebreaker).
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey DESC""".stripMargin,
+
     // As-of join gated by DuckDB's NATIVE ASOF LEFT JOIN — an independent
     // as-of implementation, so the union-merge window formulation is
     // checked against another engine's semantics (inclusive ties, latest

@@ -1051,6 +1051,22 @@ object Queries {
       key = "l_orderkey", saltFactor = 8)
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Grouped top-k via the bounded-heap aggregation
+    * ([[graft.ops.TopK.topKPerGroup]], Spark's `CollectTopK` surfaced as
+    * `top_k_agg`): top-3 orders by price per customer — the same answer
+    * as the window formulation (the DuckDB oracle IS the window SQL) with
+    * a shuffle that carries ≤ k rows per group per partition instead of
+    * sorting the whole table. Ordering made total with the order key as
+    * tiebreaker, so the heap's tie drops are deterministic.
+    */
+  def qTopKPerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TopK.topKPerGroup(
+      t(spark, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      groupCols = Seq("o_custkey"),
+      orderCols = Seq("o_totalprice", "o_orderkey"),
+      k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey").desc)
+
   /** Bucketized RANGE join gate: lineitem prices joined to the part-price
     * intervals containing them. The naive Spark plan for a pure range
     * predicate is a nested-loop join — [[graft.ops.JoinOps.rangeJoin]]
@@ -1506,6 +1522,7 @@ object Queries {
     "q_bloom_semi_join" -> (qBloomSemiJoin _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_topk_per_group" -> (qTopKPerGroup _),
     "q_cdc_latest" -> (qCdcLatest _),
     "q_cdc_merge" -> (qCdcMerge _),
     "q_cdc_pipeline_e2e" -> (qCdcPipelineE2e _),

@@ -39,7 +39,30 @@ object GraftExtensions {
       new ExpressionInfo(
         "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain", "bloom_might_contain"),
       (args: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1)))
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))),
+    // Spark's internal bounded-heap top-k collector (the partial-ORDER BY
+    // -LIMIT machinery), surfaced for grouped top-k WITHOUT the
+    // sort-every-row window: the agg buffer holds at most k values per
+    // group, map-side combine included. top_k_agg(value, k, reverse) —
+    // reverse=true collects the largest.
+    ("top_k_agg",
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK", "top_k_agg"),
+      (args: Seq[Expression]) => {
+        // k and reverse must be literals (they size the agg buffer at plan
+        // time); the companion's extractors are package-private, so fold
+        // them here with the same contract
+        def asInt(e: Expression): Int = e.eval() match {
+          case n: Number => n.intValue
+          case other => throw new IllegalArgumentException(s"top_k_agg k must be an int literal, got $other")
+        }
+        def asBool(e: Expression): Boolean = e.eval() match {
+          case b: java.lang.Boolean => b
+          case other => throw new IllegalArgumentException(s"top_k_agg reverse must be a boolean literal, got $other")
+        }
+        new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+          args(0), asInt(args(1)), asBool(args(2)), 0, 0)
+      })
   )
 
   /** Idempotently register every engine function on an existing session

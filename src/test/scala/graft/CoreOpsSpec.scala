@@ -323,6 +323,31 @@ class CoreOpsSpec extends SparkSpec {
     assert(wide == naive, "explicit narrow buckets must not change the result")
   }
 
+  test("topKPerGroup equals the window formulation, ties broken by the id column") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 2000).map { i =>
+      (i % 13L, rnd.nextInt(50).toDouble, i.toLong, s"p$i")
+    }.toDF("g", "v", "id", "payload")
+    val out = graft.ops.TopK.topKPerGroup(df, Seq("g"), Seq("v", "id"), k = 3)
+    val expected = df
+      .withColumn("_rn", row_number().over(Window.partitionBy("g").orderBy(col("v").desc, col("id").desc)))
+      .where(col("_rn") <= 3).drop("_rn")
+    assert(out.columns.toSeq == df.columns.toSeq, "original column set preserved")
+    val o = out.select("g", "v", "id", "payload").as[(Long, Double, Long, String)].collect()
+    val e = expected.select("g", "v", "id", "payload").as[(Long, Double, Long, String)].collect()
+    assert(o.toSet == e.toSet, s"heap vs window diverge: ${o.toSet -- e.toSet} / ${e.toSet -- o.toSet}")
+    // largest-first within each group
+    o.groupBy(_._1).values.foreach { rows =>
+      val ord = rows.map(r => (r._2, r._3)).toSeq
+      assert(ord == ord.sortBy { case (v, id) => (-v, -id) }, s"group not largest-first: $ord")
+    }
+    // k larger than the group returns the whole group
+    val all = graft.ops.TopK.topKPerGroup(df.where(col("g") === 0L), Seq("g"), Seq("v", "id"), k = 10000)
+    assert(all.count() == df.where(col("g") === 0L).count())
+  }
+
   // ---------------------------------------------------------------- dedup
 
   test("latest-version dedup: tombstone with lower version must not shadow") {
