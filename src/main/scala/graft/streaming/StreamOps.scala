@@ -14,9 +14,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * streams (the `events` testdata table shape) the Spark-native way:
   * `readStream → withWatermark → groupBy(window(...)) → writeStream`.
   *
-  * Everything here works identically on batch DataFrames (Spark's unified
-  * semantics) — the batch specs assert values, the streaming specs assert
-  * incremental emission.
+  * The window/session/funnel operators work identically on batch
+  * DataFrames (Spark's unified semantics) — the batch specs assert
+  * values, the streaming specs assert incremental emission. The dedup
+  * operators ([[dedupStream]], [[nearDedupStream]]) are STREAMING-ONLY:
+  * `dropDuplicatesWithinWatermark` rejects batch frames by design — the
+  * batch counterparts are [[graft.ext.Dedup.exact]] and
+  * [[graft.ext.Dedup.nearDuplicatePairs]].
   */
 object StreamOps {
 
