@@ -1,0 +1,64 @@
+package graft.tables
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.types.{NumericType, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** Per-file column min/max from PARQUET FOOTERS — metadata-only reads
+  * (no data pages touched), so collecting stats for a commit costs
+  * O(new files) small IO ops regardless of data volume. The stats land
+  * in the snapshot manifest ([[DataFile.stats]]) and drive FILE-level
+  * skipping in [[SnapshotTable.readRange]] before Spark even plans the
+  * scan — the Iceberg manifest-pruning pattern; parquet's own row-group
+  * stats then prune further inside the files that survive.
+  */
+object FileStats {
+
+  /** Min/max per requested NUMERIC column of one parquet file, folded
+    * across its row groups. Columns that are non-numeric in `schema`,
+    * absent from the file (pre-ADD COLUMNS files), or all-NULL are
+    * omitted — absence means "no evidence", and the read path keeps
+    * files without stats.
+    */
+  def parquetMinMax(
+      conf: Configuration,
+      file: Path,
+      cols: Seq[String],
+      schema: StructType
+  ): Map[String, (Double, Double)] = {
+    val numeric = cols.filter(c => schema.fields.exists(f =>
+      f.name.equalsIgnoreCase(c) && f.dataType.isInstanceOf[NumericType])).toSet
+    if (numeric.isEmpty) return Map.empty
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { chunk =>
+          val name = chunk.getPath.toDotString
+          if (numeric.contains(name)) {
+            val st = chunk.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              (toDouble(st.genericGetMin), toDouble(st.genericGetMax)) match {
+                case (Some(mn), Some(mx)) =>
+                  val prev = acc.get(name)
+                  acc(name) = (prev.fold(mn)(p => math.min(p._1, mn)),
+                    prev.fold(mx)(p => math.max(p._2, mx)))
+                case _ => ()
+              }
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally reader.close()
+  }
+
+  private def toDouble(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue)
+    case _ => None // binary/bool stats — not a numeric column
+  }
+}

@@ -39,7 +39,13 @@ import scala.jdk.CollectionConverters._
   * put this pointer in a catalog service — single-writer is assumed here,
   * matching the reference's one-stream-per-target model).
   */
-final case class DataFile(path: String, bucket: Int)
+/** One data file of a snapshot. `stats` holds optional per-column
+  * (min, max) collected from parquet footers at write time
+  * ([[FileStats]]) — the manifest-level skipping index
+  * ([[SnapshotTable.readRange]]); files without stats are always read.
+  */
+final case class DataFile(
+    path: String, bucket: Int, stats: Map[String, (Double, Double)] = Map.empty)
 
 final case class Snapshot(
     version: Long,
@@ -92,6 +98,25 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
   /** DataFrame over the current snapshot (optionally only some buckets). */
   def read(buckets: Option[Set[Int]] = None): DataFrame =
     readSnapshotDf(currentSnapshot, buckets)
+
+  /** Range scan with MANIFEST-level file skipping: `read().where(lo <= c
+    * <= hi)` semantically, but files whose stored (min, max) for `c`
+    * ([[DataFile.stats]], collected from parquet footers at write time
+    * when `write.stats.columns` is set) cannot intersect [lo, hi] are
+    * dropped from the listing BEFORE Spark plans the scan — no footer
+    * open, no task. Files without stats for `c` are always kept (stats
+    * absence means "no evidence", never "no match"), so results are
+    * exact on mixed manifests. With a z-order layout on `c` the kept
+    * set approaches O(selectivity); the exact predicate still applies
+    * on top.
+    */
+  def readRange(column: String, lo: Double, hi: Double): DataFrame = {
+    val snap = currentSnapshot
+    val kept = snap.files.filter(_.stats.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val pruned = snap.copy(files = kept)
+    readSnapshotDf(pruned, None)
+      .where(col(column).cast("double") >= lo && col(column).cast("double") <= hi)
+  }
 
   /** Time travel: read the table as of an earlier (unexpired) snapshot
     * version — Iceberg `VERSION AS OF` parity.
@@ -324,7 +349,13 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     val snap = currentSnapshot
     val missing = cols.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty, s"z-order columns not in table schema: ${missing.mkString(",")}")
-    val props = snap.properties + (SnapshotTable.PropZOrderColumns -> cols.mkString(","))
+    // z-order exists to make per-file min/max boxes tight — record them in
+    // the manifest too (unless the user already configured a stats set),
+    // so readRange skips files without opening footers
+    val props = snap.properties +
+      (SnapshotTable.PropZOrderColumns -> cols.mkString(",")) +
+      (SnapshotTable.PropStatsColumns ->
+        snap.properties.getOrElse(SnapshotTable.PropStatsColumns, cols.mkString(",")))
     val df = read()
     val commitId = UUID.randomUUID().toString
     // coalesceOne = false: unlike plain compaction, the z rewrite WANTS
@@ -593,13 +624,23 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     }
 
     if (!fs.exists(out)) return Seq.empty
+    // Manifest skipping index: footer-only min/max for the configured
+    // columns of each NEW file (parquet only; O(new files) metadata IO,
+    // no data pages). Carried-forward files keep their existing stats.
+    val statsCols = props.get(PropStatsColumns).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def statsFor(p: Path): Map[String, (Double, Double)] =
+      if (statsCols.isEmpty || format == "orc") Map.empty
+      else FileStats.parquetMinMax(conf, p, statsCols, df.schema)
     fs.listStatus(out)
       .filter(_.isDirectory)
       .flatMap { bdir =>
         val b = bdir.getPath.getName.stripPrefix("gbk=").toInt
         fs.listStatus(bdir.getPath)
           .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-          .map(st => DataFile(s"$commitId/${bdir.getPath.getName}/${st.getPath.getName}", b))
+          .map(st => DataFile(s"$commitId/${bdir.getPath.getName}/${st.getPath.getName}", b,
+            statsFor(st.getPath)))
       }
       .toSeq
   }
@@ -628,6 +669,7 @@ object SnapshotTable {
   val PropWatermark = "arcane.watermark" // SURVEY.md §2.A15 external watermark mirror
   val PropSortOrder = "write.sort.order"          // comma-separated columns (sortedBy)
   val PropZOrderColumns = "write.zorder.columns"  // comma-separated columns (OPTIMIZE ZORDER BY)
+  val PropStatsColumns = "write.stats.columns"    // comma-separated columns (manifest skipping index)
   val PropBloomColumns = "write.bloom.columns"    // comma-separated columns
   val PropMaxRowsPerFile = "write.max.rows.per.file" // sink.maxRowsPerFile
   // Data file format, `parquet` (default) or `orc` — the reference's
@@ -676,6 +718,12 @@ object SnapshotTable {
     s.files.foreach { f =>
       val o = files.addObject()
       o.put("path", f.path); o.put("bucket", f.bucket)
+      if (f.stats.nonEmpty) {
+        val st = o.putObject("stats")
+        f.stats.foreach { case (c, (mn, mx)) =>
+          val arr = st.putArray(c); arr.add(mn); arr.add(mx)
+        }
+      }
     }
     val props = root.putObject("properties")
     s.properties.foreach { case (k, v) => props.put(k, v) }
@@ -685,7 +733,14 @@ object SnapshotTable {
   def fromJson(json: String): Snapshot = {
     val root = mapper.readTree(json).asInstanceOf[ObjectNode]
     val files = root.get("files").asInstanceOf[ArrayNode].elements().asScala.map { f =>
-      DataFile(f.get("path").asText(), f.get("bucket").asInt())
+      // "stats" is optional — manifests written before the skipping index
+      // (or by stats-less writes) parse to an empty map
+      val stats = Option(f.get("stats")).map { st =>
+        st.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get(0).asDouble(), e.getValue.get(1).asDouble())
+        }.toMap
+      }.getOrElse(Map.empty[String, (Double, Double)])
+      DataFile(f.get("path").asText(), f.get("bucket").asInt(), stats)
     }.toSeq
     val props = root.get("properties").properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap

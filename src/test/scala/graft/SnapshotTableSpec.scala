@@ -356,4 +356,36 @@ class SnapshotTableSpec extends SparkSpec {
     z.merge(upd, "arcane_merge_key", "versionnumber", "is_del")
     assert(touched(fileBoxes(z)) <= 2 + 1, "post-merge layout should stay box-clustered")
   }
+
+  test("readRange: manifest stats skip files before the scan; results stay exact") {
+    import org.apache.spark.sql.functions._
+    val grid = (0 until 4096).map(i => (s"k$i", i.toLong, (i / 64).toLong, (i % 64).toLong, false))
+      .toDF("arcane_merge_key", "versionnumber", "a", "b", "is_del")
+    val t = SnapshotTable(spark, tmpDir("snap-readrange"))
+    t.createOrReplace(grid, "arcane_merge_key", numBuckets = 1,
+      extraProps = Map(SnapshotTable.PropMaxRowsPerFile -> "256",
+        SnapshotTable.PropStatsColumns -> "a",
+        SnapshotTable.PropSortOrder -> "a"))
+    // manifest carries per-file min/max for a
+    val snap = t.currentSnapshot
+    assert(snap.files.size > 4 && snap.files.forall(_.stats.contains("a")),
+      s"every file should carry stats for a: ${snap.files.map(_.stats)}")
+    // the manifest round-trips stats through JSON
+    val reparsed = SnapshotTable.fromJson(SnapshotTable.toJson(snap))
+    assert(reparsed.files.map(_.stats) == snap.files.map(_.stats))
+    // exactness: readRange == full-scan filter
+    val exact = t.read().where(col("a") >= 4 && col("a") <= 7)
+      .select("arcane_merge_key").as[String].collect().toSet
+    val ranged = t.readRange("a", 4.0, 7.0)
+    assert(ranged.select("arcane_merge_key").as[String].collect().toSet == exact)
+    assert(exact.size == 4 * 64)
+    // skipping: the pruned scan touches fewer files than the manifest holds
+    val scanned = ranged.select(input_file_name()).distinct().count()
+    assert(scanned <= 2, s"a 4/64 a-slice should touch <= 2 of ${snap.files.size} sorted files, got $scanned")
+    // files WITHOUT stats are always kept: a column not in the stats set
+    // prunes nothing but still answers exactly
+    val noStats = t.readRange("b", 10.0, 12.0)
+    assert(noStats.select(input_file_name()).distinct().count() == snap.files.size.toLong)
+    assert(noStats.count() == t.read().where(col("b").between(10, 12)).count())
+  }
 }
