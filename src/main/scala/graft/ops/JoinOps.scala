@@ -96,17 +96,24 @@ object JoinOps {
       hiCol: String,
       bucketWidth: Option[Double] = None
   ): DataFrame = {
+    // degenerate rows (NULL/NaN bounds, inverted intervals, NULL points)
+    // cannot match BETWEEN — drop them before anything else. A ±Infinity
+    // bound is dropped the same way: it cannot be bucketized (the explode
+    // would enumerate ~2^63 buckets); clamp "unbounded" intervals to the
+    // point domain upstream if that semantic is wanted.
+    def finite(c: org.apache.spark.sql.Column) =
+      c.isNotNull && c.cast("double") > Double.NegativeInfinity &&
+        c.cast("double") < Double.PositiveInfinity
+    val clean = intervals.where(finite(col(loCol)) && finite(col(hiCol)) && col(loCol) <= col(hiCol))
     val width = bucketWidth.getOrElse {
-      val row = intervals.agg(max(col(hiCol) - col(loCol))).head()
+      val row = clean.agg(max(col(hiCol) - col(loCol))).head()
       val w = if (row.isNullAt(0)) 1.0 else row.getDouble(0)
       if (w > 0) w else 1.0
     }
-    require(width > 0, s"bucketWidth must be positive, got $width")
+    require(width > 0 && !width.isInfinite && !width.isNaN,
+      s"bucketWidth must be positive and finite, got $width")
     def bucketOf(c: org.apache.spark.sql.Column) = floor(c / lit(width)).cast("long")
-    // degenerate rows (NULL bounds / inverted intervals / NULL points)
-    // cannot match BETWEEN — drop them before the explode
-    val iv = intervals
-      .where(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
+    val iv = clean
       .withColumn("_bucket", explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
     val pt = points
       .where(col(pointCol).isNotNull)

@@ -27,6 +27,9 @@ object TopK {
       k: Int
   ): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.exists(Set("_top", "_t")), "columns _top/_t are reserved by topKPerGroup")
+    require(groupCols.forall(df.columns.contains) && orderCols.forall(df.columns.contains),
+      s"group/order columns must exist in the frame: ${df.columns.mkString(",")}")
     graft.sql.GraftExtensions.ensureRegistered(df.sparkSession)
     val payload = df.columns.filterNot(groupCols.contains).toSeq
     val ranked = struct((orderCols ++ payload.filterNot(orderCols.contains)).map(col): _*)

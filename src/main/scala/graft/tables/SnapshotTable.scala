@@ -112,6 +112,10 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     */
   def readRange(column: String, lo: Double, hi: Double): DataFrame = {
     val snap = currentSnapshot
+    val field = snap.schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(s"readRange column '$column' not in table schema"))
+    require(field.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"readRange needs a numeric column, '$column' is ${field.dataType}")
     val kept = snap.files.filter(_.stats.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi })
     val pruned = snap.copy(files = kept)
     readSnapshotDf(pruned, None)

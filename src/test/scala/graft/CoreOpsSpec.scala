@@ -308,15 +308,23 @@ class CoreOpsSpec extends SparkSpec {
       (3L, Some(-5.0), Some(-1.0)),  // negative range
       (4L, Some(20.0), Some(5.0)),   // inverted -> matches nothing
       (5L, None, Some(50.0)),        // NULL lo -> matches nothing
-      (6L, Some(14.0), Some(30.0))
+      (6L, Some(14.0), Some(30.0)),
+      // non-finite bounds cannot be bucketized -> dropped, not exploded
+      // into ~2^63 buckets (documented contract: clamp upstream instead)
+      (7L, Some(Double.NegativeInfinity), Some(1.0)),
+      (8L, Some(0.0), Some(Double.PositiveInfinity)),
+      (9L, Some(Double.NaN), Some(1.0))
     ).toDF("iid", "lo", "hi")
     val out = graft.ops.JoinOps.rangeJoin(points, intervals, "x", "lo", "hi")
       .select("pid", "iid").as[(Long, Long)].collect().toSet
-    val naive = points.join(intervals, col("x") >= col("lo") && col("x") <= col("hi"))
+    // naive reference over the FINITE intervals (non-finite bounds are
+    // dropped by contract, so they are excluded from the reference too)
+    val naive = points.join(intervals.where(col("iid") <= 6L),
+        col("x") >= col("lo") && col("x") <= col("hi"))
       .select("pid", "iid").as[(Long, Long)].collect().toSet
     assert(out == naive, s"bucketized vs naive diverge: ${out -- naive} / ${naive -- out}")
     assert(out.contains((3L, 1L)) && out.contains((2L, 2L)) && out.contains((6L, 3L)))
-    assert(!out.exists(_._2 == 4L) && !out.exists(_._2 == 5L))
+    assert(!out.exists(p => p._2 >= 4L && p._2 != 6L), "inverted/NULL/non-finite intervals match nothing")
     // explicit width exercising >2 buckets per interval
     val wide = graft.ops.JoinOps.rangeJoin(points, intervals, "x", "lo", "hi", bucketWidth = Some(2.5))
       .select("pid", "iid").as[(Long, Long)].collect().toSet
