@@ -422,6 +422,13 @@ object SparkEntry {
         |FROM lineitem l JOIN iv ON l.l_extendedprice BETWEEN iv.lo AND iv.hi
         |ORDER BY l.l_orderkey, l.l_linenumber, iv.p_partkey""".stripMargin,
 
+    // CMS estimates over a collision-free domain equal the exact counts —
+    // the oracle is the plain GROUP BY; the sketch's collision structure
+    // is data-volume independent, so the equality is SF-stable.
+    "q_cms_freq" ->
+      """SELECT event_type, count(*) AS est_count
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Bounded-heap grouped top-k ≡ the window formulation — the oracle IS
     // the row_number window SQL, so the heap path must reproduce it
     // exactly (total ordering via the orderkey tiebreaker).

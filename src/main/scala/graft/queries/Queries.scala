@@ -1051,6 +1051,23 @@ object Queries {
       key = "l_orderkey", saltFactor = 8)
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Count-min-sketch frequency estimation gate: estimated counts of the
+    * event-type domain (8 values) against the exact SQL counts. At this
+    * sketch width (eps 1e-4 → ~2e4 counters/row) the 8 keys are
+    * collision-free under the fixed seed, so estimate == exact — and CMS
+    * collisions depend only on (seed, key hashes, width), never on data
+    * volume, so the equality pinned here holds at every SF. The corpus
+    * pass is the sketch build (map-side partial sketches, constant size);
+    * estimation touches only the candidate domain.
+    */
+  def qCmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val sketch = graft.ops.Freq.countMin(ev, "event_type")
+    graft.ops.Freq.estimateCounts(
+      ev.select(col("event_type")).distinct(), "event_type", sketch)
+      .orderBy(col("event_type"))
+  }
+
   /** Grouped top-k via the bounded-heap aggregation
     * ([[graft.ops.TopK.topKPerGroup]], Spark's `CollectTopK` surfaced as
     * `top_k_agg`): top-3 orders by price per customer — the same answer
@@ -1523,6 +1540,7 @@ object Queries {
     "q_salted_join" -> (qSaltedJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_topk_per_group" -> (qTopKPerGroup _),
+    "q_cms_freq" -> (qCmsFreq _),
     "q_cdc_latest" -> (qCdcLatest _),
     "q_cdc_merge" -> (qCdcMerge _),
     "q_cdc_pipeline_e2e" -> (qCdcPipelineE2e _),

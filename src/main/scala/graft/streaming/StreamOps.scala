@@ -170,6 +170,38 @@ object StreamOps {
         col("from_ts"), col("to_ts"))
   }
 
+  /** Per-window grouped TOP-K over a stream: for each (event-time window,
+    * key) emit the k largest rows by `orderCols` (left-to-right
+    * descending; include a unique id as the last tiebreaker for a total
+    * order). The bounded-heap `top_k_agg` (Spark's `CollectTopK`) keeps
+    * the streaming aggregation state at ≤ k rows per live (window, key)
+    * — the window formulation would be unbounded per group — and the
+    * watermark closes windows and evicts their state, so this runs
+    * forever at any rate. Emission in append mode happens at window
+    * close (the price of an exact top-k: a later row can displace an
+    * earlier one until the watermark passes).
+    */
+  def windowedTopK(
+      events: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.sql.GraftExtensions.ensureRegistered(events.sparkSession)
+    val payload = events.columns.filterNot(c => orderCols.contains(c) || keyCols.contains(c)).toSeq
+    val ranked = struct((orderCols ++ payload).map(col): _*)
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration) +: keyCols.map(col): _*)
+      .agg(call_function("top_k_agg", ranked, lit(k), lit(false)).as("_top"))
+      .withColumn("_t", explode(col("_top")))
+      .select((col("window") +: keyCols.map(col)) ++ (orderCols ++ payload).map(c => col(s"_t.$c").as(c)): _*)
+  }
+
   /** Session-window aggregation (built-in `session_window`, gap-based close;
     * watermark required so closed sessions can be finalized and state
     * evicted).

@@ -356,6 +356,27 @@ class CoreOpsSpec extends SparkSpec {
     assert(all.count() == df.where(col("g") === 0L).count())
   }
 
+  test("count-min sketch never undercounts; exact on a collision-free domain; candidate cap enforced") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, s"key${i % 137}")).toDF("id", "k")
+    val sketch = graft.ops.Freq.countMin(df, "k", eps = 0.001)
+    val exact = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    val est = graft.ops.Freq.estimateCounts(df.select("k").distinct(), "k", sketch)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS must never undercount ($k: ${est(k)} < $n)")
+    }
+    // eps 0.001 over 5000 rows -> overcount bounded by ~eps*N per key
+    val worst = exact.map { case (k, n) => est(k) - n }.max
+    assert(worst <= (0.001 * 5000).toLong + 1, s"worst overcount $worst beyond eps*N")
+    // the candidate-set contract is enforced, not silently truncated
+    val big = spark.range(0, 200).selectExpr("cast(id as string) as k")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Freq.estimateCounts(big, "k", sketch, maxKeys = 100)
+    }
+    assert(e.getMessage.contains("candidate"))
+  }
+
   // ---------------------------------------------------------------- dedup
 
   test("latest-version dedup: tombstone with lower version must not shadow") {

@@ -176,6 +176,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-k over a stream: later rows displace earlier ones until the window closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "user_id", "value")
+    val out = StreamOps.windowedTopK(events, "ts", watermarkDelay = "10 minutes",
+      windowDuration = "1 hour", keyCols = Seq("user_id"),
+      orderCols = Seq("value", "event_id"), k = 2)
+    val q = out.writeStream.format("memory").queryName("wtopk").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), 1L, 7L, 1.0),
+        (ts("2024-01-01 10:10:00"), 2L, 7L, 5.0),
+        (ts("2024-01-01 10:15:00"), 3L, 7L, 3.0))
+      q.processAllAvailable()
+      // a LATE larger row inside the same open window must displace the
+      // current #2 (value 3.0) before anything is emitted
+      input.addData((ts("2024-01-01 10:20:00"), 4L, 7L, 9.0))
+      q.processAllAvailable()
+      assert(spark.table("wtopk").count() == 0, "nothing emits before the window closes")
+      input.addData((ts("2024-01-01 12:00:00"), 5L, 8L, 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("wtopk").select("user_id", "event_id", "value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((7L, 4L, 9.0), (7L, 2L, 5.0)), s"top-2 after displacement: $rows")
+    } finally q.stop()
+  }
+
   test("session window agg closes on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
