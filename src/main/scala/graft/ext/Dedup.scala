@@ -383,10 +383,17 @@ object Dedup {
       val collected = edges.collect().map(r =>
         (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      // ITERATIVE find with path compression: union-by-min builds deep
+      // parent chains on path-shaped graphs (up to ~driverEdgeLimit nodes),
+      // and a recursive find would overflow a 1 MB driver thread stack
+      val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x
-        else { val r = find(p); parent(x) = r; r }
+        chain.clear()
+        var cur = x
+        var p = parent.getOrElseUpdate(cur, cur)
+        while (p != cur) { chain += cur; cur = p; p = parent.getOrElseUpdate(cur, cur) }
+        chain.foreach(parent(_) = cur)
+        cur
       }
       collected.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

@@ -16,10 +16,13 @@ object Freq {
     * `df.stat.countMinSketch`: one pass, map-side partial sketches merged
     * on the driver; sketch size depends only on (eps, confidence), never
     * on rows or cardinality, so the same call runs at 100 TB. Estimates
-    * NEVER undercount; they overcount by ≤ eps·N with probability
-    * `confidence` (the collision structure depends only on the seed and
-    * the key hashes — data-size independent, so a gate pinned at one SF
-    * holds at every SF).
+    * NEVER undercount a NON-NULL key; they overcount by ≤ eps·N with
+    * probability `confidence` (the collision structure depends only on
+    * the seed and the key hashes — data-size independent, so a gate
+    * pinned at one SF holds at every SF). NULLs are outside the sketch:
+    * Spark's sketch build skips null rows, so a null candidate estimates
+    * 0 regardless of how many null rows the corpus holds — count nulls
+    * with an `isNull` aggregate if they matter.
     */
   def countMin(
       df: DataFrame,

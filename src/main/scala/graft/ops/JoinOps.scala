@@ -106,7 +106,9 @@ object JoinOps {
         c.cast("double") < Double.PositiveInfinity
     val clean = intervals.where(finite(col(loCol)) && finite(col(hiCol)) && col(loCol) <= col(hiCol))
     val width = bucketWidth.getOrElse {
-      val row = clean.agg(max(col(hiCol) - col(loCol))).head()
+      // cast before the agg: int/long/decimal interval columns would
+      // otherwise make getDouble throw ClassCastException
+      val row = clean.agg(max((col(hiCol) - col(loCol)).cast("double"))).head()
       val w = if (row.isNullAt(0)) 1.0 else row.getDouble(0)
       if (w > 0) w else 1.0
     }

@@ -44,7 +44,9 @@ object GraftExtensions {
     // -LIMIT machinery), surfaced for grouped top-k WITHOUT the
     // sort-every-row window: the agg buffer holds at most k values per
     // group, map-side combine included. top_k_agg(value, k, reverse) —
-    // reverse=true collects the largest.
+    // reverse=false collects the k LARGEST (natural ordering);
+    // reverse=true flips to the k smallest (pinned by CoreOpsSpec's
+    // largest-first assertion on TopK.topKPerGroup).
     ("top_k_agg",
       new ExpressionInfo(
         "org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK", "top_k_agg"),

@@ -73,12 +73,24 @@ object StreamOps {
       .drop("_fp")
 
   /** Streaming NEAR-duplicate dedup via MinHash banding — the streaming
-    * counterpart of [[graft.ext.Dedup.nearDuplicatePairs]]'s candidate
-    * logic for continuous corpus ingestion: a document is suppressed when
+    * counterpart of [[graft.ext.Dedup.nearDuplicatePairs]]'s CANDIDATE
+    * stage for continuous corpus ingestion: a document is suppressed when
     * ANY of its LSH band keys was already seen inside the watermark
-    * horizon (same banding contract as batch: near-dups share a band with
-    * probability 1-(1-J^r)^b), so a paraphrased late duplicate is dropped,
-    * not just a byte-identical one.
+    * horizon, so a paraphrased late duplicate is dropped, not just a
+    * byte-identical one.
+    *
+    * SEMANTICS — candidate collision IS the decision. Batch banding only
+    * generates candidates and then verifies exact Jaccard ≥ threshold
+    * (Dedup.scala); a stream cannot re-read the earlier document, so
+    * here a band collision suppresses directly. The effective behavior
+    * is probabilistic in the similarity J: P(suppress) = 1-(1-J^r)^b
+    * with r = numHashes/numBands rows per band. The defaults
+    * (128 hashes, 16 bands → r = 8) give ≈ 99.96% suppression at
+    * J = 0.9, ≈ 6% false-suppression at J = 0.5, ≈ 0.02% at J = 0.3 —
+    * tune toward fewer bands (longer rows) for stricter matching, more
+    * bands for higher paraphrase recall. Workloads needing an exact
+    * verified threshold should micro-batch through the batch operator
+    * instead.
     *
     * Two chained stateful stages, both watermark-bounded:
     *   1. explode each doc into its `numBands` band keys and
@@ -109,7 +121,7 @@ object StreamOps {
       textCol: String = "text",
       shingleSize: Int = 3,
       numHashes: Int = 128,
-      numBands: Int = 32
+      numBands: Int = 16
   ): DataFrame = {
     graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
     val cols = docs.columns.toSeq

@@ -118,8 +118,24 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       s"readRange needs a numeric column, '$column' is ${field.dataType}")
     val kept = snap.files.filter(_.stats.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi })
     val pruned = snap.copy(files = kept)
-    readSnapshotDf(pruned, None)
-      .where(col(column).cast("double") >= lo && col(column).cast("double") <= hi)
+    // Typed-literal predicate so the comparison stays on the BARE column:
+    // a cast-wrapped column cannot be translated to a parquet data-source
+    // filter, which would forfeit row-group pruning inside the kept files.
+    // Integral columns round the bounds INWARD (x >= 4.5 ⇔ x >= 5), which
+    // is exact; fractional/decimal columns fall back to the double cast
+    // (correct, pushdown lost — acceptable: double columns take the fast
+    // path below, and decimals are rare stats columns).
+    import org.apache.spark.sql.types._
+    val predicate = field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(column) >= lit(math.ceil(lo).toLong).cast(field.dataType) &&
+          col(column) <= lit(math.floor(hi).toLong).cast(field.dataType)
+      case DoubleType =>
+        col(column) >= lit(lo) && col(column) <= lit(hi)
+      case _ =>
+        col(column).cast("double") >= lo && col(column).cast("double") <= hi
+    }
+    readSnapshotDf(pruned, None).where(predicate)
   }
 
   /** Time travel: read the table as of an earlier (unexpired) snapshot

@@ -47,13 +47,20 @@ object ZOrder {
     */
   def zvalue(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty, "z-order needs at least one column")
-    require(cols.size <= 4, s"z-order supports up to 4 columns (${RankBits * 4} bits), got ${cols.size}")
+    require(cols.size <= 4, s"z-order supports up to 4 columns, got ${cols.size}")
     val doubles = cols.map(c => toDouble(df, c))
     val aggs = doubles.zipWithIndex.map { case (d, i) => min(d).as(s"_lo$i") } ++
       doubles.zipWithIndex.map { case (d, i) => max(d).as(s"_hi$i") }
     val statRow = df.agg(aggs.head, aggs.tail: _*).head()
     val k = cols.size
-    val maxRank = (1 << RankBits) - 1
+    // the interleave must stay inside the long's 63 VALUE bits: at k = 4,
+    // 16-bit ranks would place column 4's top bit at bit 63 (the sign
+    // bit), making the upper half of that column sort NEGATIVE — the
+    // curve's two halves would swap and the straddling file's min/max box
+    // would span the column's whole range. 63/k bits per column keeps the
+    // highest bit at k*floor(63/k)-1 <= 62.
+    val rankBits = math.min(RankBits, 63 / k)
+    val maxRank = (1 << rankBits) - 1
     val rankCols = doubles.zipWithIndex.map { case (d, i) =>
       val (lo, hi) =
         (if (statRow.isNullAt(i)) 0.0 else statRow.getDouble(i),
@@ -66,7 +73,7 @@ object ZOrder {
     }
     // bit interleave: output bit (i*k + j) = bit i of column j's rank
     rankCols.zipWithIndex.map { case (r, j) =>
-      (0 until RankBits).map { i =>
+      (0 until rankBits).map { i =>
         shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * k + j)
       }.reduce(_ bitwiseOR _)
     }.reduce(_ bitwiseOR _)

@@ -357,6 +357,18 @@ class SnapshotTableSpec extends SparkSpec {
     assert(touched(fileBoxes(z)) <= 2 + 1, "post-merge layout should stay box-clustered")
   }
 
+  test("zvalue with 4 columns never sets the sign bit (upper ranks must not sort negative)") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 1000).map { i =>
+      (i.toLong, (i * 7 % 1000).toLong, (i * 13 % 1000).toLong, (i * 29 % 1000).toLong)
+    }.toDF("a", "b", "c", "d")
+    val z = graft.tables.ZOrder.zvalue(df, Seq("a", "b", "c", "d"))
+    val mn = df.select(min(z)).head().getLong(0)
+    assert(mn >= 0L, s"negative z-value $mn: column 4's top rank bit landed on the long sign bit")
+    // and the curve still orders: max is positive and distinct values exist
+    assert(df.select(countDistinct(z)).head().getLong(0) > 100)
+  }
+
   test("readRange: manifest stats skip files before the scan; results stay exact") {
     import org.apache.spark.sql.functions._
     val grid = (0 until 4096).map(i => (s"k$i", i.toLong, (i / 64).toLong, (i % 64).toLong, false))
