@@ -916,6 +916,41 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // BM25 with rational idf (N-df+0.5)/(df+0.5) — mirrors bm25Score's
+    // exact IEEE expression tree: exact-integer avgdl (Σ token counts /
+    // doc count, one division), identical operator nesting, and the
+    // per-doc sum as a FIXED-ORDER pivot chain over the term-sorted
+    // query set (dup, merge, vector, window) — adding a coalesced 0.0
+    // for a missing term is bit-neutral (x + 0.0 = x for x > 0), so the
+    // chain equals the operator's term-sorted left fold.
+    "q_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+        |    CAST((SELECT sum(len(tk)) FROM tk WHERE tk IS NOT NULL) AS DOUBLE) /
+        |      CAST((SELECT count(tk) FROM tk) AS DOUBLE) AS avgdl),
+        |toks AS (
+        |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM tk),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        |  FROM toks WHERE term IN ('dup', 'merge', 'vector', 'window')
+        |  GROUP BY doc_id, term),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |per_term AS (
+        |  SELECT doc_id, term,
+        |    ((n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)) AS score
+        |  FROM tf JOIN dft USING (term) CROSS JOIN stats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  coalesce(max(CASE WHEN term = 'dup' THEN score END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'merge' THEN score END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'vector' THEN score END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'window' THEN score END), 0.0) AS bm25
+        |FROM per_term GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Token commonness: Σ document-frequency over each doc's distinct
     // tokens; integer-exact with one final double division. Corpus size
     // comes from a subquery, so the same SQL is valid at any SF.

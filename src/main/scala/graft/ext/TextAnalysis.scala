@@ -217,6 +217,91 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("score"), col("rn").cast("long").as("rn"))
   }
 
+  /** BM25 relevance of every document that matches at least one query
+    * term — the classic retrieval scorer (Robertson/Sparck Jones lineage),
+    * used in training-data pipelines for quality-targeted subset selection
+    * and keyword decontamination sweeps. Output: (doc_id, n_terms, bm25)
+    * for matched docs only; unmatched docs are absent (score would be 0).
+    *
+    * Scoring: bm25 = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    * with the RATIONAL idf variant idf = (N − df + 0.5)/(df + 0.5) (always
+    * positive, no `ln` — transcendental libm calls differ across engines
+    * in the last ulp, same reasoning as [[tfIdfTopK]]'s rational idf; the
+    * term-frequency saturation and length normalization, BM25's actual
+    * ranking power, are untouched). avgdl is computed as one exact integer
+    * token-count sum over the corpus divided once at the end, so it is
+    * bit-identical regardless of partitioning; the per-doc term sum folds
+    * a term-SORTED array left-to-right (`aggregate` over
+    * `array_sort(collect_list(...))`), making the double summation order
+    * deterministic — plain SUM over a shuffled exchange is not.
+    *
+    * Distributed shape: tokens are filtered to the query term set
+    * MAP-SIDE (literal isin — nothing corpus-sized survives tokenization),
+    * then one (doc, term) hash agg for tf carrying dl, a query-sized df
+    * agg broadcast back, and a final doc-keyed agg. Two shuffles, both on
+    * high-cardinality doc keys; driver holds only N and avgdl. At 100 TB
+    * the intermediate is |matching tokens|, not |corpus tokens|.
+    */
+  def bm25Score(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toksAll = docs.select(col(idCol).as("doc_id"),
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("_tk"))
+    // exact-integer avgdl: Σ dl (long) / count (long), ONE double division
+    val statRow = toksAll.agg(
+      count(lit(1)).as("n"),
+      sum(size(col("_tk"))).as("dlsum"),
+      count(col("_tk")).as("ndl")).head()
+    val n = statRow.getLong(0)
+    val avgdl =
+      if (statRow.isNullAt(1) || statRow.getLong(2) == 0L) 1.0
+      else statRow.getLong(1).toDouble / statRow.getLong(2).toDouble
+    val toks = toksAll
+      .select(col("doc_id"), size(col("_tk")).cast("double").as("dl"),
+        explode(col("_tk")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), min(col("dl")).as("dl"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val perTerm = tf.join(broadcast(dfTab), "term")
+      .select(col("doc_id"), col("term"),
+        (idf * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))).as("score"))
+    perTerm.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        array_sort(collect_list(struct(col("term"), col("score")))).as("_ts"))
+      .select(col("doc_id"), col("n_terms"),
+        aggregate(col("_ts"), lit(0.0), (acc, x) => acc + x.getField("score")).as("bm25"))
+  }
+
+  /** Global top-k by BM25 relevance: [[bm25Score]] plus an
+    * ORDER-BY-score-LIMIT-k head with doc id as the total-order tiebreak.
+    * Catalyst plans the limit as TakeOrderedAndProject — per-partition
+    * bounded heaps merged on the driver, never a global sort — so the cut
+    * costs one pass over the matched docs at any corpus size.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    bm25Score(docs, queryTerms, k1, b, idCol, textCol)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document token commonness/rarity score from corpus document
     * frequencies — the cheap LM-filtering proxy (CCNet-lineage): documents
     * whose distinct tokens are mostly corpus-rare score low on commonness

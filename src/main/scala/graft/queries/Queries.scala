@@ -1248,6 +1248,19 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** BM25 retrieval gate ([[graft.ext.TextAnalysis.bm25Score]]): every doc
+    * matching ≥ 1 of four fixed query terms (one corpus-rare, three
+    * common) scored with rational-idf BM25. The gate returns the FULL
+    * matched set, not a top-k head, so the result is order-free and has
+    * no cut-boundary sensitivity; scores are bit-exact cross-engine
+    * (rational idf, exact-integer avgdl, term-sorted deterministic fold —
+    * the oracle mirrors the fold with a fixed-order pivot chain).
+    */
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Score(t(spark, dir, "documents"),
+      Seq("dup", "merge", "vector", "window"))
+      .orderBy(col("doc_id"))
+
   /** Corpus-commonness scoring gate ([[graft.ext.TextAnalysis.tokenRarity]]):
     * per-doc Σ df over distinct tokens, integer-exact, one final division.
     * Full DuckDB oracle (corpus size via subquery — no baked constant).
@@ -1573,6 +1586,7 @@ object Queries {
     "q_inverted_index" -> (qInvertedIndex _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_token_rarity" -> (qTokenRarity _),
+    "q_bm25" -> (qBm25 _),
     "q_token_histogram" -> (qTokenHistogram _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_doc_pack" -> (qDocPack _),

@@ -167,6 +167,36 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(1) === ((6L, "only-in-six", 1L)), s"doc 6 keeps only its unique line: ${out(1)}")
   }
 
+  test("bm25Score: tf saturation, idf discrimination, length normalization, topK cut") {
+    import graft.ext.TextAnalysis
+    // 'rare' appears in 1 doc, 'common' in all 4; doc 4 is long padding
+    val docs = Seq(
+      (1L, "rare common pad"),
+      (2L, "common common pad"),
+      (3L, "common pad pad"),
+      (4L, ("common " + Array.fill(50)("pad").mkString(" "))),
+      (5L, null.asInstanceOf[String])) // null text: never matches, never crashes
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Score(docs, Seq("rare", "common"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L), "null-text doc absent")
+    val score = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val nterms = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nterms(1L) === 2L && nterms(2L) === 1L)
+    // idf discrimination: the rare term dominates — doc 1 outranks everything
+    assert(score(1L) > score(2L) && score(1L) > score(3L))
+    // tf saturation: doubled tf raises the score but less than 2x
+    assert(score(2L) > score(3L) && score(2L) < 2.0 * score(3L))
+    // length normalization: same tf=1 of 'common', doc 4 is 17x longer -> scores lower
+    assert(score(4L) < score(3L))
+    // all-positive scores (rational idf cannot go negative on common terms)
+    assert(out.forall(_.getDouble(2) > 0.0))
+    // topK: k=2 returns the 2 best in order with doc-id tiebreak
+    val top = TextAnalysis.bm25TopK(docs, Seq("rare", "common"), k = 2)
+      .select("doc_id").as[Long].collect()
+    assert(top.length === 2 && top(0) === 1L)
+  }
+
   test("chunkDocuments: sliding windows with overlap, tail and empty-doc boundaries") {
     import graft.ext.TextAnalysis
     val docs = Seq(
