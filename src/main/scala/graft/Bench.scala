@@ -13,15 +13,17 @@ import org.apache.spark.sql.functions._
   * q_cdc_pipeline_e2e times the pipeline, not one-time fixture generation.
   *
   * Each query runs TWICE and the minimum is reported (best-of-2); queries
-  * over 2 s get a THIRD run (best-of-3) — the engine's own execution is
-  * deterministic, so the min strips transient machine noise (concurrent
-  * load, GC pauses, page-cache misses) that a single-shot measurement can
-  * record as a phantom regression, and heavy queries need the extra run
-  * because a single noisy window can poison both passes. Per-query `spread`
-  * (max/min across runs) and raw run times land in `bench_detail.json` so a
-  * real regression is distinguishable from measurement noise; stdout gets a
-  * single SHORT JSON line (heaviest queries + an aggregate of the fast
-  * rest) sized to survive tail-truncating log capture.
+  * over 2 s get a THIRD run (best-of-3), and any query whose runs
+  * disagree >1.5x gets an adaptive tie-breaker run — the engine's own
+  * execution is deterministic, so the min strips transient machine noise
+  * (concurrent load, GC pauses, page-cache misses) that a single-shot
+  * measurement can record as a phantom regression, and a single noisy
+  * window can poison a whole stretch of one pass. Per-query `spread`
+  * (runner-up/best — how corroborated the reported best is) and raw run
+  * times land in `bench_detail.json` so a real regression is
+  * distinguishable from measurement noise; stdout gets a single SHORT
+  * JSON line (heaviest queries + an aggregate of the fast rest) sized to
+  * survive tail-truncating log capture.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -85,13 +87,20 @@ object Bench {
     // Queries above 2 s get a THIRD counted run: even warm, a single noisy
     // window (GC pause, concurrent load) can poison both passes of a heavy
     // query, and only heavy queries are worth the extra pass. The per-query
-    // spread (max/min across runs) is reported so a real regression is
+    // spread (runner-up/best across runs) is reported so a real regression is
     // distinguishable from machine noise without re-running the bench.
     val runs0: Map[String, Seq[Double]] =
       p1.zip(p2).map { case ((n, a), (_, b)) => n -> Seq(a, b) }.toMap
     val runs = names.map { case (n, fn) =>
       val r = runs0(n)
-      n -> (if (r.min > 2.0) r :+ time(fn) else r)
+      val heavy = if (r.min > 2.0) r :+ time(fn) else r
+      // ADAPTIVE tie-breaker: the two counted passes run ~a full pass
+      // apart, so one multi-second host hiccup (page-cache eviction,
+      // CPU contention) poisons a WINDOW of adjacent queries in one pass
+      // — observed as first-run-fastest spreads up to 8.6x on identical
+      // code. When the runs disagree >1.5x, one extra run corroborates
+      // which side was real; only noisy queries pay for it.
+      n -> (if (heavy.min > 0 && heavy.max / heavy.min > 1.5) heavy :+ time(fn) else heavy)
     }
     val best = runs.map { case (n, r) => n -> r.min }.toMap
 
@@ -120,16 +129,28 @@ object Bench {
 
   private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
 
+  /** Per-query repeatability of the REPORTED (best) time: runner-up /
+    * best across the counted runs. A lone hiccup-poisoned run inflates
+    * max/min without casting any doubt on the best time the bench
+    * actually reports — the runner-up does: if the second-fastest run is
+    * close to the fastest, the reported number is corroborated. The raw
+    * runs are dumped alongside, so max/min is still derivable.
+    */
+  private def spreadOf(r: Seq[Double]): Double = {
+    val s = r.sorted
+    if (s.isEmpty || s.head <= 0 || s.size < 2) 1.0 else s(1) / s.head
+  }
+
   /** Full bench detail as one JSON document: best-of-runs per query, the
-    * max/min spread per query, and the raw run times. `extra` is a
-    * pre-rendered JSON fragment (`"k":v,...`) appended to the document —
-    * the ingest-rate and 10x-scale sections.
+    * runner-up/best spread per query ([[spreadOf]]), and the raw run
+    * times. `extra` is a pre-rendered JSON fragment (`"k":v,...`)
+    * appended to the document — the ingest-rate and 10x-scale sections.
     */
   def detailJson(runs: Seq[(String, Seq[Double])], sfDir: String, extra: String = ""): String = {
     val results = runs.map { case (n, r) => n -> r.min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val spread = runs.map { case (k, r) =>
-      "\"" + k + "\":" + (if (r.min > 0) r3(r.max / r.min) else 1.0)
+      "\"" + k + "\":" + r3(spreadOf(r))
     }.mkString("{", ",", "}")
     val raw = runs.map { case (k, r) =>
       "\"" + k + "\":[" + r.map(r3).mkString(",") + "]"
@@ -168,7 +189,7 @@ object Bench {
     val rest = byCost.drop(kept)
     val maxSpread =
       if (runs.isEmpty) 1.0
-      else runs.map { case (_, r) => if (r.min > 0) r.max / r.min else 1.0 }.max
+      else runs.map { case (_, r) => spreadOf(r) }.max
     sb.append("}")
     sb.append(s""","fast_n":${rest.size},"fast_total":${r3(rest.map(_._2).sum)}""")
     if (extra.nonEmpty) sb.append("," + extra)

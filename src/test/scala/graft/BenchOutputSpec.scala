@@ -64,6 +64,17 @@ class BenchOutputSpec extends AnyFunSuite {
     assert(detail.count(_ == '{') === detail.count(_ == '}'))
   }
 
+  test("spread is runner-up/best: one hiccup run does not inflate it") {
+    // one 15 s outlier among 1.0/1.1 runs: reported best (1.0) is
+    // corroborated by the 1.1 runner-up, so spread = 1.1, not 15
+    val runs = Seq("q_hiccup" -> Seq(1.0, 15.0, 1.1))
+    val detail = Bench.detailJson(runs, "sf")
+    assert(detail.contains(""""q_hiccup":1.1"""), detail)
+    assert(detail.contains("15.0"), "raw runs must still carry the outlier")
+    val line = Bench.compactLine(runs, "sf", "d.json")
+    assert(line.contains(""""max_spread":1.1"""), line)
+  }
+
   test("degenerate inputs do not throw") {
     assert(Bench.compactLine(Seq.empty, "sf", "d.json").contains(""""fast_n":0"""))
     val zero = Seq("q_zero" -> Seq(0.0, 0.0))
