@@ -182,6 +182,46 @@ object StreamOps {
         col("from_ts"), col("to_ts"))
   }
 
+  /** Funnel WITH abandonment: [[funnelPairs]] as a LEFT-OUTER
+    * stream-stream interval join, so every `fromType` event is emitted
+    * exactly once — joined to each in-window `toType` event, or with NULL
+    * `to_id`/`to_ts` if none arrived ("viewed, never bought"). The
+    * abandoned row cannot be emitted eagerly (a matching event may still
+    * be in flight), so Spark holds the from-row in join state and
+    * releases the NULL-extended row once the watermark passes
+    * `from_ts + maxSpan` — abandonment latency = watermark delay + span,
+    * the price of an exact answer under late data. State stays
+    * O(in-horizon events) exactly as the inner variant: the time bound
+    * plus both-side watermarks let the join evict rows older than
+    * `watermarkDelay + maxSpan`; one shuffle of both sides on the user
+    * key at any scale.
+    */
+  def funnelWithAbandoned(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      maxSpan: String,
+      watermarkDelay: String,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    val from = events.where(col(typeCol) === fromType)
+      .select(col(userCol).as("_fuser"), col(idCol).as("from_id"), col(tsCol).as("from_ts"))
+      .withWatermark("from_ts", watermarkDelay)
+    val to = events.where(col(typeCol) === toType)
+      .select(col(userCol).as("_tuser"), col(idCol).as("to_id"), col(tsCol).as("to_ts"))
+      .withWatermark("to_ts", watermarkDelay)
+    from.join(to,
+        col("_fuser") === col("_tuser") &&
+          col("to_ts") > col("from_ts") &&
+          col("to_ts") <= col("from_ts") + expr(s"INTERVAL $maxSpan"),
+        "left_outer")
+      .select(col("_fuser").as(userCol), col("from_id"), col("to_id"),
+        col("from_ts"), col("to_ts"))
+  }
+
   /** Per-window grouped TOP-K over a stream: for each (event-time window,
     * key) emit the k largest rows by `orderCols` (left-to-right
     * descending; include a unique id as the last tiebreaker for a total

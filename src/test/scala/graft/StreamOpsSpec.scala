@@ -148,6 +148,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer funnel emits abandoned starts after the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, String)]
+    val ev = input.toDF().toDF("ts", "event_id", "user_id", "event_type")
+    val out = StreamOps.funnelWithAbandoned(ev, fromType = "click", toType = "purchase",
+      maxSpan = "30 minutes", watermarkDelay = "10 minutes")
+
+    val q = out.writeStream.format("memory").queryName("funnel_lo").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 7L, "click"),    // converts
+        (ts("2024-01-01 10:10:00"), 2L, 7L, "purchase"),
+        (ts("2024-01-01 10:00:00"), 3L, 8L, "click"))    // never converts
+      q.processAllAvailable()
+      // the global watermark is the MIN across both sides, and each side
+      // only advances on events it actually sees (clicks / purchases), so
+      // BOTH types must move forward before user 8's click at 10:00 ages
+      // past from_ts + 30min span; two batches because eviction happens
+      // on the batch AFTER the watermark update. The later clicks pair
+      // up immediately so the expected set stays closed.
+      input.addData(
+        (ts("2024-01-01 12:00:00"), 9L, 99L, "click"),
+        (ts("2024-01-01 12:10:00"), 10L, 99L, "purchase"))
+      q.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 13:00:00"), 11L, 98L, "click"),
+        (ts("2024-01-01 13:05:00"), 12L, 98L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_lo")
+        .select("user_id", "from_id", "to_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows == Set((7L, 1L, 2L), (8L, 3L, -1L), (99L, 9L, 10L), (98L, 11L, 12L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("tumbling window agg over a stream emits finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
