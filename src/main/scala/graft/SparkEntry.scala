@@ -273,6 +273,21 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_funnels, CAST(SUM(lat) AS BIGINT) AS sum_latency_us
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Left-outer funnel: every click row survives, NULL-extended when no
+    // purchase follows within 30 minutes; per-user converted/abandoned
+    // counts are integer-exact.
+    "q_funnel_abandoned" ->
+      """WITH f AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |t AS (SELECT user_id, event_id AS to_id, ts AS tts FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT f.user_id, f.event_id, t.to_id
+        |  FROM f LEFT JOIN t ON f.user_id = t.user_id
+        |    AND t.tts > f.ts AND t.tts <= f.ts + INTERVAL 30 MINUTE)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(to_id) AS BIGINT) AS n_converted,
+        |  CAST(SUM(CASE WHEN to_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_cdc_latest" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

@@ -1003,6 +1003,24 @@ object Queries {
         sum(unix_micros(col("to_ts")) - unix_micros(col("from_ts"))).as("sum_latency_us"))
       .orderBy(col("user_id"))
 
+  /** Abandonment-funnel gate: the LEFT-OUTER variant of [[qEventsFunnel]]
+    * through [[graft.streaming.StreamOps.funnelWithAbandoned]] on a batch
+    * frame (unified semantics — the watermark is a no-op in batch): every
+    * click emits, paired or NULL-extended, aggregated per user into
+    * converted/abandoned counts. All-integer outputs. Full DuckDB oracle
+    * (a plain LEFT JOIN with the interval condition).
+    */
+  def qFunnelAbandoned(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.funnelWithAbandoned(
+      events(spark, dir), fromType = "click", toType = "purchase",
+      maxSpan = "30 minutes", watermarkDelay = "1 hour")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("to_id")).as("n_converted"),
+        sum(when(col("to_id").isNull, 1L).otherwise(0L)).as("n_abandoned"))
+      .orderBy(col("user_id"))
+
   /** Backward as-of join gate: every click picks up the latest purchase
     * by the same user at-or-before the click — the point-in-time lookup,
     * via the union-merge [[graft.ops.AsOfJoin]] (one shuffle + one per-key
@@ -1548,6 +1566,7 @@ object Queries {
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_funnel" -> (qEventsFunnel _),
+    "q_funnel_abandoned" -> (qFunnelAbandoned _),
     "q_asof_join" -> (qAsofJoin _),
     "q_bloom_semi_join" -> (qBloomSemiJoin _),
     "q_salted_join" -> (qSaltedJoin _),
