@@ -266,8 +266,16 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("_tk")).cast("double").as("dl"),
         explode(col("_tk")).as("term"))
       .where(col("term").isin(queryTerms: _*))
+    // Materialize tf ONCE: df derives from tf, but as a lazy plan the df
+    // branch would re-scan and re-tokenize the whole corpus (column
+    // pruning drops min(dl) from that branch, so the two exchanges are
+    // not canonically equal and AQE cannot reuse them — verified on the
+    // executed plan). tf is at most |docs|·|queryTerms| aggregated rows,
+    // so the checkpoint is small at any corpus size and saves a full
+    // second corpus pass.
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"), min(col("dl")).as("dl"))
+      .localCheckpoint()
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val perTerm = tf.join(broadcast(dfTab), "term")
