@@ -207,8 +207,17 @@ object TextAnalysis {
     val n = docs.count()
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)).as("term"))
+    // Materialize tf once and derive df FROM it: as lazy plans the df
+    // branch re-scans and re-tokenizes the corpus (the branches prune
+    // different columns, so their exchanges are not canonically equal
+    // and AQE cannot reuse them). df = count of distinct docs per term =
+    // row count per term over the (doc, term)-aggregated tf, so deriving
+    // it also drops the expensive countDistinct. The checkpoint persists
+    // ~the same bytes the duplicate branch's shuffle would have written,
+    // and saves a full second corpus scan + tokenize at any scale.
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .select(col("doc_id"), col("term"),
         (col("tf").cast("double") * (lit(n.toDouble) / col("df").cast("double"))).as("score"))
@@ -329,8 +338,13 @@ object TextAnalysis {
     */
   def tokenRarity(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val n = docs.count()
+    // Checkpoint the per-doc distinct (id, tok) incidence: it feeds BOTH
+    // the df aggregation and the join probe side, and as a lazy plan each
+    // use re-scans and re-tokenizes the corpus (differently-pruned
+    // branches defeat AQE exchange reuse). One corpus pass instead of two.
     val pairs = docs.select(col(idCol).as("id"),
       explode(graft.ext.Dedup.tokenSet(col(textCol))).as("tok"))
+      .localCheckpoint()
     val dfTab = pairs.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val perDoc = pairs.join(dfTab, "tok")
       .groupBy(col("id"))
