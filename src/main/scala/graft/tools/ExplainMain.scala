@@ -35,7 +35,11 @@ object ExplainMain {
         case Some(fn) =>
           val df = fn(spark, sfDir)
           if (exec) {
-            df.count()
+            // collect() (not count()) — count() builds a NEW query execution
+            // around an added aggregate, leaving this df's own
+            // AdaptiveSparkPlan unexecuted (isFinalPlan=false), which hides
+            // every runtime AQE decision the flag exists to show.
+            df.collect()
             println(df.queryExecution.executedPlan.toString)
           } else df.explain("formatted")
         case None => println(s"unknown query '$name' — known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
