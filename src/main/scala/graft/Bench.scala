@@ -291,9 +291,10 @@ object Bench {
   /** Render the 10x scale section: per-query seconds at 10x rows plus the
     * ratio vs that query's best time at the base SF (near-linear operators
     * should land around 10, comfortably under the ~12 gate; -1 marks a
-    * failed run). One timed pass per query — the code paths are fully warm
-    * after the counted passes, the parquet is primed by a count, and the
-    * ratio bound has the headroom single-shot noise needs.
+    * failed run). Best of TWO passes per query: a single pass proved too
+    * exposed to one-off GC/host hiccups (observed 31 s / 74 s / 31 s for
+    * the same sf1 query back-to-back on an idle box) — one outlier pass
+    * would push a genuinely linear operator past the ratio gate.
     */
   private def scale10xSection(
       spark: SparkSession, sfDir: String, base: Map[String, Double]): String = {
@@ -302,14 +303,18 @@ object Bench {
       spark.read.parquet(s"$dir10/documents.parquet").count()
       spark.read.parquet(s"$dir10/embeddings.parquet").count()
       val timed = Scale10xQueries.map { name =>
-        val t0 = System.nanoTime()
-        val t =
-          try { SparkEntry.queries(name)(spark, dir10).count(); (System.nanoTime() - t0) / 1e9 }
-          catch {
+        def onePass(): Double =
+          try {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, dir10).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"BENCH 10x QUERY FAILED ($name): ${e.getMessage}")
               -1.0
           }
+        val (a, b) = (onePass(), onePass())
+        val t = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
         (name, t)
       }
       val qs = timed.map { case (n, t) => "\"" + n + "\":" + r3(t) }.mkString("{", ",", "}")

@@ -409,6 +409,37 @@ object SparkEntry {
         |      '\s+', ' ', 'g')), 1, 40)) AS BIGINT) AS lev
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Fuzzy pairs: the oracle is a BOUNDED brute-force cross join with
+    // exact levenshtein over the same planted union — exhaustive truth
+    // for every pair the SymSpell blocking may find or miss.
+    "q_fuzzy_pairs" ->
+      """WITH c AS (
+        |  SELECT p_partkey AS id, lower(p_name) AS s FROM part WHERE p_partkey < 1000
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000 AS id, 'x' || substr(lower(p_name), 2) AS s
+        |  FROM part WHERE p_partkey < 500)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Weighted sample: replay the A-Res key formula verbatim — both
+    // engines must draw the same 200 documents.
+    "q_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(trim(text)) + 1 AS DOUBLE) AS weight
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang, weight,
+        |    pow((((doc_id * 2654435761) % 4294967296) + 1.0) / 4294967297.0,
+        |        1.0 / weight) AS wkey
+        |  FROM w WHERE weight > 0)
+        |SELECT doc_id, lang, weight FROM
+        |  (SELECT * FROM k ORDER BY wkey DESC, doc_id LIMIT 200)
+        |ORDER BY doc_id""".stripMargin,
+
     // Bloom pre-filter changes only the physical shape — oracle is the
     // plain semi join.
     "q_bloom_semi_join" ->

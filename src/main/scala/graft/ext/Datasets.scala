@@ -96,6 +96,35 @@ object Datasets {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
 
+  /** Deterministic weighted sample without replacement — Efraimidis &
+    * Spirakis A-Res (IPL 2006): each row gets key u^(1/w) for u uniform in
+    * (0,1] and weight w > 0; the k largest keys are an exact weighted
+    * sample. u comes from the multiplicative id hash (not an RNG), so the
+    * draw is a pure per-row function, reproducible across engines and
+    * cluster sizes like everything else here. The heavy lifting is a
+    * global top-k — Spark plans orderBy+limit as per-partition heaps plus
+    * a driver merge of k rows (TakeOrderedAndProject), never a full sort,
+    * so the shape holds at any corpus size for k ≪ data.
+    *
+    * Rows with NULL or non-positive weight are excluded (a zero-weight row
+    * by definition cannot be drawn). Typical weights: token counts (sample
+    * proportional to training contribution), quality scores.
+    */
+  def weightedSample(
+      df: DataFrame,
+      k: Int,
+      weightCol: String,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val u = (pmod(col(idCol) * GoldenRatioHash, lit(4294967296L)) + 1.0) / 4294967297.0
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.where(col(weightCol).isNotNull && col(weightCol).cast("double") > 0)
+      .withColumn("_wkey", key)
+      .orderBy(col("_wkey").desc, col(idCol))
+      .limit(k)
+      .drop("_wkey")
+  }
+
   /** Distributed prefix sum of a numeric column in `idCol` order — the
     * scalable cumulative sum a single `Window.orderBy` (one task holding
     * the whole corpus) cannot provide. Two passes:

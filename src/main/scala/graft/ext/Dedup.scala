@@ -527,4 +527,65 @@ object Dedup {
       if (n <= 1) tokenSet(textB) else wordShingles(textB, n))
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)).cast("double")
   }
+
+  // ------------------------------------------------- edit-distance pairs
+
+  /** All distinct strings reachable from `s` by deleting up to `d`
+    * characters (SymSpell's deletion neighborhood, including `s` itself).
+    * Pure higher-order-function columns — no UDF. Neighborhood size is
+    * O(len^d), so this targets SHORT string columns (names, titles, URLs);
+    * for document bodies use MinHash/SimHash instead.
+    */
+  def deletionVariants(s: Column, d: Int): Column = {
+    require(d >= 1 && d <= 2, s"deletion distance must be 1 or 2, got $d")
+    def deletesOf(v: Column): Column =
+      transform(sequence(lit(1), length(v)),
+        i => concat(v.substr(lit(1), i - 1), v.substr(i + 1, length(v) - i)))
+    val d1 = array_distinct(concat(array(s), deletesOf(s)))
+    if (d == 1) d1
+    else array_distinct(flatten(transform(d1, v => concat(array(v), deletesOf(v)))))
+  }
+
+  /** All pairs of rows whose `strCol` values are within Levenshtein
+    * distance `maxDist`, by SymSpell-style deletion-neighborhood blocking
+    * (Garbe's symmetric delete algorithm, public): two strings within edit
+    * distance d ≤ 2 necessarily share a member of their ≤d-deletion
+    * neighborhoods (delete the ≤d edited positions from each side of the
+    * alignment), so an equi-join on exploded variants finds every true
+    * pair; exact `levenshtein` on the joined originals removes the false
+    * positives blocking lets through.
+    *
+    * Scale shape: variant explosion is map-side and linear (len^maxDist
+    * variants per row — short-string columns only); candidates come from a
+    * variant-key equi-join, never a cross join. Skew guard: a variant
+    * shared by more than `maxBucketSize` rows (e.g. millions of empty or
+    * boilerplate-identical names collapsing to the same neighborhood)
+    * would pair quadratically; those buckets are dropped, and mass-equal
+    * strings still pair through their other, unshared variants or exact
+    * dedup upstream. The count window reuses the join's own (vk) exchange
+    * — same pattern as [[nearDuplicatePairs]].
+    */
+  def fuzzyPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      strCol: String = "text",
+      maxDist: Int = 1,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s")).where(col("s").isNotNull)
+    val variants = base
+      .select(col("id"), explode(deletionVariants(col("s"), maxDist)).as("vk"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("vk"))))
+      .where(col("bucket_n") <= maxBucketSize)
+    val candidates = variants.select(col("vk"), col("id").as("id_a"))
+      .join(variants.select(col("vk"), col("id").as("id_b")), Seq("vk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
 }

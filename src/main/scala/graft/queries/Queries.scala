@@ -1180,6 +1180,43 @@ object Queries {
         substring(TextAnalysis.normalizeText(col("text")), 1, 40)).cast("long").as("lev"))
       .orderBy(col("doc_id"))
 
+  /** Fuzzy-pairs gate ([[graft.ext.Dedup.fuzzyPairs]]): SymSpell
+    * deletion-neighborhood join at Levenshtein distance ≤ 1 over short
+    * strings (lowercased part names, p_partkey < 1000) with a planted
+    * one-substitution typo copy of the first 500 (first char → 'x',
+    * ids + 1 000 000). The oracle is a bounded brute-force cross join with
+    * DuckDB's `levenshtein` over the SAME union — every blocking decision
+    * the operator makes is checked against exhaustive truth. Expected
+    * pairs: each (original, typo) at distance exactly 1; natural part-name
+    * pairs at distance ≤ 1 are essentially impossible (5-word color
+    * names).
+    */
+  def qFuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+    val base = part.where(col("p_partkey") < 1000)
+      .select(col("p_partkey").as("id"), lower(col("p_name")).as("s"))
+    val typos = part.where(col("p_partkey") < 500)
+      .select((col("p_partkey") + 1000000L).as("id"),
+        concat(lit("x"), lower(col("p_name")).substr(lit(2), length(col("p_name")))).as("s"))
+    Dedup.fuzzyPairs(base.unionByName(typos), "id", "s", maxDist = 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Weighted-sample gate ([[graft.ext.Datasets.weightedSample]]):
+    * Efraimidis–Spirakis A-Res draw of 200 documents proportional to text
+    * length (the "sample by training-token contribution" op), keys from
+    * the multiplicative id hash so DuckDB replays the identical formula —
+    * both engines must pick the SAME 200 documents.
+    */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Datasets.weightedSample(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (length(trim(col("text"))) + 1L).cast("double").as("weight")),
+      k = 200, weightCol = "weight")
+      .orderBy(col("doc_id"))
+
   /** Order-invariant content checksum gate
     * ([[graft.ops.Integrity.orderInvariantChecksum]]) over engine-stable
     * renderings (int + string columns): both engines must fold the whole
@@ -1632,6 +1669,8 @@ object Queries {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_string_distance" -> (qStringDistance _),
+    "q_fuzzy_pairs" -> (qFuzzyPairs _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_text_langid" -> (qTextLangId _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_image_features" -> (qImageFeatures _),

@@ -483,6 +483,66 @@ class ExtOpsSpec extends SparkSpec {
     assert(narrow.subsetOf(wider))
   }
 
+  test("fuzzyPairs finds exactly the brute-force levenshtein pairs at d=1 and d=2") {
+    // Random-ish short strings over a 3-letter alphabet: small alphabet +
+    // short length makes true close pairs COMMON, so the blocking's
+    // completeness is actually exercised (a big alphabet would make every
+    // pair distant and the test vacuous).
+    val rnd = new scala.util.Random(7)
+    val strings = (0L until 120L).map { i =>
+      val len = 2 + rnd.nextInt(5)
+      (i, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val df = strings.toDF("doc_id", "text")
+    for (d <- Seq(1, 2)) {
+      val expected = (for {
+        (ia, sa) <- strings; (ib, sb) <- strings
+        if ia < ib && lev(sa, sb) <= d
+      } yield (ia, ib, lev(sa, sb))).toSet
+      val got = Dedup.fuzzyPairs(df, maxDist = d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected, s"d=$d: ${got.size} pairs vs brute-force ${expected.size}")
+      assert(expected.size > 50, s"d=$d test corpus too sparse to be meaningful")
+    }
+  }
+
+  test("fuzzyPairs skew guard drops a pathological shared-variant bucket but keeps real pairs") {
+    // 50 copies of the same string share every variant; with the guard at
+    // 10 they must not produce 50*49/2 pairs. The distinct pair far away
+    // keeps its pairing through its own unshared variants.
+    val rows = (0L until 50L).map(i => (i, "aaaa")) ++ Seq((100L, "zzzz"), (101L, "zzzx"))
+    val out = Dedup.fuzzyPairs(rows.toDF("doc_id", "text"), maxDist = 1, maxBucketSize = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(out.toSeq.map(p => (p._1, p._2)) == Seq((100L, 101L)))
+  }
+
+  test("weightedSample is the exact top-k of the A-Res keys and favors heavy rows") {
+    val rows = (1L to 1000L).map(i => (i, if (i <= 10) 10000.0 else 1.0))
+    val df = rows.toDF("doc_id", "w")
+    val got = Datasets.weightedSample(df, k = 50, weightCol = "w")
+      .select("doc_id").as[Long].collect().toSet
+    // replay the formula locally — the draw is a pure function of (id, w)
+    val expected = rows.map { case (id, w) =>
+      val u = (((id * 2654435761L) % 4294967296L) + 1.0) / 4294967297.0
+      (id, math.pow(u, 1.0 / w))
+    }.sortBy { case (id, key) => (-key, id) }.take(50).map(_._1).toSet
+    assert(got == expected)
+    // weight 10000 vs 1: all ten heavy rows are near-certain picks
+    assert((1L to 10L).forall(got.contains), s"heavy rows missing from $got")
+    // determinism across partitionings
+    val again = Datasets.weightedSample(df.repartition(13), k = 50, weightCol = "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
   test("prefixSum ranges stay balanced when ids cluster in 1% of the span") {
     import spark.implicits._
     // 2000 ids packed into [0,2000) plus one far outlier: span-uniform
