@@ -529,6 +529,93 @@ object SparkEntry {
       """SELECT doc_id, true AS copy_matches, true AS reorder_differs
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Incremental near-dup: exhaustive exact-Jaccard cross join of the
+    // planted increment (paraphrases +1e6, token-reversed +2e6) against
+    // the full corpus — brute-force truth for the broadcast/semi-join
+    // plan, recall 1.0 required.
+    "q_incremental_near_dup" ->
+      """WITH incoming AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    regexp_replace(text, '\s+\S+\s*$', '') AS text
+        |  FROM documents WHERE doc_id < 80
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_reverse(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), ' ') AS text
+        |  FROM documents WHERE doc_id >= 80 AND doc_id < 160),
+        |itoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM incoming),
+        |ctoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |ish AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM itoks),
+        |csh AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM ctoks)
+        |SELECT i.doc_id AS inc_id, c.doc_id AS corpus_id,
+        |  CAST(len(list_intersect(i.s, c.s)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(i.s, c.s))) AS DOUBLE) AS jaccard
+        |FROM ish i, csh c
+        |WHERE len(list_distinct(list_concat(i.s, c.s))) > 0
+        |  AND CAST(len(list_intersect(i.s, c.s)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(i.s, c.s))) AS DOUBLE) >= 0.5
+        |ORDER BY inc_id, corpus_id""".stripMargin,
+
+    // Composed increment filter: incoming minus the exact match set.
+    "q_dedup_increment" ->
+      """WITH incoming AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    regexp_replace(text, '\s+\S+\s*$', '') AS text
+        |  FROM documents WHERE doc_id < 80
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_reverse(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), ' ') AS text
+        |  FROM documents WHERE doc_id >= 80 AND doc_id < 160),
+        |itoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM incoming),
+        |ctoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |ish AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM itoks),
+        |csh AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM ctoks),
+        |dups AS (
+        |  SELECT DISTINCT i.doc_id
+        |  FROM ish i, csh c
+        |  WHERE len(list_distinct(list_concat(i.s, c.s))) > 0
+        |    AND CAST(len(list_intersect(i.s, c.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(i.s, c.s))) AS DOUBLE) >= 0.5)
+        |SELECT doc_id FROM incoming WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+        |ORDER BY doc_id""".stripMargin,
+
     // Real correctness gate for the MinHash-LSH near-dup path: the exact
     // 3-gram-shingle Jaccard ≥ 0.5 pair set over the planted corpus
     // (documents ∪ last-word-dropped copies, id+1e6), computed directly in

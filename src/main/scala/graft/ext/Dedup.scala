@@ -528,6 +528,105 @@ object Dedup {
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)).cast("double")
   }
 
+  // --------------------------------------------- incremental near-dup
+
+  /** Near-duplicate pairs between a (huge) `corpus` and a (small-by-
+    * comparison) `incoming` batch — the daily-crawl primitive: "which new
+    * documents already exist, possibly paraphrased, in everything stored
+    * so far". Same MinHash/banding/Jaccard semantics as
+    * [[nearDuplicatePairs]], but the CROSS-corpus shape allows a plan the
+    * self-join cannot have: the increment's band keys broadcast, so the
+    * corpus is touched by exactly TWO map-only passes and never shuffled.
+    *
+    *   1. incoming bands (|incoming|·numBands rows, the broadcast bound)
+    *      are distinct-ed and broadcast; a corpus sketch pass keeps only
+    *      corpus docs sharing ≥ 1 band with the increment (broadcast semi
+    *      join — map-only). Survivors are increment-sized, not
+    *      corpus-sized: everything after this point is small.
+    *   2. skew guards on BOTH sides (an incoming-hot band is a tiny agg;
+    *      a corpus-hot band is counted over survivors only — partial-agg
+    *      shuffle of the survivor set, never the corpus), then the
+    *      band equi-join pairs survivors with broadcast incoming bands.
+    *   3. exact-Jaccard verify re-reads the two pair sides' texts with a
+    *      broadcast id semi join into each source (map-only on the corpus
+    *      side, same recompute-don't-materialize stance as
+    *      [[nearDuplicatePairs]]).
+    *
+    * Ids must be disjoint across the two frames (they identify rows in
+    * the output). Returns (inc_id, corpus_id, jaccard ≥ threshold).
+    */
+  def incrementalNearDups(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 32,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    def bands(df: DataFrame): DataFrame =
+      minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
+        .select(col("id"), explode(lshBandKeys(col("signature"), numHashes, numBands)).as("bk"))
+    // Incoming-side guard first: a band key hot in the INCREMENT is
+    // dropped before it can broadcast an amplifier.
+    val incBands = bands(incoming)
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("id").as("inc_id"), col("bk"))
+    val survivors = bands(corpus)
+      .join(broadcast(incBands.select("bk").distinct()), Seq("bk"), "leftsemi")
+    // Corpus-side guard over survivors only: counts are per band key
+    // ALREADY known to touch the increment, so the agg input is the
+    // survivor set, not the corpus.
+    val hotCorpus = survivors.groupBy(col("bk")).count()
+      .where(col("count") > maxBucketSize).select("bk")
+    val candidates = survivors
+      .join(broadcast(hotCorpus), Seq("bk"), "leftanti")
+      .join(broadcast(incBands), Seq("bk"))
+      .select(col("inc_id"), col("id").as("corpus_id"))
+      .distinct()
+    val shingleOf: DataFrame => DataFrame = df =>
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
+    val jaccard = call_function("jaccard_sim", col("sh_i"), col("sh_c"))
+    // Verify joins keep the corpus on the STREAM side of broadcast joins:
+    // candidates ⋈ incoming shingles is increment × increment, and the
+    // result (pairs + their incoming shingle sets, increment-bounded)
+    // broadcasts into one more map-only corpus pass — the corpus is never
+    // hash-partitioned anywhere in this operator.
+    val withInc = candidates.join(
+      broadcast(shingleOf(incoming).select(col("id").as("inc_id"), col("sh").as("sh_i"))),
+      Seq("inc_id"))
+    shingleOf(corpus).select(col("id").as("corpus_id"), col("sh").as("sh_c"))
+      .join(broadcast(withInc), Seq("corpus_id"))
+      .select(col("inc_id"), col("corpus_id"), jaccard.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** The filter built on [[incrementalNearDups]]: incoming rows that are
+    * NOT near-duplicates of any corpus document — what actually gets
+    * appended by an incremental ingest. Anti join on the pair set; all
+    * incoming columns pass through.
+    */
+  def dedupIncrement(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 32,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    val dupIds = incrementalNearDups(corpus, incoming, idCol, textCol,
+      shingleSize, numHashes, numBands, threshold, maxBucketSize)
+      .select(col("inc_id").as(idCol)).distinct()
+    incoming.join(broadcast(dupIds), Seq(idCol), "leftanti")
+  }
+
   // ------------------------------------------------- edit-distance pairs
 
   /** All distinct strings reachable from `s` by deleting up to `d`

@@ -517,6 +517,49 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental near-dup gate ([[graft.ext.Dedup.incrementalNearDups]]):
+    * the daily-crawl shape — an "incoming" batch (last-word-dropped
+    * paraphrases of docs < 80, ids +1e6, which MUST match their
+    * originals; token-REVERSED texts of docs 80..159, ids +2e6, whose
+    * trigram shingles are disjoint from every original and must match
+    * nothing beyond degenerate short docs) deduped against the full
+    * documents corpus. Oracle: exhaustive exact-Jaccard cross join
+    * incoming × corpus in DuckDB — every broadcast/semi-join/skew-guard
+    * decision checked against brute-force truth, recall 1.0 required.
+    */
+  def qIncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    Dedup.incrementalNearDups(docs, incrementBatch(docs), threshold = 0.5,
+      numHashes = 64, numBands = 16)
+      .orderBy(col("inc_id"), col("corpus_id"))
+  }
+
+  /** The composed filter ([[graft.ext.Dedup.dedupIncrement]]) on the same
+    * corpus/increment: only the genuinely novel incoming rows survive
+    * (reversed-text docs plus any paraphrase whose original fell under
+    * the Jaccard threshold). Oracle: incoming EXCEPT the exact-Jaccard
+    * match set.
+    */
+  def qDedupIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    Dedup.dedupIncrement(docs, incrementBatch(docs), threshold = 0.5,
+      numHashes = 64, numBands = 16)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The planted increment shared by [[qIncrementalNearDup]] and
+    * [[qDedupIncrement]] (and restated verbatim by their oracles).
+    */
+  private def incrementBatch(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") < 80)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+      .unionByName(docs.where(col("doc_id") >= 80 && col("doc_id") < 160)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ",
+            reverse(filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))).as("text")))
+
   /** Duplicate-GROUP resolution gate: connected components over the
     * near-dup pair graph of the q_near_dup_pairs corpus →
     * (doc, canonical = min reachable id). The LSH pair set equals the
@@ -1618,6 +1661,8 @@ object Queries {
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_lsh" -> (qMinHashLsh _),
     "q_near_dup_pairs" -> (qNearDupPairs _),
+    "q_incremental_near_dup" -> (qIncrementalNearDup _),
+    "q_dedup_increment" -> (qDedupIncrement _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_cc_long_chain" -> (qCcLongChain _),
     "q_hot_bucket_groups" -> (qHotBucketGroups _),

@@ -483,6 +483,45 @@ class ExtOpsSpec extends SparkSpec {
     assert(narrow.subsetOf(wider))
   }
 
+  test("incrementalNearDups matches paraphrases against the corpus; dedupIncrement keeps only novel docs") {
+    val corpus = docs.select(col("doc_id"), col("text")).where(length(col("text")) > 100)
+    // incoming: an exact copy, a paraphrase (last word dropped), and a
+    // token-reversed doc (trigram-disjoint from every original)
+    val copy = corpus.where(col("doc_id") === 1).select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val para = corpus.where(col("doc_id") === 2).select((col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+    val novel = corpus.where(col("doc_id") === 3).select((col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", reverse(filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))).as("text"))
+    val incoming = copy.unionByName(para).unionByName(novel)
+    val pairs = Dedup.incrementalNearDups(corpus, incoming, threshold = 0.5,
+      numHashes = 64, numBands = 16)
+      .as[(Long, Long, Double)].collect()
+    val byInc = pairs.groupBy(_._1)
+    assert(byInc(1000001L).exists(p => p._2 == 1L && p._3 == 1.0), "exact copy must match its original at jaccard 1")
+    assert(byInc(1000002L).exists(p => p._2 == 2L && p._3 >= 0.5), "paraphrase must match its original")
+    assert(!byInc.contains(1000003L), "token-reversed doc must match nothing")
+    val kept = Dedup.dedupIncrement(corpus, incoming, threshold = 0.5,
+      numHashes = 64, numBands = 16).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1000003L), s"only the novel doc survives, got $kept")
+  }
+
+  test("incrementalNearDups plan never shuffles the corpus side") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val incoming = corpus.where(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val plan = Dedup.incrementalNearDups(corpus, incoming)
+      .queryExecution.optimizedPlan.toString
+    // Every join in the operator must carry a broadcast hint on its
+    // increment-sized side: the corpus may only ever be the STREAM side
+    // of a broadcast join, so no plan change (data growth, AQE decision,
+    // stats drift) can introduce a corpus-wide hash-partition exchange.
+    val joins = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty)
+    val unbroadcast = joins.filterNot(l =>
+      l.contains("rightHint=(strategy=broadcast)") || l.contains("leftHint=(strategy=broadcast)"))
+    assert(unbroadcast.isEmpty, s"corpus-side join lost its broadcast hint:\n${unbroadcast.mkString("\n")}")
+  }
+
   test("fuzzyPairs finds exactly the brute-force levenshtein pairs at d=1 and d=2") {
     // Random-ish short strings over a 3-letter alphabet: small alphabet +
     // short length makes true close pairs COMMON, so the blocking's
