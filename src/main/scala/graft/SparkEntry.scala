@@ -454,7 +454,7 @@ object SparkEntry {
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_quantity >= 40.0
-        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity""".stripMargin,
 
     // Bucketized range join ≡ the plain BETWEEN join — oracle is DuckDB's
     // native range join over identically-constructed interval bounds.

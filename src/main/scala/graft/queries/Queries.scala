@@ -1110,7 +1110,10 @@ object Queries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
       t(spark, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
       key = "l_orderkey", saltFactor = 8)
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // l_quantity completes the order: the synthetic lineitem has
+      // duplicate (orderkey, linenumber) keys, so without it the sort is
+      // non-total and row order under ties is engine-dependent
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
   /** Count-min-sketch frequency estimation gate: estimated counts of the
     * event-type domain (8 values) against the exact SQL counts. At this

@@ -147,6 +147,81 @@ object StreamOps {
       .select(cols.map(col): _*)
   }
 
+  /** The band-key index a [[dedupStreamAgainstCorpus]] caller
+    * materializes ONCE from the stored corpus (and refreshes on corpus
+    * append): one row per (band struct) — compact (numBands longs per
+    * corpus doc, distinct-ed), so a 100 TB corpus indexes to a
+    * band-key table a few thousandths of its size. Batch job; persist
+    * the result where the stream can read it.
+    */
+  def corpusBandIndex(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 16
+  ): DataFrame =
+    graft.ext.Dedup
+      .minHashLsh(corpus, idCol, textCol, shingleSize, numHashes, numBands)
+      .select(explode(col("bands")).as("_b"))
+      .distinct()
+
+  /** Streaming dedup against a STATIC stored corpus — the continuous
+    * form of [[graft.ext.Dedup.dedupIncrement]]: a stream document is
+    * suppressed when ANY of its MinHash band keys appears in the
+    * corpus's band index ([[corpusBandIndex]]). Same
+    * candidate-collision-is-the-decision semantics (and the same
+    * P(suppress) curve in true Jaccard) as [[nearDedupStream]]; compose
+    * with [[nearDedupStream]] upstream for intra-stream near-dups.
+    *
+    * Shape: explode stream bands → stream-static LEFT ANTI join against
+    * the index (stateless, per micro-batch; Spark broadcasts the index
+    * when it fits, else both sides hash-partition on the band key — the
+    * stream side is only ever micro-batch-sized) → one watermark-bounded
+    * aggregation emits a doc iff ALL its bands survived. The static side
+    * is re-planned per micro-batch, which is why the index is a
+    * PRECOMPUTED compact table, not the corpus itself: pass the
+    * persisted index, not `corpusBandIndex(corpus)` inline, unless the
+    * corpus is trivially small. NULL/empty text passes through (unique
+    * synthetic band, never in the index — same contract as
+    * [[nearDedupStream]]).
+    */
+  def dedupStreamAgainstCorpus(
+      docs: DataFrame,
+      corpusBands: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 16
+  ): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val cols = docs.columns.toSeq
+    val sig = call_function("minhash_sig",
+      graft.ext.Dedup.wordShingles(col(textCol), shingleSize), lit(numHashes), lit(42L))
+    val banded = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("_bands",
+        when(coalesce(length(trim(col(textCol))), lit(0)) === 0,
+          array(struct(lit(-1).as("band"), xxhash64(expr("uuid()")).as("key"))))
+          .otherwise(graft.ext.Dedup.lshBandKeys(sig, numHashes, numBands)))
+      .withColumn("_expected", size(col("_bands")))
+      .withColumn("_b", explode(col("_bands")))
+      .drop("_bands")
+    val carried = cols.filterNot(_ == idCol)
+    val aggs = Seq(count(lit(1)).as("_survived"), first(col("_expected")).as("_exp")) ++
+      carried.map(c => first(col(c)).as(c))
+    banded
+      .join(corpusBands, Seq("_b"), "left_anti")
+      .groupBy(window(col(tsCol), "1 second"), col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("_survived") === col("_exp"))
+      .select(cols.map(col): _*)
+  }
+
   /** Conversion-funnel pairs via an interval self-join: every `fromType`
     * event joined to the same user's `toType` events that land strictly
     * after it and within `maxSpan`. Works identically on batch frames

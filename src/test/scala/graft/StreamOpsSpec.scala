@@ -75,6 +75,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup against a static corpus index suppresses paraphrases of stored docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog every single morning before sunrise"
+    val corpus = Seq((10L, base),
+      (11L, "stored reference text about columnar execution engines and their shuffle strategies"))
+      .toDF("doc_id", "text")
+    val index = StreamOps.corpusBandIndex(corpus)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamOps.dedupStreamAgainstCorpus(docs, index, "ts", watermarkDelay = "10 minutes")
+
+    val q = out.writeStream.format("memory").queryName("corpusdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, base.stripSuffix(" sunrise")), // paraphrase of stored doc 10
+        (ts("2024-01-01 10:00:00"), 2L, "a genuinely new document the corpus has never seen before today"),
+        (ts("2024-01-01 10:00:00"), 3L, "")) // empty text: passes through
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:20:00"), 99L, "watermark pusher row far in the future"))
+      q.processAllAvailable()
+      val ids = spark.table("corpusdedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(2L, 3L), s"paraphrase of a stored doc must be suppressed, got $ids")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches a stream with a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long)]
