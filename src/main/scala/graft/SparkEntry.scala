@@ -440,6 +440,23 @@ object SparkEntry {
         |  (SELECT * FROM k ORDER BY wkey DESC, doc_id LIMIT 200)
         |ORDER BY doc_id""".stripMargin,
 
+    // Per-group weighted sample: the oracle is the per-group WINDOW
+    // formulation of the same A-Res keys (id DESC tiebreak mirrors the
+    // heap's all-descending struct order).
+    "q_weighted_sample_grouped" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(trim(text)) + 1 AS DOUBLE) AS weight
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang, weight,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      pow((((doc_id * 2654435761) % 4294967296) + 1.0) / 4294967297.0,
+        |          1.0 / weight) DESC, doc_id DESC) AS rn
+        |  FROM w WHERE weight > 0)
+        |SELECT doc_id, lang, weight FROM k WHERE rn <= 40
+        |ORDER BY doc_id""".stripMargin,
+
     // Bloom pre-filter changes only the physical shape — oracle is the
     // plain semi join.
     "q_bloom_semi_join" ->

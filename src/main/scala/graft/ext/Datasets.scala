@@ -125,6 +125,30 @@ object Datasets {
       .drop("_wkey")
   }
 
+  /** [[weightedSample]] with a FIXED budget per group (per-source /
+    * per-language sampling quotas): the k largest A-Res keys within each
+    * label. Runs through the bounded-heap grouped top-k
+    * ([[graft.ops.TopK.topKPerGroup]]) rather than a per-group window
+    * sort, so the shuffle carries ≤ k candidates per group per input
+    * partition — groups of any size never sort fully. The id joins the
+    * heap ordering as tiebreaker (descending, like all heap order
+    * columns), keeping the draw total and deterministic.
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      k: Int,
+      weightCol: String,
+      labelCol: String = "lang",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val u = (pmod(col(idCol) * GoldenRatioHash, lit(4294967296L)) + 1.0) / 4294967297.0
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    val withKey = df.where(col(weightCol).isNotNull && col(weightCol).cast("double") > 0)
+      .withColumn("_wkey", key)
+    graft.ops.TopK.topKPerGroup(withKey, Seq(labelCol), Seq("_wkey", idCol), k)
+      .drop("_wkey")
+  }
+
   /** Distributed prefix sum of a numeric column in `idCol` order — the
     * scalable cumulative sum a single `Window.orderBy` (one task holding
     * the whole corpus) cannot provide. Two passes:

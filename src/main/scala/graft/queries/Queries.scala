@@ -1263,6 +1263,21 @@ object Queries {
       k = 200, weightCol = "weight")
       .orderBy(col("doc_id"))
 
+  /** Per-group weighted-sample gate
+    * ([[graft.ext.Datasets.weightedSamplePerGroup]]): a 40-doc A-Res
+    * budget per language, drawn through the bounded-heap grouped top-k.
+    * The DuckDB oracle is the per-group WINDOW formulation of the same
+    * keys (rank over partition) — the heap must select exactly the rows
+    * the full sort would.
+    */
+  def qWeightedSampleGrouped(spark: SparkSession, dir: String): DataFrame =
+    Datasets.weightedSamplePerGroup(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (length(trim(col("text"))) + 1L).cast("double").as("weight")),
+      k = 40, weightCol = "weight")
+      .orderBy(col("doc_id"))
+
   /** Order-invariant content checksum gate
     * ([[graft.ops.Integrity.orderInvariantChecksum]]) over engine-stable
     * renderings (int + string columns): both engines must fold the whole
@@ -1719,6 +1734,7 @@ object Queries {
     "q_string_distance" -> (qStringDistance _),
     "q_fuzzy_pairs" -> (qFuzzyPairs _),
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_weighted_sample_grouped" -> (qWeightedSampleGrouped _),
     "q_text_langid" -> (qTextLangId _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_image_features" -> (qImageFeatures _),

@@ -582,6 +582,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("weightedSamplePerGroup draws the per-label top-k of the A-Res keys through the heap") {
+    val rows = (1L to 600L).map(i => (i, if (i % 3 == 0) "a" else "b", 1.0 + (i % 7)))
+    val df = rows.toDF("doc_id", "lang", "w")
+    val got = Datasets.weightedSamplePerGroup(df, k = 25, weightCol = "w", labelCol = "lang")
+      .select("doc_id").as[Long].collect().toSet
+    val expected = rows.map { case (id, lang, w) =>
+      val u = (((id * 2654435761L) % 4294967296L) + 1.0) / 4294967297.0
+      (id, lang, math.pow(u, 1.0 / w))
+    }.groupBy(_._2).values.flatMap(
+      _.sortBy { case (id, _, key) => (-key, -id) }.take(25).map(_._1)).toSet
+    assert(got == expected)
+    assert(got.size == 50)
+  }
+
   test("prefixSum ranges stay balanced when ids cluster in 1% of the span") {
     import spark.implicits._
     // 2000 ids packed into [0,2000) plus one far outlier: span-uniform
