@@ -116,6 +116,7 @@ object Datasets {
       weightCol: String,
       idCol: String = "doc_id"
   ): DataFrame = {
+    require(!df.columns.contains("_wkey"), "column _wkey is reserved by weightedSample")
     val u = (pmod(col(idCol) * GoldenRatioHash, lit(4294967296L)) + 1.0) / 4294967297.0
     val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
     df.where(col(weightCol).isNotNull && col(weightCol).cast("double") > 0)
@@ -141,6 +142,7 @@ object Datasets {
       labelCol: String = "lang",
       idCol: String = "doc_id"
   ): DataFrame = {
+    require(!df.columns.contains("_wkey"), "column _wkey is reserved by weightedSamplePerGroup")
     val u = (pmod(col(idCol) * GoldenRatioHash, lit(4294967296L)) + 1.0) / 4294967297.0
     val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
     val withKey = df.where(col(weightCol).isNotNull && col(weightCol).cast("double") > 0)

@@ -543,10 +543,11 @@ object Dedup {
     *      corpus docs sharing ≥ 1 band with the increment (broadcast semi
     *      join — map-only). Survivors are increment-sized, not
     *      corpus-sized: everything after this point is small.
-    *   2. skew guards on BOTH sides (an incoming-hot band is a tiny agg;
-    *      a corpus-hot band is counted over survivors only — partial-agg
-    *      shuffle of the survivor set, never the corpus), then the
-    *      band equi-join pairs survivors with broadcast incoming bands.
+    *   2. skew guards on BOTH sides (an incoming-hot band is a tiny
+    *      window; a corpus-hot band is a count window over SURVIVORS —
+    *      one exchange of the survivor set, never the corpus, reused by
+    *      the band equi-join that pairs survivors with broadcast
+    *      incoming bands).
     *   3. exact-Jaccard verify re-reads the two pair sides' texts with a
     *      broadcast id semi join into each source (map-only on the corpus
     *      side, same recompute-don't-materialize stance as
@@ -576,15 +577,18 @@ object Dedup {
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bk"))))
       .where(col("bucket_n") <= maxBucketSize)
       .select(col("id").as("inc_id"), col("bk"))
+    // Corpus-side guard over survivors only: a count window keyed on bk —
+    // the bands here are ALREADY known to touch the increment, so the
+    // window's exchange moves the survivor set, never the corpus, and the
+    // candidate join below needs that same (bk) partitioning, so the
+    // exchange serves double duty (the nearDuplicatePairs pattern). An
+    // aggregate-then-anti-join guard would consume `survivors` twice and
+    // recompute the corpus band pass — one whole extra corpus scan.
     val survivors = bands(corpus)
       .join(broadcast(incBands.select("bk").distinct()), Seq("bk"), "leftsemi")
-    // Corpus-side guard over survivors only: counts are per band key
-    // ALREADY known to touch the increment, so the agg input is the
-    // survivor set, not the corpus.
-    val hotCorpus = survivors.groupBy(col("bk")).count()
-      .where(col("count") > maxBucketSize).select("bk")
+      .withColumn("_corpus_n", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .where(col("_corpus_n") <= maxBucketSize)
     val candidates = survivors
-      .join(broadcast(hotCorpus), Seq("bk"), "leftanti")
       .join(broadcast(incBands), Seq("bk"))
       .select(col("inc_id"), col("id").as("corpus_id"))
       .distinct()

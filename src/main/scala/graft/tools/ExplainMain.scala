@@ -35,11 +35,14 @@ object ExplainMain {
         case Some(fn) =>
           val df = fn(spark, sfDir)
           if (exec) {
-            // collect() (not count()) — count() builds a NEW query execution
-            // around an added aggregate, leaving this df's own
-            // AdaptiveSparkPlan unexecuted (isFinalPlan=false), which hides
-            // every runtime AQE decision the flag exists to show.
-            df.collect()
+            // Drive THIS df's own query execution (count() would build a
+            // NEW one around an added aggregate, leaving this
+            // AdaptiveSparkPlan unexecuted — isFinalPlan=false — and
+            // hiding every runtime AQE decision the flag exists to show).
+            // toLocalIterator streams partitions, so row-heavy gates
+            // don't materialize on the driver the way collect() would.
+            val it = df.toLocalIterator()
+            while (it.hasNext) it.next()
             println(df.queryExecution.executedPlan.toString)
           } else df.explain("formatted")
         case None => println(s"unknown query '$name' — known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")

@@ -101,6 +101,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus dedup emits a redelivered novel doc exactly once (at-least-once sources)") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((10L, "stored reference text about columnar execution engines and shuffles"))
+      .toDF("doc_id", "text")
+    val index = StreamOps.corpusBandIndex(corpus)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamOps.dedupStreamAgainstCorpus(docs, index, "ts", watermarkDelay = "10 minutes")
+
+    val q = out.writeStream.format("memory").queryName("redelivery")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the same novel rows delivered TWICE in one batch — without
+      // (id, band) collapse their band counts double past _expected and
+      // the docs would be emitted zero times
+      val novel = (ts("2024-01-01 10:00:00"), 1L, "a genuinely new document the corpus has never seen")
+      val empty = (ts("2024-01-01 10:00:00"), 2L, "")
+      input.addData(novel, empty, novel, empty)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:20:00"), 99L, "watermark pusher row far in the future"))
+      q.processAllAvailable()
+      // doc 99's own window is still open (it IS the watermark frontier),
+      // so only the finalized docs appear
+      val ids = spark.table("redelivery").groupBy("doc_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(ids == Map(1L -> 1L, 2L -> 1L),
+        s"each redelivered doc must surface exactly once, got $ids")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches a stream with a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long)]
