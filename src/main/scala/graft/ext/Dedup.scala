@@ -688,7 +688,11 @@ object Dedup {
     candidates
       .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), levenshtein(col("s_a"), col("s_b")).as("dist"))
-      .where(col("dist") <= maxDist)
+      // threshold form short-circuits the DP once the distance provably
+      // exceeds maxDist (returns -1) — on long strings the verify cost
+      // drops from O(len²) to O(len·maxDist) per candidate pair
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b"), maxDist).as("dist"))
+      .where(col("dist") >= 0)
   }
 }

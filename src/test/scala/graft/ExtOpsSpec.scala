@@ -505,6 +505,45 @@ class ExtOpsSpec extends SparkSpec {
     assert(kept == Set(1000003L), s"only the novel doc survives, got $kept")
   }
 
+  test("incrementalNearDups recall equals brute-force exact Jaccard on randomized corpora") {
+    // Small token alphabet → real near-dup structure arises by chance;
+    // includes empty docs and exact cross-corpus copies. The operator's
+    // banding/guard/broadcast path must reproduce the O(n·m) exact
+    // threshold join wherever the LSH recall is certain (here 64
+    // hashes/16 bands at threshold 0.5 on ≥0.6-Jaccard planted pairs and
+    // random pairs that are either far below threshold or identical).
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    def doc(): String = (0 until 12 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpusRows = (0L until 60L).map(i => (i, if (i % 19 == 0) "" else doc()))
+    val incomingRows = (1000L until 1030L).map { i =>
+      val j = (i - 1000L)
+      if (j < 10) (i, corpusRows(j.toInt)._2)            // exact copies
+      else if (j < 20) (i, doc())                         // random (usually far)
+      else (i, "")                                        // empty
+    }
+    def shingles(t: String): Set[String] = {
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.isEmpty) Set.empty
+      else if (tk.length < 3) Set(tk.mkString(" "))
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expected = (for {
+      (ci, ct) <- corpusRows; (ii, it) <- incomingRows
+      (cs, is) = (shingles(ct), shingles(it))
+      union = (cs ++ is).size if union > 0
+      j = cs.intersect(is).size.toDouble / union if j >= 0.5
+    } yield (ii, ci)).toSet
+    val got = Dedup.incrementalNearDups(
+      corpusRows.toDF("doc_id", "text"), incomingRows.toDF("doc_id", "text"),
+      threshold = 0.5, numHashes = 64, numBands = 16)
+      .select("inc_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got ${got.size} pairs vs brute-force ${expected.size}")
+    // 10 planted copies minus the one that copied the EMPTY corpus doc
+    // (doc 0: empty↔empty has union 0 and by contract never matches)
+    assert(expected.size >= 9, "test corpus must contain planted matches")
+  }
+
   test("incrementalNearDups plan never shuffles the corpus side") {
     val corpus = docs.select(col("doc_id"), col("text"))
     val incoming = corpus.where(col("doc_id") < 5)
