@@ -424,6 +424,20 @@ object SparkEntry {
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // d=2 fuzzy pairs: same exhaustive shape, two-substitution typos.
+    "q_fuzzy_pairs2" ->
+      """WITH c AS (
+        |  SELECT p_partkey AS id, lower(p_name) AS s FROM part WHERE p_partkey < 1000
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000 AS id,
+        |    'x' || substr(lower(p_name), 2, len(p_name) - 2) || 'q' AS s
+        |  FROM part WHERE p_partkey < 500)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Weighted sample: replay the A-Res key formula verbatim — both
     // engines must draw the same 200 documents.
     "q_weighted_sample" ->

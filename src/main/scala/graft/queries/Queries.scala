@@ -1249,6 +1249,25 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The d=2 fuzzy path under its own oracle: same part-name corpus,
+    * typos now TWO substitutions deep (first char → 'x', last char →
+    * 'q'), neighborhood depth 2 — the quadratic-variant blocking tier
+    * checked against the same exhaustive brute-force cross join.
+    */
+  def qFuzzyPairs2(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+    val base = part.where(col("p_partkey") < 1000)
+      .select(col("p_partkey").as("id"), lower(col("p_name")).as("s"))
+    val typos = part.where(col("p_partkey") < 500)
+      .select((col("p_partkey") + 1000000L).as("id"),
+        concat(lit("x"),
+          lower(col("p_name")).substr(lit(2), length(col("p_name")) - 2),
+          lit("q")).as("s"))
+    Dedup.fuzzyPairs(base.unionByName(typos), "id", "s", maxDist = 2)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Weighted-sample gate ([[graft.ext.Datasets.weightedSample]]):
     * Efraimidis–Spirakis A-Res draw of 200 documents proportional to text
     * length (the "sample by training-token contribution" op), keys from
@@ -1733,6 +1752,7 @@ object Queries {
     "q_array_funcs" -> (qArrayFuncs _),
     "q_string_distance" -> (qStringDistance _),
     "q_fuzzy_pairs" -> (qFuzzyPairs _),
+    "q_fuzzy_pairs2" -> (qFuzzyPairs2 _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_weighted_sample_grouped" -> (qWeightedSampleGrouped _),
     "q_text_langid" -> (qTextLangId _),
