@@ -109,6 +109,19 @@ object Datasets {
     * Rows with NULL or non-positive weight are excluded (a zero-weight row
     * by definition cannot be drawn). Typical weights: token counts (sample
     * proportional to training contribution), quality scores.
+    *
+    * Bounds and caveats (shared with [[weightedSamplePerGroup]]):
+    *  - `idCol * 2654435761` must not overflow Long, so ids must stay below
+    *    ~3.46e9 (`Long.MaxValue / 2654435761`). Larger id spaces should be
+    *    pre-folded first (e.g. `pmod(xxhash64(id), 2^31)`), the same bound
+    *    permilleBucket documents for its hash.
+    *  - The key `pow(u, 1/w)` is a transcendental: when a cross-engine
+    *    comparison sits EXACTLY at the k-th cut boundary, Spark's
+    *    `Math.pow` and another engine's libm may disagree in the last ulp
+    *    and swap the boundary row. With the id tiebreaker and real-valued
+    *    weights a tie is measure-zero in practice, but the gate is
+    *    empirical, not a proof — unlike bm25's rational idf, which was
+    *    chosen precisely to avoid this class of drift.
     */
   def weightedSample(
       df: DataFrame,

@@ -673,8 +673,27 @@ object Dedup {
       idCol: String = "doc_id",
       strCol: String = "text",
       maxDist: Int = 1,
-      maxBucketSize: Int = 10000
+      maxBucketSize: Int = 10000,
+      maxAvgLen: Int = 64
   ): DataFrame = {
+    // Fail fast on long-string columns: the deletion neighborhood is
+    // O(len^maxDist) per ROW, so pointing this at document bodies (the
+    // `text` default exists for the short-title/name/URL case) explodes
+    // into millions of variants before the join even starts. Probe a
+    // bounded sample (10k rows — one tiny job, never a corpus scan) and
+    // refuse loudly instead of running the quadratic-ish plan; callers
+    // with genuinely long short-ish strings can raise the cap, and
+    // maxAvgLen <= 0 disables the probe for the caller who has measured.
+    if (maxAvgLen > 0) {
+      val probe = df.select(length(col(strCol)).as("l")).where(col("l").isNotNull)
+        .limit(10000).agg(avg(col("l"))).first()
+      val avgLen = if (probe.isNullAt(0)) 0.0 else probe.getDouble(0)
+      require(avgLen <= maxAvgLen,
+        f"fuzzyPairs: avg length of '$strCol' is $avgLen%.1f > maxAvgLen=$maxAvgLen. " +
+          s"The O(len^$maxDist) deletion neighborhood is for SHORT string columns " +
+          "(names, titles, URLs); for document bodies use minHash/simHash near-dup " +
+          "instead, or raise maxAvgLen explicitly if the column really is this wide.")
+    }
     val base = df.select(col(idCol).as("id"), col(strCol).as("s")).where(col("s").isNotNull)
     val variants = base
       .select(col("id"), explode(deletionVariants(col("s"), maxDist)).as("vk"))

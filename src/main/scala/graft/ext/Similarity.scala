@@ -313,14 +313,29 @@ object Similarity {
     reduceWeightedKpp(pool, weights, numLists, seed)
   }
 
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.ext.Similarity")
+
   /** Driver-side weighted k-means++ over a small candidate pool: first
     * pick = heaviest candidate, then D²·weight-proportional draws from a
     * fixed-seed PRNG. O(k · |pool| · dim) — pool is O(numLists · rounds).
+    *
+    * Degenerate inputs are reported, not hidden (mirroring the
+    * rounds-count observability on connectedComponentsDetailed): a pool
+    * smaller than k returns all of it (fewer than k seeds — k-means then
+    * trains fewer lists) and an exhausted D²·weight mass repeats the first
+    * pick (duplicate seeds — the duplicates only ever own empty lists);
+    * both log at WARN so an IVF index trained on a too-small or collapsed
+    * corpus is visible in the driver log instead of silently degrading.
     */
   private def reduceWeightedKpp(
       pool: Array[Array[Double]], weights: Array[Long], k: Int, seed: Long
   ): Array[Array[Double]] = {
-    if (pool.length <= k) return pool
+    if (pool.length <= k) {
+      if (pool.length < k)
+        logger.warn(s"k-means|| seeding: candidate pool has ${pool.length} vectors < numLists=$k; " +
+          "index will train with fewer lists (corpus smaller or less diverse than numLists)")
+      return pool
+    }
     val rnd = new scala.util.Random(seed)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -338,9 +353,14 @@ object Similarity {
       }
       val total = d2.indices.map(j => d2(j) * weights(j)).sum
       if (total <= 0) {
-        // pool exhausted (all candidates coincide with picks): repeat the
-        // heaviest pick — duplicate centroids only yield empty lists
-        chosen += chosen.head
+        // pool exhausted (all candidates coincide with picks): pad the rest
+        // with the heaviest pick in one step — once the D²·weight mass hits
+        // zero it stays zero (re-picking an existing centroid changes no
+        // distance), so further draws are pointless. Duplicate centroids
+        // only ever own empty lists.
+        logger.warn(s"k-means|| seeding: D²·weight mass exhausted at ${chosen.size} of $k seeds; " +
+          s"padding with duplicates of the heaviest pick (corpus has fewer distinct directions than numLists=$k)")
+        while (chosen.size < k) chosen += chosen.head
       } else {
         var r = rnd.nextDouble() * total
         var j = 0

@@ -126,10 +126,25 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     // (correct, pushdown lost — acceptable: double columns take the fast
     // path below, and decimals are rare stats columns).
     import org.apache.spark.sql.types._
+    // Integral bounds are CLAMPED to the column type's own range before the
+    // literal is built: a caller passing lo/hi outside e.g. Int range (a
+    // sentinel like 1e10 for "no upper cap") must not overflow the cast —
+    // under ANSI that throws CAST_OVERFLOW, with ANSI off the literal wraps
+    // and silently drops matching rows. A bound past the type's max/min is
+    // semantically "unbounded on that side", which the clamp expresses
+    // exactly; a clamped-empty range (lo > type max, or hi < type min, or
+    // lo > hi after inward rounding) matches nothing.
+    def integralPredicate(typeMin: Long, typeMax: Long) = {
+      val lo2 = math.max(if (lo <= typeMin.toDouble) typeMin else math.ceil(lo).toLong, typeMin)
+      val hi2 = math.min(if (hi >= typeMax.toDouble) typeMax else math.floor(hi).toLong, typeMax)
+      if (lo2 > hi2) lit(false)
+      else col(column) >= lit(lo2).cast(field.dataType) && col(column) <= lit(hi2).cast(field.dataType)
+    }
     val predicate = field.dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        col(column) >= lit(math.ceil(lo).toLong).cast(field.dataType) &&
-          col(column) <= lit(math.floor(hi).toLong).cast(field.dataType)
+      case ByteType    => integralPredicate(Byte.MinValue, Byte.MaxValue)
+      case ShortType   => integralPredicate(Short.MinValue, Short.MaxValue)
+      case IntegerType => integralPredicate(Int.MinValue, Int.MaxValue)
+      case LongType    => integralPredicate(Long.MinValue, Long.MaxValue)
       case DoubleType =>
         col(column) >= lit(lo) && col(column) <= lit(hi)
       case _ =>

@@ -602,6 +602,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq.map(p => (p._1, p._2)) == Seq((100L, 101L)))
   }
 
+  test("fuzzyPairs refuses long-string columns loudly and the probe can be overridden") {
+    // Document-length strings must fail fast BEFORE the O(len^d) variant
+    // explosion, with an error that names the knob and the right tool.
+    val longDocs = (0L until 20L).map(i => (i, ("lorem ipsum " * 30) + i)).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.fuzzyPairs(longDocs, maxDist = 1)
+    }
+    assert(err.getMessage.contains("maxAvgLen"))
+    assert(err.getMessage.toLowerCase.contains("minhash") || err.getMessage.contains("simHash"))
+    // raising the cap (the measured-caller escape hatch) runs normally
+    val shortish = Seq((1L, "a" * 80), (2L, "a" * 79 + "b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { Dedup.fuzzyPairs(shortish, maxDist = 1) }
+    val ok = Dedup.fuzzyPairs(shortish, maxDist = 1, maxAvgLen = 128)
+      .as[(Long, Long, Int)].collect()
+    assert(ok.toSeq == Seq((1L, 2L, 1)))
+    // disabling the probe (maxAvgLen <= 0) also runs
+    val ok2 = Dedup.fuzzyPairs(shortish, maxDist = 1, maxAvgLen = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(ok2.toSeq == Seq((1L, 2L, 1)))
+  }
+
   test("weightedSample is the exact top-k of the A-Res keys and favors heavy rows") {
     val rows = (1L to 1000L).map(i => (i, if (i <= 10) 10000.0 else 1.0))
     val df = rows.toDF("doc_id", "w")

@@ -400,4 +400,25 @@ class SnapshotTableSpec extends SparkSpec {
     assert(noStats.select(input_file_name()).distinct().count() == snap.files.size.toLong)
     assert(noStats.count() == t.read().where(col("b").between(10, 12)).count())
   }
+
+  test("readRange: bounds outside the column type's range clamp instead of overflowing") {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 100).map(i => (s"k$i", i.toLong, i, i.toShort)).toDF(
+      "arcane_merge_key", "versionnumber", "int_col", "short_col")
+    val t = SnapshotTable(spark, tmpDir("snap-readrange-clamp"))
+    t.createOrReplace(rows, "arcane_merge_key", numBuckets = 1)
+    // hi beyond Int.MaxValue used as "no upper cap": the unclamped cast
+    // would throw CAST_OVERFLOW under ANSI (or wrap with ANSI off and drop
+    // rows); clamped it means "unbounded above" and returns every row >= lo
+    assert(t.readRange("int_col", 50.0, 1e10).count() == 50)
+    // lo below the type's min is "unbounded below"
+    assert(t.readRange("int_col", -1e10, 9.0).count() == 10)
+    // both bounds beyond the type range on one side: empty, no error
+    assert(t.readRange("int_col", 1e10, 2e10).count() == 0)
+    assert(t.readRange("short_col", -2e10, -1e10).count() == 0)
+    // inward rounding can cross (lo=4.6, hi=4.4): empty, no error
+    assert(t.readRange("int_col", 4.6, 4.4).count() == 0)
+    // short column clamps at its own bounds, not Long's
+    assert(t.readRange("short_col", 90.0, 1e6).count() == 10)
+  }
 }
