@@ -1254,11 +1254,19 @@ object Queries {
     * 'q'), neighborhood depth 2 — the quadratic-variant blocking tier
     * checked against the same exhaustive brute-force cross join.
     */
-  def qFuzzyPairs2(spark: SparkSession, dir: String): DataFrame = {
+  def qFuzzyPairs2(spark: SparkSession, dir: String): DataFrame =
+    qFuzzyPairs2At(spark, dir, cap = 1000)
+
+  /** [[qFuzzyPairs2]] at an arbitrary corpus cap — the bench's 10x scale
+    * leg lifts `cap` to grow the SAME workload (same typo construction,
+    * same d=2 blocking) by pulling more part names from the base table,
+    * instead of synthesizing a different corpus.
+    */
+  def qFuzzyPairs2At(spark: SparkSession, dir: String, cap: Long): DataFrame = {
     val part = t(spark, dir, "part")
-    val base = part.where(col("p_partkey") < 1000)
+    val base = part.where(col("p_partkey") < cap)
       .select(col("p_partkey").as("id"), lower(col("p_name")).as("s"))
-    val typos = part.where(col("p_partkey") < 500)
+    val typos = part.where(col("p_partkey") < cap / 2)
       .select((col("p_partkey") + 1000000L).as("id"),
         concat(lit("x"),
           lower(col("p_name")).substr(lit(2), length(col("p_name")) - 2),
