@@ -350,6 +350,23 @@ object SparkEntry {
         |FROM read_parquet('${graft.queries.Queries.ExportGateRoot}/current/export/data/*.parquet')
         |ORDER BY c_custkey""".stripMargin,
 
+    // Adopt-external lifecycle restated relationally: evens created
+    // natively, odds adopted from a foreign parquet write, then one staged
+    // batch (keys ending 3 or 4) doubles acctbal at v=2 and tombstones
+    // keys = 3 (mod 100). Matching the table's read-back proves the
+    // adopted file's rows entered the table AND were absorbed/updated by
+    // the merge exactly like native rows.
+    "q_adopt_external" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 10 IN (3, 4)
+        |       THEN CAST(c_acctbal AS DOUBLE) * 2
+        |       ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal,
+        |  CAST(CASE WHEN c_custkey % 10 IN (3, 4) THEN 2 ELSE 1 END AS BIGINT) AS v,
+        |  false AS is_del
+        |FROM customer
+        |WHERE c_custkey % 100 <> 3
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_merge_key_projection" ->
       """SELECT event_id, user_id, lower(CAST(user_id AS VARCHAR)) AS arcane_merge_key, event_type
         |FROM events ORDER BY event_id""".stripMargin,

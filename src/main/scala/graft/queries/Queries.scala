@@ -455,6 +455,47 @@ object Queries {
     tbl.read().orderBy(col("c_custkey"))
   }
 
+  /** External-WRITER ingestion gate ([[graft.tables.SnapshotTable.adoptFiles]]
+    * — Iceberg `add_files` parity, the reachable half of the reference's
+    * external-engine writability via REST catalog,
+    * `/root/reference/src/main/scala/main.scala:106-110`): half the
+    * customer table enters through CREATE OR REPLACE, the other half is
+    * written as VANILLA unmanaged parquet — no bucket dirs, no manifest,
+    * exactly the layout any foreign engine produces — and ADOPTED by
+    * reference (metadata-only; the no-rewrite property is plan-pinned in
+    * SnapshotTableSpec). A staged batch then updates/deletes keys on BOTH
+    * sides, so the returned state proves the merge absorbed the adopted
+    * file: updates hit adopted keys, a tombstone removes one, survivors
+    * keep their foreign-written values. The DuckDB oracle restates the
+    * full lifecycle relationally from the base table.
+    */
+  def qAdoptExternal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.SnapshotTable
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-adopt-gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val tbl = SnapshotTable(spark, s"$root/table")
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        lit(1L).as("v"), lit(false).as("is_del"))
+    tbl.createOrReplace(cust.where(col("c_custkey") % 2 === 0), "c_custkey", numBuckets = 32)
+    // the "foreign engine": plain parquet files outside the table's layout
+    val foreignDir = s"$root/foreign"
+    cust.where(col("c_custkey") % 2 === 1)
+      .coalesce(2).write.mode("overwrite").parquet(foreignDir)
+    val parts = new java.io.File(foreignDir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(_.getAbsolutePath).sorted.toSeq
+    tbl.adoptFiles(parts)
+    // staged changes touch native (even) AND adopted (odd) keys
+    val staged = cust.where(col("c_custkey") % 10 === 3 || col("c_custkey") % 10 === 4)
+      .withColumn("v", lit(2L))
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+      .withColumn("is_del", col("c_custkey") % 100 === 3)
+    tbl.merge(staged, "c_custkey", "v", "is_del")
+    tbl.read().orderBy(col("c_custkey"))
+  }
+
   // ------------------------------------------------ dedup (north star)
 
   /** Exact dedup winners on the documents corpus (fingerprint groupBy). */
@@ -1703,6 +1744,7 @@ object Queries {
     "q_cdc_pipeline_e2e" -> (qCdcPipelineE2e _),
     "q_merge_key_projection" -> (qMergeKeyProjection _),
     "q_export_symlink" -> (qExportSymlink _),
+    "q_adopt_external" -> (qAdoptExternal _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_lsh" -> (qMinHashLsh _),
     "q_near_dup_pairs" -> (qNearDupPairs _),

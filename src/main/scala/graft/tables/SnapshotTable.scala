@@ -95,9 +95,29 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
 
   // ------------------------------------------------------------------ reads
 
-  /** DataFrame over the current snapshot (optionally only some buckets). */
-  def read(buckets: Option[Set[Int]] = None): DataFrame =
-    readSnapshotDf(currentSnapshot, buckets)
+  /** DataFrame over the current snapshot (optionally only some buckets).
+    *
+    * Adopted files ([[adoptFiles]], manifest bucket = −1) hold rows of ANY
+    * bucket, so a bucket-pruned read keeps the exact "rows whose key
+    * hashes into these buckets" contract by reading adopted files with a
+    * row-level bucket filter on top of the file-level pruning — pruned
+    * reads stay correct between an adoption and the merge/compaction that
+    * absorbs it, at the cost of scanning the (batch-sized) adopted files.
+    */
+  def read(buckets: Option[Set[Int]] = None): DataFrame = {
+    val snap = currentSnapshot
+    buckets match {
+      case None => readSnapshotDf(snap, None)
+      case Some(bs) =>
+        val real = readSnapshotDf(snap, Some(bs))
+        val adopted = snap.files.filter(_.bucket < 0)
+        if (adopted.isEmpty) real
+        else real.unionByName(
+          readFiles(snap, adopted).where(
+            bucketExpr(keyColForBucketing(snap), snap.numBuckets)
+              .isin(bs.toSeq.map(Integer.valueOf): _*)))
+    }
+  }
 
   /** Range scan with MANIFEST-level file skipping: `read().where(lo <= c
     * <= hi)` semantically, but files whose stored (min, max) for `c`
@@ -193,8 +213,18 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
         if (have.contains(fd.name.toLowerCase)) col(fd.name).cast(fd.dataType).as(fd.name)
         else lit(null).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*)
     }
-    val f = aligned(readSnapshotDf(from, Some(changedBuckets))).alias("_from")
-    val t = readSnapshotDf(to, Some(changedBuckets)).alias("_to")
+    // Adopted files surface in the diff as bucket −1; when any are in the
+    // window, each side additionally reads its OWN adopted files in full
+    // (an adoption/absorption changes every row they hold, and rows that
+    // are byte-identical on both sides fall out of the join as no-change).
+    def sideDf(snap: Snapshot): DataFrame = {
+      val real = readSnapshotDf(snap, Some(changedBuckets))
+      val adoptedFs = snap.files.filter(_.bucket < 0)
+      if (!changedBuckets.exists(_ < 0) || adoptedFs.isEmpty) real
+      else real.unionByName(readFiles(snap, adoptedFs))
+    }
+    val f = aligned(sideDf(from)).alias("_from")
+    val t = sideDf(to).alias("_to")
     val joined = f.join(t, keyFrom === keyTo, "full_outer")
     val toCols = to.schema.fieldNames
     val rowDiffers = toCols.filter(_ != key).map(c =>
@@ -210,11 +240,22 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
           .otherwise(col(s"_to.`$c`")).as(c)).toIndexedSeq :+ col("_change_type"): _*)
   }
 
+  /** File-level pruned view: `Some(bs)` keeps only REAL (bucketed) files
+    * of those buckets — adopted (bucket < 0) files are excluded, because a
+    * file-granularity include would leak rows of other buckets; callers
+    * needing them add [[readFiles]] of the adopted set with their own
+    * row-level handling (see [[read]], [[merge]], [[changesBetween]]).
+    */
   private def readSnapshotDf(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
     val files = buckets match {
-      case Some(bs) => snap.files.filter(f => bs.contains(f.bucket))
+      case Some(bs) => snap.files.filter(f => f.bucket >= 0 && bs.contains(f.bucket))
       case None     => snap.files
     }
+    readFiles(snap, files)
+  }
+
+  /** Read an explicit file subset with the snapshot's schema-on-read. */
+  private def readFiles(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else {
       val paths = files.map(f => new Path(dataDir, f.path).toString)
@@ -296,8 +337,22 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     // by data size. Cache staged only when we must act on it twice.
     val stagedB = staged.withColumn("gbk", bucketExpr(mergeKeyCol, n))
     val cached = if (knownAffected.isEmpty) { stagedB.cache(); true } else false
-    val affected: Set[Int] = knownAffected.getOrElse(
+    val stagedAffected: Set[Int] = knownAffected.getOrElse(
       stagedB.select("gbk").distinct().collect().map(_.getInt(0)).toSet)
+    // Adopted (externally written, unbucketed) files are fully ABSORBED by
+    // the first merge after adoption: their rows can hash to any bucket,
+    // and writeBucketed drops rows outside the affected set, so every
+    // bucket an adopted row lands in must join the rewrite. The extra scan
+    // is bounded by the adopted batch (one distinct-gbk job over just
+    // those files), and afterwards the table is fully bucketed again —
+    // the adopt → merge lifecycle mirrors Iceberg add_files followed by a
+    // rewrite that re-establishes the bucket layout.
+    val adopted = snap.files.filter(_.bucket < 0)
+    val adoptedAffected: Set[Int] =
+      if (adopted.isEmpty) Set.empty
+      else readFiles(snap, adopted).select(bucketExpr(mergeKeyCol, n).as("gbk"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    val affected = stagedAffected ++ adoptedAffected
 
     val targetAffected = read(Some(affected))
 
@@ -333,7 +388,9 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     val written = writeBucketed(winner, mergeKeyCol, n, commitId, targetBuckets = Some(affected),
       props = snap.properties)
     if (cached) stagedB.unpersist()
-    val carried = snap.files.filterNot(f => affected.contains(f.bucket))
+    // adopted files are never carried — their rows were just rewritten
+    // into their real buckets (carrying them would duplicate every row)
+    val carried = snap.files.filterNot(f => f.bucket < 0 || affected.contains(f.bucket))
     commit(snap.copy(
       version = snap.version + 1,
       files = carried ++ written,
@@ -341,13 +398,104 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       timestampMs = now()))
   }
 
+  /** Iceberg `add_files` parity — the reachable half of external-engine
+    * interop (the reference's targets are writable by any engine through a
+    * REST catalog, `/root/reference/src/main/scala/main.scala:106-110`;
+    * with no catalog service in scope, external WRITES enter as adopted
+    * files): register parquet/ORC files written by a FOREIGN engine into
+    * the table as a metadata-only commit. The bytes are referenced in
+    * place — never copied, rewritten, or moved — and carry manifest bucket
+    * −1 ("unbucketed"), because a foreign writer knows nothing about the
+    * table's hash-bucket layout.
+    *
+    * Lifecycle: reads (full and bucket-pruned) see adopted rows
+    * immediately ([[read]] row-filters them on pruned scans); the next
+    * [[merge]] or [[compact]]/[[rebucketAdopted]] absorbs them into real
+    * buckets and drops the −1 entries (the foreign file itself is left
+    * untouched on disk — the table never owned it). Key collisions between
+    * adopted rows and existing rows are reconciled by the next merge's
+    * version argmax, like any replayed row; like Iceberg `add_files`, the
+    * adoption itself performs no key-level reconciliation.
+    *
+    * Validation is fail-fast and metadata-only: every column present in
+    * the files must exist in the table schema with the identical type
+    * (extra table columns read as NULL via schema-on-read), the merge key
+    * column must be present, and reserved internal names are rejected.
+    * When the table configures `write.stats.columns`, per-file min/max is
+    * read from the foreign parquet footers so adopted files join the
+    * manifest skipping index ([[readRange]]) like native ones.
+    */
+  def adoptFiles(paths: Seq[String]): Snapshot = {
+    require(paths.nonEmpty, "adoptFiles needs at least one file")
+    val snap = currentSnapshot
+    val format = SnapshotTable.resolveFormat(snap.properties)
+    val qualified = paths.map { p =>
+      val qp = fs.makeQualified(new Path(p))
+      require(fs.exists(qp) && fs.getFileStatus(qp).isFile, s"adoptFiles: $p is not an existing file")
+      qp
+    }
+    val reader = spark.read
+    val fileSchema = (format match {
+      case "orc" => reader.orc(qualified.map(_.toString): _*)
+      case _     => reader.parquet(qualified.map(_.toString): _*)
+    }).schema
+    SnapshotTable.rejectReservedColumns(fileSchema)
+    val byLower = snap.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    fileSchema.fields.foreach { f =>
+      byLower.get(f.name.toLowerCase) match {
+        case None => throw new IllegalArgumentException(
+          s"adoptFiles: column '${f.name}' is not in the table schema " +
+            s"(run addColumns first; table has: ${snap.schema.fieldNames.mkString(", ")})")
+        case Some(tf) => require(tf.dataType == f.dataType,
+          s"adoptFiles: column '${f.name}' is ${f.dataType} in the file but ${tf.dataType} in the table")
+      }
+    }
+    val key = keyColForBucketing(snap)
+    require(fileSchema.fieldNames.exists(_.equalsIgnoreCase(key)),
+      s"adoptFiles: merge key column '$key' missing from the adopted files")
+    val statsCols = snap.properties.get(PropStatsColumns).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = qualified.map { qp =>
+      val stats =
+        if (statsCols.isEmpty || format == "orc") Map.empty[String, (Double, Double)]
+        else FileStats.parquetMinMax(conf, qp, statsCols, snap.schema)
+      DataFile(qp.toString, SnapshotTable.AdoptedBucket, stats)
+    }
+    commit(snap.copy(version = snap.version + 1, files = snap.files ++ entries, timestampMs = now()))
+  }
+
   // ------------------------------------------------------------ maintenance
+
+  /** Absorb adopted files into the bucket layout: rewrite JUST their rows
+    * into real bucket files (one shuffle bounded by the adopted batch —
+    * existing bucket files are untouched; a bucket simply gains one more
+    * file, which plain [[compact]] consolidates later) and drop the −1
+    * manifest entries. No-op without adopted files. The foreign files
+    * themselves stay on disk, now unreferenced — the table never owned
+    * them.
+    */
+  def rebucketAdopted(): Snapshot = {
+    val snap = currentSnapshot
+    val adopted = snap.files.filter(_.bucket < 0)
+    if (adopted.isEmpty) return snap
+    val df = readFiles(snap, adopted)
+    val commitId = UUID.randomUUID().toString
+    val written = writeBucketed(df, keyColForBucketing(snap), snap.numBuckets, commitId,
+      targetBuckets = None, props = snap.properties)
+    commit(snap.copy(version = snap.version + 1,
+      files = snap.files.filter(_.bucket >= 0) ++ written, timestampMs = now()))
+  }
 
   /** OPTIMIZE: rewrite buckets whose files are smaller than the threshold
     * into one file per bucket (reference `TargetMaintenanceProcessor` +
     * Trino `ALTER TABLE EXECUTE optimize`, `docs/crd.md:150-159`).
     */
   def compact(fileSizeThresholdBytes: Long): Snapshot = {
+    // absorb adopted files first: rebucketing externally written rows into
+    // their real buckets IS small-file consolidation's job, and the plain
+    // per-bucket logic below cannot reason about bucket −1
+    rebucketAdopted()
     val snap = currentSnapshot
     val byBucket = snap.files.groupBy(_.bucket)
     // Rewrite only buckets with SEVERAL files of which at least one is
@@ -700,6 +848,11 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
 }
 
 object SnapshotTable {
+  /** Manifest bucket id of adopted (externally written, unbucketed) files
+    * — see [[SnapshotTable.adoptFiles]].
+    */
+  val AdoptedBucket: Int = -1
+
   val PropMergeKeyCol = "merge.key.column"
   val PropWatermark = "arcane.watermark" // SURVEY.md §2.A15 external watermark mirror
   val PropSortOrder = "write.sort.order"          // comma-separated columns (sortedBy)

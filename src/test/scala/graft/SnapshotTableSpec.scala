@@ -421,4 +421,93 @@ class SnapshotTableSpec extends SparkSpec {
     // short column clamps at its own bounds, not Long's
     assert(t.readRange("short_col", 90.0, 1e6).count() == 10)
   }
+
+  test("adoptFiles: metadata-only commit, foreign bytes referenced in place, merge absorbs") {
+    import org.apache.spark.sql.types.BooleanType
+    val loc = tmpDir("snap-adopt")
+    val t = SnapshotTable(spark, loc)
+    val base = (1 to 100).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "is_del")
+    t.createOrReplace(base, "arcane_merge_key", numBuckets = 4)
+
+    // a FOREIGN engine writes plain parquet (no bucket layout, no manifest)
+    val foreignDir = tmpDir("snap-adopt-foreign")
+    (101 to 150).map(i => (s"k$i", 1L, s"ext$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "is_del")
+      .coalesce(1).write.mode("overwrite").parquet(foreignDir)
+    val parts = new java.io.File(foreignDir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.getAbsolutePath).toSeq
+
+    def dataFiles(): Set[String] = {
+      val d = new java.io.File(s"$loc/data")
+      if (!d.exists) Set.empty
+      else java.nio.file.Files.walk(d.toPath).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toSet
+    }
+    val before = dataFiles()
+    val snapAdopt = t.adoptFiles(parts)
+    // ADOPT-DON'T-REWRITE, plan-pinned three ways: (1) no new bytes under
+    // the table's own data dir, (2) the manifest entry is the foreign path
+    // at bucket -1, (3) the scan reads the foreign file itself
+    assert(dataFiles() == before, "adoption must not write table data files")
+    val adoptedEntries = snapAdopt.files.filter(_.bucket == SnapshotTable.AdoptedBucket)
+    assert(adoptedEntries.map(f => new java.net.URI(f.path).getPath).toSet ==
+      parts.map(p => new java.io.File(p).getAbsolutePath).toSet)
+    val scanned = t.read().select(input_file_name()).distinct().as[String].collect()
+    assert(scanned.exists(_.contains(new java.io.File(foreignDir).getName)),
+      s"scan must read the foreign file in place: $scanned")
+    assert(t.read().count() == 150)
+
+    // bucket-pruned reads keep the exact bucket contract with adopted rows
+    val b0 = t.read(Some(Set(0)))
+    val expectB0 = t.read().where(pmod(xxhash64(col("arcane_merge_key")), lit(4)) === 0)
+    assert(b0.select("arcane_merge_key").as[String].collect().sorted.toSeq ==
+      expectB0.select("arcane_merge_key").as[String].collect().sorted.toSeq)
+
+    // changesBetween across the adoption: every adopted row is an insert
+    val changes = t.changesBetween(snapAdopt.version - 1, snapAdopt.version)
+    assert(changes.where(col("_change_type") === "insert").count() == 50)
+    assert(changes.count() == 50)
+
+    // merge ABSORBS: staged updates hit both native and adopted keys; the
+    // adopted entries leave the manifest, rows land in real buckets, and
+    // the foreign file survives on disk (the table never owned it)
+    val staged = Seq(
+      ("k120", 2L, "upd-adopted", false),
+      ("k5", 2L, "upd-native", false),
+      ("k130", 2L, null.asInstanceOf[String], true)) // tombstone an adopted key
+      .toDF("arcane_merge_key", "versionnumber", "payload", "is_del")
+    val snapMerged = t.merge(staged, "arcane_merge_key", "versionnumber", "is_del")
+    assert(!snapMerged.files.exists(_.bucket < 0), "merge must absorb adopted files")
+    assert(parts.forall(p => new java.io.File(p).exists), "foreign bytes must be left untouched")
+    val rows = t.read().select("arcane_merge_key", "payload").as[(String, String)].collect().toMap
+    assert(rows.size == 149 && !rows.contains("k130"))
+    assert(rows("k120") == "upd-adopted" && rows("k5") == "upd-native" && rows("k101") == "ext101")
+
+    // rebucketAdopted absorbs without a merge, and compact() runs it
+    val t2 = SnapshotTable(spark, tmpDir("snap-adopt2"))
+    t2.createOrReplace(base, "arcane_merge_key", numBuckets = 4)
+    t2.adoptFiles(parts)
+    t2.compact(fileSizeThresholdBytes = Long.MaxValue)
+    assert(!t2.currentSnapshot.files.exists(_.bucket < 0))
+    assert(t2.read().count() == 150)
+    // no duplicate keys after absorption
+    assert(t2.read().select("arcane_merge_key").distinct().count() == 150)
+
+    // validation is loud: unknown column, missing key, wrong type
+    val badDir = tmpDir("snap-adopt-bad")
+    (1 to 5).map(i => (s"x$i", i)).toDF("arcane_merge_key", "not_a_column")
+      .coalesce(1).write.mode("overwrite").parquet(badDir)
+    val badParts = new java.io.File(badDir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.getAbsolutePath).toSeq
+    val e1 = intercept[IllegalArgumentException] { t2.adoptFiles(badParts) }
+    assert(e1.getMessage.contains("not_a_column"))
+    val badDir2 = tmpDir("snap-adopt-bad2")
+    (1 to 5).map(i => (s"x$i", i)).toDF("arcane_merge_key", "versionnumber") // int, not long
+      .coalesce(1).write.mode("overwrite").parquet(badDir2)
+    val badParts2 = new java.io.File(badDir2).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.getAbsolutePath).toSeq
+    val e2 = intercept[IllegalArgumentException] { t2.adoptFiles(badParts2) }
+    assert(e2.getMessage.contains("versionnumber"))
+  }
 }
