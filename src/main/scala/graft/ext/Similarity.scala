@@ -567,6 +567,177 @@ object Similarity {
           .otherwise(col("max_eval_sim") >= threshold))
   }
 
+  // --------------------------------------------------- product quantization
+
+  /** Readable PQ codebooks: subspace `m`'s codewords are the `m`-th slices
+    * of the first `codebookSize` corpus vectors by id — deterministic AND
+    * restatable from the table itself, so a DuckDB oracle can replay the
+    * whole encode→reconstruct→score pipeline exactly (the
+    * [[graft.queries.Queries.qAnnIvf]] readable-centroid trick, extended
+    * to PQ). [[pqTrainCodebooks]] refines these with per-subspace L2
+    * k-means for production recall. Returns `numSub × codebookSize ×
+    * (dim/numSub)` (row-major subspace order).
+    */
+  def pqCodebooksFromRows(
+      corpus: DataFrame,
+      numSub: Int,
+      codebookSize: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Array[Array[Array[Double]]] = {
+    val rows = corpus.orderBy(col(idCol)).limit(codebookSize)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.length >= 2, s"PQ needs >= 2 seed rows, corpus has ${rows.length}")
+    val dim = rows.head.length
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub=$numSub")
+    val dsub = dim / numSub
+    Array.tabulate(numSub)(m => rows.map(v => v.slice(m * dsub, (m + 1) * dsub)))
+  }
+
+  /** Per-subspace code assignment: `argmin_j L2(sub, book(j))`, computed as
+    * `argmax_j (<sub, book_j> − ‖book_j‖²/2)` (equivalent for fixed `sub`;
+    * the dot form shares IEEE op order with the oracle's
+    * `list_dot_product(sub, c) - nsq/2` replay, so near-ties resolve the
+    * same way on both engines). Tie → smaller code. The `greatest` struct
+    * tree is O(codebookSize) generated code, which is why PQ codebooks
+    * stay at the FAISS-typical 16-256 entries (bounded by representation:
+    * an 8-bit code) — list counts grow in the IVF layer, not here.
+    */
+  private def pqAssign(sub: Column, book: Array[Array[Double]]): Column = {
+    val scored = book.zipWithIndex.map { case (c, j) =>
+      val nsq = c.map(x => x * x).sum
+      struct((dot(sub, lit(c)) - lit(nsq / 2)).as("s"), lit(-j).as("nj"))
+    }
+    (-greatest(scored.toIndexedSeq: _*).getField("nj")).cast("int")
+  }
+
+  /** PQ encode: `numSub` codes per vector (`array<int>`; values fit a byte
+    * for codebookSize ≤ 256 — the storage contract is numSub bytes per
+    * vector, a 32-64× cut vs raw float32/float64 at dim 64). Map-only
+    * columnar expression; the codebooks ride the plan as literals
+    * (numSub × codebookSize × dsub doubles — a few KB at PQ scales).
+    */
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val dsub = books.head.head.length
+    val subs = books.zipWithIndex.map { case (book, m) =>
+      pqAssign(slice(vec.cast("array<double>"), m * dsub + 1, dsub), book)
+    }
+    array(subs.toIndexedSeq: _*)
+  }
+
+  /** Reconstruct the quantized vector from its codes: concatenation of the
+    * chosen codeword per subspace. The scoring side of [[ivfPqTopK]] works
+    * ENTIRELY off this — raw vectors never ship with the index, which is
+    * the point of PQ at 100 TB (codes + codebooks fit where floats do
+    * not). Scoring via the reconstruction's full-vector dot keeps IEEE op
+    * order identical to an external engine's
+    * `list_dot_product(q, recon)` replay; the classic per-query LUT
+    * lookup (O(numSub) per pair instead of O(dim)) is a CPU optimization
+    * with a DIFFERENT summation grouping — bit-exactness vs the oracle
+    * would be lost, so it belongs behind the same interface if profiling
+    * ever demands it, not in the gated path.
+    */
+  def pqReconstruct(codes: Column, books: Array[Array[Array[Double]]]): Column = {
+    val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(zip_with(booksLit, codes, (bk, c) => element_at(bk, c + 1)))
+  }
+
+  /** Per-subspace L2 k-means (Lloyd) refinement of PQ codebooks — the
+    * FAISS-standard training step. Seeds from [[pqCodebooksFromRows]];
+    * each iteration per subspace is ONE job: assign every sub-vector to
+    * its nearest codeword (map-only [[pqAssign]]) fused with `posexplode`
+    * into per-(code, pos) means — the same single-shuffle shape as
+    * [[trainCentroids]], with plain means instead of spherical
+    * re-normalization (PQ approximates the raw vector, so magnitude
+    * matters). Empty codes keep their previous codeword; exact-fixpoint
+    * early exit. numSub × iters bounded-size jobs total — PQ training is
+    * an offline pass; at 100 TB train on a sampled corpus (standard FAISS
+    * practice), the codebooks generalize.
+    */
+  def pqTrainCodebooks(
+      corpus: DataFrame,
+      numSub: Int,
+      codebookSize: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Array[Array[Array[Double]]] = {
+    VecDot.ensureRegistered(corpus.sparkSession)
+    val seeds = pqCodebooksFromRows(corpus, numSub, codebookSize, idCol, vecCol)
+    val dsub = seeds.head.head.length
+    seeds.zipWithIndex.map { case (seed, m) =>
+      val sub = corpus.select(
+        slice(col(vecCol).cast("array<double>"), m * dsub + 1, dsub).as("s"))
+      var book = seed
+      var it = 0
+      var moving = true
+      while (it < iters && moving) {
+        val meanRows = sub
+          .select(pqAssign(col("s"), book).as("code"), posexplode(col("s")).as(Seq("pos", "x")))
+          .groupBy(col("code"), col("pos")).agg(avg(col("x")).as("mean"))
+          .collect()
+        val byCode = meanRows.groupBy(_.getInt(0))
+        val next = book.zipWithIndex.map { case (old, j) =>
+          byCode.get(j).map { rs =>
+            val arr = new Array[Double](dsub)
+            rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            arr
+          }.getOrElse(old)
+        }
+        moving = !book.zip(next).forall { case (o, n) => java.util.Arrays.equals(o, n) }
+        book = next
+        it += 1
+      }
+      book
+    }
+  }
+
+  /** IVF-PQ top-k: IVF's probed-list equi-join bounds WHICH pairs are
+    * compared ([[ivfTopK]]); PQ bounds WHAT the index stores per corpus
+    * vector — (list, numSub byte codes) instead of the raw floats, the
+    * composition that fits a 100 TB index in executor memory. Candidates
+    * are scored `cos(query, reconstruct(codes))` (asymmetric distance:
+    * exact query side, quantized corpus side), so results are the
+    * DECLARED approximation of the algorithm, replayable codeword-exact
+    * by an external oracle. Recall floors vs brute force live in
+    * AnnRecallSpec.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nprobe: Int = 1
+  ): DataFrame = {
+    VecDot.ensureRegistered(queries.sparkSession)
+    require(centroids.nonEmpty, "ivfPqTopK requires at least one centroid")
+    val bc = broadcastCentroids(centroids)
+    val (dim, nLists) = (centroids.head.length, centroids.length)
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"),
+      explode(ivfProbes(col(vecCol), bc, dim, nLists, nprobe)).as("q_list"))
+    // the stored index: (id, list, codes) — raw vectors dropped before the
+    // join; scoring reconstructs from codes alone
+    val c = corpus
+      .select(
+        col(idCol).as("neighbor_id"),
+        ivfAssign(col(vecCol), bc, dim, nLists).as("c_list"),
+        pqEncode(col(vecCol), books).as("codes"))
+      .withColumn("recon", pqReconstruct(col("codes"), books))
+      .withColumn("r_norm", norm(col("recon")))
+    val scored = c
+      .join(broadcast(q), col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("recon")) / (col("q_norm") * col("r_norm"))).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
   /** IVF top-k: the corpus is assigned to its single nearest centroid list;
     * each query probes its `nprobe` nearest lists (nprobe=1 = the classic
     * coarse quantizer). The equi-join on list id bounds comparisons to

@@ -870,6 +870,24 @@ object Queries {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** IVF-PQ ANN gate ([[graft.ext.Similarity.ivfPqTopK]]): same readable
+    * coarse centroids as q_ann_ivf; PQ codebooks are READABLE too —
+    * subspace m's codewords are the m-th 8-dim slices of the first 16
+    * corpus vectors — so the DuckDB oracle replays encode (argmax
+    * `dot − ‖c‖²/2`, tie smaller code), reconstruction (concatenated
+    * codewords) and asymmetric cosine scoring codeword-exactly. The index
+    * side of the join carries only (list, 8 codes); raw corpus vectors
+    * never reach the scoring join — the memory contract that makes a
+    * 100 TB index feasible. Recall floor vs brute force in AnnRecallSpec.
+    */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val books = Similarity.pqCodebooksFromRows(emb, numSub = 8, codebookSize = 16)
+    Similarity.ivfPqTopK(emb.where(col("vec_id") < 50), emb, k = 10, ivfGateCentroids(emb), books)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** Embedding near-duplicate pairs via the LSH SCALE path (vs the
     * bounded-id exact baseline of q_embedding_near_dup): the whole corpus
     * plus an identical copy per vector (id+1e6), sign-bucketed, compared
@@ -1786,6 +1804,7 @@ object Queries {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_mp" -> (qAnnIvfMultiprobe _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
