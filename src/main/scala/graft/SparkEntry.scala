@@ -288,6 +288,24 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN to_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Funnel conversion rates per hourly start window: LEFT JOIN pairs
+    // fold to one 0/1 flag per start, then an hourly rollup; the 1-hour
+    // tumbling window start is epoch-aligned = date_trunc hour under the
+    // UTC session. Rate = double(converted)/started on both engines.
+    "q_funnel_rates" ->
+      """WITH f AS (SELECT user_id, event_id AS from_id, ts AS from_ts FROM events WHERE event_type = 'click'),
+        |t AS (SELECT user_id, event_id AS to_id, ts AS to_ts FROM events WHERE event_type = 'purchase'),
+        |pf AS (
+        |  SELECT date_trunc('hour', f.from_ts) AS window_start, f.from_id,
+        |    max(CASE WHEN t.to_id IS NOT NULL THEN 1 ELSE 0 END) AS conv
+        |  FROM f LEFT JOIN t ON f.user_id = t.user_id
+        |    AND t.to_ts > f.from_ts AND t.to_ts <= f.from_ts + INTERVAL 30 MINUTE
+        |  GROUP BY 1, 2)
+        |SELECT window_start, CAST(COUNT(*) AS BIGINT) AS started,
+        |  CAST(SUM(conv) AS BIGINT) AS converted,
+        |  CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS conversion_rate
+        |FROM pf GROUP BY window_start ORDER BY window_start""".stripMargin,
+
     "q_cdc_latest" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

@@ -1123,6 +1123,19 @@ object Queries {
         sum(when(col("to_id").isNull, 1L).otherwise(0L)).as("n_abandoned"))
       .orderBy(col("user_id"))
 
+  /** Funnel conversion-RATE windows ([[graft.streaming.StreamOps.funnelRates]]
+    * on a batch frame — unified semantics): hourly tumbling windows of
+    * click starts with started/converted counts and the conversion ratio,
+    * click → purchase within 30 minutes. The DuckDB oracle replays the
+    * LEFT JOIN + per-start flag + hourly rollup; the rate division is the
+    * same IEEE `double(converted)/started` on both engines.
+    */
+  def qFunnelRates(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.funnelRates(
+      events(spark, dir), fromType = "click", toType = "purchase",
+      maxSpan = "30 minutes", watermarkDelay = "1 hour", windowDuration = "1 hour")
+      .orderBy(col("window_start"))
+
   /** Backward as-of join gate: every click picks up the latest purchase
     * by the same user at-or-before the click — the point-in-time lookup,
     * via the union-merge [[graft.ops.AsOfJoin]] (one shuffle + one per-key
@@ -1751,6 +1764,7 @@ object Queries {
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_funnel_abandoned" -> (qFunnelAbandoned _),
+    "q_funnel_rates" -> (qFunnelRates _),
     "q_asof_join" -> (qAsofJoin _),
     "q_bloom_semi_join" -> (qBloomSemiJoin _),
     "q_salted_join" -> (qSaltedJoin _),

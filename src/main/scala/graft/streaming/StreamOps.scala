@@ -317,6 +317,58 @@ object StreamOps {
         col("from_ts"), col("to_ts"))
   }
 
+  /** Windowed funnel CONVERSION RATES — the metric funnel users actually
+    * read: per tumbling event-time window of funnel STARTS, how many
+    * `fromType` events arrived (`started`), how many converted to at
+    * least one in-span `toType` event (`converted`), and their ratio.
+    *
+    * Built as [[funnelWithAbandoned]] (every start emits, paired or
+    * NULL-extended) followed by two chained windowed aggregations, all
+    * batch/stream unified:
+    *   1. per (window, from_id): fold the pair rows into one 0/1
+    *      conversion flag — a start with several conversions must count
+    *      once, and `count(distinct)` is not available under streaming
+    *      (this grouped-max formulation is, since each from event lives
+    *      in exactly one tumbling window; state = one row per in-horizon
+    *      start, watermark-evicted);
+    *   2. per window: `started = count`, `converted = sum(flag)` — a
+    *      chained time-window aggregation, re-keyed on the step-1 window.
+    *
+    * Emission at window close + join horizon (the abandonment price from
+    * [[funnelWithAbandoned]] applies — a start is only classifiable once
+    * the watermark passes `from_ts + maxSpan`). Scale shape: the
+    * stream-stream join shuffles on the user key; both aggregations are
+    * hash aggs with map-side partial combine; state is O(in-horizon
+    * events) at any rate.
+    */
+  def funnelRates(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      maxSpan: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    val pairs = funnelWithAbandoned(
+      events, fromType, toType, maxSpan, watermarkDelay, tsCol, userCol, typeCol, idCol)
+    // the join output already carries from_ts's watermark — re-declaring it
+    // here would trip "Redefining watermark is disallowed" under the
+    // multiple-stateful-operator propagation
+    pairs
+      .groupBy(window(col("from_ts"), windowDuration), col("from_id"))
+      .agg(max(when(col("to_id").isNotNull, 1L).otherwise(0L)).as("_conv"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("started"), sum(col("_conv")).as("converted"))
+      .select(
+        col("window.start").as("window_start"),
+        col("started"), col("converted"),
+        (col("converted").cast("double") / col("started")).as("conversion_rate"))
+  }
+
   /** Per-window grouped TOP-K over a stream: for each (event-time window,
     * key) emit the k largest rows by `orderCols` (left-to-right
     * descending; include a unique id as the last tiebreaker for a total

@@ -239,6 +239,46 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel conversion-rate windows emit finalized started/converted/rate per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, String)]
+    val ev = input.toDF().toDF("ts", "event_id", "user_id", "event_type")
+    val out = StreamOps.funnelRates(ev, fromType = "click", toType = "purchase",
+      maxSpan = "30 minutes", watermarkDelay = "10 minutes", windowDuration = "1 hour")
+
+    val q = out.writeStream.format("memory").queryName("funnel_rates")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 10:00 window: 3 starts — user 7 converts (twice, must count ONCE),
+      // user 8 abandons, user 9 converts once
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 7L, "click"),
+        (ts("2024-01-01 10:05:00"), 2L, 7L, "purchase"),
+        (ts("2024-01-01 10:10:00"), 3L, 7L, "purchase"),
+        (ts("2024-01-01 10:00:00"), 4L, 8L, "click"),
+        (ts("2024-01-01 10:20:00"), 5L, 9L, "click"),
+        (ts("2024-01-01 10:40:00"), 6L, 9L, "purchase"))
+      q.processAllAvailable()
+      // advance BOTH sides' watermarks past window close + join horizon;
+      // two batches because eviction runs the batch after the update
+      input.addData(
+        (ts("2024-01-01 13:00:00"), 90L, 99L, "click"),
+        (ts("2024-01-01 13:01:00"), 91L, 99L, "purchase"))
+      q.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 15:00:00"), 92L, 98L, "click"),
+        (ts("2024-01-01 15:01:00"), 93L, 98L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_rates")
+        .select(col("window_start").cast("string"), col("started"), col("converted"),
+          col("conversion_rate"))
+        .as[(String, Long, Long, Double)].collect()
+        .map { case (w, s, c, r) => (w, (s, c, r)) }.toMap
+      assert(rows("2024-01-01 10:00:00") == ((3L, 2L, 2.0 / 3.0)),
+        s"10:00 window wrong: ${rows.get("2024-01-01 10:00:00")}")
+    } finally q.stop()
+  }
+
   test("tumbling window agg over a stream emits finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
