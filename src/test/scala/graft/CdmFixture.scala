@@ -47,20 +47,31 @@ object CdmFixture {
     "IsDelete" -> "boolean"
   )
 
-  def modelJson(extraAttributes: Seq[(String, String)] = Seq.empty): String = {
+  def modelJson(extraAttributes: Seq[(String, String)] = Seq.empty): String =
+    modelJsonFor(Seq(entityName), extraAttributes)
+
+  /** model.json declaring SEVERAL entities (the real Synapse export shape:
+    * one model.json lists every exported entity; each app instance streams
+    * one of them — SURVEY.md §1.1).
+    */
+  def modelJsonFor(
+      names: Seq[String], extraAttributes: Seq[(String, String)] = Seq.empty): String = {
     val attrJson = (attributes ++ extraAttributes).map { case (n, t) =>
       s"""{"name": "$n", "dataType": "$t", "maxLength": -1}"""
     }.mkString(",\n        ")
-    s"""{
-  "name": "cdm", "description": "cdm", "version": "1.0",
-  "entities": [
-    {
+    val entJson = names.map { en =>
+      s"""{
       "$$type": "LocalEntity",
-      "name": "$entityName",
+      "name": "$en",
       "attributes": [
         $attrJson
       ]
-    }
+    }"""
+    }.mkString(",\n    ")
+    s"""{
+  "name": "cdm", "description": "cdm", "version": "1.0",
+  "entities": [
+    $entJson
   ]
 }"""
   }
@@ -163,6 +174,43 @@ object CdmFixture {
     write(fdir.resolve(s"${2020 + (chunkSeed % 6)}.csv"), baseFile)
     if (addDelete) write(fdir.resolve(s"${1 + (chunkSeed % 9)}.csv"), deleteFile)
     if (addUpsert) write(fdir.resolve(s"${1 + ((chunkSeed + 3) % 9)}.csv"), upsertFile)
+    if (updateChangelog) stampChangelog(root, folder)
+    folder
+  }
+
+  /** Upload one batch folder carrying SEVERAL entities, each with
+    * per-entity row content (displayvalue prefixed by the entity name, so
+    * any cross-entity leak in the source/merge path shows up as a wrong
+    * prefix in the target table).
+    */
+  def uploadBatchEntities(
+      root: String,
+      ts: OffsetDateTime,
+      names: Seq[String],
+      addBase: Boolean = true,
+      addDelete: Boolean = false,
+      addUpsert: Boolean = false,
+      updateChangelog: Boolean = false,
+      chunkSeed: Int = 7
+  ): String = {
+    val folder = folderName(ts)
+    Files.createDirectories(Paths.get(root, folder))
+    write(Paths.get(root, folder, "model.json"), modelJsonFor(names))
+    names.foreach { en =>
+      val fdir = Paths.get(root, folder, en)
+      Files.createDirectories(fdir)
+      if (addBase) {
+        val base = baseIds.zipWithIndex.map { case ((id, v), i) =>
+          insertRow(id, i, v, s"$en-F$i") }.mkString("\n") + "\n"
+        write(fdir.resolve(s"${2020 + (chunkSeed % 6)}.csv"), base)
+      }
+      if (addDelete) write(fdir.resolve(s"${1 + (chunkSeed % 9)}.csv"), deleteFile)
+      if (addUpsert) {
+        val up = upsertIds.zipWithIndex.map { case ((id, v), i) =>
+          insertRow(id, i, v, s"$en-U$i") }.mkString("\n") + "\n"
+        write(fdir.resolve(s"${1 + ((chunkSeed + 3) % 9)}.csv"), up)
+      }
+    }
     if (updateChangelog) stampChangelog(root, folder)
     folder
   }

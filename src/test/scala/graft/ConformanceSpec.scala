@@ -76,6 +76,85 @@ class ConformanceSpec extends SparkSpec {
       "export view must match SnapshotTable.read() exactly")
   }
 
+  test("three entity streams run concurrently in one session: per-stream checkpoints, independent watermarks") {
+    // The reference runs ONE entity per pod (CRD-scoped app instance); the
+    // Spark rebuild multiplexes N entity streams of one export in a single
+    // session — shared scheduler, separate targets/checkpoints. Content is
+    // entity-prefixed (displayvalue = "<entity>-..."), so any cross-entity
+    // leak in listing, parsing or merge shows up as a wrong prefix.
+    val root = tmpDir("cdm-multi-src")
+    val names = Seq("entity_a", "entity_b", "entity_c")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "model.json"),
+      CdmFixture.modelJsonFor(names).getBytes("UTF-8"))
+
+    val f1 = CdmFixture.uploadBatchEntities(root, now.minusHours(2), names,
+      updateChangelog = true, chunkSeed = 1)
+    val specs = names.map { en =>
+      StreamSpec(
+        sourcePath = root,
+        entityName = en,
+        targetLocation = tmpDir(s"cdm-multi-target-$en"),
+        backfillBehavior = "Overwrite",
+        numBuckets = 4,
+        changeCaptureIntervalSeconds = 1,
+        checkpointLocation = Some(tmpDir(s"cdm-multi-ckpt-$en")))
+    }
+    specs.foreach(s => CdcPipeline.runBackfill(spark, s))
+    specs.foreach { s =>
+      val tb = SnapshotTable(spark, s.targetLocation)
+      assert(tb.read().count() === 5, s"${s.entityName} backfill")
+      assert(tb.properties(SnapshotTable.PropWatermark) === f1)
+      assert(tb.read().where(!col("displayvalue").startsWith(s.entityName)).count() === 0,
+        s"${s.entityName} must only hold its own entity's rows")
+    }
+
+    // folder 2: delete id1 + upsert id2 for EVERY entity, then run all
+    // three streams CONCURRENTLY against the shared export
+    val f2 = CdmFixture.uploadBatchEntities(root, now.minusHours(1), names,
+      addDelete = true, addUpsert = true, updateChangelog = true, chunkSeed = 2)
+    val queries = specs.map(s => CdcPipeline.startStream(spark, s))
+    try {
+      queries.foreach(_.processAllAvailable())
+      specs.foreach { s =>
+        val tb = SnapshotTable(spark, s.targetLocation)
+        val rows = tb.read()
+        assert(rows.count() === 6, s"${s.entityName}: 5 - 1 deleted + 2 inserted")
+        assert(rows.where(col("Id") === CdmFixture.id1).count() === 0)
+        assert(rows.where(col("Id") === CdmFixture.id2)
+          .select("versionnumber").head().getLong(0) === 2111000012L)
+        assert(rows.where(!col("displayvalue").startsWith(s.entityName)).count() === 0,
+          s"${s.entityName} absorbed another entity's rows")
+        assert(tb.properties(SnapshotTable.PropWatermark) === f2)
+      }
+
+      // entity_c falls behind: stop its stream, advance the export. The
+      // OTHER two keep consuming — watermarks are per-table, not shared.
+      queries(2).stop()
+      val f3 = CdmFixture.uploadBatchEntities(root, now.minusMinutes(30), names,
+        addBase = false, addUpsert = true, updateChangelog = true, chunkSeed = 3)
+      queries(0).processAllAvailable()
+      queries(1).processAllAvailable()
+      assert(SnapshotTable(spark, specs(0).targetLocation)
+        .properties(SnapshotTable.PropWatermark) === f3)
+      assert(SnapshotTable(spark, specs(1).targetLocation)
+        .properties(SnapshotTable.PropWatermark) === f3)
+      assert(SnapshotTable(spark, specs(2).targetLocation)
+        .properties(SnapshotTable.PropWatermark) === f2,
+        "a stopped stream's watermark must not move")
+
+      // entity_c resumes from ITS checkpoint and catches up independently;
+      // the f3 upserts replay at equal versions → no-op merges, 6 rows
+      val qc = CdcPipeline.startStream(spark, specs(2))
+      try qc.processAllAvailable()
+      finally qc.stop()
+      val tc = SnapshotTable(spark, specs(2).targetLocation)
+      assert(tc.properties(SnapshotTable.PropWatermark) === f3)
+      assert(tc.read().count() === 6)
+      assert(tc.read().where(!col("displayvalue").startsWith("entity_c")).count() === 0)
+    } finally queries.foreach(q => if (q.isActive) q.stop())
+  }
+
   test("schema evolution across restart: new model.json column is ADDed, history NULL") {
     val root = tmpDir("cdm-evolve-src")
     val target = tmpDir("cdm-evolve-target")
