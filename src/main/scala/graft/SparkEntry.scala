@@ -1053,6 +1053,31 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
 
+    // SemDeDup: the corpus plus a planted exact copy of every vector
+    // (ids +1e6), assigned to the q_ann_ivf readable centroids; a row is
+    // pruned when a same-cluster neighbor at cosine >= 0.999 precedes it
+    // in the (centroid-sim ASC, id ASC) keep order. Survivors replayed
+    // with the identical IEEE op sequences.
+    "q_semdedup" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 1000000, v FROM e0),
+        |cents AS (SELECT vec_id AS list, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv FROM e0 WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, list, sim FROM (
+        |    SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, c.list,
+        |      list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)) AS sim,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)) DESC, c.list DESC) AS rn
+        |    FROM e, cents c) t
+        |  WHERE rn = 1)
+        |SELECT r.vec_id FROM assign r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM assign s
+        |  WHERE s.list = r.list AND s.vec_id <> r.vec_id
+        |    AND list_dot_product(r.v, s.v) / (r.nrm * s.nrm) >= 0.999
+        |    AND (s.sim < r.sim OR (s.sim = r.sim AND s.vec_id < r.vec_id)))
+        |ORDER BY r.vec_id""".stripMargin,
+
     // REAL video decode gate: the Spark side plants one MJPEG AVI per doc
     // and must demux the RIFF container (frame count = counted movi
     // chunks, fps = strh rate/scale) and JPEG-decode every second frame

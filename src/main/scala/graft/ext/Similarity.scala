@@ -772,4 +772,68 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
+
+  /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by nearest centroid, then prune
+    * near-duplicates WITHIN each cluster only — the clustering is what
+    * bounds the otherwise O(n²) pairwise cosine to O(Σ m_c²) over cluster
+    * sizes, the property that makes embedding dedup feasible at corpus
+    * scale. A row is removed when some other row in its cluster has
+    * cosine ≥ `threshold` with it and precedes it in the deterministic
+    * keep order (lower cosine-to-centroid first — the paper keeps the
+    * example FARTHEST from the centroid as the cluster's representative —
+    * then lower id). Returns the surviving ids.
+    *
+    * Plan shape: assignment is the map-only broadcast argmax
+    * ([[ivfAssign]]); the per-row centroid similarity comes from a
+    * broadcast equi-join against the k-row centroid table (scale-safe at
+    * any list count, unlike a k-wide literal in the plan); the prune is a
+    * single LEFT ANTI self-join hash-partitioned on the cluster id — one
+    * shuffle of (id, vec, norm, sim), no window, no driver state. Cluster
+    * sizes are the skew knob: size `centroids.length` so expected cluster
+    * size stays in the 10²-10⁴ range (the paper's regime); a pathological
+    * hot cluster degrades that one partition to its m² pairs, the
+    * declared semantics.
+    *
+    * Cross-engine determinism: the domination predicate compares cosines
+    * computed with the same IEEE op sequence on both sides
+    * (`dot(r,s)/(nrm_r*nrm_s)`; centroid sim `dot(v,cv)/nrm_v`), so an
+    * external replay (q_semdedup) matches bit-for-bit.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    VecDot.ensureRegistered(spark)
+    require(centroids.nonEmpty, "semDedup requires at least one centroid")
+    val bc = broadcastCentroids(centroids)
+    val (dim, nLists) = (centroids.head.length, centroids.length)
+    import spark.implicits._
+    val centTable = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }
+      .toSeq.toDF("list", "cv")
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("list", ivfAssign(col("v"), bc, dim, nLists))
+      .join(broadcast(centTable), "list")
+      .withColumn("sim", dot(col("v"), col("cv")) / col("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("list"), col("sim"))
+    val s = assigned.select(
+      col("vec_id").as("s_id"), col("v").as("s_v"), col("nrm").as("s_nrm"),
+      col("list").as("s_list"), col("sim").as("s_sim"))
+    assigned
+      .join(s,
+        col("list") === col("s_list") && col("vec_id") =!= col("s_id") &&
+          dot(col("v"), col("s_v")) / (col("nrm") * col("s_nrm")) >= threshold &&
+          (col("s_sim") < col("sim") ||
+            (col("s_sim") === col("sim") && col("s_id") < col("vec_id"))),
+        "left_anti")
+      .select(col("vec_id"))
+  }
 }

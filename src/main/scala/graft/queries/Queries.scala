@@ -906,6 +906,25 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup gate ([[graft.ext.Similarity.semDedup]]): cluster-scoped
+    * semantic dedup over the corpus plus a planted exact copy of every
+    * vector (ids +1e6). Same readable centroids as q_ann_ivf, so the
+    * DuckDB oracle replays assignment, the within-cluster domination
+    * predicate (cosine ≥ 0.999 against a lower-(centroid-sim, id)
+    * neighbor) and the surviving-id set exactly. The planted copies land
+    * in their original's cluster by construction (identical vector →
+    * identical argmax), so every copy is dominated by its original's
+    * lower id — survivors are exactly the undominated rows.
+    */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(
+      base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    Similarity.semDedup(corpus, ivfGateCentroids(emb), threshold = 0.999)
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------- text (north star)
 
   /** Int8 embedding quantization gate (planted-property oracle — rounding
@@ -1819,6 +1838,7 @@ object Queries {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_mp" -> (qAnnIvfMultiprobe _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
+    "q_semdedup" -> (qSemDedup _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

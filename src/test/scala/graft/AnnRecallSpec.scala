@@ -283,4 +283,44 @@ class AnnRecallSpec extends SparkSpec {
     // cosine threshold by construction of the operator's verify stage
     assert(found.nonEmpty)
   }
+
+  test("semDedup keeps the farthest-from-centroid representative, lower id on ties") {
+    import graft.ext.Similarity
+    // Hand-checkable 2-D corpus over two axis centroids. Cluster 0: id 0
+    // and id 1 are near-dups (cos ≈ 1); id 1 has the larger norm → smaller
+    // cosine-to-centroid → SemDeDup keeps it (farthest from centroid).
+    // Cluster 1: ids 2 and 3 are identical → equal centroid sim → lower
+    // id 2 survives.
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val corpus = Seq(
+      (0L, Array(10.0, 0.1)),
+      (1L, Array(10.0, 0.1001)),
+      (2L, Array(0.1, 5.0)),
+      (3L, Array(0.1, 5.0))
+    ).toDF("vec_id", "embedding")
+    val survivors = Similarity.semDedup(corpus, cents, threshold = 0.999)
+      .as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L), s"expected {1, 2}, got $survivors")
+  }
+
+  test("semDedup: planted exact copies never survive and never change which originals do") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(
+      base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val cents = Similarity.trainCentroids(emb, numLists = 8, iters = 2)
+    val withCopies = Similarity.semDedup(corpus, cents, threshold = 0.999)
+      .as[Long].collect().toSet
+    // A copy ties its original on centroid sim and loses the id tiebreak →
+    // every survivor is an original.
+    assert(withCopies.forall(_ < 1000000L), "a planted exact copy survived semDedup")
+    // And domination by a copy implies domination by its original, so the
+    // surviving-original set is invariant under planting.
+    val baseOnly = Similarity.semDedup(base, cents, threshold = 0.999)
+      .as[Long].collect().toSet
+    assert(withCopies == baseOnly,
+      s"planting copies changed the survivor set (${withCopies.size} vs ${baseOnly.size})")
+  }
 }
