@@ -1078,6 +1078,26 @@ object SparkEntry {
         |    AND (s.sim < r.sim OR (s.sim = r.sim AND s.vec_id < r.vec_id)))
         |ORDER BY r.vec_id""".stripMargin,
 
+    // Exact-substring duplicate spans: 40-char grams sampled every 10
+    // chars, grams in >= 2 distinct docs (min doc <> max doc), per-doc
+    // gaps-and-islands merge (break when pos > prev + gramLen), span end
+    // exclusive at last gram + gramLen.
+    "q_dup_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |    substr(text, CAST(p AS INT) + 1, 40) AS gram
+        |  FROM documents, LATERAL unnest(range(0, len(text) - 39, 10)) t(p)
+        |  WHERE len(text) >= 40),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |occ AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+        |lagd AS (SELECT doc_id, pos,
+        |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM occ),
+        |isl AS (SELECT doc_id, pos,
+        |  sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagd)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
     // REAL video decode gate: the Spark side plants one MJPEG AVI per doc
     // and must demux the RIFF container (frame count = counted movi
     // chunks, fps = strh rate/scale) and JPEG-decode every second frame

@@ -285,6 +285,72 @@ object Dedup {
         coalesce(col("kept_lines"), lit(0L)).as("kept_lines"))
   }
 
+  /** Cross-document duplicated SUBSTRING spans, the char-gram formulation
+    * of exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better" — their suffix-array ExactSubstr
+    * finds verbatim repeated passages that document-level MinHash misses:
+    * licenses, boilerplate, quoted text). The suffix array is inherently
+    * sequential; the distributed reformulation samples overlapping char
+    * grams of length `gramLen` every `stride` chars, keeps grams seen in
+    * ≥ 2 DISTINCT documents, and merges a document's surviving gram
+    * occurrences into maximal spans (gaps-and-islands). A repeated passage
+    * of length ≥ gramLen + stride − 1 is guaranteed to contribute at least
+    * one sampled gram at matching alignment ONLY when it starts on a
+    * stride boundary in both documents — stride trades recall for shuffle
+    * volume exactly like the suffix-array work's minhash prefilter; the
+    * gate pins the declared (sampled) semantics, not full suffix-array
+    * recall.
+    *
+    * Returns `(doc_id, span_start, span_end)` — 0-based char offsets, end
+    * exclusive — one row per maximal duplicated span, the input a caller
+    * cuts or masks before training.
+    *
+    * Plan shape: gram generation is a codegen map (`sequence` + explode +
+    * `substr` — no UDF); duplicate detection is one hash aggregation with
+    * `min ≠ max` doc-id (partial-agg friendly, no countDistinct sketch);
+    * the island merge windows per document ordered by position — the sort
+    * key is (doc, pos), bounded by document length, never corpus-wide.
+    * With `hashGrams` (the 100 TB path) the shuffle carries an 8-byte
+    * xxhash64 key instead of `gramLen` chars — a ~gramLen× shuffle cut
+    * whose only cost is the declared 2^-64-per-pair collision odds;
+    * DupSpansSpec pins hashed ≡ raw-text spans on the test corpus.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      gramLen: Int = 40,
+      stride: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashGrams: Boolean = true
+  ): DataFrame = {
+    require(gramLen > 0 && stride > 0 && stride <= gramLen,
+      s"need 0 < stride <= gramLen for gapless span coverage (got gramLen=$gramLen stride=$stride)")
+    val occ = docs
+      .where(length(col(textCol)) >= gramLen)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(0L), (length(col(textCol)) - gramLen).cast("long"),
+          lit(stride.toLong))).as("pos"),
+        col(textCol).as("_t"))
+      .withColumn("gram", col("_t").substr(col("pos").cast("int") + 1, lit(gramLen)))
+      .select(col("doc_id"), col("pos"),
+        (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("key"))
+    val dupKeys = occ.groupBy(col("key"))
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+      .where(col("_mn") =!= col("_mx"))
+      .select(col("key"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    occ
+      .join(dupKeys, Seq("key"), "left_semi")
+      .withColumn("_prev", lag(col("pos"), 1).over(w))
+      .withColumn("_brk",
+        when(col("_prev").isNull || col("pos") > col("_prev") + gramLen, 1L).otherwise(0L))
+      .withColumn("_island",
+        sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + gramLen).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   // ------------------------------------------- duplicate-group resolution
 
   /** Labels plus the number of propagation rounds the loop ran — the

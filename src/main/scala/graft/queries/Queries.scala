@@ -925,6 +925,20 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** Exact-substring duplicate spans ([[graft.ext.Dedup.duplicateSpans]]):
+    * maximal cross-document duplicated char-gram spans over the documents
+    * table (the sampled-gram reformulation of Lee et al. 2021's
+    * ExactSubstr). The gate runs the raw-text gram key so DuckDB replays
+    * gram generation, the min≠max duplicate test and the island merge
+    * verbatim; the hashed (8-byte shuffle key) scale path is pinned
+    * identical in DupSpansSpec.
+    */
+  def qDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.duplicateSpans(docs, gramLen = 40, stride = 10, hashGrams = false)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   // ------------------------------------------------- text (north star)
 
   /** Int8 embedding quantization gate (planted-property oracle — rounding
@@ -1839,6 +1853,7 @@ object Queries {
     "q_ann_ivf_mp" -> (qAnnIvfMultiprobe _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_semdedup" -> (qSemDedup _),
+    "q_dup_spans" -> (qDupSpans _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
