@@ -1098,6 +1098,35 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
 
+    // Fixed-point integer PageRank, 3 unrolled iterations. Every term is
+    // long arithmetic (scale 10^12, damping 850/1000, truncating division)
+    // so DuckDB's replay is bit-exact: base = ((S//n)*150)//1000, per-edge
+    // contribution rank//deg, dangling share dang//n, and the damped sum
+    // (850*(inflow + dang//n))//1000. Operands are all non-negative so
+    // floor (DuckDB //) and truncate (Spark div) agree.
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT user_id AS src, event_id % 150 AS dst FROM events
+        |  WHERE event_type = 'click' AND value > 10),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |p AS (SELECT count(*) AS n, ((1000000000000 // count(*)) * 150) // 1000 AS base FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes, p),
+        |d0 AS (SELECT coalesce(sum(r.rank), 0) AS dang FROM r0 r LEFT JOIN od ON r.node = od.src WHERE od.deg IS NULL),
+        |i0 AS (SELECT e.dst, sum(r.rank // od.deg) AS fl FROM e JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r1 AS (SELECT node, CAST(base + (850 * (coalesce(fl, 0) + (dang // n))) // 1000 AS BIGINT) AS rank
+        |  FROM nodes CROSS JOIN p CROSS JOIN d0 LEFT JOIN i0 ON node = i0.dst),
+        |d1 AS (SELECT coalesce(sum(r.rank), 0) AS dang FROM r1 r LEFT JOIN od ON r.node = od.src WHERE od.deg IS NULL),
+        |i1 AS (SELECT e.dst, sum(r.rank // od.deg) AS fl FROM e JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r2 AS (SELECT node, CAST(base + (850 * (coalesce(fl, 0) + (dang // n))) // 1000 AS BIGINT) AS rank
+        |  FROM nodes CROSS JOIN p CROSS JOIN d1 LEFT JOIN i1 ON node = i1.dst),
+        |d2 AS (SELECT coalesce(sum(r.rank), 0) AS dang FROM r2 r LEFT JOIN od ON r.node = od.src WHERE od.deg IS NULL),
+        |i2 AS (SELECT e.dst, sum(r.rank // od.deg) AS fl FROM e JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r3 AS (SELECT node, CAST(base + (850 * (coalesce(fl, 0) + (dang // n))) // 1000 AS BIGINT) AS rank
+        |  FROM nodes CROSS JOIN p CROSS JOIN d2 LEFT JOIN i2 ON node = i2.dst)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+
     // REAL video decode gate: the Spark side plants one MJPEG AVI per doc
     // and must demux the RIFF container (frame count = counted movi
     // chunks, fps = strh rate/scale) and JPEG-decode every second frame

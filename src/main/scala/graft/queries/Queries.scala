@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Datasets, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Datasets, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -939,6 +939,22 @@ object Queries {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Fixed-point integer PageRank over a click graph derived from events
+    * (src = user, dst = event_id mod 150, clicks with value > 10). All
+    * arithmetic is long division/multiplication at scale 10^12, so DuckDB
+    * replays the three unrolled iterations bit-exactly — including the
+    * dangling-mass share and the truncating per-edge splits — with no
+    * float drift (Graph.scala). Nodes with no qualifying click exercise
+    * the dangling path on real data.
+    */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val edges = ev
+      .where(col("event_type") === "click" && col("value") > 10)
+      .select(col("user_id").as("src"), (col("event_id") % 150).as("dst"))
+    Graph.pageRank(edges, iterations = 3).orderBy(col("node"))
+  }
+
   // ------------------------------------------------- text (north star)
 
   /** Int8 embedding quantization gate (planted-property oracle — rounding
@@ -1854,6 +1870,7 @@ object Queries {
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_semdedup" -> (qSemDedup _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_pagerank" -> (qPageRank _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
