@@ -1127,6 +1127,38 @@ object SparkEntry {
         |  FROM nodes CROSS JOIN p CROSS JOIN d2 LEFT JOIN i2 ON node = i2.dst)
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
 
+    // Fixed-point integer HITS, 2 unrolled iterations. Raw sums are long
+    // additions; each L1 normalization is (raw * 10^12) // total with the
+    // multiply in 128-bit integers (HUGEINT here, DECIMAL(38,0) on the
+    // Spark side) truncated back to BIGINT — non-negative operands, so
+    // floor and truncate agree and the replay is bit-exact.
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT user_id AS src, event_id % 97 AS dst FROM events
+        |  WHERE event_type = 'view' AND value > 5),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |p AS (SELECT count(*) AS n FROM nodes),
+        |h0 AS (SELECT node, 1000000000000 // n AS score FROM nodes, p),
+        |ar1 AS (SELECT nd.node, coalesce(s.raw, 0) AS raw FROM nodes nd LEFT JOIN
+        |  (SELECT e.dst, sum(h.score) AS raw FROM e JOIN h0 h ON e.src = h.node GROUP BY e.dst) s
+        |  ON nd.node = s.dst),
+        |a1 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000000 // (SELECT sum(raw) FROM ar1) AS BIGINT) AS score FROM ar1),
+        |hr1 AS (SELECT nd.node, coalesce(s.raw, 0) AS raw FROM nodes nd LEFT JOIN
+        |  (SELECT e.src, sum(a.score) AS raw FROM e JOIN a1 a ON e.dst = a.node GROUP BY e.src) s
+        |  ON nd.node = s.src),
+        |h1 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000000 // (SELECT sum(raw) FROM hr1) AS BIGINT) AS score FROM hr1),
+        |ar2 AS (SELECT nd.node, coalesce(s.raw, 0) AS raw FROM nodes nd LEFT JOIN
+        |  (SELECT e.dst, sum(h.score) AS raw FROM e JOIN h1 h ON e.src = h.node GROUP BY e.dst) s
+        |  ON nd.node = s.dst),
+        |a2 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000000 // (SELECT sum(raw) FROM ar2) AS BIGINT) AS score FROM ar2),
+        |hr2 AS (SELECT nd.node, coalesce(s.raw, 0) AS raw FROM nodes nd LEFT JOIN
+        |  (SELECT e.src, sum(a.score) AS raw FROM e JOIN a2 a ON e.dst = a.node GROUP BY e.src) s
+        |  ON nd.node = s.src),
+        |h2 AS (SELECT node, CAST(CAST(raw AS HUGEINT) * 1000000000000 // (SELECT sum(raw) FROM hr2) AS BIGINT) AS score FROM hr2)
+        |SELECT h2.node, h2.score AS hub, a2.score AS auth
+        |FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node""".stripMargin,
+
     // REAL video decode gate: the Spark side plants one MJPEG AVI per doc
     // and must demux the RIFF container (frame count = counted movi
     // chunks, fps = strh rate/scale) and JPEG-decode every second frame

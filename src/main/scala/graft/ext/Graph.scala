@@ -23,6 +23,15 @@ object Graph {
   /** Total rank mass: ranks are fractions of 1 scaled by this. */
   val RankScale = 1000000000000L
 
+  /** Dataset.unpersist is a no-op on a localCheckpoint'd frame — release
+    * the checkpoint's RDD blocks directly (cf. Dedup.releaseCheckpoint).
+    */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Fixed-iteration PageRank over an edge list.
     *
     * Per iteration, with `R` the scaled rank map and `n` the node count:
@@ -60,13 +69,6 @@ object Graph {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
-    // Dataset.unpersist is a no-op on a localCheckpoint'd frame — release
-    // the checkpoint's RDD blocks directly (cf. Dedup.releaseCheckpoint).
-    def release(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collectLeaves().foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-        case _ => ()
-      }
     // Checkpoint the (tiny relative to the corpus) edge list once so every
     // round re-analyzes a leaf RDD scan, not the upstream derivation plan.
     val e = edges
@@ -105,6 +107,83 @@ object Graph {
     release(nodes)
     release(outDeg)
     val out = ranks.select(col("node"), col("rank"))
+    release(e)
+    out
+  }
+
+  /** Fixed-point integer HITS (Kleinberg '99): hub and authority scores
+    * over an edge list, L1-normalized each half-step so scores are
+    * fractions of [[RankScale]].
+    *
+    * Per iteration: `a_raw(v) = Σ h(u)` over in-edges `u→v` (multi-edges
+    * count multiply), then `a(v) = (a_raw(v) · S) div Σ a_raw`; then
+    * `h_raw(v) = Σ a(w)` over out-edges `v→w` and the same
+    * normalization. The normalizing multiply runs in DECIMAL(38,0)
+    * (`a_raw · 10^12` overflows a long when Σ h concentrates on a high
+    * in-degree node) and `div` truncates back to a long — an external
+    * replay does the identical op in 128-bit integers, so scores are
+    * bit-exact across engines and partitionings, like [[pageRank]].
+    * L1 (not the textbook L2) keeps the iteration transcendental-free:
+    * normalization is a per-step scaling, so the score ORDERING matches
+    * the power iteration's at every step; only the reported magnitudes
+    * differ from an L2-normalized run.
+    *
+    * Scale shape: two shuffles per iteration (the in-edge and out-edge
+    * sum aggregations, map-side combined), two scalar totals on the
+    * driver, `localCheckpoint` + release per half-step exactly as in
+    * [[pageRank]] so plan analysis stays O(1) per round.
+    *
+    * Returns `(node, hub, auth)`.
+    */
+  def hits(
+      edges: DataFrame,
+      iterations: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(iterations >= 1, "hits needs at least one iteration")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "hits needs at least one edge")
+
+    // One half-step: raw = Σ other(score) grouped on `groupSide` of the
+    // edge, densified over all nodes, L1-normalized to RankScale.
+    def halfStep(scores: DataFrame, joinSide: String, groupSide: String): DataFrame = {
+      val raw = e.join(scores, col(joinSide) === col("node"))
+        .groupBy(col(groupSide)).agg(sum(col("score")).as("raw"))
+      val dense = nodes.join(raw, col("node") === col(groupSide), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .localCheckpoint()
+      val total = dense.agg(coalesce(sum(col("raw")), lit(0L))).head().getLong(0)
+      require(total > 0, "hits: score mass vanished (graph has no 2-step paths)")
+      val next = dense.select(col("node"),
+        expr(s"CAST(raw AS DECIMAL(38,0)) * $RankScale div ${total}L").as("score"))
+        .localCheckpoint()
+      release(dense)
+      next
+    }
+
+    var hub = nodes.withColumn("score", lit(RankScale / n)).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val authNext = halfStep(hub, joinSide = "src", groupSide = "dst")
+      if (auth != null) release(auth)
+      auth = authNext
+      val hubNext = halfStep(auth, joinSide = "dst", groupSide = "src")
+      release(hub)
+      hub = hubNext
+    }
+    val out = hub.select(col("node"), col("score").as("hub"))
+      .join(auth.select(col("node").as("anode"), col("score").as("auth")),
+        col("node") === col("anode"))
+      .select(col("node"), col("hub"), col("auth"))
+    release(nodes)
     release(e)
     out
   }

@@ -955,6 +955,20 @@ object Queries {
     Graph.pageRank(edges, iterations = 3).orderBy(col("node"))
   }
 
+  /** Fixed-point integer HITS over a view graph (src = user, dst =
+    * event_id mod 97, views with value > 5). Two iterations; hub and
+    * authority scores L1-normalized to 10^12 with the DECIMAL(38,0)
+    * multiply-then-truncate that DuckDB replays in HUGEINT — bit-exact
+    * like q_pagerank (Graph.scala).
+    */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val edges = ev
+      .where(col("event_type") === "view" && col("value") > 5)
+      .select(col("user_id").as("src"), (col("event_id") % 97).as("dst"))
+    Graph.hits(edges, iterations = 2).orderBy(col("node"))
+  }
+
   // ------------------------------------------------- text (north star)
 
   /** Int8 embedding quantization gate (planted-property oracle — rounding
@@ -1871,6 +1885,7 @@ object Queries {
     "q_semdedup" -> (qSemDedup _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPageRank _),
+    "q_hits" -> (qHits _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

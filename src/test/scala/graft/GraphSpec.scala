@@ -72,6 +72,29 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("HITS matches hand-computed longs (two iterations, L1-normalized)") {
+    // Graph: 1 -> 3, 2 -> 3, 3 -> 1. Node 3 is the authority (two
+    // in-edges), nodes 1 and 2 the hubs. Replayed in exact integer
+    // arithmetic: after iter 1 auth = (1/3, 0, 2/3)·S,
+    // hub = (0.4, 0.4, 0.2)·S; after iter 2 auth = (0.2, 0, 0.8)·S,
+    // hub = (4/9, 4/9, 1/9)·S (truncating divisions).
+    val r = Graph.hits(edges(1L -> 3L, 2L -> 3L, 3L -> 1L), iterations = 2)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r == Map(
+      1L -> ((444444444444L, 200000000000L)),
+      2L -> ((444444444444L, 0L)),
+      3L -> ((111111111111L, 800000000000L))))
+  }
+
+  test("HITS is identical across repartitionings") {
+    val pairs = (0L until 400L).map(i => (i % 37) -> ((i * 7 + 3) % 41))
+    val a = Graph.hits(edges(pairs: _*).repartition(1), iterations = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = Graph.hits(edges(pairs: _*).repartition(13), iterations = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("q_pagerank gate query returns ranked nodes at sf0.001") {
     val df = graft.queries.Queries.all("q_pagerank")(spark, sf())
     val rows = df.collect()
