@@ -1159,6 +1159,43 @@ object SparkEntry {
         |SELECT h2.node, h2.score AS hub, a2.score AS auth
         |FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node""".stripMargin,
 
+    // Triangle counts by an algorithm INDEPENDENT of the Spark side's
+    // degree-ordered orientation: the ordered 3-way self-join u<v<w finds
+    // each triangle exactly once with no degree table at all. Integer
+    // counts + truncating-division permille -> bit-exact.
+    "q_triangles" ->
+      """WITH raw AS (
+        |  SELECT user_id % 120 AS a, event_id % 120 AS b FROM events
+        |  WHERE event_type = 'click'),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+        |tris AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (SELECT node, count(*) AS tri FROM
+        |  (SELECT a AS node FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris)
+        |  GROUP BY node)
+        |SELECT d.node, d.deg, coalesce(t.tri, 0) AS tri,
+        |  CAST(CASE WHEN d.deg >= 2
+        |    THEN (2000 * coalesce(t.tri, 0)) // (d.deg * (d.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS lcc_permille
+        |FROM deg d LEFT JOIN tc t ON d.node = t.node ORDER BY d.node""".stripMargin,
+
+    // HyperLogLog p=12 register replay: multiplicative 32-bit hash, top 12
+    // bits -> bucket, rank = 21 - bitlen(low 20 bits) via the binary-string
+    // length (bin() emits no leading zeros in either engine; no float
+    // log2). Register max is associative & duplicate-idempotent, so the
+    // sketch STATE is bit-exact across engines.
+    "q_hll_registers" ->
+      """WITH h AS (
+        |  SELECT (o_orderkey * 2654435761) % 4294967296 AS h32 FROM orders
+        |  WHERE o_orderkey IS NOT NULL),
+        |r AS (SELECT h32 // 1048576 AS bucket, h32 % 1048576 AS w FROM h)
+        |SELECT bucket,
+        |  max(CAST(CASE WHEN w = 0 THEN 21 ELSE 21 - length(ltrim(bin(w), '0')) END AS BIGINT)) AS max_rank
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // REAL video decode gate: the Spark side plants one MJPEG AVI per doc
     // and must demux the RIFF container (frame count = counted movi
     // chunks, fps = strh rate/scale) and JPEG-decode every second frame

@@ -187,4 +187,160 @@ object Graph {
     release(e)
     out
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected multigraph given as an edge list (self-loops dropped,
+    * parallel edges collapsed). Web-graph curation uses the clustering
+    * coefficient to separate organic link neighborhoods from link farms
+    * (spam rings are near-cliques; isolated boilerplate links close no
+    * triangles).
+    *
+    * Algorithm: degree-ordered edge orientation (Cohen 2009's MapReduce
+    * scheme / the classic compact-forward ordering) — each undirected
+    * edge {u,v} is oriented from the endpoint with the SMALLER
+    * (degree, id) pair to the larger, which caps every node's
+    * out-degree at O(√m). Wedges are the self-join of oriented edges on
+    * their source (ordered pairs of out-neighbors), and a wedge (x, y)
+    * closes iff the oriented edge x→y exists — each triangle is found
+    * EXACTLY once, at its lowest-ordered corner. Total wedge count is
+    * Σ C(outdeg, 2) ≤ O(m^1.5) regardless of degree skew: a celebrity
+    * node with 10^6 neighbors contributes no wedges at all unless its
+    * neighbors' degrees are higher still — the orientation is the skew
+    * guard, no salting needed.
+    *
+    * Scale shape: canonicalize+distinct (one shuffle), two degree joins
+    * (broadcast when |V| is small, sort-merge on node otherwise), the
+    * wedge self-join on `src` (shuffle bounded by the orientation cap),
+    * and one semi-style equi-join of wedges against oriented edges on
+    * (x, y). Per-node counts are a map-side-combined hash agg over the
+    * 3 corners of each found triangle.
+    *
+    * All outputs are integers (counts and a truncating-division permille
+    * coefficient), so an external replay — e.g. DuckDB's ordered 3-way
+    * self-join, an INDEPENDENT algorithm — is bit-exact.
+    *
+    * Returns `(node, deg, tri, lcc_permille)` where
+    * `lcc_permille = (2000 · tri) div (deg · (deg − 1))` (0 when deg < 2).
+    */
+  def triangles(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    // Canonical undirected edges: u < v, loops dropped, multi-edges collapsed.
+    val e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Orient each edge toward the larger (deg, id) endpoint.
+    val keyed = e
+      .join(deg.select(col("node").as("_nu"), col("deg").as("du")), col("u") === col("_nu"))
+      .join(deg.select(col("node").as("_nv"), col("deg").as("dv")), col("v") === col("_nv"))
+      .select(col("u"), col("v"),
+        struct(col("du").as("d"), col("u").as("n")).as("ku"),
+        struct(col("dv").as("d"), col("v").as("n")).as("kv"))
+    val oriented = keyed.select(
+      when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+      when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
+      when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"))
+    // Wedges: ordered out-neighbor pairs around each source.
+    val w1 = oriented.select(col("src").as("c"), col("dst").as("x"), col("kdst").as("kx"))
+    val w2 = oriented.select(col("src").as("c2"), col("dst").as("y"), col("kdst").as("ky"))
+    val wedges = w1.join(w2, col("c") === col("c2") && col("kx") < col("ky"))
+      .select(col("c"), col("x"), col("y"))
+    // A wedge closes iff the oriented edge x→y exists (x precedes y in the
+    // degree order by construction, so one probe direction suffices).
+    val closing = oriented.select(col("src").as("x2"), col("dst").as("y2"))
+    val tris = wedges.join(closing, col("x") === col("x2") && col("y") === col("y2"))
+      .select(col("c"), col("x"), col("y"))
+    val perNode = tris.select(col("c").as("node"))
+      .unionByName(tris.select(col("x").as("node")))
+      .unionByName(tris.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode.withColumnRenamed("node", "_tn"), col("node") === col("_tn"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_permille",
+        when(col("deg") >= 2, expr("(2000 * tri) div (deg * (deg - 1))")).otherwise(lit(0L)))
+  }
+
+  /** HyperLogLog registers (Flajolet et al. 2007) with an integer,
+    * engine-replayable hash: distinct-cardinality sketching whose STATE
+    * (not just its estimate) is bit-exact across engines and
+    * partitionings — registers are max-aggregations of a pure per-row
+    * function, so they are associative, idempotent under duplicates, and
+    * mergeable across shards by `max` (the property that makes HLL the
+    * 100 TB distinct-count workhorse: one pass, 2^p longs of state,
+    * register-wise max to combine executors/days/tables).
+    *
+    * Hash: `xxhash64` folded to 32 bits by default — rank estimation
+    * needs avalanche in the LOW bits (the geometric leading-zero law),
+    * which a multiplicative hash does not provide on structured ids (its
+    * low-discrepancy lattice is exactly what makes it good for
+    * bucketing and bad for ranks: sequential ids give a 47%-biased
+    * estimate). For cross-engine replay, pass
+    * [[replayableHash]] (`(id · 2654435761) mod 2^32`, same id bound as
+    * [[graft.ext.Datasets.permilleBucket]]: ids below ~3.46e9) — the
+    * REGISTER ARITHMETIC (bucket split, binary-string bitlen rank, max)
+    * is identical for any hash input and is what the gate pins; only
+    * estimates want avalanche. Top `p` bits select the bucket; the
+    * remaining `W = 32 − p` bits `w` give `rank = W + 1 − bitlen(w)`
+    * (W+1 when w = 0), computed via the binary-string length —
+    * `length(bin(w))` — which both Spark and DuckDB evaluate with no
+    * leading zeros, keeping the rank integral and transcendental-free
+    * (no float log2 at power-of-two boundaries).
+    *
+    * Returns one row per OCCUPIED bucket: `(bucket, max_rank)`.
+    * [[hllEstimate]] turns registers into the cardinality estimate.
+    */
+  def hllRegisters(
+      ids: DataFrame,
+      idCol: String,
+      p: Int = 12,
+      hashCol: Option[org.apache.spark.sql.Column] = None
+  ): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val W = 32 - p
+    val h32 = hashCol.getOrElse(pmod(xxhash64(col(idCol)), lit(4294967296L)))
+    val bucket = shiftright(h32, W)
+    val w = h32.bitwiseAND(lit((1L << W) - 1))
+    val rank = when(w === 0, lit(W + 1)).otherwise(lit(W + 1) - length(bin(w))).cast("long")
+    ids.where(col(idCol).isNotNull)
+      .select(bucket.as("bucket"), rank.as("rank"))
+      .groupBy(col("bucket")).agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** The engine-replayable 32-bit hash for [[hllRegisters]] gates:
+    * `(id · 2654435761) mod 2^32`. Ids must stay below ~3.46e9
+    * (`Long.MaxValue / 2654435761`) — pre-fold larger spaces, as
+    * [[graft.ext.Datasets.permilleBucket]] documents.
+    */
+  def replayableHash(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(idCol.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** Cardinality estimate from [[hllRegisters]] output: the standard
+    * bias-corrected harmonic mean `α_m · m² / Σ 2^(−M_j)` with
+    * linear-counting fallback below 2.5·m when empty buckets remain
+    * (Flajolet et al. 2007 §4; the float math happens HERE, after the
+    * bit-exact register state — estimates are for humans, registers are
+    * for gates and merges). Driver-side over ≤ 2^p rows by design.
+    */
+  def hllEstimate(registers: DataFrame, p: Int = 12): Double = {
+    val m = 1 << p
+    val present = registers.select(col("bucket"), col("max_rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val zeros = m - present.size
+    val sumInv = present.values.map(r => math.pow(2.0, -r.toDouble)).sum + zeros.toDouble
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = alpha * m.toDouble * m.toDouble / sumInv
+    if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros) else raw
+  }
 }

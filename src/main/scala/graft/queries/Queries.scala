@@ -969,6 +969,38 @@ object Queries {
     Graph.hits(edges, iterations = 2).orderBy(col("node"))
   }
 
+  /** Per-node triangle counts + clustering coefficient over the click
+    * graph folded into a shared 120-node id space (user_id and
+    * event_id mod 120 — the fold creates closed wedges a bipartite graph
+    * cannot have). Degree-ordered orientation finds each triangle once at
+    * its lowest-degree corner (Graph.triangles); the DuckDB oracle is an
+    * INDEPENDENT algorithm — the ordered 3-way self-join u<v<w — and all
+    * outputs are integers, so the match is bit-exact.
+    */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val edges = ev
+      .where(col("event_type") === "click")
+      .select((col("user_id") % 120).as("src"), (col("event_id") % 120).as("dst"))
+    Graph.triangles(edges).orderBy(col("node"))
+  }
+
+  /** HyperLogLog register state over distinct order keys, p = 12 —
+    * 4096 buckets of replayable multiplicative-hash ranks. The gate pins
+    * the SKETCH STATE (not the estimate): registers are pure per-row
+    * functions max-aggregated, so DuckDB replays bucket and rank exactly
+    * (binary-string bitlen, no float log2) and the match is bit-exact —
+    * the mergeability that makes the sketch a one-pass distinct counter
+    * at 100 TB is the same property that makes it replayable
+    * (Graph.hllRegisters; the xxhash64 production default and the
+    * estimate's accuracy are covered in GraphSpec).
+    */
+  def qHllRegisters(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    Graph.hllRegisters(o, "o_orderkey", p = 12,
+      hashCol = Some(Graph.replayableHash(col("o_orderkey")))).orderBy(col("bucket"))
+  }
+
   // ------------------------------------------------- text (north star)
 
   /** Int8 embedding quantization gate (planted-property oracle — rounding
@@ -1886,6 +1918,8 @@ object Queries {
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),
+    "q_triangles" -> (qTriangles _),
+    "q_hll_registers" -> (qHllRegisters _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
