@@ -1182,6 +1182,31 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS lcc_permille
         |FROM deg d LEFT JOIN tc t ON d.node = t.node ORDER BY d.node""".stripMargin,
 
+    // Exact Jaccard-threshold join, verified by brute force: the oracle
+    // cross-joins ALL doc pairs (independent of the Spark side's
+    // prefix-filter candidate generation), so a single false negative in
+    // the prefix filter would surface as a row-count mismatch. Integer
+    // counts + truncating-division permille -> bit-exact.
+    "q_jaccard_join" ->
+      """WITH d AS (
+        |  SELECT * FROM documents
+        |  WHERE (doc_id * 2654435761) % 1000 < 100),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0)) AS la
+        |  FROM d WHERE text IS NOT NULL),
+        |t2 AS (SELECT * FROM tok WHERE len(la) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.la, b.la)) AS BIGINT) AS inter_size,
+        |    CAST(len(a.la) + len(b.la) - len(list_intersect(a.la, b.la)) AS BIGINT) AS union_size
+        |  FROM t2 a JOIN t2 b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter_size, union_size,
+        |  (1000 * inter_size) // union_size AS jacc_permille
+        |FROM pairs WHERE 1000 * inter_size >= 900 * union_size
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // HyperLogLog p=12 register replay: multiplicative 32-bit hash, top 12
     // bits -> bucket, rank = 21 - bitlen(low 20 bits) via the binary-string
     // length (bin() emits no leading zeros in either engine; no float

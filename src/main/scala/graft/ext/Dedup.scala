@@ -174,6 +174,76 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT Jaccard-threshold similarity self-join via prefix filtering
+    * (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): every pair with token-set Jaccard ≥ t/1000 is returned, NO
+    * false negatives — the guarantee MinHash-LSH trades away. Use this
+    * tier when recall must be provable (contamination audits, legal-hold
+    * dedup); the LSH tier when a tunable miss rate buys a smaller join.
+    *
+    * Plan: one corpus scan tokenizes; document frequencies come from a
+    * hash agg on token; each doc's tokens are ordered RAREST-FIRST by the
+    * global (df, token) total order and only the first
+    * `n − ceil(t·n) + 1` tokens (the prefix) are exploded into the
+    * candidate join. The prefix-filter lemma (with the size filter
+    * `t·max(n_a,n_b) ≤ 1000·min(n_a,n_b)`, which J ≥ t implies) says two
+    * qualifying docs MUST share a prefix token, so the equi-join on
+    * prefix tokens loses nothing; rarest-first ordering is the skew
+    * guard — a stopword can only enter a prefix when a doc has nothing
+    * rarer, so candidate fan-out concentrates on low-df tokens with few
+    * C(df,2) pairs. Candidates are verified with one `array_intersect`
+    * against the full ordered sets (integer counts, truncating-division
+    * permille → engine-replayable; a brute-force cross join is the
+    * independent oracle).
+    *
+    * Docs with empty token sets cannot reach any positive threshold and
+    * are excluded (J(∅,∅) is undefined here, matching [[exact]]'s
+    * NULL-passthrough stance: placeholder rows are data, not duplicates).
+    *
+    * Returns `(id_a, id_b, inter_size, union_size, jacc_permille)` with
+    * `id_a < id_b` and `jacc_permille = (1000·inter) div union`.
+    */
+  def jaccardJoin(
+      docs: DataFrame,
+      thresholdPermille: Int = 700,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in [1, 1000], got $thresholdPermille")
+    val t = thresholdPermille
+    val docTok = docs.select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("tok"))
+    val dfreq = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = docTok.join(dfreq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("id"),
+        transform(col("ord"), x => x.getField("tok")).as("toks"),
+        size(col("ord")).cast("long").as("n"))
+    // Prefix length L = n − ceil(t·n/1000) + 1, all-integer.
+    val pref = ordered.select(col("id"), col("n"),
+      explode(slice(col("toks"), lit(1),
+        (col("n") - expr(s"($t * n + 999) div 1000") + 1).cast("int"))).as("tok"))
+    val cand = pref.select(col("tok"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(pref.select(col("tok"), col("id").as("id_b"), col("n").as("n_b")), Seq("tok"))
+      .where(col("id_a") < col("id_b") &&
+        lit(t) * col("n_a") <= lit(1000) * col("n_b") &&
+        lit(t) * col("n_b") <= lit(1000) * col("n_a"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sets = ordered.select(col("id"), col("toks"), col("n"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("toks").as("ta"), col("n").as("na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("toks").as("tb"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter_size"),
+        col("na"), col("nb"))
+      .withColumn("union_size", col("na") + col("nb") - col("inter_size"))
+      .where(lit(1000) * col("inter_size") >= lit(t) * col("union_size"))
+      .select(col("id_a"), col("id_b"), col("inter_size"), col("union_size"),
+        expr("(1000 * inter_size) div union_size").as("jacc_permille"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** Per-document 64-bit SimHash: (id, simhash) via the single-pass

@@ -985,6 +985,25 @@ object Queries {
     Graph.triangles(edges).orderBy(col("node"))
   }
 
+  /** EXACT Jaccard-threshold self-join (prefix filtering, no false
+    * negatives — the provable-recall tier next to MinHash-LSH's tunable
+    * one) at t = 0.9 over document token sets. Runs on a deterministic
+    * 10% hash sample of docs: the synthetic corpus is near-dup-dense by
+    * design, so the QUALIFYING PAIR SET itself grows quadratically with
+    * corpus size (965k pairs at sf0.1 unsampled) — the sample bounds the
+    * gate's output, not the algorithm (whose candidate work scales with
+    * the prefix fan-out). The oracle is a brute-force bounded cross join
+    * — an INDEPENDENT computation replaying the same sample — and all
+    * outputs are integers (intersection/union counts +
+    * truncating-division permille), so the match is bit-exact
+    * (Dedup.jaccardJoin).
+    */
+  def qJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Datasets.hashSample(t(spark, dir, "documents"), 100)
+    Dedup.jaccardJoin(docs, thresholdPermille = 900)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** HyperLogLog register state over distinct order keys, p = 12 —
     * 4096 buckets of replayable multiplicative-hash ranks. The gate pins
     * the SKETCH STATE (not the estimate): registers are pure per-row
@@ -1920,6 +1939,7 @@ object Queries {
     "q_hits" -> (qHits _),
     "q_triangles" -> (qTriangles _),
     "q_hll_registers" -> (qHllRegisters _),
+    "q_jaccard_join" -> (qJaccardJoin _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

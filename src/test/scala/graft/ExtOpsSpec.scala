@@ -373,6 +373,44 @@ class ExtOpsSpec extends SparkSpec {
     assert(labels.forall(_._2 == 0L), "all path nodes must resolve to component 0")
   }
 
+  test("jaccardJoin matches brute force on randomized corpora (no false negatives)") {
+    // The prefix-filter lemma's edge cases (prefix length 1 at t=1000,
+    // size-filter boundaries, shared-rarest-token collisions) are easier
+    // to hit with random vocab draws than hand-picked docs. Brute force
+    // over all pairs is the oracle; set equality proves NO false
+    // negatives (completeness) and no false positives (verification).
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 4) {
+      val vocab = Vector.tabulate(30)(i => s"w$i")
+      val nDocs = 40 + rnd.nextInt(40)
+      val docs = (0 until nDocs).map { i =>
+        val k = 1 + rnd.nextInt(12)
+        (i.toLong, rnd.shuffle(vocab).take(k).mkString(" "))
+      }
+      val t = Seq(500, 700, 900, 1000)(trial - 1)
+      val got = Dedup.jaccardJoin(docs.toDF("doc_id", "text"), thresholdPermille = t)
+        .select("id_a", "id_b", "jacc_permille")
+        .as[(Long, Long, Long)].collect().toSet
+      val sets = docs.map { case (id, s) => id -> s.split(" ").toSet }
+      val expected = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size; uni = (sa | sb).size
+        if 1000 * inter >= t * uni
+      } yield (ia, ib, (1000L * inter) / uni)).toSet
+      assert(got == expected, s"trial $trial t=$t: got ${got.size} expected ${expected.size}")
+    }
+  }
+
+  test("jaccardJoin excludes empty/NULL token sets and finds exact dups at t=1000") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta alpha gamma"), // same set, order differs
+      (3L, "alpha beta delta"), (4L, null), (5L, "   "), (6L, "")
+    ).toDF("doc_id", "text")
+    val r = Dedup.jaccardJoin(docs, thresholdPermille = 1000)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2L, 3L, 3L, 1000L)))
+  }
+
   test("simhash of near-identical texts has small hamming distance") {
     val df = Seq(
       (1L, "spark is a distributed engine for large scale data processing workloads"),
