@@ -1207,6 +1207,28 @@ object SparkEntry {
         |FROM pairs WHERE 1000 * inter_size >= 900 * union_size
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // KMV sketch state replay: DISTINCT hash ORDER BY LIMIT k IS the
+    // algorithm — integer state, bit-exact.
+    "q_kmv_sketch" ->
+      """SELECT DISTINCT (o_orderkey * 2654435761) % 4294967296 AS hv
+        |FROM orders WHERE o_orderkey IS NOT NULL
+        |ORDER BY hv LIMIT 512""".stripMargin,
+
+    // Markov transition matrix: identical lag window (total order via the
+    // event_id tiebreak) + hash agg + truncating-division permille in both
+    // engines -> bit-exact.
+    "q_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |m AS (SELECT from_type, event_type AS to_type, count(*) AS n
+        |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+        |  (1000 * n) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_permille
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+
     // HyperLogLog p=12 register replay: multiplicative 32-bit hash, top 12
     // bits -> bucket, rank = 21 - bitlen(low 20 bits) via the binary-string
     // length (bin() emits no leading zeros in either engine; no float

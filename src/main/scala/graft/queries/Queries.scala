@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Datasets, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Datasets, Dedup, Graph, Multimodal, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1020,6 +1020,32 @@ object Queries {
       hashCol = Some(Graph.replayableHash(col("o_orderkey")))).orderBy(col("bucket"))
   }
 
+  /** KMV distinct sketch over order keys: the 512 smallest replayable
+    * hash values. Like q_hll_registers the gate pins SKETCH STATE, not
+    * an estimate — `SELECT DISTINCT hash ORDER BY hash LIMIT k` is the
+    * whole algorithm, so DuckDB replays it bit-exactly; Spark plans it
+    * as per-partition heaps + a k-row driver merge
+    * (TakeOrderedAndProject), the shape that holds at any corpus size
+    * (Sketches.kmvSketch; merge/estimate/intersection in KmvSpec).
+    */
+  def qKmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    Sketches.kmvSketch(o, "o_orderkey", k = 512,
+      hashCol = Some(Graph.replayableHash(col("o_orderkey"))))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences
+    * (StreamOps.transitionCounts): one lag-window shuffle on user, then
+    * a hash agg onto the |types|² matrix. Counts and truncating-division
+    * permille are integers; DuckDB replays the identical window + agg →
+    * bit-exact.
+    */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    graft.streaming.StreamOps.transitionCounts(ev)
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   // ------------------------------------------------- text (north star)
 
   /** Int8 embedding quantization gate (planted-property oracle — rounding
@@ -1940,6 +1966,8 @@ object Queries {
     "q_triangles" -> (qTriangles _),
     "q_hll_registers" -> (qHllRegisters _),
     "q_jaccard_join" -> (qJaccardJoin _),
+    "q_kmv_sketch" -> (qKmvSketch _),
+    "q_event_transitions" -> (qEventTransitions _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

@@ -369,6 +369,52 @@ object StreamOps {
         (col("converted").cast("double") / col("started")).as("conversion_rate"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for each consecutive pair of events of one user (event-time order,
+    * event-id tiebreak for a TOTAL order — two events on the same
+    * timestamp sort deterministically), count `from_type → to_type` and
+    * derive the row-normalized transition probability in permille
+    * (truncating integer division → engine-replayable, like every
+    * permille in this repo). The matrix behind "what do users do after
+    * a click": next-step prediction, anomaly flags (transitions that
+    * never happen), funnel discovery without pre-declaring the steps.
+    *
+    * BATCH-ONLY by design: `lag` over a user-ordered window needs the
+    * user's full history in one place; the streaming equivalent is
+    * sessionized state (`flatMapGroupsWithState`, cf. [[idleSessionBursts]])
+    * emitting step pairs incrementally — different operator, different
+    * latency/exactness trade.
+    *
+    * Scale shape: ONE shuffle (hash-partition on user for the lag
+    * window; per-user histories sort within partitions), then a
+    * map-side-combined hash agg onto the |types|² matrix — tiny — and a
+    * window over `from_type` for row totals on that tiny frame. Users
+    * are high-cardinality so the lag partitioning has no skew pole;
+    * a single hyperactive user degrades one task by its own history
+    * length only.
+    *
+    * Returns `(from_type, to_type, n, row_total, prob_permille)`.
+    */
+  def transitionCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("_from", lag(col(typeCol), 1).over(w))
+      .where(col("_from").isNotNull)
+      .groupBy(col("_from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("prob_permille", expr("(1000 * n) div row_total"))
+  }
+
   /** Per-window grouped TOP-K over a stream: for each (event-time window,
     * key) emit the k largest rows by `orderCols` (left-to-right
     * descending; include a unique id as the last tiebreaker for a total

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ext.{Graph, Sketches}
+import org.apache.spark.sql.functions._
+
+/** KMV / theta sketches (ext/Sketches.scala): state exactness (the k
+  * smallest distinct hashes, any partitioning), the merge-commutes-with-
+  * union law, and the estimators' error bands.
+  */
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sketch state is the k smallest distinct hashes, partition-invariant") {
+    val ids = ((1L to 3000L) ++ (1L to 3000L)).toDF("id") // dups must not matter
+    val k = 64
+    val a = Sketches.kmvSketch(ids.repartition(1), "id", k).as[Long].collect()
+    val b = Sketches.kmvSketch(ids.repartition(17), "id", k).as[Long].collect()
+    assert(a.sameElements(b))
+    assert(a.length == k && a.sorted.sameElements(a))
+    // Independent replay: hash every id in one pass (no distinct/sort/limit
+    // — none of the sketch machinery), trim on the driver.
+    val expected = (1L to 3000L).toDF("id")
+      .select(pmod(xxhash64(col("id")), lit(4294967296L)).as("hv"))
+      .as[Long].collect().distinct.sorted.take(k)
+    assert(a.sameElements(expected))
+  }
+
+  test("merge(kmv(A), kmv(B)) == kmv(A ∪ B)") {
+    val k = 128
+    val a = Sketches.kmvSketch((1L to 5000L).toDF("id"), "id", k)
+    val b = Sketches.kmvSketch((3000L to 9000L).toDF("id"), "id", k)
+    val merged = Sketches.kmvMerge(a, b, k).as[Long].collect()
+    val direct = Sketches.kmvSketch(((1L to 5000L) ++ (3000L to 9000L)).toDF("id"), "id", k)
+      .as[Long].collect()
+    assert(merged.sameElements(direct))
+  }
+
+  test("cardinality estimate: exact below k, within the error band above") {
+    // Below k the sketch saw everything — the answer is exact.
+    assert(Sketches.kmvEstimate(
+      Sketches.kmvSketch((1L to 100L).toDF("id"), "id", 1024), 1024) == 100.0)
+    // Above k: rse ≈ 1/sqrt(k-2) ≈ 3.1% at k=1024; allow 3 sigma.
+    for (n <- Seq(20000L, 100000L)) {
+      val est = Sketches.kmvEstimate(Sketches.kmvSketch((1L to n).toDF("id"), "id", 1024), 1024)
+      assert(math.abs(est - n) / n < 0.10, s"n=$n est=$est")
+    }
+  }
+
+  test("intersection estimate tracks true Jaccard of overlapping key ranges") {
+    // |A| = |B| = 10000, overlap 5000 → J = 1/3, inter = 5000.
+    val k = 1024
+    val a = Sketches.kmvSketch((1L to 10000L).toDF("id"), "id", k)
+    val b = Sketches.kmvSketch((5001L to 15000L).toDF("id"), "id", k)
+    val (jac, inter, uni) = Sketches.kmvIntersect(a, b, k)
+    assert(math.abs(jac - 1.0 / 3.0) < 0.06, s"jac=$jac")
+    assert(math.abs(inter - 5000.0) / 5000.0 < 0.20, s"inter=$inter")
+    assert(math.abs(uni - 15000.0) / 15000.0 < 0.10, s"union=$uni")
+  }
+
+  test("replayable-hash state matches the DuckDB-shaped formula") {
+    val ids = (1L to 500L).toDF("id")
+    val got = Sketches.kmvSketch(ids, "id", 32,
+      hashCol = Some(Graph.replayableHash(col("id")))).as[Long].collect()
+    val expected = (1L to 500L).map(id => (id * 2654435761L) % 4294967296L)
+      .distinct.sorted.take(32)
+    assert(got.sameElements(expected))
+  }
+}

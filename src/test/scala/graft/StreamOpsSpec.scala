@@ -279,6 +279,25 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionCounts: per-user consecutive pairs, same-ts tiebreak, row permille") {
+    // User 1: a(t1,id1) -> b(t2,id2) -> b(t2,id3) -> c(t3,id4): same-ts
+    // pair ordered by event_id. User 2: a(t1,id5) -> c(t2,id6). No
+    // cross-user pairs.
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, ts(1), 1L, "a"), (2L, ts(2), 1L, "b"), (3L, ts(2), 1L, "b"),
+      (4L, ts(3), 1L, "c"), (5L, ts(1), 2L, "a"), (6L, ts(2), 2L, "c")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r = StreamOps.transitionCounts(ev)
+      .select("from_type", "to_type", "n", "row_total", "prob_permille")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(r == Set(
+      ("a", "b", 1L, 2L, 500L), // from 'a': one ->b, one ->c
+      ("a", "c", 1L, 2L, 500L),
+      ("b", "b", 1L, 2L, 500L), // from 'b': same-ts id2->id3, then ->c
+      ("b", "c", 1L, 2L, 500L)))
+  }
+
   test("tumbling window agg over a stream emits finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
