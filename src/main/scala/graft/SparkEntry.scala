@@ -1214,6 +1214,18 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey IS NOT NULL
         |ORDER BY hv LIMIT 512""".stripMargin,
 
+    // Grouped KMV state replay: per group, the k smallest distinct hashes
+    // by definition (row_number over the distinct pairs). Spark's kmv_agg
+    // buffer computes the same state without ever shuffling the pairs.
+    "q_kmv_grouped" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority, (o_custkey * 2654435761) % 4294967296 AS hv
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (SELECT o_orderpriority, hv,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn FROM h)
+        |SELECT o_orderpriority, hv FROM r WHERE rn <= 64
+        |ORDER BY o_orderpriority, hv""".stripMargin,
+
     // Markov transition matrix: identical lag window (total order via the
     // event_id tiebreak) + hash agg + truncating-division permille in both
     // engines -> bit-exact.

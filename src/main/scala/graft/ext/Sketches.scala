@@ -51,6 +51,62 @@ object Sketches {
       .limit(k)
   }
 
+  /** Per-group KMV sketch states via the native `kmv_agg` aggregate
+    * ([[graft.sql.KmvAgg]]): one hash aggregation whose buffer dedups and
+    * trims to k, so the shuffle carries ≤ k longs per group per input
+    * partition — never the raw distinct (group, key) pairs. The per-group
+    * answer to "distinct users per page / per segment / per day" whose
+    * states then compose with [[kmvMergeCol]] / [[kmvJaccardCol]] for
+    * cross-frame set expressions ("did A AND B") without re-reading keys.
+    *
+    * Returns `groupCols :+ (kmv: array<long> ascending, ≤ k)`.
+    */
+  def kmvSketchPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      k: Int = 1024,
+      hashCol: Option[Column] = None
+  ): DataFrame = {
+    require(k >= 16, s"k must be >= 16 for a usable estimate, got $k")
+    graft.sql.GraftExtensions.ensureRegistered(df.sparkSession)
+    val h32 = hashCol.getOrElse(pmod(xxhash64(col(keyCol)), lit(4294967296L)))
+    df.where(col(keyCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("kmv_agg", h32, lit(k)).as("kmv"))
+  }
+
+  /** Columnar KMV cardinality estimate over a sketch-state array column
+    * (the [[kmvEstimate]] formula, per row instead of per driver call):
+    * exact size below k, else `(k − 1) / (hv_(k) / 2^32)`.
+    */
+  def kmvEstimateCol(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / (element_at(sketch, k).cast("double") / HashSpace))
+
+  /** Columnar merge of two sketch-state array columns: k smallest of the
+    * deduped concatenation — the sketch of the set union, rowwise
+    * (`array_union` dedups; sort + slice trims).
+    */
+  def kmvMergeCol(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Columnar Jaccard / intersection / union estimates from two
+    * sketch-state array columns (the [[kmvIntersect]] theta trick,
+    * rowwise — join two grouped sketch frames on the group key and apply
+    * this to the pair): over the merged sketch's values, the fraction
+    * present in BOTH inputs estimates J; intersection ≈ J · |A ∪ B|.
+    * Returns a struct `(jaccard, inter_est, union_est)` (doubles — the
+    * float math happens after the integer states, as everywhere).
+    */
+  def kmvJaccardCol(a: Column, b: Column, k: Int): Column = {
+    val merged = kmvMergeCol(a, b, k)
+    val inBoth = size(array_intersect(array_intersect(merged, a), b))
+    val jac = inBoth.cast("double") / size(merged).cast("double")
+    val unionEst = kmvEstimateCol(merged, k)
+    struct(jac.as("jaccard"), (jac * unionEst).as("inter_est"), unionEst.as("union_est"))
+  }
+
   /** Merge KMV sketch states: k smallest of the combined distinct values
     * — EXACTLY the sketch of the underlying set union (merge-then-trim
     * commutes with hashing; KmvSpec pins `merge(kmv(A), kmv(B)) ==

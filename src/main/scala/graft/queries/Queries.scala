@@ -1034,6 +1034,21 @@ object Queries {
       hashCol = Some(Graph.replayableHash(col("o_orderkey"))))
   }
 
+  /** Per-group KMV sketch states (native `kmv_agg` aggregate): distinct
+    * customers per order priority, k=64, exploded to rows so the gate
+    * pins every group's full state. The oracle replays the definition —
+    * per group, the 64 smallest distinct hashes via row_number — while
+    * Spark never materializes the distinct pairs (the agg buffer dedups;
+    * shuffle ≤ k per group per partition, Sketches.kmvSketchPerGroup).
+    */
+  def qKmvGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    Sketches.kmvSketchPerGroup(o, Seq("o_orderpriority"), "o_custkey", k = 64,
+      hashCol = Some(Graph.replayableHash(col("o_custkey"))))
+      .select(col("o_orderpriority"), explode(col("kmv")).as("hv"))
+      .orderBy(col("o_orderpriority"), col("hv"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences
     * (StreamOps.transitionCounts): one lag-window shuffle on user, then
     * a hash agg onto the |types|² matrix. Counts and truncating-division
@@ -1967,6 +1982,7 @@ object Queries {
     "q_hll_registers" -> (qHllRegisters _),
     "q_jaccard_join" -> (qJaccardJoin _),
     "q_kmv_sketch" -> (qKmvSketch _),
+    "q_kmv_grouped" -> (qKmvGrouped _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),

@@ -64,7 +64,12 @@ object GraftExtensions {
         }
         new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
           args(0), asInt(args(1)), asBool(args(2)), 0, 0)
-      })
+      }),
+    // Per-group KMV distinct sketch (k smallest distinct hashes): dedups
+    // AND trims inside the agg buffer, so the shuffle carries ≤ k longs
+    // per group per partition — see KmvAgg's scaladoc for why CollectTopK
+    // can't express this (its heap keeps duplicates).
+    ("kmv_agg", KmvAgg.info, KmvAgg.builder)
   )
 
   /** Idempotently register every engine function on an existing session

@@ -57,6 +57,51 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(uni - 15000.0) / 15000.0 < 0.10, s"union=$uni")
   }
 
+  test("kmv_agg grouped state == per-group global sketch, partition-invariant") {
+    // Three groups of different sizes, with duplicate ids inside groups.
+    val rows = (1L to 2000L).map(id => (id % 3, id)) ++ (1L to 500L).map(id => (0L, id))
+    val df = rows.toDF("g", "id")
+    val k = 32
+    val grouped = Sketches.kmvSketchPerGroup(df.repartition(13), Seq("g"), "id", k)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(grouped.keySet == Set(0L, 1L, 2L))
+    for ((g, state) <- grouped) {
+      val expected = Sketches.kmvSketch(df.where(col("g") === g), "id", k).as[Long].collect()
+      assert(state.sameElements(expected), s"group $g")
+      assert(state.sorted.sameElements(state) && state.distinct.length == state.length)
+    }
+    // Partition invariance (map-side partial merge exercised differently).
+    val g1 = Sketches.kmvSketchPerGroup(df.repartition(1), Seq("g"), "id", k)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(grouped.keySet.forall(g => grouped(g).sameElements(g1(g))))
+  }
+
+  test("kmv_agg skips NULL keys; a small group's state is its exact hash set") {
+    val df = Seq[(Long, java.lang.Long)]((1L, 5L), (1L, 5L), (1L, null), (2L, 7L))
+      .toDF("g", "id")
+    val state = Sketches.kmvSketchPerGroup(df, Seq("g"), "id", 16)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(state(1L).length == 1 && state(2L).length == 1) // dups + NULL dropped
+  }
+
+  test("columnar estimate/merge/jaccard match the driver-side estimators") {
+    val k = 256
+    val a = Sketches.kmvSketch((1L to 10000L).toDF("id"), "id", k)
+    val b = Sketches.kmvSketch((5001L to 15000L).toDF("id"), "id", k)
+    val paired = a.agg(collect_list("hv").as("a"))
+      .crossJoin(b.agg(collect_list("hv").as("b")))
+      .select(
+        Sketches.kmvEstimateCol(array_sort(col("a")), k).as("est_a"),
+        Sketches.kmvJaccardCol(array_sort(col("a")), array_sort(col("b")), k).as("j"))
+      .select(col("est_a"), col("j.jaccard"), col("j.inter_est"), col("j.union_est"))
+      .as[(Double, Double, Double, Double)].head()
+    val estA = Sketches.kmvEstimate(a, k)
+    val (jac, inter, uni) = Sketches.kmvIntersect(a, b, k)
+    assert(paired._1 == estA)
+    assert(paired._2 == jac && paired._3 == inter && paired._4 == uni)
+    assert(math.abs(jac - 1.0 / 3.0) < 0.10, s"jac=$jac")
+  }
+
   test("replayable-hash state matches the DuckDB-shaped formula") {
     val ids = (1L to 500L).toDF("id")
     val got = Sketches.kmvSketch(ids, "id", 32,
