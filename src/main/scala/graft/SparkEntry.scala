@@ -1241,6 +1241,29 @@ object SparkEntry {
         |  (1000 * n) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_permille
         |FROM m ORDER BY from_type, to_type""".stripMargin,
 
+    // Robust outlier screen replay: the same counting-median (rank
+    // ceil(n/2), "2*cum >= n") formulation on the permille-quantized
+    // value — every step integer, bit-exact.
+    "q_mad_outliers" ->
+      """WITH v AS (SELECT event_type AS g, CAST(floor(value * 1000) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |cm AS (SELECT g, x, count(*) AS c FROM v GROUP BY 1, 2),
+        |med AS (SELECT g, min(x) AS median FROM (
+        |    SELECT g, x, sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+        |           sum(c) OVER (PARTITION BY g) AS n FROM cm) s
+        |  WHERE 2 * cum >= n GROUP BY g),
+        |d AS (SELECT v.g, abs(v.x - med.median) AS ad, med.median AS median
+        |  FROM v JOIN med ON v.g = med.g),
+        |cd AS (SELECT g, ad, count(*) AS c FROM d GROUP BY 1, 2),
+        |mad AS (SELECT g, min(ad) AS mad FROM (
+        |    SELECT g, ad, sum(c) OVER (PARTITION BY g ORDER BY ad) AS cum,
+        |           sum(c) OVER (PARTITION BY g) AS n FROM cd) s
+        |  WHERE 2 * cum >= n GROUP BY g)
+        |SELECT d.g AS event_type, max(d.median) AS median, max(mad.mad) AS mad,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad ON d.g = mad.g GROUP BY d.g ORDER BY event_type""".stripMargin,
+
     // HyperLogLog p=12 register replay: multiplicative 32-bit hash, top 12
     // bits -> bucket, rank = 21 - bitlen(low 20 bits) via the binary-string
     // length (bin() emits no leading zeros in either engine; no float

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Datasets, Dedup, Graph, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Datasets, Dedup, Graph, Multimodal, Robust, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1061,6 +1061,20 @@ object Queries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Robust (median/MAD) outlier screen per event type, on the permille
+    * fixed-point quantization of `value` (Robust.madSummary). Counting
+    * medians — hash agg on distinct (group, value), running-sum window
+    * over distinct values only — keep every step integer, so the oracle
+    * replays the identical rank-⌈n/2⌉ definition bit-exactly.
+    */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val quantized = ev.where(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 1000).cast("long").as("x"))
+    Robust.madSummary(quantized, Seq("event_type"), "x", cutoff = 3)
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------- text (north star)
 
   /** Int8 embedding quantization gate (planted-property oracle — rounding
@@ -1984,6 +1998,7 @@ object Queries {
     "q_kmv_sketch" -> (qKmvSketch _),
     "q_kmv_grouped" -> (qKmvGrouped _),
     "q_event_transitions" -> (qEventTransitions _),
+    "q_mad_outliers" -> (qMadOutliers _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

@@ -1,0 +1,50 @@
+package graft
+
+import graft.ext.Robust
+import org.apache.spark.sql.functions._
+
+/** Median/MAD robust statistics (ext/Robust.scala): discrete-median
+  * rank semantics, the counting formulation's exactness, and the
+  * outlier contract including the MAD=0 degenerate case.
+  */
+class RobustSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogramMedian is the rank-ceil(n/2) lower median, by counting") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), // even n: lower median 2
+      ("b", -5L), ("b", -1L), ("b", 0L), // negatives: median -1
+      ("c", 7L), ("c", 7L), ("c", 9L) // duplicates: median 7
+    ).toDF("g", "x")
+    val m = Robust.histogramMedian(df, Seq("g"), "x")
+      .as[(String, Long)].collect().toMap
+    assert(m == Map("a" -> 2L, "b" -> -1L, "c" -> 7L))
+  }
+
+  test("histogramMedian excludes NULLs and is partition-invariant") {
+    val df = Seq[(String, java.lang.Long)](
+      ("a", 1L), ("a", null), ("a", 3L), ("a", 5L)).toDF("g", "x")
+    val m1 = Robust.histogramMedian(df.repartition(1), Seq("g"), "x").as[(String, Long)].head()
+    val m7 = Robust.histogramMedian(df.repartition(7), Seq("g"), "x").as[(String, Long)].head()
+    assert(m1 == (("a", 3L)) && m7 == m1)
+  }
+
+  test("madSummary: known group — median 5, mad 2, one outlier at cutoff 3") {
+    // x = 1..9 plus 100: median 5; |x-5| sorted = 0,1,1,2,2,3,3,4,4,95
+    // -> mad (rank 5) = 2; outliers: |x-5| > 6 -> only 100.
+    val df = ((1L to 9L) :+ 100L).map(("a", _)).toDF("g", "x")
+    val s = Robust.madSummary(df, Seq("g"), "x")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(s == (("a", 5L, 2L, 10L, 1L)))
+  }
+
+  test("madFlag rows agree with madSummary; MAD=0 flags every off-median row") {
+    val df = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("a", 6L)).toDF("g", "x")
+    val rows = Robust.madFlag(df, Seq("g"), "x")
+      .select(col("x"), col("_median"), col("_mad"), col("is_outlier"))
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(rows == Set((5L, 5L, 0L, false), (6L, 5L, 0L, true)))
+    val s = Robust.madSummary(df, Seq("g"), "x").as[(String, Long, Long, Long, Long)].head()
+    assert(s == (("a", 5L, 0L, 4L, 1L)))
+  }
+}
