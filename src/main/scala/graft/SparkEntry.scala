@@ -1264,6 +1264,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad ON d.g = mad.g GROUP BY d.g ORDER BY event_type""".stripMargin,
 
+    // Counting-quantile replay: identical counts CTE + "1000*cum >= q*n"
+    // rank predicate per quantile — integer-exact.
+    "q_counting_quantiles" ->
+      """WITH v AS (SELECT event_type AS g, CAST(floor(value * 1000) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |cm AS (SELECT g, x, count(*) AS c FROM v GROUP BY 1, 2),
+        |cw AS (SELECT g, x, sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+        |         sum(c) OVER (PARTITION BY g) AS n FROM cm)
+        |SELECT g AS event_type, q_permille, min(x) AS value
+        |FROM cw CROSS JOIN (VALUES (500), (900), (990)) q(q_permille)
+        |WHERE 1000 * cum >= q_permille * n
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // HyperLogLog p=12 register replay: multiplicative 32-bit hash, top 12
     // bits -> bucket, rank = 21 - bitlen(low 20 bits) via the binary-string
     // length (bin() emits no leading zeros in either engine; no float

@@ -39,10 +39,35 @@ object Robust {
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String
+  ): DataFrame =
+    histogramQuantile(df, groupCols, valueCol, Seq(500))
+      .drop("q_permille").withColumnRenamed("value", "median")
+
+  /** Discrete (lower) quantiles per group by counting — every requested
+    * permille from ONE counting pass: for each q‰, the smallest value
+    * whose cumulative count reaches rank ⌈q·n/1000⌉ (`1000·cum ≥ q·n`
+    * in integers — exact, no interpolation, `percentile_disc`
+    * semantics). The p50/p90/p99-per-group screen with the same scale
+    * shape as the median: one hash agg onto distinct (group, value),
+    * one running-sum window over distinct values, then the tiny
+    * quantile list joins in by explode. NULL values are excluded.
+    *
+    * Returns `groupCols :+ (q_permille, value)`, one row per
+    * group × quantile.
+    */
+  def histogramQuantile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      quantilesPermille: Seq[Int]
   ): DataFrame = {
-    require(groupCols.nonEmpty, "histogramMedian needs at least one group column")
-    require(!df.columns.exists(Set("_c", "_cum", "_n")),
-      "columns _c/_cum/_n are reserved by histogramMedian")
+    require(groupCols.nonEmpty, "histogramQuantile needs at least one group column")
+    require(quantilesPermille.nonEmpty && quantilesPermille.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be permille values in [1, 1000], got $quantilesPermille")
+    require(quantilesPermille.distinct.length == quantilesPermille.length,
+      s"duplicate quantiles: $quantilesPermille")
+    require(!df.columns.exists(Set("_c", "_cum", "_n", "q_permille")),
+      "columns _c/_cum/_n/q_permille are reserved by histogramQuantile")
     val counts = df.where(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("_c"))
@@ -50,9 +75,11 @@ object Robust {
     counts
       .withColumn("_cum", sum(col("_c")).over(byGroup.orderBy(col(valueCol))))
       .withColumn("_n", sum(col("_c")).over(byGroup))
-      .where(col("_cum") * 2 >= col("_n"))
-      .groupBy(groupCols.map(col): _*)
-      .agg(min(col(valueCol)).as("median"))
+      .select((groupCols :+ valueCol :+ "_cum" :+ "_n").map(col) :+
+        explode(array(quantilesPermille.map(lit(_)): _*)).as("q_permille"): _*)
+      .where(col("_cum") * 1000 >= col("q_permille").cast("long") * col("_n"))
+      .groupBy((groupCols :+ "q_permille").map(col): _*)
+      .agg(min(col(valueCol)).as("value"))
   }
 
   /** Row-level robust outlier flags: joins each row to its group's

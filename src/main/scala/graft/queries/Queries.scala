@@ -1075,6 +1075,19 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Discrete p50/p90/p99 per event type from ONE counting pass
+    * (Robust.histogramQuantile) — rank-⌈q·n/1000⌉ lower quantiles,
+    * integer-exact, replayed by the oracle with the same `1000·cum ≥
+    * q·n` predicate over the identical counts CTE.
+    */
+  def qCountingQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val quantized = ev.where(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 1000).cast("long").as("x"))
+    Robust.histogramQuantile(quantized, Seq("event_type"), "x", Seq(500, 900, 990))
+      .orderBy(col("event_type"), col("q_permille"))
+  }
+
   // ------------------------------------------------- text (north star)
 
   /** Int8 embedding quantization gate (planted-property oracle — rounding
@@ -1999,6 +2012,7 @@ object Queries {
     "q_kmv_grouped" -> (qKmvGrouped _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_mad_outliers" -> (qMadOutliers _),
+    "q_counting_quantiles" -> (qCountingQuantiles _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

@@ -29,6 +29,14 @@ class RobustSpec extends SparkSpec {
     assert(m1 == (("a", 3L)) && m7 == m1)
   }
 
+  test("histogramQuantile: exact rank-ceil(q*n/1000) semantics, one pass") {
+    val df = (1L to 10L).map(("a", _)).toDF("g", "x")
+    val q = Robust.histogramQuantile(df, Seq("g"), "x", Seq(100, 500, 900, 990, 1000))
+      .as[(String, Int, Long)].collect().map { case (_, qp, v) => qp -> v }.toMap
+    // n=10: ranks ceil(1)=1, ceil(5)=5, ceil(9)=9, ceil(9.9)=10, ceil(10)=10
+    assert(q == Map(100 -> 1L, 500 -> 5L, 900 -> 9L, 990 -> 10L, 1000 -> 10L))
+  }
+
   test("madSummary: known group — median 5, mad 2, one outlier at cutoff 3") {
     // x = 1..9 plus 100: median 5; |x-5| sorted = 0,1,1,2,2,3,3,4,4,95
     // -> mad (rank 5) = 2; outliers: |x-5| > 6 -> only 100.
