@@ -447,6 +447,40 @@ object StreamOps {
       .select((col("window") +: keyCols.map(col)) ++ (orderCols ++ payload).map(c => col(s"_t.$c").as(c)): _*)
   }
 
+  /** Deterministic uniform k-sample per event-time window: the rows
+    * whose replayable id hashes (`(id · 2654435761) mod 2^32`, the house
+    * hash) are the k SMALLEST in the window — a KMV-style hash
+    * reservoir. Sampling by hash order is uniform AND replayable: the
+    * same window always yields the same sample regardless of arrival
+    * order, partitioning, or batch/stream execution (batch equivalence
+    * pinned in StreamOpsSpec), which is what makes downstream eval sets
+    * and debugging reproducible. The `top_k_agg` buffer (reverse=true →
+    * k smallest) bounds state at ≤ k rows per live window; the watermark
+    * closes windows and evicts state, so the stream runs forever at any
+    * rate. Same id bound as [[graft.ext.Datasets.permilleBucket]]
+    * (ids below ~3.46e9; pre-fold larger spaces).
+    */
+  def windowedUniformSample(
+      events: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.sql.GraftExtensions.ensureRegistered(events.sparkSession)
+    val hv = pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L))
+    val payload = events.columns.toSeq
+    val ranked = struct(hv.as("_hv") +: payload.map(col): _*)
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(call_function("top_k_agg", ranked, lit(k), lit(true)).as("_s"))
+      .withColumn("_t", explode(col("_s")))
+      .select(col("window") +: payload.map(c => col(s"_t.$c").as(c)): _*)
+  }
+
   /** Session-window aggregation (built-in `session_window`, gap-based close;
     * watermark required so closed sessions can be finalized and state
     * evicted).

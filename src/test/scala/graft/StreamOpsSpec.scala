@@ -353,6 +353,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedUniformSample: replayable hash reservoir == batch replay, arrival-order-free") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "value")
+    val out = StreamOps.windowedUniformSample(events, "ts",
+      watermarkDelay = "10 minutes", windowDuration = "1 hour", idCol = "event_id", k = 3)
+    val q = out.writeStream.format("memory").queryName("wsample").outputMode(OutputMode.Append()).start()
+    try {
+      // 8 rows in the 10:00 window, delivered in two scrambled batches.
+      val rows = Seq(5L, 2L, 7L, 1L).map(id => (ts("2024-01-01 10:05:00"), id, id * 1.0)) ++
+        Seq(8L, 3L, 6L, 4L).map(id => (ts("2024-01-01 10:40:00"), id, id * 1.0))
+      input.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 12:00:00"), 99L, 0.0)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("wsample").select("event_id").as[Long].collect().toSet
+      // Batch replay: the 3 smallest replayable hashes among ids 1..8.
+      val expected = (1L to 8L).map(id => (Math.floorMod(id * 2654435761L, 4294967296L), id))
+        .sorted.take(3).map(_._2).toSet
+      assert(got == expected, s"got $got expected $expected")
+    } finally q.stop()
+  }
+
   test("session window agg closes on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
