@@ -1264,6 +1264,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad ON d.g = mad.g GROUP BY d.g ORDER BY event_type""".stripMargin,
 
+    // Sorted-neighborhood replay: same sanitized key, row_number rank,
+    // rank-difference window, levenshtein threshold — all integer/string
+    // ops both engines evaluate identically.
+    "q_sorted_neighborhood" ->
+      """WITH k AS (SELECT doc_id, text,
+        |    substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 16) AS key
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, text, row_number() OVER (ORDER BY key, doc_id) AS rn FROM k)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.text, b.text) AS dist
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 10
+        |WHERE levenshtein(a.text, b.text) <= 5
+        |ORDER BY 1, 2""".stripMargin,
+
     // Counting-quantile replay: identical counts CTE + "1000*cum >= q*n"
     // rank predicate per quantile — integer-exact.
     "q_counting_quantiles" ->

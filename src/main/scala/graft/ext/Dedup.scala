@@ -850,4 +850,102 @@ object Dedup {
         levenshtein(col("s_a"), col("s_b"), maxDist).as("dist"))
       .where(col("dist") >= 0)
   }
+
+  // ------------------------------------------ sorted-neighborhood blocking
+
+  /** Global 1-based rank in `(keyCol, idCol)` lexicographic order,
+    * distributed: quantile range boundaries on an order-preserving
+    * 8-byte packing of the (ASCII) key split the frame into balanced
+    * contiguous ranges, per-range counts give driver offsets (≤
+    * numRanges rows collected), and a per-range row_number window
+    * finishes the rank — the [[Datasets.prefixSum]] shape with a
+    * composite string ordering. The key must be ASCII (the packing
+    * preserves UTF-8 binary order only below 0x80); sanitize first, as
+    * [[sortedNeighborhoodPairs]] does.
+    */
+  private[graft] def lexRank(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      numRanges: Int = 64
+  ): DataFrame = {
+    // Order-preserving pack of the first 8 chars: 8 bit-lanes, shorter
+    // keys zero-padded — lexicographic on ASCII == numeric on the pack.
+    val packed = (0 until 8).map { i =>
+      coalesce(ascii(substring(col(keyCol), i + 1, 1)), lit(0)).cast("long") * lit(1L << (8 * (7 - i)))
+    }.reduce(_ + _)
+    val withPk = df.withColumn("_pk", packed)
+    val interior = Datasets.quantileBoundaries(withPk, "_pk", numRanges)
+    val ranged = withPk.withColumn("_rg",
+      if (interior.isEmpty) lit(0)
+      else size(filter(typedLit(interior.toSeq), b => col("_pk") >= b)))
+    val counts = ranged.groupBy(col("_rg")).agg(count(lit(1)).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("_rg", "_off")
+    val w = Window.partitionBy(col("_rg")).orderBy(col(keyCol), col(idCol))
+    ranged.join(broadcast(offsetsDf), Seq("_rg"))
+      .withColumn("_rank", col("_off") + row_number().over(w))
+      .drop("_pk", "_rg", "_off")
+  }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) with an
+    * edit-distance verify: sort the corpus by a sanitized blocking key,
+    * slide a window of `windowSize` ranks, verify every in-window pair
+    * with thresholded levenshtein ≤ `maxDist`. The classic
+    * entity-resolution candidate generator for records that DIFFER AT
+    * THE TAIL (addresses, names, titles with suffix noise) — the
+    * complement of the deletion-neighborhood ([[fuzzyPairs]]: short
+    * strings, any edit position) and MinHash ([[nearDupPairs]]: long
+    * docs, bag-of-shingles) blockings.
+    *
+    * `keyExpr` must produce an ASCII-only key (for [[lexRank]]'s
+    * order-preserving pack); the default lowercases and strips to
+    * `[a-z0-9 ]` before truncating — replayable in any engine.
+    *
+    * Scale shape: candidates are O(n · windowSize) by construction, not
+    * O(n²): the rank is distributed ([[lexRank]]), blocks of
+    * `windowSize` consecutive ranks make in-window pairs an equi-join
+    * of each block with itself and its successor (a rank difference
+    * `0 < Δ < w` spans at most two `w`-blocks), and the verify is the
+    * thresholded O(len·maxDist) levenshtein. A hot blocking key (many
+    * identical keys) degrades only its own neighborhood, bounded by
+    * `windowSize`, never a quadratic bucket.
+    *
+    * Returns `(id_a, id_b, dist)` with `id_a < id_b` in rank order.
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      strCol: String = "text",
+      keyLen: Int = 16,
+      windowSize: Int = 10,
+      maxDist: Int = 5,
+      numRanges: Int = 64
+  ): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    require(maxDist >= 0 && keyLen >= 1, s"bad maxDist=$maxDist / keyLen=$keyLen")
+    val keyed = df.where(col(strCol).isNotNull)
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("_key",
+        substring(regexp_replace(lower(col("s")), "[^a-z0-9 ]", ""), 1, keyLen))
+    val ranked = lexRank(keyed, "_key", "id", numRanges)
+      .withColumn("_blk", expr(s"(_rank - 1) div $windowSize"))
+      .select(col("id"), col("s"), col("_rank"), col("_blk"))
+    // A-side probes its own block and the next one; B-side keyed by block.
+    val aSide = ranked
+      .select(col("id").as("id_a"), col("s").as("s_a"), col("_rank").as("_ra"),
+        explode(array(col("_blk"), col("_blk") + 1)).as("_jb"))
+    val bSide = ranked
+      .select(col("id").as("id_b"), col("s").as("s_b"), col("_rank").as("_rb"), col("_blk").as("_jb"))
+    // Each qualifying pair joins on exactly one block key (b's own), so
+    // the output is duplicate-free by construction — no distinct needed.
+    aSide.join(bSide, Seq("_jb"))
+      .where(col("_rb") > col("_ra") && col("_rb") - col("_ra") < windowSize)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b"), maxDist).as("dist"))
+      .where(col("dist") >= 0)
+  }
 }

@@ -1088,6 +1088,20 @@ object Queries {
       .orderBy(col("event_type"), col("q_permille"))
   }
 
+  /** Sorted-neighborhood blocking pairs (Dedup.sortedNeighborhoodPairs):
+    * sanitized-key sort rank (distributed — quantile ranges + per-range
+    * windows), windowSize-10 neighborhood, thresholded levenshtein ≤ 5
+    * verify. The oracle replays the definition literally — row_number
+    * over the same key, rank-difference self-join, levenshtein filter;
+    * Spark never builds the global sort or the O(n²) join.
+    */
+  def qSortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.sortedNeighborhoodPairs(docs, idCol = "doc_id", strCol = "text",
+      keyLen = 16, windowSize = 10, maxDist = 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------- text (north star)
 
   /** Int8 embedding quantization gate (planted-property oracle — rounding
@@ -2013,6 +2027,7 @@ object Queries {
     "q_event_transitions" -> (qEventTransitions _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_counting_quantiles" -> (qCountingQuantiles _),
+    "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

@@ -630,6 +630,43 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("sortedNeighborhoodPairs matches a driver replay of the definition; lexRank is the (key,id) sort rank") {
+    val rnd = new scala.util.Random(11)
+    // 4-letter alphabet, medium length: neighborhoods contain both close
+    // and far strings, so the levenshtein verify actually filters.
+    val strings = (0L until 150L).map { i =>
+      val len = 6 + rnd.nextInt(6)
+      (i, (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val df = strings.toDF("doc_id", "text").repartition(7)
+    val (w, maxD) = (6, 3)
+    // Driver replay: rank by (sanitized key, id), pair within the window.
+    val ranked = strings.map { case (id, s) =>
+      (id, s, s.toLowerCase.replaceAll("[^a-z0-9 ]", "").take(16))
+    }.sortBy { case (id, _, k) => (k, id) }.zipWithIndex
+    val expected = (for {
+      ((ia, sa, _), ra) <- ranked; ((ib, sb, _), rb) <- ranked
+      if rb > ra && rb - ra < w && lev(sa, sb) <= maxD
+    } yield (ia, ib, lev(sa, sb))).toSet
+    val got = Dedup.sortedNeighborhoodPairs(df, windowSize = w, maxDist = maxD, numRanges = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected, s"${got.size} pairs vs replay ${expected.size}")
+    assert(expected.size > 20, "test corpus too sparse to be meaningful")
+    // lexRank: global (key, id) rank, including tied keys, any partitioning.
+    val dupKeys = Seq((1L, "bb"), (2L, "aa"), (3L, "aa"), (4L, "ab")).toDF("id", "k")
+    val ranks = Dedup.lexRank(dupKeys.repartition(3), "k", "id", numRanges = 4)
+      .select("id", "_rank").as[(Long, Long)].collect().toMap
+    assert(ranks == Map(2L -> 1L, 3L -> 2L, 4L -> 3L, 1L -> 4L))
+  }
+
   test("fuzzyPairs skew guard drops a pathological shared-variant bucket but keeps real pairs") {
     // 50 copies of the same string share every variant; with the guard at
     // 10 they must not produce 50*49/2 pairs. The distinct pair far away
