@@ -1264,6 +1264,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad ON d.g = mad.g GROUP BY d.g ORDER BY event_type""".stripMargin,
 
+    // BFS hop levels: independent recursive-CTE formulation — UNION
+    // dedups (node, lvl) pairs so cyclic graphs stay bounded; min(lvl)
+    // per node is the hop distance. Integer arithmetic -> bit-exact.
+    "q_bfs_levels" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT (user_id % 120) AS u, (event_id % 120) AS v FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT (event_id % 120) AS u, (user_id % 120) AS v FROM events WHERE event_type = 'click'),
+        |walk(node, lvl) AS (
+        |  SELECT CAST(s.node AS BIGINT), 0 FROM (VALUES (0), (1), (2)) s(node)
+        |  UNION
+        |  SELECT e.v, walk.lvl + 1 FROM walk JOIN e ON e.u = walk.node
+        |  WHERE walk.lvl < 20)
+        |SELECT node, min(lvl) AS level FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
     // Sorted-neighborhood replay: same sanitized key, row_number rank,
     // rank-difference window, levenshtein threshold — all integer/string
     // ops both engines evaluate identically.

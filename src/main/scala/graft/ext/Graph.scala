@@ -267,6 +267,74 @@ object Graph {
         when(col("deg") >= 2, expr("(2000 * tri) div (deg * (deg - 1))")).otherwise(lit(0L)))
   }
 
+  /** Multi-source BFS hop levels over an UNDIRECTED edge list: for every
+    * node reachable from `seeds` (a frame with a `node` column), the
+    * minimum hop count — level 0 is the seed set itself — capped at
+    * `maxLevels`. The "how far is every user from the campaign's entry
+    * pages" metric, and the exact-distance complement of
+    * [[graft.ext.Dedup.connectedComponents]] (which answers only
+    * WHETHER nodes connect, in O(log d) halving rounds; hop DISTANCE is
+    * the objective here, so the wave must advance one hop per round —
+    * rounds = min(eccentricity, maxLevels) is inherent, not a missed
+    * optimization).
+    *
+    * Scale shape: per level, one frontier-vs-edges equi-join (the
+    * frontier is only the newest wave, shrinking as the graph saturates)
+    * and one anti-join against the visited set — both key-partitioned,
+    * never node-count-sized on the driver. Every round's frames are
+    * `localCheckpoint`ed with the prior round's RDD blocks explicitly
+    * released, the [[pageRank]]/CC lineage discipline.
+    *
+    * All arithmetic is integer (levels are counters), so any engine
+    * replays the result exactly — the gate's oracle is a recursive CTE.
+    *
+    * Returns `(node, level)` for reached nodes only.
+    */
+  def bfsLevels(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxLevels: Int = 20,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(maxLevels >= 0, s"maxLevels must be >= 0, got $maxLevels")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .localCheckpoint()
+    var visited = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("level", lit(0))
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    // The checkpointed frame backing `frontier` when it is NOT `visited`
+    // itself — tracked so each wave's RDD blocks are released exactly
+    // once (releasing the frontier view on round 1 would free `visited`).
+    var wave: DataFrame = null
+    var lvl = 0
+    var done = false
+    while (!done && lvl < maxLevels) {
+      lvl += 1
+      val next = frontier.join(sym, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("level", lit(lvl))
+        .localCheckpoint()
+      if (next.isEmpty) { release(next); done = true }
+      else {
+        val grown = visited.unionByName(next).localCheckpoint()
+        release(visited)
+        if (wave != null) release(wave)
+        visited = grown
+        wave = next
+        frontier = next.select(col("node"))
+      }
+    }
+    if (wave != null) release(wave)
+    release(sym)
+    visited
+  }
+
   /** HyperLogLog registers (Flajolet et al. 2007) with an integer,
     * engine-replayable hash: distinct-cardinality sketching whose STATE
     * (not just its estimate) is bit-exact across engines and

@@ -985,6 +985,22 @@ object Queries {
     Graph.triangles(edges).orderBy(col("node"))
   }
 
+  /** Multi-source BFS hop levels from seed nodes {0,1,2} over the
+    * click graph folded to 120 nodes (Graph.bfsLevels — per-level
+    * frontier joins, integer levels). The oracle is an INDEPENDENT
+    * formulation: a recursive CTE whose UNION dedups (node, lvl) pairs,
+    * min(lvl) per node — bit-exact because hop counts are integers.
+    */
+  def qBfsLevels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+    val edges = ev
+      .where(col("event_type") === "click")
+      .select((col("user_id") % 120).as("src"), (col("event_id") % 120).as("dst"))
+    val seeds = Seq(0L, 1L, 2L).toDF("node")
+    Graph.bfsLevels(edges, seeds, maxLevels = 20).orderBy(col("node"))
+  }
+
   /** EXACT Jaccard-threshold self-join (prefix filtering, no false
     * negatives — the provable-recall tier next to MinHash-LSH's tunable
     * one) at t = 0.9 over document token sets. Runs on a deterministic
@@ -2028,6 +2044,7 @@ object Queries {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_counting_quantiles" -> (qCountingQuantiles _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
+    "q_bfs_levels" -> (qBfsLevels _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

@@ -143,6 +143,20 @@ class GraphSpec extends SparkSpec {
     assert(a.map(_._3).sum % 3 == 0)
   }
 
+  test("bfsLevels: hop distances on a known graph, undirected, cap honored") {
+    // 0-1-2-3-4 path, plus a triangle 1-5-6 and an island 9-10.
+    val e = edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (5L, 6L), (6L, 1L), (9L, 10L))
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.bfsLevels(e, seeds).as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 5L -> 2, 6L -> 2, 3L -> 3, 4L -> 4))
+    // Cap: maxLevels=2 truncates the wave, island unreached either way.
+    val capped = Graph.bfsLevels(e, seeds, maxLevels = 2).as[(Long, Int)].collect().toMap
+    assert(capped == Map(0L -> 0, 1L -> 1, 2L -> 2, 5L -> 2, 6L -> 2))
+    // Multi-source: nearest seed wins; direction of edge rows is ignored.
+    val multi = Graph.bfsLevels(e, Seq(4L, 6L).toDF("node")).as[(Long, Int)].collect().toMap
+    assert(multi == Map(4L -> 0, 6L -> 0, 3L -> 1, 1L -> 1, 5L -> 1, 2L -> 2, 0L -> 2))
+  }
+
   test("hll registers: known small input replayed by hand") {
     // p = 4 → W = 28, bucket = h >> 28, rank = 29 - bitlen(low 28 bits).
     val ids = Seq(1L, 2L, 3L).toDF("id")
