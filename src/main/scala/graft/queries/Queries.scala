@@ -41,19 +41,35 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read nanos as long and convert to a micros
-    * timestamp (truncation — invisible at the second/hour granularity the
-    * queries use, and matching DuckDB's nanos-native reads there).
-    * `spark.sql.legacy.parquet.nanosAsLong` must be set at session build
-    * (Main/Bench/Verify and the test session all do) — a query function
-    * must not mutate shared-session config.
+  /** The events table's `ts` column has shipped as BOTH parquet
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across data generations, so
+    * the reader adapts to the file's physical type instead of assuming
+    * one. NANOS: Spark's vectorized reader rejects it, so with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` set at session build
+    * (Main/Bench/Verify and the test session all do — a query function
+    * must not mutate shared-session config) it arrives as a long, which
+    * we truncate to a micros timestamp (invisible at the second/hour
+    * granularity the queries use, and matching DuckDB's nanos-native
+    * reads there). MICROS: Spark reads a native TimestampType — use it
+    * as-is.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read the events table")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read the events table")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampType => raw
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall-clock == the UTC instants the nanos generation carried
+        // (session timezone is pinned UTC at build in every entry point),
+        // so this cast is exact, and downstream code keeps seeing the one
+        // TimestampType it always has.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        throw new IllegalStateException(s"events.ts has unsupported parquet type $other")
+    }
   }
 
   /** Exact associative sum of a double expression: per-row decimal cast →

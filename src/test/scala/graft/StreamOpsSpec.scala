@@ -428,10 +428,9 @@ class StreamOpsSpec extends SparkSpec {
   }
 
   test("windowed agg has unified batch semantics on the events table") {
-    // events.parquet carries TIMESTAMP(NANOS); read via the long path as in
-    // Queries.events (nanosAsLong is set at session build in SparkSpec)
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // events.parquet has shipped with ts as both TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS) — Queries.events adapts to the file's actual type
+    val ev = graft.queries.Queries.events(spark, sf())
     val out = StreamOps.windowedAgg(
       ev, "ts", watermarkDelay = "1 hour", windowDuration = "1 day",
       keys = Seq(col("event_type")),
