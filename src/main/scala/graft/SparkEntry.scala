@@ -1279,6 +1279,121 @@ object SparkEntry {
         |  WHERE walk.lvl < 20)
         |SELECT node, min(lvl) AS level FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
+    // Label propagation, 3 unrolled synchronous rounds: plurality vote
+    // with min-label tie-break = row_number over (count DESC, label) —
+    // integer comparisons only, bit-exact.
+    "q_label_prop" ->
+      """WITH raw AS (SELECT user_id % 120 AS a, event_id % 120 AS b FROM events
+        |  WHERE event_type = 'purchase'),
+        |e0 AS (SELECT DISTINCT a AS u, b AS v FROM raw WHERE a <> b),
+        |sym AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+        |lab0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+        |v1 AS (SELECT s.v AS node, l.label, count(*) AS c FROM sym s
+        |  JOIN lab0 l ON s.u = l.node GROUP BY 1, 2),
+        |lab1 AS (SELECT node, label FROM (SELECT node, label,
+        |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT s.v AS node, l.label, count(*) AS c FROM sym s
+        |  JOIN lab1 l ON s.u = l.node GROUP BY 1, 2),
+        |lab2 AS (SELECT node, label FROM (SELECT node, label,
+        |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT s.v AS node, l.label, count(*) AS c FROM sym s
+        |  JOIN lab2 l ON s.u = l.node GROUP BY 1, 2),
+        |lab3 AS (SELECT node, label FROM (SELECT node, label,
+        |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn FROM v3) WHERE rn = 1)
+        |SELECT node, label FROM lab3 ORDER BY node""".stripMargin,
+
+    // Random-walk replay: the same neighbor-sorted adjacency index
+    // (row_number - 1), out-degree table, and per-step index arithmetic
+    // (walk*1000003 + node*40503 + step*9973) mod deg — all operands
+    // non-negative integers, so Spark's pmod and DuckDB's % agree.
+    "q_random_walks" ->
+      """WITH raw AS (SELECT user_id % 150 AS a, event_id % 150 AS b FROM events
+        |  WHERE event_type = 'view'),
+        |e AS (SELECT DISTINCT a AS u, b AS v FROM raw WHERE a <> b),
+        |adj AS (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+        |w0 AS (SELECT DISTINCT u AS walk_id, CAST(0 AS BIGINT) AS step, u AS node FROM e WHERE u < 30),
+        |s1 AS (SELECT w.walk_id, CAST(1 AS BIGINT) AS step, a.v AS node
+        |  FROM w0 w JOIN deg d ON w.node = d.u
+        |  JOIN adj a ON a.u = w.node AND a.idx = (w.walk_id * 1000003 + w.node * 40503 + 9973) % d.deg),
+        |s2 AS (SELECT w.walk_id, CAST(2 AS BIGINT) AS step, a.v AS node
+        |  FROM s1 w JOIN deg d ON w.node = d.u
+        |  JOIN adj a ON a.u = w.node AND a.idx = (w.walk_id * 1000003 + w.node * 40503 + 19946) % d.deg),
+        |s3 AS (SELECT w.walk_id, CAST(3 AS BIGINT) AS step, a.v AS node
+        |  FROM s2 w JOIN deg d ON w.node = d.u
+        |  JOIN adj a ON a.u = w.node AND a.idx = (w.walk_id * 1000003 + w.node * 40503 + 29919) % d.deg),
+        |s4 AS (SELECT w.walk_id, CAST(4 AS BIGINT) AS step, a.v AS node
+        |  FROM s3 w JOIN deg d ON w.node = d.u
+        |  JOIN adj a ON a.u = w.node AND a.idx = (w.walk_id * 1000003 + w.node * 40503 + 39892) % d.deg)
+        |SELECT walk_id, step, node FROM (
+        |  SELECT * FROM w0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+        |ORDER BY walk_id, step""".stripMargin,
+
+    // KMV source-overlap replay: the k-smallest-distinct-hash sketch per
+    // source IS the algorithm (row_number over the md5-derived integer
+    // hash), the merged sketch is the k smallest of the deduped union,
+    // and every output is an integer — bit-exact. The token hash parses
+    // the first 15 md5 hex digits (60 bits) into a BIGINT on both sides.
+    "q_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT source AS label,
+        |    CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents, LATERAL unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS u(t)
+        |  WHERE text IS NOT NULL AND source IS NOT NULL),
+        |sk AS (SELECT label, hv FROM (
+        |    SELECT label, hv, row_number() OVER (PARTITION BY label ORDER BY hv) AS rn FROM tok)
+        |  WHERE rn <= 128),
+        |p AS (SELECT a.label AS la, b.label AS lb FROM (SELECT DISTINCT label FROM sk) a
+        |  JOIN (SELECT DISTINCT label FROM sk) b ON a.label < b.label),
+        |uni AS (SELECT p.la, p.lb, s.hv FROM p JOIN sk s ON s.label = p.la
+        |  UNION SELECT p.la, p.lb, s.hv FROM p JOIN sk s ON s.label = p.lb),
+        |m AS (SELECT la, lb, hv FROM (
+        |    SELECT la, lb, hv, row_number() OVER (PARTITION BY la, lb ORDER BY hv) AS rn FROM uni)
+        |  WHERE rn <= 128),
+        |msz AS (SELECT la, lb, count(*) AS sketch_union FROM m GROUP BY 1, 2),
+        |cmn AS (SELECT m.la, m.lb, count(*) AS n_common FROM m
+        |  JOIN sk x ON x.label = m.la AND x.hv = m.hv
+        |  JOIN sk y ON y.label = m.lb AND y.hv = m.hv GROUP BY 1, 2)
+        |SELECT msz.la AS label_a, msz.lb AS label_b, msz.sketch_union,
+        |  coalesce(cmn.n_common, 0) AS n_common,
+        |  (1000 * coalesce(cmn.n_common, 0)) // msz.sketch_union AS jacc_permille
+        |FROM msz LEFT JOIN cmn ON msz.la = cmn.la AND msz.lb = cmn.lb
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    // Hard negatives: q_ann_brute_force's replay with the label
+    // inequality instead of the self-exclusion — double-precision dot
+    // products are bit-identical cross-engine; ids only.
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) DESC,
+        |      b.vec_id) AS rn
+        |  FROM e a JOIN e b ON b.label <> a.label WHERE a.vec_id < 40) t
+        |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // Winsorized summary replay: counting-quantile thresholds (the
+    // q_counting_quantiles CTE), least/greatest clip, integer clip
+    // counts and clipped sum — bit-exact.
+    "q_winsorize" ->
+      """WITH v AS (SELECT event_type AS g, CAST(floor(value * 1000) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |cm AS (SELECT g, x, count(*) AS c FROM v GROUP BY 1, 2),
+        |cw AS (SELECT g, x, sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+        |         sum(c) OVER (PARTITION BY g) AS n FROM cm),
+        |th AS (SELECT g,
+        |    min(CASE WHEN 1000 * cum >= 50 * n THEN x END) AS lo,
+        |    min(CASE WHEN 1000 * cum >= 950 * n THEN x END) AS hi
+        |  FROM cw GROUP BY g)
+        |SELECT v.g AS event_type, max(th.lo) AS lo, max(th.hi) AS hi, count(*) AS n,
+        |  CAST(sum(CASE WHEN v.x < th.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN v.x > th.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(sum(least(greatest(v.x, th.lo), th.hi)) AS BIGINT) AS sum_w
+        |FROM v JOIN th ON v.g = th.g GROUP BY v.g ORDER BY event_type""".stripMargin,
+
     // Sorted-neighborhood replay: same sanitized key, row_number rank,
     // rank-difference window, levenshtein threshold — all integer/string
     // ops both engines evaluate identically.

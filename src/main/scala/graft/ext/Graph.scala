@@ -411,4 +411,143 @@ object Graph {
     val raw = alpha * m.toDouble * m.toDouble / sumInv
     if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros) else raw
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection over an undirected graph — the cheap clustering pass web
+    * curation runs to group mutually-linked hosts before per-community
+    * caps or sampling. Labels start as node ids; each round every node
+    * adopts the PLURALITY label among its neighbors, ties broken by the
+    * SMALLEST label. Both the vote count and the tie-break are integer
+    * comparisons, so (unlike the async textbook variant, whose result
+    * depends on visit order) the fixed-round synchronous sweep is a pure
+    * function of the edge set — bit-identical under any partitioning and
+    * replayable by an unrolled-iteration oracle.
+    *
+    * Scale shape per round: one hash join of the (node → label) frame
+    * against the symmetrized edge list (labels partition by node; AQE
+    * broadcasts when the node count allows) and one map-side-combined
+    * count aggregation on (node, candidate-label), followed by the
+    * plurality argmin — a second aggregation on node carrying one
+    * struct. Each round's label frame is `localCheckpoint`ed and the
+    * prior round's blocks released ([[pageRank]]'s lineage discipline),
+    * so plan analysis stays O(1) per round. Driver state: nothing but
+    * the loop counter.
+    *
+    * Fixed iteration count, not convergence detection: LPA on bipartite
+    * structures can 2-cycle forever, and the gate pins an exact round
+    * count anyway. Callers wanting convergence wrap it with the
+    * `observe`-scalar pattern used by connectedComponentsDetailed.
+    *
+    * Returns `(node, label)`.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      iterations: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val both = sym.unionByName(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = both.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val votes = both
+        .join(labels, both("u") === labels("node"))
+        .groupBy(both("v"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+      // Plurality with smallest-label tie-break = lexicographic min of
+      // (-count, label): one struct per node through the second agg.
+      val next = votes
+        .select(col("v").as("node"),
+          struct((-col("_c")).as("nc"), col("label").as("lab")).as("_cand"))
+        .groupBy(col("node"))
+        .agg(min(col("_cand")).as("_w"))
+        .select(col("node"), col("_w.lab").as("label"))
+        .localCheckpoint()
+      release(labels)
+      labels = next
+    }
+    val out = labels.select(col("node"), col("label"))
+    release(both)
+    out
+  }
+
+  /** Deterministic fixed-length random walks over a DIRECTED edge list —
+    * the sampling primitive under node2vec/DeepWalk-style graph
+    * embeddings and link-graph spot-audits. One walk starts per seed
+    * node; at step `s` a walk at node `c` moves to the out-neighbor at
+    * index `(walk·1000003 + c·40503 + s·9973) mod outdeg(c)` in the
+    * NEIGHBOR-SORTED adjacency — a pure function of (walk, node, step),
+    * so the "random" choice needs no RNG state, is identical under any
+    * partitioning/executor count, and replays exactly in another engine
+    * (the gate's oracle recomputes the index arithmetic verbatim). Walks
+    * reaching a node with no out-edges stop early. Operands must keep
+    * `walk·1000003 + node·40503` inside a long — ids below ~9.2e12;
+    * pre-fold larger id spaces as [[replayableHash]] documents.
+    *
+    * Scale shape per step: the frontier (one row per live walk) joins
+    * the out-degree table to compute its index, then the adjacency list
+    * on (node, index) — two hash joins whose build side is
+    * walk-count-sized, with the corpus-sized adjacency and degree
+    * frames checkpointed ONCE up front and reused every step. The
+    * frontier is `localCheckpoint`ed per step ([[bfsLevels]]'s wave
+    * discipline); emitted rows accumulate as a union of the per-step
+    * frontiers — `steps+1` frames of ≤ |seeds| rows each, never a
+    * driver collect.
+    *
+    * Returns `(walk_id, step, node)` — step 0 is the seed itself.
+    */
+  def randomWalks(
+      edges: DataFrame,
+      seeds: DataFrame,
+      steps: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(steps >= 0, s"steps must be >= 0, got $steps")
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val adj = e
+      .withColumn("idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u")).orderBy(col("v"))) - 1)
+      .localCheckpoint()
+    // deg keys under a distinct name: adj and outDeg share lineage (both
+    // derive from e), so an unrenamed "u" would be ambiguous when the
+    // frontier joins both in one plan.
+    val outDeg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("_du"), col("deg")).localCheckpoint()
+    var frontier = seeds.select(col("node").cast("long").as("node")).distinct()
+      .select(col("node").as("walk_id"), lit(0L).as("step"), col("node"))
+      .localCheckpoint()
+    val trail = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    for (s <- 1 to steps) {
+      val next = frontier
+        .join(outDeg, col("node") === col("_du"))
+        .withColumn("_idx",
+          pmod(col("walk_id") * 1000003L + col("node") * 40503L + lit(s.toLong) * 9973L,
+            col("deg")))
+        .join(adj, col("node") === adj("u") && col("_idx") === adj("idx"))
+        .select(col("walk_id"), lit(s.toLong).as("step"), col("v").as("node"))
+        .localCheckpoint()
+      // prior frontiers stay referenced by `trail` until the final union
+      // is consumed, so blocks release only via the session's GC — walks
+      // are seed-count-sized, not corpus-sized, by construction.
+      trail += next
+      frontier = next
+      if (next.isEmpty) { release(adj); release(outDeg); return trail.reduce(_ unionByName _) }
+    }
+    release(adj)
+    release(outDeg)
+    trail.reduce(_ unionByName _)
+  }
 }

@@ -130,4 +130,44 @@ object Robust {
         max(col("_mad")).as("mad"),
         count(lit(1)).as("n"),
         sum(col("is_outlier").cast("long")).as("n_outliers"))
+
+  /** Per-group winsorization: clip `valueCol` to its group's
+    * [lo‰, hi‰] counting quantiles — the standard tail-taming transform
+    * before means/regressions on heavy-tailed telemetry (a trimmed
+    * cousin of [[madFlag]]: instead of flagging outliers it caps them).
+    * Quantiles are [[histogramQuantile]]'s discrete `percentile_disc`
+    * ranks, so on integral values every step — the thresholds, the
+    * `least/greatest` clip, and any downstream integer aggregate — is
+    * exact and engine-replayable; no interpolation, no float drift.
+    *
+    * Scale shape: the quantile pass (one hash agg onto distinct
+    * (group, value) + one running-sum window) produces a
+    * groups × 2 threshold table that broadcast-joins back onto the data
+    * (AQE picks the broadcast; the threshold table is group-count-sized
+    * by construction) — the data itself is touched by exactly two scans
+    * and never shuffled on the value.
+    *
+    * Returns the input columns plus `(_lo, _hi, _w)` where `_w` is the
+    * clipped value.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      loPermille: Int = 50,
+      hiPermille: Int = 950
+  ): DataFrame = {
+    require(loPermille < hiPermille,
+      s"loPermille must be < hiPermille, got [$loPermille, $hiPermille]")
+    require(!df.columns.exists(Set("_lo", "_hi", "_w")),
+      "columns _lo/_hi/_w are reserved by winsorize")
+    val qs = histogramQuantile(df, groupCols, valueCol, Seq(loPermille, hiPermille))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(when(col("q_permille") === loPermille, col("value"))).as("_lo"),
+        max(when(col("q_permille") === hiPermille, col("value"))).as("_hi"))
+    df.where(col(valueCol).isNotNull)
+      .join(qs, groupCols)
+      .withColumn("_w", least(greatest(col(valueCol), col("_lo")), col("_hi")))
+  }
 }

@@ -69,6 +69,47 @@ object Similarity {
       .drop("_rn")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for every
+    * query vector, the `k` most-similar corpus vectors whose `labelCol`
+    * DIFFERS from the query's — the "close but wrong" examples that make
+    * the strongest negatives (e.g. in-batch negatives for dual encoders,
+    * DPR-style retrieval training). Identical plan shape to
+    * [[bruteForceTopK]] — broadcast query side, one corpus scan, per-pair
+    * work a single codegen'd dot product, one shuffle for the per-query
+    * top-k — with the label inequality applied BEFORE the window so
+    * same-label pairs never enter the top-k shuffle. Swap the corpus for
+    * an IVF/LSH candidate set (the other operators here) when the corpus
+    * outgrows a scan per query batch; the exact form is the recall
+    * baseline the approximate variants are graded against.
+    *
+    * Ties break on corpus id, like every top-k here. Returns
+    * `(query_id, neighbor_id, score)`.
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"
+  ): DataFrame = {
+    VecDot.ensureRegistered(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"), norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("c_label"), norm(col(vecCol)).as("c_norm"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .where(col("c_label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   // ------------------------------------------- random-hyperplane LSH ANN
 
   /** Deterministic pseudo-random hyperplanes: `numPlanes` x `dim` doubles

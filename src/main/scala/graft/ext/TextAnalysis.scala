@@ -422,6 +422,54 @@ object TextAnalysis {
     regexp_replace(url, "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b", "<PHONE>")
   }
 
+  /** Dataset-overlap matrix between corpus slices (sources, dumps,
+    * languages): for every pair of `labelCol` values, a KMV-estimated
+    * token-vocabulary Jaccard — the cheap first answer to "how much do
+    * these two crawls share?" before committing to a full cross-dedup.
+    * Per label ONE bounded sketch (k smallest md5-derived token hashes,
+    * via the `kmv_agg` buffer — the corpus shuffles ≤ k values per label
+    * per partition, never its vocabulary), then the theta-sketch
+    * intersection over the label-pair self-join, which is
+    * labels²-sized — independent of corpus size.
+    *
+    * The token hash is the first 15 md5 hex digits as an integer — both
+    * engines evaluate `md5` identically on UTF-8 and 60 bits keep the
+    * parse exact in a long, so the sketch STATE replays bit-exactly
+    * cross-engine (the string analog of [[graft.ext.Graph.replayableHash]]).
+    * Outputs stay integral (sizes and a truncating-division permille);
+    * the float estimates live in [[graft.ext.Sketches.kmvJaccardCol]]
+    * for callers that want them.
+    *
+    * Returns `(label_a, label_b, sketch_union, n_common, jacc_permille)`
+    * for label_a < label_b.
+    */
+  def sourceOverlapKmv(
+      docs: DataFrame,
+      k: Int = 128,
+      labelCol: String = "source",
+      textCol: String = "text"
+  ): DataFrame = {
+    val toks = docs
+      .where(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > 0)).as("tok"))
+    val hv = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val sk = Sketches.kmvSketchPerGroup(
+      toks.select(col("label"), hv.as("hv")), Seq("label"), "hv", k,
+      hashCol = Some(col("hv")))
+    val a = sk.select(col("label").as("label_a"), col("kmv").as("_ka"))
+    val b = sk.select(col("label").as("label_b"), col("kmv").as("_kb"))
+    val merged = Sketches.kmvMergeCol(col("_ka"), col("_kb"), k)
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("_m", merged)
+      .withColumn("sketch_union", size(col("_m")).cast("long"))
+      .withColumn("n_common",
+        size(array_intersect(array_intersect(col("_m"), col("_ka")), col("_kb"))).cast("long"))
+      .select(col("label_a"), col("label_b"), col("sketch_union"), col("n_common"),
+        expr("(1000 * n_common) div sketch_union").as("jacc_permille"))
+  }
+
   /** Convenience: annotate a corpus with the full analysis column set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

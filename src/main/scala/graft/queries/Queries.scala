@@ -1017,6 +1017,83 @@ object Queries {
     Graph.bfsLevels(edges, seeds, maxLevels = 20).orderBy(col("node"))
   }
 
+  /** Synchronous 3-round label propagation (Graph.labelPropagation) over
+    * an undirected event graph: plurality label among neighbors, ties to
+    * the smallest label. Votes and tie-breaks are integer comparisons,
+    * so the unrolled-iteration oracle replays every round bit-exactly.
+    */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val edges = ev
+      .where(col("event_type") === "purchase")
+      .select((col("user_id") % 120).as("src"), (col("event_id") % 120).as("dst"))
+    Graph.labelPropagation(edges, iterations = 3).orderBy(col("node"))
+  }
+
+  /** Deterministic 4-step random walks (Graph.randomWalks) from the
+    * sub-30 nodes of a directed event graph: the next hop is the
+    * `(walk·1000003 + node·40503 + step·9973) mod outdeg` entry of the
+    * neighbor-sorted adjacency — pure integer index arithmetic the
+    * oracle recomputes verbatim, step by unrolled step.
+    */
+  def qRandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val edges = ev
+      .where(col("event_type") === "view")
+      .select((col("user_id") % 150).as("src"), (col("event_id") % 150).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val seeds = edges.select(col("src").as("node")).where(col("node") < 30).distinct()
+    Graph.randomWalks(edges, seeds, steps = 4)
+      .orderBy(col("walk_id"), col("step"))
+  }
+
+  /** Pairwise token-vocabulary overlap between document sources via KMV
+    * sketches (TextAnalysis.sourceOverlapKmv, k=128): per source one
+    * bounded kmv_agg pass, then the theta-sketch intersection on the
+    * source-pair self-join. The md5-derived token hash and every output
+    * are integers, so the oracle — which rebuilds the k-smallest-hash
+    * sketches with a row_number window and replays the merge —
+    * matches bit-exactly.
+    */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceOverlapKmv(t(spark, dir, "documents"), k = 128)
+      .orderBy(col("label_a"), col("label_b"))
+
+  /** Hard-negative mining (Similarity.hardNegatives): for the first 40
+    * embedding vectors, the 5 most-cosine-similar vectors with a
+    * DIFFERENT label — ids only, like q_ann_brute_force (the
+    * double-precision scores are bit-identical cross-engine and stay
+    * internal).
+    */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.hardNegatives(emb.where(col("vec_id") < 40), emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Per-group winsorized summary (Robust.winsorize at [50‰, 950‰] on
+    * the permille-quantized event value): thresholds from the counting
+    * quantile, `least/greatest` clip, integer clip counts and clipped
+    * sum — every step exact, replayed by the oracle from the same
+    * counts CTE.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val quantized = ev.where(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 1000).cast("long").as("x"))
+    Robust.winsorize(quantized, Seq("event_type"), "x", loPermille = 50, hiPermille = 950)
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("_lo")).as("lo"),
+        max(col("_hi")).as("hi"),
+        count(lit(1)).as("n"),
+        sum((col("x") < col("_lo")).cast("long")).as("n_lo"),
+        sum((col("x") > col("_hi")).cast("long")).as("n_hi"),
+        sum(col("_w")).as("sum_w"))
+      .orderBy(col("event_type"))
+  }
+
   /** EXACT Jaccard-threshold self-join (prefix filtering, no false
     * negatives — the provable-recall tier next to MinHash-LSH's tunable
     * one) at t = 0.9 over document token sets. Runs on a deterministic
@@ -2061,6 +2138,11 @@ object Queries {
     "q_counting_quantiles" -> (qCountingQuantiles _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_bfs_levels" -> (qBfsLevels _),
+    "q_label_prop" -> (qLabelProp _),
+    "q_random_walks" -> (qRandomWalks _),
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_winsorize" -> (qWinsorize _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

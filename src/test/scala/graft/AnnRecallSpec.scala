@@ -253,6 +253,40 @@ class AnnRecallSpec extends SparkSpec {
     assert(overlap >= 0.8, s"quantized top-k overlap $overlap below 0.8 — SQ8 should barely move rankings")
   }
 
+  test("hardNegatives excludes same-label vectors even at cosine 1, ranks by cosine then id") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    // q = (1,0) label 0. Same-label exact duplicate (id 2) must never
+    // appear; the different-label top-2 are (0.9,0.1) then (0,1).
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),  // same label, cosine 1 — excluded
+      (3L, Array(0.9f, 0.1f), 1),
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(-1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(rows.where(col("vec_id") === 1), rows, k = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (1L, 4L)))
+  }
+
+  test("hardNegatives matches brute-force top-k filtered to other-label on the test corpus") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = pairs(Similarity.hardNegatives(emb.where(col("vec_id") < 10), emb, k = 5))
+    // Independent reference: unlimited brute-force ranking (k = corpus),
+    // keep other-label rows, take 5 per query.
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val all = Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, k = 100000)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .as[(Long, Long, Double)].collect()
+    val expect = all.groupBy(_._1).iterator.flatMap { case (q, ns) =>
+      ns.filter(p => labels(p._2) != labels(q))
+        .sortBy(p => (-p._3, p._2)).take(5).map(p => (q, p._2))
+    }.toSet
+    assert(got == expect)
+  }
+
   test("lshNearDupPairs recovers ε-noised (non-identical) planted near-dups above floor") {
     // The q_embedding_near_dup_lsh gate plants EXACT copies (recall 1.0 by
     // construction — identical sign pattern). This spec plants genuinely

@@ -180,6 +180,45 @@ class GraphSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("label propagation: two triangles with a bridge resolve to two communities") {
+    // {1,2,3} and {10,11,12} triangles, bridge 3-10. Hand-rolled sync
+    // rounds (plurality, min-label ties): after 3 rounds the left
+    // triangle settles on label 1 and the right on label 3 (the bridge
+    // node's round-1 label invades the right triangle).
+    val e = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 10L -> 11L, 11L -> 12L, 10L -> 12L, 3L -> 10L)
+    val r = Graph.labelPropagation(e, iterations = 3).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
+  test("label propagation is identical across repartitionings and edge direction") {
+    val base = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 10L -> 11L, 11L -> 12L, 10L -> 12L, 3L -> 10L)
+    val flipped = base.select(col("dst").as("src"), col("src").as("dst")).repartition(13)
+    val a = Graph.labelPropagation(base, 3).as[(Long, Long)].collect().sortBy(_._1)
+    val b = Graph.labelPropagation(flipped, 3).as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("random walks: hand-computed 2-step walk; seed without out-edges stops at step 0") {
+    // 1 -> {2(idx0), 3(idx1)} deg 2; 2 -> 1; 3 -> 1. Walk from 1:
+    // step1 idx = (1000003 + 40503 + 9973) % 2 = 1 -> 3;
+    // step2 idx = (1000003 + 3*40503 + 2*9973) % 1 = 0 -> 1.
+    // Seed 4 has no out-edges: only its step-0 row appears.
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 1L, 3L -> 1L)
+    val seeds = Seq(1L, 4L).toDF("node")
+    val rows = Graph.randomWalks(e, seeds, steps = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 0L, 1L), (1L, 1L, 3L), (1L, 2L, 1L), (4L, 0L, 4L)))
+  }
+
+  test("random walks are identical across repartitionings and duplicate edges") {
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L, 2L -> 1L)
+    val dup = e.unionByName(e).repartition(11) // distinct() inside must dedup
+    val seeds = Seq(1L, 2L, 3L).toDF("node")
+    val a = Graph.randomWalks(e, seeds, 5).as[(Long, Long, Long)].collect().sorted
+    val b = Graph.randomWalks(dup, seeds, 5).as[(Long, Long, Long)].collect().sorted
+    assert(a.sameElements(b))
+  }
+
   test("hll estimate within the expected error band (p=12 → ~1.6% rse)") {
     // Default hash is xxhash64 folded to 32 bits: rank estimation needs
     // low-bit avalanche, which the replayable multiplicative hash lacks

@@ -110,4 +110,29 @@ class KmvSpec extends SparkSpec {
       .distinct.sorted.take(32)
     assert(got.sameElements(expected))
   }
+
+  test("sourceOverlapKmv: identical vocabularies estimate 1000‰, disjoint 0‰") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"), (2L, "gamma beta alpha", "s2"),
+      (3L, "delta epsilon", "s3"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.ext.TextAnalysis.sourceOverlapKmv(docs, k = 16)
+      .select(col("label_a"), col("label_b"), col("sketch_union"), col("n_common"),
+        col("jacc_permille"))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(r(("s1", "s2")) == ((3L, 3L, 1000L)))
+    assert(r(("s1", "s3")) == ((5L, 0L, 0L)))
+    assert(r(("s2", "s3")) == ((5L, 0L, 0L)))
+  }
+
+  test("sourceOverlapKmv: half-overlapping small vocabularies below k are exact") {
+    // Vocabularies below k make the sketch the full set — the estimate
+    // IS the true Jaccard: |{b,c}| / |{a,b,c,d}| = 2/4 = 500‰.
+    val docs = Seq((1L, "a b c", "x"), (2L, "b c d", "y")).toDF("doc_id", "text", "source")
+    val r = graft.ext.TextAnalysis.sourceOverlapKmv(docs, k = 16)
+      .select(col("sketch_union"), col("n_common"), col("jacc_permille"))
+      .as[(Long, Long, Long)].head()
+    assert(r == ((4L, 2L, 500L)))
+  }
 }

@@ -55,4 +55,30 @@ class RobustSpec extends SparkSpec {
     val s = Robust.madSummary(df, Seq("g"), "x").as[(String, Long, Long, Long, Long)].head()
     assert(s == (("a", 5L, 0L, 4L, 1L)))
   }
+
+  test("winsorize: counting-quantile thresholds clip both tails exactly") {
+    // x = 1..10, [200‰, 800‰]: lo = smallest x with 1000·cum ≥ 200·10 = 2;
+    // hi = smallest x with 1000·cum ≥ 800·10 = 8. Clipped: 1→2, 9→8, 10→8.
+    val df = (1L to 10L).map(("a", _)).toDF("g", "x")
+    val w = Robust.winsorize(df, Seq("g"), "x", loPermille = 200, hiPermille = 800)
+    val rows = w.select(col("x"), col("_lo"), col("_hi"), col("_w"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows.forall { case (_, lo, hi, _) => lo == 2L && hi == 8L })
+    assert(rows.map { case (x, _, _, cw) => x -> cw } ==
+      ((1L to 10L).map(x => x -> math.min(math.max(x, 2L), 8L))).toSet)
+    assert(w.agg(sum(col("_w"))).as[Long].head() == 53L)
+  }
+
+  test("winsorize: groups clip independently; NULL values are excluded") {
+    val df = ((1L to 10L).map(x => ("a", Some(x))) ++
+      Seq(("b", Some(100L)), ("b", Some(200L)), ("b", Some(300L)), ("b", None)))
+      .toDF("g", "x")
+    val w = Robust.winsorize(df, Seq("g"), "x", loPermille = 200, hiPermille = 800)
+    // group b, n=3: lo = smallest with 1000·cum ≥ 600 → cum ≥ 1 → 100;
+    // hi = smallest with 1000·cum ≥ 2400 → cum ≥ 3 → 300: nothing clips.
+    val b = w.where(col("g") === "b").select(col("x"), col("_w"))
+      .as[(Long, Long)].collect().toSet
+    assert(b == Set((100L, 100L), (200L, 200L), (300L, 300L)))
+    assert(w.count() == 13) // the NULL row is dropped, not clipped
+  }
 }
