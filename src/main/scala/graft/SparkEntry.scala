@@ -1279,6 +1279,74 @@ object SparkEntry {
         |  WHERE walk.lvl < 20)
         |SELECT node, min(lvl) AS level FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
+    // Domain-cap replay: k smallest id hashes per source via row_number —
+    // the survivor set (not ranks) is the contract; integer hashes.
+    "q_source_cap" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    (doc_id * 2654435761) % 4294967296 AS hv
+        |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn FROM h)
+        |SELECT doc_id, source FROM r WHERE rn <= 60
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // Epoch-shuffle replay: positions are row_number - 1 over the same
+    // per-epoch multiplicative hash (epoch 3), id tiebreak — integers.
+    "q_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY ((doc_id + 3 * 999983) * 2654435761) % 4294967296, doc_id)
+        |    - 1 AS epoch_pos
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // Personalized PageRank, 3 unrolled iterations: q_pagerank's integer
+    // arithmetic with restart + dangling mass confined to seeds {0,1,2}
+    // (S div 3 initial mass on seeds, base and dang//3 added to seeds
+    // only). Non-negative longs -> floor == truncate -> bit-exact.
+    "q_ppr" ->
+      """WITH e AS (
+        |  SELECT user_id % 150 AS src, event_id % 150 AS dst FROM events
+        |  WHERE event_type = 'purchase'),
+        |seeds AS (SELECT CAST(s.node AS BIGINT) AS node FROM (VALUES (0), (1), (2)) s(node)),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e UNION ALL SELECT node FROM seeds)),
+        |ns AS (SELECT n.node, (s.node IS NOT NULL) AS is_seed
+        |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+        |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CASE WHEN is_seed THEN 1000000000000 // 3 ELSE 0 END AS rank FROM ns),
+        |d0 AS (SELECT coalesce(sum(r.rank), 0) AS dang FROM r0 r LEFT JOIN od ON r.node = od.src WHERE od.deg IS NULL),
+        |i0 AS (SELECT e.dst, sum(r.rank // od.deg) AS fl FROM e JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r1 AS (SELECT ns.node, CAST(
+        |    CASE WHEN ns.is_seed THEN ((1000000000000 // 3) * 150) // 1000 ELSE 0 END +
+        |    (850 * (coalesce(fl, 0) + CASE WHEN ns.is_seed THEN dang // 3 ELSE 0 END)) // 1000
+        |  AS BIGINT) AS rank
+        |  FROM ns CROSS JOIN d0 LEFT JOIN i0 ON ns.node = i0.dst),
+        |d1 AS (SELECT coalesce(sum(r.rank), 0) AS dang FROM r1 r LEFT JOIN od ON r.node = od.src WHERE od.deg IS NULL),
+        |i1 AS (SELECT e.dst, sum(r.rank // od.deg) AS fl FROM e JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r2 AS (SELECT ns.node, CAST(
+        |    CASE WHEN ns.is_seed THEN ((1000000000000 // 3) * 150) // 1000 ELSE 0 END +
+        |    (850 * (coalesce(fl, 0) + CASE WHEN ns.is_seed THEN dang // 3 ELSE 0 END)) // 1000
+        |  AS BIGINT) AS rank
+        |  FROM ns CROSS JOIN d1 LEFT JOIN i1 ON ns.node = i1.dst),
+        |d2 AS (SELECT coalesce(sum(r.rank), 0) AS dang FROM r2 r LEFT JOIN od ON r.node = od.src WHERE od.deg IS NULL),
+        |i2 AS (SELECT e.dst, sum(r.rank // od.deg) AS fl FROM e JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r3 AS (SELECT ns.node, CAST(
+        |    CASE WHEN ns.is_seed THEN ((1000000000000 // 3) * 150) // 1000 ELSE 0 END +
+        |    (850 * (coalesce(fl, 0) + CASE WHEN ns.is_seed THEN dang // 3 ELSE 0 END)) // 1000
+        |  AS BIGINT) AS rank
+        |  FROM ns CROSS JOIN d2 LEFT JOIN i2 ON ns.node = i2.dst)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+
+    // Quantile-normalization replay: the same rank-permille window
+    // formula, single-row groups -> 0 — integer arithmetic.
+    "q_quantile_norm" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(CASE WHEN count(*) OVER (PARTITION BY source) = 1 THEN 0
+        |    ELSE (1000 * (row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1))
+        |         // (count(*) OVER (PARTITION BY source) - 1) END AS BIGINT) AS q_permille
+        |FROM documents WHERE n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
     // Label propagation, 3 unrolled synchronous rounds: plurality vote
     // with min-label tie-break = row_number over (count DESC, label) —
     // integer comparisons only, bit-exact.

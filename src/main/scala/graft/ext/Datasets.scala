@@ -335,4 +335,122 @@ object Datasets {
       .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
       .drop("_n")
   }
+
+  /** Per-domain frequency cap: keep at most `k` rows per `labelCol`
+    * value, chosen in HASH order (smallest multiplicative id hash, id
+    * tiebreak) — the web-curation staple that stops a single domain
+    * from dominating the corpus while keeping the survivor set
+    * deterministic and nested (raising k only ADDS rows, like
+    * [[hashSample]]'s rate). Rides the bounded-heap grouped top-k
+    * ([[graft.ops.TopK.topKPerGroup]] over the negated hash), so the
+    * shuffle carries ≤ k candidate rows per domain per input partition
+    * and a million-page domain never sorts fully. Same id bound as
+    * [[permilleBucket]] (ids below ~3.46e9; pre-fold larger spaces).
+    */
+  def domainCap(
+      df: DataFrame,
+      k: Int,
+      labelCol: String = "source",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.exists(Set("_nh", "_ni")), "columns _nh/_ni are reserved by domainCap")
+    val hk = pmod(col(idCol) * GoldenRatioHash, lit(4294967296L))
+    // top_k_agg keeps LARGEST by the struct order — negate (hash, id) so
+    // the heap retains the k smallest-hash rows.
+    graft.ops.TopK.topKPerGroup(
+      df.where(col(idCol).isNotNull && col(labelCol).isNotNull)
+        .withColumn("_nh", -hk).withColumn("_ni", -col(idCol)),
+      Seq(labelCol), Seq("_nh", "_ni"), k)
+      .drop("_nh", "_ni")
+  }
+
+  /** Global 0-based rank of each row in `(keyCol, idCol)` NUMERIC order,
+    * distributed — the integer-key sibling of
+    * [[graft.ext.Dedup.lexRank]]: approximate key quantiles split the
+    * frame into balanced contiguous ranges, per-range counts give driver
+    * offsets (≤ `numRanges` scalars collected), and a per-range
+    * row_number window finishes the rank. No single-task global window
+    * at any size.
+    */
+  private[graft] def numericRank(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      outCol: String,
+      numRanges: Int = 256
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val interior = quantileBoundaries(df, keyCol, numRanges)
+    val ranged = df.withColumn("_rg",
+      if (interior.isEmpty) lit(0)
+      else size(filter(typedLit(interior.toSeq), b => col(keyCol).cast("long") >= b)))
+    val counts = ranged.groupBy(col("_rg")).agg(count(lit(1)).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("_rg", "_off")
+    val w = Window.partitionBy(col("_rg")).orderBy(col(keyCol), col(idCol))
+    ranged.join(broadcast(offsetsDf), Seq("_rg"))
+      .withColumn(outCol, col("_off") + row_number().over(w) - 1)
+      .drop("_rg", "_off")
+  }
+
+  /** Deterministic epoch shuffle: assign every row a contiguous 0-based
+    * `epoch_pos` in the order of a per-epoch hash — the "reshuffle the
+    * corpus each epoch" step of a training-data pipeline, as a pure
+    * function of (id, epoch): no RNG state, the same permutation on any
+    * cluster and any engine, and a different (decorrelated) permutation
+    * each epoch. Positions come from [[numericRank]], so the shape is
+    * two scans + one bounded window — never a global sort into one
+    * task. Ids must keep `(id + epoch·999983) · 2654435761` in long
+    * range (ids below ~3.46e9, epochs in the thousands — the
+    * [[permilleBucket]] bound).
+    */
+  def epochShuffle(
+      df: DataFrame,
+      epoch: Int,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    require(!df.columns.exists(Set("_ek", "epoch_pos")),
+      "columns _ek/epoch_pos are reserved by epochShuffle")
+    val key = pmod((col(idCol) + lit(epoch.toLong) * 999983L) * GoldenRatioHash,
+      lit(4294967296L))
+    numericRank(
+      df.where(col(idCol).isNotNull).withColumn("_ek", key),
+      "_ek", idCol, "epoch_pos")
+      .drop("_ek")
+  }
+
+  /** Per-group quantile normalization: replace a value with its rank
+    * permille within its `labelCol` group — `(1000·(rank−1)) div (n−1)`
+    * over the `(value, id)` order, so scores from incomparable scales
+    * (per-source quality models, per-language perplexities) land on one
+    * [0, 1000] scale before cross-corpus thresholding. Integer
+    * arithmetic end to end. A single-row group maps to 0. One shuffle
+    * on the group key; groups skewed enough to matter get the same
+    * salting treatment as any window — at corpus scale labels are
+    * sources/languages, whose cardinality caps the per-group width.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      labelCol: String,
+      valueCol: String,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.exists(Set("_qrank", "_qn", "q_permille")),
+      "columns _qrank/_qn/q_permille are reserved by quantileNormalize")
+    val w = Window.partitionBy(col(labelCol)).orderBy(col(valueCol), col(idCol))
+    val wn = Window.partitionBy(col(labelCol))
+    df.where(col(valueCol).isNotNull)
+      .withColumn("_qrank", row_number().over(w))
+      .withColumn("_qn", count(lit(1)).over(wn))
+      .withColumn("q_permille",
+        when(col("_qn") === 1, 0L)
+          .otherwise(expr("(1000 * (_qrank - 1)) div (_qn - 1)")))
+      .drop("_qrank", "_qn")
+  }
 }

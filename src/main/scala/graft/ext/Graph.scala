@@ -111,6 +111,88 @@ object Graph {
     out
   }
 
+  /** Personalized (seed-restart) PageRank — the TrustRank shape (Gyöngyi
+    * et al. 2004): teleport mass lands ONLY on the seed set, so rank
+    * measures proximity to trusted/flagged pages instead of global
+    * centrality; web curation uses it to propagate a small audited
+    * whitelist (or spam blacklist) over the link graph. Identical
+    * fixed-point integer arithmetic to [[pageRank]] — scale 10^12,
+    * truncating division, damped multiply in longs — with two changes:
+    * the restart term `base = ((S div |seeds|) · (1000−d‰)) div 1000`
+    * is added to seed nodes only, and dangling mass is shared as
+    * `D div |seeds|` across the seeds rather than all nodes. Bit-exact
+    * under any partitioning; the gate's oracle unrolls the iterations.
+    *
+    * Same per-iteration shape as [[pageRank]] (one map-side-combined
+    * inflow shuffle, one scalar dangling reduce, checkpointed ranks);
+    * the seed set joins as a broadcast two-column frame. Seeds not in
+    * the edge set still receive restart mass (they are part of the
+    * node universe by definition); seed list size is a driver scalar.
+    *
+    * Returns `(node, rank)`.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int,
+      dampingPermille: Int = 850,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0, 1000], got $dampingPermille")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val seedDf = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("is_seed", lit(true))
+      .localCheckpoint()
+    val nSeeds = seedDf.count()
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .unionByName(seedDf.select(col("node")))
+      .distinct()
+      .join(broadcast(seedDf), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val base = RankScale / nSeeds * (1000 - dampingPermille) / 1000
+    // Rank starts as the restart distribution: S div |seeds| on seeds.
+    var ranks = nodes
+      .withColumn("rank", when(col("is_seed"), lit(RankScale / nSeeds)).otherwise(lit(0L)))
+      .select(col("node"), col("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val dangling = ranks.join(outDeg, col("node") === col("src"), "left")
+        .where(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+      val dangShare = dangling / nSeeds
+      val inflow = e
+        .join(ranks.join(outDeg, col("node") === col("src")).select(
+          col("node"), expr("rank div deg").as("contrib")),
+          e("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      val next = nodes
+        .join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampingPermille * (coalesce(inflow, 0L) + " +
+              s"if(is_seed, ${dangShare}L, 0L))) div 1000").cast("long"))
+            .as("rank"))
+        .localCheckpoint()
+      release(ranks)
+      ranks = next
+    }
+    val out = ranks.select(col("node"), col("rank"))
+    release(nodes)
+    release(outDeg)
+    release(e)
+    release(seedDf)
+    out
+  }
+
   /** Fixed-point integer HITS (Kleinberg '99): hub and authority scores
     * over an edge list, L1-normalized each half-step so scores are
     * fractions of [[RankScale]].

@@ -1094,6 +1094,51 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Per-domain frequency cap (Datasets.domainCap, k=60 by smallest id
+    * hash): the bounded-heap grouped top-k carries ≤ k rows per source
+    * per partition; the oracle replays the hash order with a row_number
+    * window. Survivor SETS are integers — bit-exact.
+    */
+  def qSourceCap(spark: SparkSession, dir: String): DataFrame =
+    Datasets.domainCap(t(spark, dir, "documents"), k = 60)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** Deterministic epoch-3 corpus shuffle (Datasets.epochShuffle):
+    * positions are the distributed numeric rank of the per-epoch hash —
+    * two scans + a per-range window, no global single-task sort. The
+    * oracle is the plain row_number over the same hash.
+    */
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    Datasets.epochShuffle(t(spark, dir, "documents"), epoch = 3)
+      .select(col("doc_id"), col("epoch_pos"))
+      .orderBy(col("doc_id"))
+
+  /** Personalized (seed-restart) PageRank, 3 unrolled iterations
+    * (Graph.personalizedPageRank): teleport and dangling mass land on
+    * seeds {0,1,2} only — the TrustRank propagation shape. Fixed-point
+    * longs end to end; the oracle unrolls the same arithmetic.
+    */
+  def qPersonalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+    val edges = ev
+      .where(col("event_type") === "purchase")
+      .select((col("user_id") % 150).as("src"), (col("event_id") % 150).as("dst"))
+    val seeds = Seq(0L, 1L, 2L).toDF("node")
+    Graph.personalizedPageRank(edges, seeds, iterations = 3).orderBy(col("node"))
+  }
+
+  /** Per-source quantile normalization of document lengths
+    * (Datasets.quantileNormalize): rank permille within the source —
+    * integer arithmetic, single-row groups map to 0, replayed by the
+    * oracle's window formulation.
+    */
+  def qQuantileNorm(spark: SparkSession, dir: String): DataFrame =
+    Datasets.quantileNormalize(t(spark, dir, "documents"), "source", "n_chars")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("q_permille"))
+      .orderBy(col("doc_id"))
+
   /** EXACT Jaccard-threshold self-join (prefix filtering, no false
     * negatives — the provable-recall tier next to MinHash-LSH's tunable
     * one) at t = 0.9 over document token sets. Runs on a deterministic
@@ -2143,6 +2188,10 @@ object Queries {
     "q_source_overlap" -> (qSourceOverlap _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_winsorize" -> (qWinsorize _),
+    "q_source_cap" -> (qSourceCap _),
+    "q_epoch_shuffle" -> (qEpochShuffle _),
+    "q_ppr" -> (qPersonalizedPageRank _),
+    "q_quantile_norm" -> (qQuantileNorm _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

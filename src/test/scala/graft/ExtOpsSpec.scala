@@ -977,4 +977,45 @@ class ExtOpsSpec extends SparkSpec {
     val vid = docs.limit(20).withColumn("content", col("text").cast("binary"))
     assert(Multimodal.sampleFrames(vid, "doc_id", "content", everyNBytes = 64).count() > 20)
   }
+
+  test("domainCap keeps at most k per label, survivors nest as k grows, NULL labels drop") {
+    val df = ((1L to 40L).map(i => (i, if (i % 2 == 0) Some("a") else Some("b"))) :+
+      (41L, None)).toDF("doc_id", "source")
+    val c5 = Datasets.domainCap(df, 5, "source").select("doc_id").as[Long].collect().toSet
+    val c9 = Datasets.domainCap(df, 9, "source").select("doc_id").as[Long].collect().toSet
+    assert(Datasets.domainCap(df, 5, "source").groupBy("source").count()
+      .select("count").as[Long].collect().forall(_ == 5))
+    assert(c5.subsetOf(c9), "cap survivors must nest as k grows")
+    assert(!c9.contains(41L), "NULL-label rows are dropped, not capped")
+    // survivors are exactly the k smallest hashes per label
+    val expect = (1L to 40L).groupBy(i => i % 2)
+      .flatMap { case (_, ids) =>
+        ids.sortBy(i => ((i * 2654435761L) % 4294967296L, i)).take(5)
+      }.toSet
+    assert(c5 == expect)
+  }
+
+  test("epochShuffle emits a contiguous 0-based permutation that differs by epoch") {
+    val df = (1L to 500L).toDF("doc_id")
+    val p1 = Datasets.epochShuffle(df, 1).select("doc_id", "epoch_pos")
+      .as[(Long, Long)].collect().toMap
+    val p2 = Datasets.epochShuffle(df, 2).select("doc_id", "epoch_pos")
+      .as[(Long, Long)].collect().toMap
+    assert(p1.values.toSeq.sorted == (0L until 500L))
+    assert(p2.values.toSeq.sorted == (0L until 500L))
+    assert(p1 != p2, "different epochs must permute differently")
+    // partition-invariant: same permutation from a repartitioned input
+    val p1b = Datasets.epochShuffle(df.repartition(13), 1).select("doc_id", "epoch_pos")
+      .as[(Long, Long)].collect().toMap
+    assert(p1 == p1b)
+  }
+
+  test("quantileNormalize: known ranks, single-row group -> 0, NULLs excluded") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("a", 50L), ("b", 7L))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("doc_id", "g", "v")
+    val r = Datasets.quantileNormalize(df, "g", "v")
+      .select(col("v"), col("q_permille")).as[(Long, Long)].collect().toMap
+    assert(r == Map(10L -> 0L, 20L -> 250L, 30L -> 500L, 40L -> 750L, 50L -> 1000L, 7L -> 0L))
+  }
 }

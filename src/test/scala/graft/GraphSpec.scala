@@ -180,6 +180,30 @@ class GraphSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("personalized PageRank: restart and dangling mass confined to seeds (hand-computed)") {
+    // Graph: 1 -> 2; seeds = {1}. S = 10^12, base = S·150 div 1000 = 1.5e11.
+    // r0 = (1e12, 0). it1: dang = r0(2) = 0; inflow(2) = 1e12.
+    //   r1(1) = base = 150000000000; r1(2) = 850·1e12 div 1000 = 850000000000.
+    // it2: dang = r1(2) (node 2 dangles) = 8.5e11, share to seed only;
+    //   r2(1) = base + 850·8.5e11 div 1000 = 872500000000;
+    //   r2(2) = 850·r1(1) div 1000 = 127500000000.
+    val r = Graph.personalizedPageRank(edges(1L -> 2L), Seq(1L).toDF("node"), iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 872500000000L, 2L -> 127500000000L))
+  }
+
+  test("personalized PageRank: seeds outside the edge set join the universe; partition-invariant") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val seeds = Seq(9L).toDF("node") // isolated seed: keeps all restart mass
+    val r = Graph.personalizedPageRank(e, seeds, 2).as[(Long, Long)].collect().toMap
+    assert(r(9L) > 0 && r.keySet == Set(1L, 2L, 3L, 9L))
+    // 9 has no out-edges: its rank is base + 850·dang div 1000 each round
+    val a = Graph.personalizedPageRank(e.repartition(7), seeds, 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val b = Graph.personalizedPageRank(e, seeds, 3).as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("label propagation: two triangles with a bridge resolve to two communities") {
     // {1,2,3} and {10,11,12} triangles, bridge 3-10. Hand-rolled sync
     // rounds (plurality, min-label ties): after 3 rounds the left
