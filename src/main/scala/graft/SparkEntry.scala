@@ -1279,6 +1279,44 @@ object SparkEntry {
         |  WHERE walk.lvl < 20)
         |SELECT node, min(lvl) AS level FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
+    // Bigram-surprisal replay: the same tokenization, 1-based list-index
+    // bigram extraction, vocabulary-level count tables and truncating
+    // permille — integers end to end (sums CAST from DuckDB's HUGEINT).
+    "q_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |occ AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        |  FROM t, LATERAL unnest(range(1, len(l))) r(i) WHERE len(l) >= 2),
+        |uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(l) AS w FROM t) GROUP BY 1),
+        |bg AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY 1, 2),
+        |sc AS (SELECT o.doc_id, (1000 * bg.c12) // uni.c1 AS pm
+        |  FROM occ o JOIN bg ON o.w1 = bg.w1 AND o.w2 = bg.w2 JOIN uni ON o.w1 = uni.w)
+        |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(pm) AS BIGINT) AS sum_permille,
+        |  CAST(sum(pm) AS BIGINT) // count(*) AS mean_permille
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Corpus-card replay: plain aggregates plus the global duplicate
+    // fingerprint set attributed per source — md5 fingerprint and token
+    // count reuse the q_text_fingerprint / q_text_tokens formulations.
+    "q_corpus_card" ->
+      """WITH f AS (SELECT doc_id, source, lang, text,
+        |    CASE WHEN text IS NOT NULL
+        |      THEN md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) END AS fp
+        |  FROM documents),
+        |d AS (SELECT fp FROM f WHERE fp IS NOT NULL GROUP BY fp HAVING count(*) > 1),
+        |dup AS (SELECT f.source, count(*) AS n_dup_docs FROM f JOIN d ON f.fp = d.fp GROUP BY 1)
+        |SELECT f.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN f.text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |  count(DISTINCT f.lang) AS n_langs,
+        |  CAST(sum(CASE WHEN f.text IS NULL THEN 0 ELSE len(f.text) END) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN f.text IS NULL THEN 0
+        |    WHEN len(trim(f.text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(f.text), '\s+')) END) AS BIGINT) AS sum_tokens,
+        |  coalesce(max(dup.n_dup_docs), 0) AS n_dup_docs
+        |FROM f LEFT JOIN dup ON f.source = dup.source
+        |GROUP BY f.source ORDER BY f.source""".stripMargin,
+
     // Domain-cap replay: k smallest id hashes per source via row_number —
     // the survivor set (not ranks) is the contract; integer hashes.
     "q_source_cap" ->

@@ -422,6 +422,89 @@ object TextAnalysis {
     regexp_replace(url, "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b", "<PHONE>")
   }
 
+  /** LM-proxy fluency score without an LM: per-document mean corpus
+    * bigram probability, in permille — the integer-exact stand-in for
+    * the KenLM/CCNet perplexity bucket (docs whose word transitions are
+    * rare IN THIS CORPUS score low: boilerplate and templated text score
+    * high, shuffled/garbled text low). Each bigram occurrence scores
+    * `(1000·c(w1w2)) div c(w1)` from corpus-level counts (c1 counts w1
+    * anywhere, so the ratio is a true conditional-probability estimate
+    * bounded by 1000); a doc reports the count, sum and truncated mean.
+    *
+    * Scale shape: two hash-aggregated count tables (bigram types and
+    * unigram vocabulary — both vocabulary-bounded, NOT corpus-bounded),
+    * joined back onto the bigram occurrence stream; AQE broadcasts the
+    * unigram side outright and the join on (w1, w2) shuffles at most the
+    * occurrence stream once. All arithmetic integral — replayable.
+    *
+    * Returns `(idCol, n_bigrams, sum_permille, mean_permille)`; docs
+    * with fewer than 2 tokens are absent (no bigram evidence ≠ score 0).
+    */
+  def bigramSurprisal(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("_t"))
+    val occ = base.where(size(col("_t")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val uni = base.select(explode(col("_t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("_c1"))
+    val big = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_c12"))
+    occ
+      .join(big, Seq("w1", "w2"))
+      .join(uni, occ("w1") === uni("w"))
+      .select(col(idCol), expr("(1000 * _c12) div _c1").as("_pm"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_pm")).as("sum_permille"))
+      .withColumn("mean_permille", expr("sum_permille div n_bigrams"))
+  }
+
+  /** Per-slice corpus card: the one-table dataset report a curation run
+    * publishes next to the data — document/empty counts, language
+    * spread, char and token volume, and the cross-corpus duplicate count
+    * (docs whose normalized fingerprint occurs more than once ANYWHERE,
+    * attributed to their slice — duplication is a corpus property, not a
+    * per-slice one). Two hash aggregations plus a fingerprint-count join;
+    * every output integral.
+    *
+    * Returns `(labelCol, n_docs, n_null_text, n_langs, sum_chars,
+    * sum_tokens, n_dup_docs)`.
+    */
+  def corpusCard(
+      docs: DataFrame,
+      labelCol: String = "source",
+      textCol: String = "text",
+      langCol: String = "lang",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val fp = fingerprint(col(textCol))
+    val dupFps = docs.where(col(textCol).isNotNull)
+      .groupBy(fp.as("_fp")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .select(col("_fp"))
+    val flagged = docs
+      .withColumn("_fp", when(col(textCol).isNotNull, fp))
+      .join(dupFps, Seq("_fp"), "left_semi")
+      .groupBy(col(labelCol)).agg(count(lit(1)).as("n_dup_docs"))
+    docs
+      .groupBy(col(labelCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(textCol).isNull.cast("long")).as("n_null_text"),
+        countDistinct(col(langCol)).as("n_langs"),
+        sum(coalesce(length(col(textCol)), lit(0L))).as("sum_chars"),
+        sum(coalesce(tokenCount(col(textCol)), lit(0L))).as("sum_tokens"))
+      .join(flagged, Seq(labelCol), "left")
+      .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
+  }
+
   /** Dataset-overlap matrix between corpus slices (sources, dumps,
     * languages): for every pair of `labelCol` values, a KMV-estimated
     * token-vocabulary Jaccard — the cheap first answer to "how much do

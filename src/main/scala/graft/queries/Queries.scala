@@ -1139,6 +1139,23 @@ object Queries {
       .select(col("doc_id"), col("source"), col("n_chars"), col("q_permille"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-bigram fluency proxy (TextAnalysis.bigramSurprisal): per-doc
+    * mean conditional bigram probability in permille from corpus counts
+    * — the integer KenLM/CCNet stand-in. Vocabulary-bounded count
+    * tables, integral outputs, full SQL replay.
+    */
+  def qBigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramSurprisal(t(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source corpus card (TextAnalysis.corpusCard): doc/empty/lang
+    * counts, char+token volume, cross-corpus duplicate attribution —
+    * the dataset-report composition, all integers.
+    */
+  def qCorpusCard(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusCard(t(spark, dir, "documents"))
+      .orderBy(col("source"))
+
   /** EXACT Jaccard-threshold self-join (prefix filtering, no false
     * negatives — the provable-recall tier next to MinHash-LSH's tunable
     * one) at t = 0.9 over document token sets. Runs on a deterministic
@@ -2192,6 +2209,8 @@ object Queries {
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_ppr" -> (qPersonalizedPageRank _),
     "q_quantile_norm" -> (qQuantileNorm _),
+    "q_bigram_surprisal" -> (qBigramSurprisal _),
+    "q_corpus_card" -> (qCorpusCard _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

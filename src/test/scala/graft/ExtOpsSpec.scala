@@ -1010,6 +1010,31 @@ class ExtOpsSpec extends SparkSpec {
     assert(p1 == p1b)
   }
 
+  test("bigramSurprisal: hand-computed corpus probabilities; sub-2-token docs absent") {
+    // uni: a=3, b=3, x=1. bigrams: (a,b)=3, (b,a)=1.
+    // pm(a,b) = 3000//3 = 1000; pm(b,a) = 1000//3 = 333.
+    // d1 "a b a b": n=3, sum=2333, mean=777; d2 "a b": n=1, sum=1000;
+    // d3 "x": no bigrams -> absent.
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramSurprisal(docs)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r == Map(1L -> ((3L, 2333L, 777L)), 2L -> ((1L, 1000L, 1000L))))
+  }
+
+  test("corpusCard: duplicate fingerprints attributed per slice; NULL text counted not scored") {
+    val docs = Seq(
+      (1L, Some("Hello World"), Some("en"), "a"),
+      (2L, Some("hello   world"), Some("fr"), "a"), // same fingerprint as 1
+      (3L, Some("unique"), Some("en"), "b"),
+      (4L, None, None, "b")).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.corpusCard(docs)
+      .select("source", "n_docs", "n_null_text", "n_langs", "sum_chars", "sum_tokens", "n_dup_docs")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6, t._7))).toMap
+    assert(r("a") == ((2L, 0L, 2L, 24L, 4L, 2L)))
+    assert(r("b") == ((2L, 1L, 1L, 6L, 1L, 0L)))
+  }
+
   test("quantileNormalize: known ranks, single-row group -> 0, NULLs excluded") {
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("a", 50L), ("b", 7L))
       .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
