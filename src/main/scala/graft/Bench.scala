@@ -252,7 +252,11 @@ object Bench {
       "q_incremental_near_dup",
       // the engine's CORE operator: full backfill + streamed MERGE at 1M
       // events (10x rows AND 10x merge-key cardinality)
-      "q_cdc_pipeline_e2e")
+      "q_cdc_pipeline_e2e",
+      // round-13: the distributed-rank permutation (no global sort) and
+      // the vocabulary-bounded bigram count tables — the two new scale
+      // claims with an empirical leg
+      "q_epoch_shuffle", "q_bigram_surprisal")
 
   /** Build (once; cached by source signature) a 10x derivative of sfDir's
     * documents/embeddings tables: ten id-shifted blocks. Block texts get a

@@ -1329,10 +1329,11 @@ object SparkEntry {
         |ORDER BY source, doc_id""".stripMargin,
 
     // Epoch-shuffle replay: positions are row_number - 1 over the same
-    // per-epoch multiplicative hash (epoch 3), id tiebreak — integers.
+    // per-epoch hash — epoch 3's multiplier is (2654435761·7) mod 2^32 =
+    // 1401181143, additive term 3·40503 — id tiebreak; integers.
     "q_epoch_shuffle" ->
       """SELECT doc_id,
-        |  row_number() OVER (ORDER BY ((doc_id + 3 * 999983) * 2654435761) % 4294967296, doc_id)
+        |  row_number() OVER (ORDER BY (doc_id * 1401181143 + 121509) % 4294967296, doc_id)
         |    - 1 AS epoch_pos
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,

@@ -401,12 +401,23 @@ object Datasets {
     * `epoch_pos` in the order of a per-epoch hash — the "reshuffle the
     * corpus each epoch" step of a training-data pipeline, as a pure
     * function of (id, epoch): no RNG state, the same permutation on any
-    * cluster and any engine, and a different (decorrelated) permutation
-    * each epoch. Positions come from [[numericRank]], so the shape is
-    * two scans + one bounded window — never a global sort into one
-    * task. Ids must keep `(id + epoch·999983) · 2654435761` in long
-    * range (ids below ~3.46e9, epochs in the thousands — the
-    * [[permilleBucket]] bound).
+    * cluster and any engine, and a different permutation each epoch.
+    * The epoch picks a DIFFERENT LARGE ODD MULTIPLIER,
+    * `M_e = (M · (2·epoch + 1)) mod 2^32` (odd·odd stays odd — a
+    * bijection of the residue ring): an additive epoch term would shift
+    * every key by the same constant mod 2^32, making each "new" epoch a
+    * cyclic ROTATION of the last, and a small multiplier perturbation
+    * (M + 2e) moves keys by only 2e·id — microscopic next to the
+    * inter-key gaps, so the order never changes. Distinct large
+    * multipliers give genuinely unrelated orders; the spec pins that NO
+    * epoch-1 adjacency survives into epoch 2 on a 500-row corpus.
+    * (A rare epoch can land a small M_e with weaker mixing — the
+    * permutation stays valid, just lower-discrepancy; skip such an
+    * epoch if it matters.) Positions come from [[numericRank]], so the
+    * shape is two scans + one bounded window — never a global sort into
+    * one task. Ids must keep `id · M_e` in long range for ANY M_e < 2^32:
+    * ids below ~2.1e9 (`Long.MaxValue / 2^32`), a tighter bound than
+    * [[permilleBucket]]'s — pre-fold larger id spaces.
     */
   def epochShuffle(
       df: DataFrame,
@@ -416,7 +427,8 @@ object Datasets {
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
     require(!df.columns.exists(Set("_ek", "epoch_pos")),
       "columns _ek/epoch_pos are reserved by epochShuffle")
-    val key = pmod((col(idCol) + lit(epoch.toLong) * 999983L) * GoldenRatioHash,
+    val mEpoch = BigInt(GoldenRatioHash) * (2L * epoch + 1L) % BigInt(4294967296L)
+    val key = pmod(col(idCol) * mEpoch.toLong + lit(epoch.toLong) * 40503L,
       lit(4294967296L))
     numericRank(
       df.where(col(idCol).isNotNull).withColumn("_ek", key),
@@ -448,9 +460,11 @@ object Datasets {
     df.where(col(valueCol).isNotNull)
       .withColumn("_qrank", row_number().over(w))
       .withColumn("_qn", count(lit(1)).over(wn))
+      // _qrank is an Int (row_number): the multiply must run in longs or
+      // groups past ~2.15M rows wrap 1000·rank over Int.MaxValue.
       .withColumn("q_permille",
         when(col("_qn") === 1, 0L)
-          .otherwise(expr("(1000 * (_qrank - 1)) div (_qn - 1)")))
+          .otherwise(expr("(1000 * (cast(_qrank as bigint) - 1)) div (_qn - 1)")))
       .drop("_qrank", "_qn")
   }
 }

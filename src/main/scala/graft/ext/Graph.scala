@@ -66,49 +66,19 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst"
   ): DataFrame = {
-    require(iterations >= 0, "iterations must be >= 0")
-    require(dampingPermille >= 0 && dampingPermille <= 1000,
-      s"dampingPermille must be in [0, 1000], got $dampingPermille")
-    // Checkpoint the (tiny relative to the corpus) edge list once so every
-    // round re-analyzes a leaf RDD scan, not the upstream derivation plan.
+    // Uniform PageRank IS personalized PageRank whose seed set is the
+    // whole node universe: base = S div n to every node, dangling mass
+    // shared div n, identical fixed-point arithmetic — one loop owns the
+    // checkpoint/release discipline and the overflow-sensitive math
+    // (GraphSpec's hand-computed longs pin the equivalence).
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .localCheckpoint()
+      .where(col("src").isNotNull && col("dst").isNotNull)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
-    val n = nodes.count() // served from the checkpoint cache
-    require(n > 0, "pageRank needs at least one edge")
-    val base = RankScale / n * (1000 - dampingPermille) / 1000
-    var ranks = nodes.withColumn("rank", lit(RankScale / n)).localCheckpoint()
-    for (_ <- 1 to iterations) {
-      // Dangling mass: one scalar reduce per iteration.
-      val dangling = ranks.join(outDeg, col("node") === col("src"), "left")
-        .where(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
-      val dangShare = dangling / n
-      val inflow = e
-        .join(ranks.join(outDeg, col("node") === col("src")).select(
-          col("node"), expr("rank div deg").as("contrib")),
-          e("src") === col("node"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
-      val next = nodes
-        .join(inflow, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr(s"($dampingPermille * (coalesce(inflow, 0L) + ${dangShare}L)) div 1000"))
-            .as("rank"))
-        .localCheckpoint() // eager: materializes and truncates lineage
-      release(ranks)
-      ranks = next
-    }
-    release(nodes)
-    release(outDeg)
-    val out = ranks.select(col("node"), col("rank"))
-    release(e)
-    out
+    require(!nodes.isEmpty, "pageRank needs at least one edge")
+    personalizedPageRank(e, nodes, iterations, dampingPermille)
   }
 
   /** Personalized (seed-restart) PageRank — the TrustRank shape (Gyöngyi
@@ -144,8 +114,10 @@ object Graph {
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint()
     val seedDf = seeds.select(col("node").cast("long").as("node")).distinct()
+      .where(col("node").isNotNull)
       .withColumn("is_seed", lit(true))
       .localCheckpoint()
     val nSeeds = seedDf.count()

@@ -52,14 +52,30 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    VecDot.ensureRegistered(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       norm(col(vecCol)).as("c_norm"))
+    pairwiseTopK(q, c, k, col("query_id") =!= col("neighbor_id"))
+  }
+
+  /** The shared exact-scoring plan under [[bruteForceTopK]] and
+    * [[hardNegatives]]: broadcast the (pre-normed) query frame, scan the
+    * corpus once, keep pairs passing `pairFilter` BEFORE the per-query
+    * top-k window so excluded pairs never enter its shuffle. One place
+    * owns the tie-break (score desc, neighbor id) and the norm-once
+    * contract so the exact and negative variants cannot drift.
+    */
+  private def pairwiseTopK(
+      q: DataFrame,
+      c: DataFrame,
+      k: Int,
+      pairFilter: org.apache.spark.sql.Column
+  ): DataFrame = {
+    VecDot.ensureRegistered(q.sparkSession)
     val scored = c
       .crossJoin(broadcast(q))
-      .where(col("query_id") =!= col("neighbor_id"))
+      .where(pairFilter)
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
@@ -93,21 +109,11 @@ object Similarity {
       vecCol: String = "embedding",
       labelCol: String = "label"
   ): DataFrame = {
-    VecDot.ensureRegistered(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       col(labelCol).as("q_label"), norm(col(vecCol)).as("q_norm"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       col(labelCol).as("c_label"), norm(col(vecCol)).as("c_norm"))
-    val scored = c
-      .crossJoin(broadcast(q))
-      .where(col("c_label") =!= col("q_label"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("score"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
-    scored
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= k)
-      .drop("_rn")
+    pairwiseTopK(q, c, k, col("c_label") =!= col("q_label"))
   }
 
   // ------------------------------------------- random-hyperplane LSH ANN

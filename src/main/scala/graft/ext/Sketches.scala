@@ -99,9 +99,18 @@ object Sketches {
     * Returns a struct `(jaccard, inter_est, union_est)` (doubles — the
     * float math happens after the integer states, as everywhere).
     */
+  /** Integral theta-sketch membership count: how many of the MERGED
+    * sketch's values appear in BOTH input sketch states — the numerator
+    * of every KMV Jaccard estimate. One place owns the membership rule
+    * ([[kmvJaccardCol]] and TextAnalysis.sourceOverlapKmv both build on
+    * it); stays an integer so integer-only gates can use it directly.
+    */
+  def kmvCommonCol(a: Column, b: Column, merged: Column): Column =
+    size(array_intersect(array_intersect(merged, a), b))
+
   def kmvJaccardCol(a: Column, b: Column, k: Int): Column = {
     val merged = kmvMergeCol(a, b, k)
-    val inBoth = size(array_intersect(array_intersect(merged, a), b))
+    val inBoth = kmvCommonCol(a, b, merged)
     val jac = inBoth.cast("double") / size(merged).cast("double")
     val unionEst = kmvEstimateCol(merged, k)
     struct(jac.as("jaccard"), (jac * unionEst).as("inter_est"), unionEst.as("union_est"))

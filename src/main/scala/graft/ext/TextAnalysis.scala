@@ -484,6 +484,8 @@ object TextAnalysis {
       langCol: String = "lang",
       idCol: String = "doc_id"
   ): DataFrame = {
+    require(!docs.columns.exists(Set("_fp", "n_dup_docs")),
+      "columns _fp/n_dup_docs are reserved by corpusCard")
     val fp = fingerprint(col(textCol))
     val dupFps = docs.where(col(textCol).isNotNull)
       .groupBy(fp.as("_fp")).agg(count(lit(1)).as("_n"))
@@ -548,7 +550,7 @@ object TextAnalysis {
       .withColumn("_m", merged)
       .withColumn("sketch_union", size(col("_m")).cast("long"))
       .withColumn("n_common",
-        size(array_intersect(array_intersect(col("_m"), col("_ka")), col("_kb"))).cast("long"))
+        Sketches.kmvCommonCol(col("_ka"), col("_kb"), col("_m")).cast("long"))
       .select(col("label_a"), col("label_b"), col("sketch_union"), col("n_common"),
         expr("(1000 * n_common) div sketch_union").as("jacc_permille"))
   }

@@ -995,7 +995,7 @@ class ExtOpsSpec extends SparkSpec {
     assert(c5 == expect)
   }
 
-  test("epochShuffle emits a contiguous 0-based permutation that differs by epoch") {
+  test("epochShuffle emits a contiguous 0-based permutation; epochs are true reshuffles") {
     val df = (1L to 500L).toDF("doc_id")
     val p1 = Datasets.epochShuffle(df, 1).select("doc_id", "epoch_pos")
       .as[(Long, Long)].collect().toMap
@@ -1003,7 +1003,14 @@ class ExtOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(p1.values.toSeq.sorted == (0L until 500L))
     assert(p2.values.toSeq.sorted == (0L until 500L))
-    assert(p1 != p2, "different epochs must permute differently")
+    // A mere rotation (the failure mode of an ADDITIVE epoch term: every
+    // key shifts by the same constant mod 2^32) keeps ~all adjacent pairs
+    // adjacent. Distinct odd multipliers must destroy adjacency: count
+    // epoch-1-successor pairs still adjacent (either direction) in epoch 2.
+    def order(p: Map[Long, Long]): Seq[Long] = p.toSeq.sortBy(_._2).map(_._1)
+    val succ2 = order(p2).sliding(2).map(s => Set(s.head, s.last)).toSet
+    val kept = order(p1).sliding(2).count(s => succ2.contains(Set(s.head, s.last)))
+    assert(kept < 50, s"$kept/499 epoch-1 adjacencies survive into epoch 2 — rotation, not reshuffle")
     // partition-invariant: same permutation from a repartitioned input
     val p1b = Datasets.epochShuffle(df.repartition(13), 1).select("doc_id", "epoch_pos")
       .as[(Long, Long)].collect().toMap
