@@ -1279,6 +1279,50 @@ object SparkEntry {
         |  WHERE walk.lvl < 20)
         |SELECT node, min(lvl) AS level FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
+    // Span-decontamination replay: dense (stride-1) eval grams from the
+    // doc_id % 37 subset, stride-10 corpus grams, membership semi join,
+    // and q_dup_spans' island merge — strings + integers, bit-exact.
+    "q_decontaminate_spans" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT substr(text, CAST(p AS INT) + 1, 40) AS gram
+        |  FROM documents, LATERAL unnest(range(0, len(text) - 39, 1)) t(p)
+        |  WHERE doc_id % 37 = 0 AND len(text) >= 40),
+        |g AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |    substr(text, CAST(p AS INT) + 1, 40) AS gram
+        |  FROM documents, LATERAL unnest(range(0, len(text) - 39, 10)) t(p)
+        |  WHERE len(text) >= 40),
+        |occ AS (SELECT doc_id, pos FROM g JOIN ev USING (gram)),
+        |lagd AS (SELECT doc_id, pos,
+        |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM occ),
+        |isl AS (SELECT doc_id, pos,
+        |  sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagd)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    // Corpus-diff replay: rebuild the derived new corpus (drop %7, edit
+    // %5 with a ' v2' suffix, add %11 at id+1e6), fingerprint both sides
+    // (the q_text_fingerprint formulation) and compare null-safely.
+    "q_corpus_diff" ->
+      """WITH oldc AS (SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents),
+        |newc AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(trim(
+        |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM oldc o FULL JOIN newc n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // Bigram-surprisal replay: the same tokenization, 1-based list-index
     // bigram extraction, vocabulary-level count tables and truncating
     // permille — integers end to end (sums CAST from DuckDB's HUGEINT).

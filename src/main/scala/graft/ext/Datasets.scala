@@ -336,6 +336,36 @@ object Datasets {
       .drop("_n")
   }
 
+  /** Crawl-to-crawl corpus diff: classify every document id across two
+    * corpus versions as `added` / `removed` / `changed` / `unchanged`,
+    * comparing CONTENT by the normalized fingerprint (formatting-only
+    * edits — whitespace, case — read as unchanged, the same equivalence
+    * [[graft.ext.Dedup.exact]] dedups by). The ops primitive under
+    * incremental recrawls: `added ∪ changed` is the re-process set,
+    * `removed` the tombstone set. One full outer join on the id — both
+    * sides shrink to (id, fingerprint) before shuffling, so the join
+    * moves two long+hash columns, not documents. NULL texts compare by
+    * null-safe equality (two NULLs = unchanged).
+    *
+    * Returns `(idCol, status)`.
+    */
+  def corpusDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    def fp(df: DataFrame, side: String) = df.select(col(idCol).as(s"_id_$side"),
+      TextAnalysis.fingerprint(col(textCol)).as(s"_fp_$side"))
+    fp(oldDocs, "o").join(fp(newDocs, "n"), col("_id_o") === col("_id_n"), "full_outer")
+      .select(
+        coalesce(col("_id_o"), col("_id_n")).as(idCol),
+        when(col("_id_o").isNull, "added")
+          .when(col("_id_n").isNull, "removed")
+          .when(col("_fp_o") <=> col("_fp_n"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Per-domain frequency cap: keep at most `k` rows per `labelCol`
     * value, chosen in HASH order (smallest multiplicative id hash, id
     * tiebreak) — the web-curation staple that stops a single domain

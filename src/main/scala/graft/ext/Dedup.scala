@@ -408,9 +408,18 @@ object Dedup {
       .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
       .where(col("_mn") =!= col("_mx"))
       .select(col("key"))
+    mergeIslands(occ.join(dupKeys, Seq("key"), "left_semi"), gramLen)
+  }
+
+  /** Gaps-and-islands merge of matched gram positions into covering
+    * spans, per document: consecutive positions within `gramLen` of each
+    * other fuse into one `(span_start, span_end)`. The per-doc window is
+    * the only shuffle (keyed on doc_id); shared by [[duplicateSpans]]
+    * and [[contaminatedSpans]] so the island rule has one owner.
+    */
+  private def mergeIslands(occ: DataFrame, gramLen: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     occ
-      .join(dupKeys, Seq("key"), "left_semi")
       .withColumn("_prev", lag(col("pos"), 1).over(w))
       .withColumn("_brk",
         when(col("_prev").isNull || col("pos") > col("_prev") + gramLen, 1L).otherwise(0L))
@@ -419,6 +428,51 @@ object Dedup {
       .groupBy(col("doc_id"), col("_island"))
       .agg(min(col("pos")).as("span_start"), (max(col("pos")) + gramLen).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** SPAN-LEVEL benchmark decontamination — where [[contaminationFlags]]
+    * answers "is this doc contaminated?", this answers "WHICH BYTES":
+    * every corpus position whose `gramLen`-char gram (sampled every
+    * `stride` chars) appears ANYWHERE in the eval corpus is marked, and
+    * marked positions fuse into covering spans ([[mergeIslands]]) ready
+    * for surgical excision instead of whole-doc drops — the
+    * train-time-leak remedy that keeps the rest of a long document.
+    *
+    * The eval side enumerates grams at EVERY offset (stride 1): the
+    * corpus samples at `stride`, so eval coverage must be dense or an
+    * unaligned copy could slip between sampled corpus grams. Eval sets
+    * are benchmark-sized by definition — their distinct gram set
+    * broadcasts; the corpus is touched by ONE map-only pass plus the
+    * per-doc island window. No corpus-vs-corpus join at any size.
+    *
+    * `hashGrams` swaps raw grams for xxhash64 keys in the broadcast set
+    * (the [[duplicateSpans]] scale path — ~5x smaller broadcast).
+    * Returns `(doc_id, span_start, span_end)`.
+    */
+  def contaminatedSpans(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      gramLen: Int = 40,
+      stride: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashGrams: Boolean = true
+  ): DataFrame = {
+    require(gramLen > 0 && stride > 0 && stride <= gramLen,
+      s"need 0 < stride <= gramLen for gapless span coverage (got gramLen=$gramLen stride=$stride)")
+    def grams(df: DataFrame, st: Int): DataFrame = df
+      .where(length(col(textCol)) >= gramLen)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(0L), (length(col(textCol)) - gramLen).cast("long"),
+          lit(st.toLong))).as("pos"),
+        col(textCol).as("_t"))
+      .withColumn("gram", col("_t").substr(col("pos").cast("int") + 1, lit(gramLen)))
+      .select(col("doc_id"), col("pos"),
+        (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("key"))
+    val evalKeys = grams(evalDocs, 1).select(col("key")).distinct()
+    val occ = grams(docs, stride)
+      .join(broadcast(evalKeys), Seq("key"), "left_semi")
+    mergeIslands(occ, gramLen)
   }
 
   // ------------------------------------------- duplicate-group resolution

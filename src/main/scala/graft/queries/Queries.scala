@@ -1156,6 +1156,34 @@ object Queries {
     TextAnalysis.corpusCard(t(spark, dir, "documents"))
       .orderBy(col("source"))
 
+  /** Span-level decontamination (Dedup.contaminatedSpans, raw-gram
+    * path): eval set = docs with doc_id % 37 == 0, dense stride-1 eval
+    * grams broadcast against the stride-10 corpus sample, islands fused
+    * into spans. The hashed scale path is pinned identical to raw grams
+    * in ExtOpsSpec.
+    */
+  def qDecontaminateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contaminatedSpans(docs, docs.where(col("doc_id") % 37 === 0), hashGrams = false)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Crawl-to-crawl diff (Datasets.corpusDiff): the new corpus derives
+    * from the old deterministically (drop %7, edit %5, add %11 under
+    * id+1e6), so the oracle rebuilds both sides and replays the
+    * fingerprint compare — strings and null-safe equality only.
+    */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val newDocs = docs
+      .where(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(docs.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    Datasets.corpusDiff(docs, newDocs).orderBy(col("doc_id"))
+  }
+
   /** EXACT Jaccard-threshold self-join (prefix filtering, no false
     * negatives — the provable-recall tier next to MinHash-LSH's tunable
     * one) at t = 0.9 over document token sets. Runs on a deterministic
@@ -2211,6 +2239,8 @@ object Queries {
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_bigram_surprisal" -> (qBigramSurprisal _),
     "q_corpus_card" -> (qCorpusCard _),
+    "q_decontaminate_spans" -> (qDecontaminateSpans _),
+    "q_corpus_diff" -> (qCorpusDiff _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

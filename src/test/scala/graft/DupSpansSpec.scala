@@ -71,4 +71,36 @@ class DupSpansSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(spans.isEmpty, s"unaligned plant should be invisible to sampled grams, got ${spans.toSeq}")
   }
+
+  test("contaminatedSpans catches an UNALIGNED eval leak (dense eval grams) at exact offsets") {
+    // Unlike doc-vs-doc sampling, the eval side enumerates every offset —
+    // a leak planted at a non-stride-aligned position must still be hit
+    // by whichever stride-10 corpus grams fall inside it.
+    val corpus = Seq(
+      (0L, ("y" * 23) + passage + ("v" * 27)),  // unaligned 100-char leak
+      (1L, "z" * 150)                            // clean
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, passage)).toDF("doc_id", "text")
+    val spans = Dedup.contaminatedSpans(corpus, evalDocs, gramLen = 40, stride = 10)
+      .as[(Long, Long, Long)].collect()
+    // Leak occupies [23, 123). Sampled corpus grams start at 0,10,...;
+    // those fully inside the leak start at 30..80 (need start >= 23 and
+    // start+40 <= 123) -> island [30, 120).
+    assert(spans.toSeq == Seq((0L, 30L, 120L)), s"got ${spans.toSeq}")
+  }
+
+  test("contaminatedSpans: hashed eval-key path identical to raw grams; clean corpus empty") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val evalDocs = docs.where(col("doc_id") % 37 === 0)
+    val raw = Dedup.contaminatedSpans(docs, evalDocs, hashGrams = false)
+      .as[(Long, Long, Long)].collect().toSet
+    val hashed = Dedup.contaminatedSpans(docs, evalDocs, hashGrams = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(raw == hashed, s"raw ${raw.size} vs hashed ${hashed.size} spans differ")
+    val clean = Dedup.contaminatedSpans(
+      Seq((0L, "entirely novel text with no benchmark overlap whatsoever, padded to length " + ("q" * 60)))
+        .toDF("doc_id", "text"),
+      Seq((100L, passage)).toDF("doc_id", "text"))
+    assert(clean.isEmpty)
+  }
 }

@@ -1042,6 +1042,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(r("b") == ((2L, 1L, 1L, 6L, 1L, 0L)))
   }
 
+  test("corpusDiff: all four statuses; whitespace/case-only edits and NULL texts read unchanged") {
+    val oldC = Seq(
+      (1L, Some("Hello World")), (2L, Some("stays")), (3L, Some("goes away")),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    val newC = Seq(
+      (1L, Some("hello   world")),  // formatting-only -> unchanged
+      (2L, Some("stays CHANGED")),  // changed
+      (4L, None: Option[String]),   // NULL == NULL -> unchanged
+      (5L, Some("brand new"))).toDF("doc_id", "text")
+    val r = Datasets.corpusDiff(oldC, newC).as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   test("quantileNormalize: known ranks, single-row group -> 0, NULLs excluded") {
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("a", 50L), ("b", 7L))
       .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
