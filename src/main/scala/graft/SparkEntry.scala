@@ -63,9 +63,13 @@ object SparkEntry {
     * marker-occurrence counts, argmax with (score, lang) lexicographic
     * tie-break, 'und' when nothing scores.
     */
-  private def langIdOracle: String = {
+  /** The marker-scoring SQL fragments shared by [[langIdOracle]] and
+    * [[langSegmentsOracle]] — generated from the SAME marker table the
+    * Spark expression uses, so both gates stay formula-locked to it.
+    */
+  private def langScoreCols: String = {
     val langs = graft.ext.TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
-    val scoreCols = langs.map { case (lang, markers) =>
+    langs.map { case (lang, markers) =>
       val terms = markers
         .map { m =>
           val esc = m.replace("'", "''")
@@ -73,22 +77,57 @@ object SparkEntry {
         .mkString(" + ")
       s"$terms AS s_$lang"
     }.mkString(",\n    ")
-    val branches = langs.map { case (lang, _) =>
-      s"SELECT doc_id, '$lang' AS lang, s_$lang AS score FROM s" }.mkString("\n  UNION ALL ")
+  }
+
+  private def langScoreBranches(keyCols: String): String =
+    graft.ext.TextAnalysis.LangMarkers.keys.toSeq.sorted.map { lang =>
+      s"SELECT $keyCols, '$lang' AS lang, s_$lang AS score FROM s" }.mkString("\n  UNION ALL ")
+
+  private def langIdOracle: String =
     s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents),
        |s AS (
        |  SELECT doc_id,
-       |    $scoreCols
+       |    $langScoreCols
        |  FROM p),
        |x AS (
-       |  $branches),
+       |  ${langScoreBranches("doc_id")}),
        |r AS (
        |  SELECT doc_id, lang, score,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
        |  FROM x)
        |SELECT doc_id, CASE WHEN score <= 0 THEN 'und' ELSE lang END AS lang_id
        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
-  }
+
+  /** DuckDB oracle for q_lang_segments: per-LINE marker argmax (the
+    * [[langIdOracle]] formulation keyed on (doc_id, line_no)) fused into
+    * same-language islands — lines derive from documents by the same
+    * div/mod grouping the Spark query uses.
+    */
+  private def langSegmentsOracle: String =
+    s"""WITH l AS (SELECT doc_id // 5 AS doc_id, doc_id % 5 AS line_no, text AS line
+       |  FROM documents WHERE text IS NOT NULL),
+       |p AS (SELECT doc_id, line_no, ' ' || lower(line) || ' ' AS pad FROM l),
+       |s AS (
+       |  SELECT doc_id, line_no,
+       |    $langScoreCols
+       |  FROM p),
+       |x AS (
+       |  ${langScoreBranches("doc_id, line_no")}),
+       |r AS (
+       |  SELECT doc_id, line_no, lang, score,
+       |    row_number() OVER (PARTITION BY doc_id, line_no ORDER BY score DESC, lang DESC) AS rn
+       |  FROM x),
+       |lng AS (SELECT doc_id, line_no,
+       |    CASE WHEN score <= 0 THEN 'und' ELSE lang END AS lang FROM r WHERE rn = 1),
+       |lagd AS (SELECT doc_id, line_no, lang,
+       |  lag(lang) OVER (PARTITION BY doc_id ORDER BY line_no) AS prev FROM lng),
+       |isl AS (SELECT doc_id, line_no, lang,
+       |  sum(CASE WHEN prev IS NULL OR prev <> lang THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY line_no) AS seg FROM lagd)
+       |SELECT doc_id, lang, min(line_no) AS seg_start, max(line_no) AS seg_end,
+       |  count(*) AS n_lines
+       |FROM isl GROUP BY doc_id, seg, lang
+       |ORDER BY doc_id, seg_start""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -960,6 +999,8 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_text_langid" -> langIdOracle,
+
+    "q_lang_segments" -> langSegmentsOracle,
 
     // IVF ANN: centroids are the first 8 corpus vectors by id, so the
     // oracle reads them straight from the embeddings table and replays the

@@ -422,6 +422,43 @@ object TextAnalysis {
     regexp_replace(url, "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b", "<PHONE>")
   }
 
+  /** Mixed-language document segmentation (the mC4/CCNet step that
+    * splits a page whose header is English and body is German before
+    * per-language filtering): classify each LINE with [[langId]], then
+    * fuse runs of consecutive same-language lines into segments with a
+    * gaps-and-islands window — the line-level analog of
+    * [[graft.ext.Dedup.duplicateSpans]]' island merge. Lines arrive as
+    * rows `(idCol, ordCol, lineCol)` (explode a text column upstream);
+    * the only shuffle is the per-doc window.
+    *
+    * Returns `(idCol, lang, seg_start, seg_end, n_lines)` — ord bounds
+    * inclusive; a language reappearing later in the doc yields a second
+    * segment row.
+    */
+  def languageSegments(
+      lines: DataFrame,
+      idCol: String = "doc_id",
+      ordCol: String = "line_no",
+      lineCol: String = "line"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!lines.columns.exists(Set("_lang", "_prev", "_brk", "_seg")),
+      "columns _lang/_prev/_brk/_seg are reserved by languageSegments")
+    val w = Window.partitionBy(col(idCol)).orderBy(col(ordCol))
+    lines.where(col(lineCol).isNotNull)
+      .withColumn("_lang", langId(col(lineCol)))
+      .withColumn("_prev", lag(col("_lang"), 1).over(w))
+      .withColumn("_brk",
+        when(col("_prev").isNull || col("_prev") =!= col("_lang"), 1L).otherwise(0L))
+      .withColumn("_seg",
+        sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_seg"), col("_lang"))
+      .agg(min(col(ordCol)).as("seg_start"), max(col(ordCol)).as("seg_end"),
+        count(lit(1)).as("n_lines"))
+      .select(col(idCol), col("_lang").as("lang"), col("seg_start"), col("seg_end"),
+        col("n_lines"))
+  }
+
   /** LM-proxy fluency score without an LM: per-document mean corpus
     * bigram probability, in permille — the integer-exact stand-in for
     * the KenLM/CCNet perplexity bucket (docs whose word transitions are

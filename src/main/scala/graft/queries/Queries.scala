@@ -1184,6 +1184,21 @@ object Queries {
     Datasets.corpusDiff(docs, newDocs).orderBy(col("doc_id"))
   }
 
+  /** Mixed-language segmentation (TextAnalysis.languageSegments): lines
+    * derive from documents by div/mod grouping (5 docs' texts = one
+    * multi-line page), per-line langId, same-language islands. The
+    * oracle regenerates the marker argmax from the same table and
+    * replays the island merge.
+    */
+  def qLangSegments(spark: SparkSession, dir: String): DataFrame = {
+    val lines = t(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(expr("doc_id div 5").as("doc_id"), (col("doc_id") % 5).as("line_no"),
+        col("text").as("line"))
+    TextAnalysis.languageSegments(lines)
+      .orderBy(col("doc_id"), col("seg_start"))
+  }
+
   /** EXACT Jaccard-threshold self-join (prefix filtering, no false
     * negatives — the provable-recall tier next to MinHash-LSH's tunable
     * one) at t = 0.9 over document token sets. Runs on a deterministic
@@ -2241,6 +2256,7 @@ object Queries {
     "q_corpus_card" -> (qCorpusCard _),
     "q_decontaminate_spans" -> (qDecontaminateSpans _),
     "q_corpus_diff" -> (qCorpusDiff _),
+    "q_lang_segments" -> (qLangSegments _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

@@ -1042,6 +1042,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(r("b") == ((2L, 1L, 1L, 6L, 1L, 0L)))
   }
 
+  test("languageSegments: mixed-language page splits at exact line boundaries") {
+    // en, en, de, en: three segments; the lone marker-free line is 'und'.
+    val lines = Seq(
+      (1L, 0L, "the cat is of the house and singing "),
+      (1L, 1L, "the dog is to the garden and walking "),
+      (1L, 2L, "der hund ist ein schönes tier und das haus "),
+      (1L, 3L, "the bird is of the sky and the wind "),
+      (2L, 0L, "xyzzy plugh qwerty")).toDF("doc_id", "line_no", "line")
+    val r = TextAnalysis.languageSegments(lines)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(r == Seq(
+      (1L, "en", 0L, 1L, 2L), (1L, "de", 2L, 2L, 1L), (1L, "en", 3L, 3L, 1L),
+      (2L, "und", 0L, 0L, 1L)))
+  }
+
   test("corpusDiff: all four statuses; whitespace/case-only edits and NULL texts read unchanged") {
     val oldC = Seq(
       (1L, Some("Hello World")), (2L, Some("stays")), (3L, Some("goes away")),
