@@ -1320,6 +1320,30 @@ object SparkEntry {
         |  WHERE walk.lvl < 20)
         |SELECT node, min(lvl) AS level FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
+    // Vocab-coverage replay: same tokenization, (count desc, token) rank,
+    // cumulative permille of the total — sums CAST from HUGEINT.
+    "q_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS w FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |r AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM c)
+        |SELECT rank, w AS token, cnt,
+        |  (1000 * CAST(sum(cnt) OVER (ORDER BY rank) AS BIGINT)) // total AS cum_permille
+        |FROM r CROSS JOIN tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    // BPE-pair replay: per-token adjacent char pairs via 1-based substr
+    // over range(1, len) — identical char semantics both engines.
+    "q_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS w FROM documents WHERE text IS NOT NULL),
+        |pr AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+        |  FROM tok, LATERAL unnest(range(1, len(w))) t(i) WHERE len(w) >= 2),
+        |c AS (SELECT pair, count(*) AS cnt FROM pr GROUP BY pair)
+        |SELECT rank, pair, cnt FROM (
+        |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM c)
+        |WHERE rank <= 40 ORDER BY rank""".stripMargin,
+
     // Span-decontamination replay: dense (stride-1) eval grams from the
     // doc_id % 37 subset, stride-10 corpus grams, membership semi join,
     // and q_dup_spans' island merge — strings + integers, bit-exact.

@@ -422,6 +422,72 @@ object TextAnalysis {
     regexp_replace(url, "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b", "<PHONE>")
   }
 
+  /** Tokenizer-prep: the top-`topN` vocabulary by occurrence count with
+    * CUMULATIVE corpus coverage — the "how big must the vocab be to
+    * cover 95% of tokens" table every tokenizer-training run starts
+    * from. One corpus scan into a vocabulary-sized hash agg; the global
+    * top-N plans as per-partition heaps (`TakeOrderedAndProject`), and
+    * the rank/cumsum window runs over the N-row result, never the
+    * vocabulary. Coverage is an integer permille of total occurrences
+    * (scalar total broadcast via cross join).
+    *
+    * Returns `(rank, token, cnt, cum_permille)`, rank 1-based by
+    * (count desc, token).
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      topN: Int = 50,
+      textCol: String = "text"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN > 0, s"topN must be positive, got $topN")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val counts = docs.where(col(textCol).isNotNull)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("_total"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("_cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("token"), col("cnt"),
+        expr("(1000 * _cum) div _total").as("cum_permille"))
+  }
+
+  /** Tokenizer-prep: adjacent-character pair frequencies within
+    * whitespace tokens — EXACTLY the candidate table the first BPE merge
+    * iteration maximizes over (Sennrich et al. 2016), distributed: one
+    * corpus scan, a columnar per-token pair explode (no UDF), one
+    * pair-cardinality hash agg with map-side combine, and a heap top-N.
+    * Later BPE iterations re-run this over re-segmented tokens; the
+    * per-iteration shape is identical.
+    *
+    * Returns `(rank, pair, cnt)`, rank 1-based by (count desc, pair).
+    */
+  def bpePairStats(
+      docs: DataFrame,
+      topN: Int = 40,
+      textCol: String = "text"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN > 0, s"topN must be positive, got $topN")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val counts = docs.where(col(textCol).isNotNull)
+      .select(explode(toks).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("pair"))
+    counts
+      .orderBy(col("cnt").desc, col("pair")).limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("pair"), col("cnt"))
+  }
+
   /** Mixed-language document segmentation (the mC4/CCNet step that
     * splits a page whose header is English and body is German before
     * per-language filtering): classify each LINE with [[langId]], then

@@ -1199,6 +1199,23 @@ object Queries {
       .orderBy(col("doc_id"), col("seg_start"))
   }
 
+  /** Vocabulary coverage table (TextAnalysis.vocabCoverage, top-50):
+    * occurrence counts, deterministic (count, token) rank, cumulative
+    * integer permille of total occurrences — replayed by the oracle's
+    * window formulation over the same tokenization.
+    */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(t(spark, dir, "documents"), topN = 50)
+      .orderBy(col("rank"))
+
+  /** First-iteration BPE merge candidates (TextAnalysis.bpePairStats,
+    * top-40): adjacent char-pair counts within tokens, (count, pair)
+    * rank — integers and substrings, bit-exact replay.
+    */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairStats(t(spark, dir, "documents"), topN = 40)
+      .orderBy(col("rank"))
+
   /** EXACT Jaccard-threshold self-join (prefix filtering, no false
     * negatives — the provable-recall tier next to MinHash-LSH's tunable
     * one) at t = 0.9 over document token sets. Runs on a deterministic
@@ -2257,6 +2274,8 @@ object Queries {
     "q_decontaminate_spans" -> (qDecontaminateSpans _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_lang_segments" -> (qLangSegments _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_bpe_pairs" -> (qBpePairs _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

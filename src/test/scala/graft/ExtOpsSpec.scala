@@ -1042,6 +1042,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(r("b") == ((2L, 1L, 1L, 6L, 1L, 0L)))
   }
 
+  test("vocabCoverage: hand-computed counts, ranks and cumulative permille") {
+    // a=3, b=2, c=1; total 6. top-2: a cum 3 -> 500 permille, b cum 5 -> 833.
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(docs, topN = 2)
+      .as[(Int, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(r == Seq((1, "a", 3L, 500L), (2, "b", 2L, 833L)))
+  }
+
+  test("bpePairStats: adjacent char pairs within tokens, weighted by occurrence") {
+    // "abab": ab, ba, ab; "ab": ab -> ab=3, ba=1; 1-char token ignored.
+    val docs = Seq((1L, "abab ab x")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpePairStats(docs, topN = 5)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(r == Seq((1, "ab", 3L), (2, "ba", 1L)))
+  }
+
   test("languageSegments: mixed-language page splits at exact line boundaries") {
     // en, en, de, en: three segments; the lone marker-free line is 'und'.
     val lines = Seq(
