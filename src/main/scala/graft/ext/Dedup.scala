@@ -51,7 +51,7 @@ object Dedup {
 
   /** Distinct lowercase whitespace tokens of a text column. */
   def tokenSet(text: Column): Column =
-    array_distinct(filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0))
+    array_distinct(TextAnalysis.tokens(text))
 
   /** Distinct word n-gram shingles (space-joined) — MinHash input; the
     * single-pass [[graft.sql.WordShingles]] expression. Texts shorter than
@@ -395,21 +395,35 @@ object Dedup {
   ): DataFrame = {
     require(gramLen > 0 && stride > 0 && stride <= gramLen,
       s"need 0 < stride <= gramLen for gapless span coverage (got gramLen=$gramLen stride=$stride)")
-    val occ = docs
-      .where(length(col(textCol)) >= gramLen)
-      .select(col(idCol).as("doc_id"),
-        explode(sequence(lit(0L), (length(col(textCol)) - gramLen).cast("long"),
-          lit(stride.toLong))).as("pos"),
-        col(textCol).as("_t"))
-      .withColumn("gram", col("_t").substr(col("pos").cast("int") + 1, lit(gramLen)))
-      .select(col("doc_id"), col("pos"),
-        (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("key"))
+    val occ = gramOccurrences(docs, gramLen, stride, idCol, textCol, hashGrams)
     val dupKeys = occ.groupBy(col("key"))
       .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
       .where(col("_mn") =!= col("_mx"))
       .select(col("key"))
     mergeIslands(occ.join(dupKeys, Seq("key"), "left_semi"), gramLen)
   }
+
+  /** The gram formula shared by [[duplicateSpans]] and
+    * [[contaminatedSpans]] (one owner, like [[mergeIslands]] for the
+    * island rule): stride-sampled `gramLen`-char substrings as
+    * `(doc_id, pos, key)`, `key` the raw gram or its xxhash64.
+    */
+  private def gramOccurrences(
+      df: DataFrame,
+      gramLen: Int,
+      stride: Int,
+      idCol: String,
+      textCol: String,
+      hashGrams: Boolean
+  ): DataFrame = df
+    .where(length(col(textCol)) >= gramLen)
+    .select(col(idCol).as("doc_id"),
+      explode(sequence(lit(0L), (length(col(textCol)) - gramLen).cast("long"),
+        lit(stride.toLong))).as("pos"),
+      col(textCol).as("_t"))
+    .withColumn("gram", col("_t").substr(col("pos").cast("int") + 1, lit(gramLen)))
+    .select(col("doc_id"), col("pos"),
+      (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("key"))
 
   /** Gaps-and-islands merge of matched gram positions into covering
     * spans, per document: consecutive positions within `gramLen` of each
@@ -460,20 +474,29 @@ object Dedup {
   ): DataFrame = {
     require(gramLen > 0 && stride > 0 && stride <= gramLen,
       s"need 0 < stride <= gramLen for gapless span coverage (got gramLen=$gramLen stride=$stride)")
-    def grams(df: DataFrame, st: Int): DataFrame = df
-      .where(length(col(textCol)) >= gramLen)
-      .select(col(idCol).as("doc_id"),
-        explode(sequence(lit(0L), (length(col(textCol)) - gramLen).cast("long"),
-          lit(st.toLong))).as("pos"),
-        col(textCol).as("_t"))
-      .withColumn("gram", col("_t").substr(col("pos").cast("int") + 1, lit(gramLen)))
-      .select(col("doc_id"), col("pos"),
-        (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("key"))
-    val evalKeys = grams(evalDocs, 1).select(col("key")).distinct()
-    val occ = grams(docs, stride)
-      .join(broadcast(evalKeys), Seq("key"), "left_semi")
+    val evalKeys = gramOccurrences(evalDocs, gramLen, stride = 1, idCol, textCol, hashGrams)
+      .select(col("key")).distinct()
+    // "Benchmark-sized" is a contract, not a hope: probe the eval side
+    // with BOUNDED work (limit, not a full count) and only pin the
+    // broadcast when it holds — a forced broadcast of an oversized eval
+    // set is a hard driver OOM, not a slow plan. Oversized sets fall
+    // back to the planner's choice (shuffle join) with a WARN.
+    val broadcastable =
+      evalKeys.limit(MaxBroadcastEvalKeys + 1).count() <= MaxBroadcastEvalKeys
+    if (!broadcastable)
+      logger.warn(s"contaminatedSpans: eval gram set exceeds $MaxBroadcastEvalKeys keys — " +
+        "not broadcasting; the membership join will plan as a shuffle")
+    val evalSide = if (broadcastable) broadcast(evalKeys) else evalKeys
+    val occ = gramOccurrences(docs, gramLen, stride, idCol, textCol, hashGrams)
+      .join(evalSide, Seq("key"), "left_semi")
     mergeIslands(occ, gramLen)
   }
+
+  /** Eval-gram broadcast cap for [[contaminatedSpans]]: 5M keys ≈ 40 MB
+    * hashed / ~200 MB raw-gram — comfortably under Spark's broadcast
+    * limits either way.
+    */
+  val MaxBroadcastEvalKeys = 5000000
 
   // ------------------------------------------- duplicate-group resolution
 

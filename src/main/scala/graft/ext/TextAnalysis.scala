@@ -143,6 +143,15 @@ object TextAnalysis {
     when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** THE tokenization contract of this module: lowercase, trim,
+    * whitespace-split, empties dropped. Every operator here AND every
+    * DuckDB oracle (`list_filter(string_split_regex(lower(trim(text)),
+    * '\s+'), x -> len(x) > 0)`) replays exactly this formula — one owner
+    * so a change cannot drift a subset of the gates.
+    */
+  private[graft] def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
   /** Non-distinct word n-grams (space-joined), the repetition-analysis
     * input: unlike `word_shingles` (a distinct SET for Jaccard/MinHash),
     * this keeps every occurrence. Texts shorter than `n` tokens contribute
@@ -150,7 +159,7 @@ object TextAnalysis {
     * (sequence/slice/transform) — codegen-friendly, no UDF.
     */
   def wordNgrams(text: Column, n: Int): Column = {
-    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val toks = tokens(text)
     when(size(toks) === 0, array().cast("array<string>"))
       .when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
@@ -182,7 +191,7 @@ object TextAnalysis {
     */
   def rollingHash(text: Column): Column = {
     val p = lit(1000000007L)
-    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val toks = tokens(text)
     aggregate(
       transform(toks, t => pmod(xxhash64(t), p)),
       lit(0L),
@@ -206,7 +215,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)).as("term"))
+      explode(tokens(col(textCol))).as("term"))
     // Materialize tf once and derive df FROM it: as lazy plans the df
     // branch re-scans and re-tokenizes the corpus (the branches prune
     // different columns, so their exchanges are not canonically equal
@@ -261,7 +270,7 @@ object TextAnalysis {
   ): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val toksAll = docs.select(col(idCol).as("doc_id"),
-      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("_tk"))
+      tokens(col(textCol)).as("_tk"))
     // exact-integer avgdl: Σ dl (long) / count (long), ONE double division
     val statRow = toksAll.agg(
       count(lit(1)).as("n"),
@@ -441,7 +450,7 @@ object TextAnalysis {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topN > 0, s"topN must be positive, got $topN")
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val toks = tokens(col(textCol))
     val counts = docs.where(col(textCol).isNotNull)
       .select(explode(toks).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -474,7 +483,7 @@ object TextAnalysis {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topN > 0, s"topN must be positive, got $topN")
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val toks = tokens(col(textCol))
     val counts = docs.where(col(textCol).isNotNull)
       .select(explode(toks).as("w"))
       .where(length(col("w")) >= 2)
@@ -548,7 +557,7 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val toks = tokens(col(textCol))
     val base = docs.where(col(textCol).isNotNull)
       .select(col(idCol), toks.as("_t"))
     val occ = base.where(size(col("_t")) >= 2)
@@ -640,8 +649,7 @@ object TextAnalysis {
     val toks = docs
       .where(col(textCol).isNotNull && col(labelCol).isNotNull)
       .select(col(labelCol).as("label"),
-        explode(filter(split(lower(trim(col(textCol))), "\\s+"),
-          t => length(t) > 0)).as("tok"))
+        explode(tokens(col(textCol))).as("tok"))
     val hv = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
     val sk = Sketches.kmvSketchPerGroup(
       toks.select(col("label"), hv.as("hv")), Seq("label"), "hv", k,

@@ -1405,7 +1405,7 @@ object Queries {
     val copies = docs.where(col("doc_id") < 100)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       .select((col("doc_id") - 1000000L).as("doc_id"), TextAnalysis.rollingHash(col("text")).as("h_copy"))
-    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
+    val toks = TextAnalysis.tokens(col("text"))
     val reversedText = concat_ws(" ", reverse(split(lower(trim(col("text"))), "\\s+")))
     val reordered = docs.where(col("doc_id") < 100)
       .select((col("doc_id") + 2000000L).as("doc_id"), reversedText.as("text"),
@@ -1704,7 +1704,7 @@ object Queries {
     * or string outputs, engine-exact.
     */
   def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
+    val toks = TextAnalysis.tokens(col("text"))
     t(spark, dir, "documents").select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
@@ -1951,7 +1951,7 @@ object Queries {
     */
   def qTokenFreq(spark: SparkSession, dir: String): DataFrame = {
     val top = t(spark, dir, "documents")
-      .select(explode(filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)).as("tok"))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(100)
     top.withColumn("rank",
