@@ -1320,6 +1320,67 @@ object SparkEntry {
         |  WHERE walk.lvl < 20)
         |SELECT node, min(lvl) AS level FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
+    // k-core replay: 4 unrolled peel rounds (degree >= 3 on the
+    // symmetrized distinct edge set, both endpoints must survive) —
+    // integer degrees, bit-exact.
+    "q_kcore" ->
+      """WITH raw AS (SELECT user_id % 120 AS a, event_id % 120 AS b FROM events
+        |  WHERE event_type = 'view'),
+        |e0 AS (SELECT u, v FROM (
+        |  SELECT a AS u, b AS v FROM raw WHERE a <> b
+        |  UNION SELECT b AS u, a AS v FROM raw WHERE a <> b)),
+        |n1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 3),
+        |e1 AS (SELECT e.u, e.v FROM e0 e JOIN n1 x ON e.u = x.u JOIN n1 y ON e.v = y.u),
+        |n2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 3),
+        |e2 AS (SELECT e.u, e.v FROM e1 e JOIN n2 x ON e.u = x.u JOIN n2 y ON e.v = y.u),
+        |n3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 3),
+        |e3 AS (SELECT e.u, e.v FROM e2 e JOIN n3 x ON e.u = x.u JOIN n3 y ON e.v = y.u),
+        |n4 AS (SELECT u FROM e3 GROUP BY u HAVING count(*) >= 3),
+        |e4 AS (SELECT e.u, e.v FROM e3 e JOIN n4 x ON e.u = x.u JOIN n4 y ON e.v = y.u)
+        |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e4
+        |GROUP BY u ORDER BY node""".stripMargin,
+
+    // RRF replay: the q_bm25 score CTEs drive ranking A (float scores are
+    // bit-exact cross-engine, so derived ranks agree), document length
+    // drives ranking B; integer points 1000 // (60 + rank) summed.
+    "q_rrf_fusion" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+        |    CAST((SELECT sum(len(tk)) FROM tk WHERE tk IS NOT NULL) AS DOUBLE) /
+        |      CAST((SELECT count(tk) FROM tk) AS DOUBLE) AS avgdl),
+        |toks AS (
+        |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM tk),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        |  FROM toks WHERE term IN ('dup', 'merge', 'vector', 'window')
+        |  GROUP BY doc_id, term),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |per_term AS (
+        |  SELECT doc_id, term,
+        |    ((n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)) AS score
+        |  FROM tf JOIN dft USING (term) CROSS JOIN stats),
+        |bm AS (SELECT doc_id,
+        |  coalesce(max(CASE WHEN term = 'dup' THEN score END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'merge' THEN score END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'vector' THEN score END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'window' THEN score END), 0.0) AS bm25
+        |  FROM per_term GROUP BY doc_id),
+        |ra AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm)
+        |  WHERE rank <= 50),
+        |rb AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents WHERE n_chars IS NOT NULL) WHERE rank <= 50),
+        |u AS (SELECT doc_id, 1000 // (60 + rank) AS pts FROM ra
+        |  UNION ALL SELECT doc_id, 1000 // (60 + rank) AS pts FROM rb)
+        |SELECT doc_id, CAST(sum(pts) AS BIGINT) AS rrf_score, count(*) AS n_systems
+        |FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+
     // Vocab-coverage replay: same tokenization, (count desc, token) rank,
     // cumulative permille of the total — sums CAST from HUGEINT.
     "q_vocab_coverage" ->

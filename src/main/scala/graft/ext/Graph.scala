@@ -466,6 +466,55 @@ object Graph {
     if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros) else raw
   }
 
+  /** k-core decomposition by synchronous peeling (Seidman 1983): delete
+    * every node with degree < `k`, recompute degrees, repeat — after
+    * enough rounds the survivors are exactly the k-core, the standard
+    * web-graph screen for "densely embedded" pages (link farms and
+    * isolated tails peel away; CommonCrawl-scale curation uses core
+    * membership as a keep signal). A FIXED round count `rounds` keeps
+    * the result a pure function of (edges, k, rounds) — replayable by an
+    * unrolled oracle — and peeling converges monotonically, so extra
+    * rounds past the fixpoint are no-ops, not changes.
+    *
+    * Per round: one map-side-combined degree aggregation + two semi
+    * joins filtering the edge list (both keyed on node ids); the edge
+    * frame is `localCheckpoint`ed per round with the prior round's
+    * blocks released ([[pageRank]]'s discipline). Driver state: the
+    * loop counter. Self-loops dropped; the graph is symmetrized, so
+    * degree counts each neighbor once.
+    *
+    * Returns surviving `(node, deg)` — degrees measured within the core.
+    */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst"
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val base = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    var e = base.unionByName(base.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("_d"))
+        .where(col("_d") >= k)
+        .select(col("u").as("_keep"))
+      val next = e
+        .join(keep, e("u") === col("_keep"), "left_semi")
+        .join(keep, e("v") === col("_keep"), "left_semi")
+        .localCheckpoint()
+      release(e)
+      e = next
+    }
+    val out = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    out
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) for community
     * detection over an undirected graph — the cheap clustering pass web
     * curation runs to group mutually-linked hosts before per-community

@@ -619,6 +619,40 @@ object TextAnalysis {
       .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid
+    * retrieval combiner (BM25 ∪ ANN ∪ recency priors in modern RAG
+    * stacks): each system contributes `1000 div (rrfK + rank)` points
+    * per document (the integer-permille form of 1/(k+rank) — truncating
+    * division keeps the gate bit-exact; ORDERING matches the float form
+    * whenever point totals differ by ≥ 1), summed across systems, top-N
+    * by (score desc, id). Rankings arrive as `(idCol, rank)` frames
+    * (rank 1-based, any extra columns ignored); documents absent from a
+    * system simply contribute nothing — no outer-join NULL handling.
+    *
+    * Scale shape: rankings are top-k-sized by construction (each system
+    * already truncated), so the union + hash agg + heap top-N all run
+    * on k·systems rows — independent of corpus size.
+    *
+    * Returns `(idCol, rrf_score, n_systems)`.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      rrfK: Int = 60,
+      topN: Int = 20,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rrfK > 0 && topN > 0, s"rrfK and topN must be positive, got $rrfK/$topN")
+    rankings
+      .map(r => r.select(col(idCol), col("rank").cast("long").as("_rank")))
+      .reduce(_ unionByName _)
+      .select(col(idCol), expr(s"1000 div ($rrfK + _rank)").as("_pts"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_pts")).as("rrf_score"), count(lit(1)).as("n_systems"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** Dataset-overlap matrix between corpus slices (sources, dumps,
     * languages): for every pair of `labelCol` values, a KMV-estimated
     * token-vocabulary Jaccard — the cheap first answer to "how much do

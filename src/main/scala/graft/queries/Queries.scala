@@ -1216,6 +1216,37 @@ object Queries {
     TextAnalysis.bpePairStats(t(spark, dir, "documents"), topN = 40)
       .orderBy(col("rank"))
 
+  /** k-core peeling, k=3, 4 synchronous rounds (Graph.kCore) over the
+    * symmetrized view graph — integer degrees, unrolled-round oracle.
+    */
+  def qKCore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val edges = ev
+      .where(col("event_type") === "view")
+      .select((col("user_id") % 120).as("src"), (col("event_id") % 120).as("dst"))
+    Graph.kCore(edges, k = 3, rounds = 4).orderBy(col("node"))
+  }
+
+  /** Reciprocal-rank fusion of two retrieval systems over the same
+    * corpus (TextAnalysis.rrfFuse): the BM25 ranking (float scores
+    * proven bit-exact by q_bm25, so the derived ranks replay) fused with
+    * a document-length prior — integer points `1000 div (60 + rank)`.
+    */
+  def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val bmTop = TextAnalysis.bm25Score(docs, Seq("dup", "merge", "vector", "window"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+    val bmRank = bmTop.withColumn("rank",
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+    val lenTop = docs.where(col("n_chars").isNotNull)
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(50)
+    val lenRank = lenTop.withColumn("rank",
+      row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+    TextAnalysis.rrfFuse(Seq(bmRank, lenRank), rrfK = 60, topN = 20)
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
   /** EXACT Jaccard-threshold self-join (prefix filtering, no false
     * negatives — the provable-recall tier next to MinHash-LSH's tunable
     * one) at t = 0.9 over document token sets. Runs on a deterministic
@@ -2276,6 +2307,8 @@ object Queries {
     "q_lang_segments" -> (qLangSegments _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_bpe_pairs" -> (qBpePairs _),
+    "q_kcore" -> (qKCore _),
+    "q_rrf_fusion" -> (qRrfFusion _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),

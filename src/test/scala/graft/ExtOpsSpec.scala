@@ -1042,6 +1042,15 @@ class ExtOpsSpec extends SparkSpec {
     assert(r("b") == ((2L, 1L, 1L, 6L, 1L, 0L)))
   }
 
+  test("rrfFuse: integer points sum across systems, absent docs contribute nothing") {
+    // rrfK=1: rank 1 -> 1000//2 = 500, rank 2 -> 1000//3 = 333.
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val r = TextAnalysis.rrfFuse(Seq(a, b), rrfK = 1, topN = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((2L, 833L, 2L), (1L, 500L, 1L), (3L, 333L, 1L)))
+  }
+
   test("vocabCoverage: hand-computed counts, ranks and cumulative permille") {
     // a=3, b=2, c=1; total 6. top-2: a cum 3 -> 500 permille, b cum 5 -> 833.
     val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")

@@ -204,6 +204,21 @@ class GraphSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("kCore: K4 with a pendant chain peels to the 3-core; a cycle peels to nothing") {
+    // K4 on {1,2,3,4} + chain 1-5-6. k=3: round 1 drops 5 (deg 2) and 6
+    // (deg 1); survivors all have deg 3 — stable.
+    val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      1L -> 5L, 5L -> 6L)
+    val r = Graph.kCore(k4, k = 3, rounds = 3).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // A 4-cycle is 2-regular: the 3-core is empty.
+    val cyc = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    assert(Graph.kCore(cyc, k = 3, rounds = 3).isEmpty)
+    // Fixed rounds past the fixpoint change nothing; partition-invariant.
+    val a = Graph.kCore(k4.repartition(9), 3, 6).as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(r.toArray.sortBy(_._1)))
+  }
+
   test("label propagation: two triangles with a bridge resolve to two communities") {
     // {1,2,3} and {10,11,12} triangles, bridge 3-10. Hand-rolled sync
     // rounds (plurality, min-label ties): after 3 rounds the left
