@@ -474,29 +474,40 @@ object Dedup {
   ): DataFrame = {
     require(gramLen > 0 && stride > 0 && stride <= gramLen,
       s"need 0 < stride <= gramLen for gapless span coverage (got gramLen=$gramLen stride=$stride)")
-    val evalKeys = gramOccurrences(evalDocs, gramLen, stride = 1, idCol, textCol, hashGrams)
-      .select(col("key")).distinct()
-    // "Benchmark-sized" is a contract, not a hope: probe the eval side
-    // with BOUNDED work (limit, not a full count) and only pin the
-    // broadcast when it holds — a forced broadcast of an oversized eval
-    // set is a hard driver OOM, not a slow plan. Oversized sets fall
-    // back to the planner's choice (shuffle join) with a WARN.
-    val broadcastable =
-      evalKeys.limit(MaxBroadcastEvalKeys + 1).count() <= MaxBroadcastEvalKeys
-    if (!broadcastable)
-      logger.warn(s"contaminatedSpans: eval gram set exceeds $MaxBroadcastEvalKeys keys — " +
-        "not broadcasting; the membership join will plan as a shuffle")
-    val evalSide = if (broadcastable) broadcast(evalKeys) else evalKeys
+    val evalKeys = boundedBroadcast(
+      gramOccurrences(evalDocs, gramLen, stride = 1, idCol, textCol, hashGrams)
+        .select(col("key")).distinct(),
+      "contaminatedSpans eval gram set")
     val occ = gramOccurrences(docs, gramLen, stride, idCol, textCol, hashGrams)
-      .join(evalSide, Seq("key"), "left_semi")
+      .join(evalKeys, Seq("key"), "left_semi")
     mergeIslands(occ, gramLen)
   }
 
-  /** Eval-gram broadcast cap for [[contaminatedSpans]]: 5M keys ≈ 40 MB
+  /** Eval-side broadcast cap for [[boundedBroadcast]]: 5M keys ≈ 40 MB
     * hashed / ~200 MB raw-gram — comfortably under Spark's broadcast
     * limits either way.
     */
-  val MaxBroadcastEvalKeys = 5000000
+  val MaxBroadcastEvalKeys = 5000000L
+
+  /** "Benchmark-sized" is a contract, not a hope: `localCheckpoint` the
+    * eval-derived frame ONCE (the count probe and the join then read the
+    * same materialized blocks — no double derivation), and pin the
+    * broadcast only when the count holds. Oversized sets fall back to
+    * the planner's join choice with a WARN instead of forcing a
+    * driver-OOM broadcast. Shared by every eval-vs-corpus membership
+    * site ([[contaminatedSpans]], [[contaminationFlags]]) so the guard
+    * covers the class, not one instance.
+    */
+  private def boundedBroadcast(df: DataFrame, what: String): DataFrame = {
+    val pinned = df.localCheckpoint()
+    val n = pinned.count() // served from the checkpoint blocks
+    if (n <= MaxBroadcastEvalKeys) broadcast(pinned)
+    else {
+      logger.warn(s"$what has $n rows (> $MaxBroadcastEvalKeys) — not broadcasting; " +
+        "the membership join will plan as a shuffle")
+      pinned
+    }
+  }
 
   // ------------------------------------------- duplicate-group resolution
 
@@ -723,8 +734,10 @@ object Dedup {
     val ids = docs.select(col(idCol).as("id"))
     val dsh = docs.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), shingleSize)).as("g"))
-    val bsh = benchmark.select(explode(wordShingles(col(benchTextCol), shingleSize)).as("g")).distinct()
-    val hits = dsh.join(broadcast(bsh), Seq("g"))
+    val bsh = boundedBroadcast(
+      benchmark.select(explode(wordShingles(col(benchTextCol), shingleSize)).as("g")).distinct(),
+      "contaminationFlags benchmark shingle set")
+    val hits = dsh.join(bsh, Seq("g"))
       .groupBy(col("id")).agg(countDistinct(col("g")).as("n_overlaps"))
     ids.join(hits, Seq("id"), "left")
       .select(col("id"),

@@ -1235,8 +1235,7 @@ object Queries {
   def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
-    val bmTop = TextAnalysis.bm25Score(docs, Seq("dup", "merge", "vector", "window"))
-      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+    val bmTop = TextAnalysis.bm25TopK(docs, Seq("dup", "merge", "vector", "window"), k = 50)
     val bmRank = bmTop.withColumn("rank",
       row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
     val lenTop = docs.where(col("n_chars").isNotNull)
