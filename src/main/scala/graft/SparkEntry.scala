@@ -1320,6 +1320,33 @@ object SparkEntry {
         |  WHERE walk.lvl < 20)
         |SELECT node, min(lvl) AS level FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
+    // Perceptual-hash gate: the oracle restates the PLANTED pixel
+    // arithmetic (gray gradient / RGB channel formulas from doc_id) and
+    // replays the integer aHash — block partition (y*8//h, x*8//w),
+    // truncating block/global means, strict > threshold — while the
+    // Spark side must recover identical bits by actually decoding the
+    // planted PNG pixels. Hash reported as unsigned 32-bit halves (an
+    // engine cannot state 1<<63 in a signed BIGINT).
+    "q_image_phash" ->
+      """WITH d AS (SELECT doc_id, CAST(16 + doc_id % 120 AS BIGINT) AS w,
+        |    CAST(16 + (doc_id // 7) % 120 AS BIGINT) AS h, (doc_id % 4 = 0) AS gray
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    CASE WHEN gray THEN ((x * 31 + y * 17 + doc_id) % 256) * 1000
+        |         ELSE ((x + doc_id) % 256) * 299 + ((y + 2 * doc_id) % 256) * 587 + (xor(x, y) % 256) * 114
+        |    END AS luma,
+        |    ((y * 8) // h) * 8 + ((x * 8) // w) AS bi
+        |  FROM d, LATERAL unnest(range(0, w)) t1(x), LATERAL unnest(range(0, h)) t2(y)),
+        |g AS (SELECT doc_id, CAST(sum(luma) AS BIGINT) // (max(w) * max(h)) AS gmean FROM px GROUP BY doc_id),
+        |b AS (SELECT doc_id, bi, CAST(sum(luma) AS BIGINT) // count(*) AS bmean FROM px GROUP BY doc_id, bi),
+        |bits AS (SELECT b.doc_id AS doc_id, bi, (b.bmean > g.gmean) AS on_bit
+        |  FROM b JOIN g ON b.doc_id = g.doc_id)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN on_bit AND bi >= 32 THEN (CAST(1 AS BIGINT) << CAST(bi - 32 AS INT)) ELSE 0 END) AS BIGINT) AS phash_hi,
+        |  CAST(sum(CASE WHEN on_bit AND bi < 32 THEN (CAST(1 AS BIGINT) << CAST(bi AS INT)) ELSE 0 END) AS BIGINT) AS phash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // k-core replay: 4 unrolled peel rounds (degree >= 3 on the
     // symmetrized distinct edge set, both endpoints must survive) —
     // integer degrees, bit-exact.

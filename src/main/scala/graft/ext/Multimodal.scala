@@ -110,6 +110,52 @@ object Multimodal {
       * Bilinear `Graphics2D` resample, PNG re-encode preserving
       * grayscale-vs-color. NULL for undecodable input.
       */
+    /** Perceptual average-hash (aHash) of a decoded image, ALL-INTEGER:
+      * per-pixel luma `r·299 + g·587 + b·114` (×1000 on the raw sample
+      * for grayscale — read via raster samples, NOT getRGB, whose
+      * gray→sRGB conversion is gamma-corrected and would shift values),
+      * 8×8 block partition `(y·8 div h, x·8 div w)`, block means and the
+      * global mean by truncating division, bit set where block > global.
+      * Integer end-to-end, so the hash replays exactly from the planted
+      * pixel arithmetic in the gate's oracle. Returned as (hi, lo)
+      * unsigned 32-bit halves — bit 63 in one signed long cannot be
+      * stated in engines that refuse `1<<63`.
+      */
+    def aHash64(bytes: Array[Byte]): Option[(Long, Long)] = readImage(bytes).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val gray = img.getRaster.getNumBands == 1
+      val blockSum = new Array[Long](64)
+      val blockN = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val luma =
+            if (gray) img.getRaster.getSample(x, y, 0).toLong * 1000L
+            else {
+              val rgb = img.getRGB(x, y)
+              ((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+            }
+          val bi = (y * 8 / h) * 8 + (x * 8 / w)
+          blockSum(bi) += luma
+          blockN(bi) += 1
+          total += luma
+          x += 1
+        }
+        y += 1
+      }
+      val gmean = total / (w.toLong * h)
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (blockN(i) > 0 && blockSum(i) / blockN(i) > gmean) hash |= 1L << i
+        i += 1
+      }
+      (hash >>> 32, hash & 0xffffffffL)
+    }
+
     def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
       Option(bytes).filter(_.nonEmpty)
         .flatMap(readImage)
@@ -521,6 +567,30 @@ object Multimodal {
         }
       }
     }.toDF("id", "width", "height", "channels", "features")
+  }
+
+  /** Perceptual image hashing over a binary column — the image-dedup
+    * primitive (aHash; near-identical images agree on most bits, so
+    * exact-hash grouping catches re-encodes and tiny edits, and a
+    * hamming-band join generalizes it the way SimHash does for text).
+    * Real decode per row (`ImageCodec.aHash64`), partition-local,
+    * undecodable payloads yield NULL halves.
+    */
+  def imagePHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("phash_hi", LongType),
+      StructField("phash_lo", LongType)))
+    val in = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        ImageCodec.aHash64(r.getAs[Array[Byte]](1)) match {
+          case Some((hi, lo)) => Row(r.getLong(0), hi, lo)
+          case None           => Row(r.getLong(0), null, null)
+        }
+      }
+    }.toDF("id", "phash_hi", "phash_lo")
   }
 
   /** Resize an image binary column to fit within a target box — batch-wise,

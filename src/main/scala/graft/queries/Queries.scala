@@ -2126,6 +2126,21 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL perceptual-hash gate: planted PNGs (bounded to doc_id < 200 to
+    * keep the oracle's pixel replay tractable) are decoded and aHash'd
+    * by actual pixel reads; the oracle recomputes the identical integer
+    * luma/block/threshold arithmetic from the planted pixel formulas.
+    * Grayscale luma reads raster samples — getRGB's gray→sRGB gamma
+    * conversion would shift every value (caught by this gate).
+    */
+  def qImagePHash(spark: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.syntheticImages(
+      t(spark, dir, "documents").where(col("doc_id") < 200), "doc_id")(plantedImageDims)
+    Multimodal.imagePHash(imgs, "id", "content")
+      .select(col("id").as("doc_id"), col("phash_hi"), col("phash_lo"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL image resize gate: planted PNGs are bilinear-resized to fit
     * within 64×64 (never upscaled), re-encoded as PNG, and RE-DECODED —
     * the reported dims come from parsing the resized payload, so the gate
@@ -2330,6 +2345,7 @@ object Queries {
     "q_text_langid" -> (qTextLangId _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_image_features" -> (qImageFeatures _),
+    "q_image_phash" -> (qImagePHash _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_frame_sample" -> (qFrameSample _),
     "q_video_frames" -> (qVideoFrames _)

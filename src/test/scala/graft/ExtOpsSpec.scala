@@ -1042,6 +1042,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(r("b") == ((2L, 1L, 1L, 6L, 1L, 0L)))
   }
 
+  test("imagePHash: stable under PNG re-encode, near-identical images nearly agree, corrupt -> NULL") {
+    import graft.ext.Multimodal.ImageCodec
+    val base = ImageCodec.syntheticPng(5L, 64, 48, gray = false)
+    val Some((hi1, lo1)) = ImageCodec.aHash64(base)
+    // resize to the SAME dims = decode -> identity resample -> re-encode:
+    // hash identical (lossless PNG round-trip)
+    val reenc = ImageCodec.resizeImage(base, 64, 48).get
+    assert(ImageCodec.aHash64(reenc).contains((hi1, lo1)))
+    // a resized copy keeps most bits (the near-dup property aHash exists for)
+    val resized = ImageCodec.resizeImage(base, 32, 24).get
+    val Some((hi2, lo2)) = ImageCodec.aHash64(resized)
+    val hamming = java.lang.Long.bitCount((hi1 << 32 | lo1) ^ (hi2 << 32 | lo2))
+    assert(hamming <= 12, s"resize moved $hamming/64 bits — aHash should be robust to rescale")
+    // mapPartitions plumbing: corrupt payloads go NULL, never task failures
+    val df = Seq((1L, base), (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
+    val rows = graft.ext.Multimodal.imagePHash(df, "doc_id", "content")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(rows(1L)._1.isDefined && rows(2L)._1.isEmpty && rows(2L)._2.isEmpty)
+  }
+
   test("rrfFuse: integer points sum across systems, absent docs contribute nothing") {
     // rrfK=1: rank 1 -> 1000//2 = 500, rank 2 -> 1000//3 = 333.
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
