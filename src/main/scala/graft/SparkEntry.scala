@@ -129,6 +129,38 @@ object SparkEntry {
        |FROM isl GROUP BY doc_id, seg, lang
        |ORDER BY doc_id, seg_start""".stripMargin
 
+  /** DuckDB oracle for q_bpe_train: the 8 BPE merge rounds unrolled as
+    * CTEs — per round the pair counts over the word-repr table, the
+    * (count desc, pair) top-1, and the sentinel-space `replace`
+    * re-segmentation, replaying `TextAnalysis.bpeTrain` verbatim
+    * (strings + integers, bit-exact; both engines' `replace` is
+    * left-to-right non-overlapping).
+    */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val head = Seq(
+      """tok AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS w FROM documents WHERE text IS NOT NULL)""".stripMargin,
+      "w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w)",
+      """r0 AS (SELECT array_to_string(list_transform(range(1, len(w) + 1),
+        |    i -> substr(w, CAST(i AS INT), 1)), ' ') AS repr, cnt FROM w0)""".stripMargin)
+    val perRound = (1 to rounds).flatMap { k =>
+      Seq(
+        s"""p$k AS (SELECT s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1] AS pair,
+           |    CAST(sum(cnt) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(repr, ' ') AS s, cnt FROM r${k - 1}),
+           |    LATERAL unnest(range(1, len(s))) t(i) GROUP BY 1)""".stripMargin,
+        s"t$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1)",
+        s"""r$k AS (SELECT trim(replace(' ' || repr || ' ',
+           |    ' ' || (SELECT pair FROM t$k) || ' ',
+           |    ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' ')) AS repr, cnt
+           |  FROM r${k - 1})""".stripMargin)
+    }
+    val sel = (1 to rounds)
+      .map(k => s"SELECT $k AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM t$k")
+      .mkString(" UNION ALL ")
+    s"WITH ${(head ++ perRound).mkString(",\n")}\nSELECT * FROM ($sel) ORDER BY round"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Queries.q5LocalSupplierVolume(spark, "/root/testdata/sf0.001")
@@ -1431,6 +1463,11 @@ object SparkEntry {
         |SELECT rank, pair, cnt FROM (
         |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM c)
         |WHERE rank <= 40 ORDER BY rank""".stripMargin,
+
+    // Full BPE training replay: 8 unrolled merge rounds (see
+    // bpeTrainOracle) — the same word-count table, top-pair choice and
+    // replace-based re-segmentation as TextAnalysis.bpeTrain.
+    "q_bpe_train" -> bpeTrainOracle(8),
 
     // Span-decontamination replay: dense (stride-1) eval grams from the
     // doc_id % 37 subset, stride-10 corpus grams, membership semi join,

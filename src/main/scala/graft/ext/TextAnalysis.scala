@@ -497,6 +497,91 @@ object TextAnalysis {
       .select(col("rank"), col("pair"), col("cnt"))
   }
 
+  /** Distributed BPE merge TRAINING (Sennrich et al. 2016, the full
+    * iterative loop — [[bpePairStats]] is its first iteration's candidate
+    * table): learn `rounds` merge rules from the corpus and return the
+    * merge table `(round, pair, merged, cnt)`.
+    *
+    * The algorithm runs on the WORD-COUNT table, not the corpus: the
+    * corpus is scanned exactly once (token explode → word hash agg with
+    * map-side combine); every later iteration touches only the
+    * vocabulary-bounded `(repr, cnt)` frame, where `repr` is the word's
+    * current space-separated symbol segmentation ("lower" → "l o w e r").
+    * Per round: one vocab-bounded pair-count hash agg (the only shuffle),
+    * a 1-row top-pair fetch to the driver (bounded by contract: one row
+    * per round), and a map-only `replace` re-segmentation. At 100 TB the
+    * corpus pass dominates once; the loop's cost is O(rounds × |vocab|),
+    * independent of corpus size — exactly how production BPE trainers
+    * split the work. Lineage is truncated each round (`localCheckpoint`)
+    * so `rounds` stays O(1) plan depth, as in [[graft.ext.Graph]]'s loops.
+    *
+    * Merge application semantics (the cross-engine contract): the pair
+    * `"a b"` is applied to `' ' || repr || ' '` via standard left-to-right
+    * NON-OVERLAPPING string replace of `' a b '` with `' ab '`, scanning
+    * resuming after each match's end — identical in Spark
+    * (`UTF8String.replace`) and DuckDB (`replace`). On runs of identical
+    * symbols this differs from strict one-at-a-time greedy BPE: a match
+    * consumes its TRAILING space, so a run merges at alternate positions
+    * per round (`"a a a a"` → `"aa a a"`, not `"aa aa"`). It is the SAME
+    * deterministic function in both engines — pinned by a spec on that
+    * exact run — and converges to the same vocabulary over rounds.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      rounds: Int = 8,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chars = filter(split(col("w"), ""), c => length(c) > 0)
+    var words = docs.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat_ws(" ", chars).as("repr"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // Guard BEFORE the explode: a single-symbol word would make
+      // sequence(0, -1) infer a DESCENDING step ([0, -1]) and index past
+      // the array under ANSI; such words simply contribute no pairs.
+      val top = words
+        .where(size(split(col("repr"), " ")) >= 2)
+        .select(expr(
+          "explode(transform(sequence(0, size(split(repr, ' ')) - 2), " +
+            "i -> concat(split(repr, ' ')[i], ' ', split(repr, ' ')[i + 1])))").as("pair"),
+          col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val merged = pair.replace(" ", "")
+        merges += ((r, pair, merged, top(0).getLong(1)))
+        val prev = words
+        words = words
+          .select(
+            trim(replace(concat(lit(" "), col("repr"), lit(" ")),
+              lit(s" $pair "), lit(s" $merged "))).as("repr"),
+            col("cnt"))
+          .localCheckpoint()
+        // The new checkpoint is materialized (localCheckpoint is eager);
+        // the previous round's RDD blocks are dead — release them
+        // (Dataset.unpersist is a no-op on a checkpointed frame, cf.
+        // Graph.release / Dedup.releaseCheckpoint).
+        prev.queryExecution.analyzed.collectLeaves().foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+          case _ => ()
+        }
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "pair", "merged", "cnt")
+  }
+
   /** Mixed-language document segmentation (the mC4/CCNet step that
     * splits a page whose header is English and body is German before
     * per-language filtering): classify each LINE with [[langId]], then

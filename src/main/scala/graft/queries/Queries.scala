@@ -1216,6 +1216,15 @@ object Queries {
     TextAnalysis.bpePairStats(t(spark, dir, "documents"), topN = 40)
       .orderBy(col("rank"))
 
+  /** Full BPE merge training, 8 rounds (TextAnalysis.bpeTrain): the
+    * corpus is scanned once into the word-count table; each round is one
+    * vocab-bounded pair agg + a replace re-segmentation. Oracle unrolls
+    * the identical 8 rounds as CTEs (strings + integers, bit-exact).
+    */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(t(spark, dir, "documents"), rounds = 8)
+      .orderBy(col("round"))
+
   /** k-core peeling, k=3, 4 synchronous rounds (Graph.kCore) over the
     * symmetrized view graph — integer degrees, unrolled-round oracle.
     */
@@ -2321,6 +2330,7 @@ object Queries {
     "q_lang_segments" -> (qLangSegments _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_bpe_pairs" -> (qBpePairs _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_kcore" -> (qKCore _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_text_tokens" -> (qTextTokens _),

@@ -1088,6 +1088,42 @@ class ExtOpsSpec extends SparkSpec {
     assert(r == Seq((1, "ab", 3L), (2, "ba", 1L)))
   }
 
+  test("bpeTrain: hand-computed merges on a tiny corpus") {
+    // Words: "low"×3, "lowest"×1. Chars: l o w (×4), plus e s t.
+    // Round 1 pairs: "l o"=4, "o w"=4 -> tie broken by pair asc: "l o".
+    // Round 2: "lo w"=4 wins. Round 3: reprs are "low"(3) and
+    // "low e s t"(1): pairs "low e"=1, "e s"=1, "s t"=1 -> "e s" asc.
+    val docs = Seq((1L, "low low lowest"), (2L, "low")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTrain(docs, rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(r == Seq(
+      (1, "l o", "lo", 4L), (2, "lo w", "low", 4L), (3, "e s", "es", 1L)))
+  }
+
+  test("bpeTrain: run-of-identical-symbols merge semantics are the pinned replace contract") {
+    // "aaaa" -> "a a a a"; top pair "a a" cnt 5 (3 adjacent indices in
+    // aaaa + 2 in aaa). Non-overlapping left-to-right replace of
+    // ' a a ' in ' a a a a ' consumes the match's TRAILING space, so the
+    // immediately following pair lacks its leading space and does not
+    // merge: "aaaa" -> "aa a a", "aaa" -> "aa a" — alternate-pair
+    // batched semantics, verified identical in DuckDB's replace (the
+    // cross-engine contract q_bpe_train's oracle replays).
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTrain(docs, rounds = 2)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(r.head == ((1, "a a", "aa", 5L)))
+    // Round 2 pairs: "aa a a" -> {"aa a", "a a"}, "aa a" -> {"aa a"}:
+    // "aa a" cnt 2 wins outright.
+    assert(r(1) == ((2, "aa a", "aaa", 2L)))
+  }
+
+  test("bpeTrain: stops early when every word is a single symbol") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    // Round 1 merges nothing (no word has 2+ symbols) -> zero rows.
+    val r = TextAnalysis.bpeTrain(docs, rounds = 3).collect()
+    assert(r.isEmpty)
+  }
+
   test("languageSegments: mixed-language page splits at exact line boundaries") {
     // en, en, de, en: three segments; the lone marker-free line is 'und'.
     val lines = Seq(
