@@ -456,6 +456,12 @@ object SparkEntry {
         |WHERE c_custkey % 100 <> 3
         |ORDER BY c_custkey""".stripMargin,
 
+    // JSONL round-trip: the Spark side re-reads the documents table
+    // through the JSON-Lines writer+PERMISSIVE reader (planted corrupt
+    // line dropped); the oracle is simply the parquet truth.
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
     "q_merge_key_projection" ->
       """SELECT event_id, user_id, lower(CAST(user_id AS VARCHAR)) AS arcane_merge_key, event_type
         |FROM events ORDER BY event_id""".stripMargin,

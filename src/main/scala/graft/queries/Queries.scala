@@ -512,6 +512,31 @@ object Queries {
     tbl.read().orderBy(col("c_custkey"))
   }
 
+  /** JSONL ingestion gate ([[graft.sources.JsonLines]]): the documents
+    * table is exported as JSON-Lines — the format LLM corpora actually
+    * ship in — with one PLANTED malformed line, read back through the
+    * explicit-schema PERMISSIVE reader, the quarantined row dropped, and
+    * the result must match DuckDB reading the parquet table directly:
+    * proves the JSONL path round-trips every value (nulls, unicode,
+    * escaping) and that one bad line is data, not a job failure.
+    */
+  def qJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JsonLines
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val docs = t(spark, dir, "documents")
+    JsonLines.write(docs, root)
+    // One malformed line, as a crawl shard would contain ("zz" so the
+    // file is not _/. -prefixed, which FileInputFormat would skip).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/zz-corrupt.json"),
+      "{\"doc_id\": 1, \"text\": not-valid-json\n")
+    JsonLines.read(spark, root, docs.schema)
+      .where(col(JsonLines.CorruptCol).isNull)
+      .drop(JsonLines.CorruptCol)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------ dedup (north star)
 
   /** Exact dedup winners on the documents corpus (fingerprint groupBy). */
@@ -2258,6 +2283,7 @@ object Queries {
     "q_merge_key_projection" -> (qMergeKeyProjection _),
     "q_export_symlink" -> (qExportSymlink _),
     "q_adopt_external" -> (qAdoptExternal _),
+    "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_lsh" -> (qMinHashLsh _),
     "q_near_dup_pairs" -> (qNearDupPairs _),

@@ -391,4 +391,42 @@ class CoreOpsSpec extends SparkSpec {
       .as[(String, Long, String, Boolean)].collect().toSeq
     assert(out == Seq(("k1", 5L, "new", false), ("k2", 1L, "only", false)))
   }
+
+  // ------------------------------------------------------- JSONL source
+
+  test("JsonLines round-trips values and quarantines malformed lines as data") {
+    import graft.sources.JsonLines
+    val dir = tmpDir("jsonl")
+    val docs = Seq(
+      (1L, Some("plain"), Some("en")),
+      (2L, Some("uni éü \"quoted\" \t tab \n newline"), None),
+      (3L, None, Some("de"))).toDF("doc_id", "text", "lang")
+    JsonLines.write(docs, dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/zz-bad.json"), "{broken\n{\"doc_id\": oops}\n")
+    val back = JsonLines.read(spark, dir, docs.schema)
+    // Two malformed lines -> two quarantined rows carrying the raw text
+    // (a data column rides along: Spark refuses corrupt-column-ONLY
+    // projections over raw JSON, see JsonLines scaladoc).
+    val bad = back.where(col(JsonLines.CorruptCol).isNotNull)
+      .select(col(JsonLines.CorruptCol), col("doc_id"))
+      .as[(String, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(bad == Seq(("{\"doc_id\": oops}", None), ("{broken", None)))
+    // Good rows reproduce the frame exactly (nulls, unicode, escapes).
+    val good = back.where(col(JsonLines.CorruptCol).isNull)
+      .drop(JsonLines.CorruptCol)
+      .as[(Long, Option[String], Option[String])].collect().toSeq.sortBy(_._1)
+    assert(good == Seq(
+      (1L, Some("plain"), Some("en")),
+      (2L, Some("uni éü \"quoted\" \t tab \n newline"), None),
+      (3L, None, Some("de"))))
+  }
+
+  test("JsonLines.read rejects a schema that already claims the corrupt column") {
+    import graft.sources.JsonLines
+    val ex = intercept[IllegalArgumentException] {
+      JsonLines.read(spark, "/tmp/none", new StructType().add(JsonLines.CorruptCol, StringType))
+    }
+    assert(ex.getMessage.contains(JsonLines.CorruptCol))
+  }
 }
