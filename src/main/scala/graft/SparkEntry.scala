@@ -161,6 +161,36 @@ object SparkEntry {
     s"WITH ${(head ++ perRound).mkString(",\n")}\nSELECT * FROM ($sel) ORDER BY round"
   }
 
+  /** DuckDB oracle for q_blocklist: per-length gram comprehensions
+    * (guarded so texts shorter than n contribute nothing for that
+    * length), one membership join against the VALUES blocklist, per
+    * (doc, phrase) counts — derived from Queries.GateBlocklist so the
+    * two sides cannot drift.
+    */
+  private def blocklistOracle: String = {
+    val phrases = graft.queries.Queries.GateBlocklist
+      .map(p => p.trim.toLowerCase.split("\\s+").mkString(" ")).distinct
+    val values = phrases.map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+    val lengths = phrases.map(_.split(" ").length).distinct.sorted
+    val perLen = lengths.map { n =>
+      val gram = if (n == 1) "array_to_string(tk[i:i], ' ')"
+      else s"array_to_string(tk[i:i+${n - 1}], ' ')"
+      val rng = s"range(1, len(tk) - ${n - 1} + 1)"
+      if (n == 1) s"[$gram for i in $rng]"
+      else s"CASE WHEN len(tk) >= $n THEN [$gram for i in $rng] ELSE [] END"
+    }
+    val concat = perLen.reduce((a, b) => s"list_concat($a, $b)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |    x -> len(x) > 0) AS tk
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, unnest($concat) AS gram FROM toks),
+       |bl(phrase) AS (VALUES $values)
+       |SELECT doc_id, phrase, count(*) AS n_hits
+       |FROM g JOIN bl ON gram = phrase
+       |GROUP BY doc_id, phrase ORDER BY doc_id, phrase""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Queries.q5LocalSupplierVolume(spark, "/root/testdata/sf0.001")
@@ -1469,6 +1499,10 @@ object SparkEntry {
         |SELECT rank, pair, cnt FROM (
         |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM c)
         |WHERE rank <= 40 ORDER BY rank""".stripMargin,
+
+    // Blocklist replay: multi-length gram comprehension + VALUES join
+    // (see blocklistOracle — built from the same phrase seq).
+    "q_blocklist" -> blocklistOracle,
 
     // Full BPE training replay: 8 unrolled merge rounds (see
     // bpeTrainOracle) — the same word-count table, top-pair choice and

@@ -497,6 +497,53 @@ object TextAnalysis {
       .select(col("rank"), col("pair"), col("cnt"))
   }
 
+  /** Blocklist phrase filtering (the safety/compliance filter every
+    * corpus pipeline runs before training): count occurrences of each
+    * blocked TOKEN PHRASE (1..k tokens, [[tokens]] contract) per
+    * document. Token-sequence matching, not substring — "ass" does not
+    * hit "class" — which is why this is gram-join shaped rather than a
+    * regex.
+    *
+    * One corpus scan regardless of how many phrase lengths the list
+    * mixes: per row the n-grams for every DISTINCT length present in the
+    * list are built columnar and concatenated (guarded so a text shorter
+    * than `n` contributes nothing for that length — [[wordNgrams]]'
+    * whole-text fallback would double-count against shorter phrases),
+    * then one explode → broadcast hash join against the phrase list →
+    * one (doc, phrase) hash agg with map-side combine. The phrase list
+    * broadcasts (blocklists are KBs); corpus-side work is linear in
+    * token count × distinct lengths, shuffle carries only matched hits.
+    *
+    * Returns `(idCol, phrase, n_hits)`, one row per document × matched
+    * phrase.
+    */
+  def blocklistHits(
+      docs: DataFrame,
+      phrases: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val normalized = phrases.map(p => p.trim.toLowerCase.split("\\s+").mkString(" "))
+      .filter(_.nonEmpty).distinct
+    require(normalized.nonEmpty, "blocklist must contain at least one non-empty phrase")
+    val lengths = normalized.map(_.split(" ").length).distinct.sorted
+    val toks = tokens(col(textCol))
+    val gramsPerLen = lengths.map { n =>
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
+    val allGrams = if (gramsPerLen.sizeIs == 1) gramsPerLen.head else concat(gramsPerLen: _*)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blist = broadcast(normalized.toDF("phrase"))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(allGrams).as("gram"))
+      .join(blist, col("gram") === col("phrase"))
+      .groupBy(col(idCol), col("phrase"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Distributed BPE merge TRAINING (Sennrich et al. 2016, the full
     * iterative loop — [[bpePairStats]] is its first iteration's candidate
     * table): learn `rounds` merge rules from the corpus and return the

@@ -1241,6 +1241,21 @@ object Queries {
     TextAnalysis.bpePairStats(t(spark, dir, "documents"), topN = 40)
       .orderBy(col("rank"))
 
+  /** The blocklist the q_blocklist gate matches (mixed 1/2/3-token
+    * phrases so the multi-length single-scan path is exercised); the
+    * oracle builder derives its VALUES list and per-length gram
+    * comprehensions from THIS seq — one owner.
+    */
+  val GateBlocklist: Seq[String] =
+    Seq("merge", "hash scan", "slow small filter", "window window")
+
+  /** Blocklist phrase hits (TextAnalysis.blocklistHits): per-doc counts
+    * of blocked token phrases, single corpus scan + broadcast join.
+    */
+  def qBlocklist(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklistHits(t(spark, dir, "documents"), GateBlocklist)
+      .orderBy(col("doc_id"), col("phrase"))
+
   /** Full BPE merge training, 8 rounds (TextAnalysis.bpeTrain): the
     * corpus is scanned once into the word-count table; each round is one
     * vocab-bounded pair agg + a replace re-segmentation. Oracle unrolls
@@ -2357,6 +2372,7 @@ object Queries {
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_blocklist" -> (qBlocklist _),
     "q_kcore" -> (qKCore _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_text_tokens" -> (qTextTokens _),

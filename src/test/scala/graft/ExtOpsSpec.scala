@@ -1088,6 +1088,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(r == Seq((1, "ab", 3L), (2, "ba", 1L)))
   }
 
+  test("blocklistHits: token-boundary matching, occurrence counts, short-text guard") {
+    val docs = Seq(
+      (1L, "the bad word and the bad word again"), // "bad word" ×2, "bad" ×2
+      (2L, "class act"),                           // "ass" inside class: NO hit
+      (3L, "bad"),                                 // shorter than "bad word": 1-gram only, once
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.blocklistHits(docs, Seq("bad", "bad word", "ass"))
+      .as[(Long, String, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(r == Seq(
+      (1L, "bad", 2L), (1L, "bad word", 2L), (3L, "bad", 1L)))
+  }
+
+  test("blocklistHits: phrases normalize (case/whitespace) and duplicates collapse") {
+    val docs = Seq((1L, "spam ham spam")).toDF("doc_id", "text")
+    val r = TextAnalysis.blocklistHits(docs, Seq("  SPAM ", "spam", "spam\tham"))
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._2)
+    assert(r == Seq((1L, "spam", 2L), (1L, "spam ham", 1L)))
+  }
+
   test("bpeTrain: hand-computed merges on a tiny corpus") {
     // Words: "low"×3, "lowest"×1. Chars: l o w (×4), plus e s t.
     // Round 1 pairs: "l o"=4, "o w"=4 -> tie broken by pair asc: "l o".
