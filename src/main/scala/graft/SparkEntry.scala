@@ -1500,6 +1500,45 @@ object SparkEntry {
         |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM c)
         |WHERE rank <= 40 ORDER BY rank""".stripMargin,
 
+    // Containment replay: EXHAUSTIVE brute-force cross join over the
+    // bounded corpus (base doc_id < 400 + planted first-12-token prefix
+    // docs at id+2e6) — the prefix-filtered Spark join must reproduce it
+    // exactly (no false negatives). Shingle rule identical to the
+    // near-dup gates (3-gram, short-text whole-string fallback).
+    "q_containment_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |tk0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0) AS tk
+        |  FROM base WHERE text IS NOT NULL),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, array_to_string(tk[1:12], ' ')
+        |  FROM tk0 WHERE doc_id % 20 = 0 AND len(tk) >= 15),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0) AS tk
+        |  FROM corpus WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM toks),
+        |d AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_size,
+        |    CAST(len(a.s) AS BIGINT) AS src_size
+        |  FROM d a, d b WHERE a.doc_id <> b.doc_id)
+        |SELECT src_id, dst_id, inter_size, src_size,
+        |  (1000 * inter_size) // src_size AS containment_permille
+        |FROM p WHERE 1000 * inter_size >= 500 * src_size
+        |ORDER BY src_id, dst_id""".stripMargin,
+
     // Blocklist replay: multi-length gram comprehension + VALUES join
     // (see blocklistOracle — built from the same phrase seq).
     "q_blocklist" -> blocklistOracle,

@@ -244,6 +244,73 @@ object Dedup {
         expr("(1000 * inter_size) div union_size").as("jacc_permille"))
   }
 
+  /** EXACT containment-threshold join (Broder's asymmetric near-dup
+    * relation): ordered pairs where `C(src, dst) = |S(src) ∩ S(dst)| /
+    * |S(src)| ≥ t/1000` over distinct word `shingleSize`-gram sets.
+    * Containment catches what symmetric Jaccard structurally misses — a
+    * short document wholly quoted inside a long one has high C(short,
+    * long) but low Jaccard (the union is dominated by the long side) —
+    * the quote-inclusion / subset-duplicate case in corpus curation.
+    *
+    * Same prefix-filter machinery as [[jaccardJoin]], asymmetric form:
+    * only the SOURCE side explodes a prefix. With shingles ordered
+    * rarest-first by the global (df, shingle) total order, C(src, dst) ≥
+    * t implies dst shares at least one of src's first
+    * `n − ceil(t·n/1000) + 1` shingles (at most `n − ceil(t·n/1000)`
+    * elements of src may miss dst), so joining src prefixes against the
+    * FULL inverted shingle list loses nothing. No size filter applies —
+    * containment imposes none on the dst side (that asymmetry is the
+    * point). Skew guard as in jaccardJoin: a high-df shingle enters a
+    * prefix only when a doc has nothing rarer, and 3-gram shingles make
+    * even that rare. Verification is one `array_intersect` per candidate;
+    * all-integer permille, engine-replayable.
+    *
+    * Returns `(src_id, dst_id, inter_size, src_size,
+    * containment_permille)`, `src_id ≠ dst_id` (both directions of a
+    * pair can appear — the relation is asymmetric), `containment_permille
+    * = (1000·inter) div src_size`. Empty shingle sets are excluded
+    * ([[exact]]'s NULL-passthrough stance).
+    */
+  def containmentJoin(
+      docs: DataFrame,
+      thresholdPermille: Int = 500,
+      shingleSize: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in [1, 1000], got $thresholdPermille")
+    val t = thresholdPermille
+    val docSh = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val dfreq = docSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ordered = docSh.join(dfreq, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+      .select(col("id"),
+        transform(col("ord"), x => x.getField("sh")).as("shs"),
+        size(col("ord")).cast("long").as("n"))
+    val pref = ordered.select(col("id"), col("n"),
+      explode(slice(col("shs"), lit(1),
+        (col("n") - expr(s"($t * n + 999) div 1000") + 1).cast("int"))).as("sh"))
+    val cand = pref.select(col("sh"), col("id").as("src_id"))
+      .join(docSh.select(col("sh"), col("id").as("dst_id")), Seq("sh"))
+      .where(col("src_id") =!= col("dst_id"))
+      .select(col("src_id"), col("dst_id"))
+      .distinct()
+    cand
+      .join(ordered.select(col("id").as("src_id"), col("shs").as("sa"), col("n").as("n_src")),
+        Seq("src_id"))
+      .join(ordered.select(col("id").as("dst_id"), col("shs").as("sb")), Seq("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter_size"),
+        col("n_src"))
+      .where(lit(1000) * col("inter_size") >= lit(t) * col("n_src"))
+      .select(col("src_id"), col("dst_id"), col("inter_size"),
+        col("n_src").as("src_size"),
+        expr("(1000 * inter_size) div n_src").as("containment_permille"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** Per-document 64-bit SimHash: (id, simhash) via the single-pass

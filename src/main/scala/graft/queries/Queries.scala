@@ -1241,6 +1241,28 @@ object Queries {
     TextAnalysis.bpePairStats(t(spark, dir, "documents"), topN = 40)
       .orderBy(col("rank"))
 
+  /** Asymmetric containment pairs (Dedup.containmentJoin) over a bounded
+    * corpus (doc_id < 400 — the DuckDB oracle is an exhaustive
+    * brute-force cross join) plus PLANTED quote-inclusions: each %20 doc
+    * with ≥15 tokens contributes its first-12-token prefix as a short doc
+    * (id+2e6) whose shingles all sit inside the original — C(short,
+    * orig) = 1000 while Jaccard stays low, the case symmetric dedup
+    * misses. Prefix-filter recall must be exhaustive-exact.
+    */
+  def qContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents")
+      .where(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val planted = base
+      .where(col("text").isNotNull && col("doc_id") % 20 === 0 && size(toks) >= 15)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, 1, 12)).as("text"))
+    Dedup.containmentJoin(base.unionByName(planted),
+        thresholdPermille = 500, shingleSize = 3)
+      .orderBy(col("src_id"), col("dst_id"))
+  }
+
   /** The blocklist the q_blocklist gate matches (mixed 1/2/3-token
     * phrases so the multi-length single-scan path is exercised); the
     * oracle builder derives its VALUES list and per-length gram
@@ -2373,6 +2395,7 @@ object Queries {
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_blocklist" -> (qBlocklist _),
+    "q_containment_pairs" -> (qContainmentPairs _),
     "q_kcore" -> (qKCore _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_text_tokens" -> (qTextTokens _),

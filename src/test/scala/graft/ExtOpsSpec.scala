@@ -1088,6 +1088,50 @@ class ExtOpsSpec extends SparkSpec {
     assert(r == Seq((1, "ab", 3L), (2, "ba", 1L)))
   }
 
+  test("containmentJoin: asymmetric direction, hand-computed permilles") {
+    // A's 3 shingles all inside B (7 tokens -> 5 shingles): C(A,B)=1000,
+    // C(B,A)=3/5=600. C is unrelated.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g"),
+      (3L, "x y z w v u t")).toDF("doc_id", "text")
+    val r600 = Dedup.containmentJoin(docs, thresholdPermille = 600)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(r600 == Seq((1L, 2L, 3L, 3L, 1000L), (2L, 1L, 3L, 5L, 600L)))
+    // Tighter threshold keeps only the fully-contained direction.
+    val r700 = Dedup.containmentJoin(docs, thresholdPermille = 700)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r700 == Seq((1L, 2L, 3L, 3L, 1000L)))
+  }
+
+  test("containmentJoin: prefix filtering is exhaustive vs brute force on a random corpus") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0 until 60).map { i =>
+      val n = 3 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(df, thresholdPermille = 400, shingleSize = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // Brute force with identical shingle semantics (2-grams, short-text
+    // whole-string fallback, distinct sets).
+    def shingles(t: String): Set[String] = {
+      val tk = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.isEmpty) Set.empty
+      else if (tk.length < 2) Set(tk.mkString(" "))
+      else tk.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      inter = (sa & sb).size.toLong
+      if 1000 * inter >= 400L * sa.size
+    } yield (ia, ib, inter, sa.size.toLong, 1000 * inter / sa.size)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("blocklistHits: token-boundary matching, occurrence counts, short-text guard") {
     val docs = Seq(
       (1L, "the bad word and the bad word again"), // "bad word" ×2, "bad" ×2
