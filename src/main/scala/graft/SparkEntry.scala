@@ -407,6 +407,23 @@ object SparkEntry {
         |  CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS conversion_rate
         |FROM pf GROUP BY window_start ORDER BY window_start""".stripMargin,
 
+    // Last-touch attribution: interval-join candidates, then the
+    // per-conversion argmax (from_ts desc, from_id desc) — the same
+    // (struct-max) order the Spark side folds with.
+    "q_attribution" ->
+      """WITH f AS (SELECT user_id, event_id AS from_id, ts AS from_ts FROM events WHERE event_type = 'view'),
+        |t AS (SELECT user_id, event_id AS to_id, ts AS to_ts FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT t.to_id, t.user_id, f.from_id, f.from_ts, t.to_ts
+        |  FROM t JOIN f ON t.user_id = f.user_id
+        |    AND t.to_ts > f.from_ts AND t.to_ts <= f.from_ts + INTERVAL 30 MINUTE),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY to_id ORDER BY from_ts DESC, from_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY to_id) AS n_candidates
+        |  FROM p)
+        |SELECT to_id, user_id, from_id, from_ts, to_ts, CAST(n_candidates AS BIGINT) AS n_candidates
+        |FROM r WHERE rn = 1 ORDER BY to_id""".stripMargin,
+
     "q_cdc_latest" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

@@ -1664,6 +1664,18 @@ object Queries {
       maxSpan = "30 minutes", watermarkDelay = "1 hour", windowDuration = "1 hour")
       .orderBy(col("window_start"))
 
+  /** Last-touch attribution gate (StreamOps.lastTouchAttribution, batch
+    * twin of the streaming op): each purchase attributed to the most
+    * recent same-user view within 30 minutes; ties toward larger view
+    * id. Oracle replays the interval join + per-conversion argmax as a
+    * row_number window.
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.lastTouchAttribution(
+      events(spark, dir), fromType = "view", toType = "purchase",
+      maxSpan = "30 minutes", watermarkDelay = "1 hour", windowSize = "1 hour")
+      .orderBy(col("to_id"))
+
   /** Backward as-of join gate: every click picks up the latest purchase
     * by the same user at-or-before the click — the point-in-time lookup,
     * via the union-merge [[graft.ops.AsOfJoin]] (one shuffle + one per-key
@@ -2396,6 +2408,7 @@ object Queries {
     "q_bpe_train" -> (qBpeTrain _),
     "q_blocklist" -> (qBlocklist _),
     "q_containment_pairs" -> (qContainmentPairs _),
+    "q_attribution" -> (qAttribution _),
     "q_kcore" -> (qKCore _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_text_tokens" -> (qTextTokens _),

@@ -317,6 +317,52 @@ object StreamOps {
         col("from_ts"), col("to_ts"))
   }
 
+  /** LAST-TOUCH ATTRIBUTION — the ad-tech/product-analytics primitive:
+    * each `toType` conversion is attributed to the MOST RECENT qualifying
+    * `fromType` event by the same user within `maxSpan` (impression →
+    * click, view → purchase). [[funnelPairs]] emits ALL in-window pairs;
+    * this folds them to one row per conversion: the interval join, then a
+    * per-conversion argmax — `max(struct(from_ts, from_id, …))`, ties on
+    * `from_ts` broken toward the larger `from_id`, the attributed row's
+    * user/to_ts riding in the struct (constant per conversion, so the
+    * argmax cannot disturb them).
+    *
+    * Batch/stream unified. Under streaming the argmax group is
+    * `(window(to_ts, windowSize), to_id)` — each conversion lives in
+    * exactly one tumbling window, so the window key changes nothing in
+    * the result but gives the aggregation its event-time eviction
+    * boundary (same pattern as [[funnelRates]] step 1): state is one
+    * candidate-max row per in-horizon conversion, emitted at window
+    * close + join horizon. Scale: one shuffle of both streams on the
+    * user key (the join), one hash agg with map-side combine keyed by
+    * conversion — no global sort, no per-user window function.
+    *
+    * Returns `(to_id, userCol, from_id, from_ts, to_ts, n_candidates)`.
+    * Conversions with NO qualifying prior event do not appear (inner
+    * semantics; route [[funnelWithAbandoned]] for the unattributed set).
+    */
+  def lastTouchAttribution(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      maxSpan: String,
+      watermarkDelay: String,
+      windowSize: String = "1 hour",
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"
+  ): DataFrame =
+    funnelPairs(events, fromType, toType, maxSpan, watermarkDelay,
+        tsCol, userCol, typeCol, idCol)
+      .groupBy(window(col("to_ts"), windowSize), col("to_id"))
+      .agg(
+        max(struct(col("from_ts"), col("from_id"), col(userCol), col("to_ts"))).as("best"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("to_id"), col("best")(userCol).as(userCol),
+        col("best")("from_id").as("from_id"), col("best")("from_ts").as("from_ts"),
+        col("best")("to_ts").as("to_ts"), col("n_candidates"))
+
   /** Windowed funnel CONVERSION RATES — the metric funnel users actually
     * read: per tumbling event-time window of funnel STARTS, how many
     * `fromType` events arrived (`started`), how many converted to at

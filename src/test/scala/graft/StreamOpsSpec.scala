@@ -204,6 +204,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("last-touch attribution picks the most recent in-window source, streamed with finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, String)]
+    val ev = input.toDF().toDF("ts", "event_id", "user_id", "event_type")
+    val out = StreamOps.lastTouchAttribution(ev, fromType = "view", toType = "purchase",
+      maxSpan = "30 minutes", watermarkDelay = "10 minutes", windowSize = "1 hour")
+
+    val q = out.writeStream.format("memory").queryName("attrib").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 7L, "view"),
+        (ts("2024-01-01 10:05:00"), 2L, 7L, "view"),     // most recent → attributed
+        (ts("2024-01-01 10:10:00"), 3L, 7L, "purchase"), // 2 candidates
+        (ts("2024-01-01 09:00:00"), 4L, 8L, "view"),
+        (ts("2024-01-01 10:02:00"), 5L, 8L, "purchase")) // view 62 min earlier → unattributed
+      q.processAllAvailable()
+      // Advance both sides' watermarks past window close + join horizon
+      // so the 10:00-11:00 argmax window finalizes (two batches: eviction
+      // runs on the batch after the watermark update).
+      input.addData(
+        (ts("2024-01-01 13:00:00"), 6L, 99L, "view"),
+        (ts("2024-01-01 13:01:00"), 7L, 99L, "purchase"))
+      q.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 15:00:00"), 8L, 98L, "view"),
+        (ts("2024-01-01 15:01:00"), 9L, 98L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("to_id", "user_id", "from_id", "n_candidates")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows.contains((3L, 7L, 2L, 2L)), s"got $rows")          // argmax + count
+      assert(!rows.exists(_._1 == 5L), s"unattributed purchase leaked: $rows")
+    } finally q.stop()
+  }
+
   test("left-outer funnel emits abandoned starts after the watermark closes their window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long, String)]
