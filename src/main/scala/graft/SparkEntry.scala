@@ -1517,6 +1517,64 @@ object SparkEntry {
         |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM c)
         |WHERE rank <= 40 ORDER BY rank""".stripMargin,
 
+    // Canonical-URL dedup replay: rebuild the synthesized URLs, then
+    // every urlCanonicalize step — fragment, query split, scheme/host
+    // lowercase, www./default-port strip, tracking-param filter + sort,
+    // trailing slash — in DuckDB string functions (right() stands in for
+    // Spark's negative-index substring; equal for the compare-to-suffix
+    // use both make of it).
+    "q_url_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/' ||
+        |    CAST(doc_id % 40 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+        |    '?utm_source=feed&id=' || CAST(doc_id % 160 AS VARCHAR) || '&b=2&a=1' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |c2 AS (SELECT doc_id,
+        |  CASE WHEN strpos(trim(url), '#') > 0
+        |       THEN substr(trim(url), 1, strpos(trim(url), '#') - 1)
+        |       ELSE trim(url) END AS u FROM d),
+        |c3 AS (SELECT doc_id,
+        |  CASE WHEN strpos(u, '?') > 0 THEN substr(u, 1, strpos(u, '?') - 1) ELSE u END AS base,
+        |  CASE WHEN strpos(u, '?') > 0
+        |       THEN substr(u, strpos(u, '?') + 1, len(u) - strpos(u, '?')) ELSE '' END AS rawq
+        |  FROM c2),
+        |c4 AS (SELECT doc_id, rawq,
+        |  CASE WHEN strpos(base, '://') > 0
+        |       THEN lower(substr(base, 1, strpos(base, '://') - 1)) ELSE '' END AS scheme,
+        |  CASE WHEN strpos(base, '://') > 0
+        |       THEN substr(base, strpos(base, '://') + 3, len(base)) ELSE base END AS rest
+        |  FROM c3),
+        |c5 AS (SELECT doc_id, rawq, scheme,
+        |  lower(CASE WHEN strpos(rest, '/') > 0
+        |             THEN substr(rest, 1, strpos(rest, '/') - 1) ELSE rest END) AS hostport,
+        |  CASE WHEN strpos(rest, '/') > 0
+        |       THEN substr(rest, strpos(rest, '/'), len(rest)) ELSE '' END AS path0
+        |  FROM c4),
+        |c6 AS (SELECT doc_id, rawq, scheme, path0,
+        |  CASE WHEN substr(hostport, 1, 4) = 'www.'
+        |       THEN substr(hostport, 5, len(hostport)) ELSE hostport END AS nw
+        |  FROM c5),
+        |c7 AS (SELECT doc_id, rawq, scheme, path0,
+        |  CASE WHEN scheme = 'https' AND right(nw, 4) = ':443' THEN substr(nw, 1, len(nw) - 4)
+        |       WHEN scheme = 'http' AND right(nw, 3) = ':80' THEN substr(nw, 1, len(nw) - 3)
+        |       ELSE nw END AS host
+        |  FROM c6),
+        |c8 AS (SELECT doc_id, scheme, host,
+        |  CASE WHEN len(path0) > 1 AND right(path0, 1) = '/'
+        |       THEN substr(path0, 1, len(path0) - 1) ELSE path0 END AS path,
+        |  array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |    p -> len(p) > 0 AND NOT starts_with(p, 'utm_')
+        |      AND NOT (split_part(p, '=', 1) IN ('fbclid', 'gclid', 'ref')))), '&') AS q
+        |  FROM c7),
+        |canon AS (SELECT doc_id,
+        |  (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END) || host || path ||
+        |  (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+        |  FROM c8)
+        |SELECT canonical_url, min(doc_id) AS keeper_id, count(*) AS n_dups
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
     // Containment replay: EXHAUSTIVE brute-force cross join over the
     // bounded corpus (base doc_id < 400 + planted first-12-token prefix
     // docs at id+2e6) — the prefix-filtered Spark join must reproduce it

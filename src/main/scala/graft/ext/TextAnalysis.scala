@@ -497,6 +497,78 @@ object TextAnalysis {
       .select(col("rank"), col("pair"), col("cnt"))
   }
 
+  /** URL canonicalization — the crawl-dedup key derivation (a page is
+    * fetched under dozens of spellings; corpus pipelines dedup on the
+    * canonical form before any content hashing). Pure columnar
+    * (locate/substr/split/filter/sort — codegen-friendly, no UDF, no
+    * regex backtracking), and every step is DuckDB-replayable so the
+    * gate pins the exact contract:
+    *
+    *  - fragment dropped (`#…` never reaches the server)
+    *  - scheme and host lowercased (RFC 3986 §6.2.2.1); PATH case kept
+    *    (case-significant on most origins)
+    *  - leading `www.` stripped; default ports `:80` (http) / `:443`
+    *    (https) stripped
+    *  - tracking params dropped (`utm_*`, `fbclid`, `gclid`, `ref`),
+    *    remaining params sorted byte-wise (param order is not semantic),
+    *    empty params dropped
+    *  - ONE trailing slash stripped from a non-root path
+    *
+    * Expects an absolute URL with a scheme (crawl records carry one); a
+    * scheme-less input passes through the same steps with an empty
+    * scheme prefix rather than erroring — garbage keys are data.
+    */
+  def urlCanonicalize(url: Column): Column = {
+    val u = trim(url)
+    val noFrag = when(instr(u, "#") > 0, u.substr(lit(1), instr(u, "#") - 1)).otherwise(u)
+    val qpos = instr(noFrag, "?")
+    val base = when(qpos > 0, noFrag.substr(lit(1), qpos - 1)).otherwise(noFrag)
+    val rawQ = when(qpos > 0, noFrag.substr(qpos + 1, length(noFrag) - qpos)).otherwise(lit(""))
+    val spos = instr(base, "://")
+    val scheme = when(spos > 0, lower(base.substr(lit(1), spos - 1))).otherwise(lit(""))
+    val rest = when(spos > 0, base.substr(spos + 3, length(base))).otherwise(base)
+    val slash = instr(rest, "/")
+    val hostPort = lower(when(slash > 0, rest.substr(lit(1), slash - 1)).otherwise(rest))
+    val path0 = when(slash > 0, rest.substr(slash, length(rest))).otherwise(lit(""))
+    val noWww = when(substring(hostPort, 1, 4) === "www.",
+      hostPort.substr(lit(5), length(hostPort))).otherwise(hostPort)
+    val host = when(scheme === "https" && substring(noWww, -4, 4) === ":443",
+        noWww.substr(lit(1), length(noWww) - 4))
+      .when(scheme === "http" && substring(noWww, -3, 3) === ":80",
+        noWww.substr(lit(1), length(noWww) - 3))
+      .otherwise(noWww)
+    val path = when(length(path0) > 1 && substring(path0, -1, 1) === "/",
+      path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
+    val params = filter(split(rawQ, "&"), p =>
+      length(p) > 0 &&
+        !(substring(p, 1, 4) === "utm_") &&
+        !substring_index(p, "=", 1).isin("fbclid", "gclid", "ref"))
+    val sortedQ = concat_ws("&", array_sort(params))
+    concat(
+      when(scheme === "", lit("")).otherwise(concat(scheme, lit("://"))),
+      host, path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
+  /** Canonical-URL dedup: group by [[urlCanonicalize]]'s key, keep the
+    * smallest id (crawl pipelines keep first-seen). One hash agg with
+    * map-side combine — the 100 TB shape; NULL urls pass through
+    * untouched as their own rows' keepers is NOT the stance here: NULL
+    * url rows are dropped (no fetch key, nothing to dedup against —
+    * callers route them separately).
+    *
+    * Returns `(canonical_url, keeper_id, n_dups)`.
+    */
+  def canonicalUrlDedup(
+      docs: DataFrame,
+      urlCol: String = "url",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    docs.where(col(urlCol).isNotNull)
+      .select(urlCanonicalize(col(urlCol)).as("canonical_url"), col(idCol))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
+
   /** Blocklist phrase filtering (the safety/compliance filter every
     * corpus pipeline runs before training): count occurrences of each
     * blocked TOKEN PHRASE (1..k tokens, [[tokens]] contract) per

@@ -1263,6 +1263,27 @@ object Queries {
       .orderBy(col("src_id"), col("dst_id"))
   }
 
+  /** Canonical-URL dedup gate: URLs are synthesized deterministically
+    * from (source, doc_id) with every canonicalization hazard planted —
+    * uppercase scheme/host/www, default :443 port, mixed-case PATH
+    * (which must be preserved), a %3 trailing slash, utm_ tracking
+    * params, unsorted params, a %5 fragment — then deduped on
+    * [[graft.ext.TextAnalysis.urlCanonicalize]]'s key. The oracle
+    * rebuilds the same URLs and replays every normalization step.
+    */
+  def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/Docs/"),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&id="), (col("doc_id") % 160).cast("string"),
+      lit("&b=2&a=1"),
+      when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+    TextAnalysis.canonicalUrlDedup(
+        t(spark, dir, "documents").select(col("doc_id"), url.as("url")))
+      .orderBy(col("canonical_url"))
+  }
+
   /** The blocklist the q_blocklist gate matches (mixed 1/2/3-token
     * phrases so the multi-length single-scan path is exercised); the
     * oracle builder derives its VALUES list and per-length gram
@@ -2409,6 +2430,7 @@ object Queries {
     "q_blocklist" -> (qBlocklist _),
     "q_containment_pairs" -> (qContainmentPairs _),
     "q_attribution" -> (qAttribution _),
+    "q_url_dedup" -> (qUrlDedup _),
     "q_kcore" -> (qKCore _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_text_tokens" -> (qTextTokens _),

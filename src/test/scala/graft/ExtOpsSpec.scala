@@ -1088,6 +1088,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(r == Seq((1, "ab", 3L), (2, "ba", 1L)))
   }
 
+  test("urlCanonicalize: every normalization step, hand-computed") {
+    val cases = Seq(
+      // scheme/host lowercase, www+default port strip, utm drop, param sort, fragment drop
+      ("HTTPS://WWW.Ex.COM:443/A/b/?utm_x=1&b=2&a=1#frag", "https://ex.com/A/b?a=1&b=2"),
+      // http :80 strip; path case preserved; ref/gclid/fbclid dropped
+      ("http://Ex.com:80/Path?gclid=z&ref=h&fbclid=q&k=v", "http://ex.com/Path?k=v"),
+      // non-default port kept; no query; root slash kept (len-1 path)
+      ("https://ex.com:8443/", "https://ex.com:8443/"),
+      // only ONE trailing slash stripped; empty params dropped
+      ("https://ex.com/a//?&x=1", "https://ex.com/a/?x=1"),
+      // scheme-less input flows through without a scheme prefix
+      ("Ex.com/Page", "ex.com/Page"),
+      // bare host, nothing to do
+      ("https://ex.com", "https://ex.com"))
+    val r = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.urlCanonicalize(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(r == cases.map(_._2))
+  }
+
+  test("canonicalUrlDedup: first-seen keeper, NULL urls dropped") {
+    val docs = Seq(
+      (5L, Some("https://www.ex.com/p?utm_a=1")),
+      (2L, Some("HTTPS://ex.com:443/p")),
+      (9L, Some("https://ex.com/p")),
+      (7L, Some("https://other.com/q")),
+      (8L, None: Option[String])).toDF("doc_id", "url")
+    val r = TextAnalysis.canonicalUrlDedup(docs)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(r == Seq(("https://ex.com/p", 2L, 3L), ("https://other.com/q", 7L, 1L)))
+  }
+
   test("containmentJoin: asymmetric direction, hand-computed permilles") {
     // A's 3 shingles all inside B (7 tokens -> 5 shingles): C(A,B)=1000,
     // C(B,A)=3/5=600. C is unrelated.
