@@ -284,17 +284,25 @@ object Dedup {
     val docSh = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), explode(wordShingles(col(textCol), shingleSize)).as("sh"))
     val dfreq = docSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // The per-doc ordered shingle index is consumed THREE ways (prefix
+    // explode, dst-side inverted list, verify sets) — materialize it once
+    // (same discipline as the CC adjacency, Dedup.scala edgesByV), so the
+    // raw corpus is scanned only by the index build, not once per use.
     val ordered = docSh.join(dfreq, Seq("sh"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
       .select(col("id"),
         transform(col("ord"), x => x.getField("sh")).as("shs"),
         size(col("ord")).cast("long").as("n"))
+      .localCheckpoint()
     val pref = ordered.select(col("id"), col("n"),
       explode(slice(col("shs"), lit(1),
         (col("n") - expr(s"($t * n + 999) div 1000") + 1).cast("int"))).as("sh"))
+    // Inverted (sh, id) list re-derived from the materialized index, not
+    // from a second corpus scan.
     val cand = pref.select(col("sh"), col("id").as("src_id"))
-      .join(docSh.select(col("sh"), col("id").as("dst_id")), Seq("sh"))
+      .join(ordered.select(col("id").as("dst_id"), explode(col("shs")).as("sh"))
+        .select(col("sh"), col("dst_id")), Seq("sh"))
       .where(col("src_id") =!= col("dst_id"))
       .select(col("src_id"), col("dst_id"))
       .distinct()
