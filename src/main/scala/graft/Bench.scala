@@ -253,10 +253,15 @@ object Bench {
       // the engine's CORE operator: full backfill + streamed MERGE at 1M
       // events (10x rows AND 10x merge-key cardinality)
       "q_cdc_pipeline_e2e",
-      // round-13: the distributed-rank permutation (no global sort) and
-      // the vocabulary-bounded bigram count tables — the two new scale
-      // claims with an empirical leg
-      "q_epoch_shuffle", "q_bigram_surprisal")
+      // the distributed-rank permutation (no global sort) and the
+      // vocabulary-bounded bigram count tables
+      "q_epoch_shuffle", "q_bigram_surprisal",
+      // round-13: the BPE training loop's claim is that only the ONE
+      // corpus scan scales with rows while the merge rounds stay
+      // vocab-bounded (the 10x corpus also grows the vocab ~10x via the
+      // per-block token suffixes — a conservative upper bound), and the
+      // blocklist's multi-length gram explode is map-side linear
+      "q_bpe_train", "q_blocklist")
 
   /** Build (once; cached by source signature) a 10x derivative of sfDir's
     * documents/embeddings tables: ten id-shifted blocks. Block texts get a

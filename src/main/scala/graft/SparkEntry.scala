@@ -1517,6 +1517,29 @@ object SparkEntry {
         |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM c)
         |WHERE rank <= 40 ORDER BY rank""".stripMargin,
 
+    // Hashed linear classifier replay: same unigram+bigram explode, the
+    // pinned md5 60-bit bucket hash mod 4096, the same regenerated
+    // sparse weight table, left join + integer sum.
+    "q_linear_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id, unnest(list_concat(tk,
+        |    CASE WHEN len(tk) >= 2
+        |         THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |         ELSE [] END)) AS f
+        |  FROM toks),
+        |b AS (SELECT doc_id,
+        |  CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 4096 AS bucket FROM f),
+        |w AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS weight
+        |  FROM range(4096) t(i) WHERE i % 3 <> 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+        |  CAST(sum(coalesce(weight, 0)) AS BIGINT) AS raw_score
+        |FROM b LEFT JOIN w USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Canonical-URL dedup replay: rebuild the synthesized URLs, then
     // every urlCanonicalize step — fragment, query split, scheme/host
     // lowercase, www./default-port strip, tracking-param filter + sort,

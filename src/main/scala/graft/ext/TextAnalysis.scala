@@ -497,6 +497,50 @@ object TextAnalysis {
       .select(col("rank"), col("pair"), col("cnt"))
   }
 
+  /** Hashed-feature LINEAR TEXT CLASSIFIER inference — the fastText /
+    * CCNet quality-classifier shape, the scoring pass corpus pipelines
+    * run over every document: features are the unigrams + bigrams of the
+    * [[tokens]] contract, hashed into `numBuckets` buckets (the hashing
+    * trick — no vocabulary file ships with the model), each bucket
+    * carrying a weight from the caller's trained `weights` table; a
+    * document's raw score is the sum of its feature-occurrence weights.
+    *
+    * Scale shape: one corpus scan, columnar feature explode (no UDF), a
+    * BROADCAST join against the weight table (≤ numBuckets rows — model
+    * weights are KBs-to-MBs), one per-doc hash agg with map-side
+    * combine. All-integer (the caller quantizes trained weights), so the
+    * gate replays bit-exactly; the feature hash is the same md5-derived
+    * 60-bit value [[sourceOverlapKmv]] pins cross-engine.
+    *
+    * `weights`: `(bucket: Long, weight: Long)`; buckets absent from the
+    * table score 0 (sparse models are the norm). Returns `(idCol,
+    * n_features, raw_score)`; docs with no features (empty/NULL text) do
+    * not appear — route them via the quality filters instead.
+    */
+  def linearTextScore(
+      docs: DataFrame,
+      weights: DataFrame,
+      numBuckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+    val feats = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(concat(toks, bigrams)).as("f"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
+          lit(numBuckets.toLong)).as("bucket"))
+    feats
+      .join(broadcast(weights.select(col("bucket"), col("weight"))), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        sum(coalesce(col("weight"), lit(0L))).as("raw_score"))
+  }
+
   /** URL canonicalization — the crawl-dedup key derivation (a page is
     * fetched under dozens of spellings; corpus pipelines dedup on the
     * canonical form before any content hashing). Pure columnar

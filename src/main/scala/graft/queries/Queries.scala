@@ -1263,6 +1263,23 @@ object Queries {
       .orderBy(col("src_id"), col("dst_id"))
   }
 
+  /** Hashed linear classifier gate (TextAnalysis.linearTextScore): a
+    * SPARSE synthetic weight table (every third bucket of 4096, signed
+    * integer weights from a multiplicative formula — standing in for
+    * quantized trained weights) scores every document's unigram+bigram
+    * occurrences; absent buckets score 0 through the left join. Oracle
+    * regenerates the same weights from range() and replays the
+    * md5-bucket hash and feature explode.
+    */
+  def qLinearScore(spark: SparkSession, dir: String): DataFrame = {
+    val weights = spark.range(4096)
+      .where(col("id") % 3 =!= 2)
+      .select(col("id").as("bucket"),
+        ((col("id") * 2654435761L) % 2001 - 1000).as("weight"))
+    TextAnalysis.linearTextScore(t(spark, dir, "documents"), weights)
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical-URL dedup gate: URLs are synthesized deterministically
     * from (source, doc_id) with every canonicalization hazard planted —
     * uppercase scheme/host/www, default :443 port, mixed-case PATH
@@ -2431,6 +2448,7 @@ object Queries {
     "q_containment_pairs" -> (qContainmentPairs _),
     "q_attribution" -> (qAttribution _),
     "q_url_dedup" -> (qUrlDedup _),
+    "q_linear_score" -> (qLinearScore _),
     "q_kcore" -> (qKCore _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_text_tokens" -> (qTextTokens _),

@@ -1088,6 +1088,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(r == Seq((1, "ab", 3L), (2, "ba", 1L)))
   }
 
+  test("linearTextScore: occurrence-weighted sums, sparse buckets score zero") {
+    // Weight every bucket with its own id so expected sums are the
+    // bucket values themselves; one doc repeats a token -> its unigram
+    // bucket counts twice and the bigram ("x x") bucket once.
+    def bucket(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 4096
+    }
+    val docs = Seq((1L, "x x"), (2L, "y"), (3L, " "), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val weights = spark.range(4096).select(col("id").as("bucket"), col("id").as("weight"))
+    val r = TextAnalysis.linearTextScore(docs, weights)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(r == Seq(
+      (1L, 3L, 2 * bucket("x") + bucket("x x")),
+      (2L, 1L, bucket("y"))))
+    // Sparse table: drop "y"'s bucket -> scores 0 through the left join.
+    val sparse = weights.where(col("bucket") =!= bucket("y"))
+    val r2 = TextAnalysis.linearTextScore(docs, sparse)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(r2.find(_._1 == 2L).get == ((2L, 1L, 0L)))
+  }
+
   test("urlCanonicalize: every normalization step, hand-computed") {
     val cases = Seq(
       // scheme/host lowercase, www+default port strip, utm drop, param sort, fragment drop
