@@ -1517,6 +1517,36 @@ object SparkEntry {
         |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM c)
         |WHERE rank <= 40 ORDER BY rank""".stripMargin,
 
+    // Content-defined chunking replay: per-position window-hash fold
+    // (list_reduce seeded via list_prepend(0, …) = Spark's aggregate
+    // init 0), boundary rule % 16, chunk slicing and the md5 60-bit
+    // chunk hash — then the recurring-chunk rollup.
+    "q_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |nz AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |h AS (SELECT doc_id, tk,
+        |  [CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) for t in tk] AS hv FROM nz),
+        |w AS (SELECT doc_id, tk,
+        |  [list_reduce(list_prepend(0, hv[greatest(1, i - 3):i]),
+        |     (a, b) -> (a * 31 + b) % 1000000007)
+        |   for i in range(1, len(tk) + 1)] AS wh FROM h),
+        |b AS (SELECT doc_id, tk, list_sort(list_distinct(list_append(
+        |    [CAST(i AS BIGINT) for i in range(1, len(tk) + 1) if wh[i] % 16 = 0],
+        |    CAST(len(tk) AS BIGINT)))) AS bs FROM w),
+        |c AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(array_to_string(
+        |      tk[CAST((CASE WHEN k = 1 THEN 0 ELSE bs[CAST(k AS INT) - 1] END) + 1 AS INT):
+        |         CAST(bs[CAST(k AS INT)] AS INT)], ' ')), 1, 15)) AS BIGINT) AS chunk_hash,
+        |    bs[CAST(k AS INT)] - (CASE WHEN k = 1 THEN 0 ELSE bs[CAST(k AS INT) - 1] END) AS chunk_len
+        |  FROM b, LATERAL unnest(range(1, len(bs) + 1)) t(k))
+        |SELECT chunk_hash, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs, min(chunk_len) AS chunk_len
+        |FROM c GROUP BY chunk_hash HAVING count(*) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
+
     // Hashed linear classifier replay: same unigram+bigram explode, the
     // pinned md5 60-bit bucket hash mod 4096, the same regenerated
     // sparse weight table, left join + integer sum.

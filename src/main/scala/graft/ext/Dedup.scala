@@ -377,6 +377,97 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------- content-defined chunking (CDC)
+
+  /** Content-defined chunk table over the token stream — the
+    * storage-dedup primitive (LBFS/Rabin family): a chunk boundary falls
+    * after token `i` wherever the rolling hash of the last `window`
+    * tokens is ≡ 0 mod `divisor` (expected chunk length ≈ divisor), plus
+    * a forced boundary at document end. Because boundaries depend only
+    * on LOCAL content, an edit near the head of a page re-synchronizes
+    * within ~`window` tokens and every later chunk hashes identically —
+    * fixed-size blocks would shift all of them; that resync is what lets
+    * a corpus pipeline share storage / detect partial-edit duplication
+    * across crawl snapshots (pinned by spec).
+    *
+    * Everything is per-row columnar (transform/filter/aggregate over the
+    * token array — no UDF, no shuffle): token hashes are the md5-derived
+    * 60-bit value the KMV/classifier ops pin cross-engine; the window
+    * hash folds them with `(acc·31 + h) mod 1e9+7` seeded from 0, so the
+    * whole chunk table is engine-replayable (positions under `window`
+    * fold the available prefix — deterministic, same both sides).
+    *
+    * Returns one row per chunk: `(idCol, chunk_no, chunk_start,
+    * chunk_len, chunk_hash)` — 1-based token offsets, `chunk_hash` the
+    * 60-bit hash of the space-joined chunk tokens. Empty/NULL texts
+    * contribute no rows.
+    */
+  def contentChunks(
+      docs: DataFrame,
+      window: Int = 4,
+      divisor: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val P = 1000000007L
+    val toks = TextAnalysis.tokens(col(textCol))
+    val hv60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col(idCol), col("tk"), transform(col("tk"), t => hv60(t)).as("hv"))
+    // Window hash at position i (1-based): fold hv[max(1, i-window+1)..i].
+    val wh = transform(sequence(lit(1), size(col("tk"))), i =>
+      aggregate(
+        slice(col("hv"), greatest(lit(1), i - (window - 1)), least(i, lit(window))),
+        lit(0L), (acc, h) => pmod(acc * 31L + h, lit(P))))
+    // Boundary positions: window-hash hits ∪ the forced end-of-doc.
+    val bnds = array_union(
+      filter(sequence(lit(1L), size(col("tk")).cast("long")),
+        i => element_at(col("_wh"), i.cast("int")) % divisor === 0),
+      array(size(col("tk")).cast("long")))
+    // Chunk k spans (prevBoundary+1 .. boundary_k); tk rides through the
+    // explode so the chunk hash computes inline — no re-join, no second
+    // corpus pass.
+    base
+      .withColumn("_wh", wh)
+      .withColumn("_b", array_sort(bnds))
+      .select(col(idCol), col("tk"),
+        posexplode(transform(sequence(lit(1), size(col("_b"))), k =>
+          struct(
+            when(k === 1, lit(0L)).otherwise(element_at(col("_b"), (k - 1).cast("int")))
+              .as("prev"),
+            element_at(col("_b"), k.cast("int")).as("end")))).as(Seq("_k", "c")))
+      .select(col(idCol), (col("_k") + 1).cast("long").as("chunk_no"),
+        (col("c.prev") + 1).as("chunk_start"),
+        (col("c.end") - col("c.prev")).as("chunk_len"),
+        hv60(concat_ws(" ", slice(col("tk"),
+          (col("c.prev") + 1).cast("int"), (col("c.end") - col("c.prev")).cast("int"))))
+          .as("chunk_hash"))
+  }
+
+  /** Cross-corpus chunk-level dedup summary over [[contentChunks]]:
+    * which chunks recur, how often, in how many documents — the shared-
+    * storage / partial-edit-duplication report. One hash agg with
+    * map-side combine over the chunk table; linear in chunk count.
+    */
+  def chunkDedup(
+      docs: DataFrame,
+      window: Int = 4,
+      divisor: Int = 16,
+      minOccurrences: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    contentChunks(docs, window, divisor, idCol, textCol)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col("chunk_len")).as("chunk_len"))
+      .where(col("n_occurrences") >= minOccurrences)
+
   // ---------------------------------------------------- line-level dedup
 
   /** Cross-document line deduplication — the C4/RefinedWeb boilerplate

@@ -1263,6 +1263,16 @@ object Queries {
       .orderBy(col("src_id"), col("dst_id"))
   }
 
+  /** Content-defined chunk dedup gate (Dedup.chunkDedup): rolling-hash
+    * chunk boundaries (window 4, divisor 16) over every document's token
+    * stream, then the corpus-wide recurring-chunk report. The oracle
+    * replays the hash fold, boundary rule, chunk slicing and chunk hash
+    * per position — all integers and md5, bit-exact.
+    */
+  def qChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(t(spark, dir, "documents"), window = 4, divisor = 16)
+      .orderBy(col("chunk_hash"))
+
   /** Hashed linear classifier gate (TextAnalysis.linearTextScore): a
     * SPARSE synthetic weight table (every third bucket of 4096, signed
     * integer weights from a multiplicative formula — standing in for
@@ -2449,6 +2459,7 @@ object Queries {
     "q_attribution" -> (qAttribution _),
     "q_url_dedup" -> (qUrlDedup _),
     "q_linear_score" -> (qLinearScore _),
+    "q_chunk_dedup" -> (qChunkDedup _),
     "q_kcore" -> (qKCore _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_text_tokens" -> (qTextTokens _),
