@@ -1517,6 +1517,27 @@ object SparkEntry {
         |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM c)
         |WHERE rank <= 40 ORDER BY rank""".stripMargin,
 
+    // Temperature-mix replay: per-lang counts, pa = sqrt(c) (IEEE
+    // correctly rounded both engines), the FIXED weight expression tree
+    // (N·pa / Σpa) / c, then the floor + hash-gated fractional copy.
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |p AS (SELECT lang, c, sqrt(CAST(c AS DOUBLE)) AS pa FROM c),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot, sum(pa) AS pa_tot FROM p),
+        |w AS (SELECT lang,
+        |  ((CAST(n_tot AS DOUBLE) * pa / pa_tot) / CAST(c AS DOUBLE)) AS w
+        |  FROM p CROSS JOIN t),
+        |d AS (SELECT doc_id, documents.lang AS lang, coalesce(w.w, 1.0) AS w
+        |  FROM documents LEFT JOIN w ON documents.lang = w.lang),
+        |n AS (SELECT doc_id, lang,
+        |  CAST(floor(w) AS BIGINT) +
+        |    CASE WHEN (doc_id * 2654435789) % 1000 <
+        |              CAST(round((w - floor(w)) * 1000) AS BIGINT)
+        |         THEN 1 ELSE 0 END AS n
+        |  FROM d)
+        |SELECT lang, CAST(sum(n) AS BIGINT) AS n_out
+        |FROM n WHERE n > 0 GROUP BY lang ORDER BY lang""".stripMargin,
+
     // Content-defined chunking replay: per-position window-hash fold
     // (list_reduce seeded via list_prepend(0, …) = Spark's aggregate
     // init 0), boundary rule % 16, chunk slicing and the md5 60-bit

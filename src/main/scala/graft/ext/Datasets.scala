@@ -336,6 +336,64 @@ object Datasets {
       .drop("_n")
   }
 
+  /** TEMPERATURE-balanced corpus mixing — the multilingual-pretraining
+    * rebalancing step (mC4/XLM-R style): label l's target share is
+    * `c_l^α / Σ c^α`, flattening the head so low-resource labels are not
+    * drowned; the per-label up/down-sampling weight `w_l = (N·c_l^α /
+    * Σc^α) / c_l` is DERIVED FROM THE DATA (one label-bounded count agg
+    * + scalar sums — no hand-maintained weight map), broadcast back, and
+    * applied with [[mixCorpus]]'s deterministic floor+hash-gated-extra
+    * copy rule. Total output size ≈ input size (Σ targets = N).
+    *
+    * α is restricted to {1/4, 1/2, 3/4} (`alphaQuarters` = 1..3),
+    * computed as composed `sqrt` — IEEE-754 sqrt and multiply are
+    * correctly rounded and therefore BIT-IDENTICAL across engines,
+    * unlike `pow(x, 0.3)`, whose libm drift the repo's bm25 already
+    * engineered out. The weight expression tree is fixed
+    * (`(N·pa / Σpa) / c`) so the oracle replays it operation-for-
+    * operation. NULL labels pass through with weight 1.
+    *
+    * Output: input columns + `copy_idx`. Map-only after the broadcast
+    * weight join; scales like mixCorpus.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      alphaQuarters: Int = 2,
+      labelCol: String = "source",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 3,
+      s"alphaQuarters must be 1, 2 or 3 (alpha = 1/4, 1/2, 3/4), got $alphaQuarters")
+    val counts = df.where(col(labelCol).isNotNull)
+      .groupBy(col(labelCol)).agg(count(lit(1)).as("c"))
+    def powAlpha(c: Column): Column = {
+      val half = sqrt(c.cast("double"))
+      val quarter = sqrt(half)
+      alphaQuarters match {
+        case 1 => quarter
+        case 2 => half
+        case 3 => half * quarter
+      }
+    }
+    val withPa = counts.withColumn("pa", powAlpha(col("c")))
+    val totals = withPa.agg(
+      sum(col("c")).as("n_tot"), sum(col("pa")).as("pa_tot"))
+    val wtab = withPa.crossJoin(broadcast(totals))
+      .select(col(labelCol),
+        ((col("n_tot").cast("double") * col("pa") / col("pa_tot")) /
+          col("c").cast("double")).as("_w"))
+    val joined = df.join(broadcast(wtab), Seq(labelCol), "left")
+      .withColumn("_w", coalesce(col("_w"), lit(1.0)))
+    val whole = floor(col("_w")).cast("long")
+    val fracPermille = round((col("_w") - floor(col("_w"))) * 1000).cast("long")
+    val mixBucket = pmod(col(idCol) * MixHash, lit(1000L))
+    joined
+      .withColumn("_n", whole + when(mixBucket < fracPermille, 1L).otherwise(0L))
+      .where(col("_n") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_n", "_w")
+  }
+
   /** Crawl-to-crawl corpus diff: classify every document id across two
     * corpus versions as `added` / `removed` / `changed` / `unchanged`,
     * comparing CONTENT by the normalized fingerprint (formatting-only

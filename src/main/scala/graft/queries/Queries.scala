@@ -1263,6 +1263,17 @@ object Queries {
       .orderBy(col("src_id"), col("dst_id"))
   }
 
+  /** Temperature-mix gate (Datasets.temperatureMix, α = 1/2): per-lang
+    * output sizes after data-derived rebalancing — sqrt/multiply/divide
+    * are IEEE-correctly-rounded, so the oracle replays the weight
+    * derivation and the hash-gated copy rule bit-exactly.
+    */
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    Datasets.temperatureMix(t(spark, dir, "documents"), alphaQuarters = 2,
+        labelCol = "lang")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_out"))
+      .orderBy(col("lang"))
+
   /** Content-defined chunk dedup gate (Dedup.chunkDedup): rolling-hash
     * chunk boundaries (window 4, divisor 16) over every document's token
     * stream, then the corpus-wide recurring-chunk report. The oracle
@@ -2460,6 +2471,7 @@ object Queries {
     "q_url_dedup" -> (qUrlDedup _),
     "q_linear_score" -> (qLinearScore _),
     "q_chunk_dedup" -> (qChunkDedup _),
+    "q_temperature_mix" -> (qTemperatureMix _),
     "q_kcore" -> (qKCore _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_text_tokens" -> (qTextTokens _),

@@ -1088,6 +1088,33 @@ class ExtOpsSpec extends SparkSpec {
     assert(r == Seq((1, "ab", 3L), (2, "ba", 1L)))
   }
 
+  test("temperatureMix: sqrt-law rebalancing, hand-replayed weights") {
+    // a: 100 rows, b: 4 rows. alpha=1/2: pa = 10, 2; N=104, Σpa=12.
+    // w_a = (104*10/12)/100 ≈ 0.8667, w_b = (104*2/12)/4 ≈ 4.3333.
+    val rows = (0 until 100).map(i => (i.toLong, "a")) ++
+      (100 until 104).map(i => (i.toLong, "b"))
+    val df = rows.toDF("doc_id", "source")
+    val r = Datasets.temperatureMix(df, alphaQuarters = 2)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // Replay the exact double math.
+    def expected(label: String): Long = {
+      val (ca, cb) = (100.0, 4.0)
+      val (paA, paB) = (math.sqrt(ca), math.sqrt(cb))
+      val (nTot, paTot) = (104.0, paA + paB)
+      val w = if (label == "a") (nTot * paA / paTot) / ca else (nTot * paB / paTot) / cb
+      val whole = math.floor(w).toLong
+      val fracPermille = math.round((w - math.floor(w)) * 1000)
+      rows.filter(_._2 == label).map { case (id, _) =>
+        whole + (if (((id * 2654435789L) % 1000) < fracPermille) 1L else 0L)
+      }.sum
+    }
+    assert(r("a") == expected("a"))
+    assert(r("b") == expected("b"))
+    // The rebalance direction: b (rare) upsampled, a (common) downsampled.
+    assert(r("b") > 4L * 3 && r("a") < 100L)
+  }
+
   test("contentChunks: chunks tile the token stream; boundaries are content-defined") {
     val docs = Seq((1L, ("tok1 " * 200).trim)).toDF("doc_id", "text") // 200 identical tokens
     val r = Dedup.contentChunks(docs, window = 4, divisor = 16)
