@@ -191,6 +191,54 @@ object SparkEntry {
        |GROUP BY doc_id, phrase ORDER BY doc_id, phrase""".stripMargin
   }
 
+  /** DuckDB oracle for q_gopher_rules: every ratio rule replayed in the
+    * cross-multiplied INTEGER form of `TextAnalysis.gopherRules` — no
+    * float division on either side — with the stopword list generated
+    * from the same [[graft.ext.TextAnalysis.Stopwords]] constant so the
+    * two sides cannot drift.
+    */
+  private def gopherRulesOracle: String = {
+    val stops = graft.ext.TextAnalysis.Stopwords.map(s => s"'$s'")
+      .mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |tk AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |    x -> len(x) > 0) AS tk
+       |  FROM d),
+       |m AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_words,
+       |  CAST(coalesce(list_sum(list_transform(tk,
+       |    x -> CAST(len(x) AS BIGINT))), 0) AS BIGINT) AS sum_len,
+       |  list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines,
+       |  CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT) AS hash_ellipsis,
+       |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+       |  CAST(len(list_filter(tk, x -> list_contains($stops, x))) AS BIGINT) AS stop_hits
+       |  FROM tk),
+       |mm AS (SELECT doc_id, n_words, sum_len, hash_ellipsis, alpha_words, stop_hits,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(list_filter(lines,
+       |    l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bullet_lines,
+       |  CAST(len(list_filter(lines,
+       |    l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS BIGINT) AS ellipsis_lines
+       |  FROM m)
+       |SELECT doc_id,
+       |  n_words > 0 AND n_words >= 50 AND n_words <= 100000 AS r_word_count,
+       |  n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS r_mean_word_len,
+       |  n_words > 0 AND hash_ellipsis * 10 <= n_words AS r_hash_ellipsis,
+       |  n_words > 0 AND bullet_lines * 10 < n_lines * 9 AS r_bullet_lines,
+       |  n_words > 0 AND ellipsis_lines * 10 < n_lines * 3 AS r_ellipsis_lines,
+       |  n_words > 0 AND alpha_words * 10 >= n_words * 8 AS r_alpha_words,
+       |  n_words > 0 AND stop_hits >= 2 AS r_stopwords,
+       |  (n_words > 0 AND n_words >= 50 AND n_words <= 100000)
+       |    AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+       |    AND (hash_ellipsis * 10 <= n_words)
+       |    AND (bullet_lines * 10 < n_lines * 9)
+       |    AND (ellipsis_lines * 10 < n_lines * 3)
+       |    AND (alpha_words * 10 >= n_words * 8)
+       |    AND (stop_hits >= 2) AS keep
+       |FROM mm ORDER BY doc_id""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Queries.q5LocalSupplierVolume(spark, "/root/testdata/sf0.001")
@@ -200,6 +248,71 @@ object SparkEntry {
 
   /** DuckDB oracles. Table names resolve to `<sfDir>/<name>.parquet`. */
   def oracleSql: Map[String, String] = Map(
+    // SCD2 replay: same (ts, event_id) total order, first-row detection
+    // via row_number (NOT `prev IS NULL` — a NULL attribute in the prior
+    // row must not look like "no prior row"), NULL-safe change test via
+    // IS DISTINCT FROM, validity bounds as exact epoch micros.
+    "q_scd2_history" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, ts, event_type FROM w
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |v AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |    ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM chg)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        |  epoch_us(valid_from) AS valid_from_us,
+        |  epoch_us(valid_to) AS valid_to_us,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // HTML extraction replay: identical page synthesis, then the exact
+    // regex chain (RE2 ⊆ Java semantics for every construct used: inline
+    // (?is), non-greedy, no backreferences), entity decode in the same
+    // order (&amp; last), whitespace collapse + trim. chr(39) is the
+    // single quote (avoids SQL-escape noise).
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>p { color: red; }</style>' ||
+        |    '<script>var x = "<b>bold</b>"; if (1 < 2) { y = "&amp;"; }</script></head>' ||
+        |    '<body><!-- hidden --><h1>Heading ' || CAST(doc_id AS VARCHAR) ||
+        |    '</h1><p>' || text || '</p>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '<ul><li>alpha &amp; beta</li><li>&lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y</li></ul>'
+        |      ELSE '' END ||
+        |    '</body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, html,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g') AS raw
+        |  FROM h),
+        |d AS (SELECT doc_id, html,
+        |    replace(replace(replace(replace(replace(replace(raw,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS dec
+        |  FROM s)
+        |SELECT doc_id,
+        |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+        |  trim(regexp_replace(dec, '\s+', ' ', 'g')) AS body_text,
+        |  CAST(len(trim(regexp_replace(dec, '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" -> gopherRulesOracle,
+
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,

@@ -948,6 +948,112 @@ object TextAnalysis {
         expr("(1000 * n_common) div sketch_union").as("jacc_permille"))
   }
 
+  /** HTML → text extraction (the crawl-pipeline step upstream of every
+    * quality/dedup operator: WET-file generation, trafilatura's ancestor).
+    * Pure columnar regex chain, pinned replayable cross-engine (Java
+    * regex and DuckDB's RE2 agree on every construct used here — inline
+    * `(?is)` flags and non-greedy `.*?`; NO backreferences, which RE2
+    * lacks, hence separate script/style passes):
+    *
+    *  1. drop `<script>…</script>` and `<style>…</style>` blocks whole
+    *     (their content is code, not text — tag-stripping alone would
+    *     leak it into the corpus),
+    *  2. drop HTML comments `<!-- … -->`,
+    *  3. every remaining tag → one space (so `a<br>b` keeps its word
+    *     boundary),
+    *  4. decode the six entities that survive in text corpora
+    *     (`&lt; &gt; &quot; &#39; &nbsp;`, and `&amp;` LAST so
+    *     `&amp;lt;` decodes to the literal `&lt;` exactly once — the
+    *     HTML5 double-escape rule),
+    *  5. collapse whitespace runs and trim.
+    *
+    * 100 TB shape: per-row map transform, no shuffle, no UDF — scales
+    * with the scan.
+    */
+  def extractHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(replace(noTags, lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+            lit("&quot;"), lit("\"")),
+          lit("&#39;"), lit("'")),
+        lit("&nbsp;"), lit(" ")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** `<title>` text of an HTML page (first title tag, tags inside kept
+    * verbatim — titles are plain text in practice), or NULL-equivalent
+    * empty string when absent. Same cross-engine regex constraints as
+    * [[extractHtml]].
+    */
+  def extractHtmlTitle(html: Column): Column =
+    regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
+
+  /** Gopher-style document quality rules (Rae et al. 2021, table A1 —
+    * the standard pre-training heuristic filter battery). One boolean
+    * column per rule plus the conjunction `keep`; every comparison is
+    * INTEGER (ratio thresholds are cross-multiplied: `mean word length
+    * in [3,10]` becomes `3·n ≤ Σlen ≤ 10·n`) so the gate is bit-exact
+    * cross-engine with no float division anywhere.
+    *
+    * Rules (empty/whitespace-only text fails all):
+    *  - `r_word_count`:   50 ≤ words ≤ 100 000
+    *  - `r_mean_word_len`: mean token length in [3, 10]
+    *  - `r_hash_ellipsis`: (# '#' + # '…') ≤ 10% of words
+    *  - `r_bullet_lines`:  lines starting with a bullet < 90% of lines
+    *  - `r_ellipsis_lines`: lines ending in …/... < 30% of lines
+    *  - `r_alpha_words`:   words containing a letter ≥ 80%
+    *  - `r_stopwords`:     ≥ 2 stopword hits (of [[Stopwords]])
+    *
+    * 100 TB shape: pure per-row columnar arithmetic, no shuffle, no UDF.
+    */
+  def gopherRules(text: Column): Column = {
+    val tk = tokens(text)
+    val nWords = size(tk).cast("long")
+    val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t))
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines,
+      l => trim(l).rlike("^[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines,
+      l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val hashEllipsis =
+      (size(regexp_extract_all(text, lit("[#…]"), lit(0)))).cast("long")
+    val alphaWords = size(filter(tk, t => t.rlike("[a-z]"))).cast("long")
+    val stopHits = size(filter(tk,
+      t => array_contains(lit(Stopwords.toArray), t))).cast("long")
+    val nonEmpty = nWords > 0
+    struct(
+      (nonEmpty && nWords >= 50 && nWords <= 100000L).as("r_word_count"),
+      (nonEmpty && sumLen >= nWords * 3 && sumLen <= nWords * 10).as("r_mean_word_len"),
+      (nonEmpty && hashEllipsis * 10 <= nWords).as("r_hash_ellipsis"),
+      (nonEmpty && bulletLines * 10 < nLines * 9).as("r_bullet_lines"),
+      (nonEmpty && ellipsisLines * 10 < nLines * 3).as("r_ellipsis_lines"),
+      (nonEmpty && alphaWords * 10 >= nWords * 8).as("r_alpha_words"),
+      (nonEmpty && stopHits >= 2).as("r_stopwords"))
+  }
+
+  /** [[gopherRules]] over a corpus frame: per-rule booleans flattened to
+    * columns plus the conjunction `keep`.
+    */
+  def gopherFilter(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val r = gopherRules(col(textCol))
+    val names = Seq("r_word_count", "r_mean_word_len", "r_hash_ellipsis",
+      "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stopwords")
+    val flat = names.foldLeft(docs.withColumn("_r", r)) {
+      (d, n) => d.withColumn(n, col("_r").getField(n))
+    }
+    flat
+      .withColumn("keep", names.map(col).reduce(_ && _))
+      .drop("_r")
+  }
+
   /** Convenience: annotate a corpus with the full analysis column set. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

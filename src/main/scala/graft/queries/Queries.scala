@@ -2355,8 +2355,72 @@ object Queries {
         col("frame_offset"))
       .orderBy(col("doc_id"), col("frame_index"))
 
+  /** SCD2 type-2 history off the events change stream: per user the
+    * event_type is the tracked "state"; consecutive duplicates collapse,
+    * each surviving change opens a version with [valid_from, valid_to)
+    * bounds. Validity bounds emitted as epoch MICROS bigints (exact —
+    * the generator emits micro-precision timestamps) so the cross-engine
+    * hash never touches timestamp formatting. Plan: a single Exchange on
+    * user_id feeds the collapse lag, the validity lead and the version
+    * row_number (same partition key throughout — see [[graft.ops.Scd2]]).
+    */
+  def qScd2History(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd2.history(events(spark, dir), "user_id", "ts", "event_id",
+      Seq("event_type"))
+      .select(col("user_id"), col("version").cast("long").as("version"),
+        col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+
+  /** HTML → text extraction gate: pages synthesized deterministically
+    * from the documents table (title/style/script/comment/entity
+    * hazards, a bullet list on every third doc), then
+    * [[TextAnalysis.extractHtml]] + title pull. The DuckDB oracle
+    * replays page construction AND the regex chain step by step (Java
+    * regex and RE2 agree on every construct used — no backreferences).
+    * Map-only, no shuffle.
+    */
+  def qHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p { color: red; }</style>"),
+      lit("<script>var x = \"<b>bold</b>\"; if (1 < 2) { y = \"&amp;\"; }</script></head>"),
+      lit("<body><!-- hidden --><h1>Heading "), col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<ul><li>alpha &amp; beta</li><li>&lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y</li></ul>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    t(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .withColumn("_html", html)
+      .select(col("doc_id"),
+        TextAnalysis.extractHtmlTitle(col("_html")).as("title"),
+        TextAnalysis.extractHtml(col("_html")).as("body_text"))
+      .withColumn("n_chars", length(col("body_text")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher rule-battery gate: per-rule booleans + keep over documents.
+    * Every ratio threshold is cross-multiplied to integer arithmetic
+    * ([[TextAnalysis.gopherRules]]) so the oracle replay is bit-exact.
+    * Map-only, no shuffle.
+    */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFilter(
+      t(spark, dir, "documents").where(col("text").isNotNull))
+      .select(col("doc_id"), col("r_word_count"), col("r_mean_word_len"),
+        col("r_hash_ellipsis"), col("r_bullet_lines"), col("r_ellipsis_lines"),
+        col("r_alpha_words"), col("r_stopwords"), col("keep"))
+      .orderBy(col("doc_id"))
+
   /** All queries, keyed — the SparkEntry surface. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_history" -> (qScd2History _),
+    "q_html_extract" -> (qHtmlExtract _),
+    "q_gopher_rules" -> (qGopherRules _),
     "q1_pricing_agg" -> (q1PricingSummary _),
     "q2_topk_orders" -> (q2TopOrders _),
     "q3_join_revenue" -> (q3ShippingPriority _),

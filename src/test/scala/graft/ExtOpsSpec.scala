@@ -1362,4 +1362,59 @@ class ExtOpsSpec extends SparkSpec {
       .select(col("v"), col("q_permille")).as[(Long, Long)].collect().toMap
     assert(r == Map(10L -> 0L, 20L -> 250L, 30L -> 500L, 40L -> 750L, 50L -> 1000L, 7L -> 0L))
   }
+
+  test("extractHtml strips script/style/comments whole and keeps word boundaries") {
+    val html = """<html><head><style>p { color: red; }</style>
+      |<script>var s = "</div> not text"; if (1 < 2) {}</script></head>
+      |<body>alpha<br>beta <!-- secret --> <p>gamma</p></body></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(TextAnalysis.extractHtml(col("h")).as("t")).as[String].head()
+    assert(out == "alpha beta gamma")
+  }
+
+  test("extractHtml decodes entities with &amp; last (no double decode)") {
+    val html = "<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39; x&nbsp;y &amp;lt; &amp; z</p>"
+    val out = Seq(html).toDF("h")
+      .select(TextAnalysis.extractHtml(col("h")).as("t")).as[String].head()
+    // &amp;lt; must decode to the literal text "&lt;" exactly once
+    assert(out == "a <b> \"c\" 'd' x y &lt; & z")
+  }
+
+  test("extractHtmlTitle pulls the first title, empty when absent") {
+    val df = Seq("<head><title>My Page</title><title>x</title></head>", "<p>no title</p>")
+      .toDF("h").select(TextAnalysis.extractHtmlTitle(col("h")).as("t"))
+    assert(df.as[String].collect().toSeq == Seq("My Page", ""))
+  }
+
+  test("gopherRules: clean doc passes, each planted defect fails its rule") {
+    val clean = (("the quick brown fox jumps over the lazy dog and runs on " * 6) + "end").trim
+    val tooShort = "the cat sat"
+    val longWords = Seq.fill(60)("pneumonoultramicroscopics").mkString(" ")
+    val hashy = (("the quick brown fox " * 15) + ("# " * 20)).trim
+    val bullets = Seq.fill(10)("- the quick brown fox jumps over").mkString("\n")
+    val nonAlpha = (("the of and to in is it that for on " * 5) +
+      ("12345 67890 11111 22222 33333 " * 10)).trim
+    val noStops = Seq.fill(60)("zebra").mkString(" ")
+    val df = Seq((1L, clean), (2L, tooShort), (3L, longWords), (4L, hashy),
+      (5L, bullets), (6L, nonAlpha), (7L, noStops)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherFilter(df)
+      .select(col("doc_id"), col("r_word_count"), col("r_mean_word_len"),
+        col("r_hash_ellipsis"), col("r_bullet_lines"), col("r_alpha_words"),
+        col("r_stopwords"), col("keep"))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._8, "clean doc must pass all rules")
+    assert(!r(2L)._2 && !r(2L)._8, "short doc fails word count")
+    assert(!r(3L)._3, "long words fail mean word length")
+    assert(!r(4L)._4, "hash-heavy doc fails symbol ratio")
+    assert(!r(5L)._5, "all-bullet doc fails bullet-line ratio")
+    assert(!r(6L)._6, "digit-heavy doc fails alpha-word ratio")
+    assert(!r(7L)._7, "stopword-free doc fails stopword rule")
+  }
+
+  test("gopherRules: empty and whitespace-only text fails every rule") {
+    val df = Seq((1L, ""), (2L, "   \n  ")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherFilter(df).select(col("keep")).as[Boolean].collect()
+    assert(r.toSeq == Seq(false, false))
+  }
 }
