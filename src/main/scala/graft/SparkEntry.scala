@@ -137,29 +137,61 @@ object SparkEntry {
     * left-to-right non-overlapping).
     */
   private def bpeTrainOracle(rounds: Int): String = {
+    val sel = (1 to rounds)
+      .map(k => s"SELECT $k AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM t$k")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeCtes(rounds)}\nSELECT * FROM ($sel) ORDER BY round"
+  }
+
+  /** Shared CTE block for the BPE oracles: word-count table, per-round
+    * pair counts / top pair / replace re-segmentation. The word `w` rides
+    * along every round so [[bpeEncodeOracle]] can join documents back
+    * against the final segmentation (the train oracle ignores it).
+    *
+    * Every CTE is `AS MATERIALIZED`: DuckDB otherwise inlines the chain
+    * (r8 → r7 twice: once via p8, once directly), re-evaluating r0
+    * exponentially many times — measured >400 s vs 0.5 s materialized at
+    * sf0.01. Spark never sees this SQL, so the DuckDB-specific keyword
+    * is safe.
+    */
+  private def bpeCtes(rounds: Int): String = {
     val head = Seq(
-      """tok AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      """tok AS MATERIALIZED (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |    x -> len(x) > 0)) AS w FROM documents WHERE text IS NOT NULL)""".stripMargin,
-      "w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w)",
-      """r0 AS (SELECT array_to_string(list_transform(range(1, len(w) + 1),
+      "w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w)",
+      """r0 AS MATERIALIZED (SELECT w, array_to_string(list_transform(range(1, len(w) + 1),
         |    i -> substr(w, CAST(i AS INT), 1)), ' ') AS repr, cnt FROM w0)""".stripMargin)
     val perRound = (1 to rounds).flatMap { k =>
       Seq(
-        s"""p$k AS (SELECT s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1] AS pair,
+        s"""p$k AS MATERIALIZED (SELECT s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1] AS pair,
            |    CAST(sum(cnt) AS BIGINT) AS cnt
            |  FROM (SELECT string_split(repr, ' ') AS s, cnt FROM r${k - 1}),
            |    LATERAL unnest(range(1, len(s))) t(i) GROUP BY 1)""".stripMargin,
-        s"t$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1)",
-        s"""r$k AS (SELECT trim(replace(' ' || repr || ' ',
+        s"t$k AS MATERIALIZED (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1)",
+        s"""r$k AS MATERIALIZED (SELECT w, trim(replace(' ' || repr || ' ',
            |    ' ' || (SELECT pair FROM t$k) || ' ',
            |    ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' ')) AS repr, cnt
            |  FROM r${k - 1})""".stripMargin)
     }
-    val sel = (1 to rounds)
-      .map(k => s"SELECT $k AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM t$k")
-      .mkString(" UNION ALL ")
-    s"WITH ${(head ++ perRound).mkString(",\n")}\nSELECT * FROM ($sel) ORDER BY round"
+    (head ++ perRound).mkString(",\n")
   }
+
+  /** DuckDB oracle for q_bpe_encode: the training rounds unrolled (same
+    * CTEs as the train oracle), then documents' words joined against the
+    * final segmentation and piece counts summed per doc — replaying
+    * `TextAnalysis.bpeEncode` verbatim.
+    */
+  private def bpeEncodeOracle(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)},
+       |docw AS (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |j AS (SELECT d.doc_id,
+       |    CAST(len(string_split(r.repr, ' ')) AS BIGINT) AS pieces
+       |  FROM docw d JOIN r$rounds r ON d.w = r.w)
+       |SELECT doc_id, CAST(sum(pieces) AS BIGINT) AS bpe_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_words
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle for q_blocklist: per-length gram comprehensions
     * (guarded so texts shorter than n contribute nothing for that
@@ -312,6 +344,80 @@ object SparkEntry {
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_gopher_rules" -> gopherRulesOracle,
+
+    // Keep-best dedup: q_dedup_groups' independent recursive-CTE closure
+    // over the odd-id planted corpus, winners by (len(text) DESC, id),
+    // survivors = corpus minus non-winning component members.
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    regexp_replace(text, '\s+\S+\s*$', '') AS text
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_distinct(list_concat(a.s, b.s))) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM (SELECT DISTINCT u FROM edges) t
+        |  UNION
+        |  SELECT e.u AS id, r.comp FROM edges e JOIN reach r ON e.v = r.id),
+        |cc AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+        |scored AS (SELECT cc.id, cc.comp, len(d.text) AS s
+        |  FROM cc JOIN corpus d ON d.doc_id = cc.id),
+        |win AS (SELECT id FROM (
+        |  SELECT id, row_number() OVER (PARTITION BY comp ORDER BY s DESC, id) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |losers AS (SELECT id FROM scored WHERE id NOT IN (SELECT id FROM win))
+        |SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars
+        |FROM corpus WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_encode" -> bpeEncodeOracle(8),
+
+    // CCNet bucketing replay: the q_bigram_surprisal CTEs for the
+    // fluency permille, the q_quantile_norm window form per language,
+    // thirds → head/middle/tail, per-(lang, bucket) counts.
+    "q_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |occ AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        |  FROM t, LATERAL unnest(range(1, len(l))) r(i) WHERE len(l) >= 2),
+        |uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(l) AS w FROM t) GROUP BY 1),
+        |bg AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY 1, 2),
+        |sc AS (SELECT o.doc_id, (1000 * bg.c12) // uni.c1 AS pm
+        |  FROM occ o JOIN bg ON o.w1 = bg.w1 AND o.w2 = bg.w2 JOIN uni ON o.w1 = uni.w),
+        |sup AS (SELECT doc_id, CAST(sum(pm) AS BIGINT) // count(*) AS mp
+        |  FROM sc GROUP BY doc_id),
+        |sl AS (SELECT s.doc_id, d.lang, s.mp
+        |  FROM sup s JOIN documents d USING (doc_id)),
+        |qn AS (SELECT lang, doc_id, mp,
+        |  row_number() OVER (PARTITION BY lang ORDER BY mp, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM sl),
+        |b AS (SELECT lang,
+        |  CASE WHEN n = 1 THEN 0 ELSE (1000 * (rk - 1)) // (n - 1) END AS q FROM qn)
+        |SELECT lang,
+        |  CASE WHEN q >= 667 THEN 'head' WHEN q >= 334 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,

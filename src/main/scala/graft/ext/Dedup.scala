@@ -716,6 +716,46 @@ object Dedup {
     res.labels
   }
 
+  /** Quality-aware dedup: per near-dup component keep the member with
+    * the HIGHEST score (ties → lowest id) instead of [[exact]]'s /
+    * the clean-corpus composition's min-id rule — the curation policy
+    * real pipelines want ("of the k crawls of this page, keep the
+    * longest / highest-quality one").
+    *
+    * `pairs` are candidate near-dup pairs (`id_a`, `id_b` — from
+    * [[nearDuplicatePairs]], [[simHashPairs]], …); `score` is any
+    * expression over `docs`' columns. Returns the surviving rows of
+    * `docs` (docs in no component always survive).
+    *
+    * 100 TB shape: components via [[connectedComponents]] (bounded
+    * rounds); the winner argmax is one hash agg over component MEMBERS
+    * only (a tiny fraction of the corpus), the winner table is
+    * component-count-sized (AQE broadcasts it), and the corpus is
+    * touched by exactly one anti join. The full corpus is never
+    * shuffled on a data-sized key.
+    */
+  def dedupKeepBest(
+      docs: DataFrame,
+      pairs: DataFrame,
+      score: Column,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(!docs.columns.exists(Set("_s", "_keep")),
+      "columns _s/_keep are reserved by dedupKeepBest")
+    val comp = connectedComponents(pairs)
+    val scored = docs.select(col(idCol).as("id"), score.as("_s"))
+      .join(comp, "id")
+    // argmax by (score desc, id asc): max of (score, -id) — ids are
+    // required non-negative for the tie-break negation to order.
+    val winners = scored.groupBy(col("comp"))
+      .agg(max_by(col("id"), struct(col("_s"), -col("id"))).as("_keep"))
+    val losers = scored
+      .join(winners, "comp")
+      .where(col("id") =!= col("_keep"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   private val logger = org.slf4j.LoggerFactory.getLogger("graft.ext.Dedup")
 
   /** [[connectedComponents]] plus the round count (see [[CcResult]]).

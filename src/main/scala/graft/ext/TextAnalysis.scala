@@ -694,14 +694,28 @@ object TextAnalysis {
       rounds: Int = 8,
       textCol: String = "text"
   ): DataFrame = {
-    require(rounds > 0, s"rounds must be positive, got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeLoop(docs, rounds, textCol)._2.toDF("round", "pair", "merged", "cnt")
+  }
+
+  /** The shared BPE merge loop: returns the word table after all rounds
+    * (`(w, repr, cnt)` — `repr` is each distinct word's final
+    * space-separated segmentation, still checkpointed) plus the learned
+    * merge list. [[bpeTrain]] returns the merges; [[bpeEncode]] joins
+    * the corpus against the segmentations.
+    */
+  private def bpeLoop(
+      docs: DataFrame,
+      rounds: Int,
+      textCol: String
+  ): (DataFrame, Seq[(Int, String, String, Long)]) = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
     val chars = filter(split(col("w"), ""), c => length(c) > 0)
     var words = docs.where(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(concat_ws(" ", chars).as("repr"), col("cnt"))
+      .select(col("w"), concat_ws(" ", chars).as("repr"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
@@ -727,6 +741,7 @@ object TextAnalysis {
         val prev = words
         words = words
           .select(
+            col("w"),
             trim(replace(concat(lit(" "), col("repr"), lit(" ")),
               lit(s" $pair "), lit(s" $merged "))).as("repr"),
             col("cnt"))
@@ -742,7 +757,40 @@ object TextAnalysis {
         r += 1
       }
     }
-    merges.toSeq.toDF("round", "pair", "merged", "cnt")
+    (words, merges.toSeq)
+  }
+
+  /** BPE ENCODING with a vocabulary trained in the same pass: learn
+    * `rounds` merges ([[bpeTrain]]'s loop), then tokenize the corpus by
+    * joining each document's words against the final word-segmentation
+    * table — per doc the true BPE piece count `bpe_tokens` (what a token
+    * budget is billed in) and `n_words`.
+    *
+    * 100 TB shape: the training loop is vocabulary-bounded (see
+    * [[bpeTrain]]); encoding is ONE more corpus scan (token explode) +
+    * an equi-join against the vocab-sized segmentation table (AQE
+    * broadcasts it when it fits — a natural-language vocabulary is
+    * MBs at any corpus size) + a per-doc hash agg. No per-document merge
+    * iteration: every occurrence of a word shares the segmentation
+    * computed once on the word table — the reason production tokenizers
+    * encode from a trained vocab instead of re-running merges per text.
+    * Documents with no tokens produce no output row.
+    */
+  def bpeEncode(
+      docs: DataFrame,
+      rounds: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val (words, _) = bpeLoop(docs, rounds, textCol)
+    val seg = words.select(col("w"),
+      size(split(col("repr"), " ")).cast("long").as("_pieces"))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(seg, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("_pieces")).as("bpe_tokens"),
+        count(lit(1)).as("n_words"))
   }
 
   /** Mixed-language document segmentation (the mC4/CCNet step that

@@ -2416,11 +2416,69 @@ object Queries {
         col("r_alpha_words"), col("r_stopwords"), col("keep"))
       .orderBy(col("doc_id"))
 
+  /** Quality-aware dedup gate: near-dup components over the odd-id half
+    * of the planted-copy corpus (q_dedup_groups' machinery), but the
+    * keeper is argmax(text length, min id) — the planted truncated copy
+    * always LOSES to its original, whatever their id order. Oracle: the
+    * independent recursive-CTE closure + the same argmax. See
+    * [[Dedup.dedupKeepBest]] for the 100 TB shape.
+    */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+    val corpus = withPerturbedCopies(docs)
+    val pairs = Dedup.nearDuplicatePairs(corpus, threshold = 0.5,
+      numHashes = 64, numBands = 16)
+    Dedup.dedupKeepBest(corpus, pairs, length(col("text")).cast("long"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE encoding gate: 8 merges trained on the corpus (q_bpe_train's
+    * loop), then every document tokenized by joining its words against
+    * the final segmentation table — per doc the true piece count. The
+    * oracle unrolls the training rounds AND replays the join ([[
+    * graft.SparkEntry]]'s bpeEncodeOracle). One extra corpus scan + a
+    * vocab-sized equi-join; no per-document merge iteration.
+    */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(t(spark, dir, "documents"), rounds = 8)
+      .select(col("doc_id"), col("bpe_tokens").cast("long").as("bpe_tokens"),
+        col("n_words").cast("long").as("n_words"))
+      .orderBy(col("doc_id"))
+
+  /** CCNet-style perplexity bucketing: per-language head/middle/tail
+    * thirds by LM-proxy fluency ([[TextAnalysis.bigramSurprisal]]'s mean
+    * conditional-probability permille, rank-normalized per language by
+    * [[Datasets.quantileNormalize]]) — the standard quality-tiering step
+    * before mixing. head = most fluent third. Output: per (lang, bucket)
+    * doc counts. Composition of two individually-gated operators; both
+    * shuffles are on corpus-bounded keys (word tables, per-lang window).
+    */
+  def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sup = TextAnalysis.bigramSurprisal(docs)
+      .select(col("doc_id"), col("mean_permille"))
+    val withLang = sup.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val qn = Datasets.quantileNormalize(withLang, "lang", "mean_permille")
+    qn.withColumn("bucket",
+        when(col("q_permille") >= 667, lit("head"))
+          .when(col("q_permille") >= 334, lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   /** All queries, keyed — the SparkEntry surface. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2_history" -> (qScd2History _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_gopher_rules" -> (qGopherRules _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q1_pricing_agg" -> (q1PricingSummary _),
     "q2_topk_orders" -> (q2TopOrders _),
     "q3_join_revenue" -> (q3ShippingPriority _),

@@ -1412,6 +1412,50 @@ class ExtOpsSpec extends SparkSpec {
     assert(!r(7L)._7, "stopword-free doc fails stopword rule")
   }
 
+  test("bpeEncode piece counts agree with the trained segmentations") {
+    // corpus: "low low low lower lowest" — merges will fuse l+o, lo+w, …
+    val df = Seq((1L, "low low low"), (2L, "lower lowest"), (3L, "low lowest"))
+      .toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(df, rounds = 2)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // round 1 merges the top pair "l o" (count 6: 4×low-prefix words + …),
+    // round 2 merges "lo w" → "low" is ONE piece, lower = low+e+r (3),
+    // lowest = low+e+s+t (4)
+    assert(enc(1L) == (3L, 3L), s"got $enc")   // three 'low' → 3 pieces
+    assert(enc(2L) == (7L, 2L))                 // 3 + 4
+    assert(enc(3L) == (5L, 2L))                 // 1 + 4
+  }
+
+  test("bpeEncode: docs whose words appear once still encode (vocab covers corpus)") {
+    val df = Seq((1L, "aa bb"), (2L, "aa aa cc")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(df, rounds = 1)
+    // every corpus word is in the trained table, so every doc gets a row
+    assert(enc.count() == 2)
+  }
+
+  test("dedupKeepBest keeps the highest-score member per component") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 10L),
+      (2L, "the quick brown fox jumps over the lazy", 5L), // near-dup of 1, lower score
+      (3L, "the quick brown fox jumps over the lazy dge", 99L), // near-dup, best score
+      (4L, "completely unrelated content about engines", 1L)
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupKeepBest(docs, pairs, col("score"))
+      .select("doc_id").as[Long].collect().sorted
+    // component {1,2,3}: 3 wins on score; 4 untouched (no pairs)
+    assert(kept.toSeq == Seq(3L, 4L))
+  }
+
+  test("dedupKeepBest breaks score ties on the lowest id") {
+    val docs = Seq((5L, "x", 7L), (2L, "x", 7L), (9L, "x", 7L))
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((2L, 5L), (5L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupKeepBest(docs, pairs, col("score"))
+      .select("doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(2L))
+  }
+
   test("gopherRules: empty and whitespace-only text fails every rule") {
     val df = Seq((1L, ""), (2L, "   \n  ")).toDF("doc_id", "text")
     val r = TextAnalysis.gopherFilter(df).select(col("keep")).as[Boolean].collect()
