@@ -271,6 +271,26 @@ object SparkEntry {
        |FROM mm ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB oracle for q_bpe_fertility: [[bpeEncodeOracle]]'s encode
+    * join rolled up per language in truncating integer permille.
+    */
+  private def bpeFertilityOracle(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)},
+       |docw AS (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |j AS (SELECT d.doc_id,
+       |    CAST(len(string_split(r.repr, ' ')) AS BIGINT) AS pieces
+       |  FROM docw d JOIN r$rounds r ON d.w = r.w),
+       |agg AS (SELECT doc_id, CAST(sum(pieces) AS BIGINT) AS bt,
+       |    CAST(count(*) AS BIGINT) AS nw
+       |  FROM j GROUP BY doc_id)
+       |SELECT dd.lang, CAST(sum(bt) AS BIGINT) AS sum_bpe_tokens,
+       |  CAST(sum(nw) AS BIGINT) AS sum_words,
+       |  (1000 * CAST(sum(bt) AS BIGINT)) // CAST(sum(nw) AS BIGINT) AS fertility_permille
+       |FROM agg JOIN documents dd USING (doc_id)
+       |GROUP BY dd.lang ORDER BY dd.lang""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Queries.q5LocalSupplierVolume(spark, "/root/testdata/sf0.001")
@@ -391,6 +411,42 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_bpe_encode" -> bpeEncodeOracle(8),
+
+    "q_bpe_fertility" -> bpeFertilityOracle(8),
+
+    // Stupid-backoff replay (self-scoring → trigram branch only): the
+    // trigram counts, the (w1,w2) context sums derived FROM those counts
+    // (not a separate bigram scan — same derivation as the Spark side),
+    // and the truncating permille division.
+    "q_stupid_backoff" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |tg AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+        |  FROM t, LATERAL unnest(range(1, len(l) - 1)) r(i) WHERE len(l) >= 3),
+        |tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12 FROM tri GROUP BY 1, 2),
+        |sc AS (SELECT g.doc_id, (1000 * tri.c123) // ctx.c12 AS pm
+        |  FROM tg g
+        |  JOIN tri ON g.w1 = tri.w1 AND g.w2 = tri.w2 AND g.w3 = tri.w3
+        |  JOIN ctx ON g.w1 = ctx.w1 AND g.w2 = ctx.w2)
+        |SELECT doc_id, count(*) AS n_trigrams, CAST(sum(pm) AS BIGINT) AS sum_permille,
+        |  CAST(sum(pm) AS BIGINT) // count(*) AS mean_permille
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Sentence stats replay: identical regex (no lookbehind — RE2-safe),
+    // whitespace-only fragments dropped, q_text_tokens' word count,
+    // truncating permille mean.
+    "q_sentences" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+        |    x -> len(trim(x)) > 0)) AS BIGINT) AS n_sentences,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, n_sentences, n_words,
+        |  (1000 * n_words) // n_sentences AS words_per_sentence_permille
+        |FROM s WHERE n_sentences > 0 ORDER BY doc_id""".stripMargin,
 
     // CCNet bucketing replay: the q_bigram_surprisal CTEs for the
     // fluency permille, the q_quantile_norm window form per language,

@@ -874,6 +874,110 @@ object TextAnalysis {
       .withColumn("mean_permille", expr("sum_permille div n_bigrams"))
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007 — "Large
+    * language models in machine translation", the web-scale LM that
+    * deliberately drops normalization for O(1) scoring): per trigram
+    * occurrence
+    *
+    *   S(w3|w1,w2) = c123/c12         if the trigram was seen,
+    *                 0.4 · c23/c2     else if the bigram was seen,
+    *                 0.4² · c3/N      otherwise,
+    *
+    * in integer permille with truncating division ((1000·c123) div c12 /
+    * (400·c23) div c2 / (160·c3) div N) so the gate is bit-exact
+    * cross-engine — the backoff factor 0.4 is Brants' published
+    * constant. Since counts come from the SAME corpus being scored, the
+    * trigram branch always fires here; the lower branches are exercised
+    * by the spec with a held-out scoring set. Upgrades [[bigramSurprisal]]
+    * with one more order of context.
+    *
+    * Returns per doc `(idCol, n_trigrams, sum_permille, mean_permille)` —
+    * docs with < 3 tokens produce no row.
+    *
+    * 100 TB shape: ONE corpus scan explodes trigrams; the three count
+    * tables are vocabulary-bounded hash aggs (map-side combined) joined
+    * back onto the trigram stream (AQE broadcasts the small ones); the
+    * final per-doc agg is the only data-sized shuffle.
+    */
+  def stupidBackoff(
+      docs: DataFrame,
+      scoreAgainst: Option[DataFrame] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val corpus = scoreAgainst.getOrElse(docs)
+    def toks(df: DataFrame, cols: Column*) = df.where(col(textCol).isNotNull)
+      .select(cols :+ tokens(col(textCol)).as("_t"): _*)
+    val corpusToks = toks(corpus)
+    val uni = corpusToks.select(explode(col("_t")).as("w3"))
+      .groupBy(col("w3")).agg(count(lit(1)).as("_c3"))
+    val bi = corpusToks.where(size(col("_t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => struct(a.as("w2"), b.as("w3")))).as("_b"))
+      .select(col("_b.w2").as("w2"), col("_b.w3").as("w3"))
+      .groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("_c23"))
+    val tri = corpusToks.where(size(col("_t")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(_t) - 3), " +
+          "i -> struct(_t[i] as w1, _t[i+1] as w2, _t[i+2] as w3))")).as("_g"))
+      .select(col("_g.w1").as("w1"), col("_g.w2").as("w2"), col("_g.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("_c123"))
+    // context tables derive from the same counts (no extra corpus scan)
+    val biCtx = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("_c123")).as("_c12"))
+      .select(col("w1").as("cw1"), col("w2").as("cw2"), col("_c12"))
+    val uniCtx = bi.groupBy(col("w2")).agg(sum(col("_c23")).as("_c2"))
+      .select(col("w2").as("cw2b"), col("_c2"))
+    val bigN = corpusToks.select(sum(size(col("_t"))).as("_n")).head().getLong(0)
+    val occ = toks(docs, col(idCol)).where(size(col("_t")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_t) - 3), " +
+          "i -> struct(_t[i] as w1, _t[i+1] as w2, _t[i+2] as w3))")).as("_g"))
+      .select(col(idCol), col("_g.w1").as("w1"), col("_g.w2").as("w2"), col("_g.w3").as("w3"))
+    occ
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(biCtx, col("w1") === col("cw1") && col("w2") === col("cw2"), "left")
+      .join(bi.select(col("w2").as("bw2"), col("w3").as("bw3"), col("_c23")),
+        col("w2") === col("bw2") && col("w3") === col("bw3"), "left")
+      .join(uniCtx, col("w2") === col("cw2b"), "left")
+      .join(uni.select(col("w3").as("uw3"), col("_c3")), col("w3") === col("uw3"), "left")
+      .select(col(idCol),
+        when(col("_c123").isNotNull, expr("(1000 * _c123) div _c12"))
+          .when(col("_c23").isNotNull, expr("(400 * _c23) div _c2"))
+          .otherwise(expr(s"(160 * coalesce(_c3, 0)) div ${math.max(bigN, 1L)}"))
+          .as("_pm"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("_pm")).as("sum_permille"))
+      .withColumn("mean_permille", expr("sum_permille div n_trigrams"))
+  }
+
+  /** Sentence segmentation stats — the columnar regex split every
+    * readability/quality heuristic needs (sentences = maximal runs of
+    * non-terminator chars plus their trailing `[.!?]` run; whitespace-
+    * only fragments dropped; no lookbehind, so Java regex and RE2
+    * agree). Returns per doc `(idCol, n_sentences, n_words,
+    * words_per_sentence_permille)` with the mean in truncating integer
+    * permille. Docs with zero sentences produce no row. Map-only.
+    */
+  def sentenceStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val sents = filter(
+      regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0)),
+      s => length(trim(s)) > 0)
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(sents).cast("long").as("n_sentences"),
+        tokenCount(col(textCol)).cast("long").as("n_words"))
+      .where(col("n_sentences") > 0)
+      .withColumn("words_per_sentence_permille",
+        expr("(1000 * n_words) div n_sentences"))
+  }
+
   /** Per-slice corpus card: the one-table dataset report a curation run
     * publishes next to the data — document/empty counts, language
     * spread, char and token volume, and the cross-corpus duplicate count

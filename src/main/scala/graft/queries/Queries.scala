@@ -2471,6 +2471,41 @@ object Queries {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** Stupid-backoff trigram scoring gate: the corpus scored against its
+    * own counts (the trigram branch always fires — the backoff branches
+    * are spec-covered with a held-out scoring set). All-integer permille;
+    * oracle replays counts, context sums and the truncating divisions.
+    */
+  def qStupidBackoff(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stupidBackoff(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_trigrams").cast("long").as("n_trigrams"),
+        col("sum_permille").cast("long").as("sum_permille"),
+        col("mean_permille").cast("long").as("mean_permille"))
+      .orderBy(col("doc_id"))
+
+  /** Sentence segmentation gate: per-doc sentence counts + integer mean
+    * words-per-sentence. Map-only; oracle replays the regex + filter.
+    */
+  def qSentences(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sentenceStats(t(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** Tokenizer fertility by language (pieces per word — THE metric for
+    * sizing a multilingual vocab, cf. XLM-R): [[TextAnalysis.bpeEncode]]
+    * per doc, rolled up per language in integer permille.
+    */
+  def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    TextAnalysis.bpeEncode(docs, rounds = 8)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(sum(col("bpe_tokens")).as("sum_bpe_tokens"),
+        sum(col("n_words")).as("sum_words"))
+      .withColumn("fertility_permille",
+        expr("(1000 * sum_bpe_tokens) div sum_words"))
+      .orderBy(col("lang"))
+  }
+
   /** All queries, keyed — the SparkEntry surface. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2_history" -> (qScd2History _),
@@ -2479,6 +2514,9 @@ object Queries {
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
+    "q_stupid_backoff" -> (qStupidBackoff _),
+    "q_sentences" -> (qSentences _),
+    "q_bpe_fertility" -> (qBpeFertility _),
     "q1_pricing_agg" -> (q1PricingSummary _),
     "q2_topk_orders" -> (q2TopOrders _),
     "q3_join_revenue" -> (q3ShippingPriority _),

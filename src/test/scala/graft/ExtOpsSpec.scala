@@ -1456,6 +1456,42 @@ class ExtOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L))
   }
 
+  test("stupidBackoff: trigram branch on self-scoring, hand-computed") {
+    val corpus = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val r = TextAnalysis.stupidBackoff(corpus)
+      .as[(Long, Long, Long, Long)].collect()
+    // trigrams (a,b,c)/(b,c,a)/(c,a,b)/(a,b,d), contexts (a,b)=2 others 1:
+    // pm = 500, 1000, 1000, 500 → sum 3000, mean 750
+    assert(r.toSeq == Seq((1L, 4L, 3000L, 750L)))
+  }
+
+  test("stupidBackoff: held-out scoring exercises bigram and unigram backoff") {
+    val corpus = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val held = Seq((10L, "x a b"), (11L, "x y z"), (12L, "x y c"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.stupidBackoff(held, Some(corpus))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    // (x,a,b): unseen trigram, bigram (a→b) c23=2 ctx c2(a)=2 → (400·2)div2 = 400
+    assert(r(10L) == (1L, 400L, 400L))
+    // (x,y,z): no trigram, no bigram, c3(z)=0 → 0
+    assert(r(11L) == (1L, 0L, 0L))
+    // (x,y,c): unigram branch, c3(c)=1, N=6 → (160·1) div 6 = 26
+    assert(r(12L) == (1L, 26L, 26L))
+  }
+
+  test("sentenceStats counts terminator runs and drops blank fragments") {
+    val df = Seq(
+      (1L, "Hello world. How are you? Fine... end"),
+      (2L, "no terminator at all"),
+      (3L, "...")).toDF("doc_id", "text")
+    val r = TextAnalysis.sentenceStats(df)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == (1L, 4L, 7L, 1750L))
+    assert(r(2L) == (2L, 1L, 4L, 4000L))
+    assert(!r.contains(3L)) // pure terminators → zero sentences → no row
+  }
+
   test("gopherRules: empty and whitespace-only text fails every rule") {
     val df = Seq((1L, ""), (2L, "   \n  ")).toDF("doc_id", "text")
     val r = TextAnalysis.gopherFilter(df).select(col("keep")).as[Boolean].collect()
