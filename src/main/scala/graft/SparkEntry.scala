@@ -365,6 +365,21 @@ object SparkEntry {
 
     "q_gopher_rules" -> gopherRulesOracle,
 
+    // Interval-overlap replay: the plain inequality join the bucketized
+    // operator must exactly reproduce.
+    "q_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS lo,
+        |    epoch_us(ts) + 300000000 AS hi FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, lo AS a_lo, hi AS a_hi
+        |  FROM e WHERE event_id % 2 = 0),
+        |b AS (SELECT user_id, event_id AS b_id, lo AS b_lo, hi AS b_hi
+        |  FROM e WHERE event_id % 2 = 1)
+        |SELECT a.user_id, a_id, b_id,
+        |  least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a_lo <= b_hi AND b_lo <= a_hi
+        |ORDER BY a.user_id, a_id, b_id""".stripMargin,
+
     // Keep-best dedup: q_dedup_groups' independent recursive-CTE closure
     // over the odd-id planted corpus, winners by (len(text) DESC, id),
     // survivors = corpus minus non-winning component members.

@@ -76,4 +76,51 @@ object CdmSchema {
     */
   def rawStringSchema(schema: StructType): StructType =
     StructType(schema.fields.map(f => StructField(f.name, StringType, nullable = true, f.metadata)))
+
+  /** One detected schema change between two model.json generations. */
+  final case class SchemaChange(
+      entity: String,
+      change: String, // added-column | removed-column | retyped-column | added-entity | removed-entity
+      column: String, // "" for entity-level changes
+      fromType: String,
+      toType: String)
+
+  /** Schema-drift report between two model versions — the operational
+    * check a CDC operator runs before pointing the pipeline at a new
+    * export generation (the reference's runtime reacts to drift with
+    * ADD COLUMNS / fail-fast, cf.
+    * /root/reference/src/main/scala/main.scala:106-110 via the framework's
+    * schema provider; this surfaces the drift as data). Column identity is
+    * the NORMALIZED name ([[normalizeFieldName]] — the same identity the
+    * pipeline reads with), so a special-character-only rename
+    * (`cur$$code` → `curcode`) is NOT drift, while a case change IS
+    * (the reader is case-sensitive). Removed columns are reported but
+    * non-fatal by the pipeline's
+    * contract (old columns read as NULL); retyped columns are the
+    * fail-fast case.
+    */
+  def diff(oldModel: CdmModel, newModel: CdmModel): Seq[SchemaChange] = {
+    val oldEnts = oldModel.entities.map(e => e.name -> e).toMap
+    val newEnts = newModel.entities.map(e => e.name -> e).toMap
+    val entityChanges =
+      newEnts.keySet.diff(oldEnts.keySet).toSeq.sorted
+        .map(n => SchemaChange(n, "added-entity", "", "", "")) ++
+      oldEnts.keySet.diff(newEnts.keySet).toSeq.sorted
+        .map(n => SchemaChange(n, "removed-entity", "", "", ""))
+    val columnChanges = oldEnts.keySet.intersect(newEnts.keySet).toSeq.sorted.flatMap { n =>
+      val o = oldEnts(n).attributes
+        .map(a => normalizeFieldName(a.name) -> a.dataType).toMap
+      val w = newEnts(n).attributes
+        .map(a => normalizeFieldName(a.name) -> a.dataType).toMap
+      val added = w.keySet.diff(o.keySet).toSeq.sorted
+        .map(c => SchemaChange(n, "added-column", c, "", w(c)))
+      val removed = o.keySet.diff(w.keySet).toSeq.sorted
+        .map(c => SchemaChange(n, "removed-column", c, o(c), ""))
+      val retyped = o.keySet.intersect(w.keySet).toSeq.sorted
+        .filter(c => o(c) != w(c))
+        .map(c => SchemaChange(n, "retyped-column", c, o(c), w(c)))
+      added ++ removed ++ retyped
+    }
+    entityChanges ++ columnChanges
+  }
 }

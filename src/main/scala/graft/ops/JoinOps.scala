@@ -88,6 +88,63 @@ object JoinOps {
     * like any hot equi-join key (AQE skew split or salting compose on
     * top).
     */
+  /** Bucketized INTERVAL-OVERLAP join: pairs of intervals with
+    * `aLo <= bHi AND bLo <= aHi` (inclusive — the standard overlap
+    * predicate), optionally under equi keys (`keys` — e.g. per user).
+    * Spark's native plan for the pure inequality conjunction is a
+    * nested-loop join; like [[rangeJoin]] this makes it an EQUI join:
+    * both sides explode to the grid buckets they overlap, candidates
+    * hash-join on (keys, bucket), the exact predicate verifies inside,
+    * and each true pair is emitted EXACTLY ONCE by keeping only the
+    * bucket containing `greatest(aLo, bLo)` — the overlap's left
+    * endpoint, which lies in both intervals by definition, so no
+    * dedup pass. Default bucket width = the larger side's max span
+    * (every interval explodes to ≤ 2 buckets).
+    *
+    * Column names must be disjoint across the two frames (keys
+    * excepted) — the join carries both rows wholesale.
+    */
+  def intervalOverlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      aLo: String,
+      aHi: String,
+      bLo: String,
+      bHi: String,
+      keys: Seq[String] = Nil,
+      bucketWidth: Option[Double] = None
+  ): DataFrame = {
+    val clash = a.columns.diff(keys).intersect(b.columns.diff(keys))
+    require(clash.isEmpty, s"overlapping non-key columns: ${clash.mkString(", ")}")
+    require(!a.columns.exists(Set("_bucket")) && !b.columns.exists(Set("_bucket")),
+      "column _bucket is reserved by intervalOverlapJoin")
+    def clean(df: DataFrame, lo: String, hi: String) = {
+      def finite(c: org.apache.spark.sql.Column) =
+        c.isNotNull && c.cast("double") > Double.NegativeInfinity &&
+          c.cast("double") < Double.PositiveInfinity
+      df.where(finite(col(lo)) && finite(col(hi)) && col(lo) <= col(hi))
+    }
+    val ca = clean(a, aLo, aHi)
+    val cb = clean(b, bLo, bHi)
+    val width = bucketWidth.getOrElse {
+      def maxSpan(df: DataFrame, lo: String, hi: String): Double = {
+        val row = df.agg(max((col(hi) - col(lo)).cast("double"))).head()
+        if (row.isNullAt(0)) 1.0 else row.getDouble(0)
+      }
+      val w = math.max(maxSpan(ca, aLo, aHi), maxSpan(cb, bLo, bHi))
+      if (w > 0) w else 1.0
+    }
+    require(width > 0 && !width.isInfinite && !width.isNaN,
+      s"bucketWidth must be positive and finite, got $width")
+    def bucketOf(c: org.apache.spark.sql.Column) = floor(c / lit(width)).cast("long")
+    val ea = ca.withColumn("_bucket", explode(sequence(bucketOf(col(aLo)), bucketOf(col(aHi)))))
+    val eb = cb.withColumn("_bucket", explode(sequence(bucketOf(col(bLo)), bucketOf(col(bHi)))))
+    ea.join(eb, keys :+ "_bucket")
+      .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi)
+        && col("_bucket") === bucketOf(greatest(col(aLo), col(bLo))))
+      .drop("_bucket")
+  }
+
   def rangeJoin(
       points: DataFrame,
       intervals: DataFrame,

@@ -2506,8 +2506,35 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Interval-overlap join gate: 5-minute activity intervals around
+    * even- vs odd-id events, overlap-joined per user through
+    * [[graft.ops.JoinOps.intervalOverlapJoin]] (bucketized equi-join,
+    * exactly-once via the greatest-lo bucket rule — Spark's native plan
+    * for the inequality pair is a nested-loop join). Bounds in exact
+    * epoch micros; oracle is the plain inequality join.
+    */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + lit(300000000L)).as("hi"))
+    val a = e.where(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("event_id").as("a_id"),
+        col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val b = e.where(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("event_id").as("b_id"),
+        col("lo").as("b_lo"), col("hi").as("b_hi"))
+    graft.ops.JoinOps.intervalOverlapJoin(a, b,
+      "a_lo", "a_hi", "b_lo", "b_hi", keys = Seq("user_id"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")))
+          .as("overlap_us"))
+      .orderBy(col("user_id"), col("a_id"), col("b_id"))
+  }
+
   /** All queries, keyed — the SparkEntry surface. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> (qIntervalJoin _),
     "q_scd2_history" -> (qScd2History _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_gopher_rules" -> (qGopherRules _),

@@ -429,4 +429,55 @@ class CoreOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains(JsonLines.CorruptCol))
   }
+
+  test("intervalOverlapJoin equals the naive overlap join, each pair exactly once") {
+    import spark.implicits._
+    val a = Seq((1L, 101L, 0.0, 10.0), (1L, 102L, 20.0, 30.0), (2L, 201L, 0.0, 10.0))
+      .toDF("k", "a_id", "a_lo", "a_hi")
+    val b = Seq(
+      (1L, 301L, 5.0, 15.0),   // overlaps 101
+      (1L, 302L, 10.0, 12.0),  // touches 101 at the endpoint (inclusive)
+      (1L, 303L, 30.0, 40.0),  // touches 102
+      (1L, 304L, 11.0, 19.0),  // gap — no match
+      (2L, 305L, 5.0, 15.0),   // other key: overlaps 201 only
+      (1L, 306L, -100.0, 100.0) // wide: spans many buckets, overlaps both a-rows
+    ).toDF("k", "b_id", "b_lo", "b_hi")
+    // small bucketWidth forces multi-bucket explosion → exactly-once matters
+    val out = graft.ops.JoinOps.intervalOverlapJoin(
+      a, b, "a_lo", "a_hi", "b_lo", "b_hi", keys = Seq("k"), bucketWidth = Some(3.0))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((101L, 301L), (101L, 302L), (101L, 306L),
+      (102L, 303L), (102L, 306L), (201L, 305L)))
+    // default width (max span) gives the same answer
+    val outDefault = graft.ops.JoinOps.intervalOverlapJoin(
+      a, b, "a_lo", "a_hi", "b_lo", "b_hi", keys = Seq("k"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+    assert(outDefault.toSeq == out.toSeq)
+    // degenerate rows (inverted/NULL bounds) are dropped, not crashed on
+    val bad = Seq((1L, 999L, 50.0, 40.0)).toDF("k", "a_id", "a_lo", "a_hi")
+    assert(graft.ops.JoinOps.intervalOverlapJoin(
+      bad, b, "a_lo", "a_hi", "b_lo", "b_hi", keys = Seq("k")).count() == 0)
+  }
+
+  test("CdmSchema.diff reports added/removed/retyped columns and entities") {
+    def model(attrs: String, extraEntity: String = "") = CdmModel.parse(
+      s"""{"name":"m","version":"1.0","entities":[
+         |  {"name":"cust","attributes":[$attrs]}$extraEntity]}""".stripMargin)
+    val oldM = model(
+      """{"name":"Id","dataType":"guid"},{"name":"amount","dataType":"decimal"},
+        |{"name":"gone","dataType":"string"}""".stripMargin)
+    val newM = model(
+      """{"name":"I$d","dataType":"guid"},{"name":"amount","dataType":"int64"},
+        |{"name":"fresh","dataType":"string"}""".stripMargin,
+      """,{"name":"orders","attributes":[{"name":"Id","dataType":"guid"}]}""")
+    val changes = CdmSchema.diff(oldM, newM)
+    assert(changes.contains(CdmSchema.SchemaChange("orders", "added-entity", "", "", "")))
+    assert(changes.contains(CdmSchema.SchemaChange("cust", "added-column", "fresh", "", "string")))
+    assert(changes.contains(CdmSchema.SchemaChange("cust", "removed-column", "gone", "string", "")))
+    assert(changes.contains(CdmSchema.SchemaChange("cust", "retyped-column", "amount", "decimal", "int64")))
+    // "Id" -> "I$d": special-char-only rename — same normalized identity
+    // as the reader uses, NOT drift
+    assert(!changes.exists(_.column == "Id"))
+    assert(CdmSchema.diff(oldM, oldM).isEmpty)
+  }
 }
