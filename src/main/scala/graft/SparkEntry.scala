@@ -365,6 +365,34 @@ object SparkEntry {
 
     "q_gopher_rules" -> gopherRulesOracle,
 
+    // Native session-window replay: gaps-and-islands in exact epoch
+    // micros; sessions are half-open and merge on overlap, so the break
+    // condition is diff >= gap; end = last event + gap.
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+        |l AS (SELECT user_id, event_id, t, value,
+        |  lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e),
+        |m AS (SELECT user_id, event_id, t, value,
+        |  CASE WHEN prev IS NULL OR t - prev >= 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT user_id, t, value,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id) AS BIGINT) AS sid FROM m)
+        |SELECT user_id, min(t) AS start_us, max(t) + 1800000000 AS end_us,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // Windowed distinct replay: exact per-(hour, type) distinct users;
+    // the HLL estimate is engine-specific, so the oracle pins its
+    // contract column to true (like q_approx_distinct).
+    "q_window_distinct" ->
+      """WITH w AS (SELECT event_type, user_id,
+        |    epoch_us(ts) - (epoch_us(ts) % 3600000000) AS wstart_us FROM events)
+        |SELECT wstart_us, event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users_exact, true AS within_5pct
+        |FROM w GROUP BY wstart_us, event_type
+        |ORDER BY wstart_us, event_type""".stripMargin,
+
     // Interval-overlap replay: the plain inequality join the bucketized
     // operator must exactly reproduce.
     "q_interval_join" ->

@@ -906,6 +906,8 @@ object TextAnalysis {
       textCol: String = "text"
   ): DataFrame = {
     val corpus = scoreAgainst.getOrElse(docs)
+    require(!Set("w1", "w2", "w3")(idCol),
+      "idCol may not be named w1/w2/w3 (reserved by stupidBackoff)")
     def toks(df: DataFrame, cols: Column*) = df.where(col(textCol).isNotNull)
       .select(cols :+ tokens(col(textCol)).as("_t"): _*)
     val corpusToks = toks(corpus)
@@ -930,7 +932,10 @@ object TextAnalysis {
       .select(col("w1").as("cw1"), col("w2").as("cw2"), col("_c12"))
     val uniCtx = bi.groupBy(col("w2")).agg(sum(col("_c23")).as("_c2"))
       .select(col("w2").as("cw2b"), col("_c2"))
-    val bigN = corpusToks.select(sum(size(col("_t"))).as("_n")).head().getLong(0)
+    // NULL on an empty/all-NULL corpus — clamp instead of NPE; the
+    // unigram branch then scores 0 for everything, which is right.
+    val nRow = corpusToks.select(sum(size(col("_t"))).as("_n")).head()
+    val bigN = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     val occ = toks(docs, col(idCol)).where(size(col("_t")) >= 3)
       .select(col(idCol), explode(expr(
         "transform(sequence(0, size(_t) - 3), " +

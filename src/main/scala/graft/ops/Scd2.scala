@@ -42,6 +42,10 @@ object Scd2 {
     require(attrCols.nonEmpty, "attrCols must be non-empty")
     require(!df.columns.exists(Set("_sig", "_prev")),
       "columns _sig/_prev are reserved by Scd2.history")
+    val outCols = Set("version", "valid_from", "valid_to", "is_current")
+    require(!df.columns.exists(outCols),
+      s"input already has an output column (${outCols.mkString("/")}) — " +
+        "rename it; withColumn would silently overwrite it")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
     // NULL-safe change signature: struct equality treats NULL = NULL as
     // equal, so a NULL attribute does not fork a version on every row.

@@ -2532,8 +2532,51 @@ object Queries {
       .orderBy(col("user_id"), col("a_id"), col("b_id"))
   }
 
+  /** Native session-window gate: Spark's `session_window` (the
+    * batch/stream-unified operator behind
+    * [[graft.streaming.StreamOps.sessionWindowAgg]]) against a
+    * gaps-and-islands oracle in exact epoch micros. Session semantics:
+    * windows are half-open `[start, last + gap)` and merge on OVERLAP,
+    * so an event at exactly `prev + gap` opens a NEW session (oracle
+    * breaks on `diff >= gap`). Complements q_events_sessionize, which
+    * gates the hand-built window formulation.
+    */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.sessionWindowAgg(
+      events(spark, dir), "ts", "0 seconds", "30 minutes",
+      Seq(col("user_id")),
+      Seq(count(lit(1)).as("n_events"),
+        xsum(col("value")).as("session_value")))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  /** Windowed distinct-user gate: tumbling hourly windows per event
+    * type with exact distinct counts (oracle-checked) AND the HLL++
+    * estimate pinned to its ≤5% contract next to them (the
+    * q_approx_distinct pattern, here per window — the shape streaming
+    * dashboards run, where only the sketch is incrementally
+    * maintainable; `countDistinct` is batch-only).
+    */
+  def qWindowDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.windowedAgg(
+      events(spark, dir), "ts", "0 seconds", "1 hour", None,
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("_approx")))
+      .select(unix_micros(col("window.start")).as("wstart_us"),
+        col("event_type"), col("n_events"), col("n_users_exact"),
+        (abs(col("_approx") - col("n_users_exact")) * 20 <= col("n_users_exact"))
+          .as("within_5pct"))
+      .orderBy(col("wstart_us"), col("event_type"))
+
   /** All queries, keyed — the SparkEntry surface. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_window" -> (qSessionWindow _),
+    "q_window_distinct" -> (qWindowDistinct _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_scd2_history" -> (qScd2History _),
     "q_html_extract" -> (qHtmlExtract _),

@@ -440,6 +440,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session window: an event at EXACTLY prev + gap opens a new session (half-open windows)") {
+    // batch mode (unified semantics) — this boundary is what the
+    // q_session_window oracle's `diff >= gap` break condition encodes
+    val events = Seq(
+      (ts("2024-01-01 09:00:00"), 1L, 1.0),
+      (ts("2024-01-01 09:30:00"), 1L, 1.0), // exactly 30m later → NEW session
+      (ts("2024-01-01 09:59:59"), 1L, 1.0)  // 29m59s after prev → merges
+    ).toDF("ts", "user_id", "value")
+    val out = StreamOps.sessionWindowAgg(
+      events, "ts", "0 seconds", "30 minutes",
+      keys = Seq(col("user_id")),
+      aggs = Seq(count(lit(1)).as("n")))
+      .select(col("session_window.start").cast("string"),
+        col("session_window.end").cast("string"), col("n"))
+      .as[(String, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("2024-01-01 09:00:00", "2024-01-01 09:30:00", 1L),
+      ("2024-01-01 09:30:00", "2024-01-01 10:29:59", 2L)))
+  }
+
   test("flatMapGroupsWithState emits closed bursts on event-time idle gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
