@@ -366,14 +366,17 @@ object SparkEntry {
     "q_gopher_rules" -> gopherRulesOracle,
 
     // Native session-window replay: gaps-and-islands in exact epoch
-    // micros; sessions are half-open and merge on overlap, so the break
-    // condition is diff >= gap; end = last event + gap.
+    // micros. Spark's `session_window` spans are [start, last + gap] and
+    // MERGE when the next event lands on-or-before the current end — an
+    // event at EXACTLY prev + gap still extends the session (pinned by
+    // StreamOpsSpec), so the break condition is the STRICT diff > gap;
+    // end = last event + gap.
     "q_session_window" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
         |l AS (SELECT user_id, event_id, t, value,
         |  lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e),
         |m AS (SELECT user_id, event_id, t, value,
-        |  CASE WHEN prev IS NULL OR t - prev >= 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+        |  CASE WHEN prev IS NULL OR t - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
         |s AS (SELECT user_id, t, value,
         |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id) AS BIGINT) AS sid FROM m)
         |SELECT user_id, min(t) AS start_us, max(t) + 1800000000 AS end_us,

@@ -2569,7 +2569,12 @@ object Queries {
         approx_count_distinct(col("user_id"), 0.02).as("_approx")))
       .select(unix_micros(col("window.start")).as("wstart_us"),
         col("event_type"), col("n_events"), col("n_users_exact"),
-        (abs(col("_approx") - col("n_users_exact")) * 20 <= col("n_users_exact"))
+        // ±5% relative, with a ±2 absolute floor: on an 8-user window 5%
+        // demands an EXACT sketch answer, which HLL never promises — the
+        // absolute floor covers the small-cardinality regime where the
+        // sketch's quantization step exceeds 5% of n.
+        (abs(col("_approx") - col("n_users_exact")) * 20 <= col("n_users_exact") ||
+          abs(col("_approx") - col("n_users_exact")) <= 2)
           .as("within_5pct"))
       .orderBy(col("wstart_us"), col("event_type"))
 

@@ -440,13 +440,16 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("session window: an event at EXACTLY prev + gap opens a new session (half-open windows)") {
-    // batch mode (unified semantics) — this boundary is what the
-    // q_session_window oracle's `diff >= gap` break condition encodes
+  test("session window: an event at EXACTLY prev + gap still MERGES (spans are closed, break is strict >)") {
+    // batch mode (unified semantics) — Spark's session spans are
+    // [start, last + gap] and an event landing ON the current end
+    // extends the session; only a strictly later event opens a new one.
+    // This boundary is what the q_session_window oracle's STRICT
+    // `diff > gap` break condition encodes.
     val events = Seq(
       (ts("2024-01-01 09:00:00"), 1L, 1.0),
-      (ts("2024-01-01 09:30:00"), 1L, 1.0), // exactly 30m later → NEW session
-      (ts("2024-01-01 09:59:59"), 1L, 1.0)  // 29m59s after prev → merges
+      (ts("2024-01-01 09:30:00"), 1L, 1.0), // exactly 30m later → merges (on the end)
+      (ts("2024-01-01 10:00:01"), 1L, 1.0)  // 30m01s after prev → NEW session
     ).toDF("ts", "user_id", "value")
     val out = StreamOps.sessionWindowAgg(
       events, "ts", "0 seconds", "30 minutes",
@@ -456,8 +459,8 @@ class StreamOpsSpec extends SparkSpec {
         col("session_window.end").cast("string"), col("n"))
       .as[(String, String, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq(
-      ("2024-01-01 09:00:00", "2024-01-01 09:30:00", 1L),
-      ("2024-01-01 09:30:00", "2024-01-01 10:29:59", 2L)))
+      ("2024-01-01 09:00:00", "2024-01-01 10:00:00", 2L),
+      ("2024-01-01 10:00:01", "2024-01-01 10:30:01", 1L)))
   }
 
   test("flatMapGroupsWithState emits closed bursts on event-time idle gap") {
