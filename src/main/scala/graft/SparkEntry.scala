@@ -771,6 +771,54 @@ object SparkEntry {
         |WHERE NOT coalesce(s.is_delete, false)
         |ORDER BY user_id""".stripMargin,
 
+    // Merge-on-read replay: the same three-step sequential fold the gate
+    // drives through the real table (backfill on segment 1 with tombstones
+    // dropped; merge segment 3; then the now-STALE segment 2) expressed as
+    // a CASE cascade per user. A later merge's winner takes only with a
+    // strictly higher version (event_id); a tombstone removes the key
+    // WITHOUT version memory, so a subsequently merged lower-version row
+    // re-inserts — exactly the table's sequential semantics.
+    "q_cdc_merge_mor" ->
+      """WITH n AS (SELECT COUNT(*) // 3 AS third FROM events),
+        |w1 AS (SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id < (SELECT third FROM n)) x WHERE rn = 1),
+        |w2 AS (SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id >= (SELECT third FROM n)
+        |    AND event_id < 2 * (SELECT third FROM n)) x WHERE rn = 1),
+        |w3 AS (SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id >= 2 * (SELECT third FROM n)) x WHERE rn = 1),
+        |s AS (SELECT u.user_id,
+        |    w1.event_id AS e1, w1.event_type AS t1,
+        |    w2.event_id AS e2, w2.event_type AS t2,
+        |    w3.event_id AS e3, w3.event_type AS t3
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  LEFT JOIN w1 USING (user_id) LEFT JOIN w2 USING (user_id)
+        |  LEFT JOIN w3 USING (user_id)),
+        |a AS (SELECT user_id, e2, t2, e3, t3,
+        |    CASE WHEN t1 IS NOT NULL AND t1 <> 'error' THEN e1 END AS ae,
+        |    CASE WHEN t1 IS NOT NULL AND t1 <> 'error' THEN t1 END AS at
+        |  FROM s),
+        |b AS (SELECT user_id, e2, t2,
+        |    CASE WHEN e3 IS NOT NULL AND (ae IS NULL OR e3 > ae)
+        |      THEN (CASE WHEN t3 = 'error' THEN NULL ELSE e3 END) ELSE ae END AS be,
+        |    CASE WHEN e3 IS NOT NULL AND (ae IS NULL OR e3 > ae)
+        |      THEN (CASE WHEN t3 = 'error' THEN NULL ELSE t3 END) ELSE at END AS bt
+        |  FROM a),
+        |c AS (SELECT user_id,
+        |    CASE WHEN e2 IS NOT NULL AND (be IS NULL OR e2 > be)
+        |      THEN (CASE WHEN t2 = 'error' THEN NULL ELSE e2 END) ELSE be END AS ce,
+        |    CASE WHEN e2 IS NOT NULL AND (be IS NULL OR e2 > be)
+        |      THEN (CASE WHEN t2 = 'error' THEN NULL ELSE t2 END) ELSE bt END AS ct
+        |  FROM b)
+        |SELECT user_id, ce AS event_id, ct AS event_type
+        |FROM c WHERE ce IS NOT NULL ORDER BY user_id""".stripMargin,
+
     // Oracle for the END-TO-END CDC pipeline run (CSV export → DSv2 source →
     // cast → dedup → backfill → streaming MERGE): the same fold expressed
     // relationally. Backfill drops tombstones (latest-per-key first-half rows

@@ -512,6 +512,35 @@ object Queries {
     tbl.read().orderBy(col("c_custkey"))
   }
 
+  /** Merge-on-read gate ([[graft.tables.SnapshotTable.mergeOnRead]]): the
+    * real table machinery driven through a backfill plus two equality-
+    * delete merges applied OUT of order — segment 3 first, then the now-
+    * stale segment 2 — so stale no-ops, tombstone deletes, resurrect-
+    * after-delete and plain inserts all occur, every one served through
+    * the delete-applying read path (no compaction before the final read).
+    * The oracle replays the same three-step sequential fold relationally.
+    */
+  def qCdcMergeMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.SnapshotTable
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-mor-gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val tbl = SnapshotTable(spark, s"$root/table")
+    val ev = events(spark, dir).select(col("user_id"), col("event_id"), col("event_type"))
+    val third = ev.count() / 3
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+        .withColumn("is_delete", col("event_type") === "error")
+    val seg1 = ev.where(col("event_id") < third)
+    val seg2 = ev.where(col("event_id") >= third && col("event_id") < 2 * third)
+    val seg3 = ev.where(col("event_id") >= 2 * third)
+    // backfill drops tombstones (they delete nothing from an empty table)
+    tbl.createOrReplace(latest(seg1).where(!col("is_delete")), "user_id", numBuckets = 32)
+    tbl.mergeOnRead(latest(seg3), "user_id", "event_id", "is_delete")
+    tbl.mergeOnRead(latest(seg2), "user_id", "event_id", "is_delete")
+    tbl.read().select("user_id", "event_id", "event_type").orderBy("user_id")
+  }
+
   /** JSONL ingestion gate ([[graft.sources.JsonLines]]): the documents
     * table is exported as JSON-Lines — the format LLM corpora actually
     * ship in — with one PLANTED malformed line, read back through the
@@ -2626,6 +2655,7 @@ object Queries {
     "q_merge_key_projection" -> (qMergeKeyProjection _),
     "q_export_symlink" -> (qExportSymlink _),
     "q_adopt_external" -> (qAdoptExternal _),
+    "q_cdc_merge_mor" -> (qCdcMergeMor _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_lsh" -> (qMinHashLsh _),

@@ -45,7 +45,18 @@ import scala.jdk.CollectionConverters._
   * ([[SnapshotTable.readRange]]); files without stats are always read.
   */
 final case class DataFile(
-    path: String, bucket: Int, stats: Map[String, (Double, Double)] = Map.empty)
+    path: String, bucket: Int, stats: Map[String, (Double, Double)] = Map.empty,
+    seq: Long = 0L)
+
+/** An equality-delete file (Iceberg v2 merge-on-read parity): a parquet
+  * file holding MERGE KEYS whose rows are superseded. It applies to every
+  * data file of its bucket with `DataFile.seq < seq` — data written at or
+  * after the delete's sequence is untouched (it already reflects the
+  * change). Produced by [[SnapshotTable.mergeOnRead]]; absorbed (rewritten
+  * away) by [[SnapshotTable.compact]] / copy-on-write merges of the same
+  * bucket.
+  */
+final case class DeleteFile(path: String, bucket: Int, seq: Long)
 
 final case class Snapshot(
     version: Long,
@@ -53,7 +64,8 @@ final case class Snapshot(
     numBuckets: Int,
     files: Seq[DataFile],
     properties: Map[String, String],
-    timestampMs: Long
+    timestampMs: Long,
+    deletes: Seq[DeleteFile] = Seq.empty
 )
 
 class SnapshotTable(val spark: SparkSession, val location: String) {
@@ -201,7 +213,10 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     val from = readSnapshot(new Path(snapshotsDir, snapshotFileName(fromVersion)))
     val to = readSnapshot(new Path(snapshotsDir, snapshotFileName(toVersion)))
     val changedBuckets =
-      (from.files.toSet.diff(to.files.toSet) ++ to.files.toSet.diff(from.files.toSet)).map(_.bucket)
+      (from.files.toSet.diff(to.files.toSet) ++ to.files.toSet.diff(from.files.toSet)).map(_.bucket) ++
+        // a bucket whose equality-delete set changed has row changes even
+        // when its data-file list is identical (merge-on-read commits)
+        (from.deletes.toSet.diff(to.deletes.toSet) ++ to.deletes.toSet.diff(from.deletes.toSet)).map(_.bucket)
     val key = keyColForBucketing(to)
     val keyTo = col(s"_to.`$key`")
     val keyFrom = col(s"_from.`$key`")
@@ -254,8 +269,55 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     readFiles(snap, files)
   }
 
-  /** Read an explicit file subset with the snapshot's schema-on-read. */
+  /** Read an explicit file subset with the snapshot's schema-on-read,
+    * APPLYING the snapshot's equality deletes ([[DeleteFile]]): a data
+    * row dies when a delete file of its bucket carries its merge key at a
+    * HIGHER sequence than the row's data file. Data files are grouped by
+    * sequence so each group reads in one scan with its sequence as a
+    * literal (a handful of groups — sequences proliferate only on
+    * merge-on-read buckets until compaction absorbs them); the deletes
+    * join is a left-anti on the key with the sequence inequality as a
+    * residual condition. Snapshots without deletes (every copy-on-write
+    * table) skip all of this and read exactly as before.
+    */
   private def readFiles(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    val minSeq = files.map(_.seq).min
+    val bucketsPresent = files.map(_.bucket).toSet
+    // An adopted (bucket −1) file can hold rows of ANY bucket, so every
+    // delete is in scope for it; otherwise only deletes of the buckets
+    // actually being read can match (keys hash to exactly one bucket).
+    val relevant =
+      if (bucketsPresent.exists(_ < 0)) snap.deletes.filter(_.seq > minSeq)
+      else snap.deletes.filter(d => d.seq > minSeq && bucketsPresent.contains(d.bucket))
+    if (relevant.isEmpty) readFilesRaw(snap, files)
+    else {
+      val key = keyColForBucketing(snap)
+      val keyField = snap.schema.fields.find(_.name.equalsIgnoreCase(key)).getOrElse(
+        throw new IllegalStateException(s"merge key column '$key' missing from table schema"))
+      val data = files.groupBy(_.seq).toSeq.map { case (s, fsOfSeq) =>
+        readFilesRaw(snap, fsOfSeq).withColumn("_gseq", lit(s))
+      }.reduce(_ unionByName _)
+      val delSchema = StructType(Seq(StructField(keyField.name, keyField.dataType, nullable = true)))
+      val dels = relevant.groupBy(_.seq).toSeq.map { case (s, ds) =>
+        spark.read.schema(delSchema)
+          .parquet(ds.map(d => new Path(dataDir, d.path).toString): _*)
+          .select(col(keyField.name).as("_dkey"))
+          .withColumn("_dseq", lit(s))
+      }.reduce(_ unionByName _)
+      // NULL-safe key equality matches the merge's groupBy(key) semantics
+      // (NULL is a key); rows of files at/after the delete's sequence
+      // already reflect the change and must survive.
+      data.join(dels, col(key) <=> col("_dkey") && col("_dseq") > col("_gseq"), "left_anti")
+        .drop("_gseq")
+    }
+  }
+
+  /** Read an explicit file subset with the snapshot's schema-on-read
+    * (no delete application — [[readFiles]] layers that on top).
+    */
+  private def readFilesRaw(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else {
       val paths = files.map(f => new Path(dataDir, f.path).toString)
@@ -386,16 +448,149 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
 
     val commitId = UUID.randomUUID().toString
     val written = writeBucketed(winner, mergeKeyCol, n, commitId, targetBuckets = Some(affected),
-      props = snap.properties)
+      props = snap.properties, seq = snap.version + 1)
     if (cached) stagedB.unpersist()
     // adopted files are never carried — their rows were just rewritten
-    // into their real buckets (carrying them would duplicate every row)
+    // into their real buckets (carrying them would duplicate every row).
+    // Equality deletes of the rewritten buckets are ABSORBED: the target
+    // read above applied them, so the fresh files already reflect them.
     val carried = snap.files.filterNot(f => f.bucket < 0 || affected.contains(f.bucket))
     commit(snap.copy(
       version = snap.version + 1,
       files = carried ++ written,
       properties = snap.properties ++ extraProps,
-      timestampMs = now()))
+      timestampMs = now(),
+      deletes = snap.deletes.filterNot(d => affected.contains(d.bucket))))
+  }
+
+  /** MERGE with EQUALITY DELETES (Iceberg v2 merge-on-read parity): the
+    * same matched-delete / update-if-newer / insert semantics as [[merge]]
+    * — bit-identical final reads, pinned by spec — but instead of
+    * REWRITING every file of every affected bucket, the commit appends
+    *  - new data files holding only the WINNING staged rows, and
+    *  - per-bucket [[DeleteFile]]s holding the merge keys whose existing
+    *    rows are superseded (updated or tombstoned),
+    * so write amplification is O(change set), not O(touched buckets).
+    * Readers apply the deletes as a left-anti join ([[readFiles]]);
+    * [[compact]] (or any copy-on-write [[merge]] of the bucket) later
+    * rewrites the bucket clean and drops the delete entries.
+    *
+    * The trade is the classic merge-on-read one: cheap commits, a
+    * per-read anti-join against the accumulated (change-set-sized) delete
+    * keys until maintenance absorbs them. For a CDC stream into a 100 TB
+    * table this is the difference between a micro-batch rewriting
+    * multi-GB buckets every trigger and a micro-batch writing only its
+    * own rows — the reference's Iceberg targets make exactly this choice
+    * with format-version-2 position/equality deletes.
+    *
+    * Decision rule per staged key (same argmax as [[merge]], equal
+    * versions prefer the target row — replay-safe):
+    *  - staged version > target's current version → the old row dies (a
+    *    delete key) and, unless the staged row is a tombstone, the new
+    *    row is appended;
+    *  - key absent from the target → plain insert (tombstones for absent
+    *    keys are no-ops, nothing to delete);
+    *  - staged version ≤ target's → no-op.
+    *
+    * The target is READ (bucket-pruned, bloom/stats-assisted) to find the
+    * per-key current version — merge-on-read removes the rewrite, not the
+    * read; in-batch latest-version dedup applies first, as in [[merge]].
+    * Adopted (bucket −1) files are absorbed via [[rebucketAdopted]] up
+    * front: equality deletes are bucket-scoped and a foreign file's rows
+    * can hide in any bucket.
+    */
+  def mergeOnRead(
+      staged: DataFrame,
+      mergeKeyCol: String,
+      versionCol: String,
+      isDeleteCol: String,
+      extraProps: Map[String, String] = Map.empty
+  ): Snapshot = {
+    SnapshotTable.rejectReservedColumns(staged.schema)
+    if (currentSnapshot.files.exists(_.bucket < 0)) rebucketAdopted()
+    val snap = currentSnapshot
+    val n = snap.numBuckets
+    val newSeq = snap.version + 1
+    val unionSchema = snap.schema
+
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.columns.map(_.toLowerCase).toSet
+      val cols = unionSchema.fields.map { f =>
+        if (have.contains(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
+
+    val stagedB = staged.withColumn("gbk", bucketExpr(mergeKeyCol, n)).cache()
+    try {
+      val affected: Set[Int] =
+        stagedB.select("gbk").distinct().collect().map(_.getInt(0)).toSet
+
+      // In-batch latest-version dedup (A14): one winner per staged key,
+      // tombstone ordering identical to merge's union+argmax.
+      val src = aligned(stagedB.drop("gbk"))
+        .withColumn("_del", coalesce(col(isDeleteCol).cast("boolean"), lit(false)))
+      val stagedLatest = src
+        .groupBy(col(mergeKeyCol).as("_k"))
+        .agg(max(struct(col(versionCol), col("_del"),
+          struct(unionSchema.fieldNames.map(col).toIndexedSeq: _*).as("row"))).as("w"))
+        .select(col("_k"), col(s"w.`$versionCol`").as("_v"), col("w._del").as("_d"),
+          col("w.row").as("_row"))
+
+      // Current max version per key in the affected buckets (deletes from
+      // earlier merge-on-read commits are applied by read()).
+      val tgtVer = read(Some(affected))
+        .groupBy(col(mergeKeyCol).as("_tk"))
+        .agg(max(col(versionCol)).as("_tv"))
+        .withColumn("_texists", lit(true))
+
+      val decided = stagedLatest
+        .join(tgtVer, col("_k") <=> col("_tk"), "left")
+        .withColumn("_kill", coalesce(col("_texists"), lit(false)) && col("_v") > col("_tv"))
+        .withColumn("_upsert", !col("_d") && (col("_tv").isNull || col("_v") > col("_tv")))
+        .where(col("_kill") || col("_upsert"))
+        .cache() // two consumers (rows + delete keys); bounded by the batch
+
+      val commitId = UUID.randomUUID().toString
+      val newRows = decided.where(col("_upsert"))
+        .select(unionSchema.fieldNames.map(f => col(s"_row.`$f`").as(f)).toIndexedSeq: _*)
+      val written = writeBucketed(newRows, mergeKeyCol, n, commitId,
+        targetBuckets = Some(affected), props = snap.properties, seq = newSeq)
+      val delKeys = decided.where(col("_kill")).select(col("_k").as(mergeKeyCol))
+      val delWritten = writeDeletes(delKeys, mergeKeyCol, n, commitId, newSeq)
+      decided.unpersist()
+
+      commit(snap.copy(
+        version = newSeq,
+        files = snap.files ++ written,
+        properties = snap.properties ++ extraProps,
+        timestampMs = now(),
+        deletes = snap.deletes ++ delWritten))
+    } finally stagedB.unpersist()
+  }
+
+  /** Write per-bucket equality-delete files (always parquet — they are
+    * table metadata, not data, so the table's ORC option does not apply).
+    * One column: the merge key. Returns the manifest entries.
+    */
+  private def writeDeletes(
+      keys: DataFrame, mergeKeyCol: String, n: Int, commitId: String, seq: Long
+  ): Seq[DeleteFile] = {
+    val out = new Path(dataDir, s"$commitId-deletes")
+    val withB = keys.withColumn("gbk", bucketExpr(mergeKeyCol, n))
+    withB.repartition(math.min(n, maxWriteTasks), col("gbk"))
+      .write.partitionBy("gbk").mode("append").parquet(out.toString)
+    if (!fs.exists(out)) return Seq.empty
+    fs.listStatus(out)
+      .filter(_.isDirectory)
+      .flatMap { bdir =>
+        val b = bdir.getPath.getName.stripPrefix("gbk=").toInt
+        fs.listStatus(bdir.getPath)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .map(st => DeleteFile(s"$commitId-deletes/${bdir.getPath.getName}/${st.getPath.getName}", b, seq))
+      }
+      .toSeq
   }
 
   /** Iceberg `add_files` parity — the reachable half of external-engine
@@ -460,7 +655,9 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       val stats =
         if (statsCols.isEmpty || format == "orc") Map.empty[String, (Double, Double)]
         else FileStats.parquetMinMax(conf, qp, statsCols, snap.schema)
-      DataFile(qp.toString, SnapshotTable.AdoptedBucket, stats)
+      // adopted rows are NEW as of this commit — deletes from earlier
+      // sequences must not touch them, hence the fresh sequence stamp
+      DataFile(qp.toString, SnapshotTable.AdoptedBucket, stats, snap.version + 1)
     }
     commit(snap.copy(version = snap.version + 1, files = snap.files ++ entries, timestampMs = now()))
   }
@@ -482,7 +679,7 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     val df = readFiles(snap, adopted)
     val commitId = UUID.randomUUID().toString
     val written = writeBucketed(df, keyColForBucketing(snap), snap.numBuckets, commitId,
-      targetBuckets = None, props = snap.properties)
+      targetBuckets = None, props = snap.properties, seq = snap.version + 1)
     commit(snap.copy(version = snap.version + 1,
       files = snap.files.filter(_.bucket >= 0) ++ written, timestampMs = now()))
   }
@@ -504,16 +701,21 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     // uniformly-large files is already compact — either predicate firing
     // on them would re-rewrite the same bytes every maintenance tick
     // without converging.
+    // Buckets carrying equality deletes ([[mergeOnRead]]) always qualify:
+    // absorbing the per-read anti-join back into plain files is the other
+    // half of compaction's job under merge-on-read (Iceberg's
+    // rewrite_data_files + rewrite_position_delete_files in one pass).
     val needs = byBucket.filter { case (_, fsOfB) =>
       fsOfB.size > 1 && fsOfB.exists(f => fileLen(f) < fileSizeThresholdBytes)
-    }.keySet
+    }.keySet ++ snap.deletes.map(_.bucket).toSet
     if (needs.isEmpty) return snap
     val df = read(Some(needs))
     val commitId = UUID.randomUUID().toString
     val written = writeBucketed(df, keyColForBucketing(snap), snap.numBuckets, commitId, Some(needs),
-      coalesceOne = true, props = snap.properties)
+      coalesceOne = true, props = snap.properties, seq = snap.version + 1)
     val carried = snap.files.filterNot(f => needs.contains(f.bucket))
-    commit(snap.copy(version = snap.version + 1, files = carried ++ written, timestampMs = now()))
+    commit(snap.copy(version = snap.version + 1, files = carried ++ written, timestampMs = now(),
+      deletes = snap.deletes.filterNot(d => needs.contains(d.bucket))))
   }
 
   /** OPTIMIZE ... ZORDER BY (the Delta/Iceberg layout rewrite, an
@@ -545,9 +747,10 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     // the maxRowsPerFile split — consecutive z-ranges land in separate
     // files, which is exactly what makes file-level min/max boxes tight
     val written = writeBucketed(df, keyColForBucketing(snap), snap.numBuckets, commitId,
-      targetBuckets = None, coalesceOne = false, props = props)
+      targetBuckets = None, coalesceOne = false, props = props, seq = snap.version + 1)
+    // the full rewrite read applied (and thereby absorbed) every delete
     commit(snap.copy(version = snap.version + 1, files = written, properties = props,
-      timestampMs = now()))
+      timestampMs = now(), deletes = Seq.empty))
   }
 
   /** expire_snapshots(olderThan): drop snapshot manifests older than the
@@ -572,7 +775,7 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
   def removeOrphanFiles(olderThanMs: Long): Seq[String] = {
     val live: Set[String] = snapshotVersions
       .map(v => readSnapshot(new Path(snapshotsDir, snapshotFileName(v))))
-      .flatMap(_.files.map(_.path))
+      .flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path))
       .toSet
     if (!fs.exists(dataDir)) return Seq.empty
     val it = fs.listFiles(dataDir, true)
@@ -652,6 +855,12 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     */
   def exportSymlinkManifest(exportDir: String): Seq[String] = {
     val snap = currentSnapshot
+    // A symlink-manifest reader sees raw data files and cannot apply
+    // equality deletes — exporting a merge-on-read table before
+    // maintenance would hand external engines resurrected rows.
+    require(snap.deletes.isEmpty,
+      "table has outstanding equality deletes (merge-on-read commits); " +
+        "run compact() to absorb them before exporting a symlink manifest")
     val versioned = new Path(s"$exportDir.v${System.nanoTime()}")
     fs.delete(versioned, true)
     fs.mkdirs(versioned)
@@ -753,7 +962,8 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
       commitId: String,
       targetBuckets: Option[Set[Int]],
       coalesceOne: Boolean = false,
-      props: Map[String, String] = Map.empty
+      props: Map[String, String] = Map.empty,
+      seq: Long = 0L
   ): Seq[DataFile] = {
     val out = new Path(dataDir, commitId)
     val withB = df.withColumn("gbk", bucketExpr(mergeKeyCol, n))
@@ -823,7 +1033,7 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
         fs.listStatus(bdir.getPath)
           .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
           .map(st => DataFile(s"$commitId/${bdir.getPath.getName}/${st.getPath.getName}", b,
-            statsFor(st.getPath)))
+            statsFor(st.getPath), seq))
       }
       .toSeq
   }
@@ -866,11 +1076,16 @@ object SnapshotTable {
   // environment, and is rejected with a clear error.
   val PropFormat = "write.format"
 
-  // Internal helper column names used by the bucketed write (`gbk`) and
-  // the merge's union+argmax (`_del`/`_pri`). A same-named USER column
-  // would be silently overwritten and lost in every merged row — reject
-  // loudly up front instead (reserved-name collisions are schema bugs).
-  private val ReservedColumns = Set("gbk", "_del", "_pri")
+  // Internal helper column names used by the bucketed write (`gbk`), the
+  // merge's union+argmax (`_del`/`_pri`), merge-on-read's decision join
+  // (`_k`/`_v`/`_d`/`_row`/`_tk`/`_tv`/`_texists`/`_kill`/`_upsert`) and
+  // the delete-applying read (`_gseq`/`_dkey`/`_dseq`). A same-named USER
+  // column would be silently overwritten and lost in every merged row —
+  // reject loudly up front instead (reserved-name collisions are schema
+  // bugs).
+  private val ReservedColumns = Set("gbk", "_del", "_pri",
+    "_k", "_v", "_d", "_row", "_tk", "_tv", "_texists", "_kill", "_upsert",
+    "_gseq", "_dkey", "_dseq")
 
   private[tables] def rejectReservedColumns(schema: org.apache.spark.sql.types.StructType): Unit = {
     val clash = schema.fieldNames.filter(n => ReservedColumns.contains(n.toLowerCase))
@@ -906,11 +1121,19 @@ object SnapshotTable {
     s.files.foreach { f =>
       val o = files.addObject()
       o.put("path", f.path); o.put("bucket", f.bucket)
+      if (f.seq != 0L) o.put("seq", f.seq)
       if (f.stats.nonEmpty) {
         val st = o.putObject("stats")
         f.stats.foreach { case (c, (mn, mx)) =>
           val arr = st.putArray(c); arr.add(mn); arr.add(mx)
         }
+      }
+    }
+    if (s.deletes.nonEmpty) {
+      val dels = root.putArray("deletes")
+      s.deletes.foreach { d =>
+        val o = dels.addObject()
+        o.put("path", d.path); o.put("bucket", d.bucket); o.put("seq", d.seq)
       }
     }
     val props = root.putObject("properties")
@@ -928,8 +1151,16 @@ object SnapshotTable {
           e.getKey -> (e.getValue.get(0).asDouble(), e.getValue.get(1).asDouble())
         }.toMap
       }.getOrElse(Map.empty[String, (Double, Double)])
-      DataFile(f.get("path").asText(), f.get("bucket").asInt(), stats)
+      // "seq" is optional — manifests written before merge-on-read parse
+      // to sequence 0 (every later delete applies to them, correctly)
+      DataFile(f.get("path").asText(), f.get("bucket").asInt(), stats,
+        Option(f.get("seq")).map(_.asLong()).getOrElse(0L))
     }.toSeq
+    val deletes = Option(root.get("deletes")).map {
+      _.asInstanceOf[ArrayNode].elements().asScala.map { d =>
+        DeleteFile(d.get("path").asText(), d.get("bucket").asInt(), d.get("seq").asLong())
+      }.toSeq
+    }.getOrElse(Seq.empty)
     val props = root.get("properties").properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
     Snapshot(
@@ -938,7 +1169,8 @@ object SnapshotTable {
       numBuckets = root.get("numBuckets").asInt(),
       files = files,
       properties = props,
-      timestampMs = root.get("timestampMs").asLong()
+      timestampMs = root.get("timestampMs").asLong(),
+      deletes = deletes
     )
   }
 

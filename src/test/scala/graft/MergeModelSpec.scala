@@ -34,7 +34,19 @@ class MergeModelSpec extends SparkSpec {
     runModel(format = Some("orc"), batches = 25, seed = 20260813L)
   }
 
-  private def runModel(format: Option[String], batches: Int, seed: Long): Unit = {
+  test("merge-on-read (equality deletes) satisfies the same model, including across compaction") {
+    runModel(format = None, batches = 40, seed = 20260814L, mode = "mor")
+  }
+
+  test("interleaved copy-on-write and merge-on-read commits satisfy the same model") {
+    // alternating modes exercises CoW absorbing MoR deletes (a rewrite of
+    // a bucket with outstanding delete files must fold them in) and MoR
+    // stacking sequences on top of rewritten files
+    runModel(format = None, batches = 40, seed = 20260815L, mode = "mixed")
+  }
+
+  private def runModel(format: Option[String], batches: Int, seed: Long,
+      mode: String = "cow"): Unit = {
     val rnd = new scala.util.Random(seed)
     val dir = Files.createTempDirectory("graft-merge-model").toFile.getAbsolutePath
     val table = new SnapshotTable(spark, s"$dir/t")
@@ -77,7 +89,16 @@ class MergeModelSpec extends SparkSpec {
         import spark.implicits._
         val batch = MergeKey(rows.toDF("Id", "versionnumber", "IsDelete", "payload"))
         val staged = LatestVersionDedup(batch)
-        table.merge(staged, MergeKey.ColumnName, "versionnumber", "IsDelete")
+        val useMor = mode == "mor" || (mode == "mixed" && batchNo % 2 == 0)
+        if (useMor) table.mergeOnRead(staged, MergeKey.ColumnName, "versionnumber", "IsDelete")
+        else table.merge(staged, MergeKey.ColumnName, "versionnumber", "IsDelete")
+        // periodic maintenance under merge-on-read: compaction must absorb
+        // the accumulated delete files without changing any visible row
+        if (useMor && batchNo % 10 == 0) {
+          table.compact(fileSizeThresholdBytes = Long.MaxValue)
+          assert(table.currentSnapshot.deletes.isEmpty,
+            s"compaction left delete files behind after batch $batchNo")
+        }
 
         // model: dedup (max version per id), then strict-version merge
         rows.groupBy(_._1).foreach { case (id, rs) =>

@@ -121,6 +121,84 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() == 100)
   }
 
+  test("mergeOnRead: no data file is rewritten — commit appends winners + per-bucket delete keys only") {
+    val t = freshTable("snap-mor")
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    val before = t.currentSnapshot
+    val change = Seq(
+      ("k1", 1000L, "updated", false), // update → new row + delete key
+      ("k2", 1L, "stale", false),      // stale → no-op
+      ("k3", 1000L, null, true),       // tombstone → delete key only
+      ("knew", 5L, "fresh", false))    // insert → new row, no delete key
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.mergeOnRead(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    val after = t.currentSnapshot
+    // the no-rewrite pin: every pre-existing data file is carried verbatim
+    assert(before.files.toSet.subsetOf(after.files.toSet),
+      "merge-on-read must never rewrite or drop existing data files")
+    val appended = after.files.toSet.diff(before.files.toSet)
+    assert(appended.nonEmpty && appended.forall(_.seq == after.version))
+    assert(after.deletes.nonEmpty && after.deletes.forall(_.seq == after.version))
+    // merged state is the copy-on-write result
+    val rows = t.read().select("arcane_merge_key", "versionnumber", "payload")
+      .as[(String, Long, String)].collect().map { case (k, v, p) => k -> ((v, p)) }.toMap
+    assert(rows("k1") == ((1000L, "updated")))
+    assert(rows("k2") == ((2L, "v2")))
+    assert(!rows.contains("k3") && rows("knew") == ((5L, "fresh")))
+    assert(t.read().count() == 100) // 100 - k3 + knew
+    // bucket-pruned read through the delete-applying path stays exact
+    val k1b = t.read().sparkSession.range(1).select(
+      pmod(xxhash64(lit("k1")), lit(4)).cast("int")).as[Int].head()
+    val pruned = t.read(Some(Set(k1b)))
+    assert(pruned.where(col("arcane_merge_key") === "k1").select("payload").as[String].head() == "updated")
+    // replay idempotence holds on the MoR path too (crash-recovery contract)
+    val before2 = t.currentSnapshot
+    t.mergeOnRead(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.read().count() == 100)
+    assert(t.currentSnapshot.files.map(_.path).toSet == before2.files.map(_.path).toSet,
+      "replayed MoR merge must append no data files (no winners)")
+  }
+
+  test("mergeOnRead: time travel spans MoR commits; export refuses until compaction absorbs deletes") {
+    val t = freshTable("snap-mor-tt")
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    val v1 = t.currentSnapshot.version
+    t.mergeOnRead(Seq(("k1", 1000L, "u1", false)).toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    val v2 = t.currentSnapshot.version
+    t.mergeOnRead(Seq(("k1", 2000L, "u2", false)).toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    def k1At(v: Long) = t.readAt(v).where(col("arcane_merge_key") === "k1").select("payload").as[String].head()
+    assert(k1At(v1) == "v1" && k1At(v2) == "u1" && k1At(t.currentSnapshot.version) == "u2")
+    // changesBetween sees MoR deltas (delete-file diffs mark the bucket)
+    val delta = t.changesBetween(v2, t.currentSnapshot.version)
+      .select("arcane_merge_key", "_change_type").as[(String, String)].collect().toSet
+    assert(delta == Set(("k1", "update")))
+    // export is refused while deletes are outstanding — a symlink reader
+    // would resurrect superseded rows
+    val ex = intercept[IllegalArgumentException] { t.exportSymlinkManifest(tmpDir("mor-exp")) }
+    assert(ex.getMessage.contains("equality deletes"))
+    t.compact(fileSizeThresholdBytes = Long.MaxValue)
+    assert(t.currentSnapshot.deletes.isEmpty)
+    t.exportSymlinkManifest(tmpDir("mor-exp2")) // now fine
+    assert(t.read().where(col("arcane_merge_key") === "k1").select("payload").as[String].head() == "u2")
+  }
+
+  test("snapshot JSON round-trips seq + deletes; pre-MoR manifests parse with defaults") {
+    import graft.tables.{DataFile, DeleteFile, Snapshot}
+    val s = Snapshot(7L,
+      org.apache.spark.sql.types.StructType(Seq(StructField("arcane_merge_key", StringType))),
+      4, Seq(DataFile("a/b.parquet", 2, Map("x" -> ((1.0, 9.0))), 7L)),
+      Map("p" -> "v"), 123L, Seq(DeleteFile("a/b-deletes/gbk=2/d.parquet", 2, 7L)))
+    assert(SnapshotTable.fromJson(SnapshotTable.toJson(s)) == s)
+    // a manifest written before merge-on-read existed (no seq, no deletes)
+    val legacy = SnapshotTable.toJson(s.copy(
+      files = Seq(DataFile("a/b.parquet", 2)), deletes = Seq.empty))
+    assert(!legacy.contains("\"seq\"") && !legacy.contains("\"deletes\""))
+    val parsed = SnapshotTable.fromJson(legacy)
+    assert(parsed.files.head.seq == 0L && parsed.deletes.isEmpty)
+  }
+
   test("merge replay is idempotent: re-applying the same batch changes no row") {
     // the crash-recovery contract: a micro-batch whose merge committed but
     // whose streaming offset didn't gets REPLAYED from the checkpoint —
