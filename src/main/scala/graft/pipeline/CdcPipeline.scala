@@ -98,8 +98,17 @@ object CdcPipeline {
         layoutProps(spec) + (SnapshotTable.PropWatermark -> watermark))
     } else {
       reconcileSchema(table, staged.schema, spec)
-      table.merge(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
-        Map(SnapshotTable.PropWatermark -> watermark), knownAffected)
+      // merge-on-read (spec.mergeMode, Iceberg v2 write.merge.mode parity):
+      // commits append winners + equality-delete keys instead of rewriting
+      // the affected buckets; the maintenance compaction tick absorbs the
+      // accumulated deletes. knownAffected is a copy-on-write-only fast
+      // path (mergeOnRead derives its own affected set from the batch).
+      if (spec.useMergeOnRead)
+        table.mergeOnRead(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
+          Map(SnapshotTable.PropWatermark -> watermark))
+      else
+        table.merge(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
+          Map(SnapshotTable.PropWatermark -> watermark), knownAffected)
     }
   }
 
@@ -299,8 +308,12 @@ object CdcPipeline {
       spec.backfillBehavior.toLowerCase match {
         case "merge" if table.exists =>
           reconcileSchema(table, staged.schema, spec)
-          table.merge(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
-            Map(SnapshotTable.PropWatermark -> newest))
+          if (spec.useMergeOnRead)
+            table.mergeOnRead(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
+              Map(SnapshotTable.PropWatermark -> newest))
+          else
+            table.merge(staged, MergeKey.ColumnName, spec.versionColumn, spec.isDeleteColumn,
+              Map(SnapshotTable.PropWatermark -> newest))
         case _ =>
           val live = staged.where(!coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false)))
           table.createOrReplace(live, MergeKey.ColumnName, spec.numBuckets,

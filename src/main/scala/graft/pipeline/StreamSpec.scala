@@ -57,8 +57,20 @@ final case class StreamSpec(
     maxRowsPerFile: Option[Long] = None,               // sink.maxRowsPerFile
     targetTableProperties: Map[String, String] = Map.empty, // arbitrary table props passthrough
     exportDir: Option[String] = None,                  // re-export symlink manifest after every commit
-    logShipAddress: Option[String] = None              // DataDog-shape shipper: udp://host:port | file:/path
+    logShipAddress: Option[String] = None,             // DataDog-shape shipper: udp://host:port | file:/path
+    mergeMode: String = "copy-on-write"                // copy-on-write | merge-on-read (Iceberg v2 write.merge.mode)
 ) {
+  require(Set("copy-on-write", "merge-on-read").contains(mergeMode.toLowerCase),
+    s"mergeMode must be copy-on-write or merge-on-read, got '$mergeMode'")
+  // A symlink-manifest export exposes raw data files; merge-on-read commits
+  // leave equality deletes a plain reader cannot apply, so re-exporting
+  // after every trigger would either fail or resurrect superseded rows.
+  require(!(mergeMode.equalsIgnoreCase("merge-on-read") && exportDir.nonEmpty),
+    "exportDir cannot be combined with mergeMode=merge-on-read: the symlink export " +
+      "cannot represent outstanding equality deletes; use copy-on-write, or export " +
+      "from a maintenance job after compaction")
+
+  def useMergeOnRead: Boolean = mergeMode.equalsIgnoreCase("merge-on-read")
   def fieldSelectionRule: FieldSelectionRule = fieldSelectionRuleName.toLowerCase match {
     case "include" => FieldSelectionRule.Include(fieldSelectionFields)
     case "exclude" => FieldSelectionRule.Exclude(fieldSelectionFields)
@@ -177,7 +189,8 @@ object StreamSpec {
             .map(e => e.getKey -> e.getValue.asText()).toMap
         else Map.empty,
       exportDir = opt("exportDir"),
-      logShipAddress = opt("logShipAddress")
+      logShipAddress = opt("logShipAddress"),
+      mergeMode = str("mergeMode", "copy-on-write")
     )
   }
 }

@@ -21,6 +21,60 @@ class ConformanceSpec extends SparkSpec {
 
   private val now = OffsetDateTime.of(2026, 1, 2, 12, 0, 0, 0, ZoneOffset.UTC)
 
+  test("reference conformance under mergeMode=merge-on-read: same end state, no bucket rewrites") {
+    val root = tmpDir("cdm-mor-src")
+    val target = tmpDir("cdm-mor-target")
+    CdmFixture.initRoot(root)
+    val wmFolder = CdmFixture.uploadBatch(root, now.minusHours(1), updateChangelog = true, chunkSeed = 1)
+    CdmFixture.uploadBatch(root, now.minusHours(2), chunkSeed = 2)
+    val spec = StreamSpec(
+      sourcePath = root,
+      entityName = CdmFixture.entityName,
+      targetLocation = target,
+      backfillBehavior = "Overwrite",
+      numBuckets = 4,
+      changeCaptureIntervalSeconds = 1,
+      mergeMode = "merge-on-read"
+    )
+    CdcPipeline.runBackfill(spark, spec)
+    val table = SnapshotTable(spark, target)
+    assert(table.read().count() === 5)
+    assert(table.properties(SnapshotTable.PropWatermark) === wmFolder)
+    val backfilled = table.currentSnapshot.files.map(_.path).toSet
+
+    CdmFixture.uploadBatch(root, now.minusMinutes(45), addDelete = true, addUpsert = true, chunkSeed = 3)
+    CdmFixture.uploadBatch(root, now.minusMinutes(30), addDelete = true, chunkSeed = 4)
+    val lastFolder = CdmFixture.uploadBatch(root, now.minusMinutes(5), chunkSeed = 5)
+    CdmFixture.stampChangelog(root, lastFolder)
+    val query = CdcPipeline.startStream(spark, spec)
+    try query.processAllAvailable()
+    finally query.stop()
+
+    val result = table.read()
+    assert(result.count() === 6, "5 backfilled - 1 deleted + 2 inserted = 6")
+    assert(result.where(col("Id") === CdmFixture.id1).count() === 0, "deleted Id must be gone")
+    val v = result.where(col("Id") === CdmFixture.id2).select("versionnumber").head().getLong(0)
+    assert(v === 2111000012L, "updated Id must carry the max versionnumber")
+    assert(table.properties(SnapshotTable.PropWatermark) === lastFolder)
+    // the merge-on-read pin: every backfilled data file survived verbatim
+    // (streamed merges appended winners + delete keys, rewrote nothing)
+    val snap = table.currentSnapshot
+    assert(backfilled.subsetOf(snap.files.map(_.path).toSet),
+      "streamed merge-on-read commits must not rewrite backfill files")
+    assert(snap.deletes.nonEmpty, "the streamed delete/upsert must have produced delete files")
+    // maintenance compaction absorbs the deletes without changing a row
+    val beforeCompact = result.orderBy("Id").collect().map(_.toString).toSeq
+    table.compact(fileSizeThresholdBytes = Long.MaxValue)
+    assert(table.currentSnapshot.deletes.isEmpty)
+    assert(table.read().orderBy("Id").collect().map(_.toString).toSeq === beforeCompact)
+    // exportDir + merge-on-read is rejected up front (symlink readers
+    // cannot apply equality deletes)
+    val ex = intercept[IllegalArgumentException] {
+      spec.copy(exportDir = Some(tmpDir("cdm-mor-exp")))
+    }
+    assert(ex.getMessage.contains("merge-on-read"))
+  }
+
   test("reference conformance: backfill then stream-merge") {
     val root = tmpDir("cdm-e2e-src")
     val target = tmpDir("cdm-e2e-target")
