@@ -2313,6 +2313,45 @@ object SparkEntry {
         |  FROM e a JOIN e b ON b.label <> a.label WHERE a.vec_id < 40) t
         |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin,
 
+    // Data-quality report replay: each rule's (violations, checked) pair
+    // recomputed directly. Rule-name strings must match graft.ext.Quality's
+    // exactly — they ARE the join key of the report.
+    "q_dq_checks" ->
+      """SELECT 'not_null(l_orderkey)' AS rule,
+        |  count(*) FILTER (WHERE l_orderkey IS NULL) AS violations,
+        |  count(*) AS checked FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range(l_quantity,1.0,25.0)',
+        |  count(*) FILTER (WHERE NOT (CAST(l_quantity AS DOUBLE) >= 1.0
+        |    AND CAST(l_quantity AS DOUBLE) <= 25.0)),
+        |  count(*) FILTER (WHERE l_quantity IS NOT NULL) FROM lineitem
+        |UNION ALL
+        |SELECT 'in_set(l_returnflag)',
+        |  count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N')),
+        |  count(*) FILTER (WHERE l_returnflag IS NOT NULL) FROM lineitem
+        |UNION ALL
+        |SELECT 'matches(l_linestatus)',
+        |  count(*) FILTER (WHERE NOT regexp_matches(l_linestatus, '^[OF]$')),
+        |  count(*) FILTER (WHERE l_linestatus IS NOT NULL) FROM lineitem
+        |UNION ALL
+        |SELECT 'predicate(discount_le_5pct)',
+        |  count(*) FILTER (WHERE NOT coalesce(l_discount <= 0.05, false)),
+        |  count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'unique(l_orderkey,l_linenumber)',
+        |  count(*) - (SELECT count(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem) d),
+        |  count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'foreign_key(l_orderkey)',
+        |  count(*) FILTER (WHERE o_orderkey IS NULL),
+        |  count(*)
+        |FROM (SELECT l.l_orderkey, o.o_orderkey FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_orderkey IS NOT NULL) j
+        |ORDER BY rule""".stripMargin,
+
     // Winsorized summary replay: counting-quantile thresholds (the
     // q_counting_quantiles CTE), least/greatest clip, integer clip
     // counts and clipped sum — bit-exact.

@@ -1132,6 +1132,26 @@ object Queries {
     * sum — every step exact, replayed by the oracle from the same
     * counts CTE.
     */
+  /** Data-quality expectation report ([[graft.ext.Quality]]): the full
+    * rule battery over lineitem — fused row-level rules (one scan), a
+    * uniqueness check and a referential-integrity check against orders —
+    * with thresholds chosen so several rules DO report violations (a
+    * report that can only say zero proves nothing).
+    */
+  def qDqChecks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Quality._
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    check(li, Seq(
+      NotNull("l_orderkey"),
+      InRange("l_quantity", 1, 25),                       // upper half violates
+      InSet("l_returnflag", Seq("A", "N")),               // 'R' rows violate
+      Matches("l_linestatus", "^[OF]$"),
+      Predicate("discount_le_5pct", col("l_discount") <= 0.05),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      ForeignKey("l_orderkey", ord, "o_orderkey")))
+  }
+
   def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
     val quantized = ev.where(col("value").isNotNull)
@@ -2717,6 +2737,7 @@ object Queries {
     "q_random_walks" -> (qRandomWalks _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_dq_checks" -> (qDqChecks _),
     "q_winsorize" -> (qWinsorize _),
     "q_source_cap" -> (qSourceCap _),
     "q_epoch_shuffle" -> (qEpochShuffle _),

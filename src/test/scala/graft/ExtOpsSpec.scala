@@ -1497,4 +1497,40 @@ class ExtOpsSpec extends SparkSpec {
     val r = TextAnalysis.gopherFilter(df).select(col("keep")).as[Boolean].collect()
     assert(r.toSeq == Seq(false, false))
   }
+
+  test("Quality.check: every rule kind counts its planted violations exactly") {
+    import graft.ext.Quality._
+    val child = Seq(
+      (Some(1L), Some(10.0), Some("A"), "ok-1"),
+      (Some(1L), Some(99.0), Some("X"), "ok-2"),  // dup key; out of range; out of set
+      (None,     None,       Some("B"), "zz-3"),  // null key (NotNull hit; skipped by range/FK)
+      (Some(7L), Some(5.0),  None,      "bad")    // orphan key; null set col not checked; regex hit
+    ).toDF("k", "x", "flag", "label")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val rep = check(child, Seq(
+      NotNull("k"),
+      InRange("x", 0, 50),
+      InSet("flag", Seq("A", "B")),
+      Matches("label", "^ok-"),
+      Predicate("x_lt_20", col("x") < 20), // NULL x → violation (cannot evaluate)
+      Unique(Seq("k")),
+      ForeignKey("k", parent, "pk")))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(rep("not_null(k)") == ((1L, 4L)))
+    assert(rep("in_range(x,0.0,50.0)") == ((1L, 3L)))     // 99 violates; NULL skipped
+    assert(rep("in_set(flag)") == ((1L, 3L)))             // X violates; NULL skipped
+    assert(rep("matches(label)") == ((2L, 4L)))           // zz-3, bad
+    assert(rep("predicate(x_lt_20)") == ((2L, 4L)))       // 99 and NULL
+    assert(rep("unique(k)") == ((1L, 4L)))                // two k=1 rows → 1 excess
+    assert(rep("foreign_key(k)") == ((1L, 3L)))           // k=7 orphan; NULL key skipped
+  }
+
+  test("Quality.check: a clean table reports zero violations on every rule") {
+    import graft.ext.Quality._
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val rep = check(clean, Seq(NotNull("id"), Unique(Seq("id")),
+      InSet("s", Seq("a", "b")), Predicate("pos", col("id") > 0)))
+      .as[(String, Long, Long)].collect()
+    assert(rep.forall(_._2 == 0L) && rep.map(_._1).length == 4)
+  }
 }
