@@ -758,15 +758,77 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     */
   def expireSnapshots(olderThanMs: Long): Seq[Long] = {
     val curName = readText(fs, currentPtr).trim
+    val tagged = listTags.values.toSet // a tagged version never expires
     val removed = scala.collection.mutable.ArrayBuffer.empty[Long]
     snapshotVersions.foreach { v =>
       val p = new Path(snapshotsDir, snapshotFileName(v))
-      if (p.getName != curName && readSnapshot(p).timestampMs < olderThanMs) {
+      if (p.getName != curName && !tagged.contains(v) && readSnapshot(p).timestampMs < olderThanMs) {
         fs.delete(p, false)
         removed += v
       }
     }
     removed.toSeq
+  }
+
+  // ------------------------------------------------- rollback and tags
+
+  /** ROLLBACK to an earlier snapshot (Iceberg `rollback_to_snapshot`):
+    * commits a NEW snapshot whose content — schema, files, deletes,
+    * properties — is the old one's, so history stays linear and
+    * append-only (the bad commits remain inspectable via [[readAt]] until
+    * expiry; nothing is deleted). Rolling back is itself undoable by
+    * rolling "back" to the pre-rollback version. Metadata-only: no data
+    * file is touched, and orphan removal keeps every file any retained
+    * snapshot references.
+    */
+  def rollbackTo(version: Long): Snapshot = {
+    val p = new Path(snapshotsDir, snapshotFileName(version))
+    require(fs.exists(p),
+      s"snapshot v$version expired or never existed (have: ${snapshotVersions.mkString(",")})")
+    val old = readSnapshot(p)
+    val cur = currentSnapshot
+    commit(old.copy(version = cur.version + 1, timestampMs = now()))
+  }
+
+  private val tagsDir = new Path(dir, "_tags")
+  // tag names become file names — keep them portable and unambiguous
+  private def tagPath(name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]{1,128}"),
+      s"tag name '$name' must match [A-Za-z0-9._-]{1,128}")
+    new Path(tagsDir, name)
+  }
+
+  /** Tag a snapshot version with a stable name (Iceberg tags — e.g. the
+    * exact table state a model was trained against). A tagged version is
+    * exempt from [[expireSnapshots]] until the tag is dropped, so
+    * [[readTag]] stays reproducible indefinitely; data files stay live
+    * via the retained manifest ([[removeOrphanFiles]] honors it).
+    */
+  def createTag(name: String, version: Long): Unit = {
+    require(fs.exists(new Path(snapshotsDir, snapshotFileName(version))),
+      s"cannot tag v$version: snapshot expired or never existed")
+    val p = tagPath(name)
+    require(!fs.exists(p), s"tag '$name' already exists (drop it first)")
+    writeText(fs, p, version.toString)
+  }
+
+  def dropTag(name: String): Unit = {
+    val p = tagPath(name)
+    require(fs.exists(p), s"tag '$name' does not exist")
+    fs.delete(p, false)
+  }
+
+  def listTags: Map[String, Long] =
+    if (!fs.exists(tagsDir)) Map.empty
+    else fs.listStatus(tagsDir).filter(_.isFile)
+      .map(st => st.getPath.getName -> readText(fs, st.getPath).trim.toLong)
+      .toMap
+
+  /** Read the table as of a tag — [[readAt]] by name. */
+  def readTag(name: String): DataFrame = {
+    val tags = listTags
+    require(tags.contains(name), s"tag '$name' does not exist (have: ${tags.keys.toSeq.sorted.mkString(",")})")
+    readAt(tags(name))
   }
 
   /** remove_orphan_files(olderThan): delete data files referenced by NO

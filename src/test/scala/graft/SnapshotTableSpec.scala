@@ -184,6 +184,51 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().where(col("arcane_merge_key") === "k1").select("payload").as[String].head() == "u2")
   }
 
+  test("rollbackTo restores an earlier state as a NEW commit; history stays inspectable") {
+    val t = freshTable("snap-rollback")
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    val v1 = t.currentSnapshot.version
+    val good = t.read().orderBy("arcane_merge_key").collect().map(_.toString).toSeq
+    // a "bad" merge-on-read commit (deletes in play) followed by rollback
+    t.mergeOnRead(Seq(("k1", 9999L, "oops", false), ("k2", 9999L, null, true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    val vBad = t.currentSnapshot.version
+    assert(t.read().count() == 99)
+    t.rollbackTo(v1)
+    assert(t.currentSnapshot.version == vBad + 1, "rollback is a new commit, not a pointer rewind")
+    assert(t.read().orderBy("arcane_merge_key").collect().map(_.toString).toSeq === good)
+    assert(t.currentSnapshot.deletes.isEmpty, "rolled-back state predates the deletes")
+    // the bad commit stays inspectable (append-only history)...
+    assert(t.readAt(vBad).count() == 99)
+    // ...and the rollback itself is undoable by rolling "back" to it
+    t.rollbackTo(vBad)
+    assert(t.read().count() == 99)
+  }
+
+  test("tags pin snapshots against expiration and read by name") {
+    val t = freshTable("snap-tags")
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    val v1 = t.currentSnapshot.version
+    t.createTag("train-corpus-2026w33", v1)
+    t.merge(Seq(("k1", 1000L, "updated", false)).toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    // everything older than now would expire — but the tag pins v1
+    val removed = t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 60000)
+    assert(!removed.contains(v1), "tagged snapshot must not expire")
+    assert(t.readTag("train-corpus-2026w33").where(col("arcane_merge_key") === "k1")
+      .select("payload").as[String].head() == "v1")
+    assert(t.listTags == Map("train-corpus-2026w33" -> v1))
+    // duplicate tag names and bad names are rejected loudly
+    intercept[IllegalArgumentException] { t.createTag("train-corpus-2026w33", v1) }
+    intercept[IllegalArgumentException] { t.createTag("no/slashes", v1) }
+    // dropping the tag releases the pin
+    t.dropTag("train-corpus-2026w33")
+    val removed2 = t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 60000)
+    assert(removed2.contains(v1))
+    intercept[IllegalArgumentException] { t.readTag("train-corpus-2026w33") }
+  }
+
   test("snapshot JSON round-trips seq + deletes; pre-MoR manifests parse with defaults") {
     import graft.tables.{DataFile, DeleteFile, Snapshot}
     val s = Snapshot(7L,
