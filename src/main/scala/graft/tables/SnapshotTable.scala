@@ -68,14 +68,35 @@ final case class Snapshot(
     deletes: Seq[DeleteFile] = Seq.empty
 )
 
-class SnapshotTable(val spark: SparkSession, val location: String) {
+class SnapshotTable(val spark: SparkSession, val location: String,
+    val branch: Option[String] = None) {
   import SnapshotTable._
 
   private val dir = new Path(location)
   private def fs: FileSystem = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private val currentPtr = new Path(dir, "_current")
+  private val branchesDir = new Path(dir, "_branches")
+  // A branch view is the SAME table with its OWN head pointer: commits
+  // land on `_branches/<name>` (snapshot files prefixed `b-<name>-`) and
+  // `_current` — what every reader sees — never moves until fastForward.
+  // This is the write-audit-publish primitive (Iceberg branch + WAP).
+  private val currentPtr = branch match {
+    case Some(b) => new Path(branchesDir, b)
+    case None    => new Path(dir, "_current")
+  }
   private val snapshotsDir = new Path(dir, "_snapshots")
   private val dataDir = new Path(dir, "data")
+
+  /** Snapshot file name for COMMITS from this view: branch commits get a
+    * branch-prefixed name so they never collide with main-line `v*.json`
+    * numbering and stay invisible to [[snapshotVersions]]/[[readAt]].
+    */
+  private def commitFileName(v: Long): String = branch match {
+    case Some(b) => f"b-$b-v$v%08d.json"
+    case None    => snapshotFileName(v)
+  }
+
+  private def requireMain(op: String): Unit =
+    require(branch.isEmpty, s"$op must run on the main table, not branch view '${branch.get}'")
 
   def exists: Boolean = fs.exists(currentPtr)
 
@@ -757,16 +778,28 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     * cutoff (always keeping the current one) — `docs/crd.md:172-182`.
     */
   def expireSnapshots(olderThanMs: Long): Seq[Long] = {
+    requireMain("expireSnapshots")
     val curName = readText(fs, currentPtr).trim
-    val tagged = listTags.values.toSet // a tagged version never expires
+    val tagged = listTags.values.map(snapshotFileName).toSet // a tagged version never expires
+    // any snapshot a live branch head points at is pinned too
+    val branchHeads: Set[String] =
+      if (!fs.exists(branchesDir)) Set.empty
+      else fs.listStatus(branchesDir).filter(_.isFile)
+        .map(st => readText(fs, st.getPath).trim).toSet
     val removed = scala.collection.mutable.ArrayBuffer.empty[Long]
-    snapshotVersions.foreach { v =>
-      val p = new Path(snapshotsDir, snapshotFileName(v))
-      if (p.getName != curName && !tagged.contains(v) && readSnapshot(p).timestampMs < olderThanMs) {
-        fs.delete(p, false)
-        removed += v
+    if (!fs.exists(snapshotsDir)) return Seq.empty
+    // ALL snapshot files age out — main-line v*.json and superseded
+    // branch b-*.json alike (a branch's non-head history expires like
+    // main's); the pins above protect every reachable head.
+    fs.listStatus(snapshotsDir).filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .foreach { st =>
+        val n = st.getPath.getName
+        if (n != curName && !tagged.contains(n) && !branchHeads.contains(n) &&
+            readSnapshot(st.getPath).timestampMs < olderThanMs) {
+          fs.delete(st.getPath, false)
+          n match { case SnapshotFileName(v) => removed += v.toLong; case _ => () }
+        }
       }
-    }
     removed.toSeq
   }
 
@@ -831,14 +864,92 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
     readAt(tags(name))
   }
 
+  // ------------------------------------- branches (write-audit-publish)
+
+  private def branchPtr(name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]{1,128}"),
+      s"branch name '$name' must match [A-Za-z0-9._-]{1,128}")
+    new Path(branchesDir, name)
+  }
+
+  /** Create a branch at the current head (Iceberg branching): a second
+    * head pointer over the SAME data/metadata. Commits through
+    * [[branchView]] advance only the branch; `_current` — what every
+    * reader of this table sees — does not move until [[fastForward]].
+    *
+    * This is the write-audit-publish workflow's first step: write a
+    * micro-batch to an audit branch, validate it (e.g.
+    * [[graft.ext.Quality.check]] over `branchView(name).read()`), then
+    * publish with [[fastForward]] — or walk away with [[dropBranch]] and
+    * the main table never saw a byte of the bad commit.
+    */
+  def createBranch(name: String): Unit = {
+    requireMain("createBranch")
+    val p = branchPtr(name)
+    require(!fs.exists(p), s"branch '$name' already exists")
+    fs.mkdirs(branchesDir)
+    writeText(fs, p, readText(fs, currentPtr).trim)
+  }
+
+  /** A writable view of this table whose head is the branch. All table
+    * operations work unchanged; maintenance that reasons about the whole
+    * snapshot store (expiry, orphan removal) stays main-only.
+    */
+  def branchView(name: String): SnapshotTable = {
+    requireMain("branchView")
+    require(fs.exists(branchPtr(name)), s"branch '$name' does not exist")
+    new SnapshotTable(spark, location, Some(name))
+  }
+
+  def listBranches: Seq[String] =
+    if (!fs.exists(branchesDir)) Seq.empty
+    else fs.listStatus(branchesDir).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+
+  /** PUBLISH: atomically point `_current` at the branch head (Iceberg
+    * `fast_forward`). Metadata-only; readers switch from the old state to
+    * the audited one in one pointer swap. The branch remains and can keep
+    * receiving commits (or be dropped).
+    */
+  def fastForward(name: String): Snapshot = {
+    requireMain("fastForward")
+    val p = branchPtr(name)
+    require(fs.exists(p), s"branch '$name' does not exist")
+    val head = readText(fs, p).trim
+    val tmp = new Path(dir, s"_current.tmp.${UUID.randomUUID()}")
+    writeText(fs, tmp, head)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(currentPtr),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    currentSnapshot
+  }
+
+  /** Drop a branch pointer. Its unpublished snapshots stay on disk until
+    * [[expireSnapshots]] ages them out (and their unreferenced data files
+    * until [[removeOrphanFiles]]) — the same retirement path as main-line
+    * history, no special-case deletion.
+    */
+  def dropBranch(name: String): Unit = {
+    requireMain("dropBranch")
+    val p = branchPtr(name)
+    require(fs.exists(p), s"branch '$name' does not exist")
+    fs.delete(p, false)
+  }
+
   /** remove_orphan_files(olderThan): delete data files referenced by NO
     * remaining snapshot — `docs/crd.md:161-170`.
     */
   def removeOrphanFiles(olderThanMs: Long): Seq[String] = {
-    val live: Set[String] = snapshotVersions
-      .map(v => readSnapshot(new Path(snapshotsDir, snapshotFileName(v))))
-      .flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path))
-      .toSet
+    requireMain("removeOrphanFiles")
+    // live = referenced by ANY retained snapshot manifest — main-line
+    // AND branch (b-*.json) alike; expiry is what retires manifests
+    val live: Set[String] =
+      (if (!fs.exists(snapshotsDir)) Seq.empty[Snapshot]
+       else fs.listStatus(snapshotsDir)
+         .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+         .map(st => readSnapshot(st.getPath)).toSeq)
+        .flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path))
+        .toSet
     if (!fs.exists(dataDir)) return Seq.empty
     val it = fs.listFiles(dataDir, true)
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1104,7 +1215,7 @@ class SnapshotTable(val spark: SparkSession, val location: String) {
 
   private def commit(snap: Snapshot): Snapshot = {
     fs.mkdirs(snapshotsDir)
-    val name = snapshotFileName(snap.version)
+    val name = commitFileName(snap.version)
     writeText(fs, new Path(snapshotsDir, name), toJson(snap))
     // Atomic pointer swap: write sibling temp, rename over _current.
     val tmp = new Path(dir, s"_current.tmp.${UUID.randomUUID()}")

@@ -229,6 +229,59 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.readTag("train-corpus-2026w33") }
   }
 
+  test("write-audit-publish: branch commits stay invisible until fastForward; a failed audit never lands") {
+    import graft.ext.Quality
+    val t = freshTable("snap-wap")
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    val mainBefore = t.read().orderBy("arcane_merge_key").collect().map(_.toString).toSeq
+
+    // --- round 1: a BAD batch, caught by the audit, dropped ------------
+    t.createBranch("audit")
+    val bv = t.branchView("audit")
+    bv.merge(Seq(("k1", 1000L, null, false)) // null payload = the planted defect
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    // branch sees the write; MAIN does not
+    assert(bv.read().where(col("arcane_merge_key") === "k1").select("payload").head().isNullAt(0))
+    assert(t.read().orderBy("arcane_merge_key").collect().map(_.toString).toSeq === mainBefore)
+    val audit = Quality.check(bv.read(), Seq(Quality.NotNull("payload")))
+      .select("violations").as[Long].head()
+    assert(audit == 1L, "audit must catch the planted defect")
+    t.dropBranch("audit")
+    assert(t.listBranches.isEmpty)
+    assert(t.read().orderBy("arcane_merge_key").collect().map(_.toString).toSeq === mainBefore)
+
+    // --- round 2: a GOOD batch, audited, published ---------------------
+    t.createBranch("audit")
+    val bv2 = t.branchView("audit")
+    bv2.mergeOnRead(Seq(("k1", 2000L, "audited", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(Quality.check(bv2.read(), Seq(Quality.NotNull("payload")))
+      .select("violations").as[Long].head() == 0L)
+    t.fastForward("audit")
+    assert(t.read().where(col("arcane_merge_key") === "k1").select("payload").as[String].head() == "audited")
+    assert(t.read().count() == 100)
+    // main keeps committing normally after the publish
+    t.merge(Seq(("k2", 3000L, "post-publish", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.read().where(col("arcane_merge_key") === "k2").select("payload").as[String].head() == "post-publish")
+
+    // --- retention: a live branch head pins its snapshot and files ----
+    t.createBranch("wip")
+    t.branchView("wip").merge(Seq(("k3", 4000L, "wip-only", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 60000)
+    t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 60000)
+    assert(t.branchView("wip").read().where(col("arcane_merge_key") === "k3")
+      .select("payload").as[String].head() == "wip-only",
+      "maintenance must not break a live branch")
+    // maintenance refuses to run from a branch view
+    intercept[IllegalArgumentException] { t.branchView("wip").expireSnapshots(0L) }
+  }
+
   test("snapshot JSON round-trips seq + deletes; pre-MoR manifests parse with defaults") {
     import graft.tables.{DataFile, DeleteFile, Snapshot}
     val s = Snapshot(7L,
