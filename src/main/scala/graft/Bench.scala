@@ -253,6 +253,9 @@ object Bench {
       // the engine's CORE operator: full backfill + streamed MERGE at 1M
       // events (10x rows AND 10x merge-key cardinality)
       "q_cdc_pipeline_e2e",
+      // the merge-on-read variant: appends + equality-delete anti-join
+      // must scale with the change set, not the table
+      "q_cdc_merge_mor",
       // the distributed-rank permutation (no global sort) and the
       // vocabulary-bounded bigram count tables
       "q_epoch_shuffle", "q_bigram_surprisal",

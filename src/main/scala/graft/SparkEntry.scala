@@ -819,6 +819,30 @@ object SparkEntry {
         |SELECT user_id, ce AS event_id, ct AS event_type
         |FROM c WHERE ce IS NOT NULL ORDER BY user_id""".stripMargin,
 
+    // Incremental-aggregate replay: the post-merge table state derived
+    // relationally (latest-per-user fold, tombstones out), then the
+    // grouped count/sum recomputed FROM SCRATCH — the gate's incremental
+    // path must land on exactly these numbers. DECIMAL sums both sides.
+    "q_incr_agg" ->
+      """WITH cut AS (SELECT COUNT(*) // 2 AS c FROM events),
+        |w1 AS (SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id < (SELECT c FROM cut)) x WHERE rn = 1),
+        |w2 AS (SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id >= (SELECT c FROM cut)) x WHERE rn = 1),
+        |fin AS (
+        |  SELECT
+        |    CASE WHEN w2.user_id IS NOT NULL THEN w2.event_type ELSE w1.event_type END AS event_type,
+        |    CASE WHEN w2.user_id IS NOT NULL THEN w2.value ELSE w1.value END AS value
+        |  FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id
+        |  WHERE (CASE WHEN w2.user_id IS NOT NULL THEN w2.event_type ELSE w1.event_type END) <> 'error')
+        |SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Oracle for the END-TO-END CDC pipeline run (CSV export → DSv2 source →
     // cast → dedup → backfill → streaming MERGE): the same fold expressed
     // relationally. Backfill drops tombstones (latest-per-key first-half rows

@@ -541,6 +541,40 @@ object Queries {
     tbl.read().select("user_id", "event_id", "event_type").orderBy("user_id")
   }
 
+  /** Incremental-aggregate gate ([[graft.ext.IncrementalAgg]]): a grouped
+    * count/sum state is materialized at table version 1, the second half
+    * of the events stream is merged in, and the state is refreshed from
+    * the DETAILED change feed only (before/after images; the table is
+    * never rescanned). The oracle computes the post-merge aggregate from
+    * scratch — incremental maintenance must be indistinguishable from a
+    * full recompute, including update retractions and emptied groups.
+    * Sums ride DECIMAL(38,6) end-to-end so the equality is exact, not
+    * float-order-dependent.
+    */
+  def qIncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.SnapshotTable
+    import graft.ext.IncrementalAgg
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-incr-agg-gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val tbl = SnapshotTable(spark, s"$root/table")
+    val ev = events(spark, dir).select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    val cut = ev.count() / 2
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+        .withColumn("is_delete", col("event_type") === "error")
+    tbl.createOrReplace(latest(ev.where(col("event_id") < cut)).where(!col("is_delete")),
+      "user_id", numBuckets = 32)
+    val v1 = tbl.currentSnapshot.version
+    val state1 = IncrementalAgg.full(tbl.read(), Seq("event_type"), Seq("value"))
+    tbl.merge(latest(ev.where(col("event_id") >= cut)), "user_id", "event_id", "is_delete")
+    val v2 = tbl.currentSnapshot.version
+    IncrementalAgg.refresh(state1, tbl, v1, v2, Seq("event_type"), Seq("value"))
+      .select(col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** JSONL ingestion gate ([[graft.sources.JsonLines]]): the documents
     * table is exported as JSON-Lines — the format LLM corpora actually
     * ship in — with one PLANTED malformed line, read back through the
@@ -2676,6 +2710,7 @@ object Queries {
     "q_export_symlink" -> (qExportSymlink _),
     "q_adopt_external" -> (qAdoptExternal _),
     "q_cdc_merge_mor" -> (qCdcMergeMor _),
+    "q_incr_agg" -> (qIncrAgg _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_lsh" -> (qMinHashLsh _),

@@ -230,6 +230,35 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     * table.
     */
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    val to = readSnapshot(new Path(snapshotsDir, snapshotFileName(toVersion)))
+    val toCols = to.schema.fieldNames
+    changesJoined(fromVersion, toVersion)
+      .select(toCols.map(c =>
+        when(col("_change_type") === "delete", col(s"_from.`$c`"))
+          .otherwise(col(s"_to.`$c`")).as(c)).toIndexedSeq :+ col("_change_type"): _*)
+  }
+
+  /** [[changesBetween]] with BOTH images: one row per changed key carrying
+    * `before` (NULL on insert) and `after` (NULL on delete) structs plus
+    * `_change_type` — the retraction-capable change feed incremental
+    * consumers need (e.g. [[graft.ext.IncrementalAgg]], which must
+    * subtract an update's old contribution, not just add the new one).
+    * Same bucket-pruned plan as [[changesBetween]].
+    */
+  def changesBetweenDetailed(fromVersion: Long, toVersion: Long): DataFrame = {
+    val to = readSnapshot(new Path(snapshotsDir, snapshotFileName(toVersion)))
+    val toCols = to.schema.fieldNames
+    def img(side: String, absentWhen: String) =
+      when(col("_change_type") === absentWhen, lit(null))
+        .otherwise(struct(toCols.map(c => col(s"$side.`$c`").as(c)).toIndexedSeq: _*))
+    changesJoined(fromVersion, toVersion)
+      .select(
+        img("_from", "insert").as("before"),
+        img("_to", "delete").as("after"),
+        col("_change_type"))
+  }
+
+  private def changesJoined(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion, s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
     val from = readSnapshot(new Path(snapshotsDir, snapshotFileName(fromVersion)))
     val to = readSnapshot(new Path(snapshotsDir, snapshotFileName(toVersion)))
@@ -271,9 +300,6 @@ class SnapshotTable(val spark: SparkSession, val location: String,
           .when(keyTo.isNull, "delete")
           .when(rowDiffers, "update"))
       .where(col("_change_type").isNotNull)
-      .select(toCols.map(c =>
-        when(col("_change_type") === "delete", col(s"_from.`$c`"))
-          .otherwise(col(s"_to.`$c`")).as(c)).toIndexedSeq :+ col("_change_type"): _*)
   }
 
   /** File-level pruned view: `Some(bs)` keeps only REAL (bucketed) files

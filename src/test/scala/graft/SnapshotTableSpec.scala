@@ -282,6 +282,46 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.branchView("wip").expireSnapshots(0L) }
   }
 
+  test("IncrementalAgg: refresh from the change feed equals a full recompute (retractions, emptied groups)") {
+    import graft.ext.IncrementalAgg
+    val t = SnapshotTable(spark, tmpDir("snap-incr"))
+    val v0 = Seq(
+      ("k1", 1L, false, "red", 10.5),
+      ("k2", 1L, false, "red", 2.0),
+      ("k3", 1L, false, "blue", 7.0))
+      .toDF("arcane_merge_key", "versionnumber", "IsDelete", "grp", "x")
+    t.createOrReplace(v0, "arcane_merge_key", numBuckets = 4)
+    val v1 = t.currentSnapshot.version
+    val s1 = IncrementalAgg.full(t.read(), Seq("grp"), Seq("x"))
+    // update k1 (red 10.5 → 4.0: retraction), delete k3 (blue empties),
+    // insert k4 (green appears)
+    t.merge(Seq(
+      ("k1", 2L, false, "red", 4.0),
+      ("k3", 2L, true, null, 0.0),
+      ("k4", 2L, false, "green", 1.25))
+      .toDF("arcane_merge_key", "versionnumber", "IsDelete", "grp", "x"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    val got = IncrementalAgg.refresh(s1, t, v1, t.currentSnapshot.version, Seq("grp"), Seq("x"))
+      .select(col("grp"), col("n"), col("sum_x").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("red", 2L, 6.0), ("green", 1L, 1.25)), s"got $got")
+    // and it equals the full recompute exactly
+    val fullNow = IncrementalAgg.full(t.read(), Seq("grp"), Seq("x"))
+      .select(col("grp"), col("n"), col("sum_x").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == fullNow)
+    // a group moving between labels via update retracts from the old group
+    val v2 = t.currentSnapshot.version
+    val s2 = IncrementalAgg.full(t.read(), Seq("grp"), Seq("x"))
+    t.merge(Seq(("k4", 3L, false, "red", 1.25))
+      .toDF("arcane_merge_key", "versionnumber", "IsDelete", "grp", "x"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    val got2 = IncrementalAgg.refresh(s2, t, v2, t.currentSnapshot.version, Seq("grp"), Seq("x"))
+      .select(col("grp"), col("n"), col("sum_x").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got2 == Set(("red", 3L, 7.25)), s"got2 $got2")
+  }
+
   test("snapshot JSON round-trips seq + deletes; pre-MoR manifests parse with defaults") {
     import graft.tables.{DataFile, DeleteFile, Snapshot}
     val s = Snapshot(7L,
