@@ -586,8 +586,24 @@ class SnapshotTable(val spark: SparkSession, val location: String,
           col("w.row").as("_row"))
 
       // Current max version per key in the affected buckets (deletes from
-      // earlier merge-on-read commits are applied by read()).
+      // earlier merge-on-read commits are applied by read()). Only STAGED
+      // keys matter, so the scan is pre-filtered with a bloom of the
+      // staged keys (the runtime-filter shape JoinOps.bloomSemiJoin
+      // documents): at a production ratio — micro-batch keys ≪ bucket
+      // rows — the version aggregate then runs over ~the change set, not
+      // whole buckets. False positives only add ignorable left-join rows;
+      // NULL keys bypass the bloom (NULL is a valid merge key and
+      // xxhash64(NULL) would silently drop it — a false negative).
+      graft.sql.GraftExtensions.ensureRegistered(spark)
+      val keyType = unionSchema.fields.find(_.name.equalsIgnoreCase(mergeKeyCol)).get.dataType
+      val nStaged = math.max(stagedB.count(), 1L)
+      val bf = stagedB.agg(
+        call_function("bloom_agg", xxhash64(col(mergeKeyCol).cast(keyType)),
+          lit(nStaged), lit(math.min(nStaged * 8, 67108864L))).as("_bf"))
+        .head().getAs[Array[Byte]](0)
       val tgtVer = read(Some(affected))
+        .where(col(mergeKeyCol).isNull ||
+          call_function("bloom_might_contain", lit(bf), xxhash64(col(mergeKeyCol))))
         .groupBy(col(mergeKeyCol).as("_tk"))
         .agg(max(col(versionCol)).as("_tv"))
         .withColumn("_texists", lit(true))
