@@ -414,15 +414,40 @@ object Dedup {
     val P = 1000000007L
     val toks = TextAnalysis.tokens(col(textCol))
     val hv60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // The per-row work below (md5 per token + nested higher-order folds)
+    // is interpreted — higher-order functions are CodegenFallback — and
+    // costs ~1000x the bytes scanned, so FILE-SPLIT parallelism is the
+    // wrong unit: a compact parquet puts a whole corpus slice in one
+    // split and strands the fold on one core. Spread raw rows across the
+    // cluster first; the shuffle moves only (id, text) once and the
+    // operator stays map-only afterwards.
     val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), toks.as("tk"))
       .where(size(col("tk")) > 0)
       .select(col(idCol), col("tk"), transform(col("tk"), t => hv60(t)).as("hv"))
     // Window hash at position i (1-based): fold hv[max(1, i-window+1)..i].
+    // CLOSED FORM of the left fold `(acc*31 + h) mod P` seeded 0: absent
+    // leading terms contribute 0 and a leading zero never changes the
+    // fold ((0*31 + h1)*31 + h2 = h1*31 + h2), so
+    //   wh_i = (Σ_{k=0..w-1} h(i-k) * 31^k) mod P,  h(j<1) := 0
+    // is BIT-IDENTICAL to slicing the prefix and folding it — but runs
+    // as w element_at + w multiply-adds per position with no per-position
+    // slice allocation (the interpreted aggregate-over-slice form cost
+    // ~5x more inside this CodegenFallback transform).
+    // h is 60-bit, so reduce it mod P BEFORE the power multiply (Long
+    // would overflow at h*31^3); (acc*31 + h) ≡ (acc*31 + h mod P) mod P,
+    // so the reduction is exact. Terms then stay ≤ (P-1)*31^3 < 2^46.
+    val pow31 = Array.iterate(1L, window)(p => p * 31L % P)
     val wh = transform(sequence(lit(1), size(col("tk"))), i =>
-      aggregate(
-        slice(col("hv"), greatest(lit(1), i - (window - 1)), least(i, lit(window))),
-        lit(0L), (acc, h) => pmod(acc * 31L + h, lit(P))))
+      pmod(
+        (0 until window).map { k =>
+          val term = when(i - k >= 1,
+            pmod(element_at(col("hv"), (i - k).cast("int")), lit(P))).otherwise(lit(0L))
+          term * pow31(k)
+        }.reduce(_ + _),
+        lit(P)))
     // Boundary positions: window-hash hits ∪ the forced end-of-doc.
     val bnds = array_union(
       filter(sequence(lit(1L), size(col("tk")).cast("long")),

@@ -42,19 +42,27 @@ object JsonLines {
     * of any line that failed to parse; null for good rows — on corrupt
     * rows the data columns are null).
     *
-    * Spark restriction: a query whose referenced columns are ONLY
-    * [[CorruptCol]] is rejected over raw JSON
-    * (`UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN`) — when
-    * routing a quarantine stream, keep at least one data column in the
-    * projection (or persist first).
+    * Parsed as a TEXT scan + `from_json` rather than a raw JSON scan:
+    * same line-splittable byte ranges, same Jackson parser and
+    * PERMISSIVE corrupt capture — but free of the raw-scan restriction
+    * that rejects any query whose referenced columns are only
+    * [[CorruptCol]] (`UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_`
+    * `COLUMN`), which a plain `count()` after the usual
+    * quarantine filter trips (count prunes every data column away).
+    * Blank lines are skipped like the native JSON reader; a line whose
+    * parse yields no object at all (e.g. a bare `null`) quarantines.
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"data schema must not already contain '$CorruptCol'")
-    spark.read
-      .schema(schema.add(CorruptCol, StringType))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
+    import org.apache.spark.sql.functions._
+    val full = schema.add(CorruptCol, StringType)
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)
+    spark.read.text(path)
+      .where(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"), full, opts).as("_j"), col("value"))
+      .select(schema.fieldNames.map(f => col(s"_j.`$f`").as(f)).toIndexedSeq :+
+        when(col("_j").isNull, col("value"))
+          .otherwise(col(s"_j.`$CorruptCol`")).as(CorruptCol): _*)
   }
 }
