@@ -410,6 +410,12 @@ object Dedup {
       textCol: String = "text"
   ): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
+    // The closed-form window hash below sums `window` un-reduced products
+    // of up to (P-1)^2 ~ 1.0e18 before its single mod — 8 such terms stay
+    // under Long.MaxValue (9.22e18), a 9th could silently wrap. CDC
+    // windows beyond a handful of tokens also defeat the resync property,
+    // so the bound costs nothing in practice.
+    require(window <= 8, s"window must be <= 8 (Long-overflow bound of the rolling-hash closed form), got $window")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     val P = 1000000007L
     val toks = TextAnalysis.tokens(col(textCol))

@@ -8,16 +8,17 @@ import org.apache.spark.sql.functions._
   * a rule set is evaluated into one report row per rule —
   * `(rule, violations, checked)` — with the scan work shaped for 100 TB:
   *
-  *  - every ROW-LEVEL rule (not-null, range, set, regex, predicate) is
-  *    fused into ONE aggregate over ONE scan of the table, each rule a
-  *    `sum(violation)` / `sum(applicable)` pair with map-side partial
-  *    combine — adding a rule adds two counters, never a pass;
-  *  - a UNIQUE rule is one hash aggregate on its key (violations =
-  *    rows in excess of their key's first occurrence);
-  *  - a FOREIGN-KEY rule is one left-anti join against the parent's
-  *    projected key (AQE broadcasts dimension-sized parents), counting
-  *    child rows whose non-NULL key has no parent — SQL FK semantics:
-  *    NULL keys are not violations (use NotNull to forbid them).
+  *  - every ROW-LEVEL rule (not-null, range, set, regex, predicate), every
+  *    UNIQUE rule's `(count, distinct-key-count)` pair, and every FK's
+  *    checked-count fuse into ONE aggregate over ONE scan of the table,
+  *    each a counter with map-side partial combine — adding a rule adds
+  *    counters, never a pass (a Unique's violations = rows in excess of
+  *    their key's first occurrence);
+  *  - a FOREIGN-KEY rule additionally runs one left-anti join against the
+  *    parent's projected key (AQE broadcasts dimension-sized parents),
+  *    counting child rows whose non-NULL key has no parent — SQL FK
+  *    semantics: NULL keys are not violations (use NotNull to forbid
+  *    them).
   *
   * Reports are deterministic (counts only, no sampled examples) so runs
   * are comparable across engines and cluster sizes; each rule row carries
@@ -72,8 +73,16 @@ object Quality {
     val name = s"foreign_key($column)"
   }
 
-  /** Evaluate all rules; returns `(rule, violations, checked)` ordered by
-    * rule name. See the object scaladoc for the per-rule-kind plan shape.
+  /** Evaluate all rules; returns the `(rule, violations, checked)` report
+    * ordered by rule name.
+    *
+    * Execution contract: `check` runs EXACTLY ONE scan of `df` — every
+    * row-level counter, every Unique's `(count, count-distinct-key)`
+    * pair, and every FK's checked-count fuse into a single aggregation —
+    * plus one anti-join job per ForeignKey rule (a join cannot fuse into
+    * the scan). The jobs run when `check` is called (not lazily on the
+    * returned frame — the report is rule-count-sized local data; deferring
+    * it would re-run the scan once per downstream consumer).
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Quality.check needs at least one rule")
@@ -94,39 +103,36 @@ object Quality {
       case r @ Predicate(_, p) =>
         (r.name, lit(true), !coalesce(p, lit(false)))
     }
+    val uniqueRules = rules.collect { case r: Unique => r }
+    val fkRules = rules.collect { case r: ForeignKey => r }
 
-    val fused: Option[DataFrame] =
-      if (rowRules.isEmpty) None
-      else Some {
-        val aggs = rowRules.flatMap { case (n, app, vio) =>
-          Seq(sum(vio.cast("long")).as(s"v:$n"), sum(app.cast("long")).as(s"c:$n"))
-        }
-        val one = df.agg(aggs.head, aggs.tail: _*)
-        // one row of 2k counters → k report rows via stack (driver-free)
-        val pairs = rowRules.map { case (n, _, _) =>
-          s"'${n.replace("'", "''")}', coalesce(`v:$n`, 0L), coalesce(`c:$n`, 0L)"
-        }
-        one.selectExpr(
-          s"stack(${rowRules.size}, ${pairs.mkString(", ")}) as (rule, violations, checked)")
-      }
+    val aggs =
+      rowRules.flatMap { case (n, app, vio) =>
+        Seq(sum(vio.cast("long")).as(s"v:$n"), sum(app.cast("long")).as(s"c:$n"))
+      } ++
+        uniqueRules.flatMap { r =>
+          // count(DISTINCT struct(keys)): the struct itself is never NULL,
+          // so NULL key VALUES participate as distinct combinations —
+          // identical to groupBy-count semantics
+          Seq(count(lit(1)).as(s"un:${r.name}"),
+            count_distinct(struct(r.columns.map(col).toIndexedSeq: _*)).as(s"ud:${r.name}"))
+        } ++
+        fkRules.map(r => sum(col(r.column).isNotNull.cast("long")).as(s"fc:${r.name}"))
 
-    val uniques = rules.collect { case r @ Unique(cols) =>
-      val n = df.count()
-      val nKeys = df.groupBy(cols.map(col).toIndexedSeq: _*).count().count()
-      Seq((r.name, n - nKeys, n)).toDF("rule", "violations", "checked")
-    }
+    val fusedRow: Option[org.apache.spark.sql.Row] =
+      if (aggs.isEmpty) None else Some(df.agg(aggs.head, aggs.tail: _*).head())
+    def g(n: String): Long = fusedRow
+      .flatMap(r => Option(r.getAs[Any](n))).map(_.asInstanceOf[Long]).getOrElse(0L)
 
-    val fks = rules.collect { case r @ ForeignKey(c, parent, pc) =>
-      val child = df.select(col(c).as("_fk")).where(col("_fk").isNotNull)
-      val checked = child.count()
-      val orphans = child
-        .join(parent.select(col(pc).as("_fk")).distinct(), Seq("_fk"), "left_anti")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    rowRules.foreach { case (n, _, _) => out += ((n, g(s"v:$n"), g(s"c:$n"))) }
+    uniqueRules.foreach { r => out += ((r.name, g(s"un:${r.name}") - g(s"ud:${r.name}"), g(s"un:${r.name}"))) }
+    fkRules.foreach { r =>
+      val orphans = df.select(col(r.column).as("_fk")).where(col("_fk").isNotNull)
+        .join(r.parent.select(col(r.parentColumn).as("_fk")).distinct(), Seq("_fk"), "left_anti")
         .count()
-      Seq((r.name, orphans, checked)).toDF("rule", "violations", "checked")
+      out += ((r.name, orphans, g(s"fc:${r.name}")))
     }
-
-    (fused.toSeq ++ uniques ++ fks)
-      .reduce(_ unionByName _)
-      .orderBy(col("rule"))
+    out.toSeq.toDF("rule", "violations", "checked").orderBy(col("rule"))
   }
 }

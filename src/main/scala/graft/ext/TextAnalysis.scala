@@ -525,12 +525,19 @@ object TextAnalysis {
       textCol: String = "text"
   ): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    val toks = tokens(col(textCol))
-    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+    val toks = tokens(col("_t"))
+    // element_at pair, not slice-per-position: this transform runs
+    // interpreted and slice() allocates per bigram (see blocklistHits);
+    // and rows spread first — same per-token-cost rationale as there
+    val bigrams = when(size(col("_tk")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("_tk")) - 2),
+        i => concat_ws(" ", element_at(col("_tk"), (i + 1).cast("int")),
+          element_at(col("_tk"), (i + 2).cast("int")))))
     val feats = docs.where(col(textCol).isNotNull)
-      .select(col(idCol), explode(concat(toks, bigrams)).as("f"))
+      .select(col(idCol), col(textCol).as("_t"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), toks.as("_tk"))
+      .select(col(idCol), explode(concat(col("_tk"), bigrams)).as("f"))
       .select(col(idCol),
         pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
           lit(numBuckets.toLong)).as("bucket"))
@@ -643,17 +650,27 @@ object TextAnalysis {
       .filter(_.nonEmpty).distinct
     require(normalized.nonEmpty, "blocklist must contain at least one non-empty phrase")
     val lengths = normalized.map(_.split(" ").length).distinct.sorted
-    val toks = tokens(col(textCol))
+    val toks = tokens(col("_t"))
+    // Grams build as n element_at + one concat per position — NOT a
+    // per-position slice(): these higher-order transforms run interpreted
+    // (CodegenFallback) and a slice allocates a fresh array per gram,
+    // which dominated the runtime ~4x. Bit-identical output.
     val gramsPerLen = lengths.map { n =>
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      when(size(col("_tk")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("_tk")) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("_tk"), (i + (k + 1)).cast("int"))): _*)))
     }
     val allGrams = if (gramsPerLen.sizeIs == 1) gramsPerLen.head else concat(gramsPerLen: _*)
     val spark = docs.sparkSession
     import spark.implicits._
     val blist = broadcast(normalized.toDF("phrase"))
     docs.where(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("_t"))
+      // interpreted per-token work ~1000x the bytes scanned: spread rows
+      // across the cluster instead of trusting file-split parallelism
+      // (same rationale as Dedup.contentChunks)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol), toks.as("_tk"))
       .select(col(idCol), explode(allGrams).as("gram"))
       .join(blist, col("gram") === col("phrase"))
       .groupBy(col(idCol), col("phrase"))

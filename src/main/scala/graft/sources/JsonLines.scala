@@ -51,6 +51,10 @@ object JsonLines {
     * quarantine filter trips (count prunes every data column away).
     * Blank lines are skipped like the native JSON reader; a line whose
     * parse yields no object at all (e.g. a bare `null`) quarantines.
+    * Out-of-contract JSONL — a line holding a top-level ARRAY of objects,
+    * which the raw-scan reader would have expanded into several rows —
+    * quarantines instead (JSONL is one object per line; expansion was an
+    * accident of the raw scan, not a promise).
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),

@@ -288,16 +288,23 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       if (!changedBuckets.exists(_ < 0) || adoptedFs.isEmpty) real
       else real.unionByName(readFiles(snap, adoptedFs))
     }
-    val f = aligned(sideDf(from)).alias("_from")
-    val t = sideDf(to).alias("_to")
-    val joined = f.join(t, keyFrom === keyTo, "full_outer")
+    // NULL-safe key join + explicit presence markers: the table treats
+    // NULL as a valid merge key (merge groups it, the delete-applying
+    // read matches it with <=>), so the change feed must pair NULL-keyed
+    // rows across versions too — a plain equality join would report an
+    // unchanged NULL-keyed row as a phantom delete+insert whenever its
+    // bucket is in the diff. With <=> matching NULLs, `key IS NULL` can
+    // no longer mean "side absent"; the markers can.
+    val f = aligned(sideDf(from)).withColumn("_fp", lit(true)).alias("_from")
+    val t = sideDf(to).withColumn("_tp", lit(true)).alias("_to")
+    val joined = f.join(t, keyFrom <=> keyTo, "full_outer")
     val toCols = to.schema.fieldNames
     val rowDiffers = toCols.filter(_ != key).map(c =>
       !(col(s"_to.`$c`") <=> col(s"_from.`$c`"))).reduceOption(_ || _).getOrElse(lit(false))
     joined
       .withColumn("_change_type",
-        when(keyFrom.isNull, "insert")
-          .when(keyTo.isNull, "delete")
+        when(col("_from._fp").isNull, "insert")
+          .when(col("_to._tp").isNull, "delete")
           .when(rowDiffers, "update"))
       .where(col("_change_type").isNotNull)
   }
@@ -608,10 +615,20 @@ class SnapshotTable(val spark: SparkSession, val location: String,
         .agg(max(col(versionCol)).as("_tv"))
         .withColumn("_texists", lit(true))
 
+      // "staged beats target" must mirror merge()'s struct argmax, where a
+      // NULL version sorts BELOW every value: strict `_v > _tv` alone is
+      // NULL when either version is NULL, which would silently skip the
+      // kill (duplicate keys) or drop a tombstone. NULL-version target
+      // rows lose to any non-NULL staged version; NULL-version staged
+      // rows never beat anything (equal-or-NULL prefers the target, the
+      // replay-safe tie rule). `_tv.isNull` alone cannot distinguish "no
+      // target row" from "target row with NULL version" — `_texists` can.
+      val beats = coalesce(col("_v") > col("_tv"),
+        col("_tv").isNull && col("_v").isNotNull, lit(false))
       val decided = stagedLatest
         .join(tgtVer, col("_k") <=> col("_tk"), "left")
-        .withColumn("_kill", coalesce(col("_texists"), lit(false)) && col("_v") > col("_tv"))
-        .withColumn("_upsert", !col("_d") && (col("_tv").isNull || col("_v") > col("_tv")))
+        .withColumn("_kill", coalesce(col("_texists"), lit(false)) && beats)
+        .withColumn("_upsert", !col("_d") && (col("_texists").isNull || beats))
         .where(col("_kill") || col("_upsert"))
         .cache() // two consumers (rows + delete keys); bounded by the batch
 
@@ -827,6 +844,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     val branchHeads: Set[String] =
       if (!fs.exists(branchesDir)) Set.empty
       else fs.listStatus(branchesDir).filter(_.isFile)
+        .filterNot(_.getPath.getName.endsWith(".base"))
         .map(st => readText(fs, st.getPath).trim).toSet
     val removed = scala.collection.mutable.ArrayBuffer.empty[Long]
     if (!fs.exists(snapshotsDir)) return Seq.empty
@@ -911,6 +929,9 @@ class SnapshotTable(val spark: SparkSession, val location: String,
   private def branchPtr(name: String): Path = {
     require(name.matches("[A-Za-z0-9._-]{1,128}"),
       s"branch name '$name' must match [A-Za-z0-9._-]{1,128}")
+    // ".base" is the fork-point sidecar's suffix — a branch of that name
+    // would collide with another branch's sidecar
+    require(!name.endsWith(".base"), s"branch name '$name' must not end with .base")
     new Path(branchesDir, name)
   }
 
@@ -930,7 +951,11 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     val p = branchPtr(name)
     require(!fs.exists(p), s"branch '$name' already exists")
     fs.mkdirs(branchesDir)
-    writeText(fs, p, readText(fs, currentPtr).trim)
+    val head = readText(fs, currentPtr).trim
+    writeText(fs, p, head)
+    // fork-point record: fastForward refuses to publish over a main that
+    // has advanced since this fork (see there)
+    writeText(fs, new Path(branchesDir, s"$name.base"), head)
   }
 
   /** A writable view of this table whose head is the branch. All table
@@ -945,24 +970,56 @@ class SnapshotTable(val spark: SparkSession, val location: String,
 
   def listBranches: Seq[String] =
     if (!fs.exists(branchesDir)) Seq.empty
-    else fs.listStatus(branchesDir).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+    else fs.listStatus(branchesDir).filter(_.isFile).map(_.getPath.getName)
+      .filterNot(_.endsWith(".base")).toSeq.sorted
 
   /** PUBLISH: atomically point `_current` at the branch head (Iceberg
     * `fast_forward`). Metadata-only; readers switch from the old state to
-    * the audited one in one pointer swap. The branch remains and can keep
-    * receiving commits (or be dropped).
+    * the audited one in one pointer swap.
+    *
+    * Two correctness guards, matching Iceberg's semantics:
+    *  - ANCESTRY: publishing is refused if main has advanced since the
+    *    fork — a blind swap would silently abandon main commits and the
+    *    next main commit would collide with (and overwrite) an abandoned
+    *    `v*.json` manifest, corrupting time travel. Rebase = fork a new
+    *    branch from the current main and re-apply.
+    *  - NORMALIZATION: the published head is re-written under its
+    *    main-line `v*.json` name, so every version-addressed API
+    *    (readAt, rollbackTo, createTag, changesBetween) resolves the
+    *    published state like any other main commit. Intermediate branch
+    *    commits keep their branch-prefixed names (branch-local history).
+    *
+    * The branch's fork point advances to the published head, so the same
+    * branch can keep the fork→audit→publish cycle going.
     */
   def fastForward(name: String): Snapshot = {
     requireMain("fastForward")
     val p = branchPtr(name)
     require(fs.exists(p), s"branch '$name' does not exist")
-    val head = readText(fs, p).trim
+    val basePath = new Path(branchesDir, s"$name.base")
+    val forkPoint = if (fs.exists(basePath)) readText(fs, basePath).trim else ""
+    val mainHead = readText(fs, currentPtr).trim
+    require(forkPoint == mainHead,
+      s"cannot fast-forward '$name': main advanced since the fork " +
+        s"(forked at '$forkPoint', main is at '$mainHead'); fork a fresh branch and re-apply")
+    val headName = readText(fs, p).trim
+    val snap = readSnapshot(new Path(snapshotsDir, headName))
+    val mainName = snapshotFileName(snap.version)
+    if (headName != mainName) {
+      val mainManifest = new Path(snapshotsDir, mainName)
+      require(!fs.exists(mainManifest),
+        s"cannot publish '$name': main-line manifest $mainName already exists")
+      writeText(fs, mainManifest, toJson(snap))
+    }
     val tmp = new Path(dir, s"_current.tmp.${UUID.randomUUID()}")
-    writeText(fs, tmp, head)
+    writeText(fs, tmp, mainName)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.getUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(fc.makeQualified(tmp), fc.makeQualified(currentPtr),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // re-anchor the branch on the published state for the next cycle
+    writeText(fs, p, mainName)
+    writeText(fs, basePath, mainName)
     currentSnapshot
   }
 
@@ -976,6 +1033,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     val p = branchPtr(name)
     require(fs.exists(p), s"branch '$name' does not exist")
     fs.delete(p, false)
+    fs.delete(new Path(branchesDir, s"$name.base"), false)
   }
 
   /** remove_orphan_files(olderThan): delete data files referenced by NO
@@ -1300,7 +1358,7 @@ object SnapshotTable {
   // bugs).
   private val ReservedColumns = Set("gbk", "_del", "_pri",
     "_k", "_v", "_d", "_row", "_tk", "_tv", "_texists", "_kill", "_upsert",
-    "_gseq", "_dkey", "_dseq")
+    "_gseq", "_dkey", "_dseq", "_fp", "_tp")
 
   private[tables] def rejectReservedColumns(schema: org.apache.spark.sql.types.StructType): Unit = {
     val clash = schema.fieldNames.filter(n => ReservedColumns.contains(n.toLowerCase))

@@ -322,6 +322,90 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got2 == Set(("red", 3L, 7.25)), s"got2 $got2")
   }
 
+  test("mergeOnRead matches merge() on NULL-version and NULL-key rows (argmax NULL ordering)") {
+    // NULL version sorts below every value in merge()'s struct argmax;
+    // the MoR decision join must agree — a strict `v > tv` alone is NULL
+    // there and silently skipped both the kill and the tombstone.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
+    val schema = StructType(Seq(
+      StructField("arcane_merge_key", StringType, nullable = true),
+      StructField("versionnumber", LongType, nullable = true),
+      StructField("IsDelete", BooleanType, nullable = true),
+      StructField("payload", StringType, nullable = true)))
+    def mk(tag: String) = {
+      val t = SnapshotTable(spark, tmpDir(s"snap-nullv-$tag"))
+      val init = Seq(
+        Row("kn", null, false, "null-version"),
+        Row(null, 5L, false, "null-key"),
+        Row("kd", 3L, false, "doomed"))
+      t.createOrReplace(spark.createDataFrame(
+        spark.sparkContext.parallelize(init), schema), "arcane_merge_key", numBuckets = 4)
+      t
+    }
+    val batch = Seq(
+      ("kn", Some(7L), false, "updated"),     // beats the NULL-version row
+      (null.asInstanceOf[String], Some(9L), false, "null-key-updated"), // NULL key is a key
+      ("kd", Some(9L), true, null.asInstanceOf[String]))               // tombstone
+      .toDF("arcane_merge_key", "versionnumber", "IsDelete", "payload")
+    val cow = mk("cow"); cow.merge(batch, "arcane_merge_key", "versionnumber", "IsDelete")
+    val mor = mk("mor"); mor.mergeOnRead(batch, "arcane_merge_key", "versionnumber", "IsDelete")
+    def st(t: SnapshotTable) = t.read()
+      .select(col("arcane_merge_key"), col("versionnumber"), col("payload"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(st(mor) === st(cow))
+    assert(st(mor).size == 2 && st(mor).exists(_.contains("null-key-updated")))
+  }
+
+  test("fastForward: refused after main advances; published head is a main-line version") {
+    val t = freshTable("snap-ff")
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    t.createBranch("audit")
+    // main advances AFTER the fork → publish must refuse, not abandon it
+    t.merge(Seq(("k1", 500L, "mainline", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    t.branchView("audit").merge(Seq(("k2", 500L, "branchline", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    val ex = intercept[IllegalArgumentException] { t.fastForward("audit") }
+    assert(ex.getMessage.contains("main advanced"))
+    t.dropBranch("audit")
+    // fresh fork → publish → the published state is addressable by version
+    t.createBranch("audit2")
+    t.branchView("audit2").mergeOnRead(Seq(("k3", 900L, "published", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    val published = t.fastForward("audit2")
+    assert(t.readAt(published.version).where(col("arcane_merge_key") === "k3")
+      .select("payload").as[String].head() == "published")
+    t.createTag("published-state", published.version) // version APIs see it
+    assert(t.changesBetween(published.version - 1, published.version)
+      .where(col("arcane_merge_key") === "k3").count() == 1)
+  }
+
+  test("changesBetween pairs NULL-keyed rows across versions (no phantom delete+insert)") {
+    val t = SnapshotTable(spark, tmpDir("snap-nullkey-cdf"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      StructField("arcane_merge_key", StringType, nullable = true),
+      StructField("versionnumber", LongType, nullable = true),
+      StructField("payload", StringType, nullable = true)))
+    t.createOrReplace(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(null, 1L, "null-keyed"),
+        org.apache.spark.sql.Row("ka", 1L, "a"))), schema),
+      "arcane_merge_key", numBuckets = 1) // ONE bucket: any change touches the NULL row's bucket
+    val v1 = t.currentSnapshot.version
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    t.merge(Seq(("kb", 2L, "b", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    val delta = t.changesBetween(v1, t.currentSnapshot.version)
+      .select(col("arcane_merge_key"), col("_change_type")).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1))).toSet
+    assert(delta == Set((Some("kb"), "insert")), s"unexpected delta: $delta")
+  }
+
   test("snapshot JSON round-trips seq + deletes; pre-MoR manifests parse with defaults") {
     import graft.tables.{DataFile, DeleteFile, Snapshot}
     val s = Snapshot(7L,
