@@ -256,6 +256,9 @@ object Bench {
       // the merge-on-read variant: appends + equality-delete anti-join
       // must scale with the change set, not the table
       "q_cdc_merge_mor",
+      // incremental aggregate maintenance: refresh must track the change
+      // feed, not the table
+      "q_incr_agg",
       // the distributed-rank permutation (no global sort) and the
       // vocabulary-bounded bigram count tables
       "q_epoch_shuffle", "q_bigram_surprisal",
