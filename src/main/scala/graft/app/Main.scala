@@ -15,8 +15,10 @@ object Main {
     val specJson = sys.env.getOrElse("STREAMCONTEXT__SPEC",
       args.headOption.getOrElse(sys.error("pass spec JSON via STREAMCONTEXT__SPEC or argv[0]")))
     val backfill = sys.env.get("STREAMCONTEXT__BACKFILL").exists(_.equalsIgnoreCase("true"))
+    val maintenance = sys.env.get("STREAMCONTEXT__MAINTENANCE").exists(_.equalsIgnoreCase("true"))
     val spec0 = StreamSpec.fromJson(specJson)
-    val spec = spec0.copy(backfill = spec0.backfill || backfill)
+    val spec = spec0.copy(backfill = spec0.backfill || backfill,
+      maintenanceRun = spec0.maintenanceRun || maintenance)
 
     // spark-submit injects spark.master; standalone runs default to local.
     val master = sys.props.get("spark.master")
@@ -49,7 +51,8 @@ object Main {
     // idempotent), not a stream failure.
     val stopping = new java.util.concurrent.atomic.AtomicBoolean(false)
     try {
-      if (spec.backfill) { CdcPipeline.runBackfill(spark, spec); 0 }
+      if (spec.maintenanceRun) { CdcPipeline.runMaintenance(spark, spec); 0 }
+      else if (spec.backfill) { CdcPipeline.runBackfill(spark, spec); 0 }
       else {
         val query = CdcPipeline.startStream(spark, spec)
         sys.addShutdownHook { stopping.set(true); if (query.isActive) query.stop() }

@@ -149,6 +149,28 @@ object CdcPipeline {
       table.analyze(m.analyzedColumns)
   }
 
+  /** One-shot standalone maintenance run (the reference's dedicated
+    * `TargetMaintenanceProcessor` job shape — maintenance as its OWN
+    * process on its own schedule, not only piggybacked on stream batch
+    * counts): compaction (which also absorbs adopted files and
+    * merge-on-read equality deletes), snapshot expiration, orphan-file
+    * removal, and ANALYZE when `maintenance.analyzedColumns` is set.
+    * Thresholds are ignored — an operator launching a maintenance run
+    * wants it to run, not to be modulo-gated.
+    */
+  def runMaintenance(spark: org.apache.spark.sql.SparkSession, spec: StreamSpec): Unit = {
+    val table = SnapshotTable(spark, spec.targetLocation)
+    require(table.exists, s"maintenance: no table at ${spec.targetLocation}")
+    val m = spec.maintenance
+    table.compact(m.fileSizeThresholdBytes)
+    val cutoff = System.currentTimeMillis() - m.snapshotRetentionMs
+    val snaps = table.expireSnapshots(cutoff)
+    val orphans = table.removeOrphanFiles(cutoff)
+    if (m.analyzedColumns.nonEmpty) table.analyze(m.analyzedColumns)
+    JsonLog.info("maintenance_completed", "mode" -> "standalone",
+      "expired_snapshots" -> snaps.size, "removed_orphans" -> orphans.size)
+  }
+
   /** Poll interval with jitter (reference CRD beta:216-221): the stream's
     * interval is drawn ONCE at start from `base × (1 ± U(0, variance))`.
     * Spark's ProcessingTimeTrigger is fixed-rate, so per-trigger jitter is

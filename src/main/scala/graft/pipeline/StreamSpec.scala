@@ -58,7 +58,8 @@ final case class StreamSpec(
     targetTableProperties: Map[String, String] = Map.empty, // arbitrary table props passthrough
     exportDir: Option[String] = None,                  // re-export symlink manifest after every commit
     logShipAddress: Option[String] = None,             // DataDog-shape shipper: udp://host:port | file:/path
-    mergeMode: String = "copy-on-write"                // copy-on-write | merge-on-read (Iceberg v2 write.merge.mode)
+    mergeMode: String = "copy-on-write",               // copy-on-write | merge-on-read (Iceberg v2 write.merge.mode)
+    maintenanceRun: Boolean = false                    // one-shot standalone maintenance (TargetMaintenanceProcessor shape)
 ) {
   require(Set("copy-on-write", "merge-on-read").contains(mergeMode.toLowerCase),
     s"mergeMode must be copy-on-write or merge-on-read, got '$mergeMode'")
@@ -190,7 +191,8 @@ object StreamSpec {
         else Map.empty,
       exportDir = opt("exportDir"),
       logShipAddress = opt("logShipAddress"),
-      mergeMode = str("mergeMode", "copy-on-write")
+      mergeMode = str("mergeMode", "copy-on-write"),
+      maintenanceRun = r.has("maintenanceRun") && r.get("maintenanceRun").asBoolean(false)
     )
   }
 }

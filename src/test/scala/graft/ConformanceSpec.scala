@@ -41,6 +41,13 @@ class ConformanceSpec extends SparkSpec {
     assert(table.read().count() === 5)
     assert(table.properties(SnapshotTable.PropWatermark) === wmFolder)
     val backfilled = table.currentSnapshot.files.map(_.path).toSet
+    val vBackfill = table.currentSnapshot.version
+    // materialized reporting aggregate at the backfill point — refreshed
+    // incrementally at the end of the streamed window (deltas telescope
+    // across however many merges the stream committed)
+    val aggAtBackfill = graft.ext.IncrementalAgg.full(
+      table.read(), Seq("dataareaid"), Seq("versionnumber"))
+      .collect() // pin the state NOW (the lazy plan would re-read post-stream files)
 
     CdmFixture.uploadBatch(root, now.minusMinutes(45), addDelete = true, addUpsert = true, chunkSeed = 3)
     CdmFixture.uploadBatch(root, now.minusMinutes(30), addDelete = true, chunkSeed = 4)
@@ -62,6 +69,23 @@ class ConformanceSpec extends SparkSpec {
     assert(backfilled.subsetOf(snap.files.map(_.path).toSet),
       "streamed merge-on-read commits must not rewrite backfill files")
     assert(snap.deletes.nonEmpty, "the streamed delete/upsert must have produced delete files")
+
+    // incremental aggregate maintenance across the WHOLE streamed window:
+    // one refresh from the pinned backfill state over changesBetween
+    // (vBackfill → head) must equal a full recompute of the live table —
+    // the reporting-layer flow after a night of streamed merges
+    val prevState = spark.createDataFrame(
+      spark.sparkContext.parallelize(aggAtBackfill.toSeq),
+      graft.ext.IncrementalAgg.full(table.read(), Seq("dataareaid"), Seq("versionnumber")).schema)
+    val refreshed = graft.ext.IncrementalAgg.refresh(
+      prevState, table, vBackfill, snap.version, Seq("dataareaid"), Seq("versionnumber"))
+      .select(col("dataareaid"), col("n"), col("sum_versionnumber").cast("double"))
+      .collect().map(_.toString).sorted.toSeq
+    val recomputed = graft.ext.IncrementalAgg.full(
+      table.read(), Seq("dataareaid"), Seq("versionnumber"))
+      .select(col("dataareaid"), col("n"), col("sum_versionnumber").cast("double"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(refreshed === recomputed, "incremental refresh must equal full recompute after streaming")
     // maintenance compaction absorbs the deletes without changing a row
     val beforeCompact = result.orderBy("Id").collect().map(_.toString).toSeq
     table.compact(fileSizeThresholdBytes = Long.MaxValue)
@@ -438,6 +462,38 @@ class ConformanceSpec extends SparkSpec {
     // same failure with a matching retryable message pattern → exit 2
     val retrySpec = bad.copy(retryableFailureMessages = Seq("nothing is closed for backfill"))
     assert(graft.app.Main.run(spark, retrySpec) === 2)
+  }
+
+  test("Main maintenance mode: one-shot run absorbs merge-on-read deletes and exits 0") {
+    val root = tmpDir("cdm-maint-src")
+    val target = tmpDir("cdm-maint-target")
+    CdmFixture.initRoot(root)
+    CdmFixture.uploadBatch(root, now.minusHours(1), updateChangelog = true)
+    val base = StreamSpec.fromJson(
+      s"""{"sourcePath":"$root","entityName":"${CdmFixture.entityName}",
+         |"targetLocation":"$target","backfill":true,"numBuckets":4}""".stripMargin)
+    assert(graft.app.Main.run(spark, base) === 0)
+    val table = SnapshotTable(spark, target)
+    // leave the table with outstanding equality deletes + an extra file
+    table.mergeOnRead(
+      table.read().limit(1).withColumn("versionnumber", col("versionnumber") + 1000),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(table.currentSnapshot.deletes.nonEmpty)
+    val rows = table.read().orderBy("Id").collect().map(_.toString).toSeq
+    // the standalone maintenance entry (reference TargetMaintenanceProcessor
+    // shape): same spec JSON, maintenanceRun flag — thresholds NOT consulted
+    val maint = StreamSpec.fromJson(
+      s"""{"sourcePath":"$root","entityName":"${CdmFixture.entityName}",
+         |"targetLocation":"$target","maintenanceRun":true,
+         |"maintenance":{"analyzedColumns":["versionnumber"]}}""".stripMargin)
+    assert(graft.app.Main.run(spark, maint) === 0)
+    assert(table.currentSnapshot.deletes.isEmpty, "maintenance must absorb equality deletes")
+    assert(table.read().orderBy("Id").collect().map(_.toString).toSeq === rows,
+      "maintenance must not change visible rows")
+    assert(table.properties.exists(_._1.startsWith("stats.")), "ANALYZE ran")
+    // missing table → fatal exit 1, not a hang or a silent 0
+    val gone = maint.copy(targetLocation = tmpDir("cdm-maint-none"))
+    assert(graft.app.Main.run(spark, gone) === 1)
   }
 
   test("partial-folder watermark carries chunk progress; checkpoint-less restart resumes remaining chunks") {
