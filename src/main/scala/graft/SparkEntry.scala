@@ -1083,6 +1083,18 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.click_id""".stripMargin,
 
+    // forward variant: the NEXT purchase at-or-after each click
+    "q_asof_join_fwd" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.click_id, c.user_id, c.ts AS click_ts, p.purchase_id
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.click_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT doc_id, fingerprint FROM (
         |  SELECT doc_id,
@@ -2393,6 +2405,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v.x < th.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
         |  CAST(sum(CASE WHEN v.x > th.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
         |  CAST(sum(least(greatest(v.x, th.lo), th.hi)) AS BIGINT) AS sum_w
+        |FROM v JOIN th ON v.g = th.g GROUP BY v.g ORDER BY event_type""".stripMargin,
+
+    // Trimmed-summary replay: q_winsorize's thresholds with the tails
+    // EXCLUDED from the aggregate instead of clipped into it.
+    "q_trimmed_summary" ->
+      """WITH v AS (SELECT event_type AS g, CAST(floor(value * 1000) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |cm AS (SELECT g, x, count(*) AS c FROM v GROUP BY 1, 2),
+        |cw AS (SELECT g, x, sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+        |         sum(c) OVER (PARTITION BY g) AS n FROM cm),
+        |th AS (SELECT g,
+        |    min(CASE WHEN 1000 * cum >= 50 * n THEN x END) AS lo,
+        |    min(CASE WHEN 1000 * cum >= 950 * n THEN x END) AS hi
+        |  FROM cw GROUP BY g)
+        |SELECT v.g AS event_type, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN v.x >= th.lo AND v.x <= th.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN v.x >= th.lo AND v.x <= th.hi THEN v.x ELSE 0 END) AS BIGINT) AS kept_sum,
+        |  max(th.lo) AS lo, max(th.hi) AS hi
         |FROM v JOIN th ON v.g = th.g GROUP BY v.g ORDER BY event_type""".stripMargin,
 
     // Sorted-neighborhood replay: same sanitized key, row_number rank,

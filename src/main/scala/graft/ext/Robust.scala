@@ -170,4 +170,44 @@ object Robust {
       .join(qs, groupCols)
       .withColumn("_w", least(greatest(col(valueCol), col("_lo")), col("_hi")))
   }
+
+  /** Per-group TRIMMED summary: drop each group's tails strictly outside
+    * its [lo‰, hi‰] counting quantiles and aggregate what remains — the
+    * robust-mean sibling of [[winsorize]] (winsorize CAPS tail values,
+    * trim EXCLUDES them; a trimmed mean follows the surviving sum/count).
+    * Same discrete-quantile machinery, so the thresholds and the kept-set
+    * membership are exact and engine-replayable; the kept-sum rides
+    * DECIMAL so the summary is bit-stable under any partitioning.
+    *
+    * Scale shape identical to [[winsorize]]: one counting-quantile pass
+    * (hash agg on distinct (group, value) + running-sum window over the
+    * value-histogram, never the rows), a group-count-sized threshold
+    * table broadcast back, one filtered aggregate. Returns
+    * `(groupCols…, n_total, n_kept, kept_sum, lo, hi)`.
+    */
+  def trimmedSummary(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      loPermille: Int = 50,
+      hiPermille: Int = 950
+  ): DataFrame = {
+    require(loPermille < hiPermille,
+      s"loPermille must be < hiPermille, got [$loPermille, $hiPermille]")
+    val qs = histogramQuantile(df, groupCols, valueCol, Seq(loPermille, hiPermille))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(when(col("q_permille") === loPermille, col("value"))).as("_lo"),
+        max(when(col("q_permille") === hiPermille, col("value"))).as("_hi"))
+    df.where(col(valueCol).isNotNull)
+      .join(qs, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum((col(valueCol) >= col("_lo") && col(valueCol) <= col("_hi")).cast("long")).as("n_kept"),
+        sum(when(col(valueCol) >= col("_lo") && col(valueCol) <= col("_hi"),
+          col(valueCol).cast("decimal(38,6)")).otherwise(lit(0).cast("decimal(38,6)"))).as("kept_sum"),
+        max(col("_lo")).as("lo"),
+        max(col("_hi")).as("hi"))
+  }
 }

@@ -68,4 +68,55 @@ object AsOfJoin {
         left.columns.map(c => col(s"_l.$c").as(c)).toIndexedSeq ++
           rightPayloadCols.map(c => col(s"_m.$c").as(c)): _*)
   }
+
+  /** FORWARD as-of join — for every left row, the right row with the same
+    * key and the SMALLEST right timestamp ≥ the left timestamp ("the next
+    * state after the event": label-with-next-outcome joins, lead-time
+    * analyses). Same union-merge shape as [[asOfJoin]] — one shuffle on
+    * the key, one per-key sort, linear in |L| + |R| — with the traversal
+    * reversed: the window walks timestamps DESCENDING carrying the last
+    * right payload seen, so each left row holds the earliest right row
+    * at-or-after it. Right rows sort before left rows at equal
+    * timestamps in the reversed order too, so ties-at-ts match
+    * (inclusive), mirroring the backward variant.
+    */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      rightPayloadCols: Seq[String]
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "asOfJoinForward needs at least one key column")
+    val clash = rightPayloadCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"right payload columns collide with left columns: $clash — alias first")
+
+    val leftType = StructType(left.schema.fields)
+    val rightType = StructType(rightPayloadCols.map(c => right.schema(c)).toArray)
+
+    val lp = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTsCol).as("_ts"), lit(1).as("_side"),
+        struct(left.columns.map(col).toIndexedSeq: _*).as("_l"),
+        lit(null).cast(rightType).as("_r")): _*)
+    val rp = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTsCol).as("_ts"), lit(0).as("_side"),
+        lit(null).cast(leftType).as("_l"),
+        struct(rightPayloadCols.map(col).toIndexedSeq: _*).as("_r")): _*)
+
+    // descending traversal: at equal _ts the right row (side 0) still
+    // comes first, so an exactly-at-ts right row is visible to the left
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts").desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lp.unionByName(rp)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(
+        left.columns.map(c => col(s"_l.$c").as(c)).toIndexedSeq ++
+          rightPayloadCols.map(c => col(s"_m.$c").as(c)): _*)
+  }
 }

@@ -1202,6 +1202,21 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Trimmed-summary gate ([[graft.ext.Robust.trimmedSummary]]): the
+    * robust-mean sibling of q_winsorize — tails strictly outside the
+    * [5%, 95%] counting quantiles EXCLUDED rather than capped. Same
+    * quantized integer domain, sum as exact decimal → bigint.
+    */
+  def qTrimmedSummary(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val quantized = ev.where(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 1000).cast("long").as("x"))
+    Robust.trimmedSummary(quantized, Seq("event_type"), "x", loPermille = 50, hiPermille = 950)
+      .select(col("event_type"), col("n_total"), col("n_kept"),
+        col("kept_sum").cast("long").as("kept_sum"), col("lo"), col("hi"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-domain frequency cap (Datasets.domainCap, k=60 by smallest id
     * hash): the bounded-heap grouped top-k carries ≤ k rows per source
     * per partition; the oracle replays the hash order with a row_number
@@ -1834,6 +1849,25 @@ object Queries {
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("purchase_id"))
     graft.ops.AsOfJoin.asOfJoin(clicks, purchases,
+        keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "ts",
+        rightPayloadCols = Seq("purchase_id"))
+      .select(col("click_id"), col("user_id"), col("ts").as("click_ts"), col("purchase_id"))
+      .orderBy(col("click_id"))
+  }
+
+  /** FORWARD as-of gate ([[graft.ops.AsOfJoin.asOfJoinForward]]): each
+    * click joined to the user's NEXT purchase at-or-after it — the
+    * label-with-next-outcome shape. Oracle: DuckDB ASOF with the
+    * inequality reversed.
+    */
+  def qAsofJoinFwd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    graft.ops.AsOfJoin.asOfJoinForward(clicks, purchases,
         keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "ts",
         rightPayloadCols = Seq("purchase_id"))
       .select(col("click_id"), col("user_id"), col("ts").as("click_ts"), col("purchase_id"))
@@ -2698,6 +2732,7 @@ object Queries {
     "q_funnel_abandoned" -> (qFunnelAbandoned _),
     "q_funnel_rates" -> (qFunnelRates _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_join_fwd" -> (qAsofJoinFwd _),
     "q_bloom_semi_join" -> (qBloomSemiJoin _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -2774,6 +2809,7 @@ object Queries {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_dq_checks" -> (qDqChecks _),
     "q_winsorize" -> (qWinsorize _),
+    "q_trimmed_summary" -> (qTrimmedSummary _),
     "q_source_cap" -> (qSourceCap _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_ppr" -> (qPersonalizedPageRank _),

@@ -246,6 +246,23 @@ class CoreOpsSpec extends SparkSpec {
     assert(out("c4").isEmpty)              // key 2 has no right rows
   }
 
+  test("asOfJoinForward: earliest right row at-or-after, inclusive ties, null when none") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "c1"), (1L, 5L, "c2"), (1L, 2L, "c3"), (2L, 7L, "c4"), (1L, 11L, "c5"))
+      .toDF("k", "ts", "ev")
+    val right = Seq((1L, 3L, "p-early"), (1L, 10L, "p-tie"), (3L, 1L, "p-other"))
+      .toDF("k", "ts", "state")
+    val out = graft.ops.AsOfJoin.asOfJoinForward(left, right,
+        keyCols = Seq("k"), leftTsCol = "ts", rightTsCol = "ts",
+        rightPayloadCols = Seq("state"))
+      .select("ev", "state").as[(String, Option[String])].collect().toMap
+    assert(out("c1").contains("p-tie"))   // equal ts matches (inclusive)
+    assert(out("c2").contains("p-tie"))   // earliest ≥ 5 is ts=10
+    assert(out("c3").contains("p-early")) // earliest ≥ 2 is ts=3
+    assert(out("c4").isEmpty)             // key 2 has no right rows
+    assert(out("c5").isEmpty)             // nothing at-or-after ts=11
+  }
+
   test("bloomSemiJoin matches across key TYPES (int build side vs bigint probe side)") {
     import graft.ops.JoinOps
     // xxhash64(int 1) != xxhash64(long 1): without aligning the build

@@ -81,4 +81,29 @@ class RobustSpec extends SparkSpec {
     assert(b == Set((100L, 100L), (200L, 200L), (300L, 300L)))
     assert(w.count() == 13) // the NULL row is dropped, not clipped
   }
+
+  test("trimmedSummary: tails excluded, winsorize's thresholds, exact kept sum") {
+    // same domain as the winsorize spec: x = 1..10, [200‰, 800‰] → lo=2,
+    // hi=8; kept = 2..8 (7 values, sum 35); 1, 9, 10 EXCLUDED (winsorize
+    // would have clipped them into the aggregate as 2, 8, 8)
+    val df = (1L to 10L).map(("a", _)).toDF("g", "x")
+    val t = Robust.trimmedSummary(df, Seq("g"), "x", loPermille = 200, hiPermille = 800)
+      .select(col("g"), col("n_total"), col("n_kept"),
+        col("kept_sum").cast("long"), col("lo"), col("hi"))
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(t == (("a", 10L, 7L, 35L, 2L, 8L)))
+  }
+
+  test("trimmedSummary: groups trim independently; NULLs excluded from n_total") {
+    val df = ((1L to 10L).map(x => ("a", Some(x))) ++
+      Seq(("b", Some(100L)), ("b", Some(200L)), ("b", Some(300L)), ("b", None)))
+      .toDF("g", "x")
+    val out = Robust.trimmedSummary(df, Seq("g"), "x", loPermille = 200, hiPermille = 800)
+      .select(col("g"), col("n_total"), col("n_kept"), col("kept_sum").cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, a, b, c) => g -> ((a, b, c)) }.toMap
+    // group b: thresholds 100/300 → nothing trims; NULL row never counted
+    assert(out("b") == ((3L, 3L, 600L)))
+    assert(out("a") == ((10L, 7L, 35L)))
+  }
 }
