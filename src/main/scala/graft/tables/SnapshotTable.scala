@@ -863,6 +863,22 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     removed.toSeq
   }
 
+  /** DESCRIBE HISTORY parity: one row per RETAINED main-line snapshot,
+    * oldest first — `(version, timestamp_ms, n_files, n_delete_files,
+    * n_buckets, properties_count)` plus the watermark if set. Metadata
+    * only (manifest reads, no data IO); expired snapshots are absent by
+    * definition. Branch-local history (b-*.json) is not listed — publish
+    * normalizes a branch head to a main-line version.
+    */
+  def history: DataFrame = {
+    import spark.implicits._
+    snapshotVersions.map { v =>
+      val s = readSnapshot(new Path(snapshotsDir, snapshotFileName(v)))
+      (s.version, s.timestampMs, s.files.size.toLong, s.deletes.size.toLong,
+        s.numBuckets.toLong, s.properties.get(SnapshotTable.PropWatermark))
+    }.toDF("version", "timestamp_ms", "n_files", "n_delete_files", "n_buckets", "watermark")
+  }
+
   // ------------------------------------------------- rollback and tags
 
   /** ROLLBACK to an earlier snapshot (Iceberg `rollback_to_snapshot`):

@@ -206,6 +206,22 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() == 99)
   }
 
+  test("history lists retained main-line snapshots with file/delete counts") {
+    val t = freshTable("snap-history")
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    t.mergeOnRead(Seq(("k1", 1000L, "u", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    val h = t.history.orderBy("version")
+      .select(col("version"), col("n_delete_files"))
+      .as[(Long, Long)].collect().toSeq
+    assert(h.map(_._1) == t.snapshotVersions)
+    assert(h.last._2 > 0, "the MoR commit's delete files must be visible")
+    assert(h.head._2 == 0)
+    t.compact(fileSizeThresholdBytes = Long.MaxValue)
+    assert(t.history.orderBy(col("version").desc).select("n_delete_files").as[Long].head() == 0)
+  }
+
   test("tags pin snapshots against expiration and read by name") {
     val t = freshTable("snap-tags")
     t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
