@@ -167,8 +167,14 @@ object CdcPipeline {
     val snaps = table.expireSnapshots(cutoff)
     val orphans = table.removeOrphanFiles(cutoff)
     if (m.analyzedColumns.nonEmpty) table.analyze(m.analyzedColumns)
+    // THE export path for merge-on-read streams (whose spec refuses
+    // per-trigger exports): compaction above has just absorbed every
+    // equality delete, so the symlink manifest is exportable again —
+    // external readers get a post-maintenance consistent view.
+    spec.exportDir.foreach(table.exportSymlinkManifest)
     JsonLog.info("maintenance_completed", "mode" -> "standalone",
-      "expired_snapshots" -> snaps.size, "removed_orphans" -> orphans.size)
+      "expired_snapshots" -> snaps.size, "removed_orphans" -> orphans.size,
+      "exported" -> spec.exportDir.nonEmpty)
   }
 
   /** Poll interval with jitter (reference CRD beta:216-221): the stream's

@@ -66,10 +66,12 @@ final case class StreamSpec(
   // A symlink-manifest export exposes raw data files; merge-on-read commits
   // leave equality deletes a plain reader cannot apply, so re-exporting
   // after every trigger would either fail or resurrect superseded rows.
-  require(!(mergeMode.equalsIgnoreCase("merge-on-read") && exportDir.nonEmpty),
-    "exportDir cannot be combined with mergeMode=merge-on-read: the symlink export " +
-      "cannot represent outstanding equality deletes; use copy-on-write, or export " +
-      "from a maintenance job after compaction")
+  // A standalone MAINTENANCE run is the exception: it exports after its
+  // compaction has absorbed every delete (CdcPipeline.runMaintenance).
+  require(!(mergeMode.equalsIgnoreCase("merge-on-read") && exportDir.nonEmpty && !maintenanceRun),
+    "exportDir cannot be combined with mergeMode=merge-on-read on a STREAM: the " +
+      "symlink export cannot represent outstanding equality deletes; use " +
+      "copy-on-write, or export via a maintenanceRun job (exports after compaction)")
 
   def useMergeOnRead: Boolean = mergeMode.equalsIgnoreCase("merge-on-read")
   def fieldSelectionRule: FieldSelectionRule = fieldSelectionRuleName.toLowerCase match {

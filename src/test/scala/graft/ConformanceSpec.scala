@@ -481,16 +481,23 @@ class ConformanceSpec extends SparkSpec {
     assert(table.currentSnapshot.deletes.nonEmpty)
     val rows = table.read().orderBy("Id").collect().map(_.toString).toSeq
     // the standalone maintenance entry (reference TargetMaintenanceProcessor
-    // shape): same spec JSON, maintenanceRun flag — thresholds NOT consulted
+    // shape): same spec JSON, maintenanceRun flag — thresholds NOT
+    // consulted. exportDir IS allowed here even with merge-on-read (the
+    // stream spec refuses that pair): maintenance exports AFTER its
+    // compaction absorbed the deletes.
+    val exportDir = tmpDir("cdm-maint-export")
     val maint = StreamSpec.fromJson(
       s"""{"sourcePath":"$root","entityName":"${CdmFixture.entityName}",
          |"targetLocation":"$target","maintenanceRun":true,
+         |"mergeMode":"merge-on-read","exportDir":"$exportDir",
          |"maintenance":{"analyzedColumns":["versionnumber"]}}""".stripMargin)
     assert(graft.app.Main.run(spark, maint) === 0)
     assert(table.currentSnapshot.deletes.isEmpty, "maintenance must absorb equality deletes")
     assert(table.read().orderBy("Id").collect().map(_.toString).toSeq === rows,
       "maintenance must not change visible rows")
     assert(table.properties.exists(_._1.startsWith("stats.")), "ANALYZE ran")
+    assert(spark.read.parquet(s"$exportDir/data").count() === table.read().count(),
+      "post-maintenance export must expose the compacted table")
     // missing table → fatal exit 1, not a hang or a silent 0
     val gone = maint.copy(targetLocation = tmpDir("cdm-maint-none"))
     assert(graft.app.Main.run(spark, gone) === 1)
