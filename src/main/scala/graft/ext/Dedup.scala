@@ -443,8 +443,11 @@ object Dedup {
     // slice allocation (the interpreted aggregate-over-slice form cost
     // ~5x more inside this CodegenFallback transform).
     // h is 60-bit, so reduce it mod P BEFORE the power multiply (Long
-    // would overflow at h*31^3); (acc*31 + h) ≡ (acc*31 + h mod P) mod P,
-    // so the reduction is exact. Terms then stay ≤ (P-1)*31^3 < 2^46.
+    // would overflow immediately otherwise); (acc*31 + h) ≡
+    // (acc*31 + h mod P) mod P, so the reduction is exact. pow31 is also
+    // mod-P-reduced, so each term is ≤ (P-1)^2 ≈ 1.0e18 ≈ 2^60 — the
+    // window ≤ 8 guard above is what keeps the SUM of terms under
+    // Long.MaxValue (8·(P-1)^2 < 2^63), not a small per-term bound.
     val pow31 = Array.iterate(1L, window)(p => p * 31L % P)
     val wh = transform(sequence(lit(1), size(col("tk"))), i =>
       pmod(

@@ -61,8 +61,14 @@ object AsOfJoin {
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lp.unionByName(rp)
-      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+    // NULL-timestamp semantics, matching SQL/DuckDB ASOF (a NULL never
+    // satisfies the inequality): a right row with NULL ts can match
+    // nothing and is dropped from the walk (it would otherwise sort
+    // nulls-first and be carried as a phantom match for every early left
+    // row); a left row with NULL ts keeps its row but matches nothing.
+    lp.unionByName(rp.where(col("_ts").isNotNull))
+      .withColumn("_m",
+        when(col("_ts").isNotNull, last(col("_r"), ignoreNulls = true).over(w)))
       .where(col("_side") === 1)
       .select(
         left.columns.map(c => col(s"_l.$c").as(c)).toIndexedSeq ++
@@ -112,8 +118,12 @@ object AsOfJoin {
       .orderBy(col("_ts").desc, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lp.unionByName(rp)
-      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+    // same NULL-timestamp rule as [[asOfJoin]]: NULL-ts right rows match
+    // nothing (desc puts nulls LAST, where the walk would hand the
+    // smallest-ts right row to a NULL-ts left row — mask it instead)
+    lp.unionByName(rp.where(col("_ts").isNotNull))
+      .withColumn("_m",
+        when(col("_ts").isNotNull, last(col("_r"), ignoreNulls = true).over(w)))
       .where(col("_side") === 1)
       .select(
         left.columns.map(c => col(s"_l.$c").as(c)).toIndexedSeq ++

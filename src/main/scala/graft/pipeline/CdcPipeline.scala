@@ -203,6 +203,16 @@ object CdcPipeline {
     * callers stop it via lifecycle signals (tests: processAllAvailable).
     */
   def startStream(spark: SparkSession, spec: StreamSpec): StreamingQuery = {
+    // A symlink-manifest export exposes raw data files; merge-on-read
+    // commits leave equality deletes a plain reader cannot apply, so a
+    // per-trigger re-export would either fail or resurrect superseded
+    // rows. (A standalone maintenanceRun MAY combine them — it exports
+    // after compaction absorbs the deletes — which is why this check
+    // lives here and not in the StreamSpec constructor.)
+    require(!(spec.useMergeOnRead && spec.exportDir.nonEmpty),
+      "exportDir cannot be combined with mergeMode=merge-on-read on a stream: the " +
+        "symlink export cannot represent outstanding equality deletes; use " +
+        "copy-on-write, or export via a maintenanceRun job (exports after compaction)")
     val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info",
       spec.listingRetry)
     val conf = spark.sparkContext.hadoopConfiguration

@@ -63,15 +63,12 @@ final case class StreamSpec(
 ) {
   require(Set("copy-on-write", "merge-on-read").contains(mergeMode.toLowerCase),
     s"mergeMode must be copy-on-write or merge-on-read, got '$mergeMode'")
-  // A symlink-manifest export exposes raw data files; merge-on-read commits
-  // leave equality deletes a plain reader cannot apply, so re-exporting
-  // after every trigger would either fail or resurrect superseded rows.
-  // A standalone MAINTENANCE run is the exception: it exports after its
-  // compaction has absorbed every delete (CdcPipeline.runMaintenance).
-  require(!(mergeMode.equalsIgnoreCase("merge-on-read") && exportDir.nonEmpty && !maintenanceRun),
-    "exportDir cannot be combined with mergeMode=merge-on-read on a STREAM: the " +
-      "symlink export cannot represent outstanding equality deletes; use " +
-      "copy-on-write, or export via a maintenanceRun job (exports after compaction)")
+  // NOTE: the exportDir × merge-on-read incompatibility is validated in
+  // CdcPipeline.startStream, NOT here — Main applies the
+  // STREAMCONTEXT__MAINTENANCE env override AFTER construction, and a
+  // constructor require would reject the documented maintenance-export
+  // spec (mergeMode=merge-on-read + exportDir + env-var maintenance mode)
+  // before the override could run. Only an actual STREAM is invalid.
 
   def useMergeOnRead: Boolean = mergeMode.equalsIgnoreCase("merge-on-read")
   def fieldSelectionRule: FieldSelectionRule = fieldSelectionRuleName.toLowerCase match {

@@ -1160,12 +1160,6 @@ object Queries {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
-  /** Per-group winsorized summary (Robust.winsorize at [50‰, 950‰] on
-    * the permille-quantized event value): thresholds from the counting
-    * quantile, `least/greatest` clip, integer clip counts and clipped
-    * sum — every step exact, replayed by the oracle from the same
-    * counts CTE.
-    */
   /** Data-quality expectation report ([[graft.ext.Quality]]): the full
     * rule battery over lineitem — fused row-level rules (one scan), a
     * uniqueness check and a referential-integrity check against orders —
@@ -1186,6 +1180,12 @@ object Queries {
       ForeignKey("l_orderkey", ord, "o_orderkey")))
   }
 
+  /** Per-group winsorized summary (Robust.winsorize at [50‰, 950‰] on
+    * the permille-quantized event value): thresholds from the counting
+    * quantile, `least/greatest` clip, integer clip counts and clipped
+    * sum — every step exact, replayed by the oracle from the same
+    * counts CTE.
+    */
   def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
     val quantized = ev.where(col("value").isNotNull)

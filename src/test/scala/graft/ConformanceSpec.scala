@@ -91,10 +91,12 @@ class ConformanceSpec extends SparkSpec {
     table.compact(fileSizeThresholdBytes = Long.MaxValue)
     assert(table.currentSnapshot.deletes.isEmpty)
     assert(table.read().orderBy("Id").collect().map(_.toString).toSeq === beforeCompact)
-    // exportDir + merge-on-read is rejected up front (symlink readers
-    // cannot apply equality deletes)
+    // exportDir + merge-on-read is rejected when a STREAM starts (the
+    // combination is legal on a maintenanceRun spec, which exports after
+    // compaction — so the spec itself must construct)
+    val withExport = spec.copy(exportDir = Some(tmpDir("cdm-mor-exp")))
     val ex = intercept[IllegalArgumentException] {
-      spec.copy(exportDir = Some(tmpDir("cdm-mor-exp")))
+      CdcPipeline.startStream(spark, withExport)
     }
     assert(ex.getMessage.contains("merge-on-read"))
   }

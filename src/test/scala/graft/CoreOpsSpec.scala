@@ -263,6 +263,24 @@ class CoreOpsSpec extends SparkSpec {
     assert(out("c5").isEmpty)             // nothing at-or-after ts=11
   }
 
+  test("asOfJoin both directions: NULL timestamps never match (SQL ASOF semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, Some(5L), "c-real"), (1L, None, "c-null")).toDF("k", "ts", "ev")
+    val right = Seq((1L, Some(3L), "p-real"), (1L, None, "p-null")).toDF("k", "ts", "state")
+    val back = graft.ops.AsOfJoin.asOfJoin(left, right,
+        Seq("k"), "ts", "ts", Seq("state"))
+      .select("ev", "state").as[(String, Option[String])].collect().toMap
+    assert(back("c-real").contains("p-real")) // 3 ≤ 5
+    assert(back("c-null").isEmpty, "NULL left ts matches nothing (backward)")
+    val fwd = graft.ops.AsOfJoin.asOfJoinForward(left, right,
+        Seq("k"), "ts", "ts", Seq("state"))
+      .select("ev", "state").as[(String, Option[String])].collect().toMap
+    assert(fwd("c-real").isEmpty, "no right row at-or-after ts=5 (the NULL one must not match)")
+    assert(fwd("c-null").isEmpty, "NULL left ts matches nothing (forward)")
+    // the left rows themselves survive (left-join shape)
+    assert(back.size == 2 && fwd.size == 2)
+  }
+
   test("bloomSemiJoin matches across key TYPES (int build side vs bigint probe side)") {
     import graft.ops.JoinOps
     // xxhash64(int 1) != xxhash64(long 1): without aligning the build
