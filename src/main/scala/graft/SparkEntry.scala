@@ -2407,6 +2407,18 @@ object SparkEntry {
         |  CAST(sum(least(greatest(v.x, th.lo), th.hi)) AS BIGINT) AS sum_w
         |FROM v JOIN th ON v.g = th.g GROUP BY v.g ORDER BY event_type""".stripMargin,
 
+    // Retention-cohort replay: weekly integer epoch buckets, per-user
+    // min period, distinct (user, period) activity, cohort-offset grid.
+    "q_retention_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |    CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT u, min(p) AS cohort FROM a GROUP BY u)
+        |SELECT c.cohort AS cohort_period, a.p - c.cohort AS period_offset,
+        |  count(DISTINCT a.u) AS n_users
+        |FROM a JOIN c ON a.u = c.u
+        |GROUP BY 1, 2 ORDER BY cohort_period, period_offset""".stripMargin,
+
     // Trimmed-summary replay: q_winsorize's thresholds with the tails
     // EXCLUDED from the aggregate instead of clipped into it.
     "q_trimmed_summary" ->

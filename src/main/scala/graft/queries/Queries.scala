@@ -1202,6 +1202,14 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Retention-cohort gate ([[graft.ops.Cohorts.retention]]): weekly
+    * cohorts over the events table — the product-analytics staple. All
+    * integer epoch arithmetic; oracle replays the two-agg-plus-join fold.
+    */
+  def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Cohorts.retention(events(spark, dir))
+      .orderBy(col("cohort_period"), col("period_offset"))
+
   /** Trimmed-summary gate ([[graft.ext.Robust.trimmedSummary]]): the
     * robust-mean sibling of q_winsorize — tails strictly outside the
     * [5%, 95%] counting quantiles EXCLUDED rather than capped. Same
@@ -2810,6 +2818,7 @@ object Queries {
     "q_dq_checks" -> (qDqChecks _),
     "q_winsorize" -> (qWinsorize _),
     "q_trimmed_summary" -> (qTrimmedSummary _),
+    "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_source_cap" -> (qSourceCap _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_ppr" -> (qPersonalizedPageRank _),

@@ -263,6 +263,26 @@ class CoreOpsSpec extends SparkSpec {
     assert(out("c5").isEmpty)             // nothing at-or-after ts=11
   }
 
+  test("Cohorts.retention: hand-computed weekly grid; chatty users count once per period") {
+    import spark.implicits._
+    val wk = 7L * 24 * 3600 * 1000000 // periodUs
+    def ts(week: Long, off: Long = 1000L) =
+      new java.sql.Timestamp((week * wk + off) / 1000) // micros → millis
+    val ev = Seq(
+      (1L, ts(100)), (1L, ts(100, 2000)), (1L, ts(101)),  // cohort 100, active w100 (×2 events), w101
+      (2L, ts(100)), (2L, ts(102)),                       // cohort 100, active w100, w102
+      (3L, ts(101))                                       // cohort 101, active w101 only
+    ).toDF("user_id", "ts")
+    val out = graft.ops.Cohorts.retention(ev)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (100L, 0L, 2L), // users 1,2 in their first week
+      (100L, 1L, 1L), // user 1 back at offset 1
+      (100L, 2L, 1L), // user 2 back at offset 2
+      (101L, 0L, 1L)  // user 3's cohort
+    ), s"got $out")
+  }
+
   test("asOfJoin both directions: NULL timestamps never match (SQL ASOF semantics)") {
     import spark.implicits._
     val left = Seq((1L, Some(5L), "c-real"), (1L, None, "c-null")).toDF("k", "ts", "ev")
