@@ -2533,6 +2533,34 @@ object SparkEntry {
 
     // Word 8-gram shingles with the short-text rule (texts under 8 tokens
     // contribute their whole token string), then document frequency >= 2.
+    // N-gram novelty replay: same trigram comprehension (distinct per
+    // doc, whole-text fallback under 3 tokens), df table, integer
+    // permille — over the corpus + its planted copies.
+    "q_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 50),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM d WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM toks),
+        |x AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+        |dfreq AS (SELECT g, count(*) AS dfc FROM x GROUP BY g)
+        |SELECT x.doc_id, count(*) AS n_distinct_grams,
+        |  CAST(sum(CASE WHEN dfreq.dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  (1000 * CAST(sum(CASE WHEN dfreq.dfc = 1 THEN 1 ELSE 0 END) AS BIGINT)) // count(*)
+        |    AS novelty_permille
+        |FROM x JOIN dfreq ON x.g = dfreq.g
+        |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin,
+
     "q_boilerplate_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk

@@ -1295,4 +1295,40 @@ object TextAnalysis {
       .withColumn("lang_id", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** N-gram novelty — the memorization/duplication-pressure signal per
+    * document: what fraction (permille) of a document's DISTINCT word
+    * n-grams appear in NO other document of the corpus. Templated,
+    * boilerplate-heavy or near-duplicated documents score low; unique
+    * prose scores high. The inverse view of the dedup family: instead of
+    * finding the copies, it scores how much of each document is its own.
+    *
+    * Scale shape: one corpus scan explodes distinct per-doc n-grams
+    * (`word_shingles`-style set semantics via array_distinct), ONE hash
+    * agg builds the gram → document-frequency table (vocabulary-bounded,
+    * map-side combined), and the gram stream joins back against it —
+    * shuffles keyed on the gram text, linear in total distinct-gram
+    * occurrences, never corpus-quadratic. Integer permille
+    * (`1000·novel div distinct`) — engine-replayable, no float division.
+    *
+    * Returns `(idCol, n_distinct_grams, n_novel, novelty_permille)`;
+    * docs with no n-grams (NULL/empty text) are absent.
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+    grams.join(df, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_distinct_grams"),
+        sum((col("_df") === 1).cast("long")).as("n_novel"))
+      .withColumn("novelty_permille", expr("(1000 * n_novel) div n_distinct_grams"))
+  }
 }

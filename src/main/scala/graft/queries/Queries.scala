@@ -1202,6 +1202,19 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** N-gram novelty gate ([[graft.ext.TextAnalysis.ngramNovelty]]): the
+    * per-document memorization signal over documents, with PLANTED COPIES
+    * (first 50 docs duplicated at id+3e6) so novelty is provably NOT 1000
+    * for them — every gram of a copied doc has df ≥ 2.
+    */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = docs.where(col("doc_id") < 50)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    TextAnalysis.ngramNovelty(docs.unionByName(copies))
+      .orderBy(col("doc_id"))
+  }
+
   /** Retention-cohort gate ([[graft.ops.Cohorts.retention]]): weekly
     * cohorts over the events table — the product-analytics staple. All
     * integer epoch arithmetic; oracle replays the two-agg-plus-join fold.
@@ -2819,6 +2832,7 @@ object Queries {
     "q_winsorize" -> (qWinsorize _),
     "q_trimmed_summary" -> (qTrimmedSummary _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_source_cap" -> (qSourceCap _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_ppr" -> (qPersonalizedPageRank _),

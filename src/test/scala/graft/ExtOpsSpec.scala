@@ -1498,6 +1498,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq(false, false))
   }
 
+  test("ngramNovelty: copies share every gram; partial overlap scores between") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),      // shares "alpha beta gamma" prefix with 3
+      (2L, "alpha beta gamma delta"),      // exact copy of 1 → nothing novel in either
+      (3L, "alpha beta gamma OMEGA only"), // 3 grams, 1 shared with 1/2 → 666‰
+      (4L, "totally unique text here")     // all grams novel
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.ngramNovelty(corpus)
+      .select(col("doc_id"), col("n_distinct_grams"), col("n_novel"), col("novelty_permille"))
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(out(1L) == ((1L, 2L, 0L, 0L)))   // both grams also in doc 2
+    assert(out(2L) == ((2L, 2L, 0L, 0L)))
+    assert(out(3L) == ((3L, 3L, 2L, 666L))) // "alpha beta gamma" df=3; other 2 novel
+    assert(out(4L) == ((4L, 2L, 2L, 1000L)))
+  }
+
   test("Quality.check: every rule kind counts its planted violations exactly") {
     import graft.ext.Quality._
     val child = Seq(
