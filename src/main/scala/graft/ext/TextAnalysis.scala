@@ -155,15 +155,25 @@ object TextAnalysis {
   /** Non-distinct word n-grams (space-joined), the repetition-analysis
     * input: unlike `word_shingles` (a distinct SET for Jaccard/MinHash),
     * this keeps every occurrence. Texts shorter than `n` tokens contribute
-    * their whole token string; empty texts an empty list. Pure columnar
-    * (sequence/slice/transform) — codegen-friendly, no UDF.
+    * their whole token string; empty texts an empty list.
+    *
+    * Built as a `zip_with` fold over n shifted slices — NOT a
+    * transform-over-positions whose lambda references the token array:
+    * higher-order lambdas bind only their lambda variables, so an outer
+    * expression inside the body (the tokenization itself!) re-evaluates
+    * per POSITION; zip_with's array inputs evaluate once per ROW. Output
+    * strings are identical (x1 ‖ ' ' ‖ x2 ‖ …), pinned by the existing
+    * n-gram oracles.
     */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
+    val m = size(toks) - (n - 1) // gram count when size >= n
+    val grams = (2 to n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), m), (a, b) => concat(a, lit(" "), b))
+    }
     when(size(toks) === 0, array().cast("array<string>"))
       .when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(grams)
   }
 
   /** Repetition ratio: fraction of n-gram occurrences that are repeats of
@@ -1321,8 +1331,24 @@ object TextAnalysis {
       textCol: String = "text"
   ): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // Token array materialized as a COLUMN before the gram transform:
+    // a lambda body referencing the raw tokens EXPRESSION would
+    // re-evaluate the whole split/filter per gram position (interpreted
+    // higher-order functions bind only their lambda variables), and the
+    // gram build spreads across the cluster first — the blocklistHits/
+    // contentChunks lessons applied. Output bit-identical to
+    // `wordNgrams(text, n)` (pinned by the gate's oracle).
+    val tk = col("_tk")
+    val gramArr =
+      when(size(tk) === 0, array().cast("array<string>"))
+        .when(size(tk) < n, array(concat_ws(" ", tk)))
+        .otherwise(transform(sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(tk, (i + (k + 1)).cast("int"))): _*)))
     val grams = docs.where(col(textCol).isNotNull)
-      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
+      .select(col(idCol), col(textCol).as("_t"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), tokens(col("_t")).as("_tk"))
+      .select(col(idCol), explode(array_distinct(gramArr)).as("g"))
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("_df"))
     grams.join(df, Seq("g"))
       .groupBy(col(idCol))
