@@ -259,6 +259,9 @@ object Bench {
       // incremental aggregate maintenance: refresh must track the change
       // feed, not the table
       "q_incr_agg",
+      // the gram document-frequency join: vocabulary-bounded agg + one
+      // gram-keyed shuffle, must stay ~linear in distinct-gram volume
+      "q_ngram_novelty",
       // the distributed-rank permutation (no global sort) and the
       // vocabulary-bounded bigram count tables
       "q_epoch_shuffle", "q_bigram_surprisal",
