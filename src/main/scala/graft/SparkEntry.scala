@@ -848,6 +848,16 @@ object SparkEntry {
     // relationally. Backfill drops tombstones (latest-per-key first-half rows
     // whose type is 'error'); the streamed second half then deletes /
     // updates / inserts by latest version.
+    // Schema-churn scan: folder 1 was exported under a HISTORICAL model.json
+    // (versionnumber/eventtype swapped, no value column) — the source must
+    // parse it under that folder's own schema, so first-half rows align
+    // correctly and read NULL for the later-added value column.
+    "q_cdc_schema_churn" ->
+      """WITH cut AS (SELECT 500 * greatest(1, COUNT(*) // 1000) AS c FROM events)
+        |SELECT user_id, event_id, event_type,
+        |  CASE WHEN event_id < (SELECT c FROM cut) THEN NULL ELSE value END AS value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
     "q_cdc_pipeline_e2e" ->
       """WITH cut AS (SELECT 500 * greatest(1, COUNT(*) // 1000) AS c FROM events),
         |t1 AS (

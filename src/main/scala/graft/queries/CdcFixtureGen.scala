@@ -111,6 +111,96 @@ object CdcFixtureGen {
     root.toString
   }
 
+  // ------------------------------------------------ schema-churn fixture
+
+  val ChurnEntity = "events_churn"
+
+  /** NEWEST model (root + folder 2): canonical order, with a `value` column
+    * added after the historical batch was written.
+    */
+  private val churnModelNew =
+    s"""{"name":"cdm","version":"2.0","entities":[
+       |  {"$$type":"LocalEntity","name":"$ChurnEntity","attributes":[
+       |    {"name":"Id","dataType":"guid"},
+       |    {"name":"SinkCreatedOn","dataType":"dateTime"},
+       |    {"name":"eventtype","dataType":"string"},
+       |    {"name":"versionnumber","dataType":"int64"},
+       |    {"name":"IsDelete","dataType":"boolean"},
+       |    {"name":"value","dataType":"double"}]}]}""".stripMargin
+
+  /** HISTORICAL model (folder 1): written before the churn — `versionnumber`
+    * and `eventtype` are SWAPPED relative to the newest order, and `value`
+    * does not exist yet. Parsing these CSVs under the newest model's
+    * positions would silently put event types into the version column.
+    */
+  private val churnModelOld =
+    s"""{"name":"cdm","version":"1.0","entities":[
+       |  {"$$type":"LocalEntity","name":"$ChurnEntity","attributes":[
+       |    {"name":"Id","dataType":"guid"},
+       |    {"name":"SinkCreatedOn","dataType":"dateTime"},
+       |    {"name":"versionnumber","dataType":"int64"},
+       |    {"name":"eventtype","dataType":"string"},
+       |    {"name":"IsDelete","dataType":"boolean"}]}]}""".stripMargin
+
+  /** Materialize a SCHEMA-CHURN export: folder 1 holds first-half events
+    * under the historical model (reordered columns, no `value`), folder 2
+    * the rest under the newest model. The changelog is stamped at folder 2
+    * so a batch read covers both. Gates the reference's per-batch schema
+    * authority (`/root/reference/docs/backfill.md:8-12`): rows in each
+    * folder must parse under that folder's OWN model.json.
+    */
+  def materializeChurn(spark: SparkSession, sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val srcSig = s"churn1-${src.length}-${src.lastModified}"
+    val dirKey = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-cdc-churn-$dirKey")
+    val done = root.resolve("_complete")
+    Files.createDirectories(root.getParent)
+    val lockCh = java.nio.channels.FileChannel.open(
+      root.getParent.resolve(s".graft-cdc-churn-$dirKey.lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockCh.lock()
+    try {
+      if (Files.exists(done) &&
+        new String(Files.readAllBytes(done), StandardCharsets.UTF_8) == srcSig)
+        return root.toString
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+
+      val rows = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .collect()
+        .sortBy(_.getLong(0))
+      val c = cut(rows.length.toLong)
+      def isDel(t: String) = if (t == "error") "True" else ""
+      // folder 1, HISTORICAL column order: Id, SinkCreatedOn, versionnumber, eventtype, IsDelete
+      def oldLine(r: org.apache.spark.sql.Row): String =
+        s"""${r.getLong(1)},"1/1/2024 0:00:00 PM",${r.getLong(0)},"${r.getString(2)}",${isDel(r.getString(2))}"""
+      // folder 2, NEWEST order: Id, SinkCreatedOn, eventtype, versionnumber, IsDelete, value
+      // (Double.toString is shortest-roundtrip → the cast re-reads the exact bits)
+      def newLine(r: org.apache.spark.sql.Row): String =
+        s"""${r.getLong(1)},"1/1/2024 0:00:00 PM","${r.getString(2)}",${r.getLong(0)},${isDel(r.getString(2))},${r.getDouble(3)}"""
+
+      def writeFolder(name: String, model: String, lines: Array[String]): Unit = {
+        val d = root.resolve(name).resolve(ChurnEntity)
+        Files.createDirectories(d)
+        Files.write(root.resolve(name).resolve("model.json"), model.getBytes(StandardCharsets.UTF_8))
+        val chunkSize = math.max(1, lines.length / 4 + 1)
+        lines.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
+          Files.write(d.resolve(s"$i.csv"), (chunk.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        }
+      }
+      val (first, second) = rows.partition(_.getLong(0) < c)
+      writeFolder(Folder1, churnModelOld, first.map(oldLine))
+      writeFolder(Folder2, churnModelNew, second.map(newLine))
+      Files.write(root.resolve("model.json"), churnModelNew.getBytes(StandardCharsets.UTF_8))
+      stampChangelog(root.toString, Folder2)
+      Files.write(done, srcSig.getBytes(StandardCharsets.UTF_8))
+      root.toString
+    } finally {
+      lock.release(); lockCh.close()
+    }
+  }
+
   def stampChangelog(root: String, folder: String): Unit = {
     val p = Paths.get(root, "Changelog")
     Files.createDirectories(p)

@@ -430,6 +430,28 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** A3 per-folder schema authority as a gate: the events table is exported
+    * with SCHEMA CHURN between batches — folder 1's model.json has
+    * `versionnumber`/`eventtype` swapped and no `value` column; folder 2 and
+    * the root carry the newest model — and both folders are read through the
+    * real DSv2 source in one batch scan. Rows must align by each folder's
+    * OWN model.json (the reference's per-batch schema grouping,
+    * `/root/reference/docs/backfill.md:8-12`): folder-1 values land in the
+    * right unified columns with `value` NULL; folder-2 rows carry `value`.
+    */
+  def qCdcSchemaChurn(spark: SparkSession, dir: String): DataFrame = {
+    val root = CdcFixtureGen.materializeChurn(spark, dir)
+    spark.read.format("synapse-cdm")
+      .option("path", root).option("entity", CdcFixtureGen.ChurnEntity)
+      .load()
+      .select(
+        col("Id").cast("long").as("user_id"),
+        col("versionnumber").cast("long").as("event_id"),
+        col("eventtype").as("event_type"),
+        col("value").cast("double").as("value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** A7 merge-key derivation + A5 field selection as a projection query. */
   def qMergeKeyProjection(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -2762,6 +2784,7 @@ object Queries {
     "q_cdc_latest" -> (qCdcLatest _),
     "q_cdc_merge" -> (qCdcMerge _),
     "q_cdc_pipeline_e2e" -> (qCdcPipelineE2e _),
+    "q_cdc_schema_churn" -> (qCdcSchemaChurn _),
     "q_merge_key_projection" -> (qMergeKeyProjection _),
     "q_export_symlink" -> (qExportSymlink _),
     "q_adopt_external" -> (qAdoptExternal _),

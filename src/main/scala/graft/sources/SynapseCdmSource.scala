@@ -184,7 +184,9 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
   }
 
   /** Entity schema from a model.json: root copy if present, else the newest
-    * folder's (per-batch model.json is authoritative during reads).
+    * folder's. This is the UNIFIED output schema of the scan; positional CSV
+    * parsing inside each folder follows that folder's OWN model.json
+    * ([[folderCsvCols]]).
     */
   def entitySchema(conf: Configuration, folder: Option[String]): StructType = listing {
     val f = fs(conf)
@@ -195,6 +197,47 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
     val in = f.open(p)
     val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
     CdmSchema.forEntity(CdmModel.parse(json), entity)
+  }
+
+  // Per-folder model.json column lists (normalized entity attribute names,
+  // in that folder's CSV order). Closed folders are immutable, so the memo
+  // is safe; LRU-bounded like chunkCache so a months-deep backfill cannot
+  // grow driver state with the backlog. `None` (no folder model.json, or
+  // the entity absent from it) is cached too — for a closed folder a
+  // missing file stays missing.
+  @transient private lazy val folderColsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Option[Array[String]]](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Option[Array[String]]]): Boolean =
+          size() > 256
+      })
+
+  /** CSV column order of one folder per ITS OWN model.json — the reference
+    * groups rows by each batch folder's schema
+    * (`/root/reference/docs/backfill.md:8-12`), so a historical folder
+    * written before a column reorder / mid-schema insert parses under its
+    * contemporary layout, not the newest one. `None` when the folder has no
+    * model.json or doesn't carry the entity; the caller falls back to the
+    * unified newest-model order.
+    */
+  def folderCsvCols(conf: Configuration, folder: String): Option[Array[String]] = {
+    val cached = folderColsCache.get(folder)
+    if (cached != null) cached
+    else {
+      val fresh: Option[Array[String]] = listing {
+        val p = new Path(new Path(root, folder), "model.json")
+        val f = fs(conf)
+        if (!f.exists(p)) None
+        else {
+          val in = f.open(p)
+          val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+          CdmModel.parse(json).entity(entity)
+            .map(e => e.attributes.map(a => CdmSchema.normalizeFieldName(a.name)).toArray)
+        }
+      }
+      folderColsCache.put(folder, fresh)
+      fresh
+    }
   }
 
   def rawSchemaWithMeta: StructType = {
@@ -433,10 +476,20 @@ object SynapseCdmScanHelper {
   /** One InputPartition per CSV chunk in the given folder slices
     * (`(folder, fromChunk, untilChunk)`, until -1 = rest of folder; chunk
     * order is the sorted file listing, stable because closed folders are
-    * immutable). The full CSV column list rides along so positional parsing
-    * stays correct no matter which columns were pruned.
+    * immutable).
+    *
+    * The positional projection is computed PER FOLDER from that folder's
+    * own model.json (the reference groups rows by each batch's schema,
+    * `/root/reference/docs/backfill.md:8-12`): columns are matched into the
+    * unified output schema BY NORMALIZED NAME, so a historical folder whose
+    * contemporary model.json reorders columns — or lacks a column added
+    * later — parses value-correct (missing columns read NULL). Folders
+    * without their own model.json fall back to the newest-model order.
     */
   private val MetaCols = Set("_folder", "_chunk_idx", "_chunk_last")
+
+  /** Output column has no source column in this folder's schema → NULL. */
+  private[sources] val MissingCol = Int.MinValue
 
   def partitions(
       layout: SynapseCdmLayout,
@@ -446,26 +499,35 @@ object SynapseCdmScanHelper {
       required: StructType
   ): Array[InputPartition] = {
     val csvCols = fullSchema.fieldNames.filterNot(MetaCols.contains)
-    val proj: Array[Int] = required.fieldNames.map {
+    def projectionFor(cols: Array[String]): Array[Int] = required.fieldNames.map {
       case "_folder"     => -1
       case "_chunk_idx"  => -2
       case "_chunk_last" => -3
-      case n             => csvCols.indexOf(n)
+      case n             => val i = cols.indexOf(n); if (i < 0) MissingCol else i
     }
+    val newestProj = projectionFor(csvCols)
     slices.flatMap { case (folder, from, until) =>
+      val folderCols = layout.folderCsvCols(conf, folder).getOrElse(csvCols)
+      val (proj, nCols) =
+        if (java.util.Arrays.equals(
+            folderCols.asInstanceOf[Array[AnyRef]], csvCols.asInstanceOf[Array[AnyRef]]))
+          (newestProj, csvCols.length)
+        else (projectionFor(folderCols), folderCols.length)
       val files = layout.chunkFiles(conf, folder)
       val sliced = if (until < 0) files.zipWithIndex.drop(from)
         else files.zipWithIndex.slice(from, until)
       sliced.map { case ((path, _), idx) =>
-        CsvChunkPartition(path, folder, csvCols.length, proj,
+        CsvChunkPartition(path, folder, nCols, proj,
           chunkIdx = idx, lastInFolder = idx == files.size - 1)
       }
     }.toArray
   }
 }
 
-/** `projection(i)` = CSV column index feeding output column i;
-  * -1 = `_folder`, -2 = `_chunk_idx`, -3 = `_chunk_last`.
+/** `projection(i)` = CSV column index (in THIS folder's schema) feeding
+  * output column i; -1 = `_folder`, -2 = `_chunk_idx`, -3 = `_chunk_last`,
+  * [[SynapseCdmScanHelper.MissingCol]] = column absent from this folder's
+  * schema → NULL. `numCsvCols` is the folder's own column count.
   */
 final case class CsvChunkPartition(
     path: String,
@@ -521,7 +583,8 @@ class CsvChunkReaderFactory(conf: SerializableHadoopConf) extends PartitionReade
               if (src == -1) folderUtf8
               else if (src == -2) p.chunkIdx
               else if (src == -3) p.lastInFolder
-              else if (src < rec.length && rec(src) != null) UTF8String.fromString(rec(src))
+              else if (src >= 0 && src < rec.length && rec(src) != null)
+                UTF8String.fromString(rec(src)) // src < 0 here = MissingCol → NULL
               else null
             i += 1
           }

@@ -565,4 +565,69 @@ class ConformanceSpec extends SparkSpec {
     finally q.stop()
     assert(table.currentSnapshot.version === v1, "no new folders → no new snapshot")
   }
+
+  // --------------------------------------------- per-folder schema authority
+
+  /** Minimal churn export: folder A was written under a HISTORICAL
+    * model.json (ver before name, no trailing `extra`), folder B under the
+    * newest one; a third folder C has NO model.json at all (falls back to
+    * the newest order). The reference parses each folder under its own
+    * schema (`/root/reference/docs/backfill.md:8-12`).
+    */
+  private def writeChurnExport(root: String): Unit = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    def put(parts: String*)(content: String): Unit = {
+      val p = Paths.get(root, parts: _*)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    }
+    def model(attrs: (String, String)*): String =
+      s"""{"name":"cdm","version":"1","entities":[{"$$type":"LocalEntity","name":"churn_e","attributes":[
+         |${attrs.map { case (n, t) => s"""{"name":"$n","dataType":"$t"}""" }.mkString(",")}]}]}""".stripMargin
+    val oldModel = model("Id" -> "guid", "ver" -> "int64", "name" -> "string")
+    val newModel = model("Id" -> "guid", "name" -> "string", "ver" -> "int64", "extra" -> "string")
+    put("model.json")(newModel)
+    put("2024-01-01T00.00.00Z", "model.json")(oldModel)
+    put("2024-01-01T00.00.00Z", "churn_e", "0.csv")("id1,5,\"alpha\"\n")
+    put("2024-01-02T00.00.00Z", "model.json")(newModel)
+    put("2024-01-02T00.00.00Z", "churn_e", "0.csv")("id2,\"beta\",7,\"x\"\n")
+    put("2024-01-03T00.00.00Z", "churn_e", "0.csv")("id3,\"gamma\",9,\"y\"\n")
+    put("Changelog", "changelog.info")("2024-01-03T00.00.00Z")
+  }
+
+  test("batch scan parses each folder under its OWN model.json (reorder + missing trailing column)") {
+    val root = tmpDir("cdm-churn-src")
+    writeChurnExport(root)
+    val rows = spark.read.format("synapse-cdm")
+      .option("path", root).option("entity", "churn_e")
+      .load()
+      .select("Id", "name", "ver", "extra")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(rows === Array(
+      ("id1", "alpha", "5", null), // historical order honored; extra → NULL
+      ("id2", "beta", "7", "x"),
+      ("id3", "gamma", "9", "y"))) // no folder model.json → newest order
+  }
+
+  test("one micro-batch spanning two model.json generations stages both folders value-correct") {
+    val root = tmpDir("cdm-churn-stream")
+    writeChurnExport(root)
+    val q = spark.readStream.format("synapse-cdm")
+      .option("path", root).option("entity", "churn_e")
+      .load()
+      .select("Id", "name", "ver", "extra", "_folder")
+      .writeStream.format("memory").queryName("churn_stream").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val rows = spark.table("churn_stream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(rows === Array(
+      ("id1", "alpha", "5", null),
+      ("id2", "beta", "7", "x"),
+      ("id3", "gamma", "9", "y")))
+  }
 }
