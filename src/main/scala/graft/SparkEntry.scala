@@ -2372,11 +2372,11 @@ object SparkEntry {
         |    AND CAST(l_quantity AS DOUBLE) <= 25.0)),
         |  count(*) FILTER (WHERE l_quantity IS NOT NULL) FROM lineitem
         |UNION ALL
-        |SELECT 'in_set(l_returnflag)',
+        |SELECT 'in_set(l_returnflag,A|N)',
         |  count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N')),
         |  count(*) FILTER (WHERE l_returnflag IS NOT NULL) FROM lineitem
         |UNION ALL
-        |SELECT 'matches(l_linestatus)',
+        |SELECT 'matches(l_linestatus,^[OF]$)',
         |  count(*) FILTER (WHERE NOT regexp_matches(l_linestatus, '^[OF]$')),
         |  count(*) FILTER (WHERE l_linestatus IS NOT NULL) FROM lineitem
         |UNION ALL
@@ -2389,7 +2389,7 @@ object SparkEntry {
         |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem) d),
         |  count(*) FROM lineitem
         |UNION ALL
-        |SELECT 'foreign_key(l_orderkey)',
+        |SELECT 'foreign_key(l_orderkey->o_orderkey)',
         |  count(*) FILTER (WHERE o_orderkey IS NULL),
         |  count(*)
         |FROM (SELECT l.l_orderkey, o.o_orderkey FROM lineitem l

@@ -410,12 +410,6 @@ object Dedup {
       textCol: String = "text"
   ): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    // The closed-form window hash below sums `window` un-reduced products
-    // of up to (P-1)^2 ~ 1.0e18 before its single mod — 8 such terms stay
-    // under Long.MaxValue (9.22e18), a 9th could silently wrap. CDC
-    // windows beyond a handful of tokens also defeat the resync property,
-    // so the bound costs nothing in practice.
-    require(window <= 8, s"window must be <= 8 (Long-overflow bound of the rolling-hash closed form), got $window")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     val P = 1000000007L
     val toks = TextAnalysis.tokens(col(textCol))
@@ -444,19 +438,24 @@ object Dedup {
     // ~5x more inside this CodegenFallback transform).
     // h is 60-bit, so reduce it mod P BEFORE the power multiply (Long
     // would overflow immediately otherwise); (acc*31 + h) ≡
-    // (acc*31 + h mod P) mod P, so the reduction is exact. pow31 is also
-    // mod-P-reduced, so each term is ≤ (P-1)^2 ≈ 1.0e18 ≈ 2^60 — the
-    // window ≤ 8 guard above is what keeps the SUM of terms under
-    // Long.MaxValue (8·(P-1)^2 < 2^63), not a small per-term bound.
+    // (acc*31 + h mod P) mod P, so the reduction is exact.
+    // Overflow discipline: each term is ≤ (P-1)^2 ≈ 1.0e18 ≈ 2^60. Up to 8
+    // terms sum below Long.MaxValue (8·(P-1)^2 < 2^63) with no per-term
+    // reduction — the measured fast path. For wider windows the running
+    // sum is mod-reduced between terms (partial ≤ (P-1)^2 + P — safe for
+    // ANY window), which is exact: (a + b) mod P = ((a mod P) + b) mod P.
     val pow31 = Array.iterate(1L, window)(p => p * 31L % P)
-    val wh = transform(sequence(lit(1), size(col("tk"))), i =>
-      pmod(
-        (0 until window).map { k =>
-          val term = when(i - k >= 1,
-            pmod(element_at(col("hv"), (i - k).cast("int")), lit(P))).otherwise(lit(0L))
-          term * pow31(k)
-        }.reduce(_ + _),
-        lit(P)))
+    val wh = transform(sequence(lit(1), size(col("tk"))), { i =>
+      val terms = (0 until window).map { k =>
+        val term = when(i - k >= 1,
+          pmod(element_at(col("hv"), (i - k).cast("int")), lit(P))).otherwise(lit(0L))
+        term * pow31(k)
+      }
+      val summed =
+        if (window <= 8) terms.reduce(_ + _)
+        else terms.reduce((a, b) => pmod(a, lit(P)) + b)
+      pmod(summed, lit(P))
+    })
     // Boundary positions: window-hash hits ∪ the forced end-of-doc.
     val bnds = array_union(
       filter(sequence(lit(1L), size(col("tk")).cast("long")),

@@ -42,18 +42,24 @@ object Quality {
     val name = s"in_range($column,$lo,$hi)"
   }
 
-  /** Non-NULL values must be one of `values`. */
+  /** Non-NULL values must be one of `values`. The value set is part of the
+    * rule name so two InSet rules on one column stay distinct report rows.
+    */
   final case class InSet(column: String, values: Seq[String]) extends Rule {
-    val name = s"in_set($column)"
+    val name = s"in_set($column,${values.mkString("|")})"
   }
 
-  /** Non-NULL values must match the (RE2-safe) regex. */
+  /** Non-NULL values must match the (RE2-safe) regex; the regex is part of
+    * the rule name (two Matches on one column stay distinct report rows).
+    */
   final case class Matches(column: String, regex: String) extends Rule {
-    val name = s"matches($column)"
+    val name = s"matches($column,$regex)"
   }
 
   /** Arbitrary row predicate; rows where it evaluates false or NULL are
     * violations (a constraint that cannot be evaluated is not satisfied).
+    * `label` is the rule's identity — two predicates need distinct labels
+    * (enforced by [[check]]).
     */
   final case class Predicate(label: String, holds: Column) extends Rule {
     val name = s"predicate($label)"
@@ -68,9 +74,12 @@ object Quality {
     val name = s"unique(${columns.mkString(",")})"
   }
 
-  /** Every non-NULL child key must exist in the parent's key column. */
+  /** Every non-NULL child key must exist in the parent's key column. Two
+    * FKs from one column to DIFFERENT parents sharing a key-column name
+    * still collide on `name` — [[check]] rejects that loudly.
+    */
   final case class ForeignKey(column: String, parent: DataFrame, parentColumn: String) extends Rule {
-    val name = s"foreign_key($column)"
+    val name = s"foreign_key($column->$parentColumn)"
   }
 
   /** Evaluate all rules; returns the `(rule, violations, checked)` report
@@ -86,6 +95,14 @@ object Quality {
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Quality.check needs at least one rule")
+    // Rule names are both the fused-agg aliases and the report keys — a
+    // duplicate would silently attribute the second rule's counts to the
+    // first (Row.getAs resolves the first matching alias).
+    locally {
+      val dup = rules.groupBy(_.name).collect { case (n, rs) if rs.size > 1 => n }
+      require(dup.isEmpty,
+        s"duplicate rule name(s): ${dup.mkString(", ")} — give each rule a distinct identity")
+    }
     val spark = df.sparkSession
     import spark.implicits._
 

@@ -14,9 +14,62 @@ import java.nio.charset.StandardCharsets
   * library is needed) plus log lines. With no StatsD address configured it
   * degrades to logging only.
   */
-final class StatsdEmitter(host: String, port: Int, globalTags: Map[String, String]) {
-  private val socket = new DatagramSocket()
-  private val target = new InetSocketAddress(host, port)
+final class StatsdEmitter(address: String, globalTags: Map[String, String]) {
+
+  def this(host: String, port: Int, globalTags: Map[String, String]) =
+    this(s"$host:$port", globalTags)
+
+  private sealed trait Transport {
+    def send(bytes: Array[Byte]): Unit
+    def close(): Unit
+  }
+
+  // `unix:///path/to/dsd.socket` → DogStatsD over a Unix-domain socket
+  // (the reference's containerized transport, main.scala:112-114 — no UDP
+  // hop, kernel-local). The JDK's AF_UNIX support (JEP 380) is
+  // SOCK_STREAM-only, so this speaks the dogstatsd agent's UDS-STREAM
+  // transport: each metric framed with a 4-byte little-endian length
+  // prefix. The channel connects lazily and reconnects on failure, so an
+  // agent restart drops metrics (never the stream), not the emitter.
+  private val transport: Transport =
+    if (address.startsWith("unix://")) {
+      val target = java.net.UnixDomainSocketAddress.of(
+        java.nio.file.Path.of(address.stripPrefix("unix://")))
+      new Transport {
+        private var ch: java.nio.channels.SocketChannel = _
+        private def channel(): java.nio.channels.SocketChannel = {
+          if (ch == null || !ch.isConnected)
+            ch = java.nio.channels.SocketChannel.open(target)
+          ch
+        }
+        def send(bytes: Array[Byte]): Unit = {
+          val framed = java.nio.ByteBuffer.allocate(4 + bytes.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          framed.putInt(bytes.length).put(bytes).flip()
+          try {
+            val c = channel()
+            while (framed.hasRemaining) c.write(framed)
+          } catch {
+            case _: java.io.IOException =>
+              if (ch != null) { try ch.close() catch { case _: java.io.IOException => () }; ch = null }
+              throw new java.io.IOException("dogstatsd uds send failed") // swallowed by caller
+          }
+        }
+        def close(): Unit = if (ch != null) ch.close()
+      }
+    } else {
+      val (host, port) = address.split(":", 2) match {
+        case Array(h, p) => (h, p.toInt)
+        case Array(h)    => (h, 8125)
+      }
+      val socket = new DatagramSocket()
+      val target = new InetSocketAddress(host, port)
+      new Transport {
+        def send(bytes: Array[Byte]): Unit = socket.send(new DatagramPacket(bytes, bytes.length, target))
+        def close(): Unit = socket.close()
+      }
+    }
+
   private val tagSuffix =
     if (globalTags.isEmpty) ""
     else "|#" + globalTags.map { case (k, v) => s"$k:$v" }.mkString(",")
@@ -25,12 +78,10 @@ final class StatsdEmitter(host: String, port: Int, globalTags: Map[String, Strin
   def count(name: String, value: Long): Unit = send(s"$name:$value|c$tagSuffix")
 
   private def send(payload: String): Unit =
-    try {
-      val bytes = payload.getBytes(StandardCharsets.UTF_8)
-      socket.send(new DatagramPacket(bytes, bytes.length, target))
-    } catch { case _: java.io.IOException => () } // metrics must never fail the stream
+    try transport.send(payload.getBytes(StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // metrics must never fail the stream
 
-  def close(): Unit = socket.close()
+  def close(): Unit = transport.close()
 }
 
 /** Listener publishing per-batch throughput/latency — the same signal set
@@ -83,19 +134,16 @@ final class GraftMetricsListener(
 
 object Metrics {
   /** Install the metrics listener on a session. StatsD target comes from
-    * `statsdAddress` ("host:port"); absent → log-only listener is skipped
-    * (Spark already logs progress JSON). The listener binds to the next
-    * query started on the session and removes itself (closing its socket)
-    * when that query terminates.
+    * `statsdAddress` — `host:port` (UDP) or `unix:///path/dsd.socket`
+    * (Unix-domain datagram, the reference's container transport); absent →
+    * log-only listener is skipped (Spark already logs progress JSON). The
+    * listener binds to the next query started on the session and removes
+    * itself (closing its socket) when that query terminates.
     */
   def install(spark: SparkSession, statsdAddress: Option[String], tags: Map[String, String] = Map.empty): Option[GraftMetricsListener] =
     statsdAddress.map { addr =>
-      val (host, port) = addr.split(":", 2) match {
-        case Array(h, p) => (h, p.toInt)
-        case Array(h)    => (h, 8125)
-      }
       val listener = new GraftMetricsListener(
-        Some(new StatsdEmitter(host, port, tags)), session = Some(spark))
+        Some(new StatsdEmitter(addr, tags)), session = Some(spark))
       spark.streams.addListener(listener)
       listener
     }

@@ -77,7 +77,8 @@ class SynapseCdmSource extends TableProvider with DataSourceRegister {
   * listing happens on the driver, partitions carry explicit file paths).
   */
 final case class SynapseCdmLayout(root: String, entity: String, changelogPath: String,
-    retry: graft.pipeline.RetryPolicy = graft.pipeline.RetryPolicy()) {
+    retry: graft.pipeline.RetryPolicy = graft.pipeline.RetryPolicy(),
+    maxResultsPerPage: Int = 5000) {
 
   @transient private var fsCache: FileSystem = _
   private def fs(conf: Configuration): FileSystem = {
@@ -141,8 +142,26 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
       .sorted
   }
 
-  private def listAll(f: FileSystem): Seq[String] =
-    f.listStatus(new Path(root)).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  /** Full root listing, STREAMED: `listStatusIterator` pages through the
+    * directory (a RemoteIterator — object-store implementations fetch it
+    * in listing-API pages) and entries are filtered per page of
+    * `maxResultsPerPage` (the reference's blob-API page-size knob, CRD
+    * beta:576-598), so driver memory holds one page of raw entries plus
+    * the MATCHING folder names — not every directory entry of a
+    * years-deep export root at once.
+    */
+  private def listAll(f: FileSystem): Seq[String] = {
+    val it = f.listStatusIterator(new Path(root))
+    val out = Seq.newBuilder[String]
+    val page = new scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus](
+      math.min(maxResultsPerPage, 1024))
+    while (it.hasNext) {
+      page.clear()
+      while (it.hasNext && page.size < maxResultsPerPage) page += it.next()
+      page.foreach(st => if (st.isDirectory) out += st.getPath.getName)
+    }
+    out.result()
+  }
 
   /** CSV chunks of one folder for our entity — folder-qualified paths
     * (chunk names recur across folders; SURVEY.md §7 hard-part 5).
@@ -274,7 +293,8 @@ object SynapseCdmLayout {
       baseDelayMs = options.getLong("httpRetryDelayMs", 1000L),
       ioOnly = true)
     SynapseCdmLayout(root, entity,
-      Option(options.get("changelogPath")).getOrElse("Changelog/changelog.info"), retry)
+      Option(options.get("changelogPath")).getOrElse("Changelog/changelog.info"), retry,
+      maxResultsPerPage = math.max(1, options.getInt("maxResultsPerPage", 5000)))
   }
 }
 

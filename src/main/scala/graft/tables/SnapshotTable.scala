@@ -378,8 +378,9 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       // schema-on-read: files written before an ADD COLUMNS fill NULL
       val reader = spark.read.schema(snap.schema)
       SnapshotTable.resolveFormat(snap.properties) match {
-        case "orc" => reader.orc(paths: _*)
-        case _     => reader.parquet(paths: _*)
+        case "orc"  => reader.orc(paths: _*)
+        case "avro" => reader.format(SnapshotTable.AvroFormatClass).load(paths: _*)
+        case _      => reader.parquet(paths: _*)
       }
     }
   }
@@ -447,11 +448,27 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     val snap = currentSnapshot
     val n = snap.numBuckets
 
+    // Align schemas FIRST: target may have gained columns the staged batch
+    // lacks (and vice versa — run addColumns/schema migration BEFORE
+    // merge), and the key must be cast to the TABLE's type before any
+    // hashing — a staged key of a mismatched type (int vs bigint) hashes
+    // differently under xxhash64, which would compute wrong affected
+    // buckets and silently drop rows via the targetBuckets filter.
+    val unionSchema = snap.schema
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.columns.map(_.toLowerCase).toSet
+      val cols = unionSchema.fields.map { f =>
+        if (have.contains(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
+
     // Buckets touched by this change set — either precomputed by the caller
     // (e.g. folded into an earlier pass over the batch) or collected here.
     // Collecting distinct bucket ids is bounded by numBuckets (ints), never
     // by data size. Cache staged only when we must act on it twice.
-    val stagedB = staged.withColumn("gbk", bucketExpr(mergeKeyCol, n))
+    val stagedB = aligned(staged).withColumn("gbk", bucketExpr(mergeKeyCol, n))
     val cached = if (knownAffected.isEmpty) { stagedB.cache(); true } else false
     val stagedAffected: Set[Int] = knownAffected.getOrElse(
       stagedB.select("gbk").distinct().collect().map(_.getInt(0)).toSet)
@@ -472,20 +489,8 @@ class SnapshotTable(val spark: SparkSession, val location: String,
 
     val targetAffected = read(Some(affected))
 
-    // Align schemas: target may have gained columns the staged batch lacks
-    // (and vice versa — run addColumns/schema migration BEFORE merge).
-    val unionSchema = snap.schema
-    def aligned(df: DataFrame): DataFrame = {
-      val have = df.columns.map(_.toLowerCase).toSet
-      val cols = unionSchema.fields.map { f =>
-        if (have.contains(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }
-      df.select(cols.toIndexedSeq: _*)
-    }
-
     val tgt = aligned(targetAffected).withColumn("_del", lit(false))
-    val src = aligned(stagedB.drop("gbk"))
+    val src = stagedB.drop("gbk") // already aligned
       .withColumn("_del", coalesce(col(isDeleteCol).cast("boolean"), lit(false)))
 
     // Latest version wins across {existing row, staged row}; a tombstone
@@ -576,14 +581,19 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       df.select(cols.toIndexedSeq: _*)
     }
 
-    val stagedB = staged.withColumn("gbk", bucketExpr(mergeKeyCol, n)).cache()
+    // Align BEFORE hashing: gbk and the staged-key bloom must be computed
+    // on the TABLE's key type — a staged key of a mismatched type (int vs
+    // bigint) hashes differently under xxhash64, so the target-version
+    // scan could miss the key's real bucket and a stale row would insert
+    // as a duplicate instead of no-op'ing.
+    val stagedB = aligned(staged).withColumn("gbk", bucketExpr(mergeKeyCol, n)).cache()
     try {
       val affected: Set[Int] =
         stagedB.select("gbk").distinct().collect().map(_.getInt(0)).toSet
 
       // In-batch latest-version dedup (A14): one winner per staged key,
       // tombstone ordering identical to merge's union+argmax.
-      val src = aligned(stagedB.drop("gbk"))
+      val src = stagedB.drop("gbk") // already aligned
         .withColumn("_del", coalesce(col(isDeleteCol).cast("boolean"), lit(false)))
       val stagedLatest = src
         .groupBy(col(mergeKeyCol).as("_k"))
@@ -602,10 +612,9 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       // NULL keys bypass the bloom (NULL is a valid merge key and
       // xxhash64(NULL) would silently drop it — a false negative).
       graft.sql.GraftExtensions.ensureRegistered(spark)
-      val keyType = unionSchema.fields.find(_.name.equalsIgnoreCase(mergeKeyCol)).get.dataType
       val nStaged = math.max(stagedB.count(), 1L)
       val bf = stagedB.agg(
-        call_function("bloom_agg", xxhash64(col(mergeKeyCol).cast(keyType)),
+        call_function("bloom_agg", xxhash64(col(mergeKeyCol)), // aligned = table key type
           lit(nStaged), lit(math.min(nStaged * 8, 67108864L))).as("_bf"))
         .head().getAs[Array[Byte]](0)
       val tgtVer = read(Some(affected))
@@ -711,8 +720,9 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     }
     val reader = spark.read
     val fileSchema = (format match {
-      case "orc" => reader.orc(qualified.map(_.toString): _*)
-      case _     => reader.parquet(qualified.map(_.toString): _*)
+      case "orc"  => reader.orc(qualified.map(_.toString): _*)
+      case "avro" => reader.format(SnapshotTable.AvroFormatClass).load(qualified.map(_.toString): _*)
+      case _      => reader.parquet(qualified.map(_.toString): _*)
     }).schema
     SnapshotTable.rejectReservedColumns(fileSchema)
     val byLower = snap.schema.fields.map(f => f.name.toLowerCase -> f).toMap
@@ -1007,6 +1017,14 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     *
     * The branch's fork point advances to the published head, so the same
     * branch can keep the fork→audit→publish cycle going.
+    *
+    * SINGLE WRITER REQUIRED (as everywhere on this table — see the class
+    * doc): the ancestry check and the pointer rename are not one atomic
+    * step, so a concurrent main commit landing between them would be
+    * silently abandoned and the normalization write could collide. Run
+    * publishes from the same single writer that owns main commits; a
+    * multi-writer deployment needs the pointer in a catalog service with
+    * compare-and-swap.
     */
   def fastForward(name: String): Snapshot = {
     requireMain("fastForward")
@@ -1289,6 +1307,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     format match {
       case "orc" =>
         if (bloomCols.nonEmpty) writer.option("orc.bloom.filter.columns", bloomCols.mkString(","))
+      case "avro" => // no per-column bloom filter support in the Avro format
       case _ =>
         bloomCols.foreach(c => writer.option(s"parquet.bloom.filter.enabled#$c", "true"))
     }
@@ -1301,8 +1320,9 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       props.get(PropMaxRowsPerFile).filter(_.nonEmpty)
         .foreach(nr => writer.option("maxRecordsPerFile", nr))
     format match {
-      case "orc" => writer.orc(out.toString)
-      case _     => writer.parquet(out.toString)
+      case "orc"  => writer.orc(out.toString)
+      case "avro" => writer.format(SnapshotTable.AvroFormatClass).save(out.toString)
+      case _      => writer.parquet(out.toString)
     }
 
     if (!fs.exists(out)) return Seq.empty
@@ -1313,7 +1333,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val conf = spark.sparkContext.hadoopConfiguration
     def statsFor(p: Path): Map[String, (Double, Double)] =
-      if (statsCols.isEmpty || format == "orc") Map.empty
+      if (statsCols.isEmpty || format != "parquet") Map.empty
       else FileStats.parquetMinMax(conf, p, statsCols, df.schema)
     fs.listStatus(out)
       .filter(_.isDirectory)
@@ -1329,6 +1349,10 @@ class SnapshotTable(val spark: SparkSession, val location: String,
 
   private def maxWriteTasks: Int = spark.sparkContext.defaultParallelism * 2
 
+  // Read-modify-write under the SINGLE-WRITER assumption (class doc): the
+  // rename makes the pointer swap atomic for READERS, but two concurrent
+  // writers would still last-write-win on `_current`. Multi-writer needs a
+  // catalog service with compare-and-swap on the pointer.
   private def commit(snap: Snapshot): Snapshot = {
     fs.mkdirs(snapshotsDir)
     val name = commitFileName(snap.version)
@@ -1359,11 +1383,19 @@ object SnapshotTable {
   val PropStatsColumns = "write.stats.columns"    // comma-separated columns (manifest skipping index)
   val PropBloomColumns = "write.bloom.columns"    // comma-separated columns
   val PropMaxRowsPerFile = "write.max.rows.per.file" // sink.maxRowsPerFile
-  // Data file format, `parquet` (default) or `orc` — the reference's
-  // CREATE TABLE `format: PARQUET | ORC | AVRO` option (CRD beta:294-318).
-  // AVRO needs the spark-avro connector jar, absent in this offline
-  // environment, and is rejected with a clear error.
+  // Data file format, `parquet` (default), `orc` or `avro` — the full
+  // reference CREATE TABLE `format: PARQUET | ORC | AVRO` matrix
+  // (CRD beta:294-318). Avro files carry no footer min/max, so the
+  // manifest skipping index ([[PropStatsColumns]]) and per-column bloom
+  // filters are parquet/orc-only; choose a columnar format for 100 TB
+  // analytic targets — avro is for row-oriented interchange.
   val PropFormat = "write.format"
+
+  /** The environment ships Spark's bundled Avro FileFormat class but not
+    * the external module's DataSource registration (the `avro` short name
+    * fails lookup) — address the V1 FileFormat by class name instead.
+    */
+  val AvroFormatClass = "org.apache.spark.sql.avro.AvroFileFormat"
 
   // Internal helper column names used by the bucketed write (`gbk`), the
   // merge's union+argmax (`_del`/`_pri`), merge-on-read's decision join
@@ -1385,9 +1417,7 @@ object SnapshotTable {
 
   private[tables] def resolveFormat(props: Map[String, String]): String =
     props.getOrElse(PropFormat, "parquet").toLowerCase match {
-      case f @ ("parquet" | "orc") => f
-      case "avro" => throw new IllegalArgumentException(
-        "write.format=avro needs the spark-avro connector jar, which is not available offline; use parquet or orc")
+      case f @ ("parquet" | "orc" | "avro") => f
       case other => throw new IllegalArgumentException(s"unsupported write.format: $other")
     }
 

@@ -1133,6 +1133,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(r == r2)
   }
 
+  test("contentChunks: window > 8 takes the mod-reduced fold — no Long overflow, still tiles") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val toks = Seq.fill(250)(words(rnd.nextInt(words.length)))
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.contentChunks(docs, window = 12, divisor = 16)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(r.map(_._4).sum == 250L)
+    r.sliding(2).foreach {
+      case Seq(a, b) => assert(b._3 == a._3 + a._4, s"gap between $a and $b")
+      case _ =>
+    }
+    // every window hash is a valid mod-P residue (an overflow would go negative)
+    assert(r.forall(c => c._5 >= 0L))
+  }
+
   test("contentChunks: an edit re-synchronizes — later chunks hash identically") {
     val rnd = new scala.util.Random(7)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
@@ -1534,11 +1550,24 @@ class ExtOpsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
     assert(rep("not_null(k)") == ((1L, 4L)))
     assert(rep("in_range(x,0.0,50.0)") == ((1L, 3L)))     // 99 violates; NULL skipped
-    assert(rep("in_set(flag)") == ((1L, 3L)))             // X violates; NULL skipped
-    assert(rep("matches(label)") == ((2L, 4L)))           // zz-3, bad
+    assert(rep("in_set(flag,A|B)") == ((1L, 3L)))         // X violates; NULL skipped
+    assert(rep("matches(label,^ok-)") == ((2L, 4L)))      // zz-3, bad
     assert(rep("predicate(x_lt_20)") == ((2L, 4L)))       // 99 and NULL
     assert(rep("unique(k)") == ((1L, 4L)))                // two k=1 rows → 1 excess
-    assert(rep("foreign_key(k)") == ((1L, 3L)))           // k=7 orphan; NULL key skipped
+    assert(rep("foreign_key(k->pk)") == ((1L, 3L)))       // k=7 orphan; NULL key skipped
+  }
+
+  test("Quality.check: two InSet rules on one column stay distinct; identical rules rejected") {
+    import graft.ext.Quality._
+    val df = Seq("A", "B", "C").toDF("flag")
+    val rep = check(df, Seq(InSet("flag", Seq("A")), InSet("flag", Seq("A", "B"))))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(rep("in_set(flag,A)") == 2L)
+    assert(rep("in_set(flag,A|B)") == 1L)
+    val e = intercept[IllegalArgumentException] {
+      check(df, Seq(InSet("flag", Seq("A")), InSet("flag", Seq("A"))))
+    }
+    assert(e.getMessage.contains("duplicate rule name"))
   }
 
   test("Quality.check: a clean table reports zero violations on every rule") {

@@ -34,6 +34,13 @@ class MergeModelSpec extends SparkSpec {
     runModel(format = Some("orc"), batches = 25, seed = 20260813L)
   }
 
+  test("merge semantics are format-independent: the same model holds on an AVRO table") {
+    // completes the reference's CREATE TABLE format matrix (PARQUET | ORC
+    // | AVRO, CRD beta:294-318); Spark 4 bundles the Avro source in
+    // spark-sql, so the full merge lifecycle runs on row-oriented files
+    runModel(format = Some("avro"), batches = 25, seed = 20260816L)
+  }
+
   test("merge-on-read (equality deletes) satisfies the same model, including across compaction") {
     runModel(format = None, batches = 40, seed = 20260814L, mode = "mor")
   }

@@ -134,6 +134,53 @@ class ParitySpec extends SparkSpec {
     emitter.close(); server.close()
   }
 
+  test("statsd emitter speaks DogStatsD over a unix-domain socket (UDS-stream framing)") {
+    // the reference's containerized transport (main.scala:112-114):
+    // unix:///path/dsd.socket — the agent's SOCK_STREAM mode (the JDK's
+    // AF_UNIX support is stream-only): 4-byte LE length-prefixed frames
+    val sockPath = java.nio.file.Files.createTempDirectory("graft-uds").resolve("dsd.socket")
+    val server = java.nio.channels.ServerSocketChannel.open(java.net.StandardProtocolFamily.UNIX)
+    server.bind(java.net.UnixDomainSocketAddress.of(sockPath))
+    try {
+      val emitter = new StatsdEmitter(s"unix://$sockPath", Map("env" -> "test"))
+      emitter.count("graft.stream.rows", 7)
+      emitter.gauge("graft.stream.batch_ms", 3.5)
+      val conn = server.accept()
+      def readFully(n: Int): java.nio.ByteBuffer = {
+        val buf = java.nio.ByteBuffer.allocate(n)
+        while (buf.hasRemaining) assert(conn.read(buf) >= 0, "peer closed early")
+        buf.flip(); buf
+      }
+      def recv(): String = {
+        val len = readFully(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        val payload = readFully(len)
+        new String(payload.array(), 0, len)
+      }
+      assert(recv() == "graft.stream.rows:7|c|#env:test")
+      assert(recv() == "graft.stream.batch_ms:3.5|g|#env:test")
+      emitter.close(); conn.close()
+    } finally {
+      server.close()
+      java.nio.file.Files.deleteIfExists(sockPath)
+    }
+  }
+
+  test("listing page-size bound (maxResultsPerPage) pages the root scan without changing results") {
+    import graft.sources.SynapseCdmLayout
+    val root = java.nio.file.Files.createTempDirectory("graft-page").toString
+    val folders = (1 to 5).map(d => f"2024-01-0${d}%dT00.00.00Z")
+    folders.foreach(fo => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, fo)))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(root, "model.json")) // non-dir entry filtered
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // an unbounded start forces the full-root listing path (listAll)
+    def listWith(page: Int): Seq[String] =
+      SynapseCdmLayout(root, "e", "Changelog/changelog.info", maxResultsPerPage = page)
+        .foldersInRange(conf, "", "￿")
+    assert(listWith(1) === folders)
+    assert(listWith(2) === folders)
+    assert(listWith(5000) === folders)
+  }
+
   test("structured JSON log lines carry global tags, fields and parse cleanly") {
     import graft.pipeline.JsonLog
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]

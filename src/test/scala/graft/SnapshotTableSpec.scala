@@ -55,13 +55,13 @@ class SnapshotTableSpec extends SparkSpec {
     // compaction keeps the format
     orc.compact(fileSizeThresholdBytes = Long.MaxValue)
     assert(orc.read().count() === p.size.toLong)
-    // avro is rejected with a clear error, not a runtime surprise
-    val bad = SnapshotTable(spark, tmpDir("snap-avro"))
+    // an unknown format is rejected with a clear error, not a runtime surprise
+    val bad = SnapshotTable(spark, tmpDir("snap-badfmt"))
     val e = intercept[IllegalArgumentException] {
       bad.createOrReplace(df, "arcane_merge_key", numBuckets = 2,
-        extraProps = Map(SnapshotTable.PropFormat -> "avro"))
+        extraProps = Map(SnapshotTable.PropFormat -> "feather"))
     }
-    assert(e.getMessage.contains("spark-avro"))
+    assert(e.getMessage.contains("unsupported write.format"))
   }
 
   test("compaction converges: a second compact after consolidation is a no-op") {
