@@ -889,6 +889,23 @@ object SparkEntry {
         |FROM read_parquet('${graft.queries.Queries.ExportGateRoot}/current/export/data/*.parquet')
         |ORDER BY c_custkey""".stripMargin,
 
+    // Iceberg-interop gate: the Spark side reads the table exclusively
+    // through the exported Iceberg v2 metadata chain (version-hint →
+    // metadata.json → manifest-list avro → manifest avro → file paths);
+    // the oracle restates the post-merge state relationally. Evens
+    // created at v=1; keys %10==0 merged at v=2 with doubled acctbal;
+    // keys %100==0 tombstoned.
+    "q_export_iceberg" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 10 = 0
+        |       THEN CAST(c_acctbal AS DOUBLE) * 2
+        |       ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal,
+        |  CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS v,
+        |  false AS is_del
+        |FROM customer
+        |WHERE c_custkey % 2 = 0 AND c_custkey % 100 <> 0
+        |ORDER BY c_custkey""".stripMargin,
+
     // Adopt-external lifecycle restated relationally: evens created
     // natively, odds adopted from a foreign parquet write, then one staged
     // batch (keys ending 3 or 4) doubles acctbal at v=2 and tombstones

@@ -493,6 +493,40 @@ object Queries {
     tbl.read().orderBy(col("c_custkey"))
   }
 
+  /** Iceberg-interop gate ([[graft.tables.SnapshotTable.exportIceberg]]):
+    * a bucketed table goes through CREATE OR REPLACE plus a MERGE with
+    * updates and tombstones (so dead files exist on disk), is exported as
+    * Iceberg v2 metadata, and then READ BACK exclusively THROUGH the
+    * export — version-hint → metadata.json → manifest-list avro →
+    * manifest avro → data file paths ([[graft.tables.IcebergExport
+    * .readDataFiles]]) — never through the table's own manifest. The
+    * DuckDB oracle restates the post-merge state relationally, so a match
+    * proves an external engine walking Iceberg metadata sees exactly the
+    * live snapshot (dead files unreferenced, carried buckets included).
+    */
+  def qExportIceberg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergExport, SnapshotTable}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-iceberg-gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val tbl = SnapshotTable(spark, s"$root/table")
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        lit(1L).as("v"), lit(false).as("is_del"))
+    tbl.createOrReplace(cust.where(col("c_custkey") % 2 === 0), "c_custkey", numBuckets = 32)
+    val staged = cust.where(col("c_custkey") % 10 === 0)
+      .withColumn("v", lit(2L))
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+      .withColumn("is_del", col("c_custkey") % 100 === 0)
+    tbl.merge(staged, "c_custkey", "v", "is_del")
+    tbl.exportIceberg(s"$root/iceberg")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val files = IcebergExport.readDataFiles(fs, new org.apache.hadoop.fs.Path(s"$root/iceberg"))
+    spark.read.schema(tbl.schema).parquet(files.map(_._1): _*)
+      .orderBy(col("c_custkey"))
+  }
+
   /** External-WRITER ingestion gate ([[graft.tables.SnapshotTable.adoptFiles]]
     * — Iceberg `add_files` parity, the reachable half of the reference's
     * external-engine writability via REST catalog,
@@ -2787,6 +2821,7 @@ object Queries {
     "q_cdc_schema_churn" -> (qCdcSchemaChurn _),
     "q_merge_key_projection" -> (qMergeKeyProjection _),
     "q_export_symlink" -> (qExportSymlink _),
+    "q_export_iceberg" -> (qExportIceberg _),
     "q_adopt_external" -> (qAdoptExternal _),
     "q_cdc_merge_mor" -> (qCdcMergeMor _),
     "q_incr_agg" -> (qIncrAgg _),

@@ -57,6 +57,13 @@ object FileStats {
     } finally reader.close()
   }
 
+  /** Footer-only row count of one parquet file (no data pages). */
+  def parquetRowCount(conf: Configuration, file: Path): Long = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try reader.getRecordCount
+    finally reader.close()
+  }
+
   private def toDouble(v: Any): Option[Double] = v match {
     case n: java.lang.Number => Some(n.doubleValue)
     case _ => None // binary/bool stats — not a numeric column

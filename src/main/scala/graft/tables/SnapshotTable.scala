@@ -1202,6 +1202,41 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     abs
   }
 
+  /** Export the CURRENT snapshot as an Apache Iceberg format-version-2
+    * table ([[IcebergExport]]): `metadata/` with version-hint,
+    * metadata.json, manifest list and manifest Avro files referencing the
+    * live data files by absolute URI — metadata-only (O(files) parquet
+    * footer reads for record counts, zero data copies), so the export is
+    * re-runnable after every commit at any table size. Any Iceberg reader
+    * (Spark+runtime, Trino, DuckDB iceberg, pyiceberg) sees exactly the
+    * live snapshot; dead files are simply unreferenced.
+    *
+    * Parquet tables only (Iceberg data files may also be ORC/Avro, but
+    * record counts are collected from parquet footers here), and — like
+    * [[exportSymlinkManifest]] — outstanding equality deletes must be
+    * compacted first: this export publishes plain data files, and
+    * re-publishing v2 delete files externally would force every external
+    * reader through our delete semantics.
+    *
+    * Returns the metadata.json path.
+    */
+  def exportIceberg(exportDir: String): Path = {
+    val snap = currentSnapshot
+    require(snap.deletes.isEmpty,
+      "table has outstanding equality deletes (merge-on-read commits); " +
+        "run compact() to absorb them before exporting Iceberg metadata")
+    require(SnapshotTable.resolveFormat(snap.properties) == "parquet",
+      "Iceberg export currently supports parquet-format tables")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = snap.files.map { f =>
+      val p = fs.makeQualified(new Path(dataDir, f.path))
+      IcebergExport.ExportFile(p.toString, fs.getFileStatus(p).getLen,
+        FileStats.parquetRowCount(conf, p))
+    }
+    IcebergExport.write(fs, new Path(exportDir), snap.schema, snap.version,
+      snap.timestampMs, files, snap.properties)
+  }
+
   /** Atomically point `exportDir` at the freshly-built `versioned` dir:
     * a temp symlink is renamed over the old one (POSIX rename-over-symlink
     * is atomic). The immediately superseded version is RETAINED — a reader

@@ -606,6 +606,59 @@ class SnapshotTableSpec extends SparkSpec {
     assert(versions == Set(v2, v3), s"expected {$v2,$v3}, got $versions")
   }
 
+  test("iceberg export: spec-shaped v2 metadata chain resolves to exactly the live rows") {
+    import graft.tables.IcebergExport
+    import org.apache.hadoop.fs.Path
+    val t = freshTable("snap-iceberg")
+    // create dead files: a merge rewrites some buckets, superseded files stay on disk
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    val change = Seq(
+      ("k1", 1000L, "updated", false),
+      ("k2", 1000L, null: String, true), // tombstone
+      ("kx", 5L, "fresh", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    val exportDir = tmpDir("snap-iceberg-out")
+    val metaPath = t.exportIceberg(exportDir)
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // metadata.json: required v2 TableMetadata fields
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(metaPath)
+    val meta = try mapper.readTree(new String(in.readAllBytes())) finally in.close()
+    assert(meta.get("format-version").asInt() == 2)
+    assert(meta.get("current-snapshot-id").asLong() ==
+      meta.get("snapshots").get(0).get("snapshot-id").asLong())
+    val schemaNode = meta.get("schemas").get(0)
+    val fieldNames = (0 until schemaNode.get("fields").size())
+      .map(i => schemaNode.get("fields").get(i).get("name").asText()).toSet
+    assert(fieldNames == t.schema.fieldNames.toSet)
+    // field ids are assigned and unique (Iceberg's column identity)
+    val ids = (0 until schemaNode.get("fields").size())
+      .map(i => schemaNode.get("fields").get(i).get("id").asInt())
+    assert(ids == (1 to ids.size))
+
+    // manifest avro carries the spec's required container metadata
+    val listPath = new Path(meta.get("snapshots").get(0).get("manifest-list").asText())
+    assert(fs.exists(listPath))
+    assert(IcebergExport.avroMeta(fs, listPath, "format-version") == "2")
+
+    // chain resolves to exactly the table's live files; record counts sum
+    // to the live row count (dead files exist on disk but are unreferenced)
+    val chain = IcebergExport.readDataFiles(fs, new Path(exportDir))
+    val manifestFiles = chain.map(_._1).toSet
+    val liveFiles = t.currentSnapshot.files
+      .map(f => fs.makeQualified(new Path(s"${t.location}/data", f.path)).toString).toSet
+    assert(manifestFiles == liveFiles)
+    assert(chain.map(_._2).sum == t.read().count())
+    // and a reader following only the chain reproduces read() exactly
+    val viaExport = spark.read.schema(t.schema).parquet(chain.map(_._1): _*)
+      .orderBy("arcane_merge_key").collect()
+    val direct = t.read().orderBy("arcane_merge_key").collect()
+    assert(viaExport.sameElements(direct))
+    assert(!viaExport.exists(_.getString(0) == "k2"), "tombstoned key must not resurface")
+  }
+
   test("analyze records row count in properties") {
     val t = freshTable("snap-stats")
     t.analyze()
