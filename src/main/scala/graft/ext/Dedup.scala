@@ -1132,6 +1132,14 @@ object Dedup {
     * strings still pair through their other, unshared variants or exact
     * dedup upstream. The count window reuses the join's own (vk) exchange
     * — same pattern as [[nearDuplicatePairs]].
+    *
+    * CONTRACT for duplicate-heavy corpora: pair enumeration over a
+    * k-sized group of identical strings is Θ(k²) by problem definition —
+    * measured at ~453 candidates/row when group size is ~300
+    * (SCALE.md "the fuzzy-pairs knee"). Run [[dedupExact]] (or group-by
+    * key) FIRST and feed this operator the distinct residue; the skew
+    * guard only kicks in at `maxBucketSize`-scale groups and degrades to
+    * dropped buckets, not to a cheaper plan.
     */
   def fuzzyPairs(
       df: DataFrame,
@@ -1160,15 +1168,7 @@ object Dedup {
           "instead, or raise maxAvgLen explicitly if the column really is this wide.")
     }
     val base = df.select(col(idCol).as("id"), col(strCol).as("s")).where(col("s").isNotNull)
-    val variants = base
-      .select(col("id"), explode(deletionVariants(col("s"), maxDist)).as("vk"))
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("vk"))))
-      .where(col("bucket_n") <= maxBucketSize)
-    val candidates = variants.select(col("vk"), col("id").as("id_a"))
-      .join(variants.select(col("vk"), col("id").as("id_b")), Seq("vk"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val candidates = fuzzyCandidates(base, maxDist, maxBucketSize)
     candidates
       .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
@@ -1178,6 +1178,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b"), maxDist).as("dist"))
       .where(col("dist") >= 0)
+  }
+
+  /** The SymSpell blocking stage alone: distinct candidate id pairs that
+    * share a deletion variant (hot variants above `maxBucketSize` dropped,
+    * as in [[fuzzyPairs]]).
+    */
+  private def fuzzyCandidates(base: DataFrame, maxDist: Int, maxBucketSize: Int): DataFrame = {
+    val variants = base
+      .select(col("id"), explode(deletionVariants(col("s"), maxDist)).as("vk"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("vk"))))
+      .where(col("bucket_n") <= maxBucketSize)
+    variants.select(col("vk"), col("id").as("id_a"))
+      .join(variants.select(col("vk"), col("id").as("id_b")), Seq("vk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Blocking-stage observables of [[fuzzyPairs]] for knee measurements:
+    * `(candidatePairs, cappedBuckets)` — the distinct candidate count is
+    * what drives the verify cost (the emitted pair count only reflects
+    * true matches), and `cappedBuckets` counts deletion-variant buckets
+    * the `maxBucketSize` skew guard dropped (its engagement point).
+    */
+  def fuzzyBlockingStats(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      strCol: String = "text",
+      maxDist: Int = 1,
+      maxBucketSize: Int = 10000
+  ): (Long, Long) = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s")).where(col("s").isNotNull)
+    val candidates = fuzzyCandidates(base, maxDist, maxBucketSize).count()
+    val capped = base
+      .select(explode(deletionVariants(col("s"), maxDist)).as("vk"))
+      .groupBy(col("vk")).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
+      .count()
+    (candidates, capped)
   }
 
   // ------------------------------------------ sorted-neighborhood blocking

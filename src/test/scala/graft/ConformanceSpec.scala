@@ -596,6 +596,89 @@ class ConformanceSpec extends SparkSpec {
     put("Changelog", "changelog.info")("2024-01-03T00.00.00Z")
   }
 
+  test("full pipeline across a schema-churn export: backfill the old schema, stream the new, values aligned") {
+    import graft.queries.CdcFixtureGen
+    import org.apache.spark.sql.expressions.Window
+    val dir = sf("sf0.001")
+    val root = CdcFixtureGen.materializeChurn(spark, dir)
+    // the fixture stamps the changelog at folder 2; rewind to folder 1 so
+    // the BACKFILL leg sees only the historical-schema batch
+    CdcFixtureGen.stampChangelog(root, CdcFixtureGen.Folder1)
+    try {
+      val target = tmpDir("churn-pipe-target") + "/t"
+      val ckpt = tmpDir("churn-pipe-ckpt") + "/c"
+      val spec = StreamSpec(
+        sourcePath = root,
+        entityName = CdcFixtureGen.ChurnEntity,
+        targetLocation = target,
+        backfillBehavior = "Overwrite",
+        numBuckets = 8,
+        changeCaptureIntervalSeconds = 0,
+        checkpointLocation = Some(ckpt))
+      CdcPipeline.runBackfill(spark, spec)
+      // After the backfill leg the table carries folder 1's CONTEMPORARY
+      // schema (the changelog names folder 1, so its model.json is the
+      // newest known — no value column yet); versionnumber/eventtype must
+      // be value-correct despite the swapped CSV order. Streaming folder 2
+      // then widens the table via A12 schema migration (ADD COLUMN value).
+      val afterBackfill = SnapshotTable(spark, target).read()
+      assert(afterBackfill.count() > 0)
+      assert(!afterBackfill.columns.map(_.toLowerCase).contains("value"),
+        "value must not exist before the new-schema folder streams in")
+      assert(afterBackfill.where(col("versionnumber").isNull).count() === 0,
+        "reordered versionnumber must still parse as a number")
+      CdcFixtureGen.stampChangelog(root, CdcFixtureGen.Folder2)
+      val q = CdcPipeline.startStream(spark, spec)
+      try q.processAllAvailable()
+      finally q.stop()
+
+      val got = SnapshotTable(spark, target).read()
+        .select(
+          col("Id").cast("long").as("user_id"),
+          col("versionnumber").as("event_id"),
+          col("eventtype").as("event_type"),
+          col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+        .toSet
+
+      // expected: the same CDC fold derived from the source parquet —
+      // folder-1 (old schema) winners carry NULL value, folder-2 winners
+      // their real value; versionnumber/eventtype must be value-correct
+      // even though folder 1's CSV order had them swapped.
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val cut = CdcFixtureGen.cut(ev.count())
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      def latest(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("rn") === 1).drop("rn")
+      val tgt = latest(ev.where(col("event_id") < cut)).where(col("event_type") =!= "error")
+      val stg = latest(ev.where(col("event_id") >= cut))
+      val expected = tgt.as("t")
+        .join(stg.as("s"), col("t.user_id") === col("s.user_id"), "full_outer")
+        .where(!org.apache.spark.sql.functions.coalesce(
+          col("s.event_type") === "error", org.apache.spark.sql.functions.lit(false)))
+        .select(
+          org.apache.spark.sql.functions.coalesce(col("s.user_id"), col("t.user_id")).as("user_id"),
+          org.apache.spark.sql.functions.when(col("s.event_id").isNotNull, col("s.event_id"))
+            .otherwise(col("t.event_id")).as("event_id"),
+          org.apache.spark.sql.functions.when(col("s.event_id").isNotNull, col("s.event_type"))
+            .otherwise(col("t.event_type")).as("event_type"),
+          // folder-1 rows were exported without a value column → NULL
+          org.apache.spark.sql.functions.when(col("s.event_id").isNotNull, col("s.value")).as("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+        .toSet
+      assert(got === expected)
+      // at this data density every user has a folder-2 winner, so the
+      // final state is all-valued; the NULL leg is pinned after backfill
+      assert(got.exists(_._4 != null), "streamed new-schema winners should carry real values")
+    } finally CdcFixtureGen.stampChangelog(root, CdcFixtureGen.Folder2)
+  }
+
   test("batch scan parses each folder under its OWN model.json (reorder + missing trailing column)") {
     val root = tmpDir("cdm-churn-src")
     writeChurnExport(root)
