@@ -172,9 +172,10 @@ object CdcPipeline {
     // equality delete, so the symlink manifest is exportable again —
     // external readers get a post-maintenance consistent view.
     spec.exportDir.foreach(table.exportSymlinkManifest)
+    spec.icebergExportDir.foreach(d => table.exportIceberg(d))
     JsonLog.info("maintenance_completed", "mode" -> "standalone",
       "expired_snapshots" -> snaps.size, "removed_orphans" -> orphans.size,
-      "exported" -> spec.exportDir.nonEmpty)
+      "exported" -> (spec.exportDir.nonEmpty || spec.icebergExportDir.nonEmpty))
   }
 
   /** Poll interval with jitter (reference CRD beta:216-221): the stream's
@@ -209,9 +210,9 @@ object CdcPipeline {
     // rows. (A standalone maintenanceRun MAY combine them — it exports
     // after compaction absorbs the deletes — which is why this check
     // lives here and not in the StreamSpec constructor.)
-    require(!(spec.useMergeOnRead && spec.exportDir.nonEmpty),
-      "exportDir cannot be combined with mergeMode=merge-on-read on a stream: the " +
-        "symlink export cannot represent outstanding equality deletes; use " +
+    require(!(spec.useMergeOnRead && (spec.exportDir.nonEmpty || spec.icebergExportDir.nonEmpty)),
+      "exportDir/icebergExportDir cannot be combined with mergeMode=merge-on-read on a " +
+        "stream: neither export can represent outstanding equality deletes; use " +
         "copy-on-write, or export via a maintenanceRun job (exports after compaction)")
     val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info",
       spec.listingRetry)
@@ -295,6 +296,7 @@ object CdcPipeline {
             // the symlink manifest after every commit so the external view
             // tracks the live table — metadata-only, O(files), no data scan.
             spec.exportDir.foreach(table.exportSymlinkManifest)
+            spec.icebergExportDir.foreach(d => table.exportIceberg(d))
             JsonLog.info("batch_committed", "batch_id" -> batchId,
               "rows" -> head.getLong(0), "watermark" -> wm,
               "affected_buckets" -> affected.map(_.size.toString).getOrElse("all"),
@@ -359,6 +361,7 @@ object CdcPipeline {
       }
     }
     spec.exportDir.foreach(table.exportSymlinkManifest)
+    spec.icebergExportDir.foreach(d => table.exportIceberg(d))
     JsonLog.info("backfill_completed", "mode" -> spec.backfillBehavior, "watermark" -> newest)
   }
 }

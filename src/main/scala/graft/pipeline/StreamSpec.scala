@@ -57,6 +57,7 @@ final case class StreamSpec(
     maxRowsPerFile: Option[Long] = None,               // sink.maxRowsPerFile
     targetTableProperties: Map[String, String] = Map.empty, // arbitrary table props passthrough
     exportDir: Option[String] = None,                  // re-export symlink manifest after every commit
+    icebergExportDir: Option[String] = None,           // re-export Iceberg v2 metadata after every commit
     logShipAddress: Option[String] = None,             // DataDog-shape shipper: udp://host:port | file:/path
     mergeMode: String = "copy-on-write",               // copy-on-write | merge-on-read (Iceberg v2 write.merge.mode)
     maintenanceRun: Boolean = false                    // one-shot standalone maintenance (TargetMaintenanceProcessor shape)
@@ -189,6 +190,7 @@ object StreamSpec {
             .map(e => e.getKey -> e.getValue.asText()).toMap
         else Map.empty,
       exportDir = opt("exportDir"),
+      icebergExportDir = opt("icebergExportDir"),
       logShipAddress = opt("logShipAddress"),
       mergeMode = str("mergeMode", "copy-on-write"),
       maintenanceRun = r.has("maintenanceRun") && r.get("maintenanceRun").asBoolean(false)

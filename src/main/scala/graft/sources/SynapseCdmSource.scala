@@ -202,9 +202,10 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
     }
   }
 
-  /** Entity schema from a model.json: root copy if present, else the newest
-    * folder's. This is the UNIFIED output schema of the scan; positional CSV
-    * parsing inside each folder follows that folder's OWN model.json
+  /** Entity schema from a model.json: the NEWEST (changelog) folder's copy
+    * when present — the authoritative current schema — else the root copy.
+    * This is the UNIFIED output schema of the scan; positional CSV parsing
+    * inside each folder follows that folder's OWN model.json
     * ([[folderCsvCols]]).
     */
   def entitySchema(conf: Configuration, folder: Option[String]): StructType = listing {

@@ -11,6 +11,7 @@ import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
+import scala.jdk.CollectionConverters._
 
 /** Apache Iceberg FORMAT-VERSION-2 metadata export for a [[SnapshotTable]]
   * snapshot — the offline-feasible half of the reference's biggest interop
@@ -133,12 +134,43 @@ object IcebergExport {
   /** One live data file: absolute URI, byte length, footer row count. */
   final case class ExportFile(path: String, sizeBytes: Long, recordCount: Long)
 
+  /** Exported snapshots retained in the metadata's history window; older
+    * entries are pruned with their manifest files (the Iceberg
+    * `expire_snapshots` role, applied at export time).
+    */
+  val KeepSnapshots = 10
+
+  /** Snapshot id currently published by an export dir, if any — the
+    * idempotence check a caller runs before collecting footer stats.
+    */
+  def currentExportedSnapshotId(fs: FileSystem, exportDir: Path): Option[Long] = {
+    val metaDir = new Path(exportDir, "metadata")
+    val hintPath = new Path(metaDir, "version-hint.text")
+    if (!fs.exists(hintPath)) None
+    else {
+      val hint = readText(fs, hintPath).trim
+      val metaPath = new Path(metaDir, s"v$hint.metadata.json")
+      if (!fs.exists(metaPath)) None
+      else Some(mapper.readTree(readText(fs, metaPath)).get("current-snapshot-id").asLong())
+    }
+  }
+
   // ----------------------------------------------------------------- write
 
-  /** Write the Iceberg v2 metadata tree for one snapshot; returns the
-    * metadata.json path. Each call is a fresh single-snapshot export
-    * (current state publication, not history mirroring — time travel
-    * stays served by the table's own snapshots).
+  /** Write the Iceberg v2 metadata tree for one snapshot; returns the new
+    * metadata.json path. INCREMENTAL: when the export dir already carries
+    * metadata, the new snapshot is appended to its history — vN+1
+    * .metadata.json keeps the previous `snapshots` entries (up to
+    * [[KeepSnapshots]]; older ones are pruned with their manifest files),
+    * links `parent-snapshot-id`, and extends `snapshot-log`/`metadata-log`
+    * — so an external Iceberg reader can time-travel across exported
+    * commits, not just read the head. Re-exporting the same table version
+    * is a no-op (same snapshot id).
+    *
+    * Field-id stability across exports relies on the table only ever
+    * ADDING columns (SnapshotTable's schema migration contract):
+    * positional ids 1..n stay bound to the same names, and a new column
+    * extends the id space — the Iceberg column-identity rule holds.
     */
   def write(
       fs: FileSystem,
@@ -147,13 +179,29 @@ object IcebergExport {
       snapshotVersion: Long,
       timestampMs: Long,
       files: Seq[ExportFile],
-      properties: Map[String, String]
+      properties: Map[String, String],
+      keepSnapshots: Int = KeepSnapshots
   ): Path = {
     val metaDir = new Path(exportDir, "metadata")
-    fs.delete(metaDir, true)
-    fs.mkdirs(metaDir)
     val snapshotId = snapshotVersion + 1 // Iceberg snapshot ids must be != -1; keep them stable per version
     val seq = snapshotVersion
+
+    // Prior state (incremental export): version counter, retained
+    // snapshot entries, the previous metadata file for metadata-log.
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val prior: Option[(Int, com.fasterxml.jackson.databind.JsonNode)] =
+      if (!fs.exists(hintPath)) None
+      else {
+        val hint = readText(fs, hintPath).trim.toInt
+        val p = new Path(metaDir, s"v$hint.metadata.json")
+        if (fs.exists(p)) Some((hint, mapper.readTree(readText(fs, p)))) else None
+      }
+    prior match {
+      case Some((hint, meta)) if meta.get("current-snapshot-id").asLong() == snapshotId =>
+        return new Path(metaDir, s"v$hint.metadata.json") // already published — no-op
+      case _ => ()
+    }
+    fs.mkdirs(metaDir)
 
     // 1. manifest: one entry per live data file, all status=ADDED(1).
     val manifestPath = fs.makeQualified(new Path(metaDir, s"${UUID.randomUUID()}-m0.avro"))
@@ -214,18 +262,43 @@ object IcebergExport {
     listWriter.append(mf)
     listWriter.close()
 
-    // 3. metadata.json (TableMetadata, format-version 2).
+    // 3. metadata.json (TableMetadata, format-version 2). Schema identity:
+    // the schema whose field list matches keeps its schema-id; a widened
+    // schema (ADD COLUMN) gets a fresh id appended to `schemas`.
+    val priorMeta = prior.map(_._2)
+    val newVersion = prior.map(_._1 + 1).getOrElse(1)
+    val schemaJsonNode = mapper.readTree(icebergSchemaJson(schema))
+    val priorSchemas: Seq[com.fasterxml.jackson.databind.JsonNode] =
+      priorMeta.map(m => m.get("schemas").elements().asScala.toSeq).getOrElse(Seq.empty)
+    def fieldsOf(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+      n.get("fields").elements().asScala.map(_.toString).toSeq
+    val matching = priorSchemas.find(s => fieldsOf(s) == fieldsOf(schemaJsonNode))
+    val schemaId = matching.map(_.get("schema-id").asInt())
+      .getOrElse(priorSchemas.map(_.get("schema-id").asInt()).maxOption.map(_ + 1).getOrElse(0))
+    ((schemaJsonNode): @unchecked) match {
+      case o: ObjectNode => o.put("schema-id", schemaId)
+    }
+    val allSchemas = if (matching.isDefined) priorSchemas else priorSchemas :+ schemaJsonNode
+
+    // retained prior snapshots (newest keepSnapshots - 1, so the new one fits)
+    val priorSnaps: Seq[com.fasterxml.jackson.databind.JsonNode] =
+      priorMeta.map(m => m.get("snapshots").elements().asScala.toSeq).getOrElse(Seq.empty)
+    val retained = priorSnaps.takeRight(math.max(0, keepSnapshots - 1))
+    val pruned = priorSnaps.dropRight(math.max(0, keepSnapshots - 1))
+    val parentId = priorMeta.map(_.get("current-snapshot-id").asLong())
+
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
-    root.put("table-uuid", UUID.nameUUIDFromBytes(
-      exportDir.toString.getBytes(StandardCharsets.UTF_8)).toString)
+    root.put("table-uuid",
+      priorMeta.map(_.get("table-uuid").asText()).getOrElse(UUID.nameUUIDFromBytes(
+        exportDir.toString.getBytes(StandardCharsets.UTF_8)).toString))
     root.put("location", fs.makeQualified(exportDir).toString)
     root.put("last-sequence-number", seq)
     root.put("last-updated-ms", timestampMs)
     root.put("last-column-id", schema.fields.length)
-    root.put("current-schema-id", 0)
-    root.set[ObjectNode]("schemas",
-      mapper.createArrayNode().add(mapper.readTree(icebergSchemaJson(schema))))
+    root.put("current-schema-id", schemaId)
+    val schemasArr = root.putArray("schemas")
+    allSchemas.foreach(schemasArr.add)
     root.put("default-spec-id", 0)
     val specs = root.putArray("partition-specs")
     val spec0 = specs.addObject()
@@ -245,41 +318,87 @@ object IcebergExport {
     mainRef.put("snapshot-id", snapshotId)
     mainRef.put("type", "branch")
     val snaps = root.putArray("snapshots")
+    retained.foreach(snaps.add)
     val s0 = snaps.addObject()
     s0.put("sequence-number", seq)
     s0.put("snapshot-id", snapshotId)
+    parentId.foreach(p => s0.put("parent-snapshot-id", p))
     s0.put("timestamp-ms", timestampMs)
     val summary = s0.putObject("summary")
     summary.put("operation", "append")
     summary.put("added-data-files", files.size.toString)
     summary.put("added-records", files.map(_.recordCount).sum.toString)
     s0.put("manifest-list", listPath.toString)
-    s0.put("schema-id", 0)
+    s0.put("schema-id", schemaId)
     root.putArray("statistics")
-    root.putArray("snapshot-log")
-    root.putArray("metadata-log")
+    // history logs: append this commit, trim to the retention window
+    val priorSnapLog: Seq[com.fasterxml.jackson.databind.JsonNode] =
+      priorMeta.flatMap(m => Option(m.get("snapshot-log")))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val snapLog = root.putArray("snapshot-log")
+    priorSnapLog.takeRight(math.max(0, keepSnapshots - 1)).foreach(snapLog.add)
+    val sl = snapLog.addObject()
+    sl.put("timestamp-ms", timestampMs)
+    sl.put("snapshot-id", snapshotId)
+    val priorMetaLog: Seq[com.fasterxml.jackson.databind.JsonNode] =
+      priorMeta.flatMap(m => Option(m.get("metadata-log")))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val metaLog = root.putArray("metadata-log")
+    priorMetaLog.takeRight(math.max(0, keepSnapshots - 1)).foreach(metaLog.add)
+    prior.foreach { case (hint, _) =>
+      val ml = metaLog.addObject()
+      ml.put("timestamp-ms", timestampMs)
+      ml.put("metadata-file", fs.makeQualified(new Path(metaDir, s"v$hint.metadata.json")).toString)
+    }
 
-    val metadataPath = new Path(metaDir, "v1.metadata.json")
+    val metadataPath = new Path(metaDir, s"v$newVersion.metadata.json")
     writeText(fs, metadataPath,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    writeText(fs, new Path(metaDir, "version-hint.text"), "1")
+    writeText(fs, hintPath, newVersion.toString)
+
+    // prune manifests of snapshots that fell out of the history window
+    // (manifest lists and manifests are per-snapshot here, never shared)
+    pruned.foreach { sn =>
+      val lp = new Path(sn.get("manifest-list").asText())
+      try {
+        if (fs.exists(lp)) {
+          readAvro(fs, lp).foreach { mf =>
+            val mp = new Path(mf.get("manifest_path").toString)
+            if (fs.exists(mp)) fs.delete(mp, false)
+          }
+          fs.delete(lp, false)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () } // pruning is best-effort
+    }
+    // old metadata.json files beyond the window go too (metadata-log is
+    // already trimmed to match)
+    (1 until newVersion - keepSnapshots + 1).foreach { v =>
+      val p = new Path(metaDir, s"v$v.metadata.json")
+      if (fs.exists(p)) fs.delete(p, false)
+    }
     metadataPath
   }
 
   // ------------------------------------------------------------------ read
 
+  private[graft] def readVersionHint(fs: FileSystem, exportDir: Path): String =
+    readText(fs, new Path(new Path(exportDir, "metadata"), "version-hint.text")).trim
+
   /** Follow the Iceberg metadata chain exactly as an external reader does
-    * — version-hint → vN.metadata.json → current snapshot's manifest list
-    * → manifests → data files (status != DELETED(2), content = data(0)) —
-    * and return `(file_path, record_count)` per live data file. Used by
-    * the correctness gate so the compared read goes THROUGH the export.
+    * — version-hint → vN.metadata.json → a snapshot's manifest list →
+    * manifests → data files (status != DELETED(2), content = data(0)) —
+    * and return `(file_path, record_count)` per live data file. Reads the
+    * CURRENT snapshot by default; pass `atSnapshotId` to time-travel to
+    * any snapshot retained in the export's history window. Used by the
+    * correctness gate so the compared read goes THROUGH the export.
     */
-  def readDataFiles(fs: FileSystem, exportDir: Path): Seq[(String, Long)] = {
+  def readDataFiles(
+      fs: FileSystem, exportDir: Path, atSnapshotId: Option[Long] = None): Seq[(String, Long)] = {
     val metaDir = new Path(exportDir, "metadata")
-    val hint = readText(fs, new Path(metaDir, "version-hint.text")).trim
+    val hint = readVersionHint(fs, exportDir)
     val meta = mapper.readTree(readText(fs, new Path(metaDir, s"v$hint.metadata.json")))
     require(meta.get("format-version").asInt() == 2, "expected format-version 2")
-    val currentId = meta.get("current-snapshot-id").asLong()
+    val currentId = atSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
     val snapNode = {
       val it = meta.get("snapshots").elements()
       var found: com.fasterxml.jackson.databind.JsonNode = null

@@ -1227,13 +1227,20 @@ class SnapshotTable(val spark: SparkSession, val location: String,
         "run compact() to absorb them before exporting Iceberg metadata")
     require(SnapshotTable.resolveFormat(snap.properties) == "parquet",
       "Iceberg export currently supports parquet-format tables")
+    val out = new Path(exportDir)
+    // idempotence fast path: this table version already published → skip
+    // the per-file footer reads entirely (a per-commit exporter calls
+    // this unconditionally)
+    if (IcebergExport.currentExportedSnapshotId(fs, out).contains(snap.version + 1))
+      return new Path(new Path(out, "metadata"),
+        s"v${IcebergExport.readVersionHint(fs, out)}.metadata.json")
     val conf = spark.sparkContext.hadoopConfiguration
     val files = snap.files.map { f =>
       val p = fs.makeQualified(new Path(dataDir, f.path))
       IcebergExport.ExportFile(p.toString, fs.getFileStatus(p).getLen,
         FileStats.parquetRowCount(conf, p))
     }
-    IcebergExport.write(fs, new Path(exportDir), snap.schema, snap.version,
+    IcebergExport.write(fs, out, snap.schema, snap.version,
       snap.timestampMs, files, snap.properties)
   }
 

@@ -111,6 +111,7 @@ class ConformanceSpec extends SparkSpec {
     CdmFixture.uploadBatch(root, now.minusHours(2), chunkSeed = 2)
 
     val exportDir = tmpDir("cdm-e2e-export")
+    val icebergDir = tmpDir("cdm-e2e-iceberg")
     val spec = StreamSpec(
       sourcePath = root,
       entityName = CdmFixture.entityName,
@@ -118,7 +119,8 @@ class ConformanceSpec extends SparkSpec {
       backfillBehavior = "Overwrite",
       numBuckets = 4,
       changeCaptureIntervalSeconds = 1,
-      exportDir = Some(exportDir)
+      exportDir = Some(exportDir),
+      icebergExportDir = Some(icebergDir)
     )
     CdcPipeline.runBackfill(spark, spec)
 
@@ -127,6 +129,12 @@ class ConformanceSpec extends SparkSpec {
     assert(table.properties(SnapshotTable.PropWatermark) === wmFolder)
     // export-on-commit: the external view tracks the backfill commit
     assert(spark.read.parquet(s"$exportDir/data").count() === 5)
+    // and so does the Iceberg chain
+    val icebergFs = new org.apache.hadoop.fs.Path(icebergDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.tables.IcebergExport
+      .readDataFiles(icebergFs, new org.apache.hadoop.fs.Path(icebergDir))
+      .map(_._2).sum === 5L)
 
     // --- streaming: three folders --------------------------------------
     CdmFixture.uploadBatch(root, now.minusMinutes(45), addDelete = true, addUpsert = true, chunkSeed = 3)
@@ -154,6 +162,20 @@ class ConformanceSpec extends SparkSpec {
     assert(exported.select(cols: _*).except(result.select(cols: _*)).isEmpty &&
       result.select(cols: _*).except(exported.select(cols: _*)).isEmpty,
       "export view must match SnapshotTable.read() exactly")
+
+    // Iceberg export after the streamed merges: the chain's HEAD equals the
+    // live table, and the history grew past the backfill snapshot (one
+    // entry per commit, so external readers can time-travel the stream)
+    val icebergHead = graft.tables.IcebergExport
+      .readDataFiles(icebergFs, new org.apache.hadoop.fs.Path(icebergDir))
+    assert(icebergHead.map(_._2).sum === 6L)
+    val viaIceberg = spark.read.schema(table.schema).parquet(icebergHead.map(_._1): _*)
+    assert(viaIceberg.select(cols: _*).except(result.select(cols: _*)).isEmpty &&
+      result.select(cols: _*).except(viaIceberg.select(cols: _*)).isEmpty,
+      "Iceberg-chain view must match SnapshotTable.read() exactly")
+    assert(graft.tables.IcebergExport
+      .readVersionHint(icebergFs, new org.apache.hadoop.fs.Path(icebergDir)).toInt > 1,
+      "streamed commits must append export history, not rewrite v1")
   }
 
   test("three entity streams run concurrently in one session: per-stream checkpoints, independent watermarks") {
@@ -693,6 +715,57 @@ class ConformanceSpec extends SparkSpec {
       ("id1", "alpha", "5", null), // historical order honored; extra → NULL
       ("id2", "beta", "7", "x"),
       ("id3", "gamma", "9", "y"))) // no folder model.json → newest order
+  }
+
+  test("property: any folder-schema permutation/subset parses name-aligned into the unified schema") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("cdm-perm-src")
+    val rnd = new scala.util.Random(20260814L)
+    val allCols = (1 to 8).map(i => s"c$i")
+    def model(cols: Seq[String]): String =
+      s"""{"name":"cdm","version":"1","entities":[{"$$type":"LocalEntity","name":"perm_e","attributes":[
+         |${cols.map(c => s"""{"name":"$c","dataType":"string"}""").mkString(",")}]}]}""".stripMargin
+    def put(parts: String*)(content: String): Unit = {
+      val p = Paths.get(root, parts: _*)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    }
+    put("model.json")(model(allCols)) // newest = c1..c8 in order
+    // 30 folders, each with a random permutation of a random non-empty
+    // subset of the columns as its contemporary schema; every 5th folder
+    // has NO model.json (must fall back to the newest order, full row).
+    val expected = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    (0 until 30).foreach { i =>
+      val folder = f"2024-02-01T$i%02d.00.00Z"
+      val hasModel = i % 5 != 0
+      // the NEWEST (changelog) folder's model.json is authoritative for
+      // the unified output schema — it carries the full column set; the
+      // historical folders get random permutations of random subsets
+      val cols =
+        if (hasModel && i != 29) rnd.shuffle(allCols).take(1 + rnd.nextInt(allCols.size)).toSeq
+        else allCols
+      if (hasModel) put(folder, "model.json")(model(cols))
+      val vals = cols.map(c => c -> s"f$i-$c").toMap
+      put(folder, "perm_e", "0.csv")(cols.map(vals).mkString(",") + "\n")
+      expected(folder) = vals
+    }
+    put("Changelog", "changelog.info")("2024-02-01T29.00.00Z")
+    val rows = spark.read.format("synapse-cdm")
+      .option("path", root).option("entity", "perm_e")
+      .load()
+      .select((allCols.map(col) :+ col("_folder")).toIndexedSeq: _*)
+      .collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val folder = r.getString(allCols.size)
+      val exp = expected(folder)
+      allCols.zipWithIndex.foreach { case (c, idx) =>
+        val got = if (r.isNullAt(idx)) null else r.getString(idx)
+        assert(got == exp.getOrElse(c, null),
+          s"folder $folder column $c: got $got expected ${exp.get(c)}")
+      }
+    }
   }
 
   test("one micro-batch spanning two model.json generations stages both folders value-correct") {

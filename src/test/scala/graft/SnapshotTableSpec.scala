@@ -659,6 +659,68 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!viaExport.exists(_.getString(0) == "k2"), "tombstoned key must not resurface")
   }
 
+  test("iceberg export is incremental: history retained, parent links, time travel, idempotent, pruned") {
+    import graft.tables.IcebergExport
+    import org.apache.hadoop.fs.Path
+    val t = freshTable("snap-iceberg-incr")
+    t.addColumns(Seq(StructField("IsDelete", org.apache.spark.sql.types.BooleanType)))
+    val exportDir = tmpDir("snap-iceberg-incr-out")
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    t.exportIceberg(exportDir)
+    val id1 = IcebergExport.currentExportedSnapshotId(fs, new Path(exportDir)).get
+    val preMergeRows = t.read().count()
+
+    val change = Seq(("k1", 1000L, "updated", false), ("knew", 5L, "fresh", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    val metaPath2 = t.exportIceberg(exportDir)
+    assert(metaPath2.getName == "v2.metadata.json")
+    val id2 = IcebergExport.currentExportedSnapshotId(fs, new Path(exportDir)).get
+    assert(id2 != id1)
+
+    // history: both snapshots retained, the new one linked to its parent
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(metaPath2)
+    val meta = try mapper.readTree(new String(in.readAllBytes())) finally in.close()
+    assert(meta.get("snapshots").size() == 2)
+    assert(meta.get("snapshots").get(1).get("parent-snapshot-id").asLong() == id1)
+    assert(meta.get("snapshot-log").size() == 2)
+
+    // time travel THROUGH the export: the old snapshot still resolves to
+    // the pre-merge row count; the current one to the live state
+    val oldFiles = IcebergExport.readDataFiles(fs, new Path(exportDir), Some(id1))
+    assert(oldFiles.map(_._2).sum == preMergeRows)
+    val curFiles = IcebergExport.readDataFiles(fs, new Path(exportDir))
+    assert(curFiles.map(_._2).sum == t.read().count())
+
+    // idempotent: same table version re-exported → no new metadata version
+    t.exportIceberg(exportDir)
+    assert(IcebergExport.readVersionHint(fs, new Path(exportDir)) == "2")
+
+    // pruning: with keepSnapshots=2, a third export drops the oldest
+    // snapshot AND its manifest files
+    val list1 = new Path(meta.get("snapshots").get(0).get("manifest-list").asText())
+    val change2 = Seq(("k2", 2000L, "again", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.merge(change2, "arcane_merge_key", "versionnumber", "IsDelete")
+    val snap3 = t.currentSnapshot
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files3 = snap3.files.map { f =>
+      val p = fs.makeQualified(new Path(s"${t.location}/data", f.path))
+      IcebergExport.ExportFile(p.toString, fs.getFileStatus(p).getLen,
+        graft.tables.FileStats.parquetRowCount(conf, p))
+    }
+    IcebergExport.write(fs, new Path(exportDir), t.schema, snap3.version,
+      snap3.timestampMs, files3, snap3.properties, keepSnapshots = 2)
+    val in3 = fs.open(new Path(new Path(exportDir, "metadata"), "v3.metadata.json"))
+    val meta3 = try mapper.readTree(new String(in3.readAllBytes())) finally in3.close()
+    assert(meta3.get("snapshots").size() == 2, "history window must cap at keepSnapshots")
+    assert(!fs.exists(list1), "pruned snapshot's manifest list must be deleted")
+    // the retained older snapshot still time-travels
+    assert(IcebergExport.readDataFiles(fs, new Path(exportDir), Some(id2)).nonEmpty)
+  }
+
   test("analyze records row count in properties") {
     val t = freshTable("snap-stats")
     t.analyze()
