@@ -64,6 +64,14 @@ object FileStats {
     finally reader.close()
   }
 
+  /** Footer-only row count of one ORC file. */
+  def orcRowCount(conf: Configuration, file: Path): Long = {
+    val reader = org.apache.orc.OrcFile.createReader(
+      file, org.apache.orc.OrcFile.readerOptions(conf))
+    try reader.getNumberOfRows
+    finally reader.close()
+  }
+
   private def toDouble(v: Any): Option[Double] = v match {
     case n: java.lang.Number => Some(n.doubleValue)
     case _ => None // binary/bool stats — not a numeric column

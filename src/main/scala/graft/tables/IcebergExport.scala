@@ -180,7 +180,8 @@ object IcebergExport {
       timestampMs: Long,
       files: Seq[ExportFile],
       properties: Map[String, String],
-      keepSnapshots: Int = KeepSnapshots
+      keepSnapshots: Int = KeepSnapshots,
+      fileFormat: String = "PARQUET"
   ): Path = {
     val metaDir = new Path(exportDir, "metadata")
     val snapshotId = snapshotVersion + 1 // Iceberg snapshot ids must be != -1; keep them stable per version
@@ -221,7 +222,7 @@ object IcebergExport {
       val df = new GenericData.Record(dataFileSchema)
       df.put("content", 0)
       df.put("file_path", f.path)
-      df.put("file_format", "PARQUET")
+      df.put("file_format", fileFormat)
       df.put("partition", new GenericData.Record(partitionSchema))
       df.put("record_count", f.recordCount)
       df.put("file_size_in_bytes", f.sizeBytes)

@@ -1211,10 +1211,10 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     * (Spark+runtime, Trino, DuckDB iceberg, pyiceberg) sees exactly the
     * live snapshot; dead files are simply unreferenced.
     *
-    * Parquet tables only (Iceberg data files may also be ORC/Avro, but
-    * record counts are collected from parquet footers here), and — like
-    * [[exportSymlinkManifest]] — outstanding equality deletes must be
-    * compacted first: this export publishes plain data files, and
+    * Parquet and ORC tables (both are Iceberg data-file formats with
+    * footer row counts; avro files carry no footer metadata here), and —
+    * like [[exportSymlinkManifest]] — outstanding equality deletes must
+    * be compacted first: this export publishes plain data files, and
     * re-publishing v2 delete files externally would force every external
     * reader through our delete semantics.
     *
@@ -1225,8 +1225,10 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     require(snap.deletes.isEmpty,
       "table has outstanding equality deletes (merge-on-read commits); " +
         "run compact() to absorb them before exporting Iceberg metadata")
-    require(SnapshotTable.resolveFormat(snap.properties) == "parquet",
-      "Iceberg export currently supports parquet-format tables")
+    val format = SnapshotTable.resolveFormat(snap.properties)
+    require(format == "parquet" || format == "orc",
+      "Iceberg export supports parquet/orc tables (the spec's data-file formats " +
+        "with footer row counts; avro data files carry no footer metadata here)")
     val out = new Path(exportDir)
     // idempotence fast path: this table version already published → skip
     // the per-file footer reads entirely (a per-commit exporter calls
@@ -1237,11 +1239,13 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     val conf = spark.sparkContext.hadoopConfiguration
     val files = snap.files.map { f =>
       val p = fs.makeQualified(new Path(dataDir, f.path))
-      IcebergExport.ExportFile(p.toString, fs.getFileStatus(p).getLen,
-        FileStats.parquetRowCount(conf, p))
+      val rows =
+        if (format == "orc") FileStats.orcRowCount(conf, p)
+        else FileStats.parquetRowCount(conf, p)
+      IcebergExport.ExportFile(p.toString, fs.getFileStatus(p).getLen, rows)
     }
     IcebergExport.write(fs, out, snap.schema, snap.version,
-      snap.timestampMs, files, snap.properties)
+      snap.timestampMs, files, snap.properties, fileFormat = format.toUpperCase)
   }
 
   /** Atomically point `exportDir` at the freshly-built `versioned` dir:

@@ -41,6 +41,13 @@ class MergeModelSpec extends SparkSpec {
     runModel(format = Some("avro"), batches = 25, seed = 20260816L)
   }
 
+  test("merge-on-read on an AVRO table: format-independent equality deletes (always-parquet metadata)") {
+    // crosses the format axis with the write-mode axis: data files are
+    // avro, delete files stay parquet (table metadata) — the
+    // delete-applying read must compose the two transparently
+    runModel(format = Some("avro"), batches = 20, seed = 20260817L, mode = "mor")
+  }
+
   test("merge-on-read (equality deletes) satisfies the same model, including across compaction") {
     runModel(format = None, batches = 40, seed = 20260814L, mode = "mor")
   }

@@ -77,6 +77,11 @@ class ParitySpec extends SparkSpec {
     assert(spec.listingRetry.maxDelayMs == 4 && spec.listingRetry.baseDelayMs == 2)
     assert(spec.maxRowsPerFile.contains(12345L))
     assert(spec.targetTableProperties("owner") == "data-eng")
+    // both export sinks parse from the JSON spec
+    val specExp = graft.pipeline.StreamSpec.fromJson(
+      """{"sourcePath":"/s","entityName":"e","targetLocation":"/t",
+        |"exportDir":"/x/sym","icebergExportDir":"/x/ice"}""".stripMargin)
+    assert(specExp.exportDir.contains("/x/sym") && specExp.icebergExportDir.contains("/x/ice"))
     // backoff sleeps are capped: 5 attempts with scale 2 must not exceed
     // maxAttempts * maxDelay wall time by much (coarse upper bound)
     val t0 = System.nanoTime()

@@ -659,6 +659,28 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!viaExport.exists(_.getString(0) == "k2"), "tombstoned key must not resurface")
   }
 
+  test("iceberg export of an ORC table: file_format=ORC, footer row counts, chain resolves") {
+    import graft.tables.IcebergExport
+    import org.apache.hadoop.fs.Path
+    val t = SnapshotTable(spark, tmpDir("snap-iceberg-orc"))
+    val df = (1 to 80).map(i => (s"k$i", i.toLong, s"v$i")).toDF("arcane_merge_key", "versionnumber", "payload")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 4,
+      extraProps = Map(SnapshotTable.PropFormat -> "orc"))
+    val exportDir = tmpDir("snap-iceberg-orc-out")
+    t.exportIceberg(exportDir)
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chain = IcebergExport.readDataFiles(fs, new Path(exportDir))
+    assert(chain.map(_._2).sum == 80L, "ORC footer row counts must sum to the table size")
+    val viaChain = spark.read.schema(t.schema).orc(chain.map(_._1): _*)
+    assert(viaChain.count() == 80L)
+    // an avro table is rejected loudly (no footer metadata to collect)
+    val av = SnapshotTable(spark, tmpDir("snap-iceberg-avro"))
+    av.createOrReplace(df, "arcane_merge_key", numBuckets = 2,
+      extraProps = Map(SnapshotTable.PropFormat -> "avro"))
+    val e = intercept[IllegalArgumentException] { av.exportIceberg(tmpDir("snap-iceberg-avro-out")) }
+    assert(e.getMessage.contains("parquet/orc"))
+  }
+
   test("iceberg export is incremental: history retained, parent links, time travel, idempotent, pruned") {
     import graft.tables.IcebergExport
     import org.apache.hadoop.fs.Path
