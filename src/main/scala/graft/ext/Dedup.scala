@@ -1209,14 +1209,25 @@ object Dedup {
       maxDist: Int = 1,
       maxBucketSize: Int = 10000
   ): (Long, Long) = {
+    // One cached variant explosion serves both observables (exploding
+    // twice would double the most expensive map-side stage); the join's
+    // skew filter comes from the same per-vk counts as the capped tally.
     val base = df.select(col(idCol).as("id"), col(strCol).as("s")).where(col("s").isNotNull)
-    val candidates = fuzzyCandidates(base, maxDist, maxBucketSize).count()
-    val capped = base
-      .select(explode(deletionVariants(col("s"), maxDist)).as("vk"))
-      .groupBy(col("vk")).agg(count(lit(1)).as("n"))
-      .where(col("n") > maxBucketSize)
-      .count()
-    (candidates, capped)
+    val variants = base
+      .select(col("id"), explode(deletionVariants(col("s"), maxDist)).as("vk"))
+      .cache()
+    try {
+      val counts = variants.groupBy(col("vk")).agg(count(lit(1)).as("n"))
+      val capped = counts.where(col("n") > maxBucketSize).count()
+      val ok = variants.join(counts.where(col("n") <= maxBucketSize).select("vk"), Seq("vk"))
+      val candidates = ok.select(col("vk"), col("id").as("id_a"))
+        .join(ok.select(col("vk"), col("id").as("id_b")), Seq("vk"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+      (candidates, capped)
+    } finally variants.unpersist()
   }
 
   // ------------------------------------------ sorted-neighborhood blocking

@@ -43,10 +43,12 @@ object Quality {
   }
 
   /** Non-NULL values must be one of `values`. The value set is part of the
-    * rule name so two InSet rules on one column stay distinct report rows.
+    * rule name so two InSet rules on one column stay distinct report rows;
+    * `|` inside a value is escaped so Seq("A|B") and Seq("A","B") cannot
+    * mangle to the same name.
     */
   final case class InSet(column: String, values: Seq[String]) extends Rule {
-    val name = s"in_set($column,${values.mkString("|")})"
+    val name = s"in_set($column,${values.map(_.replace("\\", "\\\\").replace("|", "\\|")).mkString("|")})"
   }
 
   /** Non-NULL values must match the (RE2-safe) regex; the regex is part of

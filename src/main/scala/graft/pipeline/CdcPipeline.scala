@@ -214,6 +214,7 @@ object CdcPipeline {
       "exportDir/icebergExportDir cannot be combined with mergeMode=merge-on-read on a " +
         "stream: neither export can represent outstanding equality deletes; use " +
         "copy-on-write, or export via a maintenanceRun job (exports after compaction)")
+    validateIcebergExportFormat(spec)
     val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info",
       spec.listingRetry)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -236,6 +237,7 @@ object CdcPipeline {
       .option("startingWatermark", startWm)
       .option("httpMaxRetries", spec.httpMaxRetries.toString)
       .option("httpRetryDelayMs", spec.httpRetryDelayMs.toString)
+      .option("maxResultsPerPage", spec.maxResultsPerPage.toString)
     spec.maxFoldersPerTrigger.foreach(n => reader.option("maxFoldersPerTrigger", n.toString))
     spec.maxChunksPerTrigger.foreach(n => reader.option("maxChunksPerTrigger", n.toString))
     spec.shaper.foreach { s =>
@@ -315,7 +317,20 @@ object CdcPipeline {
     * (`/root/reference/docs/backfill.md:27-47`). Sharding is unnecessary:
     * Spark's partition parallelism plays that role (SURVEY.md §2.A22).
     */
+  /** icebergExportDir needs footer row counts — parquet/orc only. Checked
+    * at the run entry points so an avro-target spec fails BEFORE any data
+    * commits, not post-commit inside the export call of every batch.
+    */
+  private def validateIcebergExportFormat(spec: StreamSpec): Unit =
+    spec.icebergExportDir.foreach { _ =>
+      val fmt = spec.format.map(_.toLowerCase).getOrElse("parquet")
+      require(fmt == "parquet" || fmt == "orc",
+        s"icebergExportDir requires a parquet or orc target table (format=$fmt); " +
+          "Iceberg export collects record counts from data-file footers, which avro lacks")
+    }
+
   def runBackfill(spark: SparkSession, spec: StreamSpec): Unit = {
+    validateIcebergExportFormat(spec)
     // Tags installed FIRST so any emission during the backfill itself —
     // retry logging, a failure surfacing through Main's stream_failed path —
     // carries this stream's tags, not empty/stale ones from a previous
@@ -335,6 +350,7 @@ object CdcPipeline {
       .option("entity", spec.entityName)
       .option("httpMaxRetries", spec.httpMaxRetries.toString)
       .option("httpRetryDelayMs", spec.httpRetryDelayMs.toString)
+      .option("maxResultsPerPage", spec.maxResultsPerPage.toString)
     spec.backfillStartDate.foreach(d => reader.option("backfillStartDate", d))
     val raw = reader.load()
 

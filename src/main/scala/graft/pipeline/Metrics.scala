@@ -77,9 +77,22 @@ final class StatsdEmitter(address: String, globalTags: Map[String, String]) {
   def gauge(name: String, value: Double): Unit = send(s"$name:$value|g$tagSuffix")
   def count(name: String, value: Long): Unit = send(s"$name:$value|c$tagSuffix")
 
+  // metrics must never fail the stream — but a systematically-failing
+  // transport (e.g. unix:// pointed at a SOCK_DGRAM agent socket, which
+  // the stream transport cannot connect to) is logged ONCE so the drop
+  // is visible instead of silent
+  @volatile private var sendFailureLogged = false
   private def send(payload: String): Unit =
     try transport.send(payload.getBytes(StandardCharsets.UTF_8))
-    catch { case _: java.io.IOException => () } // metrics must never fail the stream
+    catch {
+      case e: java.io.IOException =>
+        if (!sendFailureLogged) {
+          sendFailureLogged = true
+          System.err.println(s"statsd[$address]: send failed (${e.getMessage}) — " +
+            "metrics are being dropped; for unix:// targets the agent socket must be " +
+            "SOCK_STREAM (dogstatsd_stream_socket), not the datagram dsd.socket")
+        }
+    }
 
   def close(): Unit = transport.close()
 }
@@ -134,8 +147,11 @@ final class GraftMetricsListener(
 
 object Metrics {
   /** Install the metrics listener on a session. StatsD target comes from
-    * `statsdAddress` — `host:port` (UDP) or `unix:///path/dsd.socket`
-    * (Unix-domain datagram, the reference's container transport); absent →
+    * `statsdAddress` — `host:port` (UDP) or `unix:///path/to/socket` for a
+    * Unix-domain STREAM socket (the dogstatsd agent's
+    * `dogstatsd_stream_socket`; the JDK's AF_UNIX support is stream-only,
+    * so the agent's datagram `dsd.socket` is NOT a valid target — sends
+    * to it fail and are dropped with a one-time warning); absent →
     * log-only listener is skipped (Spark already logs progress JSON). The
     * listener binds to the next query started on the session and removes
     * itself (closing its socket) when that query terminates.

@@ -52,6 +52,7 @@ final case class StreamSpec(
     format: Option[String] = None,                     // CREATE TABLE format: parquet (default) | orc (CRD beta:294-318)
     isUnifiedSchema: Boolean = false,                  // disable auto schema migration (CRD beta:166-169)
     httpMaxRetries: Int = 3,                           // source listing retry (CRD beta:576-598)
+    maxResultsPerPage: Int = 5000,                     // blob-listing page size (CRD beta:576-598)
     httpRetryDelayMs: Long = 1000,                     // httpMinRetryDelay
     httpMaxRetryDelayMs: Long = 30000,                 // httpMaxRetryDelay — backoff growth cap
     maxRowsPerFile: Option[Long] = None,               // sink.maxRowsPerFile
@@ -189,6 +190,7 @@ object StreamSpec {
           r.get("targetTableProperties").properties().asScala
             .map(e => e.getKey -> e.getValue.asText()).toMap
         else Map.empty,
+      maxResultsPerPage = int("maxResultsPerPage", 5000),
       exportDir = opt("exportDir"),
       icebergExportDir = opt("icebergExportDir"),
       logShipAddress = opt("logShipAddress"),

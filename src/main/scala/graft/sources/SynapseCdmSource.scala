@@ -78,11 +78,28 @@ class SynapseCdmSource extends TableProvider with DataSourceRegister {
   */
 final case class SynapseCdmLayout(root: String, entity: String, changelogPath: String,
     retry: graft.pipeline.RetryPolicy = graft.pipeline.RetryPolicy(),
-    maxResultsPerPage: Int = 5000) {
+    maxResultsPerPage: Int = SynapseCdmLayout.DefaultMaxResultsPerPage) {
 
   @transient private var fsCache: FileSystem = _
   private def fs(conf: Configuration): FileSystem = {
-    if (fsCache == null) fsCache = new Path(root).getFileSystem(conf)
+    if (fsCache == null) {
+      fsCache =
+        if (maxResultsPerPage == SynapseCdmLayout.DefaultMaxResultsPerPage)
+          new Path(root).getFileSystem(conf)
+        else {
+          // The reference's blob-API page-size knob (CRD beta:576-598) is a
+          // LISTING-RPC property, which Hadoop filesystems read from their
+          // own config keys — wire it to the object-store implementations
+          // that honor it. newInstance (not the shared cache) because the
+          // cached FileSystem for this URI was built with the session conf;
+          // one uncached instance per layout ≈ per stream, held for its
+          // lifetime.
+          val c = new Configuration(conf)
+          c.setInt("fs.azure.list.max.results", maxResultsPerPage) // ABFS
+          c.setInt("fs.s3a.paging.maximum", maxResultsPerPage)     // S3A
+          FileSystem.newInstance(new Path(root).toUri, c)
+        }
+    }
     fsCache
   }
 
@@ -144,21 +161,17 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
 
   /** Full root listing, STREAMED: `listStatusIterator` pages through the
     * directory (a RemoteIterator — object-store implementations fetch it
-    * in listing-API pages) and entries are filtered per page of
-    * `maxResultsPerPage` (the reference's blob-API page-size knob, CRD
-    * beta:576-598), so driver memory holds one page of raw entries plus
-    * the MATCHING folder names — not every directory entry of a
-    * years-deep export root at once.
+    * in listing-API pages, sized by `maxResultsPerPage` via the fs config
+    * keys set in [[fs]]), so driver memory holds the iterator's current
+    * page plus the MATCHING folder names — never every directory entry of
+    * a years-deep export root at once.
     */
   private def listAll(f: FileSystem): Seq[String] = {
     val it = f.listStatusIterator(new Path(root))
     val out = Seq.newBuilder[String]
-    val page = new scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus](
-      math.min(maxResultsPerPage, 1024))
     while (it.hasNext) {
-      page.clear()
-      while (it.hasNext && page.size < maxResultsPerPage) page += it.next()
-      page.foreach(st => if (st.isDirectory) out += st.getPath.getName)
+      val st = it.next()
+      if (st.isDirectory) out += st.getPath.getName
     }
     out.result()
   }
@@ -284,6 +297,11 @@ object SynapseCdmLayout {
     */
   val MaxBoundedListingDays = 62L
 
+  /** Default listing page size; at the default the shared cached
+    * FileSystem is used unchanged (no per-layout fs instance).
+    */
+  val DefaultMaxResultsPerPage = 5000
+
   def apply(options: CaseInsensitiveStringMap, conf: Configuration): SynapseCdmLayout = {
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("synapse-cdm requires option 'path'"))
@@ -295,7 +313,8 @@ object SynapseCdmLayout {
       ioOnly = true)
     SynapseCdmLayout(root, entity,
       Option(options.get("changelogPath")).getOrElse("Changelog/changelog.info"), retry,
-      maxResultsPerPage = math.max(1, options.getInt("maxResultsPerPage", 5000)))
+      maxResultsPerPage = math.max(1,
+        options.getInt("maxResultsPerPage", SynapseCdmLayout.DefaultMaxResultsPerPage)))
   }
 }
 

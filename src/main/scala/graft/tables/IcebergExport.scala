@@ -345,7 +345,10 @@ object IcebergExport {
       priorMeta.flatMap(m => Option(m.get("metadata-log")))
         .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val metaLog = root.putArray("metadata-log")
-    priorMetaLog.takeRight(math.max(0, keepSnapshots - 1)).foreach(metaLog.add)
+    // keep-2: the retained metadata FILES are v(newVersion-keep+1)..vN, and
+    // the log only lists PRIOR files — one fewer than the file window, or
+    // the log's oldest entry would name the file pruned below
+    priorMetaLog.takeRight(math.max(0, keepSnapshots - 2)).foreach(metaLog.add)
     prior.foreach { case (hint, _) =>
       val ml = metaLog.addObject()
       ml.put("timestamp-ms", timestampMs)
@@ -371,9 +374,13 @@ object IcebergExport {
         }
       } catch { case scala.util.control.NonFatal(_) => () } // pruning is best-effort
     }
-    // old metadata.json files beyond the window go too (metadata-log is
-    // already trimmed to match)
-    (1 until newVersion - keepSnapshots + 1).foreach { v =>
+    // Old metadata.json files beyond the window go too (metadata-log is
+    // already trimmed to match). Only the newly-expiring version — plus a
+    // small catch-up margin for previously-failed deletes — is probed:
+    // scanning from v1 would cost O(total commits) fs.exists calls per
+    // commit on a long-lived per-commit exporter.
+    val newestExpired = newVersion - keepSnapshots
+    (math.max(1, newestExpired - 3) to newestExpired).foreach { v =>
       val p = new Path(metaDir, s"v$v.metadata.json")
       if (fs.exists(p)) fs.delete(p, false)
     }

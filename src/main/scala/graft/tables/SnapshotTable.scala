@@ -1218,6 +1218,17 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     * re-publishing v2 delete files externally would force every external
     * reader through our delete semantics.
     *
+    * COORDINATION with table maintenance: exported history snapshots
+    * reference the table's data files by URI, so time travel through the
+    * export is valid exactly as far as the table's own retention keeps
+    * those files — [[removeOrphanFiles]] deletes files unreferenced by
+    * RETAINED table snapshots, so keep `snapshotRetentionMs` at least as
+    * long as the export's [[IcebergExport.KeepSnapshots]]-commit window
+    * (the same contract Iceberg's own expire_snapshots imposes on its
+    * time travel: expiry invalidates travel to expired snapshots). The
+    * export HEAD always references live files and survives any
+    * maintenance.
+    *
     * Returns the metadata.json path.
     */
   def exportIceberg(exportDir: String): Path = {

@@ -622,11 +622,15 @@ class ConformanceSpec extends SparkSpec {
     import graft.queries.CdcFixtureGen
     import org.apache.spark.sql.expressions.Window
     val dir = sf("sf0.001")
-    val root = CdcFixtureGen.materializeChurn(spark, dir)
-    // the fixture stamps the changelog at folder 2; rewind to folder 1 so
-    // the BACKFILL leg sees only the historical-schema batch
+    // PRIVATE COPY of the cached churn fixture: this test drives the
+    // changelog through both folders, and mutating the shared fixture's
+    // changelog outside its lock/_complete signature would corrupt it for
+    // a concurrent gate-verify replica (or leave it rewound on a kill).
+    val shared = CdcFixtureGen.materializeChurn(spark, dir)
+    val root = tmpDir("churn-pipe-src") + "/export"
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(shared), new java.io.File(root))
     CdcFixtureGen.stampChangelog(root, CdcFixtureGen.Folder1)
-    try {
+    locally {
       val target = tmpDir("churn-pipe-target") + "/t"
       val ckpt = tmpDir("churn-pipe-ckpt") + "/c"
       val spec = StreamSpec(
@@ -698,7 +702,7 @@ class ConformanceSpec extends SparkSpec {
       // at this data density every user has a folder-2 winner, so the
       // final state is all-valued; the NULL leg is pinned after backfill
       assert(got.exists(_._4 != null), "streamed new-schema winners should carry real values")
-    } finally CdcFixtureGen.stampChangelog(root, CdcFixtureGen.Folder2)
+    }
   }
 
   test("batch scan parses each folder under its OWN model.json (reorder + missing trailing column)") {

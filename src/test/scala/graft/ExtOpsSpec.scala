@@ -1133,6 +1133,29 @@ class ExtOpsSpec extends SparkSpec {
     assert(r == r2)
   }
 
+  test("fuzzyBlockingStats: candidate count matches a brute-force variant-share derivation; capped tally exact") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "abc"), (2L, "abd"), (3L, "abc"),   // share variants pairwise
+      (4L, "zzzz"),                            // isolated
+      (5L, "q"), (6L, "q"), (7L, "q")          // a hot identical group
+    ).toDF("doc_id", "text")
+    val (cands, capped) = Dedup.fuzzyBlockingStats(docs, "doc_id", "text", maxDist = 1, maxBucketSize = 10000)
+    // brute force: pairs sharing any <=1-deletion variant
+    def vars(s: String): Set[String] = Set(s) ++ s.indices.map(i => s.take(i) + s.drop(i + 1))
+    val m = Map(1L -> "abc", 2L -> "abd", 3L -> "abc", 4L -> "zzzz", 5L -> "q", 6L -> "q", 7L -> "q")
+    val expect = (for {
+      a <- m.keys; b <- m.keys if a < b
+      if (vars(m(a)) & vars(m(b))).nonEmpty
+    } yield (a, b)).toSet
+    assert(cands == expect.size.toLong)
+    assert(capped == 0L)
+    // a bucket cap of 2 kills the shared variants of the size-3 "q" group
+    // AND abc/abd's shared "ab"-family buckets where 3 ids collide
+    val (cands2, capped2) = Dedup.fuzzyBlockingStats(docs, "doc_id", "text", maxDist = 1, maxBucketSize = 2)
+    assert(capped2 > 0L && cands2 < cands)
+  }
+
   test("contentChunks: window > 8 takes the mod-reduced fold — no Long overflow, still tiles") {
     val rnd = new scala.util.Random(11)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
