@@ -235,13 +235,16 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
   // Per-folder model.json column lists (normalized entity attribute names,
   // in that folder's CSV order). Closed folders are immutable, so the memo
   // is safe; LRU-bounded like chunkCache so a months-deep backfill cannot
-  // grow driver state with the backlog. `None` (no folder model.json, or
-  // the entity absent from it) is cached too — for a closed folder a
-  // missing file stays missing.
+  // grow driver state with the backlog. ABSENCE is NOT cached — the same
+  // policy as chunkFiles' empty listings: if a just-closed folder's
+  // model.json lagged listing visibility on an eventually-consistent
+  // store, pinning None would silently parse that folder under the newest
+  // schema forever (the exact misalignment class per-folder parsing
+  // exists to prevent); an uncached miss is retried next trigger.
   @transient private lazy val folderColsCache =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Option[Array[String]]](64, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[String, Option[Array[String]]]): Boolean =
+      new java.util.LinkedHashMap[String, Array[String]](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Array[String]]): Boolean =
           size() > 256
       })
 
@@ -255,7 +258,7 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
     */
   def folderCsvCols(conf: Configuration, folder: String): Option[Array[String]] = {
     val cached = folderColsCache.get(folder)
-    if (cached != null) cached
+    if (cached != null) Some(cached)
     else {
       val fresh: Option[Array[String]] = listing {
         val p = new Path(new Path(root, folder), "model.json")
@@ -268,7 +271,7 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
             .map(e => e.attributes.map(a => CdmSchema.normalizeFieldName(a.name)).toArray)
         }
       }
-      folderColsCache.put(folder, fresh)
+      fresh.foreach(folderColsCache.put(folder, _))
       fresh
     }
   }
