@@ -344,7 +344,11 @@ object Bench {
       // vocab-bounded (the 10x corpus also grows the vocab ~10x via the
       // per-block token suffixes — a conservative upper bound), and the
       // blocklist's multi-length gram explode is map-side linear
-      "q_bpe_train", "q_blocklist")
+      "q_bpe_train", "q_blocklist",
+      // round-13: per-folder schema-authority parsing at 1M CSV rows —
+      // the projection lookup is per FOLDER (cached), so the per-row cost
+      // must be identical to the fixed-projection path
+      "q_cdc_schema_churn")
 
   /** Build (once; cached by source signature) a 10x derivative of sfDir's
     * documents/embeddings tables: ten id-shifted blocks. Block texts get a

@@ -721,6 +721,45 @@ class ConformanceSpec extends SparkSpec {
       ("id3", "gamma", "9", "y"))) // no folder model.json → newest order
   }
 
+  test("per-folder schema authority is ENTITY-scoped: two entities in one model.json, different churn each") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("cdm-multient-churn")
+    def put(parts: String*)(content: String): Unit = {
+      val p = Paths.get(root, parts: _*)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    }
+    // one model.json per generation declares BOTH entities (the real
+    // Synapse export shape); the folder-1 generation reorders entity A's
+    // columns but NOT entity B's, so a scan of B must not pick up A's
+    // contemporary order and vice versa
+    def model(aCols: Seq[String], bCols: Seq[String]): String = {
+      def ent(name: String, cols: Seq[String]) =
+        s"""{"$$type":"LocalEntity","name":"$name","attributes":[
+           |${cols.map(c => s"""{"name":"$c","dataType":"string"}""").mkString(",")}]}""".stripMargin
+      s"""{"name":"cdm","version":"1","entities":[${ent("ent_a", aCols)},${ent("ent_b", bCols)}]}"""
+    }
+    val newModel = model(Seq("x", "y"), Seq("p", "q"))
+    val oldModel = model(Seq("y", "x"), Seq("p", "q")) // only A churned
+    put("model.json")(newModel)
+    put("2024-03-01T00.00.00Z", "model.json")(oldModel)
+    put("2024-03-01T00.00.00Z", "ent_a", "0.csv")("\"y1\",\"x1\"\n") // A's old order: y, x
+    put("2024-03-01T00.00.00Z", "ent_b", "0.csv")("\"p1\",\"q1\"\n")
+    put("2024-03-02T00.00.00Z", "model.json")(newModel)
+    put("2024-03-02T00.00.00Z", "ent_a", "0.csv")("\"x2\",\"y2\"\n")
+    put("2024-03-02T00.00.00Z", "ent_b", "0.csv")("\"p2\",\"q2\"\n")
+    put("Changelog", "changelog.info")("2024-03-02T00.00.00Z")
+    def scan(entity: String): Set[Seq[String]] =
+      spark.read.format("synapse-cdm").option("path", root).option("entity", entity)
+        .load().drop("_folder", "_chunk_idx", "_chunk_last")
+        .collect().map(r => (0 until r.size).map(r.getString)).toSet
+    assert(scan("ent_a") == Set(Seq("x1", "y1"), Seq("x2", "y2")),
+      "entity A must parse folder 1 under ITS churned order")
+    assert(scan("ent_b") == Set(Seq("p1", "q1"), Seq("p2", "q2")),
+      "entity B's unchanged order must be untouched by A's churn")
+  }
+
   test("property: any folder-schema permutation/subset parses name-aligned into the unified schema") {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths}
