@@ -298,8 +298,17 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2 + north-star ext ops. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
-  /** DuckDB oracles. Table names resolve to `<sfDir>/<name>.parquet`. */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB oracles. Table names resolve to `<sfDir>/<name>.parquet`.
+    * q_export_iceberg_mor restates q_cdc_merge_mor verbatim: the gate
+    * drives the exact same scenario but reads the uncompacted
+    * merge-on-read table exclusively THROUGH the exported Iceberg v2
+    * metadata (data manifests plus the content=1 equality-delete manifest
+    * applied by sequence number), so the relational truth is identical.
+    */
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("q_export_iceberg_mor" -> oracleSqlBase("q_cdc_merge_mor"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     // SCD2 replay: same (ts, event_id) total order, first-row detection
     // via row_number (NOT `prev IS NULL` — a NULL attribute in the prior
     // row must not look like "no prior row"), NULL-safe change test via

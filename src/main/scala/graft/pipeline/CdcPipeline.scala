@@ -205,16 +205,20 @@ object CdcPipeline {
     */
   def startStream(spark: SparkSession, spec: StreamSpec): StreamingQuery = {
     // A symlink-manifest export exposes raw data files; merge-on-read
-    // commits leave equality deletes a plain reader cannot apply, so a
+    // commits leave equality deletes a PLAIN reader cannot apply, so a
     // per-trigger re-export would either fail or resurrect superseded
     // rows. (A standalone maintenanceRun MAY combine them — it exports
     // after compaction absorbs the deletes — which is why this check
-    // lives here and not in the StreamSpec constructor.)
-    require(!(spec.useMergeOnRead && (spec.exportDir.nonEmpty || spec.icebergExportDir.nonEmpty)),
-      "exportDir/icebergExportDir cannot be combined with mergeMode=merge-on-read on a " +
-        "stream: neither export can represent outstanding equality deletes; use " +
-        "copy-on-write, or export via a maintenanceRun job (exports after compaction)")
-    validateIcebergExportFormat(spec)
+    // lives here and not in the StreamSpec constructor.) The ICEBERG
+    // export has no such restriction: it publishes outstanding equality
+    // deletes as v2 content=1 manifests that Iceberg readers merge
+    // natively, so MoR streams export per commit like CoW ones.
+    require(!(spec.useMergeOnRead && spec.exportDir.nonEmpty),
+      "exportDir cannot be combined with mergeMode=merge-on-read on a stream: a symlink " +
+        "manifest cannot represent outstanding equality deletes; use copy-on-write, " +
+        "icebergExportDir (v2 delete manifests), or a maintenanceRun job (exports after " +
+        "compaction)")
+    validateIcebergExportFormat(spark, spec)
     val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info",
       spec.listingRetry)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -319,18 +323,36 @@ object CdcPipeline {
     */
   /** icebergExportDir needs footer row counts — parquet/orc only. Checked
     * at the run entry points so an avro-target spec fails BEFORE any data
-    * commits, not post-commit inside the export call of every batch.
+    * commits, not post-commit inside the export call of every batch. The
+    * EFFECTIVE format is resolved exactly as the write path will resolve
+    * it — spec.format, then targetTableProperties, then an EXISTING
+    * table's persisted properties — so an avro table configured through
+    * `targetTableProperties("write.format")` (or a pre-existing avro
+    * target the spec doesn't mention) is caught here too, not inside the
+    * first post-commit export.
     */
-  private def validateIcebergExportFormat(spec: StreamSpec): Unit =
+  private def validateIcebergExportFormat(spark: SparkSession, spec: StreamSpec): Unit =
     spec.icebergExportDir.foreach { _ =>
-      val fmt = spec.format.map(_.toLowerCase).getOrElse("parquet")
-      require(fmt == "parquet" || fmt == "orc",
-        s"icebergExportDir requires a parquet or orc target table (format=$fmt); " +
+      val existingProps = {
+        val t = SnapshotTable(spark, spec.targetLocation)
+        if (t.exists) t.properties else Map.empty[String, String]
+      }
+      // MERGE commits keep the existing table's persisted format; fresh
+      // creates/overwrites resolve spec.format over targetTableProperties
+      // (layoutProps puts the format key last). Checking the existing
+      // property FIRST is deliberately conservative: it also rejects the
+      // pre-existing-avro-table case a spec-only check would miss.
+      val fromSpec = (spec.targetTableProperties ++
+        spec.format.map(SnapshotTable.PropFormat -> _).toMap).get(SnapshotTable.PropFormat)
+      val effective = existingProps.get(SnapshotTable.PropFormat).orElse(fromSpec)
+        .map(_.toLowerCase).getOrElse("parquet")
+      require(effective == "parquet" || effective == "orc",
+        s"icebergExportDir requires a parquet or orc target table (format=$effective); " +
           "Iceberg export collects record counts from data-file footers, which avro lacks")
     }
 
   def runBackfill(spark: SparkSession, spec: StreamSpec): Unit = {
-    validateIcebergExportFormat(spec)
+    validateIcebergExportFormat(spark, spec)
     // Tags installed FIRST so any emission during the backfill itself —
     // retry logging, a failure surfacing through Main's stream_failed path —
     // carries this stream's tags, not empty/stale ones from a previous

@@ -597,6 +597,42 @@ object Queries {
     tbl.read().select("user_id", "event_id", "event_type").orderBy("user_id")
   }
 
+  /** Merge-on-read ICEBERG INTEROP gate: the exact [[qCdcMergeMor]]
+    * scenario (backfill + two out-of-order equality-delete merges, NO
+    * compaction), exported as Iceberg v2 metadata WITH its outstanding
+    * equality deletes (content=1 manifest, `equality_ids` = the merge-key
+    * field id), and read back exclusively through the export chain by
+    * [[graft.tables.IcebergExport.readLiveRows]] — data files scanned,
+    * delete keys applied by the spec's strictly-greater sequence-number
+    * rule. A bit-exact match against the same relational fold proves an
+    * external Iceberg v2 reader sees a continuously-MoR-merging stream's
+    * target correctly BETWEEN compaction ticks — the reference's actual
+    * production shape (its targets are v2 tables whose delete files
+    * external engines merge natively, docs/crd.md merge semantics).
+    */
+  def qExportIcebergMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergExport, SnapshotTable}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-iceberg-mor-gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val tbl = SnapshotTable(spark, s"$root/table")
+    val ev = events(spark, dir).select(col("user_id"), col("event_id"), col("event_type"))
+    val third = ev.count() / 3
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+        .withColumn("is_delete", col("event_type") === "error")
+    val seg1 = ev.where(col("event_id") < third)
+    val seg2 = ev.where(col("event_id") >= third && col("event_id") < 2 * third)
+    val seg3 = ev.where(col("event_id") >= 2 * third)
+    tbl.createOrReplace(latest(seg1).where(!col("is_delete")), "user_id", numBuckets = 32)
+    tbl.mergeOnRead(latest(seg3), "user_id", "event_id", "is_delete")
+    tbl.mergeOnRead(latest(seg2), "user_id", "event_id", "is_delete")
+    require(tbl.currentSnapshot.deletes.nonEmpty, "gate must export OUTSTANDING deletes")
+    tbl.exportIceberg(s"$root/iceberg")
+    IcebergExport.readLiveRows(spark, s"$root/iceberg", tbl.schema)
+      .select("user_id", "event_id", "event_type").orderBy("user_id")
+  }
+
   /** Incremental-aggregate gate ([[graft.ext.IncrementalAgg]]): a grouped
     * count/sum state is materialized at table version 1, the second half
     * of the events stream is merged in, and the state is refreshed from
@@ -2824,6 +2860,7 @@ object Queries {
     "q_export_iceberg" -> (qExportIceberg _),
     "q_adopt_external" -> (qAdoptExternal _),
     "q_cdc_merge_mor" -> (qCdcMergeMor _),
+    "q_export_iceberg_mor" -> (qExportIcebergMor _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_dedup_exact" -> (qDedupExact _),

@@ -29,12 +29,25 @@ object FileStats {
       file: Path,
       cols: Seq[String],
       schema: StructType
-  ): Map[String, (Double, Double)] = {
+  ): Map[String, (Double, Double)] =
+    parquetMinMaxAndCount(conf, file, cols, schema)._1
+
+  /** Min/max (as [[parquetMinMax]]) AND the footer row count from ONE
+    * footer open — the write path needs both for every new file, and a
+    * single `ParquetFileReader.open` halves the per-file metadata IO.
+    */
+  def parquetMinMaxAndCount(
+      conf: Configuration,
+      file: Path,
+      cols: Seq[String],
+      schema: StructType
+  ): (Map[String, (Double, Double)], Long) = {
     val numeric = cols.filter(c => schema.fields.exists(f =>
       f.name.equalsIgnoreCase(c) && f.dataType.isInstanceOf[NumericType])).toSet
-    if (numeric.isEmpty) return Map.empty
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
+      val count = reader.getRecordCount
+      if (numeric.isEmpty) return (Map.empty, count)
       val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
       reader.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { chunk =>
@@ -53,7 +66,7 @@ object FileStats {
           }
         }
       }
-      acc.toMap
+      (acc.toMap, count)
     } finally reader.close()
   }
 

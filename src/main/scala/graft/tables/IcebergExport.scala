@@ -1,12 +1,13 @@
 package graft.tables
 
-import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
@@ -29,20 +30,44 @@ import scala.jdk.CollectionConverters._
   * <exportDir>/metadata/
   *   version-hint.text            # "1"
   *   v1.metadata.json             # TableMetadata (format-version 2)
-  *   snap-<id>-manifest-list.avro # manifest list (one manifest entry)
-  *   <uuid>-m0.avro               # manifest: one entry per live data file
+  *   snap-<id>-manifest-list.avro # manifest list (data [+ delete] manifests)
+  *   <uuid>-m0.avro               # data manifest: ADDED/EXISTING/DELETED per file
+  *   <uuid>-m1.avro               # delete manifest (equality deletes), when present
   * }}}
   *
   * Data files are referenced by ABSOLUTE URI (spec-legal; Iceberg resolves
-  * `file_path` directly), so the export is metadata-only: O(live files)
-  * footer reads for record counts, zero data copies — the only shape that
-  * survives a 100 TB table. Dead files from superseded snapshots are
-  * simply not referenced; that is exactly how Iceberg readers isolate
-  * from in-progress rewrites.
+  * `file_path` directly), so the export is metadata-only — row counts and
+  * sizes arrive from the table's own manifest, zero per-file IO for carried
+  * files, zero data copies — the only shape that survives a per-commit
+  * export wired into a stream against a 100 TB table. Dead files from
+  * superseded snapshots are simply not referenced; that is exactly how
+  * Iceberg readers isolate from in-progress rewrites.
   *
-  * [[readDataFiles]] walks the chain back (version-hint → metadata.json →
-  * manifest list → manifests → file paths) using only the public spec —
-  * the correctness gate reads the table THROUGH the export, proving an
+  * Spec-conformance details carried by this writer:
+  *  - FIELD IDS ARE DURABLE: a column name is bound to its field id
+  *    forever within an export dir (the id map is recovered from the prior
+  *    metadata's `schemas` on every incremental export; fresh names get
+  *    ids above `last-column-id`, which never decreases, so a dropped
+  *    column's id is never reused). Re-binding a known name to an
+  *    incompatible type fails the export loudly instead of silently
+  *    breaking Iceberg's column-identity rule for time-traveling readers.
+  *  - `schema.name-mapping.default` is published so engines project our
+  *    field-id-less parquet/orc data files by NAME (the spec's
+  *    name-mapping fallback — exactly its purpose for migrated files).
+  *  - Carried files are written as EXISTING entries keeping their original
+  *    `snapshot_id`/sequence numbers; removed files get DELETED tombstone
+  *    entries; `operation` is `overwrite` when the commit removed files or
+  *    added delete files, `append` otherwise — so incremental-append and
+  *    CDC consumers never double-count.
+  *  - Merge-on-read commits export their outstanding EQUALITY DELETE files
+  *    as a content=1 manifest (`equality_ids` = the merge-key field id,
+  *    per-file data sequence numbers), which v2 readers merge natively —
+  *    no forced compaction before export.
+  *
+  * [[readDataFiles]]/[[readLiveRows]] walk the chain back (version-hint →
+  * metadata.json → manifest list → manifests → file paths, applying
+  * equality deletes by sequence number) using only the public spec — the
+  * correctness gates read the table THROUGH the export, proving an
   * external reader following Iceberg metadata sees exactly the live rows.
   */
 object IcebergExport {
@@ -71,20 +96,88 @@ object IcebergExport {
         s"cannot export ${other.simpleString} to an Iceberg primitive type")
   }
 
-  /** Iceberg schema JSON (field ids assigned 1..n in schema order). */
-  private[tables] def icebergSchemaJson(schema: StructType): String = {
+  /** Legal Iceberg type promotion under a FIXED field id (spec "Schema
+    * Evolution"): int→long, float→double, decimal precision widening at
+    * the same scale. Everything else re-binding a known name is a
+    * column-identity violation and must fail the export.
+    */
+  private[graft] def legalPromotion(from: String, to: String): Boolean =
+    (from, to) match {
+      case (a, b) if a == b          => true
+      case ("int", "long")           => true
+      case ("float", "double")       => true
+      case (a, b) if a.startsWith("decimal(") && b.startsWith("decimal(") =>
+        def parts(s: String) = s.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+        val (Array(p1, s1), Array(p2, s2)) = (parts(a), parts(b))
+        s1 == s2 && p2 >= p1
+      case _ => false
+    }
+
+  /** Durable name → field-id assignment. Names already bound in ANY prior
+    * schema of the export dir keep their ids (loud failure on an
+    * incompatible type re-bind); fresh names get consecutive ids above
+    * `priorLastColumnId`, which only ever grows — a dropped column's id is
+    * never reused. Returns (name → id in schema order, new last-column-id).
+    */
+  private[tables] def assignFieldIds(
+      schema: StructType,
+      priorSchemas: Seq[JsonNode],
+      priorLastColumnId: Int
+  ): (Seq[(String, Int)], Int) = {
+    val known = scala.collection.mutable.Map.empty[String, (Int, String)]
+    priorSchemas.foreach { s =>
+      s.get("fields").elements().asScala.foreach { f =>
+        known(f.get("name").asText()) = (f.get("id").asInt(), f.get("type").asText())
+      }
+    }
+    var nextId = math.max(priorLastColumnId, known.values.map(_._1).maxOption.getOrElse(0)) + 1
+    val ids = schema.fields.toSeq.map { f =>
+      val t = icebergType(f.dataType)
+      known.get(f.name) match {
+        case Some((id, priorT)) =>
+          require(legalPromotion(priorT, t),
+            s"iceberg export: column '${f.name}' was exported as $priorT but is now $t — " +
+              "re-binding a field id to an incompatible type breaks Iceberg column identity " +
+              "for readers time-traveling across retained snapshots; export the replaced " +
+              "table to a FRESH export dir instead")
+          f.name -> id
+        case None =>
+          val id = nextId; nextId += 1
+          f.name -> id
+      }
+    }
+    (ids, nextId - 1)
+  }
+
+  /** Iceberg schema JSON with explicit (durable) field ids. */
+  private[tables] def icebergSchemaJson(schema: StructType, ids: Seq[(String, Int)]): String = {
+    val byName = ids.toMap
     val root = mapper.createObjectNode()
     root.put("type", "struct")
     root.put("schema-id", 0)
     val fields = root.putArray("fields")
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
+    schema.fields.foreach { f =>
       val fo = fields.addObject()
-      fo.put("id", i + 1)
+      fo.put("id", byName(f.name))
       fo.put("name", f.name)
       fo.put("required", !f.nullable)
       fo.put("type", icebergType(f.dataType))
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** `schema.name-mapping.default` JSON (Iceberg name-mapping spec): how
+    * engines project data files that carry no parquet/orc field-id
+    * metadata — ours, and any migrated table's — by column NAME.
+    */
+  private[tables] def nameMappingJson(ids: Seq[(String, Int)]): String = {
+    val arr = mapper.createArrayNode()
+    ids.foreach { case (name, id) =>
+      val o = arr.addObject()
+      o.put("field-id", id)
+      o.putArray("names").add(name)
+    }
+    arr.toString
   }
 
   // Avro schemas from the Iceberg spec's manifest-list / manifest tables
@@ -113,8 +206,11 @@ object IcebergExport {
       |  "element-id":508}],"default":null,"field-id":507}
       |]}""".stripMargin)
 
-  // data_file struct limited to the spec's REQUIRED v2 fields (all optional
-  // stats fields omitted — legal per spec; readers treat them as unknown).
+  // data_file struct limited to the spec's REQUIRED v2 fields plus
+  // equality_ids (all other optional stats fields omitted — legal per
+  // spec; readers treat them as unknown). equality_ids is null for data
+  // files and names the equality-delete key field ids for content=2
+  // (equality delete) files.
   private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
@@ -127,12 +223,23 @@ object IcebergExport {
       |  {"name":"file_format","type":"string","field-id":101},
       |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],
+      |   "default":null,"field-id":135}
       |]}}
       |]}""".stripMargin)
 
-  /** One live data file: absolute URI, byte length, footer row count. */
-  final case class ExportFile(path: String, sizeBytes: Long, recordCount: Long)
+  /** One live data file: absolute URI, byte length, row count, and the
+    * table's data sequence number for the commit that wrote it (what
+    * equality deletes compare against).
+    */
+  final case class ExportFile(path: String, sizeBytes: Long, recordCount: Long, seq: Long = 0L)
+
+  /** One outstanding equality-delete file (always parquet; one column —
+    * the merge key). Applies to data files with seq strictly below its
+    * own, exactly the spec's v2 sequence-number rule.
+    */
+  final case class ExportDeleteFile(path: String, sizeBytes: Long, recordCount: Long, seq: Long)
 
   /** Exported snapshots retained in the metadata's history window; older
     * entries are pruned with their manifest files (the Iceberg
@@ -141,7 +248,7 @@ object IcebergExport {
   val KeepSnapshots = 10
 
   /** Snapshot id currently published by an export dir, if any — the
-    * idempotence check a caller runs before collecting footer stats.
+    * idempotence check a caller runs before building the export inputs.
     */
   def currentExportedSnapshotId(fs: FileSystem, exportDir: Path): Option[Long] = {
     val metaDir = new Path(exportDir, "metadata")
@@ -157,6 +264,15 @@ object IcebergExport {
 
   // ----------------------------------------------------------------- write
 
+  /** Everything a prior manifest recorded about one file — used to carry
+    * EXISTING entries forward bit-stable and to write DELETED tombstones
+    * with the original file record.
+    */
+  private final case class PriorEntry(
+      snapshotId: Long, seq: Long, fileSeq: Long,
+      recordCount: Long, sizeBytes: Long, fileFormat: String,
+      equalityIds: Option[Seq[Int]])
+
   /** Write the Iceberg v2 metadata tree for one snapshot; returns the new
     * metadata.json path. INCREMENTAL: when the export dir already carries
     * metadata, the new snapshot is appended to its history — vN+1
@@ -166,11 +282,6 @@ object IcebergExport {
     * — so an external Iceberg reader can time-travel across exported
     * commits, not just read the head. Re-exporting the same table version
     * is a no-op (same snapshot id).
-    *
-    * Field-id stability across exports relies on the table only ever
-    * ADDING columns (SnapshotTable's schema migration contract):
-    * positional ids 1..n stay bound to the same names, and a new column
-    * extends the id space — the Iceberg column-identity rule holds.
     */
   def write(
       fs: FileSystem,
@@ -181,8 +292,12 @@ object IcebergExport {
       files: Seq[ExportFile],
       properties: Map[String, String],
       keepSnapshots: Int = KeepSnapshots,
-      fileFormat: String = "PARQUET"
+      fileFormat: String = "PARQUET",
+      deletes: Seq[ExportDeleteFile] = Seq.empty,
+      equalityDeleteColumn: Option[String] = None
   ): Path = {
+    require(deletes.isEmpty || equalityDeleteColumn.nonEmpty,
+      "exporting equality-delete files requires the merge-key column name")
     val metaDir = new Path(exportDir, "metadata")
     val snapshotId = snapshotVersion + 1 // Iceberg snapshot ids must be != -1; keep them stable per version
     val seq = snapshotVersion
@@ -190,7 +305,7 @@ object IcebergExport {
     // Prior state (incremental export): version counter, retained
     // snapshot entries, the previous metadata file for metadata-log.
     val hintPath = new Path(metaDir, "version-hint.text")
-    val prior: Option[(Int, com.fasterxml.jackson.databind.JsonNode)] =
+    val prior: Option[(Int, JsonNode)] =
       if (!fs.exists(hintPath)) None
       else {
         val hint = readText(fs, hintPath).trim.toInt
@@ -203,41 +318,157 @@ object IcebergExport {
       case _ => ()
     }
     fs.mkdirs(metaDir)
+    val priorMeta = prior.map(_._2)
 
-    // 1. manifest: one entry per live data file, all status=ADDED(1).
-    val manifestPath = fs.makeQualified(new Path(metaDir, s"${UUID.randomUUID()}-m0.avro"))
-    val entryDatum = new GenericDatumWriter[GenericRecord](ManifestEntrySchema)
-    val entryWriter = new DataFileWriter[GenericRecord](entryDatum)
-    entryWriter.setMeta("schema", icebergSchemaJson(schema))
-    entryWriter.setMeta("schema-id", "0")
-    entryWriter.setMeta("partition-spec", "[]")
-    entryWriter.setMeta("partition-spec-id", "0")
-    entryWriter.setMeta("format-version", "2")
-    entryWriter.setMeta("content", "data")
-    val mOut = fs.create(manifestPath, true)
-    entryWriter.create(ManifestEntrySchema, mOut)
+    // Durable field ids: recover the name → id binding from EVERY schema
+    // the export dir has ever published (the `schemas` array is
+    // append-only), assign fresh ids above last-column-id.
+    val priorSchemas: Seq[JsonNode] =
+      priorMeta.map(m => m.get("schemas").elements().asScala.toSeq).getOrElse(Seq.empty)
+    val priorLastColId = priorMeta.map(_.get("last-column-id").asInt()).getOrElse(0)
+    val (fieldIds, lastColId) = assignFieldIds(schema, priorSchemas, priorLastColId)
+    val schemaJson = icebergSchemaJson(schema, fieldIds)
+    val equalityIds: Option[Seq[Int]] =
+      if (deletes.isEmpty) None
+      else equalityDeleteColumn.map { c =>
+        val byName = fieldIds.toMap
+        Seq(byName.getOrElse(c, throw new IllegalArgumentException(
+          s"equality-delete column '$c' is not in the exported schema")))
+      }
+
+    // What the PARENT snapshot's manifests recorded, per file path — the
+    // identity needed to mark carried files EXISTING (original
+    // snapshot_id/sequence numbers) and removed files DELETED. One avro
+    // manifest read per export, not per file.
+    val (priorData, priorDeletes) = priorMeta match {
+      case None => (Map.empty[String, PriorEntry], Map.empty[String, PriorEntry])
+      case Some(meta) =>
+        val parentSnapId = meta.get("current-snapshot-id").asLong()
+        val snapNode = meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == parentSnapId)
+        snapNode match {
+          case None => (Map.empty[String, PriorEntry], Map.empty[String, PriorEntry])
+          case Some(sn) =>
+            val d = scala.collection.mutable.Map.empty[String, PriorEntry]
+            val del = scala.collection.mutable.Map.empty[String, PriorEntry]
+            readAvro(fs, new Path(sn.get("manifest-list").asText())).foreach { mf =>
+              val isDeletes = mf.get("content").asInstanceOf[Int] == 1
+              readAvro(fs, new Path(mf.get("manifest_path").toString)).foreach { e =>
+                if (e.get("status").asInstanceOf[Int] != 2) {
+                  val df = e.get("data_file").asInstanceOf[GenericRecord]
+                  val eq = Option(df.get("equality_ids")).map(
+                    _.asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq)
+                  val entry = PriorEntry(
+                    Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(parentSnapId),
+                    Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
+                    Option(e.get("file_sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
+                    df.get("record_count").asInstanceOf[Long],
+                    df.get("file_size_in_bytes").asInstanceOf[Long],
+                    df.get("file_format").toString, eq)
+                  (if (isDeletes) del else d)(df.get("file_path").toString) = entry
+                }
+              }
+            }
+            (d.toMap, del.toMap)
+        }
+    }
+
     val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
     val partitionSchema = dataFileSchema.getField("partition").schema()
-    files.foreach { f =>
-      val df = new GenericData.Record(dataFileSchema)
-      df.put("content", 0)
-      df.put("file_path", f.path)
-      df.put("file_format", fileFormat)
-      df.put("partition", new GenericData.Record(partitionSchema))
-      df.put("record_count", f.recordCount)
-      df.put("file_size_in_bytes", f.sizeBytes)
-      val e = new GenericData.Record(ManifestEntrySchema)
-      e.put("status", 1)
-      e.put("snapshot_id", snapshotId)
-      e.put("sequence_number", seq)
-      e.put("file_sequence_number", seq)
-      e.put("data_file", df)
-      entryWriter.append(e)
-    }
-    entryWriter.close()
-    val manifestLen = fs.getFileStatus(manifestPath).getLen
 
-    // 2. manifest list: one manifest_file row naming the manifest above.
+    def entryRecord(status: Int, snapId: Long, entrySeq: Long, fileSeq: Long,
+        content: Int, path: String, format: String, recordCount: Long, sizeBytes: Long,
+        eqIds: Option[Seq[Int]]): GenericRecord = {
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", content)
+      df.put("file_path", path)
+      df.put("file_format", format)
+      df.put("partition", new GenericData.Record(partitionSchema))
+      df.put("record_count", recordCount)
+      df.put("file_size_in_bytes", sizeBytes)
+      df.put("equality_ids", eqIds.map(_.map(Integer.valueOf).asJava).orNull)
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", status)
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", entrySeq)
+      e.put("file_sequence_number", fileSeq)
+      e.put("data_file", df)
+      e
+    }
+
+    /** Write one manifest avro (data or deletes) and return
+      * (path, length, counts, min_sequence_number).
+      */
+    def writeManifest(suffix: String, contentMeta: String,
+        entries: Seq[(Int, GenericRecord, Long, Long)]): (Path, Long, (Int, Int, Int), (Long, Long, Long), Long) = {
+      val manifestPath = fs.makeQualified(new Path(metaDir, s"${UUID.randomUUID()}-$suffix.avro"))
+      val writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](ManifestEntrySchema))
+      writer.setMeta("schema", schemaJson)
+      writer.setMeta("schema-id", "0")
+      writer.setMeta("partition-spec", "[]")
+      writer.setMeta("partition-spec-id", "0")
+      writer.setMeta("format-version", "2")
+      writer.setMeta("content", contentMeta)
+      val out = fs.create(manifestPath, true)
+      writer.create(ManifestEntrySchema, out)
+      entries.foreach { case (_, r, _, _) => writer.append(r) }
+      writer.close()
+      val added = entries.count(_._1 == 1)
+      val existing = entries.count(_._1 == 0)
+      val deleted = entries.count(_._1 == 2)
+      def rowsOf(st: Int) = entries.filter(_._1 == st).map(_._3).sum
+      val minSeq = entries.map(_._4).minOption.getOrElse(seq)
+      (manifestPath, fs.getFileStatus(manifestPath).getLen,
+        (added, existing, deleted), (rowsOf(1), rowsOf(0), rowsOf(2)), minSeq)
+    }
+
+    // 1. data manifest: carried files EXISTING with their ORIGINAL
+    // snapshot_id/sequence numbers, new files ADDED at this commit,
+    // removed files DELETED tombstones — so incremental-append / CDC
+    // consumers never double-count across snapshots.
+    val newPaths = files.map(_.path).toSet
+    val dataEntries: Seq[(Int, GenericRecord, Long, Long)] =
+      files.map { f =>
+        priorData.get(f.path) match {
+          case Some(pe) =>
+            (0, entryRecord(0, pe.snapshotId, pe.seq, pe.fileSeq, 0, f.path, pe.fileFormat,
+              pe.recordCount, pe.sizeBytes, None), pe.recordCount, pe.seq)
+          case None =>
+            (1, entryRecord(1, snapshotId, f.seq, f.seq, 0, f.path, fileFormat,
+              f.recordCount, f.sizeBytes, None), f.recordCount, f.seq)
+        }
+      } ++
+      priorData.collect { case (path, pe) if !newPaths.contains(path) =>
+        (2, entryRecord(2, snapshotId, seq, pe.fileSeq, 0, path, pe.fileFormat,
+          pe.recordCount, pe.sizeBytes, None), pe.recordCount, pe.seq)
+      }
+    val (mPath, mLen, (mAdd, mExist, mDel), (mAddRows, mExistRows, mDelRows), mMinSeq) =
+      writeManifest("m0", "data", dataEntries)
+
+    // 2. delete manifest (content=1), only when this snapshot or its
+    // parent carries equality-delete files.
+    val newDelPaths = deletes.map(_.path).toSet
+    val deleteEntries: Seq[(Int, GenericRecord, Long, Long)] =
+      deletes.map { d =>
+        priorDeletes.get(d.path) match {
+          case Some(pe) =>
+            (0, entryRecord(0, pe.snapshotId, pe.seq, pe.fileSeq, 2, d.path, "PARQUET",
+              pe.recordCount, pe.sizeBytes, pe.equalityIds.orElse(equalityIds)), pe.recordCount, pe.seq)
+          case None =>
+            (1, entryRecord(1, snapshotId, d.seq, d.seq, 2, d.path, "PARQUET",
+              d.recordCount, d.sizeBytes, equalityIds), d.recordCount, d.seq)
+        }
+      } ++
+      priorDeletes.collect { case (path, pe) if !newDelPaths.contains(path) =>
+        (2, entryRecord(2, snapshotId, seq, pe.fileSeq, 2, path, "PARQUET",
+          pe.recordCount, pe.sizeBytes, pe.equalityIds), pe.recordCount, pe.seq)
+      }
+    val deleteManifest =
+      if (deleteEntries.isEmpty) None
+      else Some(writeManifest("m1", "deletes", deleteEntries))
+
+    // 3. manifest list: the data manifest_file row [+ the delete one].
     val listPath = fs.makeQualified(new Path(metaDir, s"snap-$snapshotId-manifest-list.avro"))
     val listDatum = new GenericDatumWriter[GenericRecord](ManifestFileSchema)
     val listWriter = new DataFileWriter[GenericRecord](listDatum)
@@ -246,32 +477,39 @@ object IcebergExport {
     listWriter.setMeta("format-version", "2")
     val lOut = fs.create(listPath, true)
     listWriter.create(ManifestFileSchema, lOut)
-    val mf = new GenericData.Record(ManifestFileSchema)
-    mf.put("manifest_path", manifestPath.toString)
-    mf.put("manifest_length", manifestLen)
-    mf.put("partition_spec_id", 0)
-    mf.put("content", 0) // data
-    mf.put("sequence_number", seq)
-    mf.put("min_sequence_number", seq)
-    mf.put("added_snapshot_id", snapshotId)
-    mf.put("added_files_count", files.size)
-    mf.put("existing_files_count", 0)
-    mf.put("deleted_files_count", 0)
-    mf.put("added_rows_count", files.map(_.recordCount).sum)
-    mf.put("existing_rows_count", 0L)
-    mf.put("deleted_rows_count", 0L)
-    listWriter.append(mf)
+    def listRow(p: Path, len: Long, content: Int, counts: (Int, Int, Int),
+        rows: (Long, Long, Long), minSeq: Long): GenericRecord = {
+      val mf = new GenericData.Record(ManifestFileSchema)
+      mf.put("manifest_path", p.toString)
+      mf.put("manifest_length", len)
+      mf.put("partition_spec_id", 0)
+      mf.put("content", content)
+      mf.put("sequence_number", seq)
+      mf.put("min_sequence_number", minSeq)
+      mf.put("added_snapshot_id", snapshotId)
+      mf.put("added_files_count", counts._1)
+      mf.put("existing_files_count", counts._2)
+      mf.put("deleted_files_count", counts._3)
+      mf.put("added_rows_count", rows._1)
+      mf.put("existing_rows_count", rows._2)
+      mf.put("deleted_rows_count", rows._3)
+      mf
+    }
+    listWriter.append(listRow(mPath, mLen, 0, (mAdd, mExist, mDel),
+      (mAddRows, mExistRows, mDelRows), mMinSeq))
+    deleteManifest.foreach { case (p, len, counts, rows, minSeq) =>
+      listWriter.append(listRow(p, len, 1, counts, rows, minSeq))
+    }
     listWriter.close()
 
-    // 3. metadata.json (TableMetadata, format-version 2). Schema identity:
+    // 4. metadata.json (TableMetadata, format-version 2). Schema identity:
     // the schema whose field list matches keeps its schema-id; a widened
-    // schema (ADD COLUMN) gets a fresh id appended to `schemas`.
-    val priorMeta = prior.map(_._2)
+    // schema (ADD COLUMN) gets a fresh id appended to `schemas`. Field
+    // ids inside the lists are durable (assignFieldIds), so equal logical
+    // schemas serialize identically.
     val newVersion = prior.map(_._1 + 1).getOrElse(1)
-    val schemaJsonNode = mapper.readTree(icebergSchemaJson(schema))
-    val priorSchemas: Seq[com.fasterxml.jackson.databind.JsonNode] =
-      priorMeta.map(m => m.get("schemas").elements().asScala.toSeq).getOrElse(Seq.empty)
-    def fieldsOf(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+    val schemaJsonNode = mapper.readTree(schemaJson)
+    def fieldsOf(n: JsonNode): Seq[String] =
       n.get("fields").elements().asScala.map(_.toString).toSeq
     val matching = priorSchemas.find(s => fieldsOf(s) == fieldsOf(schemaJsonNode))
     val schemaId = matching.map(_.get("schema-id").asInt())
@@ -282,7 +520,7 @@ object IcebergExport {
     val allSchemas = if (matching.isDefined) priorSchemas else priorSchemas :+ schemaJsonNode
 
     // retained prior snapshots (newest keepSnapshots - 1, so the new one fits)
-    val priorSnaps: Seq[com.fasterxml.jackson.databind.JsonNode] =
+    val priorSnaps: Seq[JsonNode] =
       priorMeta.map(m => m.get("snapshots").elements().asScala.toSeq).getOrElse(Seq.empty)
     val retained = priorSnaps.takeRight(math.max(0, keepSnapshots - 1))
     val pruned = priorSnaps.dropRight(math.max(0, keepSnapshots - 1))
@@ -296,7 +534,7 @@ object IcebergExport {
     root.put("location", fs.makeQualified(exportDir).toString)
     root.put("last-sequence-number", seq)
     root.put("last-updated-ms", timestampMs)
-    root.put("last-column-id", schema.fields.length)
+    root.put("last-column-id", lastColId)
     root.put("current-schema-id", schemaId)
     val schemasArr = root.putArray("schemas")
     allSchemas.foreach(schemasArr.add)
@@ -312,7 +550,8 @@ object IcebergExport {
     order0.put("order-id", 0)
     order0.putArray("fields")
     val props = root.putObject("properties")
-    properties.foreach { case (k, v) => props.put(k, v) }
+    (properties + ("schema.name-mapping.default" -> nameMappingJson(fieldIds)))
+      .foreach { case (k, v) => props.put(k, v) }
     root.put("current-snapshot-id", snapshotId)
     val refs = root.putObject("refs")
     val mainRef = refs.putObject("main")
@@ -326,14 +565,29 @@ object IcebergExport {
     parentId.foreach(p => s0.put("parent-snapshot-id", p))
     s0.put("timestamp-ms", timestampMs)
     val summary = s0.putObject("summary")
-    summary.put("operation", "append")
-    summary.put("added-data-files", files.size.toString)
-    summary.put("added-records", files.map(_.recordCount).sum.toString)
+    // `overwrite` whenever the commit removed files or added row-level
+    // deletes; plain `append` only when it purely added data files —
+    // incremental-append consumers rely on this classification.
+    val isOverwrite = mDel > 0 || deleteEntries.exists(_._1 != 0)
+    summary.put("operation", if (isOverwrite) "overwrite" else "append")
+    summary.put("added-data-files", mAdd.toString)
+    summary.put("added-records", mAddRows.toString)
+    if (mDel > 0) {
+      summary.put("deleted-data-files", mDel.toString)
+      summary.put("deleted-records", mDelRows.toString)
+    }
+    deleteManifest.foreach { case (_, _, (dAdd, _, _), (dAddRows, _, _), _) =>
+      if (dAdd > 0) {
+        summary.put("added-delete-files", dAdd.toString)
+        summary.put("added-equality-delete-files", dAdd.toString)
+        summary.put("added-equality-deletes", dAddRows.toString)
+      }
+    }
     s0.put("manifest-list", listPath.toString)
     s0.put("schema-id", schemaId)
     root.putArray("statistics")
     // history logs: append this commit, trim to the retention window
-    val priorSnapLog: Seq[com.fasterxml.jackson.databind.JsonNode] =
+    val priorSnapLog: Seq[JsonNode] =
       priorMeta.flatMap(m => Option(m.get("snapshot-log")))
         .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val snapLog = root.putArray("snapshot-log")
@@ -341,7 +595,7 @@ object IcebergExport {
     val sl = snapLog.addObject()
     sl.put("timestamp-ms", timestampMs)
     sl.put("snapshot-id", snapshotId)
-    val priorMetaLog: Seq[com.fasterxml.jackson.databind.JsonNode] =
+    val priorMetaLog: Seq[JsonNode] =
       priorMeta.flatMap(m => Option(m.get("metadata-log")))
         .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val metaLog = root.putArray("metadata-log")
@@ -392,16 +646,22 @@ object IcebergExport {
   private[graft] def readVersionHint(fs: FileSystem, exportDir: Path): String =
     readText(fs, new Path(new Path(exportDir, "metadata"), "version-hint.text")).trim
 
+  /** One data file resolved through the chain. */
+  final case class ManifestDataFile(path: String, recordCount: Long, seq: Long, fileFormat: String)
+
+  /** One equality-delete file resolved through the chain. */
+  final case class ManifestDeleteFile(path: String, seq: Long, equalityFieldIds: Seq[Int])
+
   /** Follow the Iceberg metadata chain exactly as an external reader does
     * — version-hint → vN.metadata.json → a snapshot's manifest list →
-    * manifests → data files (status != DELETED(2), content = data(0)) —
-    * and return `(file_path, record_count)` per live data file. Reads the
-    * CURRENT snapshot by default; pass `atSnapshotId` to time-travel to
-    * any snapshot retained in the export's history window. Used by the
-    * correctness gate so the compared read goes THROUGH the export.
+    * manifests → files (status != DELETED(2)) — returning live data files
+    * and live equality-delete files with their sequence numbers. Reads
+    * the CURRENT snapshot by default; pass `atSnapshotId` to time-travel
+    * to any snapshot retained in the export's history window.
     */
-  def readDataFiles(
-      fs: FileSystem, exportDir: Path, atSnapshotId: Option[Long] = None): Seq[(String, Long)] = {
+  def readFiles(
+      fs: FileSystem, exportDir: Path, atSnapshotId: Option[Long] = None
+  ): (Seq[ManifestDataFile], Seq[ManifestDeleteFile]) = {
     val metaDir = new Path(exportDir, "metadata")
     val hint = readVersionHint(fs, exportDir)
     val meta = mapper.readTree(readText(fs, new Path(metaDir, s"v$hint.metadata.json")))
@@ -409,7 +669,7 @@ object IcebergExport {
     val currentId = atSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
     val snapNode = {
       val it = meta.get("snapshots").elements()
-      var found: com.fasterxml.jackson.databind.JsonNode = null
+      var found: JsonNode = null
       while (it.hasNext && found == null) {
         val n = it.next()
         if (n.get("snapshot-id").asLong() == currentId) found = n
@@ -417,20 +677,91 @@ object IcebergExport {
       require(found != null, s"current-snapshot-id $currentId not in snapshots")
       found
     }
-    val manifestPaths = readAvro(fs, new Path(snapNode.get("manifest-list").asText()))
-      .filter(r => r.get("content").asInstanceOf[Int] == 0)
-      .map(_.get("manifest_path").toString)
-    manifestPaths.flatMap { mp =>
-      readAvro(fs, new Path(mp)).flatMap { e =>
-        val status = e.get("status").asInstanceOf[Int]
-        if (status == 2) None
-        else {
+    val data = Seq.newBuilder[ManifestDataFile]
+    val dels = Seq.newBuilder[ManifestDeleteFile]
+    readAvro(fs, new Path(snapNode.get("manifest-list").asText())).foreach { mf =>
+      val isDeletes = mf.get("content").asInstanceOf[Int] == 1
+      readAvro(fs, new Path(mf.get("manifest_path").toString)).foreach { e =>
+        if (e.get("status").asInstanceOf[Int] != 2) {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          if (df.get("content").asInstanceOf[Int] != 0) None
-          else Some((df.get("file_path").toString, df.get("record_count").asInstanceOf[Long]))
+          val seq = Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
+          if (isDeletes || df.get("content").asInstanceOf[Int] != 0) {
+            val eq = Option(df.get("equality_ids"))
+              .map(_.asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq)
+              .getOrElse(Seq.empty)
+            dels += ManifestDeleteFile(df.get("file_path").toString, seq, eq)
+          } else {
+            data += ManifestDataFile(df.get("file_path").toString,
+              df.get("record_count").asInstanceOf[Long], seq, df.get("file_format").toString)
+          }
         }
       }
     }
+    (data.result(), dels.result())
+  }
+
+  /** Live data files as `(file_path, record_count)` — the historical
+    * shape used by gates that read a delete-free snapshot.
+    */
+  def readDataFiles(
+      fs: FileSystem, exportDir: Path, atSnapshotId: Option[Long] = None): Seq[(String, Long)] =
+    readFiles(fs, exportDir, atSnapshotId)._1.map(d => (d.path, d.recordCount))
+
+  /** Field id → column name of the export's CURRENT schema — how a reader
+    * resolves `equality_ids` to delete-file columns.
+    */
+  private def currentSchemaIdToName(fs: FileSystem, exportDir: Path): Map[Int, String] = {
+    val metaDir = new Path(exportDir, "metadata")
+    val meta = mapper.readTree(
+      readText(fs, new Path(metaDir, s"v${readVersionHint(fs, exportDir)}.metadata.json")))
+    val currentSchemaId = meta.get("current-schema-id").asInt()
+    val schema = meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == currentSchemaId)
+      .getOrElse(sys.error(s"current-schema-id $currentSchemaId not in schemas"))
+    schema.get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+  }
+
+  /** Read the LIVE ROWS of an exported snapshot exactly as an Iceberg v2
+    * merge-on-read reader does: scan the data files, then suppress any row
+    * whose equality-delete key appears in a delete file with a data
+    * sequence number STRICTLY GREATER than the row's file's — the spec's
+    * v2 sequence-number rule, so rows re-inserted after a delete survive.
+    * Delete keys are resolved to columns via `equality_ids` against the
+    * current schema. The whole plan is distributed: data files scan in
+    * parallel, and the delete side is change-set-sized (broadcastable).
+    */
+  def readLiveRows(
+      spark: SparkSession, exportDir: String, readSchema: StructType,
+      atSnapshotId: Option[Long] = None): DataFrame = {
+    val p = new Path(exportDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (data, deletes) = readFiles(fs, p, atSnapshotId)
+    require(data.nonEmpty, s"no live data files in $exportDir")
+    val dataDf = data.groupBy(d => (d.seq, d.fileFormat)).map { case ((s, fmt), fsq) =>
+      val reader = spark.read.schema(readSchema)
+      val df = fmt.toUpperCase match {
+        case "ORC" => reader.orc(fsq.map(_.path): _*)
+        case _     => reader.parquet(fsq.map(_.path): _*)
+      }
+      df.withColumn("_gseq", lit(s))
+    }.reduce(_ unionByName _)
+    if (deletes.isEmpty) return dataDf.drop("_gseq")
+    val idToName = currentSchemaIdToName(fs, p)
+    val eqNames = deletes.flatMap(_.equalityFieldIds).distinct.map(id =>
+      idToName.getOrElse(id, sys.error(s"equality field id $id not in current schema")))
+    require(eqNames.size == 1,
+      s"this reader supports single-column equality deletes, got: ${eqNames.mkString(", ")}")
+    val keyCol = eqNames.head
+    val delDf = deletes.groupBy(_.seq).map { case (s, ds) =>
+      spark.read.parquet(ds.map(_.path): _*).select(col(keyCol)).withColumn("_dseq", lit(s))
+    }.reduce(_ unionByName _)
+    // only the NEWEST delete of a key matters: if max(_dseq) <= the row's
+    // file sequence, every delete of that key predates the row
+    val maxDel = delDf.groupBy(col(keyCol).as("_dkey")).agg(max(col("_dseq")).as("_dseq"))
+    dataDf.join(maxDel, col(keyCol) <=> col("_dkey"), "left")
+      .where(col("_dseq").isNull || col("_dseq") <= col("_gseq"))
+      .drop("_dkey", "_dseq", "_gseq")
   }
 
   private def readAvro(fs: FileSystem, p: Path): Seq[GenericRecord] = {

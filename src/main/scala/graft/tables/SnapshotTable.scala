@@ -43,10 +43,16 @@ import scala.jdk.CollectionConverters._
   * (min, max) collected from parquet footers at write time
   * ([[FileStats]]) — the manifest-level skipping index
   * ([[SnapshotTable.readRange]]); files without stats are always read.
+  * `rows`/`bytes` are collected ONCE at write time (the writer already
+  * holds the footer / listing status) so later metadata consumers —
+  * [[SnapshotTable.exportIceberg]], compaction sizing — never re-open
+  * files the commit merely carries forward; −1 means unknown (manifests
+  * written before these fields existed), and readers fall back to a
+  * footer/status read for exactly those files.
   */
 final case class DataFile(
     path: String, bucket: Int, stats: Map[String, (Double, Double)] = Map.empty,
-    seq: Long = 0L)
+    seq: Long = 0L, rows: Long = -1L, bytes: Long = -1L)
 
 /** An equality-delete file (Iceberg v2 merge-on-read parity): a parquet
   * file holding MERGE KEYS whose rows are superseded. It applies to every
@@ -56,7 +62,8 @@ final case class DataFile(
   * away) by [[SnapshotTable.compact]] / copy-on-write merges of the same
   * bucket.
   */
-final case class DeleteFile(path: String, bucket: Int, seq: Long)
+final case class DeleteFile(path: String, bucket: Int, seq: Long,
+    rows: Long = -1L, bytes: Long = -1L)
 
 final case class Snapshot(
     version: Long,
@@ -671,13 +678,15 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     withB.repartition(math.min(n, maxWriteTasks), col("gbk"))
       .write.partitionBy("gbk").mode("append").parquet(out.toString)
     if (!fs.exists(out)) return Seq.empty
+    val conf = spark.sparkContext.hadoopConfiguration
     fs.listStatus(out)
       .filter(_.isDirectory)
       .flatMap { bdir =>
         val b = bdir.getPath.getName.stripPrefix("gbk=").toInt
         fs.listStatus(bdir.getPath)
           .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-          .map(st => DeleteFile(s"$commitId-deletes/${bdir.getPath.getName}/${st.getPath.getName}", b, seq))
+          .map(st => DeleteFile(s"$commitId-deletes/${bdir.getPath.getName}/${st.getPath.getName}",
+            b, seq, FileStats.parquetRowCount(conf, st.getPath), st.getLen))
       }
       .toSeq
   }
@@ -742,12 +751,15 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val conf = spark.sparkContext.hadoopConfiguration
     val entries = qualified.map { qp =>
-      val stats =
-        if (statsCols.isEmpty || format == "orc") Map.empty[String, (Double, Double)]
-        else FileStats.parquetMinMax(conf, qp, statsCols, snap.schema)
+      val (stats, rows) = format match {
+        case "parquet" => FileStats.parquetMinMaxAndCount(conf, qp, statsCols, snap.schema)
+        case "orc"     => (Map.empty[String, (Double, Double)], FileStats.orcRowCount(conf, qp))
+        case _         => (Map.empty[String, (Double, Double)], -1L)
+      }
       // adopted rows are NEW as of this commit — deletes from earlier
       // sequences must not touch them, hence the fresh sequence stamp
-      DataFile(qp.toString, SnapshotTable.AdoptedBucket, stats, snap.version + 1)
+      DataFile(qp.toString, SnapshotTable.AdoptedBucket, stats, snap.version + 1,
+        rows, fs.getFileStatus(qp).getLen)
     }
     commit(snap.copy(version = snap.version + 1, files = snap.files ++ entries, timestampMs = now()))
   }
@@ -1205,18 +1217,22 @@ class SnapshotTable(val spark: SparkSession, val location: String,
   /** Export the CURRENT snapshot as an Apache Iceberg format-version-2
     * table ([[IcebergExport]]): `metadata/` with version-hint,
     * metadata.json, manifest list and manifest Avro files referencing the
-    * live data files by absolute URI — metadata-only (O(files) parquet
-    * footer reads for record counts, zero data copies), so the export is
-    * re-runnable after every commit at any table size. Any Iceberg reader
+    * live data files by absolute URI — metadata-only, with row counts and
+    * byte sizes read from the SNAPSHOT MANIFEST (recorded at write time,
+    * [[DataFile.rows]]/[[DataFile.bytes]]), so a per-commit export does
+    * ZERO per-file IO for carried files (O(new files), zero data copies)
+    * and is re-runnable after every commit at any table size — wiring it
+    * per streamed micro-batch is safe at 100 TB. Any Iceberg reader
     * (Spark+runtime, Trino, DuckDB iceberg, pyiceberg) sees exactly the
     * live snapshot; dead files are simply unreferenced.
     *
     * Parquet and ORC tables (both are Iceberg data-file formats with
-    * footer row counts; avro files carry no footer metadata here), and —
-    * like [[exportSymlinkManifest]] — outstanding equality deletes must
-    * be compacted first: this export publishes plain data files, and
-    * re-publishing v2 delete files externally would force every external
-    * reader through our delete semantics.
+    * footer row counts; avro files carry no footer metadata here).
+    * Unlike [[exportSymlinkManifest]], outstanding equality deletes need
+    * NO compaction first: merge-on-read commits export their delete files
+    * as an Iceberg v2 content=1 manifest (`equality_ids` = the merge-key
+    * field id, per-file sequence numbers), which v2 readers merge
+    * natively — a continuously-MoR-merging stream can export per commit.
     *
     * COORDINATION with table maintenance: exported history snapshots
     * reference the table's data files by URI, so time travel through the
@@ -1233,9 +1249,6 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     */
   def exportIceberg(exportDir: String): Path = {
     val snap = currentSnapshot
-    require(snap.deletes.isEmpty,
-      "table has outstanding equality deletes (merge-on-read commits); " +
-        "run compact() to absorb them before exporting Iceberg metadata")
     val format = SnapshotTable.resolveFormat(snap.properties)
     require(format == "parquet" || format == "orc",
       "Iceberg export supports parquet/orc tables (the spec's data-file formats " +
@@ -1248,15 +1261,32 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       return new Path(new Path(out, "metadata"),
         s"v${IcebergExport.readVersionHint(fs, out)}.metadata.json")
     val conf = spark.sparkContext.hadoopConfiguration
+    // Row counts and byte sizes come from the snapshot manifest (recorded
+    // at write time), so a per-commit export costs ZERO per-file IO for
+    // carried files — genuinely O(new files). Only legacy manifest entries
+    // (rows/bytes = −1, written before the fields existed) fall back to a
+    // footer / file-status read.
     val files = snap.files.map { f =>
       val p = fs.makeQualified(new Path(dataDir, f.path))
       val rows =
-        if (format == "orc") FileStats.orcRowCount(conf, p)
+        if (f.rows >= 0L) f.rows
+        else if (format == "orc") FileStats.orcRowCount(conf, p)
         else FileStats.parquetRowCount(conf, p)
-      IcebergExport.ExportFile(p.toString, fs.getFileStatus(p).getLen, rows)
+      val len = if (f.bytes >= 0L) f.bytes else fs.getFileStatus(p).getLen
+      IcebergExport.ExportFile(p.toString, len, rows, f.seq)
+    }
+    // Outstanding merge-on-read equality deletes ride along as content=1
+    // delete files (always parquet — writeDeletes); same manifest-sourced
+    // rows/bytes with a legacy footer fallback.
+    val deletes = snap.deletes.map { d =>
+      val p = fs.makeQualified(new Path(dataDir, d.path))
+      val rows = if (d.rows >= 0L) d.rows else FileStats.parquetRowCount(conf, p)
+      val len = if (d.bytes >= 0L) d.bytes else fs.getFileStatus(p).getLen
+      IcebergExport.ExportDeleteFile(p.toString, len, rows, d.seq)
     }
     IcebergExport.write(fs, out, snap.schema, snap.version,
-      snap.timestampMs, files, snap.properties, fileFormat = format.toUpperCase)
+      snap.timestampMs, files, snap.properties, fileFormat = format.toUpperCase,
+      deletes = deletes, equalityDeleteColumn = Some(keyColForBucketing(snap)))
   }
 
   /** Atomically point `exportDir` at the freshly-built `versioned` dir:
@@ -1305,7 +1335,9 @@ class SnapshotTable(val spark: SparkSession, val location: String,
   private def keyColForBucketing(snap: Snapshot): String =
     snap.properties.getOrElse(PropMergeKeyCol, graft.ops.MergeKey.ColumnName)
 
-  private def fileLen(f: DataFile): Long = fs.getFileStatus(new Path(dataDir, f.path)).getLen
+  private def fileLen(f: DataFile): Long =
+    if (f.bytes >= 0L) f.bytes
+    else fs.getFileStatus(new Path(dataDir, f.path)).getLen
 
   private def relativize(p: Path): String = {
     val base = fs.makeQualified(dataDir).toString + "/"
@@ -1383,23 +1415,33 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     }
 
     if (!fs.exists(out)) return Seq.empty
-    // Manifest skipping index: footer-only min/max for the configured
-    // columns of each NEW file (parquet only; O(new files) metadata IO,
-    // no data pages). Carried-forward files keep their existing stats.
+    // Manifest metadata for each NEW file, collected ONCE here — footer
+    // min/max for the configured skipping-index columns plus the footer
+    // row count (one footer open covers both for parquet), and the byte
+    // length straight from the listing. O(new files) metadata IO, no data
+    // pages; carried-forward files keep their existing entries, so later
+    // metadata consumers (exportIceberg, compaction sizing) never re-open
+    // files a commit merely carries. Avro files carry no footer row count
+    // (rows = −1, and Iceberg export rejects avro tables up front).
     val statsCols = props.get(PropStatsColumns).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val conf = spark.sparkContext.hadoopConfiguration
-    def statsFor(p: Path): Map[String, (Double, Double)] =
-      if (statsCols.isEmpty || format != "parquet") Map.empty
-      else FileStats.parquetMinMax(conf, p, statsCols, df.schema)
+    def metaFor(p: Path): (Map[String, (Double, Double)], Long) = format match {
+      case "parquet" => FileStats.parquetMinMaxAndCount(conf, p, statsCols, df.schema)
+      case "orc"     => (Map.empty, FileStats.orcRowCount(conf, p))
+      case _         => (Map.empty, -1L)
+    }
     fs.listStatus(out)
       .filter(_.isDirectory)
       .flatMap { bdir =>
         val b = bdir.getPath.getName.stripPrefix("gbk=").toInt
         fs.listStatus(bdir.getPath)
           .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-          .map(st => DataFile(s"$commitId/${bdir.getPath.getName}/${st.getPath.getName}", b,
-            statsFor(st.getPath), seq))
+          .map { st =>
+            val (stats, rows) = metaFor(st.getPath)
+            DataFile(s"$commitId/${bdir.getPath.getName}/${st.getPath.getName}", b,
+              stats, seq, rows, st.getLen)
+          }
       }
       .toSeq
   }
@@ -1498,6 +1540,8 @@ object SnapshotTable {
       val o = files.addObject()
       o.put("path", f.path); o.put("bucket", f.bucket)
       if (f.seq != 0L) o.put("seq", f.seq)
+      if (f.rows >= 0L) o.put("rows", f.rows)
+      if (f.bytes >= 0L) o.put("bytes", f.bytes)
       if (f.stats.nonEmpty) {
         val st = o.putObject("stats")
         f.stats.foreach { case (c, (mn, mx)) =>
@@ -1510,6 +1554,8 @@ object SnapshotTable {
       s.deletes.foreach { d =>
         val o = dels.addObject()
         o.put("path", d.path); o.put("bucket", d.bucket); o.put("seq", d.seq)
+        if (d.rows >= 0L) o.put("rows", d.rows)
+        if (d.bytes >= 0L) o.put("bytes", d.bytes)
       }
     }
     val props = root.putObject("properties")
@@ -1528,13 +1574,19 @@ object SnapshotTable {
         }.toMap
       }.getOrElse(Map.empty[String, (Double, Double)])
       // "seq" is optional — manifests written before merge-on-read parse
-      // to sequence 0 (every later delete applies to them, correctly)
+      // to sequence 0 (every later delete applies to them, correctly).
+      // "rows"/"bytes" are optional — legacy manifests parse to −1
+      // (unknown) and consumers fall back to a footer/status read.
       DataFile(f.get("path").asText(), f.get("bucket").asInt(), stats,
-        Option(f.get("seq")).map(_.asLong()).getOrElse(0L))
+        Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
+        Option(f.get("rows")).map(_.asLong()).getOrElse(-1L),
+        Option(f.get("bytes")).map(_.asLong()).getOrElse(-1L))
     }.toSeq
     val deletes = Option(root.get("deletes")).map {
       _.asInstanceOf[ArrayNode].elements().asScala.map { d =>
-        DeleteFile(d.get("path").asText(), d.get("bucket").asInt(), d.get("seq").asLong())
+        DeleteFile(d.get("path").asText(), d.get("bucket").asInt(), d.get("seq").asLong(),
+          Option(d.get("rows")).map(_.asLong()).getOrElse(-1L),
+          Option(d.get("bytes")).map(_.asLong()).getOrElse(-1L))
       }.toSeq
     }.getOrElse(Seq.empty)
     val props = root.get("properties").properties().asScala

@@ -1,0 +1,250 @@
+package graft
+
+import graft.tables.{IcebergExport, SnapshotTable}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+
+import scala.jdk.CollectionConverters._
+
+/** Round-14 Iceberg-export hardening: O(new files) incremental cost
+  * (manifest-sourced row counts — zero per-file IO for carried files),
+  * equality-delete manifests for merge-on-read tables, durable field ids,
+  * EXISTING/ADDED/DELETED entry statuses and honest operation summaries.
+  */
+class IcebergExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem, p: Path) = {
+    val in = fs.open(p)
+    try mapper.readTree(new String(in.readAllBytes())) finally in.close()
+  }
+
+  private def currentMeta(fs: org.apache.hadoop.fs.FileSystem, exportDir: String) = {
+    val hint = IcebergExport.readVersionHint(fs, new Path(exportDir))
+    readMeta(fs, new Path(new Path(exportDir, "metadata"), s"v$hint.metadata.json"))
+  }
+
+  private def manifestEntries(fs: org.apache.hadoop.fs.FileSystem, exportDir: String,
+      content: Int): Seq[(Int, Long, Long, String)] = {
+    // (status, snapshot_id, sequence_number, file_path) of the CURRENT
+    // snapshot's manifest with the given content (0=data, 1=deletes)
+    val meta = currentMeta(fs, exportDir)
+    val curId = meta.get("current-snapshot-id").asLong()
+    val sn = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId).get
+    val listPath = new Path(sn.get("manifest-list").asText())
+    val readAvro = { p: Path =>
+      val in = fs.open(p)
+      val s = new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
+        in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try Iterator.continually(if (s.hasNext) Some(s.next()) else None)
+        .takeWhile(_.isDefined).flatten.toVector
+      finally s.close()
+    }
+    readAvro(listPath).filter(_.get("content").asInstanceOf[Int] == content)
+      .flatMap(mf => readAvro(new Path(mf.get("manifest_path").toString)))
+      .map { e =>
+        val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        (e.get("status").asInstanceOf[Int], e.get("snapshot_id").asInstanceOf[Long],
+          e.get("sequence_number").asInstanceOf[Long], df.get("file_path").toString)
+      }
+  }
+
+  test("incremental export performs ZERO reads of carried data files (manifest-sourced counts)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.counting.impl", classOf[CountingFileSystem].getName)
+    conf.set("fs.AbstractFileSystem.counting.impl", classOf[CountingAbstractFileSystem].getName)
+    val base = tmpDir("iceberg-count")
+    val tableLoc = s"counting://$base/table"
+    val exportDir = s"counting://$base/iceberg"
+    val t = SnapshotTable(spark, tableLoc)
+    val df = (1 to 200).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 8)
+    t.exportIceberg(exportDir)
+
+    // a merge touching few keys rewrites few buckets; everything else carries
+    val change = Seq(("k1", 5L, "u1", false), ("k2", 5L, null: String, true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+
+    CountingFileSystem.reset()
+    t.exportIceberg(exportDir)
+    val dataReads = CountingFileSystem.openedPaths.filter(_.contains("/table/data/"))
+    assert(dataReads.isEmpty,
+      s"export must not open ANY table data file (counts come from the manifest); opened: $dataReads")
+    // and the export is still correct: chain row count == live rows
+    val fs = new Path(exportDir).getFileSystem(conf)
+    val chain = IcebergExport.readDataFiles(fs, new Path(exportDir))
+    assert(chain.map(_._2).sum == t.read().count())
+  }
+
+  test("manifest statuses: carried files EXISTING with original identity, new ADDED, removed DELETED; operation overwrite") {
+    val t = SnapshotTable(spark, tmpDir("iceberg-status"))
+    val df = (1 to 200).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 8)
+    val exportDir = tmpDir("iceberg-status-out")
+    t.exportIceberg(exportDir)
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val first = manifestEntries(fs, exportDir, 0)
+    assert(first.nonEmpty && first.forall(_._1 == 1), "first export: every file ADDED")
+    val firstMeta = currentMeta(fs, exportDir)
+    val firstSnapId = firstMeta.get("current-snapshot-id").asLong()
+    assert(firstMeta.get("snapshots").get(0).get("summary").get("operation").asText() == "append")
+    val firstByPath = first.map(e => e._4 -> e).toMap
+
+    val change = Seq(("k1", 5L, "u1", false)).toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    t.exportIceberg(exportDir)
+
+    val second = manifestEntries(fs, exportDir, 0)
+    val byStatus = second.groupBy(_._1)
+    // carried files: EXISTING(0), keeping the ORIGINAL snapshot id and sequence
+    val existing = byStatus.getOrElse(0, Seq.empty)
+    assert(existing.nonEmpty, "a 1-key merge must carry most buckets as EXISTING")
+    existing.foreach { case (_, sid, seq, path) =>
+      val orig = firstByPath(path)
+      assert(sid == orig._2 && seq == orig._3,
+        s"EXISTING entry must keep original snapshot_id/sequence for $path")
+      assert(sid == firstSnapId)
+    }
+    // the rewritten bucket: its old file DELETED, its new file ADDED
+    val added = byStatus.getOrElse(1, Seq.empty)
+    val deleted = byStatus.getOrElse(2, Seq.empty)
+    assert(added.nonEmpty && deleted.nonEmpty)
+    assert(added.forall(_._2 != firstSnapId), "ADDED entries belong to the new snapshot")
+    assert(deleted.map(_._4).toSet.subsetOf(firstByPath.keySet),
+      "DELETED tombstones must reference previously-exported files")
+    // incremental-append accounting: operation is overwrite, added counts ADDED-only
+    val meta2 = currentMeta(fs, exportDir)
+    val snap2 = meta2.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == meta2.get("current-snapshot-id").asLong()).get
+    assert(snap2.get("summary").get("operation").asText() == "overwrite")
+    assert(snap2.get("summary").get("added-data-files").asText().toInt == added.size)
+    assert(snap2.get("summary").get("deleted-data-files").asText().toInt == deleted.size)
+    // readDataFiles never returns DELETED entries
+    val live = IcebergExport.readDataFiles(fs, new Path(exportDir)).map(_._1).toSet
+    assert(deleted.map(_._4).forall(p => !live.contains(p)))
+  }
+
+  test("merge-on-read export: equality-delete manifest, v2 sequence rule, no compaction needed") {
+    val t = SnapshotTable(spark, tmpDir("iceberg-mor"))
+    val df = (1 to 100).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 4)
+    // update k1, tombstone k2, insert knew — then RESURRECT k2 in a later
+    // commit, so the reader must apply the strictly-greater sequence rule
+    t.mergeOnRead(Seq(("k1", 5L, "u1", false), ("k2", 5L, null: String, true), ("knew", 5L, "fresh", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    t.mergeOnRead(Seq(("k2", 9L, "back", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.currentSnapshot.deletes.nonEmpty, "the scenario must leave outstanding deletes")
+
+    val exportDir = tmpDir("iceberg-mor-out")
+    t.exportIceberg(exportDir) // no compaction first — must NOT throw
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // the delete manifest exists, content=2 entries carrying the merge-key field id
+    val (dataFiles, delFiles) = IcebergExport.readFiles(fs, new Path(exportDir))
+    assert(delFiles.nonEmpty, "outstanding equality deletes must be exported")
+    val meta = currentMeta(fs, exportDir)
+    val idOfKey = meta.get("schemas").get(0).get("fields").elements().asScala
+      .find(_.get("name").asText() == "arcane_merge_key").get.get("id").asInt()
+    assert(delFiles.forall(_.equalityFieldIds == Seq(idOfKey)))
+    assert(dataFiles.nonEmpty)
+
+    // an external v2 reader (readLiveRows) sees EXACTLY the table's live rows
+    val viaExport = IcebergExport.readLiveRows(spark, exportDir, t.schema)
+      .select("arcane_merge_key", "versionnumber", "payload")
+      .as[(String, Long, String)].collect().toSet
+    val direct = t.read().select("arcane_merge_key", "versionnumber", "payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(viaExport == direct)
+    assert(viaExport.exists(r => r._1 == "k2" && r._3 == "back"),
+      "a key re-inserted AFTER its delete must survive (strictly-greater sequence rule)")
+    assert(viaExport.exists(r => r._1 == "k1" && r._3 == "u1"))
+
+    // after compaction the next export drops the delete files (DELETED entries)
+    t.compact(fileSizeThresholdBytes = Long.MaxValue)
+    t.exportIceberg(exportDir)
+    val (_, delAfter) = IcebergExport.readFiles(fs, new Path(exportDir))
+    assert(delAfter.isEmpty, "compaction absorbs deletes; the export must retire them")
+    val viaExport2 = IcebergExport.readLiveRows(spark, exportDir, t.schema)
+      .select("arcane_merge_key", "versionnumber", "payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(viaExport2 == direct)
+  }
+
+  test("field ids are durable: names keep ids across replace, dropped ids never reused, bad re-bind fails loudly") {
+    val t = SnapshotTable(spark, tmpDir("iceberg-ids"))
+    val df = (1 to 50).map(i => (s"k$i", 1L, s"v$i")).toDF("arcane_merge_key", "versionnumber", "payload")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 4)
+    val exportDir = tmpDir("iceberg-ids-out")
+    t.exportIceberg(exportDir)
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids1 = currentMeta(fs, exportDir).get("schemas").get(0).get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+
+    // a backfill Overwrite replaces the table: drops `payload`, REORDERS
+    // the remaining columns, adds `extra` — names must keep their ids, the
+    // new name must get a fresh id ABOVE the dropped one's
+    val df2 = (1 to 50).map(i => (i.toLong, s"k$i", s"e$i"))
+      .toDF("versionnumber", "arcane_merge_key", "extra")
+    t.createOrReplace(df2, "arcane_merge_key", numBuckets = 4)
+    t.exportIceberg(exportDir)
+    val meta2 = currentMeta(fs, exportDir)
+    val curSchemaId = meta2.get("current-schema-id").asInt()
+    val schema2 = meta2.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == curSchemaId).get
+    val ids2 = schema2.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    assert(ids2("arcane_merge_key") == ids1("arcane_merge_key"), "known name must keep its id despite reordering")
+    assert(ids2("versionnumber") == ids1("versionnumber"))
+    assert(ids2("extra") > ids1.values.max, "fresh name must get an id above every prior id")
+    assert(!ids2.values.exists(_ == ids1("payload")), "a dropped column's id must never be reused")
+    assert(meta2.get("last-column-id").asInt() >= ids2.values.max)
+    // name mapping published for field-id-less data files
+    val nm = mapper.readTree(meta2.get("properties").get("schema.name-mapping.default").asText())
+    val nmMap = nm.elements().asScala.map(e =>
+      e.get("names").get(0).asText() -> e.get("field-id").asInt()).toMap
+    assert(nmMap == ids2)
+
+    // re-binding a known name to an incompatible type fails the export loudly
+    val df3 = (1 to 50).map(i => (s"k$i", s"not-a-long-$i")).toDF("arcane_merge_key", "versionnumber")
+    t.createOrReplace(df3, "arcane_merge_key", numBuckets = 4)
+    val e = intercept[IllegalArgumentException] { t.exportIceberg(exportDir) }
+    assert(e.getMessage.contains("column identity") || e.getMessage.contains("incompatible"))
+  }
+
+  test("legal type promotions keep the field id (int->long, float->double, decimal widening)") {
+    assert(IcebergExport.legalPromotion("int", "long"))
+    assert(IcebergExport.legalPromotion("float", "double"))
+    assert(IcebergExport.legalPromotion("decimal(10, 2)", "decimal(18, 2)"))
+    assert(!IcebergExport.legalPromotion("decimal(18, 2)", "decimal(10, 2)"))
+    assert(!IcebergExport.legalPromotion("decimal(10, 2)", "decimal(18, 3)"))
+    assert(!IcebergExport.legalPromotion("long", "int"))
+    assert(!IcebergExport.legalPromotion("string", "long"))
+    assert(IcebergExport.legalPromotion("string", "string"))
+  }
+
+  test("per-commit MoR stream wiring: startStream accepts icebergExportDir with merge-on-read") {
+    // the validation no longer rejects the combination (delete manifests
+    // make the export representable); the symlink export still does
+    import graft.pipeline.{CdcPipeline, StreamSpec}
+    val spec = StreamSpec(
+      sourcePath = tmpDir("mor-wire-src"),
+      entityName = "nosuch",
+      targetLocation = tmpDir("mor-wire-tgt"),
+      mergeMode = "merge-on-read",
+      exportDir = Some(tmpDir("mor-wire-exp")))
+    val e = intercept[IllegalArgumentException] { CdcPipeline.startStream(spark, spec) }
+    assert(e.getMessage.contains("symlink") || e.getMessage.contains("exportDir"))
+  }
+}
