@@ -362,7 +362,12 @@ object CdcPipeline {
     val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info",
       spec.listingRetry)
     val conf = spark.sparkContext.hadoopConfiguration
-    val typedSchema = layout.entitySchema(conf, layout.changelogValue(conf))
+    // Backfill reads the UNION of folder schemas in range (newest model
+    // first, dropped-from-newest columns appended) — the reference's
+    // staging-vs-target diff ADDs a historical column the newest model
+    // dropped (`docs/backfill.md:14-19`), so a years-deep backfill keeps
+    // that column's history; A12 migration then ADD-COLUMNs it on Merge.
+    val typedSchema = layout.unionEntitySchema(conf, spec.backfillStartDate)
     val newest = layout.changelogValue(conf).getOrElse(
       sys.error(s"no changelog at ${spec.sourcePath} — nothing is closed for backfill"))
 
@@ -370,6 +375,7 @@ object CdcPipeline {
       .format("synapse-cdm")
       .option("path", spec.sourcePath)
       .option("entity", spec.entityName)
+      .option("includeDroppedColumns", "true")
       .option("httpMaxRetries", spec.httpMaxRetries.toString)
       .option("httpRetryDelayMs", spec.httpRetryDelayMs.toString)
       .option("maxResultsPerPage", spec.maxResultsPerPage.toString)

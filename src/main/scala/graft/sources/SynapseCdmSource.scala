@@ -61,7 +61,15 @@ class SynapseCdmSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val layout = SynapseCdmLayout(options, spark.sparkContext.hadoopConfiguration)
-    layout.rawSchemaWithMeta
+    // `includeDroppedColumns` (batch/backfill reads): widen the output to
+    // the union of scanned folder schemas so a column dropped from the
+    // newest model still surfaces its history — see
+    // [[SynapseCdmLayout.unionEntitySchema]]. Off by default (and for
+    // streams, whose folders always carry the newest schema): a stream's
+    // output schema must not depend on pre-watermark history.
+    if (options.getBoolean("includeDroppedColumns", false))
+      layout.rawSchemaWithMeta(Some(Option(options.get("backfillStartDate"))))
+    else layout.rawSchemaWithMeta
   }
 
   override def getTable(
@@ -86,19 +94,16 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
       fsCache =
         if (maxResultsPerPage == SynapseCdmLayout.DefaultMaxResultsPerPage)
           new Path(root).getFileSystem(conf)
-        else {
+        else
           // The reference's blob-API page-size knob (CRD beta:576-598) is a
           // LISTING-RPC property, which Hadoop filesystems read from their
           // own config keys — wire it to the object-store implementations
-          // that honor it. newInstance (not the shared cache) because the
-          // cached FileSystem for this URI was built with the session conf;
-          // one uncached instance per layout ≈ per stream, held for its
-          // lifetime.
-          val c = new Configuration(conf)
-          c.setInt("fs.azure.list.max.results", maxResultsPerPage) // ABFS
-          c.setInt("fs.s3a.paging.maximum", maxResultsPerPage)     // S3A
-          FileSystem.newInstance(new Path(root).toUri, c)
-        }
+          // that honor it. Resolved through a PROCESS-WIDE (uri, pageSize)
+          // cache, NOT a per-layout newInstance: inferSchema, each Batch
+          // and each MicroBatchStream build their own layout, so uncached
+          // instances would leak connection pools/threads across stream
+          // restarts in a long-lived session.
+          SynapseCdmLayout.pagedFs(new Path(root).toUri, conf, maxResultsPerPage)
     }
     fsCache
   }
@@ -232,21 +237,43 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
     CdmSchema.forEntity(CdmModel.parse(json), entity)
   }
 
-  // Per-folder model.json column lists (normalized entity attribute names,
-  // in that folder's CSV order). Closed folders are immutable, so the memo
-  // is safe; LRU-bounded like chunkCache so a months-deep backfill cannot
+  // Per-folder model.json entity schemas (typed, normalized names, in that
+  // folder's CSV order). Closed folders are immutable, so the memo is
+  // safe; LRU-bounded like chunkCache so a months-deep backfill cannot
   // grow driver state with the backlog. ABSENCE is NOT cached — the same
   // policy as chunkFiles' empty listings: if a just-closed folder's
   // model.json lagged listing visibility on an eventually-consistent
   // store, pinning None would silently parse that folder under the newest
   // schema forever (the exact misalignment class per-folder parsing
   // exists to prevent); an uncached miss is retried next trigger.
-  @transient private lazy val folderColsCache =
+  @transient private lazy val folderSchemaCache =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Array[String]](64, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[String, Array[String]]): Boolean =
+      new java.util.LinkedHashMap[String, StructType](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, StructType]): Boolean =
           size() > 256
       })
+
+  /** Typed entity schema of one folder per ITS OWN model.json; `None` when
+    * the folder has no model.json or doesn't carry the entity.
+    */
+  def folderEntitySchema(conf: Configuration, folder: String): Option[StructType] = {
+    val cached = folderSchemaCache.get(folder)
+    if (cached != null) Some(cached)
+    else {
+      val fresh: Option[StructType] = listing {
+        val p = new Path(new Path(root, folder), "model.json")
+        val f = fs(conf)
+        if (!f.exists(p)) None
+        else {
+          val in = f.open(p)
+          val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+          CdmModel.parse(json).entity(entity).map(CdmSchema.forEntity)
+        }
+      }
+      fresh.foreach(folderSchemaCache.put(folder, _))
+      fresh
+    }
+  }
 
   /** CSV column order of one folder per ITS OWN model.json — the reference
     * groups rows by each batch folder's schema
@@ -256,29 +283,46 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
     * model.json or doesn't carry the entity; the caller falls back to the
     * unified newest-model order.
     */
-  def folderCsvCols(conf: Configuration, folder: String): Option[Array[String]] = {
-    val cached = folderColsCache.get(folder)
-    if (cached != null) Some(cached)
-    else {
-      val fresh: Option[Array[String]] = listing {
-        val p = new Path(new Path(root, folder), "model.json")
-        val f = fs(conf)
-        if (!f.exists(p)) None
-        else {
-          val in = f.open(p)
-          val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-          CdmModel.parse(json).entity(entity)
-            .map(e => e.attributes.map(a => CdmSchema.normalizeFieldName(a.name)).toArray)
-        }
-      }
-      fresh.foreach(folderColsCache.put(folder, _))
-      fresh
+  def folderCsvCols(conf: Configuration, folder: String): Option[Array[String]] =
+    folderEntitySchema(conf, folder).map(_.fieldNames)
+
+  /** Unified BACKFILL schema (`docs/backfill.md:14-19` staging-vs-target
+    * parity): the NEWEST model's fields — the authoritative current schema
+    * — plus every column that appears in a scanned folder's own model.json
+    * but was DROPPED from the newest model, appended in first-seen
+    * (chronological) order with its contemporary type and marked with
+    * [[SynapseCdmLayout.DroppedColumnMetadataKey]]. A years-deep backfill
+    * of an entity that dropped a column thus keeps that column's history
+    * (old rows carry values, new-schema rows read NULL) instead of
+    * silently narrowing the scan. Cost: one cached model.json read per
+    * folder in the range — the same reads partition planning performs —
+    * bounded by folder count, never by data.
+    */
+  def unionEntitySchema(conf: Configuration, backfillStartDate: Option[String]): StructType = {
+    val newest = entitySchema(conf, changelogValue(conf))
+    val start = backfillStartDate.map(SynapseCdmLayout.decrementLexically).getOrElse("")
+    val end = changelogValue(conf).getOrElse("￿")
+    val have = scala.collection.mutable.Set.from(newest.fieldNames)
+    val dropped = Seq.newBuilder[StructField]
+    foldersInRange(conf, start, end).foreach { folder =>
+      folderEntitySchema(conf, folder).foreach(_.fields.foreach { f =>
+        if (have.add(f.name))
+          dropped += f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putBoolean(SynapseCdmLayout.DroppedColumnMetadataKey, true).build())
+      })
     }
+    StructType(newest.fields ++ dropped.result())
   }
 
-  def rawSchemaWithMeta: StructType = {
+  def rawSchemaWithMeta: StructType = rawSchemaWithMeta(None)
+
+  def rawSchemaWithMeta(unionBackfillStart: Option[Option[String]]): StructType = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val typed = entitySchema(conf, changelogValue(conf))
+    val typed = unionBackfillStart match {
+      case Some(start) => unionEntitySchema(conf, start)
+      case None        => entitySchema(conf, changelogValue(conf))
+    }
     // _chunk_idx/_chunk_last carry per-chunk resume metadata so the
     // pipeline can commit a watermark that encodes PARTIAL folder progress
     // ("folder#chunksDone") instead of overshooting to the folder name
@@ -304,6 +348,40 @@ object SynapseCdmLayout {
     * FileSystem is used unchanged (no per-layout fs instance).
     */
   val DefaultMaxResultsPerPage = 5000
+
+  /** StructField metadata marking a union-schema column that the NEWEST
+    * model no longer carries ([[SynapseCdmLayout.unionEntitySchema]]) —
+    * folders without their own model.json parse under the newest layout,
+    * which excludes these.
+    */
+  val DroppedColumnMetadataKey = "cdm.droppedColumn"
+
+  /** Largest string strictly below `s` with the same sort position — makes
+    * the inclusive backfillStartDate cutoff work with the exclusive-start
+    * range listing.
+    */
+  def decrementLexically(s: String): String =
+    if (s.isEmpty) s else s.init + (s.last - 1).toChar + "￿"
+
+  /** Process-wide FileSystem instances for non-default listing page sizes,
+    * keyed by (store URI, pageSize) — Hadoop's own FileSystem.CACHE keys
+    * by (uri, ugi) only, so a page-size-carrying conf needs its own
+    * instance, but ONE per distinct (store, size) for the JVM's lifetime
+    * (like Hadoop's cache, closed at exit), not one per layout: layouts
+    * are created per scan/stream and would otherwise leak object-store
+    * client pools on every stream restart.
+    */
+  private val pagedFsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), FileSystem]()
+
+  private[sources] def pagedFs(uri: java.net.URI, conf: Configuration, pageSize: Int): FileSystem =
+    pagedFsCache.computeIfAbsent((uri.getScheme + "://" + Option(uri.getAuthority).getOrElse(""),
+      pageSize), { _ =>
+      val c = new Configuration(conf)
+      c.setInt("fs.azure.list.max.results", pageSize) // ABFS
+      c.setInt("fs.s3a.paging.maximum", pageSize)     // S3A
+      FileSystem.newInstance(uri, c)
+    })
 
   def apply(options: CaseInsensitiveStringMap, conf: Configuration): SynapseCdmLayout = {
     val root = Option(options.get("path")).getOrElse(
@@ -354,7 +432,8 @@ class SynapseCdmScan(fullSchema: StructType, required: StructType, options: Case
     private val conf = SparkSession.active.sparkContext.hadoopConfiguration
     private val layout = SynapseCdmLayout(options, conf)
     override def planInputPartitions(): Array[InputPartition] = {
-      val start = Option(options.get("backfillStartDate")).map(fo => decrementLexically(fo)).getOrElse("")
+      val start = Option(options.get("backfillStartDate"))
+        .map(SynapseCdmLayout.decrementLexically).getOrElse("")
       val end = layout.changelogValue(conf).getOrElse("￿")
       val folders = layout.foldersInRange(conf, start, end)
       SynapseCdmScanHelper.partitions(layout, conf, folders.map(f => (f, 0, -1)), fullSchema, required)
@@ -362,13 +441,6 @@ class SynapseCdmScan(fullSchema: StructType, required: StructType, options: Case
     override def createReaderFactory(): PartitionReaderFactory =
       new CsvChunkReaderFactory(new SerializableHadoopConf(conf))
   }
-
-  /** Largest string strictly below `s` with the same length — makes the
-    * inclusive backfillStartDate cutoff work with the exclusive-start range
-    * listing.
-    */
-  private def decrementLexically(s: String): String =
-    if (s.isEmpty) s else s.init + (s.last - 1).toChar + "￿"
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SynapseCdmMicroBatchStream(fullSchema, required, options)
@@ -541,7 +613,15 @@ object SynapseCdmScanHelper {
       fullSchema: StructType,
       required: StructType
   ): Array[InputPartition] = {
-    val csvCols = fullSchema.fieldNames.filterNot(MetaCols.contains)
+    // Fallback CSV order for folders WITHOUT their own model.json = the
+    // NEWEST model's columns only: union-schema columns marked dropped
+    // ([[SynapseCdmLayout.DroppedColumnMetadataKey]]) exist in historical
+    // folders' schemas, never in a newest-layout CSV, so including them in
+    // the fallback would misalign every column after the drop point.
+    val csvCols = fullSchema.fields
+      .filterNot(f => MetaCols.contains(f.name))
+      .filterNot(f => f.metadata.contains(SynapseCdmLayout.DroppedColumnMetadataKey))
+      .map(_.name)
     def projectionFor(cols: Array[String]): Array[Int] = required.fieldNames.map {
       case "_folder"     => -1
       case "_chunk_idx"  => -2

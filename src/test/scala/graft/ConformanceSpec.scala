@@ -27,6 +27,7 @@ class ConformanceSpec extends SparkSpec {
     CdmFixture.initRoot(root)
     val wmFolder = CdmFixture.uploadBatch(root, now.minusHours(1), updateChangelog = true, chunkSeed = 1)
     CdmFixture.uploadBatch(root, now.minusHours(2), chunkSeed = 2)
+    val icebergDir = tmpDir("cdm-mor-iceberg")
     val spec = StreamSpec(
       sourcePath = root,
       entityName = CdmFixture.entityName,
@@ -34,7 +35,10 @@ class ConformanceSpec extends SparkSpec {
       backfillBehavior = "Overwrite",
       numBuckets = 4,
       changeCaptureIntervalSeconds = 1,
-      mergeMode = "merge-on-read"
+      mergeMode = "merge-on-read",
+      // per-commit Iceberg export on a MoR stream: outstanding equality
+      // deletes ride along as content=1 manifests (no compaction gate)
+      icebergExportDir = Some(icebergDir)
     )
     CdcPipeline.runBackfill(spark, spec)
     val table = SnapshotTable(spark, target)
@@ -69,6 +73,21 @@ class ConformanceSpec extends SparkSpec {
     assert(backfilled.subsetOf(snap.files.map(_.path).toSet),
       "streamed merge-on-read commits must not rewrite backfill files")
     assert(snap.deletes.nonEmpty, "the streamed delete/upsert must have produced delete files")
+
+    // the STREAM exported per commit WITH the deletes outstanding: an
+    // external Iceberg v2 reader (readLiveRows applies the content=1
+    // equality-delete manifest by sequence number) sees exactly read(),
+    // and the export history advanced past the backfill snapshot
+    val icebergFs = new org.apache.hadoop.fs.Path(icebergDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.tables.IcebergExport
+      .readVersionHint(icebergFs, new org.apache.hadoop.fs.Path(icebergDir)).toInt > 1,
+      "per-commit export must append history for each streamed commit")
+    val viaIceberg = graft.tables.IcebergExport.readLiveRows(spark, icebergDir, table.schema)
+    val cmpCols = result.columns.sorted.toIndexedSeq.map(col)
+    assert(viaIceberg.select(cmpCols: _*).except(result.select(cmpCols: _*)).isEmpty &&
+      result.select(cmpCols: _*).except(viaIceberg.select(cmpCols: _*)).isEmpty,
+      "Iceberg merge-on-read view (deletes applied) must match SnapshotTable.read() exactly")
 
     // incremental aggregate maintenance across the WHOLE streamed window:
     // one refresh from the pinned backfill state over changesBetween
@@ -135,6 +154,7 @@ class ConformanceSpec extends SparkSpec {
     assert(graft.tables.IcebergExport
       .readDataFiles(icebergFs, new org.apache.hadoop.fs.Path(icebergDir))
       .map(_._2).sum === 5L)
+    val backfillSnapId = table.currentSnapshot.version + 1 // exported snapshot id of the backfill
 
     // --- streaming: three folders --------------------------------------
     CdmFixture.uploadBatch(root, now.minusMinutes(45), addDelete = true, addUpsert = true, chunkSeed = 3)
@@ -176,6 +196,13 @@ class ConformanceSpec extends SparkSpec {
     assert(graft.tables.IcebergExport
       .readVersionHint(icebergFs, new org.apache.hadoop.fs.Path(icebergDir)).toInt > 1,
       "streamed commits must append export history, not rewrite v1")
+    // time travel ACROSS streamed commits: the backfill snapshot, addressed
+    // by its exported id, still resolves to the pre-stream state while the
+    // head carries the streamed merges — both states readable at once
+    assert(graft.tables.IcebergExport
+      .readDataFiles(icebergFs, new org.apache.hadoop.fs.Path(icebergDir), Some(backfillSnapId))
+      .map(_._2).sum === 5L,
+      "export history must time-travel to the backfill state after streamed commits")
   }
 
   test("three entity streams run concurrently in one session: per-stream checkpoints, independent watermarks") {
@@ -616,6 +643,61 @@ class ConformanceSpec extends SparkSpec {
     put("2024-01-02T00.00.00Z", "churn_e", "0.csv")("id2,\"beta\",7,\"x\"\n")
     put("2024-01-03T00.00.00Z", "churn_e", "0.csv")("id3,\"gamma\",9,\"y\"\n")
     put("Changelog", "changelog.info")("2024-01-03T00.00.00Z")
+  }
+
+  test("backfill keeps a column DROPPED from the newest model: union schema + A12 ADD COLUMN") {
+    // The reference's backfill stages each folder under its own schema and
+    // diffs staging vs target, ADDing staging-only columns
+    // (docs/backfill.md:14-19) — so a column present in historical
+    // model.json generations but dropped from the newest one keeps its
+    // history. Old folder carries `legacycode`; the newest model dropped it.
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("cdm-dropped-src") + "/export"
+    def put(parts: String*)(content: String): Unit = {
+      val p = Paths.get(root, parts: _*)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    }
+    def model(attrs: (String, String)*): String =
+      s"""{"name":"cdm","version":"1","entities":[{"$$type":"LocalEntity","name":"drop_e","attributes":[
+         |${attrs.map { case (n, t) => s"""{"name":"$n","dataType":"$t"}""" }.mkString(",")}]}]}""".stripMargin
+    val oldModel = model("Id" -> "guid", "versionnumber" -> "int64",
+      "legacycode" -> "string", "IsDelete" -> "boolean")
+    val newModel = model("Id" -> "guid", "versionnumber" -> "int64", "IsDelete" -> "boolean")
+    put("model.json")(newModel)
+    put("2024-01-01T00.00.00Z", "model.json")(oldModel)
+    put("2024-01-01T00.00.00Z", "drop_e", "0.csv")("idA,10,\"L-A\",\nidB,10,\"L-B\",\n")
+    put("2024-01-02T00.00.00Z", "model.json")(newModel)
+    put("2024-01-02T00.00.00Z", "drop_e", "0.csv")("idB,20,\nidC,20,\n")
+    put("Changelog", "changelog.info")("2024-01-02T00.00.00Z")
+
+    val target = tmpDir("cdm-dropped-target") + "/t"
+    def spec(behavior: String, start: Option[String] = None) = StreamSpec(
+      sourcePath = root, entityName = "drop_e", targetLocation = target,
+      backfillBehavior = behavior, backfillStartDate = start, numBuckets = 4,
+      keyColumns = Seq("Id"))
+
+    // 1. staging-vs-target diff (Merge): target pre-exists WITHOUT the
+    //    dropped column (created from the new-schema folder only); the full
+    //    backfill must ADD COLUMN legacycode and land its history
+    CdcPipeline.runBackfill(spark, spec("Overwrite", start = Some("2024-01-02T00.00.00Z")))
+    val table = SnapshotTable(spark, target)
+    assert(!table.schema.fieldNames.map(_.toLowerCase).contains("legacycode"),
+      "precondition: new-schema-only target must lack the dropped column")
+    CdcPipeline.runBackfill(spark, spec("Merge"))
+    val got = table.read().select("Id", "versionnumber", "legacycode")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(got === Set(("idA", 10L, "L-A"), ("idB", 20L, null), ("idC", 20L, null)),
+      "dropped-column history must survive: old rows carry values, newest-schema winners NULL")
+
+    // 2. Overwrite backfill from scratch lands the union schema directly
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(target))
+    CdcPipeline.runBackfill(spark, spec("Overwrite"))
+    val got2 = SnapshotTable(spark, target).read().select("Id", "legacycode")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(got2 === Set(("idA", "L-A"), ("idB", null), ("idC", null)))
   }
 
   test("full pipeline across a schema-churn export: backfill the old schema, stream the new, values aligned") {
