@@ -186,7 +186,8 @@ object Bench {
         s""""worst_drift":${r3(worst)},"passes_discarded":$passesDiscarded}"""
     }
     val extra =
-      s""""cdc_rows_per_sec":${r3(if (cdcSec > 0) cdcRows / cdcSec else -1.0)},"cdc_rows":$cdcRows,$scale,$knee,$calib"""
+      s""""cdc_rows_per_sec":${r3(if (cdcSec > 0) cdcRows / cdcSec else -1.0)},"cdc_rows":$cdcRows,$scale,$knee,$calib,""" +
+        s""""passes_discarded_any":${passesDiscarded > 0}"""
 
     // FULL per-query detail (timings + per-query spread + raw runs) goes to
     // a file; stdout carries ONE compact JSON line. The harness that
@@ -272,7 +273,13 @@ object Bench {
     sb.append("}")
     sb.append(s""","fast_n":${rest.size},"fast_total":${r3(rest.map(_._2).sum)}""")
     if (extra.nonEmpty) sb.append("," + extra)
-    sb.append(s""","max_spread":${r3(maxSpread)}}""")
+    // Top-level cleanliness verdict: `noisy_present` = any query's
+    // reported best is uncorroborated by its runner-up (the detail file's
+    // `noisy` list is non-empty) — gate-able from THIS line without
+    // parsing bench_detail.json (passes_discarded_any, the other half of
+    // the verdict, rides in via `extra` from the calibration state).
+    val noisyPresent = runs.exists { case (_, r) => spreadOf(r) > 1.5 }
+    sb.append(s""","noisy_present":$noisyPresent,"max_spread":${r3(maxSpread)}}""")
     sb.toString
   }
 

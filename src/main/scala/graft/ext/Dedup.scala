@@ -1136,7 +1136,7 @@ object Dedup {
     * CONTRACT for duplicate-heavy corpora: pair enumeration over a
     * k-sized group of identical strings is Θ(k²) by problem definition —
     * measured at ~453 candidates/row when group size is ~300
-    * (SCALE.md "the fuzzy-pairs knee"). Run [[dedupExact]] (or group-by
+    * (SCALE.md "the fuzzy-pairs knee"). Run [[exact]] (or group-by
     * key) FIRST and feed this operator the distinct residue; the skew
     * guard only kicks in at `maxBucketSize`-scale groups and degrades to
     * dropped buckets, not to a cheaper plan.
@@ -1147,7 +1147,8 @@ object Dedup {
       strCol: String = "text",
       maxDist: Int = 1,
       maxBucketSize: Int = 10000,
-      maxAvgLen: Int = 64
+      maxAvgLen: Int = 64,
+      maxSampleGroup: Int = 1000
   ): DataFrame = {
     // Fail fast on long-string columns: the deletion neighborhood is
     // O(len^maxDist) per ROW, so pointing this at document bodies (the
@@ -1166,6 +1167,25 @@ object Dedup {
           s"The O(len^$maxDist) deletion neighborhood is for SHORT string columns " +
           "(names, titles, URLs); for document bodies use minHash/simHash near-dup " +
           "instead, or raise maxAvgLen explicitly if the column really is this wide.")
+    }
+    // Duplicate-mass probe, enforcing the contract above the same way the
+    // length probe enforces its own: pair enumeration over a k-sized group
+    // of IDENTICAL strings is Θ(k²) by problem definition (SCALE.md "the
+    // fuzzy-pairs knee"), so a corpus whose sampled largest exact group
+    // exceeds `maxSampleGroup` fails fast pointing at Dedup.exact instead
+    // of silently running a quadratic-in-group-size plan. Bounded sample
+    // (10k rows — one tiny job); <= 0 disables for the caller who has
+    // measured and truly wants mass-identical pairs enumerated.
+    if (maxSampleGroup > 0) {
+      val g = df.select(col(strCol).as("s")).where(col("s").isNotNull)
+        .limit(10000).groupBy(col("s")).count().agg(max(col("count"))).first()
+      val biggest = if (g.isNullAt(0)) 0L else g.getLong(0)
+      require(biggest <= maxSampleGroup,
+        s"fuzzyPairs: a sampled exact-duplicate group of '$strCol' has $biggest rows " +
+          s"(> maxSampleGroup=$maxSampleGroup). Identical strings pair quadratically in " +
+          "group size — run Dedup.exact (or a group-by on the string) FIRST and feed " +
+          "fuzzyPairs the distinct residue; raise or disable maxSampleGroup only if " +
+          "enumerating mass-identical pairs is genuinely intended.")
     }
     val base = df.select(col(idCol).as("id"), col(strCol).as("s")).where(col("s").isNotNull)
     val candidates = fuzzyCandidates(base, maxDist, maxBucketSize)

@@ -137,6 +137,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(rPq >= 0.10, s"sf0.1 IVF-PQ recall@10 $rPq below floor (0.15 - 0.05)")
   }
 
+  test("sf0.1 corpus: LSH multi-probe recall@10 floor holds at 4x scale") {
+    // The LSH tier's sf0.1 leg, alongside the IVF tiers above: the gate's
+    // floor (0.35 at sf0.01, 4 planes) re-measured on the 4x corpus at the
+    // SCALED plane count — buckets ≈ 2^planes should track corpus size, so
+    // 5 planes keeps expected bucket occupancy comparable while the
+    // 1-bit-flip multiprobe ring still covers planes+1 buckets per query.
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val emb01 = spark.read.parquet(s"${sf("sf0.1")}/embeddings.parquet")
+    val dim = emb01.select(size(col("embedding"))).head().getInt(0)
+    val queries = emb01.where(col("vec_id") < 50)
+    val exact01 = pairs(Similarity.bruteForceTopK(queries, emb01, k = 10))
+    val got = pairs(Similarity.lshTopK(queries, emb01, k = 10, dim = dim, numPlanes = 5))
+    val recall = exact01.count(got.contains).toDouble / exact01.size
+    info(f"sf0.1 LSH(planes=5) recall@10: $recall%.3f")
+    assert(recall >= 0.30, s"sf0.1 LSH recall@10 $recall below floor (0.35 gate - 0.05 scale slack)")
+  }
+
   test("broadcast centroid path is bit-identical to the literal function and keeps the matrix out of the plan") {
     import graft.ext.Similarity
     import org.apache.spark.sql.functions._

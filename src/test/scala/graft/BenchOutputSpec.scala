@@ -81,6 +81,17 @@ class BenchOutputSpec extends AnyFunSuite {
     assert(Bench.compactLine(zero, "sf", "d.json").contains(""""max_spread":1.0"""))
   }
 
+  test("noisy_present is a top-level boolean on the compact line (gate-able without the detail file)") {
+    // clean runs: every best corroborated by its runner-up
+    val clean = Seq("q_a" -> Seq(1.0, 1.1), "q_b" -> Seq(2.0, 2.2))
+    assert(Bench.compactLine(clean, "sf", "d.json").contains(""""noisy_present":false"""))
+    // one uncorroborated query (runner-up > 1.5x best) flips the flag
+    val noisy = clean :+ ("q_c" -> Seq(1.0, 1.9))
+    assert(Bench.compactLine(noisy, "sf", "d.json").contains(""""noisy_present":true"""))
+    // the line budget still holds with the flag present
+    assert(Bench.compactLine(fakeRuns(200), "sf", "d.json").length < 1600)
+  }
+
   test("extra sections ride both outputs and share the compact line's budget") {
     val extra = """"cdc_rows_per_sec":12345.6,"sf1":{"rows_factor":10,"queries":{"q_a":1.5}}"""
     val line = Bench.compactLine(fakeRuns(200), "sf", "d.json", extra = extra)

@@ -698,6 +698,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(ok2.toSeq == Seq((1L, 2L, 1)))
   }
 
+  test("fuzzyPairs duplicate-mass probe fails fast on mass-identical corpora, pointing at dedupExact") {
+    // The SCALE.md contract ("run dedupExact first") enforced like the
+    // length probe: a corpus dominated by one exact-duplicate group is
+    // Θ(k²) in that group by problem definition — refuse loudly.
+    val mass = ((0L until 5000L).map(i => (i, "identical boilerplate")) ++
+      Seq((9001L, "unique alpha"), (9002L, "unique alphb"))).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] { Dedup.fuzzyPairs(mass, maxDist = 1) }
+    assert(err.getMessage.contains("Dedup.exact") && err.getMessage.contains("maxSampleGroup"))
+    // the prescribed remedy passes: the exact-dedup residue runs clean and
+    // still finds the true non-identical pair
+    val residue = Dedup.exact(mass, "doc_id", "text")
+    val ok = Dedup.fuzzyPairs(residue, maxDist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ok == Set((9001L, 9002L)))
+    // measured-caller escape hatch: <= 0 disables the probe
+    assert(Dedup.fuzzyPairs(mass.limit(50), maxDist = 1, maxSampleGroup = 0).count() >= 0)
+  }
+
   test("weightedSample is the exact top-k of the A-Res keys and favors heavy rows") {
     val rows = (1L to 1000L).map(i => (i, if (i <= 10) 10000.0 else 1.0))
     val df = rows.toDF("doc_id", "w")
