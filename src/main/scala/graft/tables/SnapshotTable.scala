@@ -1180,12 +1180,24 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     require(snap.deletes.isEmpty,
       "table has outstanding equality deletes (merge-on-read commits); " +
         "run compact() to absorb them before exporting a symlink manifest")
+    // Idempotence fast path (same shape as exportIceberg's): a
+    // maintenance run whose compaction was a no-op re-exports the SAME
+    // table version — skip the O(live files) rebuild entirely. The
+    // version marker lives inside the versioned dir, resolved through the
+    // published symlink, so it always describes the export a reader sees.
+    val abs = snap.files.map(f => fs.makeQualified(new Path(dataDir, f.path)).toString)
+    val publishedVersion = new Path(new Path(exportDir), "table_version")
+    try {
+      if (fs.exists(publishedVersion) &&
+          readText(fs, publishedVersion).trim == snap.version.toString)
+        return abs
+    } catch { case scala.util.control.NonFatal(_) => () } // unreadable marker → rebuild
     val versioned = new Path(s"$exportDir.v${System.nanoTime()}")
     fs.delete(versioned, true)
     fs.mkdirs(versioned)
-    val abs = snap.files.map(f => fs.makeQualified(new Path(dataDir, f.path)).toString)
     writeText(fs, new Path(versioned, "manifest"), if (abs.isEmpty) "" else abs.mkString("\n") + "\n")
     writeText(fs, new Path(versioned, "schema.json"), snap.schema.json)
+    writeText(fs, new Path(versioned, "table_version"), snap.version.toString)
     val dataOut = new Path(versioned, "data")
     // The glob-safe linked data directory is a LOCAL-filesystem convenience
     // (symlinks). On remote stores (HDFS/ABFS/S3) every "link" would fall

@@ -593,17 +593,26 @@ class SnapshotTableSpec extends SparkSpec {
     }
     t.exportSymlinkManifest(exportDir)
     val v1 = target.getFileName.toString
+    t.setProperties(Map("touch" -> "1")) // bump version: grace applies to REAL re-publishes
     t.exportSymlinkManifest(exportDir)
     val v2 = target.getFileName.toString
+    assert(v1 != v2)
     // an in-flight reader of v1 (resolved just before the swap) still sees
     // an intact directory
     assert(versions == Set(v1, v2), s"expected {$v1,$v2}, got $versions")
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(exportDir).resolveSibling(v1).resolve("_SUCCESS")))
+    t.setProperties(Map("touch" -> "2"))
     t.exportSymlinkManifest(exportDir)
     val v3 = target.getFileName.toString
     // two publishes stale → dropped; disk bounded at two live exports
     assert(versions == Set(v2, v3), s"expected {$v2,$v3}, got $versions")
+    // idempotence fast path: re-export at the SAME table version is a
+    // no-op — no new versioned dir, published target untouched (a
+    // maintenance run whose compaction did nothing re-exports for free)
+    t.exportSymlinkManifest(exportDir)
+    assert(target.getFileName.toString == v3 && versions == Set(v2, v3),
+      "same-version re-export must not rebuild the export")
   }
 
   test("iceberg export: spec-shaped v2 metadata chain resolves to exactly the live rows") {
