@@ -225,15 +225,27 @@ object IcebergExport {
       |  {"name":"record_count","type":"long","field-id":103},
       |  {"name":"file_size_in_bytes","type":"long","field-id":104},
       |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],
-      |   "default":null,"field-id":135}
+      |   "default":null,"field-id":135},
+      |  {"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record",
+      |   "name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},
+      |   {"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],
+      |   "default":null,"field-id":125},
+      |  {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record",
+      |   "name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},
+      |   {"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],
+      |   "default":null,"field-id":128}
       |]}}
       |]}""".stripMargin)
 
-  /** One live data file: absolute URI, byte length, row count, and the
+  /** One live data file: absolute URI, byte length, row count, the
     * table's data sequence number for the commit that wrote it (what
-    * equality deletes compare against).
+    * equality deletes compare against), and per-column (min, max) from
+    * the table's manifest skipping index ([[DataFile.stats]]) — exported
+    * as Iceberg `lower_bounds`/`upper_bounds` so external readers prune
+    * files the same way [[SnapshotTable.readRange]] does.
     */
-  final case class ExportFile(path: String, sizeBytes: Long, recordCount: Long, seq: Long = 0L)
+  final case class ExportFile(path: String, sizeBytes: Long, recordCount: Long, seq: Long = 0L,
+      stats: Map[String, (Double, Double)] = Map.empty)
 
   /** One outstanding equality-delete file (always parquet; one column —
     * the merge key). Applies to data files with seq strictly below its
@@ -266,12 +278,44 @@ object IcebergExport {
 
   /** Everything a prior manifest recorded about one file — used to carry
     * EXISTING entries forward bit-stable and to write DELETED tombstones
-    * with the original file record.
+    * with the original file record. Bounds ride as the raw Avro values
+    * read back (same writer schema, re-appended verbatim).
     */
   private final case class PriorEntry(
       snapshotId: Long, seq: Long, fileSeq: Long,
       recordCount: Long, sizeBytes: Long, fileFormat: String,
-      equalityIds: Option[Seq[Int]])
+      equalityIds: Option[Seq[Int]],
+      lowerRaw: AnyRef = null, upperRaw: AnyRef = null)
+
+  /** Iceberg single-value serialization (spec "Binary single-value
+    * serialization") of one min/max stat for a bounds map — little-endian
+    * fixed width per primitive. The table's stats index stores min/max as
+    * Double; for LONG columns a value above 2^53 may have rounded in
+    * either direction, so bounds are SAFELY WIDENED (lower floored minus
+    * the representation's ulp, upper ceiled plus it) — a too-wide bound
+    * only costs pruning, a too-tight one would make external readers skip
+    * files that match. INT doubles are exact. Non-numeric/decimal columns
+    * are skipped (no exact round-trip through Double).
+    */
+  private[graft] def boundBytes(dt: DataType, v: Double, lower: Boolean): Option[Array[Byte]] = {
+    def le(n: Int): java.nio.ByteBuffer =
+      java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | ShortType | ByteType =>
+        val i = math.max(Int.MinValue.toDouble, math.min(Int.MaxValue.toDouble, v)).toInt
+        Some(le(4).putInt(i).array())
+      case LongType =>
+        val widened = if (lower) math.floor(v - Math.ulp(v)) else math.ceil(v + Math.ulp(v))
+        val l =
+          if (widened <= Long.MinValue.toDouble) Long.MinValue
+          else if (widened >= Long.MaxValue.toDouble) Long.MaxValue
+          else widened.toLong
+        Some(le(8).putLong(l).array())
+      case FloatType  => Some(le(4).putFloat(v.toFloat).array())
+      case DoubleType => Some(le(8).putDouble(v).array())
+      case _          => None
+    }
+  }
 
   /** Write the Iceberg v2 metadata tree for one snapshot; returns the new
     * metadata.json path. INCREMENTAL: when the export dir already carries
@@ -364,7 +408,10 @@ object IcebergExport {
                     Option(e.get("file_sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
                     df.get("record_count").asInstanceOf[Long],
                     df.get("file_size_in_bytes").asInstanceOf[Long],
-                    df.get("file_format").toString, eq)
+                    df.get("file_format").toString, eq,
+                    // legacy manifests (pre-bounds) read null; carried verbatim
+                    try df.get("lower_bounds") catch { case _: org.apache.avro.AvroRuntimeException => null },
+                    try df.get("upper_bounds") catch { case _: org.apache.avro.AvroRuntimeException => null })
                   (if (isDeletes) del else d)(df.get("file_path").toString) = entry
                 }
               }
@@ -376,9 +423,39 @@ object IcebergExport {
     val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
     val partitionSchema = dataFileSchema.getField("partition").schema()
 
+    val lowerArraySchema = dataFileSchema.getField("lower_bounds").schema().getTypes.get(1)
+    val upperArraySchema = dataFileSchema.getField("upper_bounds").schema().getTypes.get(1)
+
+    /** Manifest bounds maps from the table's per-file (min, max) stats:
+      * field-id-keyed single-value-serialized bytes (safe-widened, see
+      * [[boundBytes]]) — what lets an external Iceberg reader prune files
+      * before opening them.
+      */
+    def boundsOf(stats: Map[String, (Double, Double)]): (AnyRef, AnyRef) = {
+      if (stats.isEmpty) return (null, null)
+      val byName = fieldIds.toMap
+      val lo = new GenericData.Array[GenericRecord](stats.size, lowerArraySchema)
+      val hi = new GenericData.Array[GenericRecord](stats.size, upperArraySchema)
+      stats.foreach { case (name, (mn, mx)) =>
+        schema.fields.find(_.name.equalsIgnoreCase(name)).foreach { f =>
+          byName.get(f.name).foreach { id =>
+            boundBytes(f.dataType, mn, lower = true).foreach { b =>
+              val r = new GenericData.Record(lowerArraySchema.getElementType)
+              r.put("key", id); r.put("value", java.nio.ByteBuffer.wrap(b)); lo.add(r)
+            }
+            boundBytes(f.dataType, mx, lower = false).foreach { b =>
+              val r = new GenericData.Record(upperArraySchema.getElementType)
+              r.put("key", id); r.put("value", java.nio.ByteBuffer.wrap(b)); hi.add(r)
+            }
+          }
+        }
+      }
+      (if (lo.isEmpty) null else lo, if (hi.isEmpty) null else hi)
+    }
+
     def entryRecord(status: Int, snapId: Long, entrySeq: Long, fileSeq: Long,
         content: Int, path: String, format: String, recordCount: Long, sizeBytes: Long,
-        eqIds: Option[Seq[Int]]): GenericRecord = {
+        eqIds: Option[Seq[Int]], bounds: (AnyRef, AnyRef) = (null, null)): GenericRecord = {
       val df = new GenericData.Record(dataFileSchema)
       df.put("content", content)
       df.put("file_path", path)
@@ -387,6 +464,8 @@ object IcebergExport {
       df.put("record_count", recordCount)
       df.put("file_size_in_bytes", sizeBytes)
       df.put("equality_ids", eqIds.map(_.map(Integer.valueOf).asJava).orNull)
+      df.put("lower_bounds", bounds._1)
+      df.put("upper_bounds", bounds._2)
       val e = new GenericData.Record(ManifestEntrySchema)
       e.put("status", status)
       e.put("snapshot_id", snapId)
@@ -433,15 +512,15 @@ object IcebergExport {
         priorData.get(f.path) match {
           case Some(pe) =>
             (0, entryRecord(0, pe.snapshotId, pe.seq, pe.fileSeq, 0, f.path, pe.fileFormat,
-              pe.recordCount, pe.sizeBytes, None), pe.recordCount, pe.seq)
+              pe.recordCount, pe.sizeBytes, None, (pe.lowerRaw, pe.upperRaw)), pe.recordCount, pe.seq)
           case None =>
             (1, entryRecord(1, snapshotId, f.seq, f.seq, 0, f.path, fileFormat,
-              f.recordCount, f.sizeBytes, None), f.recordCount, f.seq)
+              f.recordCount, f.sizeBytes, None, boundsOf(f.stats)), f.recordCount, f.seq)
         }
       } ++
       priorData.collect { case (path, pe) if !newPaths.contains(path) =>
         (2, entryRecord(2, snapshotId, seq, pe.fileSeq, 0, path, pe.fileFormat,
-          pe.recordCount, pe.sizeBytes, None), pe.recordCount, pe.seq)
+          pe.recordCount, pe.sizeBytes, None, (pe.lowerRaw, pe.upperRaw)), pe.recordCount, pe.seq)
       }
     val (mPath, mLen, (mAdd, mExist, mDel), (mAddRows, mExistRows, mDelRows), mMinSeq) =
       writeManifest("m0", "data", dataEntries)

@@ -1285,7 +1285,10 @@ class SnapshotTable(val spark: SparkSession, val location: String,
         else if (format == "orc") FileStats.orcRowCount(conf, p)
         else FileStats.parquetRowCount(conf, p)
       val len = if (f.bytes >= 0L) f.bytes else fs.getFileStatus(p).getLen
-      IcebergExport.ExportFile(p.toString, len, rows, f.seq)
+      // per-column (min, max) from the manifest skipping index rides into
+      // the Iceberg lower_bounds/upper_bounds maps — external readers
+      // prune files the same way readRange does
+      IcebergExport.ExportFile(p.toString, len, rows, f.seq, f.stats)
     }
     // Outstanding merge-on-read equality deletes ride along as content=1
     // delete files (always parquet — writeDeletes); same manifest-sourced

@@ -223,6 +223,100 @@ class IcebergExportSpec extends SparkSpec {
     assert(e.getMessage.contains("column identity") || e.getMessage.contains("incompatible"))
   }
 
+  test("manifest bounds: stats-indexed columns export as lower/upper_bounds; carried entries keep them") {
+    import org.apache.avro.generic.GenericRecord
+    val t = SnapshotTable(spark, tmpDir("iceberg-bounds"))
+    val df = (1 to 100).map(i => (s"k$i", i.toLong, i * 1.5, false))
+      .toDF("arcane_merge_key", "versionnumber", "score", "IsDelete")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 4,
+      extraProps = Map(SnapshotTable.PropStatsColumns -> "versionnumber,score"))
+    val exportDir = tmpDir("iceberg-bounds-out")
+    t.exportIceberg(exportDir)
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def boundsByField(e: org.apache.avro.generic.GenericRecord, which: String): Map[Int, Array[Byte]] = {
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      Option(df.get(which)).map(_.asInstanceOf[java.util.List[GenericRecord]].asScala.map { kv =>
+        val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val arr = new Array[Byte](bb.remaining()); bb.get(arr)
+        kv.get("key").asInstanceOf[Int] -> arr
+      }.toMap).getOrElse(Map.empty)
+    }
+    def le(b: Array[Byte]) = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val meta = currentMeta(fs, exportDir)
+    val ids = meta.get("schemas").get(0).get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+
+    def rawEntries(): Seq[GenericRecord] = {
+      val curId = meta0(fs, exportDir).get("current-snapshot-id").asLong()
+      val sn = meta0(fs, exportDir).get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == curId).get
+      val readAvro = { p: Path =>
+        val in = fs.open(p)
+        val s = new org.apache.avro.file.DataFileStream[GenericRecord](
+          in, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+        try Iterator.continually(if (s.hasNext) Some(s.next()) else None)
+          .takeWhile(_.isDefined).flatten.toVector
+        finally s.close()
+      }
+      readAvro(new Path(sn.get("manifest-list").asText()))
+        .filter(_.get("content").asInstanceOf[Int] == 0)
+        .flatMap(mf => readAvro(new Path(mf.get("manifest_path").toString)))
+    }
+    val entries = rawEntries()
+    assert(entries.nonEmpty)
+    // every file's bounds CONTAIN its true column range: union of file
+    // bounds covers the table range, and each long lower <= upper
+    val verLows = entries.map(e => le(boundsByField(e, "lower_bounds")(ids("versionnumber"))).getLong)
+    val verHighs = entries.map(e => le(boundsByField(e, "upper_bounds")(ids("versionnumber"))).getLong)
+    assert(verLows.min <= 1L && verHighs.max >= 100L, s"bounds must cover [1,100]: ${verLows.min}..${verHighs.max}")
+    verLows.zip(verHighs).foreach { case (lo, hi) => assert(lo <= hi) }
+    val scoreLows = entries.map(e => le(boundsByField(e, "lower_bounds")(ids("score"))).getDouble)
+    val scoreHighs = entries.map(e => le(boundsByField(e, "upper_bounds")(ids("score"))).getDouble)
+    assert(scoreLows.min == 1.5 && scoreHighs.max == 150.0, "double bounds are exact")
+
+    // a 1-key merge carries most files as EXISTING — bounds must survive
+    // the carry verbatim (PriorEntry re-appends the raw Avro values)
+    val withBounds = entries.count(e => boundsByField(e, "lower_bounds").nonEmpty)
+    val change = Seq(("k1", 1000L, 9.9, false))
+      .toDF("arcane_merge_key", "versionnumber", "score", "IsDelete")
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    t.exportIceberg(exportDir)
+    val after = rawEntries()
+    val existing = after.filter(_.get("status").asInstanceOf[Int] == 0)
+    assert(existing.nonEmpty)
+    existing.foreach { e =>
+      assert(boundsByField(e, "lower_bounds").contains(ids("versionnumber")) &&
+        boundsByField(e, "upper_bounds").contains(ids("score")),
+        "carried EXISTING entries must keep their bounds maps")
+    }
+    assert(after.count(e => e.get("status").asInstanceOf[Int] != 2 &&
+      boundsByField(e, "lower_bounds").nonEmpty) >= withBounds - 1)
+  }
+
+  test("boundBytes: long bounds widen safely, int/double exact, non-numeric skipped") {
+    import org.apache.spark.sql.types._
+    def le(b: Array[Byte]) = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // exact small long: widening must not move the bound past an adjacent value
+    assert(le(IcebergExport.boundBytes(LongType, 42.0, lower = true).get).getLong <= 42L)
+    assert(le(IcebergExport.boundBytes(LongType, 42.0, lower = false).get).getLong >= 42L)
+    // a long above 2^53 whose double representation rounded: the SAFE
+    // property is containment — lower <= any value that could have
+    // produced this double <= upper
+    val big = 9007199254740995L // not representable; double rounds to ...996
+    val d = big.toDouble
+    assert(le(IcebergExport.boundBytes(LongType, d, lower = true).get).getLong <= big)
+    assert(le(IcebergExport.boundBytes(LongType, d, lower = false).get).getLong >= big)
+    // extremes clamp instead of overflowing
+    assert(le(IcebergExport.boundBytes(LongType, Double.MaxValue, lower = false).get).getLong == Long.MaxValue)
+    assert(le(IcebergExport.boundBytes(IntegerType, 7.0, lower = true).get).getInt == 7)
+    assert(le(IcebergExport.boundBytes(DoubleType, 1.5, lower = true).get).getDouble == 1.5)
+    assert(IcebergExport.boundBytes(StringType, 1.0, lower = true).isEmpty)
+  }
+
+  private def meta0(fs: org.apache.hadoop.fs.FileSystem, exportDir: String) =
+    currentMeta(fs, exportDir)
+
   test("legal type promotions keep the field id (int->long, float->double, decimal widening)") {
     assert(IcebergExport.legalPromotion("int", "long"))
     assert(IcebergExport.legalPromotion("float", "double"))
