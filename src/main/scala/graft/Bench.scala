@@ -278,8 +278,8 @@ object Bench {
     // `noisy` list is non-empty) — gate-able from THIS line without
     // parsing bench_detail.json (passes_discarded_any, the other half of
     // the verdict, rides in via `extra` from the calibration state).
-    val noisyPresent = runs.exists { case (_, r) => spreadOf(r) > 1.5 }
-    sb.append(s""","noisy_present":$noisyPresent,"max_spread":${r3(maxSpread)}}""")
+    // Derived from maxSpread so the flag and the number cannot diverge.
+    sb.append(s""","noisy_present":${maxSpread > 1.5},"max_spread":${r3(maxSpread)}}""")
     sb.toString
   }
 

@@ -218,7 +218,8 @@ object CdcPipeline {
         "manifest cannot represent outstanding equality deletes; use copy-on-write, " +
         "icebergExportDir (v2 delete manifests), or a maintenanceRun job (exports after " +
         "compaction)")
-    validateIcebergExportFormat(spark, spec)
+    // a stream MERGEs into the target (or creates it fresh) — never replaces
+    validateIcebergExportFormat(spark, spec, willReplace = false)
     val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info",
       spec.listingRetry)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -331,28 +332,43 @@ object CdcPipeline {
     * target the spec doesn't mention) is caught here too, not inside the
     * first post-commit export.
     */
-  private def validateIcebergExportFormat(spark: SparkSession, spec: StreamSpec): Unit =
+  /** `willReplace` = this run will CREATE OR REPLACE the target (an
+    * Overwrite backfill, or any run against a not-yet-existing table):
+    * `createOrReplace` merges `prevProps ++ layoutProps`, so the SPEC's
+    * format wins there (falling back to the replaced table's persisted
+    * format when the spec sets none). A MERGE into an existing table
+    * keeps the table's persisted properties and ignores the spec's format
+    * entirely — resolving in the wrong order would both falsely accept an
+    * avro Overwrite of a parquet target (post-commit export failure, the
+    * exact mode this check prevents) and falsely reject a parquet
+    * Overwrite of a persisted-avro one.
+    */
+  private def validateIcebergExportFormat(spark: SparkSession, spec: StreamSpec,
+      willReplace: Boolean): Unit =
     spec.icebergExportDir.foreach { _ =>
-      val existingProps = {
+      // persisted = the EXISTING table's effective format (its absent
+      // property means parquet — the write-path default), None when no
+      // table exists yet
+      val persisted = {
         val t = SnapshotTable(spark, spec.targetLocation)
-        if (t.exists) t.properties else Map.empty[String, String]
+        if (t.exists) Some(t.properties.getOrElse(SnapshotTable.PropFormat, "parquet")) else None
       }
-      // MERGE commits keep the existing table's persisted format; fresh
-      // creates/overwrites resolve spec.format over targetTableProperties
-      // (layoutProps puts the format key last). Checking the existing
-      // property FIRST is deliberately conservative: it also rejects the
-      // pre-existing-avro-table case a spec-only check would miss.
       val fromSpec = (spec.targetTableProperties ++
         spec.format.map(SnapshotTable.PropFormat -> _).toMap).get(SnapshotTable.PropFormat)
-      val effective = existingProps.get(SnapshotTable.PropFormat).orElse(fromSpec)
-        .map(_.toLowerCase).getOrElse("parquet")
+      val effective =
+        (if (willReplace) fromSpec.orElse(persisted) else persisted.orElse(fromSpec))
+          .map(_.toLowerCase).getOrElse("parquet")
       require(effective == "parquet" || effective == "orc",
         s"icebergExportDir requires a parquet or orc target table (format=$effective); " +
           "Iceberg export collects record counts from data-file footers, which avro lacks")
     }
 
   def runBackfill(spark: SparkSession, spec: StreamSpec): Unit = {
-    validateIcebergExportFormat(spark, spec)
+    // mirrors the merge/replace decision below: Merge-into-existing keeps
+    // the table's format; everything else runs createOrReplace
+    validateIcebergExportFormat(spark, spec, willReplace =
+      !(spec.backfillBehavior.equalsIgnoreCase("merge") &&
+        SnapshotTable(spark, spec.targetLocation).exists))
     // Tags installed FIRST so any emission during the backfill itself —
     // retry logging, a failure surfacing through Main's stream_failed path —
     // carries this stream's tags, not empty/stale ones from a previous

@@ -299,9 +299,13 @@ final case class SynapseCdmLayout(root: String, entity: String, changelogPath: S
     * bounded by folder count, never by data.
     */
   def unionEntitySchema(conf: Configuration, backfillStartDate: Option[String]): StructType = {
-    val newest = entitySchema(conf, changelogValue(conf))
+    // ONE changelog read serves both the newest-model choice and the range
+    // end — two reads would race a concurrent changelog advance (the new
+    // head's schema would then be mistaken for a historical one)
+    val head = changelogValue(conf)
+    val newest = entitySchema(conf, head)
     val start = backfillStartDate.map(SynapseCdmLayout.decrementLexically).getOrElse("")
-    val end = changelogValue(conf).getOrElse("￿")
+    val end = head.getOrElse("￿")
     val have = scala.collection.mutable.Set.from(newest.fieldNames)
     val dropped = Seq.newBuilder[StructField]
     foldersInRange(conf, start, end).foreach { folder =>

@@ -400,7 +400,11 @@ object IcebergExport {
               readAvro(fs, new Path(mf.get("manifest_path").toString)).foreach { e =>
                 if (e.get("status").asInstanceOf[Int] != 2) {
                   val df = e.get("data_file").asInstanceOf[GenericRecord]
-                  val eq = Option(df.get("equality_ids")).map(
+                  // optional fields absent from LEGACY manifests (written
+                  // before equality_ids/bounds existed) read as null — the
+                  // upgrade path an old export dir takes on its first
+                  // post-upgrade commit
+                  val eq = Option(fieldOrNull(df, "equality_ids")).map(
                     _.asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq)
                   val entry = PriorEntry(
                     Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(parentSnapId),
@@ -409,9 +413,7 @@ object IcebergExport {
                     df.get("record_count").asInstanceOf[Long],
                     df.get("file_size_in_bytes").asInstanceOf[Long],
                     df.get("file_format").toString, eq,
-                    // legacy manifests (pre-bounds) read null; carried verbatim
-                    try df.get("lower_bounds") catch { case _: org.apache.avro.AvroRuntimeException => null },
-                    try df.get("upper_bounds") catch { case _: org.apache.avro.AvroRuntimeException => null })
+                    fieldOrNull(df, "lower_bounds"), fieldOrNull(df, "upper_bounds"))
                   (if (isDeletes) del else d)(df.get("file_path").toString) = entry
                 }
               }
@@ -518,8 +520,13 @@ object IcebergExport {
               f.recordCount, f.sizeBytes, None, boundsOf(f.stats)), f.recordCount, f.seq)
         }
       } ++
+      // DELETED tombstones keep the file's OWN data sequence numbers (a
+      // file's sequence never changes after it is added — the spec's
+      // inheritance rule); the REMOVING commit is identified by
+      // snapshot_id, so sequence-based reasoning over removed files stays
+      // consistent with min_sequence_number below.
       priorData.collect { case (path, pe) if !newPaths.contains(path) =>
-        (2, entryRecord(2, snapshotId, seq, pe.fileSeq, 0, path, pe.fileFormat,
+        (2, entryRecord(2, snapshotId, pe.seq, pe.fileSeq, 0, path, pe.fileFormat,
           pe.recordCount, pe.sizeBytes, None, (pe.lowerRaw, pe.upperRaw)), pe.recordCount, pe.seq)
       }
     val (mPath, mLen, (mAdd, mExist, mDel), (mAddRows, mExistRows, mDelRows), mMinSeq) =
@@ -540,7 +547,7 @@ object IcebergExport {
         }
       } ++
       priorDeletes.collect { case (path, pe) if !newDelPaths.contains(path) =>
-        (2, entryRecord(2, snapshotId, seq, pe.fileSeq, 2, path, "PARQUET",
+        (2, entryRecord(2, snapshotId, pe.seq, pe.fileSeq, 2, path, "PARQUET",
           pe.recordCount, pe.sizeBytes, pe.equalityIds), pe.recordCount, pe.seq)
       }
     val deleteManifest =
@@ -765,7 +772,7 @@ object IcebergExport {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val seq = Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
           if (isDeletes || df.get("content").asInstanceOf[Int] != 0) {
-            val eq = Option(df.get("equality_ids"))
+            val eq = Option(fieldOrNull(df, "equality_ids"))
               .map(_.asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq)
               .getOrElse(Seq.empty)
             dels += ManifestDeleteFile(df.get("file_path").toString, seq, eq)
@@ -786,19 +793,21 @@ object IcebergExport {
       fs: FileSystem, exportDir: Path, atSnapshotId: Option[Long] = None): Seq[(String, Long)] =
     readFiles(fs, exportDir, atSnapshotId)._1.map(d => (d.path, d.recordCount))
 
-  /** Field id → column name of the export's CURRENT schema — how a reader
-    * resolves `equality_ids` to delete-file columns.
+  /** Field id → column name across EVERY schema the export has published
+    * — how a reader resolves `equality_ids` to delete-file columns. The
+    * union is safe and necessary: field ids are durable (one name per id,
+    * enforced at write time), and a TIME-TRAVELING reader may hit delete
+    * files whose key field id was dropped from the current schema by a
+    * later replace — only an older schema still names it.
     */
-  private def currentSchemaIdToName(fs: FileSystem, exportDir: Path): Map[Int, String] = {
+  private def schemaIdToName(fs: FileSystem, exportDir: Path): Map[Int, String] = {
     val metaDir = new Path(exportDir, "metadata")
     val meta = mapper.readTree(
       readText(fs, new Path(metaDir, s"v${readVersionHint(fs, exportDir)}.metadata.json")))
-    val currentSchemaId = meta.get("current-schema-id").asInt()
-    val schema = meta.get("schemas").elements().asScala
-      .find(_.get("schema-id").asInt() == currentSchemaId)
-      .getOrElse(sys.error(s"current-schema-id $currentSchemaId not in schemas"))
-    schema.get("fields").elements().asScala
-      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    meta.get("schemas").elements().asScala.flatMap { s =>
+      s.get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText())
+    }.toMap
   }
 
   /** Read the LIVE ROWS of an exported snapshot exactly as an Iceberg v2
@@ -826,9 +835,9 @@ object IcebergExport {
       df.withColumn("_gseq", lit(s))
     }.reduce(_ unionByName _)
     if (deletes.isEmpty) return dataDf.drop("_gseq")
-    val idToName = currentSchemaIdToName(fs, p)
+    val idToName = schemaIdToName(fs, p)
     val eqNames = deletes.flatMap(_.equalityFieldIds).distinct.map(id =>
-      idToName.getOrElse(id, sys.error(s"equality field id $id not in current schema")))
+      idToName.getOrElse(id, sys.error(s"equality field id $id not in any published schema")))
     require(eqNames.size == 1,
       s"this reader supports single-column equality deletes, got: ${eqNames.mkString(", ")}")
     val keyCol = eqNames.head
@@ -842,6 +851,13 @@ object IcebergExport {
       .where(col("_dseq").isNull || col("_dseq") <= col("_gseq"))
       .drop("_dkey", "_dseq", "_gseq")
   }
+
+  /** Field value, or null when the record's WRITER schema (a legacy
+    * manifest written before the field existed) lacks it — Avro's
+    * GenericData.Record.get(String) throws for unknown fields.
+    */
+  private def fieldOrNull(r: GenericRecord, name: String): AnyRef =
+    if (r.getSchema.getField(name) != null) r.get(name) else null
 
   private def readAvro(fs: FileSystem, p: Path): Seq[GenericRecord] = {
     val in = fs.open(p)

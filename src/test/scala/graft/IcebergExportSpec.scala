@@ -27,31 +27,37 @@ class IcebergExportSpec extends SparkSpec {
     readMeta(fs, new Path(new Path(exportDir, "metadata"), s"v$hint.metadata.json"))
   }
 
-  private def manifestEntries(fs: org.apache.hadoop.fs.FileSystem, exportDir: String,
-      content: Int): Seq[(Int, Long, Long, String)] = {
-    // (status, snapshot_id, sequence_number, file_path) of the CURRENT
-    // snapshot's manifest with the given content (0=data, 1=deletes)
+  private def readAvro(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[org.apache.avro.generic.GenericRecord] = {
+    val in = fs.open(p)
+    val s = new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
+      in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try Iterator.continually(if (s.hasNext) Some(s.next()) else None)
+      .takeWhile(_.isDefined).flatten.toVector
+    finally s.close()
+  }
+
+  /** Raw manifest entries of the CURRENT snapshot with the given content
+    * (0=data, 1=deletes).
+    */
+  private def rawManifestEntries(fs: org.apache.hadoop.fs.FileSystem, exportDir: String,
+      content: Int): Seq[org.apache.avro.generic.GenericRecord] = {
     val meta = currentMeta(fs, exportDir)
     val curId = meta.get("current-snapshot-id").asLong()
     val sn = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == curId).get
-    val listPath = new Path(sn.get("manifest-list").asText())
-    val readAvro = { p: Path =>
-      val in = fs.open(p)
-      val s = new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
-        in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
-      try Iterator.continually(if (s.hasNext) Some(s.next()) else None)
-        .takeWhile(_.isDefined).flatten.toVector
-      finally s.close()
-    }
-    readAvro(listPath).filter(_.get("content").asInstanceOf[Int] == content)
-      .flatMap(mf => readAvro(new Path(mf.get("manifest_path").toString)))
-      .map { e =>
-        val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
-        (e.get("status").asInstanceOf[Int], e.get("snapshot_id").asInstanceOf[Long],
-          e.get("sequence_number").asInstanceOf[Long], df.get("file_path").toString)
-      }
+    readAvro(fs, new Path(sn.get("manifest-list").asText()))
+      .filter(_.get("content").asInstanceOf[Int] == content)
+      .flatMap(mf => readAvro(fs, new Path(mf.get("manifest_path").toString)))
   }
+
+  private def manifestEntries(fs: org.apache.hadoop.fs.FileSystem, exportDir: String,
+      content: Int): Seq[(Int, Long, Long, String)] =
+    // (status, snapshot_id, sequence_number, file_path)
+    rawManifestEntries(fs, exportDir, content).map { e =>
+      val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      (e.get("status").asInstanceOf[Int], e.get("snapshot_id").asInstanceOf[Long],
+        e.get("sequence_number").asInstanceOf[Long], df.get("file_path").toString)
+    }
 
   test("incremental export performs ZERO reads of carried data files (manifest-sourced counts)") {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -120,6 +126,13 @@ class IcebergExportSpec extends SparkSpec {
     assert(added.forall(_._2 != firstSnapId), "ADDED entries belong to the new snapshot")
     assert(deleted.map(_._4).toSet.subsetOf(firstByPath.keySet),
       "DELETED tombstones must reference previously-exported files")
+    // DELETED tombstones keep the file's ORIGINAL data sequence (a file's
+    // sequence never changes after add); the REMOVING commit is the entry's
+    // snapshot_id — sequence-based reasoning over removed files stays sound
+    deleted.foreach { case (_, sid, sq, path) =>
+      assert(sq == firstByPath(path)._3, s"DELETED entry must keep original sequence for $path")
+      assert(sid != firstSnapId, "DELETED entry's snapshot_id is the removing commit")
+    }
     // incremental-append accounting: operation is overwrite, added counts ADDED-only
     val meta2 = currentMeta(fs, exportDir)
     val snap2 = meta2.get("snapshots").elements().asScala
@@ -247,22 +260,7 @@ class IcebergExportSpec extends SparkSpec {
     val ids = meta.get("schemas").get(0).get("fields").elements().asScala
       .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
 
-    def rawEntries(): Seq[GenericRecord] = {
-      val curId = meta0(fs, exportDir).get("current-snapshot-id").asLong()
-      val sn = meta0(fs, exportDir).get("snapshots").elements().asScala
-        .find(_.get("snapshot-id").asLong() == curId).get
-      val readAvro = { p: Path =>
-        val in = fs.open(p)
-        val s = new org.apache.avro.file.DataFileStream[GenericRecord](
-          in, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
-        try Iterator.continually(if (s.hasNext) Some(s.next()) else None)
-          .takeWhile(_.isDefined).flatten.toVector
-        finally s.close()
-      }
-      readAvro(new Path(sn.get("manifest-list").asText()))
-        .filter(_.get("content").asInstanceOf[Int] == 0)
-        .flatMap(mf => readAvro(new Path(mf.get("manifest_path").toString)))
-    }
+    def rawEntries(): Seq[GenericRecord] = rawManifestEntries(fs, exportDir, content = 0)
     val entries = rawEntries()
     assert(entries.nonEmpty)
     // every file's bounds CONTAIN its true column range: union of file
@@ -314,8 +312,74 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.boundBytes(StringType, 1.0, lower = true).isEmpty)
   }
 
-  private def meta0(fs: org.apache.hadoop.fs.FileSystem, exportDir: String) =
-    currentMeta(fs, exportDir)
+  test("upgrade path: first incremental export over a LEGACY manifest (no equality_ids/bounds fields) succeeds") {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val t = SnapshotTable(spark, tmpDir("iceberg-legacy"))
+    val df = (1 to 60).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 4)
+    val exportDir = tmpDir("iceberg-legacy-out")
+    t.exportIceberg(exportDir)
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Rewrite the current manifest under the PRE-R14 entry schema (no
+    // equality_ids, no bounds) — byte-faithful stand-in for an export dir
+    // written by the previous release.
+    val legacySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int","field-id":0},
+        |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int","field-id":134},
+        |  {"name":"file_path","type":"string","field-id":100},
+        |  {"name":"file_format","type":"string","field-id":101},
+        |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+        |  {"name":"record_count","type":"long","field-id":103},
+        |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+        |]}}
+        |]}""".stripMargin)
+    val meta = currentMeta(fs, exportDir)
+    val curId = meta.get("current-snapshot-id").asLong()
+    val sn = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId).get
+    val manifestPath = new Path(
+      readAvro(fs, new Path(sn.get("manifest-list").asText())).head.get("manifest_path").toString)
+    val entries = readAvro(fs, manifestPath)
+    val legacyDataFileSchema = legacySchema.getField("data_file").schema()
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](legacySchema))
+    w.setMeta("schema", IcebergExport.avroMeta(fs, manifestPath, "schema"))
+    w.setMeta("format-version", "2"); w.setMeta("content", "data")
+    val out = fs.create(manifestPath, true)
+    w.create(legacySchema, out)
+    entries.foreach { e =>
+      val od = e.get("data_file").asInstanceOf[GenericRecord]
+      val nd = new GenericData.Record(legacyDataFileSchema)
+      Seq("content", "file_path", "file_format", "record_count", "file_size_in_bytes")
+        .foreach(f => nd.put(f, od.get(f)))
+      nd.put("partition", new GenericData.Record(legacyDataFileSchema.getField("partition").schema()))
+      val ne = new GenericData.Record(legacySchema)
+      Seq("status", "snapshot_id", "sequence_number", "file_sequence_number")
+        .foreach(f => ne.put(f, e.get(f)))
+      ne.put("data_file", nd)
+      w.append(ne)
+    }
+    w.close()
+
+    // the next commit's export must read the legacy manifest (absent
+    // optional fields -> null), carry files as EXISTING, and stay readable
+    val change = Seq(("k1", 9L, "updated", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    t.exportIceberg(exportDir) // pre-fix: AvroRuntimeException("Not a valid schema field")
+    val statuses = manifestEntries(fs, exportDir, 0).groupBy(_._1)
+    assert(statuses.getOrElse(0, Seq.empty).nonEmpty, "legacy files must carry as EXISTING")
+    val viaExport = IcebergExport.readLiveRows(spark, exportDir, t.schema)
+      .select("arcane_merge_key", "payload").as[(String, String)].collect().toMap
+    assert(viaExport("k1") == "updated" && viaExport.size == t.read().count().toInt)
+  }
 
   test("legal type promotions keep the field id (int->long, float->double, decimal widening)") {
     assert(IcebergExport.legalPromotion("int", "long"))
@@ -326,6 +390,36 @@ class IcebergExportSpec extends SparkSpec {
     assert(!IcebergExport.legalPromotion("long", "int"))
     assert(!IcebergExport.legalPromotion("string", "long"))
     assert(IcebergExport.legalPromotion("string", "string"))
+  }
+
+  test("iceberg export format pre-flight: Overwrite resolves the SPEC's format, Merge the table's") {
+    import graft.pipeline.{CdcPipeline, StreamSpec}
+    import java.time.{OffsetDateTime, ZoneOffset}
+    val root = tmpDir("fmt-src")
+    CdmFixture.initRoot(root)
+    CdmFixture.uploadBatch(root, OffsetDateTime.of(2026, 1, 2, 11, 0, 0, 0, ZoneOffset.UTC),
+      updateChangelog = true)
+    val target = tmpDir("fmt-target") + "/t"
+    def spec(behavior: String, format: Option[String]) = StreamSpec(
+      sourcePath = root, entityName = CdmFixture.entityName, targetLocation = target,
+      backfillBehavior = behavior, numBuckets = 4, format = format,
+      icebergExportDir = Some(tmpDir("fmt-ice")))
+    // parquet target exists
+    CdcPipeline.runBackfill(spark, spec("Overwrite", None))
+    val table = SnapshotTable(spark, target)
+    val v0 = table.currentSnapshot.version
+    // an avro OVERWRITE would REPLACE the parquet table and then fail the
+    // post-commit export — the pre-flight must reject it BEFORE any commit
+    val e = intercept[IllegalArgumentException] {
+      CdcPipeline.runBackfill(spark, spec("Overwrite", Some("avro")))
+    }
+    assert(e.getMessage.contains("avro"))
+    assert(table.currentSnapshot.version == v0, "rejected run must not have committed")
+    // a MERGE keeps the existing table's parquet format — the spec's avro
+    // is ignored by the write path, so the pre-flight accepts it
+    CdcPipeline.runBackfill(spark, spec("Merge", Some("avro")))
+    assert(table.currentSnapshot.version > v0)
+    assert(table.properties.getOrElse(SnapshotTable.PropFormat, "parquet") == "parquet")
   }
 
   test("per-commit MoR stream wiring: startStream accepts icebergExportDir with merge-on-read") {
