@@ -301,13 +301,21 @@ object CdcPipeline {
             // Reference parity: the target is ALWAYS externally readable
             // (its sinks are open-format tables any engine reads). Re-export
             // the symlink manifest after every commit so the external view
-            // tracks the live table — metadata-only, O(files), no data scan.
+            // tracks the live table — metadata-only, O(new files), no data
+            // scan. export_ms is logged per batch: at stream cadence an
+            // export cost creeping toward the trigger interval is the
+            // operator's signal, so it must be visible, not inferred.
+            val mergeMs = (System.nanoTime() - t0) / 1000000L
+            val tExp = System.nanoTime()
             spec.exportDir.foreach(table.exportSymlinkManifest)
             spec.icebergExportDir.foreach(d => table.exportIceberg(d))
+            val exportMs = (System.nanoTime() - tExp) / 1000000L
             JsonLog.info("batch_committed", "batch_id" -> batchId,
               "rows" -> head.getLong(0), "watermark" -> wm,
               "affected_buckets" -> affected.map(_.size.toString).getOrElse("all"),
-              "merge_ms" -> (System.nanoTime() - t0) / 1000000L)
+              "merge_ms" -> mergeMs,
+              "export_ms" -> (if (spec.exportDir.nonEmpty || spec.icebergExportDir.nonEmpty)
+                exportMs else 0L))
             maintenanceTick(table, spec, batchCounter.incrementAndGet())
           }
         } finally raw.unpersist()

@@ -698,7 +698,21 @@ object IcebergExport {
     val metadataPath = new Path(metaDir, s"v$newVersion.metadata.json")
     writeText(fs, metadataPath,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-    writeText(fs, hintPath, newVersion.toString)
+    // version-hint is the ONLY file mutated in place — publish it
+    // atomically (temp + rename-overwrite, Iceberg's own
+    // HadoopTableOperations convention) so a racing reader never sees a
+    // truncated hint; every other artifact is a fresh vN+1 file invisible
+    // until the hint names it.
+    val hintTmp = new Path(metaDir, s"version-hint.tmp.${UUID.randomUUID()}")
+    writeText(fs, hintTmp, newVersion.toString)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(fc.makeQualified(hintTmp), fc.makeQualified(hintPath),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case scala.util.control.NonFatal(_) => // no FileContext binding for this scheme
+      fs.delete(hintPath, false)
+      fs.rename(hintTmp, hintPath)
+    }
 
     // prune manifests of snapshots that fell out of the history window
     // (manifest lists and manifests are per-snapshot here, never shared)
