@@ -698,6 +698,17 @@ class ConformanceSpec extends SparkSpec {
     val got2 = SnapshotTable(spark, target).read().select("Id", "legacycode")
       .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
     assert(got2 === Set(("idA", "L-A"), ("idB", null), ("idC", null)))
+
+    // 3. isUnifiedSchema declares the source schema FIXED: a dropped-column
+    //    history widening a narrower target is schema drift, and must fail
+    //    loudly (retryable deployment error) instead of silently migrating
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(target))
+    CdcPipeline.runBackfill(spark, spec("Overwrite", start = Some("2024-01-02T00.00.00Z")))
+    val drift = intercept[graft.pipeline.SchemaDriftException] {
+      CdcPipeline.runBackfill(spark,
+        spec("Merge").copy(isUnifiedSchema = true))
+    }
+    assert(drift.getMessage.contains("legacycode"))
   }
 
   test("full pipeline across a schema-churn export: backfill the old schema, stream the new, values aligned") {

@@ -422,19 +422,24 @@ class SnapshotTableSpec extends SparkSpec {
     assert(delta == Set((Some("kb"), "insert")), s"unexpected delta: $delta")
   }
 
-  test("snapshot JSON round-trips seq + deletes; pre-MoR manifests parse with defaults") {
+  test("snapshot JSON round-trips seq + deletes + rows/bytes; legacy manifests parse with defaults") {
     import graft.tables.{DataFile, DeleteFile, Snapshot}
     val s = Snapshot(7L,
       org.apache.spark.sql.types.StructType(Seq(StructField("arcane_merge_key", StringType))),
-      4, Seq(DataFile("a/b.parquet", 2, Map("x" -> ((1.0, 9.0))), 7L)),
-      Map("p" -> "v"), 123L, Seq(DeleteFile("a/b-deletes/gbk=2/d.parquet", 2, 7L)))
+      4, Seq(DataFile("a/b.parquet", 2, Map("x" -> ((1.0, 9.0))), 7L, rows = 1234L, bytes = 56789L)),
+      Map("p" -> "v"), 123L,
+      Seq(DeleteFile("a/b-deletes/gbk=2/d.parquet", 2, 7L, rows = 3L, bytes = 77L)))
     assert(SnapshotTable.fromJson(SnapshotTable.toJson(s)) == s)
-    // a manifest written before merge-on-read existed (no seq, no deletes)
+    // a manifest written before merge-on-read / the r14 rows+bytes fields
+    // existed (no seq, no deletes, no rows/bytes)
     val legacy = SnapshotTable.toJson(s.copy(
       files = Seq(DataFile("a/b.parquet", 2)), deletes = Seq.empty))
-    assert(!legacy.contains("\"seq\"") && !legacy.contains("\"deletes\""))
+    assert(!legacy.contains("\"seq\"") && !legacy.contains("\"deletes\"") &&
+      !legacy.contains("\"rows\"") && !legacy.contains("\"bytes\""))
     val parsed = SnapshotTable.fromJson(legacy)
     assert(parsed.files.head.seq == 0L && parsed.deletes.isEmpty)
+    assert(parsed.files.head.rows == -1L && parsed.files.head.bytes == -1L,
+      "legacy entries must parse to unknown (-1) so consumers take the footer fallback")
   }
 
   test("merge replay is idempotent: re-applying the same batch changes no row") {
