@@ -216,6 +216,18 @@ object Bench {
     if (s.isEmpty || s.head <= 0 || s.size < 2) 1.0 else s(1) / s.head
   }
 
+  /** A query whose reported best is NOT corroborated by its runner-up —
+    * the treat-with-suspicion classification behind `noisy`/`noisy_present`.
+    * Both RELATIVE (>1.5x) and ABSOLUTE (>0.2 s) gaps are required: a
+    * 0.1-second query's spread is dominated by fixed scheduler jitter
+    * (±100 ms on an idle box) that says nothing about the measurement, and
+    * letting it flap the top-level flag would desensitize the real signal.
+    */
+  private def uncorroborated(r: Seq[Double]): Boolean = {
+    val s = r.sorted
+    s.size >= 2 && s.head > 0 && s(1) / s.head > 1.5 && (s(1) - s.head) > 0.2
+  }
+
   /** Full bench detail as one JSON document: best-of-runs per query, the
     * runner-up/best spread per query ([[spreadOf]]), and the raw run
     * times. `extra` is a pre-rendered JSON fragment (`"k":v,...`)
@@ -231,9 +243,10 @@ object Bench {
       "\"" + k + "\":[" + r.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // queries whose reported best is NOT corroborated by the runner-up
-    // (spread > 1.5x even after the adaptive tie-breaker) — the explicit
-    // treat-with-suspicion list for cross-round comparisons
-    val noisy = runs.collect { case (k, r) if spreadOf(r) > 1.5 => "\"" + k + "\"" }
+    // ([[uncorroborated]]: relative AND absolute gap, even after the
+    // adaptive tie-breaker) — the explicit treat-with-suspicion list for
+    // cross-round comparisons
+    val noisy = runs.collect { case (k, r) if uncorroborated(r) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val tail = if (extra.isEmpty) "" else "," + extra
     s"""{"metric":"total","value":${r3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"spread":$spread,"noisy":$noisy,"runs":$raw$tail,"sf":"$sfDir"}"""
@@ -274,12 +287,13 @@ object Bench {
     sb.append(s""","fast_n":${rest.size},"fast_total":${r3(rest.map(_._2).sum)}""")
     if (extra.nonEmpty) sb.append("," + extra)
     // Top-level cleanliness verdict: `noisy_present` = any query's
-    // reported best is uncorroborated by its runner-up (the detail file's
-    // `noisy` list is non-empty) — gate-able from THIS line without
-    // parsing bench_detail.json (passes_discarded_any, the other half of
-    // the verdict, rides in via `extra` from the calibration state).
-    // Derived from maxSpread so the flag and the number cannot diverge.
-    sb.append(s""","noisy_present":${maxSpread > 1.5},"max_spread":${r3(maxSpread)}}""")
+    // reported best is uncorroborated by its runner-up — the SAME
+    // [[uncorroborated]] predicate that builds the detail file's `noisy`
+    // list, so the flag and the list cannot diverge — gate-able from THIS
+    // line without parsing bench_detail.json (passes_discarded_any, the
+    // other half of the verdict, rides in via `extra`).
+    val noisyPresent = runs.exists { case (_, r) => uncorroborated(r) }
+    sb.append(s""","noisy_present":$noisyPresent,"max_spread":${r3(maxSpread)}}""")
     sb.toString
   }
 

@@ -85,9 +85,16 @@ class BenchOutputSpec extends AnyFunSuite {
     // clean runs: every best corroborated by its runner-up
     val clean = Seq("q_a" -> Seq(1.0, 1.1), "q_b" -> Seq(2.0, 2.2))
     assert(Bench.compactLine(clean, "sf", "d.json").contains(""""noisy_present":false"""))
-    // one uncorroborated query (runner-up > 1.5x best) flips the flag
+    // one uncorroborated query (runner-up > 1.5x AND > 0.2 s over best)
     val noisy = clean :+ ("q_c" -> Seq(1.0, 1.9))
     assert(Bench.compactLine(noisy, "sf", "d.json").contains(""""noisy_present":true"""))
+    assert(Bench.detailJson(noisy, "sf").contains(""""noisy":["q_c"]"""))
+    // a SUB-QUARTER-SECOND query's relative spread is scheduler jitter,
+    // not uncorroboration: 0.10 vs 0.17 (1.7x, 70 ms) must NOT flap the
+    // flag — the flag and the detail list use the same predicate
+    val tiny = clean :+ ("q_tiny" -> Seq(0.10, 0.17))
+    assert(Bench.compactLine(tiny, "sf", "d.json").contains(""""noisy_present":false"""))
+    assert(Bench.detailJson(tiny, "sf").contains(""""noisy":[]"""))
     // the line budget still holds with the flag present
     assert(Bench.compactLine(fakeRuns(200), "sf", "d.json").length < 1600)
   }

@@ -174,9 +174,16 @@ class IcebergExportSpec extends SparkSpec {
     assert(dataFiles.nonEmpty)
 
     // an external v2 reader (readLiveRows) sees EXACTLY the table's live rows
-    val viaExport = IcebergExport.readLiveRows(spark, exportDir, t.schema)
+    val liveDf = IcebergExport.readLiveRows(spark, exportDir, t.schema)
+    val viaExport = liveDf
       .select("arcane_merge_key", "versionnumber", "payload")
       .as[(String, Long, String)].collect().toSet
+    // scale pin: the delete side is change-set-sized, so the final
+    // (post-AQE) plan must BROADCAST it — a shuffle join here would
+    // reshuffle the whole data scan per read at 100 TB
+    val finalPlan = liveDf.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"delete-applying join must broadcast the delete keys:\n${finalPlan.take(2000)}")
     val direct = t.read().select("arcane_merge_key", "versionnumber", "payload")
       .as[(String, Long, String)].collect().toSet
     assert(viaExport == direct)
@@ -193,6 +200,33 @@ class IcebergExportSpec extends SparkSpec {
       .select("arcane_merge_key", "versionnumber", "payload")
       .as[(String, Long, String)].collect().toSet
     assert(viaExport2 == direct)
+  }
+
+  test("ORC merge-on-read export: ORC data files + parquet delete files read back correctly") {
+    // the reader's per-format dispatch: data groups scan as ORC while the
+    // equality-delete side is always parquet (writeDeletes' format)
+    val t = SnapshotTable(spark, tmpDir("iceberg-mor-orc"))
+    val df = (1 to 80).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 4,
+      extraProps = Map(SnapshotTable.PropFormat -> "orc"))
+    t.mergeOnRead(Seq(("k1", 5L, "u1", false), ("k2", 5L, null: String, true), ("knew", 5L, "fresh", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.currentSnapshot.deletes.nonEmpty)
+    val exportDir = tmpDir("iceberg-mor-orc-out")
+    t.exportIceberg(exportDir)
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dataFiles, delFiles) = IcebergExport.readFiles(fs, new Path(exportDir))
+    assert(dataFiles.forall(_.fileFormat.equalsIgnoreCase("ORC")))
+    assert(delFiles.nonEmpty)
+    val viaExport = IcebergExport.readLiveRows(spark, exportDir, t.schema)
+      .select("arcane_merge_key", "versionnumber", "payload")
+      .as[(String, Long, String)].collect().toSet
+    val direct = t.read().select("arcane_merge_key", "versionnumber", "payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(viaExport == direct)
+    assert(!viaExport.exists(_._1 == "k2") && viaExport.exists(r => r._1 == "k1" && r._3 == "u1"))
   }
 
   test("field ids are durable: names keep ids across replace, dropped ids never reused, bad re-bind fails loudly") {
