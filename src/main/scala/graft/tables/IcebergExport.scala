@@ -96,6 +96,29 @@ object IcebergExport {
         s"cannot export ${other.simpleString} to an Iceberg primitive type")
   }
 
+  /** Iceberg primitive type name → Spark type (inverse of [[icebergType]]
+    * on its image; `decimal(p, s)` parses both spaced and compact forms).
+    * Lets [[readTable]] derive the read schema from the metadata itself —
+    * what an external consumer of a FOREIGN Iceberg table must do.
+    */
+  private[graft] def sparkType(t: String): DataType = t.trim match {
+    case "boolean"     => BooleanType
+    case "int"         => IntegerType
+    case "long"        => LongType
+    case "float"       => FloatType
+    case "double"      => DoubleType
+    case "string"      => StringType
+    case "binary"      => BinaryType
+    case "date"        => DateType
+    case "timestamptz" => TimestampType
+    case "timestamp"   => TimestampNTZType
+    case d if d.startsWith("decimal(") =>
+      val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+      DecimalType(p, s)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported Iceberg type for reading: $other")
+  }
+
   /** Legal Iceberg type promotion under a FIXED field id (spec "Schema
     * Evolution"): int→long, float→double, decimal precision widening at
     * the same scale. Everything else re-binding a known name is a
@@ -822,6 +845,46 @@ object IcebergExport {
       s.get("fields").elements().asScala
         .map(f => f.get("id").asInt() -> f.get("name").asText())
     }.toMap
+  }
+
+  /** Spark schema of a snapshot as the METADATA declares it: the
+    * snapshot's own `schema-id` resolved against `schemas` (falling back
+    * to the current schema for writers that omit per-snapshot ids), types
+    * mapped by [[sparkType]]. This is schema-on-metadata, not
+    * schema-on-caller — required to consume a foreign Iceberg table.
+    */
+  def readSchema(fs: FileSystem, exportDir: Path, atSnapshotId: Option[Long] = None): StructType = {
+    val metaDir = new Path(exportDir, "metadata")
+    val meta = mapper.readTree(
+      readText(fs, new Path(metaDir, s"v${readVersionHint(fs, exportDir)}.metadata.json")))
+    val schemaId = atSnapshotId.flatMap { sid =>
+      meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == sid)
+        .flatMap(sn => Option(sn.get("schema-id")).map(_.asInt()))
+    }.getOrElse(meta.get("current-schema-id").asInt())
+    val schemaNode = meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == schemaId)
+      .getOrElse(sys.error(s"schema-id $schemaId not in schemas"))
+    StructType(schemaNode.get("fields").elements().asScala.map { f =>
+      StructField(f.get("name").asText(), sparkType(f.get("type").asText()),
+        nullable = !f.get("required").asBoolean(false))
+    }.toSeq)
+  }
+
+  /** Consume an Iceberg v2 table (ours or a FOREIGN engine's filesystem
+    * table) end-to-end from its metadata alone: version-hint →
+    * metadata.json → snapshot schema ([[readSchema]]) → manifests →
+    * data files with equality deletes applied ([[readLiveRows]]). Caveat
+    * stated loudly: POSITION deletes (content=1 entries whose files carry
+    * file_path/pos pairs) are not interpreted — this reader serves tables
+    * in the shapes this engine produces (plain data files + equality
+    * deletes), which covers every export this library writes.
+    */
+  def readTable(spark: SparkSession, exportDir: String,
+      atSnapshotId: Option[Long] = None): DataFrame = {
+    val p = new Path(exportDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readLiveRows(spark, exportDir, readSchema(fs, p, atSnapshotId), atSnapshotId)
   }
 
   /** Read the LIVE ROWS of an exported snapshot exactly as an Iceberg v2

@@ -415,6 +415,40 @@ class IcebergExportSpec extends SparkSpec {
     assert(viaExport("k1") == "updated" && viaExport.size == t.read().count().toInt)
   }
 
+  test("readTable: schema-on-metadata consumption — no caller schema, types round-trip, time travel") {
+    val t = SnapshotTable(spark, tmpDir("iceberg-readtable"))
+    val df = (1 to 50).map(i => (s"k$i", i.toLong, i * 0.5, i % 2 == 0, BigDecimal(i).setScale(2)))
+      .toDF("arcane_merge_key", "versionnumber", "score", "flag", "amount")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 4)
+    val exportDir = tmpDir("iceberg-readtable-out")
+    t.exportIceberg(exportDir)
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstSnapId = t.currentSnapshot.version + 1
+
+    // no schema passed: types come from the metadata's own schema JSON
+    val viaMeta = IcebergExport.readTable(spark, exportDir)
+    assert(viaMeta.schema.map(f => (f.name, f.dataType)) ==
+      t.schema.map(f => (f.name, f.dataType)),
+      s"metadata-derived schema must equal the table's: ${viaMeta.schema} vs ${t.schema}")
+    val key = (r: org.apache.spark.sql.Row) => r.getString(0)
+    assert(viaMeta.orderBy("arcane_merge_key").collect().map(key).toSeq ==
+      t.read().orderBy("arcane_merge_key").collect().map(key).toSeq)
+    assert(viaMeta.count() == 50)
+
+    // a second commit + time travel: the OLD snapshot reads under the
+    // metadata-declared schema without any caller input
+    val change = Seq(("knew", 9L, 1.5, true, BigDecimal(9).setScale(2)))
+      .toDF("arcane_merge_key", "versionnumber", "score", "flag", "amount")
+      .withColumn("IsDelete", lit(false))
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("IsDelete",
+      org.apache.spark.sql.types.BooleanType)))
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    t.exportIceberg(exportDir)
+    assert(IcebergExport.readTable(spark, exportDir).count() == 51)
+    assert(IcebergExport.readTable(spark, exportDir, Some(firstSnapId)).count() == 50,
+      "time travel must read the pre-merge state from metadata alone")
+  }
+
   test("legal type promotions keep the field id (int->long, float->double, decimal widening)") {
     assert(IcebergExport.legalPromotion("int", "long"))
     assert(IcebergExport.legalPromotion("float", "double"))
