@@ -313,9 +313,7 @@ object CdcPipeline {
             JsonLog.info("batch_committed", "batch_id" -> batchId,
               "rows" -> head.getLong(0), "watermark" -> wm,
               "affected_buckets" -> affected.map(_.size.toString).getOrElse("all"),
-              "merge_ms" -> mergeMs,
-              "export_ms" -> (if (spec.exportDir.nonEmpty || spec.icebergExportDir.nonEmpty)
-                exportMs else 0L))
+              "merge_ms" -> mergeMs, "export_ms" -> exportMs)
             maintenanceTick(table, spec, batchCounter.incrementAndGet())
           }
         } finally raw.unpersist()

@@ -733,8 +733,11 @@ object IcebergExport {
       fc.rename(fc.makeQualified(hintTmp), fc.makeQualified(hintPath),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch { case scala.util.control.NonFatal(_) => // no FileContext binding for this scheme
+      // best-effort fallback (short hint-missing window); a silent rename
+      // failure would leave the hint permanently stale — fail loudly
       fs.delete(hintPath, false)
-      fs.rename(hintTmp, hintPath)
+      require(fs.rename(hintTmp, hintPath),
+        s"failed to publish version hint $hintPath (rename returned false)")
     }
 
     // prune manifests of snapshots that fell out of the history window
@@ -782,13 +785,28 @@ object IcebergExport {
     * the CURRENT snapshot by default; pass `atSnapshotId` to time-travel
     * to any snapshot retained in the export's history window.
     */
+  /** ONE resolution of version-hint → parsed metadata.json. Every
+    * multi-step reader loads this once and threads the parsed tree —
+    * re-resolving the hint between steps would race a concurrent
+    * per-commit exporter (schema from vN, files from vN+1; or a pruned
+    * vN.metadata.json mid-read).
+    */
+  private def loadMeta(fs: FileSystem, exportDir: Path): JsonNode = {
+    val metaDir = new Path(exportDir, "metadata")
+    val meta = mapper.readTree(
+      readText(fs, new Path(metaDir, s"v${readVersionHint(fs, exportDir)}.metadata.json")))
+    require(meta.get("format-version").asInt() == 2, "expected format-version 2")
+    meta
+  }
+
   def readFiles(
       fs: FileSystem, exportDir: Path, atSnapshotId: Option[Long] = None
+  ): (Seq[ManifestDataFile], Seq[ManifestDeleteFile]) =
+    readFilesFrom(fs, loadMeta(fs, exportDir), atSnapshotId)
+
+  private def readFilesFrom(
+      fs: FileSystem, meta: JsonNode, atSnapshotId: Option[Long]
   ): (Seq[ManifestDataFile], Seq[ManifestDeleteFile]) = {
-    val metaDir = new Path(exportDir, "metadata")
-    val hint = readVersionHint(fs, exportDir)
-    val meta = mapper.readTree(readText(fs, new Path(metaDir, s"v$hint.metadata.json")))
-    require(meta.get("format-version").asInt() == 2, "expected format-version 2")
     val currentId = atSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
     val snapNode = {
       val it = meta.get("snapshots").elements()
@@ -837,15 +855,11 @@ object IcebergExport {
     * files whose key field id was dropped from the current schema by a
     * later replace — only an older schema still names it.
     */
-  private def schemaIdToName(fs: FileSystem, exportDir: Path): Map[Int, String] = {
-    val metaDir = new Path(exportDir, "metadata")
-    val meta = mapper.readTree(
-      readText(fs, new Path(metaDir, s"v${readVersionHint(fs, exportDir)}.metadata.json")))
+  private def schemaIdToNameFrom(meta: JsonNode): Map[Int, String] =
     meta.get("schemas").elements().asScala.flatMap { s =>
       s.get("fields").elements().asScala
         .map(f => f.get("id").asInt() -> f.get("name").asText())
     }.toMap
-  }
 
   /** Spark schema of a snapshot as the METADATA declares it: the
     * snapshot's own `schema-id` resolved against `schemas` (falling back
@@ -853,10 +867,10 @@ object IcebergExport {
     * mapped by [[sparkType]]. This is schema-on-metadata, not
     * schema-on-caller — required to consume a foreign Iceberg table.
     */
-  def readSchema(fs: FileSystem, exportDir: Path, atSnapshotId: Option[Long] = None): StructType = {
-    val metaDir = new Path(exportDir, "metadata")
-    val meta = mapper.readTree(
-      readText(fs, new Path(metaDir, s"v${readVersionHint(fs, exportDir)}.metadata.json")))
+  def readSchema(fs: FileSystem, exportDir: Path, atSnapshotId: Option[Long] = None): StructType =
+    readSchemaFrom(loadMeta(fs, exportDir), atSnapshotId)
+
+  private def readSchemaFrom(meta: JsonNode, atSnapshotId: Option[Long]): StructType = {
     val schemaId = atSnapshotId.flatMap { sid =>
       meta.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong() == sid)
@@ -866,8 +880,13 @@ object IcebergExport {
       .find(_.get("schema-id").asInt() == schemaId)
       .getOrElse(sys.error(s"schema-id $schemaId not in schemas"))
     StructType(schemaNode.get("fields").elements().asScala.map { f =>
-      StructField(f.get("name").asText(), sparkType(f.get("type").asText()),
-        nullable = !f.get("required").asBoolean(false))
+      val name = f.get("name").asText()
+      val typeNode = f.get("type")
+      require(typeNode.isTextual,
+        s"column '$name': nested Iceberg types (struct/list/map) are not supported by this " +
+          s"reader — it serves the flat-schema tables this engine produces")
+      StructField(name, sparkType(typeNode.asText()),
+        nullable = !Option(f.get("required")).exists(_.asBoolean(false)))
     }.toSeq)
   }
 
@@ -884,7 +903,12 @@ object IcebergExport {
       atSnapshotId: Option[Long] = None): DataFrame = {
     val p = new Path(exportDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readLiveRows(spark, exportDir, readSchema(fs, p, atSnapshotId), atSnapshotId)
+    // one hint resolution for the WHOLE read: schema, file listing and
+    // equality-id resolution all come from the same metadata version, so
+    // a concurrent per-commit exporter (or its pruning) cannot hand this
+    // reader a schema from vN and files from vN+1
+    val meta = loadMeta(fs, p)
+    readLiveRowsFrom(spark, fs, meta, readSchemaFrom(meta, atSnapshotId), atSnapshotId)
   }
 
   /** Read the LIVE ROWS of an exported snapshot exactly as an Iceberg v2
@@ -901,8 +925,13 @@ object IcebergExport {
       atSnapshotId: Option[Long] = None): DataFrame = {
     val p = new Path(exportDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (data, deletes) = readFiles(fs, p, atSnapshotId)
-    require(data.nonEmpty, s"no live data files in $exportDir")
+    readLiveRowsFrom(spark, fs, loadMeta(fs, p), readSchema, atSnapshotId)
+  }
+
+  private def readLiveRowsFrom(spark: SparkSession, fs: FileSystem, meta: JsonNode,
+      readSchema: StructType, atSnapshotId: Option[Long]): DataFrame = {
+    val (data, deletes) = readFilesFrom(fs, meta, atSnapshotId)
+    require(data.nonEmpty, "no live data files in the export")
     val dataDf = data.groupBy(d => (d.seq, d.fileFormat)).map { case ((s, fmt), fsq) =>
       val reader = spark.read.schema(readSchema)
       val df = fmt.toUpperCase match {
@@ -912,7 +941,7 @@ object IcebergExport {
       df.withColumn("_gseq", lit(s))
     }.reduce(_ unionByName _)
     if (deletes.isEmpty) return dataDf.drop("_gseq")
-    val idToName = schemaIdToName(fs, p)
+    val idToName = schemaIdToNameFrom(meta)
     val eqNames = deletes.flatMap(_.equalityFieldIds).distinct.map(id =>
       idToName.getOrElse(id, sys.error(s"equality field id $id not in any published schema")))
     require(eqNames.size == 1,
@@ -922,9 +951,13 @@ object IcebergExport {
       spark.read.parquet(ds.map(_.path): _*).select(col(keyCol)).withColumn("_dseq", lit(s))
     }.reduce(_ unionByName _)
     // only the NEWEST delete of a key matters: if max(_dseq) <= the row's
-    // file sequence, every delete of that key predates the row
+    // file sequence, every delete of that key predates the row. The
+    // delete side is change-set-sized BY DESIGN (accumulated deletes are
+    // bounded by compaction cadence), so it is broadcast EXPLICITLY —
+    // size estimation on freshly-listed parquet can miss the threshold,
+    // and a shuffle join here would reshuffle the whole data scan.
     val maxDel = delDf.groupBy(col(keyCol).as("_dkey")).agg(max(col("_dseq")).as("_dseq"))
-    dataDf.join(maxDel, col(keyCol) <=> col("_dkey"), "left")
+    dataDf.join(broadcast(maxDel), col(keyCol) <=> col("_dkey"), "left")
       .where(col("_dseq").isNull || col("_dseq") <= col("_gseq"))
       .drop("_dkey", "_dseq", "_gseq")
   }
