@@ -6,7 +6,7 @@ import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -64,9 +64,10 @@ import scala.jdk.CollectionConverters._
   *    per-file data sequence numbers), which v2 readers merge natively —
   *    no forced compaction before export.
   *
-  * [[readDataFiles]]/[[readLiveRows]] walk the chain back (version-hint →
-  * metadata.json → manifest list → manifests → file paths, applying
-  * equality deletes by sequence number) using only the public spec — the
+  * [[readDataFiles]]/[[readLiveRows]]/[[readTable]] walk the chain back
+  * (version-hint → metadata.json → manifest list → manifests → file
+  * paths, applying BOTH v2 delete kinds — equality and position — by
+  * their sequence-number rules) using only the public spec — the
   * correctness gates read the table THROUGH the export, proving an
   * external reader following Iceberg metadata sees exactly the live rows.
   */
@@ -276,6 +277,17 @@ object IcebergExport {
     */
   final case class ExportDeleteFile(path: String, sizeBytes: Long, recordCount: Long, seq: Long)
 
+  /** One POSITION-delete file (Iceberg spec "Position Delete Files"): a
+    * parquet file of (`file_path` string, `pos` long) rows naming exact
+    * rows to suppress. Applies to data files with seq at or below its own
+    * (the spec's v2 rule for position deletes — ≤, unlike equality's <).
+    * This engine's own merges never produce them ([[SnapshotTable
+    * .mergeOnRead]] emits equality deletes), but FOREIGN v2 tables do —
+    * the writer accepts them so the read path can be proven against
+    * spec-shaped fixtures, and [[readTable]] consumes both kinds.
+    */
+  final case class ExportPosDeleteFile(path: String, sizeBytes: Long, recordCount: Long, seq: Long)
+
   /** Exported snapshots retained in the metadata's history window; older
     * entries are pruned with their manifest files (the Iceberg
     * `expire_snapshots` role, applied at export time).
@@ -308,7 +320,8 @@ object IcebergExport {
       snapshotId: Long, seq: Long, fileSeq: Long,
       recordCount: Long, sizeBytes: Long, fileFormat: String,
       equalityIds: Option[Seq[Int]],
-      lowerRaw: AnyRef = null, upperRaw: AnyRef = null)
+      lowerRaw: AnyRef = null, upperRaw: AnyRef = null,
+      content: Int = 0)
 
   /** Iceberg single-value serialization (spec "Binary single-value
     * serialization") of one min/max stat for a bounds map — little-endian
@@ -361,7 +374,8 @@ object IcebergExport {
       keepSnapshots: Int = KeepSnapshots,
       fileFormat: String = "PARQUET",
       deletes: Seq[ExportDeleteFile] = Seq.empty,
-      equalityDeleteColumn: Option[String] = None
+      equalityDeleteColumn: Option[String] = None,
+      posDeletes: Seq[ExportPosDeleteFile] = Seq.empty
   ): Path = {
     require(deletes.isEmpty || equalityDeleteColumn.nonEmpty,
       "exporting equality-delete files requires the merge-key column name")
@@ -436,7 +450,8 @@ object IcebergExport {
                     df.get("record_count").asInstanceOf[Long],
                     df.get("file_size_in_bytes").asInstanceOf[Long],
                     df.get("file_format").toString, eq,
-                    fieldOrNull(df, "lower_bounds"), fieldOrNull(df, "upper_bounds"))
+                    fieldOrNull(df, "lower_bounds"), fieldOrNull(df, "upper_bounds"),
+                    df.get("content").asInstanceOf[Int])
                   (if (isDeletes) del else d)(df.get("file_path").toString) = entry
                 }
               }
@@ -556,8 +571,11 @@ object IcebergExport {
       writeManifest("m0", "data", dataEntries)
 
     // 2. delete manifest (content=1), only when this snapshot or its
-    // parent carries equality-delete files.
-    val newDelPaths = deletes.map(_.path).toSet
+    // parent carries delete files. Equality deletes are content=2
+    // data_file entries (with equality_ids); position deletes content=1
+    // (file_path/pos rows, no equality ids). Carried entries keep their
+    // original content kind.
+    val newDelPaths = deletes.map(_.path).toSet ++ posDeletes.map(_.path)
     val deleteEntries: Seq[(Int, GenericRecord, Long, Long)] =
       deletes.map { d =>
         priorDeletes.get(d.path) match {
@@ -569,9 +587,20 @@ object IcebergExport {
               d.recordCount, d.sizeBytes, equalityIds), d.recordCount, d.seq)
         }
       } ++
+      posDeletes.map { d =>
+        priorDeletes.get(d.path) match {
+          case Some(pe) =>
+            (0, entryRecord(0, pe.snapshotId, pe.seq, pe.fileSeq, 1, d.path, "PARQUET",
+              pe.recordCount, pe.sizeBytes, None), pe.recordCount, pe.seq)
+          case None =>
+            (1, entryRecord(1, snapshotId, d.seq, d.seq, 1, d.path, "PARQUET",
+              d.recordCount, d.sizeBytes, None), d.recordCount, d.seq)
+        }
+      } ++
       priorDeletes.collect { case (path, pe) if !newDelPaths.contains(path) =>
-        (2, entryRecord(2, snapshotId, pe.seq, pe.fileSeq, 2, path, "PARQUET",
-          pe.recordCount, pe.sizeBytes, pe.equalityIds), pe.recordCount, pe.seq)
+        (2, entryRecord(2, snapshotId, pe.seq, pe.fileSeq,
+          if (pe.content == 0) 2 else pe.content, // legacy eq manifests predate the content read
+          path, "PARQUET", pe.recordCount, pe.sizeBytes, pe.equalityIds), pe.recordCount, pe.seq)
       }
     val deleteManifest =
       if (deleteEntries.isEmpty) None
@@ -685,11 +714,17 @@ object IcebergExport {
       summary.put("deleted-data-files", mDel.toString)
       summary.put("deleted-records", mDelRows.toString)
     }
-    deleteManifest.foreach { case (_, _, (dAdd, _, _), (dAddRows, _, _), _) =>
-      if (dAdd > 0) {
-        summary.put("added-delete-files", dAdd.toString)
-        summary.put("added-equality-delete-files", dAdd.toString)
-        summary.put("added-equality-deletes", dAddRows.toString)
+    deleteManifest.foreach { case (_, _, (dAdd, _, _), (_, _, _), _) =>
+      if (dAdd > 0) summary.put("added-delete-files", dAdd.toString)
+      val eqNew = deletes.filterNot(d => priorDeletes.contains(d.path))
+      if (eqNew.nonEmpty) {
+        summary.put("added-equality-delete-files", eqNew.size.toString)
+        summary.put("added-equality-deletes", eqNew.map(_.recordCount).sum.toString)
+      }
+      val posNew = posDeletes.filterNot(d => priorDeletes.contains(d.path))
+      if (posNew.nonEmpty) {
+        summary.put("added-position-delete-files", posNew.size.toString)
+        summary.put("added-position-deletes", posNew.map(_.recordCount).sum.toString)
       }
     }
     s0.put("manifest-list", listPath.toString)
@@ -775,8 +810,12 @@ object IcebergExport {
   /** One data file resolved through the chain. */
   final case class ManifestDataFile(path: String, recordCount: Long, seq: Long, fileFormat: String)
 
-  /** One equality-delete file resolved through the chain. */
-  final case class ManifestDeleteFile(path: String, seq: Long, equalityFieldIds: Seq[Int])
+  /** One delete file resolved through the chain. `content` is the spec's
+    * data_file content kind: 2 = equality deletes (with
+    * `equalityFieldIds`), 1 = position deletes (file_path/pos rows).
+    */
+  final case class ManifestDeleteFile(
+      path: String, seq: Long, equalityFieldIds: Seq[Int], content: Int = 2)
 
   /** Follow the Iceberg metadata chain exactly as an external reader does
     * — version-hint → vN.metadata.json → a snapshot's manifest list →
@@ -830,7 +869,13 @@ object IcebergExport {
             val eq = Option(fieldOrNull(df, "equality_ids"))
               .map(_.asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq)
               .getOrElse(Seq.empty)
-            dels += ManifestDeleteFile(df.get("file_path").toString, seq, eq)
+            // content 0 inside a delete manifest = a legacy equality
+            // manifest written before the content column was populated
+            val c = df.get("content").asInstanceOf[Int] match {
+              case 0 => 2
+              case k => k
+            }
+            dels += ManifestDeleteFile(df.get("file_path").toString, seq, eq, c)
           } else {
             data += ManifestDataFile(df.get("file_path").toString,
               df.get("record_count").asInstanceOf[Long], seq, df.get("file_format").toString)
@@ -893,11 +938,10 @@ object IcebergExport {
   /** Consume an Iceberg v2 table (ours or a FOREIGN engine's filesystem
     * table) end-to-end from its metadata alone: version-hint →
     * metadata.json → snapshot schema ([[readSchema]]) → manifests →
-    * data files with equality deletes applied ([[readLiveRows]]). Caveat
-    * stated loudly: POSITION deletes (content=1 entries whose files carry
-    * file_path/pos pairs) are not interpreted — this reader serves tables
-    * in the shapes this engine produces (plain data files + equality
-    * deletes), which covers every export this library writes.
+    * data files with BOTH v2 row-level delete kinds applied
+    * ([[readLiveRows]]): equality deletes (what this engine's own
+    * merge-on-read commits export) and position deletes (what foreign
+    * engines' MERGE/DELETE typically write).
     */
   def readTable(spark: SparkSession, exportDir: String,
       atSnapshotId: Option[Long] = None): DataFrame = {
@@ -912,13 +956,20 @@ object IcebergExport {
   }
 
   /** Read the LIVE ROWS of an exported snapshot exactly as an Iceberg v2
-    * merge-on-read reader does: scan the data files, then suppress any row
-    * whose equality-delete key appears in a delete file with a data
-    * sequence number STRICTLY GREATER than the row's file's — the spec's
-    * v2 sequence-number rule, so rows re-inserted after a delete survive.
-    * Delete keys are resolved to columns via `equality_ids` against the
-    * current schema. The whole plan is distributed: data files scan in
-    * parallel, and the delete side is change-set-sized (broadcastable).
+    * merge-on-read reader does: scan the data files, then suppress rows
+    * named by delete files under the spec's sequence-number rules —
+    * EQUALITY deletes (content=2) apply to data files with a data
+    * sequence number STRICTLY BELOW the delete's (so rows re-inserted
+    * after a delete survive), POSITION deletes (content=1, rows of
+    * `file_path`/`pos`) apply AT OR BELOW theirs (so a commit can delete
+    * rows from files it just added). Equality keys are resolved to
+    * columns via `equality_ids`; position deletes match rows through
+    * Spark's `_metadata.file_path`/`_metadata.row_index` (parquet data
+    * files only — the loud `require` states it), with both path sides
+    * normalized to their URI path so writer-dependent scheme rendering
+    * (`file:/` vs `file:///`) cannot break the match. The whole plan is
+    * distributed: data files scan in parallel, and each delete side is
+    * change-set-sized (broadcast explicitly).
     */
   def readLiveRows(
       spark: SparkSession, exportDir: String, readSchema: StructType,
@@ -928,38 +979,78 @@ object IcebergExport {
     readLiveRowsFrom(spark, fs, loadMeta(fs, p), readSchema, atSnapshotId)
   }
 
+  /** Scheme-insensitive path identity for position-delete matching:
+    * a foreign writer records `file_path` strings with whatever scheme
+    * rendering its filesystem produced (`file:/x`, `file:///x`,
+    * `s3a://bucket/x`), while Spark's `_metadata.file_path` has its own.
+    * Reducing both sides to the URI path makes the join key writer-
+    * independent; a plain regexp keeps it inside codegen.
+    */
+  private def normPath(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
   private def readLiveRowsFrom(spark: SparkSession, fs: FileSystem, meta: JsonNode,
       readSchema: StructType, atSnapshotId: Option[Long]): DataFrame = {
     val (data, deletes) = readFilesFrom(fs, meta, atSnapshotId)
     require(data.nonEmpty, "no live data files in the export")
+    val posDels = deletes.filter(_.content == 1)
+    val eqDels = deletes.filterNot(_.content == 1)
     val dataDf = data.groupBy(d => (d.seq, d.fileFormat)).map { case ((s, fmt), fsq) =>
       val reader = spark.read.schema(readSchema)
       val df = fmt.toUpperCase match {
-        case "ORC" => reader.orc(fsq.map(_.path): _*)
-        case _     => reader.parquet(fsq.map(_.path): _*)
+        case "ORC" =>
+          require(posDels.isEmpty,
+            "position deletes require parquet data files (_metadata.row_index); " +
+              s"this snapshot has ORC data files and ${posDels.size} position-delete file(s)")
+          reader.orc(fsq.map(_.path): _*)
+        case _ => reader.parquet(fsq.map(_.path): _*)
       }
-      df.withColumn("_gseq", lit(s))
+      val tagged = df.withColumn("_gseq", lit(s))
+      if (posDels.isEmpty) tagged
+      else tagged
+        .withColumn("_gpath", normPath(col("_metadata.file_path")))
+        .withColumn("_gpos", col("_metadata.row_index"))
     }.reduce(_ unionByName _)
-    if (deletes.isEmpty) return dataDf.drop("_gseq")
-    val idToName = schemaIdToNameFrom(meta)
-    val eqNames = deletes.flatMap(_.equalityFieldIds).distinct.map(id =>
-      idToName.getOrElse(id, sys.error(s"equality field id $id not in any published schema")))
-    require(eqNames.size == 1,
-      s"this reader supports single-column equality deletes, got: ${eqNames.mkString(", ")}")
-    val keyCol = eqNames.head
-    val delDf = deletes.groupBy(_.seq).map { case (s, ds) =>
-      spark.read.parquet(ds.map(_.path): _*).select(col(keyCol)).withColumn("_dseq", lit(s))
-    }.reduce(_ unionByName _)
-    // only the NEWEST delete of a key matters: if max(_dseq) <= the row's
-    // file sequence, every delete of that key predates the row. The
-    // delete side is change-set-sized BY DESIGN (accumulated deletes are
-    // bounded by compaction cadence), so it is broadcast EXPLICITLY —
-    // size estimation on freshly-listed parquet can miss the threshold,
-    // and a shuffle join here would reshuffle the whole data scan.
-    val maxDel = delDf.groupBy(col(keyCol).as("_dkey")).agg(max(col("_dseq")).as("_dseq"))
-    dataDf.join(broadcast(maxDel), col(keyCol) <=> col("_dkey"), "left")
-      .where(col("_dseq").isNull || col("_dseq") <= col("_gseq"))
-      .drop("_dkey", "_dseq", "_gseq")
+    // Each delete side is change-set-sized BY DESIGN (accumulated deletes
+    // are bounded by compaction cadence), so both joins broadcast
+    // EXPLICITLY — size estimation on freshly-listed parquet can miss the
+    // threshold, and a shuffle join here would reshuffle the whole data
+    // scan.
+    var out = dataDf
+    if (eqDels.nonEmpty) {
+      val idToName = schemaIdToNameFrom(meta)
+      val eqNames = eqDels.flatMap(_.equalityFieldIds).distinct.map(id =>
+        idToName.getOrElse(id, sys.error(s"equality field id $id not in any published schema")))
+      require(eqNames.size == 1,
+        s"this reader supports single-column equality deletes, got: ${eqNames.mkString(", ")}")
+      val keyCol = eqNames.head
+      val delDf = eqDels.groupBy(_.seq).map { case (s, ds) =>
+        spark.read.parquet(ds.map(_.path): _*).select(col(keyCol)).withColumn("_dseq", lit(s))
+      }.reduce(_ unionByName _)
+      // only the NEWEST delete of a key matters: if max(_dseq) <= the
+      // row's file sequence, every delete of that key predates the row
+      val maxDel = delDf.groupBy(col(keyCol).as("_dkey")).agg(max(col("_dseq")).as("_dseq"))
+      out = out.join(broadcast(maxDel), col(keyCol) <=> col("_dkey"), "left")
+        .where(col("_dseq").isNull || col("_dseq") <= col("_gseq"))
+        .drop("_dkey", "_dseq")
+    }
+    if (posDels.nonEmpty) {
+      val pd = posDels.groupBy(_.seq).map { case (s, ds) =>
+        spark.read.parquet(ds.map(_.path): _*)
+          .select(normPath(col("file_path")).as("_ppath"), col("pos").cast("long").as("_ppos"))
+          .withColumn("_pseq", lit(s))
+      }.reduce(_ unionByName _)
+      // position deletes apply to files at-or-below their sequence (spec:
+      // a commit may position-delete rows from files it just added), so a
+      // row survives only when every delete of its (path, pos) is from an
+      // OLDER sequence than its file's — i.e. max(_pseq) < _gseq
+      val maxPos = pd.groupBy(col("_ppath"), col("_ppos")).agg(max(col("_pseq")).as("_pseq"))
+      out = out.join(broadcast(maxPos),
+          out("_gpath") === col("_ppath") && out("_gpos") === col("_ppos"), "left")
+        .where(col("_pseq").isNull || col("_pseq") < col("_gseq"))
+        .drop("_ppath", "_ppos", "_pseq")
+    }
+    out.drop("_gseq", "_gpath", "_gpos")
   }
 
   /** Field value, or null when the record's WRITER schema (a legacy

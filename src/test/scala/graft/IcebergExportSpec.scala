@@ -229,6 +229,101 @@ class IcebergExportSpec extends SparkSpec {
     assert(!viaExport.exists(_._1 == "k2") && viaExport.exists(r => r._1 == "k1" && r._3 == "u1"))
   }
 
+  test("position deletes: foreign-shaped v2 table, at-or-below sequence rule, scheme-insensitive paths, mixed with equality deletes") {
+    // This engine's own merges never WRITE position deletes, but foreign
+    // v2 writers do — build a spec-shaped table by hand and prove
+    // readTable consumes it: content=1 manifest entries, file_path/pos
+    // rows, the ≤ sequence rule (a commit may delete rows from files it
+    // just added), and path matching that survives different scheme
+    // renderings between the delete-file writer and Spark's
+    // _metadata.file_path.
+    import org.apache.spark.sql.types._
+    val base = tmpDir("iceberg-posdel")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = StructType(Seq(StructField("k", StringType), StructField("v", LongType)))
+
+    def partFile(dir: String): org.apache.hadoop.fs.FileStatus =
+      fs.listStatus(new Path(dir)).filter(_.getPath.getName.endsWith(".parquet")).head
+    def writeData(sub: String, rows: Seq[(String, Long)], seq: Long): IcebergExport.ExportFile = {
+      val dir = s"$base/$sub"
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+      val f = partFile(dir)
+      IcebergExport.ExportFile(f.getPath.toString, f.getLen, rows.size, seq)
+    }
+    // file A rows k1..k4 at pos 0..3; B k5..k8; C added later
+    val a = writeData("dataA", (1 to 4).map(i => (s"k$i", i.toLong)), 1L)
+    val b = writeData("dataB", (5 to 8).map(i => (s"k$i", i.toLong)), 1L)
+    val exportDir = s"$base/export"
+    IcebergExport.write(fs, new Path(exportDir), schema, 1L,
+      1000L, Seq(a, b), Map.empty)
+
+    // commit 2: new file C, plus a position delete at seq 2 removing
+    // (A, pos 1) = k2 — an OLDER file — and (C, pos 0) = k9 — a file of
+    // the SAME commit (the ≤ rule). A's path is written in an alternate
+    // scheme rendering (file:// + uri-path) to exercise normalization.
+    val c = writeData("dataC", (9 to 12).map(i => (s"k$i", i.toLong)), 2L)
+    val altA = "file://" + new Path(a.path).toUri.getPath
+    val pdDir = s"$base/posdel"
+    Seq((altA, 1L), (c.path, 0L)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(pdDir)
+    val pdf = partFile(pdDir)
+    val pd = IcebergExport.ExportPosDeleteFile(pdf.getPath.toString, pdf.getLen, 2L, 2L)
+    IcebergExport.write(fs, new Path(exportDir), schema, 2L,
+      2000L, Seq(a, b, c), Map.empty, posDeletes = Seq(pd))
+
+    val (_, delFiles) = IcebergExport.readFiles(fs, new Path(exportDir))
+    assert(delFiles.map(_.content) == Seq(1), "the delete manifest entry must be content=1")
+    val live2 = IcebergExport.readTable(spark, exportDir)
+    val keys2 = live2.select("k").as[String].collect().toSet
+    assert(keys2 == ((1 to 12).map(i => s"k$i").toSet -- Set("k2", "k9")),
+      s"pos deletes must remove k2 (older file) AND k9 (same-commit file): $keys2")
+    val plan = live2.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"position-delete join must broadcast the delete rows:\n${plan.take(2000)}")
+    // structural summary accounting
+    val meta2 = currentMeta(fs, exportDir)
+    val snap2 = meta2.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == meta2.get("current-snapshot-id").asLong()).get
+    assert(snap2.get("summary").get("operation").asText() == "overwrite")
+    assert(snap2.get("summary").get("added-position-delete-files").asText().toInt == 1)
+    assert(snap2.get("summary").get("added-position-deletes").asText().toLong == 2L)
+    assert(snap2.get("summary").get("added-data-files").asText().toInt == 1)
+
+    // time travel to the first snapshot (id = version+1 = 2): no deletes yet
+    val keys1 = IcebergExport.readTable(spark, exportDir, atSnapshotId = Some(2L))
+      .select("k").as[String].collect().toSet
+    assert(keys1 == (1 to 8).map(i => s"k$i").toSet)
+
+    // commit 3: carry the position delete, add an EQUALITY delete of k5
+    // at seq 3 — both kinds must coexist and the carried entry stays
+    // content=1 with EXISTING status
+    val d = writeData("dataD", Seq(("k13", 13L)), 3L)
+    val eqDir = s"$base/eqdel"
+    Seq("k5").toDF("k").coalesce(1).write.mode("overwrite").parquet(eqDir)
+    val eqf = partFile(eqDir)
+    IcebergExport.write(fs, new Path(exportDir), schema, 3L,
+      3000L, Seq(a, b, c, d), Map.empty,
+      deletes = Seq(IcebergExport.ExportDeleteFile(eqf.getPath.toString, eqf.getLen, 1L, 3L)),
+      equalityDeleteColumn = Some("k"), posDeletes = Seq(pd))
+    val delEntries3 = rawManifestEntries(fs, exportDir, 1)
+    val byPath3 = delEntries3.map { e =>
+      val df0 = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      df0.get("file_path").toString ->
+        ((e.get("status").asInstanceOf[Int], df0.get("content").asInstanceOf[Int]))
+    }.toMap
+    assert(byPath3(pd.path) == ((0, 1)), "carried pos delete: EXISTING status, content=1 preserved")
+    assert(byPath3(eqf.getPath.toString) == ((1, 2)), "new eq delete: ADDED status, content=2")
+    val meta3 = currentMeta(fs, exportDir)
+    val snap3 = meta3.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == meta3.get("current-snapshot-id").asLong()).get
+    assert(snap3.get("summary").get("added-equality-delete-files").asText().toInt == 1)
+    assert(!snap3.get("summary").has("added-position-delete-files"),
+      "a carried position delete must not re-count as added")
+    val keys3 = IcebergExport.readTable(spark, exportDir).select("k").as[String].collect().toSet
+    assert(keys3 == ((1 to 13).map(i => s"k$i").toSet -- Set("k2", "k9", "k5")),
+      s"equality (k5) and position (k2, k9) deletes must both apply: $keys3")
+  }
+
   test("field ids are durable: names keep ids across replace, dropped ids never reused, bad re-bind fails loudly") {
     val t = SnapshotTable(spark, tmpDir("iceberg-ids"))
     val df = (1 to 50).map(i => (s"k$i", 1L, s"v$i")).toDF("arcane_merge_key", "versionnumber", "payload")
