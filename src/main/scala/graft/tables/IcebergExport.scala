@@ -807,8 +807,13 @@ object IcebergExport {
   private[graft] def readVersionHint(fs: FileSystem, exportDir: Path): String =
     readText(fs, new Path(new Path(exportDir, "metadata"), "version-hint.text")).trim
 
-  /** One data file resolved through the chain. */
-  final case class ManifestDataFile(path: String, recordCount: Long, seq: Long, fileFormat: String)
+  /** One data file resolved through the chain, with its manifest skipping
+    * index: `lower`/`upper` are the Iceberg single-value-serialized
+    * min/max bytes keyed by FIELD ID, exactly as the manifest stores them
+    * (empty when the writer exported no bounds for the file).
+    */
+  final case class ManifestDataFile(path: String, recordCount: Long, seq: Long, fileFormat: String,
+      lower: Map[Int, Array[Byte]] = Map.empty, upper: Map[Int, Array[Byte]] = Map.empty)
 
   /** One delete file resolved through the chain. `content` is the spec's
     * data_file content kind: 2 = equality deletes (with
@@ -878,7 +883,9 @@ object IcebergExport {
             dels += ManifestDeleteFile(df.get("file_path").toString, seq, eq, c)
           } else {
             data += ManifestDataFile(df.get("file_path").toString,
-              df.get("record_count").asInstanceOf[Long], seq, df.get("file_format").toString)
+              df.get("record_count").asInstanceOf[Long], seq, df.get("file_format").toString,
+              boundsMapOf(fieldOrNull(df, "lower_bounds")),
+              boundsMapOf(fieldOrNull(df, "upper_bounds")))
           }
         }
       }
@@ -955,6 +962,69 @@ object IcebergExport {
     readLiveRowsFrom(spark, fs, meta, readSchemaFrom(meta, atSnapshotId), atSnapshotId)
   }
 
+  /** Iceberg single-value-serialized bound bytes → Double for range
+    * comparison (inverse of [[boundBytes]] on the numeric types it
+    * writes). Returns None for types/lengths this pruner does not reason
+    * about — the file is then kept (bound absence is "no evidence").
+    */
+  private[graft] def decodeBound(t: String, bytes: Array[Byte]): Option[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    t match {
+      case "int" if bytes.length == 4     => Some(bb.getInt.toDouble)
+      case "long" if bytes.length == 8    => Some(bb.getLong.toDouble)
+      case "float" if bytes.length == 4   => Some(bb.getFloat.toDouble)
+      case "double" if bytes.length == 8  => Some(bb.getDouble)
+      case _                              => None
+    }
+  }
+
+  /** Range scan THROUGH the export metadata with manifest-level file
+    * skipping — [[SnapshotTable.readRange]]'s exact semantics applied the
+    * way an external Iceberg reader would: `readTable(...).where(lo <= c
+    * <= hi)`, but data files whose manifest `lower_bounds`/`upper_bounds`
+    * for `c` cannot intersect [lo, hi] are dropped from the listing
+    * BEFORE Spark plans the scan — no footer open, no task. Files
+    * without a bound for `c` are always kept (bounds absence means "no
+    * evidence", never "no match"), so results stay exact on mixed
+    * manifests, and row-level deletes still apply to the kept rows. The
+    * residual predicate is the same typed-literal form readRange builds,
+    * so parquet row-group pruning survives inside kept files.
+    */
+  def readTableRange(spark: SparkSession, exportDir: String,
+      column: String, lo: Double, hi: Double,
+      atSnapshotId: Option[Long] = None): DataFrame = {
+    val p = new Path(exportDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = loadMeta(fs, p)
+    val schema = readSchemaFrom(meta, atSnapshotId)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(s"readTableRange column '$column' not in the exported schema"))
+    require(field.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"readTableRange needs a numeric column, '$column' is ${field.dataType}")
+    val iceT = icebergType(field.dataType)
+    // resolve the column to its durable field id via the SNAPSHOT's schema
+    val fieldId = {
+      val schemaId = atSnapshotId.flatMap { sid =>
+        meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == sid)
+          .flatMap(sn => Option(sn.get("schema-id")).map(_.asInt()))
+      }.getOrElse(meta.get("current-schema-id").asInt())
+      meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == schemaId)
+        .flatMap(_.get("fields").elements().asScala
+          .find(_.get("name").asText() == field.name).map(_.get("id").asInt()))
+        .getOrElse(sys.error(s"field '${field.name}' not in the snapshot's schema"))
+    }
+    def keep(f: ManifestDataFile): Boolean = {
+      val mn = f.lower.get(fieldId).flatMap(decodeBound(iceT, _))
+      val mx = f.upper.get(fieldId).flatMap(decodeBound(iceT, _))
+      // intersect unless BOTH bounds exist and exclude the range
+      mx.forall(_ >= lo) && mn.forall(_ <= hi)
+    }
+    readLiveRowsFrom(spark, fs, meta, schema, atSnapshotId, keep)
+      .where(SnapshotTable.rangePredicate(field, lo, hi))
+  }
+
   /** Read the LIVE ROWS of an exported snapshot exactly as an Iceberg v2
     * merge-on-read reader does: scan the data files, then suppress rows
     * named by delete files under the spec's sequence-number rules —
@@ -990,9 +1060,14 @@ object IcebergExport {
     regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   private def readLiveRowsFrom(spark: SparkSession, fs: FileSystem, meta: JsonNode,
-      readSchema: StructType, atSnapshotId: Option[Long]): DataFrame = {
-    val (data, deletes) = readFilesFrom(fs, meta, atSnapshotId)
-    require(data.nonEmpty, "no live data files in the export")
+      readSchema: StructType, atSnapshotId: Option[Long],
+      keepFile: ManifestDataFile => Boolean = _ => true): DataFrame = {
+    val (allData, deletes) = readFilesFrom(fs, meta, atSnapshotId)
+    require(allData.nonEmpty, "no live data files in the export")
+    val data = allData.filter(keepFile)
+    if (data.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
     val posDels = deletes.filter(_.content == 1)
     val eqDels = deletes.filterNot(_.content == 1)
     val dataDf = data.groupBy(d => (d.seq, d.fileFormat)).map { case ((s, fmt), fsq) =>
@@ -1059,6 +1134,16 @@ object IcebergExport {
     */
   private def fieldOrNull(r: GenericRecord, name: String): AnyRef =
     if (r.getSchema.getField(name) != null) r.get(name) else null
+
+  /** Avro bounds value (array of {key, value} records standing in for a
+    * map) → field-id-keyed raw bytes; empty for null/absent.
+    */
+  private def boundsMapOf(raw: AnyRef): Map[Int, Array[Byte]] =
+    Option(raw).map(_.asInstanceOf[java.util.List[GenericRecord]].asScala.map { kv =>
+      val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val arr = new Array[Byte](bb.remaining()); bb.get(arr)
+      kv.get("key").asInstanceOf[Int] -> arr
+    }.toMap).getOrElse(Map.empty)
 
   private def readAvro(fs: FileSystem, p: Path): Seq[GenericRecord] = {
     val in = fs.open(p)

@@ -3,7 +3,7 @@ package graft.tables
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
@@ -178,39 +178,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       s"readRange needs a numeric column, '$column' is ${field.dataType}")
     val kept = snap.files.filter(_.stats.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi })
     val pruned = snap.copy(files = kept)
-    // Typed-literal predicate so the comparison stays on the BARE column:
-    // a cast-wrapped column cannot be translated to a parquet data-source
-    // filter, which would forfeit row-group pruning inside the kept files.
-    // Integral columns round the bounds INWARD (x >= 4.5 ⇔ x >= 5), which
-    // is exact; fractional/decimal columns fall back to the double cast
-    // (correct, pushdown lost — acceptable: double columns take the fast
-    // path below, and decimals are rare stats columns).
-    import org.apache.spark.sql.types._
-    // Integral bounds are CLAMPED to the column type's own range before the
-    // literal is built: a caller passing lo/hi outside e.g. Int range (a
-    // sentinel like 1e10 for "no upper cap") must not overflow the cast —
-    // under ANSI that throws CAST_OVERFLOW, with ANSI off the literal wraps
-    // and silently drops matching rows. A bound past the type's max/min is
-    // semantically "unbounded on that side", which the clamp expresses
-    // exactly; a clamped-empty range (lo > type max, or hi < type min, or
-    // lo > hi after inward rounding) matches nothing.
-    def integralPredicate(typeMin: Long, typeMax: Long) = {
-      val lo2 = math.max(if (lo <= typeMin.toDouble) typeMin else math.ceil(lo).toLong, typeMin)
-      val hi2 = math.min(if (hi >= typeMax.toDouble) typeMax else math.floor(hi).toLong, typeMax)
-      if (lo2 > hi2) lit(false)
-      else col(column) >= lit(lo2).cast(field.dataType) && col(column) <= lit(hi2).cast(field.dataType)
-    }
-    val predicate = field.dataType match {
-      case ByteType    => integralPredicate(Byte.MinValue, Byte.MaxValue)
-      case ShortType   => integralPredicate(Short.MinValue, Short.MaxValue)
-      case IntegerType => integralPredicate(Int.MinValue, Int.MaxValue)
-      case LongType    => integralPredicate(Long.MinValue, Long.MaxValue)
-      case DoubleType =>
-        col(column) >= lit(lo) && col(column) <= lit(hi)
-      case _ =>
-        col(column).cast("double") >= lo && col(column).cast("double") <= hi
-    }
-    readSnapshotDf(pruned, None).where(predicate)
+    readSnapshotDf(pruned, None).where(SnapshotTable.rangePredicate(field, lo, hi))
   }
 
   /** Time travel: read the table as of an earlier (unexpired) snapshot
@@ -1489,6 +1457,46 @@ object SnapshotTable {
     * — see [[SnapshotTable.adoptFiles]].
     */
   val AdoptedBucket: Int = -1
+
+  /** `lo <= field <= hi` as a TYPED-LITERAL predicate so the comparison
+    * stays on the BARE column: a cast-wrapped column cannot be translated
+    * to a parquet data-source filter, which would forfeit row-group
+    * pruning inside the kept files. Integral columns round the bounds
+    * INWARD (x >= 4.5 ⇔ x >= 5), which is exact, and CLAMP them to the
+    * column type's own range before the literal is built: a caller
+    * passing lo/hi outside e.g. Int range (a sentinel like 1e10 for "no
+    * upper cap") must not overflow the cast — under ANSI that throws
+    * CAST_OVERFLOW, with ANSI off the literal wraps and silently drops
+    * matching rows. A bound past the type's max/min is semantically
+    * "unbounded on that side", which the clamp expresses exactly; a
+    * clamped-empty range matches nothing. Fractional/decimal columns
+    * fall back to the double cast (correct, pushdown lost — acceptable:
+    * double columns take the fast path, decimals are rare stats columns).
+    * Shared by [[SnapshotTable.readRange]] and
+    * [[IcebergExport.readTableRange]] so both skip-index consumers apply
+    * identical residual semantics.
+    */
+  private[tables] def rangePredicate(
+      field: org.apache.spark.sql.types.StructField, lo: Double, hi: Double): Column = {
+    import org.apache.spark.sql.types._
+    val column = field.name
+    def integralPredicate(typeMin: Long, typeMax: Long) = {
+      val lo2 = math.max(if (lo <= typeMin.toDouble) typeMin else math.ceil(lo).toLong, typeMin)
+      val hi2 = math.min(if (hi >= typeMax.toDouble) typeMax else math.floor(hi).toLong, typeMax)
+      if (lo2 > hi2) lit(false)
+      else col(column) >= lit(lo2).cast(field.dataType) && col(column) <= lit(hi2).cast(field.dataType)
+    }
+    field.dataType match {
+      case ByteType    => integralPredicate(Byte.MinValue, Byte.MaxValue)
+      case ShortType   => integralPredicate(Short.MinValue, Short.MaxValue)
+      case IntegerType => integralPredicate(Int.MinValue, Int.MaxValue)
+      case LongType    => integralPredicate(Long.MinValue, Long.MaxValue)
+      case DoubleType =>
+        col(column) >= lit(lo) && col(column) <= lit(hi)
+      case _ =>
+        col(column).cast("double") >= lo && col(column).cast("double") <= hi
+    }
+  }
 
   val PropMergeKeyCol = "merge.key.column"
   val PropWatermark = "arcane.watermark" // SURVEY.md §2.A15 external watermark mirror

@@ -421,6 +421,64 @@ class IcebergExportSpec extends SparkSpec {
       boundsByField(e, "lower_bounds").nonEmpty) >= withBounds - 1)
   }
 
+  test("readTableRange: external-reader file skipping from manifest bounds; exact, delete-aware") {
+    import org.apache.spark.sql.functions.col
+    val grid = (0 until 4096).map(i => (s"k$i", i.toLong, (i / 64).toLong, (i % 64).toLong, false))
+      .toDF("arcane_merge_key", "versionnumber", "a", "b", "IsDelete")
+    val t = SnapshotTable(spark, tmpDir("iceberg-range"))
+    t.createOrReplace(grid, "arcane_merge_key", numBuckets = 1,
+      extraProps = Map(SnapshotTable.PropMaxRowsPerFile -> "256",
+        SnapshotTable.PropStatsColumns -> "a",
+        SnapshotTable.PropSortOrder -> "a"))
+    val exportDir = tmpDir("iceberg-range-out")
+    t.exportIceberg(exportDir)
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val allFiles = IcebergExport.readFiles(fs, new Path(exportDir))._1
+    assert(allFiles.size > 4)
+
+    // exactness + skipping: same slice as the table-side readRange test
+    val ranged = IcebergExport.readTableRange(spark, exportDir, "a", 4.0, 7.0)
+    val exact = t.read().where(col("a") >= 4 && col("a") <= 7)
+      .select("arcane_merge_key").as[String].collect().toSet
+    assert(ranged.select("arcane_merge_key").as[String].collect().toSet == exact)
+    assert(exact.size == 4 * 64)
+    val scanned = ranged.inputFiles.count(f => allFiles.exists(_.path.endsWith(new Path(f).getName)))
+    // long bounds are SAFELY WIDENED at export (boundBytes: ±1 at integer
+    // boundaries so double rounding can never make a bound too tight), so
+    // the export path may keep one extra boundary file per side vs the
+    // table's own exact-stats readRange (<= 2 here)
+    assert(scanned <= 4,
+      s"a 4/64 a-slice should plan <= 4 of ${allFiles.size} sorted files, got $scanned")
+    // residual predicate pushes down to parquet on the bare column
+    val planned = ranged.queryExecution.executedPlan.toString
+    assert(planned.contains("PushedFilters") && planned.contains("GreaterThanOrEqual(a,4)"),
+      s"typed-literal residual must reach the scan:\n${planned.take(1500)}")
+
+    // a column with NO exported bounds prunes nothing but stays exact
+    val noStats = IcebergExport.readTableRange(spark, exportDir, "b", 10.0, 12.0)
+    assert(noStats.count() == t.read().where(col("b").between(10, 12)).count())
+    val scannedNoStats = noStats.inputFiles
+      .count(f => allFiles.exists(_.path.endsWith(new Path(f).getName)))
+    assert(scannedNoStats == allFiles.size)
+
+    // a range outside every file's bounds: empty result, correct schema, no error
+    val empty = IcebergExport.readTableRange(spark, exportDir, "a", 1000.0, 2000.0)
+    assert(empty.count() == 0 && empty.columns.contains("versionnumber"))
+
+    // deletes still apply to kept rows: tombstone a key INSIDE the range
+    // merge-on-read (no compaction), re-export, and read through the range
+    // version must BEAT the target's (update-if-newer): k300's is 300
+    t.mergeOnRead(Seq(("k300", 99999L, 4L, 44L, true))
+      .toDF("arcane_merge_key", "versionnumber", "a", "b", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    t.exportIceberg(exportDir)
+    assert(t.currentSnapshot.deletes.nonEmpty, "the tombstone must leave an outstanding delete")
+    val afterDel = IcebergExport.readTableRange(spark, exportDir, "a", 4.0, 7.0)
+      .select("arcane_merge_key").as[String].collect().toSet
+    assert(afterDel == exact - "k300",
+      "equality deletes must still suppress rows inside the pruned range scan")
+  }
+
   test("boundBytes: long bounds widen safely, int/double exact, non-numeric skipped") {
     import org.apache.spark.sql.types._
     def le(b: Array[Byte]) = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
