@@ -1160,6 +1160,16 @@ object SparkEntry {
       """SELECT doc_id, true AS copy_matches, true AS reorder_differs
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // DSIR importance resampling (scores hash n-grams with xxhash64 — no
+    // DuckDB equivalent; the planted-class VALUE behavior is pinned in
+    // ExtOpsSpec): partition-invariant scoring, replayable Gumbel-top-k
+    // selection, and positive target affinity are constant-true by
+    // contract, so any determinism/algebra regression fails the hash.
+    "q_dsir_select" ->
+      """SELECT doc_id, true AS stable, true AS select_stable,
+        |       true AS affinity_positive
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Incremental near-dup: exhaustive exact-Jaccard cross join of the
     // planted increment (paraphrases +1e6, token-reversed +2e6) against
     // the full corpus — brute-force truth for the broadcast/semi-join

@@ -555,4 +555,133 @@ object Datasets {
           .otherwise(expr("(1000 * (cast(_qrank as bigint) - 1)) div (_qn - 1)")))
       .drop("_qrank", "_qn")
   }
+
+  // ------------------------------------------------------------------ DSIR
+
+  /** Whitespace tokens of a text column, lower-cased, empties dropped —
+    * the corpus tokenization every text operator here shares.
+    */
+  private def dsirTokens(textCol: String): Column =
+    filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+
+  /** Hashed n-gram feature buckets (unigrams + word bigrams) of a token
+    * array — DSIR's featurization (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 §3): a
+    * fixed-size bucket space keeps the fitted model BOUNDED regardless of
+    * corpus vocabulary, which is what lets the fit stage aggregate 100 TB
+    * into ≤ `numBuckets` rows. xxhash64 is the bucket hash (codegen'd,
+    * the same choice the MinHash/SimHash family makes).
+    */
+  private[graft] def dsirBuckets(tokens: Column, numBuckets: Int): Column = {
+    val bigrams = when(size(tokens) >= 2,
+      transform(sequence(lit(0), size(tokens) - 2),
+        i => concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(tokens, bigrams),
+      t => pmod(xxhash64(t), lit(numBuckets.toLong)).cast("int"))
+  }
+
+  /** Per-bucket feature counts of a corpus: ONE map-side-combined
+    * aggregation whose shuffle is bounded by `numBuckets` per partition —
+    * the only pass the fit stage makes over each corpus.
+    */
+  private def bucketCounts(df: DataFrame, textCol: String, numBuckets: Int): Array[Long] = {
+    val rows = df
+      .select(explode(dsirBuckets(dsirTokens(textCol), numBuckets)).as("bucket"))
+      .groupBy("bucket").count()
+      .collect() // ≤ numBuckets rows by construction — driver-bounded
+    val out = new Array[Long](numBuckets)
+    rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+
+  /** A fitted DSIR model: the per-bucket log importance ratio
+    * `log p̂_target[b] − log p̂_raw[b]`. numBuckets doubles — ~0.5 MB at
+    * the 2^16 default — small enough to ship to executors as one array
+    * literal, which is what makes scoring with it map-only. Fit once,
+    * score any number of shards: new raw data does NOT need a refit (the
+    * model estimates two fixed distributions, not the shard).
+    */
+  final case class DsirModel(logRatio: Seq[Double], smoothing: Double) {
+    def numBuckets: Int = logRatio.size
+  }
+
+  /** Fit the DSIR importance model (Xie et al. §3): hashed-n-gram
+    * bag-of-words estimates of the TARGET and RAW distributions with
+    * additive smoothing. Two bounded aggregations, one per corpus — each
+    * shuffles ≤ numBuckets rows per partition after map-side combine —
+    * then a driver-side table of numBuckets log-ratios.
+    */
+  def dsirFit(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String = "text",
+      numBuckets: Int = 1 << 16,
+      smoothing: Double = 0.5
+  ): DsirModel = {
+    require(numBuckets > 0 && smoothing > 0.0, "numBuckets and smoothing must be positive")
+    val tCounts = bucketCounts(target, textCol, numBuckets)
+    val rCounts = bucketCounts(raw, textCol, numBuckets)
+    val tTotal = tCounts.sum.toDouble + numBuckets * smoothing
+    val rTotal = rCounts.sum.toDouble + numBuckets * smoothing
+    DsirModel(Array.tabulate(numBuckets) { b =>
+      math.log((tCounts(b) + smoothing) / tTotal) - math.log((rCounts(b) + smoothing) / rTotal)
+    }.toSeq, smoothing)
+  }
+
+  /** Score documents under a fitted model: appends `dsir_logweight` =
+    * `Σ_b n_b(x) · logRatio[b]`. MAP-ONLY — the model rides as a literal
+    * array, the score is a fixed-order per-row fold over the document's
+    * feature buckets: zero shuffles, no join, deterministic on any
+    * partitioning.
+    */
+  def dsirScoreWith(model: DsirModel, df: DataFrame, textCol: String = "text"): DataFrame = {
+    val lam = typedLit(model.logRatio)
+    df.withColumn("dsir_logweight",
+      aggregate(dsirBuckets(dsirTokens(textCol), model.numBuckets), lit(0.0),
+        (acc, b) => acc + element_at(lam, b + 1)))
+  }
+
+  /** Fit-and-score convenience: the log importance weight of every raw
+    * document against a target sample ([[dsirFit]] + [[dsirScoreWith]]).
+    */
+  def dsirScore(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String = "text",
+      numBuckets: Int = 1 << 16,
+      smoothing: Double = 0.5
+  ): DataFrame =
+    dsirScoreWith(dsirFit(raw, target, textCol, numBuckets, smoothing), raw, textCol)
+
+  /** DSIR selection: sample `k` documents WITHOUT replacement with
+    * probability ∝ exp(dsir_logweight) via the Gumbel-top-k trick
+    * (public equivalence: top-k of `logw + Gumbel noise` is exactly
+    * weighted sampling without replacement — Vieira 2014). The Gumbel
+    * noise is hash-derived from the id ([[GoldenRatioHash]], same basis
+    * as every sampler here), so selection is REPLAYABLE: deterministic
+    * across runs, engines and partitionings, no RNG state. The top-k is
+    * `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject, a
+    * per-partition heap + driver merge of k rows, never a global sort.
+    */
+  def importanceResample(
+      raw: DataFrame,
+      target: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numBuckets: Int = 1 << 16,
+      smoothing: Double = 0.5
+  ): DataFrame = {
+    val scored = dsirScore(raw, target, textCol, numBuckets, smoothing)
+    // u in (0,1) from the multiplicative hash; +0.5 keeps it off 0 and 1
+    // so both logs below are finite
+    val u = (pmod(col(idCol) * GoldenRatioHash, lit(1L << 31)).cast("double") + 0.5) /
+      (1L << 31).toDouble
+    val gumbel = -log(-log(u))
+    scored.withColumn("_gumbel_key", col("dsir_logweight") + gumbel)
+      .orderBy(col("_gumbel_key").desc, col(idCol))
+      .limit(k)
+      .drop("_gumbel_key")
+  }
 }

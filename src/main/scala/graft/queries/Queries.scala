@@ -1886,6 +1886,51 @@ object Queries {
       rates = Map("en" -> 300, "fr" -> 500))
       .orderBy(col("doc_id"))
 
+  /** DSIR importance resampling gate ([[graft.ext.Datasets.dsirFit]] /
+    * [[Datasets.dsirScoreWith]] / [[Datasets.importanceResample]]) in the
+    * planted-property shape the sketch gates use (scores hash with
+    * xxhash64 — no DuckDB equivalent, so the oracle states the
+    * constant-true properties and the VALUES are pinned behaviorally in
+    * ExtOpsSpec's planted-class cases):
+    *  - `stable`: a fitted model scores a doc bit-identically on any
+    *    partitioning (the fit is exact bucket counts; the score a
+    *    fixed-order per-row fold);
+    *  - `select_stable`: Gumbel-top-k selection is replayable — the
+    *    same k ids from a repartitioned corpus (hash-derived noise, no
+    *    RNG state);
+    *  - `affinity_positive`: the mean log-weight of the target-matching
+    *    docs exceeds the corpus mean (Gibbs: the target distribution
+    *    maximizes its own expected log-ratio; the corpus mean is pulled
+    *    negative by off-target mass).
+    */
+  def qDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val target = docs.where(
+      array_contains(split(lower(trim(col("text"))), "\\s+"), "dup"))
+    val model = Datasets.dsirFit(docs, target, numBuckets = 8192)
+    val s1 = Datasets.dsirScoreWith(model, docs)
+      .select(col("doc_id"), col("dsir_logweight").as("_s1"))
+    val s2 = Datasets.dsirScoreWith(model, docs.repartition(17))
+      .select(col("doc_id"), col("dsir_logweight").as("_s2"))
+    val sel1 = Datasets.importanceResample(docs, target, k = 50, numBuckets = 8192)
+      .select(col("doc_id")).withColumn("_in1", lit(true))
+    val sel2 = Datasets.importanceResample(docs.repartition(13), target, k = 50,
+      numBuckets = 8192)
+      .select(col("doc_id")).withColumn("_in2", lit(true))
+    val targetMean = s1.join(target.select("doc_id"), "doc_id")
+      .agg(avg("_s1")).head().getDouble(0)
+    val corpusMean = s1.agg(avg("_s1")).head().getDouble(0)
+    s1.join(s2, "doc_id")
+      .join(broadcast(sel1), Seq("doc_id"), "left")
+      .join(broadcast(sel2), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("_s1") === col("_s2")).as("stable"),
+        (coalesce(col("_in1"), lit(false)) === coalesce(col("_in2"), lit(false)))
+          .as("select_stable"),
+        lit(targetMean > corpusMean).as("affinity_positive"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Conversion funnel over the events stream: click → purchase by the
     * same user within 30 minutes, aggregated per user (pair count + total
     * conversion latency in exact integer microseconds — no float risk).
@@ -2932,6 +2977,7 @@ object Queries {
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_ppr" -> (qPersonalizedPageRank _),
     "q_quantile_norm" -> (qQuantileNorm _),
+    "q_dsir_select" -> (qDsirSelect _),
     "q_bigram_surprisal" -> (qBigramSurprisal _),
     "q_corpus_card" -> (qCorpusCard _),
     "q_decontaminate_spans" -> (qDecontaminateSpans _),

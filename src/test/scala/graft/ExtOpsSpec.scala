@@ -716,6 +716,87 @@ class ExtOpsSpec extends SparkSpec {
     assert(Dedup.fuzzyPairs(mass.limit(50), maxDist = 1, maxSampleGroup = 0).count() >= 0)
   }
 
+  test("dsirScore: planted-class separation, map-only scoring, partition-invariant, monotone in target features") {
+    // two vocabulary-disjoint classes; the target is a fresh sample of
+    // class A's vocabulary — DSIR must rank every A doc above every B doc
+    val aWords = Seq("alpha", "bravo", "charlie", "dingo", "echo")
+    val bWords = Seq("zulu", "yankee", "xray", "whiskey", "victor")
+    def doc(i: Long, ws: Seq[String]) =
+      (i, (0 until 20).map(j => ws(((i + j) % ws.size).toInt)).mkString(" "))
+    val corpus = ((0L until 200L).map(doc(_, aWords)) ++
+      (200L until 400L).map(doc(_, bWords))).toDF("doc_id", "text")
+    val target = (1000L until 1040L).map(doc(_, aWords)).toDF("doc_id", "text")
+
+    val scored = Datasets.dsirScore(corpus, target, numBuckets = 4096)
+    // the scoring stage is MAP-ONLY: fitted table ships as a literal, so
+    // the scored plan must contain no shuffle
+    assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"),
+      "dsirScore must not shuffle — the log-ratio table is broadcast as a literal")
+    val aMin = scored.where(col("doc_id") < 200)
+      .agg(min("dsir_logweight")).head().getDouble(0)
+    val bMax = scored.where(col("doc_id") >= 200)
+      .agg(max("dsir_logweight")).head().getDouble(0)
+    assert(aMin > bMax,
+      s"every target-class doc must outscore every off-class doc: aMin=$aMin bMax=$bMax")
+
+    // partition-invariance: the fit is exact bucket counts and the score a
+    // fixed-order per-row fold — bit-identical on any partitioning
+    val again = Datasets.dsirScore(corpus.repartition(13), target.repartition(7),
+      numBuckets = 4096)
+    val mismatches = scored.select(col("doc_id"), col("dsir_logweight").as("s1"))
+      .join(again.select(col("doc_id"), col("dsir_logweight").as("s2")), "doc_id")
+      .where(col("s1") =!= col("s2")).count()
+    assert(mismatches == 0, "scores must be bit-identical across partitionings")
+
+    // monotonicity UNDER A FIXED MODEL (the fit/score split is the 100 TB
+    // shape: fit once, score shards without refitting): appending
+    // target-frequent tokens can only raise a score — the appended
+    // unigrams carry positive log-ratio, and the new bigrams are unseen
+    // in both corpora, whose smoothed ratio is also positive here since
+    // the raw corpus is the larger
+    val model = Datasets.dsirFit(corpus, target, numBuckets = 4096)
+    val bumped = Datasets.dsirScoreWith(model,
+      corpus.withColumn("text", concat(col("text"), lit(" alpha alpha"))))
+    val nonIncreasing = scored.select(col("doc_id"), col("dsir_logweight").as("s1"))
+      .join(bumped.select(col("doc_id"), col("dsir_logweight").as("s2")), "doc_id")
+      .where(col("s2") <= col("s1")).count()
+    assert(nonIncreasing == 0, "appending target-class tokens must raise every score")
+  }
+
+  test("importanceResample: Gumbel-top-k selection ∝ exp(logweight), exact k, replayable") {
+    val aWords = Seq("alpha", "bravo", "charlie", "dingo", "echo")
+    val bWords = Seq("zulu", "yankee", "xray", "whiskey", "victor")
+    def doc(i: Long, ws: Seq[String]) =
+      (i, (0 until 20).map(j => ws(((i + j) % ws.size).toInt)).mkString(" "))
+    val corpus = ((0L until 200L).map(doc(_, aWords)) ++
+      (200L until 400L).map(doc(_, bWords))).toDF("doc_id", "text")
+    val target = (1000L until 1040L).map(doc(_, aWords)).toDF("doc_id", "text")
+
+    val sel = Datasets.importanceResample(corpus, target, k = 100, numBuckets = 4096)
+    val ids = sel.select("doc_id").as[Long].collect().toSet
+    assert(ids.size == 100, "exactly k rows")
+    // the class log-weight gap (tens of nats) dwarfs Gumbel noise (O(1)):
+    // the selection is effectively all class A
+    assert(ids.count(_ < 200L) >= 99, s"selection must concentrate on the target class: $ids")
+    // replayable: same selection from any partitioning — no RNG state
+    val again = Datasets.importanceResample(corpus.repartition(11), target, k = 100,
+      numBuckets = 4096).select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+    // the top-k must plan as TakeOrderedAndProject (heap + driver merge of
+    // k), never a global sort of the corpus
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n${plan.take(800)}")
+  }
+
+  test("q_dsir_select gate: every row's three contract flags hold on testdata") {
+    val out = graft.queries.Queries.all("q_dsir_select")(spark, sf()).cache()
+    try {
+      assert(out.count() > 0)
+      val bad = out.where(!col("stable") || !col("select_stable") || !col("affinity_positive")).count()
+      assert(bad == 0, "all contract flags must be true on the gate corpus")
+    } finally out.unpersist()
+  }
+
   test("weightedSample is the exact top-k of the A-Res keys and favors heavy rows") {
     val rows = (1L to 1000L).map(i => (i, if (i <= 10) 10000.0 else 1.0))
     val df = rows.toDF("doc_id", "w")
