@@ -571,6 +571,12 @@ object Datasets {
     * corpus vocabulary, which is what lets the fit stage aggregate 100 TB
     * into ≤ `numBuckets` rows. xxhash64 is the bucket hash (codegen'd,
     * the same choice the MinHash/SimHash family makes).
+    *
+    * `tokens` MUST be a materialized column (an attribute), not an inline
+    * expression: higher-order functions evaluate interpreted, so the
+    * per-index `element_at(tokens, i)` lambda body would re-evaluate an
+    * inline `split(...)` subtree once PER BIGRAM — O(len²) per document.
+    * Callers project the token array first ([[withDsirTokens]]).
     */
   private[graft] def dsirBuckets(tokens: Column, numBuckets: Int): Column = {
     val bigrams = when(size(tokens) >= 2,
@@ -581,13 +587,21 @@ object Datasets {
       t => pmod(xxhash64(t), lit(numBuckets.toLong)).cast("int"))
   }
 
+  /** Projects the token array as a real column so every downstream
+    * `element_at` inside a lambda is an O(1) attribute lookup — the
+    * CollapseProject rule keeps the projection separate because the
+    * attribute is referenced many times (see [[dsirBuckets]]).
+    */
+  private def withDsirTokens(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_dsir_toks", dsirTokens(textCol))
+
   /** Per-bucket feature counts of a corpus: ONE map-side-combined
     * aggregation whose shuffle is bounded by `numBuckets` per partition —
     * the only pass the fit stage makes over each corpus.
     */
   private def bucketCounts(df: DataFrame, textCol: String, numBuckets: Int): Array[Long] = {
-    val rows = df
-      .select(explode(dsirBuckets(dsirTokens(textCol), numBuckets)).as("bucket"))
+    val rows = withDsirTokens(df, textCol)
+      .select(explode(dsirBuckets(col("_dsir_toks"), numBuckets)).as("bucket"))
       .groupBy("bucket").count()
       .collect() // ≤ numBuckets rows by construction — driver-bounded
     val out = new Array[Long](numBuckets)
@@ -637,9 +651,11 @@ object Datasets {
     */
   def dsirScoreWith(model: DsirModel, df: DataFrame, textCol: String = "text"): DataFrame = {
     val lam = typedLit(model.logRatio)
-    df.withColumn("dsir_logweight",
-      aggregate(dsirBuckets(dsirTokens(textCol), model.numBuckets), lit(0.0),
-        (acc, b) => acc + element_at(lam, b + 1)))
+    withDsirTokens(df, textCol)
+      .withColumn("dsir_logweight",
+        aggregate(dsirBuckets(col("_dsir_toks"), model.numBuckets), lit(0.0),
+          (acc, b) => acc + element_at(lam, b + 1)))
+      .drop("_dsir_toks")
   }
 
   /** Fit-and-score convenience: the log importance weight of every raw
@@ -672,8 +688,22 @@ object Datasets {
       idCol: String = "doc_id",
       numBuckets: Int = 1 << 16,
       smoothing: Double = 0.5
+  ): DataFrame =
+    importanceResampleWith(dsirFit(raw, target, textCol, numBuckets, smoothing),
+      raw, k, textCol, idCol)
+
+  /** [[importanceResample]] under an ALREADY-fitted model — the 100 TB
+    * shape: fit once against the target sample, then select from any
+    * number of raw shards without touching the target again.
+    */
+  def importanceResampleWith(
+      model: DsirModel,
+      raw: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
   ): DataFrame = {
-    val scored = dsirScore(raw, target, textCol, numBuckets, smoothing)
+    val scored = dsirScoreWith(model, raw, textCol)
     // u in (0,1) from the multiplicative hash; +0.5 keeps it off 0 and 1
     // so both logs below are finite
     val u = (pmod(col(idCol) * GoldenRatioHash, lit(1L << 31)).cast("double") + 0.5) /

@@ -1912,14 +1912,16 @@ object Queries {
       .select(col("doc_id"), col("dsir_logweight").as("_s1"))
     val s2 = Datasets.dsirScoreWith(model, docs.repartition(17))
       .select(col("doc_id"), col("dsir_logweight").as("_s2"))
-    val sel1 = Datasets.importanceResample(docs, target, k = 50, numBuckets = 8192)
+    val sel1 = Datasets.importanceResampleWith(model, docs, k = 50)
       .select(col("doc_id")).withColumn("_in1", lit(true))
-    val sel2 = Datasets.importanceResample(docs.repartition(13), target, k = 50,
-      numBuckets = 8192)
+    val sel2 = Datasets.importanceResampleWith(model, docs.repartition(13), k = 50)
       .select(col("doc_id")).withColumn("_in2", lit(true))
-    val targetMean = s1.join(target.select("doc_id"), "doc_id")
-      .agg(avg("_s1")).head().getDouble(0)
-    val corpusMean = s1.agg(avg("_s1")).head().getDouble(0)
+    // both means in ONE scoring pass: corpus avg + target-restricted avg
+    val means = s1
+      .join(broadcast(target.select("doc_id").withColumn("_t", lit(true))), Seq("doc_id"), "left")
+      .agg(avg("_s1"), avg(when(col("_t"), col("_s1")))).head()
+    val corpusMean = means.getDouble(0)
+    val targetMean = means.getDouble(1)
     s1.join(s2, "doc_id")
       .join(broadcast(sel1), Seq("doc_id"), "left")
       .join(broadcast(sel2), Seq("doc_id"), "left")
