@@ -1655,6 +1655,35 @@ object SparkEntry {
         |    AND (s.sim < r.sim OR (s.sim = r.sim AND s.vec_id < r.vec_id)))
         |ORDER BY r.vec_id""".stripMargin,
 
+    // Cluster-then-curate (graft.ext.Clustering): argmax-cosine assignment
+    // to the q_ann_ivf readable centroids (tie -> larger list), then two
+    // per-cluster windows — prototypicality prune keeps the hardest 400‰
+    // (centroid_sim ASC, vec_id ASC; ⌈n·400/1000⌉ in exact integer
+    // cross-multiplication) and the balanced sample keeps the first 20 in
+    // the Datasets golden-ratio hash order. Booleans only in the output.
+    "q_cluster_curation" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS list, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv FROM e WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, list AS cluster_id, sim FROM (
+        |    SELECT e.vec_id, c.list,
+        |      list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)) AS sim,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)) DESC, c.list DESC) AS rn
+        |    FROM e, cents c) t
+        |  WHERE rn = 1),
+        |ranked AS (
+        |  SELECT vec_id, cluster_id, sim,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY sim ASC, vec_id ASC) AS prn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY (vec_id * 2654435761) % 2147483648 ASC, vec_id ASC) AS brn
+        |  FROM assign)
+        |SELECT vec_id, cluster_id,
+        |  (prn * 1000 <= n * 400 + 999) AS kept,
+        |  (brn <= 20) AS balanced
+        |FROM ranked ORDER BY vec_id""".stripMargin,
+
     // Exact-substring duplicate spans: 40-char grams sampled every 10
     // chars, grams in >= 2 distinct docs (min doc <> max doc), per-doc
     // gaps-and-islands merge (break when pos > prev + gramLen), span end

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Datasets, Dedup, Graph, Multimodal, Robust, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Clustering, Datasets, Dedup, Graph, Multimodal, Robust, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1933,6 +1933,32 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus clustering curation gate ([[graft.ext.Clustering]]): the
+    * cluster-then-curate stage over the embeddings table with the SAME
+    * readable centroids as the IVF gates (first 8 corpus vectors, unit
+    * normalized) so DuckDB replays assignment, prototypicality pruning
+    * (keep the hardest 400‰ of each cluster — Sorscher et al. 2022) and
+    * the hash-ordered balanced sample (≤20 per cluster) row-for-row.
+    * Booleans only in the output — scores arbitrate ordering, never
+    * surface (the IVF gates' float-safety rule).
+    */
+  def qClusterCuration(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cents = ivfGateCentroids(emb)
+    val kept = Clustering.prototypePrune(emb, cents, keepPermille = 400)
+      .select(col("vec_id")).withColumn("_kept", lit(true))
+    val bal = Clustering.clusterBalancedSample(emb, cents, perCluster = 20)
+      .select(col("vec_id")).withColumn("_bal", lit(true))
+    Clustering.assignClusters(emb, cents)
+      .select(col("vec_id"), col("cluster_id"))
+      .join(kept, Seq("vec_id"), "left")
+      .join(bal, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+        coalesce(col("_kept"), lit(false)).as("kept"),
+        coalesce(col("_bal"), lit(false)).as("balanced"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Conversion funnel over the events stream: click → purchase by the
     * same user within 30 minutes, aggregated per user (pair count + total
     * conversion latency in exact integer microseconds — no float risk).
@@ -2953,6 +2979,7 @@ object Queries {
     "q_ann_ivf_mp" -> (qAnnIvfMultiprobe _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_semdedup" -> (qSemDedup _),
+    "q_cluster_curation" -> (qClusterCuration _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),
