@@ -1170,6 +1170,16 @@ object SparkEntry {
         |       true AS affinity_positive
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Model-based quality filter (fastText-style classifier): xxhash64
+    // featurization has no DuckDB replay, so the gate pins the planted-
+    // marker CONTRACT — holdout docs classified correctly and scores
+    // partition-invariant (both would fail on any train/score float-order
+    // or algebra regression). Value behavior lives in ClassifierSpec.
+    "q_quality_classifier" ->
+      """SELECT doc_id, true AS correct, true AS stable
+        |FROM documents WHERE doc_id >= 160 AND doc_id < 360
+        |ORDER BY doc_id""".stripMargin,
+
     // Incremental near-dup: exhaustive exact-Jaccard cross join of the
     // planted increment (paraphrases +1e6, token-reversed +2e6) against
     // the full corpus — brute-force truth for the broadcast/semi-join

@@ -561,7 +561,7 @@ object Datasets {
   /** Whitespace tokens of a text column, lower-cased, empties dropped —
     * the corpus tokenization every text operator here shares.
     */
-  private def dsirTokens(textCol: String): Column =
+  private[graft] def dsirTokens(textCol: String): Column =
     filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
 
   /** Hashed n-gram feature buckets (unigrams + word bigrams) of a token
@@ -592,7 +592,7 @@ object Datasets {
     * CollapseProject rule keeps the projection separate because the
     * attribute is referenced many times (see [[dsirBuckets]]).
     */
-  private def withDsirTokens(df: DataFrame, textCol: String): DataFrame =
+  private[graft] def withDsirTokens(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("_dsir_toks", dsirTokens(textCol))
 
   /** Per-bucket feature counts of a corpus: ONE map-side-combined

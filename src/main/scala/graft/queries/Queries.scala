@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Clustering, Datasets, Dedup, Graph, Multimodal, Robust, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Classifier, Clustering, Datasets, Dedup, Graph, Multimodal, Robust, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1959,6 +1959,41 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** Model-based quality filtering gate ([[graft.ext.Classifier]] —
+    * the DataComp-LM/FineWeb-Edu classifier-filter stage): plant marker
+    * vocabularies on a train/holdout split of the documents table, fit
+    * the hashed-ngram logistic model, and emit per-holdout-doc contract
+    * booleans — `correct` (the planted class is recovered) and `stable`
+    * (scores bit-identical under a different partitioning; fixed-point
+    * gradient accumulation makes the FIT itself partition-invariant, so
+    * any float-order regression in train or score fails the hash).
+    * xxhash64 featurization has no DuckDB replay; value behavior is
+    * pinned in ClassifierSpec (the q_dsir_select gating pattern).
+    */
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      // bounded slice: marker evidence must not be diluted by arbitrarily
+      // long real text (the markers are the class signal by construction)
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("body"))
+      .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
+      .withColumn("text", concat(col("body"), when(col("label") === 1,
+        lit(" excellentmarker wellwrittenmarker thoroughmarker"))
+        .otherwise(lit(" clickbaitmarker spamlinkmarker garbagemarker"))))
+    val train = docs.where(col("doc_id") < 160)
+    val holdout = docs.where(col("doc_id") >= 160 && col("doc_id") < 360)
+    val model = Classifier.fit(train, numBuckets = 1 << 12, iterations = 12)
+    def scores(df: DataFrame) = Classifier.scoreWith(model, df)
+      .select(col("doc_id"), col("label"), col("quality_score"))
+    val a = scores(holdout.repartition(7))
+    val b = scores(holdout.repartition(3))
+      .withColumnRenamed("quality_score", "score_b").drop("label")
+    a.join(b, "doc_id")
+      .select(col("doc_id"),
+        ((col("quality_score") >= 0.5).cast("int") === col("label")).as("correct"),
+        (col("quality_score") === col("score_b")).as("stable"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Conversion funnel over the events stream: click → purchase by the
     * same user within 30 minutes, aggregated per user (pair count + total
     * conversion latency in exact integer microseconds — no float risk).
@@ -2980,6 +3015,7 @@ object Queries {
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_semdedup" -> (qSemDedup _),
     "q_cluster_curation" -> (qClusterCuration _),
+    "q_quality_classifier" -> (qQualityClassifier _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),
