@@ -1180,6 +1180,30 @@ object SparkEntry {
         |FROM documents WHERE doc_id >= 160 AND doc_id < 360
         |ORDER BY doc_id""".stripMargin,
 
+    // Exact incremental dedup vs stored corpus: the oracle is the PLAIN
+    // fingerprint anti-join (same md5 normalization as q_dedup_exact) —
+    // the engine's bloom-split + broadcast-verify plan must be invisible
+    // in the result. NULL-text rows pass through (no content to match).
+    "q_dedup_exact_increment" ->
+      """WITH inc AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         regexp_replace(text, ' ', '  ', 'g') AS text
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         text || ' uniq' || CAST(doc_id + 2000000 AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, CAST(NULL AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id < 5),
+        |cfp AS (
+        |  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id FROM inc
+        |WHERE text IS NULL
+        |   OR md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) NOT IN (SELECT fp FROM cfp)
+        |ORDER BY doc_id""".stripMargin,
+
     // Incremental near-dup: exhaustive exact-Jaccard cross join of the
     // planted increment (paraphrases +1e6, token-reversed +2e6) against
     // the full corpus — brute-force truth for the broadcast/semi-join

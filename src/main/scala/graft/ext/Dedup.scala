@@ -1096,6 +1096,104 @@ object Dedup {
     incoming.join(broadcast(dupIds), Seq(idCol), "leftanti")
   }
 
+  // -------------------------------------- exact membership vs a corpus
+
+  /** Bloom membership index over a corpus's exact fingerprints
+    * ([[TextAnalysis.fingerprint]] — whitespace/case-normalized md5): the
+    * persistable "have I seen this document" state of a crawl pipeline.
+    * Bits are bounded by `8 × expectedItems` (≤ 64 Mbit = 8 MiB — ~1 %
+    * false positives at capacity), INDEPENDENT of corpus size: one
+    * map-side-combined aggregation over the corpus, mergeable bits, and
+    * the result is a plain byte array callers can store beside the
+    * corpus and reuse across increments — prior crawls are then never
+    * re-scanned on the fast path. NULL-text rows carry no content and
+    * are excluded (they are never duplicates of anything).
+    */
+  def exactIndex(
+      corpus: DataFrame,
+      textCol: String = "text",
+      expectedItems: Long = 1000000L
+  ): Array[Byte] = {
+    graft.sql.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    corpus.where(fp.isNotNull)
+      .agg(call_function("bloom_agg", xxhash64(fp),
+        lit(expectedItems), lit(math.min(expectedItems * 8, 67108864L))).as("_bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** EXACT incremental dedup against a stored corpus: incoming rows whose
+    * normalized fingerprint appears in `corpus` are dropped; the result
+    * is exactly `incoming ANTI JOIN corpus ON fingerprint` (NULL-text
+    * rows pass through — [[exact]]'s null contract), but the corpus is
+    * never shuffled:
+    *
+    *  1. Bloom split (map-only over the increment): rows whose
+    *     fingerprint misses the index are DEFINITELY new (no false
+    *     negatives) and skip the join entirely. Survivors — true dups
+    *     plus ~1 % false positives — are the only rows that need proof.
+    *  2. Exact verify: suspect fingerprints (duplicate-mass + FP sized,
+    *     not increment-sized — that is what the bloom buys over
+    *     broadcasting all incoming keys) broadcast into ONE map-only
+    *     semi-join pass over the corpus; matches anti-join back.
+    *
+    * Corpus cost per increment: zero passes when `index` is supplied
+    * (the stored-state path) plus one map-only verify pass; never a
+    * corpus shuffle. If suspects exceed `maxSuspects` the verify
+    * degrades LOUDLY to a shuffle anti-join on fingerprints (still
+    * exact, one corpus shuffle) rather than building an unbounded
+    * broadcast.
+    */
+  def dedupExactIncrement(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      textCol: String = "text",
+      expectedItems: Long = 1000000L,
+      index: Option[Array[Byte]] = None,
+      maxSuspects: Long = 10000000L
+  ): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val bf = index.getOrElse(exactIndex(corpus, textCol, expectedItems))
+    val cols = incoming.columns
+    val fpIn = TextAnalysis.fingerprint(col(textCol))
+    val marked = incoming.withColumn("_fp", fpIn).withColumn("_suspect",
+      col("_fp").isNotNull &&
+        call_function("bloom_might_contain", lit(bf), xxhash64(col("_fp"))))
+    val suspectFps = marked.where(col("_suspect")).select(col("_fp")).distinct()
+    val corpusFps = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .where(col("_fp").isNotNull)
+    val nSuspects = suspectFps.count()
+    val small = nSuspects <= maxSuspects
+    if (!small) logger.warn(
+      s"dedupExactIncrement: $nSuspects suspect fingerprints exceed " +
+        s"maxSuspects=$maxSuspects — degrading to a shuffle semi/anti join " +
+        "(still exact; one corpus shuffle)")
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val matched = corpusFps.join(hinted(suspectFps), Seq("_fp"), "left_semi").distinct()
+    marked
+      .join(hinted(matched.withColumn("_dup", lit(true))), Seq("_fp"), "left")
+      .where(col("_dup").isNull)
+      .select(cols.map(col).toIndexedSeq: _*)
+  }
+
+  /** The zero-corpus-IO membership filter: drop every bloom-positive row.
+    * Probabilistic — ~1 % of genuinely-new rows (the index's false
+    * positives) are lost, which a crawl pipeline trades for touching NO
+    * prior data at all (the index bytes are the only state). Use
+    * [[dedupExactIncrement]] when exactness matters.
+    */
+  def dedupExactIncrementFast(
+      index: Array[Byte],
+      incoming: DataFrame,
+      textCol: String = "text"
+  ): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(incoming.sparkSession)
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    incoming.where(fp.isNull ||
+      !call_function("bloom_might_contain", lit(index), xxhash64(fp)))
+  }
+
   // ------------------------------------------------- edit-distance pairs
 
   /** All distinct strings reachable from `s` by deleting up to `d`

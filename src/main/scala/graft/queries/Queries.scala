@@ -1959,6 +1959,30 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** Exact incremental dedup vs a stored corpus ([[Dedup.dedupExactIncrement]]):
+    * a planted increment — formatting-perturbed copies (space-doubled, ids
+    * +1e6; must drop), genuinely new docs (unique suffix, ids +2e6; must
+    * survive) and NULL-text placeholders (ids +3e6; must pass through) —
+    * deduped against the documents corpus through the bloom-split +
+    * exact-verify path. Result must equal the plain fingerprint anti-join
+    * the oracle computes (the bloom is a pruner, never semantics).
+    */
+  def qDedupExactIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val copies = docs.where(col("doc_id") < 300)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text"))
+    val fresh = docs.where(col("doc_id") < 300)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" uniq"), (col("doc_id") + 2000000L).cast("string")).as("text"))
+    val nulls = docs.where(col("doc_id") < 5)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        lit(null).cast("string").as("text"))
+    val incoming = copies.unionByName(fresh).unionByName(nulls)
+    Dedup.dedupExactIncrement(docs, incoming)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Model-based quality filtering gate ([[graft.ext.Classifier]] —
     * the DataComp-LM/FineWeb-Edu classifier-filter stage): plant marker
     * vocabularies on a train/holdout split of the documents table, fit
@@ -3016,6 +3040,7 @@ object Queries {
     "q_semdedup" -> (qSemDedup _),
     "q_cluster_curation" -> (qClusterCuration _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_dedup_exact_increment" -> (qDedupExactIncrement _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),

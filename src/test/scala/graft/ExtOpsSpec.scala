@@ -1700,4 +1700,70 @@ class ExtOpsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     assert(rep.forall(_._2 == 0L) && rep.map(_._1).length == 4)
   }
+
+  test("dedupExactIncrement equals the plain fingerprint anti-join") {
+    val corpus = Seq(
+      (1L, "the quick brown fox"), (2L, "jumps over the dog"),
+      (3L, "some corpus document"), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "THE  quick   Brown FOX "),  // normalizes to corpus doc 1 → drop
+      (11L, "jumps over the dog"),       // verbatim dup → drop
+      (12L, "a genuinely new document"), // keep
+      (13L, null.asInstanceOf[String]),  // null text passes through
+      (14L, "some corpus documents")     // one char off → keep
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupExactIncrement(corpus, incoming)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(12L, 13L, 14L))
+  }
+
+  test("dedupExactIncrement with a precomputed index never touches fit again") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val idx = Dedup.exactIndex(corpus)
+    val incoming = Seq((10L, "ALPHA  beta"), (11L, "epsilon zeta")).toDF("doc_id", "text")
+    val out = Dedup.dedupExactIncrement(corpus, incoming, index = Some(idx))
+      .select($"doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(11L))
+  }
+
+  test("dedupExactIncrement shuffle fallback (maxSuspects=0) stays exact") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "alpha beta"), (11L, "epsilon zeta")).toDF("doc_id", "text")
+    val out = Dedup.dedupExactIncrement(corpus, incoming, maxSuspects = 0L)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(11L))
+  }
+
+  test("dedupExactIncrement fast path never shuffles the corpus side") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val incoming = corpus.where(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val plan = Dedup.dedupExactIncrement(corpus, incoming)
+      .queryExecution.optimizedPlan.toString
+    // Same invariant as incrementalNearDups: every join must carry a
+    // broadcast hint on its suspect-sized side — the corpus is only ever
+    // the STREAM side, so no stats drift can introduce a corpus shuffle.
+    val joins = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty)
+    val unbroadcast = joins.filterNot(l =>
+      l.contains("rightHint=(strategy=broadcast)") || l.contains("leftHint=(strategy=broadcast)"))
+    assert(unbroadcast.isEmpty, s"corpus-side join lost its broadcast hint:\n${unbroadcast.mkString("\n")}")
+  }
+
+  test("dedupExactIncrementFast: no false negatives; index is reusable state") {
+    val corpus = (0 until 500).map(i => (i.toLong, s"corpus document number $i")).toDF("doc_id", "text")
+    val idx = Dedup.exactIndex(corpus, expectedItems = 2000L)
+    // every true duplicate is dropped (bloom has no false negatives)
+    val dups = (0 until 500).map(i => (i + 1000L, s"CORPUS  document Number $i".toLowerCase))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupExactIncrementFast(idx, dups).count() == 0)
+    // null text always passes
+    val nulls = Seq((9000L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Dedup.dedupExactIncrementFast(idx, nulls).count() == 1)
+    // fresh rows overwhelmingly survive (fpp ~1% at capacity; index is at 25%)
+    val fresh = (0 until 400).map(i => (i + 5000L, s"entirely different text $i")).toDF("doc_id", "text")
+    val kept = Dedup.dedupExactIncrementFast(idx, fresh).count()
+    assert(kept >= 390, s"false-positive rate too high: kept $kept/400")
+  }
 }
