@@ -88,6 +88,47 @@ class IcebergExportSpec extends SparkSpec {
     assert(chain.map(_._2).sum == t.read().count())
   }
 
+  test("crashed half-export recovery: stale vN+1 leftovers are superseded, readers never see them") {
+    val t = SnapshotTable(spark, tmpDir("iceberg-crash"))
+    val df = (1 to 50).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 4)
+    val exportDir = tmpDir("iceberg-crash-out")
+    t.exportIceberg(exportDir)
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(exportDir, "metadata")
+    val hintBefore = IcebergExport.readVersionHint(fs, new Path(exportDir)).toInt
+
+    // Simulate a writer that died between metadata write and hint publish:
+    // orphan v(N+1).metadata.json (garbage) + an unreferenced manifest.
+    // The hint is the ONLY publish point, so readers must never follow these.
+    def writeGarbage(p: Path): Unit = {
+      val o = fs.create(p, true); o.write("NOT JSON / NOT AVRO".getBytes); o.close()
+    }
+    writeGarbage(new Path(metaDir, s"v${hintBefore + 1}.metadata.json"))
+    writeGarbage(new Path(metaDir, "deadbeef-crashed-m0.avro"))
+    // a reader between the crash and the retry resolves the OLD hint fine
+    assert(IcebergExport.readDataFiles(fs, new Path(exportDir)).map(_._2).sum == 50)
+
+    // the retried commit+export supersedes the stale vN+1 in place
+    val change = Seq(("k1", 5L, "u1", false), ("knew", 5L, "x", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.merge(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    t.exportIceberg(exportDir)
+    assert(IcebergExport.readVersionHint(fs, new Path(exportDir)).toInt == hintBefore + 1)
+    val meta = currentMeta(fs, exportDir)
+    assert(meta.get("snapshots") != null, "superseded metadata must parse as real JSON")
+    // full chain reads the post-merge state; the garbage manifest is never touched
+    val live = IcebergExport.readLiveRows(spark, exportDir, t.schema)
+    assert(live.count() == t.read().count())
+    val manifestLists = meta.get("snapshots").elements().asScala
+      .map(_.get("manifest-list").asText()).toSeq
+    val referenced = manifestLists ++ manifestLists.flatMap(ml =>
+      readAvro(fs, new Path(ml)).map(_.get("manifest_path").toString))
+    assert(!referenced.exists(_.contains("deadbeef")),
+      "crashed leftovers must not be referenced by the published chain")
+  }
+
   test("manifest statuses: carried files EXISTING with original identity, new ADDED, removed DELETED; operation overwrite") {
     val t = SnapshotTable(spark, tmpDir("iceberg-status"))
     val df = (1 to 200).map(i => (s"k$i", 1L, s"v$i", false))
