@@ -1180,6 +1180,15 @@ object SparkEntry {
         |FROM documents WHERE doc_id >= 160 AND doc_id < 360
         |ORDER BY doc_id""".stripMargin,
 
+    // Compression-ratio signal: deflate byte counts are zlib-build
+    // properties with stable ORDER but unspecified exact values, so the
+    // gate pins the planted-property contract (repeated text compresses
+    // below threshold and below the doc's own text); values in ExtOpsSpec.
+    "q_compression_signal" ->
+      """SELECT doc_id, true AS repetitive_low, true AS ordered
+        |FROM documents WHERE doc_id < 400 AND length(text) >= 8
+        |ORDER BY doc_id""".stripMargin,
+
     // Exact incremental dedup vs stored corpus: the oracle is the PLAIN
     // fingerprint anti-join (same md5 normalization as q_dedup_exact) —
     // the engine's bloom-split + broadcast-verify plan must be invisible

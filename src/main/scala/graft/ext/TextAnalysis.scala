@@ -182,6 +182,43 @@ object TextAnalysis {
     * or boilerplate-stuffed text). 0 for empty docs; int/int division in
     * double, bit-stable across engines.
     */
+  /** Compression-ratio quality signal in exact integer permille:
+    * `deflate_len(text) · 1000 ÷ octet_length(text)` (zlib level 6, raw
+    * stream — [[graft.sql.DeflateLen]]). The CCNet / RedPajama-v2
+    * `compression_ratio` and Dolma gzip-compressibility heuristic:
+    * repetitive machine text (keyword stuffing, boilerplate, log spam)
+    * compresses far below natural language (~250‰ vs ~450–700‰), while
+    * near-1000‰ flags random/encoded/binary junk. Map-only, one Deflater
+    * loop per row; empty/NULL text yields NULL (no evidence).
+    *
+    * Downstream gates should band on thresholds, not echo the raw
+    * permille: the ORDERING of the signal is stable but exact deflate
+    * output is a property of the zlib build, not of any spec.
+    */
+  def compressionPermille(text: Column): Column =
+    // floor division is exact here: the numerator is ≤ 1000·len < 2^53
+    when(octet_length(text) > 0,
+      floor(org.apache.spark.sql.GraftSqlBridge.column(
+        graft.sql.DeflateLen(org.apache.spark.sql.GraftSqlBridge.expression(text)))
+        * 1000L / octet_length(text).cast("long")).cast("long"))
+
+  /** Keep documents whose [[compressionPermille]] sits inside the
+    * natural-language band (defaults: drop below 250‰ = repetitive spam,
+    * above 900‰ = random/encoded junk). NULL/empty text is dropped — no
+    * signal, and an empty doc is never training data.
+    */
+  def compressionFilter(
+      df: DataFrame,
+      minPermille: Int = 250,
+      maxPermille: Int = 900,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(minPermille >= 0 && maxPermille >= minPermille,
+      s"need 0 <= min <= max, got $minPermille..$maxPermille")
+    val p = compressionPermille(col(textCol))
+    df.where(p.isNotNull && p >= minPermille && p <= maxPermille)
+  }
+
   def repetitionRatio(text: Column, n: Int = 2): Column = {
     val g = wordNgrams(text, n)
     when(size(g) === 0, lit(0.0))

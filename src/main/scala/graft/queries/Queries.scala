@@ -1959,6 +1959,28 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** Compression-ratio quality signal ([[TextAnalysis.compressionPermille]]
+    * — CCNet/RedPajama-v2 `compression_ratio`, Dolma gzip heuristic):
+    * planted-property contract over documents with ≥ 8 chars of text —
+    * a doc's 200×-repeated prefix must (a) fall below the repetitive-spam
+    * threshold and (b) compress strictly better than the doc's own
+    * natural text. Booleans only: deflate byte counts are a zlib-build
+    * property, stable in ORDER but not in exact value, so the raw
+    * permille never surfaces (value behavior pinned in ExtOpsSpec).
+    */
+  def qCompressionSignal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .where(col("doc_id") < 400 && length(col("text")) >= 8)
+    val rep = repeat(substring(col("text"), 1, 8), 200)
+    docs.select(col("doc_id"),
+        TextAnalysis.compressionPermille(col("text")).as("_orig"),
+        TextAnalysis.compressionPermille(rep).as("_rep"))
+      .select(col("doc_id"),
+        (col("_rep") < 250).as("repetitive_low"),
+        (col("_rep") < col("_orig")).as("ordered"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact incremental dedup vs a stored corpus ([[Dedup.dedupExactIncrement]]):
     * a planted increment — formatting-perturbed copies (space-doubled, ids
     * +1e6; must drop), genuinely new docs (unique suffix, ids +2e6; must
@@ -3041,6 +3063,7 @@ object Queries {
     "q_cluster_curation" -> (qClusterCuration _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_dedup_exact_increment" -> (qDedupExactIncrement _),
+    "q_compression_signal" -> (qCompressionSignal _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),

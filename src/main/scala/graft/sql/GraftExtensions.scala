@@ -25,6 +25,7 @@ object GraftExtensions {
     ("simhash64", SimHash64.info, SimHash64.builder),
     ("jaccard_sim", JaccardSim.info, JaccardSim.builder),
     ("word_shingles", WordShingles.info, WordShingles.builder),
+    ("deflate_len", DeflateLen.info, DeflateLen.builder),
     // Spark's internal runtime-filter expressions, surfaced as engine
     // functions for the explicit bloom-pre-filter join pattern
     // (org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate

@@ -250,3 +250,53 @@ object JaccardSim {
     JaccardSim(args.head, args(1))
   }
 }
+
+/** Deflate-compressed byte length of a string's UTF-8 bytes at a fixed
+  * zlib level — the kernel of the compression-ratio quality signal
+  * (CCNet/RedPajama-v2's `compression_ratio`, Dolma's gzip
+  * compressibility): highly repetitive machine text compresses far
+  * below natural language. One tight Deflater loop per row, map-only,
+  * no shuffle — the correct 100 TB plan for a per-document signal.
+  *
+  * Determinism: a FIXED level (6), strategy (default) and a fresh
+  * Deflater per evaluation make output a pure function of the bytes for
+  * a given zlib build; gates therefore surface threshold BOOLEANS, not
+  * raw lengths (zlib builds may differ across JREs — the signal's
+  * ordering is stable, its exact byte count is not guaranteed by spec).
+  */
+case class DeflateLen(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"deflate_len requires string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(6, /* nowrap = */ true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "deflate_len"
+}
+
+object DeflateLen {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[DeflateLen].getName, null, "deflate_len",
+    "_FUNC_(s) - deflate-compressed byte length of the string's UTF-8 bytes (zlib level 6, raw).", "")
+
+  val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, s"deflate_len expects 1 argument, got ${args.length}")
+    DeflateLen(args.head)
+  }
+}

@@ -1701,6 +1701,39 @@ class ExtOpsSpec extends SparkSpec {
     assert(rep.forall(_._2 == 0L) && rep.map(_._1).length == 4)
   }
 
+  test("compressionPermille: repetition compresses, entropy doesn't, empty is NULL") {
+    import graft.ext.TextAnalysis
+    val rows = Seq(
+      (1L, "a" * 2000),                                   // pure repetition
+      (2L, "the quick brown fox jumps over the lazy dog " * 10),
+      (3L, ""),                                           // empty → NULL
+      (4L, null.asInstanceOf[String])                     // NULL → NULL
+    ).toDF("doc_id", "text")
+    val p = rows.select($"doc_id",
+      TextAnalysis.compressionPermille($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(p(1L).get < 50, s"pure repetition must compress hard: ${p(1L)}")
+    assert(p(2L).get > p(1L).get, "natural-ish text compresses less than pure repetition")
+    assert(p(3L).isEmpty && p(4L).isEmpty)
+    // determinism: the same input always deflates to the same count in-process
+    val again = rows.repartition(3).select(TextAnalysis.compressionPermille($"text").as("p"))
+      .where($"p".isNotNull).as[Long].collect().sorted
+    assert(again.toSeq == p.values.flatten.toSeq.sorted)
+  }
+
+  test("compressionFilter keeps the natural-language band only") {
+    import graft.ext.TextAnalysis
+    val rows = Seq(
+      (1L, "spam " * 400),                                 // below band
+      (2L, "a sensible document about spark query engines, with enough variety, detail and " +
+        "distinct vocabulary spread through its sentences that the deflate window finds few repeats"),
+      (3L, "")                                             // no signal → dropped
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.compressionFilter(rows).select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L), s"kept $kept")
+    intercept[IllegalArgumentException](TextAnalysis.compressionFilter(rows, 500, 400))
+  }
+
   test("dedupExactIncrement equals the plain fingerprint anti-join") {
     val corpus = Seq(
       (1L, "the quick brown fox"), (2L, "jumps over the dog"),
