@@ -373,7 +373,11 @@ object Bench {
       // round-13: per-folder schema-authority parsing at 1M CSV rows —
       // the projection lookup is per FOLDER (cached), so the per-row cost
       // must be identical to the fixed-projection path
-      "q_cdc_schema_churn")
+      "q_cdc_schema_churn",
+      // round-14: exact bloom-membership dedup — corpus 10x, increment
+      // fixed; cost must track the two map-only corpus passes (index
+      // build + verify scan), never a corpus shuffle
+      "q_dedup_exact_increment")
 
   /** Build (once; cached by source signature) a 10x derivative of sfDir's
     * documents/embeddings tables: ten id-shifted blocks. Block texts get a

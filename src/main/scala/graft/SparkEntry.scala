@@ -1180,6 +1180,33 @@ object SparkEntry {
         |FROM documents WHERE doc_id >= 160 AND doc_id < 360
         |ORDER BY doc_id""".stripMargin,
 
+    // Within-document line dedup: the PER-DOC first-occurrence window
+    // (PARTITION BY doc_id, line) — deliberately different from
+    // q_line_dedup's corpus-global rule; shared lines survive in every doc.
+    "q_line_dedup_doc" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'visit our sponsors' || chr(10) || chr(10)
+        |         || substr(text, 1, 60) || chr(10) || text
+        |         || chr(10) || 'visit our sponsors' AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(ls))) - 1 AS pos,
+        |    unnest(ls) AS line
+        |  FROM l0),
+        |nz AS (SELECT doc_id, pos, line FROM lines WHERE len(trim(line)) > 0),
+        |firsts AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        |  FROM nz)
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS kept_lines
+        |FROM firsts WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Compression-ratio signal: deflate byte counts are zlib-build
     // properties with stable ORDER but unspecified exact values, so the
     // gate pins the planted-property contract (repeated text compresses

@@ -554,6 +554,31 @@ object Dedup {
         coalesce(col("kept_lines"), lit(0L)).as("kept_lines"))
   }
 
+  /** WITHIN-document line dedup — [[dedupLines]]' row-local sibling
+    * (Dolma's paragraph-dedup-within-document pass; CCNet dedups
+    * paragraphs per shard the same way before any corpus-level work):
+    * each document keeps the FIRST occurrence of every non-blank line,
+    * in order; blank lines drop (same hygiene rule as [[dedupLines]]).
+    *
+    * 100 TB shape: pure row-local column expressions — `array_distinct`
+    * preserves first-occurrence order and runs on a hash set (linear in
+    * lines), so the whole pass is map-only with ZERO shuffle, unlike the
+    * corpus-level variant whose first-occurrence resolution is inherently
+    * a global aggregation. Run this first: it shrinks the corpus-level
+    * pass's explode for free. NULL text passes through as NULL.
+    */
+  def dedupLinesWithinDoc(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val kept = array_distinct(filter(split(col(textCol), "\n"),
+      l => length(trim(l)) > 0))
+    docs.select(col(idCol),
+      array_join(kept, "\n").as("clean_text"),
+      coalesce(size(kept), lit(0)).cast("long").as("kept_lines"))
+  }
+
   /** Cross-document duplicated SUBSTRING spans, the char-gram formulation
     * of exact-substring dedup (Lee et al. 2021, "Deduplicating Training
     * Data Makes Language Models Better" — their suffix-array ExactSubstr

@@ -2605,6 +2605,24 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document line dedup gate ([[Dedup.dedupLinesWithinDoc]] —
+    * Dolma's per-document paragraph dedup): every doc gets its text
+    * twice plus a repeated slogan line and a blank line; the row-local
+    * pass must keep each doc's first occurrences in order, drop blanks,
+    * and NEVER consult other documents (two docs sharing a line both
+    * keep it — unlike q_line_dedup's corpus-global rule).
+    */
+  def qLineDedupDoc(spark: SparkSession, dir: String): DataFrame = {
+    val planted = t(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit("\nvisit our sponsors\n\n"),      // slogan + BLANK line (dropped)
+        col("text").substr(lit(1), lit(60)),  // prefix: first occurrence unless doc ≤ 60 chars
+        lit("\n"), col("text"),               // full repeat: dropped
+        lit("\nvisit our sponsors")).as("text"))
+    Dedup.dedupLinesWithinDoc(planted)
+      .orderBy(col("doc_id"))
+  }
+
   /** Weighted corpus-mixing gate: source src0 upsampled 2.3×, src1
     * downsampled to 0.4×, everything else kept at 1× — deterministic
     * fractional epochs via the multiplicative id hash. Full DuckDB oracle
@@ -3064,6 +3082,7 @@ object Queries {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_dedup_exact_increment" -> (qDedupExactIncrement _),
     "q_compression_signal" -> (qCompressionSignal _),
+    "q_line_dedup_doc" -> (qLineDedupDoc _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),

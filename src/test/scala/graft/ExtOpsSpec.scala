@@ -1701,6 +1701,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(rep.forall(_._2 == 0L) && rep.map(_._1).length == 4)
   }
 
+  test("dedupLinesWithinDoc: per-doc first occurrence, order kept, blanks dropped, no cross-doc effect") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\n\nalpha\ngamma\nbeta"),
+      (2L, "beta\nalpha"),       // shares lines with doc 1: must be untouched
+      (3L, "\n\n  \n"),          // only blanks → empty
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesWithinDoc(docs)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("alpha\nbeta\ngamma", 3L))
+    assert(out(2L) == ("beta\nalpha", 2L), "shared lines survive per doc — row-local, never corpus-global")
+    assert(out(3L) == ("", 0L))
+    assert(out(4L) == (null, 0L))
+    // scale shape: zero exchanges — the pass must stay map-only
+    val plan = Dedup.dedupLinesWithinDoc(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"within-doc dedup must not shuffle:\n$plan")
+  }
+
   test("compressionPermille: repetition compresses, entropy doesn't, empty is NULL") {
     import graft.ext.TextAnalysis
     val rows = Seq(
