@@ -1180,6 +1180,19 @@ object SparkEntry {
         |FROM documents WHERE doc_id >= 160 AND doc_id < 360
         |ORDER BY doc_id""".stripMargin,
 
+    // K-anonymity suppression: window-count replay; NULL quasi values
+    // group together on both sides (grouping equality, not join equality).
+    "q_k_anonymity" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS seg FROM customer
+        |  UNION ALL
+        |  SELECT 1000000 + c_custkey, 0, CAST(NULL AS VARCHAR) FROM customer WHERE c_custkey <= 20
+        |  UNION ALL
+        |  SELECT 2000000 + c_custkey, 1, CAST(NULL AS VARCHAR) FROM customer WHERE c_custkey <= 3)
+        |SELECT id FROM (
+        |  SELECT id, count(*) OVER (PARTITION BY nk, seg) AS n FROM base) t
+        |WHERE n >= 10 ORDER BY id""".stripMargin,
+
     // Within-document line dedup: the PER-DOC first-occurrence window
     // (PARTITION BY doc_id, line) — deliberately different from
     // q_line_dedup's corpus-global rule; shared lines survive in every doc.

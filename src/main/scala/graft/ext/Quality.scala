@@ -154,4 +154,34 @@ object Quality {
     }
     out.toSeq.toDF("rule", "violations", "checked").orderBy(col("rule"))
   }
+
+  /** K-anonymity suppression — the release-gate primitive of privacy
+    * pipelines (Sweeney 2002; the suppression step of k-anonymization):
+    * drop every row whose quasi-identifier combination occurs fewer than
+    * `k` times, so no released row is identifiable within a group
+    * smaller than k. NULL-safe: NULL is a quasi-identifier VALUE (two
+    * NULL-city rows are the same group — `groupBy` gives SQL's
+    * grouping-equality semantics for free, which is exactly the
+    * k-anonymity requirement; plain-join NULL semantics would leak every
+    * NULL-keyed row as its own singleton).
+    *
+    * Plan: one hash aggregation over the quasi columns (map-side
+    * combined, group-cardinality-sized shuffle) + one equi-join of the
+    * surviving group keys back to the rows. Groups table ≪ rows at any
+    * realistic k; AQE broadcasts it when small. Never a window over the
+    * full table (a `count() over (partition by quasi)` would sort whole
+    * partitions to tag each row).
+    */
+  def suppressRareGroups(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bigEnough = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).where(col("_n") >= k)
+      .select(quasiCols.map(c => col(c).as(s"_q_$c")): _*)
+    // the join must be NULL-SAFE (<=>) to agree with groupBy's grouping
+    // equality — a USING join would drop every NULL-keyed row as if its
+    // group were a singleton, regardless of the group's real size
+    val cond = quasiCols.map(c => col(c) <=> col(s"_q_$c")).reduce(_ && _)
+    df.join(bigEnough, cond, "left_semi")
+  }
 }

@@ -1959,6 +1959,28 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** K-anonymity suppression gate ([[graft.ext.Quality.suppressRareGroups]]):
+    * customers under quasi-identifiers (nation, market segment) at k=10,
+    * with planted NULL-segment rows — a large NULL group (must survive:
+    * NULL is a VALUE under grouping equality) and a tiny one (must be
+    * suppressed). Full DuckDB oracle via the window-count replay.
+    */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val base = c.select(col("c_custkey").as("id"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      .unionByName(c.where(col("c_custkey") <= 20)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          lit(0).cast(c.schema("c_nationkey").dataType).as("nk"),
+          lit(null).cast("string").as("seg")))
+      .unionByName(c.where(col("c_custkey") <= 3)
+        .select((col("c_custkey") + 2000000L).as("id"),
+          lit(1).cast(c.schema("c_nationkey").dataType).as("nk"),
+          lit(null).cast("string").as("seg")))
+    graft.ext.Quality.suppressRareGroups(base, Seq("nk", "seg"), k = 10)
+      .select(col("id")).orderBy(col("id"))
+  }
+
   /** Compression-ratio quality signal ([[TextAnalysis.compressionPermille]]
     * — CCNet/RedPajama-v2 `compression_ratio`, Dolma gzip heuristic):
     * planted-property contract over documents with ≥ 8 chars of text —
@@ -3083,6 +3105,7 @@ object Queries {
     "q_dedup_exact_increment" -> (qDedupExactIncrement _),
     "q_compression_signal" -> (qCompressionSignal _),
     "q_line_dedup_doc" -> (qLineDedupDoc _),
+    "q_k_anonymity" -> (qKAnonymity _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),

@@ -1692,6 +1692,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate rule name"))
   }
 
+  test("suppressRareGroups: k-anonymity with NULL-safe grouping equality") {
+    import graft.ext.Quality
+    val rows = Seq(
+      (1L, "dk", "retail"), (2L, "dk", "retail"), (3L, "dk", "retail"),
+      (4L, "se", "retail"),                       // singleton → suppressed
+      (5L, null.asInstanceOf[String], "web"), (6L, null.asInstanceOf[String], "web"),
+      (7L, null.asInstanceOf[String], "b2b")      // NULL singleton → suppressed
+    ).toDF("id", "country", "segment")
+    val kept = Quality.suppressRareGroups(rows, Seq("country", "segment"), k = 2)
+      .select($"id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 5L, 6L),
+      "NULL quasi values must group together (5,6 survive); singletons suppressed")
+    assert(Quality.suppressRareGroups(rows, Seq("country", "segment"), k = 1).count() == 7)
+    intercept[IllegalArgumentException](Quality.suppressRareGroups(rows, Seq.empty, 2))
+    intercept[IllegalArgumentException](Quality.suppressRareGroups(rows, Seq("country"), 0))
+  }
+
   test("Quality.check: a clean table reports zero violations on every rule") {
     import graft.ext.Quality._
     val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
