@@ -377,7 +377,12 @@ object Bench {
       // round-14: exact bloom-membership dedup — corpus 10x, increment
       // fixed; cost must track the two map-only corpus passes (index
       // build + verify scan), never a corpus shuffle
-      "q_dedup_exact_increment")
+      "q_dedup_exact_increment",
+      // round-14: cluster-then-curate — broadcast assignment + per-cluster
+      // rank windows (one shuffle each) over the 10x embedding corpus;
+      // must scale ~linearly in rows (q_compression_signal is excluded:
+      // its doc_id < 400 slice is 10x-invariant by construction)
+      "q_cluster_curation")
 
   /** Build (once; cached by source signature) a 10x derivative of sfDir's
     * documents/embeddings tables: ten id-shifted blocks. Block texts get a

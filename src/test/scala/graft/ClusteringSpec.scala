@@ -94,6 +94,25 @@ class ClusteringSpec extends SparkSpec {
     assert(viaClustering == viaIvf)
   }
 
+  test("sf0.1 corpus: trained centroids tighten clusters vs seed centroids") {
+    // the production regime: k-means-trained centroids (the IVF build the
+    // cluster-then-curate stage shares) must produce TIGHTER clusters than
+    // raw seed vectors — mean cosine-to-centroid strictly improves, which
+    // is the whole point of paying for the training pass before curation.
+    val emb = spark.read.parquet(s"${sf("sf0.1")}/embeddings.parquet")
+    def meanSim(cents: Array[Array[Double]]): Double =
+      Clustering.assignClusters(emb, cents)
+        .agg(avg($"centroid_sim")).first().getDouble(0)
+    val seed = Similarity.sampleCentroids(emb, numLists = 16)
+    val trained = Similarity.trainCentroids(emb, numLists = 16, iters = 3)
+    val (sSeed, sTrained) = (meanSim(seed), meanSim(trained))
+    info(f"sf0.1 mean centroid_sim: seed $sSeed%.4f -> trained $sTrained%.4f")
+    assert(sTrained > sSeed, "training must tighten clusters")
+    // and every corpus row stays covered (assignment is total)
+    assert(Clustering.clusterSummary(emb, trained)
+      .agg(org.apache.spark.sql.functions.sum($"n")).first().getLong(0) == emb.count())
+  }
+
   test("gate shape on real embeddings: disjoint flags compose, all rows covered") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val out = graft.queries.Queries.qClusterCuration(spark, sf())
