@@ -74,13 +74,18 @@ object Classifier {
         Datasets.dsirBuckets(col("_dsir_toks"), numBuckets).as("_buckets"))
       .persist()
     try {
-      val n = feats.count()
+      // One fused pre-pass: row count, occurrence headroom and label
+      // domain. A label outside {0,1} would silently skew every residual
+      // (sigmoid(z) − 2 is a gradient, just a wrong one) — fail loudly.
+      val pre = feats.agg(count(lit(1)), sum(size(col("_buckets"))),
+        sum(when(col("_y").isNull || !col("_y").isin(0.0, 1.0), 1L).otherwise(0L))).first()
+      val n = pre.getLong(0)
       require(n > 0, "classifier fit needs at least one labeled row")
-      // Loud headroom check instead of silent overflow: total token
-      // occurrences bounds every gradient sum's term count.
-      val occ = feats.select(sum(size(col("_buckets")))).first().getLong(0)
+      val occ = pre.getLong(1)
       require(occ < (Long.MaxValue / FixedPointScale),
         s"training set too large for exact gradient accumulation ($occ token occurrences)")
+      require(pre.getLong(2) == 0L,
+        s"labels must be exactly 0/1 (non-null); ${pre.getLong(2)} rows violate")
 
       var w = new Array[Double](numBuckets)
       var bias = 0.0

@@ -31,6 +31,11 @@ object Clustering {
     * cosine(v, centroid) with unit centroids, so it is `dot / ‖v‖`.
     * Map-only plus one BROADCAST join of k centroid rows — no shuffle of
     * the corpus.
+    *
+    * Rows with a NULL embedding have no position in the space and DROP
+    * from the output (the inner centroid join filters their NULL
+    * cluster_id) — curation over them is meaningless; filter them out
+    * explicitly upstream if their absence should be loud.
     */
   def assignClusters(
       df: DataFrame,

@@ -275,15 +275,18 @@ case class DeflateLen(child: Expression) extends UnaryExpression with CodegenFal
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val d = new java.util.zip.Deflater(6, /* nowrap = */ true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    // One native Deflater per executor thread, reset between rows — a
+    // fresh Deflater per row would malloc/init a native zlib stream in
+    // the hot path. reset() restores the exact initial state, so output
+    // is identical to a fresh instance.
+    val d = DeflateLen.local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = DeflateLen.buf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
@@ -291,6 +294,11 @@ case class DeflateLen(child: Expression) extends UnaryExpression with CodegenFal
 }
 
 object DeflateLen {
+  private val local: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, /* nowrap = */ true))
+  private val buf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](8192))
+
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[DeflateLen].getName, null, "deflate_len",
     "_FUNC_(s) - deflate-compressed byte length of the string's UTF-8 bytes (zlib level 6, raw).", "")

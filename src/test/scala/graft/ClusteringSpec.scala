@@ -36,6 +36,13 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("NULL-embedding rows drop from assignment (documented contract)") {
+    val withNull = corpus.unionByName(
+      Seq((99L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding"))
+    val out = Clustering.assignClusters(withNull, centroids)
+    assert(out.count() == 30 && out.where($"vec_id" === 99L).count() == 0)
+  }
+
   test("clusterSummary reports size and tightness per cluster") {
     val out = Clustering.clusterSummary(corpus, centroids)
       .orderBy($"cluster_id")

@@ -1820,6 +1820,14 @@ class ExtOpsSpec extends SparkSpec {
     assert(unbroadcast.isEmpty, s"corpus-side join lost its broadcast hint:\n${unbroadcast.mkString("\n")}")
   }
 
+  test("dedupExactIncrement with an EMPTY corpus keeps everything") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val incoming = Seq((1L, "anything"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.dedupExactIncrement(corpus, incoming)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
   test("dedupExactIncrementFast: no false negatives; index is reusable state") {
     val corpus = (0 until 500).map(i => (i.toLong, s"corpus document number $i")).toDF("doc_id", "text")
     val idx = Dedup.exactIndex(corpus, expectedItems = 2000L)
