@@ -682,11 +682,37 @@ object IcebergExport {
     spec0.put("spec-id", 0)
     spec0.putArray("fields")
     root.put("last-partition-id", 999) // partition field ids start at 1000; none assigned
-    root.put("default-sort-order-id", 0)
+    // Declare the table's write-time sort (`write.sort.order`, the
+    // reference's CREATE TABLE sortedBy) as an Iceberg sort order:
+    // writeBucketed sorts within partitions by exactly these columns
+    // ascending (Spark's default asc = nulls-first, matching the
+    // declared null-order), so external engines can plan merge-on-sorted
+    // reads honestly. Order 0 (unsorted) is always present for snapshots
+    // predating the property.
+    val sortCols = properties.get("write.sort.order").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val sortFieldIds = {
+      val byName = fieldIds.toMap
+      sortCols.map(c => byName.getOrElse(c, throw new IllegalArgumentException(
+        s"write.sort.order column '$c' is not in the exported schema")))
+    }
+    root.put("default-sort-order-id", if (sortFieldIds.nonEmpty) 1 else 0)
     val orders = root.putArray("sort-orders")
     val order0 = orders.addObject()
     order0.put("order-id", 0)
     order0.putArray("fields")
+    if (sortFieldIds.nonEmpty) {
+      val order1 = orders.addObject()
+      order1.put("order-id", 1)
+      val fieldsArr = order1.putArray("fields")
+      sortFieldIds.foreach { id =>
+        val f = fieldsArr.addObject()
+        f.put("transform", "identity")
+        f.put("source-id", id)
+        f.put("direction", "asc")
+        f.put("null-order", "nulls-first")
+      }
+    }
     val props = root.putObject("properties")
     (properties + ("schema.name-mapping.default" -> nameMappingJson(fieldIds)))
       .foreach { case (k, v) => props.put(k, v) }

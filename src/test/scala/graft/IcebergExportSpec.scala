@@ -88,6 +88,35 @@ class IcebergExportSpec extends SparkSpec {
     assert(chain.map(_._2).sum == t.read().count())
   }
 
+  test("write-time sort order exports as an Iceberg sort order with durable field ids") {
+    val t = SnapshotTable(spark, tmpDir("iceberg-sort"))
+    val df = (1 to 60).map(i => (s"k$i", i.toLong, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 4,
+      extraProps = Map(SnapshotTable.PropSortOrder -> "versionnumber,payload"))
+    val exportDir = tmpDir("iceberg-sort-out")
+    t.exportIceberg(exportDir)
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = currentMeta(fs, exportDir)
+    assert(meta.get("default-sort-order-id").asInt() == 1)
+    val orders = meta.get("sort-orders").elements().asScala.toSeq
+    assert(orders.map(_.get("order-id").asInt()) == Seq(0, 1),
+      "order 0 (unsorted) must remain for pre-property snapshots")
+    val fields = orders(1).get("fields").elements().asScala.toSeq
+    // field ids must match the published schema's ids for those names
+    val schemaIds = meta.get("schemas").get(0).get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    assert(fields.map(_.get("source-id").asInt()) ==
+      Seq(schemaIds("versionnumber"), schemaIds("payload")))
+    assert(fields.forall(f => f.get("transform").asText() == "identity" &&
+      f.get("direction").asText() == "asc" && f.get("null-order").asText() == "nulls-first"))
+    // the independent python validator still accepts the chain
+    import scala.sys.process._
+    val out = Seq("python3", "/root/repo/tools/iceberg_validate.py", exportDir,
+      "--expect-rows", "60").!
+    assert(out == 0, "python validator must accept a sorted-table export")
+  }
+
   test("crashed half-export recovery: stale vN+1 leftovers are superseded, readers never see them") {
     val t = SnapshotTable(spark, tmpDir("iceberg-crash"))
     val df = (1 to 50).map(i => (s"k$i", 1L, s"v$i", false))
