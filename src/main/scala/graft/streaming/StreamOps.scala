@@ -242,6 +242,25 @@ object StreamOps {
         .join(corpusBands, Seq("_b"), "left_anti"),
       tsCol, idCol, docs.columns.toSeq)
 
+  /** EXACT streaming dedup against stored corpus state — the streaming
+    * form of [[graft.ext.Dedup.dedupExactIncrementFast]]: drop every
+    * stream row whose normalized fingerprint the persisted bloom index
+    * ([[graft.ext.Dedup.exactIndex]], typically loaded via
+    * [[graft.ext.ModelStore.loadBloomIndex]]) may contain. Purely
+    * map-side per micro-batch: the index bytes ship once in the plan, no
+    * state store, no join — the zero-corpus-IO membership filter at
+    * stream cadence. Probabilistic like its batch sibling (~1 % of novel
+    * rows lost to false positives); route bloom-positives through the
+    * exact batch verify instead when exactness matters. NULL text passes
+    * through (no content to match — the family's shared contract).
+    */
+  def dedupStreamExact(
+      docs: DataFrame,
+      index: Array[Byte],
+      textCol: String = "text"
+  ): DataFrame =
+    graft.ext.Dedup.dedupExactIncrementFast(index, docs, textCol)
+
   /** Conversion-funnel pairs via an interval self-join: every `fromType`
     * event joined to the same user's `toType` events that land strictly
     * after it and within `maxSpan`. Works identically on batch frames

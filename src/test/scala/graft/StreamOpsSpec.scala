@@ -36,6 +36,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup against a stored bloom index: map-only, stateless, null-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "previously crawled page"), (2L, "another known document"))
+      .toDF("doc_id", "text")
+    // the operational shape: index persisted by the corpus job, loaded here
+    val path = tmpDir("stream-bloom") + "/corpus.bloom"
+    graft.ext.ModelStore.saveBloomIndex(spark, path, graft.ext.Dedup.exactIndex(corpus))
+    val idx = graft.ext.ModelStore.loadBloomIndex(spark, path)
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamOps.dedupStreamExact(docs, idx)
+    val q = out.writeStream.format("memory").queryName("bloomdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 10L, "Previously   CRAWLED page"), // normalizes into corpus → dropped
+        (ts("2024-01-01 10:00:30"), 11L, "a genuinely new page"),
+        (ts("2024-01-01 10:01:00"), 12L, null.asInstanceOf[String]))   // null passes
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:05:00"), 13L, "another known document")) // later batch, same filter
+      q.processAllAvailable()
+      val ids = spark.table("bloomdedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(11L, 12L), s"expected novel + null rows only, got $ids")
+    } finally q.stop()
+  }
+
   test("streaming near-dup dedup suppresses paraphrases inside the watermark, readmits outside") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
