@@ -1193,6 +1193,31 @@ object SparkEntry {
         |  SELECT id, count(*) OVER (PARTITION BY nk, seg) AS n FROM base) t
         |WHERE n >= 10 ORDER BY id""".stripMargin,
 
+    // Distinct l-diversity: per-quasi-group distinct sensitive count with
+    // NULL counted as a value of its own (bool_or correction), NULL-safe
+    // group join via IS NOT DISTINCT FROM — grouping equality on both sides.
+    "q_l_diversity" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS seg FROM customer
+        |  UNION ALL
+        |  SELECT 1000000 + c_custkey, 100, 'HOMOG' FROM customer WHERE c_custkey <= 20
+        |  UNION ALL
+        |  SELECT 2000000 + c_custkey, 101,
+        |    CASE WHEN c_custkey <= 10 THEN CAST(NULL AS VARCHAR) ELSE 'X' END
+        |  FROM customer WHERE c_custkey <= 20
+        |  UNION ALL
+        |  SELECT 3000000 + c_custkey, 102, CAST(NULL AS VARCHAR) FROM customer WHERE c_custkey <= 12
+        |  UNION ALL
+        |  SELECT 4000000 + c_custkey, CAST(NULL AS INTEGER),
+        |    CASE WHEN c_custkey <= 4 THEN 'A' ELSE 'B' END
+        |  FROM customer WHERE c_custkey <= 8),
+        |g AS (
+        |  SELECT nk FROM base GROUP BY nk
+        |  HAVING count(DISTINCT seg)
+        |       + CASE WHEN bool_or(seg IS NULL) THEN 1 ELSE 0 END >= 2)
+        |SELECT id FROM base JOIN g ON base.nk IS NOT DISTINCT FROM g.nk
+        |ORDER BY id""".stripMargin,
+
     // Within-document line dedup: the PER-DOC first-occurrence window
     // (PARTITION BY doc_id, line) — deliberately different from
     // q_line_dedup's corpus-global rule; shared lines survive in every doc.

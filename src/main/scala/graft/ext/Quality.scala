@@ -184,4 +184,37 @@ object Quality {
     val cond = quasiCols.map(c => col(c) <=> col(s"_q_$c")).reduce(_ && _)
     df.join(bigEnough, cond, "left_semi")
   }
+
+  /** Distinct l-diversity enforcement (Machanavajjhala et al. 2007) — the
+    * homogeneity-attack complement to [[suppressRareGroups]]: a group can
+    * be k-anonymous and still reveal every member's sensitive value when
+    * all rows in it share one. Keep only rows whose quasi-identifier group
+    * holds at least `l` DISTINCT values of the sensitive column; a NULL
+    * sensitive value counts as one value of its own (grouping-equality
+    * semantics, matching the NULL-safe quasi grouping — SQL's
+    * count(DISTINCT) would silently ignore it and under-count diversity).
+    *
+    * Plan: one exact count-distinct aggregation (Spark expands it to two
+    * hash aggregations, both map-side combined, shuffled on the group
+    * key) + the same NULL-safe semi-join back to the rows as k-anonymity
+    * — group keys ≪ rows, so AQE broadcasts; never a window over the
+    * full table.
+    */
+  def enforceLDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "l-diversity needs at least one quasi-identifier column")
+    require(l >= 1, s"l must be >= 1, got $l")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    val diverse = df.groupBy(quasiCols.map(col): _*)
+      .agg((countDistinct(col(sensitiveCol)) +
+        max(when(col(sensitiveCol).isNull, 1L).otherwise(0L))).as("_l"))
+      .where(col("_l") >= l)
+      .select(quasiCols.map(c => col(c).as(s"_q_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"_q_$c")).reduce(_ && _)
+    df.join(diverse, cond, "left_semi")
+  }
 }

@@ -1981,6 +1981,35 @@ object Queries {
       .select(col("id")).orderBy(col("id"))
   }
 
+  /** Distinct l-diversity ([[graft.ext.Quality.enforceLDiversity]]) —
+    * the homogeneity-attack gate: a planted 20-row single-segment nation
+    * is k-anonymous at k=10 yet must be dropped at l=2; a NULL+one-value
+    * group counts NULL as a sensitive value (l=2, kept); an all-NULL
+    * group is homogeneous (l=1, dropped); a NULL quasi key groups
+    * together (grouping equality) and is kept when diverse.
+    */
+  def qLDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val nkT = c.schema("c_nationkey").dataType
+    val base = c.select(col("c_custkey").as("id"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      .unionByName(c.where(col("c_custkey") <= 20)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          lit(100).cast(nkT).as("nk"), lit("HOMOG").as("seg")))
+      .unionByName(c.where(col("c_custkey") <= 20)
+        .select((col("c_custkey") + 2000000L).as("id"), lit(101).cast(nkT).as("nk"),
+          when(col("c_custkey") <= 10, lit(null).cast("string"))
+            .otherwise(lit("X")).as("seg")))
+      .unionByName(c.where(col("c_custkey") <= 12)
+        .select((col("c_custkey") + 3000000L).as("id"),
+          lit(102).cast(nkT).as("nk"), lit(null).cast("string").as("seg")))
+      .unionByName(c.where(col("c_custkey") <= 8)
+        .select((col("c_custkey") + 4000000L).as("id"), lit(null).cast(nkT).as("nk"),
+          when(col("c_custkey") <= 4, lit("A")).otherwise(lit("B")).as("seg")))
+    graft.ext.Quality.enforceLDiversity(base, Seq("nk"), "seg", l = 2)
+      .select(col("id")).orderBy(col("id"))
+  }
+
   /** Compression-ratio quality signal ([[TextAnalysis.compressionPermille]]
     * — CCNet/RedPajama-v2 `compression_ratio`, Dolma gzip heuristic):
     * planted-property contract over documents with ≥ 8 chars of text —
@@ -3106,6 +3135,7 @@ object Queries {
     "q_compression_signal" -> (qCompressionSignal _),
     "q_line_dedup_doc" -> (qLineDedupDoc _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_l_diversity" -> (qLDiversity _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),

@@ -1709,6 +1709,30 @@ class ExtOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Quality.suppressRareGroups(rows, Seq("country"), 0))
   }
 
+  test("enforceLDiversity: homogeneous groups drop, NULL is a sensitive value, NULL quasi groups together") {
+    import graft.ext.Quality
+    val rows = Seq(
+      // diverse group: 2 distinct sensitive values → kept at l=2
+      (1L, "dk", "retail"), (2L, "dk", "b2b"), (3L, "dk", "retail"),
+      // k-anonymous but homogeneous: 3 rows, 1 value → dropped at l=2
+      (4L, "se", "web"), (5L, "se", "web"), (6L, "se", "web"),
+      // NULL sensitive counts as its own value: {NULL, web} → l=2 → kept
+      (7L, "no", null.asInstanceOf[String]), (8L, "no", "web"),
+      // all-NULL sensitive is homogeneous → dropped at l=2
+      (9L, "fi", null.asInstanceOf[String]), (10L, "fi", null.asInstanceOf[String]),
+      // NULL quasi key groups together; diverse → kept
+      (11L, null.asInstanceOf[String], "a"), (12L, null.asInstanceOf[String], "b")
+    ).toDF("id", "country", "segment")
+    val kept = Quality.enforceLDiversity(rows, Seq("country"), "segment", l = 2)
+      .select($"id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 7L, 8L, 11L, 12L))
+    assert(Quality.enforceLDiversity(rows, Seq("country"), "segment", l = 1).count() == 12,
+      "l=1 keeps every non-empty group, including all-NULL sensitive (NULL is a value)")
+    intercept[IllegalArgumentException](Quality.enforceLDiversity(rows, Seq.empty, "segment", 2))
+    intercept[IllegalArgumentException](Quality.enforceLDiversity(rows, Seq("country"), "segment", 0))
+    intercept[IllegalArgumentException](Quality.enforceLDiversity(rows, Seq("segment"), "segment", 2))
+  }
+
   test("Quality.check: a clean table reports zero violations on every rule") {
     import graft.ext.Quality._
     val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
