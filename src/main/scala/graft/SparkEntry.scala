@@ -18,6 +18,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** DuckDB oracle for q_unicode_clean, generated from the SAME
+    * [[graft.ext.TextAnalysis.MojibakeTable]] and the same dirty-prefix
+    * constant the Spark query plants — a table edit can never
+    * desynchronize engine and oracle. The regex character classes are the
+    * RE2 spellings of the Java-regex constants in TextAnalysis
+    * (`\x{...}` for code points above 0x7F inside classes); nfc_normalize
+    * is DuckDB's NFC, verified equal to java.text.Normalizer on the
+    * planted cases.
+    */
+  private def unicodeCleanOracle: String = {
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val inner = sqlLit(graft.queries.Queries.UnicodeDirtyPrefix) + " || text"
+    val moji = graft.ext.TextAnalysis.MojibakeTable.foldLeft(inner) {
+      case (e, (from, to)) => s"replace($e, ${sqlLit(from)}, ${sqlLit(to)})"
+    }
+    val nfc = s"nfc_normalize($moji)"
+    val ctrl = s"""regexp_replace($nfc, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g')"""
+    val invis = s"""regexp_replace($ctrl, '[\\x{200B}\\x{FEFF}\\x{00AD}]', '', 'g')"""
+    val spaces =
+      s"""regexp_replace($invis, '[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]', ' ', 'g')"""
+    val collapsed = s"""regexp_replace($spaces, ' {2,}', ' ', 'g')"""
+    s"""SELECT doc_id, trim($collapsed) AS clean_text
+       |FROM documents WHERE doc_id < 300
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Render a double array as a DuckDB list literal. Double.toString is the
     * shortest round-trip decimal form, so DuckDB parses back the exact same
     * IEEE value — the oracle's plane/centroid constants are bit-identical
@@ -1643,6 +1669,8 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_text_langid" -> langIdOracle,
+
+    "q_unicode_clean" -> unicodeCleanOracle,
 
     "q_lang_segments" -> langSegmentsOracle,
 

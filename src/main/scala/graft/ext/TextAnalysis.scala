@@ -452,6 +452,107 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(translate(lower(text), DiacriticsFrom, DiacriticsTo), "\\s+", " "))
 
+  /** UTF-8-read-as-Windows-1252 mojibake repair table: each key is the
+    * cp1252 decoding of a common character's UTF-8 bytes (`é` = C3 A9 →
+    * `Ã©`; `’` = E2 80 99 → `â€` + U+2122), each value the intended
+    * character. Three-byte punctuation entries precede the two-byte Latin
+    * table (their `â` prefix is disjoint from `Ã`/`Â`, so only intra-group
+    * order matters and none of the keys overlaps another's output). The
+    * table is the single source of truth: the engine folds it into a
+    * replace chain and the DuckDB oracle is GENERATED from the same
+    * entries, so a table edit can never desynchronize the two engines.
+    * U+009D below is cp1252's unmapped 0x9D byte surfacing as a C1
+    * control — exactly what a lenient decoder emits for `”`.
+    */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    // E2 80 xx punctuation (three-byte UTF-8 misread): U+00E2 U+20AC + cp1252(xx);
+    // 0x9D is unmapped in cp1252 and surfaces as the C1 control U+009D
+    "\u00e2\u20ac\u2122" -> "\u2019",
+    "\u00e2\u20ac\u02dc" -> "\u2018",
+    "\u00e2\u20ac\u0153" -> "\u201c",
+    "\u00e2\u20ac\u009d" -> "\u201d",
+    "\u00e2\u20ac\u201c" -> "\u2013",
+    "\u00e2\u20ac\u201d" -> "\u2014",
+    "\u00e2\u20ac\u00a6" -> "\u2026",
+    "\u00e2\u20ac\u00a2" -> "\u2022",
+    // C3 xx Latin letters (two-byte UTF-8 misread): U+00C3 + latin1(xx)
+    "\u00c3\u00a9" -> "\u00e9",
+    "\u00c3\u00a8" -> "\u00e8",
+    "\u00c3\u00aa" -> "\u00ea",
+    "\u00c3\u00ab" -> "\u00eb",
+    "\u00c3\u00a1" -> "\u00e1",
+    "\u00c3\u00a0" -> "\u00e0",
+    "\u00c3\u00a4" -> "\u00e4",
+    "\u00c3\u00a3" -> "\u00e3",
+    "\u00c3\u00a5" -> "\u00e5",
+    "\u00c3\u00a7" -> "\u00e7",
+    "\u00c3\u00ad" -> "\u00ed",
+    "\u00c3\u00ac" -> "\u00ec",
+    "\u00c3\u00ae" -> "\u00ee",
+    "\u00c3\u00af" -> "\u00ef",
+    "\u00c3\u00b3" -> "\u00f3",
+    "\u00c3\u00b2" -> "\u00f2",
+    "\u00c3\u00b4" -> "\u00f4",
+    "\u00c3\u00b6" -> "\u00f6",
+    "\u00c3\u00b5" -> "\u00f5",
+    "\u00c3\u00b1" -> "\u00f1",
+    "\u00c3\u00ba" -> "\u00fa",
+    "\u00c3\u00b9" -> "\u00f9",
+    "\u00c3\u00bb" -> "\u00fb",
+    "\u00c3\u00bc" -> "\u00fc",
+    // C2 xx (two-byte misread); the NBSP repair emits an ASCII space directly
+    "\u00c2\u00a0" -> " ",
+    "\u00c2\u00ab" -> "\u00ab",
+    "\u00c2\u00bb" -> "\u00bb",
+    "\u00c2\u00b0" -> "\u00b0"
+  )
+
+  /** Repair the [[MojibakeTable]] sequences — a literal replace chain
+    * (codegen'd StringReplace, no regex engine), map-only.
+    */
+  def fixMojibake(text: Column): Column =
+    MojibakeTable.foldLeft(text) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+
+  /** Unicode NFC / NFKC composition via the engine's codegen'd
+    * [[graft.sql.UnicodeNormalize]] expression (no Spark built-in exists;
+    * a UDF would leave whole-stage codegen).
+    */
+  def nfcNormalize(text: Column): Column = call_function("nfc", text)
+  def nfkcNormalize(text: Column): Column = call_function("nfkc", text)
+
+  /** ASCII + C1 control characters (except \t \n \r) — junk in decoded
+    * web text, including cp1252-undecodable bytes surfaced as C1.
+    */
+  val ControlCharsRegex = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+  def stripControlChars(text: Column): Column = regexp_replace(text, ControlCharsRegex, "")
+
+  /** Zero-width space, BOM and soft hyphen — invisible characters that
+    * split tokens and defeat exact dedup. ZWJ/ZWNJ are deliberately KEPT
+    * (they are meaningful in emoji sequences and Indic/Persian scripts).
+    */
+  val InvisibleCharsRegex = "[\\u200B\\uFEFF\\u00AD]"
+  def stripInvisibleChars(text: Column): Column = regexp_replace(text, InvisibleCharsRegex, "")
+
+  /** Unicode space separators (NBSP, en/em/thin spaces, ideographic
+    * space) → ASCII space, so tokenizers split uniformly.
+    */
+  val UnicodeSpacesRegex = "[\\u00A0\\u1680\\u2000-\\u200A\\u202F\\u205F\\u3000]"
+  def mapUnicodeSpaces(text: Column): Column = regexp_replace(text, UnicodeSpacesRegex, " ")
+
+  /** The composed Unicode-hygiene pass a crawl corpus gets before any
+    * fingerprinting, dedup or tokenization: mojibake repair → NFC →
+    * control strip → invisible strip → space unification → space-run
+    * collapse → trim. One map-only projection; every step is a codegen'd
+    * string expression (the replace chain and the regexes fuse into the
+    * same WholeStageCodegen span), so the 100 TB cost is one scan.
+    * Newlines are preserved — only SPACE runs collapse (line structure
+    * feeds the line-level dedup and quality ops downstream).
+    */
+  def cleanUnicode(text: Column): Column =
+    trim(regexp_replace(
+      mapUnicodeSpaces(stripInvisibleChars(stripControlChars(nfcNormalize(fixMojibake(text))))),
+      " {2,}", " "))
+
   /** Log₂-bucketed histogram of a per-row value, grouped by a label — the
     * corpus-report primitive (token-length distributions per language,
     * etc.). Bucket k holds values with floor(log₂(v+1)) = k, so bucket

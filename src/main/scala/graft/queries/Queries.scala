@@ -2010,6 +2010,30 @@ object Queries {
       .select(col("id")).orderBy(col("id"))
   }
 
+  /** The planted dirty prefix for q_unicode_clean — every hygiene case in
+    * one string: mojibake é (C3 A9 misread), mojibake curly quotes (incl.
+    * the cp1252-unmapped 0x9D → U+009D form), a DECOMPOSED e + U+0301
+    * (NFC must compose it), a BEL control, a mojibake NBSP, a zero-width
+    * space, a mojibake em dash, and a double space. Shared verbatim with
+    * the generated DuckDB oracle literal.
+    */
+  val UnicodeDirtyPrefix: String =
+    "caf\u00c3\u00a9 \u00e2\u20ac\u0153na\u00c3\u00afve\u00e2\u20ac\u009d e\u0301tude\u0007" +
+      " list\u00c2\u00a0item\u200b \u00e2\u20ac\u201d  "
+
+  /** Unicode corpus hygiene ([[TextAnalysis.cleanUnicode]]): mojibake
+    * repair → NFC → control/invisible strip → space unification →
+    * space-run collapse → trim, applied to every document with the dirty
+    * prefix planted. One map-only projection; the oracle replays the
+    * identical chain generated from the SAME [[TextAnalysis.MojibakeTable]].
+    */
+  def qUnicodeClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").where(col("doc_id") < 300)
+    docs.select(col("doc_id"),
+        TextAnalysis.cleanUnicode(concat(lit(UnicodeDirtyPrefix), col("text"))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Compression-ratio quality signal ([[TextAnalysis.compressionPermille]]
     * — CCNet/RedPajama-v2 `compression_ratio`, Dolma gzip heuristic):
     * planted-property contract over documents with ≥ 8 chars of text —
@@ -3136,6 +3160,7 @@ object Queries {
     "q_line_dedup_doc" -> (qLineDedupDoc _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
+    "q_unicode_clean" -> (qUnicodeClean _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPageRank _),
     "q_hits" -> (qHits _),

@@ -26,6 +26,8 @@ object GraftExtensions {
     ("jaccard_sim", JaccardSim.info, JaccardSim.builder),
     ("word_shingles", WordShingles.info, WordShingles.builder),
     ("deflate_len", DeflateLen.info, DeflateLen.builder),
+    ("nfc", UnicodeNormalize.nfcInfo, UnicodeNormalize.nfcBuilder),
+    ("nfkc", UnicodeNormalize.nfkcInfo, UnicodeNormalize.nfkcBuilder),
     // Spark's internal runtime-filter expressions, surfaced as engine
     // functions for the explicit bloom-pre-filter join pattern
     // (org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate

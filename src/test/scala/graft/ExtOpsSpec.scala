@@ -1733,6 +1733,41 @@ class ExtOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Quality.enforceLDiversity(rows, Seq("segment"), "segment", 2))
   }
 
+  test("cleanUnicode: mojibake repair, NFC compose, control/invisible strip, space unification") {
+    import graft.ext.TextAnalysis
+    val dirty = graft.queries.Queries.UnicodeDirtyPrefix + "tail"
+    val expected = "caf\u00e9 \u201cna\u00efve\u201d \u00e9tude list item \u2014 tail"
+    val df = Seq((1L, dirty), (2L, null.asInstanceOf[String]),
+      (3L, "plain ascii"), (4L, "e\u0301 + \u00e9")).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.cleanUnicode($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == expected)
+    assert(out(2L) == null)
+    assert(out(3L) == "plain ascii")
+    assert(out(4L) == "\u00e9 + \u00e9", "decomposed and precomposed must unify under NFC")
+    // NFKC folds compatibility forms (fi ligature) that NFC keeps
+    val forms = df.where($"id" === 1L)
+      .select(TextAnalysis.nfcNormalize(lit("\ufb01sh")).as("nfc"),
+        TextAnalysis.nfkcNormalize(lit("\ufb01sh")).as("nfkc"))
+      .collect().head
+    assert(forms.getString(0) == "\ufb01sh" && forms.getString(1) == "fish")
+    // the hygiene pass is one map-only codegen'd projection — no shuffle
+    // (spark.range leaf: a LocalRelation would constant-fold the plan away)
+    val plan = spark.range(2)
+      .select(TextAnalysis.cleanUnicode(concat(lit("é-"), $"id".cast("string"))))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, "nfc must not fall out of codegen")
+    assert(!plan.toString.contains("Exchange"), "cleanUnicode must be map-only")
+    // every MojibakeTable entry round-trips: key's UTF-8-as-cp1252 decode
+    // repairs back to the intended character
+    val keys = TextAnalysis.MojibakeTable.map(_._1)
+    val reps = Seq(keys.mkString("|")).toDF("text")
+      .select(TextAnalysis.fixMojibake($"text")).as[String].collect().head
+    assert(reps == TextAnalysis.MojibakeTable.map(_._2).mkString("|"))
+  }
+
   test("Quality.check: a clean table reports zero violations on every rule") {
     import graft.ext.Quality._
     val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
