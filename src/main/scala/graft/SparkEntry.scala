@@ -1423,6 +1423,35 @@ object SparkEntry {
         |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // OPH near-dup: identical brute-force truth at threshold 0.8 — the
+    // one-permutation signature path must reproduce exhaustive exact
+    // Jaccard with zero misses, same bar as q_near_dup_pairs.
+    "q_near_dup_oph" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '\s+\S+\s*$', '') AS text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_distinct(list_concat(a.s, b.s))) > 0
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Duplicate groups: recursive-CTE transitive closure over the exact
     // Jaccard >= 0.5 pair set (the same CTE as q_near_dup_pairs), min
     // reachable id as the canonical component.
@@ -1652,6 +1681,74 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_lsh" -> annLshOracle,
+
+    // Embedding standardization: replay the fixed-point per-dimension
+    // moments (floor onto the 1e-12 grid → exact integer sums — the
+    // double→decimal cast is a round-half trap on dyadic floats), the
+    // z-projection (0 where std = 0) and the standardized cosine top-10.
+    // list(z ORDER BY pos) rebuilds the array so the dot product runs in
+    // the engine's sequential array order.
+    "q_embed_standardize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (SELECT vec_id,
+        |        unnest(generate_series(1, len(v))) - 1 AS pos,
+        |        unnest(v) AS x
+        |      FROM e),
+        |st AS (
+        |  SELECT pos,
+        |    (CAST(SUM(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12) / COUNT(*) AS mean,
+        |    (CAST(SUM(CAST(floor(x * x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12) / COUNT(*) AS ex2
+        |  FROM x GROUP BY pos),
+        |sd AS (SELECT pos, mean, sqrt(greatest(ex2 - mean * mean, 0.0)) AS std FROM st),
+        |zs AS (
+        |  SELECT x.vec_id, x.pos,
+        |    CASE WHEN sd.std > 0 THEN (x.x - sd.mean) / sd.std ELSE 0.0 END AS z
+        |  FROM x JOIN sd USING (pos)),
+        |zv AS (SELECT vec_id, list(z ORDER BY pos) AS z FROM zs GROUP BY vec_id),
+        |b AS (SELECT vec_id, z, sqrt(list_dot_product(z, z)) AS nrm FROM zv)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_dot_product(a.z, c.z) / (a.nrm * c.nrm) DESC, c.vec_id) AS rn
+        |  FROM b a, b c WHERE a.vec_id < 50 AND a.vec_id <> c.vec_id) t
+        |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // Int8-quantized ANN + exact rerank: replay the quantization (max-abs
+    // /127 scale, round-half-away codes), the code-cosine coarse top-40
+    // (scales cancel in cosine; every coarse score is integer-exact) and
+    // the full-precision rerank to top-10. Zero vectors cannot rank.
+    "q_ann_int8_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        |codes AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN scale = 0 THEN NULL
+        |         ELSE list_transform(v, x -> round(x / scale)) END AS c
+        |  FROM qz),
+        |b AS (
+        |  SELECT vec_id, v, c,
+        |    sqrt(list_dot_product(c, c)) AS cn,
+        |    sqrt(list_dot_product(v, v)) AS vn
+        |  FROM codes WHERE c IS NOT NULL AND list_dot_product(c, c) > 0),
+        |pool AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.c, t.c) / (q.cn * t.cn) DESC, t.vec_id) AS rn
+        |    FROM b q, b t WHERE q.vec_id < 50 AND q.vec_id <> t.vec_id) s
+        |  WHERE rn <= 40),
+        |rer AS (
+        |  SELECT pool.query_id, pool.neighbor_id,
+        |    row_number() OVER (PARTITION BY pool.query_id ORDER BY
+        |      list_dot_product(q.v, t.v) / (q.vn * t.vn) DESC, pool.neighbor_id) AS rn
+        |  FROM pool
+        |  JOIN b q ON q.vec_id = pool.query_id
+        |  JOIN b t ON t.vec_id = pool.neighbor_id)
+        |SELECT query_id, neighbor_id FROM rer WHERE rn <= 10
+        |ORDER BY query_id, neighbor_id""".stripMargin,
 
     // SimHash exact-collision pairs: over distinct-token sets a SimHash
     // collision ⟺ identical token set on this corpus (verified), so the

@@ -87,11 +87,13 @@ object Dedup {
       textCol: String = "text",
       shingleSize: Int = 3,
       numHashes: Int = 128,
-      seed: Long = 42L
+      seed: Long = 42L,
+      oph: Boolean = false
   ): DataFrame = {
     graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val fn = if (oph) "minhash_sig_oph" else "minhash_sig"
     docs.select(col(idCol).as("id"),
-      call_function("minhash_sig",
+      call_function(fn,
         wordShingles(col(textCol), shingleSize), lit(numHashes), lit(seed)).as("signature"))
   }
 
@@ -147,7 +149,8 @@ object Dedup {
       numHashes: Int = 128,
       numBands: Int = 32,
       threshold: Double = 0.7,
-      maxBucketSize: Int = 10000
+      maxBucketSize: Int = 10000,
+      oph: Boolean = false
   ): DataFrame = {
     graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
     val shingled = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles"))
@@ -155,7 +158,7 @@ object Dedup {
     // hash-partitioning on bk is exactly what the self-join below needs, so
     // the exchange is computed once (an anti-join guard would recompute the
     // whole MinHash pipeline a second time — measured slower).
-    val banded = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+    val banded = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes, oph = oph)
       .select(col("id"), explode(lshBandKeys(col("signature"), numHashes, numBands)).as("bk"))
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bk"))))
       .where(col("bucket_n") <= maxBucketSize)

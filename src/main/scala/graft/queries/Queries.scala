@@ -754,6 +754,24 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** One-permutation-MinHash near-dup gate
+    * ([[graft.ext.Dedup.nearDuplicatePairs]] with `oph = true`): the same
+    * banding pipeline as q_near_dup_pairs but signatures come from
+    * `minhash_sig_oph` — ONE hash per shingle (bin = h mod k, rank =
+    * h mod p, rotation densification) instead of k multiply-mods, the
+    * dominant signature cost at corpus scale. Threshold 0.8: the planted
+    * last-word-dropped copies sit near J≈0.9, where 32-band/4-row recall
+    * leaves no room for a miss ((1-J⁴)³² < 1e-7); the oracle is
+    * brute-force exact Jaccard, so a single missed pair fails the gate.
+    */
+  def qNearDupOph(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    Dedup.nearDuplicatePairs(withPerturbedCopies(docs), threshold = 0.8,
+      numHashes = 128, numBands = 32, oph = true)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Incremental near-dup gate ([[graft.ext.Dedup.incrementalNearDups]]):
     * the daily-crawl shape — an "incoming" batch (last-word-dropped
     * paraphrases of docs < 80, ids +1e6, which MUST match their
@@ -985,6 +1003,39 @@ object Queries {
   def qAnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.bruteForceTopK(emb.where(col("vec_id") < 50), emb, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Embedding standardization ([[graft.ext.Embeddings.standardize]] —
+    * diagonal whitening, the preprocessing of SemDeDup/OPQ-style
+    * pipelines): per-dimension moments on an exact 1e-12 fixed-point grid
+    * (floor-quantized BEFORE summation — commutative, partition-invariant,
+    * and free of the double→decimal round-half ambiguity the test
+    * corpus's dyadic floats would hit), then z-score cosine top-10 for
+    * queries < 50. The oracle replays moments, z-projection and the
+    * top-k bit-for-bit.
+    */
+  def qEmbedStandardize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val z = graft.ext.Embeddings.standardize(emb).select(col("vec_id"), col("z"))
+    Similarity.bruteForceTopK(z.where(col("vec_id") < 50), z, k = 10, vecCol = "z")
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Int8-quantized ANN with exact rerank
+    * ([[graft.ext.Similarity.int8RerankTopK]]): coarse integer-dot cosine
+    * over per-vector-scaled int8 codes (scales cancel in cosine), top-40
+    * pool, full-precision rerank to top-10. The oracle replays the
+    * quantization (round-half-away, max-abs/127 scale), the code-cosine
+    * pool and the rerank EXACTLY — every coarse score is integer-exact in
+    * doubles, so the approximate search is deterministic and
+    * hash-checkable, same bar as the other ANN gates.
+    */
+  def qAnnInt8Rerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.int8RerankTopK(emb.where(col("vec_id") < 50), emb, k = 10, m = 40)
       .select(col("query_id"), col("neighbor_id"))
       .orderBy(col("query_id"), col("neighbor_id"))
   }
@@ -3113,6 +3164,9 @@ object Queries {
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_lsh" -> (qMinHashLsh _),
     "q_near_dup_pairs" -> (qNearDupPairs _),
+    "q_near_dup_oph" -> (qNearDupOph _),
+    "q_ann_int8_rerank" -> (qAnnInt8Rerank _),
+    "q_embed_standardize" -> (qEmbedStandardize _),
     "q_incremental_near_dup" -> (qIncrementalNearDup _),
     "q_dedup_increment" -> (qDedupIncrement _),
     "q_dedup_groups" -> (qDedupGroups _),

@@ -22,6 +22,7 @@ object GraftExtensions {
     ("vec_dot", VecDot.info, VecDot.builder),
     ("vec_top_lists", VecTopLists.info, VecTopLists.builder),
     ("minhash_sig", MinHashSig.info, MinHashSig.builder),
+    ("minhash_sig_oph", MinHashSigOPH.info, MinHashSigOPH.builder),
     ("simhash64", SimHash64.info, SimHash64.builder),
     ("jaccard_sim", JaccardSim.info, JaccardSim.builder),
     ("word_shingles", WordShingles.info, WordShingles.builder),

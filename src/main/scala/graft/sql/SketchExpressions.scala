@@ -84,6 +84,83 @@ object MinHashSig {
   }
 }
 
+/** One-permutation MinHash with rotation densification (Li/Owen/Zhang
+  * NIPS'12; Shrivastava & Li ICML'14): ONE xxhash per shingle assigns the
+  * element to bin `h mod k` and ranks it by `h mod p`; each bin keeps its
+  * min rank, and empty bins borrow circularly from the nearest non-empty
+  * bin to the right with a distance-salted offset (so different borrow
+  * distances never alias). Same signature shape and estimator
+  * (bin-equality fraction ≈ Jaccard) as [[MinHashSig]], but the per-
+  * shingle cost is O(1) instead of O(k) — the k-permutation inner loop of
+  * k multiply-mods per shingle is the dominant cost of MinHash at
+  * corpus scale, and this removes it. Empty input keeps the all-`p`
+  * sentinel (never densified — there is nothing to borrow).
+  */
+case class MinHashSigOPH(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L // 2^31 - 1
+  // distance salt for densification borrows; any constant < P works, it
+  // only needs to separate borrow distances deterministically
+  private val BorrowSalt = 0x9E3779B9L % 2147483647L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"minhash_sig_oph requires array<string>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(P)
+    var any = false
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h64 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+        val bin = java.lang.Math.floorMod(h64, numHashes.toLong).toInt
+        val v = java.lang.Math.floorMod(h64, P)
+        if (v < mins(bin)) mins(bin) = v
+        any = true
+      }
+      i += 1
+    }
+    if (!any) return new GenericArrayData(mins) // all-sentinel: empty doc
+    // rotation densification over the PRE-densification bins
+    val out = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      if (mins(j) < P) out(j) = mins(j)
+      else {
+        var t = 1
+        while (mins((j + t) % numHashes) == P) t += 1
+        out(j) = (mins((j + t) % numHashes) + t * BorrowSalt) % P
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "minhash_sig_oph"
+}
+
+object MinHashSigOPH {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[MinHashSigOPH].getName, null, "minhash_sig_oph",
+    "_FUNC_(shingles, numHashes, seed) - one-permutation MinHash signature with rotation densification.", "")
+
+  val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 3, s"minhash_sig_oph expects 3 arguments, got ${args.length}")
+    val n = args(1).eval().asInstanceOf[Number].intValue()
+    val seed = args(2).eval().asInstanceOf[Number].longValue()
+    MinHashSigOPH(args.head, n, seed)
+  }
+}
+
 /** 64-bit SimHash of a string-array token set (Charikar '02): per hash bit,
   * sum ±1 over tokens; bit set iff positive. Single pass, map-only.
   */

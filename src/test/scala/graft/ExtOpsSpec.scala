@@ -1733,6 +1733,62 @@ class ExtOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Quality.enforceLDiversity(rows, Seq("segment"), "segment", 2))
   }
 
+  test("int8RerankTopK: high recall vs brute force, zero vectors excluded, pool contract") {
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextDouble() - 0.5))) :+
+      (999L, Array.fill(16)(0.0))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 20)
+    // brute force has no zero-vector guard (cosine undefined) — feed it the
+    // nonzero corpus; int8RerankTopK must exclude the zero vector ITSELF
+    val exact = Similarity.bruteForceTopK(queries, emb.where($"vec_id" =!= 999L), k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.int8RerankTopK(queries, emb, k = 10, m = 40)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8+rerank recall $recall below floor")
+    assert(!approx.exists(_._2 == 999L), "zero vector (scale 0) must not rank")
+    intercept[IllegalArgumentException](Similarity.int8RerankTopK(queries, emb, k = 10, m = 5))
+  }
+
+  test("minhash OPH: deterministic, estimator tracks true Jaccard, densified bins, empty sentinel") {
+    import graft.ext.Dedup
+    val P = 2147483647L
+    // two token streams sharing a known prefix: true shingle-set Jaccard is
+    // computed exactly below, the OPH bin-match fraction must track it
+    def words(from: Int, until: Int) = (from until until).map(i => s"w$i")
+    val a = words(0, 60).mkString(" ")
+    val b = (words(0, 48) ++ words(100, 112)).mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, ""), (4L, "one two")).toDF("doc_id", "text")
+
+    val sigs = Dedup.minHashSignatures(docs, numHashes = 128, oph = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // determinism under repartitioning (pure map, no order dependence)
+    val sigs2 = Dedup.minHashSignatures(docs.repartition(7), numHashes = 128, oph = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs == sigs2)
+    // empty doc: all-sentinel, never densified
+    assert(sigs(3L).forall(_ == P))
+    // 2-token doc has ONE shingle (whole text): exactly one real bin, the
+    // rest densified — borrow salting must leave no sentinel behind
+    assert(sigs(4L).forall(_ != P))
+    assert(sigs(4L).distinct.length > 1, "densified bins carry distance-salted values")
+    // estimator: fraction of equal bins ≈ true Jaccard of the shingle sets
+    def shingles(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val truth = shingles(a).intersect(shingles(b)).size.toDouble /
+      shingles(a).union(shingles(b)).size.toDouble
+    val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }.toDouble / 128.0
+    assert(math.abs(est - truth) < 0.18, s"OPH estimate $est vs true $truth")
+    // the OPH LSH path finds a planted near-identical pair and verifies it
+    // with EXACT jaccard (same contract as the k-permutation path)
+    val corpus = Seq((10L, a), (11L, a + " tail"), (12L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(corpus, threshold = 0.8, numHashes = 128,
+      numBands = 32, oph = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)) && !pairs.exists(p => p._2 == 12L || p._1 == 12L))
+  }
+
   test("cleanUnicode: mojibake repair, NFC compose, control/invisible strip, space unification") {
     import graft.ext.TextAnalysis
     val dirty = graft.queries.Queries.UnicodeDirtyPrefix + "tail"
