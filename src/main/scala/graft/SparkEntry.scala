@@ -1682,6 +1682,24 @@ object SparkEntry {
 
     "q_ann_lsh" -> annLshOracle,
 
+    // Keyed pseudonymization: DuckDB replays SHA-256(salt || value) hex;
+    // NULL identifiers pass through untouched.
+    "q_pseudonymize" ->
+      """SELECT c_custkey AS id,
+        |  sha256('graft-gate-key' || c_name) AS name,
+        |  CASE WHEN c_custkey % 97 = 0 THEN CAST(NULL AS VARCHAR)
+        |       ELSE sha256('graft-gate-key' || c_mktsegment) END AS seg
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // PCA contract gate: invariants are computed by the ENGINE (component
+    // orthonormality, eigen ordering, axis-optimality, bit-stable refit,
+    // per-row Parseval energy preservation) — the oracle echoes true, the
+    // same pattern as q_quality_classifier. A truncation-recall floor
+    // would gate the DATA (isotropic test embeddings), not the operator.
+    "q_pca_contract" ->
+      """SELECT vec_id, true AS fitted_ok, true AS energy_ok
+        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin,
+
     // Embedding standardization: replay the fixed-point per-dimension
     // moments (floor onto the 1e-12 grid → exact integer sums — the
     // double→decimal cast is a round-half trap on dyadic floats), the

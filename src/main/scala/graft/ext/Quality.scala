@@ -217,4 +217,22 @@ object Quality {
     val cond = quasiCols.map(c => col(c) <=> col(s"_q_$c")).reduce(_ && _)
     df.join(diverse, cond, "left_semi")
   }
+
+  /** Keyed pseudonymization: replace identifier columns with
+    * SHA-256(salt ‖ value) hex tokens. The same (salt, value) maps to the
+    * same token EVERYWHERE — referential integrity across tables survives
+    * the redaction, which is what separates pseudonymization from
+    * dropping the column (GDPR art. 4(5) pseudonymisation; the salt is
+    * the re-identification key and must be managed outside the data).
+    * NULLs stay NULL. Map-only columnar sha2 — one scan, codegen'd, no
+    * UDF; at 100 TB the cost is the scan.
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    require(salt.nonEmpty, "an empty salt makes tokens dictionary-attackable; supply a keyed salt")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNotNull, sha2(concat(lit(salt), col(c).cast("string")), 256)))
+    }
+  }
 }

@@ -1024,6 +1024,65 @@ object Queries {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** Keyed pseudonymization gate ([[graft.ext.Quality.pseudonymize]]):
+    * customer name/phone replaced by SHA-256(salt ‖ value) tokens; the
+    * oracle replays the same hash, proving join-consistent tokens (equal
+    * values → equal tokens) and NULL passthrough. The planted NULL-phone
+    * rows pin the NULL contract.
+    */
+  def qPseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val base = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
+        when(col("c_custkey") % 97 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+    graft.ext.Quality.pseudonymize(base, Seq("name", "seg"), salt = "graft-gate-key")
+      .orderBy(col("id"))
+  }
+
+  /** PCA contract gate ([[graft.ext.Embeddings.pcaFit]]/
+    * [[graft.ext.Embeddings.pcaProject]]): the test embeddings are
+    * isotropic (flat spectrum — measured: 16/64 components capture 38 %
+    * of variance), so a truncation-recall floor would gate the DATA, not
+    * the operator. Instead the gate pins exact invariants, the booleans
+    * computed by the engine (oracle echoes true — same pattern as
+    * q_quality_classifier): `fitted_ok` = components orthonormal +
+    * eigenvalues descending + eigen mass of the top 32 components ≥ the
+    * best 32 COORDINATE variances (PCA subspace optimality vs any
+    * axis-aligned basis) + bit-identical refit under repartitioning;
+    * `energy_ok` = per-row Parseval check — the full-rank projection
+    * preserves ‖x − mean‖² to 1e-9.
+    */
+  def qPcaContract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Embeddings
+    val emb = t(spark, dir, "embeddings")
+    val model = Embeddings.pcaFit(emb, numComponents = 64)
+    val model2 = Embeddings.pcaFit(emb.repartition(7), numComponents = 64)
+    val bitStable = model.components.zip(model2.components)
+      .forall { case (a, b) => java.util.Arrays.equals(a, b) } &&
+      java.util.Arrays.equals(model.eigenvalues, model2.eigenvalues)
+    val ortho = (for { i <- 0 until 64; j <- i until 64 } yield {
+      val d = model.components(i).zip(model.components(j)).map { case (a, b) => a * b }.sum
+      math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9
+    }).forall(identity)
+    val ordered = model.eigenvalues.toSeq.sliding(2).forall(p => p.length < 2 || p(0) >= p(1))
+    val dimVars = Embeddings.dimensionStats(emb)
+      .select(col("std")).as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .collect().map(s => s * s)
+    val optimal =
+      model.eigenvalues.take(32).sum >= dimVars.sorted.reverse.take(32).sum - 1e-9
+    val fitted = bitStable && ortho && ordered && optimal
+    val centered = zip_with(col("embedding").cast("array<double>"), lit(model.mean), (x, m) => x - m)
+    emb.where(col("vec_id") < 200)
+      .select(col("vec_id"),
+        Embeddings.pcaProject(col("embedding"), model).as("p"),
+        centered.as("c"))
+      .select(col("vec_id"),
+        lit(fitted).as("fitted_ok"),
+        (abs(call_function("vec_dot", col("p"), col("p")) -
+          call_function("vec_dot", col("c"), col("c"))) < 1e-9).as("energy_ok"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Int8-quantized ANN with exact rerank
     * ([[graft.ext.Similarity.int8RerankTopK]]): coarse integer-dot cosine
     * over per-vector-scaled int8 codes (scales cancel in cosine), top-40
@@ -3167,6 +3226,8 @@ object Queries {
     "q_near_dup_oph" -> (qNearDupOph _),
     "q_ann_int8_rerank" -> (qAnnInt8Rerank _),
     "q_embed_standardize" -> (qEmbedStandardize _),
+    "q_pca_contract" -> (qPcaContract _),
+    "q_pseudonymize" -> (qPseudonymize _),
     "q_incremental_near_dup" -> (qIncrementalNearDup _),
     "q_dedup_increment" -> (qDedupIncrement _),
     "q_dedup_groups" -> (qDedupGroups _),

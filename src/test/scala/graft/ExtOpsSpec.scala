@@ -1824,6 +1824,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(reps == TextAnalysis.MojibakeTable.map(_._2).mkString("|"))
   }
 
+  test("pseudonymize: join-consistent tokens, NULL passthrough, empty-salt rejected") {
+    import graft.ext.Quality
+    val a = Seq((1L, "alice"), (2L, "bob"), (3L, null.asInstanceOf[String])).toDF("id", "user")
+    val b = Seq((10L, "alice"), (11L, "carol")).toDF("ref", "user")
+    val pa = Quality.pseudonymize(a, Seq("user"), "k1").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val pb = Quality.pseudonymize(b, Seq("user"), "k1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pa(1L) == pb(10L), "same value + same salt must pseudonymize identically across tables")
+    assert(pa(1L) != pa(2L) && pa(3L) == null)
+    assert(pa(1L).length == 64 && pa(1L).matches("[0-9a-f]+"))
+    // different salt → different token space (no cross-release linkage)
+    val pa2 = Quality.pseudonymize(a, Seq("user"), "k2").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(pa(1L) != pa2(1L))
+    intercept[IllegalArgumentException](Quality.pseudonymize(a, Seq.empty, "k"))
+    intercept[IllegalArgumentException](Quality.pseudonymize(a, Seq("user"), ""))
+  }
+
   test("Quality.check: a clean table reports zero violations on every rule") {
     import graft.ext.Quality._
     val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
