@@ -59,6 +59,21 @@ class PlanPruningSpec extends SparkSpec {
     }
   }
 
+  test("new round-14 gates prune their scans to the referenced columns") {
+    // q_unicode_clean touches only (doc_id, text); q_embed_standardize and
+    // q_pca_contract only (vec_id, embedding) — a stray column reference
+    // in these corpus-scan ops would multiply the 100 TB scan width.
+    val uc = planText(Queries.qUnicodeClean(spark, sf()))
+    val ucRead = uc.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(ucRead.contains("doc_id") && ucRead.contains("text") &&
+      !ucRead.contains("source") && !ucRead.contains("lang") && !ucRead.contains("n_chars"),
+      s"q_unicode_clean must read only doc_id+text: $ucRead")
+    val es = planText(Queries.qEmbedStandardize(spark, sf()))
+    val esRead = es.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(esRead.contains("embedding") && !esRead.contains("label"),
+      s"q_embed_standardize must not read unused embedding-table columns: $esRead")
+  }
+
   test("no relational gate plans a cartesian product") {
     // the full gate sweep runs in Verify; here the structural invariant is
     // pinned on the join-heavy gates (a lost equi-condition shows up as
