@@ -941,6 +941,19 @@ object SparkEntry {
         |WHERE c_custkey % 2 = 0 AND c_custkey % 100 <> 0
         |ORDER BY c_custkey""".stripMargin,
 
+    // Delta log export: identical lifecycle truth as q_export_iceberg —
+    // the engine result comes exclusively through _delta_log replay.
+    "q_export_delta" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 10 = 0
+        |       THEN CAST(c_acctbal AS DOUBLE) * 2
+        |       ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal,
+        |  CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS v,
+        |  false AS is_del
+        |FROM customer
+        |WHERE c_custkey % 2 = 0 AND c_custkey % 100 <> 0
+        |ORDER BY c_custkey""".stripMargin,
+
     // Adopt-external lifecycle restated relationally: evens created
     // natively, odds adopted from a foreign parquet write, then one staged
     // batch (keys ending 3 or 4) doubles acctbal at v=2 and tombstones

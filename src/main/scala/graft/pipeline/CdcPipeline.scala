@@ -173,9 +173,11 @@ object CdcPipeline {
     // external readers get a post-maintenance consistent view.
     spec.exportDir.foreach(table.exportSymlinkManifest)
     spec.icebergExportDir.foreach(d => table.exportIceberg(d))
+    spec.deltaExportDir.foreach(d => table.exportDelta(d))
     JsonLog.info("maintenance_completed", "mode" -> "standalone",
       "expired_snapshots" -> snaps.size, "removed_orphans" -> orphans.size,
-      "exported" -> (spec.exportDir.nonEmpty || spec.icebergExportDir.nonEmpty))
+      "exported" -> (spec.exportDir.nonEmpty || spec.icebergExportDir.nonEmpty ||
+        spec.deltaExportDir.nonEmpty))
   }
 
   /** Poll interval with jitter (reference CRD beta:216-221): the stream's
@@ -218,8 +220,16 @@ object CdcPipeline {
         "manifest cannot represent outstanding equality deletes; use copy-on-write, " +
         "icebergExportDir (v2 delete manifests), or a maintenanceRun job (exports after " +
         "compaction)")
+    // the Delta protocol has NO equality-delete representation either
+    // (deletion vectors are writer-v7, and they are positional) — per-
+    // commit Delta export of a MoR stream would fail between compactions
+    require(!(spec.useMergeOnRead && spec.deltaExportDir.nonEmpty),
+      "deltaExportDir cannot be combined with mergeMode=merge-on-read on a stream: the " +
+        "Delta log cannot represent outstanding equality deletes; use copy-on-write, " +
+        "icebergExportDir, or a maintenanceRun job (exports after compaction)")
     // a stream MERGEs into the target (or creates it fresh) — never replaces
     validateIcebergExportFormat(spark, spec, willReplace = false)
+    validateDeltaExportFormat(spark, spec, willReplace = false)
     val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info",
       spec.listingRetry)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -309,6 +319,7 @@ object CdcPipeline {
             val tExp = System.nanoTime()
             spec.exportDir.foreach(table.exportSymlinkManifest)
             spec.icebergExportDir.foreach(d => table.exportIceberg(d))
+            spec.deltaExportDir.foreach(d => table.exportDelta(d))
             val exportMs = (System.nanoTime() - tExp) / 1000000L
             JsonLog.info("batch_committed", "batch_id" -> batchId,
               "rows" -> head.getLong(0), "watermark" -> wm,
@@ -369,12 +380,35 @@ object CdcPipeline {
           "Iceberg export collects record counts from data-file footers, which avro lacks")
     }
 
+  /** deltaExportDir is stricter still: Delta data files are parquet by
+    * protocol. Same effective-format resolution order as the Iceberg
+    * check, same fail-before-first-commit placement.
+    */
+  private def validateDeltaExportFormat(spark: SparkSession, spec: StreamSpec,
+      willReplace: Boolean): Unit =
+    spec.deltaExportDir.foreach { _ =>
+      val persisted = {
+        val t = SnapshotTable(spark, spec.targetLocation)
+        if (t.exists) Some(t.properties.getOrElse(SnapshotTable.PropFormat, "parquet")) else None
+      }
+      val fromSpec = (spec.targetTableProperties ++
+        spec.format.map(SnapshotTable.PropFormat -> _).toMap).get(SnapshotTable.PropFormat)
+      val effective =
+        (if (willReplace) fromSpec.orElse(persisted) else persisted.orElse(fromSpec))
+          .map(_.toLowerCase).getOrElse("parquet")
+      require(effective == "parquet",
+        s"deltaExportDir requires a parquet target table (format=$effective); " +
+          "Delta data files are parquet by protocol")
+    }
+
   def runBackfill(spark: SparkSession, spec: StreamSpec): Unit = {
     // mirrors the merge/replace decision below: Merge-into-existing keeps
     // the table's format; everything else runs createOrReplace
-    validateIcebergExportFormat(spark, spec, willReplace =
+    val backfillReplaces =
       !(spec.backfillBehavior.equalsIgnoreCase("merge") &&
-        SnapshotTable(spark, spec.targetLocation).exists))
+        SnapshotTable(spark, spec.targetLocation).exists)
+    validateIcebergExportFormat(spark, spec, willReplace = backfillReplaces)
+    validateDeltaExportFormat(spark, spec, willReplace = backfillReplaces)
     // Tags installed FIRST so any emission during the backfill itself —
     // retry logging, a failure surfacing through Main's stream_failed path —
     // carries this stream's tags, not empty/stale ones from a previous
@@ -428,6 +462,7 @@ object CdcPipeline {
     }
     spec.exportDir.foreach(table.exportSymlinkManifest)
     spec.icebergExportDir.foreach(d => table.exportIceberg(d))
+    spec.deltaExportDir.foreach(d => table.exportDelta(d))
     JsonLog.info("backfill_completed", "mode" -> spec.backfillBehavior, "watermark" -> newest)
   }
 }

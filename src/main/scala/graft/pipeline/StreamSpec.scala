@@ -59,6 +59,7 @@ final case class StreamSpec(
     targetTableProperties: Map[String, String] = Map.empty, // arbitrary table props passthrough
     exportDir: Option[String] = None,                  // re-export symlink manifest after every commit
     icebergExportDir: Option[String] = None,           // re-export Iceberg v2 metadata after every commit
+    deltaExportDir: Option[String] = None,             // re-export a Delta Lake _delta_log after every commit
     logShipAddress: Option[String] = None,             // DataDog-shape shipper: udp://host:port | file:/path
     mergeMode: String = "copy-on-write",               // copy-on-write | merge-on-read (Iceberg v2 write.merge.mode)
     maintenanceRun: Boolean = false                    // one-shot standalone maintenance (TargetMaintenanceProcessor shape)
@@ -193,6 +194,7 @@ object StreamSpec {
       maxResultsPerPage = int("maxResultsPerPage", 5000),
       exportDir = opt("exportDir"),
       icebergExportDir = opt("icebergExportDir"),
+      deltaExportDir = opt("deltaExportDir"),
       logShipAddress = opt("logShipAddress"),
       mergeMode = str("mergeMode", "copy-on-write"),
       maintenanceRun = r.has("maintenanceRun") && r.get("maintenanceRun").asBoolean(false)

@@ -527,6 +527,35 @@ object Queries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Delta Lake log export gate ([[graft.tables.SnapshotTable.exportDelta]]
+    * / [[graft.tables.DeltaExport]]): the same CREATE + MERGE lifecycle as
+    * q_export_iceberg, published as a `_delta_log` transaction log and
+    * read back EXCLUSIVELY through log replay (schema from `metaData`,
+    * files from add/remove diff) — proving the second open-table-format
+    * leg end to end. Structural/spec conformance is additionally
+    * cross-checked by the independent pure-Python validator
+    * (`tools/delta_validate.py`, DeltaPythonCrossCheckSpec).
+    */
+  def qExportDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{DeltaExport, SnapshotTable}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-delta-gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val tbl = SnapshotTable(spark, s"$root/table")
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        lit(1L).as("v"), lit(false).as("is_del"))
+    tbl.createOrReplace(cust.where(col("c_custkey") % 2 === 0), "c_custkey", numBuckets = 32)
+    val staged = cust.where(col("c_custkey") % 10 === 0)
+      .withColumn("v", lit(2L))
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+      .withColumn("is_del", col("c_custkey") % 100 === 0)
+    tbl.merge(staged, "c_custkey", "v", "is_del")
+    tbl.exportDelta(s"$root/delta")
+    DeltaExport.readTable(spark, new org.apache.hadoop.fs.Path(s"$root/delta"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** External-WRITER ingestion gate ([[graft.tables.SnapshotTable.adoptFiles]]
     * — Iceberg `add_files` parity, the reachable half of the reference's
     * external-engine writability via REST catalog,
@@ -3215,6 +3244,7 @@ object Queries {
     "q_merge_key_projection" -> (qMergeKeyProjection _),
     "q_export_symlink" -> (qExportSymlink _),
     "q_export_iceberg" -> (qExportIceberg _),
+    "q_export_delta" -> (qExportDelta _),
     "q_adopt_external" -> (qAdoptExternal _),
     "q_cdc_merge_mor" -> (qCdcMergeMor _),
     "q_export_iceberg_mor" -> (qExportIcebergMor _),

@@ -1272,6 +1272,43 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       deletes = deletes, equalityDeleteColumn = Some(keyColForBucketing(snap)))
   }
 
+  /** Export the current snapshot as a Delta Lake transaction log (the
+    * second open-format interop leg next to [[exportIceberg]]; see
+    * [[DeltaExport]] for the protocol details). Metadata-only and
+    * incremental — each engine commit appends ONE `_delta_log` entry
+    * holding just the add/remove diff, with row counts / byte sizes from
+    * the snapshot manifest, so per-commit wiring costs O(new files) at
+    * any table size. Idempotent per engine snapshot.
+    *
+    * Loud constraints: parquet tables only (Delta data files are parquet
+    * by protocol), and outstanding merge-on-read equality deletes must be
+    * compacted first — the protocol's deletion vectors are a writer-v7
+    * feature and equality deletes have no Delta representation at all
+    * (the Iceberg leg exports them natively; use it for MoR streams).
+    */
+  def exportDelta(exportDir: String): Path = {
+    val snap = currentSnapshot
+    val format = SnapshotTable.resolveFormat(snap.properties)
+    require(format == "parquet",
+      s"Delta export requires a parquet table (protocol data-file format), got $format")
+    require(snap.deletes.isEmpty,
+      "Delta export requires no outstanding merge-on-read deletes (no equality-delete " +
+        "representation in the protocol) — run compact() first, or export Iceberg instead")
+    val out = new Path(exportDir)
+    if (DeltaExport.currentExportedSnapshot(fs, out).contains(snap.version))
+      return new Path(new Path(out, "_delta_log"),
+        f"${DeltaExport.logVersions(fs, out).last}%020d.json")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = snap.files.map { f =>
+      val p = fs.makeQualified(new Path(dataDir, f.path))
+      val rows = if (f.rows >= 0L) f.rows else FileStats.parquetRowCount(conf, p)
+      val len = if (f.bytes >= 0L) f.bytes else fs.getFileStatus(p).getLen
+      DeltaExport.ExportFile(p.toString, len, rows, f.stats)
+    }
+    DeltaExport.write(fs, out, snap.schema, snap.version, snap.timestampMs, files,
+      snap.properties)
+  }
+
   /** Atomically point `exportDir` at the freshly-built `versioned` dir:
     * a temp symlink is renamed over the old one (POSIX rename-over-symlink
     * is atomic). The immediately superseded version is RETAINED — a reader

@@ -131,6 +131,7 @@ class ConformanceSpec extends SparkSpec {
 
     val exportDir = tmpDir("cdm-e2e-export")
     val icebergDir = tmpDir("cdm-e2e-iceberg")
+    val deltaDir = tmpDir("cdm-e2e-delta") + "/log"
     val spec = StreamSpec(
       sourcePath = root,
       entityName = CdmFixture.entityName,
@@ -139,7 +140,8 @@ class ConformanceSpec extends SparkSpec {
       numBuckets = 4,
       changeCaptureIntervalSeconds = 1,
       exportDir = Some(exportDir),
-      icebergExportDir = Some(icebergDir)
+      icebergExportDir = Some(icebergDir),
+      deltaExportDir = Some(deltaDir)
     )
     CdcPipeline.runBackfill(spark, spec)
 
@@ -203,6 +205,26 @@ class ConformanceSpec extends SparkSpec {
       .readDataFiles(icebergFs, new org.apache.hadoop.fs.Path(icebergDir), Some(backfillSnapId))
       .map(_._2).sum === 5L,
       "export history must time-travel to the backfill state after streamed commits")
+
+    // Delta export after the streamed merges: log replay equals the live
+    // table, the log grew one version per commit (time-travelable), and
+    // v0 still replays the backfill state
+    val deltaPath = new org.apache.hadoop.fs.Path(deltaDir)
+    val viaDelta = graft.tables.DeltaExport.readTable(spark, deltaPath)
+    assert(viaDelta.select(cols: _*).except(result.select(cols: _*)).isEmpty &&
+      result.select(cols: _*).except(viaDelta.select(cols: _*)).isEmpty,
+      "Delta-log view must match SnapshotTable.read() exactly")
+    val deltaVersions = graft.tables.DeltaExport.logVersions(icebergFs, deltaPath)
+    assert(deltaVersions.head == 0L && deltaVersions.size > 1,
+      s"streamed commits must append Delta versions, got $deltaVersions")
+    assert(graft.tables.DeltaExport.readTable(spark, deltaPath, at = Some(0L)).count() === 5,
+      "Delta v0 must time-travel to the backfill state")
+
+    // MoR stream + deltaExportDir is refused up front (no equality-delete
+    // representation in the Delta protocol)
+    val bad = spec.copy(mergeMode = "merge-on-read", exportDir = None, icebergExportDir = None)
+    val err = intercept[IllegalArgumentException](CdcPipeline.startStream(spark, bad))
+    assert(err.getMessage.contains("deltaExportDir"))
   }
 
   test("three entity streams run concurrently in one session: per-stream checkpoints, independent watermarks") {

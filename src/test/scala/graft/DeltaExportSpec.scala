@@ -1,0 +1,105 @@
+package graft
+
+import graft.tables.{DeltaExport, SnapshotTable}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Delta Lake log export: incremental diffs, idempotence, schema
+  * evolution, time travel, and the loud MoR / rollback / format refusals.
+  */
+class DeltaExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hfs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def freshTable(name: String): (SnapshotTable, String) = {
+    val root = tmpDir(name)
+    (SnapshotTable(spark, s"$root/table"), s"$root/delta")
+  }
+
+  private def rows(ids: Range, v: Long) =
+    ids.map(i => (i.toLong, s"n$i", v, false)).toDF("id", "name", "v", "is_del")
+
+  test("incremental export: v0 full, later commits carry only the diff; read-back matches table") {
+    val (tbl, delta) = freshTable("delta-incr")
+    tbl.createOrReplace(rows(1 to 100, 1L), "id", numBuckets = 8)
+    tbl.exportDelta(delta)
+    val out = new Path(delta)
+    assert(DeltaExport.logVersions(hfs, out) == Seq(0L))
+
+    // merge: updates to 2 buckets + a tombstone → some files replaced
+    val staged = rows(1 to 3, 2L)
+      .withColumn("is_del", $"id" === 3L)
+    tbl.merge(staged, "id", "v", "is_del")
+    tbl.exportDelta(delta)
+    assert(DeltaExport.logVersions(hfs, out) == Seq(0L, 1L))
+
+    // the v1 commit must be a DIFF, not a re-add of every live file
+    val v1 = scala.io.Source.fromFile(s"$delta/_delta_log/00000000000000000001.json")
+      .getLines().toSeq
+    val adds = v1.count(_.contains("\"add\""))
+    val removes = v1.count(_.contains("\"remove\""))
+    val live = tbl.currentSnapshot.files.size
+    assert(adds > 0 && removes > 0 && adds < live,
+      s"v1 must carry only changed files: adds=$adds removes=$removes live=$live")
+
+    // read-back THROUGH the log equals the table's own read
+    val viaLog = DeltaExport.readTable(spark, out).orderBy($"id")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    val direct = tbl.read().orderBy($"id")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(viaLog == direct)
+    assert(!viaLog.exists(_._1 == 3L) && viaLog.count(_._3 == 2L) == 2)
+
+    // idempotence: same engine snapshot → no new log entry
+    tbl.exportDelta(delta)
+    assert(DeltaExport.logVersions(hfs, out) == Seq(0L, 1L))
+  }
+
+  test("schema evolution republishes metaData with a stable table id; time travel replays old state") {
+    val (tbl, delta) = freshTable("delta-schema")
+    tbl.createOrReplace(rows(1 to 20, 1L), "id", numBuckets = 2)
+    tbl.exportDelta(delta)
+    val out = new Path(delta)
+    val id0 = scala.io.Source.fromFile(s"$delta/_delta_log/00000000000000000000.json")
+      .getLines().find(_.contains("metaData")).get
+
+    tbl.addColumns(Seq(StructField("score", LongType, nullable = true)))
+    tbl.merge(rows(21 to 25, 1L).withColumn("score", $"id" * 10), "id", "v", "is_del")
+    tbl.exportDelta(delta)
+    val v1Meta = scala.io.Source.fromFile(s"$delta/_delta_log/00000000000000000001.json")
+      .getLines().find(_.contains("metaData"))
+    assert(v1Meta.nonEmpty, "schema change must republish metaData")
+    def tid(s: String) = """"id":"([0-9a-f-]+)"""".r.findFirstMatchIn(s).get.group(1)
+    assert(tid(id0) == tid(v1Meta.get), "table id must be stable across schema changes")
+
+    // head sees the new column; time travel to v0 sees the old schema/rows
+    val head = DeltaExport.readTable(spark, out)
+    assert(head.columns.contains("score") && head.count() == 25)
+    val at0 = DeltaExport.readTable(spark, out, at = Some(0L))
+    assert(!at0.columns.contains("score") && at0.count() == 20)
+  }
+
+  test("stats ride along; refusals: outstanding MoR deletes, older snapshot, missing version") {
+    val (tbl, delta) = freshTable("delta-refuse")
+    tbl.createOrReplace(rows(1 to 30, 1L), "id", numBuckets = 2)
+    tbl.exportDelta(delta)
+    val out = new Path(delta)
+    val v0 = scala.io.Source.fromFile(s"$delta/_delta_log/00000000000000000000.json")
+      .getLines().mkString("\n")
+    assert(v0.contains("numRecords"), "add actions must carry numRecords stats")
+    assert(v0.contains("minReaderVersion"), "v0 must declare the protocol")
+
+    // outstanding MoR deletes → loud refusal; compaction clears it
+    tbl.mergeOnRead(rows(1 to 3, 2L), "id", "v", "is_del")
+    val e = intercept[IllegalArgumentException](tbl.exportDelta(delta))
+    assert(e.getMessage.contains("compact"))
+    tbl.compact(fileSizeThresholdBytes = Long.MaxValue)
+    tbl.exportDelta(delta)
+    assert(DeltaExport.readTable(spark, out).where($"v" === 2L).count() == 3)
+
+    // time travel to a nonexistent version is loud
+    intercept[IllegalArgumentException](DeltaExport.readTable(spark, out, at = Some(99L)))
+  }
+}
