@@ -81,6 +81,49 @@ class DeltaExportSpec extends SparkSpec {
     assert(!at0.columns.contains("score") && at0.count() == 20)
   }
 
+  test("spec checkpoint at interval 10: anchored replay equals full-JSON replay; validator concurs") {
+    val (tbl, delta) = freshTable("delta-ckpt")
+    tbl.createOrReplace(rows(1 to 40, 1L), "id", numBuckets = 4)
+    tbl.exportDelta(delta)
+    // 11 more commits → delta versions 1..11, checkpoint at 10
+    (1 to 11).foreach { k =>
+      tbl.merge(rows(k to k, k + 1L), "id", "v", "is_del")
+      tbl.exportDelta(delta)
+    }
+    val out = new Path(delta)
+    assert(DeltaExport.logVersions(hfs, out) == (0L to 11L),
+      "one delta version per engine commit")
+    assert(hfs.exists(new Path(s"$delta/_delta_log/00000000000000000010.checkpoint.parquet")),
+      "checkpoint must land at version 10")
+    assert(hfs.exists(new Path(s"$delta/_delta_log/_last_checkpoint")))
+
+    // checkpoint-anchored replay (readTable) ≡ pure-JSON replay (readFiles)
+    val viaJson = DeltaExport.readFiles(hfs, out).toMap
+    val viaCkpt = DeltaExport.readTable(spark, out)
+    val direct = tbl.read()
+    assert(viaCkpt.count() == direct.count())
+    assert(viaCkpt.select($"id", $"v").except(direct.select($"id", $"v")).isEmpty)
+    assert(viaCkpt.inputFiles.length == viaJson.size,
+      "checkpoint-anchored and JSON-replayed file sets must be the same size")
+
+    // time travel BEFORE the checkpoint still works (pure JSON range)
+    assert(DeltaExport.readTable(spark, out, at = Some(0L)).count() == 40)
+
+    // idempotence after a checkpoint: no new version, no new checkpoint
+    tbl.exportDelta(delta)
+    assert(DeltaExport.logVersions(hfs, out) == (0L to 11L))
+
+    // the independent python validator cross-checks checkpoint vs JSON
+    if (scala.util.Try(scala.sys.process.Process(
+        Seq("python3", "-c", "import duckdb")).! == 0).getOrElse(false)) {
+      val outTxt = new StringBuilder
+      val code = scala.sys.process.Process(
+        Seq("python3", "tools/delta_validate.py", delta, "--expect-rows", "40"))
+        .!(scala.sys.process.ProcessLogger(l => outTxt.append(l), _ => ()))
+      assert(code == 0, s"validator failed on checkpointed log: $outTxt")
+    }
+  }
+
   test("stats ride along; refusals: outstanding MoR deletes, older snapshot, missing version") {
     val (tbl, delta) = freshTable("delta-refuse")
     tbl.createOrReplace(rows(1 to 30, 1L), "id", numBuckets = 2)

@@ -60,10 +60,25 @@ def main():
             fail(f"version {at} not in log")
         commits = commits[: versions.index(at) + 1]
 
+    # checkpoint (if present and within range): validated below against the
+    # pure-JSON replay — the two state sources must agree exactly
+    ck_version = None
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc_path):
+        lc = json.load(open(lc_path))
+        ck_version = lc["version"]
+        ck_file = os.path.join(log_dir, f"{ck_version:020d}.checkpoint.parquet")
+        if not os.path.exists(ck_file):
+            errors.append(f"_last_checkpoint points at missing {ck_file}")
+            ck_version = None
+        elif at is not None and ck_version > at:
+            ck_version = None  # out of replayed range; nothing to compare
+
     schema_str = None
     table_id = None
     protocol_seen = False
     files = {}   # path -> add action
+    state_at_ck = None
     for p in commits:
         v = int(os.path.basename(p)[:-5])
         for line in open(p, encoding="utf-8"):
@@ -107,6 +122,41 @@ def main():
             errors.append("version 0 carries no protocol action")
         if v == 0 and schema_str is None:
             errors.append("version 0 carries no metaData action")
+        if ck_version is not None and v == ck_version:
+            state_at_ck = (dict(files), schema_str, table_id)
+
+    if ck_version is not None and state_at_ck is not None:
+        con0 = duckdb.connect()
+        ck_local = os.path.join(log_dir, f"{ck_version:020d}.checkpoint.parquet")
+        rows = con0.sql(
+            f"SELECT txn, protocol, metaData, add, remove "
+            f"FROM read_parquet('{ck_local}')").fetchall()
+        ck_files = {}
+        ck_schema = None
+        ck_id = None
+        ck_proto = False
+        for txn, proto, md, add, rem in rows:
+            if proto is not None:
+                ck_proto = True
+            if md is not None:
+                ck_id = md["id"]
+                ck_schema = md["schemaString"]
+            if add is not None:
+                ck_files[add["path"]] = add["size"]
+        jf, js, jid = state_at_ck
+        if not ck_proto:
+            errors.append("checkpoint carries no protocol action")
+        if ck_schema != js:
+            errors.append("checkpoint schemaString differs from JSON replay at same version")
+        if ck_id != jid:
+            errors.append("checkpoint table id differs from JSON replay")
+        json_set = {p: a["size"] for p, a in jf.items()}
+        if ck_files != json_set:
+            only_ck = set(ck_files) - set(json_set)
+            only_js = set(json_set) - set(ck_files)
+            errors.append(
+                f"checkpoint file set diverges from JSON replay at v{ck_version}: "
+                f"+ck={sorted(only_ck)[:3]} +json={sorted(only_js)[:3]}")
 
     if schema_str is None:
         fail("no metaData in replayed range")
