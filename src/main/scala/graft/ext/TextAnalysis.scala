@@ -461,6 +461,11 @@ object TextAnalysis {
     * table is the single source of truth: the engine folds it into a
     * replace chain and the DuckDB oracle is GENERATED from the same
     * entries, so a table edit can never desynchronize the two engines.
+    * Caveat: on ALREADY-corrupt input an earlier entry's output can
+    * complete a later entry's key (a dangling `â€` prefix followed by a
+    * repaired `”` reads as the em-dash pattern) — the cascade is
+    * deterministic and oracle-shared, but a repair chain is heuristic on
+    * doubly-broken text by nature.
     * U+009D below is cp1252's unmapped 0x9D byte surfacing as a C1
     * control — exactly what a lenient decoder emits for `”`.
     */

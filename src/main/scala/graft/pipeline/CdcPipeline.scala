@@ -360,42 +360,43 @@ object CdcPipeline {
     * exact mode this check prevents) and falsely reject a parquet
     * Overwrite of a persisted-avro one.
     */
+  /** The ONE effective-format resolution both export validations share —
+    * duplicated resolution orders would let the two exporters silently
+    * validate against different formats after a future change to one.
+    * persisted = the EXISTING table's effective format (its absent
+    * property means parquet — the write-path default), None when no table
+    * exists yet; a replace run prefers the spec's format, a merge run the
+    * table's.
+    */
+  private def resolveEffectiveFormat(spark: SparkSession, spec: StreamSpec,
+      willReplace: Boolean): String = {
+    val persisted = {
+      val t = SnapshotTable(spark, spec.targetLocation)
+      if (t.exists) Some(t.properties.getOrElse(SnapshotTable.PropFormat, "parquet")) else None
+    }
+    val fromSpec = (spec.targetTableProperties ++
+      spec.format.map(SnapshotTable.PropFormat -> _).toMap).get(SnapshotTable.PropFormat)
+    (if (willReplace) fromSpec.orElse(persisted) else persisted.orElse(fromSpec))
+      .map(_.toLowerCase).getOrElse("parquet")
+  }
+
   private def validateIcebergExportFormat(spark: SparkSession, spec: StreamSpec,
       willReplace: Boolean): Unit =
     spec.icebergExportDir.foreach { _ =>
-      // persisted = the EXISTING table's effective format (its absent
-      // property means parquet — the write-path default), None when no
-      // table exists yet
-      val persisted = {
-        val t = SnapshotTable(spark, spec.targetLocation)
-        if (t.exists) Some(t.properties.getOrElse(SnapshotTable.PropFormat, "parquet")) else None
-      }
-      val fromSpec = (spec.targetTableProperties ++
-        spec.format.map(SnapshotTable.PropFormat -> _).toMap).get(SnapshotTable.PropFormat)
-      val effective =
-        (if (willReplace) fromSpec.orElse(persisted) else persisted.orElse(fromSpec))
-          .map(_.toLowerCase).getOrElse("parquet")
+      val effective = resolveEffectiveFormat(spark, spec, willReplace)
       require(effective == "parquet" || effective == "orc",
         s"icebergExportDir requires a parquet or orc target table (format=$effective); " +
           "Iceberg export collects record counts from data-file footers, which avro lacks")
     }
 
   /** deltaExportDir is stricter still: Delta data files are parquet by
-    * protocol. Same effective-format resolution order as the Iceberg
-    * check, same fail-before-first-commit placement.
+    * protocol. Same effective-format resolution, same
+    * fail-before-first-commit placement.
     */
   private def validateDeltaExportFormat(spark: SparkSession, spec: StreamSpec,
       willReplace: Boolean): Unit =
     spec.deltaExportDir.foreach { _ =>
-      val persisted = {
-        val t = SnapshotTable(spark, spec.targetLocation)
-        if (t.exists) Some(t.properties.getOrElse(SnapshotTable.PropFormat, "parquet")) else None
-      }
-      val fromSpec = (spec.targetTableProperties ++
-        spec.format.map(SnapshotTable.PropFormat -> _).toMap).get(SnapshotTable.PropFormat)
-      val effective =
-        (if (willReplace) fromSpec.orElse(persisted) else persisted.orElse(fromSpec))
-          .map(_.toLowerCase).getOrElse("parquet")
+      val effective = resolveEffectiveFormat(spark, spec, willReplace)
       require(effective == "parquet",
         s"deltaExportDir requires a parquet target table (format=$effective); " +
           "Delta data files are parquet by protocol")

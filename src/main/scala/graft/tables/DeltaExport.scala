@@ -117,41 +117,62 @@ object DeltaExport {
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
   }
 
-  /** List commit versions present, ascending. */
-  private def versions(fs: FileSystem, dir: Path): Seq[Long] =
-    if (!fs.exists(logDir(dir))) Seq.empty
-    else fs.listStatus(logDir(dir)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && n.length == 25 && n.dropRight(5).forall(_.isDigit))
-      .map(_.dropRight(5).toLong)
-      .sorted
+  /** One LIST of `_delta_log` serving both name families — object-store
+    * LIST is the dominant metadata cost of a per-commit export, so it is
+    * paid once per replay, not twice. Returns (commit versions,
+    * checkpoint versions), each ascending.
+    */
+  private def listLog(fs: FileSystem, dir: Path): (Seq[Long], Seq[Long]) =
+    if (!fs.exists(logDir(dir))) (Seq.empty, Seq.empty)
+    else {
+      val names = fs.listStatus(logDir(dir)).toSeq.map(_.getPath.getName)
+      val commits = names
+        .filter(n => n.endsWith(".json") && n.length == 25 && n.dropRight(5).forall(_.isDigit))
+        .map(_.dropRight(5).toLong).sorted
+      val ckpts = names
+        .filter(n => n.endsWith(".checkpoint.parquet") &&
+          n.stripSuffix(".checkpoint.parquet").forall(_.isDigit))
+        .map(_.stripSuffix(".checkpoint.parquet").toLong).sorted
+      (commits, ckpts)
+    }
 
-  /** Checkpoint versions present, ascending. */
-  private def checkpointVersions(fs: FileSystem, dir: Path): Seq[Long] =
-    if (!fs.exists(logDir(dir))) Seq.empty
-    else fs.listStatus(logDir(dir)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.endsWith(".checkpoint.parquet") &&
-        n.stripSuffix(".checkpoint.parquet").forall(_.isDigit))
-      .map(_.stripSuffix(".checkpoint.parquet").toLong)
-      .sorted
-
-  /** Load state AT a checkpoint version (parquet read, no JSON). */
-  private def loadCheckpoint(spark: SparkSession, dir: Path, v: Long): LogState = {
-    val df = spark.read.schema(checkpointSchema)
-      .parquet(new Path(logDir(dir), checkpointName(v)).toString)
+  /** Load state AT a checkpoint version — a DRIVER-side parquet read via
+    * the parquet-hadoop example Group API: the checkpoint is one KB-scale
+    * single-part file, and a Spark job (scheduling + executor round trip)
+    * per streaming commit just to read it would dominate low-latency
+    * triggers.
+    */
+  private def loadCheckpoint(fs: FileSystem, dir: Path, v: Long): LogState = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.example.data.Group
+    val p = new Path(logDir(dir), checkpointName(v))
     var tableId = ""
     var schemaString = ""
     var graftSnapshot = -1L
     val files = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    df.collect().foreach { r =>
-      val md = r.getStruct(r.fieldIndex("metaData"))
-      val tx = r.getStruct(r.fieldIndex("txn"))
-      val ad = r.getStruct(r.fieldIndex("add"))
-      if (md != null) { tableId = md.getString(0); schemaString = md.getString(2) }
-      if (tx != null && tx.getString(0) == "graft-export") graftSnapshot = tx.getLong(1)
-      if (ad != null) files(ad.getString(0)) = ad.getLong(2)
-    }
+    val reader: ParquetReader[Group] =
+      ParquetReader.builder(new GroupReadSupport(), p).withConf(fs.getConf).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        def has(f: String) = g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0
+        if (has("metaData")) {
+          val md = g.getGroup("metaData", 0)
+          tableId = md.getString("id", 0)
+          schemaString = md.getString("schemaString", 0)
+        }
+        if (has("txn")) {
+          val tx = g.getGroup("txn", 0)
+          if (tx.getString("appId", 0) == "graft-export") graftSnapshot = tx.getLong("version", 0)
+        }
+        if (has("add")) {
+          val ad = g.getGroup("add", 0)
+          files(decodePath(ad.getString("path", 0))) = ad.getLong("size", 0)
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
     require(schemaString.nonEmpty, s"checkpoint $v under $dir carries no metaData")
     LogState(v, tableId, schemaString, files.toMap, graftSnapshot)
   }
@@ -172,7 +193,8 @@ object DeltaExport {
         Row(tableId, Row("parquet", Map.empty[String, String]), schemaString,
           Seq.empty[String], conf, timestampMs), null, null)) ++
       files.map(f => Row(null, null, null,
-        Row(f.uri, Map.empty[String, String], f.length, timestampMs, true, statsJson(f)), null))
+        Row(encodePath(f.uri), Map.empty[String, String], f.length, timestampMs, true,
+          statsJson(f)), null))
     val tmp = new Path(logDir(dir), s".checkpoint-$v-tmp")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), checkpointSchema)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -198,14 +220,12 @@ object DeltaExport {
   }
 
   /** Replay the log through `at` (inclusive; None = head). Returns None
-    * for an empty/absent log. With a SparkSession, replay anchors on the
-    * newest checkpoint ≤ target and reads only the JSON commits after it
-    * (bounded by [[CheckpointInterval]]); without one it replays the full
-    * JSON log — correct but O(commits), for spark-less callers only.
+    * for an empty/absent log. Replay anchors on the newest checkpoint ≤
+    * target (driver-side parquet read) and walks only the JSON commits
+    * after it — bounded by [[CheckpointInterval]] regardless of log age.
     */
-  private def replay(fs: FileSystem, dir: Path, at: Option[Long],
-      spark: Option[SparkSession] = None): Option[LogState] = {
-    val all = versions(fs, dir)
+  private def replay(fs: FileSystem, dir: Path, at: Option[Long]): Option[LogState] = {
+    val (all, ckpts) = listLog(fs, dir)
     val upToAll = at match {
       case Some(a) =>
         require(all.contains(a), s"delta log has no version $a under $dir")
@@ -213,10 +233,8 @@ object DeltaExport {
       case None => all
     }
     if (upToAll.isEmpty) return None
-    val anchor = spark.flatMap { s =>
-      checkpointVersions(fs, dir).filter(_ <= upToAll.last).lastOption
-        .map(v => loadCheckpoint(s, dir, v))
-    }
+    val anchor = ckpts.filter(_ <= upToAll.last).lastOption
+      .map(v => loadCheckpoint(fs, dir, v))
     var tableId = anchor.map(_.tableId).getOrElse("")
     var schemaString = anchor.map(_.schemaString).getOrElse("")
     var graftSnapshot = anchor.map(_.graftSnapshot).getOrElse(-1L)
@@ -238,13 +256,27 @@ object DeltaExport {
           }
           if (n.has("add")) {
             val a = n.get("add")
-            files(a.get("path").asText()) = a.get("size").asLong()
+            files(decodePath(a.get("path").asText())) = a.get("size").asLong()
           }
-          if (n.has("remove")) files.remove(n.get("remove").get("path").asText())
+          if (n.has("remove")) files.remove(decodePath(n.get("remove").get("path").asText()))
         }
     }
     Some(LogState(upToAll.last, tableId, schemaString, files.toMap, graftSnapshot))
   }
+
+  /** Delta `add.path`/`remove.path` are RFC 2396 percent-encoded URIs —
+    * spec readers (delta-spark, delta-rs) URL-DECODE them before opening,
+    * so a raw path containing e.g. a literal '%' or space would resolve
+    * to the wrong file. Encode on write, decode on read; the multi-arg
+    * URI constructor percent-encodes exactly the illegal characters.
+    */
+  private def encodePath(raw: String): String = {
+    val u = new Path(raw).toUri
+    new java.net.URI(u.getScheme, u.getAuthority, u.getPath, null, null).toASCIIString
+  }
+
+  private def decodePath(encoded: String): String =
+    new Path(new java.net.URI(encoded)).toString
 
   private def statsJson(f: ExportFile): String = {
     val root = mapper.createObjectNode()
@@ -274,7 +306,7 @@ object DeltaExport {
       properties: Map[String, String] = Map.empty,
       spark: Option[SparkSession] = None
   ): Path = {
-    val prior = replay(fs, exportDir, at = None, spark = spark)
+    val prior = replay(fs, exportDir, at = None)
     prior.foreach { st =>
       if (st.graftSnapshot == snapshotVersion)
         return new Path(logDir(exportDir), commitName(st.version)) // idempotent
@@ -327,7 +359,7 @@ object DeltaExport {
     removes.foreach { uri =>
       val rm = mapper.createObjectNode()
       val r = rm.putObject("remove")
-      r.put("path", uri)
+      r.put("path", encodePath(uri))
       r.put("deletionTimestamp", timestampMs)
       r.put("dataChange", true)
       lines += mapper.writeValueAsString(rm)
@@ -335,7 +367,7 @@ object DeltaExport {
     adds.foreach { f =>
       val ad = mapper.createObjectNode()
       val a = ad.putObject("add")
-      a.put("path", f.uri)
+      a.put("path", encodePath(f.uri))
       a.putObject("partitionValues")
       a.put("size", f.length)
       a.put("modificationTime", timestampMs)
@@ -345,22 +377,48 @@ object DeltaExport {
     }
 
     val target = new Path(logDir(exportDir), commitName(nextVersion))
-    require(!fs.exists(target),
-      s"delta commit $target already exists — concurrent writer? (single-writer contract)")
     val tmp = new Path(logDir(exportDir), s".${commitName(nextVersion)}.tmp")
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"atomic publish of $target failed (tmp rename)")
-    // spec checkpoint every CheckpointInterval commits: caps every future
-    // replay (readers AND this exporter's own diff) at one parquet read
-    // + at most CheckpointInterval JSON commits
-    if (spark.nonEmpty && nextVersion > 0 && nextVersion % CheckpointInterval == 0)
-      writeCheckpoint(spark.get, fs, exportDir, nextVersion, tableId, schemaString,
+    // PUT-IF-ABSENT publish: FileContext.rename with Rename.NONE throws
+    // FileAlreadyExistsException instead of replacing — a plain
+    // FileSystem.rename on POSIX silently clobbers an existing target, so
+    // a concurrent-writer race would lose the first writer's diff without
+    // a trace. (Single-writer is the contract; this makes breaking it
+    // loud, not silent.)
+    try org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, fs.getConf)
+      .rename(tmp, target)
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"delta commit $target already exists — concurrent writer? (single-writer contract)", e)
+    }
+    // Spec checkpoint: due every CheckpointInterval commits — caps every
+    // future replay (readers AND this exporter's own diff) at one parquet
+    // read + at most ~CheckpointInterval JSON commits. BEST-EFFORT with
+    // catch-up: the commit above is already durable, so a transient
+    // checkpoint failure must not fail a batch whose export succeeded —
+    // and because the due-test is "behind by >= interval", the NEXT commit
+    // retries instead of waiting a whole interval with replay unbounded.
+    val ckptDue = spark.nonEmpty && nextVersion > 0 &&
+      (nextVersion % CheckpointInterval == 0 ||
+        nextVersion - lastCheckpointVersion(fs, exportDir) >= CheckpointInterval)
+    if (ckptDue) {
+      try writeCheckpoint(spark.get, fs, exportDir, nextVersion, tableId, schemaString,
         snapshotVersion, timestampMs, files, properties)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"DELTA EXPORT: checkpoint at v$nextVersion failed " +
+            s"(commit is durable; next commit retries): ${e.getMessage}")
+      }
+    }
     target
   }
+
+  private def lastCheckpointVersion(fs: FileSystem, exportDir: Path): Long =
+    listLog(fs, exportDir)._2.lastOption.getOrElse(0L)
 
   /** Latest exported engine snapshot version, if any — the per-commit
     * exporter's idempotence probe.
@@ -384,7 +442,7 @@ object DeltaExport {
     */
   def readTable(spark: SparkSession, exportDir: Path, at: Option[Long] = None): DataFrame = {
     val fs = exportDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = replay(fs, exportDir, at, spark = Some(spark)).getOrElse(
+    val st = replay(fs, exportDir, at).getOrElse(
       throw new IllegalArgumentException(s"no delta log under $exportDir"))
     val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
     if (st.files.isEmpty)
@@ -393,5 +451,5 @@ object DeltaExport {
   }
 
   /** Delta version history (ascending) — for time-travel tests. */
-  def logVersions(fs: FileSystem, exportDir: Path): Seq[Long] = versions(fs, exportDir)
+  def logVersions(fs: FileSystem, exportDir: Path): Seq[Long] = listLog(fs, exportDir)._1
 }

@@ -1295,6 +1295,13 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       "Delta export requires no outstanding merge-on-read deletes (no equality-delete " +
         "representation in the protocol) — run compact() first, or export Iceberg instead")
     val out = new Path(exportDir)
+    // idempotence fast path BEFORE building the file list: legacy manifest
+    // entries (rows/bytes = -1) fall back to per-file footer reads below,
+    // and a no-op re-export must not pay that O(live files) IO just to
+    // learn nothing changed (the exportIceberg fast path's reasoning)
+    if (DeltaExport.currentExportedSnapshot(fs, out).contains(snap.version))
+      return new Path(new Path(out, "_delta_log"),
+        f"${DeltaExport.logVersions(fs, out).last}%020d.json")
     val conf = spark.sparkContext.hadoopConfiguration
     val files = snap.files.map { f =>
       val p = fs.makeQualified(new Path(dataDir, f.path))
@@ -1302,9 +1309,8 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       val len = if (f.bytes >= 0L) f.bytes else fs.getFileStatus(p).getLen
       DeltaExport.ExportFile(p.toString, len, rows, f.stats)
     }
-    // write() is idempotent per engine snapshot and, with the session
-    // passed, replays from the newest spec checkpoint — the per-commit
-    // cost stays bounded regardless of log length
+    // write() replays from the newest spec checkpoint (driver-side parquet
+    // read) — the per-commit cost stays bounded regardless of log length
     DeltaExport.write(fs, out, snap.schema, snap.version, snap.timestampMs, files,
       snap.properties, spark = Some(spark))
   }

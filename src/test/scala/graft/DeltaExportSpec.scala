@@ -124,6 +124,32 @@ class DeltaExportSpec extends SparkSpec {
     }
   }
 
+  test("add.path is percent-encoded per protocol; replay decodes back to the real file") {
+    val base = tmpDir("delta-enc")
+    // a data file whose path needs encoding: space AND a literal percent
+    val dataDir = new java.io.File(s"$base/da ta%dir")
+    dataDir.mkdirs()
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s").coalesce(1)
+    df.write.parquet(s"$base/tmpw")
+    val part = new java.io.File(s"$base/tmpw").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val target = new java.io.File(dataDir, "f 1%.parquet")
+    java.nio.file.Files.move(part.toPath, target.toPath)
+
+    val uri = new Path(target.getAbsolutePath).toString
+    val delta = new Path(s"$base/delta")
+    DeltaExport.write(hfs, delta, df.schema, snapshotVersion = 1L, timestampMs = 1000L,
+      files = Seq(DeltaExport.ExportFile(uri, target.length(), 2L)))
+    val logTxt = scala.io.Source.fromFile(s"$base/delta/_delta_log/00000000000000000000.json")
+      .getLines().mkString("\n")
+    assert(logTxt.contains("%20") && logTxt.contains("%25"),
+      s"space and percent must be RFC-2396 encoded in add.path: $logTxt")
+    // replay decodes back to the REAL file and the data reads
+    val files = DeltaExport.readFiles(hfs, delta)
+    assert(files.map(_._1).exists(p => p.endsWith("f 1%.parquet")), files.toString)
+    assert(DeltaExport.readTable(spark, delta).count() == 2)
+  }
+
   test("stats ride along; refusals: outstanding MoR deletes, older snapshot, missing version") {
     val (tbl, delta) = freshTable("delta-refuse")
     tbl.createOrReplace(rows(1 to 30, 1L), "id", numBuckets = 2)

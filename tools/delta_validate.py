@@ -22,8 +22,16 @@ import re
 import sys
 import glob
 import hashlib
+import urllib.parse
 
 import duckdb
+
+
+def local_path(p):
+    """Decode a percent-encoded add/remove path (protocol: RFC 2396) and
+    strip a file: scheme for local reads."""
+    d = urllib.parse.unquote(p)
+    return d[len("file:"):] if d.startswith("file:") else d
 
 
 def fail(msg):
@@ -166,7 +174,7 @@ def main():
     con = duckdb.connect()
     total = 0
     for path, a in files.items():
-        local = path[len("file:"):] if path.startswith("file:") else path
+        local = local_path(path)
         meta = con.sql(
             f"select num_rows from parquet_file_metadata('{local}')").fetchone()
         n = meta[0]
@@ -180,7 +188,7 @@ def main():
 
     # rebuild the live rows through DuckDB and hash deterministically
     if files:
-        paths = [p[len("file:"):] if p.startswith("file:") else p for p in sorted(files)]
+        paths = [local_path(p) for p in sorted(files)]
         collist = ", ".join(f'"{c}"' for c in cols)
         df = con.sql(
             f"SELECT {collist} FROM read_parquet({paths!r}, union_by_name=true) "
