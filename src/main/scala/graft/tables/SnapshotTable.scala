@@ -1315,6 +1315,19 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       snap.properties, spark = Some(spark))
   }
 
+  /** Adopt the LIVE files of an external Delta Lake table — its
+    * `_delta_log` replayed at `at` (None = head) — into this table:
+    * the inbound counterpart of [[exportDelta]], so migration FROM a
+    * Delta writer into the engine is metadata-only, no data rewrite
+    * (this IS [[adoptFiles]] under a log-replayed file list, with all of
+    * its schema/key checks and pruning-safe stats collection).
+    */
+  def adoptDeltaTable(deltaDir: String, at: Option[Long] = None): Snapshot = {
+    val files = DeltaExport.readFiles(fs, new Path(deltaDir), at)
+    require(files.nonEmpty, s"delta table at $deltaDir has no live files")
+    adoptFiles(files.map(_._1))
+  }
+
   /** Atomically point `exportDir` at the freshly-built `versioned` dir:
     * a temp symlink is renamed over the old one (POSIX rename-over-symlink
     * is atomic). The immediately superseded version is RETAINED — a reader

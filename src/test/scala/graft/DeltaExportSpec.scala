@@ -124,6 +124,35 @@ class DeltaExportSpec extends SparkSpec {
     }
   }
 
+  test("adoptDeltaTable: an external Delta table's live files join without rewrite and merge on") {
+    // "external" Delta table = another engine table exported through the
+    // log — the adoption side must rely ONLY on the _delta_log
+    val (src, srcDelta) = freshTable("delta-adopt-src")
+    src.createOrReplace(rows(1 to 50, 1L), "id", numBuckets = 2)
+    src.exportDelta(srcDelta) // delta v0: 50 rows, pre-tombstone
+    val staged = rows(1 to 5, 2L).withColumn("is_del", $"id" === 5L)
+    src.merge(staged, "id", "v", "is_del")
+    src.exportDelta(srcDelta) // delta v1: 49 live rows
+
+    val (dst, _) = freshTable("delta-adopt-dst")
+    dst.createOrReplace(rows(100 to 120, 1L), "id", numBuckets = 2)
+    val before = dst.currentSnapshot.files.map(_.path).toSet
+    dst.adoptDeltaTable(srcDelta)
+    // adoption is metadata-only: every pre-existing file survives verbatim
+    assert(before.subsetOf(dst.currentSnapshot.files.map(_.path).toSet))
+    // head state adopted: 49 live source rows (id 5 tombstoned) + 21 native
+    assert(dst.read().count() == 49 + 21)
+    assert(dst.read().where($"id" === 5L).count() == 0)
+    // adopted rows merge like native ones
+    dst.merge(rows(1 to 1, 9L), "id", "v", "is_del")
+    assert(dst.read().where($"id" === 1L).select($"v").head().getLong(0) == 9L)
+    // time travel: adopting AT delta v0 would bring the pre-merge state
+    val (dst0, _) = freshTable("delta-adopt-v0")
+    dst0.createOrReplace(rows(200 to 201, 1L), "id", numBuckets = 2)
+    dst0.adoptDeltaTable(srcDelta, at = Some(0L))
+    assert(dst0.read().count() == 50 + 2, "v0 predates the tombstone")
+  }
+
   test("add.path is percent-encoded per protocol; replay decodes back to the real file") {
     val base = tmpDir("delta-enc")
     // a data file whose path needs encoding: space AND a literal percent
