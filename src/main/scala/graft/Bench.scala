@@ -382,7 +382,12 @@ object Bench {
       // rank windows (one shuffle each) over the 10x embedding corpus;
       // must scale ~linearly in rows (q_compression_signal is excluded:
       // its doc_id < 400 slice is 10x-invariant by construction)
-      "q_cluster_curation")
+      "q_cluster_curation",
+      // round-14: the Delta-log interop path — CREATE + MERGE + log
+      // publish + replay read at 10x rows; the add/remove-diff +
+      // manifest-row-count design must keep the export metadata-only
+      // (same O(new files) claim as the Iceberg leg, second format)
+      "q_export_delta")
 
   /** Build (once; cached by source signature) a 10x derivative of sfDir's
     * documents/embeddings tables: ten id-shifted blocks. Block texts get a
@@ -395,8 +400,9 @@ object Bench {
     val docsSrc = new java.io.File(s"$sfDir/documents.parquet")
     val embSrc = new java.io.File(s"$sfDir/embeddings.parquet")
     val evSrc = new java.io.File(s"$sfDir/events.parquet")
+    val custSrc = new java.io.File(s"$sfDir/customer.parquet")
     val sig = s"${docsSrc.length}-${docsSrc.lastModified}-${embSrc.length}-${embSrc.lastModified}" +
-      s"-${evSrc.length}-${evSrc.lastModified}"
+      s"-${evSrc.length}-${evSrc.lastModified}-${custSrc.length}-${custSrc.lastModified}"
     val dirKey = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-10x-$dirKey")
     val marker = new java.io.File(root, s"_complete-$sig")
@@ -440,6 +446,16 @@ object Bench {
       }.reduce(_ unionByName _)
         .repartition(8)
         .write.mode("overwrite").parquet(s"$root/events.parquet")
+      // 10x customer for the Delta-export interop leg: key space shifts
+      // per block so the CREATE + MERGE lifecycle scales both row count
+      // and merge-key cardinality 10x (same rationale as events)
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      val custOthers = cust.columns.filterNot(_ == "c_custkey").map(col)
+      (0 until 10).map { k =>
+        cust.select(Array((col("c_custkey") + k * shift).as("c_custkey")) ++ custOthers: _*)
+      }.reduce(_ unionByName _)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$root/customer.parquet")
       marker.createNewFile()
     }
     root.getAbsolutePath
