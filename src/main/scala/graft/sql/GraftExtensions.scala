@@ -29,6 +29,10 @@ object GraftExtensions {
     ("deflate_len", DeflateLen.info, DeflateLen.builder),
     ("nfc", UnicodeNormalize.nfcInfo, UnicodeNormalize.nfcBuilder),
     ("nfkc", UnicodeNormalize.nfkcInfo, UnicodeNormalize.nfkcBuilder),
+    // Iceberg's bucket[N] partition transform (canonical murmur3_x86_32,
+    // seed 0, spec byte encodings) — the engine's table bucket function,
+    // so the Iceberg export's published partition spec is truthful.
+    ("iceberg_bucket", IcebergBucket.info, IcebergBucket.builder),
     // Spark's internal runtime-filter expressions, surfaced as engine
     // functions for the explicit bloom-pre-filter join pattern
     // (org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
