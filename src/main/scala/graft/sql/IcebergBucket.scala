@@ -37,6 +37,13 @@ case class IcebergBucket(left: Expression, right: Expression) extends BinaryExpr
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = left.nullable
 
+  /** `n` is validated HERE, at analysis: foldable int, non-null, > 0. A
+    * null or non-positive n rejected per-row instead would surface as an
+    * execution-time NPE/ArithmeticException deep inside a write job — and
+    * a null n accepted silently would make the expression evaluate to
+    * null while declaring `nullable = left.nullable`, which null-aware
+    * optimizer rules are allowed to miscompile.
+    */
   override def checkInputDataTypes(): TypeCheckResult = {
     val okValue = left.dataType match {
       case StringType | BinaryType | IntegerType | ShortType | ByteType | LongType |
@@ -49,13 +56,12 @@ case class IcebergBucket(left: Expression, right: Expression) extends BinaryExpr
           s"(int/long/decimal/date/timestamp/string/binary), got ${left.dataType.simpleString}")
     else if (!(right.foldable && right.dataType == IntegerType))
       TypeCheckResult.TypeCheckFailure("iceberg_bucket n must be an int literal")
-    else TypeCheckResult.TypeCheckSuccess
-  }
-
-  private lazy val n: Int = {
-    val v = right.eval().asInstanceOf[Int]
-    require(v > 0, s"iceberg_bucket n must be positive, got $v")
-    v
+    else right.eval() match {
+      case null => TypeCheckResult.TypeCheckFailure("iceberg_bucket n must not be null")
+      case v: Int if v <= 0 =>
+        TypeCheckResult.TypeCheckFailure(s"iceberg_bucket n must be positive, got $v")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override protected def nullSafeEval(value: Any, nVal: Any): Any = {
