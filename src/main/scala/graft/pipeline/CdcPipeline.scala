@@ -283,9 +283,15 @@ object CdcPipeline {
           // inside merge.
           val bucketAgg: Option[(Int, org.apache.spark.sql.Column)] =
             if (table.exists && rawKeyBucketsStable(typedSchema, spec.keyColumns)) {
-              val n = table.currentSnapshot.numBuckets
+              val snap = table.currentSnapshot
+              val n = snap.numBuckets
               val rawKey = MergeKey.expression(spec.keyColumns.map(raw.col))
-              Some(n -> collect_set(pmod(xxhash64(rawKey), lit(n)).cast("int")))
+              // the table's OWN bucket fn — hashing with anything else
+              // computes wrong affected buckets and merge's targetBuckets
+              // filter silently drops the staged rows outside them
+              graft.sql.GraftExtensions.ensureRegistered(raw.sparkSession)
+              Some(n -> collect_set(SnapshotTable.bucketColumn(
+                rawKey, n, SnapshotTable.bucketFnOf(snap.properties))))
             } else None
           // Watermark = the newest PROCESSED CHUNK's resume point, not just
           // the newest folder name: a folder split across micro-batches by

@@ -552,7 +552,13 @@ object Queries {
       .withColumn("is_del", col("c_custkey") % 100 === 0)
     tbl.merge(staged, "c_custkey", "v", "is_del")
     tbl.exportDelta(s"$root/delta")
+    // the export adds the published partition column (c_custkey_bucket)
+    // to the Delta schema; the oracle restates the TABLE's columns, so
+    // select them — the partition column's own correctness is pinned by
+    // DeltaExportSpec (tuple == iceberg_bucket(key, n) per file) and the
+    // independent Python validator's murmur3 recompute
     DeltaExport.readTable(spark, new org.apache.hadoop.fs.Path(s"$root/delta"))
+      .select(tbl.schema.fieldNames.map(col).toIndexedSeq: _*)
       .orderBy(col("c_custkey"))
   }
 

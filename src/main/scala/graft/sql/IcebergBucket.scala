@@ -14,15 +14,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * minimal two's-complement big-endian unscaled value, binary its raw
   * bytes).
   *
-  * This IS the engine's table bucket function ([[graft.tables.SnapshotTable
-  * .bucketExpr]]): because rows are physically bucketed by the exact
-  * transform the Iceberg spec defines, [[graft.tables.IcebergExport]] can
-  * publish `bucket(N, merge_key)` as the table's partition spec TRUTHFULLY
-  * — an external Iceberg reader that plans `WHERE merge_key = 'x'`
-  * computes this same murmur3 bucket and prunes to one bucket's files,
-  * instead of scanning every live file of a 100 TB table. (The reference
-  * documents exactly this layout for its targets:
-  * `/root/reference/docs/crd.md:211` `bucket(arcane_merge_key, 10)`.)
+  * This IS the engine's table bucket function for tables on the
+  * `iceberg` bucket-layout version ([[graft.tables.SnapshotTable
+  * .bucketExpr]], property [[graft.tables.SnapshotTable.PropBucketFn]] —
+  * the default for new tables; pre-migration tables stay on xxhash64
+  * until [[graft.tables.SnapshotTable.migrateBucketLayout]] or a CREATE
+  * OR REPLACE rewrites them). Because rows are physically bucketed by the
+  * exact transform the Iceberg spec defines, the Iceberg export publishes
+  * `bucket(N, merge_key)` as the table's partition spec TRUTHFULLY — an
+  * external Iceberg reader that plans `WHERE merge_key = 'x'` computes
+  * this same murmur3 bucket and prunes to one bucket's files, instead of
+  * scanning every live file of a 100 TB table. (The reference documents
+  * exactly this layout for its targets: `/root/reference/docs/crd.md:211`
+  * `bucket(arcane_merge_key, 10)`.)
   *
   * Native Catalyst expression with whole-stage codegen (a static call per
   * row, no boxing); the murmur3 here is the CANONICAL x86_32 variant with

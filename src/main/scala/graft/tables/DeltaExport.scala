@@ -51,10 +51,28 @@ object DeltaExport {
 
   /** One live data file to publish: absolute URI, byte length, row count,
     * per-column (min, max) double stats from the snapshot manifest.
+    * `bucket` is the file's id under the table's published bucket layout
+    * ([0, n) real, n = null-key partition, -1 = unknown/adopted) — used
+    * only when a partition column is published.
     */
   final case class ExportFile(
       uri: String, length: Long, rows: Long,
-      stats: Map[String, (Double, Double)] = Map.empty)
+      stats: Map[String, (Double, Double)] = Map.empty,
+      bucket: Int = -1)
+
+  /** Publish the engine's bucket layout as a Delta PARTITION COLUMN
+    * `<sourceColumn>_bucket` (int): Delta has no transform concept, so
+    * the bucket is materialized as a real schema column whose value rides
+    * in each add's `partitionValues` (protocol: partition data lives in
+    * the log, not the parquet files). An external reader doing the
+    * point-lookup pattern filters
+    * `WHERE <src> = k AND <src>_bucket = iceberg_bucket(k, n)` and prunes
+    * to one partition; the null-key partition publishes the protocol's
+    * null partition value. Only pass this for
+    * [[SnapshotTable.BucketFnIceberg]] layouts — wrong values would
+    * silently mis-prune external readers.
+    */
+  final case class BucketSpec(sourceColumn: String, n: Int)
 
   private def logDir(exportDir: Path) = new Path(exportDir, "_delta_log")
   private def commitName(v: Long) = f"$v%020d.json"
@@ -104,12 +122,24 @@ object DeltaExport {
         StructField("dataChange", org.apache.spark.sql.types.BooleanType))))))
   }
 
+  /** One live add as replay tracks it: byte size plus the partition
+    * tuple (column → value, None = protocol null partition value).
+    */
+  private final case class AddInfo(
+      size: Long, partitionValues: Map[String, Option[String]] = Map.empty)
+
   /** Replayed log state: last delta version, stable table id, last
-    * published schema JSON, live (uri → size) set, last engine snapshot.
+    * published schema JSON, live (uri → add info) set, last engine
+    * snapshot, published partition columns, and unexpired `remove`
+    * tombstones (uri → deletionTimestamp) — the protocol keeps tombstones
+    * visible through checkpoints until the retention window passes so
+    * VACUUM/CDF readers can see them.
     */
   private final case class LogState(
       version: Long, tableId: String, schemaString: String,
-      files: Map[String, Long], graftSnapshot: Long)
+      files: Map[String, AddInfo], graftSnapshot: Long,
+      partitionColumns: Seq[String] = Seq.empty,
+      tombstones: Map[String, Long] = Map.empty)
 
   private def readText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -149,7 +179,9 @@ object DeltaExport {
     var tableId = ""
     var schemaString = ""
     var graftSnapshot = -1L
-    val files = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var pcols = Seq.empty[String]
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, AddInfo]
+    val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val reader: ParquetReader[Group] =
       ParquetReader.builder(new GroupReadSupport(), p).withConf(fs.getConf).build()
     try {
@@ -160,6 +192,14 @@ object DeltaExport {
           val md = g.getGroup("metaData", 0)
           tableId = md.getString("id", 0)
           schemaString = md.getString("schemaString", 0)
+          pcols =
+            if (!md.getType.containsField("partitionColumns") ||
+              md.getFieldRepetitionCount("partitionColumns") == 0) Seq.empty
+            else {
+              val pc = md.getGroup("partitionColumns", 0)
+              (0 until pc.getFieldRepetitionCount("list")).map(i =>
+                pc.getGroup("list", i).getString("element", 0))
+            }
         }
         if (has("txn")) {
           val tx = g.getGroup("txn", 0)
@@ -167,22 +207,48 @@ object DeltaExport {
         }
         if (has("add")) {
           val ad = g.getGroup("add", 0)
-          files(decodePath(ad.getString("path", 0))) = ad.getLong("size", 0)
+          val pv: Map[String, Option[String]] =
+            if (!ad.getType.containsField("partitionValues") ||
+              ad.getFieldRepetitionCount("partitionValues") == 0) Map.empty
+            else {
+              val m = ad.getGroup("partitionValues", 0)
+              (0 until m.getFieldRepetitionCount("key_value")).map { i =>
+                val kv = m.getGroup("key_value", i)
+                val value =
+                  if (kv.getFieldRepetitionCount("value") == 0) None
+                  else Some(kv.getString("value", 0))
+                kv.getString("key", 0) -> value
+              }.toMap
+            }
+          files(decodePath(ad.getString("path", 0))) = AddInfo(ad.getLong("size", 0), pv)
+        }
+        if (has("remove")) {
+          val rm = g.getGroup("remove", 0)
+          tombstones(decodePath(rm.getString("path", 0))) = rm.getLong("deletionTimestamp", 0)
         }
         g = reader.read()
       }
     } finally reader.close()
     require(schemaString.nonEmpty, s"checkpoint $v under $dir carries no metaData")
-    LogState(v, tableId, schemaString, files.toMap, graftSnapshot)
+    LogState(v, tableId, schemaString, files.toMap, graftSnapshot, pcols, tombstones.toMap)
   }
 
   /** Write the spec checkpoint for the state just committed at `v`, plus
     * `_last_checkpoint`. One single-part parquet file (coalesce(1) +
     * rename), so readers do one footer read.
     */
+  /** Tombstone visibility window for checkpoints (the protocol's
+    * `delta.deletedFileRetentionDuration` default, 1 week): a checkpoint
+    * must CARRY unexpired `remove` actions — dropping them would hide
+    * removed files from VACUUM and change-data readers that anchor on the
+    * checkpoint instead of replaying the pruned JSON history.
+    */
+  val TombstoneRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   private def writeCheckpoint(spark: SparkSession, fs: FileSystem, dir: Path, v: Long,
       tableId: String, schemaString: String, snapshotVersion: Long, timestampMs: Long,
-      files: Seq[ExportFile], properties: Map[String, String]): Unit = {
+      adds: Seq[(ExportFile, Map[String, Option[String]])], properties: Map[String, String],
+      pcols: Seq[String], tombstones: Map[String, Long]): Unit = {
     import org.apache.spark.sql.Row
     val conf = properties.toSeq.sortBy(_._1).map { case (k, vv) => (s"graft.$k", vv) }.toMap
     val rows = Seq(
@@ -190,10 +256,13 @@ object DeltaExport {
       Row(null, Row(1, 2), null, null, null),
       Row(null, null,
         Row(tableId, Row("parquet", Map.empty[String, String]), schemaString,
-          Seq.empty[String], conf, timestampMs), null, null)) ++
-      files.map(f => Row(null, null, null,
-        Row(encodePath(f.uri), Map.empty[String, String], f.length, timestampMs, true,
-          statsJson(f)), null))
+          pcols, conf, timestampMs), null, null)) ++
+      adds.map { case (f, pv) => Row(null, null, null,
+        Row(encodePath(f.uri), pv.map { case (k, ov) => k -> ov.orNull }, f.length,
+          timestampMs, true, statsJson(f)), null) } ++
+      tombstones.collect { case (uri, delTs) if timestampMs - delTs <= TombstoneRetentionMs =>
+        Row(null, null, null, null, Row(encodePath(uri), delTs, true))
+      }
     val tmp = new Path(logDir(dir), s".checkpoint-$v-tmp")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), checkpointSchema)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -223,8 +292,17 @@ object DeltaExport {
     * target (driver-side parquet read) and walks only the JSON commits
     * after it — bounded by [[CheckpointInterval]] regardless of log age.
     */
-  private def replay(fs: FileSystem, dir: Path, at: Option[Long]): Option[LogState] = {
-    val (all, ckpts) = listLog(fs, dir)
+  private def replay(fs: FileSystem, dir: Path, at: Option[Long]): Option[LogState] =
+    replayFrom(fs, dir, at, listLog(fs, dir))
+
+  /** Replay against an ALREADY-LISTED log — [[write]] lists `_delta_log`
+    * exactly once per export (object-store LIST is the dominant metadata
+    * cost of a per-commit exporter) and threads the listing through both
+    * the replay and the checkpoint-due test.
+    */
+  private def replayFrom(fs: FileSystem, dir: Path, at: Option[Long],
+      listing: (Seq[Long], Seq[Long])): Option[LogState] = {
+    val (all, ckpts) = listing
     val upToAll = at match {
       case Some(a) =>
         require(all.contains(a), s"delta log has no version $a under $dir")
@@ -237,16 +315,24 @@ object DeltaExport {
     var tableId = anchor.map(_.tableId).getOrElse("")
     var schemaString = anchor.map(_.schemaString).getOrElse("")
     var graftSnapshot = anchor.map(_.graftSnapshot).getOrElse(-1L)
-    val files = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    anchor.foreach(_.files.foreach { case (k, v) => files(k) = v })
+    var pcols = anchor.map(_.partitionColumns).getOrElse(Seq.empty)
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, AddInfo]
+    val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    anchor.foreach { a =>
+      a.files.foreach { case (k, v) => files(k) = v }
+      a.tombstones.foreach { case (k, v) => tombstones(k) = v }
+    }
     val upTo = upToAll.filter(v => anchor.forall(v > _.version))
     upTo.foreach { v =>
       readText(fs, new Path(logDir(dir), commitName(v))).linesIterator
         .filter(_.nonEmpty).foreach { line =>
           val n = mapper.readTree(line)
           if (n.has("metaData")) {
-            tableId = n.get("metaData").get("id").asText()
-            schemaString = n.get("metaData").get("schemaString").asText()
+            val md = n.get("metaData")
+            tableId = md.get("id").asText()
+            schemaString = md.get("schemaString").asText()
+            pcols = Option(md.get("partitionColumns")).map(
+              _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
           }
           if (n.has("commitInfo") && n.get("commitInfo").has("operationParameters")) {
             val op = n.get("commitInfo").get("operationParameters")
@@ -255,12 +341,26 @@ object DeltaExport {
           }
           if (n.has("add")) {
             val a = n.get("add")
-            files(decodePath(a.get("path").asText())) = a.get("size").asLong()
+            val pv = Option(a.get("partitionValues")).map { m =>
+              m.properties().asScala.map { e =>
+                e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+              }.toMap
+            }.getOrElse(Map.empty[String, Option[String]])
+            val path = decodePath(a.get("path").asText())
+            files(path) = AddInfo(a.get("size").asLong(), pv)
+            tombstones.remove(path) // re-add supersedes the tombstone
           }
-          if (n.has("remove")) files.remove(decodePath(n.get("remove").get("path").asText()))
+          if (n.has("remove")) {
+            val r = n.get("remove")
+            val path = decodePath(r.get("path").asText())
+            files.remove(path)
+            tombstones(path) =
+              Option(r.get("deletionTimestamp")).map(_.asLong()).getOrElse(0L)
+          }
         }
     }
-    Some(LogState(upToAll.last, tableId, schemaString, files.toMap, graftSnapshot))
+    Some(LogState(upToAll.last, tableId, schemaString, files.toMap, graftSnapshot,
+      pcols, tombstones.toMap))
   }
 
   /** Delta `add.path`/`remove.path` are RFC 2396 percent-encoded URIs —
@@ -303,9 +403,13 @@ object DeltaExport {
       timestampMs: Long,
       files: Seq[ExportFile],
       properties: Map[String, String] = Map.empty,
-      spark: Option[SparkSession] = None
+      spark: Option[SparkSession] = None,
+      bucketSpec: Option[BucketSpec] = None
   ): Path = {
-    val prior = replay(fs, exportDir, at = None)
+    // ONE `_delta_log` LIST per export: replay and the checkpoint-due test
+    // below share this listing instead of each paying their own
+    val listing = listLog(fs, exportDir)
+    val prior = replayFrom(fs, exportDir, at = None, listing)
     prior.foreach { st =>
       if (st.graftSnapshot == snapshotVersion)
         return new Path(logDir(exportDir), commitName(st.version)) // idempotent
@@ -318,7 +422,46 @@ object DeltaExport {
     val nextVersion = prior.map(_.version + 1).getOrElse(0L)
     val tableId = prior.map(_.tableId).filter(_.nonEmpty)
       .getOrElse(UUID.nameUUIDFromBytes(exportDir.toString.getBytes(StandardCharsets.UTF_8)).toString)
-    val schemaString = schema.json
+
+    // Partition layout of the DIRECTORY: a fresh dir adopts the caller's
+    // BucketSpec; an existing dir KEEPS its published layout — flipping
+    // partition columns mid-log would orphan prior adds' partitionValues
+    // for every replaying reader. Directions are loud, never silent:
+    // partitioned dir + no spec fails (values cannot be fabricated), and
+    // unknown-bucket files under a partition layout fail (adopted files
+    // must be rebucketed/compacted before a partitioned export).
+    val targetPcols = bucketSpec.map(bs => Seq(s"${bs.sourceColumn}_bucket")).getOrElse(Seq.empty)
+    val allBucketsKnown = files.forall(_.bucket >= 0)
+    val pcols: Seq[String] = prior match {
+      // fresh dir: adopt the layout, but only when every file has a
+      // truthful value (adopted foreign files don't — stay unpartitioned
+      // rather than lie; the next compaction's export can't partition
+      // this dir either, it is already committed unpartitioned)
+      case None => if (allBucketsKnown) targetPcols else Seq.empty
+      // dir predates the layout (empty): stay unpartitioned — flipping
+      // partition columns mid-log would orphan prior adds' tuples
+      case Some(st) => st.partitionColumns
+    }
+    if (pcols.nonEmpty) {
+      require(pcols == targetPcols,
+        s"export dir is partitioned by ${pcols.mkString(",")} but the table now publishes " +
+          s"${if (targetPcols.isEmpty) "no bucket layout" else targetPcols.mkString(",")} — " +
+          "export to a fresh directory")
+      require(allBucketsKnown,
+        "partitioned delta export requires every file's bucket to be known — " +
+          "adopted foreign files have no truthful partition value; run compact()/" +
+          "rebucketAdopted() first")
+    }
+    def partitionValuesOf(f: ExportFile): Map[String, Option[String]] =
+      if (pcols.isEmpty) Map.empty
+      else Map(pcols.head -> (if (f.bucket == bucketSpec.get.n) None else Some(f.bucket.toString)))
+    // the partition column is part of the published SCHEMA (protocol:
+    // partition columns are schema columns whose data lives in the log)
+    val publishedSchema =
+      if (pcols.isEmpty) schema
+      else StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(pcols.head, org.apache.spark.sql.types.IntegerType))
+    val schemaString = publishedSchema.json
 
     val prevFiles = prior.map(_.files).getOrElse(Map.empty)
     val nextFiles = files.map(f => f.uri -> f).toMap
@@ -349,9 +492,18 @@ object DeltaExport {
       fmt.put("provider", "parquet")
       fmt.putObject("options")
       m.put("schemaString", schemaString)
-      m.putArray("partitionColumns")
+      val pcArr = m.putArray("partitionColumns")
+      pcols.foreach(pcArr.add)
       val conf = m.putObject("configuration")
       properties.toSeq.sortBy(_._1).foreach { case (k, v) => conf.put(s"graft.$k", v) }
+      // the bucket transform's parameters (Delta has no transform concept
+      // in the spec itself): documented convention so readers — and the
+      // independent validator — can recompute `iceberg_bucket(key, n)`
+      // from a point-lookup key and prune on the partition column
+      if (pcols.nonEmpty) {
+        conf.put("graft.bucket.source", bucketSpec.get.sourceColumn)
+        conf.put("graft.bucket.n", bucketSpec.get.n.toString)
+      }
       m.put("createdTime", timestampMs)
       lines += mapper.writeValueAsString(meta)
     }
@@ -367,7 +519,11 @@ object DeltaExport {
       val ad = mapper.createObjectNode()
       val a = ad.putObject("add")
       a.put("path", encodePath(f.uri))
-      a.putObject("partitionValues")
+      val pv = a.putObject("partitionValues")
+      partitionValuesOf(f).foreach {
+        case (k, Some(v)) => pv.put(k, v)
+        case (k, None)    => pv.putNull(k) // protocol: null partition value
+      }
       a.put("size", f.length)
       a.put("modificationTime", timestampMs)
       a.put("dataChange", true)
@@ -403,10 +559,16 @@ object DeltaExport {
     // retries instead of waiting a whole interval with replay unbounded.
     val ckptDue = spark.nonEmpty && nextVersion > 0 &&
       (nextVersion % CheckpointInterval == 0 ||
-        nextVersion - lastCheckpointVersion(fs, exportDir) >= CheckpointInterval)
+        nextVersion - listing._2.lastOption.getOrElse(0L) >= CheckpointInterval)
     if (ckptDue) {
+      // the checkpoint carries the state JUST committed: current adds
+      // (with partition tuples) plus the unexpired tombstones — prior
+      // ones still in the window, plus this commit's removes
+      val tombstones = prior.map(_.tombstones).getOrElse(Map.empty) ++
+        removes.map(_ -> timestampMs)
       try writeCheckpoint(spark.get, fs, exportDir, nextVersion, tableId, schemaString,
-        snapshotVersion, timestampMs, files, properties)
+        snapshotVersion, timestampMs, files.map(f => (f, partitionValuesOf(f))), properties,
+        pcols, tombstones)
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"DELTA EXPORT: checkpoint at v$nextVersion failed " +
@@ -415,9 +577,6 @@ object DeltaExport {
     }
     target
   }
-
-  private def lastCheckpointVersion(fs: FileSystem, exportDir: Path): Long =
-    listLog(fs, exportDir)._2.lastOption.getOrElse(0L)
 
   /** Latest exported engine snapshot version, if any — the per-commit
     * exporter's idempotence probe.
@@ -432,12 +591,15 @@ object DeltaExport {
   def readFiles(fs: FileSystem, exportDir: Path, at: Option[Long] = None): Seq[(String, Long)] = {
     val st = replay(fs, exportDir, at).getOrElse(
       throw new IllegalArgumentException(s"no delta log under $exportDir"))
-    st.files.toSeq.sortBy(_._1)
+    st.files.toSeq.map { case (u, a) => (u, a.size) }.sortBy(_._1)
   }
 
   /** Read the exported table through the log: schema from the last
     * `metaData` action (never inferred from data files), files from
-    * replay. `at` time-travels to a specific delta version.
+    * replay, PARTITION COLUMNS materialized from each add's
+    * `partitionValues` — the protocol stores partition data in the log,
+    * not the parquet files, so a spec reader reconstructs the column
+    * exactly like this. `at` time-travels to a specific delta version.
     */
   def readTable(spark: SparkSession, exportDir: Path, at: Option[Long] = None): DataFrame = {
     val fs = exportDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -445,8 +607,25 @@ object DeltaExport {
       throw new IllegalArgumentException(s"no delta log under $exportDir"))
     val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
     if (st.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(st.files.keys.toSeq.sorted: _*)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (st.partitionColumns.isEmpty)
+      return spark.read.schema(schema).parquet(st.files.keys.toSeq.sorted: _*)
+    // data files do NOT hold the partition columns: read with the data
+    // schema, then attach the tuple per partition-value group (one read
+    // per distinct tuple — bounded by the partition count, not files)
+    val pset = st.partitionColumns.toSet
+    val dataSchema = StructType(schema.fields.filterNot(f => pset.contains(f.name)))
+    val byTuple = st.files.toSeq.groupBy(_._2.partitionValues)
+    byTuple.toSeq.sortBy(_._1.toString).map { case (tuple, fseq) =>
+      var df = spark.read.schema(dataSchema).parquet(fseq.map(_._1).sorted: _*)
+      st.partitionColumns.foreach { pc =>
+        val f = schema.fields.find(_.name == pc).getOrElse(
+          throw new IllegalStateException(s"partition column '$pc' missing from schemaString"))
+        df = df.withColumn(pc,
+          org.apache.spark.sql.functions.lit(tuple.get(pc).flatten.orNull).cast(f.dataType))
+      }
+      df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Delta version history (ascending) — for time-travel tests. */

@@ -6,9 +6,11 @@ import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
+import graft.sql.IcebergBucket
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -234,32 +236,43 @@ object IcebergExport {
   // equality_ids (all other optional stats fields omitted — legal per
   // spec; readers treat them as unknown). equality_ids is null for data
   // files and names the equality-delete key field ids for content=2
-  // (equality delete) files.
-  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
-      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-      |  {"name":"content","type":"int","field-id":134},
-      |  {"name":"file_path","type":"string","field-id":100},
-      |  {"name":"file_format","type":"string","field-id":101},
-      |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
-      |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
-      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],
-      |   "default":null,"field-id":135},
-      |  {"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record",
-      |   "name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},
-      |   {"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],
-      |   "default":null,"field-id":125},
-      |  {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record",
-      |   "name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},
-      |   {"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],
-      |   "default":null,"field-id":128}
-      |]}}
-      |]}""".stripMargin)
+  // (equality delete) files. The `partition` record is per-MANIFEST: a
+  // manifest stores files of ONE partition spec, so an unpartitioned
+  // (spec 0) manifest writes an empty tuple and a bucket-spec manifest
+  // writes {<name>: int|null} (spec rule: a null transform result is a
+  // null partition value).
+  private def manifestEntrySchemaFor(partitionFields: Seq[(String, Int)]): Schema = {
+    val pf = partitionFields.map { case (name, fid) =>
+      s"""{"name":"$name","type":["null","int"],"default":null,"field-id":$fid}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |  {"name":"content","type":"int","field-id":134},
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pf]}},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],
+         |   "default":null,"field-id":135},
+         |  {"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record",
+         |   "name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},
+         |   {"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],
+         |   "default":null,"field-id":125},
+         |  {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record",
+         |   "name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},
+         |   {"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],
+         |   "default":null,"field-id":128}
+         |]}}
+         |]}""".stripMargin)
+  }
+
+  private val ManifestEntrySchema: Schema = manifestEntrySchemaFor(Seq.empty)
 
   /** One live data file: absolute URI, byte length, row count, the
     * table's data sequence number for the commit that wrote it (what
@@ -269,7 +282,21 @@ object IcebergExport {
     * files the same way [[SnapshotTable.readRange]] does.
     */
   final case class ExportFile(path: String, sizeBytes: Long, recordCount: Long, seq: Long = 0L,
-      stats: Map[String, (Double, Double)] = Map.empty)
+      stats: Map[String, (Double, Double)] = Map.empty,
+      // Bucket id under the table's published BucketSpec: [0, n) = a real
+      // bucket, n = the null-key partition (partition value null), -1 =
+      // unknown layout (adopted foreign file → goes to the unpartitioned
+      // spec-0 manifest). Ignored when no BucketSpec is passed.
+      bucket: Int = -1)
+
+  /** The table's physical bucket layout, published as the Iceberg
+    * partition spec `bucket[n](sourceColumn)`. Only pass this when files
+    * are PLACED by the spec's transform ([[graft.sql.IcebergBucket]] —
+    * [[SnapshotTable.BucketFnIceberg]] layouts): publishing it over
+    * files placed by any other hash would make external readers prune to
+    * the wrong files and silently drop rows.
+    */
+  final case class BucketSpec(sourceColumn: String, n: Int)
 
   /** One outstanding equality-delete file (always parquet; one column —
     * the merge key). Applies to data files with seq strictly below its
@@ -375,7 +402,8 @@ object IcebergExport {
       fileFormat: String = "PARQUET",
       deletes: Seq[ExportDeleteFile] = Seq.empty,
       equalityDeleteColumn: Option[String] = None,
-      posDeletes: Seq[ExportPosDeleteFile] = Seq.empty
+      posDeletes: Seq[ExportPosDeleteFile] = Seq.empty,
+      bucketSpec: Option[BucketSpec] = None
   ): Path = {
     require(deletes.isEmpty || equalityDeleteColumn.nonEmpty,
       "exporting equality-delete files requires the merge-key column name")
@@ -460,6 +488,50 @@ object IcebergExport {
         }
     }
 
+    // ---- partition spec resolution -------------------------------------
+    // Spec 0 (unpartitioned) always exists. A BucketSpec resolves to an
+    // existing published spec with identical fields (specs are immutable
+    // and append-only — Iceberg spec evolution), or appends a fresh one
+    // with the next spec-id and a fresh partition field id.
+    val priorSpecs: Seq[JsonNode] =
+      priorMeta.flatMap(m => Option(m.get("partition-specs")))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val priorLastPartId = priorMeta.flatMap(m => Option(m.get("last-partition-id")))
+      .map(_.asInt()).getOrElse(999)
+    // (spec-id, partition field name, partition field id, fields json node)
+    val bucketSpecResolved: Option[(Int, String, Int, JsonNode)] = bucketSpec.map { bs =>
+      val srcId = fieldIds.toMap.getOrElse(bs.sourceColumn, throw new IllegalArgumentException(
+        s"bucket spec source column '${bs.sourceColumn}' is not in the exported schema"))
+      val pname = s"${bs.sourceColumn}_bucket"
+      val wanted = mapper.createObjectNode()
+      wanted.put("name", pname)
+      wanted.put("transform", s"bucket[${bs.n}]")
+      wanted.put("source-id", srcId)
+      val existing = priorSpecs.find { s =>
+        val fs0 = s.get("fields").elements().asScala.toSeq
+        fs0.size == 1 && fs0.head.get("name").asText() == pname &&
+          fs0.head.get("transform").asText() == s"bucket[${bs.n}]" &&
+          fs0.head.get("source-id").asInt() == srcId
+      }
+      existing match {
+        case Some(s) =>
+          val f = s.get("fields").elements().asScala.next()
+          (s.get("spec-id").asInt(), pname, f.get("field-id").asInt(), s)
+        case None =>
+          val specId = priorSpecs.map(_.get("spec-id").asInt()).maxOption.getOrElse(0) + 1
+          val pfid = priorLastPartId + 1
+          wanted.put("field-id", pfid)
+          val node = mapper.createObjectNode()
+          node.put("spec-id", specId)
+          node.putArray("fields").add(wanted)
+          (specId, pname, pfid, node)
+      }
+    }
+    val lastPartId = math.max(priorLastPartId, bucketSpecResolved.map(_._3).getOrElse(999))
+
+    val bucketedEntrySchema = bucketSpecResolved.map { case (_, pname, pfid, _) =>
+      manifestEntrySchemaFor(Seq((pname, pfid)))
+    }
     val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
     val partitionSchema = dataFileSchema.getField("partition").schema()
 
@@ -495,18 +567,24 @@ object IcebergExport {
 
     def entryRecord(status: Int, snapId: Long, entrySeq: Long, fileSeq: Long,
         content: Int, path: String, format: String, recordCount: Long, sizeBytes: Long,
-        eqIds: Option[Seq[Int]], bounds: (AnyRef, AnyRef) = (null, null)): GenericRecord = {
-      val df = new GenericData.Record(dataFileSchema)
+        eqIds: Option[Seq[Int]], bounds: (AnyRef, AnyRef) = (null, null),
+        entrySchema: Schema = ManifestEntrySchema,
+        partitionValue: Option[Option[Int]] = None): GenericRecord = {
+      val dfs = entrySchema.getField("data_file").schema()
+      val ps = dfs.getField("partition").schema()
+      val df = new GenericData.Record(dfs)
       df.put("content", content)
       df.put("file_path", path)
       df.put("file_format", format)
-      df.put("partition", new GenericData.Record(partitionSchema))
+      val pRec = new GenericData.Record(ps)
+      partitionValue.foreach(v => pRec.put(0, v.map(Integer.valueOf).orNull))
+      df.put("partition", pRec)
       df.put("record_count", recordCount)
       df.put("file_size_in_bytes", sizeBytes)
       df.put("equality_ids", eqIds.map(_.map(Integer.valueOf).asJava).orNull)
       df.put("lower_bounds", bounds._1)
       df.put("upper_bounds", bounds._2)
-      val e = new GenericData.Record(ManifestEntrySchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", status)
       e.put("snapshot_id", snapId)
       e.put("sequence_number", entrySeq)
@@ -516,21 +594,26 @@ object IcebergExport {
     }
 
     /** Write one manifest avro (data or deletes) and return
-      * (path, length, counts, min_sequence_number).
+      * (path, length, counts, min_sequence_number). The writer meta
+      * carries the manifest's OWN partition spec (fields json + id) —
+      * a manifest stores files of exactly one spec.
       */
     def writeManifest(suffix: String, contentMeta: String,
-        entries: Seq[(Int, GenericRecord, Long, Long)]): (Path, Long, (Int, Int, Int), (Long, Long, Long), Long) = {
+        entries: Seq[(Int, GenericRecord, Long, Long)],
+        entrySchema: Schema = ManifestEntrySchema,
+        specId: Int = 0,
+        specFieldsJson: String = "[]"): (Path, Long, (Int, Int, Int), (Long, Long, Long), Long) = {
       val manifestPath = fs.makeQualified(new Path(metaDir, s"${UUID.randomUUID()}-$suffix.avro"))
       val writer = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](ManifestEntrySchema))
+        new GenericDatumWriter[GenericRecord](entrySchema))
       writer.setMeta("schema", schemaJson)
       writer.setMeta("schema-id", "0")
-      writer.setMeta("partition-spec", "[]")
-      writer.setMeta("partition-spec-id", "0")
+      writer.setMeta("partition-spec", specFieldsJson)
+      writer.setMeta("partition-spec-id", specId.toString)
       writer.setMeta("format-version", "2")
       writer.setMeta("content", contentMeta)
       val out = fs.create(manifestPath, true)
-      writer.create(ManifestEntrySchema, out)
+      writer.create(entrySchema, out)
       entries.foreach { case (_, r, _, _) => writer.append(r) }
       writer.close()
       val added = entries.count(_._1 == 1)
@@ -542,33 +625,70 @@ object IcebergExport {
         (added, existing, deleted), (rowsOf(1), rowsOf(0), rowsOf(2)), minSeq)
     }
 
-    // 1. data manifest: carried files EXISTING with their ORIGINAL
+    // 1. data manifests: carried files EXISTING with their ORIGINAL
     // snapshot_id/sequence numbers, new files ADDED at this commit,
     // removed files DELETED tombstones — so incremental-append / CDC
     // consumers never double-count across snapshots.
+    //
+    // Under a BucketSpec, files whose bucket is KNOWN go to a manifest of
+    // the bucket spec with their partition tuple ({<col>_bucket: b}, or a
+    // null value for the null-key bucket b == n); adopted files (bucket
+    // −1, arbitrary key placement) and DELETED tombstones stay in an
+    // UNPARTITIONED (spec 0) manifest — an empty tuple claims nothing, a
+    // wrong tuple would make external readers prune to the wrong files.
     val newPaths = files.map(_.path).toSet
-    val dataEntries: Seq[(Int, GenericRecord, Long, Long)] =
-      files.map { f =>
-        priorData.get(f.path) match {
-          case Some(pe) =>
-            (0, entryRecord(0, pe.snapshotId, pe.seq, pe.fileSeq, 0, f.path, pe.fileFormat,
-              pe.recordCount, pe.sizeBytes, None, (pe.lowerRaw, pe.upperRaw)), pe.recordCount, pe.seq)
-          case None =>
-            (1, entryRecord(1, snapshotId, f.seq, f.seq, 0, f.path, fileFormat,
-              f.recordCount, f.sizeBytes, None, boundsOf(f.stats)), f.recordCount, f.seq)
+    def dataEntry(f: ExportFile, schemaFor: Schema, pv: Option[Option[Int]])
+        : (Int, GenericRecord, Long, Long) =
+      priorData.get(f.path) match {
+        case Some(pe) =>
+          (0, entryRecord(0, pe.snapshotId, pe.seq, pe.fileSeq, 0, f.path, pe.fileFormat,
+            pe.recordCount, pe.sizeBytes, None, (pe.lowerRaw, pe.upperRaw), schemaFor, pv),
+            pe.recordCount, pe.seq)
+        case None =>
+          (1, entryRecord(1, snapshotId, f.seq, f.seq, 0, f.path, fileFormat,
+            f.recordCount, f.sizeBytes, None, boundsOf(f.stats), schemaFor, pv),
+            f.recordCount, f.seq)
+      }
+    val (bucketedFiles, plainFiles) = bucketSpecResolved match {
+      case Some(_) => files.partition(_.bucket >= 0)
+      case None    => (Seq.empty[ExportFile], files)
+    }
+    val bucketedEntries: Seq[(Int, GenericRecord, Long, Long)] =
+      bucketSpecResolved.toSeq.flatMap { case (_, _, _, _) =>
+        val es = bucketedEntrySchema.get
+        bucketedFiles.map { f =>
+          val pv: Option[Int] = if (f.bucket == bucketSpec.get.n) None else Some(f.bucket)
+          dataEntry(f, es, Some(pv))
         }
-      } ++
-      // DELETED tombstones keep the file's OWN data sequence numbers (a
-      // file's sequence never changes after it is added — the spec's
-      // inheritance rule); the REMOVING commit is identified by
-      // snapshot_id, so sequence-based reasoning over removed files stays
-      // consistent with min_sequence_number below.
+      }
+    // DELETED tombstones keep the file's OWN data sequence numbers (a
+    // file's sequence never changes after it is added — the spec's
+    // inheritance rule); the REMOVING commit is identified by
+    // snapshot_id, so sequence-based reasoning over removed files stays
+    // consistent with min_sequence_number below.
+    val plainEntries: Seq[(Int, GenericRecord, Long, Long)] =
+      plainFiles.map(f => dataEntry(f, ManifestEntrySchema, None)) ++
       priorData.collect { case (path, pe) if !newPaths.contains(path) =>
         (2, entryRecord(2, snapshotId, pe.seq, pe.fileSeq, 0, path, pe.fileFormat,
           pe.recordCount, pe.sizeBytes, None, (pe.lowerRaw, pe.upperRaw)), pe.recordCount, pe.seq)
       }
-    val (mPath, mLen, (mAdd, mExist, mDel), (mAddRows, mExistRows, mDelRows), mMinSeq) =
-      writeManifest("m0", "data", dataEntries)
+    val bucketedManifest = bucketSpecResolved.flatMap { case (specId, _, _, node) =>
+      if (bucketedEntries.isEmpty) None
+      else Some(writeManifest("m0", "data", bucketedEntries, bucketedEntrySchema.get,
+        specId, node.get("fields").toString))
+    }
+    // the plain manifest always exists when it has entries, and also when
+    // NOTHING else does (a reader needs at least one data manifest row)
+    val plainManifest =
+      if (plainEntries.nonEmpty || bucketedManifest.isEmpty)
+        Some(writeManifest(if (bucketedManifest.isEmpty) "m0" else "m2", "data", plainEntries))
+      else None
+    // aggregate counts across the data manifests (snapshot summary below)
+    val dataManifests = bucketedManifest.toSeq ++ plainManifest.toSeq
+    val mAdd = dataManifests.map(_._3._1).sum
+    val mDel = dataManifests.map(_._3._3).sum
+    val mAddRows = dataManifests.map(_._4._1).sum
+    val mDelRows = dataManifests.map(_._4._3).sum
 
     // 2. delete manifest (content=1), only when this snapshot or its
     // parent carries delete files. Equality deletes are content=2
@@ -616,11 +736,12 @@ object IcebergExport {
     val lOut = fs.create(listPath, true)
     listWriter.create(ManifestFileSchema, lOut)
     def listRow(p: Path, len: Long, content: Int, counts: (Int, Int, Int),
-        rows: (Long, Long, Long), minSeq: Long): GenericRecord = {
+        rows: (Long, Long, Long), minSeq: Long, specId: Int = 0,
+        summary: AnyRef = null): GenericRecord = {
       val mf = new GenericData.Record(ManifestFileSchema)
       mf.put("manifest_path", p.toString)
       mf.put("manifest_length", len)
-      mf.put("partition_spec_id", 0)
+      mf.put("partition_spec_id", specId)
       mf.put("content", content)
       mf.put("sequence_number", seq)
       mf.put("min_sequence_number", minSeq)
@@ -631,10 +752,35 @@ object IcebergExport {
       mf.put("added_rows_count", rows._1)
       mf.put("existing_rows_count", rows._2)
       mf.put("deleted_rows_count", rows._3)
+      mf.put("partitions", summary)
       mf
     }
-    listWriter.append(listRow(mPath, mLen, 0, (mAdd, mExist, mDel),
-      (mAddRows, mExistRows, mDelRows), mMinSeq))
+    // field summary for the bucketed manifest: contains_null flags the
+    // null-key partition, bounds are the single-value-serialized (4-byte
+    // LE int) min/max bucket — what lets engines skip whole MANIFESTS
+    // before opening them
+    def bucketSummary: AnyRef = {
+      val arrSchema = ManifestFileSchema.getField("partitions").schema().getTypes.get(1)
+      val rec = new GenericData.Record(arrSchema.getElementType)
+      val n = bucketSpec.get.n
+      rec.put("contains_null", bucketedFiles.exists(_.bucket == n))
+      rec.put("contains_nan", java.lang.Boolean.FALSE)
+      val real = bucketedFiles.map(_.bucket).filter(_ < n)
+      def le4(v: Int) = java.nio.ByteBuffer.wrap(
+        java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+      rec.put("lower_bound", real.minOption.map(le4).orNull)
+      rec.put("upper_bound", real.maxOption.map(le4).orNull)
+      val arr = new GenericData.Array[GenericRecord](1, arrSchema)
+      arr.add(rec)
+      arr
+    }
+    bucketedManifest.foreach { case (p, len, counts, rows, minSeq) =>
+      listWriter.append(listRow(p, len, 0, counts, rows, minSeq,
+        specId = bucketSpecResolved.get._1, summary = bucketSummary))
+    }
+    plainManifest.foreach { case (p, len, counts, rows, minSeq) =>
+      listWriter.append(listRow(p, len, 0, counts, rows, minSeq))
+    }
     deleteManifest.foreach { case (p, len, counts, rows, minSeq) =>
       listWriter.append(listRow(p, len, 1, counts, rows, minSeq))
     }
@@ -676,12 +822,22 @@ object IcebergExport {
     root.put("current-schema-id", schemaId)
     val schemasArr = root.putArray("schemas")
     allSchemas.foreach(schemasArr.add)
-    root.put("default-spec-id", 0)
+    // partition-specs are append-only (spec evolution): prior specs are
+    // carried verbatim, spec 0 (unpartitioned — adopted files, tombstone
+    // manifests) always exists, and a resolved BucketSpec either reuses
+    // its existing entry or appends itself under a fresh spec-id
+    root.put("default-spec-id", bucketSpecResolved.map(_._1).getOrElse(0))
     val specs = root.putArray("partition-specs")
-    val spec0 = specs.addObject()
-    spec0.put("spec-id", 0)
-    spec0.putArray("fields")
-    root.put("last-partition-id", 999) // partition field ids start at 1000; none assigned
+    if (!priorSpecs.exists(_.get("spec-id").asInt() == 0)) {
+      val spec0 = specs.addObject()
+      spec0.put("spec-id", 0)
+      spec0.putArray("fields")
+    }
+    priorSpecs.foreach(specs.add)
+    bucketSpecResolved.foreach { case (sid, _, _, node) =>
+      if (!priorSpecs.exists(_.get("spec-id").asInt() == sid)) specs.add(node)
+    }
+    root.put("last-partition-id", lastPartId) // partition field ids start at 1000
     // Declare the table's write-time sort (`write.sort.order`, the
     // reference's CREATE TABLE sortedBy) as an Iceberg sort order:
     // writeBucketed sorts within partitions by exactly these columns
@@ -839,7 +995,11 @@ object IcebergExport {
     * (empty when the writer exported no bounds for the file).
     */
   final case class ManifestDataFile(path: String, recordCount: Long, seq: Long, fileFormat: String,
-      lower: Map[Int, Array[Byte]] = Map.empty, upper: Map[Int, Array[Byte]] = Map.empty)
+      lower: Map[Int, Array[Byte]] = Map.empty, upper: Map[Int, Array[Byte]] = Map.empty,
+      // partition tuple as the manifest stores it: field name → value
+      // (null value = the transform returned null, e.g. the null-key
+      // bucket); empty for entries of an unpartitioned manifest
+      partition: Map[String, Option[Int]] = Map.empty)
 
   /** One delete file resolved through the chain. `content` is the spec's
     * data_file content kind: 2 = equality deletes (with
@@ -908,10 +1068,16 @@ object IcebergExport {
             }
             dels += ManifestDeleteFile(df.get("file_path").toString, seq, eq, c)
           } else {
+            val pt = Option(fieldOrNull(df, "partition")).map(_.asInstanceOf[GenericRecord])
+              .map { pr =>
+                pr.getSchema.getFields.asScala.map { f =>
+                  f.name() -> Option(pr.get(f.pos())).map(_.asInstanceOf[Int])
+                }.toMap
+              }.getOrElse(Map.empty[String, Option[Int]])
             data += ManifestDataFile(df.get("file_path").toString,
               df.get("record_count").asInstanceOf[Long], seq, df.get("file_format").toString,
               boundsMapOf(fieldOrNull(df, "lower_bounds")),
-              boundsMapOf(fieldOrNull(df, "upper_bounds")))
+              boundsMapOf(fieldOrNull(df, "upper_bounds")), pt)
           }
         }
       }
@@ -1049,6 +1215,102 @@ object IcebergExport {
     }
     readLiveRowsFrom(spark, fs, meta, schema, atSnapshotId, keep)
       .where(SnapshotTable.rangePredicate(field, lo, hi))
+  }
+
+  /** The default partition spec's single bucket field, if the export
+    * publishes one: (partition field name, source column name, n) —
+    * resolved from `partition-specs` + `default-spec-id` + the schemas'
+    * field ids, exactly as an external engine resolves it.
+    */
+  private[graft] def bucketSpecFrom(meta: JsonNode): Option[(String, String, Int)] = {
+    val specId = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    Option(meta.get("partition-specs")).flatMap(_.elements().asScala
+        .find(_.get("spec-id").asInt() == specId))
+      .flatMap { s =>
+        s.get("fields").elements().asScala.toSeq match {
+          case Seq(f) if f.get("transform").asText().startsWith("bucket[") =>
+            val n = f.get("transform").asText().stripPrefix("bucket[").stripSuffix("]").toInt
+            schemaIdToNameFrom(meta).get(f.get("source-id").asInt())
+              .map(src => (f.get("name").asText(), src, n))
+          case _ => None
+        }
+      }
+  }
+
+  /** Driver-side `bucket[n]` of one key value — what an external engine
+    * computes from a `WHERE key = <v>` predicate to prune partitions.
+    */
+  private[graft] def bucketOfKey(dt: DataType, key: Any, n: Int): Int = {
+    val h = (dt, key) match {
+      case (StringType, s: String) => IcebergBucket.hashUtf8(UTF8String.fromString(s))
+      case (LongType, v: Long)     => IcebergBucket.hashLong(v)
+      case (IntegerType, v: Int)   => IcebergBucket.hashLong(v.toLong)
+      case (BinaryType, b: Array[Byte]) => IcebergBucket.hashBytes(b)
+      case (d: DecimalType, v: java.math.BigDecimal) =>
+        IcebergBucket.hashDecimal(org.apache.spark.sql.types.Decimal(v))
+      case (t, k) => throw new IllegalArgumentException(
+        s"unsupported key type for bucket pruning: $t / ${k.getClass.getSimpleName}")
+    }
+    IcebergBucket.toBucket(h, n)
+  }
+
+  /** Point lookup THROUGH the export metadata with PARTITION pruning —
+    * the reference's primary external access pattern (`WHERE merge_key =
+    * <k>` from Trino/Spark against its Iceberg targets): when the
+    * metadata publishes a `bucket[n]` default spec, only data files whose
+    * partition tuple matches the key's bucket are planned (entries of
+    * unpartitioned manifests — adopted foreign files — are always kept:
+    * an empty tuple claims nothing). Null-tuple files (the null-key
+    * partition) never match a non-null key. At 100 TB this is the
+    * difference between scanning one bucket and scanning every live
+    * file. Row-level deletes still apply; the exact predicate runs on
+    * top.
+    */
+  def readTableForKey(spark: SparkSession, exportDir: String, key: Any,
+      atSnapshotId: Option[Long] = None): DataFrame = {
+    val p = new Path(exportDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = loadMeta(fs, p)
+    val schema = readSchemaFrom(meta, atSnapshotId)
+    bucketSpecFrom(meta) match {
+      case None =>
+        throw new IllegalArgumentException(
+          s"export at $exportDir publishes no bucket partition spec; use readTable + a filter")
+      case Some((pname, srcName, n)) =>
+        val field = schema.fields.find(_.name == srcName).getOrElse(
+          sys.error(s"bucket source column '$srcName' not in the snapshot schema"))
+        val b = bucketOfKey(field.dataType, key, n)
+        val keep: ManifestDataFile => Boolean = f =>
+          f.partition.get(pname) match {
+            case None          => true  // unpartitioned entry: no claim, must scan
+            case Some(None)    => false // null-key partition: key = <v> can't match
+            case Some(Some(v)) => v == b
+          }
+        readLiveRowsFrom(spark, fs, meta, schema, atSnapshotId, keep)
+          .where(col(srcName) === lit(key))
+    }
+  }
+
+  /** The data files a bucket-pruned point lookup would plan — exposed so
+    * specs can assert the pruning (file set ⊂ live set, only matching
+    * tuples) without depending on Spark's scan internals.
+    */
+  def plannedDataFilesForKey(spark: SparkSession, exportDir: String, key: Any)
+      : (Seq[ManifestDataFile], Seq[ManifestDataFile]) = {
+    val p = new Path(exportDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = loadMeta(fs, p)
+    val schema = readSchemaFrom(meta, None)
+    val (pname, srcName, n) = bucketSpecFrom(meta).getOrElse(
+      throw new IllegalArgumentException("no bucket partition spec published"))
+    val field = schema.fields.find(_.name == srcName).get
+    val b = bucketOfKey(field.dataType, key, n)
+    val (all, _) = readFilesFrom(fs, meta, None)
+    (all.filter(f => f.partition.get(pname) match {
+      case None          => true
+      case Some(None)    => false
+      case Some(Some(v)) => v == b
+    }), all)
   }
 
   /** Read the LIVE ROWS of an exported snapshot exactly as an Iceberg v2

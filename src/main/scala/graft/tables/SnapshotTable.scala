@@ -127,11 +127,40 @@ class SnapshotTable(val spark: SparkSession, val location: String,
   def schema: StructType = currentSnapshot.schema
   def properties: Map[String, String] = currentSnapshot.properties
 
-  /** Bucket assignment: pmod(xxhash64(key), n) — stable across Spark jobs,
-    * cheap, codegen'd.
+  /** Bucket assignment under the table's bucket-function version `fn`
+    * ([[SnapshotTable.PropBucketFn]]):
+    *
+    *  - [[SnapshotTable.BucketFnIceberg]] — the Iceberg spec's `bucket[N]`
+    *    transform ([[graft.sql.IcebergBucket]]: canonical murmur3_x86_32,
+    *    seed 0, spec byte encodings). The DEFAULT for newly created
+    *    tables: because rows physically live in spec-exact buckets, the
+    *    Iceberg export publishes `bucket(N, key)` as the table's partition
+    *    spec truthfully and external readers prune point lookups to one
+    *    bucket (the reference's documented layout,
+    *    `/root/reference/docs/crd.md:211`).
+    *  - [[SnapshotTable.BucketFnXxhash]] — pmod(xxhash64(key), n), the
+    *    pre-migration layout. Snapshots whose manifest predates the
+    *    property parse to this, so their bucket-pruned reads keep using
+    *    the hash their files were actually written under; exports keep an
+    *    empty partition spec for them (publishing bucket(N,...) over
+    *    xxhash64-placed files would make external readers prune to the
+    *    WRONG files). [[migrateBucketLayout]] (or any CREATE OR REPLACE)
+    *    rewrites to the Iceberg layout.
+    *
+    * Null keys: the Iceberg spec's transforms return null for null input,
+    * and Iceberg writers place such rows in the NULL partition. This
+    * engine mirrors that with the one-past-last bucket id `n` (real
+    * buckets are [0, n)): write and read sides compute the same
+    * expression so bucket-pruned reads stay exact, and the export
+    * publishes a NULL partition tuple for bucket-`n` files — truthful for
+    * external readers on both `key = 'x'` (null never matches) and
+    * `key IS NULL` (only the null partition matches). Under xxhash64,
+    * null keys keep hashing to pmod(seed, n) as they always did.
     */
-  def bucketExpr(keyCol: String, n: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(col(keyCol)), lit(n)).cast("int")
+  def bucketExpr(keyCol: String, n: Int, fn: String): org.apache.spark.sql.Column = {
+    graft.sql.GraftExtensions.ensureRegistered(spark)
+    SnapshotTable.bucketColumn(col(keyCol), n, fn)
+  }
 
   // ------------------------------------------------------------------ reads
 
@@ -154,7 +183,8 @@ class SnapshotTable(val spark: SparkSession, val location: String,
         if (adopted.isEmpty) real
         else real.unionByName(
           readFiles(snap, adopted).where(
-            bucketExpr(keyColForBucketing(snap), snap.numBuckets)
+            bucketExpr(keyColForBucketing(snap), snap.numBuckets,
+              SnapshotTable.bucketFnOf(snap.properties))
               .isin(bs.toSeq.map(Integer.valueOf): _*)))
     }
   }
@@ -374,7 +404,12 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     SnapshotTable.rejectReservedColumns(df.schema)
     val commitId = UUID.randomUUID().toString
     val prevProps = if (exists) currentSnapshot.properties else Map.empty[String, String]
-    val mergedProps = prevProps ++ extraProps + (PropMergeKeyCol -> mergeKeyCol)
+    // a full swap rewrites every row, so it always (re)establishes the
+    // Iceberg bucket layout — an existing table's pre-migration
+    // "xxhash64" is deliberately NOT carried (the caller can still pin it
+    // via extraProps); this is the zero-extra-cost migration path
+    val mergedProps = prevProps ++ extraProps + (PropMergeKeyCol -> mergeKeyCol) +
+      (PropBucketFn -> extraProps.getOrElse(PropBucketFn, BucketFnIceberg))
     val written = writeBucketed(df, mergeKeyCol, numBuckets, commitId, targetBuckets = None,
       props = mergedProps)
     val prevVersion = if (exists) currentSnapshot.version else 0L
@@ -422,6 +457,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     SnapshotTable.rejectReservedColumns(staged.schema)
     val snap = currentSnapshot
     val n = snap.numBuckets
+    val fn = SnapshotTable.bucketFnOf(snap.properties)
 
     // Align schemas FIRST: target may have gained columns the staged batch
     // lacks (and vice versa — run addColumns/schema migration BEFORE
@@ -443,7 +479,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     // (e.g. folded into an earlier pass over the batch) or collected here.
     // Collecting distinct bucket ids is bounded by numBuckets (ints), never
     // by data size. Cache staged only when we must act on it twice.
-    val stagedB = aligned(staged).withColumn("gbk", bucketExpr(mergeKeyCol, n))
+    val stagedB = aligned(staged).withColumn("gbk", bucketExpr(mergeKeyCol, n, fn))
     val cached = if (knownAffected.isEmpty) { stagedB.cache(); true } else false
     val stagedAffected: Set[Int] = knownAffected.getOrElse(
       stagedB.select("gbk").distinct().collect().map(_.getInt(0)).toSet)
@@ -458,7 +494,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     val adopted = snap.files.filter(_.bucket < 0)
     val adoptedAffected: Set[Int] =
       if (adopted.isEmpty) Set.empty
-      else readFiles(snap, adopted).select(bucketExpr(mergeKeyCol, n).as("gbk"))
+      else readFiles(snap, adopted).select(bucketExpr(mergeKeyCol, n, fn).as("gbk"))
         .distinct().collect().map(_.getInt(0)).toSet
     val affected = stagedAffected ++ adoptedAffected
 
@@ -544,6 +580,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     if (currentSnapshot.files.exists(_.bucket < 0)) rebucketAdopted()
     val snap = currentSnapshot
     val n = snap.numBuckets
+    val fn = SnapshotTable.bucketFnOf(snap.properties)
     val newSeq = snap.version + 1
     val unionSchema = snap.schema
 
@@ -561,7 +598,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     // bigint) hashes differently under xxhash64, so the target-version
     // scan could miss the key's real bucket and a stale row would insert
     // as a duplicate instead of no-op'ing.
-    val stagedB = aligned(staged).withColumn("gbk", bucketExpr(mergeKeyCol, n)).cache()
+    val stagedB = aligned(staged).withColumn("gbk", bucketExpr(mergeKeyCol, n, fn)).cache()
     try {
       val affected: Set[Int] =
         stagedB.select("gbk").distinct().collect().map(_.getInt(0)).toSet
@@ -622,7 +659,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       val written = writeBucketed(newRows, mergeKeyCol, n, commitId,
         targetBuckets = Some(affected), props = snap.properties, seq = newSeq)
       val delKeys = decided.where(col("_kill")).select(col("_k").as(mergeKeyCol))
-      val delWritten = writeDeletes(delKeys, mergeKeyCol, n, commitId, newSeq)
+      val delWritten = writeDeletes(delKeys, mergeKeyCol, n, fn, commitId, newSeq)
       decided.unpersist()
 
       commit(snap.copy(
@@ -639,10 +676,10 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     * One column: the merge key. Returns the manifest entries.
     */
   private def writeDeletes(
-      keys: DataFrame, mergeKeyCol: String, n: Int, commitId: String, seq: Long
+      keys: DataFrame, mergeKeyCol: String, n: Int, fn: String, commitId: String, seq: Long
   ): Seq[DeleteFile] = {
     val out = new Path(dataDir, s"$commitId-deletes")
-    val withB = keys.withColumn("gbk", bucketExpr(mergeKeyCol, n))
+    val withB = keys.withColumn("gbk", bucketExpr(mergeKeyCol, n, fn))
     withB.repartition(math.min(n, maxWriteTasks), col("gbk"))
       .write.partitionBy("gbk").mode("append").parquet(out.toString)
     if (!fs.exists(out)) return Seq.empty
@@ -752,6 +789,31 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       targetBuckets = None, props = snap.properties, seq = snap.version + 1)
     commit(snap.copy(version = snap.version + 1,
       files = snap.files.filter(_.bucket >= 0) ++ written, timestampMs = now()))
+  }
+
+  /** Migrate a pre-existing xxhash64-bucketed table to the Iceberg bucket
+    * layout ([[SnapshotTable.BucketFnIceberg]]): one full rewrite — every
+    * live row (deletes applied) re-hashed by the spec's `bucket[N]`
+    * transform — then the layout version flips in the table properties,
+    * so every later merge/compaction writes spec-exact buckets and the
+    * Iceberg export starts publishing the `bucket(N, key)` partition
+    * spec. Old snapshots keep their own properties and therefore keep
+    * bucket-pruning under xxhash64 when time-traveled — per-snapshot
+    * correctness, no flag day. No-op when the table is already on the
+    * Iceberg layout. (A CREATE OR REPLACE migrates implicitly — it
+    * rewrites everything anyway; this is the in-place path for tables
+    * that must keep their version history.)
+    */
+  def migrateBucketLayout(): Snapshot = {
+    val snap = currentSnapshot
+    if (SnapshotTable.bucketFnOf(snap.properties) == SnapshotTable.BucketFnIceberg) return snap
+    val props = snap.properties + (SnapshotTable.PropBucketFn -> SnapshotTable.BucketFnIceberg)
+    val df = read() // applies outstanding equality deletes — the rewrite absorbs them
+    val commitId = UUID.randomUUID().toString
+    val written = writeBucketed(df, keyColForBucketing(snap), snap.numBuckets, commitId,
+      targetBuckets = None, props = props, seq = snap.version + 1)
+    commit(snap.copy(version = snap.version + 1, files = written, properties = props,
+      timestampMs = now(), deletes = Seq.empty))
   }
 
   /** OPTIMIZE: rewrite buckets whose files are smaller than the threshold
@@ -1256,8 +1318,19 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       // per-column (min, max) from the manifest skipping index rides into
       // the Iceberg lower_bounds/upper_bounds maps — external readers
       // prune files the same way readRange does
-      IcebergExport.ExportFile(p.toString, len, rows, f.seq, f.stats)
+      IcebergExport.ExportFile(p.toString, len, rows, f.seq, f.stats, f.bucket)
     }
+    // Publish the bucket layout as the Iceberg partition spec ONLY when
+    // files are physically placed by the spec's own transform
+    // ([[BucketFnIceberg]]) — over an xxhash64 layout the published spec
+    // would be a lie and external readers would prune to the WRONG files.
+    // Adopted files (bucket −1) ride in an unpartitioned spec-0 manifest
+    // either way; the null-key bucket (id == numBuckets) publishes a
+    // null partition tuple, matching the spec's null-transform rule.
+    val bucketSpec =
+      if (SnapshotTable.bucketFnOf(snap.properties) == SnapshotTable.BucketFnIceberg)
+        Some(IcebergExport.BucketSpec(keyColForBucketing(snap), snap.numBuckets))
+      else None
     // Outstanding merge-on-read equality deletes ride along as content=1
     // delete files (always parquet — writeDeletes); same manifest-sourced
     // rows/bytes with a legacy footer fallback.
@@ -1269,7 +1342,8 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     }
     IcebergExport.write(fs, out, snap.schema, snap.version,
       snap.timestampMs, files, snap.properties, fileFormat = format.toUpperCase,
-      deletes = deletes, equalityDeleteColumn = Some(keyColForBucketing(snap)))
+      deletes = deletes, equalityDeleteColumn = Some(keyColForBucketing(snap)),
+      bucketSpec = bucketSpec)
   }
 
   /** Export the current snapshot as a Delta Lake transaction log (the
@@ -1307,12 +1381,20 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       val p = fs.makeQualified(new Path(dataDir, f.path))
       val rows = if (f.rows >= 0L) f.rows else FileStats.parquetRowCount(conf, p)
       val len = if (f.bytes >= 0L) f.bytes else fs.getFileStatus(p).getLen
-      DeltaExport.ExportFile(p.toString, len, rows, f.stats)
+      DeltaExport.ExportFile(p.toString, len, rows, f.stats, f.bucket)
     }
+    // Publish the bucket layout as a Delta partition column only under
+    // the Iceberg bucket fn (same truthfulness rule as exportIceberg);
+    // requires all buckets known — DeltaExport fails loudly on adopted
+    // files under a partitioned layout.
+    val bucketSpec =
+      if (SnapshotTable.bucketFnOf(snap.properties) == SnapshotTable.BucketFnIceberg)
+        Some(DeltaExport.BucketSpec(keyColForBucketing(snap), snap.numBuckets))
+      else None
     // write() replays from the newest spec checkpoint (driver-side parquet
     // read) — the per-commit cost stays bounded regardless of log length
     DeltaExport.write(fs, out, snap.schema, snap.version, snap.timestampMs, files,
-      snap.properties, spark = Some(spark))
+      snap.properties, spark = Some(spark), bucketSpec = bucketSpec)
   }
 
   /** Adopt the LIVE files of an external Delta Lake table — its
@@ -1397,11 +1479,14 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       commitId: String,
       targetBuckets: Option[Set[Int]],
       coalesceOne: Boolean = false,
-      props: Map[String, String] = Map.empty,
+      // no default: the bucket fn rides in props (PropBucketFn), and a
+      // caller silently writing under the wrong hash would corrupt
+      // bucket-pruned reads — every caller must pass the table's props
+      props: Map[String, String],
       seq: Long = 0L
   ): Seq[DataFile] = {
     val out = new Path(dataDir, commitId)
-    val withB = df.withColumn("gbk", bucketExpr(mergeKeyCol, n))
+    val withB = df.withColumn("gbk", bucketExpr(mergeKeyCol, n, SnapshotTable.bucketFnOf(props)))
     val filtered = targetBuckets match {
       case Some(bs) => withB.where(col("gbk").isin(bs.toSeq.map(Integer.valueOf): _*))
       case None     => withB
@@ -1513,6 +1598,46 @@ object SnapshotTable {
     * — see [[SnapshotTable.adoptFiles]].
     */
   val AdoptedBucket: Int = -1
+
+  /** Table property versioning the bucket-assignment hash — see
+    * [[SnapshotTable.bucketExpr]]. New tables get [[BucketFnIceberg]]
+    * (spec-exact `bucket[N]`, so exports publish the partition spec and
+    * external point lookups prune to one bucket); manifests written
+    * before the property existed parse to [[BucketFnXxhash]] and keep
+    * pruning under the hash their files were placed by, with exports
+    * keeping an empty spec for them.
+    */
+  val PropBucketFn = "write.bucket.fn"
+  val BucketFnXxhash = "xxhash64"
+  val BucketFnIceberg = "iceberg"
+
+  def bucketFnOf(props: Map[String, String]): String =
+    props.getOrElse(PropBucketFn, BucketFnXxhash)
+
+  /** THE bucket-assignment column — every bucket computation (table
+    * writes, pruned reads, AND caller-side fused aggregations like the
+    * CDC pipeline's affected-bucket fast path) must come from here: a
+    * caller hashing with its own expression under the wrong fn computes
+    * wrong affected buckets, and merge's targetBuckets filter then
+    * silently DROPS the staged rows outside them. The session must have
+    * the engine functions registered
+    * ([[graft.sql.GraftExtensions.ensureRegistered]]).
+    */
+  def bucketColumn(key: org.apache.spark.sql.Column, n: Int, fn: String)
+      : org.apache.spark.sql.Column = fn match {
+    case BucketFnIceberg =>
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.call_function("iceberg_bucket", key,
+          org.apache.spark.sql.functions.lit(n)),
+        org.apache.spark.sql.functions.lit(n))
+    case BucketFnXxhash =>
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(key),
+        org.apache.spark.sql.functions.lit(n)).cast("int")
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown bucket function '$other' (manifest from a newer engine version?)")
+  }
 
   /** `lo <= field <= hi` as a TYPED-LITERAL predicate so the comparison
     * stays on the BARE column: a cast-wrapped column cannot be translated

@@ -44,8 +44,11 @@ class DeltaExportSpec extends SparkSpec {
     assert(adds > 0 && removes > 0 && adds < live,
       s"v1 must carry only changed files: adds=$adds removes=$removes live=$live")
 
-    // read-back THROUGH the log equals the table's own read
-    val viaLog = DeltaExport.readTable(spark, out).orderBy($"id")
+    // read-back THROUGH the log equals the table's own read (the export
+    // additionally publishes the id_bucket partition column — selected
+    // away here; DeltaPartitionSpec pins its correctness)
+    val viaLog = DeltaExport.readTable(spark, out)
+      .select($"id", $"name", $"v", $"is_del").orderBy($"id")
       .as[(Long, String, Long, Boolean)].collect().toSeq
     val direct = tbl.read().orderBy($"id")
       .as[(Long, String, Long, Boolean)].collect().toSeq

@@ -147,8 +147,9 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!rows.contains("k3") && rows("knew") == ((5L, "fresh")))
     assert(t.read().count() == 100) // 100 - k3 + knew
     // bucket-pruned read through the delete-applying path stays exact
+    // new tables bucket under the Iceberg transform (write.bucket.fn)
     val k1b = t.read().sparkSession.range(1).select(
-      pmod(xxhash64(lit("k1")), lit(4)).cast("int")).as[Int].head()
+      expr("iceberg_bucket('k1', 4)")).as[Int].head()
     val pruned = t.read(Some(Set(k1b)))
     assert(pruned.where(col("arcane_merge_key") === "k1").select("payload").as[String].head() == "updated")
     // replay idempotence holds on the MoR path too (crash-recovery contract)
@@ -927,7 +928,7 @@ class SnapshotTableSpec extends SparkSpec {
 
     // bucket-pruned reads keep the exact bucket contract with adopted rows
     val b0 = t.read(Some(Set(0)))
-    val expectB0 = t.read().where(pmod(xxhash64(col("arcane_merge_key")), lit(4)) === 0)
+    val expectB0 = t.read().where(expr("iceberg_bucket(arcane_merge_key, 4)") === 0)
     assert(b0.select("arcane_merge_key").as[String].collect().sorted.toSeq ==
       expectB0.select("arcane_merge_key").as[String].collect().sorted.toSeq)
 

@@ -39,6 +39,60 @@ def fail(msg):
     sys.exit(1)
 
 
+def _murmur3_x86_32(data, seed=0):
+    """Canonical murmur3_x86_32 — independent reimplementation used to
+    recompute published bucket partition values (Iceberg bucket[N]
+    transform; the Scala writer shares no code with this)."""
+    c1, c2 = 0xcc9e2d51, 0x1b873593
+    h = seed
+    length = len(data)
+    rounded = length & ~3
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xffffffff
+        k = ((k << 15) | (k >> 17)) & 0xffffffff
+        k = (k * c2) & 0xffffffff
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xffffffff
+        h = (h * 5 + 0xe6546b64) & 0xffffffff
+    tail = data[rounded:]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xffffffff
+        k = ((k << 15) | (k >> 17)) & 0xffffffff
+        k = (k * c2) & 0xffffffff
+        h ^= k
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85ebca6b) & 0xffffffff
+    h ^= h >> 13
+    h = (h * 0xc2b2ae35) & 0xffffffff
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(value, spark_type, n):
+    """bucket[n](value) with the Iceberg spec's byte encodings, keyed by
+    the SPARK type name from Delta's schemaString."""
+    if value is None:
+        return None
+    if spark_type == "string":
+        b = str(value).encode("utf-8")
+    elif spark_type in ("long", "integer", "short", "byte", "date",
+                        "timestamp", "timestamp_ntz"):
+        b = int(value).to_bytes(8, "little", signed=True)
+    elif spark_type == "binary":
+        b = bytes(value)
+    else:
+        return None  # unsupported source type: caller skips the check
+    return (_murmur3_x86_32(b) & 0x7FFFFFFF) % n
+
+
 def main():
     export_dir = sys.argv[1]
     at = None
@@ -85,7 +139,10 @@ def main():
     schema_str = None
     table_id = None
     protocol_seen = False
-    files = {}   # path -> add action
+    configuration = {}
+    pcols = []
+    files = {}      # path -> add action
+    removed = {}    # path -> deletionTimestamp (tombstones)
     state_at_ck = None
     for p in commits:
         v = int(os.path.basename(p)[:-5])
@@ -105,10 +162,19 @@ def main():
                     errors.append("table id changed across commits")
                 table_id = m["id"]
                 schema_str = m["schemaString"]
+                configuration = m.get("configuration", {})
                 if m["format"]["provider"] != "parquet":
                     errors.append(f"unexpected format {m['format']['provider']}")
-                if m["partitionColumns"]:
-                    errors.append("unexpected partition columns")
+                new_pcols = m.get("partitionColumns", [])
+                if pcols and new_pcols != pcols:
+                    errors.append(
+                        f"partition columns changed mid-log: {pcols} -> {new_pcols}")
+                pcols = new_pcols
+                sch = json.loads(schema_str)
+                for pc in pcols:
+                    if pc not in [f["name"] for f in sch["fields"]]:
+                        errors.append(
+                            f"partition column {pc} not in schemaString")
             elif "add" in act:
                 a = act["add"]
                 if a["path"] in files:
@@ -116,12 +182,19 @@ def main():
                 for req in ("size", "modificationTime", "dataChange"):
                     if req not in a:
                         errors.append(f"add missing required field {req}")
+                pv = a.get("partitionValues", {})
+                if set(pv) != set(pcols):
+                    errors.append(
+                        f"add partitionValues keys {sorted(pv)} != "
+                        f"partitionColumns {sorted(pcols)}: {a['path']}")
                 files[a["path"]] = a
+                removed.pop(a["path"], None)
             elif "remove" in act:
                 r = act["remove"]
                 if r["path"] not in files:
                     errors.append(f"remove of file never added: {r['path']}")
                 files.pop(r["path"], None)
+                removed[r["path"]] = r.get("deletionTimestamp", 0)
             elif "commitInfo" in act:
                 pass
             else:
@@ -131,7 +204,7 @@ def main():
         if v == 0 and schema_str is None:
             errors.append("version 0 carries no metaData action")
         if ck_version is not None and v == ck_version:
-            state_at_ck = (dict(files), schema_str, table_id)
+            state_at_ck = (dict(files), schema_str, table_id, dict(removed))
 
     if ck_version is not None and state_at_ck is not None:
         con0 = duckdb.connect()
@@ -140,6 +213,7 @@ def main():
             f"SELECT txn, protocol, metaData, add, remove "
             f"FROM read_parquet('{ck_local}')").fetchall()
         ck_files = {}
+        ck_removes = {}
         ck_schema = None
         ck_id = None
         ck_proto = False
@@ -151,7 +225,9 @@ def main():
                 ck_schema = md["schemaString"]
             if add is not None:
                 ck_files[add["path"]] = add["size"]
-        jf, js, jid = state_at_ck
+            if rem is not None:
+                ck_removes[rem["path"]] = rem["deletionTimestamp"]
+        jf, js, jid, jremoved = state_at_ck
         if not ck_proto:
             errors.append("checkpoint carries no protocol action")
         if ck_schema != js:
@@ -165,11 +241,35 @@ def main():
             errors.append(
                 f"checkpoint file set diverges from JSON replay at v{ck_version}: "
                 f"+ck={sorted(only_ck)[:3]} +json={sorted(only_js)[:3]}")
+        # protocol: a checkpoint must CARRY unexpired remove tombstones —
+        # they must be real tombstones (removed in the JSON history, not
+        # live), and every tombstone removed at-or-near the checkpoint's
+        # own commit must be present (older ones may legally be expired)
+        for pth in ck_removes:
+            if pth in json_set:
+                errors.append(f"checkpoint tombstone for LIVE file: {pth}")
+            elif pth not in jremoved:
+                errors.append(f"checkpoint tombstone never removed in log: {pth}")
+        fresh = {p for p, ts in jremoved.items()
+                 if ts == max(jremoved.values(), default=0)}
+        missing = fresh - set(ck_removes)
+        if jremoved and missing:
+            errors.append(
+                f"checkpoint omits fresh remove tombstones: {sorted(missing)[:3]}")
 
     if schema_str is None:
         fail("no metaData in replayed range")
     schema = json.loads(schema_str)
     cols = [f["name"] for f in schema["fields"]]
+    types = {f["name"]: f["type"] for f in schema["fields"]}
+    data_cols = [c for c in cols if c not in pcols]
+
+    # bucket-partition recompute: graft's documented convention records
+    # the transform parameters in metaData.configuration — every add's
+    # partition value must equal the murmur3 bucket of EVERY key in its
+    # file (a wrong value silently mis-prunes external point lookups)
+    bsrc = configuration.get("graft.bucket.source")
+    bn = configuration.get("graft.bucket.n")
 
     con = duckdb.connect()
     total = 0
@@ -185,13 +285,54 @@ def main():
         if a["size"] != actual_size:
             errors.append(f"size {a['size']} != actual {actual_size}: {path}")
         total += n
+        if pcols and bsrc and bn:
+            pv = a.get("partitionValues", {}).get(f"{bsrc}_bucket")
+            declared = None if pv is None else int(pv)
+            keys = [r[0] for r in con.sql(
+                f'SELECT DISTINCT "{bsrc}" FROM read_parquet(\'{local}\')').fetchall()]
+            for kv in keys:
+                got = iceberg_bucket(kv, str(types.get(bsrc)), int(bn))
+                if got != declared:
+                    errors.append(
+                        f"partition value {declared} but key {kv!r} buckets "
+                        f"to {got}: {path}")
+                    break
 
-    # rebuild the live rows through DuckDB and hash deterministically
+    # rebuild the live rows through DuckDB — partition columns are NOT in
+    # the parquet files (protocol: their data lives in the log), so each
+    # file's partition values materialize as literals — and hash
+    # deterministically
+    def duck_type(t):
+        m = {"long": "BIGINT", "integer": "INT", "short": "SMALLINT",
+             "byte": "TINYINT", "string": "VARCHAR", "boolean": "BOOLEAN",
+             "double": "DOUBLE", "float": "FLOAT", "date": "DATE",
+             "timestamp": "TIMESTAMP", "binary": "BLOB"}
+        if isinstance(t, str) and t.startswith("decimal"):
+            return t.upper()
+        return m.get(t, "VARCHAR")
+
     if files:
-        paths = [local_path(p) for p in sorted(files)]
+        selects = []
+        for path in sorted(files):
+            a = files[path]
+            local = local_path(path)
+            # files written before an ADD COLUMN lack the new columns —
+            # the protocol reads them as NULL (same as Spark's
+            # union_by_name), so missing columns materialize as typed NULLs
+            have = {r[0] for r in con.sql(
+                f"DESCRIBE SELECT * FROM read_parquet('{local}')").fetchall()}
+            parts = [f'"{c}"' if c in have else
+                     f'CAST(NULL AS {duck_type(types[c])}) AS "{c}"'
+                     for c in data_cols]
+            for pc in pcols:
+                v = a.get("partitionValues", {}).get(pc)
+                parts.append("CAST(NULL AS INT) AS \"%s\"" % pc if v is None
+                             else "CAST(%s AS INT) AS \"%s\"" % (int(v), pc))
+            selects.append(
+                f"SELECT {', '.join(parts)} FROM read_parquet('{local}')")
         collist = ", ".join(f'"{c}"' for c in cols)
         df = con.sql(
-            f"SELECT {collist} FROM read_parquet({paths!r}, union_by_name=true) "
+            f"SELECT {collist} FROM ({' UNION ALL '.join(selects)}) "
             f"ORDER BY ALL").fetchall()
         h = hashlib.md5(repr(df).encode()).hexdigest()
         rows = len(df)

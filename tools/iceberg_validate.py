@@ -249,6 +249,76 @@ def load_metadata(export_dir):
         return json.load(f)
 
 
+def _murmur3_x86_32(data, seed=0):
+    """Canonical murmur3_x86_32 (public algorithm, Appendix B of the
+    Iceberg spec names it for the bucket transform). Independent
+    reimplementation — shares no code with the Scala writer."""
+    c1, c2 = 0xcc9e2d51, 0x1b873593
+    h = seed
+    length = len(data)
+    rounded = length & ~3
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xffffffff
+        k = ((k << 15) | (k >> 17)) & 0xffffffff
+        k = (k * c2) & 0xffffffff
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xffffffff
+        h = (h * 5 + 0xe6546b64) & 0xffffffff
+    tail = data[rounded:]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xffffffff
+        k = ((k << 15) | (k >> 17)) & 0xffffffff
+        k = (k * c2) & 0xffffffff
+        h ^= k
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85ebca6b) & 0xffffffff
+    h ^= h >> 13
+    h = (h * 0xc2b2ae35) & 0xffffffff
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(value, type_name, n):
+    """bucket[n](value) per the Iceberg spec's per-type byte encodings;
+    None for a null value (null transform result)."""
+    if value is None:
+        return None
+    if type_name == "string":
+        b = str(value).encode("utf-8")
+    elif type_name in ("int", "long", "date", "timestamp", "timestamptz"):
+        b = int(value).to_bytes(8, "little", signed=True)
+    elif type_name == "binary":
+        b = bytes(value)
+    elif type_name.startswith("decimal"):
+        import decimal
+        unscaled = int(decimal.Decimal(value).scaleb(
+            int(type_name.split(",")[1].rstrip(") "))))
+        blen = max(1, (unscaled.bit_length() + 8) // 8)
+        b = unscaled.to_bytes(blen, "big", signed=True)
+    else:
+        return None  # unsupported source type: caller skips the check
+    return (_murmur3_x86_32(b) & 0x7FFFFFFF) % n
+
+
+def partition_specs_of(meta):
+    """spec-id -> list of partition field dicts; also checks the default
+    spec exists."""
+    specs = {s["spec-id"]: s.get("fields", [])
+             for s in meta.get("partition-specs", [])}
+    if meta.get("default-spec-id", 0) not in specs:
+        err(f"default-spec-id {meta.get('default-spec-id')} not in "
+            f"partition-specs {sorted(specs)}")
+    return specs
+
+
 def validate_metadata(meta):
     """Structural TableMetadata checks; returns field id -> (name, type)
     across all published schemas."""
@@ -291,7 +361,7 @@ def validate_metadata(meta):
     return ids
 
 
-def validate_snapshot(snap, field_ids, con):
+def validate_snapshot(snap, field_ids, specs, con):
     """Walk one snapshot's manifest list + manifests; validate counts and
     per-file facts. Returns (data_files, eq_deletes, pos_deletes):
     data file = (uri, local, record_count, seq, format, lower, upper);
@@ -312,6 +382,11 @@ def validate_snapshot(snap, field_ids, con):
                 f"actual {actual_len}")
         if mf["content"] not in (0, 1):
             err(f"{mpath}: illegal manifest content {mf['content']}")
+        spec_id = mf.get("partition_spec_id", 0)
+        if spec_id not in specs:
+            err(f"{mpath}: partition_spec_id {spec_id} not declared in "
+                f"partition-specs")
+        spec_fields = specs.get(spec_id, [])
         _, entries = read_avro_container(mpath)
         counts = {0: 0, 1: 0, 2: 0}
         rows = {0: 0, 1: 0, 2: 0}
@@ -373,6 +448,41 @@ def validate_snapshot(snap, field_ids, con):
                                 f"'{name}' outside manifest bounds "
                                 f"[{lo}, {hi}]")
             if content == 0:
+                # partition tuple must carry exactly the manifest spec's
+                # fields, and a bucket[N] value must be the REAL bucket of
+                # every key in the file — recomputed here with an
+                # independent murmur3 (a wrong tuple silently loses rows
+                # for every pruning external reader)
+                pt = df.get("partition") or {}
+                want = {f["name"] for f in spec_fields}
+                if set(pt) != want:
+                    err(f"{fpath}: partition tuple fields {sorted(pt)} != "
+                        f"spec fields {sorted(want)}")
+                for f in spec_fields:
+                    tr = f.get("transform", "")
+                    if not tr.startswith("bucket["):
+                        continue
+                    n = int(tr[len("bucket["):-1])
+                    v = pt.get(f["name"])
+                    if v is not None and not (0 <= v < n):
+                        err(f"{fpath}: bucket value {v} outside [0, {n})")
+                    src = field_ids.get(f.get("source-id"))
+                    if src is None:
+                        err(f"{fpath}: bucket source-id {f.get('source-id')}"
+                            f" is not a known field id")
+                        continue
+                    sname, stype = src
+                    if fmt != "PARQUET":
+                        continue
+                    vals = [r[0] for r in con.execute(
+                        f'SELECT DISTINCT "{sname}" FROM read_parquet('
+                        + sq(fpath) + ")").fetchall()]
+                    for kv in vals:
+                        got = iceberg_bucket(kv, stype, n)
+                        if got != v:
+                            err(f"{fpath}: key {kv!r} has bucket {got} but "
+                                f"partition tuple says {v}")
+                            break
                 data_files.append((uri, fpath, df["record_count"], seq, fmt,
                                    lower, upper))
             elif content == 2:
@@ -465,6 +575,7 @@ def main():
         print(json.dumps({"rows": -1, "errors": len(ERRORS)}))
         sys.exit(1)
     field_ids = validate_metadata(meta)
+    specs = partition_specs_of(meta)
 
     # deep-validate EVERY retained snapshot's manifests; reconstruct rows
     # for the requested one
@@ -472,7 +583,7 @@ def main():
                  else meta.get("current-snapshot-id"))
     result = None
     for snap in meta.get("snapshots", []):
-        d, eq, pos = validate_snapshot(snap, field_ids, con)
+        d, eq, pos = validate_snapshot(snap, field_ids, specs, con)
         if snap["snapshot-id"] == target_id:
             schema_id = snap.get("schema-id", meta["current-schema-id"])
             schema = next(s for s in meta["schemas"]
