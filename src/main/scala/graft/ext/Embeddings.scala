@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   * (dimensionality reduction / decorrelation — the preprocessing step of
   * SemDeDup-style clustering and the OPQ lineage of quantizers).
   *
-  * Scale design: both fits are ONE (standardize) or TWO (PCA) bounded
-  * aggregations over a corpus scan — the shuffled keys are dimension
-  * indexes (d or d·(d+1)/2 rows total, corpus-size independent) and the
-  * driver reassembles at most a d×d matrix. All sums go through exact
+  * Scale design: each fit is ONE bounded aggregation over a corpus scan
+  * — standardize shuffles d dimension-index rows, PCA shuffles a single
+  * ~d²/2 fixed-point buffer per partition ([[graft.sql.VecMomentsFp]]) —
+  * and the driver reassembles at most a d×d matrix. All sums go through exact
   * DECIMAL accumulation, so fitted statistics are BIT-deterministic under
   * any partitioning — which is what lets a gate hash a standardized
   * similarity result against an external replay. At 100 TB fit on a
@@ -19,14 +19,6 @@ import org.apache.spark.sql.functions._
   * scoring/projection is a map-only fold over broadcast literals.
   */
 object Embeddings {
-
-  /** Exact per-dimension accumulator: products/values are doubles, but the
-    * SUM is decimal(38,24) — commutative and associative, so any
-    * partitioning yields the same bits. 14 integer digits hold row counts
-    * to 10^14 at |x| ≤ 1; a wider corpus needs a pre-scale, not a wider
-    * decimal (loud overflow either way, never silent drift).
-    */
-  private val SumType = "decimal(38,24)"
 
   /** Fixed-point grid for the standardization moments: values and squares
     * are floored onto a 1e-12 grid BEFORE summation, so the accumulator is
@@ -99,15 +91,30 @@ object Embeddings {
     def m: Int = components.length
   }
 
-  /** Fit PCA over an embedding column. Two bounded jobs:
-    * (1) per-dimension exact-decimal mean (d shuffle rows);
-    * (2) upper-triangle second moments E[x_i·x_j] via a double posexplode
-    *     restricted to j ≥ i (d·(d+1)/2 shuffle rows, map-side combined).
-    * The d×d covariance is assembled on the driver and eigendecomposed
-    * with cyclic Jacobi — deterministic given the (exact-decimal, hence
-    * partition-invariant) moments, so the whole fit is replayable.
-    * Components get a sign convention (largest-|coordinate| positive) so
-    * eigenvector sign ambiguity cannot flip between runs.
+  /** The PCA fit's single aggregation: ONE map-side pass over the corpus
+    * ([[graft.sql.VecMomentsFp]] — per-dimension sums AND the whole
+    * d·(d+1)/2 second-moment triangle accumulate exactly, in fixed point,
+    * INSIDE the agg buffer), one Exchange carrying one ~d²/2 buffer per
+    * partition, zero row expansion. Exposed for the plan pin in
+    * EmbeddingsSpec (no Generate, exactly one Exchange) — the previous
+    * formulation was a Generate-over-Generate materializing d·(d+1)/2
+    * ROWS per input vector, the suite's slowest gate.
+    */
+  private[graft] def momentFrame(corpus: DataFrame, vecCol: String): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    corpus.where(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .agg(call_function("vec_moments_fp", col("v")).as("m"))
+  }
+
+  /** Fit PCA over an embedding column: one bounded job — the one-pass
+    * exact fixed-point moments ([[momentFrame]]) — then the d×d
+    * covariance is assembled on the driver and eigendecomposed with
+    * cyclic Jacobi. The integer moment sums are partition-invariant, so
+    * the whole fit is bit-stable under repartitioning (pinned by
+    * q_pca_contract's refit check). Components get a sign convention
+    * (largest-|coordinate| positive) so eigenvector sign ambiguity cannot
+    * flip between runs.
     *
     * At 100 TB: fit on `corpus.where(pmod(xxhash64(id), N) < k)` — the
     * moments need O(d²) effective samples; the projection pass is the
@@ -118,32 +125,28 @@ object Embeddings {
       numComponents: Int,
       vecCol: String = "embedding"
   ): PcaModel = {
-    val v = corpus.where(col(vecCol).isNotNull)
-      .select(col(vecCol).cast("array<double>").as("v"))
-    val first = v.select(size(col("v")).as("d")).head()
-    val d = first.getInt(0)
+    val m = momentFrame(corpus, vecCol).head().getStruct(0)
+    val n = m.getLong(0)
+    val sums = m.getSeq[java.math.BigDecimal](1)
+    val prods = m.getSeq[java.math.BigDecimal](2)
+    val d = sums.length
     require(numComponents >= 1 && numComponents <= d,
       s"numComponents must be in [1, $d], got $numComponents")
 
-    val meanRows = v.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg((sum(col("x").cast(SumType)) / count(lit(1))).cast("double").as("m"))
-      .collect()
-    val mean = new Array[Double](d)
-    meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1))
-
-    val e1 = v.select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
-    val momRows = e1
-      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
-      .where(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg((sum((col("xi") * col("xj")).cast(SumType)) / count(lit(1))).cast("double").as("e"))
-      .collect()
+    val fp = graft.sql.VecMomentsFp.FpScale
+    val mean = sums.map(s => s.doubleValue() / fp / n).toArray
     val cov = Array.ofDim[Double](d, d)
-    momRows.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val c = r.getDouble(2) - mean(i) * mean(j)
-      cov(i)(j) = c; cov(j)(i) = c
+    var k = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val e = prods(k).doubleValue() / fp / n
+        val c = e - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        k += 1; j += 1
+      }
+      i += 1
     }
 
     val (values, vectors) = jacobiEigen(cov)

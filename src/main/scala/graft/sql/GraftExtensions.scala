@@ -77,7 +77,11 @@ object GraftExtensions {
     // AND trims inside the agg buffer, so the shuffle carries ≤ k longs
     // per group per partition — see KmvAgg's scaladoc for why CollectTopK
     // can't express this (its heap keeps duplicates).
-    ("kmv_agg", KmvAgg.info, KmvAgg.builder)
+    ("kmv_agg", KmvAgg.info, KmvAgg.builder),
+    // One-pass exact fixed-point vector moments (PCA fit): the whole
+    // d·(d+1)/2 second-moment triangle accumulates inside the agg buffer
+    // — no posexplode row expansion, one Exchange.
+    ("vec_moments_fp", VecMomentsFp.info, VecMomentsFp.builder)
   )
 
   /** Idempotently register every engine function on an existing session

@@ -63,6 +63,29 @@ class EmbeddingsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(model.eigenvalues, model2.eigenvalues))
   }
 
+  test("pcaFit plan: zero row expansion — no Generate, exactly one Exchange") {
+    val df = syntheticVectors(100, 8).toDF("vec_id", "embedding")
+    // AQE wraps the physical plan; pin on the rendered tree (collect does
+    // not descend into AdaptiveSparkPlan's inner plan before execution)
+    val plan = Embeddings.momentFrame(df, "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"the moment pass must not explode rows (was the Generate-over-Generate regression):\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"one partial-agg Exchange expected, got $exchanges:\n$plan")
+    assert(plan.contains("partial_vec_moments_fp"),
+      s"map-side partial aggregation must be present:\n$plan")
+  }
+
+  test("pcaFit handles null vectors and null coordinates like the sum/count formulation") {
+    val rows = syntheticVectors(200, 4).map { case (id, v) => (id, v) }
+    val df = rows.toDF("vec_id", "embedding")
+      .unionByName(Seq((9999L, null.asInstanceOf[Array[Double]]))
+        .toDF("vec_id", "embedding"))
+    val model = Embeddings.pcaFit(df, numComponents = 2) // must not throw
+    assert(model.dim == 4 && model.eigenvalues.forall(_ > 0))
+  }
+
   test("pcaProject: projected-space ANN keeps high recall vs full-space brute force") {
     val df = syntheticVectors(400, 16, seed = 23).toDF("vec_id", "embedding")
     val model = Embeddings.pcaFit(df, numComponents = 8)
