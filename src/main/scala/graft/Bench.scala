@@ -233,6 +233,25 @@ object Bench {
     * times. `extra` is a pre-rendered JSON fragment (`"k":v,...`)
     * appended to the document — the ingest-rate and 10x-scale sections.
     */
+  /** The sf1 block's work-count fragment: blocking candidates (the
+    * verify-cost driver) and skew-guard engagement for the three legs
+    * whose wall-clock swings with host noise — counts are deterministic,
+    * so a timing outlier over flat counts is attributably NOISE and over
+    * grown counts attributably WORK (the r15 verdict's unadjudicable
+    * 26x outlier, made adjudicable). Field names pinned by
+    * BenchOutputSpec.
+    */
+  def workJson(
+      nearDup: (Long, Long),
+      incremental: (Long, Long, Long),
+      fuzzy: (Long, Long)): String =
+    s""""work":{"q_near_dup_pairs":{"candidates":${nearDup._1},""" +
+      s""""capped_buckets":${nearDup._2}},""" +
+      s""""q_incremental_near_dup":{"candidates":${incremental._1},""" +
+      s""""capped_increment_buckets":${incremental._2},""" +
+      s""""capped_corpus_buckets":${incremental._3}},""" +
+      s""""q_fuzzy_pairs2":{"candidates":${fuzzy._1},"capped_buckets":${fuzzy._2}}}"""
+
   def detailJson(runs: Seq[(String, Seq[Double])], sfDir: String, extra: String = ""): String = {
     val results = runs.map { case (n, r) => n -> r.min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
@@ -511,7 +530,22 @@ object Bench {
         val r = base.get(n).filter(_ > 0).map(b => if (t > 0) r3(t / b) else -1.0).getOrElse(-1.0)
         "\"" + n + "\":" + r
       }.mkString("{", ",", "}")
-      s""""sf1":{"rows_factor":10,"queries":$qs,"ratio_vs_base":$ratios,""" +
+      // WORK COUNTS for the three noisiest legs: seconds alone cannot
+      // distinguish a host hiccup from real work growth (the fuzzy-knee
+      // section proved counts survive noise, seconds don't). candidates
+      // drive verify cost; capped_* name the skew guards' engagement.
+      val work = try {
+        Bench.workJson(
+          graft.queries.Queries.nearDupWorkCounts(spark, dir10),
+          graft.queries.Queries.incrementalNearDupWorkCounts(spark, dir10),
+          graft.ext.Dedup.fuzzyBlockingStats(
+            fuzzyKneeCorpus(spark, sfDir, 10000), "id", "s", maxDist = 2)) + ","
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"BENCH 10x WORK COUNTS FAILED: ${e.getMessage}")
+          "\"work\":{},"
+      }
+      s""""sf1":{"rows_factor":10,"queries":$qs,"ratio_vs_base":$ratios,$work""" +
         s""""cdc_rows_per_sec":${r3(if (sec10 > 0) rows10 / sec10 else -1.0)},"cdc_rows":$rows10}"""
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -68,12 +68,28 @@ object Classifier {
       learningRate: Double = 8.0,
       l2: Double = 0.0
   ): LinearModel = {
-    require(numBuckets > 0 && iterations >= 0)
     val feats = Datasets.withDsirTokens(labeled, textCol)
       .select(col(labelCol).cast("double").as("_y"),
         Datasets.dsirBuckets(col("_dsir_toks"), numBuckets).as("_buckets"))
       .persist()
-    try {
+    try fitFeaturized(feats, numBuckets, iterations, learningRate, l2)
+    finally feats.unpersist()
+  }
+
+  /** GD over an ALREADY-FEATURIZED (and caller-cached) `(_y, _buckets)`
+    * frame — the shared core of [[fit]] and [[fitMulti]], so the k
+    * one-vs-rest fits reuse ONE tokenization+bucketing pass instead of
+    * re-running it per class.
+    */
+  private def fitFeaturized(
+      feats: DataFrame,
+      numBuckets: Int,
+      iterations: Int,
+      learningRate: Double,
+      l2: Double
+  ): LinearModel = {
+    require(numBuckets > 0 && iterations >= 0)
+    locally {
       // One fused pre-pass: row count, occurrence headroom and label
       // domain. A label outside {0,1} would silently skew every residual
       // (sigmoid(z) − 2 is a gradient, just a wrong one) — fail loudly.
@@ -117,7 +133,7 @@ object Classifier {
         bias = bias - step * (gBias.toDouble / FixedPointScale)
       }
       LinearModel(w.toSeq, bias)
-    } finally feats.unpersist()
+    }
   }
 
   /** Quantized residual `round((sigmoid(z) − y) · FixedPointScale)` with
@@ -169,13 +185,22 @@ object Classifier {
       learningRate: Double = 8.0,
       l2: Double = 0.0
   ): Map[String, LinearModel] = {
-    val classes = labeled.select(col(classCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).sorted
-    classes.map { c =>
-      c -> fit(
-        labeled.withColumn("_label_ovr", (col(classCol).cast("string") === c).cast("int")),
-        textCol, "_label_ovr", numBuckets, iterations, learningRate, l2)
-    }.toMap
+    // featurize ONCE: tokenization + bucketing is the per-fit corpus scan,
+    // and every OvR class consumes the identical featurized rows — only
+    // the 0/1 label differs, a map-only projection over the cached frame
+    val feats = Datasets.withDsirTokens(labeled, textCol)
+      .select(col(classCol).cast("string").as("_cls"),
+        Datasets.dsirBuckets(col("_dsir_toks"), numBuckets).as("_buckets"))
+      .persist()
+    try {
+      val classes = feats.select(col("_cls"))
+        .distinct().collect().map(_.getString(0)).sorted
+      classes.map { c =>
+        c -> fitFeaturized(
+          feats.select((col("_cls") === c).cast("double").as("_y"), col("_buckets")),
+          numBuckets, iterations, learningRate, l2)
+      }.toMap
+    } finally feats.unpersist()
   }
 
   /** Argmax-class labeling with a one-vs-rest model set: adds

@@ -1129,14 +1129,32 @@ object Dedup {
   /** Bloom membership index over a corpus's exact fingerprints
     * ([[TextAnalysis.fingerprint]] — whitespace/case-normalized md5): the
     * persistable "have I seen this document" state of a crawl pipeline.
-    * Bits are bounded by `8 × expectedItems` (≤ 64 Mbit = 8 MiB — ~1 %
-    * false positives at capacity), INDEPENDENT of corpus size: one
+    * Bits are sized for ~1 % false positives at capacity
+    * ([[bloomBits]]: ~9.6 bits/item, ≤ 64 Mbit = 8 MiB with a LOUD cap),
+    * INDEPENDENT of corpus size: one
     * map-side-combined aggregation over the corpus, mergeable bits, and
     * the result is a plain byte array callers can store beside the
     * corpus and reuse across increments — prior crawls are then never
     * re-scanned on the fast path. NULL-text rows carry no content and
     * are excluded (they are never duplicates of anything).
     */
+  /** Bits for ~1 % FPP at `n` items: the standard optimum
+    * m = −n·ln p / ln²2 ≈ 9.585 bits/item (8 bits/item — the old sizing —
+    * measures ~2–3 %, not the documented 1 %). Capped at 64 Mbit (8 MiB:
+    * the literal ships in every probing plan), and the cap is LOUD — past
+    * ~7 M items the realized FPP degrades and the caller should shard the
+    * index, not discover the drift in production.
+    */
+  private[graft] def bloomBits(expectedItems: Long): Long = {
+    val optimal = math.ceil(expectedItems * 9.585059).toLong
+    val cap = 67108864L
+    if (optimal > cap) logger.warn(
+      s"exactIndex: optimal bloom size for $expectedItems items is $optimal bits, " +
+        s"capped at $cap (8 MiB) — realized FPP exceeds the ~1% design point " +
+        s"(~${(expectedItems / 7000000.0).ceil.toInt} shards would restore it)")
+    math.min(optimal, cap)
+  }
+
   def exactIndex(
       corpus: DataFrame,
       textCol: String = "text",
@@ -1146,7 +1164,7 @@ object Dedup {
     val fp = TextAnalysis.fingerprint(col(textCol))
     corpus.where(fp.isNotNull)
       .agg(call_function("bloom_agg", xxhash64(fp),
-        lit(expectedItems), lit(math.min(expectedItems * 8, 67108864L))).as("_bf"))
+        lit(expectedItems), lit(bloomBits(expectedItems))).as("_bf"))
       .head().getAs[Array[Byte]](0)
   }
 
@@ -1184,9 +1202,16 @@ object Dedup {
     val bf = index.getOrElse(exactIndex(corpus, textCol, expectedItems))
     val cols = incoming.columns
     val fpIn = TextAnalysis.fingerprint(col(textCol))
+    // PERSIST the marked increment: it is consumed twice (suspect
+    // extraction + the final anti-join), and without the cache each
+    // consumer re-fingerprints the increment AND re-embeds the ≤8 MiB
+    // bloom literal in its own plan subtree. The suspect count below is
+    // an eager action, so the cache materializes before reuse; the
+    // increment is batch-sized by contract, so pinning it is bounded.
     val marked = incoming.withColumn("_fp", fpIn).withColumn("_suspect",
       col("_fp").isNotNull &&
         call_function("bloom_might_contain", lit(bf), xxhash64(col("_fp"))))
+      .persist()
     val suspectFps = marked.where(col("_suspect")).select(col("_fp")).distinct()
     val corpusFps = corpus
       .select(TextAnalysis.fingerprint(col(textCol)).as("_fp"))
@@ -1267,6 +1292,19 @@ object Dedup {
     * guard only kicks in at `maxBucketSize`-scale groups and degrades to
     * dropped buckets, not to a cheaper plan.
     */
+  /** A REPRESENTATIVE bounded probe sample: a content-hash filter (~1 %
+    * of rows, uniform in the VALUE, partition-layout independent) bounded
+    * by a limit — a bare `limit(n)` samples a first-partitions PREFIX, so
+    * on ordered inputs (short names first, documents sorted by size) the
+    * probes below would read only the benign head and wave the
+    * pathological tail through. Corpora too small for the 1/101 filter to
+    * hit fall back to the prefix (at that size the prefix IS the corpus).
+    */
+  private def probeSample(df: DataFrame, strCol: String): DataFrame = {
+    val sampled = df.where(pmod(xxhash64(col(strCol)), lit(101)) === 0).limit(10000)
+    if (sampled.head(1).nonEmpty) sampled else df.limit(10000)
+  }
+
   def fuzzyPairs(
       df: DataFrame,
       idCol: String = "doc_id",
@@ -1280,13 +1318,15 @@ object Dedup {
     // O(len^maxDist) per ROW, so pointing this at document bodies (the
     // `text` default exists for the short-title/name/URL case) explodes
     // into millions of variants before the join even starts. Probe a
-    // bounded sample (10k rows — one tiny job, never a corpus scan) and
+    // bounded REPRESENTATIVE sample ([[probeSample]] — hash-filtered, so
+    // ordered inputs cannot hide the tail) and
     // refuse loudly instead of running the quadratic-ish plan; callers
     // with genuinely long short-ish strings can raise the cap, and
     // maxAvgLen <= 0 disables the probe for the caller who has measured.
     if (maxAvgLen > 0) {
-      val probe = df.select(length(col(strCol)).as("l")).where(col("l").isNotNull)
-        .limit(10000).agg(avg(col("l"))).first()
+      val probe = probeSample(df, strCol)
+        .select(length(col(strCol)).as("l")).where(col("l").isNotNull)
+        .agg(avg(col("l"))).first()
       val avgLen = if (probe.isNullAt(0)) 0.0 else probe.getDouble(0)
       require(avgLen <= maxAvgLen,
         f"fuzzyPairs: avg length of '$strCol' is $avgLen%.1f > maxAvgLen=$maxAvgLen. " +
@@ -1299,12 +1339,14 @@ object Dedup {
     // of IDENTICAL strings is Θ(k²) by problem definition (SCALE.md "the
     // fuzzy-pairs knee"), so a corpus whose sampled largest exact group
     // exceeds `maxSampleGroup` fails fast pointing at Dedup.exact instead
-    // of silently running a quadratic-in-group-size plan. Bounded sample
-    // (10k rows — one tiny job); <= 0 disables for the caller who has
-    // measured and truly wants mass-identical pairs enumerated.
+    // of silently running a quadratic-in-group-size plan. Bounded
+    // representative sample ([[probeSample]]); <= 0 disables for the
+    // caller who has measured and truly wants mass-identical pairs
+    // enumerated.
     if (maxSampleGroup > 0) {
-      val g = df.select(col(strCol).as("s")).where(col("s").isNotNull)
-        .limit(10000).groupBy(col("s")).count().agg(max(col("count"))).first()
+      val g = probeSample(df, strCol)
+        .select(col(strCol).as("s")).where(col("s").isNotNull)
+        .groupBy(col("s")).count().agg(max(col("count"))).first()
       val biggest = if (g.isNullAt(0)) 0L else g.getLong(0)
       require(biggest <= maxSampleGroup,
         s"fuzzyPairs: a sampled exact-duplicate group of '$strCol' has $biggest rows " +
@@ -1340,6 +1382,88 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** Blocking-stage observables of [[nearDuplicatePairs]]:
+    * `(candidatePairs, cappedBuckets)` — the distinct candidate count is
+    * the verify-join's true cost driver (emitted pairs only count
+    * matches above the threshold), `cappedBuckets` the band buckets the
+    * `maxBucketSize` skew guard dropped. Recorded in the bench's sf1
+    * block so a wall-clock outlier is attributable: flat counts name
+    * host noise, exploding counts name real work growth.
+    */
+  def nearDupBlockingStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 32,
+      maxBucketSize: Int = 10000,
+      oph: Boolean = false
+  ): (Long, Long) = {
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val banded = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes, oph = oph)
+      .select(col("id"), explode(lshBandKeys(col("signature"), numHashes, numBands)).as("bk"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .cache()
+    try {
+      val capped = banded.where(col("bucket_n") > maxBucketSize)
+        .select("bk").distinct().count()
+      val ok = banded.where(col("bucket_n") <= maxBucketSize)
+      val candidates = ok.select(col("bk"), col("id").as("id_a"))
+        .join(ok.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+      (candidates, capped)
+    } finally banded.unpersist()
+  }
+
+  /** Blocking-stage observables of [[incrementalNearDups]]:
+    * `(candidatePairs, cappedIncrementBuckets, cappedCorpusBuckets)` —
+    * the same blocking the operator runs (increment-side guard first,
+    * corpus guard over band-survivors only), counted instead of
+    * verified. Same attribution purpose as [[nearDupBlockingStats]].
+    */
+  def incrementalBlockingStats(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 32,
+      maxBucketSize: Int = 10000
+  ): (Long, Long, Long) = {
+    graft.sql.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    def bands(df: DataFrame): DataFrame =
+      minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
+        .select(col("id"), explode(lshBandKeys(col("signature"), numHashes, numBands)).as("bk"))
+    val incAll = bands(incoming)
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .cache()
+    try {
+      val cappedInc = incAll.where(col("bucket_n") > maxBucketSize)
+        .select("bk").distinct().count()
+      val incBands = incAll.where(col("bucket_n") <= maxBucketSize)
+        .select(col("id").as("inc_id"), col("bk"))
+      val survivorsAll = bands(corpus)
+        .join(broadcast(incBands.select("bk").distinct()), Seq("bk"), "leftsemi")
+        .withColumn("_corpus_n", count(lit(1)).over(Window.partitionBy(col("bk"))))
+        .cache()
+      try {
+        val cappedCorpus = survivorsAll.where(col("_corpus_n") > maxBucketSize)
+          .select("bk").distinct().count()
+        val candidates = survivorsAll.where(col("_corpus_n") <= maxBucketSize)
+          .join(broadcast(incBands), Seq("bk"))
+          .select(col("inc_id"), col("id").as("corpus_id"))
+          .distinct()
+          .count()
+        (candidates, cappedInc, cappedCorpus)
+      } finally survivorsAll.unpersist()
+    } finally incAll.unpersist()
   }
 
   /** Blocking-stage observables of [[fuzzyPairs]] for knee measurements:

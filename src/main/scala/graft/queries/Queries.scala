@@ -824,6 +824,23 @@ object Queries {
       .orderBy(col("inc_id"), col("corpus_id"))
   }
 
+  /** Blocking work counts behind [[qNearDupPairs]] / [[qIncrementalNearDup]]
+    * on an arbitrary data dir — the bench's sf1 leg records these next to
+    * the wall-clock so a timing outlier is ATTRIBUTABLE: flat candidate
+    * counts at 10x rows name host noise; exploding counts name the real
+    * work growth (the r15 verdict's unadjudicated 26x outlier). Exactly
+    * the gate's corpus construction and parameters.
+    */
+  def nearDupWorkCounts(spark: SparkSession, dir: String): (Long, Long) = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    Dedup.nearDupBlockingStats(withPerturbedCopies(docs), numHashes = 64, numBands = 16)
+  }
+
+  def incrementalNearDupWorkCounts(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    Dedup.incrementalBlockingStats(docs, incrementBatch(docs), numHashes = 64, numBands = 16)
+  }
+
   /** The composed filter ([[graft.ext.Dedup.dedupIncrement]]) on the same
     * corpus/increment: only the genuinely novel incoming rows survive
     * (reversed-text docs plus any paraphrase whose original fell under

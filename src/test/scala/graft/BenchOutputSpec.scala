@@ -99,6 +99,16 @@ class BenchOutputSpec extends AnyFunSuite {
     assert(Bench.compactLine(fakeRuns(200), "sf", "d.json").length < 1600)
   }
 
+  test("sf1 work counts: field names pinned (timing outliers must be attributable)") {
+    val w = Bench.workJson((12345L, 2L), (678L, 0L, 1L), (90L, 3L))
+    assert(w.startsWith(""""work":{"""))
+    assert(w.contains(""""q_near_dup_pairs":{"candidates":12345,"capped_buckets":2}"""))
+    assert(w.contains(""""q_incremental_near_dup":{"candidates":678,""" +
+      """"capped_increment_buckets":0,"capped_corpus_buckets":1}"""))
+    assert(w.contains(""""q_fuzzy_pairs2":{"candidates":90,"capped_buckets":3}"""))
+    assert(w.count(_ == '{') === w.count(_ == '}'))
+  }
+
   test("extra sections ride both outputs and share the compact line's budget") {
     val extra = """"cdc_rows_per_sec":12345.6,"sf1":{"rows_factor":10,"queries":{"q_a":1.5}}"""
     val line = Bench.compactLine(fakeRuns(200), "sf", "d.json", extra = extra)

@@ -73,7 +73,11 @@ class TableLifecycleFuzzSpec extends SparkSpec {
       val fs = new org.apache.hadoop.fs.Path(t.location)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       (snap.files.map(_.path) ++ snap.deletes.map(_.path)).foreach { p =>
-        assert(fs.exists(new org.apache.hadoop.fs.Path(s"${t.location}/data/$p")),
+        // adopted foreign files are referenced by ABSOLUTE uri; the
+        // table's own files are relative to <location>/data
+        val full = if (p.contains(":/") || p.startsWith("/")) new org.apache.hadoop.fs.Path(p)
+          else new org.apache.hadoop.fs.Path(s"${t.location}/data/$p")
+        assert(fs.exists(full),
           s"seed $seed after $tag: referenced file $p missing on disk")
       }
     }
@@ -88,8 +92,39 @@ class TableLifecycleFuzzSpec extends SparkSpec {
     applyModel(first)
     checkInvariants("bootstrap")
 
+    // External-writer ingestion mid-fuzz: a SIDE table's Delta export is
+    // adopted (metadata-only — the foreign files join the manifest at
+    // bucket −1), cross-checked by the independent Python validator, and
+    // every later merge/compact must ABSORB the adopted files into the
+    // bucket layout without the readers-exact invariant ever wobbling.
+    // Adopted keys are disjoint from the merge keyset, so the model is
+    // plain inserts.
+    def adoptStep(step: Int): Unit = {
+      val side = SnapshotTable(spark, tmpDir(s"tbl-fuzz-side-$seed-$step"))
+      val rows = (0 until 3).map { i =>
+        version += 1
+        (f"adopt$step%02d-$i", version, s"a$version", false)
+      }
+      side.createOrReplace(
+        rows.toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+        "arcane_merge_key", numBuckets = 2)
+      val deltaDir = s"${side.location}-delta"
+      side.exportDelta(deltaDir)
+      if (pythonWithDuckdb) {
+        val out = new StringBuilder
+        val code = scala.sys.process.Process(
+          Seq("python3", "tools/delta_validate.py", deltaDir,
+            "--expect-rows", rows.size.toString))
+          .!(scala.sys.process.ProcessLogger(l => { out.append(l); () }, _ => ()))
+        assert(code == 0, s"seed $seed step $step: delta validator failed on side export: $out")
+      }
+      t.adoptDeltaTable(deltaDir)
+      rows.foreach { case (k, v, p, _) => model += (k -> (v, p)) }
+      checkInvariants(s"step$step:adopt-delta")
+    }
+
     for (step <- 0 until 12) {
-      rng.nextInt(6) match {
+      rng.nextInt(7) match {
         case 0 | 1 =>
           val b = randomBatch()
           t.merge(b.toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
@@ -113,9 +148,25 @@ class TableLifecycleFuzzSpec extends SparkSpec {
         case 5 =>
           t.analyze()
           checkInvariants(s"step$step:analyze")
+        case 6 =>
+          adoptStep(step)
       }
     }
+    // every seed exercises the adopt → merge → compact absorption chain
+    // at least once, whatever the random op draw produced
+    adoptStep(99)
+    val b = randomBatch()
+    t.merge(b.toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    applyModel(b)
+    checkInvariants("post-adopt:merge-cow")
+    t.compact(fileSizeThresholdBytes = 512L * 1024 * 1024)
+    checkInvariants("post-adopt:compact")
   }
+
+  private def pythonWithDuckdb: Boolean =
+    scala.util.Try(scala.sys.process.Process(
+      Seq("python3", "-c", "import duckdb")).! == 0).getOrElse(false)
 
   for (seed <- Seq(41, 42)) {
     test(s"random maintenance interleaving seed $seed keeps readers exact and files live") {
