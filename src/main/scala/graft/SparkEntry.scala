@@ -332,7 +332,11 @@ object SparkEntry {
     * applied by sequence number), so the relational truth is identical.
     */
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("q_export_iceberg_mor" -> oracleSqlBase("q_cdc_merge_mor"))
+    oracleSqlBase +
+      ("q_export_iceberg_mor" -> oracleSqlBase("q_cdc_merge_mor")) +
+      // the Delta leg of the same scenario: the uncompacted MoR table read
+      // through _delta_log with protocol deletion vectors applied
+      ("q_export_delta_mor" -> oracleSqlBase("q_cdc_merge_mor"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     // SCD2 replay: same (ts, event_id) total order, first-row detection

@@ -154,11 +154,43 @@ object Dedup {
   ): DataFrame = {
     graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
     val shingled = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles"))
+    nearDuplicatePairsFromSignatures(
+      minHashSignatures(docs, idCol, textCol, shingleSize, numHashes, oph = oph),
+      shingled, numHashes, numBands, threshold, maxBucketSize)
+  }
+
+  /** Signature-generation + banding parameters of a persisted MinHash
+    * index ([[ModelStore.saveMinHashIndex]]): an increment matched
+    * against stored signatures MUST be signed with the identical family
+    * (hash count, shingle width, seed, OPH on/off) and banded the same
+    * way, or the candidate recall silently collapses — persisting the
+    * parameters WITH the signatures makes the reconstruction exact by
+    * construction.
+    */
+  final case class MinHashParams(
+      numHashes: Int, numBands: Int, shingleSize: Int, seed: Long, oph: Boolean)
+
+  /** [[nearDuplicatePairs]] from PRE-COMPUTED signatures (`sigs`:
+    * `(id, signature)` — e.g. a [[ModelStore]]-persisted index, so the
+    * corpus signature pass is never re-run) and the shingle sets for
+    * verification. Same banding, skew guard, candidate join and Jaccard
+    * verify as the direct path — the direct path delegates here, so the
+    * two cannot drift.
+    */
+  def nearDuplicatePairsFromSignatures(
+      sigs: DataFrame,
+      shingled: DataFrame,
+      numHashes: Int = 128,
+      numBands: Int = 32,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(sigs.sparkSession)
     // Skew guard via a count window over the bucket key: the window's
     // hash-partitioning on bk is exactly what the self-join below needs, so
     // the exchange is computed once (an anti-join guard would recompute the
     // whole MinHash pipeline a second time — measured slower).
-    val banded = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes, oph = oph)
+    val banded = sigs
       .select(col("id"), explode(lshBandKeys(col("signature"), numHashes, numBands)).as("bk"))
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bk"))))
       .where(col("bucket_n") <= maxBucketSize)

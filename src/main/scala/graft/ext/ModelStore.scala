@@ -154,4 +154,81 @@ object ModelStore {
     require(rows.forall(_.length == dim), s"$path: corrupt centroid matrix")
     rows
   }
+
+  // ------------------------------------- parquet-backed index artifacts
+
+  /** Corpus-sized artifacts (SQ8 code tables, MinHash signature indexes)
+    * are DATA, not weights: they store as a parquet directory plus the
+    * usual versioned header (`_model.json`, written LAST — a reader that
+    * finds the header finds complete data; loads without it fail loudly).
+    * This is what lets a 100 TB search/dedup job reconstruct its trained
+    * index from storage instead of re-running the corpus-sized
+    * quantization/signature pass every increment.
+    */
+  private def saveIndexFrame(spark: SparkSession, dir: String, kind: String,
+      df: org.apache.spark.sql.DataFrame,
+      extra: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+    val (fs, p) = fsFor(spark, dir)
+    df.write.mode("overwrite").parquet(new Path(p, "data").toString)
+    val root = header(kind)
+    extra(root)
+    writeAtomic(fs, new Path(p, "_model.json"), mapper.writeValueAsBytes(root))
+  }
+
+  private def loadIndexHeader(spark: SparkSession, dir: String,
+      kind: String): com.fasterxml.jackson.databind.JsonNode = {
+    val (fs, p) = fsFor(spark, dir)
+    val hp = new Path(p, "_model.json")
+    require(fs.exists(hp), s"$dir is not a graft $kind index (no _model.json)")
+    val node = mapper.readTree(readAll(fs, hp))
+    checkHeader(node, kind, dir)
+    node
+  }
+
+  /** Persist an SQ8 quantization table ([[Similarity.sq8Index]]:
+    * `(id, scale, codes)`). A reloaded index drives
+    * [[Similarity.int8RerankTopKFromIndex]] hash-identically to inline
+    * quantization (pinned by ModelStoreSpec).
+    */
+  def saveSq8Index(spark: SparkSession, dir: String,
+      index: org.apache.spark.sql.DataFrame, idCol: String = "vec_id"): Unit = {
+    require(Seq(idCol, "scale", "codes").forall(index.columns.contains),
+      s"sq8 index needs ($idCol, scale, codes), got ${index.columns.mkString(",")}")
+    saveIndexFrame(spark, dir, "sq8-index", index, root => { root.put("idCol", idCol); () })
+  }
+
+  def loadSq8Index(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    loadIndexHeader(spark, dir, "sq8-index")
+    spark.read.parquet(new Path(new Path(dir), "data").toString)
+  }
+
+  /** Persist a MinHash signature index (`(id, signature)` from
+    * [[Dedup.minHashSignatures]]) WITH its generation/banding parameters
+    * ([[Dedup.MinHashParams]] — hash count, bands, shingle width, seed,
+    * OPH) so a later job signs its increment with the identical family:
+    * mismatched parameters would silently collapse candidate recall.
+    */
+  def saveMinHashIndex(spark: SparkSession, dir: String,
+      sigs: org.apache.spark.sql.DataFrame, params: Dedup.MinHashParams): Unit = {
+    require(Seq("id", "signature").forall(sigs.columns.contains),
+      s"minhash index needs (id, signature), got ${sigs.columns.mkString(",")}")
+    saveIndexFrame(spark, dir, "minhash-index", sigs, { root =>
+      root.put("numHashes", params.numHashes)
+      root.put("numBands", params.numBands)
+      root.put("shingleSize", params.shingleSize)
+      root.put("seed", params.seed)
+      root.put("oph", params.oph)
+      ()
+    })
+  }
+
+  def loadMinHashIndex(spark: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Dedup.MinHashParams) = {
+    val node = loadIndexHeader(spark, dir, "minhash-index")
+    val params = Dedup.MinHashParams(
+      node.get("numHashes").asInt(), node.get("numBands").asInt(),
+      node.get("shingleSize").asInt(), node.get("seed").asLong(),
+      node.get("oph").asBoolean())
+    (spark.read.parquet(new Path(new Path(dir), "data").toString), params)
+  }
 }

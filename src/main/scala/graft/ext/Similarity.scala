@@ -278,6 +278,35 @@ object Similarity {
       m: Int = 40,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): DataFrame =
+    int8RerankTopKFromIndex(queries, sq8Index(corpus, idCol, vecCol), corpus, k, m, idCol, vecCol)
+
+  /** The PERSISTABLE SQ8 artifact: per-vector `(id, scale, codes)` — what
+    * [[ModelStore.saveSq8Index]] stores beside the corpus so a later job
+    * searches the 4x-smaller codes without re-quantizing 100 TB of
+    * vectors. `scale` rides along even though code-cosine cancels it:
+    * dequantization ([[dequantizeInt8]]) and any dot/L2 scoring need it,
+    * and an index that cannot reconstruct its vectors is not an artifact.
+    */
+  def sq8Index(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), quantizeInt8(col(vecCol)).as("_q"))
+      .select(col(idCol), col("_q.scale").as("scale"), col("_q.codes").as("codes"))
+
+  /** [[int8RerankTopK]] with the coarse pass over a PRE-QUANTIZED index
+    * ([[sq8Index]], possibly [[ModelStore]]-reloaded) — the direct path
+    * delegates here, so stored-state search is hash-identical to inline
+    * quantization by construction. `corpus` supplies the full-precision
+    * vectors for the rerank of the queries x m candidate pool only.
+    */
+  def int8RerankTopKFromIndex(
+      queries: DataFrame,
+      index: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      m: Int = 40,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
   ): DataFrame = {
     require(m >= k, s"rerank pool m=$m must be >= k=$k")
     VecDot.ensureRegistered(queries.sparkSession)
@@ -287,7 +316,8 @@ object Similarity {
       .withColumn("q_cn", sqrt(dot(col("q_codes"), col("q_codes"))))
       .withColumn("q_norm", norm(col("q_vec")))
       .where(col("q_cn") > 0.0)
-    val c = corpus.select(col(idCol).as("neighbor_id"), codesOf(col(vecCol)).as("c_codes"))
+    val c = index.select(col(idCol).as("neighbor_id"),
+        transform(col("codes"), _.cast("int")).as("c_codes"))
       .withColumn("c_cn", sqrt(dot(col("c_codes"), col("c_codes"))))
       .where(col("c_cn") > 0.0)
     val coarse = c.crossJoin(broadcast(q.select(col("query_id"), col("q_codes"), col("q_cn"))))

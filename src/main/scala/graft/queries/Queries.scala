@@ -668,6 +668,41 @@ object Queries {
       .select("user_id", "event_id", "event_type").orderBy("user_id")
   }
 
+  /** Merge-on-read DELTA INTEROP gate: the exact [[qCdcMergeMor]] scenario
+    * (backfill + two out-of-order equality-delete merges, NO compaction),
+    * exported as a `_delta_log` WITH protocol deletion vectors (reader
+    * v3 / writer v7 — the outstanding equality deletes position-ized into
+    * RoaringBitmapArray DV files) and read back exclusively through log
+    * replay by [[graft.tables.DeltaExport.readTable]], which applies the
+    * DVs as the protocol's (file, row_index) suppression. A bit-exact
+    * match against the same relational fold proves the SECOND open-format
+    * leg also serves a continuously-MoR-merging stream's target between
+    * compaction ticks — previously the Delta leg refused uncompacted MoR
+    * tables outright.
+    */
+  def qExportDeltaMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{DeltaExport, SnapshotTable}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-delta-mor-gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val tbl = SnapshotTable(spark, s"$root/table")
+    val ev = events(spark, dir).select(col("user_id"), col("event_id"), col("event_type"))
+    val third = ev.count() / 3
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+        .withColumn("is_delete", col("event_type") === "error")
+    val seg1 = ev.where(col("event_id") < third)
+    val seg2 = ev.where(col("event_id") >= third && col("event_id") < 2 * third)
+    val seg3 = ev.where(col("event_id") >= 2 * third)
+    tbl.createOrReplace(latest(seg1).where(!col("is_delete")), "user_id", numBuckets = 32)
+    tbl.mergeOnRead(latest(seg3), "user_id", "event_id", "is_delete")
+    tbl.mergeOnRead(latest(seg2), "user_id", "event_id", "is_delete")
+    require(tbl.currentSnapshot.deletes.nonEmpty, "gate must export OUTSTANDING deletes")
+    tbl.exportDelta(s"$root/delta")
+    DeltaExport.readTable(spark, new org.apache.hadoop.fs.Path(s"$root/delta"))
+      .select("user_id", "event_id", "event_type").orderBy("user_id")
+  }
+
   /** Incremental-aggregate gate ([[graft.ext.IncrementalAgg]]): a grouped
     * count/sum state is materialized at table version 1, the second half
     * of the events stream is merged in, and the state is refreshed from
@@ -3271,6 +3306,7 @@ object Queries {
     "q_adopt_external" -> (qAdoptExternal _),
     "q_cdc_merge_mor" -> (qCdcMergeMor _),
     "q_export_iceberg_mor" -> (qExportIcebergMor _),
+    "q_export_delta_mor" -> (qExportDeltaMor _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_dedup_exact" -> (qDedupExact _),

@@ -40,10 +40,13 @@ import scala.jdk.CollectionConverters._
   *  - Time travel: [[readTable]] replays the log up to any version.
   *
   * Deliberate constraints (loud, never silent): parquet tables only
-  * (Delta data files are parquet by spec) and no outstanding
-  * merge-on-read deletes (the protocol's deletion vectors are a
-  * writer-v7 feature; equality deletes have NO Delta representation —
-  * compact first, exactly the pre-delete-manifest Iceberg rule).
+  * (Delta data files are parquet by spec). Outstanding merge-on-read
+  * deletes export as protocol DELETION VECTORS ([[DvDescriptor]] —
+  * reader v3 / writer v7 `deletionVectors` feature, declared only when
+  * first used so DV-free logs keep reader-1 compatibility); the position
+  * bitmaps are RoaringBitmapArray-portable per PROTOCOL.md, packed one
+  * DV file per commit, applied by [[readTable]] and independently
+  * decoded by tools/delta_validate.py.
   */
 object DeltaExport {
 
@@ -99,7 +102,9 @@ object DeltaExport {
         StructField("appId", StringType), StructField("version", LongType)))),
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -115,18 +120,135 @@ object DeltaExport {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", org.apache.spark.sql.types.BooleanType),
-        StructField("stats", StringType)))),
+        StructField("stats", StringType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", LongType),
+          StructField("sizeInBytes", LongType),
+          StructField("cardinality", LongType))))))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
         StructField("dataChange", org.apache.spark.sql.types.BooleanType))))))
   }
 
+  /** Deletion-vector descriptor (PROTOCOL.md "Deletion Vectors"): rows of
+    * a data file suppressed WITHOUT rewriting it — the Delta protocol's
+    * merge-on-read, reader-version-3/writer-version-7 `deletionVectors`
+    * table feature. This exporter writes `storageType = "p"` (absolute
+    * path, matching the absolute data-file URIs it already publishes):
+    * `pathOrInlineDv` names the DV FILE, `offset` the descriptor's byte
+    * position within it, `sizeInBytes` the serialized bitmap's length,
+    * `cardinality` the deleted-row count.
+    */
+  final case class DvDescriptor(
+      storageType: String, pathOrInlineDv: String, offset: Long,
+      sizeInBytes: Long, cardinality: Long) {
+    /** Identity for the add/remove diff: a file whose DV changed must be
+      * removed and re-added — Delta file identity is (path, dv).
+      */
+    def uniqueId: String = s"$storageType$pathOrInlineDv@$offset"
+  }
+
   /** One live add as replay tracks it: byte size plus the partition
-    * tuple (column → value, None = protocol null partition value).
+    * tuple (column → value, None = protocol null partition value) and
+    * the deletion vector, if any.
     */
   private final case class AddInfo(
-      size: Long, partitionValues: Map[String, Option[String]] = Map.empty)
+      size: Long, partitionValues: Map[String, Option[String]] = Map.empty,
+      dv: Option[DvDescriptor] = None)
+
+  /** Magic number of the portable 64-bit RoaringBitmapArray serialization
+    * the protocol names for DV bitmaps.
+    */
+  private val DvMagic = 1681511377
+
+  /** Write ONE deletion-vector file holding the bitmaps for every listed
+    * data file (the protocol's multi-DV packing: one object-store PUT per
+    * commit, not per data file). Layout per PROTOCOL.md: a 1-byte format
+    * version (1), then per DV `<dataSize: int32 BE> <data> <CRC32(data):
+    * int32 BE>`, where `data` is the portable RoaringBitmapArray:
+    * `<magic 1681511377: int32 LE> <numBitmaps: int64 LE>` followed by
+    * each 32-bit RoaringBitmap's standard portable serialization (bitmap
+    * i holds the low words of positions with high word i). Returns the
+    * per-data-file descriptors.
+    */
+  private[tables] def writeDvFile(
+      fs: FileSystem, dvPath: Path,
+      positionsByFile: Seq[(String, Array[Long])]): Map[String, DvDescriptor] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1) // format version
+    val descriptors = positionsByFile.map { case (uri, positions) =>
+      val offset = out.size().toLong
+      val data = serializeRoaringArray(positions)
+      // int32 BE length, data, int32 BE CRC32 — the framing delta-spark's
+      // DeletionVectorStore writes/expects
+      def be(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(i).array()
+      out.write(be(data.length))
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      out.write(be(crc.getValue.toInt))
+      uri -> DvDescriptor("p", dvPath.toString, offset, data.length.toLong, positions.length.toLong)
+    }.toMap
+    val o = fs.create(dvPath, true)
+    try o.write(out.toByteArray) finally o.close()
+    descriptors
+  }
+
+  private def serializeRoaringArray(positions: Array[Long]): Array[Byte] = {
+    require(positions.forall(p => p >= 0),
+      "deletion-vector positions must be non-negative row indexes")
+    val byHigh = positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
+    require(byHigh.isEmpty || byHigh.last._1 < Int.MaxValue, "position high word overflow")
+    val nBitmaps = byHigh.lastOption.map(_._1 + 1).getOrElse(0)
+    val bitmaps = Array.fill(nBitmaps)(new org.roaringbitmap.RoaringBitmap())
+    byHigh.foreach { case (hi, ps) => ps.foreach(p => bitmaps(hi).add(p.toInt)) }
+    val size = 4 + 8 + bitmaps.map(_.serializedSizeInBytes()).sum
+    val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(DvMagic)
+    bb.putLong(nBitmaps.toLong)
+    bitmaps.foreach(_.serialize(bb))
+    bb.array()
+  }
+
+  /** Decode one DV from its file per the descriptor — the read half used
+    * by [[readTable]] (and independently reimplemented by
+    * tools/delta_validate.py). Returns the deleted row indexes.
+    */
+  private[tables] def readDv(fs: FileSystem, d: DvDescriptor): Array[Long] = {
+    require(d.storageType == "p",
+      s"this reader supports path-storage DVs, got storageType '${d.storageType}'")
+    val in = fs.open(new Path(d.pathOrInlineDv))
+    val bytes =
+      try { in.seek(d.offset); val b = new Array[Byte](4 + d.sizeInBytes.toInt + 4); in.readFully(b); b }
+      finally in.close()
+    val size = java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt
+    require(size == d.sizeInBytes, s"DV size $size != descriptor ${d.sizeInBytes}")
+    val data = java.util.Arrays.copyOfRange(bytes, 4, 4 + size)
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    require(crc.getValue.toInt == java.nio.ByteBuffer.wrap(bytes, 4 + size, 4).getInt,
+      "DV checksum mismatch")
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt == DvMagic, "DV bitmap magic mismatch")
+    val n = bb.getLong.toInt
+    val out = Array.newBuilder[Long]
+    var hi = 0
+    while (hi < n) {
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      val p0 = bb.position()
+      bm.deserialize(bb)
+      // advance past the bitmap regardless of the deserialize variant's
+      // position semantics
+      bb.position(p0 + bm.serializedSizeInBytes())
+      val it = bm.getIntIterator
+      while (it.hasNext) out += (hi.toLong << 32) | (it.next().toLong & 0xFFFFFFFFL)
+      hi += 1
+    }
+    out.result()
+  }
 
   /** Replayed log state: last delta version, stable table id, last
     * published schema JSON, live (uri → add info) set, last engine
@@ -139,7 +261,8 @@ object DeltaExport {
       version: Long, tableId: String, schemaString: String,
       files: Map[String, AddInfo], graftSnapshot: Long,
       partitionColumns: Seq[String] = Seq.empty,
-      tombstones: Map[String, Long] = Map.empty)
+      tombstones: Map[String, Long] = Map.empty,
+      readerVersion: Int = 1)
 
   private def readText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -180,6 +303,7 @@ object DeltaExport {
     var schemaString = ""
     var graftSnapshot = -1L
     var pcols = Seq.empty[String]
+    var readerVersion = 1
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddInfo]
     val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val reader: ParquetReader[Group] =
@@ -188,6 +312,8 @@ object DeltaExport {
       var g = reader.read()
       while (g != null) {
         def has(f: String) = g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0
+        if (has("protocol"))
+          readerVersion = g.getGroup("protocol", 0).getInteger("minReaderVersion", 0)
         if (has("metaData")) {
           val md = g.getGroup("metaData", 0)
           tableId = md.getString("id", 0)
@@ -220,7 +346,15 @@ object DeltaExport {
                 kv.getString("key", 0) -> value
               }.toMap
             }
-          files(decodePath(ad.getString("path", 0))) = AddInfo(ad.getLong("size", 0), pv)
+          val dv =
+            if (!ad.getType.containsField("deletionVector") ||
+              ad.getFieldRepetitionCount("deletionVector") == 0) None
+            else {
+              val d = ad.getGroup("deletionVector", 0)
+              Some(DvDescriptor(d.getString("storageType", 0), d.getString("pathOrInlineDv", 0),
+                d.getLong("offset", 0), d.getLong("sizeInBytes", 0), d.getLong("cardinality", 0)))
+            }
+          files(decodePath(ad.getString("path", 0))) = AddInfo(ad.getLong("size", 0), pv, dv)
         }
         if (has("remove")) {
           val rm = g.getGroup("remove", 0)
@@ -230,7 +364,8 @@ object DeltaExport {
       }
     } finally reader.close()
     require(schemaString.nonEmpty, s"checkpoint $v under $dir carries no metaData")
-    LogState(v, tableId, schemaString, files.toMap, graftSnapshot, pcols, tombstones.toMap)
+    LogState(v, tableId, schemaString, files.toMap, graftSnapshot, pcols, tombstones.toMap,
+      readerVersion)
   }
 
   /** Write the spec checkpoint for the state just committed at `v`, plus
@@ -247,19 +382,25 @@ object DeltaExport {
 
   private def writeCheckpoint(spark: SparkSession, fs: FileSystem, dir: Path, v: Long,
       tableId: String, schemaString: String, snapshotVersion: Long, timestampMs: Long,
-      adds: Seq[(ExportFile, Map[String, Option[String]])], properties: Map[String, String],
-      pcols: Seq[String], tombstones: Map[String, Long]): Unit = {
+      adds: Seq[(ExportFile, Map[String, Option[String]], Option[DvDescriptor])],
+      properties: Map[String, String],
+      pcols: Seq[String], tombstones: Map[String, Long], readerV: Int = 1): Unit = {
     import org.apache.spark.sql.Row
     val conf = properties.toSeq.sortBy(_._1).map { case (k, vv) => (s"graft.$k", vv) }.toMap
+    val protoRow =
+      if (readerV >= 3) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
+      else Row(1, 2, null, null)
+    def dvRow(d: Option[DvDescriptor]): Row = d.map(x =>
+      Row(x.storageType, x.pathOrInlineDv, x.offset, x.sizeInBytes, x.cardinality)).orNull
     val rows = Seq(
       Row(Row("graft-export", snapshotVersion), null, null, null, null),
-      Row(null, Row(1, 2), null, null, null),
+      Row(null, protoRow, null, null, null),
       Row(null, null,
         Row(tableId, Row("parquet", Map.empty[String, String]), schemaString,
           pcols, conf, timestampMs), null, null)) ++
-      adds.map { case (f, pv) => Row(null, null, null,
+      adds.map { case (f, pv, dv) => Row(null, null, null,
         Row(encodePath(f.uri), pv.map { case (k, ov) => k -> ov.orNull }, f.length,
-          timestampMs, true, statsJson(f)), null) } ++
+          timestampMs, true, statsJson(f), dvRow(dv)), null) } ++
       tombstones.collect { case (uri, delTs) if timestampMs - delTs <= TombstoneRetentionMs =>
         Row(null, null, null, null, Row(encodePath(uri), delTs, true))
       }
@@ -322,11 +463,14 @@ object DeltaExport {
       a.files.foreach { case (k, v) => files(k) = v }
       a.tombstones.foreach { case (k, v) => tombstones(k) = v }
     }
+    var readerVersion = anchor.map(_.readerVersion).getOrElse(1)
     val upTo = upToAll.filter(v => anchor.forall(v > _.version))
     upTo.foreach { v =>
       readText(fs, new Path(logDir(dir), commitName(v))).linesIterator
         .filter(_.nonEmpty).foreach { line =>
           val n = mapper.readTree(line)
+          if (n.has("protocol"))
+            readerVersion = n.get("protocol").get("minReaderVersion").asInt()
           if (n.has("metaData")) {
             val md = n.get("metaData")
             tableId = md.get("id").asText()
@@ -346,8 +490,13 @@ object DeltaExport {
                 e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
               }.toMap
             }.getOrElse(Map.empty[String, Option[String]])
+            val dv = Option(a.get("deletionVector")).map { d =>
+              DvDescriptor(d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+                Option(d.get("offset")).map(_.asLong()).getOrElse(0L),
+                d.get("sizeInBytes").asLong(), d.get("cardinality").asLong())
+            }
             val path = decodePath(a.get("path").asText())
-            files(path) = AddInfo(a.get("size").asLong(), pv)
+            files(path) = AddInfo(a.get("size").asLong(), pv, dv)
             tombstones.remove(path) // re-add supersedes the tombstone
           }
           if (n.has("remove")) {
@@ -360,7 +509,7 @@ object DeltaExport {
         }
     }
     Some(LogState(upToAll.last, tableId, schemaString, files.toMap, graftSnapshot,
-      pcols, tombstones.toMap))
+      pcols, tombstones.toMap, readerVersion))
   }
 
   /** Delta `add.path`/`remove.path` are RFC 2396 percent-encoded URIs —
@@ -404,7 +553,13 @@ object DeltaExport {
       files: Seq[ExportFile],
       properties: Map[String, String] = Map.empty,
       spark: Option[SparkSession] = None,
-      bucketSpec: Option[BucketSpec] = None
+      bucketSpec: Option[BucketSpec] = None,
+      // data-file uri → SORTED deleted row indexes: published as protocol
+      // deletion vectors (reader v3 / writer v7 `deletionVectors`
+      // feature), so an uncompacted merge-on-read stream exports without
+      // rewriting data — the Delta counterpart of the Iceberg leg's
+      // equality-delete manifests.
+      dvPositions: Map[String, Array[Long]] = Map.empty
   ): Path = {
     // ONE `_delta_log` LIST per export: replay and the checkpoint-due test
     // below share this listing instead of each paying their own
@@ -463,10 +618,40 @@ object DeltaExport {
         org.apache.spark.sql.types.StructField(pcols.head, org.apache.spark.sql.types.IntegerType))
     val schemaString = publishedSchema.json
 
+    // deletion vectors: one packed DV file per commit, descriptors per
+    // data file; a file whose DV CHANGED is removed (with its old DV) and
+    // re-added — Delta file identity is (path, dv)
+    require(dvPositions.keySet.subsetOf(files.map(_.uri).toSet),
+      "dvPositions must reference live data files")
+    val dvDescriptors: Map[String, DvDescriptor] =
+      if (dvPositions.isEmpty) Map.empty
+      else {
+        val dvDir = new Path(exportDir, "deletion_vectors")
+        fs.mkdirs(dvDir)
+        writeDvFile(fs, fs.makeQualified(new Path(dvDir, s"${UUID.randomUUID()}.bin")),
+          dvPositions.toSeq.sortBy(_._1).map { case (u, p) => (u, p.sorted) })
+      }
+    def dvId(o: Option[DvDescriptor]) = o.map(_.uniqueId).getOrElse("")
+
     val prevFiles = prior.map(_.files).getOrElse(Map.empty)
     val nextFiles = files.map(f => f.uri -> f).toMap
-    val adds = files.filter(f => !prevFiles.contains(f.uri))
-    val removes = prevFiles.keys.filterNot(nextFiles.contains).toSeq.sorted
+    val adds = files.filter { f =>
+      prevFiles.get(f.uri) match {
+        case None     => true
+        case Some(pi) => dvId(pi.dv) != dvId(dvDescriptors.get(f.uri))
+      }
+    }
+    // (uri, the REMOVED add's dv — the spec wants removes to carry it so
+    // VACUUM can reason about the dv file)
+    val removes: Seq[(String, Option[DvDescriptor])] =
+      (prevFiles.keys.filterNot(nextFiles.contains).map(u => u -> prevFiles(u).dv) ++
+        files.flatMap { f =>
+          prevFiles.get(f.uri) match {
+            case Some(pi) if dvId(pi.dv) != dvId(dvDescriptors.get(f.uri)) =>
+              Some(f.uri -> pi.dv)
+            case _ => None
+          }
+        }).toSeq.sortBy(_._1)
 
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val commitInfo = mapper.createObjectNode()
@@ -477,11 +662,25 @@ object DeltaExport {
     ci.put("engineInfo", "graft-snapshot-export")
     lines += mapper.writeValueAsString(commitInfo)
 
-    if (nextVersion == 0L) {
+    // Protocol: plain logs stay reader 1 / writer 2 (readable by EVERY
+    // Delta reader); the first commit that publishes deletion vectors
+    // declares (or upgrades to) reader 3 / writer 7 with the
+    // `deletionVectors` table feature — never before, so DV-free exports
+    // keep maximum reader compatibility.
+    val priorReader = prior.map(_.readerVersion).getOrElse(1)
+    val needsDvProtocol = dvDescriptors.nonEmpty && priorReader < 3
+    if (nextVersion == 0L || needsDvProtocol) {
       val proto = mapper.createObjectNode()
       val p = proto.putObject("protocol")
-      p.put("minReaderVersion", 1)
-      p.put("minWriterVersion", 2)
+      if (dvDescriptors.nonEmpty) {
+        p.put("minReaderVersion", 3)
+        p.put("minWriterVersion", 7)
+        p.putArray("readerFeatures").add("deletionVectors")
+        p.putArray("writerFeatures").add("deletionVectors")
+      } else {
+        p.put("minReaderVersion", 1)
+        p.put("minWriterVersion", 2)
+      }
       lines += mapper.writeValueAsString(proto)
     }
     if (prior.forall(_.schemaString != schemaString)) {
@@ -507,12 +706,22 @@ object DeltaExport {
       m.put("createdTime", timestampMs)
       lines += mapper.writeValueAsString(meta)
     }
-    removes.foreach { uri =>
+    def putDv(parent: com.fasterxml.jackson.databind.node.ObjectNode,
+        d: DvDescriptor): Unit = {
+      val dv = parent.putObject("deletionVector")
+      dv.put("storageType", d.storageType)
+      dv.put("pathOrInlineDv", d.pathOrInlineDv)
+      dv.put("offset", d.offset)
+      dv.put("sizeInBytes", d.sizeInBytes)
+      dv.put("cardinality", d.cardinality)
+    }
+    removes.foreach { case (uri, oldDv) =>
       val rm = mapper.createObjectNode()
       val r = rm.putObject("remove")
       r.put("path", encodePath(uri))
       r.put("deletionTimestamp", timestampMs)
       r.put("dataChange", true)
+      oldDv.foreach(putDv(r, _))
       lines += mapper.writeValueAsString(rm)
     }
     adds.foreach { f =>
@@ -528,6 +737,7 @@ object DeltaExport {
       a.put("modificationTime", timestampMs)
       a.put("dataChange", true)
       a.put("stats", statsJson(f))
+      dvDescriptors.get(f.uri).foreach(putDv(a, _))
       lines += mapper.writeValueAsString(ad)
     }
 
@@ -564,11 +774,13 @@ object DeltaExport {
       // the checkpoint carries the state JUST committed: current adds
       // (with partition tuples) plus the unexpired tombstones — prior
       // ones still in the window, plus this commit's removes
+      // removed-and-RE-ADDED paths (a DV change) are live, not tombstones
       val tombstones = prior.map(_.tombstones).getOrElse(Map.empty) ++
-        removes.map(_ -> timestampMs)
+        removes.collect { case (u, _) if !nextFiles.contains(u) => u -> timestampMs }
       try writeCheckpoint(spark.get, fs, exportDir, nextVersion, tableId, schemaString,
-        snapshotVersion, timestampMs, files.map(f => (f, partitionValuesOf(f))), properties,
-        pcols, tombstones)
+        snapshotVersion, timestampMs,
+        files.map(f => (f, partitionValuesOf(f), dvDescriptors.get(f.uri))), properties,
+        pcols, tombstones, readerV = if (dvDescriptors.nonEmpty || priorReader >= 3) 3 else 1)
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"DELTA EXPORT: checkpoint at v$nextVersion failed " +
@@ -591,6 +803,16 @@ object DeltaExport {
   def readFiles(fs: FileSystem, exportDir: Path, at: Option[Long] = None): Seq[(String, Long)] = {
     val st = replay(fs, exportDir, at).getOrElse(
       throw new IllegalArgumentException(s"no delta log under $exportDir"))
+    // a DV'd file's PHYSICAL rows over-count its live rows: a raw file
+    // list would silently resurrect deleted rows for any consumer that
+    // scans the files directly (adoptDeltaTable's exact failure mode) —
+    // refuse loudly, the row-correct read is readTable
+    st.files.collect { case (u, a) if a.dv.isDefined => u }.toSeq match {
+      case Seq() => ()
+      case dvd => throw new IllegalStateException(
+        s"${dvd.size} live file(s) carry deletion vectors — a raw file list would " +
+          "resurrect deleted rows; read through readTable, or compact the source first")
+    }
     st.files.toSeq.map { case (u, a) => (u, a.size) }.sortBy(_._1)
   }
 
@@ -602,30 +824,59 @@ object DeltaExport {
     * exactly like this. `at` time-travels to a specific delta version.
     */
   def readTable(spark: SparkSession, exportDir: Path, at: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
     val fs = exportDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = replay(fs, exportDir, at).getOrElse(
       throw new IllegalArgumentException(s"no delta log under $exportDir"))
     val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
     if (st.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    if (st.partitionColumns.isEmpty)
-      return spark.read.schema(schema).parquet(st.files.keys.toSeq.sorted: _*)
-    // data files do NOT hold the partition columns: read with the data
-    // schema, then attach the tuple per partition-value group (one read
-    // per distinct tuple — bounded by the partition count, not files)
-    val pset = st.partitionColumns.toSet
-    val dataSchema = StructType(schema.fields.filterNot(f => pset.contains(f.name)))
-    val byTuple = st.files.toSeq.groupBy(_._2.partitionValues)
-    byTuple.toSeq.sortBy(_._1.toString).map { case (tuple, fseq) =>
-      var df = spark.read.schema(dataSchema).parquet(fseq.map(_._1).sorted: _*)
-      st.partitionColumns.foreach { pc =>
-        val f = schema.fields.find(_.name == pc).getOrElse(
-          throw new IllegalStateException(s"partition column '$pc' missing from schemaString"))
-        df = df.withColumn(pc,
-          org.apache.spark.sql.functions.lit(tuple.get(pc).flatten.orNull).cast(f.dataType))
+
+    // deletion vectors: decoded driver-side (bounded by the deleted-row
+    // count — change-set-sized by construction) and applied as ONE
+    // broadcast anti join on (file, row_index), the same plan shape as
+    // the Iceberg leg's position deletes
+    val dvFiles = st.files.toSeq.collect { case (u, a) if a.dv.isDefined => (u, a.dv.get) }
+    val needDv = dvFiles.nonEmpty
+    def normPathCol(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    def withMeta(df: DataFrame): DataFrame =
+      if (!needDv) df
+      else df.withColumn("_gpath", normPathCol(col("_metadata.file_path")))
+        .withColumn("_gpos", col("_metadata.row_index"))
+
+    val base: DataFrame =
+      if (st.partitionColumns.isEmpty)
+        withMeta(spark.read.schema(schema).parquet(st.files.keys.toSeq.sorted: _*))
+      else {
+        // data files do NOT hold the partition columns: read with the data
+        // schema, then attach the tuple per partition-value group (one read
+        // per distinct tuple — bounded by the partition count, not files)
+        val pset = st.partitionColumns.toSet
+        val dataSchema = StructType(schema.fields.filterNot(f => pset.contains(f.name)))
+        val byTuple = st.files.toSeq.groupBy(_._2.partitionValues)
+        byTuple.toSeq.sortBy(_._1.toString).map { case (tuple, fseq) =>
+          var df = withMeta(spark.read.schema(dataSchema).parquet(fseq.map(_._1).sorted: _*))
+          st.partitionColumns.foreach { pc =>
+            val f = schema.fields.find(_.name == pc).getOrElse(
+              throw new IllegalStateException(s"partition column '$pc' missing from schemaString"))
+            df = df.withColumn(pc, lit(tuple.get(pc).flatten.orNull).cast(f.dataType))
+          }
+          df
+        }.reduce(_ unionByName _)
       }
-      df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    }.reduce(_ unionByName _)
+    val live =
+      if (!needDv) base
+      else {
+        val deleted: Seq[(String, Long)] = dvFiles.flatMap { case (u, d) =>
+          val p = new Path(u).toUri.getPath
+          readDv(fs, d).map(pos => (p, pos))
+        }
+        import spark.implicits._
+        base.join(broadcast(deleted.toDF("_dpath", "_dpos")),
+            base("_gpath") === col("_dpath") && base("_gpos") === col("_dpos"), "left_anti")
+      }
+    live.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Delta version history (ascending) — for time-travel tests. */

@@ -1355,19 +1355,16 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     * any table size. Idempotent per engine snapshot.
     *
     * Loud constraints: parquet tables only (Delta data files are parquet
-    * by protocol), and outstanding merge-on-read equality deletes must be
-    * compacted first — the protocol's deletion vectors are a writer-v7
-    * feature and equality deletes have no Delta representation at all
-    * (the Iceberg leg exports them natively; use it for MoR streams).
+    * by protocol). Outstanding merge-on-read equality deletes export as
+    * protocol DELETION VECTORS (position-ized below — reader v3 /
+    * writer v7), so an uncompacted MoR stream exports on BOTH interop
+    * legs without a forced compaction.
     */
   def exportDelta(exportDir: String): Path = {
     val snap = currentSnapshot
     val format = SnapshotTable.resolveFormat(snap.properties)
     require(format == "parquet",
       s"Delta export requires a parquet table (protocol data-file format), got $format")
-    require(snap.deletes.isEmpty,
-      "Delta export requires no outstanding merge-on-read deletes (no equality-delete " +
-        "representation in the protocol) — run compact() first, or export Iceberg instead")
     val out = new Path(exportDir)
     // idempotence fast path BEFORE building the file list: legacy manifest
     // entries (rows/bytes = -1) fall back to per-file footer reads below,
@@ -1391,10 +1388,54 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       if (SnapshotTable.bucketFnOf(snap.properties) == SnapshotTable.BucketFnIceberg)
         Some(DeltaExport.BucketSpec(keyColForBucketing(snap), snap.numBuckets))
       else None
+    // Outstanding merge-on-read equality deletes export as protocol
+    // DELETION VECTORS (reader v3 / writer v7): the delete keys are
+    // POSITION-IZED here — one scan of the affected buckets' candidate
+    // files joins the (change-set-sized, broadcast) per-bucket newest
+    // delete sequence per key, yielding (file, row_index) pairs bounded
+    // by the deleted-row count — so an uncompacted MoR stream exports
+    // without rewriting data, like the Iceberg leg's equality manifests.
+    val dvPositions: Map[String, Array[Long]] =
+      if (snap.deletes.isEmpty) Map.empty
+      else {
+        val key = keyColForBucketing(snap)
+        val maxDelSeq = snap.deletes.groupBy(_.bucket).view.mapValues(_.map(_.seq).max).toMap
+        // adopted files (bucket −1) are exempt by the sequence rule: they
+        // enter at a fresh sequence, above every outstanding delete
+        val cand = snap.files.filter(f =>
+          f.bucket >= 0 && maxDelSeq.get(f.bucket).exists(_ > f.seq))
+        if (cand.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.functions.{broadcast, lit, max => smax, regexp_replace}
+          import spark.implicits._
+          def qualify(rel: String) = fs.makeQualified(new Path(dataDir, rel)).toString
+          def normStr(u: String) = new Path(u).toUri.getPath
+          val delDf = snap.deletes.map { d =>
+            spark.read.parquet(qualify(d.path))
+              .select(col(key).as("_dk"), lit(d.bucket).as("_db"), lit(d.seq).as("_ds"))
+          }.reduce(_ unionByName _).groupBy("_dk", "_db").agg(smax("_ds").as("_ds"))
+          val fileMeta = cand.map(f => (normStr(qualify(f.path)), f.bucket, f.seq, qualify(f.path)))
+          val metaDf = fileMeta.map { case (p, b, s, _) => (p, b, s) }.toDF("_p", "_b", "_fs")
+          val uriByNorm = fileMeta.map { case (p, _, _, u) => p -> u }.toMap
+          val hit = spark.read.parquet(cand.map(f => qualify(f.path)): _*)
+            .select(col(key).as("_k"),
+              regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_p"),
+              col("_metadata.row_index").as("_pos"))
+            .join(broadcast(metaDf), Seq("_p"))
+            .join(broadcast(delDf),
+              col("_k") === col("_dk") && col("_b") === col("_db") && col("_ds") > col("_fs"))
+            .select(col("_p"), col("_pos"))
+            .collect()
+          hit.groupBy(_.getString(0)).map { case (p, rs) =>
+            uriByNorm(p) -> rs.map(_.getLong(1)).sorted
+          }
+        }
+      }
     // write() replays from the newest spec checkpoint (driver-side parquet
     // read) — the per-commit cost stays bounded regardless of log length
     DeltaExport.write(fs, out, snap.schema, snap.version, snap.timestampMs, files,
-      snap.properties, spark = Some(spark), bucketSpec = bucketSpec)
+      snap.properties, spark = Some(spark), bucketSpec = bucketSpec,
+      dvPositions = dvPositions)
   }
 
   /** Adopt the LIVE files of an external Delta Lake table — its

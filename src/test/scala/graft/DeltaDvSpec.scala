@@ -1,0 +1,131 @@
+package graft
+
+import graft.tables.{DeltaExport, SnapshotTable}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import scala.sys.process._
+
+/** Delta deletion vectors (protocol reader v3 / writer v7): an
+  * uncompacted merge-on-read stream exports through `_delta_log` with
+  * position-ized equality deletes as RoaringBitmapArray DV files —
+  * incremental across commits (a file whose DV changes is removed with
+  * its old DV and re-added), protocol upgraded exactly once and only
+  * when first needed, applied by readTable, refused by the raw file
+  * list, and independently decoded by the Python validator (whose DV
+  * decoder must also CATCH corruption, not just accept well-formed
+  * files).
+  */
+class DeltaDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hfs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pythonWithDuckdb: Boolean =
+    scala.util.Try(Seq("python3", "-c", "import duckdb").! == 0).getOrElse(false)
+
+  private def validate(dir: String, args: Seq[String] = Seq.empty): (Int, String) = {
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "tools/delta_validate.py", dir) ++ args)
+      .!(ProcessLogger(l => { out.append(l); () }, _ => ()))
+    (code, out.toString)
+  }
+
+  test("uncompacted MoR exports incrementally with DVs; reads and validator stay exact") {
+    val base = tmpDir("delta-dv")
+    val t = SnapshotTable(spark, s"$base/table")
+    val delta = s"$base/delta"
+    val rows = (1 to 120).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.createOrReplace(rows, "arcane_merge_key", numBuckets = 4)
+    // clean export first: protocol must stay reader 1 (max compatibility)
+    t.exportDelta(delta)
+    val v0 = scala.io.Source.fromFile(s"$delta/_delta_log/00000000000000000000.json")
+      .getLines().mkString("\n")
+    assert(v0.contains("\"minReaderVersion\":1"))
+
+    // MoR merge: updates + tombstones leave OUTSTANDING equality deletes
+    val change = Seq(("k1", 2L, "updated", false), ("k2", 2L, null, true), ("k3", 2L, null, true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.mergeOnRead(change, "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.currentSnapshot.deletes.nonEmpty)
+    t.exportDelta(delta)
+    // protocol upgraded exactly once, with the feature declared
+    val v1 = scala.io.Source.fromFile(s"$delta/_delta_log/00000000000000000001.json")
+      .getLines().mkString("\n")
+    assert(v1.contains("\"minReaderVersion\":3") && v1.contains("deletionVectors"))
+    assert(v1.contains("\"deletionVector\""))
+
+    // the read through the log equals the table's own MoR read
+    def viaLog = DeltaExport.readTable(spark, new Path(delta))
+      .select($"arcane_merge_key", $"versionnumber", $"payload")
+      .as[(String, Long, String)].collect().toSet
+    def direct = t.read().select($"arcane_merge_key", $"versionnumber", $"payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(viaLog == direct)
+    assert(!viaLog.exists(_._1 == "k2") && viaLog.exists(r => r._1 == "k1" && r._3 == "updated"))
+
+    // a SECOND MoR merge deepens the DV on the same bucket's files: the
+    // changed file must be removed (with its OLD dv) and re-added
+    val change2 = Seq(("k4", 3L, null, true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.mergeOnRead(change2, "arcane_merge_key", "versionnumber", "IsDelete")
+    t.exportDelta(delta)
+    assert(viaLog == direct, "DV evolution must track the table exactly")
+    val v2 = scala.io.Source.fromFile(s"$delta/_delta_log/00000000000000000002.json")
+      .getLines().toSeq
+    assert(!v2.exists(_.contains("minReaderVersion")), "no duplicate protocol upgrade")
+
+    // raw file list refuses: physical files over-count live rows
+    val e = intercept[IllegalStateException](DeltaExport.readFiles(hfs, new Path(delta)))
+    assert(e.getMessage.contains("deletion vectors"))
+    // and so does adopting it into another table
+    val t2 = SnapshotTable(spark, s"$base/table2")
+    t2.createOrReplace(rows, "arcane_merge_key", numBuckets = 2)
+    intercept[IllegalStateException](t2.adoptDeltaTable(delta))
+
+    // independent Python decode, exact row count
+    assume(pythonWithDuckdb, "python3 + duckdb not available")
+    val expectRows = direct.size
+    val (code, out) = validate(delta, Seq("--expect-rows", expectRows.toString))
+    assert(code == 0 && out.contains("\"errors\": 0"), s"validator: $out")
+
+    // tamper detection: flip one byte INSIDE a DV bitmap — the checksum
+    // (or cardinality) check must flag it
+    val dvFile = new java.io.File(s"$delta/deletion_vectors").listFiles()
+      .filter(_.getName.endsWith(".bin")).maxBy(_.lastModified())
+    val bytes = java.nio.file.Files.readAllBytes(dvFile.toPath)
+    val orig = bytes.clone()
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x7f).toByte
+    java.nio.file.Files.write(dvFile.toPath, bytes)
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(dvFile.getParent, s".${dvFile.getName}.crc").toPath)
+    try {
+      val (codeBad, outBad) = validate(delta)
+      assert(codeBad != 0, s"validator must flag a corrupted DV: $outBad")
+    } finally {
+      java.nio.file.Files.write(dvFile.toPath, orig)
+      java.nio.file.Files.deleteIfExists(
+        new java.io.File(dvFile.getParent, s".${dvFile.getName}.crc").toPath)
+    }
+  }
+
+  test("compaction after DV exports returns the log to plain adds") {
+    val base = tmpDir("delta-dv-compact")
+    val t = SnapshotTable(spark, s"$base/table")
+    val delta = s"$base/delta"
+    t.createOrReplace((1 to 60).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", numBuckets = 2)
+    t.mergeOnRead(Seq(("k5", 2L, null, true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    t.exportDelta(delta)
+    t.compact(fileSizeThresholdBytes = Long.MaxValue)
+    t.exportDelta(delta)
+    // post-compaction: live adds carry no DVs again; readFiles works
+    val files = DeltaExport.readFiles(hfs, new Path(delta))
+    assert(files.nonEmpty)
+    assert(DeltaExport.readTable(spark, new Path(delta)).count() === 59)
+  }
+}

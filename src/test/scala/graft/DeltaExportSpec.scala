@@ -192,10 +192,12 @@ class DeltaExportSpec extends SparkSpec {
     assert(v0.contains("numRecords"), "add actions must carry numRecords stats")
     assert(v0.contains("minReaderVersion"), "v0 must declare the protocol")
 
-    // outstanding MoR deletes → loud refusal; compaction clears it
+    // outstanding MoR deletes export as protocol deletion vectors (the
+    // full DV contract is pinned by DeltaDvSpec); a later compaction
+    // returns the log to plain adds
     tbl.mergeOnRead(rows(1 to 3, 2L), "id", "v", "is_del")
-    val e = intercept[IllegalArgumentException](tbl.exportDelta(delta))
-    assert(e.getMessage.contains("compact"))
+    tbl.exportDelta(delta)
+    assert(DeltaExport.readTable(spark, out).where($"v" === 2L).count() == 3)
     tbl.compact(fileSizeThresholdBytes = Long.MaxValue)
     tbl.exportDelta(delta)
     assert(DeltaExport.readTable(spark, out).where($"v" === 2L).count() == 3)

@@ -60,4 +60,50 @@ class ModelStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       ModelStore.saveCentroids(spark, path, Array(Array(1.0), Array(1.0, 2.0))))
   }
+
+  test("SQ8 index round-trip: q_ann_int8_rerank from a reloaded index is hash-identical") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 20)
+    // the gate's own search, inline quantization
+    val direct = Similarity.int8RerankTopK(queries, emb, k = 10, m = 40)
+      .select($"query_id", $"neighbor_id", $"score")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // persist the trained artifact, reload in a "later job", search again
+    val dir = tmpDir("modelstore") + "/sq8"
+    ModelStore.saveSq8Index(spark, dir, Similarity.sq8Index(emb))
+    val reloaded = ModelStore.loadSq8Index(spark, dir)
+    val viaStore = Similarity.int8RerankTopKFromIndex(queries, reloaded, emb, k = 10, m = 40)
+      .select($"query_id", $"neighbor_id", $"score")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(viaStore == direct,
+      "stored-state search must be bit-identical to inline quantization")
+    // wrong-kind load fails loudly
+    intercept[IllegalArgumentException](ModelStore.loadMinHashIndex(spark, dir))
+  }
+
+  test("OPH MinHash index round-trip: near-dup pairs from stored signatures are identical") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text").where($"doc_id" < 400)
+    val params = Dedup.MinHashParams(
+      numHashes = 64, numBands = 16, shingleSize = 3, seed = 42L, oph = true)
+    val direct = Dedup.nearDuplicatePairs(docs, numHashes = params.numHashes,
+      numBands = params.numBands, threshold = 0.5, oph = true)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val dir = tmpDir("modelstore") + "/minhash"
+    ModelStore.saveMinHashIndex(spark, dir,
+      Dedup.minHashSignatures(docs, shingleSize = params.shingleSize,
+        numHashes = params.numHashes, seed = params.seed, oph = params.oph),
+      params)
+    val (sigs, p2) = ModelStore.loadMinHashIndex(spark, dir)
+    assert(p2 == params, "generation parameters must reconstruct exactly")
+    val shingled = docs.select($"doc_id".as("id"),
+      Dedup.wordShingles($"text", p2.shingleSize).as("shingles"))
+    val viaStore = Dedup.nearDuplicatePairsFromSignatures(sigs, shingled,
+      p2.numHashes, p2.numBands, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(viaStore == direct,
+      "stored-signature near-dup must be identical to the direct pipeline")
+  }
 }

@@ -39,6 +39,99 @@ def fail(msg):
     sys.exit(1)
 
 
+def parse_roaring32(buf, pos):
+    """Parse one standard-portable 32-bit RoaringBitmap starting at pos.
+    Returns (sorted values, next position). Independent implementation of
+    the public RoaringFormatSpec (array, bitmap and run containers)."""
+    import struct
+    cookie = struct.unpack_from("<I", buf, pos)[0]
+    has_run = (cookie & 0xFFFF) == 12347
+    if has_run:
+        size = (cookie >> 16) + 1
+        pos += 4
+        runbits = buf[pos: pos + (size + 7) // 8]
+        pos += (size + 7) // 8
+        run_flags = [(runbits[i // 8] >> (i % 8)) & 1 for i in range(size)]
+    elif cookie == 12346:
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        pos += 8
+        run_flags = [0] * size
+    else:
+        raise ValueError(f"bad roaring cookie {cookie}")
+    keys, cards = [], []
+    for _ in range(size):
+        k, c = struct.unpack_from("<HH", buf, pos)
+        keys.append(k)
+        cards.append(c + 1)
+        pos += 4
+    if (not has_run) or size >= 4:
+        pos += 4 * size  # offset headers (parse sequentially instead)
+    values = []
+    for i in range(size):
+        base = keys[i] << 16
+        if run_flags[i]:
+            n_runs = struct.unpack_from("<H", buf, pos)[0]
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(base | v for v in range(start, start + length + 1))
+        elif cards[i] <= 4096:
+            for _ in range(cards[i]):
+                values.append(base | struct.unpack_from("<H", buf, pos)[0])
+                pos += 2
+        else:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    values.append(base | (wi * 64 + b.bit_length() - 1))
+                    w ^= b
+    return values, pos
+
+
+def read_deletion_vector(dv, errors):
+    """Decode a deletionVector descriptor (storageType 'p') into the set
+    of deleted row indexes, checking the PROTOCOL.md framing: version
+    byte 1, <int32 BE size><data><int32 BE crc32>, data = <magic
+    1681511377 LE><int64 LE bitmap count><portable 32-bit bitmaps>."""
+    import struct
+    import zlib
+    if dv.get("storageType") != "p":
+        errors.append(f"unsupported DV storageType {dv.get('storageType')}")
+        return set()
+    path = local_path(dv["pathOrInlineDv"])
+    if not os.path.exists(path):
+        errors.append(f"DV file missing: {path}")
+        return set()
+    blob = open(path, "rb").read()
+    if blob[0] != 1:
+        errors.append(f"DV file format version {blob[0]} != 1: {path}")
+    off = int(dv.get("offset", 0))
+    size = struct.unpack_from(">i", blob, off)[0]
+    if size != dv["sizeInBytes"]:
+        errors.append(f"DV size {size} != descriptor {dv['sizeInBytes']}: {path}")
+    data = blob[off + 4: off + 4 + size]
+    crc = struct.unpack_from(">I", blob, off + 4 + size)[0]
+    if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+        errors.append(f"DV checksum mismatch: {path}")
+    magic = struct.unpack_from("<I", data, 0)[0]
+    if magic != 1681511377:
+        errors.append(f"DV bitmap magic {magic} != 1681511377: {path}")
+        return set()
+    n_bitmaps = struct.unpack_from("<q", data, 4)[0]
+    pos = 12
+    out = set()
+    for hi in range(n_bitmaps):
+        vals, pos = parse_roaring32(data, pos)
+        out.update((hi << 32) | v for v in vals)
+    if len(out) != dv["cardinality"]:
+        errors.append(
+            f"DV cardinality {dv['cardinality']} != decoded {len(out)}: {path}")
+    return out
+
+
 def _murmur3_x86_32(data, seed=0):
     """Canonical murmur3_x86_32 — independent reimplementation used to
     recompute published bucket partition values (Iceberg bucket[N]
@@ -155,7 +248,12 @@ def main():
                 protocol_seen = True
                 pr = act["protocol"]
                 if pr["minReaderVersion"] > 1:
-                    errors.append("reader version above 1 for a plain parquet log")
+                    feats = pr.get("readerFeatures") or []
+                    if not (pr["minReaderVersion"] == 3
+                            and "deletionVectors" in feats):
+                        errors.append(
+                            f"reader version {pr['minReaderVersion']} without "
+                            f"a matching reader feature: {feats}")
             elif "metaData" in act:
                 m = act["metaData"]
                 if table_id is not None and m["id"] != table_id:
@@ -273,6 +371,7 @@ def main():
 
     con = duckdb.connect()
     total = 0
+    dv_positions = {}  # path -> set of deleted row indexes
     for path, a in files.items():
         local = local_path(path)
         meta = con.sql(
@@ -285,6 +384,12 @@ def main():
         if a["size"] != actual_size:
             errors.append(f"size {a['size']} != actual {actual_size}: {path}")
         total += n
+        if a.get("deletionVector"):
+            pos = read_deletion_vector(a["deletionVector"], errors)
+            dv_positions[path] = pos
+            if any(p >= n for p in pos):
+                errors.append(f"DV position beyond file row count {n}: {path}")
+            total -= len(pos)  # live rows, not physical rows
         if pcols and bsrc and bn:
             pv = a.get("partitionValues", {}).get(f"{bsrc}_bucket")
             declared = None if pv is None else int(pv)
@@ -328,8 +433,16 @@ def main():
                 v = a.get("partitionValues", {}).get(pc)
                 parts.append("CAST(NULL AS INT) AS \"%s\"" % pc if v is None
                              else "CAST(%s AS INT) AS \"%s\"" % (int(v), pc))
-            selects.append(
-                f"SELECT {', '.join(parts)} FROM read_parquet('{local}')")
+            # deletion vector: suppress the named row indexes
+            dv = sorted(dv_positions.get(path, ()))
+            if dv:
+                selects.append(
+                    f"SELECT {', '.join(parts)} FROM read_parquet('{local}', "
+                    f"file_row_number=true) WHERE file_row_number NOT IN "
+                    f"({', '.join(map(str, dv))})")
+            else:
+                selects.append(
+                    f"SELECT {', '.join(parts)} FROM read_parquet('{local}')")
         collist = ", ".join(f'"{c}"' for c in cols)
         df = con.sql(
             f"SELECT {collist} FROM ({' UNION ALL '.join(selects)}) "
