@@ -300,9 +300,16 @@ object IcebergExport {
 
   /** One outstanding equality-delete file (always parquet; one column —
     * the merge key). Applies to data files with seq strictly below its
-    * own, exactly the spec's v2 sequence-number rule.
+    * own, exactly the spec's v2 sequence-number rule. `bucket` is the
+    * delete file's bucket under the table's BucketSpec (engine deletes
+    * are bucket-scoped by construction): when the spec is published, the
+    * delete manifest carries partition tuples too, so an external reader
+    * planning ONE bucket applies only that bucket's delete files instead
+    * of every outstanding delete — the same pruning win as on the data
+    * side. −1 = unknown → unpartitioned manifest.
     */
-  final case class ExportDeleteFile(path: String, sizeBytes: Long, recordCount: Long, seq: Long)
+  final case class ExportDeleteFile(path: String, sizeBytes: Long, recordCount: Long, seq: Long,
+      bucket: Int = -1)
 
   /** One POSITION-delete file (Iceberg spec "Position Delete Files"): a
     * parquet file of (`file_path` string, `pos` long) rows naming exact
@@ -695,18 +702,36 @@ object IcebergExport {
     // data_file entries (with equality_ids); position deletes content=1
     // (file_path/pos rows, no equality ids). Carried entries keep their
     // original content kind.
+    // Equality deletes with a KNOWN bucket ride a delete manifest of the
+    // bucket spec (with partition tuples), mirroring the data side: an
+    // external reader planning one bucket then applies only that bucket's
+    // delete files instead of the whole outstanding set. Unknown-bucket
+    // entries (position deletes, carried legacy entries) stay spec-0 —
+    // an unpartitioned (global) delete is always CORRECT, just less
+    // prunable.
     val newDelPaths = deletes.map(_.path).toSet ++ posDeletes.map(_.path)
-    val deleteEntries: Seq[(Int, GenericRecord, Long, Long)] =
-      deletes.map { d =>
-        priorDeletes.get(d.path) match {
-          case Some(pe) =>
-            (0, entryRecord(0, pe.snapshotId, pe.seq, pe.fileSeq, 2, d.path, "PARQUET",
-              pe.recordCount, pe.sizeBytes, pe.equalityIds.orElse(equalityIds)), pe.recordCount, pe.seq)
-          case None =>
-            (1, entryRecord(1, snapshotId, d.seq, d.seq, 2, d.path, "PARQUET",
-              d.recordCount, d.sizeBytes, equalityIds), d.recordCount, d.seq)
-        }
-      } ++
+    def eqEntry(d: ExportDeleteFile, schemaFor: Schema, pv: Option[Option[Int]])
+        : (Int, GenericRecord, Long, Long) =
+      priorDeletes.get(d.path) match {
+        case Some(pe) =>
+          (0, entryRecord(0, pe.snapshotId, pe.seq, pe.fileSeq, 2, d.path, "PARQUET",
+            pe.recordCount, pe.sizeBytes, pe.equalityIds.orElse(equalityIds),
+            entrySchema = schemaFor, partitionValue = pv), pe.recordCount, pe.seq)
+        case None =>
+          (1, entryRecord(1, snapshotId, d.seq, d.seq, 2, d.path, "PARQUET",
+            d.recordCount, d.sizeBytes, equalityIds,
+            entrySchema = schemaFor, partitionValue = pv), d.recordCount, d.seq)
+      }
+    val (bucketedDels, plainDels) = bucketSpecResolved match {
+      case Some(_) => deletes.partition(_.bucket >= 0)
+      case None    => (Seq.empty[ExportDeleteFile], deletes)
+    }
+    val bucketedDelEntries = bucketedDels.map { d =>
+      val pv: Option[Int] = if (d.bucket == bucketSpec.get.n) None else Some(d.bucket)
+      eqEntry(d, bucketedEntrySchema.get, Some(pv))
+    }
+    val plainDelEntries: Seq[(Int, GenericRecord, Long, Long)] =
+      plainDels.map(d => eqEntry(d, ManifestEntrySchema, None)) ++
       posDeletes.map { d =>
         priorDeletes.get(d.path) match {
           case Some(pe) =>
@@ -722,9 +747,15 @@ object IcebergExport {
           if (pe.content == 0) 2 else pe.content, // legacy eq manifests predate the content read
           path, "PARQUET", pe.recordCount, pe.sizeBytes, pe.equalityIds), pe.recordCount, pe.seq)
       }
+    val bucketedDelManifest = bucketSpecResolved.flatMap { case (specId, _, _, node) =>
+      if (bucketedDelEntries.isEmpty) None
+      else Some(writeManifest("m1", "deletes", bucketedDelEntries, bucketedEntrySchema.get,
+        specId, node.get("fields").toString))
+    }
     val deleteManifest =
-      if (deleteEntries.isEmpty) None
-      else Some(writeManifest("m1", "deletes", deleteEntries))
+      if (plainDelEntries.isEmpty) None
+      else Some(writeManifest(if (bucketedDelManifest.isEmpty) "m1" else "m3", "deletes",
+        plainDelEntries))
 
     // 3. manifest list: the data manifest_file row [+ the delete one].
     val listPath = fs.makeQualified(new Path(metaDir, s"snap-$snapshotId-manifest-list.avro"))
@@ -780,6 +811,27 @@ object IcebergExport {
     }
     plainManifest.foreach { case (p, len, counts, rows, minSeq) =>
       listWriter.append(listRow(p, len, 0, counts, rows, minSeq))
+    }
+    // bucketed delete manifest first (spec id + field summary), then the
+    // unpartitioned one (position deletes, carried legacy entries)
+    def delSummary: AnyRef = {
+      val arrSchema = ManifestFileSchema.getField("partitions").schema().getTypes.get(1)
+      val rec = new GenericData.Record(arrSchema.getElementType)
+      val n = bucketSpec.get.n
+      rec.put("contains_null", bucketedDels.exists(_.bucket == n))
+      rec.put("contains_nan", java.lang.Boolean.FALSE)
+      val real = bucketedDels.map(_.bucket).filter(_ < n)
+      def le4(v: Int) = java.nio.ByteBuffer.wrap(
+        java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+      rec.put("lower_bound", real.minOption.map(le4).orNull)
+      rec.put("upper_bound", real.maxOption.map(le4).orNull)
+      val arr = new GenericData.Array[GenericRecord](1, arrSchema)
+      arr.add(rec)
+      arr
+    }
+    bucketedDelManifest.foreach { case (p, len, counts, rows, minSeq) =>
+      listWriter.append(listRow(p, len, 1, counts, rows, minSeq,
+        specId = bucketSpecResolved.get._1, summary = delSummary))
     }
     deleteManifest.foreach { case (p, len, counts, rows, minSeq) =>
       listWriter.append(listRow(p, len, 1, counts, rows, minSeq))
@@ -888,7 +940,8 @@ object IcebergExport {
     // `overwrite` whenever the commit removed files or added row-level
     // deletes; plain `append` only when it purely added data files —
     // incremental-append consumers rely on this classification.
-    val isOverwrite = mDel > 0 || deleteEntries.exists(_._1 != 0)
+    val isOverwrite = mDel > 0 ||
+      (bucketedDelEntries ++ plainDelEntries).exists(_._1 != 0)
     summary.put("operation", if (isOverwrite) "overwrite" else "append")
     summary.put("added-data-files", mAdd.toString)
     summary.put("added-records", mAddRows.toString)
@@ -896,7 +949,9 @@ object IcebergExport {
       summary.put("deleted-data-files", mDel.toString)
       summary.put("deleted-records", mDelRows.toString)
     }
-    deleteManifest.foreach { case (_, _, (dAdd, _, _), (_, _, _), _) =>
+    val delManifests = bucketedDelManifest.toSeq ++ deleteManifest.toSeq
+    if (delManifests.nonEmpty) {
+      val dAdd = delManifests.map(_._3._1).sum
       if (dAdd > 0) summary.put("added-delete-files", dAdd.toString)
       val eqNew = deletes.filterNot(d => priorDeletes.contains(d.path))
       if (eqNew.nonEmpty) {

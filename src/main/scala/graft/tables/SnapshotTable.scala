@@ -1338,7 +1338,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       val p = fs.makeQualified(new Path(dataDir, d.path))
       val rows = if (d.rows >= 0L) d.rows else FileStats.parquetRowCount(conf, p)
       val len = if (d.bytes >= 0L) d.bytes else fs.getFileStatus(p).getLen
-      IcebergExport.ExportDeleteFile(p.toString, len, rows, d.seq)
+      IcebergExport.ExportDeleteFile(p.toString, len, rows, d.seq, d.bucket)
     }
     IcebergExport.write(fs, out, snap.schema, snap.version,
       snap.timestampMs, files, snap.properties, fileFormat = format.toUpperCase,

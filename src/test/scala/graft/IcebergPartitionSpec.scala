@@ -5,6 +5,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructField
 
+import scala.jdk.CollectionConverters._
+
 /** The published `bucket[N]` partition spec end to end
   * (`/root/reference/docs/crd.md:211` — the reference's targets declare
   * `bucket(arcane_merge_key, 10)` so external engines prune point
@@ -155,5 +157,35 @@ class IcebergPartitionSpec extends SparkSpec {
     val alive = IcebergExport.readTableForKey(spark, s"$loc/iceberg", "k8")
       .select("payload").as[String].collect()
     assert(alive.toSeq === Seq("v8"))
+    // the equality-delete manifest is bucket-partitioned too: an external
+    // reader planning one bucket applies only that bucket's delete files
+    val hint = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$loc/iceberg/metadata/version-hint.text")).trim
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$loc/iceberg/metadata/v$hint.metadata.json")))
+    val mlPath = meta.get("snapshots").elements().asScala.toSeq
+      .find(_.get("snapshot-id").asLong() == meta.get("current-snapshot-id").asLong())
+      .get.get("manifest-list").asText()
+    val delManifests = readManifestList(mlPath).filter(_._2 == 1)
+    assert(delManifests.nonEmpty && delManifests.exists(_._3 == 1),
+      s"delete manifest must carry the bucket spec id: $delManifests")
+  }
+
+  /** (manifest_path, content, partition_spec_id) rows of a manifest list. */
+  private def readManifestList(p: String): Seq[(String, Int, Int)] = {
+    val in = fs.open(new Path(p))
+    val stream = new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
+      in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      while (stream.hasNext) {
+        val r = stream.next()
+        out += ((r.get("manifest_path").toString,
+          r.get("content").asInstanceOf[Int],
+          r.get("partition_spec_id").asInstanceOf[Int]))
+      }
+      out.result()
+    } finally stream.close()
   }
 }

@@ -447,12 +447,13 @@ def validate_snapshot(snap, field_ids, specs, con):
                             err(f"{fpath}: actual [{amin}, {amax}] of "
                                 f"'{name}' outside manifest bounds "
                                 f"[{lo}, {hi}]")
-            if content == 0:
-                # partition tuple must carry exactly the manifest spec's
-                # fields, and a bucket[N] value must be the REAL bucket of
-                # every key in the file — recomputed here with an
-                # independent murmur3 (a wrong tuple silently loses rows
-                # for every pruning external reader)
+            # partition tuple must carry exactly the manifest spec's
+            # fields, and a bucket[N] value must be the REAL bucket of
+            # every key in the file — recomputed here with an independent
+            # murmur3 (a wrong tuple silently loses rows for every pruning
+            # external reader). Applies to DATA files and bucket-scoped
+            # EQUALITY-DELETE files alike (both carry the key column).
+            if content in (0, 2):
                 pt = df.get("partition") or {}
                 want = {f["name"] for f in spec_fields}
                 if set(pt) != want:
@@ -483,6 +484,7 @@ def validate_snapshot(snap, field_ids, specs, con):
                             err(f"{fpath}: key {kv!r} has bucket {got} but "
                                 f"partition tuple says {v}")
                             break
+            if content == 0:
                 data_files.append((uri, fpath, df["record_count"], seq, fmt,
                                    lower, upper))
             elif content == 2:
