@@ -934,6 +934,22 @@ object SparkEntry {
     // the oracle restates the post-merge state relationally. Evens
     // created at v=1; keys %10==0 merged at v=2 with doubled acctbal;
     // keys %100==0 tombstoned.
+    // Bucket-pruned point lookups through the Iceberg export: the same
+    // CREATE + MERGE lifecycle as q_export_iceberg, probed at fixed keys
+    // (untouched / updated / tombstoned) through the published bucket[N]
+    // partition spec — the pruned read must lose nothing.
+    "q_export_point_lookup" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 10 = 0
+        |       THEN CAST(c_acctbal AS DOUBLE) * 2
+        |       ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal,
+        |  CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS v,
+        |  false AS is_del
+        |FROM customer
+        |WHERE c_custkey IN (2, 4, 6, 8, 10, 30, 100, 200)
+        |  AND c_custkey % 2 = 0 AND c_custkey % 100 <> 0
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_export_iceberg" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 10 = 0

@@ -562,6 +562,42 @@ object Queries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Bucket-pruned POINT LOOKUP through the Iceberg export
+    * ([[graft.tables.IcebergExport.readTableForKey]]) — the reference's
+    * primary external access pattern (`WHERE merge_key = k` from
+    * Trino/Spark against its `bucket(arcane_merge_key, N)` targets,
+    * `/root/reference/docs/crd.md:211`): for each probed key the reader
+    * resolves the published `bucket[N]` spec, computes the key's murmur3
+    * bucket, plans ONLY matching-tuple files (IcebergPartitionSpec pins
+    * the planned set against the scan's actual inputFiles) and applies
+    * the row predicate. The oracle restates the post-merge state filtered
+    * to the same keys — a hash match proves pruning loses nothing:
+    * updated keys, tombstoned keys (absent) and untouched keys all
+    * resolve correctly through the pruned path.
+    */
+  def qExportPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{IcebergExport, SnapshotTable}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-point-lookup-gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val tbl = SnapshotTable(spark, s"$root/table")
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        lit(1L).as("v"), lit(false).as("is_del"))
+    tbl.createOrReplace(cust.where(col("c_custkey") % 2 === 0), "c_custkey", numBuckets = 32)
+    val staged = cust.where(col("c_custkey") % 10 === 0)
+      .withColumn("v", lit(2L))
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+      .withColumn("is_del", col("c_custkey") % 100 === 0)
+    tbl.merge(staged, "c_custkey", "v", "is_del")
+    tbl.exportIceberg(s"$root/iceberg")
+    // untouched (2,4,6,8), updated (10,30), tombstoned (100,200 — empty)
+    val keys = Seq(2L, 4L, 6L, 8L, 10L, 30L, 100L, 200L)
+    keys.map(k => IcebergExport.readTableForKey(spark, s"$root/iceberg", k))
+      .reduce(_ unionByName _)
+      .orderBy(col("c_custkey"))
+  }
+
   /** External-WRITER ingestion gate ([[graft.tables.SnapshotTable.adoptFiles]]
     * — Iceberg `add_files` parity, the reachable half of the reference's
     * external-engine writability via REST catalog,
@@ -3307,6 +3343,7 @@ object Queries {
     "q_cdc_merge_mor" -> (qCdcMergeMor _),
     "q_export_iceberg_mor" -> (qExportIcebergMor _),
     "q_export_delta_mor" -> (qExportDeltaMor _),
+    "q_export_point_lookup" -> (qExportPointLookup _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_dedup_exact" -> (qDedupExact _),

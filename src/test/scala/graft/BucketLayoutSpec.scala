@@ -74,6 +74,22 @@ class BucketLayoutSpec extends SparkSpec {
     assert(pruned === full && pruned.nonEmpty)
   }
 
+  test("the iceberg bucket column stays inside whole-stage codegen") {
+    graft.sql.GraftExtensions.ensureRegistered(spark)
+    // spark.range leaf: a LocalRelation would constant-fold the expression
+    // away and prove nothing
+    val df = spark.range(1000)
+      .select(concat(lit("k"), col("id")).as("k"))
+      .select(SnapshotTable.bucketColumn(col("k"), 16, SnapshotTable.BucketFnIceberg).as("b"))
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty,
+      s"bucket assignment must be codegen'd (it runs per row on every write):\n" +
+        df.queryExecution.executedPlan)
+    assert(df.distinct().count() <= 16)
+  }
+
   test("migrateBucketLayout rewrites xxhash64 tables in place, content-identical") {
     val loc = tmpDir("bkt-migrate")
     val t = SnapshotTable(spark, loc)
