@@ -406,7 +406,12 @@ object Bench {
       // publish + replay read at 10x rows; the add/remove-diff +
       // manifest-row-count design must keep the export metadata-only
       // (same O(new files) claim as the Iceberg leg, second format)
-      "q_export_delta")
+      "q_export_delta",
+      // round-16: the Delta DELETION-VECTOR path — uncompacted MoR export
+      // + DV-applying replay read at 10x rows; position-izing is one
+      // sequence-pruned bucket scan and the DV write is O(deleted rows),
+      // so the leg must scale with the change set, not the table
+      "q_export_delta_mor")
 
   /** Build (once; cached by source signature) a 10x derivative of sfDir's
     * documents/embeddings tables: ten id-shifted blocks. Block texts get a

@@ -1134,6 +1134,56 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** [[incrementalNearDups]] with the CORPUS side served from a
+    * PERSISTED signature index ([[ModelStore.saveMinHashIndex]]) — the
+    * daily-crawl shape at 100 TB: the corpus's band pass reads the stored
+    * `(id, signature)` table (numHashes longs per document — orders of
+    * magnitude smaller than the text), so the only corpus-sized text scan
+    * left is the single map-only Jaccard verify pass. Parameters MUST be
+    * the index's own ([[MinHashParams]] — persisted with it) or candidate
+    * recall silently collapses; the increment is signed here with exactly
+    * those parameters. Same guards and verify joins as the direct
+    * operator.
+    */
+  def incrementalNearDupsFromIndex(
+      corpusSigs: DataFrame,
+      corpus: DataFrame,
+      incoming: DataFrame,
+      params: MinHashParams,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    def bandsOf(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"),
+        explode(lshBandKeys(col("signature"), params.numHashes, params.numBands)).as("bk"))
+    val incBands = bandsOf(minHashSignatures(incoming, idCol, textCol,
+        params.shingleSize, params.numHashes, params.seed, params.oph))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("id").as("inc_id"), col("bk"))
+    val survivors = bandsOf(corpusSigs)
+      .join(broadcast(incBands.select("bk").distinct()), Seq("bk"), "leftsemi")
+      .withColumn("_corpus_n", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .where(col("_corpus_n") <= maxBucketSize)
+    val candidates = survivors
+      .join(broadcast(incBands), Seq("bk"))
+      .select(col("inc_id"), col("id").as("corpus_id"))
+      .distinct()
+    val shingleOf: DataFrame => DataFrame = df =>
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), params.shingleSize).as("sh"))
+    val jaccard = call_function("jaccard_sim", col("sh_i"), col("sh_c"))
+    val withInc = candidates.join(
+      broadcast(shingleOf(incoming).select(col("id").as("inc_id"), col("sh").as("sh_i"))),
+      Seq("inc_id"))
+    shingleOf(corpus).select(col("id").as("corpus_id"), col("sh").as("sh_c"))
+      .join(broadcast(withInc), Seq("corpus_id"))
+      .select(col("inc_id"), col("corpus_id"), jaccard.as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** The filter built on [[incrementalNearDups]]: incoming rows that are
     * NOT near-duplicates of any corpus document — what actually gets
     * appended by an incremental ingest. Anti join on the pair set; all

@@ -106,4 +106,30 @@ class ModelStoreSpec extends SparkSpec {
     assert(viaStore == direct,
       "stored-signature near-dup must be identical to the direct pipeline")
   }
+
+  test("incremental near-dup from a stored corpus index matches the direct operator") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text").where($"doc_id" < 300)
+    // a planted increment: near-copies of 10 corpus docs plus 5 novel rows
+    val inc = docs.where($"doc_id" < 10)
+      .select(($"doc_id" + 500000L).as("doc_id"),
+        concat($"text", lit(" tail")).as("text"))
+      .unionByName((0 until 5).map(i => (600000L + i, s"entirely novel text $i unique"))
+        .toDF("doc_id", "text"))
+    val params = Dedup.MinHashParams(
+      numHashes = 64, numBands = 16, shingleSize = 3, seed = 42L, oph = false)
+    val direct = Dedup.incrementalNearDups(docs, inc, threshold = 0.5,
+      numHashes = params.numHashes, numBands = params.numBands)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(direct.nonEmpty, "the planted near-copies must pair")
+    val dir = tmpDir("modelstore") + "/minhash-inc"
+    ModelStore.saveMinHashIndex(spark, dir,
+      Dedup.minHashSignatures(docs, numHashes = params.numHashes), params)
+    val (sigs, p2) = ModelStore.loadMinHashIndex(spark, dir)
+    val viaStore = Dedup.incrementalNearDupsFromIndex(sigs, docs, inc, p2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(viaStore == direct,
+      "stored-index incremental near-dup must be identical to the direct operator")
+  }
 }
