@@ -620,16 +620,30 @@ object DeltaExport {
 
     // deletion vectors: one packed DV file per commit, descriptors per
     // data file; a file whose DV CHANGED is removed (with its old DV) and
-    // re-added — Delta file identity is (path, dv)
+    // re-added — Delta file identity is (path, dv). A file whose deleted
+    // positions are UNCHANGED since the prior export reuses its existing
+    // descriptor (cardinality pre-filter, then one bounded decode), so a
+    // per-commit exporter wired into a stream re-adds only files whose
+    // deletes actually advanced — not every DV'd file every commit.
     require(dvPositions.keySet.subsetOf(files.map(_.uri).toSet),
       "dvPositions must reference live data files")
+    val priorForDv = prior.map(_.files).getOrElse(Map.empty)
+    val (dvReused, dvChanged) = dvPositions.toSeq.sortBy(_._1).partition { case (u, p) =>
+      priorForDv.get(u).flatMap(_.dv) match {
+        case Some(d) if d.cardinality == p.length &&
+          scala.util.Try(java.util.Arrays.equals(readDv(fs, d), p.sorted)).getOrElse(false) => true
+        case _ => false
+      }
+    }
     val dvDescriptors: Map[String, DvDescriptor] =
-      if (dvPositions.isEmpty) Map.empty
-      else {
-        val dvDir = new Path(exportDir, "deletion_vectors")
-        fs.mkdirs(dvDir)
-        writeDvFile(fs, fs.makeQualified(new Path(dvDir, s"${UUID.randomUUID()}.bin")),
-          dvPositions.toSeq.sortBy(_._1).map { case (u, p) => (u, p.sorted) })
+      dvReused.map { case (u, _) => u -> priorForDv(u).dv.get }.toMap ++ {
+        if (dvChanged.isEmpty) Map.empty[String, DvDescriptor]
+        else {
+          val dvDir = new Path(exportDir, "deletion_vectors")
+          fs.mkdirs(dvDir)
+          writeDvFile(fs, fs.makeQualified(new Path(dvDir, s"${UUID.randomUUID()}.bin")),
+            dvChanged.map { case (u, p) => (u, p.sorted) })
+        }
       }
     def dvId(o: Option[DvDescriptor]) = o.map(_.uniqueId).getOrElse("")
 

@@ -110,6 +110,60 @@ class DeltaDvSpec extends SparkSpec {
     }
   }
 
+  test("unchanged DVs are reused across commits — no re-add churn at stream cadence") {
+    val base = tmpDir("delta-dv-reuse")
+    val t = SnapshotTable(spark, s"$base/table")
+    val delta = s"$base/delta"
+    t.createOrReplace((1 to 200).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", numBuckets = 8)
+    // DV on whatever buckets k2/k3 live in
+    t.mergeOnRead(Seq(("k2", 2L, null, true), ("k3", 2L, null, true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    t.exportDelta(delta)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def addsOf(v: Long): Seq[String] =
+      scala.io.Source.fromFile(f"$delta/_delta_log/$v%020d.json").getLines()
+        .map(mapper.readTree).filter(_.has("add"))
+        .map(_.get("add").get("path").asText()).toSeq
+    val dvAdds1 = scala.io.Source.fromFile(s"$delta/_delta_log/00000000000000000000.json")
+      .getLines().map(mapper.readTree).filter(_.has("add"))
+      .filter(n => !n.get("add").get("deletionVector").isInstanceOf[
+        com.fasterxml.jackson.databind.node.MissingNode] &&
+        n.get("add").has("deletionVector"))
+      .map(_.get("add").get("path").asText()).toSeq
+    assert(dvAdds1.nonEmpty)
+    // a merge that rewrites a DIFFERENT key's bucket leaves the DV'd
+    // files' positions unchanged — the next export must NOT re-add them
+    val otherKey = (1 to 200).map(i => s"k$i").find { k =>
+      val b = spark.range(1).select(expr(s"iceberg_bucket('$k', 8)"))
+        .collect().head.getInt(0)
+      val b2 = spark.range(1).select(expr("iceberg_bucket('k2', 8)"))
+        .collect().head.getInt(0)
+      val b3 = spark.range(1).select(expr("iceberg_bucket('k3', 8)"))
+        .collect().head.getInt(0)
+      b != b2 && b != b3
+    }.get
+    t.merge(Seq((otherKey, 5L, "rewritten", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.currentSnapshot.deletes.nonEmpty, "the other bucket's deletes must survive")
+    t.exportDelta(delta)
+    val adds2 = addsOf(1L)
+    assert(adds2.nonEmpty, "the rewritten bucket's files must be added")
+    dvAdds1.foreach { p =>
+      assert(!adds2.contains(p),
+        s"unchanged-DV file $p must not be re-added (descriptor reuse)")
+    }
+    // and the replayed read still matches the table
+    val viaLog = DeltaExport.readTable(spark, new Path(delta))
+      .select($"arcane_merge_key", $"payload").as[(String, String)].collect().toSet
+    val direct = t.read().select($"arcane_merge_key", $"payload")
+      .as[(String, String)].collect().toSet
+    assert(viaLog == direct)
+  }
+
   test("compaction after DV exports returns the log to plain adds") {
     val base = tmpDir("delta-dv-compact")
     val t = SnapshotTable(spark, s"$base/table")
