@@ -220,13 +220,10 @@ object CdcPipeline {
         "manifest cannot represent outstanding equality deletes; use copy-on-write, " +
         "icebergExportDir (v2 delete manifests), or a maintenanceRun job (exports after " +
         "compaction)")
-    // the Delta protocol has NO equality-delete representation either
-    // (deletion vectors are writer-v7, and they are positional) — per-
-    // commit Delta export of a MoR stream would fail between compactions
-    require(!(spec.useMergeOnRead && spec.deltaExportDir.nonEmpty),
-      "deltaExportDir cannot be combined with mergeMode=merge-on-read on a stream: the " +
-        "Delta log cannot represent outstanding equality deletes; use copy-on-write, " +
-        "icebergExportDir, or a maintenanceRun job (exports after compaction)")
+    // deltaExportDir + merge-on-read is supported: outstanding equality
+    // deletes export as protocol DELETION VECTORS (reader v3 / writer v7
+    // — exportDelta position-izes them per commit; unchanged DVs reuse
+    // their descriptors, so per-commit cost tracks the change set)
     // a stream MERGEs into the target (or creates it fresh) — never replaces
     validateIcebergExportFormat(spark, spec, willReplace = false)
     validateDeltaExportFormat(spark, spec, willReplace = false)
