@@ -220,11 +220,16 @@ class ConformanceSpec extends SparkSpec {
     assert(graft.tables.DeltaExport.readTable(spark, deltaPath, at = Some(0L)).count() === 5,
       "Delta v0 must time-travel to the backfill state")
 
-    // MoR stream + deltaExportDir is refused up front (no equality-delete
-    // representation in the Delta protocol)
-    val bad = spec.copy(mergeMode = "merge-on-read", exportDir = None, icebergExportDir = None)
+    // MoR stream + SYMLINK exportDir is still refused up front (a symlink
+    // manifest has no row-level-delete representation at all). The Delta
+    // leg is no longer refused: outstanding equality deletes export as
+    // protocol deletion vectors — pinned end to end by q_export_delta_mor
+    // and DeltaDvSpec.
+    val bad = spec.copy(mergeMode = "merge-on-read",
+      exportDir = Some(tmpDir("cdm-mor-symlink")),
+      icebergExportDir = None, deltaExportDir = None)
     val err = intercept[IllegalArgumentException](CdcPipeline.startStream(spark, bad))
-    assert(err.getMessage.contains("deltaExportDir"))
+    assert(err.getMessage.contains("exportDir"))
   }
 
   test("three entity streams run concurrently in one session: per-stream checkpoints, independent watermarks") {
