@@ -540,11 +540,20 @@ object Bench {
       // section proved counts survive noise, seconds don't). candidates
       // drive verify cost; capped_* name the skew guards' engagement.
       val work = try {
+        // counts at BOTH sizes: growth (10x counts / base counts) is what
+        // adjudicates a ratio — an absolute count alone cannot separate
+        // "host hiccup on linear work" from "the work itself grew"
         Bench.workJson(
           graft.queries.Queries.nearDupWorkCounts(spark, dir10),
           graft.queries.Queries.incrementalNearDupWorkCounts(spark, dir10),
           graft.ext.Dedup.fuzzyBlockingStats(
-            fuzzyKneeCorpus(spark, sfDir, 10000), "id", "s", maxDist = 2)) + ","
+            fuzzyKneeCorpus(spark, sfDir, 10000), "id", "s", maxDist = 2)) + "," +
+          Bench.workJson(
+            graft.queries.Queries.nearDupWorkCounts(spark, sfDir),
+            graft.queries.Queries.incrementalNearDupWorkCounts(spark, sfDir),
+            graft.ext.Dedup.fuzzyBlockingStats(
+              fuzzyKneeCorpus(spark, sfDir, 1000), "id", "s", maxDist = 2))
+            .replaceFirst("\"work\":", "\"work_base\":") + ","
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"BENCH 10x WORK COUNTS FAILED: ${e.getMessage}")
