@@ -172,6 +172,38 @@ class IcebergPartitionSpec extends SparkSpec {
       s"delete manifest must carry the bucket spec id: $delManifests")
   }
 
+  test("numBuckets change across CREATE OR REPLACE evolves the spec, never mutates it") {
+    val loc = tmpDir("ice-spec-evolve")
+    val t = SnapshotTable(spark, loc)
+    val df = (1 to 100).map(i => (s"k$i", i.toLong, s"v$i"))
+      .toDF("arcane_merge_key", "versionnumber", "payload")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 8)
+    t.exportIceberg(s"$loc/iceberg")
+    // a replace rewrites everything — the new layout may change N
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 16)
+    t.exportIceberg(s"$loc/iceberg")
+    val hint = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$loc/iceberg/metadata/version-hint.text")).trim
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$loc/iceberg/metadata/v$hint.metadata.json")))
+    val specs = meta.get("partition-specs").elements().asScala.toSeq
+      .map(s => s.get("spec-id").asInt() ->
+        s.get("fields").elements().asScala.map(_.get("transform").asText()).toSeq).toMap
+    // specs are append-only: 0 (unpartitioned), 1 (bucket[8]), 2 (bucket[16])
+    assert(specs(0).isEmpty && specs(1) == Seq("bucket[8]") && specs(2) == Seq("bucket[16]"))
+    assert(meta.get("default-spec-id").asInt() === 2)
+    // fresh partition field id for the new spec (ids are never reused)
+    val fid2 = meta.get("partition-specs").elements().asScala.toSeq
+      .find(_.get("spec-id").asInt() == 2).get
+      .get("fields").elements().asScala.next().get("field-id").asInt()
+    assert(fid2 === 1001 && meta.get("last-partition-id").asInt() === 1001)
+    // lookups resolve the CURRENT spec's modulus
+    val rows = IcebergExport.readTableForKey(spark, s"$loc/iceberg", "k42")
+      .select("payload").as[String].collect()
+    assert(rows.toSeq === Seq("v42"))
+  }
+
   /** (manifest_path, content, partition_spec_id) rows of a manifest list. */
   private def readManifestList(p: String): Seq[(String, Int, Int)] = {
     val in = fs.open(new Path(p))
