@@ -922,7 +922,20 @@ object IcebergExport {
       }
     }
     val props = root.putObject("properties")
-    (properties + ("schema.name-mapping.default" -> nameMappingJson(fieldIds)))
+    // Engine layout hints re-expressed under Iceberg's OWN property names
+    // (Iceberg spec / reference implementation write properties), so an
+    // external WRITER — Trino/Spark INSERTing into this table through a
+    // catalog — continues the physical layout instead of silently
+    // abandoning it: per-column parquet bloom filters and the default
+    // write format. (The sort order is already declared structurally via
+    // sort-orders above; the engine-prefixed originals stay too.)
+    val conventionProps: Map[String, String] =
+      properties.get("write.bloom.columns").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .map(c => s"write.parquet.bloom-filter-enabled.column.$c" -> "true").toMap ++
+        properties.get("write.format").map(f => "write.format.default" -> f)
+    (properties ++ conventionProps +
+      ("schema.name-mapping.default" -> nameMappingJson(fieldIds)))
       .foreach { case (k, v) => props.put(k, v) }
     root.put("current-snapshot-id", snapshotId)
     val refs = root.putObject("refs")
