@@ -1284,16 +1284,19 @@ object Dedup {
     val bf = index.getOrElse(exactIndex(corpus, textCol, expectedItems))
     val cols = incoming.columns
     val fpIn = TextAnalysis.fingerprint(col(textCol))
-    // PERSIST the marked increment: it is consumed twice (suspect
-    // extraction + the final anti-join), and without the cache each
-    // consumer re-fingerprints the increment AND re-embeds the ≤8 MiB
-    // bloom literal in its own plan subtree. The suspect count below is
-    // an eager action, so the cache materializes before reuse; the
-    // increment is batch-sized by contract, so pinning it is bounded.
+    // MATERIALIZE the marked increment (eager localCheckpoint): it is
+    // consumed twice (suspect extraction + the final anti-join), and
+    // without materialization each consumer re-fingerprints the increment
+    // AND re-embeds the ≤8 MiB bloom literal in its own plan subtree. A
+    // plain persist() would leak for the session's lifetime — the returned
+    // frame depends on it and callers get no unpersist handle — whereas
+    // checkpoint blocks are released when the frame is GC'd. The traded
+    // recompute-on-executor-loss only covers the batch-sized increment,
+    // never the corpus.
     val marked = incoming.withColumn("_fp", fpIn).withColumn("_suspect",
       col("_fp").isNotNull &&
         call_function("bloom_might_contain", lit(bf), xxhash64(col("_fp"))))
-      .persist()
+      .localCheckpoint()
     val suspectFps = marked.where(col("_suspect")).select(col("_fp")).distinct()
     val corpusFps = corpus
       .select(TextAnalysis.fingerprint(col(textCol)).as("_fp"))

@@ -905,6 +905,45 @@ object Similarity {
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
 
+  /** Blocking observables of [[ivfTopK]]/[[ivfPqTopK]] (which share the
+    * coarse list equi-join): `(probedCells, candidates, maxList)` —
+    * probed (query, list) cells, the list-join's exact candidate row
+    * count (the scoring cost driver; =!= self-exclusion included), and
+    * the largest inverted list (the assignment-skew signal). Recorded in
+    * the bench's sf1 block next to the wall-clock so an ANN timing
+    * outlier is ATTRIBUTABLE: flat counts at 10x rows name host noise,
+    * growing probed-list mass names real work (the exact epistemic hole
+    * the near-dup work counts closed in r16, extended to the last
+    * unadjudicable query family per the r16 verdict). Id-only — no
+    * vector payloads move, so the count costs one assignment pass plus a
+    * key join.
+    */
+  def ivfWorkCounts(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nprobe: Int = 1
+  ): (Long, Long, Long) = {
+    VecDot.ensureRegistered(queries.sparkSession)
+    require(centroids.nonEmpty, "ivfWorkCounts requires at least one centroid")
+    val bc = broadcastCentroids(centroids)
+    val (dim, nLists) = (centroids.head.length, centroids.length)
+    val probes = queries.select(col(idCol).as("query_id"),
+      explode(ivfProbes(col(vecCol), bc, dim, nLists, nprobe)).as("q_list"))
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      ivfAssign(col(vecCol), bc, dim, nLists).as("c_list"))
+    val probedCells = probes.count()
+    val candidates = assigned
+      .join(broadcast(probes),
+        col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
+      .count()
+    val maxList = assigned.groupBy("c_list").count()
+      .agg(max(col("count"))).head().getLong(0)
+    (probedCells, candidates, maxList)
+  }
+
   /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus by nearest centroid, then prune
     * near-duplicates WITHIN each cluster only — the clustering is what

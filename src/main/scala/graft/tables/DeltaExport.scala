@@ -44,9 +44,10 @@ import scala.jdk.CollectionConverters._
   * deletes export as protocol DELETION VECTORS ([[DvDescriptor]] —
   * reader v3 / writer v7 `deletionVectors` feature, declared only when
   * first used so DV-free logs keep reader-1 compatibility); the position
-  * bitmaps are RoaringBitmapArray-portable per PROTOCOL.md, packed one
-  * DV file per commit, applied by [[readTable]] and independently
-  * decoded by tools/delta_validate.py.
+  * bitmaps are RoaringBitmapArray-portable per PROTOCOL.md, written
+  * DISTRIBUTED — one packed DV file per executor partition and commit,
+  * descriptors only on the driver ([[writeDvsDistributed]]) — applied by
+  * [[readTable]] and independently decoded by tools/delta_validate.py.
   */
 object DeltaExport {
 
@@ -164,53 +165,148 @@ object DeltaExport {
     */
   private val DvMagic = 1681511377
 
-  /** Write ONE deletion-vector file holding the bitmaps for every listed
-    * data file (the protocol's multi-DV packing: one object-store PUT per
-    * commit, not per data file). Layout per PROTOCOL.md: a 1-byte format
-    * version (1), then per DV `<dataSize: int32 BE> <data> <CRC32(data):
-    * int32 BE>`, where `data` is the portable RoaringBitmapArray:
-    * `<magic 1681511377: int32 LE> <numBitmaps: int64 LE>` followed by
-    * each 32-bit RoaringBitmap's standard portable serialization (bitmap
-    * i holds the low words of positions with high word i). Returns the
-    * per-data-file descriptors.
+  /** Frame ONE DV into an open DV file per PROTOCOL.md:
+    * `<dataSize: int32 BE> <data> <CRC32(data): int32 BE>` — the framing
+    * delta-spark's DeletionVectorStore writes/expects. Returns the byte
+    * count written.
     */
-  private[tables] def writeDvFile(
-      fs: FileSystem, dvPath: Path,
-      positionsByFile: Seq[(String, Array[Long])]): Map[String, DvDescriptor] = {
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(1) // format version
-    val descriptors = positionsByFile.map { case (uri, positions) =>
-      val offset = out.size().toLong
-      val data = serializeRoaringArray(positions)
-      // int32 BE length, data, int32 BE CRC32 — the framing delta-spark's
-      // DeletionVectorStore writes/expects
-      def be(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(i).array()
-      out.write(be(data.length))
-      out.write(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(data)
-      out.write(be(crc.getValue.toInt))
-      uri -> DvDescriptor("p", dvPath.toString, offset, data.length.toLong, positions.length.toLong)
-    }.toMap
-    val o = fs.create(dvPath, true)
-    try o.write(out.toByteArray) finally o.close()
-    descriptors
+  private def frameDv(out: java.io.OutputStream, data: Array[Byte]): Long = {
+    def be(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    out.write(be(data.length))
+    out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    out.write(be(crc.getValue.toInt))
+    (4 + data.length + 4).toLong
   }
 
-  private def serializeRoaringArray(positions: Array[Long]): Array[Byte] = {
-    require(positions.forall(p => p >= 0),
-      "deletion-vector positions must be non-negative row indexes")
-    val byHigh = positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
-    require(byHigh.isEmpty || byHigh.last._1 < Int.MaxValue, "position high word overflow")
-    val nBitmaps = byHigh.lastOption.map(_._1 + 1).getOrElse(0)
-    val bitmaps = Array.fill(nBitmaps)(new org.roaringbitmap.RoaringBitmap())
-    byHigh.foreach { case (hi, ps) => ps.foreach(p => bitmaps(hi).add(p.toInt)) }
+  /** Portable RoaringBitmapArray bytes (PROTOCOL.md DV format): `<magic
+    * 1681511377: int32 LE> <numBitmaps: int64 LE>` then each 32-bit
+    * RoaringBitmap's standard portable serialization — bitmap i holds the
+    * low words of positions with high word i. Deterministic for a given
+    * position set (containers are add-order-independent, never
+    * run-optimized), so byte equality == set equality, the property the
+    * executor-side descriptor-reuse check relies on.
+    */
+  private def serializeBitmaps(
+      bitmaps: IndexedSeq[org.roaringbitmap.RoaringBitmap]): Array[Byte] = {
     val size = 4 + 8 + bitmaps.map(_.serializedSizeInBytes()).sum
     val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(DvMagic)
-    bb.putLong(nBitmaps.toLong)
+    bb.putLong(bitmaps.size.toLong)
     bitmaps.foreach(_.serialize(bb))
     bb.array()
+  }
+
+  /** The framed `data` bytes of one stored DV, no decode — the cheap half
+    * of the executor-side reuse check (byte equality against the freshly
+    * serialized bitmap; see [[serializeBitmaps]] determinism note).
+    */
+  private def readDvBytes(fs: FileSystem, d: DvDescriptor): Array[Byte] = {
+    val in = fs.open(new Path(d.pathOrInlineDv))
+    try { in.seek(d.offset + 4); val b = new Array[Byte](d.sizeInBytes.toInt); in.readFully(b); b }
+    finally in.close()
+  }
+
+  /** Live `uri → DvDescriptor` set of the exported log's head — what
+    * [[writeDvsDistributed]] reuses descriptors against. Empty when the
+    * dir has no log yet.
+    */
+  private[tables] def liveDvs(fs: FileSystem, exportDir: Path): Map[String, DvDescriptor] =
+    replay(fs, exportDir, at = None)
+      .map(_.files.collect { case (u, a) if a.dv.isDefined => u -> a.dv.get })
+      .getOrElse(Map.empty)
+
+  /** Write deletion vectors DISTRIBUTED: `positions` — a (`_uri` data-file
+    * URI, `_pos` row index) frame bounded only by the outstanding-delete
+    * backlog — is hash-partitioned by file and each executor partition
+    * serializes its files' bitmaps and writes ONE packed DV .bin
+    * (PROTOCOL.md layout: 1-byte format version, then per DV the
+    * [[frameDv]] framing). A file whose positions are byte-identical to
+    * its prior exported DV reuses the existing descriptor — no write, no
+    * re-add downstream. The DRIVER sees only the returned descriptors,
+    * O(DV'd files), never a position: the backlog-sized state the r16
+    * packing materialized driver-side stays on the cluster.
+    *
+    * Task-retry-safe: the bin name is deterministic per (snapshot,
+    * partition) and its content is deterministic (sorted input, canonical
+    * serialization), so a retried task rewrites identical bytes.
+    */
+  private[tables] def writeDvsDistributed(
+      spark: SparkSession,
+      positions: DataFrame,
+      prior: Map[String, DvDescriptor],
+      dvDir: Path,
+      snapshotVersion: Long): Map[String, DvDescriptor] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirFs = dvDir.getFileSystem(conf)
+    dirFs.mkdirs(dvDir)
+    val dvDirStr = dirFs.makeQualified(dvDir).toString
+    // ship the Hadoop conf as Writable bytes — executors on a remote store
+    // (HDFS/ABFS/S3) need the driver's credentials/endpoints to open FS
+    val confBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      conf.write(new java.io.DataOutputStream(baos))
+      baos.toByteArray
+    }
+    val priorB = spark.sparkContext.broadcast(prior)
+    val rows = positions
+      .select(col("_uri").cast("string").as("_uri"), col("_pos").cast("long").as("_pos"))
+      .repartition(col("_uri"))
+      .sortWithinPartitions("_uri", "_pos")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          c.readFields(new java.io.DataInputStream(new java.io.ByteArrayInputStream(confBytes)))
+          val dir = new Path(dvDirStr)
+          val pfs = dir.getFileSystem(c)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val binPath = pfs.makeQualified(new Path(dir, f"dv-v$snapshotVersion-p$pid%05d.bin"))
+          var out: java.io.OutputStream = null
+          var offset = 0L
+          val results = Seq.newBuilder[(String, String, String, Long, Long, Long)]
+          var curUri: String = null
+          var bitmaps = scala.collection.mutable.ArrayBuffer.empty[org.roaringbitmap.RoaringBitmap]
+          def flush(): Unit = if (curUri != null) {
+            val card = bitmaps.map(_.getLongCardinality).sum
+            val data = serializeBitmaps(bitmaps.toIndexedSeq)
+            val reused = priorB.value.get(curUri).filter { d =>
+              d.storageType == "p" && d.cardinality == card && d.sizeInBytes == data.length &&
+                scala.util.Try(java.util.Arrays.equals(readDvBytes(pfs, d), data))
+                  .getOrElse(false)
+            }
+            reused match {
+              case Some(d) =>
+                results += ((curUri, d.storageType, d.pathOrInlineDv, d.offset,
+                  d.sizeInBytes, d.cardinality))
+              case None =>
+                if (out == null) { out = pfs.create(binPath, true); out.write(1); offset = 1L }
+                val off = offset
+                offset += frameDv(out, data)
+                results += ((curUri, "p", binPath.toString, off, data.length.toLong, card))
+            }
+            bitmaps = scala.collection.mutable.ArrayBuffer.empty
+          }
+          it.foreach { case (uri, pos) =>
+            if (uri != curUri) { flush(); curUri = uri }
+            require(pos >= 0, "deletion-vector positions must be non-negative row indexes")
+            val hi = (pos >>> 32).toInt
+            while (bitmaps.size <= hi) bitmaps += new org.roaringbitmap.RoaringBitmap()
+            bitmaps(hi).add(pos.toInt)
+          }
+          flush()
+          if (out != null) out.close()
+          results.result().iterator
+        }
+      }
+      .collect()
+    rows.map { case (uri, st, p, off, size, card) =>
+      uri -> DvDescriptor(st, p, off, size, card)
+    }.toMap
   }
 
   /** Decode one DV from its file per the descriptor — the read half used
@@ -554,12 +650,14 @@ object DeltaExport {
       properties: Map[String, String] = Map.empty,
       spark: Option[SparkSession] = None,
       bucketSpec: Option[BucketSpec] = None,
-      // data-file uri → SORTED deleted row indexes: published as protocol
-      // deletion vectors (reader v3 / writer v7 `deletionVectors`
-      // feature), so an uncompacted merge-on-read stream exports without
-      // rewriting data — the Delta counterpart of the Iceberg leg's
-      // equality-delete manifests.
-      dvPositions: Map[String, Array[Long]] = Map.empty
+      // data-file uri → deletion-vector descriptor (already written —
+      // [[writeDvsDistributed]]): published as protocol deletion vectors
+      // (reader v3 / writer v7 `deletionVectors` feature), so an
+      // uncompacted merge-on-read stream exports without rewriting data —
+      // the Delta counterpart of the Iceberg leg's equality-delete
+      // manifests. A descriptor equal to the prior export's (the
+      // distributed writer's reuse path) leaves its file un-re-added.
+      dvs: Map[String, DvDescriptor] = Map.empty
   ): Path = {
     // ONE `_delta_log` LIST per export: replay and the checkpoint-due test
     // below share this listing instead of each paying their own
@@ -618,33 +716,16 @@ object DeltaExport {
         org.apache.spark.sql.types.StructField(pcols.head, org.apache.spark.sql.types.IntegerType))
     val schemaString = publishedSchema.json
 
-    // deletion vectors: one packed DV file per commit, descriptors per
-    // data file; a file whose DV CHANGED is removed (with its old DV) and
-    // re-added — Delta file identity is (path, dv). A file whose deleted
-    // positions are UNCHANGED since the prior export reuses its existing
-    // descriptor (cardinality pre-filter, then one bounded decode), so a
+    // deletion vectors: descriptors arrive PRE-WRITTEN (distributed,
+    // [[writeDvsDistributed]] — the driver never holds a position); a
+    // file whose DV CHANGED is removed (with its old DV) and re-added —
+    // Delta file identity is (path, dv). A file whose descriptor equals
+    // the prior export's (the writer's reuse path) diffs to nothing, so a
     // per-commit exporter wired into a stream re-adds only files whose
     // deletes actually advanced — not every DV'd file every commit.
-    require(dvPositions.keySet.subsetOf(files.map(_.uri).toSet),
-      "dvPositions must reference live data files")
-    val priorForDv = prior.map(_.files).getOrElse(Map.empty)
-    val (dvReused, dvChanged) = dvPositions.toSeq.sortBy(_._1).partition { case (u, p) =>
-      priorForDv.get(u).flatMap(_.dv) match {
-        case Some(d) if d.cardinality == p.length &&
-          scala.util.Try(java.util.Arrays.equals(readDv(fs, d), p.sorted)).getOrElse(false) => true
-        case _ => false
-      }
-    }
-    val dvDescriptors: Map[String, DvDescriptor] =
-      dvReused.map { case (u, _) => u -> priorForDv(u).dv.get }.toMap ++ {
-        if (dvChanged.isEmpty) Map.empty[String, DvDescriptor]
-        else {
-          val dvDir = new Path(exportDir, "deletion_vectors")
-          fs.mkdirs(dvDir)
-          writeDvFile(fs, fs.makeQualified(new Path(dvDir, s"${UUID.randomUUID()}.bin")),
-            dvChanged.map { case (u, p) => (u, p.sorted) })
-        }
-      }
+    require(dvs.keySet.subsetOf(files.map(_.uri).toSet),
+      "dvs must reference live data files")
+    val dvDescriptors: Map[String, DvDescriptor] = dvs
     def dvId(o: Option[DvDescriptor]) = o.map(_.uniqueId).getOrElse("")
 
     val prevFiles = prior.map(_.files).getOrElse(Map.empty)

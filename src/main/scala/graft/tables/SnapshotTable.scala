@@ -1395,10 +1395,16 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     // delete sequence per key, yielding (file, row_index) pairs bounded
     // by the deleted-row count — so an uncompacted MoR stream exports
     // without rewriting data, like the Iceberg leg's equality manifests.
-    val dvPositions: Map[String, Array[Long]] =
+    // The positions NEVER reach the driver: executors group them by file
+    // and write the DV bins ([[DeltaExport.writeDvsDistributed]]); the
+    // driver collects only O(DV'd files) descriptors, so a deferred-
+    // OPTIMIZE backlog of billions of deletes cannot OOM the driver.
+    val dvDescriptors: Map[String, DeltaExport.DvDescriptor] =
       if (snap.deletes.isEmpty) Map.empty
       else {
         val key = keyColForBucketing(snap)
+        val keyField = snap.schema.fields.find(_.name.equalsIgnoreCase(key)).getOrElse(
+          throw new IllegalStateException(s"merge key column '$key' missing from table schema"))
         val maxDelSeq = snap.deletes.groupBy(_.bucket).view.mapValues(_.map(_.seq).max).toMap
         // adopted files (bucket −1) are exempt by the sequence rule: they
         // enter at a fresh sequence, above every outstanding delete
@@ -1410,32 +1416,43 @@ class SnapshotTable(val spark: SparkSession, val location: String,
           import spark.implicits._
           def qualify(rel: String) = fs.makeQualified(new Path(dataDir, rel)).toString
           def normStr(u: String) = new Path(u).toUri.getPath
+          // delete files under the PINNED single-column key schema (the
+          // engine's own delete read above) — an inferred schema could
+          // flip or fail across a key-type-widening migration's mixed files
+          val delSchema = StructType(Seq(
+            StructField(keyField.name, keyField.dataType, nullable = true)))
           val delDf = snap.deletes.map { d =>
-            spark.read.parquet(qualify(d.path))
-              .select(col(key).as("_dk"), lit(d.bucket).as("_db"), lit(d.seq).as("_ds"))
+            spark.read.schema(delSchema).parquet(qualify(d.path))
+              .select(col(keyField.name).as("_dk"), lit(d.bucket).as("_db"), lit(d.seq).as("_ds"))
           }.reduce(_ unionByName _).groupBy("_dk", "_db").agg(smax("_ds").as("_ds"))
-          val fileMeta = cand.map(f => (normStr(qualify(f.path)), f.bucket, f.seq, qualify(f.path)))
-          val metaDf = fileMeta.map { case (p, b, s, _) => (p, b, s) }.toDF("_p", "_b", "_fs")
-          val uriByNorm = fileMeta.map { case (p, _, _, u) => p -> u }.toMap
-          val hit = spark.read.parquet(cand.map(f => qualify(f.path)): _*)
-            .select(col(key).as("_k"),
+          val metaDf = cand
+            .map(f => (normStr(qualify(f.path)), f.bucket, f.seq, qualify(f.path)))
+            .toDF("_p", "_b", "_fs", "_uri")
+          // candidate files under the snapshot schema (readFilesRaw's
+          // schema-on-read stance), plus the parquet metadata columns
+          val hit = spark.read.schema(snap.schema).parquet(cand.map(f => qualify(f.path)): _*)
+            .select(col(keyField.name).as("_k"),
               regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_p"),
               col("_metadata.row_index").as("_pos"))
             .join(broadcast(metaDf), Seq("_p"))
+            // NULL-SAFE key equality (the merge/delete-read semantics at
+            // [[readFiles]]): NULL is a supported merge key, and === here
+            // would silently resurrect NULL-keyed tombstoned rows in every
+            // external Delta reader
             .join(broadcast(delDf),
-              col("_k") === col("_dk") && col("_b") === col("_db") && col("_ds") > col("_fs"))
-            .select(col("_p"), col("_pos"))
-            .collect()
-          hit.groupBy(_.getString(0)).map { case (p, rs) =>
-            uriByNorm(p) -> rs.map(_.getLong(1)).sorted
-          }
+              col("_k") <=> col("_dk") && col("_b") === col("_db") && col("_ds") > col("_fs"))
+            .select(col("_uri"), col("_pos"))
+          val dvs = DeltaExport.writeDvsDistributed(spark, hit,
+            DeltaExport.liveDvs(fs, out), new Path(out, "deletion_vectors"), snap.version)
+          SnapshotTable.lastDvExportDriverRows = dvs.size.toLong
+          dvs
         }
       }
     // write() replays from the newest spec checkpoint (driver-side parquet
     // read) — the per-commit cost stays bounded regardless of log length
     DeltaExport.write(fs, out, snap.schema, snap.version, snap.timestampMs, files,
       snap.properties, spark = Some(spark), bucketSpec = bucketSpec,
-      dvPositions = dvPositions)
+      dvs = dvDescriptors)
   }
 
   /** Adopt the LIVE files of an external Delta Lake table — its
@@ -1639,6 +1656,14 @@ object SnapshotTable {
     * — see [[SnapshotTable.adoptFiles]].
     */
   val AdoptedBucket: Int = -1
+
+  /** Test-visible observability of the last DV export's DRIVER-side
+    * materialization: the row count [[SnapshotTable.exportDelta]]'s only
+    * collect brought back — descriptor rows, one per DV'd file, NEVER
+    * positions. DeltaDvSpec's many-files/many-deletes case pins the
+    * O(files)-not-O(deleted-rows) driver bound with it.
+    */
+  @volatile private[graft] var lastDvExportDriverRows: Long = -1L
 
   /** Table property versioning the bucket-assignment hash — see
     * [[SnapshotTable.bucketExpr]]. New tables get [[BucketFnIceberg]]

@@ -164,6 +164,68 @@ class DeltaDvSpec extends SparkSpec {
     assert(viaLog == direct)
   }
 
+  test("NULL-keyed tombstones reach the exported deletion vector") {
+    // NULL is a supported merge key (null-key bucket n); the DV
+    // position-izing join must be null-safe (<=>) like the engine's own
+    // delete application — a plain === would leave the NULL-keyed row out
+    // of the DV and every external Delta reader would resurrect it.
+    val base = tmpDir("delta-dv-nullkey")
+    val t = SnapshotTable(spark, s"$base/table")
+    val delta = s"$base/delta"
+    val rows = ((1 to 40).map(i => (s"k$i", 1L, s"v$i", false)) :+
+      ((null: String), 1L, "vnull", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.createOrReplace(rows, "arcane_merge_key", numBuckets = 4)
+    t.mergeOnRead(
+      Seq(((null: String), 2L, (null: String), true))
+        .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.currentSnapshot.deletes.nonEmpty)
+    t.exportDelta(delta)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select($"arcane_merge_key", $"payload").as[(String, String)].collect().toSet
+    val direct = rowsOf(t.read())
+    val viaLog = rowsOf(DeltaExport.readTable(spark, new Path(delta)))
+    assert(!direct.exists(_._2 == "vnull"), "engine read must apply the NULL-key tombstone")
+    assert(viaLog == direct, "exported DV must suppress the NULL-keyed row like the engine")
+  }
+
+  test("DV export is distributed — the driver collects descriptors, never positions") {
+    val base = tmpDir("delta-dv-dist")
+    val t = SnapshotTable(spark, s"$base/table")
+    val delta = s"$base/delta"
+    val n = 5000
+    t.createOrReplace((1 to n).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", numBuckets = 8)
+    // tombstone 80% of the keys: thousands of deleted positions spread
+    // over every bucket's files
+    t.mergeOnRead((1 to n).filter(_ % 5 != 0)
+      .map(i => (s"k$i", 2L, (null: String), true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    SnapshotTable.lastDvExportDriverRows = -1L
+    t.exportDelta(delta)
+    // parse the committed adds: per-file descriptors with total cardinality
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dvAdds = new java.io.File(s"$delta/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).sorted
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+      .map(mapper.readTree).filter(_.has("add"))
+      .map(_.get("add")).filter(_.hasNonNull("deletionVector")).toSeq
+    val totalDeleted = dvAdds.map(_.get("deletionVector").get("cardinality").asLong()).sum
+    assert(totalDeleted == (n - n / 5).toLong, "every tombstoned row must be position-ized")
+    // THE instrumented bound: the export's only collect brought back one
+    // row per DV'd FILE — O(files), not the 4000-position backlog
+    assert(SnapshotTable.lastDvExportDriverRows == dvAdds.size.toLong,
+      s"driver collected ${SnapshotTable.lastDvExportDriverRows} rows for ${dvAdds.size} DV'd files")
+    assert(SnapshotTable.lastDvExportDriverRows < totalDeleted / 10,
+      "driver-side rows must be bounded by files, not deleted positions")
+    // and the replayed read still matches the engine exactly
+    assert(DeltaExport.readTable(spark, new Path(delta)).count() === t.read().count())
+    assert(t.read().count() === (n / 5).toLong)
+  }
+
   test("compaction after DV exports returns the log to plain adds") {
     val base = tmpDir("delta-dv-compact")
     val t = SnapshotTable(spark, s"$base/table")
