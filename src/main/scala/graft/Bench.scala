@@ -244,13 +244,19 @@ object Bench {
   def workJson(
       nearDup: (Long, Long),
       incremental: (Long, Long, Long),
-      fuzzy: (Long, Long)): String =
+      fuzzy: (Long, Long),
+      ann: graft.queries.Queries.AnnWork): String =
     s""""work":{"q_near_dup_pairs":{"candidates":${nearDup._1},""" +
       s""""capped_buckets":${nearDup._2}},""" +
       s""""q_incremental_near_dup":{"candidates":${incremental._1},""" +
       s""""capped_increment_buckets":${incremental._2},""" +
       s""""capped_corpus_buckets":${incremental._3}},""" +
-      s""""q_fuzzy_pairs2":{"candidates":${fuzzy._1},"capped_buckets":${fuzzy._2}}}"""
+      s""""q_fuzzy_pairs2":{"candidates":${fuzzy._1},"capped_buckets":${fuzzy._2}},""" +
+      // q_ann_ivfpq shares q_ann_ivf's coarse layer (same centroids,
+      // nprobe=1), so these counts adjudicate its ratio too
+      s""""q_ann_ivf":{"probed_cells":${ann.probedCells},"candidates":${ann.candidates},""" +
+      s""""max_list":${ann.maxList},"corpus_rows":${ann.corpusRows},"build_sec":${ann.buildSec}},""" +
+      s""""q_ann_ivf_mp":{"probed_cells":${ann.probedCellsMp},"candidates":${ann.candidatesMp}}}"""
 
   def detailJson(runs: Seq[(String, Seq[Double])], sfDir: String, extra: String = ""): String = {
     val results = runs.map { case (n, r) => n -> r.min }
@@ -547,12 +553,14 @@ object Bench {
           graft.queries.Queries.nearDupWorkCounts(spark, dir10),
           graft.queries.Queries.incrementalNearDupWorkCounts(spark, dir10),
           graft.ext.Dedup.fuzzyBlockingStats(
-            fuzzyKneeCorpus(spark, sfDir, 10000), "id", "s", maxDist = 2)) + "," +
+            fuzzyKneeCorpus(spark, sfDir, 10000), "id", "s", maxDist = 2),
+          graft.queries.Queries.annWorkCounts(spark, dir10)) + "," +
           Bench.workJson(
             graft.queries.Queries.nearDupWorkCounts(spark, sfDir),
             graft.queries.Queries.incrementalNearDupWorkCounts(spark, sfDir),
             graft.ext.Dedup.fuzzyBlockingStats(
-              fuzzyKneeCorpus(spark, sfDir, 1000), "id", "s", maxDist = 2))
+              fuzzyKneeCorpus(spark, sfDir, 1000), "id", "s", maxDist = 2),
+            graft.queries.Queries.annWorkCounts(spark, sfDir))
             .replaceFirst("\"work\":", "\"work_base\":") + ","
       } catch {
         case scala.util.control.NonFatal(e) =>

@@ -912,6 +912,41 @@ object Queries {
     Dedup.incrementalBlockingStats(docs, incrementBatch(docs), numHashes = 64, numBands = 16)
   }
 
+  /** The ANN sf1 work-count record ([[annWorkCounts]]): coarse-join
+    * observables for q_ann_ivf (and q_ann_ivfpq, which shares its
+    * centroid set and nprobe=1, hence its counts) plus the nprobe=2
+    * q_ann_ivf_mp variant, the corpus size, and the (re)build half's
+    * seconds — centroid fetch + one corpus assignment pass, the part of
+    * the gate that scales with N rather than with probed-list mass.
+    */
+  final case class AnnWork(
+      probedCells: Long, candidates: Long, maxList: Long,
+      probedCellsMp: Long, candidatesMp: Long,
+      corpusRows: Long, buildSec: Double)
+
+  /** Blocking work counts behind the IVF ANN gates on an arbitrary data
+    * dir — the bench's sf1 leg records these next to the wall-clock so an
+    * ANN timing outlier is ATTRIBUTABLE (the near-dup counts' rationale,
+    * extended to the last query family without them): candidates growing
+    * ~linearly at 10x rows names healthy probed-list growth; a max_list
+    * blowup names assignment skew; flat counts with a high ratio name
+    * host noise. Exactly the gates' corpus, centroids and nprobe.
+    */
+  def annWorkCounts(spark: SparkSession, dir: String): AnnWork = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 50)
+    val tb0 = System.nanoTime()
+    val cents = ivfGateCentroids(emb)
+    val bc = Similarity.broadcastCentroids(cents)
+    val corpusRows = emb
+      .select(Similarity.ivfAssign(col("embedding"), bc, cents.head.length, cents.length).as("l"))
+      .count()
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+    val (p1, c1, m1) = Similarity.ivfWorkCounts(queries, emb, cents, nprobe = 1)
+    val (p2, c2, _) = Similarity.ivfWorkCounts(queries, emb, cents, nprobe = 2)
+    AnnWork(p1, c1, m1, p2, c2, corpusRows, math.round(buildSec * 1000.0) / 1000.0)
+  }
+
   /** The composed filter ([[graft.ext.Dedup.dedupIncrement]]) on the same
     * corpus/increment: only the genuinely novel incoming rows survive
     * (reversed-text docs plus any paraphrase whose original fell under

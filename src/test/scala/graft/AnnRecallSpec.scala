@@ -406,4 +406,33 @@ class AnnRecallSpec extends SparkSpec {
     assert(withCopies == baseOnly,
       s"planting copies changed the survivor set (${withCopies.size} vs ${baseOnly.size})")
   }
+
+  test("annWorkCounts mirrors the gates' coarse join (independent formulation)") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions._
+    val w = Queries.annWorkCounts(spark, dir)
+    // 50 query vectors, nprobe 1 / 2
+    assert(w.probedCells == 50L && w.probedCellsMp == 100L)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(w.corpusRows == emb.count())
+    // Independent candidate formulation: Σ over probed (query, list)
+    // cells of |list| minus the self matches (every query is a corpus
+    // member whose own assignment is among its probes at any nprobe ≥ 1,
+    // the argmax being probe #1) — must equal the join-counted number.
+    val cents = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(r => Similarity.unitVector(r.getSeq[Double](0).toArray))
+    val bc = Similarity.broadcastCentroids(cents)
+    val listSizes = emb
+      .select(Similarity.ivfAssign(col("embedding"), bc, cents.head.length, cents.length).as("l"))
+      .groupBy("l").count()
+    def expected(nprobe: Int): Long = emb.where(col("vec_id") < 50)
+      .select(explode(Similarity.ivfProbes(col("embedding"), bc,
+        cents.head.length, cents.length, nprobe)).as("l"))
+      .join(listSizes, "l")
+      .agg(sum(col("count"))).head().getLong(0) - 50L
+    assert(w.candidates == expected(1), s"ivf candidates ${w.candidates} != ${expected(1)}")
+    assert(w.candidatesMp == expected(2), s"mp candidates ${w.candidatesMp} != ${expected(2)}")
+    assert(w.candidatesMp >= w.candidates && w.maxList > 0 && w.buildSec >= 0.0)
+  }
 }
