@@ -370,6 +370,12 @@ object Bench {
       // corpus side 10x, increment fixed — the daily-crawl scale shape the
       // two-map-only-corpus-passes design claims to keep linear
       "q_incremental_near_dup",
+      // the PERSISTED-INDEX variant: the corpus signature pass is paid
+      // once outside the measured region (disk-cached index), so this
+      // leg's ratio must sit near 1 — increment-proportional steady
+      // state, the number that proves the daily-crawl claim (the direct
+      // gate's ratio ~11 is its linear signature pass, adjudicated r16)
+      "q_incremental_near_dup_indexed",
       // the engine's CORE operator: full backfill + streamed MERGE at 1M
       // events (10x rows AND 10x merge-key cardinality)
       "q_cdc_pipeline_e2e",

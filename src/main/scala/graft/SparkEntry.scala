@@ -336,7 +336,12 @@ object SparkEntry {
       ("q_export_iceberg_mor" -> oracleSqlBase("q_cdc_merge_mor")) +
       // the Delta leg of the same scenario: the uncompacted MoR table read
       // through _delta_log with protocol deletion vectors applied
-      ("q_export_delta_mor" -> oracleSqlBase("q_cdc_merge_mor"))
+      ("q_export_delta_mor" -> oracleSqlBase("q_cdc_merge_mor")) +
+      // the persisted-index path answers the same question as the direct
+      // operator (same corpus, increment, parameters, threshold), so the
+      // exhaustive cross-join truth is identical — recall 1.0 through the
+      // stored signatures too
+      ("q_incremental_near_dup_indexed" -> oracleSqlBase("q_incremental_near_dup"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     // SCD2 replay: same (ts, event_id) total order, first-row detection

