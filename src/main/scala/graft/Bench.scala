@@ -245,13 +245,19 @@ object Bench {
       nearDup: (Long, Long),
       incremental: (Long, Long, Long),
       fuzzy: (Long, Long),
-      ann: graft.queries.Queries.AnnWork): String =
+      ann: graft.queries.Queries.AnnWork,
+      fuzzyCapped: (Long, Long)): String =
     s""""work":{"q_near_dup_pairs":{"candidates":${nearDup._1},""" +
       s""""capped_buckets":${nearDup._2}},""" +
       s""""q_incremental_near_dup":{"candidates":${incremental._1},""" +
       s""""capped_increment_buckets":${incremental._2},""" +
       s""""capped_corpus_buckets":${incremental._3}},""" +
       s""""q_fuzzy_pairs2":{"candidates":${fuzzy._1},"capped_buckets":${fuzzy._2}},""" +
+      // the capped twin gate: capped_buckets ≥ 1 is the HEALTHY value
+      // here (the planted hot bucket), proving the skew guard's measured
+      // engagement — everywhere else 0 is healthy
+      s""""q_fuzzy_pairs_capped":{"candidates":${fuzzyCapped._1},""" +
+      s""""capped_buckets":${fuzzyCapped._2}},""" +
       // q_ann_ivfpq shares q_ann_ivf's coarse layer (same centroids,
       // nprobe=1), so these counts adjudicate its ratio too
       s""""q_ann_ivf":{"probed_cells":${ann.probedCells},"candidates":${ann.candidates},""" +
@@ -560,13 +566,15 @@ object Bench {
           graft.queries.Queries.incrementalNearDupWorkCounts(spark, dir10),
           graft.ext.Dedup.fuzzyBlockingStats(
             fuzzyKneeCorpus(spark, sfDir, 10000), "id", "s", maxDist = 2),
-          graft.queries.Queries.annWorkCounts(spark, dir10)) + "," +
+          graft.queries.Queries.annWorkCounts(spark, dir10),
+          graft.queries.Queries.fuzzyCappedWorkCounts(spark, sfDir)) + "," +
           Bench.workJson(
             graft.queries.Queries.nearDupWorkCounts(spark, sfDir),
             graft.queries.Queries.incrementalNearDupWorkCounts(spark, sfDir),
             graft.ext.Dedup.fuzzyBlockingStats(
               fuzzyKneeCorpus(spark, sfDir, 1000), "id", "s", maxDist = 2),
-            graft.queries.Queries.annWorkCounts(spark, sfDir))
+            graft.queries.Queries.annWorkCounts(spark, sfDir),
+            graft.queries.Queries.fuzzyCappedWorkCounts(spark, sfDir))
             .replaceFirst("\"work\":", "\"work_base\":") + ","
       } catch {
         case scala.util.control.NonFatal(e) =>

@@ -1076,6 +1076,47 @@ object SparkEntry {
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Capped fuzzy pairs: the oracle replays the DEGRADED (skew-guarded)
+    // semantics exactly — 1-deletion neighborhoods, per-variant bucket
+    // counts, buckets over the cap (64) dropped, candidate equi-join,
+    // exact levenshtein verify — over the same corpus + planted hot
+    // variant family (FuzzyHotBase restated verbatim). The 81 true pairs
+    // reachable only through the hot variant must be absent from BOTH
+    // sides; the part-name typo pairs must all survive.
+    "q_fuzzy_pairs_capped" ->
+      (s"""WITH hotbase AS (SELECT '${graft.queries.Queries.FuzzyHotBase}' AS b),""" +
+        """
+        |c AS (
+        |  SELECT p_partkey AS id, lower(p_name) AS s FROM part WHERE p_partkey < 500
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000 AS id, 'x' || substr(lower(p_name), 2) AS s
+        |  FROM part WHERE p_partkey < 250
+        |  UNION ALL
+        |  SELECT 2000000 AS id, b AS s FROM hotbase
+        |  UNION ALL
+        |  SELECT 2000001 AS id, b || '@' AS s FROM hotbase
+        |  UNION ALL
+        |  SELECT 3000000 + i AS id,
+        |    substr(b, 1, i) || '@' || substr(b, i + 1, len(b) - i) AS s
+        |  FROM hotbase, unnest(generate_series(0, 79)) AS t(i)),
+        |v AS (
+        |  SELECT id, unnest(list_distinct(list_prepend(s,
+        |    [substr(s, 1, i - 1) || substr(s, i + 1, len(s) - i)
+        |     for i in range(1, len(s) + 1)]))) AS vk
+        |  FROM c),
+        |counts AS (SELECT vk, count(*) AS n FROM v GROUP BY vk),
+        |ok AS (SELECT v.id, v.vk FROM v JOIN counts USING (vk) WHERE n <= 64),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM ok a JOIN ok b ON a.vk = b.vk AND a.id < b.id)
+        |SELECT cand.id_a, cand.id_b,
+        |  CAST(levenshtein(ca.s, cb.s) AS BIGINT) AS dist
+        |FROM cand
+        |JOIN c ca ON ca.id = cand.id_a
+        |JOIN c cb ON cb.id = cand.id_b
+        |WHERE levenshtein(ca.s, cb.s) <= 1
+        |ORDER BY id_a, id_b""").stripMargin,
+
     // d=2 fuzzy pairs: same exhaustive shape, two-substitution typos.
     "q_fuzzy_pairs2" ->
       """WITH c AS (

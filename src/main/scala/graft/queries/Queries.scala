@@ -947,6 +947,16 @@ object Queries {
     Dedup.incrementalBlockingStats(docs, incrementBatch(docs), numHashes = 64, numBands = 16)
   }
 
+  /** Blocking work counts behind [[qFuzzyPairsCapped]] — recorded in the
+    * bench's sf1 block so the skew guard's ENGAGEMENT is part of the
+    * artifact: `capped_buckets` must be ≥ 1 here by construction (the
+    * planted 82-member hot variant bucket vs cap 64), unlike the
+    * uncapped gates where 0 is the healthy value.
+    */
+  def fuzzyCappedWorkCounts(spark: SparkSession, dir: String): (Long, Long) =
+    Dedup.fuzzyBlockingStats(fuzzyCappedCorpus(spark, dir), "id", "s",
+      maxDist = 1, maxBucketSize = 64)
+
   /** The ANN sf1 work-count record ([[annWorkCounts]]): coarse-join
     * observables for q_ann_ivf (and q_ann_ivfpq, which shares its
     * centroid set and nprobe=1, hence its counts) plus the nprobe=2
@@ -2682,6 +2692,58 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The deterministic 80-char base of [[qFuzzyPairsCapped]]'s planted
+    * hot variant family (restated verbatim by the oracle).
+    */
+  private[graft] val FuzzyHotBase: String =
+    "graftfuzzyhotbucketfamilybasestringzzzzyyyyxxxxwwwwvvvvuuuuttttssssrrrrqqqqppp0"
+
+  /** The CAPPED fuzzy-pairs twin gate: [[graft.ext.Dedup.fuzzyPairs]]
+    * with the `maxBucketSize` skew guard ENGAGED (cap 64) on a corpus
+    * that plants a hot deletion-variant bucket — the 80 single-'@'
+    * insertions into [[FuzzyHotBase]], plus the base and base+'@', all
+    * share the ONE variant `FuzzyHotBase` (82 > 64, dropped). The oracle
+    * replays the DEGRADED semantics exactly — 1-deletion neighborhoods,
+    * bucket counts, buckets over the cap removed, candidate equi-join,
+    * exact levenshtein verify — so the cap's behavior is CONTRACT, not
+    * surprise: the 81 true pairs that pair ONLY through the hot variant
+    * ((base, base+'@') and every (base, insertion)) must be absent from
+    * BOTH sides, while the part-name typo pairs all survive (the cap
+    * must not over-drop). This is the r16 verdict's gate-coverage ask:
+    * the measured fuzzy path never exercised the guard (capped_buckets
+    * was 0 everywhere) even though pair enumeration is quadratic in
+    * duplicate-cluster mass.
+    */
+  def qFuzzyPairsCapped(spark: SparkSession, dir: String): DataFrame =
+    // maxAvgLen raised (the documented knob): the planted family strings
+    // are genuine short-string data here, and the hash-sampled length
+    // probe could otherwise land on enough of them to refuse
+    Dedup.fuzzyPairs(fuzzyCappedCorpus(spark, dir), "id", "s",
+      maxDist = 1, maxBucketSize = 64, maxAvgLen = 128)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** [[qFuzzyPairsCapped]]'s corpus: 500 part names + 250 one-char typos
+    * (the q_fuzzy_pairs construction) + the planted hot variant family —
+    * base, base+'@', and the 80 single-'@' insertions into
+    * [[FuzzyHotBase]], 82 rows sharing the one deletion variant
+    * `FuzzyHotBase`.
+    */
+  private def fuzzyCappedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = t(spark, dir, "part")
+    val base = part.where(col("p_partkey") < 500)
+      .select(col("p_partkey").as("id"), lower(col("p_name")).as("s"))
+    val typos = part.where(col("p_partkey") < 250)
+      .select((col("p_partkey") + 1000000L).as("id"),
+        concat(lit("x"), lower(col("p_name")).substr(lit(2), length(col("p_name")))).as("s"))
+    val hb = FuzzyHotBase
+    val hot = (Seq((2000000L, hb), (2000001L, hb + "@")) ++
+      (0 until 80).map(i => (3000000L + i, hb.substring(0, i) + "@" + hb.substring(i))))
+      .toDF("id", "s")
+    base.unionByName(typos).unionByName(hot)
+  }
+
   /** The d=2 fuzzy path under its own oracle: same part-name corpus,
     * typos now TWO substitutions deep (first char → 'x', last char →
     * 'q'), neighborhood depth 2 — the quadratic-variant blocking tier
@@ -3534,6 +3596,7 @@ object Queries {
     "q_string_distance" -> (qStringDistance _),
     "q_fuzzy_pairs" -> (qFuzzyPairs _),
     "q_fuzzy_pairs2" -> (qFuzzyPairs2 _),
+    "q_fuzzy_pairs_capped" -> (qFuzzyPairsCapped _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_weighted_sample_grouped" -> (qWeightedSampleGrouped _),
     "q_text_langid" -> (qTextLangId _),

@@ -103,12 +103,13 @@ class BenchOutputSpec extends AnyFunSuite {
     val ann = graft.queries.Queries.AnnWork(
       probedCells = 50L, candidates = 4000L, maxList = 900L,
       probedCellsMp = 100L, candidatesMp = 8000L, corpusRows = 60000L, buildSec = 0.42)
-    val w = Bench.workJson((12345L, 2L), (678L, 0L, 1L), (90L, 3L), ann)
+    val w = Bench.workJson((12345L, 2L), (678L, 0L, 1L), (90L, 3L), ann, (5577L, 1L))
     assert(w.startsWith(""""work":{"""))
     assert(w.contains(""""q_near_dup_pairs":{"candidates":12345,"capped_buckets":2}"""))
     assert(w.contains(""""q_incremental_near_dup":{"candidates":678,""" +
       """"capped_increment_buckets":0,"capped_corpus_buckets":1}"""))
     assert(w.contains(""""q_fuzzy_pairs2":{"candidates":90,"capped_buckets":3}"""))
+    assert(w.contains(""""q_fuzzy_pairs_capped":{"candidates":5577,"capped_buckets":1}"""))
     assert(w.contains(""""q_ann_ivf":{"probed_cells":50,"candidates":4000,""" +
       """"max_list":900,"corpus_rows":60000,"build_sec":0.42}"""))
     assert(w.contains(""""q_ann_ivf_mp":{"probed_cells":100,"candidates":8000}"""))
