@@ -944,21 +944,37 @@ object DeltaExport {
       if (st.partitionColumns.isEmpty)
         withMeta(spark.read.schema(schema).parquet(st.files.keys.toSeq.sorted: _*))
       else {
-        // data files do NOT hold the partition columns: read with the data
-        // schema, then attach the tuple per partition-value group (one read
-        // per distinct tuple — bounded by the partition count, not files)
+        // data files do NOT hold the partition columns: ONE scan of every
+        // live file with the data schema, then the tuple attached via a
+        // broadcast join on the normalized file path (the per-TUPLE
+        // union-of-scans this replaces planned one scan node per bucket —
+        // fine at 33 buckets, pathological at a 100 TB table's 1024). The
+        // broadcast is the log's own (path → tuple) map, O(files) rows of
+        // (string, int) — metadata-sized, the same order as the file
+        // listing Spark already broadcasts to schedule the scan.
         val pset = st.partitionColumns.toSet
         val dataSchema = StructType(schema.fields.filterNot(f => pset.contains(f.name)))
-        val byTuple = st.files.toSeq.groupBy(_._2.partitionValues)
-        byTuple.toSeq.sortBy(_._1.toString).map { case (tuple, fseq) =>
-          var df = withMeta(spark.read.schema(dataSchema).parquet(fseq.map(_._1).sorted: _*))
-          st.partitionColumns.foreach { pc =>
-            val f = schema.fields.find(_.name == pc).getOrElse(
-              throw new IllegalStateException(s"partition column '$pc' missing from schemaString"))
-            df = df.withColumn(pc, lit(tuple.get(pc).flatten.orNull).cast(f.dataType))
-          }
-          df
-        }.reduce(_ unionByName _)
+        val tupleSchema = StructType(
+          org.apache.spark.sql.types.StructField("_tpath",
+            org.apache.spark.sql.types.StringType) +:
+            st.partitionColumns.map(pc => org.apache.spark.sql.types.StructField(
+              s"${pc}__str", org.apache.spark.sql.types.StringType)))
+        val tupleRows: java.util.List[org.apache.spark.sql.Row] =
+          st.files.toSeq.sortBy(_._1).map { case (u, a) =>
+            org.apache.spark.sql.Row.fromSeq(
+              new Path(u).toUri.getPath +:
+                st.partitionColumns.map(pc => a.partitionValues.get(pc).flatten.orNull))
+          }.asJava
+        val tupleDf = spark.createDataFrame(tupleRows, tupleSchema)
+        var df = withMeta(spark.read.schema(dataSchema).parquet(st.files.keys.toSeq.sorted: _*))
+          .withColumn("_tpath", normPathCol(col("_metadata.file_path")))
+          .join(broadcast(tupleDf), Seq("_tpath"))
+        st.partitionColumns.foreach { pc =>
+          val f = schema.fields.find(_.name == pc).getOrElse(
+            throw new IllegalStateException(s"partition column '$pc' missing from schemaString"))
+          df = df.withColumn(pc, col(s"${pc}__str").cast(f.dataType)).drop(s"${pc}__str")
+        }
+        df.drop("_tpath")
       }
     val live =
       if (!needDv) base

@@ -1418,13 +1418,23 @@ class SnapshotTable(val spark: SparkSession, val location: String,
           def normStr(u: String) = new Path(u).toUri.getPath
           // delete files under the PINNED single-column key schema (the
           // engine's own delete read above) — an inferred schema could
-          // flip or fail across a key-type-widening migration's mixed files
+          // flip or fail across a key-type-widening migration's mixed
+          // files. ONE scan of all delete files with the (bucket, seq)
+          // attached via a broadcast path join — a per-file scan union
+          // planned one codegen'd node per delete file, which dominated
+          // the gate at 64 outstanding delete files and would be
+          // pathological on a deferred-OPTIMIZE backlog.
           val delSchema = StructType(Seq(
             StructField(keyField.name, keyField.dataType, nullable = true)))
-          val delDf = snap.deletes.map { d =>
-            spark.read.schema(delSchema).parquet(qualify(d.path))
-              .select(col(keyField.name).as("_dk"), lit(d.bucket).as("_db"), lit(d.seq).as("_ds"))
-          }.reduce(_ unionByName _).groupBy("_dk", "_db").agg(smax("_ds").as("_ds"))
+          val delMeta = snap.deletes
+            .map(d => (normStr(qualify(d.path)), d.bucket, d.seq))
+            .toDF("_dp", "_db", "_ds0")
+          val delDf = spark.read.schema(delSchema)
+            .parquet(snap.deletes.map(d => qualify(d.path)): _*)
+            .select(col(keyField.name).as("_dk"),
+              regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_dp"))
+            .join(broadcast(delMeta), Seq("_dp"))
+            .groupBy("_dk", "_db").agg(smax("_ds0").as("_ds"))
           val metaDf = cand
             .map(f => (normStr(qualify(f.path)), f.bucket, f.seq, qualify(f.path)))
             .toDF("_p", "_b", "_fs", "_uri")
