@@ -1204,9 +1204,14 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     */
   def exportSymlinkManifest(exportDir: String): Seq[String] = {
     val snap = currentSnapshot
-    // A symlink-manifest reader sees raw data files and cannot apply
-    // equality deletes — exporting a merge-on-read table before
-    // maintenance would hand external engines resurrected rows.
+    // PERMANENT CONTRACT (decided r17; README "Symlink-manifest export
+    // contract"): this leg is COPY-ON-WRITE ONLY. A symlink-manifest
+    // reader sees raw data files and cannot apply equality deletes —
+    // exporting a merge-on-read table before maintenance would hand
+    // external engines resurrected rows. Uncompacted MoR tables export
+    // via the Iceberg leg (equality-delete manifests) or the Delta leg
+    // (deletion vectors); this leg resumes after compact(). Refusal
+    // message + recovery are spec-pinned.
     require(snap.deletes.isEmpty,
       "table has outstanding equality deletes (merge-on-read commits); " +
         "run compact() to absorb them before exporting a symlink manifest")
