@@ -199,6 +199,163 @@ object StreamOps {
       .select(explode(col("bands")).as("_b"))
       .distinct()
 
+  // -------------------------------- maintained persistent band index
+
+  private val indexMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private val bandSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType)))
+
+  private def indexFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** Initialize a PERSISTED, incrementally-maintained corpus band index
+    * at `dir` — the stateful form of [[corpusBandIndex]] for a
+    * long-running crawl: `_params.json` pins the MinHash family
+    * (mismatched parameters silently collapse recall — the
+    * [[graft.ext.ModelStore]] contract), `data/` holds flat
+    * `(band int, key long)` parquet subdirectories — an optional `seed`
+    * from an existing corpus, one `batch-N` per micro-batch appended by
+    * [[dedupBatchMaintainingIndex]], `compact-...` from
+    * [[compactBandIndex]]. Written params-last, so a crashed init is
+    * invisible.
+    */
+  def initBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      params: graft.ext.Dedup.MinHashParams,
+      corpus: Option[DataFrame] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Unit = {
+    val (p, fs) = indexFs(spark, dir)
+    val paramsPath = new org.apache.hadoop.fs.Path(p, "_params.json")
+    require(!fs.exists(paramsPath), s"band index already initialized at $dir")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p, "data"))
+    corpus.foreach { c =>
+      bandsFlat(c, idCol, textCol, params).select("band", "key").distinct()
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(p, "data/seed").toString)
+    }
+    val root = indexMapper.createObjectNode()
+    root.put("kind", "band-index")
+    root.put("numHashes", params.numHashes)
+    root.put("numBands", params.numBands)
+    root.put("shingleSize", params.shingleSize)
+    root.put("seed", params.seed)
+    root.put("oph", params.oph)
+    val out = fs.create(paramsPath, false)
+    try out.write(indexMapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The index's pinned MinHash family. */
+  def bandIndexParams(
+      spark: org.apache.spark.sql.SparkSession, dir: String): graft.ext.Dedup.MinHashParams = {
+    val (p, fs) = indexFs(spark, dir)
+    val in = fs.open(new org.apache.hadoop.fs.Path(p, "_params.json"))
+    val node = try indexMapper.readTree(in.readAllBytes()) finally in.close()
+    require(node.get("kind").asText() == "band-index", s"$dir is not a band index")
+    graft.ext.Dedup.MinHashParams(
+      node.get("numHashes").asInt(), node.get("numBands").asInt(),
+      node.get("shingleSize").asInt(), node.get("seed").asLong(), node.get("oph").asBoolean())
+  }
+
+  /** Flat `(id, band, key)` band rows for non-empty-text docs under the
+    * index's exact MinHash family (seed and OPH included — [[corpusBandIndex]]
+    * delegates to the library defaults; this path must reproduce the
+    * PERSISTED family).
+    */
+  private def bandsFlat(
+      docs: DataFrame, idCol: String, textCol: String,
+      p: graft.ext.Dedup.MinHashParams): DataFrame =
+    graft.ext.Dedup.minHashSignatures(
+        docs.where(coalesce(length(trim(col(textCol))), lit(0)) > 0),
+        idCol, textCol, p.shingleSize, p.numHashes, p.seed, p.oph)
+      .select(col("id").as(idCol),
+        explode(graft.ext.Dedup.lshBandKeys(col("signature"), p.numHashes, p.numBands)).as("_b"))
+      .select(col(idCol), col("_b.band").as("band"), col("_b.key").as("key"))
+
+  private def indexSubdirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val data = new org.apache.hadoop.fs.Path(p, "data")
+    if (!fs.exists(data)) Seq.empty
+    else fs.listStatus(data).toSeq.filter(_.isDirectory).map(_.getPath)
+  }
+
+  /** The `foreachBatch` body of an INDEX-MAINTAINING streaming dedup —
+    * the continuous daily-crawl loop: dedup the micro-batch against
+    * everything indexed so far (seed corpus + every PRIOR batch's
+    * survivors), then append THIS batch's survivors' bands as
+    * `data/batch-<batchId>/`. Prior batches are consulted through their
+    * STORED bands only — their texts are never re-signed (the property
+    * StreamOpsSpec pins), so per-batch cost is one map-only scan of the
+    * compact index plus the batch's own signatures.
+    *
+    * Retry-safe per Structured Streaming's `foreachBatch` contract: the
+    * append is a deterministic OVERWRITE of the batchId-named
+    * subdirectory, and the dedup read EXCLUDES that subdirectory — a
+    * replayed batch neither double-appends nor suppresses itself against
+    * its own half-written bands. NULL/empty-text rows pass through
+    * un-indexed ([[dedupStreamAgainstCorpus]]'s contract). Intra-batch
+    * near-dups both survive (compose [[nearDedupStream]] upstream, the
+    * family's usual layering). Single maintainer per index dir.
+    */
+  def dedupBatchMaintainingIndex(
+      batch: DataFrame,
+      dir: String,
+      batchId: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = batch.sparkSession
+    val (p, fs) = indexFs(spark, dir)
+    val params = bandIndexParams(spark, dir)
+    val own = f"batch-$batchId%020d"
+    val prior = indexSubdirs(fs, p).filterNot(_.getName == own)
+    val emptyText = coalesce(length(trim(col(textCol))), lit(0)) === 0
+    val bands = bandsFlat(batch, idCol, textCol, params)
+    // matched ids: ONE map-only pass over the stored index with the
+    // batch's bands broadcast — the index is never shuffled
+    val dupIds =
+      if (prior.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(bands.schema.fields.take(1)))
+      else spark.read.schema(bandSchema).parquet(prior.map(_.toString): _*)
+        .join(broadcast(bands), Seq("band", "key"))
+        .select(col(idCol)).distinct()
+    val survivors = batch.where(!emptyText)
+      .join(broadcast(dupIds), Seq(idCol), "leftanti")
+    bands.join(broadcast(survivors.select(col(idCol))), Seq(idCol), "leftsemi")
+      .select("band", "key").distinct()
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(p, s"data/$own").toString)
+    batch.where(emptyText).unionByName(survivors)
+  }
+
+  /** Maintenance-cadence compaction of a band index: fold the
+    * accumulated per-batch subdirectories into one distinct-ed
+    * `compact-*` subdirectory and drop the absorbed ones. Crash-safe in
+    * the only direction that matters: the compacted subdir lands BEFORE
+    * the absorbed ones are deleted, so a mid-compaction crash leaves
+    * duplicate band rows (harmless to the semi-join decision), never a
+    * hole. Run from the stream's own cadence (or paused) — one
+    * maintainer per index dir.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val (p, fs) = indexFs(spark, dir)
+    val subdirs = indexSubdirs(fs, p)
+    if (subdirs.size <= 1) return
+    val target = new org.apache.hadoop.fs.Path(p, s"data/compact-${System.nanoTime()}")
+    spark.read.schema(bandSchema).parquet(subdirs.map(_.toString): _*)
+      .distinct()
+      .write.mode("overwrite").parquet(target.toString)
+    subdirs.foreach(fs.delete(_, true))
+  }
+
   /** Streaming dedup against a STATIC stored corpus — the continuous
     * form of [[graft.ext.Dedup.dedupIncrement]]: a stream document is
     * suppressed when ANY of its MinHash band keys appears in the

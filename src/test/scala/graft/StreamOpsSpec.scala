@@ -158,6 +158,72 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintained band index: a two-batch stream dedups against stored bands and never re-signs batch-1 docs") {
+    import graft.ext.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("band-index-maintained")
+    val params = Dedup.MinHashParams(
+      numHashes = 64, numBands = 16, shingleSize = 3, seed = 42L, oph = false)
+    StreamOps.initBandIndex(spark, dir, params, corpus = Some(
+      Seq((10L, "stored reference text about columnar execution engines and their shuffle strategies"))
+        .toDF("doc_id", "text")))
+    val base = "the quick brown fox jumps over the lazy dog every single morning before sunrise"
+    val fresh = "a genuinely new document the corpus has never seen before today at all"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = docs.writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+      emitted ++= StreamOps.dedupBatchMaintainingIndex(b.drop("ts"), dir, id)
+        .select("doc_id").as[Long].collect()
+      ()
+    }.start()
+    try {
+      // batch 1: one paraphrase of the SEED corpus doc (suppressed), two novel
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, base),
+        (ts("2024-01-01 10:00:00"), 2L, fresh),
+        (ts("2024-01-01 10:00:00"), 3L,
+          "stored reference text about columnar execution engines and their shuffle"))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(1L, 2L), s"batch 1 emitted $emitted")
+      // fingerprint batch 1's stored subdir: (name, length, mtime) of every file
+      val dataDir = new java.io.File(s"$dir/data")
+      val b1 = dataDir.listFiles().filter(_.getName.startsWith("batch-")).head
+      def sigOf(d: java.io.File) =
+        d.listFiles().map(f => (f.getName, f.length(), f.lastModified())).toSet
+      val sig1 = sigOf(b1)
+      // batch 2: paraphrases of BOTH batch-1 survivors (suppressed via their
+      // STORED bands), one novel, one empty passthrough
+      input.addData(
+        (ts("2024-01-01 10:01:00"), 4L, base.stripSuffix(" sunrise")),
+        (ts("2024-01-01 10:01:00"), 5L, fresh.stripSuffix(" at all")),
+        (ts("2024-01-01 10:01:00"), 6L, "completely different follow-up content about something else"),
+        (ts("2024-01-01 10:01:00"), 7L, ""))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set(1L, 2L, 6L, 7L), s"batch 2 emitted $emitted")
+      // THE pinned property: batch 2 consulted batch 1 through its stored
+      // bands only — batch 1's subdir is byte-for-byte untouched (no
+      // re-sign, no rewrite)
+      assert(sigOf(b1) == sig1, "batch-1's stored bands must never be rewritten")
+    } finally q.stop()
+    // retry safety: replaying a batch under its OWN batchId neither
+    // double-appends nor suppresses the batch against its own bands
+    val replay = StreamOps.dedupBatchMaintainingIndex(
+      Seq((6L, "completely different follow-up content about something else")).toDF("doc_id", "text"),
+      dir, batchId = 1L)
+    assert(replay.select("doc_id").as[Long].collect().toSet == Set(6L),
+      "a replayed batch must re-emit its own survivors")
+    // compaction folds the subdirs and preserves every decision
+    StreamOps.compactBandIndex(spark, dir)
+    assert(new java.io.File(s"$dir/data").listFiles().count(_.isDirectory) == 1)
+    val afterCompact = StreamOps.dedupBatchMaintainingIndex(
+      Seq((8L, base), (9L, "still never seen content arriving after compaction"))
+        .toDF("doc_id", "text"),
+      dir, batchId = 99L)
+    assert(afterCompact.select("doc_id").as[Long].collect().toSet == Set(9L),
+      "post-compaction the index must still suppress stored near-dups")
+  }
+
   test("stream-static broadcast join enriches a stream with a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long)]
