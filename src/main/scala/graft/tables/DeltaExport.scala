@@ -918,7 +918,10 @@ object DeltaExport {
     * not the parquet files, so a spec reader reconstructs the column
     * exactly like this. `at` time-travels to a specific delta version.
     */
-  def readTable(spark: SparkSession, exportDir: Path, at: Option[Long] = None): DataFrame = {
+  def readTable(spark: SparkSession, exportDir: Path, at: Option[Long] = None,
+      // driver-decode/broadcast bound on summed DV cardinality; tests
+      // lower it to pin the distributed-decode + shuffle degradation path
+      dvDriverBound: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
     val fs = exportDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = replay(fs, exportDir, at).getOrElse(
@@ -979,13 +982,58 @@ object DeltaExport {
     val live =
       if (!needDv) base
       else {
-        val deleted: Seq[(String, Long)] = dvFiles.flatMap { case (u, d) =>
-          val p = new Path(u).toUri.getPath
-          readDv(fs, d).map(pos => (p, pos))
-        }
+        // The driver decodes DVs only while the summed cardinality — read
+        // from the DESCRIPTORS, so no decode is needed to decide — is
+        // change-set-sized; past the bound the decode moves to executors
+        // and the anti join degrades LOUDLY to a shuffle, so a
+        // deferred-OPTIMIZE backlog can neither OOM the driver nor blow a
+        // broadcast (the read-side mirror of writeDvsDistributed's
+        // export-side bound).
         import spark.implicits._
-        base.join(broadcast(deleted.toDF("_dpath", "_dpos")),
+        val totalDeleted = dvFiles.map(_._2.cardinality).sum
+        if (totalDeleted <= dvDriverBound) {
+          val deleted: Seq[(String, Long)] = dvFiles.flatMap { case (u, d) =>
+            val p = new Path(u).toUri.getPath
+            readDv(fs, d).map(pos => (p, pos))
+          }
+          base.join(broadcast(deleted.toDF("_dpath", "_dpos")),
             base("_gpath") === col("_dpath") && base("_gpos") === col("_dpos"), "left_anti")
+        } else {
+          System.err.println(s"DELTA READ: $totalDeleted outstanding deleted positions " +
+            "exceed the driver/broadcast bound — decoding DVs on executors and " +
+            "degrading to a shuffle anti join (still exact; compact the source " +
+            "to clear the backlog)")
+          val confBytes = {
+            val baos = new java.io.ByteArrayOutputStream()
+            spark.sparkContext.hadoopConfiguration.write(new java.io.DataOutputStream(baos))
+            baos.toByteArray
+          }
+          val descRows = dvFiles.map { case (u, d) =>
+            (new Path(u).toUri.getPath, d.storageType, d.pathOrInlineDv, d.offset,
+              d.sizeInBytes)
+          }
+          val decoded = spark.createDataset(descRows)
+            .repartition(math.max(1, math.min(descRows.size,
+              spark.sparkContext.defaultParallelism)))
+            .mapPartitions { it =>
+              if (it.isEmpty) Iterator.empty
+              else {
+                val c = new org.apache.hadoop.conf.Configuration(false)
+                c.readFields(new java.io.DataInputStream(
+                  new java.io.ByteArrayInputStream(confBytes)))
+                var cachedFs: FileSystem = null
+                it.flatMap { case (p, st, dvp, off, size) =>
+                  val dvPath = new Path(dvp)
+                  if (cachedFs == null) cachedFs = dvPath.getFileSystem(c)
+                  readDv(cachedFs, DvDescriptor(st, dvp, off, size, 0L)).iterator
+                    .map(pos => (p, pos))
+                }
+              }
+            }
+            .toDF("_dpath", "_dpos")
+          base.join(decoded,
+            base("_gpath") === col("_dpath") && base("_gpos") === col("_dpos"), "left_anti")
+        }
       }
     live.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }

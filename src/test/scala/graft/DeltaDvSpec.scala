@@ -224,6 +224,14 @@ class DeltaDvSpec extends SparkSpec {
     // and the replayed read still matches the engine exactly
     assert(DeltaExport.readTable(spark, new Path(delta)).count() === t.read().count())
     assert(t.read().count() === (n / 5).toLong)
+    // read-side mirror of the driver bound: forcing the backlog over the
+    // driver/broadcast threshold switches to executor-side DV decode + a
+    // shuffle anti join — same rows, no driver position materialization
+    val viaDistributed = DeltaExport.readTable(spark, new Path(delta), dvDriverBound = 1L)
+      .select($"arcane_merge_key").as[String].collect().toSet
+    val viaDriver = DeltaExport.readTable(spark, new Path(delta))
+      .select($"arcane_merge_key").as[String].collect().toSet
+    assert(viaDistributed == viaDriver, "distributed DV decode must match the driver path")
   }
 
   test("compaction after DV exports returns the log to plain adds") {
