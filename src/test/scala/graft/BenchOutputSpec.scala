@@ -116,6 +116,27 @@ class BenchOutputSpec extends AnyFunSuite {
     assert(w.count(_ == '{') === w.count(_ == '}'))
   }
 
+  test("a realistic sf1-ratio extra keeps the line under the capture window with queries visible") {
+    // the r16 artifact recorded parsed: null — the full sf1/work sections
+    // pushed the stdout line past the ~2000-char tail-capture window and
+    // the head was cut. The line now carries only the ratio map; this
+    // pins that a realistic 22-query ratio fragment leaves the line whole
+    // AND keeps the heaviest queries individually visible.
+    val ratios = (1 to 22).map(i => s""""q_some_rather_long_query_name_$i":${1.0 + i * 0.1}""")
+      .mkString("{", ",", "}")
+    val extra = s""""cdc_rows_per_sec":214846.021,"cdc_rows":100000,"sf1_ratio":$ratios,""" +
+      """"calibration":{"probe_floor_sec":0.269,"probes":36,"pass_probe_medians":[0.352,0.425],""" +
+      """"pass_slow_probes":[0,1],"worst_drift":7.031,"passes_discarded":0},""" +
+      """"passes_discarded_any":false"""
+    val line = Bench.compactLine(fakeRuns(184), "/root/testdata/sf0.1", "bench_detail.json", extra = extra)
+    assert(line.length < 1950, s"line length ${line.length}")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    // the heaviest query must still be individually visible
+    val heaviest = fakeRuns(184).maxBy(_._2.min)._1
+    assert(line.contains("\"" + heaviest + "\":"), s"heaviest $heaviest displaced from the line")
+  }
+
   test("extra sections ride both outputs and share the compact line's budget") {
     val extra = """"cdc_rows_per_sec":12345.6,"sf1":{"rows_factor":10,"queries":{"q_a":1.5}}"""
     val line = Bench.compactLine(fakeRuns(200), "sf", "d.json", extra = extra)
