@@ -341,7 +341,11 @@ object SparkEntry {
       // operator (same corpus, increment, parameters, threshold), so the
       // exhaustive cross-join truth is identical — recall 1.0 through the
       // stored signatures too
-      ("q_incremental_near_dup_indexed" -> oracleSqlBase("q_incremental_near_dup"))
+      ("q_incremental_near_dup_indexed" -> oracleSqlBase("q_incremental_near_dup")) +
+      // the Delta leg's pruned point lookup drives the same lifecycle as
+      // the Iceberg leg's (the change batch lands as mergeOnRead DVs, but
+      // upsert/tombstone truth is identical), so the oracle is shared
+      ("q_export_delta_point_lookup" -> oracleSqlBase("q_export_point_lookup"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     // SCD2 replay: same (ts, event_id) total order, first-row detection

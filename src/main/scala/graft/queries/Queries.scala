@@ -598,6 +598,44 @@ object Queries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Bucket-pruned POINT LOOKUP through the DELTA export
+    * ([[graft.tables.DeltaExport.readTableForKey]]) — the second leg of
+    * the reference's external access pattern, now under MERGE-ON-READ:
+    * the same lifecycle as q_export_point_lookup but the change batch
+    * lands via `mergeOnRead`, so the export carries DELETION VECTORS and
+    * the pruned lookup must apply them (a tombstoned key resolves to
+    * empty THROUGH the pruned file set's DVs). The reader recomputes
+    * `bucket[N]` from the transform parameters in the log's metaData
+    * configuration and plans only matching-tuple adds (pruning pinned in
+    * DeltaPartitionSpec via plannedFilesForKey). Oracle: identical
+    * relational truth to the Iceberg leg's lookup.
+    */
+  def qExportDeltaPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.{DeltaExport, SnapshotTable}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-delta-point-lookup-gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val tbl = SnapshotTable(spark, s"$root/table")
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        lit(1L).as("v"), lit(false).as("is_del"))
+    tbl.createOrReplace(cust.where(col("c_custkey") % 2 === 0), "c_custkey", numBuckets = 32)
+    val staged = cust.where(col("c_custkey") % 10 === 0)
+      .withColumn("v", lit(2L))
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+      .withColumn("is_del", col("c_custkey") % 100 === 0)
+    tbl.mergeOnRead(staged, "c_custkey", "v", "is_del")
+    require(tbl.currentSnapshot.deletes.nonEmpty, "gate must look up through OUTSTANDING DVs")
+    tbl.exportDelta(s"$root/delta")
+    // untouched (2,4,6,8), updated (10,30), DV-tombstoned (100,200 — empty)
+    val keys = Seq(2L, 4L, 6L, 8L, 10L, 30L, 100L, 200L)
+    keys.map(k => DeltaExport.readTableForKey(spark,
+        new org.apache.hadoop.fs.Path(s"$root/delta"), k))
+      .reduce(_ unionByName _)
+      .select(tbl.schema.fieldNames.map(col).toIndexedSeq: _*) // drop the partition column
+      .orderBy(col("c_custkey"))
+  }
+
   /** External-WRITER ingestion gate ([[graft.tables.SnapshotTable.adoptFiles]]
     * — Iceberg `add_files` parity, the reachable half of the reference's
     * external-engine writability via REST catalog,
@@ -3476,6 +3514,7 @@ object Queries {
     "q_export_iceberg_mor" -> (qExportIcebergMor _),
     "q_export_delta_mor" -> (qExportDeltaMor _),
     "q_export_point_lookup" -> (qExportPointLookup _),
+    "q_export_delta_point_lookup" -> (qExportDeltaPointLookup _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_dedup_exact" -> (qDedupExact _),

@@ -358,7 +358,11 @@ object DeltaExport {
       files: Map[String, AddInfo], graftSnapshot: Long,
       partitionColumns: Seq[String] = Seq.empty,
       tombstones: Map[String, Long] = Map.empty,
-      readerVersion: Int = 1)
+      readerVersion: Int = 1,
+      // last metaData action's configuration — carries the bucket
+      // transform's parameters (graft.bucket.source / graft.bucket.n),
+      // what [[readTableForKey]] prunes with
+      configuration: Map[String, String] = Map.empty)
 
   private def readText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -399,6 +403,7 @@ object DeltaExport {
     var schemaString = ""
     var graftSnapshot = -1L
     var pcols = Seq.empty[String]
+    var config = Map.empty[String, String]
     var readerVersion = 1
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddInfo]
     val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -421,6 +426,16 @@ object DeltaExport {
               val pc = md.getGroup("partitionColumns", 0)
               (0 until pc.getFieldRepetitionCount("list")).map(i =>
                 pc.getGroup("list", i).getString("element", 0))
+            }
+          config =
+            if (!md.getType.containsField("configuration") ||
+              md.getFieldRepetitionCount("configuration") == 0) Map.empty
+            else {
+              val m = md.getGroup("configuration", 0)
+              (0 until m.getFieldRepetitionCount("key_value")).map { i =>
+                val kv = m.getGroup("key_value", i)
+                kv.getString("key", 0) -> kv.getString("value", 0)
+              }.toMap
             }
         }
         if (has("txn")) {
@@ -461,7 +476,7 @@ object DeltaExport {
     } finally reader.close()
     require(schemaString.nonEmpty, s"checkpoint $v under $dir carries no metaData")
     LogState(v, tableId, schemaString, files.toMap, graftSnapshot, pcols, tombstones.toMap,
-      readerVersion)
+      readerVersion, config)
   }
 
   /** Write the spec checkpoint for the state just committed at `v`, plus
@@ -480,9 +495,14 @@ object DeltaExport {
       tableId: String, schemaString: String, snapshotVersion: Long, timestampMs: Long,
       adds: Seq[(ExportFile, Map[String, Option[String]], Option[DvDescriptor])],
       properties: Map[String, String],
-      pcols: Seq[String], tombstones: Map[String, Long], readerV: Int = 1): Unit = {
+      pcols: Seq[String], tombstones: Map[String, Long], readerV: Int = 1,
+      // the bucket transform's parameters (graft.bucket.source/.n) — the
+      // checkpoint must carry the SAME configuration the JSON metaData
+      // publishes, or a checkpoint-anchored replay loses the pruning keys
+      extraConf: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.Row
-    val conf = properties.toSeq.sortBy(_._1).map { case (k, vv) => (s"graft.$k", vv) }.toMap
+    val conf = properties.toSeq.sortBy(_._1).map { case (k, vv) => (s"graft.$k", vv) }.toMap ++
+      extraConf
     val protoRow =
       if (readerV >= 3) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
       else Row(1, 2, null, null)
@@ -553,6 +573,7 @@ object DeltaExport {
     var schemaString = anchor.map(_.schemaString).getOrElse("")
     var graftSnapshot = anchor.map(_.graftSnapshot).getOrElse(-1L)
     var pcols = anchor.map(_.partitionColumns).getOrElse(Seq.empty)
+    var config = anchor.map(_.configuration).getOrElse(Map.empty[String, String])
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddInfo]
     val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     anchor.foreach { a =>
@@ -573,6 +594,9 @@ object DeltaExport {
             schemaString = md.get("schemaString").asText()
             pcols = Option(md.get("partitionColumns")).map(
               _.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+            config = Option(md.get("configuration")).map(
+              _.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+              .getOrElse(Map.empty)
           }
           if (n.has("commitInfo") && n.get("commitInfo").has("operationParameters")) {
             val op = n.get("commitInfo").get("operationParameters")
@@ -605,7 +629,7 @@ object DeltaExport {
         }
     }
     Some(LogState(upToAll.last, tableId, schemaString, files.toMap, graftSnapshot,
-      pcols, tombstones.toMap, readerVersion))
+      pcols, tombstones.toMap, readerVersion, config))
   }
 
   /** Delta `add.path`/`remove.path` are RFC 2396 percent-encoded URIs —
@@ -875,7 +899,11 @@ object DeltaExport {
       try writeCheckpoint(spark.get, fs, exportDir, nextVersion, tableId, schemaString,
         snapshotVersion, timestampMs,
         files.map(f => (f, partitionValuesOf(f), dvDescriptors.get(f.uri))), properties,
-        pcols, tombstones, readerV = if (dvDescriptors.nonEmpty || priorReader >= 3) 3 else 1)
+        pcols, tombstones, readerV = if (dvDescriptors.nonEmpty || priorReader >= 3) 3 else 1,
+        extraConf =
+          if (pcols.isEmpty) Map.empty
+          else Map("graft.bucket.source" -> bucketSpec.get.sourceColumn,
+            "graft.bucket.n" -> bucketSpec.get.n.toString))
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"DELTA EXPORT: checkpoint at v$nextVersion failed " +
@@ -922,19 +950,86 @@ object DeltaExport {
       // driver-decode/broadcast bound on summed DV cardinality; tests
       // lower it to pin the distributed-decode + shuffle degradation path
       dvDriverBound: Long = 2000000L): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
     val fs = exportDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = replay(fs, exportDir, at).getOrElse(
       throw new IllegalArgumentException(s"no delta log under $exportDir"))
+    liveRows(spark, fs, st, st.files, dvDriverBound)
+  }
+
+  /** Bucket-pruned POINT LOOKUP through the exported log — the Delta
+    * leg's parity with [[IcebergExport.readTableForKey]] (the reference's
+    * primary external access pattern, `WHERE merge_key = k`): the key's
+    * `bucket[N]` value is recomputed from the `graft.bucket.source`/`.n`
+    * transform parameters the metaData configuration publishes, only
+    * adds whose partition tuple matches are planned (the null-key
+    * partition can never match a concrete key; a tuple-less add has made
+    * no claim and must scan), outstanding deletion vectors apply to the
+    * PRUNED file set only, and the row predicate filters last. At 100 TB
+    * a lookup touches one bucket's files — not every live file, and not
+    * every DV.
+    */
+  def readTableForKey(spark: SparkSession, exportDir: Path, key: Any,
+      at: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = exportDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = replay(fs, exportDir, at).getOrElse(
+      throw new IllegalArgumentException(s"no delta log under $exportDir"))
+    val (srcName, kept) = pruneForKey(st, exportDir, key)
+    liveRows(spark, fs, st, kept, 2000000L).where(col(srcName) === lit(key))
+  }
+
+  /** The (kept uris, all live uris) a bucket-pruned point lookup plans —
+    * exposed so specs can pin the pruning without depending on Spark's
+    * scan internals (the [[IcebergExport.plannedDataFilesForKey]]
+    * counterpart).
+    */
+  def plannedFilesForKey(spark: SparkSession, exportDir: Path, key: Any)
+      : (Seq[String], Seq[String]) = {
+    val fs = exportDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = replay(fs, exportDir, None).getOrElse(
+      throw new IllegalArgumentException(s"no delta log under $exportDir"))
+    val (_, kept) = pruneForKey(st, exportDir, key)
+    (kept.keys.toSeq.sorted, st.files.keys.toSeq.sorted)
+  }
+
+  private def pruneForKey(
+      st: LogState, exportDir: Path, key: Any): (String, Map[String, AddInfo]) = {
+    require(st.partitionColumns.nonEmpty,
+      s"export at $exportDir publishes no bucket partition column; use readTable + a filter")
+    val src = st.configuration.getOrElse("graft.bucket.source",
+      sys.error(s"graft.bucket.source missing from $exportDir metaData configuration"))
+    val n = st.configuration.getOrElse("graft.bucket.n",
+      sys.error(s"graft.bucket.n missing from $exportDir metaData configuration")).toInt
     val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
-    if (st.files.isEmpty)
+    val field = schema.fields.find(_.name == src).getOrElse(
+      sys.error(s"bucket source column '$src' not in the published schema"))
+    val b = IcebergExport.bucketOfKey(field.dataType, key, n).toString
+    val pname = st.partitionColumns.head
+    (src, st.files.filter { case (_, a) =>
+      a.partitionValues.get(pname) match {
+        case None          => true  // no claim: must scan
+        case Some(None)    => false // null-key partition: key = <v> can't match
+        case Some(Some(v)) => v == b
+      }
+    })
+  }
+
+  /** Build the live-row frame for a (possibly pruned) subset of the
+    * replayed adds: one scan, partition tuples from the log, DVs of the
+    * SUBSET applied under the driver/broadcast bound.
+    */
+  private def liveRows(spark: SparkSession, fs: FileSystem, st: LogState,
+      files: Map[String, AddInfo], dvDriverBound: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+    val schema = DataType.fromJson(st.schemaString).asInstanceOf[StructType]
+    if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
     // deletion vectors: decoded driver-side (bounded by the deleted-row
     // count — change-set-sized by construction) and applied as ONE
     // broadcast anti join on (file, row_index), the same plan shape as
     // the Iceberg leg's position deletes
-    val dvFiles = st.files.toSeq.collect { case (u, a) if a.dv.isDefined => (u, a.dv.get) }
+    val dvFiles = files.toSeq.collect { case (u, a) if a.dv.isDefined => (u, a.dv.get) }
     val needDv = dvFiles.nonEmpty
     def normPathCol(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
@@ -945,7 +1040,7 @@ object DeltaExport {
 
     val base: DataFrame =
       if (st.partitionColumns.isEmpty)
-        withMeta(spark.read.schema(schema).parquet(st.files.keys.toSeq.sorted: _*))
+        withMeta(spark.read.schema(schema).parquet(files.keys.toSeq.sorted: _*))
       else {
         // data files do NOT hold the partition columns: ONE scan of every
         // live file with the data schema, then the tuple attached via a
@@ -963,13 +1058,13 @@ object DeltaExport {
             st.partitionColumns.map(pc => org.apache.spark.sql.types.StructField(
               s"${pc}__str", org.apache.spark.sql.types.StringType)))
         val tupleRows: java.util.List[org.apache.spark.sql.Row] =
-          st.files.toSeq.sortBy(_._1).map { case (u, a) =>
+          files.toSeq.sortBy(_._1).map { case (u, a) =>
             org.apache.spark.sql.Row.fromSeq(
               new Path(u).toUri.getPath +:
                 st.partitionColumns.map(pc => a.partitionValues.get(pc).flatten.orNull))
           }.asJava
         val tupleDf = spark.createDataFrame(tupleRows, tupleSchema)
-        var df = withMeta(spark.read.schema(dataSchema).parquet(st.files.keys.toSeq.sorted: _*))
+        var df = withMeta(spark.read.schema(dataSchema).parquet(files.keys.toSeq.sorted: _*))
           .withColumn("_tpath", normPathCol(col("_metadata.file_path")))
           .join(broadcast(tupleDf), Seq("_tpath"))
         st.partitionColumns.foreach { pc =>

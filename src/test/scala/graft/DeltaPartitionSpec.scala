@@ -110,4 +110,43 @@ class DeltaPartitionSpec extends SparkSpec {
       .select("arcane_merge_key_bucket").collect()
     assert(row.length === 1 && row.head.isNullAt(0))
   }
+
+  test("readTableForKey plans only the key's bucket files and applies its DVs") {
+    val base = tmpDir("delta-part-lookup")
+    val t = SnapshotTable(spark, s"$base/table")
+    val delta = new Path(s"$base/delta")
+    t.createOrReplace((1 to 400).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF("arcane_merge_key", "versionnumber", "payload"),
+      "arcane_merge_key", numBuckets = 8)
+    // tombstone k7 via merge-on-read so the lookup must apply a DV
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("IsDelete",
+      org.apache.spark.sql.types.BooleanType)))
+    t.mergeOnRead(Seq(("k7", 2L, (null: String), true), ("k9", 2L, "updated", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.currentSnapshot.deletes.nonEmpty)
+    t.exportDelta(delta.toString)
+    // PRUNING: the planned set is a strict subset covering one bucket
+    val (kept, all) = DeltaExport.plannedFilesForKey(spark, delta, "k9")
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"lookup must prune: kept ${kept.size} of ${all.size}")
+    assert(kept.toSet.subsetOf(all.toSet))
+    // value correctness through the pruned path: updated, untouched,
+    // DV-tombstoned (empty), and absent keys
+    def lookup(k: String) = DeltaExport.readTableForKey(spark, delta, k)
+      .select($"arcane_merge_key", $"payload").as[(String, String)].collect().toSeq
+    assert(lookup("k9") == Seq(("k9", "updated")))
+    assert(lookup("k123") == Seq(("k123", "v123")))
+    assert(lookup("k7").isEmpty, "a DV-tombstoned key must resolve empty through the pruned set")
+    assert(lookup("nosuchkey").isEmpty)
+    // an unpartitioned (xxhash64-layout or legacy) export refuses loudly
+    val t2 = SnapshotTable(spark, s"$base/table2")
+    t2.createOrReplace(Seq(("a", 1L, "x")).toDF("arcane_merge_key", "versionnumber", "payload"),
+      "arcane_merge_key", numBuckets = 2,
+      extraProps = Map(SnapshotTable.PropBucketFn -> SnapshotTable.BucketFnXxhash))
+    t2.exportDelta(s"$base/delta2")
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.readTableForKey(spark, new Path(s"$base/delta2"), "a"))
+    assert(e.getMessage.contains("no bucket partition column"))
+  }
 }
