@@ -317,7 +317,10 @@ object StreamOps {
     val own = f"batch-$batchId%020d"
     val prior = indexSubdirs(fs, p).filterNot(_.getName == own)
     val emptyText = coalesce(length(trim(col(textCol))), lit(0)) === 0
-    val bands = bandsFlat(batch, idCol, textCol, params)
+    // materialize the batch's bands ONCE (eager localCheckpoint, blocks
+    // GC-managed): they are consumed by both the dedup probe and the
+    // survivor append, and recomputing would re-sign the batch twice
+    val bands = bandsFlat(batch, idCol, textCol, params).localCheckpoint()
     // matched ids: ONE map-only pass over the stored index with the
     // batch's bands broadcast — the index is never shuffled
     val dupIds =

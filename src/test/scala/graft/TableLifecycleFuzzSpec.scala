@@ -162,6 +162,30 @@ class TableLifecycleFuzzSpec extends SparkSpec {
     checkInvariants("post-adopt:merge-cow")
     t.compact(fileSizeThresholdBytes = 512L * 1024 * 1024)
     checkInvariants("post-adopt:compact")
+    // Delta-leg PRUNED POINT LOOKUPS over the final fuzzed state: one
+    // more MoR batch (outstanding deletes export as deletion vectors),
+    // then each probed key resolves through readTableForKey — the
+    // bucket-pruned path with DVs applied must agree with the model for
+    // live, tombstoned and never-inserted keys alike.
+    val b2 = randomBatch()
+    t.mergeOnRead(b2.toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    applyModel(b2)
+    checkInvariants("final:merge-mor")
+    val mainDelta = s"${t.location}-delta-final"
+    t.exportDelta(mainDelta)
+    val probe = rng.shuffle(keys).take(6) :+ "nosuchkey"
+    probe.foreach { k =>
+      val got = graft.tables.DeltaExport.readTableForKey(spark,
+          new org.apache.hadoop.fs.Path(mainDelta), k)
+        .select($"versionnumber", $"payload").as[(Long, String)].collect().toSeq
+      model.get(k) match {
+        case Some((v, p)) =>
+          assert(got == Seq((v, p)), s"seed $seed pruned lookup $k: $got != ${(v, p)}")
+        case None =>
+          assert(got.isEmpty, s"seed $seed pruned lookup $k: expected empty, got $got")
+      }
+    }
   }
 
   private def pythonWithDuckdb: Boolean =
