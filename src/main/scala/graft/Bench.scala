@@ -569,21 +569,25 @@ object Bench {
       val work = try {
         // counts at BOTH sizes: growth (10x counts / base counts) is what
         // adjudicates a ratio — an absolute count alone cannot separate
-        // "host hiccup on linear work" from "the work itself grew"
+        // "host hiccup on linear work" from "the work itself grew".
+        // q_fuzzy_pairs_capped's corpus is scale-INVARIANT by construction
+        // (fixed planted family + fixed part-key cut), so its counts are
+        // computed once and recorded identically in both blocks.
+        val fuzzyCapped = graft.queries.Queries.fuzzyCappedWorkCounts(spark, sfDir)
         Bench.workJson(
           graft.queries.Queries.nearDupWorkCounts(spark, dir10),
           graft.queries.Queries.incrementalNearDupWorkCounts(spark, dir10),
           graft.ext.Dedup.fuzzyBlockingStats(
             fuzzyKneeCorpus(spark, sfDir, 10000), "id", "s", maxDist = 2),
           graft.queries.Queries.annWorkCounts(spark, dir10),
-          graft.queries.Queries.fuzzyCappedWorkCounts(spark, sfDir)) + "," +
+          fuzzyCapped) + "," +
           Bench.workJson(
             graft.queries.Queries.nearDupWorkCounts(spark, sfDir),
             graft.queries.Queries.incrementalNearDupWorkCounts(spark, sfDir),
             graft.ext.Dedup.fuzzyBlockingStats(
               fuzzyKneeCorpus(spark, sfDir, 1000), "id", "s", maxDist = 2),
             graft.queries.Queries.annWorkCounts(spark, sfDir),
-            graft.queries.Queries.fuzzyCappedWorkCounts(spark, sfDir))
+            fuzzyCapped)
             .replaceFirst("\"work\":", "\"work_base\":") + ","
       } catch {
         case scala.util.control.NonFatal(e) =>

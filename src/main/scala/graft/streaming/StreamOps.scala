@@ -345,14 +345,27 @@ object StreamOps {
     * the only direction that matters: the compacted subdir lands BEFORE
     * the absorbed ones are deleted, so a mid-compaction crash leaves
     * duplicate band rows (harmless to the semi-join decision), never a
-    * hole. Run from the stream's own cadence (or paused) — one
-    * maintainer per index dir.
+    * hole.
+    *
+    * The NEWEST `keepRecent` batch subdirs are never absorbed:
+    * [[dedupBatchMaintainingIndex]]'s replay safety excludes the
+    * replayed batch's own bands BY SUBDIR NAME, and Structured Streaming
+    * can replay the latest uncommitted batch after a crash — absorbing
+    * it into a compacted blob would make that replay dedup the batch
+    * against its own bands and suppress every row. The compacted target
+    * carries a UUID (a nanoTime name could collide with a prior JVM's
+    * and overwrite an input). One maintainer per index dir.
     */
-  def compactBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepRecent: Int = 2): Unit = {
     val (p, fs) = indexFs(spark, dir)
-    val subdirs = indexSubdirs(fs, p)
+    val all = indexSubdirs(fs, p)
+    val protectedBatches = all.filter(_.getName.startsWith("batch-"))
+      .sortBy(_.getName).takeRight(math.max(0, keepRecent)).toSet
+    val subdirs = all.filterNot(protectedBatches)
     if (subdirs.size <= 1) return
-    val target = new org.apache.hadoop.fs.Path(p, s"data/compact-${System.nanoTime()}")
+    val target = new org.apache.hadoop.fs.Path(p,
+      s"data/compact-${java.util.UUID.randomUUID()}")
     spark.read.schema(bandSchema).parquet(subdirs.map(_.toString): _*)
       .distinct()
       .write.mode("overwrite").parquet(target.toString)

@@ -78,6 +78,29 @@ object DeltaExport {
     */
   final case class BucketSpec(sourceColumn: String, n: Int)
 
+  /** Canonical DECODED URI path of a data file — the ONE normalization
+    * both sides of every path join must use. Scan-side
+    * `_metadata.file_path` is scheme-prefixed, PERCENT-ENCODED, and
+    * keeps the filesystem authority (`hdfs://nn:8020/x`,
+    * `file:/tmp/a%20b/x`); driver-side Hadoop Path strings are unencoded.
+    * Both reduce here to the decoded path with scheme AND authority
+    * stripped. The previous regex (`^scheme:/+` → `/`) kept the
+    * authority as a path segment on the scan side but the driver side
+    * dropped it — on any authority-bearing filesystem (hdfs, s3a, abfs)
+    * the joins matched NOTHING: exported DVs silently vanished and
+    * partitioned replays returned zero rows. Local `file:/` paths have
+    * no authority, which is why tests never saw it.
+    */
+  private[tables] def canonicalPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.url_decode(
+      org.apache.spark.sql.functions.regexp_replace(
+        c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
+
+  /** Driver-side twin of [[canonicalPathCol]]: `Path.toUri.getPath` is
+    * the decoded, scheme-and-authority-free path.
+    */
+  private[tables] def canonicalPath(u: String): String = new Path(u).toUri.getPath
+
   private def logDir(exportDir: Path) = new Path(exportDir, "_delta_log")
   private def commitName(v: Long) = f"$v%020d.json"
   private def checkpointName(v: Long) = f"$v%020d.checkpoint.parquet"
@@ -208,14 +231,19 @@ object DeltaExport {
     finally in.close()
   }
 
-  /** Live `uri → DvDescriptor` set of the exported log's head — what
-    * [[writeDvsDistributed]] reuses descriptors against. Empty when the
-    * dir has no log yet.
+  /** ONE replay answering both per-export questions: the last exported
+    * engine snapshot (idempotence probe) and the live DV descriptors
+    * (the distributed writer's reuse set) — exportDelta previously paid
+    * two separate full replays for these on every commit.
     */
-  private[tables] def liveDvs(fs: FileSystem, exportDir: Path): Map[String, DvDescriptor] =
-    replay(fs, exportDir, at = None)
-      .map(_.files.collect { case (u, a) if a.dv.isDefined => u -> a.dv.get })
-      .getOrElse(Map.empty)
+  private[tables] def headSnapshotAndDvs(
+      fs: FileSystem, exportDir: Path): (Option[Long], Map[String, DvDescriptor]) =
+    replay(fs, exportDir, at = None) match {
+      case None => (None, Map.empty)
+      case Some(st) =>
+        (Some(st.graftSnapshot).filter(_ >= 0),
+          st.files.collect { case (u, a) if a.dv.isDefined => u -> a.dv.get })
+    }
 
   /** Write deletion vectors DISTRIBUTED: `positions` — a (`_uri` data-file
     * URI, `_pos` row index) frame bounded only by the outstanding-delete
@@ -1031,11 +1059,9 @@ object DeltaExport {
     // the Iceberg leg's position deletes
     val dvFiles = files.toSeq.collect { case (u, a) if a.dv.isDefined => (u, a.dv.get) }
     val needDv = dvFiles.nonEmpty
-    def normPathCol(c: org.apache.spark.sql.Column) =
-      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
     def withMeta(df: DataFrame): DataFrame =
       if (!needDv) df
-      else df.withColumn("_gpath", normPathCol(col("_metadata.file_path")))
+      else df.withColumn("_gpath", canonicalPathCol(col("_metadata.file_path")))
         .withColumn("_gpos", col("_metadata.row_index"))
 
     val base: DataFrame =
@@ -1060,12 +1086,12 @@ object DeltaExport {
         val tupleRows: java.util.List[org.apache.spark.sql.Row] =
           files.toSeq.sortBy(_._1).map { case (u, a) =>
             org.apache.spark.sql.Row.fromSeq(
-              new Path(u).toUri.getPath +:
+              canonicalPath(u) +:
                 st.partitionColumns.map(pc => a.partitionValues.get(pc).flatten.orNull))
           }.asJava
         val tupleDf = spark.createDataFrame(tupleRows, tupleSchema)
         var df = withMeta(spark.read.schema(dataSchema).parquet(files.keys.toSeq.sorted: _*))
-          .withColumn("_tpath", normPathCol(col("_metadata.file_path")))
+          .withColumn("_tpath", canonicalPathCol(col("_metadata.file_path")))
           .join(broadcast(tupleDf), Seq("_tpath"))
         st.partitionColumns.foreach { pc =>
           val f = schema.fields.find(_.name == pc).getOrElse(
@@ -1088,7 +1114,7 @@ object DeltaExport {
         val totalDeleted = dvFiles.map(_._2.cardinality).sum
         if (totalDeleted <= dvDriverBound) {
           val deleted: Seq[(String, Long)] = dvFiles.flatMap { case (u, d) =>
-            val p = new Path(u).toUri.getPath
+            val p = canonicalPath(u)
             readDv(fs, d).map(pos => (p, pos))
           }
           base.join(broadcast(deleted.toDF("_dpath", "_dpos")),
@@ -1104,7 +1130,7 @@ object DeltaExport {
             baos.toByteArray
           }
           val descRows = dvFiles.map { case (u, d) =>
-            (new Path(u).toUri.getPath, d.storageType, d.pathOrInlineDv, d.offset,
+            (canonicalPath(u), d.storageType, d.pathOrInlineDv, d.offset,
               d.sizeInBytes)
           }
           val decoded = spark.createDataset(descRows)

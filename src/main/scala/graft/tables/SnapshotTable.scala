@@ -1371,11 +1371,13 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     require(format == "parquet",
       s"Delta export requires a parquet table (protocol data-file format), got $format")
     val out = new Path(exportDir)
-    // idempotence fast path BEFORE building the file list: legacy manifest
-    // entries (rows/bytes = -1) fall back to per-file footer reads below,
-    // and a no-op re-export must not pay that O(live files) IO just to
-    // learn nothing changed (the exportIceberg fast path's reasoning)
-    if (DeltaExport.currentExportedSnapshot(fs, out).contains(snap.version))
+    // ONE replay of the exported log serves both the idempotence fast
+    // path (a no-op re-export must not pay O(live files) footer IO just
+    // to learn nothing changed — the exportIceberg fast path's
+    // reasoning) AND the DV block's prior-descriptor set below; write()
+    // keeps its own replay as part of its transactional versioning.
+    val (exportedSnapshot, priorDvs) = DeltaExport.headSnapshotAndDvs(fs, out)
+    if (exportedSnapshot.contains(snap.version))
       return new Path(new Path(out, "_delta_log"),
         f"${DeltaExport.logVersions(fs, out).last}%020d.json")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1420,7 +1422,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
           import org.apache.spark.sql.functions.{broadcast, lit, max => smax, regexp_replace}
           import spark.implicits._
           def qualify(rel: String) = fs.makeQualified(new Path(dataDir, rel)).toString
-          def normStr(u: String) = new Path(u).toUri.getPath
+          def normStr(u: String) = DeltaExport.canonicalPath(u)
           // delete files under the PINNED single-column key schema (the
           // engine's own delete read above) — an inferred schema could
           // flip or fail across a key-type-widening migration's mixed
@@ -1437,28 +1439,41 @@ class SnapshotTable(val spark: SparkSession, val location: String,
           val delDf = spark.read.schema(delSchema)
             .parquet(snap.deletes.map(d => qualify(d.path)): _*)
             .select(col(keyField.name).as("_dk"),
-              regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_dp"))
+              DeltaExport.canonicalPathCol(col("_metadata.file_path")).as("_dp"))
             .join(broadcast(delMeta), Seq("_dp"))
             .groupBy("_dk", "_db").agg(smax("_ds0").as("_ds"))
           val metaDf = cand
             .map(f => (normStr(qualify(f.path)), f.bucket, f.seq, qualify(f.path)))
             .toDF("_p", "_b", "_fs", "_uri")
+          // The delete-key side broadcasts only while the manifest's own
+          // row counts say it is change-set-sized — a deferred-OPTIMIZE
+          // backlog of hundreds of millions of distinct tombstoned keys
+          // would otherwise materialize on the driver inside the
+          // BroadcastExchange (the same bound class as the DV positions
+          // themselves); past the bound the join degrades LOUDLY to a
+          // shuffle (still exact; compaction clears the backlog).
+          val totalDelRows = snap.deletes.map(d => math.max(d.rows, 0L)).sum
+          val delSmall = totalDelRows <= 2000000L
+          if (!delSmall) System.err.println(
+            s"DELTA EXPORT: $totalDelRows outstanding delete rows exceed the broadcast " +
+              "bound — position-izing via a shuffle join (compact to clear the backlog)")
+          def hintDel(df: DataFrame): DataFrame = if (delSmall) broadcast(df) else df
           // candidate files under the snapshot schema (readFilesRaw's
           // schema-on-read stance), plus the parquet metadata columns
           val hit = spark.read.schema(snap.schema).parquet(cand.map(f => qualify(f.path)): _*)
             .select(col(keyField.name).as("_k"),
-              regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_p"),
+              DeltaExport.canonicalPathCol(col("_metadata.file_path")).as("_p"),
               col("_metadata.row_index").as("_pos"))
             .join(broadcast(metaDf), Seq("_p"))
             // NULL-SAFE key equality (the merge/delete-read semantics at
             // [[readFiles]]): NULL is a supported merge key, and === here
             // would silently resurrect NULL-keyed tombstoned rows in every
             // external Delta reader
-            .join(broadcast(delDf),
+            .join(hintDel(delDf),
               col("_k") <=> col("_dk") && col("_b") === col("_db") && col("_ds") > col("_fs"))
             .select(col("_uri"), col("_pos"))
-          val dvs = DeltaExport.writeDvsDistributed(spark, hit,
-            DeltaExport.liveDvs(fs, out), new Path(out, "deletion_vectors"), snap.version)
+          val dvs = DeltaExport.writeDvsDistributed(spark, hit, priorDvs,
+            new Path(out, "deletion_vectors"), snap.version)
           SnapshotTable.lastDvExportDriverRows = dvs.size.toLong
           dvs
         }

@@ -213,9 +213,23 @@ class StreamOpsSpec extends SparkSpec {
       dir, batchId = 1L)
     assert(replay.select("doc_id").as[Long].collect().toSet == Set(6L),
       "a replayed batch must re-emit its own survivors")
-    // compaction folds the subdirs and preserves every decision
+    // default compaction PROTECTS the newest batches: the latest
+    // uncommitted batch can replay after a crash, and absorbing its
+    // subdir would make that replay self-suppress
     StreamOps.compactBandIndex(spark, dir)
-    assert(new java.io.File(s"$dir/data").listFiles().count(_.isDirectory) == 1)
+    def dirNames() = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirNames().count(_.startsWith("batch-")) == 2,
+      s"default compaction must keep the newest batches unabsorbed: ${dirNames()}")
+    val replay2 = StreamOps.dedupBatchMaintainingIndex(
+      Seq((6L, "completely different follow-up content about something else")).toDF("doc_id", "text"),
+      dir, batchId = 1L)
+    assert(replay2.select("doc_id").as[Long].collect().toSet == Set(6L),
+      "replay after default compaction must still re-emit its own survivors")
+    // a FULL fold (keepRecent = 0 — paused/committed stream) preserves
+    // every dedup decision
+    StreamOps.compactBandIndex(spark, dir, keepRecent = 0)
+    assert(dirNames().size == 1, s"full fold must leave one compacted dir: ${dirNames()}")
     val afterCompact = StreamOps.dedupBatchMaintainingIndex(
       Seq((8L, base), (9L, "still never seen content arriving after compaction"))
         .toDF("doc_id", "text"),
