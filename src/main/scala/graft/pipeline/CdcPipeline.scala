@@ -173,7 +173,7 @@ object CdcPipeline {
     // external readers get a post-maintenance consistent view.
     spec.exportDir.foreach(table.exportSymlinkManifest)
     spec.icebergExportDir.foreach(d => table.exportIceberg(d))
-    spec.deltaExportDir.foreach(d => table.exportDelta(d))
+    spec.deltaExportDir.foreach(d => table.exportDelta(d, spec.deleteBroadcastMaxRows))
     JsonLog.info("maintenance_completed", "mode" -> "standalone",
       "expired_snapshots" -> snaps.size, "removed_orphans" -> orphans.size,
       "exported" -> (spec.exportDir.nonEmpty || spec.icebergExportDir.nonEmpty ||
@@ -322,7 +322,7 @@ object CdcPipeline {
             val tExp = System.nanoTime()
             spec.exportDir.foreach(table.exportSymlinkManifest)
             spec.icebergExportDir.foreach(d => table.exportIceberg(d))
-            spec.deltaExportDir.foreach(d => table.exportDelta(d))
+            spec.deltaExportDir.foreach(d => table.exportDelta(d, spec.deleteBroadcastMaxRows))
             val exportMs = (System.nanoTime() - tExp) / 1000000L
             JsonLog.info("batch_committed", "batch_id" -> batchId,
               "rows" -> head.getLong(0), "watermark" -> wm,
@@ -466,7 +466,7 @@ object CdcPipeline {
     }
     spec.exportDir.foreach(table.exportSymlinkManifest)
     spec.icebergExportDir.foreach(d => table.exportIceberg(d))
-    spec.deltaExportDir.foreach(d => table.exportDelta(d))
+    spec.deltaExportDir.foreach(d => table.exportDelta(d, spec.deleteBroadcastMaxRows))
     JsonLog.info("backfill_completed", "mode" -> spec.backfillBehavior, "watermark" -> newest)
   }
 }

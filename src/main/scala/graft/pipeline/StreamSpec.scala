@@ -62,10 +62,24 @@ final case class StreamSpec(
     deltaExportDir: Option[String] = None,             // re-export a Delta Lake _delta_log after every commit
     logShipAddress: Option[String] = None,             // DataDog-shape shipper: udp://host:port | file:/path
     mergeMode: String = "copy-on-write",               // copy-on-write | merge-on-read (Iceberg v2 write.merge.mode)
-    maintenanceRun: Boolean = false                    // one-shot standalone maintenance (TargetMaintenanceProcessor shape)
+    maintenanceRun: Boolean = false,                   // one-shot standalone maintenance (TargetMaintenanceProcessor shape)
+    // Driver-materialization bounds — each caps how much data a stage may
+    // pull onto the driver (or into a BroadcastExchange) before degrading
+    // LOUDLY to the distributed path, which stays exact. The defaults are
+    // sized for a multi-GB driver; a small-driver deployment lowers them
+    // here instead of recompiling.
+    deleteBroadcastMaxRows: Long = 2000000L,   // exportDelta: delete-KEY broadcast bound (past it: shuffle position-izing)
+    dvDriverDecodeMaxRows: Long = 2000000L,    // Delta read side: summed-DV-cardinality bound for driver decode + broadcast anti join (past it: executor decode + shuffle)
+    dedupMaxPushdownIds: Int = 10000           // indexed near-dup: candidate-id In-filter pushdown bound (past it: lazy plan, no collect)
 ) {
   require(Set("copy-on-write", "merge-on-read").contains(mergeMode.toLowerCase),
     s"mergeMode must be copy-on-write or merge-on-read, got '$mergeMode'")
+  require(deleteBroadcastMaxRows >= 0L,
+    s"deleteBroadcastMaxRows must be >= 0, got $deleteBroadcastMaxRows")
+  require(dvDriverDecodeMaxRows >= 0L,
+    s"dvDriverDecodeMaxRows must be >= 0, got $dvDriverDecodeMaxRows")
+  require(dedupMaxPushdownIds >= 0,
+    s"dedupMaxPushdownIds must be >= 0, got $dedupMaxPushdownIds")
   // NOTE: the exportDir × merge-on-read incompatibility is validated in
   // CdcPipeline.startStream, NOT here — Main applies the
   // STREAMCONTEXT__MAINTENANCE env override AFTER construction, and a
@@ -197,7 +211,12 @@ object StreamSpec {
       deltaExportDir = opt("deltaExportDir"),
       logShipAddress = opt("logShipAddress"),
       mergeMode = str("mergeMode", "copy-on-write"),
-      maintenanceRun = r.has("maintenanceRun") && r.get("maintenanceRun").asBoolean(false)
+      maintenanceRun = r.has("maintenanceRun") && r.get("maintenanceRun").asBoolean(false),
+      deleteBroadcastMaxRows =
+        if (r.has("deleteBroadcastMaxRows")) r.get("deleteBroadcastMaxRows").asLong() else 2000000L,
+      dvDriverDecodeMaxRows =
+        if (r.has("dvDriverDecodeMaxRows")) r.get("dvDriverDecodeMaxRows").asLong() else 2000000L,
+      dedupMaxPushdownIds = int("dedupMaxPushdownIds", 10000)
     )
   }
 }

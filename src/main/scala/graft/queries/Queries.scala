@@ -2734,7 +2734,7 @@ object Queries {
     * hot variant family (restated verbatim by the oracle).
     */
   private[graft] val FuzzyHotBase: String =
-    "graftfuzzyhotbucketfamilybasestringzzzzyyyyxxxxwwwwvvvvuuuuttttssssrrrrqqqqppp0"
+    "graftfuzzyhotbucketfamilybasestringzzzzyyyyxxxxwwwwvvvvuuuuttttssssrrrrqqqqppp00"
 
   /** The CAPPED fuzzy-pairs twin gate: [[graft.ext.Dedup.fuzzyPairs]]
     * with the `maxBucketSize` skew guard ENGAGED (cap 64) on a corpus

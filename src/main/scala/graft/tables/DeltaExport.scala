@@ -90,11 +90,21 @@ object DeltaExport {
     * the joins matched NOTHING: exported DVs silently vanished and
     * partitioned replays returned zero rows. Local `file:/` paths have
     * no authority, which is why tests never saw it.
+    *
+    * `url_decode` speaks application/x-www-form-urlencoded, where a bare
+    * `'+'` decodes to a SPACE — but URI percent-encoding (what
+    * `_metadata.file_path` carries) leaves `'+'` literal, and the
+    * driver-side twin `Path.toUri.getPath` preserves it. Without the
+    * re-escape below, any table location containing `'+'` hits the same
+    * silent-vanish class this normalization exists to prevent: the two
+    * sides disagree on the character and every path join matches nothing.
     */
   private[tables] def canonicalPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.url_decode(
       org.apache.spark.sql.functions.regexp_replace(
-        c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
+        org.apache.spark.sql.functions.regexp_replace(
+          c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""),
+        "\\+", "%2B"))
 
   /** Driver-side twin of [[canonicalPathCol]]: `Path.toUri.getPath` is
     * the decoded, scheme-and-authority-free path.
@@ -323,6 +333,12 @@ object DeltaExport {
             if (uri != curUri) { flush(); curUri = uri }
             require(pos >= 0, "deletion-vector positions must be non-negative row indexes")
             val hi = (pos >>> 32).toInt
+            // a corrupt/huge position (pos near 2^40) would otherwise grow
+            // the bitmap array by ~hi EMPTY bitmaps and OOM the executor
+            // instead of failing with a diagnosable error; 2^16 high words
+            // = 2^48 rows per file, far beyond any real parquet file
+            require(hi < (1 << 16),
+              s"deletion-vector position high word overflow (pos=$pos)")
             while (bitmaps.size <= hi) bitmaps += new org.roaringbitmap.RoaringBitmap()
             bitmaps(hi).add(pos.toInt)
           }
@@ -997,13 +1013,13 @@ object DeltaExport {
     * every DV.
     */
   def readTableForKey(spark: SparkSession, exportDir: Path, key: Any,
-      at: Option[Long] = None): DataFrame = {
+      at: Option[Long] = None, dvDriverBound: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val fs = exportDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = replay(fs, exportDir, at).getOrElse(
       throw new IllegalArgumentException(s"no delta log under $exportDir"))
     val (srcName, kept) = pruneForKey(st, exportDir, key)
-    liveRows(spark, fs, st, kept, 2000000L).where(col(srcName) === lit(key))
+    liveRows(spark, fs, st, kept, dvDriverBound).where(col(srcName) === lit(key))
   }
 
   /** The (kept uris, all live uris) a bucket-pruned point lookup plans —

@@ -1365,7 +1365,11 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     * writer v7), so an uncompacted MoR stream exports on BOTH interop
     * legs without a forced compaction.
     */
-  def exportDelta(exportDir: String): Path = {
+  def exportDelta(exportDir: String,
+      // delete-KEY broadcast bound for MoR position-izing; the pipeline
+      // passes StreamSpec.deleteBroadcastMaxRows so a small-driver
+      // deployment tunes it without recompiling
+      deleteBroadcastMaxRows: Long = 2000000L): Path = {
     val snap = currentSnapshot
     val format = SnapshotTable.resolveFormat(snap.properties)
     require(format == "parquet",
@@ -1452,8 +1456,13 @@ class SnapshotTable(val spark: SparkSession, val location: String,
           // BroadcastExchange (the same bound class as the DV positions
           // themselves); past the bound the join degrades LOUDLY to a
           // shuffle (still exact; compaction clears the backlog).
+          // rows = -1 marks a legacy manifest entry with an UNKNOWN count;
+          // counting it as zero could broadcast-materialize an arbitrarily
+          // large legacy backlog on the driver — the exact OOM this bound
+          // prevents — so any unknown forces the (exact, loud) shuffle path.
+          val rowsKnown = snap.deletes.forall(_.rows >= 0L)
           val totalDelRows = snap.deletes.map(d => math.max(d.rows, 0L)).sum
-          val delSmall = totalDelRows <= 2000000L
+          val delSmall = rowsKnown && totalDelRows <= deleteBroadcastMaxRows
           if (!delSmall) System.err.println(
             s"DELTA EXPORT: $totalDelRows outstanding delete rows exceed the broadcast " +
               "bound — position-izing via a shuffle join (compact to clear the backlog)")

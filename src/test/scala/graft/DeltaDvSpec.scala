@@ -252,4 +252,110 @@ class DeltaDvSpec extends SparkSpec {
     assert(files.nonEmpty)
     assert(DeltaExport.readTable(spark, new Path(delta)).count() === 59)
   }
+
+  private def capturingErr[A](body: => A): (A, String) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    try { val r = body; (r, buf.toString("UTF-8")) }
+    finally System.setErr(old)
+  }
+
+  test("delete-key broadcast bound moves via StreamSpec; shuffle path and unknown legacy counts stay exact") {
+    val base = tmpDir("delta-dv-bound")
+    val t = SnapshotTable(spark, s"$base/table")
+    t.createOrReplace((1 to 80).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", numBuckets = 4)
+    t.mergeOnRead((1 to 20).map(i => (s"k$i", 2L, (null: String), true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    def rowsOf(dir: String) = DeltaExport.readTable(spark, new Path(dir))
+      .select($"arcane_merge_key").as[String].collect().toSet
+    // default bound: broadcast position-izing, quiet
+    val (_, errA) = capturingErr(t.exportDelta(s"$base/deltaA"))
+    assert(!errA.contains("exceed the broadcast"), "small backlog must broadcast quietly")
+    val expect = rowsOf(s"$base/deltaA")
+    assert(expect.size === 60)
+    // the bound arrives from a parsed spec — a deployment tunes it in the
+    // stream JSON, no recompile — and forcing 0 degrades LOUDLY to the
+    // shuffle join while the exported DVs stay exact
+    val spec = graft.pipeline.StreamSpec.fromJson(
+      s"""{"sourcePath":"x","entityName":"e","targetLocation":"y",
+         |"deleteBroadcastMaxRows":0}""".stripMargin)
+    assert(spec.deleteBroadcastMaxRows === 0L)
+    val (_, errB) = capturingErr(
+      t.exportDelta(s"$base/deltaB", spec.deleteBroadcastMaxRows))
+    assert(errB.contains("exceed the broadcast"), "forced shuffle must announce itself")
+    assert(rowsOf(s"$base/deltaB") === expect)
+    // legacy manifest entries with rows = -1 (unknown) must force the
+    // shuffle path even under the default bound: counting unknown as zero
+    // could broadcast-materialize an arbitrarily large backlog
+    val cur = java.nio.file.Paths.get(s"$base/table/_current")
+    val snapName = new String(java.nio.file.Files.readAllBytes(cur), "UTF-8").trim
+    val snapPath = java.nio.file.Paths.get(s"$base/table/_snapshots/$snapName")
+    val snap = SnapshotTable.fromJson(
+      new String(java.nio.file.Files.readAllBytes(snapPath), "UTF-8"))
+    val patched = snap.copy(deletes = snap.deletes.map(_.copy(rows = -1L)))
+    java.nio.file.Files.write(snapPath, SnapshotTable.toJson(patched).getBytes("UTF-8"))
+    // the raw overwrite invalidates Hadoop LocalFileSystem's checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      snapPath.resolveSibling("." + snapPath.getFileName.toString + ".crc"))
+    assert(t.currentSnapshot.deletes.forall(_.rows == -1L))
+    val (_, errC) = capturingErr(t.exportDelta(s"$base/deltaC"))
+    assert(errC.contains("exceed the broadcast"),
+      "unknown delete-row counts must refuse the broadcast, loudly")
+    assert(rowsOf(s"$base/deltaC") === expect)
+  }
+
+  test("table locations containing '+' and spaces survive export + readTable") {
+    // '+' is the character where URI percent-encoding and
+    // x-www-form-urlencoded disagree: url_decode turns a bare '+' into a
+    // space, while the driver-side Path.toUri.getPath keeps it literal.
+    // Without the canonicalPathCol re-escape the two sides of every path
+    // join disagree and exported DVs silently vanish (tombstoned rows
+    // resurrected in external readers) — so pin a location with BOTH a
+    // '+' and a space through the full MoR export + replay.
+    val base = tmpDir("delta dv+plus")
+    val t = SnapshotTable(spark, s"$base/ta+ble dir")
+    val delta = s"$base/de+lta out"
+    t.createOrReplace((1 to 50).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", numBuckets = 4)
+    t.mergeOnRead((1 to 10).map(i => (s"k$i", 2L, (null: String), true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.currentSnapshot.deletes.nonEmpty)
+    t.exportDelta(delta)
+    val viaLog = DeltaExport.readTable(spark, new Path(delta))
+      .select($"arcane_merge_key").as[String].collect().toSet
+    val direct = t.read().select($"arcane_merge_key").as[String].collect().toSet
+    assert(direct.size === 40, "engine read must apply the tombstones")
+    assert(viaLog === direct,
+      "a '+'/space location must not break the DV path joins")
+    // the partitioned point lookup's inner join on _tpath is the other
+    // consumer of the same normalization
+    val hit = DeltaExport.readTableForKey(spark, new Path(delta), "k20")
+    assert(hit.count() === 1L)
+    val miss = DeltaExport.readTableForKey(spark, new Path(delta), "k5")
+    assert(miss.count() === 0L, "tombstoned key must resolve empty through the DV")
+  }
+
+  test("driver-materialization bounds parse from spec JSON, default, and validate") {
+    val spec = graft.pipeline.StreamSpec.fromJson(
+      """{"sourcePath":"x","entityName":"e","targetLocation":"y",
+        |"deleteBroadcastMaxRows":123,"dvDriverDecodeMaxRows":456,
+        |"dedupMaxPushdownIds":7}""".stripMargin)
+    assert(spec.deleteBroadcastMaxRows === 123L)
+    assert(spec.dvDriverDecodeMaxRows === 456L)
+    assert(spec.dedupMaxPushdownIds === 7)
+    val dft = graft.pipeline.StreamSpec.fromJson(
+      """{"sourcePath":"x","entityName":"e","targetLocation":"y"}""")
+    assert(dft.deleteBroadcastMaxRows === 2000000L)
+    assert(dft.dvDriverDecodeMaxRows === 2000000L)
+    assert(dft.dedupMaxPushdownIds === 10000)
+    intercept[IllegalArgumentException](dft.copy(deleteBroadcastMaxRows = -1L))
+    intercept[IllegalArgumentException](dft.copy(dvDriverDecodeMaxRows = -1L))
+    intercept[IllegalArgumentException](dft.copy(dedupMaxPushdownIds = -1))
+  }
 }

@@ -131,5 +131,17 @@ class ModelStoreSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(viaStore == direct,
       "stored-index incremental near-dup must be identical to the direct operator")
+    // the pushdown bound moves via StreamSpec: 0 forces the lazy-plan
+    // fallback (broadcast semi-join verify, no driver collect of the
+    // candidate set) and the result must be identical — "degrades, stays
+    // exact" as configuration, not a recompile
+    val tuned = graft.pipeline.StreamSpec.fromJson(
+      """{"sourcePath":"x","entityName":"e","targetLocation":"y",
+        |"dedupMaxPushdownIds":0}""".stripMargin)
+    val viaFallback = Dedup.incrementalNearDupsFromIndex(sigs, docs, inc, p2,
+      threshold = 0.5, maxPushdownIds = tuned.dedupMaxPushdownIds)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(viaFallback == direct,
+      "past-bound lazy fallback must be identical to the pushdown path")
   }
 }
