@@ -1419,9 +1419,43 @@ class SnapshotTable(val spark: SparkSession, val location: String,
         val maxDelSeq = snap.deletes.groupBy(_.bucket).view.mapValues(_.map(_.seq).max).toMap
         // adopted files (bucket −1) are exempt by the sequence rule: they
         // enter at a fresh sequence, above every outstanding delete
-        val cand = snap.files.filter(f =>
+        val candAll = snap.files.filter(f =>
           f.bucket >= 0 && maxDelSeq.get(f.bucket).exists(_ > f.seq))
-        if (cand.isEmpty) Map.empty
+        // INCREMENTAL across commits: a bucket whose FILE set and DELETE
+        // set (paths + sequences) are both unchanged since the prior
+        // export has byte-identical DVs by construction — its candidacy,
+        // its per-key newest delete sequence and every position-izing
+        // input are functions of exactly those two sets. Such buckets
+        // reuse their prior descriptors WITHOUT any candidate-file or
+        // delete-file scan; only changed buckets' files are read. The
+        // prior engine snapshot is looked up by the export log's own
+        // recorded version (one driver-side JSON read); if it has been
+        // expired — or the merge key migrated — every bucket degrades to
+        // the full position-izing path, which stays exact.
+        val priorSnap: Option[Snapshot] = exportedSnapshot.flatMap { v =>
+          val p = new Path(snapshotsDir, SnapshotTable.snapshotFileName(v))
+          if (fs.exists(p)) Some(readSnapshot(p)) else None
+        }
+        def bucketState(s: Snapshot, b: Int): (Set[(String, Long)], Set[(String, Long)]) =
+          (s.files.collect { case f if f.bucket == b => (f.path, f.seq) }.toSet,
+            s.deletes.collect { case d if d.bucket == b => (d.path, d.seq) }.toSet)
+        val unchangedBuckets: Set[Int] = priorSnap match {
+          case Some(p) if p.numBuckets == snap.numBuckets &&
+              keyColForBucketing(p).equalsIgnoreCase(keyColForBucketing(snap)) =>
+            candAll.map(_.bucket).toSet
+              .filter(b => bucketState(p, b) == bucketState(snap, b))
+          case _ => Set.empty
+        }
+        val reusedDvs: Map[String, DeltaExport.DvDescriptor] = {
+          def qualifyR(rel: String) = fs.makeQualified(new Path(dataDir, rel)).toString
+          candAll.iterator.filter(f => unchangedBuckets(f.bucket))
+            .map(f => qualifyR(f.path))
+            .flatMap(u => priorDvs.get(u).map(u -> _))
+            .toMap
+        }
+        SnapshotTable.lastDvExportSkippedBuckets = unchangedBuckets.size.toLong
+        val cand = candAll.filterNot(f => unchangedBuckets(f.bucket))
+        if (cand.isEmpty) { SnapshotTable.lastDvExportDriverRows = 0L; reusedDvs }
         else {
           import org.apache.spark.sql.functions.{broadcast, lit, max => smax, regexp_replace}
           import spark.implicits._
@@ -1435,13 +1469,18 @@ class SnapshotTable(val spark: SparkSession, val location: String,
           // planned one codegen'd node per delete file, which dominated
           // the gate at 64 outstanding delete files and would be
           // pathological on a deferred-OPTIMIZE backlog.
+          // only CHANGED buckets' delete files are opened — unchanged
+          // buckets were satisfied above from reused descriptors, and a
+          // bucket with no candidate files has nothing to position-ize
+          val candBuckets = cand.map(_.bucket).toSet
+          val delScan = snap.deletes.filter(d => candBuckets(d.bucket))
           val delSchema = StructType(Seq(
             StructField(keyField.name, keyField.dataType, nullable = true)))
-          val delMeta = snap.deletes
+          val delMeta = delScan
             .map(d => (normStr(qualify(d.path)), d.bucket, d.seq))
             .toDF("_dp", "_db", "_ds0")
           val delDf = spark.read.schema(delSchema)
-            .parquet(snap.deletes.map(d => qualify(d.path)): _*)
+            .parquet(delScan.map(d => qualify(d.path)): _*)
             .select(col(keyField.name).as("_dk"),
               DeltaExport.canonicalPathCol(col("_metadata.file_path")).as("_dp"))
             .join(broadcast(delMeta), Seq("_dp"))
@@ -1460,8 +1499,8 @@ class SnapshotTable(val spark: SparkSession, val location: String,
           // counting it as zero could broadcast-materialize an arbitrarily
           // large legacy backlog on the driver — the exact OOM this bound
           // prevents — so any unknown forces the (exact, loud) shuffle path.
-          val rowsKnown = snap.deletes.forall(_.rows >= 0L)
-          val totalDelRows = snap.deletes.map(d => math.max(d.rows, 0L)).sum
+          val rowsKnown = delScan.forall(_.rows >= 0L)
+          val totalDelRows = delScan.map(d => math.max(d.rows, 0L)).sum
           val delSmall = rowsKnown && totalDelRows <= deleteBroadcastMaxRows
           if (!delSmall) System.err.println(
             s"DELTA EXPORT: $totalDelRows outstanding delete rows exceed the broadcast " +
@@ -1484,7 +1523,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
           val dvs = DeltaExport.writeDvsDistributed(spark, hit, priorDvs,
             new Path(out, "deletion_vectors"), snap.version)
           SnapshotTable.lastDvExportDriverRows = dvs.size.toLong
-          dvs
+          reusedDvs ++ dvs
         }
       }
     // write() replays from the newest spec checkpoint (driver-side parquet
@@ -1703,6 +1742,14 @@ object SnapshotTable {
     * O(files)-not-O(deleted-rows) driver bound with it.
     */
   @volatile private[graft] var lastDvExportDriverRows: Long = -1L
+
+  /** Test-visible observability of the last DV export's INCREMENTAL skip:
+    * how many DV-affected buckets reused their prior descriptors without
+    * any candidate-file or delete-file scan (file set + delete set
+    * unchanged since the prior export). The counting-FS spec pins that
+    * skipped buckets' files are never opened.
+    */
+  @volatile private[graft] var lastDvExportSkippedBuckets: Long = -1L
 
   /** Table property versioning the bucket-assignment hash — see
     * [[SnapshotTable.bucketExpr]]. New tables get [[BucketFnIceberg]]

@@ -308,6 +308,56 @@ class DeltaDvSpec extends SparkSpec {
     assert(rowsOf(s"$base/deltaC") === expect)
   }
 
+  test("DV export is incremental across commits: untouched buckets' files are never opened") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.counting.impl", classOf[CountingFileSystem].getName)
+    conf.set("fs.AbstractFileSystem.counting.impl", classOf[CountingAbstractFileSystem].getName)
+    val base = tmpDir("delta-dv-incr")
+    val t = SnapshotTable(spark, s"counting://$base/table")
+    val delta = s"counting://$base/delta"
+    t.createOrReplace((1 to 400).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", numBuckets = 8)
+    // deletes spread over every bucket → first export DVs many buckets
+    t.mergeOnRead((1 to 400 by 10).map(i => (s"k$i", 2L, (null: String), true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    t.exportDelta(delta)
+    val delsBefore = t.currentSnapshot.deletes.map(d => (d.path, d.bucket)).toSet
+    // a second MoR merge touching ONE key → one bucket's delete set changes
+    t.mergeOnRead(Seq(("k3", 3L, (null: String), true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    val touched = t.currentSnapshot.deletes.map(d => (d.path, d.bucket)).toSet
+      .diff(delsBefore).map(_._2)
+    assert(touched.size === 1, s"one bucket must be touched, got $touched")
+    val bStar = touched.head
+    SnapshotTable.lastDvExportSkippedBuckets = -1L
+    CountingFileSystem.reset()
+    t.exportDelta(delta)
+    val dataReads = CountingFileSystem.openedPaths.filter(_.contains("/table/data/"))
+    assert(dataReads.nonEmpty, "the touched bucket must be position-ized")
+    val offBucket = dataReads.filterNot(_.contains(s"/gbk=$bStar/"))
+    assert(offBucket.isEmpty,
+      s"untouched buckets' candidate/delete files must not be opened: $offBucket")
+    assert(SnapshotTable.lastDvExportSkippedBuckets > 0,
+      "unchanged DV'd buckets must reuse prior descriptors without a scan")
+    // the reused descriptors keep the replayed read exact
+    val viaLog = DeltaExport.readTable(spark, new Path(delta))
+      .select($"arcane_merge_key").as[String].collect().toSet
+    val direct = t.read().select($"arcane_merge_key").as[String].collect().toSet
+    assert(viaLog === direct)
+    assert(!direct.contains("k3") && !direct.contains("k11"))
+    // a commit touching NO DV'd bucket state (pure re-export after the
+    // above) — the idempotence fast path — then a plain-insert merge into
+    // fresh keys: the export position-izes nothing it can reuse... the
+    // third export must open NO file outside buckets whose state changed
+    CountingFileSystem.reset()
+    t.exportDelta(delta)
+    assert(CountingFileSystem.openedPaths.forall(!_.contains("/table/data/")),
+      "an idempotent re-export must not open any data file")
+  }
+
   test("table locations containing '+' and spaces survive export + readTable") {
     // '+' is the character where URI percent-encoding and
     // x-www-form-urlencoded disagree: url_decode turns a bare '+' into a
