@@ -925,6 +925,27 @@ object SparkEntry {
         |WHERE NOT coalesce(s.is_delete, false)
         |ORDER BY user_id""".stripMargin,
 
+    // Streaming content-dedup e2e: the oracle states the PLANTED truth of
+    // the 5-batch fixture (CdcFixtureGen.materializeStreamDocs — exact
+    // duplicate bodies are suppressed by the maintained band index before
+    // each merge, tombstones apply, fresh families survive with their
+    // arrival version). Duplicates are exact copies, so LSH suppression is
+    // certain and the expected table is exactly: batch-1 rows minus the %7
+    // tombstones, plus the %5 / %4 / %6 / %9 fresh families at versions
+    // 2..5.
+    "q_stream_near_dup_e2e" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id, CAST(1 AS BIGINT) AS v
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL SELECT CAST(2000000 + doc_id AS BIGINT), CAST(2 AS BIGINT)
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL SELECT CAST(4000000 + doc_id AS BIGINT), CAST(3 AS BIGINT)
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL SELECT CAST(5000000 + doc_id AS BIGINT), CAST(4 AS BIGINT)
+        |FROM documents WHERE doc_id % 6 = 0
+        |UNION ALL SELECT CAST(9000000 + doc_id AS BIGINT), CAST(5 AS BIGINT)
+        |FROM documents WHERE doc_id % 9 = 0
+        |ORDER BY id""".stripMargin,
+
     // External-readability gate: the oracle does NOT re-derive the result
     // relationally — it reads the symlink-manifest EXPORT of the live
     // snapshot (written by the Spark side into a fixed tmp location) with

@@ -112,6 +112,41 @@ object CdcPipeline {
     }
   }
 
+  /** Content dedup (spec.dedupTextColumn): the staged batch's NON-delete
+    * rows are near-dup deduped against the maintained band index
+    * ([[graft.streaming.StreamOps.dedupBatchMaintainingIndex]] — one
+    * map-only scan of the stored index, batch bands broadcast, survivors'
+    * bands appended under the batchId-named subdir, foreachBatch-retry-
+    * safe). Delete tombstones ALWAYS pass: a CDC delete must reach the
+    * merge whatever its payload text near-dups — suppressing it would
+    * resurrect the target row.
+    */
+  private[graft] def contentDedupBatch(
+      staged: DataFrame, spec: StreamSpec, batchId: Long): DataFrame =
+    spec.dedupTextColumn match {
+      case None => staged
+      case Some(tc) =>
+        val isDel = coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false))
+        graft.streaming.StreamOps
+          .dedupBatchMaintainingIndex(staged.where(!isDel), spec.dedupIndexLocation.get,
+            batchId, idCol = MergeKey.ColumnName, textCol = tc)
+          .unionByName(staged.where(isDel))
+    }
+
+  /** The content-dedup index's default MinHash family — the library
+    * defaults (3-shingle, 128 hashes, 16 bands, seed 42), pinned in the
+    * index's `_params.json` on first use so every later batch signs with
+    * the identical family (the [[graft.ext.ModelStore]] contract).
+    */
+  private val ContentDedupParams = graft.ext.Dedup.MinHashParams(
+    numHashes = 128, numBands = 16, shingleSize = 3, seed = 42L, oph = false)
+
+  private def ensureContentDedupIndex(spark: SparkSession, spec: StreamSpec): Unit =
+    spec.dedupIndexLocation.foreach { loc =>
+      if (!graft.streaming.StreamOps.bandIndexExists(spark, loc))
+        graft.streaming.StreamOps.initBandIndex(spark, loc, ContentDedupParams)
+    }
+
   /** The affected-bucket fast path hashes the RAW string key columns, while
     * the write path re-buckets on the TYPED merge key — valid only when the
     * raw CSV text and the typed value's string form are provably identical.
@@ -227,6 +262,10 @@ object CdcPipeline {
     // a stream MERGEs into the target (or creates it fresh) — never replaces
     validateIcebergExportFormat(spark, spec, willReplace = false)
     validateDeltaExportFormat(spark, spec, willReplace = false)
+    // Content-dedup index ready BEFORE the first batch: a cold start (no
+    // prior backfill) begins from an empty index and builds it batch by
+    // batch; a backfill-seeded index is simply found in place.
+    ensureContentDedupIndex(spark, spec)
     val layout = SynapseCdmLayout(spec.sourcePath, spec.entityName, "Changelog/changelog.info",
       spec.listingRetry)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -306,7 +345,12 @@ object CdcPipeline {
               if (w.getBoolean(2)) w.getString(0)
               else s"${w.getString(0)}#${w.getInt(1) + 1}"
             val affected = bucketAgg.map(_ => head.getSeq[Int](2).toSet)
-            val staged = stage(raw, typedSchema, spec)
+            // Content dedup runs AFTER latest-version dedup (keys unique →
+            // arcane_merge_key is a valid doc id) and BEFORE the merge; the
+            // affected-bucket set computed from RAW keys is a superset of
+            // the post-dedup keys', which merge tolerates (extra buckets
+            // carry forward unchanged, rows are never dropped).
+            val staged = contentDedupBatch(stage(raw, typedSchema, spec), spec, batchId)
             val t0 = System.nanoTime()
             Retry(spec.retry.forContext(backfill = false)) {
               mergeBatch(table, staged, spec, wm, affected)
@@ -328,7 +372,15 @@ object CdcPipeline {
               "rows" -> head.getLong(0), "watermark" -> wm,
               "affected_buckets" -> affected.map(_.size.toString).getOrElse("all"),
               "merge_ms" -> mergeMs, "export_ms" -> exportMs)
-            maintenanceTick(table, spec, batchCounter.incrementAndGet())
+            val batchNumber = batchCounter.incrementAndGet()
+            maintenanceTick(table, spec, batchNumber)
+            // Band-index maintenance on its own cadence: fold per-batch
+            // subdirs into one compact blob (keep-recent protection makes a
+            // replayed uncommitted batch unable to self-suppress).
+            if (spec.dedupIndexCompactEvery > 0 &&
+                batchNumber % spec.dedupIndexCompactEvery == 0)
+              graft.streaming.StreamOps.compactBandIndex(
+                raw.sparkSession, spec.dedupIndexLocation.get)
           }
         } finally raw.unpersist()
       }
@@ -462,6 +514,29 @@ object CdcPipeline {
           val live = staged.where(!coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false)))
           table.createOrReplace(live, MergeKey.ColumnName, spec.numBuckets,
             layoutProps(spec) + (SnapshotTable.PropWatermark -> newest))
+      }
+    }
+    // Backfill × content dedup: backfilled rows are authoritative history —
+    // they are NEVER suppressed, they become the index's corpus. A replace
+    // run re-initializes the index from its live rows (the old corpus is
+    // gone with the old table); a merge run folds its rows in as one named
+    // subdir, leaving the maintained per-batch state untouched.
+    spec.dedupTextColumn.foreach { tc =>
+      val loc = spec.dedupIndexLocation.get
+      val live = staged.where(!coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false)))
+      if (backfillReplaces) {
+        val p = new org.apache.hadoop.fs.Path(loc)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        graft.streaming.StreamOps.initBandIndex(spark, loc, ContentDedupParams, Some(live),
+          idCol = MergeKey.ColumnName, textCol = tc)
+      } else {
+        ensureContentDedupIndex(spark, spec)
+        // Watermark-derived subdir name: a RETRIED backfill overwrites its
+        // own bands (idempotent), while backfills to different watermarks
+        // accumulate as distinct subdirs instead of clobbering each other.
+        graft.streaming.StreamOps.appendCorpusToBandIndex(spark, loc, live,
+          idCol = MergeKey.ColumnName, textCol = tc,
+          name = s"seed-backfill-${newest.replaceAll("[^A-Za-z0-9._-]", "_")}")
       }
     }
     spec.exportDir.foreach(table.exportSymlinkManifest)

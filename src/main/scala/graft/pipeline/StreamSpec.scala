@@ -70,7 +70,18 @@ final case class StreamSpec(
     // here instead of recompiling.
     deleteBroadcastMaxRows: Long = 2000000L,   // exportDelta: delete-KEY broadcast bound (past it: shuffle position-izing)
     dvDriverDecodeMaxRows: Long = 2000000L,    // Delta read side: summed-DV-cardinality bound for driver decode + broadcast anti join (past it: executor decode + shuffle)
-    dedupMaxPushdownIds: Int = 10000           // indexed near-dup: candidate-id In-filter pushdown bound (past it: lazy plan, no collect)
+    dedupMaxPushdownIds: Int = 10000,          // indexed near-dup: candidate-id In-filter pushdown bound (past it: lazy plan, no collect)
+    // Content dedup: when set, every streamed micro-batch's NON-delete rows
+    // are near-dup deduped on this column against a persisted, self-
+    // maintained MinHash band index (StreamOps.dedupBatchMaintainingIndex)
+    // BEFORE the merge — the daily-crawl steady state wired into the CDC
+    // loop. Delete tombstones always pass (a delete must reach the merge
+    // regardless of its payload text). An Overwrite/first backfill SEEDS
+    // the index from its live rows; the stream then appends each batch's
+    // survivors' bands. Both fields go together.
+    dedupTextColumn: Option[String] = None,
+    dedupIndexLocation: Option[String] = None,
+    dedupIndexCompactEvery: Int = 0            // compact the band index every N stream batches (0 = never)
 ) {
   require(Set("copy-on-write", "merge-on-read").contains(mergeMode.toLowerCase),
     s"mergeMode must be copy-on-write or merge-on-read, got '$mergeMode'")
@@ -80,6 +91,11 @@ final case class StreamSpec(
     s"dvDriverDecodeMaxRows must be >= 0, got $dvDriverDecodeMaxRows")
   require(dedupMaxPushdownIds >= 0,
     s"dedupMaxPushdownIds must be >= 0, got $dedupMaxPushdownIds")
+  require(dedupTextColumn.isEmpty == dedupIndexLocation.isEmpty,
+    "dedupTextColumn and dedupIndexLocation must be set together (content dedup needs both " +
+      "the column to sign and the index location to maintain)")
+  require(dedupIndexCompactEvery >= 0,
+    s"dedupIndexCompactEvery must be >= 0, got $dedupIndexCompactEvery")
   // NOTE: the exportDir × merge-on-read incompatibility is validated in
   // CdcPipeline.startStream, NOT here — Main applies the
   // STREAMCONTEXT__MAINTENANCE env override AFTER construction, and a
@@ -216,7 +232,10 @@ object StreamSpec {
         if (r.has("deleteBroadcastMaxRows")) r.get("deleteBroadcastMaxRows").asLong() else 2000000L,
       dvDriverDecodeMaxRows =
         if (r.has("dvDriverDecodeMaxRows")) r.get("dvDriverDecodeMaxRows").asLong() else 2000000L,
-      dedupMaxPushdownIds = int("dedupMaxPushdownIds", 10000)
+      dedupMaxPushdownIds = int("dedupMaxPushdownIds", 10000),
+      dedupTextColumn = opt("dedupTextColumn"),
+      dedupIndexLocation = opt("dedupIndexLocation"),
+      dedupIndexCompactEvery = int("dedupIndexCompactEvery", 0)
     )
   }
 }

@@ -206,4 +206,107 @@ object CdcFixtureGen {
     Files.createDirectories(p)
     Files.write(p.resolve("changelog.info"), folder.getBytes(StandardCharsets.UTF_8))
   }
+
+  // --------------------------------------------- streaming-content fixture
+
+  val DocsEntity = "docs_cdm"
+  val DocsFolders: Seq[String] = (1 to 5).map(i => s"2024-03-0${i}T00.00.00Z")
+
+  private val docsModel =
+    s"""{"name":"cdm","version":"1.0","entities":[
+       |  {"$$type":"LocalEntity","name":"$DocsEntity","attributes":[
+       |    {"name":"Id","dataType":"int64"},
+       |    {"name":"SinkCreatedOn","dataType":"dateTime"},
+       |    {"name":"body","dataType":"string"},
+       |    {"name":"versionnumber","dataType":"int64"},
+       |    {"name":"IsDelete","dataType":"boolean"}]}]}""".stripMargin
+
+  /** 5-token synthetic body for doc `d` under family `prefix`: every token
+    * embeds BOTH the prefix and d, so two bodies share a 3-gram shingle iff
+    * they have the same (prefix, d) — families are exactly-disjoint and the
+    * only MinHash collisions are the planted identical copies.
+    */
+  def docBody(prefix: String, d: Long): String =
+    s"${prefix}a$d ${prefix}b$d ${prefix}c$d ${prefix}d$d ${prefix}e$d"
+
+  /** Materialize a 5-folder Synapse export of synthetic DOCUMENT rows (one
+    * per `documents.doc_id`) with cross-batch planted duplicates, for the
+    * content-dedup streaming gate (q_stream_near_dup_e2e). The plant:
+    *
+    *   F1 (v1): every d            → (d,        zq·d)   all fresh
+    *   F2 (v2): d%3==0             → (1e6+d,    zq·d)   dup of F1   [drop]
+    *            d%5==0             → (2e6+d,    zr·d)   fresh       [keep]
+    *            d%7==0             → (d, IsDelete=True) tombstone   [apply]
+    *   F3 (v3): d%10==0            → (3e6+d,    zr·d)   dup of F2   [drop]
+    *            d%4==0             → (4e6+d,    zs·d)   fresh       [keep]
+    *   F4 (v4): d%6==0             → (5e6+d,    zt·d)   fresh       [keep]
+    *     — after F4 the pipeline compacts the band index (cadence 4):
+    *       batch-0/1 fold into one compact blob, batch-2/3 stay protected
+    *   F5 (v5): d%8==0             → (6e6+d,    zq·d)   dup via the COMPACTED blob [drop]
+    *            d%12==0            → (7e6+d,    zs·d)   dup via protected batch-2  [drop]
+    *            d%18==0            → (8e6+d,    zt·d)   dup via protected batch-3  [drop]
+    *            d%9==0             → (9e6+d,    zu·d)   fresh       [keep]
+    *
+    * Duplicates are EXACT copies — identical text gives an identical
+    * signature, so every band matches and LSH suppression is certain (the
+    * probabilistic near-dup recall curve is gated separately by
+    * q_near_dup_pairs / q_incremental_near_dup); what THIS fixture gates is
+    * the maintained index's lifecycle: batch appends, replay-safe naming,
+    * compaction, and suppression sourced from each index-subdir class.
+    */
+  def materializeStreamDocs(spark: SparkSession, sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val srcSig = s"docs1-${src.length}-${src.lastModified}"
+    val dirKey = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-cdc-docs-$dirKey")
+    val done = root.resolve("_complete")
+    Files.createDirectories(root.getParent)
+    val lockCh = java.nio.channels.FileChannel.open(
+      root.getParent.resolve(s".graft-cdc-docs-$dirKey.lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockCh.lock()
+    try {
+      if (Files.exists(done) &&
+        new String(Files.readAllBytes(done), StandardCharsets.UTF_8) == srcSig)
+        return root.toString
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+
+      val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+
+      def line(id: Long, body: String, v: Long, isDel: Boolean): String =
+        s"""$id,"1/1/2024 0:00:00 PM","$body",$v,${if (isDel) "True" else ""}"""
+      def writeFolder(name: String, lines: Array[String]): Unit = {
+        val d = root.resolve(name).resolve(DocsEntity)
+        Files.createDirectories(d)
+        Files.write(root.resolve(name).resolve("model.json"), docsModel.getBytes(StandardCharsets.UTF_8))
+        val chunkSize = math.max(1, lines.length / 4 + 1)
+        lines.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
+          Files.write(d.resolve(s"$i.csv"), (chunk.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        }
+      }
+
+      writeFolder(DocsFolders(0), ids.map(d => line(d, docBody("zq", d), 1L, isDel = false)))
+      writeFolder(DocsFolders(1),
+        ids.filter(_ % 3 == 0).map(d => line(1000000L + d, docBody("zq", d), 2L, isDel = false)) ++
+        ids.filter(_ % 5 == 0).map(d => line(2000000L + d, docBody("zr", d), 2L, isDel = false)) ++
+        ids.filter(_ % 7 == 0).map(d => line(d, "", 2L, isDel = true)))
+      writeFolder(DocsFolders(2),
+        ids.filter(_ % 10 == 0).map(d => line(3000000L + d, docBody("zr", d), 3L, isDel = false)) ++
+        ids.filter(_ % 4 == 0).map(d => line(4000000L + d, docBody("zs", d), 3L, isDel = false)))
+      writeFolder(DocsFolders(3),
+        ids.filter(_ % 6 == 0).map(d => line(5000000L + d, docBody("zt", d), 4L, isDel = false)))
+      writeFolder(DocsFolders(4),
+        ids.filter(_ % 8 == 0).map(d => line(6000000L + d, docBody("zq", d), 5L, isDel = false)) ++
+        ids.filter(_ % 12 == 0).map(d => line(7000000L + d, docBody("zs", d), 5L, isDel = false)) ++
+        ids.filter(_ % 18 == 0).map(d => line(8000000L + d, docBody("zt", d), 5L, isDel = false)) ++
+        ids.filter(_ % 9 == 0).map(d => line(9000000L + d, docBody("zu", d), 5L, isDel = false)))
+      Files.write(root.resolve("model.json"), docsModel.getBytes(StandardCharsets.UTF_8))
+      Files.createDirectories(root.resolve("Changelog"))
+      Files.write(done, srcSig.getBytes(StandardCharsets.UTF_8))
+      root.toString
+    } finally {
+      lock.release(); lockCh.close()
+    }
+  }
 }

@@ -430,6 +430,61 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming content dedup END-TO-END through the real CDC pipeline
+    * (r17 verdict item 4): five micro-batches of synthetic document rows
+    * ([[CdcFixtureGen.materializeStreamDocs]] — one folder per batch,
+    * changelog stamped between `processAllAvailable` drains) flow through
+    * `foreachBatch` with `spec.dedupTextColumn` set, so every batch's
+    * non-delete rows are near-dup deduped against the SELF-MAINTAINED
+    * MinHash band index ([[graft.streaming.StreamOps
+    * .dedupBatchMaintainingIndex]]) before the MERGE, survivors' bands are
+    * appended per batch, and the pipeline compacts the index on its own
+    * cadence (every 4 batches) mid-stream. The plant makes every
+    * index-subdir class carry a suppression: batch-0 (in-stream appends),
+    * the compacted blob (batch 5 dups of batch-1 content), and the two
+    * keep-recent-protected batch dirs. Delete tombstones pass the dedup
+    * unconditionally and still remove their keys. The DuckDB oracle states
+    * the planted truth — the merged table holds exactly the
+    * first-occurrence survivors with their arrival versions.
+    */
+  def qStreamNearDupE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{CdcPipeline, StreamSpec}
+    import graft.tables.SnapshotTable
+    val root = CdcFixtureGen.materializeStreamDocs(spark, dir)
+    val digest = java.lang.Integer.toHexString(dir.hashCode)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val target = s"$tmp/graft-streamdocs-target-$digest"
+    val ckpt = s"$tmp/graft-streamdocs-ckpt-$digest"
+    val index = s"$tmp/graft-streamdocs-index-$digest"
+    Seq(target, ckpt, index).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+
+    val spec = StreamSpec(
+      sourcePath = root,
+      entityName = CdcFixtureGen.DocsEntity,
+      targetLocation = target,
+      numBuckets = 16,
+      changeCaptureIntervalSeconds = 0,
+      checkpointLocation = Some(ckpt),
+      dedupTextColumn = Some("body"),
+      dedupIndexLocation = Some(index),
+      dedupIndexCompactEvery = 4)
+
+    CdcFixtureGen.stampChangelog(root, CdcFixtureGen.DocsFolders.head)
+    val q = CdcPipeline.startStream(spark, spec)
+    try {
+      q.processAllAvailable()
+      CdcFixtureGen.DocsFolders.tail.foreach { f =>
+        CdcFixtureGen.stampChangelog(root, f)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    SnapshotTable(spark, target).read()
+      .select(col("Id").cast("long").as("id"), col("versionnumber").as("v"))
+      .orderBy(col("id"))
+  }
+
   /** A3 per-folder schema authority as a gate: the events table is exported
     * with SCHEMA CHURN between batches — folder 1's model.json has
     * `versionnumber`/`eventtype` swapped and no `value` column; folder 2 and
@@ -3504,6 +3559,7 @@ object Queries {
     "q_cdc_latest" -> (qCdcLatest _),
     "q_cdc_merge" -> (qCdcMerge _),
     "q_cdc_pipeline_e2e" -> (qCdcPipelineE2e _),
+    "q_stream_near_dup_e2e" -> (qStreamNearDupE2e _),
     "q_cdc_schema_churn" -> (qCdcSchemaChurn _),
     "q_merge_key_projection" -> (qMergeKeyProjection _),
     "q_export_symlink" -> (qExportSymlink _),

@@ -251,6 +251,41 @@ object StreamOps {
     try out.write(indexMapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
   }
 
+  /** Whether a band index has been (fully) initialized at `dir` —
+    * `_params.json` is written LAST by [[initBandIndex]], so its presence
+    * is the completion marker a crashed init never leaves behind.
+    */
+  def bandIndexExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val (p, fs) = indexFs(spark, dir)
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_params.json"))
+  }
+
+  /** Fold a corpus's bands into an EXISTING index as one named subdirectory
+    * — the Merge-backfill path of the CDC content dedup: backfilled rows
+    * are authoritative history (never suppressed), but later stream
+    * batches must dedup against them. `name` must not impersonate a
+    * `batch-` subdir: those names carry [[dedupBatchMaintainingIndex]]'s
+    * replay-exclusion and [[compactBandIndex]]'s keep-recent protection.
+    * Overwrite-idempotent under one fixed name; distinct appends need
+    * distinct names.
+    */
+  def appendCorpusToBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      name: String = "seed-backfill"
+  ): Unit = {
+    require(!name.startsWith("batch-") && !name.startsWith("compact-"),
+      s"appendCorpusToBandIndex name '$name' would impersonate a maintained subdir class")
+    val (p, _) = indexFs(spark, dir)
+    val params = bandIndexParams(spark, dir)
+    bandsFlat(corpus, idCol, textCol, params).select("band", "key").distinct()
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(p, s"data/$name").toString)
+  }
+
   /** The index's pinned MinHash family. */
   def bandIndexParams(
       spark: org.apache.spark.sql.SparkSession, dir: String): graft.ext.Dedup.MinHashParams = {

@@ -1,0 +1,118 @@
+package graft
+
+import graft.pipeline.{CdcPipeline, StreamSpec}
+import graft.queries.CdcFixtureGen
+import graft.streaming.StreamOps
+import graft.tables.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** CDC content dedup (StreamSpec.dedupTextColumn → StreamOps
+  * .dedupBatchMaintainingIndex inside the pipeline's foreachBatch):
+  * backfill-seeding, tombstone passthrough, batch suppression and the
+  * in-stream compaction tick.
+  */
+class ContentDedupSpec extends SparkSpec {
+
+  /** A tiny sfDir holding only documents.parquet (doc_id 0..n-1) — all the
+    * stream-docs fixture reads.
+    */
+  private def makeCorpus(n: Int): String = {
+    val dir = tmpDir("content-dedup-corpus")
+    spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("seed text number "), col("id")).as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def dataSubdirs(index: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$index/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSet
+  }
+
+  test("backfill Overwrite seeds the index; streamed dups suppress against every subdir class") {
+    val sfDir = makeCorpus(12)
+    val root = CdcFixtureGen.materializeStreamDocs(spark, sfDir)
+    val target = tmpDir("content-dedup-target")
+    val ckpt = tmpDir("content-dedup-ckpt")
+    val index = s"${tmpDir("content-dedup-index")}/idx"
+    val spec = StreamSpec(
+      sourcePath = root, entityName = CdcFixtureGen.DocsEntity,
+      targetLocation = target, backfillBehavior = "Overwrite",
+      numBuckets = 4, changeCaptureIntervalSeconds = 0,
+      checkpointLocation = Some(ckpt),
+      dedupTextColumn = Some("body"), dedupIndexLocation = Some(index),
+      dedupIndexCompactEvery = 4)
+
+    // Backfill folder 1 → table replaced AND index re-initialized from its
+    // live rows (data/seed), so the very first streamed batch already
+    // dedups against the backfilled corpus.
+    CdcFixtureGen.stampChangelog(root, CdcFixtureGen.DocsFolders.head)
+    CdcPipeline.runBackfill(spark, spec)
+    assert(StreamOps.bandIndexExists(spark, index))
+    assert(dataSubdirs(index) === Set("seed"))
+
+    val q = CdcPipeline.startStream(spark, spec)
+    try CdcFixtureGen.DocsFolders.tail.foreach { f =>
+      CdcFixtureGen.stampChangelog(root, f)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // 4 streamed batches at cadence 4 → exactly one compaction: seed +
+    // batch-0/1 fold into one compact blob, the newest two batch dirs stay
+    // protected (replay safety).
+    val dirs = dataSubdirs(index)
+    assert(dirs.count(_.startsWith("compact-")) === 1, dirs)
+    assert(dirs.count(_.startsWith("batch-")) === 2, dirs)
+    assert(!dirs.contains("seed"), dirs)
+
+    // Planted truth for doc_id 0..11 (same algebra as the
+    // q_stream_near_dup_e2e oracle).
+    val ids = 0 until 12
+    val expected =
+      ids.filter(_ % 7 != 0).map(d => (d.toLong, 1L)) ++
+      ids.filter(_ % 5 == 0).map(d => (2000000L + d, 2L)) ++
+      ids.filter(_ % 4 == 0).map(d => (4000000L + d, 3L)) ++
+      ids.filter(_ % 6 == 0).map(d => (5000000L + d, 4L)) ++
+      ids.filter(_ % 9 == 0).map(d => (9000000L + d, 5L))
+    val got = SnapshotTable(spark, target).read()
+      .select(col("Id").cast("long"), col("versionnumber").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected.toSet)
+  }
+
+  test("a delete tombstone whose body near-dups the corpus still reaches the merge") {
+    val index = s"${tmpDir("content-dedup-unit")}/idx"
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    StreamOps.initBandIndex(spark, index,
+      graft.ext.Dedup.MinHashParams(128, 16, 3, 42L, oph = false), Some(corpus))
+    val staged = Seq(
+      ("k1", "alpha beta gamma delta epsilon", false), // exact dup insert → suppressed
+      ("k2", "alpha beta gamma delta epsilon", true),  // dup-bodied DELETE → must pass
+      ("k3", "zeta eta theta iota kappa", false)       // fresh insert → passes
+    ).toDF("arcane_merge_key", "body", "IsDelete")
+    val spec = StreamSpec(sourcePath = "/x", entityName = "e", targetLocation = "/y",
+      dedupTextColumn = Some("body"), dedupIndexLocation = Some(index))
+    val out = CdcPipeline.contentDedupBatch(staged, spec, batchId = 7L)
+      .select("arcane_merge_key").as[String].collect().toSet
+    assert(out === Set("k2", "k3"))
+    // only the SURVIVING insert's bands were appended, under the batchId name
+    val batchDirs = dataSubdirs(index).filter(_.startsWith("batch-"))
+    assert(batchDirs === Set(f"batch-${7L}%020d"))
+  }
+
+  test("StreamSpec JSON round-trips the content-dedup fields; a lone field is rejected") {
+    val spec = StreamSpec.fromJson(
+      """{"sourcePath":"/s","entityName":"e","targetLocation":"/t",
+        |"dedupTextColumn":"body","dedupIndexLocation":"/idx","dedupIndexCompactEvery":6}""".stripMargin)
+    assert(spec.dedupTextColumn === Some("body"))
+    assert(spec.dedupIndexLocation === Some("/idx"))
+    assert(spec.dedupIndexCompactEvery === 6)
+    assertThrows[IllegalArgumentException] {
+      StreamSpec.fromJson(
+        """{"sourcePath":"/s","entityName":"e","targetLocation":"/t","dedupTextColumn":"body"}""")
+    }
+  }
+}
