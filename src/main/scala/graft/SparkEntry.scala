@@ -1918,6 +1918,33 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
 
+    // Incremental IVF index (q_ann_ivf_increment): the q_ann_ivf replay
+    // over the MERGED corpus (base ∪ exact copies at vec_id+1e6), with the
+    // centroids still derived from the BASE's first 8 vectors — appends
+    // assign against the frozen quantizer, so a from-scratch assignment of
+    // the union is the exact truth the stored-index path must reproduce.
+    "q_ann_ivf_increment" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 1000000, v FROM e0),
+        |cents AS (SELECT vec_id AS list, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv FROM e0 WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, list FROM (
+        |    SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, c.list,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)) DESC, c.list DESC) AS rn
+        |    FROM e, cents c) t
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
+        |  FROM assign q JOIN assign c ON q.list = c.list AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 50)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
     // IVF multi-probe (nprobe=2): queries take their TWO nearest centroid
     // lists (score DESC, list DESC — the engine's tie order), corpus stays
     // single-list; otherwise the q_ann_ivf replay.

@@ -1,0 +1,173 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A PERSISTED inverted-file (IVF) ANN index with INCREMENTAL APPEND — the
+  * similarity-search analog of the near-dup family's maintained band index
+  * (the daily-crawl steady state): train/choose centroids once, assign the
+  * corpus, store the ASSIGNED corpus partitioned by list id, and fold each
+  * day's new vectors in by assigning them to the FROZEN centroids — no
+  * retraining, no re-assignment of the existing corpus, no touch of any
+  * stored file.
+  *
+  * Layout at `dir`:
+  *   - `_centroids.json` — the frozen coarse quantizer
+  *     ([[ModelStore.saveCentroids]] format)
+  *   - `data/seed/list=N/` and `data/<append-name>/list=N/` parquet
+  *     — `(id, vector)` rows hive-partitioned by their assigned list, so a
+  *     probe-time `list IN (...)` filter prunes DIRECTORIES: query IO is
+  *     proportional to the probed lists' data, never the corpus (the IVF
+  *     promise, enforced by the storage layout rather than the planner's
+  *     goodwill; IvfIndexSpec pins the planned file set)
+  *   - `_params.json` — written LAST: its presence is the completion
+  *     marker, a crashed create is invisible
+  *
+  * Appends are expected at maintenance cadence (daily increments), so the
+  * subdir count stays small; the rebuild story for a drifted quantizer is
+  * [[create]] with re-trained centroids (recall drift under appended mass
+  * is floored by IvfIndexSpec's brute-force comparison).
+  *
+  * Reference scope: the reference engine ships no vector search; this is
+  * part of the training-data-pipeline surface built on the same
+  * store-and-maintain contracts as its CDC tables.
+  */
+object IvfIndex {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def paramsPath(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p, "_params.json")
+
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val (p, fs) = fsOf(spark, dir)
+    fs.exists(paramsPath(p))
+  }
+
+  /** (dim, numLists) as pinned at create time. */
+  def params(spark: SparkSession, dir: String): (Int, Int) = {
+    val (p, fs) = fsOf(spark, dir)
+    val in = fs.open(paramsPath(p))
+    val node = try mapper.readTree(in.readAllBytes()) finally in.close()
+    require(node.get("kind").asText() == "ivf-index", s"$dir is not an IVF index")
+    (node.get("dim").asInt(), node.get("numLists").asInt())
+  }
+
+  def centroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    ModelStore.loadCentroids(spark, s"$dir/_centroids.json")
+
+  /** Assign `vecs` to the frozen centroid set and write one
+    * list-partitioned subdir. The assignment is [[Similarity.ivfAssign]]'s
+    * exact argmax (score DESC, list DESC tie) — identical at create and
+    * append time, so an appended copy of a stored vector lands in its
+    * original's list by construction.
+    */
+  private def writeAssigned(
+      vecs: DataFrame, out: String, cents: Array[Array[Double]],
+      idCol: String, vecCol: String): Unit = {
+    graft.sql.VecDot.ensureRegistered(vecs.sparkSession)
+    val bc = Similarity.broadcastCentroids(cents)
+    vecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        Similarity.ivfAssign(col(vecCol), bc, cents.head.length, cents.length)
+          .cast("int").as("list"))
+      // one shuffle keyed by list id: each output task writes whole lists,
+      // so a list's rows land in O(1) files instead of one per input task
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(out)
+  }
+
+  /** Initialize the index: freeze `cents`, assign and store `corpus`.
+    * Overwrites any previous index at `dir`.
+    */
+  def create(
+      spark: SparkSession, dir: String, cents: Array[Array[Double]],
+      corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(cents.nonEmpty, "IvfIndex.create requires at least one centroid")
+    val (p, fs) = fsOf(spark, dir)
+    fs.delete(p, true)
+    ModelStore.saveCentroids(spark, s"$dir/_centroids.json", cents)
+    writeAssigned(corpus, s"$dir/data/seed", cents, idCol, vecCol)
+    val root = mapper.createObjectNode()
+    root.put("kind", "ivf-index")
+    root.put("dim", cents.head.length)
+    root.put("numLists", cents.length)
+    val out = fs.create(paramsPath(p), false)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Fold new vectors in WITHOUT retraining: assign them to the frozen
+    * centroids and write `data/<name>` — no stored file is read or
+    * rewritten (IvfIndexSpec pins the seed byte-identical). `name` is the
+    * idempotence key: re-running the same increment under the same name
+    * overwrites itself; distinct increments need distinct names.
+    */
+  def append(
+      spark: SparkSession, dir: String, vecs: DataFrame, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(exists(spark, dir), s"no IVF index at $dir")
+    require(name.nonEmpty && name != "seed" && !name.contains("/"),
+      s"append name '$name' must be a non-seed single path segment")
+    writeAssigned(vecs, s"$dir/data/$name", centroids(spark, dir), idCol, vecCol)
+  }
+
+  private def subdirs(spark: SparkSession, dir: String): Seq[String] = {
+    val (p, fs) = fsOf(spark, dir)
+    val data = new org.apache.hadoop.fs.Path(p, "data")
+    fs.listStatus(data).toSeq.filter(_.isDirectory).map(_.getPath.toString).sorted
+  }
+
+  /** The stored assigned corpus `(id, vec, list)`, optionally pruned to a
+    * probe set. Each subdir is read with its own hive-partition discovery,
+    * so the `list IN` filter prunes list DIRECTORIES before any file is
+    * planned — per-subdir scan cost is the probed lists' data.
+    */
+  def readAssigned(
+      spark: SparkSession, dir: String, probeLists: Option[Seq[Int]] = None): DataFrame =
+    subdirs(spark, dir).map { sub =>
+      val df = spark.read.parquet(sub)
+      probeLists.map(ls => df.where(col("list").isin(ls: _*))).getOrElse(df)
+    }.reduce(_ unionByName _)
+
+  /** Cosine top-k THROUGH the stored index: queries probe their `nprobe`
+    * nearest centroid lists; only those lists' partitions are scanned.
+    * Same scoring op order as [[Similarity.ivfTopK]] (and the q_ann_ivf
+    * DuckDB oracle): `dot(q,c) / (sqrt(dot(q,q)) * sqrt(dot(c,c)))`, ties
+    * by neighbor id — so the indexed path is bit-comparable to the direct
+    * one.
+    *
+    * The probe set is collected on the driver to drive partition pruning:
+    * it is bounded by `numLists` (the centroid count, itself
+    * driver-resident), never by the query or corpus size.
+    */
+  def topK(
+      spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nprobe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.sql.VecDot.ensureRegistered(spark)
+    val cents = centroids(spark, dir)
+    val bc = Similarity.broadcastCentroids(cents)
+    val (dim, nLists) = (cents.head.length, cents.length)
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Similarity.norm(col(vecCol)).as("q_norm"),
+      explode(Similarity.ivfProbes(col(vecCol), bc, dim, nLists, nprobe)
+        .cast("array<int>")).as("q_list"))
+    val probed = q.select("q_list").distinct().collect().map(_.getInt(0)).toSeq
+    val c = readAssigned(spark, dir, Some(probed)).select(
+      col("id").as("neighbor_id"), col("vec").as("c_vec"),
+      Similarity.norm(col("vec")).as("c_norm"), col("list").as("c_list"))
+    val scored = c
+      .join(broadcast(q), col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+}

@@ -1490,6 +1490,33 @@ object Queries {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** INCREMENTAL IVF index maintenance ([[graft.ext.IvfIndex]] — r17
+    * verdict item 5, the similarity-search analog of the near-dup family's
+    * persisted-index tier): build the index from the base corpus with the
+    * same readable centroids as q_ann_ivf, APPEND a planted increment (an
+    * exact copy of every vector at vec_id+1e6) by assigning it to the
+    * FROZEN centroids — no retrain, no stored file rewritten — then answer
+    * top-10 exclusively THROUGH the stored index. The DuckDB oracle
+    * replays q_ann_ivf's exact computation over the MERGED corpus with the
+    * base-derived centroids, so a match proves the appended vectors landed
+    * in the same lists and score identically to a from-scratch assignment.
+    * Probe-time IO proportionality (directory pruning to probed lists) and
+    * the recall-drift floor are pinned in IvfIndexSpec.
+    */
+  def qAnnIvfIncrement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.IvfIndex
+    val emb = t(spark, dir, "embeddings")
+    val digest = java.lang.Integer.toHexString(dir.hashCode)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-$digest"
+    IvfIndex.create(spark, idxDir, ivfGateCentroids(emb), emb)
+    IvfIndex.append(spark, idxDir,
+      emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      name = "increment")
+    IvfIndex.topK(spark, idxDir, emb.where(col("vec_id") < 50), k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** Embedding near-duplicate pairs via the LSH SCALE path (vs the
     * bounded-id exact baseline of q_embedding_near_dup): the whole corpus
     * plus an identical copy per vector (id+1e6), sign-bucketed, compared
@@ -3621,6 +3648,7 @@ object Queries {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_mp" -> (qAnnIvfMultiprobe _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
+    "q_ann_ivf_increment" -> (qAnnIvfIncrement _),
     "q_semdedup" -> (qSemDedup _),
     "q_cluster_curation" -> (qClusterCuration _),
     "q_quality_classifier" -> (qQualityClassifier _),

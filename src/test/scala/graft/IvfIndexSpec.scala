@@ -1,0 +1,96 @@
+package graft
+
+import graft.ext.{IvfIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The persisted incremental IVF index ([[graft.ext.IvfIndex]]): append
+  * without retrain, stored-file immutability, probe-time directory
+  * pruning, and the recall-drift floor after appends.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  /** Same readable centroid construction as the q_ann_ivf gate family. */
+  private lazy val cents: Array[Array[Double]] =
+    emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(r => Similarity.unitVector(r.getSeq[Double](0).toArray))
+
+  private def increment = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+
+  private def dataFiles(dir: String, sub: String): Map[String, (Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/data/$sub")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val b = Map.newBuilder[String, (Long, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      b += s.getPath.toString -> ((s.getLen, s.getModificationTime))
+    }
+    b.result()
+  }
+
+  test("append assigns against the frozen quantizer without touching the seed; indexed top-k equals from-scratch") {
+    val idx = s"${tmpDir("ivf-idx")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    val seedBefore = dataFiles(idx, "seed")
+    assert(seedBefore.nonEmpty)
+
+    IvfIndex.append(spark, idx, increment, name = "inc1")
+    assert(dataFiles(idx, "seed") === seedBefore,
+      "append must not read-modify-write any stored seed file")
+
+    // the stored-index answer must be BIT-IDENTICAL to a from-scratch
+    // assignment of the merged corpus (same centroids, same op order)
+    val union = emb.unionByName(increment)
+    val direct = Similarity.ivfTopK(emb.where(col("vec_id") < 50), union, k = 10, cents)
+      .select("query_id", "neighbor_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val indexed = IvfIndex.topK(spark, idx, emb.where(col("vec_id") < 50), k = 10)
+      .select("query_id", "neighbor_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed === direct)
+
+    // idempotence: re-running the same increment under the same name
+    // changes nothing downstream
+    IvfIndex.append(spark, idx, increment, name = "inc1")
+    val again = IvfIndex.topK(spark, idx, emb.where(col("vec_id") < 50), k = 10)
+      .select("query_id", "neighbor_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again === direct)
+  }
+
+  test("probe-time scans plan ONLY the probed list directories") {
+    val idx = s"${tmpDir("ivf-prune")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    IvfIndex.append(spark, idx, increment, name = "inc1")
+    val probe = 3
+    val df = IvfIndex.readAssigned(spark, idx, Some(Seq(probe)))
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size === 2, s"one scan per subdir (seed + inc1): $scans")
+    val planned = scans.flatMap(_.selectedPartitions.toPartitionArray.map(_.filePath.toString))
+    assert(planned.nonEmpty)
+    assert(planned.forall(_.contains(s"list=$probe")),
+      s"partition pruning must restrict the planned files to list=$probe:\n${planned.mkString("\n")}")
+  }
+
+  test("recall@10 through the appended index clears the IVF floor on the merged corpus") {
+    val idx = s"${tmpDir("ivf-recall")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    IvfIndex.append(spark, idx, increment, name = "inc1")
+    val union = emb.unionByName(increment)
+    val queries = emb.where(col("vec_id") < 50)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, union, k = 10))
+    val got = pairs(IvfIndex.topK(spark, idx, queries, k = 10))
+    val recall = exact.count(got.contains).toDouble / exact.size
+    info(s"incremental-IVF recall@10 vs brute force (merged corpus, nprobe=1): $recall")
+    assert(recall >= 0.20, s"recall@10 $recall below the q_ann_ivf floor after append")
+  }
+}
