@@ -177,6 +177,22 @@ object Bench {
     // a 10x-row derivative corpus, time ratio vs the sf best time.
     val (scale, sf1Ratios) = scale10xSection(spark, sfDir, best)
     val knee = fuzzyKneeSection(spark, sfDir)
+    // r18: phase/IO decomposition of the MoR export legs and the three
+    // loud-degrade bounds run ENGAGED — detail-file only (stdout budget)
+    val exportProfile =
+      try graft.queries.Queries.exportProfileJson(spark, sfDir)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"BENCH EXPORT PROFILE FAILED: ${e.getMessage}")
+          """"export_profile":{}"""
+      }
+    val degraded =
+      try graft.queries.Queries.degradedPathsJson(spark, sfDir)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"BENCH DEGRADED LEGS FAILED: ${e.getMessage}")
+          """"degraded":{}"""
+      }
     val calib = {
       val medians = passes.map(p => r3(median(p._2)))
       val slows = passes.map(p => slowCount(p._2))
@@ -187,7 +203,8 @@ object Bench {
     }
     val cdcRate = s""""cdc_rows_per_sec":${r3(if (cdcSec > 0) cdcRows / cdcSec else -1.0)},"cdc_rows":$cdcRows"""
     val extra =
-      s"""$cdcRate,$scale,$knee,$calib,"passes_discarded_any":${passesDiscarded > 0}"""
+      s"""$cdcRate,$scale,$knee,$exportProfile,$degraded,$calib,""" +
+        s""""passes_discarded_any":${passesDiscarded > 0}"""
 
     // FULL per-query detail (timings + per-query spread + raw runs) goes to
     // a file; stdout carries ONE compact JSON line. The harness that

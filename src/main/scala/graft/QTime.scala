@@ -22,8 +22,14 @@ object QTime {
     names.foreach { n =>
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
-        val cnt = SparkEntry.queries(n)(spark, sfDir).count()
-        println(f"$n rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
+        // the two bench SECTIONS are timeable here too (dev iteration on
+        // the export-profile / degraded legs without a full bench run)
+        val out = n match {
+          case "export_profile" => graft.queries.Queries.exportProfileJson(spark, sfDir)
+          case "degraded" => graft.queries.Queries.degradedPathsJson(spark, sfDir)
+          case _ => s"${SparkEntry.queries(n)(spark, sfDir).count()} rows"
+        }
+        println(f"$n rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($out)")
       }
     }
     spark.stop()

@@ -740,10 +740,22 @@ object Queries {
     * the delete-applying read path (no compaction before the final read).
     * The oracle replays the same three-step sequential fold relationally.
     */
-  def qCdcMergeMor(spark: SparkSession, dir: String): DataFrame = {
+  def qCdcMergeMor(spark: SparkSession, dir: String): DataFrame =
+    buildMorTable(spark, dir, s"${System.getProperty("java.io.tmpdir")}/graft-mor-gate")
+      .read().select("user_id", "event_id", "event_type").orderBy("user_id")
+
+  /** The shared MoR lifecycle of qCdcMergeMor / qExportIcebergMor /
+    * qExportDeltaMor (and the bench's export-profile and degraded-path
+    * legs): backfill the first third of the events stream, then two
+    * equality-delete merges applied OUT of order (segment 3 first, stale
+    * segment 2 second), no compaction — outstanding deletes guaranteed.
+    * Deletes the root first, so every call builds from scratch.
+    */
+  private[graft] def buildMorTable(
+      spark: SparkSession, dir: String, root: String): graft.tables.SnapshotTable = {
     import graft.tables.SnapshotTable
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-mor-gate"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(new org.apache.hadoop.fs.Path(root).toUri.getPath))
     val tbl = SnapshotTable(spark, s"$root/table")
     val ev = events(spark, dir).select(col("user_id"), col("event_id"), col("event_type"))
     val third = ev.count() / 3
@@ -758,7 +770,7 @@ object Queries {
     tbl.createOrReplace(latest(seg1).where(!col("is_delete")), "user_id", numBuckets = 32)
     tbl.mergeOnRead(latest(seg3), "user_id", "event_id", "is_delete")
     tbl.mergeOnRead(latest(seg2), "user_id", "event_id", "is_delete")
-    tbl.read().select("user_id", "event_id", "event_type").orderBy("user_id")
+    tbl
   }
 
   /** Merge-on-read ICEBERG INTEROP gate: the exact [[qCdcMergeMor]]
@@ -775,22 +787,9 @@ object Queries {
     * external engines merge natively, docs/crd.md merge semantics).
     */
   def qExportIcebergMor(spark: SparkSession, dir: String): DataFrame = {
-    import graft.tables.{IcebergExport, SnapshotTable}
+    import graft.tables.IcebergExport
     val root = s"${System.getProperty("java.io.tmpdir")}/graft-iceberg-mor-gate"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    val tbl = SnapshotTable(spark, s"$root/table")
-    val ev = events(spark, dir).select(col("user_id"), col("event_id"), col("event_type"))
-    val third = ev.count() / 3
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
-    def latest(df: DataFrame): DataFrame =
-      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-        .withColumn("is_delete", col("event_type") === "error")
-    val seg1 = ev.where(col("event_id") < third)
-    val seg2 = ev.where(col("event_id") >= third && col("event_id") < 2 * third)
-    val seg3 = ev.where(col("event_id") >= 2 * third)
-    tbl.createOrReplace(latest(seg1).where(!col("is_delete")), "user_id", numBuckets = 32)
-    tbl.mergeOnRead(latest(seg3), "user_id", "event_id", "is_delete")
-    tbl.mergeOnRead(latest(seg2), "user_id", "event_id", "is_delete")
+    val tbl = buildMorTable(spark, dir, root)
     require(tbl.currentSnapshot.deletes.nonEmpty, "gate must export OUTSTANDING deletes")
     tbl.exportIceberg(s"$root/iceberg")
     IcebergExport.readLiveRows(spark, s"$root/iceberg", tbl.schema)
@@ -810,26 +809,147 @@ object Queries {
     * tables outright.
     */
   def qExportDeltaMor(spark: SparkSession, dir: String): DataFrame = {
-    import graft.tables.{DeltaExport, SnapshotTable}
+    import graft.tables.DeltaExport
     val root = s"${System.getProperty("java.io.tmpdir")}/graft-delta-mor-gate"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    val tbl = SnapshotTable(spark, s"$root/table")
-    val ev = events(spark, dir).select(col("user_id"), col("event_id"), col("event_type"))
-    val third = ev.count() / 3
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
-    def latest(df: DataFrame): DataFrame =
-      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-        .withColumn("is_delete", col("event_type") === "error")
-    val seg1 = ev.where(col("event_id") < third)
-    val seg2 = ev.where(col("event_id") >= third && col("event_id") < 2 * third)
-    val seg3 = ev.where(col("event_id") >= 2 * third)
-    tbl.createOrReplace(latest(seg1).where(!col("is_delete")), "user_id", numBuckets = 32)
-    tbl.mergeOnRead(latest(seg3), "user_id", "event_id", "is_delete")
-    tbl.mergeOnRead(latest(seg2), "user_id", "event_id", "is_delete")
+    val tbl = buildMorTable(spark, dir, root)
     require(tbl.currentSnapshot.deletes.nonEmpty, "gate must export OUTSTANDING deletes")
     tbl.exportDelta(s"$root/delta")
     DeltaExport.readTable(spark, new org.apache.hadoop.fs.Path(s"$root/delta"))
       .select("user_id", "event_id", "event_type").orderBy("user_id")
+  }
+
+  private def registerCountingFs(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.counting.impl", classOf[graft.CountingFileSystem].getName)
+    conf.set("fs.AbstractFileSystem.counting.impl",
+      classOf[graft.CountingAbstractFileSystem].getName)
+  }
+
+  private def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+
+  /** Bench section (r17 verdict items 2 + 7): per-PHASE seconds and IO
+    * work counts for the two MoR export legs, so the headline
+    * q_export_*_mor numbers are decomposable — how much is the fixed
+    * three-commit lifecycle vs the export vs the delete-applying read —
+    * and the O(new files) export claims become cross-round invariants
+    * (files-opened / bytes measured through the counting filesystem, the
+    * same harness the specs pin zero-carried-file-reads with). A SECOND
+    * idempotent re-export is timed with its own counts: its files-opened
+    * should be metadata-only, the measured form of "per-commit cost tracks
+    * the change set, not the table".
+    */
+  def exportProfileJson(spark: SparkSession, dir: String): String = {
+    import graft.tables.{DeltaExport, IcebergExport}
+    registerCountingFs(spark)
+    def leg(name: String)(
+        export: (graft.tables.SnapshotTable, String) => Unit)(
+        read: (graft.tables.SnapshotTable, String) => DataFrame): String = {
+      val local = s"${System.getProperty("java.io.tmpdir")}/graft-export-profile-$name"
+      val root = s"counting://$local"
+      val t0 = System.nanoTime()
+      val tbl = buildMorTable(spark, dir, root)
+      val lifecycleSec = (System.nanoTime() - t0) / 1e9
+      graft.CountingFileSystem.reset()
+      val t1 = System.nanoTime()
+      export(tbl, s"$root/export")
+      val exportSec = (System.nanoTime() - t1) / 1e9
+      val (ef, eb) = graft.CountingFileSystem.openedStats
+      graft.CountingFileSystem.reset()
+      val t2 = System.nanoTime()
+      export(tbl, s"$root/export") // idempotent re-export: metadata-only
+      val reexportSec = (System.nanoTime() - t2) / 1e9
+      val (xf, xb) = graft.CountingFileSystem.openedStats
+      // the O(new files) invariant in its directly-checkable form: an
+      // idempotent re-export may re-read export metadata, but it must not
+      // open a single TABLE DATA file (nothing changed, nothing to read)
+      val xData = graft.CountingFileSystem.openedPaths.count(_.contains("/table/data/"))
+      graft.CountingFileSystem.reset()
+      val t3 = System.nanoTime()
+      val rows = read(tbl, s"$root/export").count()
+      val readSec = (System.nanoTime() - t3) / 1e9
+      val (rf, rb) = graft.CountingFileSystem.openedStats
+      s""""$name":{"lifecycle_sec":${r3(lifecycleSec)},"export_sec":${r3(exportSec)},""" +
+        s""""reexport_sec":${r3(reexportSec)},"read_sec":${r3(readSec)},""" +
+        s""""export_files_opened":$ef,"export_bytes":$eb,""" +
+        s""""reexport_files_opened":$xf,"reexport_bytes":$xb,""" +
+        s""""reexport_data_files_opened":$xData,""" +
+        s""""read_files_opened":$rf,"read_bytes":$rb,"read_rows":$rows}"""
+    }
+    val ice = leg("iceberg_mor")((t, out) => t.exportIceberg(out))(
+      (t, out) => IcebergExport.readLiveRows(spark, out, t.schema))
+    val del = leg("delta_mor")((t, out) => t.exportDelta(out))(
+      (_, out) => DeltaExport.readTable(spark, new org.apache.hadoop.fs.Path(out)))
+    s""""export_profile":{$ice,$del}"""
+  }
+
+  /** Bench section (r17 verdict item 3): the three loud-degrade bounds run
+    * ENGAGED at the bench's scale — not just spec-forced at toy scale —
+    * each recording its seconds next to the bounded path's, plus an
+    * in-engine row/hash equality check (the degraded paths' CONTRACT is
+    * bit-identical results, only the plan shape changes):
+    *   - exportDelta past `deleteBroadcastMaxRows` (bound 0): delete-key
+    *     position-izing degrades from broadcast to shuffle join
+    *   - readTable past `dvDriverBound` (bound 0): DV decode moves to
+    *     executors, the anti join degrades to a shuffle
+    *   - incrementalNearDupsFromIndex past `maxPushdownIds` (bound 0):
+    *     candidate ids stay a lazy plan (semi joins) instead of an
+    *     In-filter pushdown
+    */
+  def degradedPathsJson(spark: SparkSession, dir: String): String = {
+    import graft.tables.DeltaExport
+    def hashOf(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).cast("decimal(38,0)"))).head()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-degraded-gate"
+    val tbl = buildMorTable(spark, dir, root)
+
+    // bounded reference: broadcast position-izing + driver DV decode
+    val tE0 = System.nanoTime()
+    tbl.exportDelta(s"$root/delta")
+    val exportBoundedSec = (System.nanoTime() - tE0) / 1e9
+    val tR0 = System.nanoTime()
+    val refHash = hashOf(DeltaExport.readTable(spark, new org.apache.hadoop.fs.Path(s"$root/delta")))
+    val readBoundedSec = (System.nanoTime() - tR0) / 1e9
+
+    // export degrade: bound 0 forces the shuffled position-izing
+    val tE1 = System.nanoTime()
+    tbl.exportDelta(s"$root/delta0", deleteBroadcastMaxRows = 0)
+    val exportDegradedSec = (System.nanoTime() - tE1) / 1e9
+    // read degrade: bound 0 forces executor DV decode + shuffle anti join
+    val tR1 = System.nanoTime()
+    val degHash = hashOf(DeltaExport.readTable(spark,
+      new org.apache.hadoop.fs.Path(s"$root/delta0"), dvDriverBound = 0))
+    val readDegradedSec = (System.nanoTime() - tR1) / 1e9
+
+    // indexed near-dup: pushdown vs lazy-plan fallback over the SAME
+    // persisted index the q_incremental_near_dup_indexed gate uses
+    import graft.ext.{Dedup, ModelStore}
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    qIncrementalNearDupIndexed(spark, dir).count() // ensures the index exists
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idxRoot = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-mh-idx-$dirKey")
+    val (sigs, p) = ModelStore.loadMinHashIndex(spark, idxRoot.getAbsolutePath)
+    def nd(pushdown: Int): (Double, (Long, String)) = {
+      val t0 = System.nanoTime()
+      val df = Dedup.incrementalNearDupsFromIndex(sigs, docs, incrementBatch(docs), p,
+        threshold = 0.5, maxPushdownIds = pushdown)
+      val h = hashOf(df)
+      ((System.nanoTime() - t0) / 1e9, h)
+    }
+    val (ndBoundedSec, ndRefHash) = nd(10000)
+    val (ndDegradedSec, ndDegHash) = nd(0)
+
+    s""""degraded":{""" +
+      s""""delta_export_shuffle_positionize":{"sec":${r3(exportDegradedSec)},""" +
+      s""""sec_bounded":${r3(exportBoundedSec)}},""" +
+      s""""delta_read_executor_dv":{"sec":${r3(readDegradedSec)},""" +
+      s""""sec_bounded":${r3(readBoundedSec)},"rows":${degHash._1},""" +
+      s""""match":${degHash == refHash}},""" +
+      s""""indexed_near_dup_lazy":{"sec":${r3(ndDegradedSec)},""" +
+      s""""sec_bounded":${r3(ndBoundedSec)},"rows":${ndDegHash._1},""" +
+      s""""match":${ndDegHash == ndRefHash}}}"""
   }
 
   /** Incremental-aggregate gate ([[graft.ext.IncrementalAgg]]): a grouped

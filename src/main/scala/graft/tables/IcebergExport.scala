@@ -1405,16 +1405,6 @@ object IcebergExport {
     readLiveRowsFrom(spark, fs, loadMeta(fs, p), readSchema, atSnapshotId)
   }
 
-  /** Scheme-insensitive path identity for position-delete matching:
-    * a foreign writer records `file_path` strings with whatever scheme
-    * rendering its filesystem produced (`file:/x`, `file:///x`,
-    * `s3a://bucket/x`), while Spark's `_metadata.file_path` has its own.
-    * Reducing both sides to the URI path makes the join key writer-
-    * independent; a plain regexp keeps it inside codegen.
-    */
-  private def normPath(c: Column): Column =
-    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-
   private def readLiveRowsFrom(spark: SparkSession, fs: FileSystem, meta: JsonNode,
       readSchema: StructType, atSnapshotId: Option[Long],
       keepFile: ManifestDataFile => Boolean = _ => true): DataFrame = {
@@ -1426,7 +1416,21 @@ object IcebergExport {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
     val posDels = deletes.filter(_.content == 1)
     val eqDels = deletes.filterNot(_.content == 1)
-    val dataDf = data.groupBy(d => (d.seq, d.fileFormat)).map { case ((s, fmt), fsq) =>
+    // ONE scan per file FORMAT (at most two), every sequence together: the
+    // per-row sequence number is attached via a broadcast join against the
+    // manifest's own (path → seq) map — metadata-sized, the same order as
+    // the file listing Spark broadcasts to schedule the scan. The previous
+    // shape planned one codegen'd scan node per (seq, format) group — fine
+    // at a gate's 3 commits, pathological at stream cadence on a
+    // deferred-compaction table (one scan node per commit; the exact
+    // per-commit scan-union the Delta leg's readTable already collapsed).
+    // Both join sides normalize with DeltaExport's proven twin pair
+    // (canonicalPathCol / canonicalPath): _metadata.file_path is URI
+    // percent-encoded while manifest path strings are driver-rendered, so
+    // a shared regex alone silently empties the join on encoded characters
+    // or URI authorities.
+    val needSeq = deletes.nonEmpty
+    val dataDf = data.groupBy(_.fileFormat).map { case (fmt, fsq) =>
       val reader = spark.read.schema(readSchema)
       val df = fmt.toUpperCase match {
         case "ORC" =>
@@ -1436,11 +1440,19 @@ object IcebergExport {
           reader.orc(fsq.map(_.path): _*)
         case _ => reader.parquet(fsq.map(_.path): _*)
       }
-      val tagged = df.withColumn("_gseq", lit(s))
-      if (posDels.isEmpty) tagged
-      else tagged
-        .withColumn("_gpath", normPath(col("_metadata.file_path")))
-        .withColumn("_gpos", col("_metadata.row_index"))
+      if (!needSeq) df
+      else {
+        import spark.implicits._
+        val seqDf = broadcast(
+          fsq.map(f => (DeltaExport.canonicalPath(f.path), f.seq))
+            .toDF("_spath", "_gseq"))
+        val tagged = df
+          .withColumn("_gpath", DeltaExport.canonicalPathCol(col("_metadata.file_path")))
+          .join(seqDf, col("_gpath") === col("_spath"))
+          .drop("_spath")
+        if (posDels.isEmpty) tagged.drop("_gpath")
+        else tagged.withColumn("_gpos", col("_metadata.row_index"))
+      }
     }.reduce(_ unionByName _)
     // Each delete side is change-set-sized BY DESIGN (accumulated deletes
     // are bounded by compaction cadence), so both joins broadcast
@@ -1455,9 +1467,17 @@ object IcebergExport {
       require(eqNames.size == 1,
         s"this reader supports single-column equality deletes, got: ${eqNames.mkString(", ")}")
       val keyCol = eqNames.head
-      val delDf = eqDels.groupBy(_.seq).map { case (s, ds) =>
-        spark.read.parquet(ds.map(_.path): _*).select(col(keyCol)).withColumn("_dseq", lit(s))
-      }.reduce(_ unionByName _)
+      // same one-scan collapse as the data side: delete manifests grow one
+      // per commit, so per-seq scan groups would also accrete scan nodes
+      val delDf = {
+        import spark.implicits._
+        val dseqDf = broadcast(
+          eqDels.map(d => (DeltaExport.canonicalPath(d.path), d.seq)).toDF("_edpath", "_dseq"))
+        spark.read.parquet(eqDels.map(_.path): _*)
+          .select(col(keyCol),
+            DeltaExport.canonicalPathCol(col("_metadata.file_path")).as("_edfp"))
+          .join(dseqDf, col("_edfp") === col("_edpath")).drop("_edfp", "_edpath")
+      }
       // only the NEWEST delete of a key matters: if max(_dseq) <= the
       // row's file sequence, every delete of that key predates the row
       val maxDel = delDf.groupBy(col(keyCol).as("_dkey")).agg(max(col("_dseq")).as("_dseq"))
@@ -1466,11 +1486,16 @@ object IcebergExport {
         .drop("_dkey", "_dseq")
     }
     if (posDels.nonEmpty) {
-      val pd = posDels.groupBy(_.seq).map { case (s, ds) =>
-        spark.read.parquet(ds.map(_.path): _*)
-          .select(normPath(col("file_path")).as("_ppath"), col("pos").cast("long").as("_ppos"))
-          .withColumn("_pseq", lit(s))
-      }.reduce(_ unionByName _)
+      val pd = {
+        import spark.implicits._
+        val pseqDf = broadcast(
+          posDels.map(d => (DeltaExport.canonicalPath(d.path), d.seq)).toDF("_pdpath", "_pseq"))
+        spark.read.parquet(posDels.map(_.path): _*)
+          .select(DeltaExport.canonicalPathCol(col("file_path")).as("_ppath"),
+            col("pos").cast("long").as("_ppos"),
+            DeltaExport.canonicalPathCol(col("_metadata.file_path")).as("_pdfp"))
+          .join(pseqDf, col("_pdfp") === col("_pdpath")).drop("_pdfp", "_pdpath")
+      }
       // position deletes apply to files at-or-below their sequence (spec:
       // a commit may position-delete rows from files it just added), so a
       // row survives only when every delete of its (path, pos) is from an

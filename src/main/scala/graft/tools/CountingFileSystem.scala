@@ -15,7 +15,7 @@ class CountingFileSystem extends RawLocalFileSystem {
   override def getUri: URI = URI.create("counting:///")
 
   override def open(p: Path, bufferSize: Int): FSDataInputStream = {
-    CountingFileSystem.record(p)
+    CountingFileSystem.record(p, try super.getFileStatus(p).getLen catch { case _: Throwable => 0L })
     super.open(p, bufferSize)
   }
 }
@@ -30,11 +30,20 @@ class CountingAbstractFileSystem(uri: java.net.URI, conf: org.apache.hadoop.conf
     uri, new CountingFileSystem, conf, "counting", false)
 
 object CountingFileSystem {
-  private val opened = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val opened = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
-  private def record(p: Path): Unit = synchronized { opened += p.toUri.getPath }
+  private def record(p: Path, len: Long): Unit = synchronized { opened += ((p.toUri.getPath, len)) }
 
   def reset(): Unit = synchronized { opened.clear() }
 
-  def openedPaths: Seq[String] = synchronized { opened.toVector }
+  def openedPaths: Seq[String] = synchronized { opened.map(_._1).toVector }
+
+  /** (files opened, summed file sizes at open) since the last reset —
+    * the bench's export-IO work counts. Size-at-open upper-bounds bytes
+    * read, and unlike bytes it is DETERMINISTIC (buffering and column
+    * pruning move actual read counts around).
+    */
+  def openedStats: (Long, Long) = synchronized {
+    (opened.size.toLong, opened.map(_._2).sum)
+  }
 }

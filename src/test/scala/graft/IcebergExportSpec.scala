@@ -726,4 +726,30 @@ class IcebergExportSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { CdcPipeline.startStream(spark, spec) }
     assert(e.getMessage.contains("symlink") || e.getMessage.contains("exportDir"))
   }
+
+  test("table locations containing '+' and spaces survive export + readLiveRows") {
+    // The one-scan sequence attach joins the scan's URI-percent-encoded
+    // _metadata.file_path against driver-rendered manifest paths — the
+    // exact normalization-divergence class the Delta leg fixed
+    // (canonicalPathCol/canonicalPath). A mismatch here does not lose
+    // deletes, it loses DATA ROWS (inner join) — so pin a location with
+    // both a '+' and a space through the MoR export + delete-applying read.
+    val base = tmpDir("iceberg mor+plus")
+    val t = SnapshotTable(spark, s"$base/ta+ble dir")
+    t.createOrReplace((1 to 50).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", numBuckets = 4)
+    t.mergeOnRead((1 to 10).map(i => (s"k$i", 2L, (null: String), true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.currentSnapshot.deletes.nonEmpty)
+    val ice = s"$base/ice+berg out"
+    t.exportIceberg(ice)
+    val viaChain = IcebergExport.readLiveRows(spark, ice, t.schema)
+      .select($"arcane_merge_key").as[String].collect().toSet
+    val direct = t.read().select($"arcane_merge_key").as[String].collect().toSet
+    assert(direct.size === 40, "engine read must apply the tombstones")
+    assert(viaChain === direct,
+      "a '+'/space location must not break the sequence-attach or delete joins")
+  }
 }
