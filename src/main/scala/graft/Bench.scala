@@ -452,7 +452,12 @@ object Bench {
       // + DV-applying replay read at 10x rows; position-izing is one
       // sequence-pruned bucket scan and the DV write is O(deleted rows),
       // so the leg must scale with the change set, not the table
-      "q_export_delta_mor")
+      "q_export_delta_mor",
+      // round-18: the persisted-IVF incremental tier — index build +
+      // frozen-centroid append + directory-pruned probe at 10x vectors;
+      // probe cost must track the probed lists (q_ann_ivf's work counts
+      // adjudicate, same coarse layer)
+      "q_ann_ivf_increment")
 
   /** Build (once; cached by source signature) a 10x derivative of sfDir's
     * documents/embeddings tables: ten id-shifted blocks. Block texts get a

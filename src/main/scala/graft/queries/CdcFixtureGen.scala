@@ -233,18 +233,21 @@ object CdcFixtureGen {
     * per `documents.doc_id`) with cross-batch planted duplicates, for the
     * content-dedup streaming gate (q_stream_near_dup_e2e). The plant:
     *
-    *   F1 (v1): every d            → (d,        zq·d)   all fresh
+    *   F1 (v1): every d            → (d,        zq·d)   all fresh (the gate
+    *            backfills this folder: rows indexed as the seed, never
+    *            suppressed)
     *   F2 (v2): d%3==0             → (1e6+d,    zq·d)   dup of F1   [drop]
     *            d%5==0             → (2e6+d,    zr·d)   fresh       [keep]
     *            d%7==0             → (d, IsDelete=True) tombstone   [apply]
     *   F3 (v3): d%10==0            → (3e6+d,    zr·d)   dup of F2   [drop]
     *            d%4==0             → (4e6+d,    zs·d)   fresh       [keep]
     *   F4 (v4): d%6==0             → (5e6+d,    zt·d)   fresh       [keep]
-    *     — after F4 the pipeline compacts the band index (cadence 4):
-    *       batch-0/1 fold into one compact blob, batch-2/3 stay protected
+    *     — after F4 (the third STREAMED batch, cadence 3) the pipeline
+    *       compacts the band index: the backfill seed and batch-0 fold
+    *       into one compact blob, batch-1/2 stay protected
     *   F5 (v5): d%8==0             → (6e6+d,    zq·d)   dup via the COMPACTED blob [drop]
-    *            d%12==0            → (7e6+d,    zs·d)   dup via protected batch-2  [drop]
-    *            d%18==0            → (8e6+d,    zt·d)   dup via protected batch-3  [drop]
+    *            d%12==0            → (7e6+d,    zs·d)   dup via protected batch-1  [drop]
+    *            d%18==0            → (8e6+d,    zt·d)   dup via protected batch-2  [drop]
     *            d%9==0             → (9e6+d,    zu·d)   fresh       [keep]
     *
     * Duplicates are EXACT copies — identical text gives an identical

@@ -431,21 +431,22 @@ object Queries {
   }
 
   /** Streaming content dedup END-TO-END through the real CDC pipeline
-    * (r17 verdict item 4): five micro-batches of synthetic document rows
-    * ([[CdcFixtureGen.materializeStreamDocs]] — one folder per batch,
-    * changelog stamped between `processAllAvailable` drains) flow through
-    * `foreachBatch` with `spec.dedupTextColumn` set, so every batch's
-    * non-delete rows are near-dup deduped against the SELF-MAINTAINED
+    * (r17 verdict item 4): folder 1 of the synthetic document export
+    * ([[CdcFixtureGen.materializeStreamDocs]]) arrives as an Overwrite
+    * BACKFILL that seeds the band index, then four micro-batches stream
+    * through `foreachBatch` with `spec.dedupTextColumn` set — every
+    * batch's non-delete rows near-dup dedup against the SELF-MAINTAINED
     * MinHash band index ([[graft.streaming.StreamOps
-    * .dedupBatchMaintainingIndex]]) before the MERGE, survivors' bands are
-    * appended per batch, and the pipeline compacts the index on its own
-    * cadence (every 4 batches) mid-stream. The plant makes every
-    * index-subdir class carry a suppression: batch-0 (in-stream appends),
-    * the compacted blob (batch 5 dups of batch-1 content), and the two
-    * keep-recent-protected batch dirs. Delete tombstones pass the dedup
-    * unconditionally and still remove their keys. The DuckDB oracle states
-    * the planted truth — the merged table holds exactly the
-    * first-occurrence survivors with their arrival versions.
+    * .dedupBatchMaintainingIndex]]) before the MERGE, survivors' bands
+    * append per batch, and the pipeline compacts the index mid-stream
+    * (cadence 3: the seed and the first batch dir fold into one compact
+    * blob while the two newest batch dirs stay keep-recent-protected).
+    * The plant makes every index-subdir class carry a suppression: the
+    * backfill seed, in-stream batch dirs, the compacted blob, and both
+    * protected dirs. Delete tombstones pass the dedup unconditionally and
+    * still remove their keys. The DuckDB oracle states the planted truth
+    * — the merged table holds exactly the first-occurrence survivors with
+    * their arrival versions.
     */
   def qStreamNearDupE2e(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.{CdcPipeline, StreamSpec}
@@ -463,17 +464,30 @@ object Queries {
       sourcePath = root,
       entityName = CdcFixtureGen.DocsEntity,
       targetLocation = target,
-      numBuckets = 16,
+      numBuckets = 8,
       changeCaptureIntervalSeconds = 0,
       checkpointLocation = Some(ckpt),
+      // merge-on-read: the gate measures the content-dedup loop, not the
+      // CoW bucket-rewrite cost — MoR commits are change-set-sized appends
+      // and the final read applies the tombstones, so the five-merge
+      // lifecycle stays dedup-dominated at every SF (the CoW fold-in is
+      // q_cdc_pipeline_e2e's job)
+      mergeMode = "merge-on-read",
+      backfillBehavior = "Overwrite",
       dedupTextColumn = Some("body"),
       dedupIndexLocation = Some(index),
-      dedupIndexCompactEvery = 4)
+      dedupIndexCompactEvery = 3)
 
+    // Folder 1 arrives as the BACKFILL (authoritative history: indexed as
+    // the seed, never suppressed); folders 2-5 stream as four micro-
+    // batches. Compaction fires after the third streamed batch, folding
+    // the seed + batch-0 into one compact blob while the two newest batch
+    // dirs stay protected — so folder 5's duplicate families resolve
+    // through the compacted blob AND both protected dirs.
     CdcFixtureGen.stampChangelog(root, CdcFixtureGen.DocsFolders.head)
+    CdcPipeline.runBackfill(spark, spec)
     val q = CdcPipeline.startStream(spark, spec)
     try {
-      q.processAllAvailable()
       CdcFixtureGen.DocsFolders.tail.foreach { f =>
         CdcFixtureGen.stampChangelog(root, f)
         q.processAllAvailable()

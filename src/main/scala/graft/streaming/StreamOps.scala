@@ -371,7 +371,12 @@ object StreamOps {
       .select("band", "key").distinct()
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(p, s"data/$own").toString)
-    batch.where(emptyText).unionByName(survivors)
+    // materialize ONCE (micro-batch-sized, GC-managed): a foreachBatch
+    // consumer invariably runs several actions over the result (empty
+    // check, merge write, watermark agg), and a lazy plan would re-run
+    // the index scan + dedup join for each — breaking the documented
+    // one-index-scan-per-batch cost
+    batch.where(emptyText).unionByName(survivors).localCheckpoint()
   }
 
   /** Maintenance-cadence compaction of a band index: fold the

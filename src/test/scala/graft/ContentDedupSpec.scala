@@ -43,7 +43,7 @@ class ContentDedupSpec extends SparkSpec {
       numBuckets = 4, changeCaptureIntervalSeconds = 0,
       checkpointLocation = Some(ckpt),
       dedupTextColumn = Some("body"), dedupIndexLocation = Some(index),
-      dedupIndexCompactEvery = 4)
+      dedupIndexCompactEvery = 3)
 
     // Backfill folder 1 → table replaced AND index re-initialized from its
     // live rows (data/seed), so the very first streamed batch already
@@ -59,12 +59,12 @@ class ContentDedupSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    // 4 streamed batches at cadence 4 → exactly one compaction: seed +
-    // batch-0/1 fold into one compact blob, the newest two batch dirs stay
-    // protected (replay safety).
+    // 4 streamed batches at cadence 3 → exactly one compaction after the
+    // third: seed + batch-0 fold into one compact blob, batch-1/2 stay
+    // protected (replay safety), batch-3 appends after the tick.
     val dirs = dataSubdirs(index)
     assert(dirs.count(_.startsWith("compact-")) === 1, dirs)
-    assert(dirs.count(_.startsWith("batch-")) === 2, dirs)
+    assert(dirs.count(_.startsWith("batch-")) === 3, dirs)
     assert(!dirs.contains("seed"), dirs)
 
     // Planted truth for doc_id 0..11 (same algebra as the
