@@ -351,6 +351,11 @@ object CdcPipeline {
             // the post-dedup keys', which merge tolerates (extra buckets
             // carry forward unchanged, rows are never dropped).
             val staged = contentDedupBatch(stage(raw, typedSchema, spec), spec, batchId)
+            // content dedup returns a locally-checkpointed frame, so this
+            // count is a block scan, not a recompute; -1 = dedup disabled
+            // (don't pay an action to log a number equal to `rows`)
+            val stagedRows =
+              if (spec.dedupTextColumn.isDefined) staged.count() else -1L
             val t0 = System.nanoTime()
             Retry(spec.retry.forContext(backfill = false)) {
               mergeBatch(table, staged, spec, wm, affected)
@@ -371,13 +376,18 @@ object CdcPipeline {
             JsonLog.info("batch_committed", "batch_id" -> batchId,
               "rows" -> head.getLong(0), "watermark" -> wm,
               "affected_buckets" -> affected.map(_.size.toString).getOrElse("all"),
-              "merge_ms" -> mergeMs, "export_ms" -> exportMs)
+              "merge_ms" -> mergeMs, "export_ms" -> exportMs,
+              // staged rows AFTER latest-version + content dedup: at stream
+              // cadence the suppression rate (rows - rows_staged) is the
+              // operator's dedup-health signal — a collapse to zero means
+              // a mis-seeded index is suppressing everything
+              "rows_staged" -> stagedRows)
             val batchNumber = batchCounter.incrementAndGet()
             maintenanceTick(table, spec, batchNumber)
             // Band-index maintenance on its own cadence: fold per-batch
             // subdirs into one compact blob (keep-recent protection makes a
             // replayed uncommitted batch unable to self-suppress).
-            if (spec.dedupIndexCompactEvery > 0 &&
+            if (spec.dedupIndexLocation.isDefined && spec.dedupIndexCompactEvery > 0 &&
                 batchNumber % spec.dedupIndexCompactEvery == 0)
               graft.streaming.StreamOps.compactBandIndex(
                 raw.sparkSession, spec.dedupIndexLocation.get)
