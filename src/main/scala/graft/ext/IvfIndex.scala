@@ -21,13 +21,18 @@ import org.apache.spark.sql.functions._
   *     proportional to the probed lists' data, never the corpus (the IVF
   *     promise, enforced by the storage layout rather than the planner's
   *     goodwill; IvfIndexSpec pins the planned file set)
+  *   - `_manifest.json` — the LIVE subdir set (tmp-then-rename pointer):
+  *     readers plan only manifested subdirs, which is what makes
+  *     [[compact]] publishable without a duplicate-visibility window
   *   - `_params.json` — written LAST: its presence is the completion
   *     marker, a crashed create is invisible
   *
-  * Appends are expected at maintenance cadence (daily increments), so the
-  * subdir count stays small; the rebuild story for a drifted quantizer is
-  * [[create]] with re-trained centroids (recall drift under appended mass
-  * is floored by IvfIndexSpec's brute-force comparison).
+  * Appends arrive at maintenance cadence (daily increments) and
+  * [[compact]] folds them back to one subdir on the same cadence the band
+  * index uses; reads are ONE scan regardless of accumulated appends. The
+  * rebuild story for a drifted quantizer is [[create]] with re-trained
+  * centroids (recall drift under appended mass is floored by
+  * IvfIndexSpec's brute-force comparison).
   *
   * Reference scope: the reference engine ships no vector search; this is
   * part of the training-data-pipeline surface built on the same
@@ -94,6 +99,7 @@ object IvfIndex {
     fs.delete(p, true)
     ModelStore.saveCentroids(spark, s"$dir/_centroids.json", cents)
     writeAssigned(corpus, s"$dir/data/seed", cents, idCol, vecCol)
+    writeManifest(spark, dir, Seq("seed"))
     val root = mapper.createObjectNode()
     root.put("kind", "ivf-index")
     root.put("dim", cents.head.length)
@@ -102,38 +108,114 @@ object IvfIndex {
     try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
   }
 
+  // ---------------------------------------------------------- manifest
+  // The LIVE subdir set is a tiny JSON pointer, not a directory listing:
+  // readers plan only manifested subdirs, so compaction can publish its
+  // folded subdir and retire the absorbed ones without a window where a
+  // reader sees both (duplicate vectors would corrupt top-k ranks).
+  // Written tmp-then-rename (the ModelStore pattern). Single maintainer
+  // per index dir, same contract as the band index.
+
+  private def manifestPath(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p, "_manifest.json")
+
+  private def readManifest(spark: SparkSession, dir: String): Seq[String] = {
+    val (p, fs) = fsOf(spark, dir)
+    val in = fs.open(manifestPath(p))
+    val node = try mapper.readTree(in.readAllBytes()) finally in.close()
+    val it = node.get("subdirs").elements()
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) b += it.next().asText()
+    b.result()
+  }
+
+  private def writeManifest(spark: SparkSession, dir: String, names: Seq[String]): Unit = {
+    val (p, fs) = fsOf(spark, dir)
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("subdirs")
+    names.distinct.sorted.foreach(arr.add)
+    val target = manifestPath(p)
+    val tmp = new org.apache.hadoop.fs.Path(p, s".manifest.tmp.${java.util.UUID.randomUUID()}")
+    val o = fs.create(tmp, true)
+    try o.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally o.close()
+    fs.delete(target, false)
+    require(fs.rename(tmp, target), s"failed to publish IVF manifest at $target")
+  }
+
   /** Fold new vectors in WITHOUT retraining: assign them to the frozen
-    * centroids and write `data/<name>` — no stored file is read or
-    * rewritten (IvfIndexSpec pins the seed byte-identical). `name` is the
-    * idempotence key: re-running the same increment under the same name
-    * overwrites itself; distinct increments need distinct names.
+    * centroids, write `data/<name>`, then publish it in the manifest — no
+    * stored file is read or rewritten (IvfIndexSpec pins the seed
+    * byte-identical). `name` is the idempotence key: re-running the same
+    * increment under the same name overwrites itself; distinct increments
+    * need distinct names. Data lands BEFORE the manifest references it, so
+    * a crashed append is invisible to readers.
     */
   def append(
       spark: SparkSession, dir: String, vecs: DataFrame, name: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(exists(spark, dir), s"no IVF index at $dir")
-    require(name.nonEmpty && name != "seed" && !name.contains("/"),
-      s"append name '$name' must be a non-seed single path segment")
+    require(name.nonEmpty && name != "seed" && !name.startsWith("compact-") && !name.contains("/"),
+      s"append name '$name' must be a non-reserved single path segment")
     writeAssigned(vecs, s"$dir/data/$name", centroids(spark, dir), idCol, vecCol)
+    writeManifest(spark, dir, readManifest(spark, dir) :+ name)
   }
 
-  private def subdirs(spark: SparkSession, dir: String): Seq[String] = {
+  /** Maintenance-cadence compaction: fold every manifested subdir into one
+    * `compact-<uuid>`, publish the new one-entry manifest, then sweep
+    * every unreferenced data subdir (which also collects orphans from a
+    * previously crashed compact/append). Crash-safe in the direction that
+    * matters: the folded subdir lands before the manifest swings to it,
+    * and the manifest swings before anything is deleted — a reader never
+    * plans a half-written or double-counted vector.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val live = readManifest(spark, dir)
+    if (live.size <= 1) return
+    val target = s"compact-${java.util.UUID.randomUUID()}"
+    // rows are already assigned — fold verbatim, keeping the list column
+    // as the partition key (no re-assignment, the quantizer is frozen)
+    readAssigned(spark, dir)
+      .select(col("id"), col("vec"), col("list"))
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$dir/data/$target")
+    writeManifest(spark, dir, Seq(target))
     val (p, fs) = fsOf(spark, dir)
     val data = new org.apache.hadoop.fs.Path(p, "data")
-    fs.listStatus(data).toSeq.filter(_.isDirectory).map(_.getPath.toString).sorted
+    fs.listStatus(data).filter(_.isDirectory).map(_.getPath)
+      .filterNot(_.getName == target)
+      .foreach(fs.delete(_, true))
   }
 
   /** The stored assigned corpus `(id, vec, list)`, optionally pruned to a
-    * probe set. Each subdir is read with its own hive-partition discovery,
-    * so the `list IN` filter prunes list DIRECTORIES before any file is
-    * planned — per-subdir scan cost is the probed lists' data.
+    * probe set — as ONE scan regardless of how many appends accumulated:
+    * the concrete `list=N` directories of every manifested subdir are
+    * enumerated on the driver (probe filtering happens HERE, so pruning is
+    * a planning-time directory cut, not a runtime filter), read in a
+    * single `spark.read`, and the list id is re-derived map-side from the
+    * file path. The alternative — one scan node per subdir — is the exact
+    * per-increment plan accretion the Iceberg MoR read had to collapse;
+    * a year of daily appends must not cost 365 codegen'd scan nodes.
     */
   def readAssigned(
-      spark: SparkSession, dir: String, probeLists: Option[Seq[Int]] = None): DataFrame =
-    subdirs(spark, dir).map { sub =>
-      val df = spark.read.parquet(sub)
-      probeLists.map(ls => df.where(col("list").isin(ls: _*))).getOrElse(df)
-    }.reduce(_ unionByName _)
+      spark: SparkSession, dir: String, probeLists: Option[Seq[Int]] = None): DataFrame = {
+    val (p, fs) = fsOf(spark, dir)
+    val keep = probeLists.map(_.toSet)
+    val listDirs = readManifest(spark, dir).flatMap { sub =>
+      val sp = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(p, "data"), sub)
+      fs.listStatus(sp).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("list="))
+        .filter(d => keep.forall(_.contains(d.getName.stripPrefix("list=").toInt)))
+    }
+    if (listDirs.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType), StructField("vec", ArrayType(FloatType)),
+          StructField("list", IntegerType))))
+    }
+    spark.read.parquet(listDirs.map(_.toString): _*)
+      .withColumn("list",
+        regexp_extract(col("_metadata.file_path"), "/list=([0-9]+)/", 1).cast("int"))
+  }
 
   /** Cosine top-k THROUGH the stored index: queries probe their `nprobe`
     * nearest centroid lists; only those lists' partitions are scanned.

@@ -62,20 +62,50 @@ class IvfIndexSpec extends SparkSpec {
     assert(again === direct)
   }
 
-  test("probe-time scans plan ONLY the probed list directories") {
+  test("probe-time reads plan ONE scan over ONLY the probed list directories") {
     val idx = s"${tmpDir("ivf-prune")}/index"
     IvfIndex.create(spark, idx, cents, emb)
     IvfIndex.append(spark, idx, increment, name = "inc1")
+    IvfIndex.append(spark, idx,
+      emb.select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")), name = "inc2")
     val probe = 3
     val df = IvfIndex.readAssigned(spark, idx, Some(Seq(probe)))
     val scans = df.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
-    assert(scans.size === 2, s"one scan per subdir (seed + inc1): $scans")
+    // one scan TOTAL, not one per subdir — a year of daily appends must
+    // not accrete 365 codegen'd scan nodes (the Iceberg-read lesson)
+    assert(scans.size === 1, s"expected a single scan across 3 subdirs: $scans")
     val planned = scans.flatMap(_.selectedPartitions.toPartitionArray.map(_.filePath.toString))
     assert(planned.nonEmpty)
     assert(planned.forall(_.contains(s"list=$probe")),
-      s"partition pruning must restrict the planned files to list=$probe:\n${planned.mkString("\n")}")
+      s"directory pruning must restrict the planned files to list=$probe:\n${planned.mkString("\n")}")
+  }
+
+  test("compact folds every subdir into one, preserves top-k bit-identically, sweeps orphans") {
+    val idx = s"${tmpDir("ivf-compact")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    IvfIndex.append(spark, idx, increment, name = "inc1")
+    val queries = emb.where(col("vec_id") < 50)
+    def res(): Set[(Long, Long, Double)] =
+      IvfIndex.topK(spark, idx, queries, k = 10)
+        .select("query_id", "neighbor_id", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = res()
+    // plant an orphan (a crashed append: data written, manifest never
+    // swung) — compact must sweep it without ever reading it
+    spark.range(1).select(lit(999999L).as("id"),
+        lit(Array.fill(64)(0.5f)).as("vec"), lit(0).as("list"))
+      .write.partitionBy("list").parquet(s"$idx/data/orphan-crashed")
+    assert(res() === before, "an unmanifested subdir must be invisible to readers")
+    IvfIndex.compact(spark, idx)
+    val dataDirs = {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/data")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+    }
+    assert(dataDirs.size === 1 && dataDirs.head.startsWith("compact-"), dataDirs)
+    assert(res() === before, "compaction must not change a single top-k result")
   }
 
   test("recall@10 through the appended index clears the IVF floor on the merged corpus") {
