@@ -600,8 +600,11 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     // as a duplicate instead of no-op'ing.
     val stagedB = aligned(staged).withColumn("gbk", bucketExpr(mergeKeyCol, n, fn)).cache()
     try {
-      val affected: Set[Int] =
-        stagedB.select("gbk").distinct().collect().map(_.getInt(0)).toSet
+      // ONE pass answers both "which buckets" (bounded by n) and "how many
+      // rows" (the bloom's capacity) — separate distinct/count jobs would
+      // pay the per-job floor twice per commit at stream cadence
+      val h = stagedB.agg(collect_set(col("gbk")), count(lit(1))).head()
+      val affected: Set[Int] = h.getSeq[Int](0).toSet
 
       // In-batch latest-version dedup (A14): one winner per staged key,
       // tombstone ordering identical to merge's union+argmax.
@@ -624,7 +627,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       // NULL keys bypass the bloom (NULL is a valid merge key and
       // xxhash64(NULL) would silently drop it — a false negative).
       graft.sql.GraftExtensions.ensureRegistered(spark)
-      val nStaged = math.max(stagedB.count(), 1L)
+      val nStaged = math.max(h.getLong(1), 1L)
       val bf = stagedB.agg(
         call_function("bloom_agg", xxhash64(col(mergeKeyCol)), // aligned = table key type
           lit(nStaged), lit(math.min(nStaged * 8, 67108864L))).as("_bf"))

@@ -82,6 +82,51 @@ class ContentDedupSpec extends SparkSpec {
     assert(got === expected.toSet)
   }
 
+  test("a stream RESTART from the checkpoint continues the maintained index without self-suppression") {
+    val sfDir = makeCorpus(12)
+    val root = CdcFixtureGen.materializeStreamDocs(spark, sfDir)
+    val target = tmpDir("content-dedup-restart-target")
+    val ckpt = tmpDir("content-dedup-restart-ckpt")
+    val index = s"${tmpDir("content-dedup-restart-index")}/idx"
+    val spec = StreamSpec(
+      sourcePath = root, entityName = CdcFixtureGen.DocsEntity,
+      targetLocation = target, backfillBehavior = "Overwrite",
+      numBuckets = 4, changeCaptureIntervalSeconds = 0,
+      checkpointLocation = Some(ckpt),
+      dedupTextColumn = Some("body"), dedupIndexLocation = Some(index),
+      dedupIndexCompactEvery = 3)
+    CdcFixtureGen.stampChangelog(root, CdcFixtureGen.DocsFolders.head)
+    CdcPipeline.runBackfill(spark, spec)
+
+    // first incarnation: folders 2-3, then STOP (checkpoint committed)
+    val q1 = CdcPipeline.startStream(spark, spec)
+    try CdcFixtureGen.DocsFolders.slice(1, 3).foreach { f =>
+      CdcFixtureGen.stampChangelog(root, f)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // second incarnation resumes from the checkpoint: batchIds continue,
+    // so folder 4/5's index subdirs cannot collide with folder 2/3's, and
+    // folder 5's duplicates of PRE-restart content must still suppress
+    val q2 = CdcPipeline.startStream(spark, spec)
+    try CdcFixtureGen.DocsFolders.slice(3, 5).foreach { f =>
+      CdcFixtureGen.stampChangelog(root, f)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val ids = 0 until 12
+    val expected =
+      ids.filter(_ % 7 != 0).map(d => (d.toLong, 1L)) ++
+      ids.filter(_ % 5 == 0).map(d => (2000000L + d, 2L)) ++
+      ids.filter(_ % 4 == 0).map(d => (4000000L + d, 3L)) ++
+      ids.filter(_ % 6 == 0).map(d => (5000000L + d, 4L)) ++
+      ids.filter(_ % 9 == 0).map(d => (9000000L + d, 5L))
+    val got = SnapshotTable(spark, target).read()
+      .select(col("Id").cast("long"), col("versionnumber").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected.toSet)
+  }
+
   test("a delete tombstone whose body near-dups the corpus still reaches the merge") {
     val index = s"${tmpDir("content-dedup-unit")}/idx"
     import spark.implicits._
