@@ -1945,6 +1945,50 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
 
+    // Incremental IVF-PQ index (q_ann_ivfpq_increment): the q_ann_ivfpq
+    // replay over the MERGED corpus (base ∪ exact copies at vec_id+1e6) —
+    // centroids AND codebooks still derived from the BASE's first rows,
+    // because appends encode under the frozen artifacts; every union
+    // vector is encoded/assigned exactly as a from-scratch build would.
+    "q_ann_ivfpq_increment" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 1000000, v FROM e0),
+        |cents AS (SELECT vec_id AS list, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv FROM e0 WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, list FROM (
+        |    SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, c.list,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)) DESC, c.list DESC) AS rn
+        |    FROM e, cents c) t
+        |  WHERE rn = 1),
+        |cbk AS (
+        |  SELECT r.m, e0.vec_id AS j,
+        |    list_slice(e0.v, r.m*8+1, r.m*8+8) AS c,
+        |    list_dot_product(list_slice(e0.v, r.m*8+1, r.m*8+8), list_slice(e0.v, r.m*8+1, r.m*8+8)) AS nsq
+        |  FROM e0, range(8) r(m) WHERE e0.vec_id < 16),
+        |enc AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT e.vec_id, b.m, b.j,
+        |      row_number() OVER (PARTITION BY e.vec_id, b.m
+        |        ORDER BY list_dot_product(list_slice(e.v, b.m*8+1, b.m*8+8), b.c) - b.nsq/2 DESC, b.j ASC) AS rn
+        |    FROM e, cbk b) t WHERE rn = 1),
+        |recon AS (
+        |  SELECT enc.vec_id, flatten(list(b.c ORDER BY enc.m)) AS r
+        |  FROM enc JOIN cbk b ON b.m = enc.m AND b.j = enc.code
+        |  GROUP BY enc.vec_id),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, r.r) / (q.nrm * sqrt(list_dot_product(r.r, r.r))) AS score
+        |  FROM assign q
+        |  JOIN assign c ON q.list = c.list AND q.vec_id <> c.vec_id
+        |  JOIN recon r ON r.vec_id = c.vec_id
+        |  WHERE q.vec_id < 50)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
     // IVF multi-probe (nprobe=2): queries take their TWO nearest centroid
     // lists (score DESC, list DESC — the engine's tie order), corpus stays
     // single-list; otherwise the q_ann_ivf replay.

@@ -55,17 +55,75 @@ object IvfIndex {
     fs.exists(paramsPath(p))
   }
 
+  private val Kinds = Set("ivf-index", "ivf-pq-index")
+
+  private def kindOf(spark: SparkSession, dir: String): String = {
+    val (p, fs) = fsOf(spark, dir)
+    val in = fs.open(paramsPath(p))
+    val node = try mapper.readTree(in.readAllBytes()) finally in.close()
+    val k = node.get("kind").asText()
+    require(Kinds.contains(k), s"$dir is not an IVF index (kind=$k)")
+    k
+  }
+
+  /** Whether the index stores PQ CODES instead of raw vectors. */
+  def isPq(spark: SparkSession, dir: String): Boolean =
+    kindOf(spark, dir) == "ivf-pq-index"
+
   /** (dim, numLists) as pinned at create time. */
   def params(spark: SparkSession, dir: String): (Int, Int) = {
     val (p, fs) = fsOf(spark, dir)
     val in = fs.open(paramsPath(p))
     val node = try mapper.readTree(in.readAllBytes()) finally in.close()
-    require(node.get("kind").asText() == "ivf-index", s"$dir is not an IVF index")
+    require(Kinds.contains(node.get("kind").asText()), s"$dir is not an IVF index")
     (node.get("dim").asInt(), node.get("numLists").asInt())
   }
 
   def centroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     ModelStore.loadCentroids(spark, s"$dir/_centroids.json")
+
+  // PQ codebooks persist as their own JSON artifact beside the centroids
+  // (numSub × codebookSize × dsub doubles — a few KB at PQ scales).
+  private def pqPath(dir: String) = s"$dir/_pq.json"
+
+  private def savePqBooks(spark: SparkSession, dir: String,
+      books: Array[Array[Array[Double]]]): Unit = {
+    val (_, fs) = fsOf(spark, dir)
+    val root = mapper.createObjectNode()
+    root.put("kind", "pq-codebooks")
+    root.put("numSub", books.length)
+    root.put("codebookSize", books.head.length)
+    root.put("dsub", books.head.head.length)
+    val arr = root.putArray("books")
+    books.foreach { book =>
+      val b = arr.addArray()
+      book.foreach { cw => val c = b.addArray(); cw.foreach(c.add) }
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(pqPath(dir)), true)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The frozen PQ codebooks of an `ivf-pq-index`. */
+  def pqBooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val (_, fs) = fsOf(spark, dir)
+    val in = fs.open(new org.apache.hadoop.fs.Path(pqPath(dir)))
+    val node = try mapper.readTree(in.readAllBytes()) finally in.close()
+    require(node.get("kind").asText() == "pq-codebooks", s"${pqPath(dir)}: corrupt codebooks")
+    val it = node.get("books").elements()
+    val b = Array.newBuilder[Array[Array[Double]]]
+    while (it.hasNext) {
+      val bi = it.next().elements()
+      val bb = Array.newBuilder[Array[Double]]
+      while (bi.hasNext) {
+        val ci = bi.next().elements()
+        val cb = Array.newBuilder[Double]
+        while (ci.hasNext) cb += ci.next().asDouble()
+        bb += cb.result()
+      }
+      b += bb.result()
+    }
+    b.result()
+  }
 
   /** Assign `vecs` to the frozen centroid set and write one
     * list-partitioned subdir. The assignment is [[Similarity.ivfAssign]]'s
@@ -87,6 +145,37 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("list").parquet(out)
   }
 
+  /** PQ twin of [[writeAssigned]]: the stored payload is (id, CODES,
+    * list) — no raw vector ever lands in the index, the memory contract
+    * that fits a 100 TB corpus's search index where floats do not
+    * (numSub small ints per vector vs dim floats). Encoding is
+    * [[Similarity.pqEncode]]'s exact op order, identical at create and
+    * append time under the frozen codebooks.
+    */
+  private def writeEncoded(
+      vecs: DataFrame, out: String, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], idCol: String, vecCol: String): Unit = {
+    graft.sql.VecDot.ensureRegistered(vecs.sparkSession)
+    val bc = Similarity.broadcastCentroids(cents)
+    vecs.select(col(idCol).as("id"),
+        Similarity.pqEncode(col(vecCol), books).as("codes"),
+        Similarity.ivfAssign(col(vecCol), bc, cents.head.length, cents.length)
+          .cast("int").as("list"))
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(out)
+  }
+
+  private def writeParams(spark: SparkSession, dir: String, kind: String,
+      cents: Array[Array[Double]]): Unit = {
+    val (p, fs) = fsOf(spark, dir)
+    val root = mapper.createObjectNode()
+    root.put("kind", kind)
+    root.put("dim", cents.head.length)
+    root.put("numLists", cents.length)
+    val out = fs.create(paramsPath(p), false)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+  }
+
   /** Initialize the index: freeze `cents`, assign and store `corpus`.
     * Overwrites any previous index at `dir`.
     */
@@ -95,17 +184,33 @@ object IvfIndex {
       corpus: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(cents.nonEmpty, "IvfIndex.create requires at least one centroid")
-    val (p, fs) = fsOf(spark, dir)
-    fs.delete(p, true)
+    val (_, fs) = fsOf(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     ModelStore.saveCentroids(spark, s"$dir/_centroids.json", cents)
     writeAssigned(corpus, s"$dir/data/seed", cents, idCol, vecCol)
     writeManifest(spark, dir, Seq("seed"))
-    val root = mapper.createObjectNode()
-    root.put("kind", "ivf-index")
-    root.put("dim", cents.head.length)
-    root.put("numLists", cents.length)
-    val out = fs.create(paramsPath(p), false)
-    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+    writeParams(spark, dir, "ivf-index", cents)
+  }
+
+  /** Initialize a PQ-CODED index: freeze `cents` AND `books`, encode and
+    * store `corpus` as (id, codes, list). Queries run asymmetric scoring
+    * (exact query, reconstructed corpus) via [[topKPq]]; raw vectors are
+    * never stored. Overwrites any previous index at `dir`.
+    */
+  def createPq(
+      spark: SparkSession, dir: String, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(cents.nonEmpty, "IvfIndex.createPq requires at least one centroid")
+    require(books.nonEmpty && books.head.nonEmpty, "IvfIndex.createPq requires PQ codebooks")
+    require(books.length * books.head.head.length == cents.head.length,
+      s"codebooks cover dim ${books.length * books.head.head.length}, centroids have dim ${cents.head.length}")
+    fsOf(spark, dir)._2.delete(new org.apache.hadoop.fs.Path(dir), true)
+    ModelStore.saveCentroids(spark, s"$dir/_centroids.json", cents)
+    savePqBooks(spark, dir, books)
+    writeEncoded(corpus, s"$dir/data/seed", cents, books, idCol, vecCol)
+    writeManifest(spark, dir, Seq("seed"))
+    writeParams(spark, dir, "ivf-pq-index", cents)
   }
 
   // ---------------------------------------------------------- manifest
@@ -156,7 +261,14 @@ object IvfIndex {
     require(exists(spark, dir), s"no IVF index at $dir")
     require(name.nonEmpty && name != "seed" && !name.startsWith("compact-") && !name.contains("/"),
       s"append name '$name' must be a non-reserved single path segment")
-    writeAssigned(vecs, s"$dir/data/$name", centroids(spark, dir), idCol, vecCol)
+    // the stored payload follows the index KIND: raw vectors for a plain
+    // IVF index, frozen-codebook codes for a PQ one — an append can never
+    // mix payloads into a layout queries would misread
+    if (isPq(spark, dir))
+      writeEncoded(vecs, s"$dir/data/$name", centroids(spark, dir), pqBooks(spark, dir),
+        idCol, vecCol)
+    else
+      writeAssigned(vecs, s"$dir/data/$name", centroids(spark, dir), idCol, vecCol)
     writeManifest(spark, dir, readManifest(spark, dir) :+ name)
   }
 
@@ -172,10 +284,10 @@ object IvfIndex {
     val live = readManifest(spark, dir)
     if (live.size <= 1) return
     val target = s"compact-${java.util.UUID.randomUUID()}"
-    // rows are already assigned — fold verbatim, keeping the list column
-    // as the partition key (no re-assignment, the quantizer is frozen)
+    // rows are already assigned/encoded — fold verbatim whatever payload
+    // the index kind stores, keeping the list column as the partition key
+    // (no re-assignment, the quantizer and codebooks are frozen)
     readAssigned(spark, dir)
-      .select(col("id"), col("vec"), col("list"))
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$dir/data/$target")
     writeManifest(spark, dir, Seq(target))
@@ -208,9 +320,11 @@ object IvfIndex {
     }
     if (listDirs.isEmpty) {
       import org.apache.spark.sql.types._
+      val payload =
+        if (isPq(spark, dir)) StructField("codes", ArrayType(IntegerType))
+        else StructField("vec", ArrayType(FloatType))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("id", LongType), StructField("vec", ArrayType(FloatType)),
-          StructField("list", IntegerType))))
+        StructType(Seq(StructField("id", LongType), payload, StructField("list", IntegerType))))
     }
     spark.read.parquet(listDirs.map(_.toString): _*)
       .withColumn("list",
@@ -232,6 +346,7 @@ object IvfIndex {
       spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       nprobe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(!isPq(spark, dir), s"$dir stores PQ codes — use topKPq (raw vectors are not stored)")
     graft.sql.VecDot.ensureRegistered(spark)
     val cents = centroids(spark, dir)
     val bc = Similarity.broadcastCentroids(cents)
@@ -249,6 +364,43 @@ object IvfIndex {
       .join(broadcast(q), col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Asymmetric top-k THROUGH a PQ-coded index: exact query side,
+    * reconstructed corpus side — [[Similarity.ivfPqTopK]]'s exact scoring
+    * op order (`dot(q, reconstruct(codes)) / (q_norm * recon_norm)`, ties
+    * by neighbor id), with the codes read from STORAGE instead of encoded
+    * on the fly. The scan ships (id, numSub small ints, list) per
+    * candidate — never a raw vector — and prunes to the probed `list=`
+    * directories like [[topK]]: the IVF layer bounds WHICH pairs are
+    * scored, PQ bounds WHAT each candidate costs to store and move.
+    */
+  def topKPq(
+      spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nprobe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(isPq(spark, dir), s"$dir stores raw vectors — use topK")
+    graft.sql.VecDot.ensureRegistered(spark)
+    val cents = centroids(spark, dir)
+    val books = pqBooks(spark, dir)
+    val bc = Similarity.broadcastCentroids(cents)
+    val (dim, nLists) = (cents.head.length, cents.length)
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Similarity.norm(col(vecCol)).as("q_norm"),
+      explode(Similarity.ivfProbes(col(vecCol), bc, dim, nLists, nprobe)
+        .cast("array<int>")).as("q_list"))
+    val probed = q.select("q_list").distinct().collect().map(_.getInt(0)).toSeq
+    val c = readAssigned(spark, dir, Some(probed))
+      .select(col("id").as("neighbor_id"), col("list").as("c_list"),
+        Similarity.pqReconstruct(col("codes"), books).as("recon"))
+      .withColumn("r_norm", Similarity.norm(col("recon")))
+    val scored = c
+      .join(broadcast(q), col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Similarity.dot(col("q_vec"), col("recon")) / (col("q_norm") * col("r_norm"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }

@@ -1651,6 +1651,33 @@ object Queries {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** Incremental IVF-PQ index ([[graft.ext.IvfIndex.createPq]]): same
+    * shape as q_ann_ivf_increment but the stored payload is PQ CODES —
+    * (id, 8 small ints, list) per vector, never a raw float — encoded
+    * under codebooks frozen at create time (the readable row-seeded books
+    * of q_ann_ivfpq), appended by frozen-quantizer assignment + frozen-
+    * book encoding, and answered by [[graft.ext.IvfIndex.topKPq]]'s
+    * asymmetric scoring straight off the stored codes. The DuckDB oracle
+    * replays q_ann_ivfpq's exact computation over the MERGED corpus with
+    * base-derived centroids AND codebooks, so a match proves appended
+    * vectors encode and score identically to a from-scratch build — the
+    * memory-bounded (codes-only) incremental tier for 100 TB search.
+    */
+  def qAnnIvfPqIncrement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.IvfIndex
+    val emb = t(spark, dir, "embeddings")
+    val digest = java.lang.Integer.toHexString(dir.hashCode)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-index-$digest"
+    val books = Similarity.pqCodebooksFromRows(emb, numSub = 8, codebookSize = 16)
+    IvfIndex.createPq(spark, idxDir, ivfGateCentroids(emb), books, emb)
+    IvfIndex.append(spark, idxDir,
+      emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      name = "increment")
+    IvfIndex.topKPq(spark, idxDir, emb.where(col("vec_id") < 50), k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** Embedding near-duplicate pairs via the LSH SCALE path (vs the
     * bounded-id exact baseline of q_embedding_near_dup): the whole corpus
     * plus an identical copy per vector (id+1e6), sign-bucketed, compared
@@ -3783,6 +3810,7 @@ object Queries {
     "q_ann_ivf_mp" -> (qAnnIvfMultiprobe _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_ivf_increment" -> (qAnnIvfIncrement _),
+    "q_ann_ivfpq_increment" -> (qAnnIvfPqIncrement _),
     "q_semdedup" -> (qSemDedup _),
     "q_cluster_curation" -> (qClusterCuration _),
     "q_quality_classifier" -> (qQualityClassifier _),

@@ -108,6 +108,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(res() === before, "compaction must not change a single top-k result")
   }
 
+  test("PQ index: codes-only storage, appended top-k bit-equal to from-scratch, compact-stable") {
+    val idx = s"${tmpDir("ivfpq-idx")}/index"
+    val books = Similarity.pqCodebooksFromRows(emb, numSub = 8, codebookSize = 16)
+    IvfIndex.createPq(spark, idx, cents, books, emb)
+    IvfIndex.append(spark, idx, increment, name = "inc1")
+
+    // the memory contract, checked at the FILE level (one concrete part
+    // file — the `list` column is directory metadata, not stored data):
+    // rows carry (id, codes), no raw vector column anywhere in the index
+    val aPart = {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/data/seed")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var found: String = null
+      while (it.hasNext && found == null) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-")) found = f.getPath.toString
+      }
+      found
+    }
+    val stored = spark.read.parquet(aPart)
+    assert(stored.columns.toSet === Set("id", "codes"),
+      s"PQ index files must store codes only, found ${stored.columns.mkString(",")}")
+
+    val union = emb.unionByName(increment)
+    val queries = emb.where(col("vec_id") < 50)
+    def collect(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("query_id", "neighbor_id", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = collect(Similarity.ivfPqTopK(queries, union, k = 10, cents, books))
+    val indexed = collect(IvfIndex.topKPq(spark, idx, queries, k = 10))
+    assert(indexed === direct,
+      "stored-code scoring must be bit-identical to on-the-fly encode + score")
+
+    IvfIndex.compact(spark, idx)
+    assert(collect(IvfIndex.topKPq(spark, idx, queries, k = 10)) === direct)
+
+    // kind guards: the wrong query path fails loudly, not wrongly
+    assertThrows[IllegalArgumentException] { IvfIndex.topK(spark, idx, queries, k = 10) }
+  }
+
   test("recall@10 through the appended index clears the IVF floor on the merged corpus") {
     val idx = s"${tmpDir("ivf-recall")}/index"
     IvfIndex.create(spark, idx, cents, emb)
