@@ -2056,6 +2056,40 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
 
+    // Incremental SemDedup through the stored IVF index: replay the
+    // frozen-centroid assignment of corpus AND increment, then the
+    // exists-a-same-cluster-dominator decision (cosine >= 0.99 against any
+    // STORED vector; arrival order makes every stored vector a valid
+    // dominator, no keep-order predicate) — identical IEEE op order to
+    // IvfIndex.semDedupIncrement.
+    "q_semdedup_increment" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS list, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv FROM e WHERE vec_id < 8),
+        |corp AS (
+        |  SELECT vec_id, v, nrm, list FROM (
+        |    SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, c.list,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)) DESC, c.list DESC) AS rn
+        |    FROM e, cents c) t
+        |  WHERE rn = 1),
+        |inc0 AS (
+        |  SELECT vec_id + 1000000 AS vec_id, v FROM e WHERE vec_id < 150
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, list_reverse(v) FROM e WHERE vec_id >= 150 AND vec_id < 300),
+        |iass AS (
+        |  SELECT vec_id, v, nrm, list FROM (
+        |    SELECT i.vec_id, i.v, sqrt(list_dot_product(i.v, i.v)) AS nrm, c.list,
+        |      row_number() OVER (PARTITION BY i.vec_id
+        |        ORDER BY list_dot_product(i.v, c.cv) / sqrt(list_dot_product(i.v, i.v)) DESC, c.list DESC) AS rn
+        |    FROM inc0 i, cents c) t
+        |  WHERE rn = 1)
+        |SELECT i.vec_id FROM iass i
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM corp s
+        |  WHERE s.list = i.list
+        |    AND list_dot_product(i.v, s.v) / (i.nrm * s.nrm) >= 0.99)
+        |ORDER BY vec_id""".stripMargin,
+
     // SemDeDup: the corpus plus a planted exact copy of every vector
     // (ids +1e6), assigned to the q_ann_ivf readable centroids; a row is
     // pruned when a same-cluster neighbor at cosine >= 0.999 precedes it

@@ -368,6 +368,53 @@ object IvfIndex {
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
 
+  /** SemDedup INCREMENT against the stored index — the fourth member of
+    * the incremental-tier family (exact dedup → bloom index, near-dup →
+    * MinHash band index, ANN → this IVF index, and now semantic dedup
+    * through the SAME stored artifact): an increment vector is suppressed
+    * when ANY same-cluster stored vector has cosine ≥ `threshold` with it.
+    * Stored corpus members all precede the increment in
+    * [[Similarity.semDedup]]'s keep order by arrival, so no order
+    * predicate is needed; intra-increment near-dups both survive (compose
+    * the batch [[Similarity.semDedup]] upstream — the family's usual
+    * layering). Survivors are what the caller [[append]]s back, closing
+    * the daily loop.
+    *
+    * Plan shape: assignment is the map-only broadcast argmax; the stored
+    * corpus is scanned ONCE, pruned to the increment's own clusters
+    * (planning-time directory cut — IO ∝ the increment's cluster data,
+    * never the corpus), with the increment broadcast to it — the corpus
+    * side is never shuffled. Cosines use [[Similarity.semDedup]]'s exact
+    * IEEE op order, so the DuckDB oracle (q_semdedup_increment) replays
+    * the suppression decision bit-for-bit.
+    */
+  def semDedupIncrement(
+      spark: SparkSession, dir: String, increment: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(!isPq(spark, dir),
+      s"$dir stores PQ codes — semantic dedup needs exact cosines over a raw-vector index")
+    graft.sql.VecDot.ensureRegistered(spark)
+    val cents = centroids(spark, dir)
+    val bc = Similarity.broadcastCentroids(cents)
+    val (dim, nLists) = (cents.head.length, cents.length)
+    // materialize once (increment-sized): consumed by the probe collect,
+    // the domination join, and the final anti join
+    val inc = increment.select(col(idCol), col(vecCol),
+        Similarity.ivfAssign(col(vecCol), bc, dim, nLists).cast("int").as("_list"),
+        Similarity.norm(col(vecCol)).as("_nrm"))
+      .localCheckpoint()
+    val probed = inc.select("_list").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = readAssigned(spark, dir, Some(probed)).select(
+      col("vec").as("_s_v"), Similarity.norm(col("vec")).as("_s_nrm"),
+      col("list").as("_s_list"))
+    val dominated = corpus
+      .join(broadcast(inc), col("_s_list") === col("_list") &&
+        Similarity.dot(col(vecCol), col("_s_v")) / (col("_nrm") * col("_s_nrm")) >= threshold)
+      .select(col(idCol)).distinct()
+    inc.join(broadcast(dominated), Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol))
+  }
+
   /** Asymmetric top-k THROUGH a PQ-coded index: exact query side,
     * reconstructed corpus side — [[Similarity.ivfPqTopK]]'s exact scoring
     * op order (`dot(q, reconstruct(codes)) / (q_norm * recon_norm)`, ties

@@ -1678,6 +1678,34 @@ object Queries {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** Incremental SemDedup through the persisted IVF index
+    * ([[graft.ext.IvfIndex.semDedupIncrement]]): the corpus is indexed
+    * once (same readable centroids as q_ann_ivf), then a planted increment
+    * — exact copies of vec_id<150 at +1e6 (each dominated by its original:
+    * cosine 1) plus element-REVERSED vectors of 150≤vec_id<300 at +2e6
+    * (whatever their true same-cluster cosines are) — is filtered against
+    * the STORED vectors only. The DuckDB oracle replays the assignment and
+    * the exists-a-dominator decision with identical IEEE op order over the
+    * same construction, so survivors match bit-for-bit. This closes the
+    * incremental-tier family: exact (bloom), near-dup (band index), ANN
+    * and semantic dedup (this index).
+    */
+  def qSemDedupIncrement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.IvfIndex
+    val emb = t(spark, dir, "embeddings")
+    val digest = java.lang.Integer.toHexString(dir.hashCode)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-semdedup-$digest"
+    IvfIndex.create(spark, idxDir, ivfGateCentroids(emb), emb)
+    val inc = emb.where(col("vec_id") < 150)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.where(col("vec_id") >= 150 && col("vec_id") < 300)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    IvfIndex.semDedupIncrement(spark, idxDir, inc, threshold = 0.99)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding near-duplicate pairs via the LSH SCALE path (vs the
     * bounded-id exact baseline of q_embedding_near_dup): the whole corpus
     * plus an identical copy per vector (id+1e6), sign-bucketed, compared
@@ -3811,6 +3839,7 @@ object Queries {
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_ivf_increment" -> (qAnnIvfIncrement _),
     "q_ann_ivfpq_increment" -> (qAnnIvfPqIncrement _),
+    "q_semdedup_increment" -> (qSemDedupIncrement _),
     "q_semdedup" -> (qSemDedup _),
     "q_cluster_curation" -> (qClusterCuration _),
     "q_quality_classifier" -> (qQualityClassifier _),

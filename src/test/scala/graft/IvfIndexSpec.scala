@@ -149,6 +149,44 @@ class IvfIndexSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { IvfIndex.topK(spark, idx, queries, k = 10) }
   }
 
+  test("semDedupIncrement suppresses exactly the stored-dominated increment vectors") {
+    val idx = s"${tmpDir("ivf-semdedup")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    val seedBefore = dataFiles(idx, "seed")
+    // exact copies (always dominated: cosine 1) + reversed vectors
+    // (dominated iff some same-cluster stored vector clears the threshold)
+    val inc = emb.where(col("vec_id") < 30)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.where(col("vec_id") >= 30 && col("vec_id") < 60)
+        .select((col("vec_id") + 2000000L).as("vec_id"), reverse(col("embedding")).as("embedding")))
+    val got = IvfIndex.semDedupIncrement(spark, idx, inc, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dataFiles(idx, "seed") === seedBefore, "the increment filter must not touch the index")
+
+    // brute-force replay: frozen-centroid assignment + exists-a-dominator
+    def assign(v: Array[Double]): Int = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      cents.zipWithIndex.map { case (c, i) =>
+        (v.zip(c).map { case (a, b) => a * b }.sum / n, i)
+      }.maxBy { case (s, i) => (s, i) }._2
+    }
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val byList = corpus.map { case (_, v) => (assign(v), v) }.groupBy(_._1)
+    val incLocal = inc.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val expected = incLocal.filter { case (_, x) =>
+      val nx = math.sqrt(x.map(a => a * a).sum)
+      !byList.getOrElse(assign(x), Array.empty).exists { case (_, s) =>
+        val ns = math.sqrt(s.map(a => a * a).sum)
+        x.zip(s).map { case (a, b) => a * b }.sum / (nx * ns) >= 0.99
+      }
+    }.map(_._1).toSet
+    assert(got === expected)
+    assert(incLocal.map(_._1).toSet.diff(got).nonEmpty, "the plant must suppress something")
+    assert(got.nonEmpty, "the plant must keep something")
+  }
+
   test("recall@10 through the appended index clears the IVF floor on the merged corpus") {
     val idx = s"${tmpDir("ivf-recall")}/index"
     IvfIndex.create(spark, idx, cents, emb)
