@@ -932,9 +932,11 @@ object SparkEntry {
     // arrival version). Duplicates are exact copies, so LSH suppression is
     // certain and the expected table is exactly: batch-1 rows minus the %7
     // tombstones, plus the %5 / %4 / %6 / %9 fresh families at versions
-    // 2..5.
+    // 2..5. The %11 live keys are IN-PLACE UPDATED at v5 with their own
+    // near-dup text — the same-key exemption must admit the version bump.
     "q_stream_near_dup_e2e" ->
-      """SELECT CAST(doc_id AS BIGINT) AS id, CAST(1 AS BIGINT) AS v
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 5 ELSE 1 END AS BIGINT) AS v
         |FROM documents WHERE doc_id % 7 <> 0
         |UNION ALL SELECT CAST(2000000 + doc_id AS BIGINT), CAST(2 AS BIGINT)
         |FROM documents WHERE doc_id % 5 = 0

@@ -120,16 +120,50 @@ object CdcPipeline {
     * safe). Delete tombstones ALWAYS pass: a CDC delete must reach the
     * merge whatever its payload text near-dups — suppressing it would
     * resurrect the target row.
+    *
+    * Same-key exemption: batch keys already LIVE in the target are
+    * UPDATES of rows the dedup admitted earlier — their own indexed bands
+    * would otherwise suppress every version bump whose text is unchanged
+    * (or still near-dups the prior version), silently dropping the
+    * update. Live keys are collected with a bucket-pruned read (buckets
+    * derived from the batch's keys — the merge's own cost class: one
+    * O(affected buckets) key scan per batch, never the table), and the
+    * exempt set is bounded by the micro-batch's key count.
+    *
+    * Residual, BY CONTENT-DEDUP SEMANTICS: a key deleted earlier whose
+    * content is later RE-INSERTED near-duplicating anything already
+    * indexed (including its own pre-delete text) stays suppressed — the
+    * band index keeps content history across tombstones (bands carry no
+    * ids, so a tombstone cannot retract them). dedupTextColumn is the
+    * crawl-dedup contract: previously seen content is a duplicate even
+    * if its original row was since deleted. Sources that re-insert
+    * deleted keys with recycled content should not enable it.
     */
   private[graft] def contentDedupBatch(
-      staged: DataFrame, spec: StreamSpec, batchId: Long): DataFrame =
+      staged: DataFrame, spec: StreamSpec, batchId: Long, table: SnapshotTable): DataFrame =
     spec.dedupTextColumn match {
       case None => staged
       case Some(tc) =>
         val isDel = coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false))
+        val nonDel = staged.where(!isDel)
+        val exempt: Option[DataFrame] =
+          if (!table.exists) None
+          else {
+            val snap = table.currentSnapshot
+            val n = snap.numBuckets
+            val fn = SnapshotTable.bucketFnOf(snap.properties)
+            val buckets = nonDel
+              .select(table.bucketExpr(MergeKey.ColumnName, n, fn).as("_gbk"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            if (buckets.isEmpty) None
+            else Some(
+              table.read(Some(buckets)).select(col(MergeKey.ColumnName))
+                .join(broadcast(nonDel.select(col(MergeKey.ColumnName)).distinct()),
+                  Seq(MergeKey.ColumnName), "leftsemi"))
+          }
         graft.streaming.StreamOps
-          .dedupBatchMaintainingIndex(staged.where(!isDel), spec.dedupIndexLocation.get,
-            batchId, idCol = MergeKey.ColumnName, textCol = tc)
+          .dedupBatchMaintainingIndex(nonDel, spec.dedupIndexLocation.get,
+            batchId, idCol = MergeKey.ColumnName, textCol = tc, exemptIds = exempt)
           .unionByName(staged.where(isDel))
     }
 
@@ -350,7 +384,7 @@ object CdcPipeline {
             // affected-bucket set computed from RAW keys is a superset of
             // the post-dedup keys', which merge tolerates (extra buckets
             // carry forward unchanged, rows are never dropped).
-            val staged = contentDedupBatch(stage(raw, typedSchema, spec), spec, batchId)
+            val staged = contentDedupBatch(stage(raw, typedSchema, spec), spec, batchId, table)
             // content dedup returns a locally-checkpointed frame, so this
             // count is a block scan, not a recompute; -1 = dedup disabled
             // (don't pay an action to log a number equal to `rows`)

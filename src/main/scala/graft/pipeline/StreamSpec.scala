@@ -76,9 +76,17 @@ final case class StreamSpec(
     // maintained MinHash band index (StreamOps.dedupBatchMaintainingIndex)
     // BEFORE the merge — the daily-crawl steady state wired into the CDC
     // loop. Delete tombstones always pass (a delete must reach the merge
-    // regardless of its payload text). An Overwrite/first backfill SEEDS
-    // the index from its live rows; the stream then appends each batch's
-    // survivors' bands. Both fields go together.
+    // regardless of its payload text), and keys already LIVE in the target
+    // are exempt (an UPDATE must not be suppressed by its own prior
+    // version's bands). An Overwrite/first backfill SEEDS the index from
+    // its live rows; the stream then appends each batch's survivors'
+    // bands. Both fields go together.
+    // LOUD CAVEAT: the index keeps content history across deletes (bands
+    // carry no ids, so tombstones cannot retract them) — a RE-INSERT of a
+    // previously deleted key whose text near-dups anything already seen
+    // stays suppressed. That is the crawl-dedup contract; do NOT enable
+    // dedupTextColumn for sources that re-insert deleted keys with
+    // recycled content.
     dedupTextColumn: Option[String] = None,
     dedupIndexLocation: Option[String] = None,
     dedupIndexCompactEvery: Int = 0            // compact the band index every N stream batches (0 = never)

@@ -249,6 +249,10 @@ object CdcFixtureGen {
     *            d%12==0            → (7e6+d,    zs·d)   dup via protected batch-1  [drop]
     *            d%18==0            → (8e6+d,    zt·d)   dup via protected batch-2  [drop]
     *            d%9==0             → (9e6+d,    zu·d)   fresh       [keep]
+    *            d%11==0 && d%7!=0  → (d,        zq·d)   IN-PLACE UPDATE of a live
+    *            key with its own (near-dup) prior text — the same-key
+    *            exemption must let it through to the merge at v5; without
+    *            it the row's own seed bands would suppress the version bump
     *
     * Duplicates are EXACT copies — identical text gives an identical
     * signature, so every band matches and LSH suppression is certain (the
@@ -259,7 +263,7 @@ object CdcFixtureGen {
     */
   def materializeStreamDocs(spark: SparkSession, sfDir: String): String = {
     val src = new java.io.File(s"$sfDir/documents.parquet")
-    val srcSig = s"docs1-${src.length}-${src.lastModified}"
+    val srcSig = s"docs2-${src.length}-${src.lastModified}"
     val dirKey = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-cdc-docs-$dirKey")
     val done = root.resolve("_complete")
@@ -303,7 +307,9 @@ object CdcFixtureGen {
         ids.filter(_ % 8 == 0).map(d => line(6000000L + d, docBody("zq", d), 5L, isDel = false)) ++
         ids.filter(_ % 12 == 0).map(d => line(7000000L + d, docBody("zs", d), 5L, isDel = false)) ++
         ids.filter(_ % 18 == 0).map(d => line(8000000L + d, docBody("zt", d), 5L, isDel = false)) ++
-        ids.filter(_ % 9 == 0).map(d => line(9000000L + d, docBody("zu", d), 5L, isDel = false)))
+        ids.filter(_ % 9 == 0).map(d => line(9000000L + d, docBody("zu", d), 5L, isDel = false)) ++
+        ids.filter(d => d % 11 == 0 && d % 7 != 0)
+          .map(d => line(d, docBody("zq", d), 5L, isDel = false)))
       Files.write(root.resolve("model.json"), docsModel.getBytes(StandardCharsets.UTF_8))
       Files.createDirectories(root.resolve("Changelog"))
       Files.write(done, srcSig.getBytes(StandardCharsets.UTF_8))

@@ -338,13 +338,22 @@ object StreamOps {
     * un-indexed ([[dedupStreamAgainstCorpus]]'s contract). Intra-batch
     * near-dups both survive (compose [[nearDedupStream]] upstream, the
     * family's usual layering). Single maintainer per index dir.
+    *
+    * `exemptIds` (one `idCol` column; bounded by the micro-batch's key
+    * count, so broadcastable by construction): ids that are NEVER
+    * suppressed whatever their bands collide with — the CDC pipeline
+    * passes the batch keys already live in the target so an UPDATE whose
+    * text still near-dups its own indexed prior version reaches the
+    * merge instead of being silently dropped. Exempt survivors still
+    * append their (possibly changed) bands like any other survivor.
     */
   def dedupBatchMaintainingIndex(
       batch: DataFrame,
       dir: String,
       batchId: Long,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      exemptIds: Option[DataFrame] = None
   ): DataFrame = {
     val spark = batch.sparkSession
     val (p, fs) = indexFs(spark, dir)
@@ -365,8 +374,10 @@ object StreamOps {
       else spark.read.schema(bandSchema).parquet(prior.map(_.toString): _*)
         .join(broadcast(bands), Seq("band", "key"))
         .select(col(idCol)).distinct()
+    val dupEff = exemptIds.fold(dupIds)(e =>
+      dupIds.join(broadcast(e.select(col(idCol)).distinct()), Seq(idCol), "leftanti"))
     val survivors = batch.where(!emptyText)
-      .join(broadcast(dupIds), Seq(idCol), "leftanti")
+      .join(broadcast(dupEff), Seq(idCol), "leftanti")
     bands.join(broadcast(survivors.select(col(idCol))), Seq(idCol), "leftsemi")
       .select("band", "key").distinct()
       .write.mode("overwrite")

@@ -71,7 +71,8 @@ class ContentDedupSpec extends SparkSpec {
     // q_stream_near_dup_e2e oracle).
     val ids = 0 until 12
     val expected =
-      ids.filter(_ % 7 != 0).map(d => (d.toLong, 1L)) ++
+      ids.filter(d => d % 7 != 0 && d % 11 != 0).map(d => (d.toLong, 1L)) ++
+      ids.filter(d => d % 7 != 0 && d % 11 == 0).map(d => (d.toLong, 5L)) ++
       ids.filter(_ % 5 == 0).map(d => (2000000L + d, 2L)) ++
       ids.filter(_ % 4 == 0).map(d => (4000000L + d, 3L)) ++
       ids.filter(_ % 6 == 0).map(d => (5000000L + d, 4L)) ++
@@ -116,7 +117,8 @@ class ContentDedupSpec extends SparkSpec {
 
     val ids = 0 until 12
     val expected =
-      ids.filter(_ % 7 != 0).map(d => (d.toLong, 1L)) ++
+      ids.filter(d => d % 7 != 0 && d % 11 != 0).map(d => (d.toLong, 1L)) ++
+      ids.filter(d => d % 7 != 0 && d % 11 == 0).map(d => (d.toLong, 5L)) ++
       ids.filter(_ % 5 == 0).map(d => (2000000L + d, 2L)) ++
       ids.filter(_ % 4 == 0).map(d => (4000000L + d, 3L)) ++
       ids.filter(_ % 6 == 0).map(d => (5000000L + d, 4L)) ++
@@ -140,12 +142,46 @@ class ContentDedupSpec extends SparkSpec {
     ).toDF("arcane_merge_key", "body", "IsDelete")
     val spec = StreamSpec(sourcePath = "/x", entityName = "e", targetLocation = "/y",
       dedupTextColumn = Some("body"), dedupIndexLocation = Some(index))
-    val out = CdcPipeline.contentDedupBatch(staged, spec, batchId = 7L)
+    val out = CdcPipeline.contentDedupBatch(staged, spec, batchId = 7L,
+        SnapshotTable(spark, s"${tmpDir("content-dedup-unit-tbl")}/absent"))
       .select("arcane_merge_key").as[String].collect().toSet
     assert(out === Set("k2", "k3"))
     // only the SURVIVING insert's bands were appended, under the batchId name
     val batchDirs = dataSubdirs(index).filter(_.startsWith("batch-"))
     assert(batchDirs === Set(f"batch-${7L}%020d"))
+  }
+
+  test("same-key exemption: a live key's UPDATE passes its own bands; a deleted key's re-insert stays suppressed") {
+    val index = s"${tmpDir("content-dedup-exempt")}/idx"
+    import spark.implicits._
+    // index history: k1's text (k1 is LIVE in the target) and k4's text
+    // (k4 was ingested then DELETED — its bands survive the tombstone, the
+    // documented crawl-dedup residual)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (4L, "omega psi chi phi upsilon")).toDF("doc_id", "text")
+    StreamOps.initBandIndex(spark, index,
+      graft.ext.Dedup.MinHashParams(128, 16, 3, 42L, oph = false), Some(corpus))
+    val tbl = SnapshotTable(spark, s"${tmpDir("content-dedup-exempt-tbl")}/t")
+    tbl.createOrReplace(
+      Seq(("k1", "alpha beta gamma delta epsilon", 1L))
+        .toDF("arcane_merge_key", "body", "versionnumber"),
+      "arcane_merge_key", numBuckets = 4)
+    val staged = Seq(
+      // UPDATE of the live key with its own (identical → certain-collision)
+      // text: without the exemption the version bump is silently dropped
+      ("k1", "alpha beta gamma delta epsilon", false),
+      // re-insert of the DELETED key's content: stays suppressed (residual)
+      ("k4", "omega psi chi phi upsilon", false),
+      // a NEW key duplicating live content: still suppressed — the
+      // exemption is per-live-key, never a blanket pass
+      ("k5", "alpha beta gamma delta epsilon", false)
+    ).toDF("arcane_merge_key", "body", "IsDelete")
+    val spec = StreamSpec(sourcePath = "/x", entityName = "e", targetLocation = "/y",
+      dedupTextColumn = Some("body"), dedupIndexLocation = Some(index))
+    val out = CdcPipeline.contentDedupBatch(staged, spec, batchId = 9L, tbl)
+      .select("arcane_merge_key").as[String].collect().toSet
+    assert(out === Set("k1"))
   }
 
   test("StreamSpec JSON round-trips the content-dedup fields; a lone field is rejected") {
