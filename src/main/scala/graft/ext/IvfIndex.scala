@@ -131,6 +131,18 @@ object IvfIndex {
     * append time, so an appended copy of a stored vector lands in its
     * original's list by construction.
     */
+  /** A null/empty embedding gets no list from [[Similarity.ivfAssign]];
+    * letting it through would hive-write a `list=__HIVE_DEFAULT_PARTITION__`
+    * subdir that poisons every later probed read with a parse failure —
+    * fail THIS create/append loudly instead (executor-side raise_error:
+    * the id is in the message).
+    */
+  private def requiredList(listCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(listCol.isNull, raise_error(concat(
+      lit("IvfIndexNullAssignment: id "), col("id").cast("string"),
+      lit(" has a null/empty embedding — cannot assign an IVF list"))).cast("int"))
+      .otherwise(listCol)
+
   private def writeAssigned(
       vecs: DataFrame, out: String, cents: Array[Array[Double]],
       idCol: String, vecCol: String): Unit = {
@@ -139,6 +151,7 @@ object IvfIndex {
     vecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
         Similarity.ivfAssign(col(vecCol), bc, cents.head.length, cents.length)
           .cast("int").as("list"))
+      .withColumn("list", requiredList(col("list")))
       // one shuffle keyed by list id: each output task writes whole lists,
       // so a list's rows land in O(1) files instead of one per input task
       .repartition(col("list"))
@@ -161,6 +174,7 @@ object IvfIndex {
         Similarity.pqEncode(col(vecCol), books).as("codes"),
         Similarity.ivfAssign(col(vecCol), bc, cents.head.length, cents.length)
           .cast("int").as("list"))
+      .withColumn("list", requiredList(col("list")))
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(out)
   }
@@ -226,7 +240,19 @@ object IvfIndex {
 
   private def readManifest(spark: SparkSession, dir: String): Seq[String] = {
     val (p, fs) = fsOf(spark, dir)
-    val in = fs.open(manifestPath(p))
+    val mp = manifestPath(p)
+    if (!fs.exists(mp))
+      // NAMED error, never a bare FileNotFoundException: the manifest is
+      // published by an OVERWRITING atomic rename, so a hole here means
+      // external damage (or a pre-upgrade artifact), and which subdirs
+      // are live is genuinely unknowable from a listing alone — after a
+      // crashed compact both the folded blob and its absorbed inputs may
+      // coexist, and re-listing them all would double-count vectors.
+      throw new IllegalStateException(
+        s"IvfIndexManifestMissing: no _manifest.json at $dir — the live subdir set is " +
+          "unrecoverable from a listing (a crashed compact may leave both the folded and " +
+          "absorbed subdirs present); rebuild the index with create/createPq")
+    val in = fs.open(mp)
     val node = try mapper.readTree(in.readAllBytes()) finally in.close()
     val it = node.get("subdirs").elements()
     val b = Seq.newBuilder[String]
@@ -239,12 +265,18 @@ object IvfIndex {
     val root = mapper.createObjectNode()
     val arr = root.putArray("subdirs")
     names.distinct.sorted.foreach(arr.add)
-    val target = manifestPath(p)
-    val tmp = new org.apache.hadoop.fs.Path(p, s".manifest.tmp.${java.util.UUID.randomUUID()}")
+    val target = fs.makeQualified(manifestPath(p))
+    val tmp = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(p, s".manifest.tmp.${java.util.UUID.randomUUID()}"))
     val o = fs.create(tmp, true)
     try o.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally o.close()
-    fs.delete(target, false)
-    require(fs.rename(tmp, target), s"failed to publish IVF manifest at $target")
+    // OVERWRITING rename (FileContext): delete-then-rename would leave a
+    // manifest-less window in which any concurrent topK/readAssigned/
+    // semDedupIncrement fails — readers are not covered by the single-
+    // MAINTAINER contract, only writers are.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Fold new vectors in WITHOUT retraining: assign them to the frozen
@@ -272,30 +304,53 @@ object IvfIndex {
     writeManifest(spark, dir, readManifest(spark, dir) :+ name)
   }
 
+  /** Deletion grace for subdirs a compaction unreferences: a reader that
+    * planned its file set from the PRIOR manifest may still be scanning
+    * when the manifest swings — deleting its files mid-query fails the
+    * query (the remove_orphan_files hazard class; the single-MAINTAINER
+    * contract covers writers, not readers). Absorbed subdirs are swept
+    * only once OLDER than this grace (each [[compact]] tick sweeps what
+    * earlier ticks deferred), so any reader whose scan outlives the
+    * grace is the misconfiguration, sized like a query timeout.
+    */
+  val DefaultCompactGraceMs: Long = 15 * 60 * 1000L
+
   /** Maintenance-cadence compaction: fold every manifested subdir into one
     * `compact-<uuid>`, publish the new one-entry manifest, then sweep
-    * every unreferenced data subdir (which also collects orphans from a
-    * previously crashed compact/append). Crash-safe in the direction that
-    * matters: the folded subdir lands before the manifest swings to it,
-    * and the manifest swings before anything is deleted — a reader never
-    * plans a half-written or double-counted vector.
+    * unreferenced data subdirs older than `graceMs` (which also collects
+    * orphans from a previously crashed compact/append — and, on THIS
+    * tick, the subdirs a PRIOR tick absorbed but deferred). Crash-safe in
+    * the direction that matters: the folded subdir lands before the
+    * manifest swings to it, and the manifest swings before anything is
+    * deleted — a reader never plans a half-written or double-counted
+    * vector, and a reader mid-scan on the prior manifest keeps its files
+    * for the grace window.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String, graceMs: Long = DefaultCompactGraceMs): Unit = {
     val live = readManifest(spark, dir)
-    if (live.size <= 1) return
-    val target = s"compact-${java.util.UUID.randomUUID()}"
-    // rows are already assigned/encoded — fold verbatim whatever payload
-    // the index kind stores, keeping the list column as the partition key
-    // (no re-assignment, the quantizer and codebooks are frozen)
-    readAssigned(spark, dir)
-      .repartition(col("list"))
-      .write.mode("overwrite").partitionBy("list").parquet(s"$dir/data/$target")
-    writeManifest(spark, dir, Seq(target))
+    if (live.size > 1) {
+      val target = s"compact-${java.util.UUID.randomUUID()}"
+      // rows are already assigned/encoded — fold verbatim whatever payload
+      // the index kind stores, keeping the list column as the partition key
+      // (no re-assignment, the quantizer and codebooks are frozen)
+      readAssigned(spark, dir)
+        .repartition(col("list"))
+        .write.mode("overwrite").partitionBy("list").parquet(s"$dir/data/$target")
+      writeManifest(spark, dir, Seq(target))
+    }
+    // sweep runs even when nothing folded: a one-entry manifest can still
+    // have deferred-absorbed or crash-orphaned subdirs waiting out the
+    // grace from earlier ticks
+    val keep = readManifest(spark, dir).toSet
     val (p, fs) = fsOf(spark, dir)
     val data = new org.apache.hadoop.fs.Path(p, "data")
-    fs.listStatus(data).filter(_.isDirectory).map(_.getPath)
-      .filterNot(_.getName == target)
-      .foreach(fs.delete(_, true))
+    if (fs.exists(data)) {
+      val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+      fs.listStatus(data).filter(_.isDirectory)
+        .filterNot(s => keep.contains(s.getPath.getName))
+        .filter(_.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
   }
 
   /** The stored assigned corpus `(id, vec, list)`, optionally pruned to a
@@ -316,7 +371,14 @@ object IvfIndex {
       val sp = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(p, "data"), sub)
       fs.listStatus(sp).toSeq.filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.startsWith("list="))
-        .filter(d => keep.forall(_.contains(d.getName.stripPrefix("list=").toInt)))
+        .filter { d =>
+          val idStr = d.getName.stripPrefix("list=")
+          // the write path rejects null assignments, so a non-numeric
+          // partition dir is external damage — name it, don't NumberFormat
+          require(idStr.nonEmpty && idStr.forall(_.isDigit),
+            s"IvfIndexCorruptListDir: $d is not a numeric list partition")
+          keep.forall(_.contains(idStr.toInt))
+        }
     }
     if (listDirs.isEmpty) {
       import org.apache.spark.sql.types._
@@ -331,6 +393,36 @@ object IvfIndex {
         regexp_extract(col("_metadata.file_path"), "/list=([0-9]+)/", 1).cast("int"))
   }
 
+  /** Driver-materialization bound for the query/increment side of the
+    * stored-index joins (the StreamSpec.deleteBroadcastMaxRows family):
+    * the side is broadcast only while its EXPLODED row count is within
+    * the bound; past it the join degrades LOUDLY to a shuffled hash join
+    * — the stored corpus side may then shuffle, results stay exact. A
+    * gate-scale query set is operator input, not admission-controlled
+    * micro-batch output: nothing else bounds a bulk query set or a large
+    * daily increment, so an unconditional broadcast would OOM the
+    * BroadcastExchange with no warning.
+    */
+  val DefaultBroadcastMaxRows: Long = 2000000L
+
+  /** One action answers BOTH planner questions: the distinct probed lists
+    * (drives the planning-time directory cut) and the exploded row count
+    * of the side that wants to broadcast (drives the bound decision).
+    */
+  private def probeStats(side: DataFrame, listCol: String): (Seq[Int], Long) = {
+    val rows = side.groupBy(col(listCol)).agg(count(lit(1))).collect()
+    (rows.map(_.getInt(0)).toSeq, rows.map(_.getLong(1)).sum)
+  }
+
+  private def hintSmall(df: DataFrame, small: Boolean, what: String, rows: Long): DataFrame =
+    if (small) broadcast(df)
+    else {
+      System.err.println(
+        s"IVF INDEX: $rows $what rows exceed the broadcast bound — " +
+          "joining via a shuffled hash join (still exact)")
+      df.hint("shuffle_hash")
+    }
+
   /** Cosine top-k THROUGH the stored index: queries probe their `nprobe`
     * nearest centroid lists; only those lists' partitions are scanned.
     * Same scoring op order as [[Similarity.ivfTopK]] (and the q_ann_ivf
@@ -340,12 +432,16 @@ object IvfIndex {
     *
     * The probe set is collected on the driver to drive partition pruning:
     * it is bounded by `numLists` (the centroid count, itself
-    * driver-resident), never by the query or corpus size.
+    * driver-resident), never by the query or corpus size. The query side
+    * is broadcast only within `broadcastMaxRows` (exploded by nprobe);
+    * past it the join loudly degrades to a shuffle — see
+    * [[DefaultBroadcastMaxRows]].
     */
   def topK(
       spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       nprobe: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastMaxRows: Long = DefaultBroadcastMaxRows): DataFrame = {
     require(!isPq(spark, dir), s"$dir stores PQ codes — use topKPq (raw vectors are not stored)")
     graft.sql.VecDot.ensureRegistered(spark)
     val cents = centroids(spark, dir)
@@ -356,12 +452,13 @@ object IvfIndex {
       Similarity.norm(col(vecCol)).as("q_norm"),
       explode(Similarity.ivfProbes(col(vecCol), bc, dim, nLists, nprobe)
         .cast("array<int>")).as("q_list"))
-    val probed = q.select("q_list").distinct().collect().map(_.getInt(0)).toSeq
+    val (probed, qRows) = probeStats(q, "q_list")
     val c = readAssigned(spark, dir, Some(probed)).select(
       col("id").as("neighbor_id"), col("vec").as("c_vec"),
       Similarity.norm(col("vec")).as("c_norm"), col("list").as("c_list"))
     val scored = c
-      .join(broadcast(q), col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
+      .join(hintSmall(q, qRows <= broadcastMaxRows, "exploded query", qRows),
+        col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
@@ -383,14 +480,17 @@ object IvfIndex {
     * Plan shape: assignment is the map-only broadcast argmax; the stored
     * corpus is scanned ONCE, pruned to the increment's own clusters
     * (planning-time directory cut — IO ∝ the increment's cluster data,
-    * never the corpus), with the increment broadcast to it — the corpus
-    * side is never shuffled. Cosines use [[Similarity.semDedup]]'s exact
-    * IEEE op order, so the DuckDB oracle (q_semdedup_increment) replays
-    * the suppression decision bit-for-bit.
+    * never the corpus), with the increment broadcast to it while it fits
+    * `broadcastMaxRows` — past the bound both joins loudly degrade to
+    * shuffles (the corpus side may then shuffle; the suppression set is
+    * identical — see [[DefaultBroadcastMaxRows]]). Cosines use
+    * [[Similarity.semDedup]]'s exact IEEE op order, so the DuckDB oracle
+    * (q_semdedup_increment) replays the suppression decision bit-for-bit.
     */
   def semDedupIncrement(
       spark: SparkSession, dir: String, increment: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastMaxRows: Long = DefaultBroadcastMaxRows): DataFrame = {
     require(!isPq(spark, dir),
       s"$dir stores PQ codes — semantic dedup needs exact cosines over a raw-vector index")
     graft.sql.VecDot.ensureRegistered(spark)
@@ -403,15 +503,18 @@ object IvfIndex {
         Similarity.ivfAssign(col(vecCol), bc, dim, nLists).cast("int").as("_list"),
         Similarity.norm(col(vecCol)).as("_nrm"))
       .localCheckpoint()
-    val probed = inc.select("_list").distinct().collect().map(_.getInt(0)).toSeq
+    val (probed, incRows) = probeStats(inc, "_list")
+    val incSmall = incRows <= broadcastMaxRows
     val corpus = readAssigned(spark, dir, Some(probed)).select(
       col("vec").as("_s_v"), Similarity.norm(col("vec")).as("_s_nrm"),
       col("list").as("_s_list"))
     val dominated = corpus
-      .join(broadcast(inc), col("_s_list") === col("_list") &&
+      .join(hintSmall(inc, incSmall, "increment", incRows), col("_s_list") === col("_list") &&
         Similarity.dot(col(vecCol), col("_s_v")) / (col("_nrm") * col("_s_nrm")) >= threshold)
       .select(col(idCol)).distinct()
-    inc.join(broadcast(dominated), Seq(idCol), "left_anti")
+    // dominated ⊆ the increment's keys, so the increment bound governs
+    // this hint too
+    inc.join(hintSmall(dominated, incSmall, "dominated-id", incRows), Seq(idCol), "left_anti")
       .select(col(idCol), col(vecCol))
   }
 
@@ -427,7 +530,8 @@ object IvfIndex {
   def topKPq(
       spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       nprobe: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastMaxRows: Long = DefaultBroadcastMaxRows): DataFrame = {
     require(isPq(spark, dir), s"$dir stores raw vectors — use topK")
     graft.sql.VecDot.ensureRegistered(spark)
     val cents = centroids(spark, dir)
@@ -439,13 +543,14 @@ object IvfIndex {
       Similarity.norm(col(vecCol)).as("q_norm"),
       explode(Similarity.ivfProbes(col(vecCol), bc, dim, nLists, nprobe)
         .cast("array<int>")).as("q_list"))
-    val probed = q.select("q_list").distinct().collect().map(_.getInt(0)).toSeq
+    val (probed, qRows) = probeStats(q, "q_list")
     val c = readAssigned(spark, dir, Some(probed))
       .select(col("id").as("neighbor_id"), col("list").as("c_list"),
         Similarity.pqReconstruct(col("codes"), books).as("recon"))
       .withColumn("r_norm", Similarity.norm(col("recon")))
     val scored = c
-      .join(broadcast(q), col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
+      .join(hintSmall(q, qRows <= broadcastMaxRows, "exploded query", qRows),
+        col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Similarity.dot(col("q_vec"), col("recon")) / (col("q_norm") * col("r_norm"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))

@@ -896,7 +896,7 @@ object Queries {
     s""""export_profile":{$ice,$del}"""
   }
 
-  /** Bench section (r17 verdict item 3): the three loud-degrade bounds run
+  /** Bench section (r17 verdict item 3): the loud-degrade bounds run
     * ENGAGED at the bench's scale — not just spec-forced at toy scale —
     * each recording its seconds next to the bounded path's, plus an
     * in-engine row/hash equality check (the degraded paths' CONTRACT is
@@ -908,6 +908,9 @@ object Queries {
     *   - incrementalNearDupsFromIndex past `maxPushdownIds` (bound 0):
     *     candidate ids stay a lazy plan (semi joins) instead of an
     *     In-filter pushdown
+    *   - IvfIndex.topK past `broadcastMaxRows` (bound 0): the exploded
+    *     query side degrades from broadcast to a shuffled hash join
+    *     (r18 verdict item 1)
     */
   def degradedPathsJson(spark: SparkSession, dir: String): String = {
     import graft.tables.DeltaExport
@@ -955,6 +958,22 @@ object Queries {
     val (ndBoundedSec, ndRefHash) = nd(10000)
     val (ndDegradedSec, ndDegHash) = nd(0)
 
+    // IVF stored-index top-k past broadcastMaxRows (bound 0): the exploded
+    // query side degrades from broadcast to a shuffled hash join over the
+    // SAME persisted index the q_ann_ivf_increment gate maintains
+    import graft.ext.IvfIndex
+    qAnnIvfIncrement(spark, dir).count() // (re)build the index at this SF
+    val embT = t(spark, dir, "embeddings")
+    val ivfIdx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-${java.lang.Integer.toHexString(dir.hashCode)}"
+    def ivf(bound: Long): (Double, (Long, String)) = {
+      val t0 = System.nanoTime()
+      val h = hashOf(IvfIndex.topK(spark, ivfIdx, embT.where(col("vec_id") < 50), k = 10,
+        broadcastMaxRows = bound))
+      ((System.nanoTime() - t0) / 1e9, h)
+    }
+    val (ivfBoundedSec, ivfRefHash) = ivf(IvfIndex.DefaultBroadcastMaxRows)
+    val (ivfDegradedSec, ivfDegHash) = ivf(0)
+
     s""""degraded":{""" +
       s""""delta_export_shuffle_positionize":{"sec":${r3(exportDegradedSec)},""" +
       s""""sec_bounded":${r3(exportBoundedSec)}},""" +
@@ -963,7 +982,10 @@ object Queries {
       s""""match":${degHash == refHash}},""" +
       s""""indexed_near_dup_lazy":{"sec":${r3(ndDegradedSec)},""" +
       s""""sec_bounded":${r3(ndBoundedSec)},"rows":${ndDegHash._1},""" +
-      s""""match":${ndDegHash == ndRefHash}}}"""
+      s""""match":${ndDegHash == ndRefHash}},""" +
+      s""""ivf_topk_shuffle_join":{"sec":${r3(ivfDegradedSec)},""" +
+      s""""sec_bounded":${r3(ivfBoundedSec)},"rows":${ivfDegHash._1},""" +
+      s""""match":${ivfDegHash == ivfRefHash}}}"""
   }
 
   /** Incremental-aggregate gate ([[graft.ext.IncrementalAgg]]): a grouped

@@ -98,7 +98,7 @@ class IvfIndexSpec extends SparkSpec {
         lit(Array.fill(64)(0.5f)).as("vec"), lit(0).as("list"))
       .write.partitionBy("list").parquet(s"$idx/data/orphan-crashed")
     assert(res() === before, "an unmanifested subdir must be invisible to readers")
-    IvfIndex.compact(spark, idx)
+    IvfIndex.compact(spark, idx, graceMs = 0L)
     val dataDirs = {
       val p = new org.apache.hadoop.fs.Path(s"$idx/data")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -142,7 +142,7 @@ class IvfIndexSpec extends SparkSpec {
     assert(indexed === direct,
       "stored-code scoring must be bit-identical to on-the-fly encode + score")
 
-    IvfIndex.compact(spark, idx)
+    IvfIndex.compact(spark, idx, graceMs = 0L)
     assert(collect(IvfIndex.topKPq(spark, idx, queries, k = 10)) === direct)
 
     // kind guards: the wrong query path fails loudly, not wrongly
@@ -185,6 +185,143 @@ class IvfIndexSpec extends SparkSpec {
     assert(got === expected)
     assert(incLocal.map(_._1).toSet.diff(got).nonEmpty, "the plant must suppress something")
     assert(got.nonEmpty, "the plant must keep something")
+  }
+
+  test("past broadcastMaxRows the joins degrade to a SHUFFLED plan with identical results") {
+    val idx = s"${tmpDir("ivf-degrade")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    IvfIndex.append(spark, idx, increment, name = "inc1")
+    val queries = emb.where(col("vec_id") < 20)
+    def s3(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("query_id", "neighbor_id", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def shuffled(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.nonEmpty
+
+    val deg = IvfIndex.topK(spark, idx, queries, k = 10, broadcastMaxRows = 0)
+    assert(shuffled(deg), "bound 0 must force the shuffled join plan")
+    assert(s3(deg) === s3(IvfIndex.topK(spark, idx, queries, k = 10)),
+      "the degraded plan must be exact — only the plan shape changes")
+
+    val inc = emb.where(col("vec_id") < 30)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.where(col("vec_id") >= 30 && col("vec_id") < 60)
+        .select((col("vec_id") + 2000000L).as("vec_id"), reverse(col("embedding")).as("embedding")))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val sdDeg = IvfIndex.semDedupIncrement(spark, idx, inc, threshold = 0.99, broadcastMaxRows = 0)
+    assert(shuffled(sdDeg), "bound 0 must force the shuffled suppression join")
+    assert(ids(sdDeg) === ids(IvfIndex.semDedupIncrement(spark, idx, inc, threshold = 0.99)))
+
+    val idxPq = s"${tmpDir("ivfpq-degrade")}/index"
+    val books = Similarity.pqCodebooksFromRows(emb, numSub = 8, codebookSize = 16)
+    IvfIndex.createPq(spark, idxPq, cents, books, emb)
+    val pqDeg = IvfIndex.topKPq(spark, idxPq, queries, k = 10, broadcastMaxRows = 0)
+    assert(shuffled(pqDeg), "bound 0 must force the shuffled PQ join plan")
+    assert(s3(pqDeg) === s3(IvfIndex.topKPq(spark, idxPq, queries, k = 10)))
+  }
+
+  test("compact defers deleting absorbed subdirs; a reader planned on the prior manifest survives") {
+    val idx = s"${tmpDir("ivf-grace")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    IvfIndex.append(spark, idx, increment, name = "inc1")
+    val queries = emb.where(col("vec_id") < 20)
+    def s2(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = s2(IvfIndex.topK(spark, idx, queries, k = 10))
+    // a reader that PLANNED its file set from the pre-compact manifest
+    // (its InMemoryFileIndex already lists seed/inc1 files) but has not
+    // executed yet — the exact mid-scan window of the hazard
+    val priorReader = IvfIndex.topK(spark, idx, queries, k = 10)
+    IvfIndex.compact(spark, idx) // default grace: absorbed subdirs deferred
+    val dirs = {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/data")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
+    assert(dirs.contains("seed") && dirs.contains("inc1") &&
+      dirs.exists(_.startsWith("compact-")), s"absorbed subdirs must wait out the grace: $dirs")
+    assert(s2(priorReader) === before,
+      "a reader planned from the prior manifest must not lose files mid-scan")
+    // new readers plan only the manifested blob — no double counting
+    assert(s2(IvfIndex.topK(spark, idx, queries, k = 10)) === before)
+    // the NEXT tick sweeps what this one deferred (grace elapsed)
+    IvfIndex.compact(spark, idx, graceMs = 0L)
+    val after = {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/data")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
+    assert(after.size === 1 && after.head.startsWith("compact-"), after)
+    assert(s2(IvfIndex.topK(spark, idx, queries, k = 10)) === before)
+  }
+
+  test("a missing manifest fails with a NAMED error, not a bare FileNotFound") {
+    val idx = s"${tmpDir("ivf-noman")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    val p = new org.apache.hadoop.fs.Path(s"$idx/_manifest.json")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    val e = intercept[IllegalStateException] {
+      IvfIndex.topK(spark, idx, emb.where(col("vec_id") < 5), k = 3)
+    }
+    assert(e.getMessage.contains("IvfIndexManifestMissing"), e.getMessage)
+  }
+
+  test("a null embedding fails create/append loudly and leaves the index readable") {
+    val idx = s"${tmpDir("ivf-null")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    val queries = emb.where(col("vec_id") < 10)
+    val before = IvfIndex.topK(spark, idx, queries, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val poisoned = emb.limit(3).unionByName(
+      emb.limit(1).select((col("vec_id") + 500000L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    val e = intercept[Exception] {
+      IvfIndex.append(spark, idx, poisoned, name = "bad")
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("IvfIndexNullAssignment")), chain(e).mkString(" | "))
+    // the failed append never swung the manifest — the index answers as before
+    val after = IvfIndex.topK(spark, idx, queries, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before)
+  }
+
+  test("PQ construction guards: indivisible dim and empty codebooks fail loudly") {
+    val idx = s"${tmpDir("ivfpq-guard")}/index"
+    // 7 subspaces of 9 dims cover 63 ≠ 64 — the codebooks cannot tile the vector
+    val badBooks = Array.fill(7)(Array.fill(16)(Array.fill(9)(0.1)))
+    assertThrows[IllegalArgumentException] {
+      IvfIndex.createPq(spark, idx, cents, badBooks, emb)
+    }
+    assertThrows[IllegalArgumentException] {
+      IvfIndex.createPq(spark, idx, cents, Array.empty[Array[Array[Double]]], emb)
+    }
+    assert(!IvfIndex.exists(spark, idx), "a rejected createPq must not leave a live index")
+  }
+
+  test("edges: empty increment, all-suppressed increment, and an EMPTY index answer sanely") {
+    val idx = s"${tmpDir("ivf-edges")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    // empty increment → nothing suppressed, nothing returned, no failure
+    val none = emb.where(lit(false))
+      .select(col("vec_id"), col("embedding"))
+    assert(IvfIndex.semDedupIncrement(spark, idx, none, threshold = 0.99).count() === 0L)
+    // all-suppressed increment: exact copies are all dominated at cosine 1
+    val copies = emb.where(col("vec_id") < 25)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    assert(IvfIndex.semDedupIncrement(spark, idx, copies, threshold = 0.99).count() === 0L)
+    // empty index: created from an empty corpus — top-k is empty, an
+    // increment is all-novel, appends then work
+    val idxE = s"${tmpDir("ivf-empty")}/index"
+    IvfIndex.create(spark, idxE, cents, emb.where(lit(false)))
+    assert(IvfIndex.topK(spark, idxE, emb.where(col("vec_id") < 5), k = 3).count() === 0L)
+    assert(IvfIndex.semDedupIncrement(spark, idxE, copies, threshold = 0.99).count() === copies.count())
+    IvfIndex.append(spark, idxE, emb.where(col("vec_id") < 25), name = "first")
+    assert(IvfIndex.semDedupIncrement(spark, idxE, copies, threshold = 0.99).count() === 0L)
   }
 
   test("recall@10 through the appended index clears the IVF floor on the merged corpus") {
