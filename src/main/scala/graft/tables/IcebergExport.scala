@@ -1430,6 +1430,19 @@ object IcebergExport {
     // a shared regex alone silently empties the join on encoded characters
     // or URI authorities.
     val needSeq = deletes.nonEmpty
+    // Sequence-attach joins fail LOUDLY on a miss: the join is on
+    // canonicalized paths, and any future normalization divergence (say a
+    // literal '%' in the table location) would otherwise silently DROP
+    // data rows (inner join) or silently ignore delete files — a
+    // correctness hole with no symptom. A left join + executor-side
+    // raise_error on a null sequence turns that class of bug into a named
+    // failure at read time.
+    def requireSeq(seqCol: String, pathCol: String)(df: DataFrame): DataFrame =
+      df.withColumn(seqCol,
+        when(col(seqCol).isNull, raise_error(concat(
+          lit(s"IcebergExportSeqAttachMiss: file "), col(pathCol),
+          lit(" has no manifest sequence — path normalization diverged"))).cast("bigint"))
+          .otherwise(col(seqCol)))
     val dataDf = data.groupBy(_.fileFormat).map { case (fmt, fsq) =>
       val reader = spark.read.schema(readSchema)
       val df = fmt.toUpperCase match {
@@ -1446,10 +1459,10 @@ object IcebergExport {
         val seqDf = broadcast(
           fsq.map(f => (DeltaExport.canonicalPath(f.path), f.seq))
             .toDF("_spath", "_gseq"))
-        val tagged = df
+        val tagged = requireSeq("_gseq", "_gpath")(df
           .withColumn("_gpath", DeltaExport.canonicalPathCol(col("_metadata.file_path")))
-          .join(seqDf, col("_gpath") === col("_spath"))
-          .drop("_spath")
+          .join(seqDf, col("_gpath") === col("_spath"), "left")
+          .drop("_spath"))
         if (posDels.isEmpty) tagged.drop("_gpath")
         else tagged.withColumn("_gpos", col("_metadata.row_index"))
       }
@@ -1473,10 +1486,11 @@ object IcebergExport {
         import spark.implicits._
         val dseqDf = broadcast(
           eqDels.map(d => (DeltaExport.canonicalPath(d.path), d.seq)).toDF("_edpath", "_dseq"))
-        spark.read.parquet(eqDels.map(_.path): _*)
+        requireSeq("_dseq", "_edfp")(spark.read.parquet(eqDels.map(_.path): _*)
           .select(col(keyCol),
             DeltaExport.canonicalPathCol(col("_metadata.file_path")).as("_edfp"))
-          .join(dseqDf, col("_edfp") === col("_edpath")).drop("_edfp", "_edpath")
+          .join(dseqDf, col("_edfp") === col("_edpath"), "left"))
+          .drop("_edfp", "_edpath")
       }
       // only the NEWEST delete of a key matters: if max(_dseq) <= the
       // row's file sequence, every delete of that key predates the row
@@ -1490,11 +1504,12 @@ object IcebergExport {
         import spark.implicits._
         val pseqDf = broadcast(
           posDels.map(d => (DeltaExport.canonicalPath(d.path), d.seq)).toDF("_pdpath", "_pseq"))
-        spark.read.parquet(posDels.map(_.path): _*)
+        requireSeq("_pseq", "_pdfp")(spark.read.parquet(posDels.map(_.path): _*)
           .select(DeltaExport.canonicalPathCol(col("file_path")).as("_ppath"),
             col("pos").cast("long").as("_ppos"),
             DeltaExport.canonicalPathCol(col("_metadata.file_path")).as("_pdfp"))
-          .join(pseqDf, col("_pdfp") === col("_pdpath")).drop("_pdfp", "_pdpath")
+          .join(pseqDf, col("_pdfp") === col("_pdpath"), "left"))
+          .drop("_pdfp", "_pdpath")
       }
       // position deletes apply to files at-or-below their sequence (spec:
       // a commit may position-delete rows from files it just added), so a
