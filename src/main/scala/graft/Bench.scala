@@ -269,7 +269,8 @@ object Bench {
       incremental: (Long, Long, Long),
       fuzzy: (Long, Long),
       ann: graft.queries.Queries.AnnWork,
-      fuzzyCapped: (Long, Long)): String =
+      fuzzyCapped: (Long, Long),
+      incrementalTier: String = ""): String =
     s""""work":{"q_near_dup_pairs":{"candidates":${nearDup._1},""" +
       s""""capped_buckets":${nearDup._2}},""" +
       s""""q_incremental_near_dup":{"candidates":${incremental._1},""" +
@@ -285,7 +286,11 @@ object Bench {
       // nprobe=1), so these counts adjudicate its ratio too
       s""""q_ann_ivf":{"probed_cells":${ann.probedCells},"candidates":${ann.candidates},""" +
       s""""max_list":${ann.maxList},"corpus_rows":${ann.corpusRows},"build_sec":${ann.buildSec}},""" +
-      s""""q_ann_ivf_mp":{"probed_cells":${ann.probedCellsMp},"candidates":${ann.candidatesMp}}}"""
+      s""""q_ann_ivf_mp":{"probed_cells":${ann.probedCellsMp},"candidates":${ann.candidatesMp}}""" +
+      // the incremental-tier legs' counts (r18 verdict item 2) — a
+      // pre-rendered fragment so the exact/ANN/semdedup observables ride
+      // the same work/work_base pair
+      (if (incrementalTier.isEmpty) "}" else s",$incrementalTier}")
 
   def detailJson(runs: Seq[(String, Seq[Double])], sfDir: String, extra: String = ""): String = {
     val results = runs.map { case (n, r) => n -> r.min }
@@ -602,14 +607,16 @@ object Bench {
           graft.ext.Dedup.fuzzyBlockingStats(
             fuzzyKneeCorpus(spark, sfDir, 10000), "id", "s", maxDist = 2),
           graft.queries.Queries.annWorkCounts(spark, dir10),
-          fuzzyCapped) + "," +
+          fuzzyCapped,
+          graft.queries.Queries.incrementalTierWorkJson(spark, dir10)) + "," +
           Bench.workJson(
             graft.queries.Queries.nearDupWorkCounts(spark, sfDir),
             graft.queries.Queries.incrementalNearDupWorkCounts(spark, sfDir),
             graft.ext.Dedup.fuzzyBlockingStats(
               fuzzyKneeCorpus(spark, sfDir, 1000), "id", "s", maxDist = 2),
             graft.queries.Queries.annWorkCounts(spark, sfDir),
-            fuzzyCapped)
+            fuzzyCapped,
+            graft.queries.Queries.incrementalTierWorkJson(spark, sfDir))
             .replaceFirst("\"work\":", "\"work_base\":") + ","
       } catch {
         case scala.util.control.NonFatal(e) =>

@@ -1345,6 +1345,21 @@ object Dedup {
       .select(cols.map(col).toIndexedSeq: _*)
   }
 
+  /** The suspect-fingerprint count behind [[dedupExactIncrement]] under a
+    * given index — the sf1 work-count observable that sizes the verify
+    * join's broadcast side (duplicate mass + bloom false positives, never
+    * the increment): recorded next to the leg's wall-clock so a moved
+    * ratio is adjudicable by counts (the ANN-counts rationale).
+    */
+  def exactIncrementSuspects(
+      index: Array[Byte], incoming: DataFrame, textCol: String = "text"): Long = {
+    graft.sql.GraftExtensions.ensureRegistered(incoming.sparkSession)
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    incoming
+      .where(fp.isNotNull && call_function("bloom_might_contain", lit(index), xxhash64(fp)))
+      .select(fp.as("_fp")).distinct().count()
+  }
+
   /** The zero-corpus-IO membership filter: drop every bloom-positive row.
     * Probabilistic — ~1 % of genuinely-new rows (the index's false
     * positives) are lost, which a crawl pipeline trades for touching NO

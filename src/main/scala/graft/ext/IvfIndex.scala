@@ -363,11 +363,15 @@ object IvfIndex {
     * per-increment plan accretion the Iceberg MoR read had to collapse;
     * a year of daily appends must not cost 365 codegen'd scan nodes.
     */
-  def readAssigned(
-      spark: SparkSession, dir: String, probeLists: Option[Seq[Int]] = None): DataFrame = {
+  /** The concrete `list=N` directories the given probe set plans, across
+    * every manifested subdir — the planning-time directory cut readers
+    * build their single scan from.
+    */
+  private def listDirs(
+      spark: SparkSession, dir: String,
+      keep: Option[Set[Int]]): Seq[org.apache.hadoop.fs.Path] = {
     val (p, fs) = fsOf(spark, dir)
-    val keep = probeLists.map(_.toSet)
-    val listDirs = readManifest(spark, dir).flatMap { sub =>
+    readManifest(spark, dir).flatMap { sub =>
       val sp = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(p, "data"), sub)
       fs.listStatus(sp).toSeq.filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.startsWith("list="))
@@ -380,6 +384,23 @@ object IvfIndex {
           keep.forall(_.contains(idStr.toInt))
         }
     }
+  }
+
+  /** Concrete parquet part files a probe set plans — the sf1 work-count
+    * observable that proves probe IO tracks the probed lists' data, not
+    * the corpus (seconds drift with the host; planned files do not).
+    */
+  private def plannedFileCount(spark: SparkSession, dir: String, probed: Seq[Int]): Long = {
+    val (_, fs) = fsOf(spark, dir)
+    listDirs(spark, dir, Some(probed.toSet)).map { d =>
+      fs.listStatus(d).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")).toLong
+    }.sum
+  }
+
+  def readAssigned(
+      spark: SparkSession, dir: String, probeLists: Option[Seq[Int]] = None): DataFrame = {
+    val listDirs = this.listDirs(spark, dir, probeLists.map(_.toSet))
     if (listDirs.isEmpty) {
       import org.apache.spark.sql.types._
       val payload =
@@ -463,6 +484,51 @@ object IvfIndex {
         (Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Probe-side work observables for [[topK]]/[[topKPq]] (the bench's sf1
+    * work block): (exploded query-probe rows, scored candidate pairs,
+    * planned part files). Counts are deterministic where seconds are not
+    * — flat candidates + planned files at a high wall-clock ratio name
+    * host noise; growing counts name real work growth. Payload-agnostic
+    * (id/list only), so one method serves both index kinds.
+    */
+  def probeWorkCounts(
+      spark: SparkSession, dir: String, queries: DataFrame,
+      nprobe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (Long, Long, Long) = {
+    graft.sql.VecDot.ensureRegistered(spark)
+    val cents = centroids(spark, dir)
+    val bc = Similarity.broadcastCentroids(cents)
+    val (dim, nLists) = (cents.head.length, cents.length)
+    val q = queries.select(col(idCol).as("query_id"),
+      explode(Similarity.ivfProbes(col(vecCol), bc, dim, nLists, nprobe)
+        .cast("array<int>")).as("q_list"))
+    val (probed, qRows) = probeStats(q, "q_list")
+    val c = readAssigned(spark, dir, Some(probed))
+      .select(col("id"), col("list").as("c_list"))
+    val candidates = c.join(broadcast(q),
+      col("q_list") === col("c_list") && col("query_id") =!= col("id")).count()
+    (qRows, candidates, plannedFileCount(spark, dir, probed))
+  }
+
+  /** Work observables for [[semDedupIncrement]]: (increment rows, probed
+    * lists, stored corpus rows the pruned scan reads, planned part
+    * files) — the "IO tracks the increment, never the corpus" claim as
+    * counts.
+    */
+  def semDedupWorkCounts(
+      spark: SparkSession, dir: String, increment: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (Long, Long, Long, Long) = {
+    graft.sql.VecDot.ensureRegistered(spark)
+    val cents = centroids(spark, dir)
+    val bc = Similarity.broadcastCentroids(cents)
+    val inc = increment.select(
+      Similarity.ivfAssign(col(vecCol), bc, cents.head.length, cents.length)
+        .cast("int").as("_list"))
+    val (probed, incRows) = probeStats(inc, "_list")
+    val corpusRows = readAssigned(spark, dir, Some(probed)).count()
+    (incRows, probed.size.toLong, corpusRows, plannedFileCount(spark, dir, probed))
   }
 
   /** SemDedup INCREMENT against the stored index — the fourth member of

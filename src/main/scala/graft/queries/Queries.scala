@@ -1241,6 +1241,78 @@ object Queries {
     AnnWork(p1, c1, m1, p2, c2, corpusRows, math.round(buildSec * 1000.0) / 1000.0)
   }
 
+  /** Work counts for the four INCREMENTAL-TIER legs (r18 verdict item 2)
+    * as a pre-rendered `"name":{...}` fragment the bench appends into the
+    * sf1 `work`/`work_base` blocks — the cross-round currency that
+    * survives host drift:
+    *   - q_dedup_exact_increment: suspect fingerprints (the verify
+    *     broadcast's size) plus counting-FS files/size-at-open for BOTH
+    *     corpus passes (index build, verify scan — the gate's linear
+    *     envelope is exactly these two map-only passes; the verify pass
+    *     includes the increment's own reads)
+    *   - q_ann_ivf_increment / q_ann_ivfpq_increment: exploded probe
+    *     rows, scored candidate pairs, planned part files through the
+    *     SAME persisted index the gates maintain
+    *   - q_semdedup_increment: increment rows, probed lists, pruned
+    *     corpus rows scanned, planned part files
+    */
+  def incrementalTierWorkJson(spark: SparkSession, dir: String): String = {
+    import graft.ext.IvfIndex
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.counting.impl", classOf[graft.CountingFileSystem].getName)
+    val digest = java.lang.Integer.toHexString(dir.hashCode)
+    val tmp = System.getProperty("java.io.tmpdir")
+
+    // exact-increment: the GATE's exact corpus/increment construction,
+    // read through the counting scheme so the two passes' IO is recorded
+    val docs = spark.read.parquet(s"counting:$dir/documents.parquet")
+    val copies = docs.where(col("doc_id") < 300)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text"))
+    val fresh = docs.where(col("doc_id") < 300)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" uniq"), (col("doc_id") + 2000000L).cast("string")).as("text"))
+    val nulls = docs.where(col("doc_id") < 5)
+      .select((col("doc_id") + 3000000L).as("doc_id"), lit(null).cast("string").as("text"))
+    val incoming = copies.unionByName(fresh).unionByName(nulls)
+    graft.CountingFileSystem.reset()
+    val bf = Dedup.exactIndex(docs)
+    val (idxF, idxB) = graft.CountingFileSystem.openedStats
+    graft.CountingFileSystem.reset()
+    Dedup.dedupExactIncrement(docs, incoming, index = Some(bf)).count()
+    val (verF, verB) = graft.CountingFileSystem.openedStats
+    graft.CountingFileSystem.reset()
+    val suspects = Dedup.exactIncrementSuspects(bf, incoming)
+
+    // ANN increments: counts through the gates' PERSISTED indexes
+    // ((re)built if this data dir hasn't run them yet — e.g. the 10x
+    // derivative, where only q_ann_ivf_increment is a timed leg)
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 50)
+    val ivfDir = s"$tmp/graft-ivf-index-$digest"
+    if (!IvfIndex.exists(spark, ivfDir)) qAnnIvfIncrement(spark, dir).count()
+    val (ivfP, ivfC, ivfF) = IvfIndex.probeWorkCounts(spark, ivfDir, queries)
+    val pqDir = s"$tmp/graft-ivfpq-index-$digest"
+    if (!IvfIndex.exists(spark, pqDir)) qAnnIvfPqIncrement(spark, dir).count()
+    val (pqP, pqC, pqF) = IvfIndex.probeWorkCounts(spark, pqDir, queries)
+    val sdDir = s"$tmp/graft-ivf-semdedup-$digest"
+    if (!IvfIndex.exists(spark, sdDir)) qSemDedupIncrement(spark, dir).count()
+    val sdInc = emb.where(col("vec_id") < 150)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.where(col("vec_id") >= 150 && col("vec_id") < 300)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    val (sdRows, sdLists, sdCorpus, sdFiles) = IvfIndex.semDedupWorkCounts(spark, sdDir, sdInc)
+
+    s""""q_dedup_exact_increment":{"suspects":$suspects,""" +
+      s""""index_pass_files":$idxF,"index_pass_bytes":$idxB,""" +
+      s""""verify_pass_files":$verF,"verify_pass_bytes":$verB},""" +
+      s""""q_ann_ivf_increment":{"probed_cells":$ivfP,"candidates":$ivfC,"planned_files":$ivfF},""" +
+      s""""q_ann_ivfpq_increment":{"probed_cells":$pqP,"candidates":$pqC,"planned_files":$pqF},""" +
+      s""""q_semdedup_increment":{"increment_rows":$sdRows,"probed_lists":$sdLists,""" +
+      s""""corpus_rows_scanned":$sdCorpus,"planned_files":$sdFiles}"""
+  }
+
   /** The composed filter ([[graft.ext.Dedup.dedupIncrement]]) on the same
     * corpus/increment: only the genuinely novel incoming rows survive
     * (reversed-text docs plus any paraphrase whose original fell under

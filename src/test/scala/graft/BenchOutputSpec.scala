@@ -114,6 +114,13 @@ class BenchOutputSpec extends AnyFunSuite {
       """"max_list":900,"corpus_rows":60000,"build_sec":0.42}"""))
     assert(w.contains(""""q_ann_ivf_mp":{"probed_cells":100,"candidates":8000}"""))
     assert(w.count(_ == '{') === w.count(_ == '}'))
+    // the incremental-tier fragment rides inside the same work object
+    val frag = """"q_dedup_exact_increment":{"suspects":7,"index_pass_files":2,""" +
+      """"index_pass_bytes":10,"verify_pass_files":3,"verify_pass_bytes":11}"""
+    val w2 = Bench.workJson((1L, 0L), (2L, 0L, 0L), (3L, 0L), ann, (4L, 0L), frag)
+    assert(w2.contains(frag))
+    assert(w2.endsWith("}"))
+    assert(w2.count(_ == '{') === w2.count(_ == '}'))
   }
 
   test("a realistic sf1-ratio extra keeps the line under the capture window with queries visible") {
