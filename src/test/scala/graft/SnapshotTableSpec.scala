@@ -19,6 +19,36 @@ class SnapshotTableSpec extends SparkSpec {
     t
   }
 
+  test("a ZERO-ROW staged batch is a harmless commit in both merge modes") {
+    // the real path to this edge: content dedup can suppress EVERY row of
+    // a non-empty micro-batch, so the pipeline hands merge/mergeOnRead an
+    // empty staged frame — it must not corrupt state or fail the stream
+    val t = SnapshotTable(spark, tmpDir("empty-merge"))
+    val df = (1 to 50).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "is_delete")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 4)
+    val before = t.read().collect().map(_.toString).toSet
+    val empty = Seq.empty[(String, Long, String, Boolean)]
+      .toDF("arcane_merge_key", "versionnumber", "payload", "is_delete")
+
+    t.merge(empty, "arcane_merge_key", "versionnumber", "is_delete")
+    assert(t.read().collect().map(_.toString).toSet === before,
+      "an empty CoW merge must not change a row")
+
+    val delsBefore = t.currentSnapshot.deletes.size
+    t.mergeOnRead(empty, "arcane_merge_key", "versionnumber", "is_delete")
+    assert(t.read().collect().map(_.toString).toSet === before,
+      "an empty MoR merge must not change a row")
+    assert(t.currentSnapshot.deletes.size === delsBefore,
+      "an empty MoR merge must not write delete files")
+    // the table keeps working normally afterwards
+    t.mergeOnRead(Seq(("k1", 2L, "v1b", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "is_delete"),
+      "arcane_merge_key", "versionnumber", "is_delete")
+    assert(t.read().where($"arcane_merge_key" === "k1").select("payload")
+      .as[String].head() === "v1b")
+  }
+
   test("ORC table format: create, merge, compact, read-back parity with parquet") {
     // the reference's CREATE TABLE format option (PARQUET | ORC | AVRO,
     // CRD beta:294-318): same table semantics, different data file codec

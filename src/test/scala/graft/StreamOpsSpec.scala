@@ -603,4 +603,36 @@ class StreamOpsSpec extends SparkSpec {
     val total = out.agg(sum("n")).head().getLong(0)
     assert(total == ev.count()) // every event lands in exactly one window
   }
+
+  test("a band-index compaction tick right after the FIRST batch is a safe no-op") {
+    // compactEvery=1 fires the tick after batch 0, when the index holds
+    // only the seed and batch-0's subdir: keep-recent protects batch-0,
+    // leaving a single foldable subdir — the tick must no-op (not fold
+    // the seed alone, not absorb the replayable batch) and the index must
+    // keep deduping
+    import spark.implicits._
+    val dir = s"${tmpDir("band-first-tick")}/idx"
+    val base = "alpha beta gamma delta epsilon zeta"
+    StreamOps.initBandIndex(spark, dir,
+      graft.ext.Dedup.MinHashParams(128, 16, 3, 42L, oph = false),
+      Some(Seq((1L, base)).toDF("doc_id", "text")))
+    StreamOps.dedupBatchMaintainingIndex(
+      Seq((2L, "totally fresh first-batch content here")).toDF("doc_id", "text"),
+      dir, batchId = 0L)
+    def dirNames() = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val before = dirNames()
+    StreamOps.compactBandIndex(spark, dir)
+    assert(dirNames() === before, s"the first-batch tick must be a no-op: ${dirNames()}")
+    // replay of batch 0 stays safe, and both indexed texts still suppress
+    val replay = StreamOps.dedupBatchMaintainingIndex(
+      Seq((2L, "totally fresh first-batch content here")).toDF("doc_id", "text"),
+      dir, batchId = 0L)
+    assert(replay.select("doc_id").as[Long].collect().toSet === Set(2L))
+    val next = StreamOps.dedupBatchMaintainingIndex(
+      Seq((3L, base), (4L, "totally fresh first-batch content here"),
+        (5L, "genuinely novel second-batch content instead")).toDF("doc_id", "text"),
+      dir, batchId = 1L)
+    assert(next.select("doc_id").as[Long].collect().toSet === Set(5L))
+  }
 }
