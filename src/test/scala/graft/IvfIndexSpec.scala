@@ -324,6 +324,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.semDedupIncrement(spark, idxE, copies, threshold = 0.99).count() === 0L)
   }
 
+  test("PQ recall@10 holds after a 10x frozen-quantizer append (r18 stretch: pinned, not claimed)") {
+    // ten perturbed blocks (the bench 10x construction: per-block epsilon,
+    // NOT copies — copies would make every query's top hit its own clone
+    // and measure nothing), appended under the FROZEN centroids and
+    // codebooks; recall@10 vs brute force over the merged corpus must
+    // clear the PQ floor minus drift slack — the tier's quality is an
+    // invariant of appended mass, not a construction-time claim.
+    val idx = s"${tmpDir("ivfpq-recall10x")}/index"
+    val books = Similarity.pqCodebooksFromRows(emb, numSub = 8, codebookSize = 16)
+    IvfIndex.createPq(spark, idx, cents, books, emb)
+    val blocks = (1 until 10).map { k =>
+      emb.select((col("vec_id") + k * 100000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit((k * 0.003).toFloat)).as("embedding"))
+    }
+    blocks.zipWithIndex.foreach { case (b, i) => IvfIndex.append(spark, idx, b, s"inc$i") }
+    val union = blocks.foldLeft(emb)(_ unionByName _)
+    val queries = emb.where(col("vec_id") < 50)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, union, k = 10))
+    val got = pairs(IvfIndex.topKPq(spark, idx, queries, k = 10))
+    val recall = exact.count(got.contains).toDouble / exact.size
+    info(s"IVF-PQ recall@10 after 10x append (nprobe=1): $recall")
+    // measured 0.81 on the seeded corpus; floor at the family's usual
+    // ~2x regeneration slack
+    assert(recall >= 0.30, s"PQ recall@10 $recall collapsed under appended mass")
+  }
+
   test("recall@10 through the appended index clears the IVF floor on the merged corpus") {
     val idx = s"${tmpDir("ivf-recall")}/index"
     IvfIndex.create(spark, idx, cents, emb)
