@@ -327,6 +327,8 @@ object IvfIndex {
     * for the grace window.
     */
   def compact(spark: SparkSession, dir: String, graceMs: Long = DefaultCompactGraceMs): Unit = {
+    val (p, fs) = fsOf(spark, dir)
+    val data = new org.apache.hadoop.fs.Path(p, "data")
     val live = readManifest(spark, dir)
     if (live.size > 1) {
       val target = s"compact-${java.util.UUID.randomUUID()}"
@@ -337,18 +339,27 @@ object IvfIndex {
         .repartition(col("list"))
         .write.mode("overwrite").partitionBy("list").parquet(s"$dir/data/$target")
       writeManifest(spark, dir, Seq(target))
+      // the grace clock starts at UNREFERENCE, not at creation: stamp the
+      // absorbed subdirs' mtime to now, else an hour-old seed would be
+      // swept the instant the manifest swings away from it — under the
+      // feet of a reader that planned one second earlier
+      if (graceMs > 0) live.foreach { name =>
+        val sp = new org.apache.hadoop.fs.Path(data, name)
+        if (fs.exists(sp)) fs.setTimes(sp, System.currentTimeMillis(), -1)
+      }
     }
     // sweep runs even when nothing folded: a one-entry manifest can still
-    // have deferred-absorbed or crash-orphaned subdirs waiting out the
-    // grace from earlier ticks
+    // have deferred-absorbed (mtime = their unreference stamp) or
+    // crash-orphaned (mtime = their abandoned write) subdirs waiting out
+    // the grace from earlier ticks
     val keep = readManifest(spark, dir).toSet
-    val (p, fs) = fsOf(spark, dir)
-    val data = new org.apache.hadoop.fs.Path(p, "data")
     if (fs.exists(data)) {
-      val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+      // graceMs <= 0 = NO grace (sweep every unreferenced subdir now) —
+      // the spec/rebuild mode, never a production default
+      val cutoff = System.currentTimeMillis() - graceMs
       fs.listStatus(data).filter(_.isDirectory)
         .filterNot(s => keep.contains(s.getPath.getName))
-        .filter(_.getModificationTime < cutoff)
+        .filter(s => graceMs <= 0 || s.getModificationTime < cutoff)
         .foreach(s => fs.delete(s.getPath, true))
     }
   }
@@ -432,6 +443,12 @@ object IvfIndex {
     */
   private def probeStats(side: DataFrame, listCol: String): (Seq[Int], Long) = {
     val rows = side.groupBy(col(listCol)).agg(count(lit(1))).collect()
+    // a null list here means null/empty embeddings in an INCREMENT (query
+    // sides explode their probes, which drops null rows) — same loud
+    // contract as the write path, not a driver-side NPE
+    rows.find(_.isNullAt(0)).foreach(r => throw new IllegalArgumentException(
+      s"IvfIndexNullAssignment: ${r.getLong(1)} increment row(s) have a null/empty " +
+        "embedding — cannot assign an IVF list"))
     (rows.map(_.getInt(0)).toSeq, rows.map(_.getLong(1)).sum)
   }
 

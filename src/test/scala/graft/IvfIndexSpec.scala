@@ -235,6 +235,13 @@ class IvfIndexSpec extends SparkSpec {
     // (its InMemoryFileIndex already lists seed/inc1 files) but has not
     // executed yet — the exact mid-scan window of the hazard
     val priorReader = IvfIndex.topK(spark, idx, queries, k = 10)
+    // age the subdirs an hour: the grace clock must start at the moment
+    // compact UNREFERENCES a dir, never at the dir's creation — an old
+    // seed deserves the same grace as a fresh append
+    val fsP = new org.apache.hadoop.fs.Path(s"$idx/data")
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(fsP).filter(_.isDirectory).foreach(s =>
+      fs.setTimes(s.getPath, System.currentTimeMillis() - 3600 * 1000L, -1))
     IvfIndex.compact(spark, idx) // default grace: absorbed subdirs deferred
     val dirs = {
       val p = new org.apache.hadoop.fs.Path(s"$idx/data")
