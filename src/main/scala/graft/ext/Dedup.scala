@@ -1323,9 +1323,8 @@ object Dedup {
     // checkpoint blocks are released when the frame is GC'd. The traded
     // recompute-on-executor-loss only covers the batch-sized increment,
     // never the corpus.
-    val marked = incoming.withColumn("_fp", fpIn).withColumn("_suspect",
-      col("_fp").isNotNull &&
-        call_function("bloom_might_contain", lit(bf), xxhash64(col("_fp"))))
+    val marked = incoming.withColumn("_fp", fpIn)
+      .withColumn("_suspect", suspectPredicate(bf))
       .localCheckpoint()
     val suspectFps = marked.where(col("_suspect")).select(col("_fp")).distinct()
     val corpusFps = corpus
@@ -1345,6 +1344,16 @@ object Dedup {
       .select(cols.map(col).toIndexedSeq: _*)
   }
 
+  /** THE suspect decision — one definition consumed by both
+    * [[dedupExactIncrement]] (its broadcast-or-degrade sizing) and
+    * [[exactIncrementSuspects]] (the bench observable): a drift between
+    * two copies would silently mis-size the recorded count.
+    * Expects a `_fp` fingerprint column.
+    */
+  private def suspectPredicate(index: Array[Byte]): Column =
+    col("_fp").isNotNull &&
+      call_function("bloom_might_contain", lit(index), xxhash64(col("_fp")))
+
   /** The suspect-fingerprint count behind [[dedupExactIncrement]] under a
     * given index — the sf1 work-count observable that sizes the verify
     * join's broadcast side (duplicate mass + bloom false positives, never
@@ -1354,10 +1363,9 @@ object Dedup {
   def exactIncrementSuspects(
       index: Array[Byte], incoming: DataFrame, textCol: String = "text"): Long = {
     graft.sql.GraftExtensions.ensureRegistered(incoming.sparkSession)
-    val fp = TextAnalysis.fingerprint(col(textCol))
-    incoming
-      .where(fp.isNotNull && call_function("bloom_might_contain", lit(index), xxhash64(fp)))
-      .select(fp.as("_fp")).distinct().count()
+    incoming.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .where(suspectPredicate(index))
+      .select(col("_fp")).distinct().count()
   }
 
   /** The zero-corpus-IO membership filter: drop every bloom-positive row.

@@ -338,15 +338,29 @@ object IvfIndex {
       readAssigned(spark, dir)
         .repartition(col("list"))
         .write.mode("overwrite").partitionBy("list").parquet(s"$dir/data/$target")
-      writeManifest(spark, dir, Seq(target))
       // the grace clock starts at UNREFERENCE, not at creation: stamp the
-      // absorbed subdirs' mtime to now, else an hour-old seed would be
-      // swept the instant the manifest swings away from it — under the
-      // feet of a reader that planned one second earlier
-      if (graceMs > 0) live.foreach { name =>
-        val sp = new org.apache.hadoop.fs.Path(data, name)
-        if (fs.exists(sp)) fs.setTimes(sp, System.currentTimeMillis(), -1)
+      // soon-to-be-absorbed subdirs' mtime BEFORE the manifest swings —
+      // stamping a still-referenced dir is harmless (the sweep only looks
+      // at unreferenced ones), while stamping after the swing leaves a
+      // crash window in which a retried tick sees hour-old mtimes and
+      // sweeps instantly under a reader planned on the prior manifest.
+      // setTimes is a silent no-op on some FileSystems (the base class's
+      // default, object-store directory prefixes) — verify one stamp took
+      // and warn that the grace is unenforceable there.
+      if (graceMs > 0) {
+        val stampAt = System.currentTimeMillis()
+        live.foreach { name =>
+          val sp = new org.apache.hadoop.fs.Path(data, name)
+          if (fs.exists(sp)) fs.setTimes(sp, stampAt, -1)
+        }
+        val check = live.headOption.map(new org.apache.hadoop.fs.Path(data, _))
+          .filter(fs.exists(_))
+        if (check.exists(p => math.abs(fs.getFileStatus(p).getModificationTime - stampAt) > 60000L))
+          System.err.println(
+            "IVF INDEX: this FileSystem ignores setTimes — the compaction deletion grace " +
+              "cannot be enforced here; absorbed subdirs may be swept by age-at-creation")
       }
+      writeManifest(spark, dir, Seq(target))
     }
     // sweep runs even when nothing folded: a one-entry manifest can still
     // have deferred-absorbed (mtime = their unreference stamp) or
@@ -452,6 +466,29 @@ object IvfIndex {
     (rows.map(_.getInt(0)).toSeq, rows.map(_.getLong(1)).sum)
   }
 
+  /** Exploded (query_id[, q_vec, q_norm], q_list) probe rows with a LOUD
+    * null guard: `explode` silently DROPS a null probe array, so a
+    * null/empty-embedding query would simply vanish from the top-k output
+    * — the silent-result-shrink twin of the write path's
+    * IvfIndexNullAssignment, converted to the same named executor-side
+    * error instead.
+    */
+  private def probeSide(
+      queries: DataFrame, bc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      dim: Int, nLists: Int, nprobe: Int,
+      idCol: String, vecCol: String, withVec: Boolean): DataFrame = {
+    val probes = Similarity.ivfProbes(col(vecCol), bc, dim, nLists, nprobe).cast("array<int>")
+    val guarded = when(probes.isNull, raise_error(concat(
+      lit("IvfIndexNullAssignment: query "), col(idCol).cast("string"),
+      lit(" has a null/empty embedding — cannot probe the index"))).cast("array<int>"))
+      .otherwise(probes)
+    if (withVec)
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        Similarity.norm(col(vecCol)).as("q_norm"), explode(guarded).as("q_list"))
+    else
+      queries.select(col(idCol).as("query_id"), explode(guarded).as("q_list"))
+  }
+
   private def hintSmall(df: DataFrame, small: Boolean, what: String, rows: Long): DataFrame =
     if (small) broadcast(df)
     else {
@@ -485,11 +522,7 @@ object IvfIndex {
     val cents = centroids(spark, dir)
     val bc = Similarity.broadcastCentroids(cents)
     val (dim, nLists) = (cents.head.length, cents.length)
-    val q = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      Similarity.norm(col(vecCol)).as("q_norm"),
-      explode(Similarity.ivfProbes(col(vecCol), bc, dim, nLists, nprobe)
-        .cast("array<int>")).as("q_list"))
+    val q = probeSide(queries, bc, dim, nLists, nprobe, idCol, vecCol, withVec = true)
     val (probed, qRows) = probeStats(q, "q_list")
     val c = readAssigned(spark, dir, Some(probed)).select(
       col("id").as("neighbor_id"), col("vec").as("c_vec"),
@@ -513,18 +546,19 @@ object IvfIndex {
   def probeWorkCounts(
       spark: SparkSession, dir: String, queries: DataFrame,
       nprobe: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): (Long, Long, Long) = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastMaxRows: Long = DefaultBroadcastMaxRows): (Long, Long, Long) = {
     graft.sql.VecDot.ensureRegistered(spark)
     val cents = centroids(spark, dir)
     val bc = Similarity.broadcastCentroids(cents)
     val (dim, nLists) = (cents.head.length, cents.length)
-    val q = queries.select(col(idCol).as("query_id"),
-      explode(Similarity.ivfProbes(col(vecCol), bc, dim, nLists, nprobe)
-        .cast("array<int>")).as("q_list"))
+    val q = probeSide(queries, bc, dim, nLists, nprobe, idCol, vecCol, withVec = false)
     val (probed, qRows) = probeStats(q, "q_list")
     val c = readAssigned(spark, dir, Some(probed))
       .select(col("id"), col("list").as("c_list"))
-    val candidates = c.join(broadcast(q),
+    // same bound as the query paths: the count twin must not OOM a
+    // broadcast the measured leg would have refused
+    val candidates = c.join(hintSmall(q, qRows <= broadcastMaxRows, "exploded query", qRows),
       col("q_list") === col("c_list") && col("query_id") =!= col("id")).count()
     (qRows, candidates, plannedFileCount(spark, dir, probed))
   }
@@ -588,16 +622,21 @@ object IvfIndex {
       .localCheckpoint()
     val (probed, incRows) = probeStats(inc, "_list")
     val incSmall = incRows <= broadcastMaxRows
+    if (!incSmall) System.err.println(
+      s"IVF INDEX: $incRows increment rows exceed the broadcast bound — both the " +
+        "suppression join and the dominated-id anti join run as shuffled hash joins (still exact)")
+    // dominated ⊆ the increment's keys, so ONE bound decision governs both
+    // hints (and one warning names the side that is actually big)
+    def hint(df: DataFrame): DataFrame =
+      if (incSmall) broadcast(df) else df.hint("shuffle_hash")
     val corpus = readAssigned(spark, dir, Some(probed)).select(
       col("vec").as("_s_v"), Similarity.norm(col("vec")).as("_s_nrm"),
       col("list").as("_s_list"))
     val dominated = corpus
-      .join(hintSmall(inc, incSmall, "increment", incRows), col("_s_list") === col("_list") &&
+      .join(hint(inc), col("_s_list") === col("_list") &&
         Similarity.dot(col(vecCol), col("_s_v")) / (col("_nrm") * col("_s_nrm")) >= threshold)
       .select(col(idCol)).distinct()
-    // dominated ⊆ the increment's keys, so the increment bound governs
-    // this hint too
-    inc.join(hintSmall(dominated, incSmall, "dominated-id", incRows), Seq(idCol), "left_anti")
+    inc.join(hint(dominated), Seq(idCol), "left_anti")
       .select(col(idCol), col(vecCol))
   }
 
@@ -621,11 +660,7 @@ object IvfIndex {
     val books = pqBooks(spark, dir)
     val bc = Similarity.broadcastCentroids(cents)
     val (dim, nLists) = (cents.head.length, cents.length)
-    val q = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      Similarity.norm(col(vecCol)).as("q_norm"),
-      explode(Similarity.ivfProbes(col(vecCol), bc, dim, nLists, nprobe)
-        .cast("array<int>")).as("q_list"))
+    val q = probeSide(queries, bc, dim, nLists, nprobe, idCol, vecCol, withVec = true)
     val (probed, qRows) = probeStats(q, "q_list")
     val c = readAssigned(spark, dir, Some(probed))
       .select(col("id").as("neighbor_id"), col("list").as("c_list"),

@@ -127,8 +127,10 @@ object CdcPipeline {
     * (or still near-dups the prior version), silently dropping the
     * update. Live keys are collected with a bucket-pruned read (buckets
     * derived from the batch's keys — the merge's own cost class: one
-    * O(affected buckets) key scan per batch, never the table), and the
-    * exempt set is bounded by the micro-batch's key count.
+    * O(affected buckets) key scan, never the table), the exempt set is
+    * bounded by the micro-batch's key count, and the whole scan is a
+    * THUNK the dedup evaluates only when the batch actually collided —
+    * collision-free steady-state batches pay nothing for it.
     *
     * Residual, BY CONTENT-DEDUP SEMANTICS: a key deleted earlier whose
     * content is later RE-INSERTED near-duplicating anything already
@@ -146,21 +148,20 @@ object CdcPipeline {
       case Some(tc) =>
         val isDel = coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false))
         val nonDel = staged.where(!isDel)
-        val exempt: Option[DataFrame] =
+        val exempt: Option[() => DataFrame] =
           if (!table.exists) None
-          else {
+          else Some(() => {
             val snap = table.currentSnapshot
             val n = snap.numBuckets
             val fn = SnapshotTable.bucketFnOf(snap.properties)
             val buckets = nonDel
               .select(table.bucketExpr(MergeKey.ColumnName, n, fn).as("_gbk"))
               .distinct().collect().map(_.getInt(0)).toSet
-            if (buckets.isEmpty) None
-            else Some(
-              table.read(Some(buckets)).select(col(MergeKey.ColumnName))
-                .join(broadcast(nonDel.select(col(MergeKey.ColumnName)).distinct()),
-                  Seq(MergeKey.ColumnName), "leftsemi"))
-          }
+            if (buckets.isEmpty) nonDel.select(col(MergeKey.ColumnName)).limit(0)
+            else table.read(Some(buckets)).select(col(MergeKey.ColumnName))
+              .join(broadcast(nonDel.select(col(MergeKey.ColumnName)).distinct()),
+                Seq(MergeKey.ColumnName), "leftsemi")
+          })
         graft.streaming.StreamOps
           .dedupBatchMaintainingIndex(nonDel, spec.dedupIndexLocation.get,
             batchId, idCol = MergeKey.ColumnName, textCol = tc, exemptIds = exempt)

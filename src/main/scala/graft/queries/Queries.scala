@@ -1307,19 +1307,21 @@ object Queries {
     graft.CountingFileSystem.reset()
     val suspects = Dedup.exactIncrementSuspects(bf, incoming)
 
-    // ANN increments: counts through the gates' PERSISTED indexes
-    // ((re)built if this data dir hasn't run them yet — e.g. the 10x
-    // derivative, where only q_ann_ivf_increment is a timed leg)
+    // ANN increments: counts through the gates' PERSISTED indexes —
+    // rebuilt unconditionally by running the gates (create + append), so
+    // a /tmp index left by an EARLIER ROUND over regenerated testdata can
+    // never supply stale counts (the index paths carry only dir.hashCode,
+    // no data signature; the gates themselves always rebuild)
     val emb = t(spark, dir, "embeddings")
     val queries = emb.where(col("vec_id") < 50)
     val ivfDir = s"$tmp/graft-ivf-index-$digest"
-    if (!IvfIndex.exists(spark, ivfDir)) qAnnIvfIncrement(spark, dir).count()
+    qAnnIvfIncrement(spark, dir).count()
     val (ivfP, ivfC, ivfF) = IvfIndex.probeWorkCounts(spark, ivfDir, queries)
     val pqDir = s"$tmp/graft-ivfpq-index-$digest"
-    if (!IvfIndex.exists(spark, pqDir)) qAnnIvfPqIncrement(spark, dir).count()
+    qAnnIvfPqIncrement(spark, dir).count()
     val (pqP, pqC, pqF) = IvfIndex.probeWorkCounts(spark, pqDir, queries)
     val sdDir = s"$tmp/graft-ivf-semdedup-$digest"
-    if (!IvfIndex.exists(spark, sdDir)) qSemDedupIncrement(spark, dir).count()
+    qSemDedupIncrement(spark, dir).count()
     val sdInc = emb.where(col("vec_id") < 150)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       .unionByName(emb.where(col("vec_id") >= 150 && col("vec_id") < 300)

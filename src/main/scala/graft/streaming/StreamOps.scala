@@ -339,13 +339,16 @@ object StreamOps {
     * near-dups both survive (compose [[nearDedupStream]] upstream, the
     * family's usual layering). Single maintainer per index dir.
     *
-    * `exemptIds` (one `idCol` column; bounded by the micro-batch's key
-    * count, so broadcastable by construction): ids that are NEVER
-    * suppressed whatever their bands collide with — the CDC pipeline
-    * passes the batch keys already live in the target so an UPDATE whose
-    * text still near-dups its own indexed prior version reaches the
-    * merge instead of being silently dropped. Exempt survivors still
-    * append their (possibly changed) bands like any other survivor.
+    * `exemptIds` (a THUNK returning one `idCol` column; bounded by the
+    * micro-batch's key count, so broadcastable by construction): ids that
+    * are NEVER suppressed whatever their bands collide with — the CDC
+    * pipeline passes the batch keys already live in the target so an
+    * UPDATE whose text still near-dups its own indexed prior version
+    * reaches the merge instead of being silently dropped. A thunk, not a
+    * frame: liveness only matters for ids that actually COLLIDED, so on
+    * collision-free batches (the daily-crawl steady state) the caller's
+    * exemption scan never runs at all. Exempt survivors still append
+    * their (possibly changed) bands like any other survivor.
     */
   def dedupBatchMaintainingIndex(
       batch: DataFrame,
@@ -353,7 +356,7 @@ object StreamOps {
       batchId: Long,
       idCol: String = "doc_id",
       textCol: String = "text",
-      exemptIds: Option[DataFrame] = None
+      exemptIds: Option[() => DataFrame] = None
   ): DataFrame = {
     val spark = batch.sparkSession
     val (p, fs) = indexFs(spark, dir)
@@ -371,11 +374,17 @@ object StreamOps {
       if (prior.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(bands.schema.fields.take(1)))
+      // materialized (batch-bounded, GC-managed): consumed by the empty
+      // short-circuit AND the survivors join, and pinning it here keeps
+      // the index scan at exactly one pass per batch
       else spark.read.schema(bandSchema).parquet(prior.map(_.toString): _*)
         .join(broadcast(bands), Seq("band", "key"))
-        .select(col(idCol)).distinct()
-    val dupEff = exemptIds.fold(dupIds)(e =>
-      dupIds.join(broadcast(e.select(col(idCol)).distinct()), Seq(idCol), "leftanti"))
+        .select(col(idCol)).distinct().localCheckpoint()
+    val dupEff = exemptIds match {
+      case Some(mk) if !dupIds.isEmpty =>
+        dupIds.join(broadcast(mk().select(col(idCol)).distinct()), Seq(idCol), "leftanti")
+      case _ => dupIds
+    }
     val survivors = batch.where(!emptyText)
       .join(broadcast(dupEff), Seq(idCol), "leftanti")
     bands.join(broadcast(survivors.select(col(idCol))), Seq(idCol), "leftsemi")
