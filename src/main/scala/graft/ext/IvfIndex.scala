@@ -131,16 +131,23 @@ object IvfIndex {
     * append time, so an appended copy of a stored vector lands in its
     * original's list by construction.
     */
-  /** A null/empty embedding gets no list from [[Similarity.ivfAssign]];
-    * letting it through would hive-write a `list=__HIVE_DEFAULT_PARTITION__`
-    * subdir that poisons every later probed read with a parse failure —
-    * fail THIS create/append loudly instead (executor-side raise_error:
-    * the id is in the message).
+  /** A NULL embedding gets no list from [[Similarity.ivfAssign]] (a
+    * hive-default partition every probed read would choke on), and an
+    * EMPTY or ALL-ZERO one is worse: its norm is 0, every score is
+    * 0/0 = NaN, NaN wins every descending comparison, so the assignment
+    * is silently non-null and the stored vector becomes the NaN-scored
+    * top-1 neighbor of every query probing its list. Guard on the norm,
+    * which is null/0 in exactly the degenerate cases — fail THIS
+    * create/append/probe loudly (executor-side raise_error: the id is in
+    * the message).
     */
-  private def requiredList(listCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(listCol.isNull, raise_error(concat(
-      lit("IvfIndexNullAssignment: id "), col("id").cast("string"),
-      lit(" has a null/empty embedding — cannot assign an IVF list"))).cast("int"))
+  private def requiredList(
+      listCol: org.apache.spark.sql.Column,
+      nrm: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(listCol.isNull || coalesce(nrm, lit(0.0)) === 0.0, raise_error(concat(
+      lit("IvfIndexNullAssignment: id "), id.cast("string"),
+      lit(" has a null/empty/zero embedding — cannot assign an IVF list"))).cast("int"))
       .otherwise(listCol)
 
   private def writeAssigned(
@@ -150,8 +157,10 @@ object IvfIndex {
     val bc = Similarity.broadcastCentroids(cents)
     vecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
         Similarity.ivfAssign(col(vecCol), bc, cents.head.length, cents.length)
-          .cast("int").as("list"))
-      .withColumn("list", requiredList(col("list")))
+          .cast("int").as("list"),
+        Similarity.norm(col(vecCol)).as("_nrm"))
+      .withColumn("list", requiredList(col("list"), col("_nrm"), col("id")))
+      .drop("_nrm")
       // one shuffle keyed by list id: each output task writes whole lists,
       // so a list's rows land in O(1) files instead of one per input task
       .repartition(col("list"))
@@ -173,8 +182,10 @@ object IvfIndex {
     vecs.select(col(idCol).as("id"),
         Similarity.pqEncode(col(vecCol), books).as("codes"),
         Similarity.ivfAssign(col(vecCol), bc, cents.head.length, cents.length)
-          .cast("int").as("list"))
-      .withColumn("list", requiredList(col("list")))
+          .cast("int").as("list"),
+        Similarity.norm(col(vecCol)).as("_nrm"))
+      .withColumn("list", requiredList(col("list"), col("_nrm"), col("id")))
+      .drop("_nrm")
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(out)
   }
@@ -478,9 +489,13 @@ object IvfIndex {
       dim: Int, nLists: Int, nprobe: Int,
       idCol: String, vecCol: String, withVec: Boolean): DataFrame = {
     val probes = Similarity.ivfProbes(col(vecCol), bc, dim, nLists, nprobe).cast("array<int>")
-    val guarded = when(probes.isNull, raise_error(concat(
-      lit("IvfIndexNullAssignment: query "), col(idCol).cast("string"),
-      lit(" has a null/empty embedding — cannot probe the index"))).cast("array<int>"))
+    // null/0 norm covers NULL, EMPTY and ALL-ZERO queries (the zero ones
+    // would otherwise probe a NaN-argmax list and score NaN cosines)
+    val nrm = Similarity.norm(col(vecCol))
+    val guarded = when(probes.isNull || coalesce(nrm, lit(0.0)) === 0.0,
+      raise_error(concat(
+        lit("IvfIndexNullAssignment: query "), col(idCol).cast("string"),
+        lit(" has a null/empty/zero embedding — cannot probe the index"))).cast("array<int>"))
       .otherwise(probes)
     if (withVec)
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
@@ -575,8 +590,9 @@ object IvfIndex {
     val cents = centroids(spark, dir)
     val bc = Similarity.broadcastCentroids(cents)
     val inc = increment.select(
-      Similarity.ivfAssign(col(vecCol), bc, cents.head.length, cents.length)
-        .cast("int").as("_list"))
+      requiredList(
+        Similarity.ivfAssign(col(vecCol), bc, cents.head.length, cents.length).cast("int"),
+        Similarity.norm(col(vecCol)), col(idCol)).as("_list"))
     val (probed, incRows) = probeStats(inc, "_list")
     val corpusRows = readAssigned(spark, dir, Some(probed)).count()
     (incRows, probed.size.toLong, corpusRows, plannedFileCount(spark, dir, probed))
@@ -619,6 +635,7 @@ object IvfIndex {
     val inc = increment.select(col(idCol), col(vecCol),
         Similarity.ivfAssign(col(vecCol), bc, dim, nLists).cast("int").as("_list"),
         Similarity.norm(col(vecCol)).as("_nrm"))
+      .withColumn("_list", requiredList(col("_list"), col("_nrm"), col(idCol)))
       .localCheckpoint()
     val (probed, incRows) = probeStats(inc, "_list")
     val incSmall = incRows <= broadcastMaxRows

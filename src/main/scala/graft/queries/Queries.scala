@@ -983,14 +983,14 @@ object Queries {
 
     // IVF stored-index top-k past broadcastMaxRows (bound 0): the exploded
     // query side degrades from broadcast to a shuffled hash join over the
-    // SAME persisted index the q_ann_ivf_increment gate maintains
+    // SAME persisted index the q_ann_ivf_increment gate maintains (the
+    // shared builder: create + append only, not the gate's top-k answer)
     import graft.ext.IvfIndex
-    qAnnIvfIncrement(spark, dir).count() // (re)build the index at this SF
+    val ivfIdx = buildIvfIncrementIndex(spark, dir)
     val embT = t(spark, dir, "embeddings")
-    val ivfIdx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-${java.lang.Integer.toHexString(dir.hashCode)}"
     def ivf(bound: Long): (Double, (Long, String)) = {
       val t0 = System.nanoTime()
-      val h = hashOf(IvfIndex.topK(spark, ivfIdx, embT.where(col("vec_id") < 50), k = 10,
+      val h = hashOf(IvfIndex.topK(spark, ivfIdx, annGateQueries(embT), k = 10,
         broadcastMaxRows = bound))
       ((System.nanoTime() - t0) / 1e9, h)
     }
@@ -1283,21 +1283,12 @@ object Queries {
     import graft.ext.IvfIndex
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.counting.impl", classOf[graft.CountingFileSystem].getName)
-    val digest = java.lang.Integer.toHexString(dir.hashCode)
-    val tmp = System.getProperty("java.io.tmpdir")
 
-    // exact-increment: the GATE's exact corpus/increment construction,
-    // read through the counting scheme so the two passes' IO is recorded
+    // exact-increment: the GATE's exact corpus/increment construction
+    // ([[exactIncrementIncoming]] — shared, cannot drift), read through
+    // the counting scheme so the two passes' IO is recorded
     val docs = spark.read.parquet(s"counting:$dir/documents.parquet")
-    val copies = docs.where(col("doc_id") < 300)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        regexp_replace(col("text"), " ", "  ").as("text"))
-    val fresh = docs.where(col("doc_id") < 300)
-      .select((col("doc_id") + 2000000L).as("doc_id"),
-        concat(col("text"), lit(" uniq"), (col("doc_id") + 2000000L).cast("string")).as("text"))
-    val nulls = docs.where(col("doc_id") < 5)
-      .select((col("doc_id") + 3000000L).as("doc_id"), lit(null).cast("string").as("text"))
-    val incoming = copies.unionByName(fresh).unionByName(nulls)
+    val incoming = exactIncrementIncoming(docs)
     graft.CountingFileSystem.reset()
     val bf = Dedup.exactIndex(docs)
     val (idxF, idxB) = graft.CountingFileSystem.openedStats
@@ -1307,27 +1298,20 @@ object Queries {
     graft.CountingFileSystem.reset()
     val suspects = Dedup.exactIncrementSuspects(bf, incoming)
 
-    // ANN increments: counts through the gates' PERSISTED indexes —
-    // rebuilt unconditionally by running the gates (create + append), so
-    // a /tmp index left by an EARLIER ROUND over regenerated testdata can
-    // never supply stale counts (the index paths carry only dir.hashCode,
-    // no data signature; the gates themselves always rebuild)
+    // ANN increments: counts through freshly-built gate indexes (the
+    // SHARED builders — create + append only, not the gates' full top-k
+    // answers), so a /tmp index left by an EARLIER ROUND over regenerated
+    // testdata can never supply stale counts and the query set / plant is
+    // the gates' own by construction
     val emb = t(spark, dir, "embeddings")
-    val queries = emb.where(col("vec_id") < 50)
-    val ivfDir = s"$tmp/graft-ivf-index-$digest"
-    qAnnIvfIncrement(spark, dir).count()
-    val (ivfP, ivfC, ivfF) = IvfIndex.probeWorkCounts(spark, ivfDir, queries)
-    val pqDir = s"$tmp/graft-ivfpq-index-$digest"
-    qAnnIvfPqIncrement(spark, dir).count()
-    val (pqP, pqC, pqF) = IvfIndex.probeWorkCounts(spark, pqDir, queries)
-    val sdDir = s"$tmp/graft-ivf-semdedup-$digest"
-    qSemDedupIncrement(spark, dir).count()
-    val sdInc = emb.where(col("vec_id") < 150)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      .unionByName(emb.where(col("vec_id") >= 150 && col("vec_id") < 300)
-        .select((col("vec_id") + 2000000L).as("vec_id"),
-          reverse(col("embedding")).as("embedding")))
-    val (sdRows, sdLists, sdCorpus, sdFiles) = IvfIndex.semDedupWorkCounts(spark, sdDir, sdInc)
+    val queries = annGateQueries(emb)
+    val (ivfP, ivfC, ivfF) =
+      IvfIndex.probeWorkCounts(spark, buildIvfIncrementIndex(spark, dir), queries)
+    val (pqP, pqC, pqF) =
+      IvfIndex.probeWorkCounts(spark, buildIvfPqIncrementIndex(spark, dir), queries)
+    val (sdRows, sdLists, sdCorpus, sdFiles) =
+      IvfIndex.semDedupWorkCounts(spark, buildSemDedupIndex(spark, dir),
+        semDedupGateIncrement(emb))
 
     s""""q_dedup_exact_increment":{"suspects":$suspects,""" +
       s""""index_pass_files":$idxF,"index_pass_bytes":$idxB,""" +
@@ -1705,6 +1689,59 @@ object Queries {
       .select(col("embedding").cast("array<double>"))
       .collect().map(r => Similarity.unitVector(r.getSeq[Double](0).toArray))
 
+  // ---- shared incremental-tier gate constructions -------------------
+  // ONE definition each for the index paths, query set and increments:
+  // the gates and the bench's work-count twin must build the IDENTICAL
+  // workload, or the recorded counts describe a different computation
+  // than the seconds beside them (the suspectPredicate lesson). The
+  // builders always construct from scratch, so a /tmp index left by an
+  // earlier run over regenerated testdata can never leak into counts.
+
+  private def ivfGateIndexDir(dir: String, prefix: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/$prefix-${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  private def annGateQueries(emb: DataFrame): DataFrame = emb.where(col("vec_id") < 50)
+
+  private def annGateIncrement(emb: DataFrame): DataFrame =
+    emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+
+  /** create + append ONLY (no query): the work-count and degraded bench
+    * sections need the stored artifact, not the gate's top-k answer.
+    */
+  private def buildIvfIncrementIndex(spark: SparkSession, dir: String): String = {
+    import graft.ext.IvfIndex
+    val emb = t(spark, dir, "embeddings")
+    val idxDir = ivfGateIndexDir(dir, "graft-ivf-index")
+    IvfIndex.create(spark, idxDir, ivfGateCentroids(emb), emb)
+    IvfIndex.append(spark, idxDir, annGateIncrement(emb), name = "increment")
+    idxDir
+  }
+
+  private def buildIvfPqIncrementIndex(spark: SparkSession, dir: String): String = {
+    import graft.ext.IvfIndex
+    val emb = t(spark, dir, "embeddings")
+    val idxDir = ivfGateIndexDir(dir, "graft-ivfpq-index")
+    val books = Similarity.pqCodebooksFromRows(emb, numSub = 8, codebookSize = 16)
+    IvfIndex.createPq(spark, idxDir, ivfGateCentroids(emb), books, emb)
+    IvfIndex.append(spark, idxDir, annGateIncrement(emb), name = "increment")
+    idxDir
+  }
+
+  private def buildSemDedupIndex(spark: SparkSession, dir: String): String = {
+    import graft.ext.IvfIndex
+    val emb = t(spark, dir, "embeddings")
+    val idxDir = ivfGateIndexDir(dir, "graft-ivf-semdedup")
+    IvfIndex.create(spark, idxDir, ivfGateCentroids(emb), emb)
+    idxDir
+  }
+
+  private def semDedupGateIncrement(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id") < 150)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.where(col("vec_id") >= 150 && col("vec_id") < 300)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.ivfTopK(emb.where(col("vec_id") < 50), emb, k = 10, ivfGateCentroids(emb))
@@ -1759,13 +1796,8 @@ object Queries {
   def qAnnIvfIncrement(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.IvfIndex
     val emb = t(spark, dir, "embeddings")
-    val digest = java.lang.Integer.toHexString(dir.hashCode)
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-$digest"
-    IvfIndex.create(spark, idxDir, ivfGateCentroids(emb), emb)
-    IvfIndex.append(spark, idxDir,
-      emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
-      name = "increment")
-    IvfIndex.topK(spark, idxDir, emb.where(col("vec_id") < 50), k = 10)
+    val idxDir = buildIvfIncrementIndex(spark, dir)
+    IvfIndex.topK(spark, idxDir, annGateQueries(emb), k = 10)
       .select(col("query_id"), col("neighbor_id"))
       .orderBy(col("query_id"), col("neighbor_id"))
   }
@@ -1785,14 +1817,8 @@ object Queries {
   def qAnnIvfPqIncrement(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.IvfIndex
     val emb = t(spark, dir, "embeddings")
-    val digest = java.lang.Integer.toHexString(dir.hashCode)
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-index-$digest"
-    val books = Similarity.pqCodebooksFromRows(emb, numSub = 8, codebookSize = 16)
-    IvfIndex.createPq(spark, idxDir, ivfGateCentroids(emb), books, emb)
-    IvfIndex.append(spark, idxDir,
-      emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
-      name = "increment")
-    IvfIndex.topKPq(spark, idxDir, emb.where(col("vec_id") < 50), k = 10)
+    val idxDir = buildIvfPqIncrementIndex(spark, dir)
+    IvfIndex.topKPq(spark, idxDir, annGateQueries(emb), k = 10)
       .select(col("query_id"), col("neighbor_id"))
       .orderBy(col("query_id"), col("neighbor_id"))
   }
@@ -1812,15 +1838,8 @@ object Queries {
   def qSemDedupIncrement(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.IvfIndex
     val emb = t(spark, dir, "embeddings")
-    val digest = java.lang.Integer.toHexString(dir.hashCode)
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-semdedup-$digest"
-    IvfIndex.create(spark, idxDir, ivfGateCentroids(emb), emb)
-    val inc = emb.where(col("vec_id") < 150)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      .unionByName(emb.where(col("vec_id") >= 150 && col("vec_id") < 300)
-        .select((col("vec_id") + 2000000L).as("vec_id"),
-          reverse(col("embedding")).as("embedding")))
-    IvfIndex.semDedupIncrement(spark, idxDir, inc, threshold = 0.99)
+    val idxDir = buildSemDedupIndex(spark, dir)
+    IvfIndex.semDedupIncrement(spark, idxDir, semDedupGateIncrement(emb), threshold = 0.99)
       .select(col("vec_id"))
       .orderBy(col("vec_id"))
   }
@@ -2805,8 +2824,11 @@ object Queries {
     * exact-verify path. Result must equal the plain fingerprint anti-join
     * the oracle computes (the bloom is a pruner, never semantics).
     */
-  def qDedupExactIncrement(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  /** The exact-increment gate's planted incoming batch — ONE definition
+    * shared with [[incrementalTierWorkJson]] so the recorded suspects
+    * count always sizes the gate's own workload.
+    */
+  private def exactIncrementIncoming(docs: DataFrame): DataFrame = {
     val copies = docs.where(col("doc_id") < 300)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         regexp_replace(col("text"), " ", "  ").as("text"))
@@ -2816,8 +2838,12 @@ object Queries {
     val nulls = docs.where(col("doc_id") < 5)
       .select((col("doc_id") + 3000000L).as("doc_id"),
         lit(null).cast("string").as("text"))
-    val incoming = copies.unionByName(fresh).unionByName(nulls)
-    Dedup.dedupExactIncrement(docs, incoming)
+    copies.unionByName(fresh).unionByName(nulls)
+  }
+
+  def qDedupExactIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.dedupExactIncrement(docs, exactIncrementIncoming(docs))
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 

@@ -297,6 +297,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("EMPTY and ALL-ZERO embeddings fail as loudly as null ones (append and query)") {
+    // norm 0 → every list score is 0/0 = NaN → NaN wins the argmax, so
+    // without the norm guard the row gets a NON-null list, stores
+    // silently, and its NaN cosine outranks every real neighbor
+    val idx = s"${tmpDir("ivf-zero")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ chain(t.getCause)
+    val emptyVec = emb.limit(1).select((col("vec_id") + 600000L).as("vec_id"),
+      lit(Array.empty[Float]).as("embedding"))
+    val zeroVec = emb.limit(1).select((col("vec_id") + 700000L).as("vec_id"),
+      lit(Array.fill(64)(0.0f)).as("embedding"))
+    for (bad <- Seq(emptyVec, zeroVec)) {
+      val e = intercept[Exception] { IvfIndex.append(spark, idx, bad, name = "bad") }
+      assert(chain(e).exists(_.contains("IvfIndexNullAssignment")), chain(e).mkString(" | "))
+    }
+    val eq = intercept[Exception] {
+      IvfIndex.topK(spark, idx, zeroVec, k = 3).collect()
+    }
+    assert(chain(eq).exists(_.contains("IvfIndexNullAssignment")), chain(eq).mkString(" | "))
+    val es = intercept[Exception] {
+      IvfIndex.semDedupIncrement(spark, idx, emptyVec, threshold = 0.9).collect()
+    }
+    assert(chain(es).exists(_.contains("IvfIndexNullAssignment")), chain(es).mkString(" | "))
+  }
+
   test("PQ construction guards: indivisible dim and empty codebooks fail loudly") {
     val idx = s"${tmpDir("ivfpq-guard")}/index"
     // 7 subspaces of 9 dims cover 63 ≠ 64 — the codebooks cannot tile the vector
