@@ -136,18 +136,21 @@ object IvfIndex {
     * EMPTY or ALL-ZERO one is worse: its norm is 0, every score is
     * 0/0 = NaN, NaN wins every descending comparison, so the assignment
     * is silently non-null and the stored vector becomes the NaN-scored
-    * top-1 neighbor of every query probing its list. Guard on the norm,
-    * which is null/0 in exactly the degenerate cases — fail THIS
-    * create/append/probe loudly (executor-side raise_error: the id is in
-    * the message).
+    * top-1 neighbor of every query probing its list. A vector with a NaN
+    * COMPONENT is the same poison through a different door: its norm is
+    * NaN (not null, not 0 — it passes the null/zero test), the NaN still
+    * wins the assignment argmax, and its stored cosine still outranks
+    * every real neighbor. Guard on the norm being null, 0 OR NaN — that
+    * covers all four degenerate shapes — and fail THIS create/append/
+    * probe loudly (executor-side raise_error: the id is in the message).
     */
   private def requiredList(
       listCol: org.apache.spark.sql.Column,
       nrm: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(listCol.isNull || coalesce(nrm, lit(0.0)) === 0.0, raise_error(concat(
+    when(listCol.isNull || coalesce(nrm, lit(0.0)) === 0.0 || isnan(nrm), raise_error(concat(
       lit("IvfIndexNullAssignment: id "), id.cast("string"),
-      lit(" has a null/empty/zero embedding — cannot assign an IVF list"))).cast("int"))
+      lit(" has a null/empty/zero/NaN embedding — cannot assign an IVF list"))).cast("int"))
       .otherwise(listCol)
 
   private def writeAssigned(
@@ -281,13 +284,14 @@ object IvfIndex {
       new org.apache.hadoop.fs.Path(p, s".manifest.tmp.${java.util.UUID.randomUUID()}"))
     val o = fs.create(tmp, true)
     try o.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally o.close()
-    // OVERWRITING rename (FileContext): delete-then-rename would leave a
-    // manifest-less window in which any concurrent topK/readAssigned/
-    // semDedupIncrement fails — readers are not covered by the single-
-    // MAINTAINER contract, only writers are.
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // OVERWRITING rename: delete-then-rename would leave a manifest-less
+    // window in which any concurrent topK/readAssigned/semDedupIncrement
+    // fails — readers are not covered by the single-MAINTAINER contract,
+    // only writers are. Schemes without an AbstractFileSystem binding
+    // (stock s3a) degrade to exactly that small window, LOUDLY, instead
+    // of being unable to publish at all.
+    graft.tables.AtomicRename.overwrite(
+      fs, spark.sparkContext.hadoopConfiguration, tmp, target)
   }
 
   /** Fold new vectors in WITHOUT retraining: assign them to the frozen
@@ -300,10 +304,32 @@ object IvfIndex {
     */
   def append(
       spark: SparkSession, dir: String, vecs: DataFrame, name: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      graceMs: Long = DefaultCompactGraceMs): Unit = {
     require(exists(spark, dir), s"no IVF index at $dir")
     require(name.nonEmpty && name != "seed" && !name.startsWith("compact-") && !name.contains("/"),
       s"append name '$name' must be a non-reserved single path segment")
+    // a name colliding with an UNREFERENCED subdir still inside the grace
+    // window is refused: overwrite-mode would delete that subdir's files
+    // through a path compact's deferral cannot protect — a reader planned
+    // on the PRIOR manifest (which still references it) loses its files
+    // mid-scan. The common trigger is re-appending a recycled name (e.g.
+    // "increment") right after a compact absorbed it. An unreferenced
+    // subdir OLDER than the grace is a legitimate overwrite target (the
+    // sweep would have deleted it); a referenced one is the documented
+    // idempotent-retry contract.
+    if (graceMs > 0) {
+      val (p, fs) = fsOf(spark, dir)
+      val sub = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(p, "data"), name)
+      if (!readManifest(spark, dir).contains(name) && fs.exists(sub)) {
+        val age = System.currentTimeMillis() - fs.getFileStatus(sub).getModificationTime
+        if (age < graceMs) throw new IllegalStateException(
+          s"IvfIndexAppendNameInGrace: data/$name exists unreferenced and is still inside " +
+            s"the ${graceMs}ms deletion grace (age ${age}ms) — a reader planned on the prior " +
+            "manifest may be scanning it; append under a fresh name, or wait out the grace")
+      }
+    }
     // the stored payload follows the index KIND: raw vectors for a plain
     // IVF index, frozen-codebook codes for a PQ one — an append can never
     // mix payloads into a layout queries would misread
@@ -462,6 +488,32 @@ object IvfIndex {
     */
   val DefaultBroadcastMaxRows: Long = 2000000L
 
+  /** Byte twin of [[DefaultBroadcastMaxRows]]: a raw row bound is blind to
+    * WIDTH — topK/topKPq/semDedupIncrement broadcast rows that carry the
+    * full query vector, so at dim 768 the 2M-row default is ~12 GB, past
+    * Spark's 8 GB broadcast hard cap and any sane driver heap, and the
+    * bound meant to prevent the BroadcastExchange OOM would not bound it.
+    * The effective bound is therefore rows AND estimated bytes
+    * (rows × (8·dim + overhead), dim known at call time from the frozen
+    * centroids), whichever trips first; narrow id-only sides (the work
+    * counters) size by overhead alone. 512 MB default: comfortably inside
+    * the 8 GB cap and typical `spark.driver.memory`. At the gate dim (64)
+    * it tightens the 2M row default to ~930k — still three orders of
+    * magnitude above any gate's query side, so gate plans are unchanged;
+    * at dim 768 it is the only bound that actually binds (~86k rows).
+    */
+  val DefaultBroadcastMaxBytes: Long = 512L * 1024 * 1024
+
+  /** Effective broadcast row bound: the caller's row cap tightened by the
+    * byte cap at this dim. Spec-visible (the bound arithmetic is pinned
+    * without needing a 12 GB fixture).
+    */
+  private[graft] def broadcastRowBound(
+      maxRows: Long, maxBytes: Long, dim: Int, carriesVector: Boolean): Long = {
+    val rowBytes = if (carriesVector) 8L * dim + 64L else 64L
+    math.min(maxRows, math.max(1L, maxBytes / rowBytes))
+  }
+
   /** One action answers BOTH planner questions: the distinct probed lists
     * (drives the planning-time directory cut) and the exploded row count
     * of the side that wants to broadcast (drives the bound decision).
@@ -489,13 +541,14 @@ object IvfIndex {
       dim: Int, nLists: Int, nprobe: Int,
       idCol: String, vecCol: String, withVec: Boolean): DataFrame = {
     val probes = Similarity.ivfProbes(col(vecCol), bc, dim, nLists, nprobe).cast("array<int>")
-    // null/0 norm covers NULL, EMPTY and ALL-ZERO queries (the zero ones
-    // would otherwise probe a NaN-argmax list and score NaN cosines)
+    // null/0/NaN norm covers NULL, EMPTY, ALL-ZERO and NaN-COMPONENT
+    // queries (zero and NaN ones would otherwise probe a NaN-argmax list
+    // and score NaN cosines that beat every real neighbor)
     val nrm = Similarity.norm(col(vecCol))
-    val guarded = when(probes.isNull || coalesce(nrm, lit(0.0)) === 0.0,
+    val guarded = when(probes.isNull || coalesce(nrm, lit(0.0)) === 0.0 || isnan(nrm),
       raise_error(concat(
         lit("IvfIndexNullAssignment: query "), col(idCol).cast("string"),
-        lit(" has a null/empty/zero embedding — cannot probe the index"))).cast("array<int>"))
+        lit(" has a null/empty/zero/NaN embedding — cannot probe the index"))).cast("array<int>"))
       .otherwise(probes)
     if (withVec)
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
@@ -531,7 +584,8 @@ object IvfIndex {
       spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       nprobe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      broadcastMaxRows: Long = DefaultBroadcastMaxRows): DataFrame = {
+      broadcastMaxRows: Long = DefaultBroadcastMaxRows,
+      broadcastMaxBytes: Long = DefaultBroadcastMaxBytes): DataFrame = {
     require(!isPq(spark, dir), s"$dir stores PQ codes — use topKPq (raw vectors are not stored)")
     graft.sql.VecDot.ensureRegistered(spark)
     val cents = centroids(spark, dir)
@@ -539,11 +593,12 @@ object IvfIndex {
     val (dim, nLists) = (cents.head.length, cents.length)
     val q = probeSide(queries, bc, dim, nLists, nprobe, idCol, vecCol, withVec = true)
     val (probed, qRows) = probeStats(q, "q_list")
+    val bound = broadcastRowBound(broadcastMaxRows, broadcastMaxBytes, dim, carriesVector = true)
     val c = readAssigned(spark, dir, Some(probed)).select(
       col("id").as("neighbor_id"), col("vec").as("c_vec"),
       Similarity.norm(col("vec")).as("c_norm"), col("list").as("c_list"))
     val scored = c
-      .join(hintSmall(q, qRows <= broadcastMaxRows, "exploded query", qRows),
+      .join(hintSmall(q, qRows <= bound, "exploded query", qRows),
         col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Similarity.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("score"))
@@ -562,18 +617,21 @@ object IvfIndex {
       spark: SparkSession, dir: String, queries: DataFrame,
       nprobe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      broadcastMaxRows: Long = DefaultBroadcastMaxRows): (Long, Long, Long) = {
+      broadcastMaxRows: Long = DefaultBroadcastMaxRows,
+      broadcastMaxBytes: Long = DefaultBroadcastMaxBytes): (Long, Long, Long) = {
     graft.sql.VecDot.ensureRegistered(spark)
     val cents = centroids(spark, dir)
     val bc = Similarity.broadcastCentroids(cents)
     val (dim, nLists) = (cents.head.length, cents.length)
     val q = probeSide(queries, bc, dim, nLists, nprobe, idCol, vecCol, withVec = false)
     val (probed, qRows) = probeStats(q, "q_list")
+    // the count twin's probe side is id+list only (no vector), so its
+    // byte bound sizes by the narrow row — but it must still not OOM a
+    // broadcast the measured leg would have refused
+    val bound = broadcastRowBound(broadcastMaxRows, broadcastMaxBytes, dim, carriesVector = false)
     val c = readAssigned(spark, dir, Some(probed))
       .select(col("id"), col("list").as("c_list"))
-    // same bound as the query paths: the count twin must not OOM a
-    // broadcast the measured leg would have refused
-    val candidates = c.join(hintSmall(q, qRows <= broadcastMaxRows, "exploded query", qRows),
+    val candidates = c.join(hintSmall(q, qRows <= bound, "exploded query", qRows),
       col("q_list") === col("c_list") && col("query_id") =!= col("id")).count()
     (qRows, candidates, plannedFileCount(spark, dir, probed))
   }
@@ -623,7 +681,8 @@ object IvfIndex {
   def semDedupIncrement(
       spark: SparkSession, dir: String, increment: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      broadcastMaxRows: Long = DefaultBroadcastMaxRows): DataFrame = {
+      broadcastMaxRows: Long = DefaultBroadcastMaxRows,
+      broadcastMaxBytes: Long = DefaultBroadcastMaxBytes): DataFrame = {
     require(!isPq(spark, dir),
       s"$dir stores PQ codes — semantic dedup needs exact cosines over a raw-vector index")
     graft.sql.VecDot.ensureRegistered(spark)
@@ -638,7 +697,8 @@ object IvfIndex {
       .withColumn("_list", requiredList(col("_list"), col("_nrm"), col(idCol)))
       .localCheckpoint()
     val (probed, incRows) = probeStats(inc, "_list")
-    val incSmall = incRows <= broadcastMaxRows
+    val incSmall =
+      incRows <= broadcastRowBound(broadcastMaxRows, broadcastMaxBytes, dim, carriesVector = true)
     if (!incSmall) System.err.println(
       s"IVF INDEX: $incRows increment rows exceed the broadcast bound — both the " +
         "suppression join and the dominated-id anti join run as shuffled hash joins (still exact)")
@@ -670,7 +730,8 @@ object IvfIndex {
       spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       nprobe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      broadcastMaxRows: Long = DefaultBroadcastMaxRows): DataFrame = {
+      broadcastMaxRows: Long = DefaultBroadcastMaxRows,
+      broadcastMaxBytes: Long = DefaultBroadcastMaxBytes): DataFrame = {
     require(isPq(spark, dir), s"$dir stores raw vectors — use topK")
     graft.sql.VecDot.ensureRegistered(spark)
     val cents = centroids(spark, dir)
@@ -679,12 +740,13 @@ object IvfIndex {
     val (dim, nLists) = (cents.head.length, cents.length)
     val q = probeSide(queries, bc, dim, nLists, nprobe, idCol, vecCol, withVec = true)
     val (probed, qRows) = probeStats(q, "q_list")
+    val bound = broadcastRowBound(broadcastMaxRows, broadcastMaxBytes, dim, carriesVector = true)
     val c = readAssigned(spark, dir, Some(probed))
       .select(col("id").as("neighbor_id"), col("list").as("c_list"),
         Similarity.pqReconstruct(col("codes"), books).as("recon"))
       .withColumn("r_norm", Similarity.norm(col("recon")))
     val scored = c
-      .join(hintSmall(q, qRows <= broadcastMaxRows, "exploded query", qRows),
+      .join(hintSmall(q, qRows <= bound, "exploded query", qRows),
         col("q_list") === col("c_list") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Similarity.dot(col("q_vec"), col("recon")) / (col("q_norm") * col("r_norm"))).as("score"))

@@ -1281,8 +1281,13 @@ object Queries {
     */
   def incrementalTierWorkJson(spark: SparkSession, dir: String): String = {
     import graft.ext.IvfIndex
-    val conf = spark.sparkContext.hadoopConfiguration
-    conf.set("fs.counting.impl", classOf[graft.CountingFileSystem].getName)
+    // BOTH scheme keys, via the one shared registrar: registering only
+    // fs.counting.impl here caches a CountingFileSystem whose FROZEN conf
+    // lacks the AbstractFileSystem binding, and any LATER bench section
+    // resolving FileContext from that cached conf (the export-profile
+    // legs' commit renames) dies with UnsupportedFileSystemException —
+    // the silent-{} export_profile of the r19 artifact.
+    registerCountingFs(spark)
 
     // exact-increment: the GATE's exact corpus/increment construction
     // ([[exactIncrementIncoming]] — shared, cannot drift), read through

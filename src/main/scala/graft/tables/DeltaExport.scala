@@ -909,14 +909,15 @@ object DeltaExport {
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // PUT-IF-ABSENT publish: FileContext.rename with Rename.NONE throws
-    // FileAlreadyExistsException instead of replacing — a plain
-    // FileSystem.rename on POSIX silently clobbers an existing target, so
-    // a concurrent-writer race would lose the first writer's diff without
-    // a trace. (Single-writer is the contract; this makes breaking it
-    // loud, not silent.)
-    try org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, fs.getConf)
-      .rename(tmp, target)
+    // PUT-IF-ABSENT publish: a plain FileSystem.rename on POSIX silently
+    // clobbers an existing target, so a concurrent-writer race would lose
+    // the first writer's diff without a trace. (Single-writer is the
+    // contract; this makes breaking it loud, not silent.) Resolved under
+    // the LIVE conf, never fs.getConf: a cached FileSystem freezes the
+    // conf it was created under, so a scheme binding registered later
+    // would be invisible and the publish would fail on a healthy scheme.
+    try AtomicRename.putIfAbsent(fs,
+      spark.map(_.sparkContext.hadoopConfiguration).getOrElse(fs.getConf), tmp, target)
     catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
         fs.delete(tmp, false)

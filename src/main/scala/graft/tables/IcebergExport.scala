@@ -1013,17 +1013,10 @@ object IcebergExport {
     // until the hint names it.
     val hintTmp = new Path(metaDir, s"version-hint.tmp.${UUID.randomUUID()}")
     writeText(fs, hintTmp, newVersion.toString)
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-      fc.rename(fc.makeQualified(hintTmp), fc.makeQualified(hintPath),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch { case scala.util.control.NonFatal(_) => // no FileContext binding for this scheme
-      // best-effort fallback (short hint-missing window); a silent rename
-      // failure would leave the hint permanently stale — fail loudly
-      fs.delete(hintPath, false)
-      require(fs.rename(hintTmp, hintPath),
-        s"failed to publish version hint $hintPath (rename returned false)")
-    }
+    AtomicRename.overwrite(fs,
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration).getOrElse(fs.getConf),
+      hintTmp, hintPath)
 
     // prune manifests of snapshots that fell out of the history window
     // (manifest lists and manifests are per-snapshot here, never shared)

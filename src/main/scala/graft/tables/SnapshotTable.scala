@@ -1092,10 +1092,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     }
     val tmp = new Path(dir, s"_current.tmp.${UUID.randomUUID()}")
     writeText(fs, tmp, mainName)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(currentPtr),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    AtomicRename.overwrite(fs, spark.sparkContext.hadoopConfiguration, tmp, currentPtr)
     // re-anchor the branch on the published state for the next cycle
     writeText(fs, p, mainName)
     writeText(fs, basePath, mainName)
@@ -1722,10 +1719,7 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     // Atomic pointer swap: write sibling temp, rename over _current.
     val tmp = new Path(dir, s"_current.tmp.${UUID.randomUUID()}")
     writeText(fs, tmp, name)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(currentPtr),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    AtomicRename.overwrite(fs, spark.sparkContext.hadoopConfiguration, tmp, currentPtr)
     snap
   }
 

@@ -30,6 +30,38 @@ class ExportProfileSpec extends SparkSpec {
     }
   }
 
+  test("export profile survives a PRIOR section caching a counting FS under a conf without the AbstractFileSystem key (r19 bench order)") {
+    // the r19 failure, reproduced in the bench's exact section order:
+    // (1) a conf that has ONLY fs.counting.impl (the old incwork
+    // registration), (2) a spark.read through counting: that CACHES a
+    // CountingFileSystem whose frozen conf clone lacks the
+    // AbstractFileSystem binding, (3) the export-profile legs, whose
+    // Delta commit publish used to resolve FileContext from that stale
+    // fs.getConf and die with UnsupportedFileSystemException — silently
+    // swallowed into "export_profile":{} by the bench wrapper. The fix is
+    // two-sided (incwork registers BOTH keys; the rename helper resolves
+    // from the LIVE conf), so this passes even from the stale-cache state.
+    val conf = spark.sparkContext.hadoopConfiguration
+    // evict any counting FS a prior suite cached with a healthy conf,
+    // then re-cache one under the broken-shape conf
+    org.apache.hadoop.fs.FileSystem
+      .get(java.net.URI.create("counting:///"), conf).close()
+    conf.unset("fs.AbstractFileSystem.counting.impl")
+    conf.set("fs.counting.impl", classOf[CountingFileSystem].getName)
+    spark.read.parquet(s"counting:${sf()}/documents.parquet").count()
+
+    // bench order: the incremental-tier work section first...
+    assert(Queries.incrementalTierWorkJson(spark, sf()).nonEmpty)
+    // ...then the export profile, which must be COMPLETE, not {}
+    val prof = parse(Queries.exportProfileJson(spark, sf())).get("export_profile")
+    Seq("iceberg_mor", "delta_mor").foreach { leg =>
+      val l = prof.get(leg)
+      assert(l != null, s"missing $leg after a stale counting-FS cache")
+      assert(l.get("read_rows").asLong() > 0, leg)
+      assert(l.get("reexport_data_files_opened").asLong() === 0L, leg)
+    }
+  }
+
   test("degraded legs: shuffle position-izing, executor DV decode and lazy candidate plan all match the bounded paths") {
     val node = parse(Queries.degradedPathsJson(spark, sf()))
     val d = node.get("degraded")

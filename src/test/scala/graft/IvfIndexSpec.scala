@@ -309,8 +309,11 @@ class IvfIndexSpec extends SparkSpec {
       lit(Array.empty[Float]).as("embedding"))
     val zeroVec = emb.limit(1).select((col("vec_id") + 700000L).as("vec_id"),
       lit(Array.fill(64)(0.0f)).as("embedding"))
-    for (bad <- Seq(emptyVec, zeroVec)) {
-      val e = intercept[Exception] { IvfIndex.append(spark, idx, bad, name = "bad") }
+    // distinct names: a failed append can leave its target dir behind, and
+    // reusing the name would trip the (separately-tested) grace guard
+    // instead of re-exercising the embedding guard
+    for ((bad, nm) <- Seq((emptyVec, "bad-empty"), (zeroVec, "bad-zero"))) {
+      val e = intercept[Exception] { IvfIndex.append(spark, idx, bad, name = nm) }
       assert(chain(e).exists(_.contains("IvfIndexNullAssignment")), chain(e).mkString(" | "))
     }
     val eq = intercept[Exception] {
@@ -321,6 +324,97 @@ class IvfIndexSpec extends SparkSpec {
       IvfIndex.semDedupIncrement(spark, idx, emptyVec, threshold = 0.9).collect()
     }
     assert(chain(es).exists(_.contains("IvfIndexNullAssignment")), chain(es).mkString(" | "))
+  }
+
+  test("a NaN-component embedding fails as loudly as null/zero ones (append, query, increment)") {
+    // a NaN component makes the NORM NaN — not null, not 0, so it slips a
+    // null/zero-only guard — while the NaN still wins the assignment
+    // argmax and its stored cosine still outranks every real neighbor:
+    // the same silent poisoning through a different door
+    val idx = s"${tmpDir("ivf-nan")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ chain(t.getCause)
+    val nanVec = emb.limit(1).select((col("vec_id") + 800000L).as("vec_id"),
+      lit((Array.fill(63)(0.5f) :+ Float.NaN)).as("embedding"))
+    val ea = intercept[Exception] { IvfIndex.append(spark, idx, nanVec, name = "bad-nan") }
+    assert(chain(ea).exists(_.contains("IvfIndexNullAssignment")), chain(ea).mkString(" | "))
+    val eq = intercept[Exception] { IvfIndex.topK(spark, idx, nanVec, k = 3).collect() }
+    assert(chain(eq).exists(_.contains("IvfIndexNullAssignment")), chain(eq).mkString(" | "))
+    val es = intercept[Exception] {
+      IvfIndex.semDedupIncrement(spark, idx, nanVec, threshold = 0.9).collect()
+    }
+    assert(chain(es).exists(_.contains("IvfIndexNullAssignment")), chain(es).mkString(" | "))
+    // the failed append never swung the manifest — the index answers sanely
+    assert(IvfIndex.topK(spark, idx, emb.where(col("vec_id") < 5), k = 3).count() > 0)
+  }
+
+  test("re-appending a name a compact just absorbed is refused inside the grace window") {
+    // the overwrite would delete the absorbed subdir's files through a
+    // path compact's deferral cannot protect — a reader planned on the
+    // prior manifest (which still references that name) loses its files
+    val idx = s"${tmpDir("ivf-namegrace")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    IvfIndex.append(spark, idx, increment, name = "inc1")
+    val queries = emb.where(col("vec_id") < 20)
+    def s2(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = s2(IvfIndex.topK(spark, idx, queries, k = 10))
+    val priorReader = IvfIndex.topK(spark, idx, queries, k = 10) // planned pre-compact
+    IvfIndex.compact(spark, idx) // default grace: seed+inc1 deferred, unreferenced
+    val e = intercept[IllegalStateException] {
+      IvfIndex.append(spark, idx, increment, name = "inc1")
+    }
+    assert(e.getMessage.contains("IvfIndexAppendNameInGrace"), e.getMessage)
+    assert(s2(priorReader) === before,
+      "the refused re-append must leave the prior reader's files intact")
+    // a FRESH name is the sanctioned path and answers identically
+    IvfIndex.append(spark, idx,
+      emb.select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")), name = "inc2")
+    assert(IvfIndex.topK(spark, idx, queries, k = 10).count() > 0)
+    // graceMs = 0 is the explicit opt-out (spec/rebuild mode: caller
+    // asserts no concurrent readers), mirroring compact's contract
+    IvfIndex.compact(spark, idx, graceMs = 0L)
+    IvfIndex.append(spark, idx, increment, name = "inc1", graceMs = 0L)
+    assert(s2(IvfIndex.topK(spark, idx, queries, k = 10)).nonEmpty)
+  }
+
+  test("the broadcast bound is BYTE-aware: wide rows tighten the row bound; byte-degraded plans stay exact") {
+    // 2M rows at dim 768 is ~12 GB of exploded query vectors — past
+    // Spark's 8 GB broadcast cap, so a raw row bound does not bound the
+    // BroadcastExchange it exists to prevent; the effective bound must
+    // shrink with the dim known from the frozen centroids
+    val wide = IvfIndex.broadcastRowBound(
+      IvfIndex.DefaultBroadcastMaxRows, IvfIndex.DefaultBroadcastMaxBytes,
+      dim = 768, carriesVector = true)
+    assert(wide === IvfIndex.DefaultBroadcastMaxBytes / (8L * 768 + 64),
+      s"dim-768 bound must be byte-derived, got $wide")
+    assert(wide < 100000L, s"a dim-768 vector side must never broadcast 2M rows (bound $wide)")
+    // narrow id-only sides (the work counters) are not width-penalized
+    assert(IvfIndex.broadcastRowBound(
+      IvfIndex.DefaultBroadcastMaxRows, IvfIndex.DefaultBroadcastMaxBytes,
+      dim = 768, carriesVector = false) === IvfIndex.DefaultBroadcastMaxRows)
+    // at the gate dim (64) the byte cap tightens 2M to ~930k — still far
+    // above any gate's query side (≤ thousands of exploded rows), so gate
+    // plans are unchanged while the bound is finally width-honest
+    val gate = IvfIndex.broadcastRowBound(
+      IvfIndex.DefaultBroadcastMaxRows, IvfIndex.DefaultBroadcastMaxBytes,
+      dim = 64, carriesVector = true)
+    assert(gate === IvfIndex.DefaultBroadcastMaxBytes / (8L * 64 + 64) && gate > 100000L, gate)
+
+    // behavior: a 1-byte cap forces the shuffled plan with identical results
+    val idx = s"${tmpDir("ivf-bytebound")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    val queries = emb.where(col("vec_id") < 20)
+    def s3(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("query_id", "neighbor_id", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val deg = IvfIndex.topK(spark, idx, queries, k = 10, broadcastMaxBytes = 1L)
+    assert(deg.queryExecution.sparkPlan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.nonEmpty, "a 1-byte cap must force the shuffled join plan")
+    assert(s3(deg) === s3(IvfIndex.topK(spark, idx, queries, k = 10)),
+      "the byte-degraded plan must be exact — only the plan shape changes")
   }
 
   test("PQ construction guards: indivisible dim and empty codebooks fail loudly") {
