@@ -614,7 +614,8 @@ object Bench {
             fuzzyKneeCorpus(spark, sfDir, 10000), "id", "s", maxDist = 2),
           graft.queries.Queries.annWorkCounts(spark, dir10),
           fuzzyCapped,
-          graft.queries.Queries.incrementalTierWorkJson(spark, dir10)) + "," +
+          graft.queries.Queries.incrementalTierWorkJson(spark, dir10) + "," +
+            graft.queries.Queries.cdcPipelineWorkJson(spark, dir10)) + "," +
           Bench.workJson(
             graft.queries.Queries.nearDupWorkCounts(spark, sfDir),
             graft.queries.Queries.incrementalNearDupWorkCounts(spark, sfDir),
@@ -622,7 +623,8 @@ object Bench {
               fuzzyKneeCorpus(spark, sfDir, 1000), "id", "s", maxDist = 2),
             graft.queries.Queries.annWorkCounts(spark, sfDir),
             fuzzyCapped,
-            graft.queries.Queries.incrementalTierWorkJson(spark, sfDir))
+            graft.queries.Queries.incrementalTierWorkJson(spark, sfDir) + "," +
+              graft.queries.Queries.cdcPipelineWorkJson(spark, sfDir))
             .replaceFirst("\"work\":", "\"work_base\":") + ","
       } catch {
         case scala.util.control.NonFatal(e) =>

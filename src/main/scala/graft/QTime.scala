@@ -28,6 +28,7 @@ object QTime {
           case "export_profile" => graft.queries.Queries.exportProfileJson(spark, sfDir)
           case "degraded" => graft.queries.Queries.degradedPathsJson(spark, sfDir)
           case "incwork" => graft.queries.Queries.incrementalTierWorkJson(spark, sfDir)
+          case "cdcwork" => graft.queries.Queries.cdcPipelineWorkJson(spark, sfDir)
           case _ => s"${SparkEntry.queries(n)(spark, sfDir).count()} rows"
         }
         println(f"$n rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($out)")

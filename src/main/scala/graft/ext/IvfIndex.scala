@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *   - `_manifest.json` — the LIVE subdir set (tmp-then-rename pointer):
   *     readers plan only manifested subdirs, which is what makes
   *     [[compact]] publishable without a duplicate-visibility window
+  *   - `_retired.json` — the deletion-grace ledger: subdir → the moment a
+  *     compact unreferenced it (the clock the sweep and the append
+  *     name-recycle guard age against — mtime-free, so object-store safe)
   *   - `_params.json` — written LAST: its presence is the completion
   *     marker, a crashed create is invisible
   *
@@ -323,7 +326,12 @@ object IvfIndex {
       val sub = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(p, "data"), name)
       if (!readManifest(spark, dir).contains(name) && fs.exists(sub)) {
-        val age = System.currentTimeMillis() - fs.getFileStatus(sub).getModificationTime
+        // retired-by-compact names age on the LEDGER clock (unreference
+        // time — object-store safe); never-manifested crash orphans age
+        // on creation mtime (no reader ever planned them)
+        val refMs = readRetired(spark, dir).getOrElse(name,
+          fs.getFileStatus(sub).getModificationTime)
+        val age = System.currentTimeMillis() - refMs
         if (age < graceMs) throw new IllegalStateException(
           s"IvfIndexAppendNameInGrace: data/$name exists unreferenced and is still inside " +
             s"the ${graceMs}ms deletion grace (age ${age}ms) — a reader planned on the prior " +
@@ -352,6 +360,49 @@ object IvfIndex {
     */
   val DefaultCompactGraceMs: Long = 15 * 60 * 1000L
 
+  // ------------------------------------------------------ retired ledger
+  // The grace clock lives in a tiny JSON sidecar (`_retired.json`:
+  // subdir name → unreference timestamp), not in directory mtimes: the
+  // previous setTimes-based stamp was a SILENT no-op on object stores
+  // (directory prefixes have no mutable mtime), and then the very tick
+  // that absorbed a subdir would sweep it instantly by age-at-creation —
+  // under a reader planned on the prior manifest, on exactly the
+  // filesystems the grace exists for. The ledger is written BEFORE the
+  // manifest swings (a crash in between leaves stamps for dirs still
+  // referenced, which the sweep ignores and the retrying tick re-stamps),
+  // published by the same atomic-rename helper as the manifest, and
+  // consulted by both the sweep and [[append]]'s name-recycle guard.
+  // Crash-orphaned subdirs (written, never manifested, so never in the
+  // ledger) keep the creation-mtime clock — on an mtime-less store they
+  // sweep eagerly, which is safe: no reader ever planned them.
+
+  private def retiredPath(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p, "_retired.json")
+
+  private def readRetired(spark: SparkSession, dir: String): Map[String, Long] = {
+    val (p, fs) = fsOf(spark, dir)
+    val rp = retiredPath(p)
+    if (!fs.exists(rp)) return Map.empty
+    val in = fs.open(rp)
+    val node = try mapper.readTree(in.readAllBytes()) finally in.close()
+    val it = node.get("subdirs").fields()
+    val b = Map.newBuilder[String, Long]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+    b.result()
+  }
+
+  private def writeRetired(spark: SparkSession, dir: String, m: Map[String, Long]): Unit = {
+    val (p, fs) = fsOf(spark, dir)
+    val root = mapper.createObjectNode()
+    val subs = root.putObject("subdirs")
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => subs.put(k, v) }
+    val tmp = new org.apache.hadoop.fs.Path(p, s".retired.tmp.${java.util.UUID.randomUUID()}")
+    val o = fs.create(tmp, true)
+    try o.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally o.close()
+    graft.tables.AtomicRename.overwrite(
+      fs, spark.sparkContext.hadoopConfiguration, tmp, retiredPath(p))
+  }
+
   /** Maintenance-cadence compaction: fold every manifested subdir into one
     * `compact-<uuid>`, publish the new one-entry manifest, then sweep
     * unreferenced data subdirs older than `graceMs` (which also collects
@@ -376,42 +427,44 @@ object IvfIndex {
         .repartition(col("list"))
         .write.mode("overwrite").partitionBy("list").parquet(s"$dir/data/$target")
       // the grace clock starts at UNREFERENCE, not at creation: stamp the
-      // soon-to-be-absorbed subdirs' mtime BEFORE the manifest swings —
-      // stamping a still-referenced dir is harmless (the sweep only looks
-      // at unreferenced ones), while stamping after the swing leaves a
-      // crash window in which a retried tick sees hour-old mtimes and
-      // sweeps instantly under a reader planned on the prior manifest.
-      // setTimes is a silent no-op on some FileSystems (the base class's
-      // default, object-store directory prefixes) — verify one stamp took
-      // and warn that the grace is unenforceable there.
+      // soon-to-be-absorbed subdirs into the retired LEDGER before the
+      // manifest swings — stamping a still-referenced dir is harmless
+      // (the sweep only looks at unreferenced ones), while stamping after
+      // the swing leaves a crash window in which a retried tick sees no
+      // stamp and sweeps by creation age under a reader planned on the
+      // prior manifest. A ledger, not mtimes: see the retired-ledger note.
       if (graceMs > 0) {
         val stampAt = System.currentTimeMillis()
-        live.foreach { name =>
-          val sp = new org.apache.hadoop.fs.Path(data, name)
-          if (fs.exists(sp)) fs.setTimes(sp, stampAt, -1)
-        }
-        val check = live.headOption.map(new org.apache.hadoop.fs.Path(data, _))
-          .filter(fs.exists(_))
-        if (check.exists(p => math.abs(fs.getFileStatus(p).getModificationTime - stampAt) > 60000L))
-          System.err.println(
-            "IVF INDEX: this FileSystem ignores setTimes — the compaction deletion grace " +
-              "cannot be enforced here; absorbed subdirs may be swept by age-at-creation")
+        writeRetired(spark, dir, readRetired(spark, dir) ++ live.map(_ -> stampAt))
       }
       writeManifest(spark, dir, Seq(target))
     }
     // sweep runs even when nothing folded: a one-entry manifest can still
-    // have deferred-absorbed (mtime = their unreference stamp) or
-    // crash-orphaned (mtime = their abandoned write) subdirs waiting out
-    // the grace from earlier ticks
+    // have deferred-absorbed (ledger-stamped at unreference) or
+    // crash-orphaned (never manifested, never stamped — creation-mtime
+    // clock) subdirs waiting out the grace from earlier ticks
     val keep = readManifest(spark, dir).toSet
     if (fs.exists(data)) {
+      val retired = readRetired(spark, dir)
+      val now = System.currentTimeMillis()
+      val unref = fs.listStatus(data).filter(_.isDirectory)
+        .filterNot(s => keep.contains(s.getPath.getName))
       // graceMs <= 0 = NO grace (sweep every unreferenced subdir now) —
       // the spec/rebuild mode, never a production default
-      val cutoff = System.currentTimeMillis() - graceMs
-      fs.listStatus(data).filter(_.isDirectory)
-        .filterNot(s => keep.contains(s.getPath.getName))
-        .filter(s => graceMs <= 0 || s.getModificationTime < cutoff)
-        .foreach(s => fs.delete(s.getPath, true))
+      val sweep = unref.filter { s =>
+        graceMs <= 0 || retired.get(s.getPath.getName)
+          .map(t => now - t >= graceMs)
+          .getOrElse(s.getModificationTime < now - graceMs)
+      }
+      sweep.foreach(s => fs.delete(s.getPath, true))
+      // ledger hygiene: keep only entries for unreferenced dirs that
+      // SURVIVED this sweep — swept, re-referenced (a crashed tick's
+      // stamp) and externally-vanished names all drop out
+      val keepEntries = (unref.map(_.getPath.getName).toSet --
+        sweep.map(_.getPath.getName).toSet)
+      val remaining = retired.view.filterKeys(keepEntries.contains).toMap
+      if (remaining != retired && (retired.nonEmpty || remaining.nonEmpty))
+        writeRetired(spark, dir, remaining)
     }
   }
 

@@ -925,6 +925,14 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     * definition. Branch-local history (b-*.json) is not listed — publish
     * normalizes a branch head to a main-line version.
     */
+  /** The snapshot manifest at `version` — work-count observability: the
+    * bench derives per-commit ADDED files/rows by diffing consecutive
+    * manifests, so a timing swing on the e2e leg is adjudicable by counts
+    * (commits, staged rows, files written) instead of cross-run seconds.
+    */
+  def snapshotAt(version: Long): Snapshot =
+    readSnapshot(new Path(snapshotsDir, snapshotFileName(version)))
+
   def history: DataFrame = {
     import spark.implicits._
     snapshotVersions.map { v =>

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * harness-parsed metrics; these tests pin the budget invariant so it
   * cannot regress as the query surface grows.
   */
-class BenchOutputSpec extends AnyFunSuite {
+class BenchOutputSpec extends SparkSpec {
 
   private def fakeRuns(n: Int): Seq[(String, Seq[Double])] =
     (0 until n).map { i =>
@@ -121,6 +121,30 @@ class BenchOutputSpec extends AnyFunSuite {
     assert(w2.contains(frag))
     assert(w2.endsWith("}"))
     assert(w2.count(_ == '{') === w2.count(_ == '}'))
+  }
+
+  test("cdc e2e work counts: commits/staged-rows/files from the gate's own target (r19 verdict item 4)") {
+    // the LAST sf1 leg without count currency: its r19 ratio swung
+    // 1.91 → 10.39 → 2.30 across runs of identical code. The counts come
+    // from manifest diffs of the target the timed gate leaves behind, so
+    // they describe exactly the lifecycle the seconds measured.
+    val gateRows = graft.queries.Queries.qCdcPipelineE2e(spark, sf()).count()
+    val frag = graft.queries.Queries.cdcPipelineWorkJson(spark, sf())
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(s"{$frag}").get("q_cdc_pipeline_e2e")
+    assert(node.get("commits").asLong() >= 2L,
+      "backfill overwrite + at least one streamed MERGE commit")
+    assert(node.get("final_rows").asLong() === gateRows,
+      "head-manifest rows must equal the gate's own answer")
+    assert(node.get("rows_staged").asLong() >= gateRows,
+      "staged rows include merge write amplification, never less than the live rows")
+    assert(node.get("files_written").asLong() > 0L)
+    val per = node.get("rows_staged_per_commit")
+    assert(per.isArray && per.size().toLong === node.get("commits").asLong())
+    // standalone call with no prior gate run records, never throws — the
+    // surrounding bench work block must survive a missing target
+    val missing = graft.queries.Queries.cdcPipelineWorkJson(spark, s"/no/such/dir-${System.nanoTime()}")
+    assert(missing.contains(""""target_missing":true"""), missing)
   }
 
   test("a realistic sf1-ratio extra keeps the line under the capture window with queries visible") {

@@ -184,6 +184,87 @@ class ContentDedupSpec extends SparkSpec {
     assert(out === Set("k1"))
   }
 
+  test("Overwrite backfill into a NON-EMPTY target re-initializes the index — replaced content stops suppressing") {
+    // the replace path deletes the band index and re-seeds it from the
+    // SAME staged frame that replaces the target, so index and target
+    // cannot diverge: the old generation's bands are gone with the old
+    // rows, and recycled old-generation content is novel again (it is —
+    // the corpus it duplicated no longer exists anywhere)
+    val sfDir = makeCorpus(12)
+    val root = CdcFixtureGen.materializeStreamDocs(spark, sfDir)
+    val target = tmpDir("content-dedup-ovw-target")
+    val index = s"${tmpDir("content-dedup-ovw-index")}/idx"
+    import spark.implicits._
+    val staleText = "stale text from the replaced generation"
+    StreamOps.initBandIndex(spark, index,
+      graft.ext.Dedup.MinHashParams(128, 16, 3, 42L, oph = false),
+      Some(Seq((99L, staleText)).toDF("doc_id", "text")))
+    SnapshotTable(spark, target).createOrReplace(
+      Seq(("oldk", staleText, 1L, false))
+        .toDF("arcane_merge_key", "body", "versionnumber", "IsDelete"),
+      "arcane_merge_key", numBuckets = 4)
+    val spec = StreamSpec(
+      sourcePath = root, entityName = CdcFixtureGen.DocsEntity,
+      targetLocation = target, backfillBehavior = "Overwrite",
+      numBuckets = 4, changeCaptureIntervalSeconds = 0,
+      dedupTextColumn = Some("body"), dedupIndexLocation = Some(index))
+    CdcFixtureGen.stampChangelog(root, CdcFixtureGen.DocsFolders.head)
+    CdcPipeline.runBackfill(spark, spec)
+    assert(dataSubdirs(index) === Set("seed"),
+      "the replace must wipe every prior-generation index subdir")
+    val tbl = SnapshotTable(spark, target)
+    assert(tbl.read().where(col("arcane_merge_key") === "oldk").count() === 0L,
+      "the old generation's rows are gone with the old table")
+    // a batch reusing the REPLACED generation's content survives dedup
+    val staged = Seq(("knew", staleText, false))
+      .toDF("arcane_merge_key", "body", "IsDelete")
+    val out = CdcPipeline.contentDedupBatch(staged, spec, batchId = 3L, tbl)
+      .select("arcane_merge_key").as[String].collect().toSet
+    assert(out === Set("knew"))
+  }
+
+  test("exemption under merge-on-read: an OUTSTANDING equality delete makes its key non-live") {
+    // the live-key scan goes through table.read, which APPLIES outstanding
+    // equality deletes — so a key tombstoned by an uncompacted MoR commit
+    // is correctly non-live: its content re-insert stays suppressed (the
+    // documented residual), while a genuinely live key's update is exempt.
+    // Without delete application the dead key would read as live and its
+    // recycled content would slip the dedup.
+    val index = s"${tmpDir("content-dedup-mor")}/idx"
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "omega psi chi phi upsilon")).toDF("doc_id", "text")
+    StreamOps.initBandIndex(spark, index,
+      graft.ext.Dedup.MinHashParams(128, 16, 3, 42L, oph = false), Some(corpus))
+    val tbl = SnapshotTable(spark, s"${tmpDir("content-dedup-mor-tbl")}/t")
+    // IsDelete is part of the target schema, as the pipeline's targets
+    // have it (createOrReplace keeps the staged columns)
+    tbl.createOrReplace(
+      Seq(("k1", "alpha beta gamma delta epsilon", 1L, false),
+        ("k2", "omega psi chi phi upsilon", 1L, false))
+        .toDF("arcane_merge_key", "body", "versionnumber", "IsDelete"),
+      "arcane_merge_key", numBuckets = 4)
+    // MoR tombstone for k1 — equality delete stays OUTSTANDING (no compact)
+    tbl.mergeOnRead(
+      Seq(("k1", (null: String), 2L, true))
+        .toDF("arcane_merge_key", "body", "versionnumber", "IsDelete")
+        .withColumn("IsDelete", col("IsDelete").cast("boolean")),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(tbl.currentSnapshot.deletes.nonEmpty, "the delete must be outstanding, not compacted")
+    val staged = Seq(
+      // re-insert of the tombstoned key's own content: NOT live → suppressed
+      ("k1", "alpha beta gamma delta epsilon", false),
+      // update of the still-live key with its own text: exempt → survives
+      ("k2", "omega psi chi phi upsilon", false)
+    ).toDF("arcane_merge_key", "body", "IsDelete")
+    val spec = StreamSpec(sourcePath = "/x", entityName = "e", targetLocation = "/y",
+      dedupTextColumn = Some("body"), dedupIndexLocation = Some(index))
+    val out = CdcPipeline.contentDedupBatch(staged, spec, batchId = 11L, tbl)
+      .select("arcane_merge_key").as[String].collect().toSet
+    assert(out === Set("k2"))
+  }
+
   test("StreamSpec JSON round-trips the content-dedup fields; a lone field is rejected") {
     val spec = StreamSpec.fromJson(
       """{"sourcePath":"/s","entityName":"e","targetLocation":"/t",

@@ -235,9 +235,12 @@ class IvfIndexSpec extends SparkSpec {
     // (its InMemoryFileIndex already lists seed/inc1 files) but has not
     // executed yet — the exact mid-scan window of the hazard
     val priorReader = IvfIndex.topK(spark, idx, queries, k = 10)
-    // age the subdirs an hour: the grace clock must start at the moment
-    // compact UNREFERENCES a dir, never at the dir's creation — an old
-    // seed deserves the same grace as a fresh append
+    // age the subdirs an hour BY MTIME: the grace clock must start at the
+    // moment compact UNREFERENCES a dir, never at the dir's creation — an
+    // old seed deserves the same grace as a fresh append. Surviving this
+    // despite hour-old mtimes also proves the clock is the retired
+    // LEDGER, not directory mtimes — i.e. the grace holds on object
+    // stores whose directory prefixes have no mutable mtime at all
     val fsP = new org.apache.hadoop.fs.Path(s"$idx/data")
     val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(fsP).filter(_.isDirectory).foreach(s =>
@@ -441,6 +444,10 @@ class IvfIndexSpec extends SparkSpec {
     val copies = emb.where(col("vec_id") < 25)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     assert(IvfIndex.semDedupIncrement(spark, idx, copies, threshold = 0.99).count() === 0L)
+    // empty QUERY set: probeStats collects zero probe rows — the probed
+    // directory cut is empty, the work counters read zeros, nothing throws
+    assert(IvfIndex.topK(spark, idx, none, k = 3).count() === 0L)
+    assert(IvfIndex.probeWorkCounts(spark, idx, none) === ((0L, 0L, 0L)))
     // empty index: created from an empty corpus — top-k is empty, an
     // increment is all-novel, appends then work
     val idxE = s"${tmpDir("ivf-empty")}/index"
