@@ -132,14 +132,19 @@ object CdcPipeline {
     * THUNK the dedup evaluates only when the batch actually collided —
     * collision-free steady-state batches pay nothing for it.
     *
-    * Residual, BY CONTENT-DEDUP SEMANTICS: a key deleted earlier whose
-    * content is later RE-INSERTED near-duplicating anything already
-    * indexed (including its own pre-delete text) stays suppressed — the
-    * band index keeps content history across tombstones (bands carry no
-    * ids, so a tombstone cannot retract them). dedupTextColumn is the
-    * crawl-dedup contract: previously seen content is a duplicate even
-    * if its original row was since deleted. Sources that re-insert
-    * deleted keys with recycled content should not enable it.
+    * Residual, BY CONTENT-DEDUP SEMANTICS (default layout): a key deleted
+    * earlier whose content is later RE-INSERTED near-duplicating anything
+    * already indexed (including its own pre-delete text) stays suppressed
+    * — the band index keeps content history across tombstones (bands
+    * carry no ids, so a tombstone cannot retract them). dedupTextColumn
+    * is the crawl-dedup contract: previously seen content is a duplicate
+    * even if its original row was since deleted. Sources that re-insert
+    * deleted keys with recycled content set `spec.dedupRetractOnDelete`:
+    * the index then stores id-carrying band rows, each batch's delete
+    * tombstones RETRACT their keys' rows
+    * ([[graft.streaming.StreamOps.retractFromBandIndex]] — recorded under
+    * the batchId name, so a foreachBatch replay overwrites itself), and a
+    * deleted-then-reinserted key's own history no longer suppresses it.
     */
   private[graft] def contentDedupBatch(
       staged: DataFrame, spec: StreamSpec, batchId: Long, table: SnapshotTable): DataFrame =
@@ -148,6 +153,17 @@ object CdcPipeline {
       case Some(tc) =>
         val isDel = coalesce(col(spec.isDeleteColumn).cast("boolean"), lit(false))
         val nonDel = staged.where(!isDel)
+        // retraction BEFORE the dedup probe: a delete and a same-key
+        // re-insert cannot share one batch (latest-version dedup keeps one
+        // row per key), so the order only matters across batches — and
+        // there the tombstone must already be visible to the next probe
+        if (spec.dedupRetractOnDelete) {
+          val delKeys = staged.where(isDel).select(col(MergeKey.ColumnName))
+          if (!delKeys.isEmpty)
+            graft.streaming.StreamOps.retractFromBandIndex(
+              staged.sparkSession, spec.dedupIndexLocation.get, delKeys,
+              idCol = MergeKey.ColumnName, name = f"batch-$batchId%020d", seq = batchId)
+        }
         val exempt: Option[() => DataFrame] =
           if (!table.exists) None
           else Some(() => {
@@ -179,7 +195,14 @@ object CdcPipeline {
   private def ensureContentDedupIndex(spark: SparkSession, spec: StreamSpec): Unit =
     spec.dedupIndexLocation.foreach { loc =>
       if (!graft.streaming.StreamOps.bandIndexExists(spark, loc))
-        graft.streaming.StreamOps.initBandIndex(spark, loc, ContentDedupParams)
+        graft.streaming.StreamOps.initBandIndex(spark, loc, ContentDedupParams,
+          storeIds = spec.dedupRetractOnDelete)
+      else require(
+        graft.streaming.StreamOps.bandIndexStoresIds(spark, loc) == spec.dedupRetractOnDelete,
+        s"band index at $loc was initialized with storeIds=" +
+          s"${graft.streaming.StreamOps.bandIndexStoresIds(spark, loc)} but the spec sets " +
+          s"dedupRetractOnDelete=${spec.dedupRetractOnDelete} — the layout is pinned at init; " +
+          "re-seed the index at a fresh location to change it")
     }
 
   /** The affected-bucket fast path hashes the RAW string key columns, while
@@ -573,7 +596,7 @@ object CdcPipeline {
         val p = new org.apache.hadoop.fs.Path(loc)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         graft.streaming.StreamOps.initBandIndex(spark, loc, ContentDedupParams, Some(live),
-          idCol = MergeKey.ColumnName, textCol = tc)
+          idCol = MergeKey.ColumnName, textCol = tc, storeIds = spec.dedupRetractOnDelete)
       } else {
         ensureContentDedupIndex(spark, spec)
         // Watermark-derived subdir name: a RETRIED backfill overwrites its

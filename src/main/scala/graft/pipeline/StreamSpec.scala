@@ -81,15 +81,24 @@ final case class StreamSpec(
     // version's bands). An Overwrite/first backfill SEEDS the index from
     // its live rows; the stream then appends each batch's survivors'
     // bands. Both fields go together.
-    // LOUD CAVEAT: the index keeps content history across deletes (bands
-    // carry no ids, so tombstones cannot retract them) — a RE-INSERT of a
-    // previously deleted key whose text near-dups anything already seen
-    // stays suppressed. That is the crawl-dedup contract; do NOT enable
-    // dedupTextColumn for sources that re-insert deleted keys with
-    // recycled content.
+    // LOUD CAVEAT (default layout): the index keeps content history
+    // across deletes (bands carry no ids, so tombstones cannot retract
+    // them) — a RE-INSERT of a previously deleted key whose text
+    // near-dups anything already seen stays suppressed. That is the
+    // crawl-dedup contract; for sources that re-insert deleted keys with
+    // recycled content, set dedupRetractOnDelete below.
     dedupTextColumn: Option[String] = None,
     dedupIndexLocation: Option[String] = None,
-    dedupIndexCompactEvery: Int = 0            // compact the band index every N stream batches (0 = never)
+    dedupIndexCompactEvery: Int = 0,           // compact the band index every N stream batches (0 = never)
+    // Delete retraction for key-recycling sources: the index stores
+    // (_rid, band, key) rows and every batch's delete tombstones record
+    // their keys under tombstones/ — probes anti-join retracted ids out,
+    // so a deleted key's own content history stops suppressing its
+    // re-insert. Costs one string id per stored band row plus the
+    // tombstone list; the default (false) keeps the id-less crawl-dedup
+    // layout and semantics. Pinned into the index at first init — an
+    // existing id-less index cannot retract (init location afresh).
+    dedupRetractOnDelete: Boolean = false
 ) {
   require(Set("copy-on-write", "merge-on-read").contains(mergeMode.toLowerCase),
     s"mergeMode must be copy-on-write or merge-on-read, got '$mergeMode'")
@@ -104,6 +113,8 @@ final case class StreamSpec(
       "the column to sign and the index location to maintain)")
   require(dedupIndexCompactEvery >= 0,
     s"dedupIndexCompactEvery must be >= 0, got $dedupIndexCompactEvery")
+  require(!dedupRetractOnDelete || dedupTextColumn.nonEmpty,
+    "dedupRetractOnDelete requires content dedup (dedupTextColumn/dedupIndexLocation)")
   // NOTE: the exportDir × merge-on-read incompatibility is validated in
   // CdcPipeline.startStream, NOT here — Main applies the
   // STREAMCONTEXT__MAINTENANCE env override AFTER construction, and a
@@ -243,7 +254,9 @@ object StreamSpec {
       dedupMaxPushdownIds = int("dedupMaxPushdownIds", 10000),
       dedupTextColumn = opt("dedupTextColumn"),
       dedupIndexLocation = opt("dedupIndexLocation"),
-      dedupIndexCompactEvery = int("dedupIndexCompactEvery", 0)
+      dedupIndexCompactEvery = int("dedupIndexCompactEvery", 0),
+      dedupRetractOnDelete =
+        r.has("dedupRetractOnDelete") && r.get("dedupRetractOnDelete").asBoolean(false)
     )
   }
 }

@@ -468,7 +468,7 @@ object Queries {
     // accident. Correctness runs always rebuild: the DuckDB oracle must
     // judge a FRESH pipeline run, not a cached table.
     val reuse = java.lang.Boolean.getBoolean("graft.bench.reuseE2e")
-    val fixtureSig = "e2e-r19:" + java.nio.file.Files.readString(
+    val fixtureSig = "e2e-r20:" + java.nio.file.Files.readString(
       java.nio.file.Paths.get(root, "_complete"))
     val marker = java.nio.file.Paths.get(tmp, s"graft-streamdocs-done-$digest")
     if (reuse && java.nio.file.Files.exists(marker) &&

@@ -207,6 +207,26 @@ object StreamOps {
     org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType)))
 
+  // id-carrying layout (storeIds indexes): each band row also names the
+  // document it came from — "_rid" as a STRING (merge keys are strings,
+  // doc ids longs — one universal type; underscore-prefixed so it can
+  // never collide with a caller's id column inside the probe join) — and
+  // the EPOCH it was indexed in ("_seq" = the stream batch id; -1 for
+  // seed/corpus appends, which predate every stream batch). A tombstone
+  // retracts only rows with `_seq < tombstone._seq`: the id's PRE-DELETE
+  // epochs stop suppressing, while a later re-insert of the same id
+  // indexes under a higher _seq and suppresses normally — the exact
+  // sequence-number semantics of the snapshot table's equality deletes,
+  // applied to band rows.
+  private val bandSchemaWithIds = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("_rid", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_seq", org.apache.spark.sql.types.LongType)) ++
+      bandSchema.fields.toSeq)
+
+  private val tombstoneSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("_rid", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_seq", org.apache.spark.sql.types.LongType)))
+
   private def indexFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
@@ -223,20 +243,31 @@ object StreamOps {
     * [[compactBandIndex]]. Written params-last, so a crashed init is
     * invisible.
     */
+  /** `storeIds = true` switches the index to the ID-CARRYING layout
+    * (`(_rid, band, key)` rows instead of `(band, key)`): the extra
+    * column is what makes DELETE RETRACTION possible —
+    * [[retractFromBandIndex]] records tombstoned ids and every probe
+    * anti-joins their rows out, so a deleted-then-reinserted key's own
+    * history stops suppressing it. Default stays id-less (the crawl-dedup
+    * contract: previously seen content is a duplicate even if its row was
+    * deleted) — the layout choice is pinned in `_params.json` at init and
+    * every later write/read follows it.
+    */
   def initBandIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       params: graft.ext.Dedup.MinHashParams,
       corpus: Option[DataFrame] = None,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      storeIds: Boolean = false
   ): Unit = {
     val (p, fs) = indexFs(spark, dir)
     val paramsPath = new org.apache.hadoop.fs.Path(p, "_params.json")
     require(!fs.exists(paramsPath), s"band index already initialized at $dir")
     fs.mkdirs(new org.apache.hadoop.fs.Path(p, "data"))
     corpus.foreach { c =>
-      bandsFlat(c, idCol, textCol, params).select("band", "key").distinct()
+      bandRows(c, idCol, textCol, params, storeIds, seq = -1L)
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(p, "data/seed").toString)
     }
@@ -247,8 +278,36 @@ object StreamOps {
     root.put("shingleSize", params.shingleSize)
     root.put("seed", params.seed)
     root.put("oph", params.oph)
+    root.put("storeIds", storeIds)
     val out = fs.create(paramsPath, false)
     try out.write(indexMapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Whether the index stores `(_rid, band, key)` rows (the retraction
+    * layout). Absent field = false: pre-upgrade indexes keep their id-less
+    * layout and semantics.
+    */
+  def bandIndexStoresIds(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val (p, fs) = indexFs(spark, dir)
+    val in = fs.open(new org.apache.hadoop.fs.Path(p, "_params.json"))
+    val node = try indexMapper.readTree(in.readAllBytes()) finally in.close()
+    Option(node.get("storeIds")).exists(_.asBoolean())
+  }
+
+  /** The stored row set for one corpus/batch under the index layout:
+    * distinct `(band, key)`, or distinct `(_rid, _seq, band, key)` when
+    * ids are stored (the same band may legitimately repeat across ids and
+    * epochs there — retraction must remove only the deleted id's
+    * pre-delete copies).
+    */
+  private def bandRows(
+      docs: DataFrame, idCol: String, textCol: String,
+      params: graft.ext.Dedup.MinHashParams, storeIds: Boolean, seq: Long): DataFrame = {
+    val flat = bandsFlat(docs, idCol, textCol, params)
+    if (storeIds)
+      flat.select(col(idCol).cast("string").as("_rid"), lit(seq).as("_seq"),
+        col("band"), col("key")).distinct()
+    else flat.select("band", "key").distinct()
   }
 
   /** Whether a band index has been (fully) initialized at `dir` —
@@ -281,9 +340,77 @@ object StreamOps {
       s"appendCorpusToBandIndex name '$name' would impersonate a maintained subdir class")
     val (p, _) = indexFs(spark, dir)
     val params = bandIndexParams(spark, dir)
-    bandsFlat(corpus, idCol, textCol, params).select("band", "key").distinct()
+    // corpus appends index at epoch -1: authoritative history that
+    // PREDATES every stream tombstone (a retracted key's backfilled
+    // content reads as pre-delete history and stays retracted)
+    bandRows(corpus, idCol, textCol, params, bandIndexStoresIds(spark, dir), seq = -1L)
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(p, s"data/$name").toString)
+  }
+
+  /** Record DELETED ids so their indexed bands stop suppressing — the
+    * retraction half of the `storeIds` layout: `(_rid, _seq)` tombstones
+    * land under `tombstones/<name>/` (overwrite-idempotent per name, the
+    * same replay contract as the batch subdirs) and every later probe
+    * anti-joins out the id's rows with `_seq < seq` — pre-delete epochs
+    * only, so a LATER re-insert of the same id indexes and suppresses
+    * normally (the snapshot table's equality-delete sequence semantics).
+    * Requires an id-carrying index: an id-less one has nothing to retract
+    * BY (bands are shared across docs — dropping a dead doc's band would
+    * under-suppress live content that legitimately shares it). Tombstones
+    * persist across [[compactBandIndex]] (the keep-recent-protected batch
+    * dirs may still carry retracted rows); footprint is one (string,
+    * long) per deleted id per deletion.
+    */
+  def retractFromBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      ids: DataFrame,
+      idCol: String = "doc_id",
+      name: String,
+      seq: Long
+  ): Unit = {
+    require(bandIndexStoresIds(spark, dir),
+      s"band index at $dir stores no ids — retraction needs initBandIndex(storeIds = true)")
+    val (p, _) = indexFs(spark, dir)
+    ids.select(col(idCol).cast("string").as("_rid"), lit(seq).as("_seq")).distinct()
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(p, s"tombstones/$name").toString)
+  }
+
+  private def tombstoneDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val t = new org.apache.hadoop.fs.Path(p, "tombstones")
+    if (!fs.exists(t)) Seq.empty
+    else fs.listStatus(t).toSeq.filter(_.isDirectory).map(_.getPath)
+  }
+
+  /** Stored band rows of `subdirs` with tombstoned ids retracted (storeIds
+    * layout) — the ONE probe-side read both the batch dedup and the
+    * compaction fold share, projected down to `(band, key)` for the
+    * collision join.
+    */
+  private def liveIndexRows(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      subdirs: Seq[org.apache.hadoop.fs.Path],
+      storeIds: Boolean,
+      projectBandKey: Boolean): DataFrame = {
+    val schema = if (storeIds) bandSchemaWithIds else bandSchema
+    val rows = spark.read.schema(schema).parquet(subdirs.map(_.toString): _*)
+    val tombs = if (storeIds) tombstoneDirs(fs, p) else Seq.empty
+    val live =
+      if (tombs.isEmpty) rows
+      else {
+        val t = spark.read.schema(tombstoneSchema).parquet(tombs.map(_.toString): _*)
+          .distinct().withColumnRenamed("_rid", "_t_rid").withColumnRenamed("_seq", "_t_seq")
+        // retract pre-delete epochs only: any tombstone NEWER than the
+        // row's epoch kills it; rows indexed after the delete survive
+        rows.join(t, rows("_rid") === t("_t_rid") && rows("_seq") < t("_t_seq"), "left_anti")
+      }
+    if (projectBandKey && storeIds) live.select("band", "key") else live
   }
 
   /** The index's pinned MinHash family. */
@@ -361,6 +488,7 @@ object StreamOps {
     val spark = batch.sparkSession
     val (p, fs) = indexFs(spark, dir)
     val params = bandIndexParams(spark, dir)
+    val storeIds = bandIndexStoresIds(spark, dir)
     val own = f"batch-$batchId%020d"
     val prior = indexSubdirs(fs, p).filterNot(_.getName == own)
     val emptyText = coalesce(length(trim(col(textCol))), lit(0)) === 0
@@ -369,7 +497,9 @@ object StreamOps {
     // survivor append, and recomputing would re-sign the batch twice
     val bands = bandsFlat(batch, idCol, textCol, params).localCheckpoint()
     // matched ids: ONE map-only pass over the stored index with the
-    // batch's bands broadcast — the index is never shuffled
+    // batch's bands broadcast — the index is never shuffled (on a
+    // storeIds index the scan first anti-joins the tombstoned ids'
+    // rows out: retracted history must not suppress)
     val dupIds =
       if (prior.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -377,7 +507,7 @@ object StreamOps {
       // materialized (batch-bounded, GC-managed): consumed by the empty
       // short-circuit AND the survivors join, and pinning it here keeps
       // the index scan at exactly one pass per batch
-      else spark.read.schema(bandSchema).parquet(prior.map(_.toString): _*)
+      else liveIndexRows(spark, fs, p, prior, storeIds, projectBandKey = true)
         .join(broadcast(bands), Seq("band", "key"))
         .select(col(idCol)).distinct().localCheckpoint()
     val dupEff = exemptIds match {
@@ -387,8 +517,12 @@ object StreamOps {
     }
     val survivors = batch.where(!emptyText)
       .join(broadcast(dupEff), Seq(idCol), "leftanti")
-    bands.join(broadcast(survivors.select(col(idCol))), Seq(idCol), "leftsemi")
-      .select("band", "key").distinct()
+    val survivorBands =
+      bands.join(broadcast(survivors.select(col(idCol))), Seq(idCol), "leftsemi")
+    (if (storeIds)
+       survivorBands.select(col(idCol).cast("string").as("_rid"),
+         lit(batchId).as("_seq"), col("band"), col("key")).distinct()
+     else survivorBands.select("band", "key").distinct())
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(p, s"data/$own").toString)
     // materialize ONCE (micro-batch-sized, GC-managed): a foreachBatch
@@ -419,6 +553,7 @@ object StreamOps {
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       keepRecent: Int = 2): Unit = {
     val (p, fs) = indexFs(spark, dir)
+    val storeIds = bandIndexStoresIds(spark, dir)
     val all = indexSubdirs(fs, p)
     val protectedBatches = all.filter(_.getName.startsWith("batch-"))
       .sortBy(_.getName).takeRight(math.max(0, keepRecent)).toSet
@@ -426,7 +561,11 @@ object StreamOps {
     if (subdirs.size <= 1) return
     val target = new org.apache.hadoop.fs.Path(p,
       s"data/compact-${java.util.UUID.randomUUID()}")
-    spark.read.schema(bandSchema).parquet(subdirs.map(_.toString): _*)
+    // on a storeIds index the fold physically drops retracted rows (the
+    // tombstone anti-join) — but the tombstone FILES stay: the protected
+    // recent batch dirs (and any concurrent-epoch reader) may still carry
+    // rows the tombstones must keep retracting
+    liveIndexRows(spark, fs, p, subdirs, storeIds, projectBandKey = false)
       .distinct()
       .write.mode("overwrite").parquet(target.toString)
     subdirs.foreach(fs.delete(_, true))

@@ -265,6 +265,63 @@ class ContentDedupSpec extends SparkSpec {
     assert(out === Set("k2"))
   }
 
+  test("dedupRetractOnDelete: a deleted-then-reinserted key survives with the flag ON and suppresses with it OFF") {
+    import spark.implicits._
+    val text = "recycled content for a recycled key"
+    // no target table on purpose: the same-key exemption must not mask
+    // what the retraction (or its absence) decides
+    def run(retract: Boolean): Set[String] = {
+      val index = s"${tmpDir(s"content-dedup-retract-$retract")}/idx"
+      val tbl = SnapshotTable(spark, s"${tmpDir(s"content-dedup-retract-tbl-$retract")}/t")
+      val spec = StreamSpec(sourcePath = "/x", entityName = "e", targetLocation = "/y",
+        dedupTextColumn = Some("body"), dedupIndexLocation = Some(index),
+        dedupRetractOnDelete = retract)
+      StreamOps.initBandIndex(spark, index,
+        graft.ext.Dedup.MinHashParams(128, 16, 3, 42L, oph = false), storeIds = retract)
+      def batch(rows: Seq[(String, String, Boolean)], id: Long): Set[String] =
+        CdcPipeline.contentDedupBatch(
+          rows.toDF("arcane_merge_key", "body", "IsDelete"), spec, id, tbl)
+          .where(!col("IsDelete")).select("arcane_merge_key").as[String].collect().toSet
+      assert(batch(Seq(("k", text, false)), 1L) === Set("k"), "first sight is novel")
+      // the delete tombstone passes AND (flag on) retracts k's band rows
+      assert(CdcPipeline.contentDedupBatch(
+        Seq(("k", (null: String), true)).toDF("arcane_merge_key", "body", "IsDelete"),
+        spec, 2L, tbl).count() === 1L)
+      batch(Seq(("k", text, false)), 3L)
+    }
+    assert(run(true) === Set("k"),
+      "with retraction the deleted key's own history must not suppress its re-insert")
+    assert(run(false) === Set.empty,
+      "without retraction the crawl-dedup residual stands: recycled content stays suppressed")
+  }
+
+  test("retraction removes only the dead epoch: the re-inserted content suppresses new keys again, through compaction") {
+    import spark.implicits._
+    val text = "content that outlives its first key"
+    val index = s"${tmpDir("content-dedup-retract-epoch")}/idx"
+    val tbl = SnapshotTable(spark, s"${tmpDir("content-dedup-retract-epoch-tbl")}/t")
+    val spec = StreamSpec(sourcePath = "/x", entityName = "e", targetLocation = "/y",
+      dedupTextColumn = Some("body"), dedupIndexLocation = Some(index),
+      dedupRetractOnDelete = true)
+    StreamOps.initBandIndex(spark, index,
+      graft.ext.Dedup.MinHashParams(128, 16, 3, 42L, oph = false), storeIds = true)
+    def batch(rows: Seq[(String, String, Boolean)], id: Long): Set[String] =
+      CdcPipeline.contentDedupBatch(
+        rows.toDF("arcane_merge_key", "body", "IsDelete"), spec, id, tbl)
+        .where(!col("IsDelete")).select("arcane_merge_key").as[String].collect().toSet
+    assert(batch(Seq(("k", text, false)), 1L) === Set("k"))
+    assert(batch(Seq(("k", (null: String), true)).map(t => (t._1, t._2, t._3)), 2L) === Set.empty)
+    assert(batch(Seq(("k", text, false)), 3L) === Set("k"), "retracted → novel again")
+    // batch 3's survivor re-indexed the content under the LIVE epoch: a
+    // brand-new key duplicating it suppresses, as plain content dedup must
+    assert(batch(Seq(("j", text, false)), 4L) === Set.empty)
+    // compaction folds with the tombstone anti-join and keeps tombstones;
+    // the live epoch's rows still suppress afterward
+    StreamOps.compactBandIndex(spark, index, keepRecent = 0)
+    assert(batch(Seq(("m", text, false)), 5L) === Set.empty,
+      "the folded blob must keep the live epoch's rows suppressing")
+  }
+
   test("StreamSpec JSON round-trips the content-dedup fields; a lone field is rejected") {
     val spec = StreamSpec.fromJson(
       """{"sourcePath":"/s","entityName":"e","targetLocation":"/t",
@@ -275,6 +332,15 @@ class ContentDedupSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       StreamSpec.fromJson(
         """{"sourcePath":"/s","entityName":"e","targetLocation":"/t","dedupTextColumn":"body"}""")
+    }
+    // retraction flag round-trips, and alone (no content dedup) is rejected
+    assert(StreamSpec.fromJson(
+      """{"sourcePath":"/s","entityName":"e","targetLocation":"/t",
+        |"dedupTextColumn":"body","dedupIndexLocation":"/idx",
+        |"dedupRetractOnDelete":true}""".stripMargin).dedupRetractOnDelete)
+    assertThrows[IllegalArgumentException] {
+      StreamSpec.fromJson(
+        """{"sourcePath":"/s","entityName":"e","targetLocation":"/t","dedupRetractOnDelete":true}""")
     }
   }
 }
