@@ -143,17 +143,21 @@ object IvfIndex {
     * COMPONENT is the same poison through a different door: its norm is
     * NaN (not null, not 0 — it passes the null/zero test), the NaN still
     * wins the assignment argmax, and its stored cosine still outranks
-    * every real neighbor. Guard on the norm being null, 0 OR NaN — that
-    * covers all four degenerate shapes — and fail THIS create/append/
-    * probe loudly (executor-side raise_error: the id is in the message).
+    * every real neighbor. An INFINITE component is the fifth door: its
+    * norm is +Inf (not null/0/NaN), and at query time Inf/Inf and
+    * 0·Inf both score NaN — the same silent top-1 poisoning. Guard on
+    * the norm being null, 0, NaN OR Inf — that covers all five
+    * degenerate shapes — and fail THIS create/append/probe loudly
+    * (executor-side raise_error: the id is in the message).
     */
   private def requiredList(
       listCol: org.apache.spark.sql.Column,
       nrm: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(listCol.isNull || coalesce(nrm, lit(0.0)) === 0.0 || isnan(nrm), raise_error(concat(
+    when(listCol.isNull || coalesce(nrm, lit(0.0)) === 0.0 || isnan(nrm) ||
+        nrm === lit(Double.PositiveInfinity), raise_error(concat(
       lit("IvfIndexNullAssignment: id "), id.cast("string"),
-      lit(" has a null/empty/zero/NaN embedding — cannot assign an IVF list"))).cast("int"))
+      lit(" has a null/empty/zero/NaN/Inf embedding — cannot assign an IVF list"))).cast("int"))
       .otherwise(listCol)
 
   private def writeAssigned(
@@ -312,30 +316,31 @@ object IvfIndex {
     require(exists(spark, dir), s"no IVF index at $dir")
     require(name.nonEmpty && name != "seed" && !name.startsWith("compact-") && !name.contains("/"),
       s"append name '$name' must be a non-reserved single path segment")
-    // a name colliding with an UNREFERENCED subdir still inside the grace
+    // a name colliding with a RETIRED subdir still inside its grace
     // window is refused: overwrite-mode would delete that subdir's files
     // through a path compact's deferral cannot protect — a reader planned
     // on the PRIOR manifest (which still references it) loses its files
     // mid-scan. The common trigger is re-appending a recycled name (e.g.
-    // "increment") right after a compact absorbed it. An unreferenced
-    // subdir OLDER than the grace is a legitimate overwrite target (the
-    // sweep would have deleted it); a referenced one is the documented
-    // idempotent-retry contract.
+    // "increment") right after a compact absorbed it. ONLY ledgered
+    // (compact-retired) names are refused, and each against the grace its
+    // retiring compact recorded: a never-manifested leftover (a crashed
+    // append) was never planned by any reader, so the documented
+    // same-name retry overwrites it freely — and a retired name older
+    // than its grace is a legitimate overwrite target (the sweep would
+    // have deleted it). graceMs <= 0 is the explicit opt-out (spec/
+    // rebuild mode: caller asserts no concurrent readers).
     if (graceMs > 0) {
       val (p, fs) = fsOf(spark, dir)
       val sub = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(p, "data"), name)
       if (!readManifest(spark, dir).contains(name) && fs.exists(sub)) {
-        // retired-by-compact names age on the LEDGER clock (unreference
-        // time — object-store safe); never-manifested crash orphans age
-        // on creation mtime (no reader ever planned them)
-        val refMs = readRetired(spark, dir).getOrElse(name,
-          fs.getFileStatus(sub).getModificationTime)
-        val age = System.currentTimeMillis() - refMs
-        if (age < graceMs) throw new IllegalStateException(
-          s"IvfIndexAppendNameInGrace: data/$name exists unreferenced and is still inside " +
-            s"the ${graceMs}ms deletion grace (age ${age}ms) — a reader planned on the prior " +
-            "manifest may be scanning it; append under a fresh name, or wait out the grace")
+        readRetired(spark, dir).get(name).foreach { case (ts, g) =>
+          val age = System.currentTimeMillis() - ts
+          if (age < g) throw new IllegalStateException(
+            s"IvfIndexAppendNameInGrace: data/$name was retired by a compact ${age}ms ago, " +
+              s"inside its ${g}ms deletion grace — a reader planned on the prior manifest " +
+              "may be scanning it; append under a fresh name, or wait out the grace")
+        }
       }
     }
     // the stored payload follows the index KIND: raw vectors for a plain
@@ -379,23 +384,34 @@ object IvfIndex {
   private def retiredPath(p: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(p, "_retired.json")
 
-  private def readRetired(spark: SparkSession, dir: String): Map[String, Long] = {
+  /** Ledger entry: (unreference timestamp ms, the grace the RETIRING
+    * compact promised). The grace rides in the entry so a later caller
+    * with a different (or default) graceMs cannot shorten a promise an
+    * operator made with a longer one — the sweep and the append
+    * name-recycle guard both age each entry against ITS OWN grace.
+    */
+  private def readRetired(spark: SparkSession, dir: String): Map[String, (Long, Long)] = {
     val (p, fs) = fsOf(spark, dir)
     val rp = retiredPath(p)
     if (!fs.exists(rp)) return Map.empty
     val in = fs.open(rp)
     val node = try mapper.readTree(in.readAllBytes()) finally in.close()
     val it = node.get("subdirs").fields()
-    val b = Map.newBuilder[String, Long]
-    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+    val b = Map.newBuilder[String, (Long, Long)]
+    while (it.hasNext) {
+      val e = it.next()
+      b += e.getKey -> ((e.getValue.get("ts").asLong(), e.getValue.get("graceMs").asLong()))
+    }
     b.result()
   }
 
-  private def writeRetired(spark: SparkSession, dir: String, m: Map[String, Long]): Unit = {
+  private def writeRetired(spark: SparkSession, dir: String, m: Map[String, (Long, Long)]): Unit = {
     val (p, fs) = fsOf(spark, dir)
     val root = mapper.createObjectNode()
     val subs = root.putObject("subdirs")
-    m.toSeq.sortBy(_._1).foreach { case (k, v) => subs.put(k, v) }
+    m.toSeq.sortBy(_._1).foreach { case (k, (ts, g)) =>
+      val e = subs.putObject(k); e.put("ts", ts); e.put("graceMs", g)
+    }
     val tmp = new org.apache.hadoop.fs.Path(p, s".retired.tmp.${java.util.UUID.randomUUID()}")
     val o = fs.create(tmp, true)
     try o.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally o.close()
@@ -435,7 +451,8 @@ object IvfIndex {
       // prior manifest. A ledger, not mtimes: see the retired-ledger note.
       if (graceMs > 0) {
         val stampAt = System.currentTimeMillis()
-        writeRetired(spark, dir, readRetired(spark, dir) ++ live.map(_ -> stampAt))
+        writeRetired(spark, dir,
+          readRetired(spark, dir) ++ live.map(_ -> ((stampAt, graceMs))))
       }
       writeManifest(spark, dir, Seq(target))
     }
@@ -450,10 +467,13 @@ object IvfIndex {
       val unref = fs.listStatus(data).filter(_.isDirectory)
         .filterNot(s => keep.contains(s.getPath.getName))
       // graceMs <= 0 = NO grace (sweep every unreferenced subdir now) —
-      // the spec/rebuild mode, never a production default
+      // the spec/rebuild mode, never a production default. Ledgered
+      // entries age against the grace their RETIRING compact recorded;
+      // never-ledgered crash orphans against this call's grace by
+      // creation mtime (no reader ever planned them).
       val sweep = unref.filter { s =>
         graceMs <= 0 || retired.get(s.getPath.getName)
-          .map(t => now - t >= graceMs)
+          .map { case (ts, g) => now - ts >= g }
           .getOrElse(s.getModificationTime < now - graceMs)
       }
       sweep.foreach(s => fs.delete(s.getPath, true))
@@ -463,8 +483,7 @@ object IvfIndex {
       val keepEntries = (unref.map(_.getPath.getName).toSet --
         sweep.map(_.getPath.getName).toSet)
       val remaining = retired.view.filterKeys(keepEntries.contains).toMap
-      if (remaining != retired && (retired.nonEmpty || remaining.nonEmpty))
-        writeRetired(spark, dir, remaining)
+      if (remaining != retired) writeRetired(spark, dir, remaining)
     }
   }
 
@@ -594,14 +613,16 @@ object IvfIndex {
       dim: Int, nLists: Int, nprobe: Int,
       idCol: String, vecCol: String, withVec: Boolean): DataFrame = {
     val probes = Similarity.ivfProbes(col(vecCol), bc, dim, nLists, nprobe).cast("array<int>")
-    // null/0/NaN norm covers NULL, EMPTY, ALL-ZERO and NaN-COMPONENT
-    // queries (zero and NaN ones would otherwise probe a NaN-argmax list
-    // and score NaN cosines that beat every real neighbor)
+    // null/0/NaN/Inf norm covers NULL, EMPTY, ALL-ZERO, NaN- and
+    // Inf-COMPONENT queries (zero/NaN/Inf ones would otherwise probe a
+    // NaN-argmax list and score NaN cosines that beat every real
+    // neighbor)
     val nrm = Similarity.norm(col(vecCol))
-    val guarded = when(probes.isNull || coalesce(nrm, lit(0.0)) === 0.0 || isnan(nrm),
+    val guarded = when(probes.isNull || coalesce(nrm, lit(0.0)) === 0.0 || isnan(nrm) ||
+        nrm === lit(Double.PositiveInfinity),
       raise_error(concat(
         lit("IvfIndexNullAssignment: query "), col(idCol).cast("string"),
-        lit(" has a null/empty/zero/NaN embedding — cannot probe the index"))).cast("array<int>"))
+        lit(" has a null/empty/zero/NaN/Inf embedding — cannot probe the index"))).cast("array<int>"))
       .otherwise(probes)
     if (withVec)
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),

@@ -357,10 +357,11 @@ object StreamOps {
     * normally (the snapshot table's equality-delete sequence semantics).
     * Requires an id-carrying index: an id-less one has nothing to retract
     * BY (bands are shared across docs — dropping a dead doc's band would
-    * under-suppress live content that legitimately shares it). Tombstones
-    * persist across [[compactBandIndex]] (the keep-recent-protected batch
-    * dirs may still carry retracted rows); footprint is one (string,
-    * long) per deleted id per deletion.
+    * under-suppress live content that legitimately shares it).
+    * [[compactBandIndex]] folds accumulated tombstone dirs into one and
+    * PRUNES entries that no longer retract any readable row, so the
+    * tombstone set stays bounded by the ids whose pre-delete history is
+    * still on disk — footprint is one (string, long) per such id.
     */
   def retractFromBandIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -558,17 +559,46 @@ object StreamOps {
     val protectedBatches = all.filter(_.getName.startsWith("batch-"))
       .sortBy(_.getName).takeRight(math.max(0, keepRecent)).toSet
     val subdirs = all.filterNot(protectedBatches)
-    if (subdirs.size <= 1) return
-    val target = new org.apache.hadoop.fs.Path(p,
-      s"data/compact-${java.util.UUID.randomUUID()}")
-    // on a storeIds index the fold physically drops retracted rows (the
-    // tombstone anti-join) — but the tombstone FILES stay: the protected
-    // recent batch dirs (and any concurrent-epoch reader) may still carry
-    // rows the tombstones must keep retracting
-    liveIndexRows(spark, fs, p, subdirs, storeIds, projectBandKey = false)
-      .distinct()
-      .write.mode("overwrite").parquet(target.toString)
-    subdirs.foreach(fs.delete(_, true))
+    if (subdirs.size > 1) {
+      val target = new org.apache.hadoop.fs.Path(p,
+        s"data/compact-${java.util.UUID.randomUUID()}")
+      // on a storeIds index the fold physically drops retracted rows (the
+      // tombstone anti-join) — the tombstone FILES are maintained below
+      liveIndexRows(spark, fs, p, subdirs, storeIds, projectBandKey = false)
+        .distinct()
+        .write.mode("overwrite").parquet(target.toString)
+      subdirs.foreach(fs.delete(_, true))
+    }
+    // tombstone maintenance (storeIds only): without it a long-running
+    // deleting stream accumulates one tiny tombstones/batch-N dir per
+    // deleting batch FOREVER, and every probe lists and anti-joins all of
+    // them. Fold them into one distinct-ed compact dir, PRUNED to the
+    // entries that still retract something: a tombstone is live iff some
+    // CURRENT data row (the folded blob + the protected recent batches —
+    // i.e. everything a probe can still read) has its _rid at a lower
+    // _seq. Crash-safe ordering: the fold above already deleted the
+    // absorbed data dirs, so liveness is judged against exactly the
+    // post-fold state; the pruned tombstone dir lands BEFORE the old
+    // tombstone dirs drop, so a crash leaves duplicate or unpruned
+    // tombstones (harmless to the anti-join), never a lost retraction.
+    val tombDirs = tombstoneDirs(fs, p)
+    if (storeIds && tombDirs.size > 1) {
+      val rows = {
+        val dirsNow = indexSubdirs(fs, p)
+        if (dirsNow.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            bandSchemaWithIds)
+        else spark.read.schema(bandSchemaWithIds).parquet(dirsNow.map(_.toString): _*)
+      }.select(col("_rid").as("_r_rid"), col("_seq").as("_r_seq"))
+      val tombs = spark.read.schema(tombstoneSchema)
+        .parquet(tombDirs.map(_.toString): _*).distinct()
+      val tombTarget = new org.apache.hadoop.fs.Path(p,
+        s"tombstones/compact-${java.util.UUID.randomUUID()}")
+      tombs.join(rows, tombs("_rid") === rows("_r_rid") && rows("_r_seq") < tombs("_seq"),
+          "left_semi")
+        .write.mode("overwrite").parquet(tombTarget.toString)
+      tombDirs.foreach(fs.delete(_, true))
+    }
   }
 
   /** Streaming dedup against a STATIC stored corpus — the continuous

@@ -18,8 +18,9 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem
   * commit at all. Each entry point therefore catches
   * [[UnsupportedFileSystemException]] and degrades to the closest
   * FileSystem-only protocol, WARNING ONCE PER SCHEME what got weaker:
-  *   - overwrite → delete-then-rename (a reader can observe the target
-  *     missing for an instant);
+  *   - overwrite → rename-aside-then-rename (a reader can observe the
+  *     target missing for an instant; a crash in the window leaves
+  *     `<target>.prev` as a recoverable pointer rather than nothing);
   *   - put-if-absent → exists-check-then-rename (two concurrent writers
   *     can race the check; the single-writer contract becomes the
   *     deployment's job rather than the filesystem's).
@@ -72,12 +73,23 @@ object AtomicRename {
         fc.rename(fc.makeQualified(tmp), fc.makeQualified(target), Options.Rename.OVERWRITE)
       case None =>
         warnFallback(fs,
-          "delete-then-rename (a concurrent reader can observe the target briefly missing)")
-        fs.delete(target, false)
+          "rename-aside-then-rename (a concurrent reader can observe the target briefly missing)")
+        // rename the old target ASIDE instead of deleting it: a crash
+        // between the two renames then leaves `<target>.prev` on disk —
+        // a recoverable pointer — where delete-then-rename would leave
+        // nothing at all (an unreadable table until manual repair)
+        val prev = new Path(target.getParent, target.getName + ".prev")
+        fs.delete(prev, false)
+        if (fs.exists(target))
+          require(fs.rename(target, prev),
+            s"failed to move $target aside (rename returned false)")
         // a silent rename failure would leave the pointer stale forever —
         // fail loudly (the IcebergExport precedent)
         require(fs.rename(tmp, target),
           s"failed to publish $target (rename returned false)")
+        // best-effort cleanup; a leftover .prev is harmless and is
+        // re-cleared by the next publish
+        fs.delete(prev, false)
     }
 
   /** Publish `tmp` at `target` ONLY if absent; throws

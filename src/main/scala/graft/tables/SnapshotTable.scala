@@ -918,13 +918,6 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     removed.toSeq
   }
 
-  /** DESCRIBE HISTORY parity: one row per RETAINED main-line snapshot,
-    * oldest first — `(version, timestamp_ms, n_files, n_delete_files,
-    * n_buckets, properties_count)` plus the watermark if set. Metadata
-    * only (manifest reads, no data IO); expired snapshots are absent by
-    * definition. Branch-local history (b-*.json) is not listed — publish
-    * normalizes a branch head to a main-line version.
-    */
   /** The snapshot manifest at `version` — work-count observability: the
     * bench derives per-commit ADDED files/rows by diffing consecutive
     * manifests, so a timing swing on the e2e leg is adjudicable by counts
@@ -933,6 +926,13 @@ class SnapshotTable(val spark: SparkSession, val location: String,
   def snapshotAt(version: Long): Snapshot =
     readSnapshot(new Path(snapshotsDir, snapshotFileName(version)))
 
+  /** DESCRIBE HISTORY parity: one row per RETAINED main-line snapshot,
+    * oldest first — `(version, timestamp_ms, n_files, n_delete_files,
+    * n_buckets, properties_count)` plus the watermark if set. Metadata
+    * only (manifest reads, no data IO); expired snapshots are absent by
+    * definition. Branch-local history (b-*.json) is not listed — publish
+    * normalizes a branch head to a main-line version.
+    */
   def history: DataFrame = {
     import spark.implicits._
     snapshotVersions.map { v =>

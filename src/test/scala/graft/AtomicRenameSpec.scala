@@ -52,6 +52,10 @@ class AtomicRenameSpec extends SparkSpec {
     val t2 = new Path(s"$base/t2"); write(t2, "v2")
     AtomicRename.overwrite(fs, conf, t2, target) // replace, not fail
     assert(read(target) === "v2")
+    // the fallback renames the old target ASIDE (crash leaves a
+    // recoverable .prev, never nothing) and cleans it up on success
+    assert(!fs.exists(new Path(s"$base/ptr.prev")),
+      "the aside pointer must be cleaned up after a successful publish")
 
     val t3 = new Path(s"$base/t3"); write(t3, "v3")
     intercept[FileAlreadyExistsException] {

@@ -315,11 +315,28 @@ class ContentDedupSpec extends SparkSpec {
     // batch 3's survivor re-indexed the content under the LIVE epoch: a
     // brand-new key duplicating it suppresses, as plain content dedup must
     assert(batch(Seq(("j", text, false)), 4L) === Set.empty)
-    // compaction folds with the tombstone anti-join and keeps tombstones;
-    // the live epoch's rows still suppress afterward
+    // compaction folds with the tombstone anti-join applied; the live
+    // epoch's rows still suppress afterward
     StreamOps.compactBandIndex(spark, index, keepRecent = 0)
     assert(batch(Seq(("m", text, false)), 5L) === Set.empty,
       "the folded blob must keep the live epoch's rows suppressing")
+
+    // tombstone maintenance: a second delete accumulates a second
+    // tombstone dir; the next compact folds them into ONE and PRUNES
+    // entries that no longer retract any readable row — here BOTH die
+    // (epoch-1 rows were physically dropped by the first fold, epoch-3
+    // rows by this one), so the content is genuinely novel again
+    assert(batch(Seq(("k", (null: String), true)).map(identity), 6L) === Set.empty)
+    def tombDirCount: Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$index/tombstones")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0 else fs.listStatus(p).count(_.isDirectory)
+    }
+    assert(tombDirCount === 2, "two deleting batches = two tombstone dirs before the fold")
+    StreamOps.compactBandIndex(spark, index, keepRecent = 0)
+    assert(tombDirCount === 1, "the fold must collapse tombstone dirs to one")
+    assert(batch(Seq(("n", text, false)), 7L) === Set("n"),
+      "every epoch of the content is retracted and physically dropped — novel again")
   }
 
   test("StreamSpec JSON round-trips the content-dedup fields; a lone field is rejected") {

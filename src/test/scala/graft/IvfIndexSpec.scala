@@ -352,6 +352,49 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.topK(spark, idx, emb.where(col("vec_id") < 5), k = 3).count() > 0)
   }
 
+  test("an INFINITE-component embedding fails the degenerate guard like NaN (the fifth door)") {
+    // norm = +Inf passes a null/zero/NaN-only test, yet Inf/Inf and 0·Inf
+    // both score NaN at query time — the same silent top-1 poisoning
+    val idx = s"${tmpDir("ivf-inf")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ chain(t.getCause)
+    val infVec = emb.limit(1).select((col("vec_id") + 900000L).as("vec_id"),
+      lit((Array.fill(63)(0.5f) :+ Float.PositiveInfinity)).as("embedding"))
+    val ea = intercept[Exception] { IvfIndex.append(spark, idx, infVec, name = "bad-inf") }
+    assert(chain(ea).exists(_.contains("IvfIndexNullAssignment")), chain(ea).mkString(" | "))
+    val eq = intercept[Exception] { IvfIndex.topK(spark, idx, infVec, k = 3).collect() }
+    assert(chain(eq).exists(_.contains("IvfIndexNullAssignment")), chain(eq).mkString(" | "))
+  }
+
+  test("a CRASHED append's same-name retry overwrites freely; only compact-RETIRED names wait out THEIR grace") {
+    val idx = s"${tmpDir("ivf-crashretry")}/index"
+    IvfIndex.create(spark, idx, cents, emb)
+    // simulate a crashed append: data written under the name, manifest
+    // never swung — no reader ever planned it, so the documented
+    // idempotent retry must succeed immediately (refusing it for the
+    // grace window would contradict the name-is-the-idempotence-key
+    // contract for exactly the crash-recovery case it exists for)
+    spark.range(1).select(lit(888888L).as("id"),
+        lit(Array.fill(64)(0.25f)).as("vec"), lit(0).as("list"))
+      .write.partitionBy("list").parquet(s"$idx/data/inc1")
+    IvfIndex.append(spark, idx, increment, name = "inc1") // retry: no throw
+    assert(IvfIndex.topK(spark, idx, emb.where(col("vec_id") < 5), k = 3).count() > 0)
+
+    // a LONG-grace compact's promise is honored by an append using the
+    // DEFAULT grace: the refusal ages against the grace the RETIRING
+    // compact recorded in the ledger, not the append call's own default
+    val idx2 = s"${tmpDir("ivf-longgrace")}/index"
+    IvfIndex.create(spark, idx2, cents, emb)
+    IvfIndex.append(spark, idx2, increment, name = "inc1")
+    IvfIndex.compact(spark, idx2, graceMs = 3600 * 1000L) // 1 h promise
+    val e = intercept[IllegalStateException] {
+      IvfIndex.append(spark, idx2, increment, name = "inc1") // default grace (15 min)
+    }
+    assert(e.getMessage.contains("IvfIndexAppendNameInGrace") &&
+      e.getMessage.contains("3600000ms"), e.getMessage)
+  }
+
   test("re-appending a name a compact just absorbed is refused inside the grace window") {
     // the overwrite would delete the absorbed subdir's files through a
     // path compact's deferral cannot protect — a reader planned on the
