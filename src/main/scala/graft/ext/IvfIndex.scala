@@ -400,7 +400,13 @@ object IvfIndex {
     val b = Map.newBuilder[String, (Long, Long)]
     while (it.hasNext) {
       val e = it.next()
-      b += e.getKey -> ((e.getValue.get("ts").asLong(), e.getValue.get("graceMs").asLong()))
+      val v = e.getValue
+      // tolerate the flat pre-grace format (name -> unreference ms):
+      // such entries age against the default grace — the same tolerant-
+      // parse convention as bandIndexStoresIds' absent-field default,
+      // instead of breaking all maintenance on a pre-upgrade index
+      b += e.getKey -> (if (v.isNumber) (v.asLong(), DefaultCompactGraceMs)
+                        else ((v.get("ts").asLong(), v.get("graceMs").asLong())))
     }
     b.result()
   }

@@ -341,8 +341,13 @@ object StreamOps {
     val (p, _) = indexFs(spark, dir)
     val params = bandIndexParams(spark, dir)
     // corpus appends index at epoch -1: authoritative history that
-    // PREDATES every stream tombstone (a retracted key's backfilled
-    // content reads as pre-delete history and stays retracted)
+    // PREDATES every stream tombstone, so a retracted key's backfilled
+    // content reads as pre-delete history and stays retracted — WHILE
+    // THE TOMBSTONE SURVIVES. Compaction prunes a tombstone once every
+    // row it retracts is physically gone; a backfill arriving AFTER that
+    // re-introduces the content as live corpus (the index legitimately
+    // no longer remembers the deleted epoch), which is the semantics a
+    // re-asserted authoritative row should have.
     bandRows(corpus, idCol, textCol, params, bandIndexStoresIds(spark, dir), seq = -1L)
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(p, s"data/$name").toString)
@@ -582,7 +587,7 @@ object StreamOps {
     // tombstone dirs drop, so a crash leaves duplicate or unpruned
     // tombstones (harmless to the anti-join), never a lost retraction.
     val tombDirs = tombstoneDirs(fs, p)
-    if (storeIds && tombDirs.size > 1) {
+    if (storeIds && tombDirs.nonEmpty) {
       val rows = {
         val dirsNow = indexSubdirs(fs, p)
         if (dirsNow.isEmpty)
@@ -591,13 +596,21 @@ object StreamOps {
         else spark.read.schema(bandSchemaWithIds).parquet(dirsNow.map(_.toString): _*)
       }.select(col("_rid").as("_r_rid"), col("_seq").as("_r_seq"))
       val tombs = spark.read.schema(tombstoneSchema)
-        .parquet(tombDirs.map(_.toString): _*).distinct()
-      val tombTarget = new org.apache.hadoop.fs.Path(p,
-        s"tombstones/compact-${java.util.UUID.randomUUID()}")
-      tombs.join(rows, tombs("_rid") === rows("_r_rid") && rows("_r_seq") < tombs("_seq"),
-          "left_semi")
-        .write.mode("overwrite").parquet(tombTarget.toString)
-      tombDirs.foreach(fs.delete(_, true))
+        .parquet(tombDirs.map(_.toString): _*).distinct().localCheckpoint()
+      val live = tombs.join(rows,
+        tombs("_rid") === rows("_r_rid") && rows("_r_seq") < tombs("_seq"),
+        "left_semi").localCheckpoint()
+      // rewrite when there is something to FOLD (multiple dirs) or
+      // something to PRUNE (a dead entry in the single remaining dir —
+      // e.g. its last retracted rows were absorbed out by THIS tick's
+      // data fold); a single all-live dir is left untouched, so the
+      // steady state does not churn a rewrite per tick
+      if (tombDirs.size > 1 || live.count() < tombs.count()) {
+        val tombTarget = new org.apache.hadoop.fs.Path(p,
+          s"tombstones/compact-${java.util.UUID.randomUUID()}")
+        live.write.mode("overwrite").parquet(tombTarget.toString)
+        tombDirs.foreach(fs.delete(_, true))
+      }
     }
   }
 

@@ -75,20 +75,29 @@ object AtomicRename {
         warnFallback(fs,
           "rename-aside-then-rename (a concurrent reader can observe the target briefly missing)")
         // rename the old target ASIDE instead of deleting it: a crash
-        // between the two renames then leaves `<target>.prev` on disk —
+        // between the two renames then leaves `.<target>.prev` on disk —
         // a recoverable pointer — where delete-then-rename would leave
-        // nothing at all (an unreadable table until manual repair)
-        val prev = new Path(target.getParent, target.getName + ".prev")
-        fs.delete(prev, false)
-        if (fs.exists(target))
+        // nothing at all (an unreadable table until manual repair).
+        // Dot-prefixed so directory listings that enumerate siblings of
+        // the target (the branch-pointer dir) never surface it as a
+        // phantom entry.
+        val prev = new Path(target.getParent, "." + target.getName + ".prev")
+        if (fs.exists(target)) {
+          // clear the way for the aside rename ONLY when there is a live
+          // target to move: on a post-crash retry (target missing, .prev
+          // holding the sole copy of the old pointer) an unconditional
+          // delete here would destroy the very recovery state this
+          // fallback exists to preserve
+          fs.delete(prev, false)
           require(fs.rename(target, prev),
             s"failed to move $target aside (rename returned false)")
+        }
         // a silent rename failure would leave the pointer stale forever —
         // fail loudly (the IcebergExport precedent)
         require(fs.rename(tmp, target),
           s"failed to publish $target (rename returned false)")
-        // best-effort cleanup; a leftover .prev is harmless and is
-        // re-cleared by the next publish
+        // cleanup only after the new target is published; a leftover
+        // .prev (crash before this line) is harmless and superseded
         fs.delete(prev, false)
     }
 

@@ -899,7 +899,8 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     val branchHeads: Set[String] =
       if (!fs.exists(branchesDir)) Set.empty
       else fs.listStatus(branchesDir).filter(_.isFile)
-        .filterNot(_.getPath.getName.endsWith(".base"))
+        .filterNot(st => st.getPath.getName.endsWith(".base") ||
+          st.getPath.getName.startsWith("."))
         .map(st => readText(fs, st.getPath).trim).toSet
     val removed = scala.collection.mutable.ArrayBuffer.empty[Long]
     if (!fs.exists(snapshotsDir)) return Seq.empty
@@ -1050,7 +1051,9 @@ class SnapshotTable(val spark: SparkSession, val location: String,
   def listBranches: Seq[String] =
     if (!fs.exists(branchesDir)) Seq.empty
     else fs.listStatus(branchesDir).filter(_.isFile).map(_.getPath.getName)
-      .filterNot(_.endsWith(".base")).toSeq.sorted
+      // dot-prefixed = publish machinery (the rename-aside fallback's
+      // `.<name>.prev`), never a branch
+      .filterNot(n => n.endsWith(".base") || n.startsWith(".")).toSeq.sorted
 
   /** PUBLISH: atomically point `_current` at the branch head (Iceberg
     * `fast_forward`). Metadata-only; readers switch from the old state to

@@ -53,8 +53,9 @@ class AtomicRenameSpec extends SparkSpec {
     AtomicRename.overwrite(fs, conf, t2, target) // replace, not fail
     assert(read(target) === "v2")
     // the fallback renames the old target ASIDE (crash leaves a
-    // recoverable .prev, never nothing) and cleans it up on success
-    assert(!fs.exists(new Path(s"$base/ptr.prev")),
+    // recoverable dot-hidden .prev, never nothing) and cleans it up on
+    // success
+    assert(!fs.exists(new Path(s"$base/.ptr.prev")),
       "the aside pointer must be cleaned up after a successful publish")
 
     val t3 = new Path(s"$base/t3"); write(t3, "v3")
@@ -68,6 +69,17 @@ class AtomicRenameSpec extends SparkSpec {
 
     assert(AtomicRename.warnedSchemes.contains("fsonly"),
       "the FileSystem-only degrade must warn (once per scheme)")
+
+    // post-crash retry semantics: with the target MISSING and .prev
+    // holding the only copy (the mid-publish crash state), a retry must
+    // not destroy .prev before the new target is live
+    val crashedPrev = new Path(s"$base/.ptr.prev")
+    write(crashedPrev, "old-pointer")
+    fs.delete(target, false) // simulate the crash window
+    val t4 = new Path(s"$base/t4"); write(t4, "v4")
+    AtomicRename.overwrite(fs, conf, t4, target)
+    assert(read(target) === "v4")
+    assert(!fs.exists(crashedPrev), "recovery state superseded once the publish lands")
   }
 
   test("snapshot commits, Delta log publish, Iceberg hint and IVF manifest all work on a FileSystem-only scheme") {
@@ -84,6 +96,18 @@ class AtomicRenameSpec extends SparkSpec {
       "arcane_merge_key", "versionnumber", "IsDelete")
     assert(t.read().count() === 100L)
     assert(t.read().where(col("payload") === "v1-upd").count() === 1L)
+
+    // branch-head publishes route the SAME fallback with currentPtr under
+    // _branches/ — the dot-hidden aside file must never surface as a
+    // phantom branch in listings
+    t.createBranch("audit")
+    t.branchView("audit").merge(
+      Seq(("k11", 3L, "v11-branch", false))
+        .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    assert(t.listBranches === Seq("audit"),
+      s"aside files must not read as branches: ${t.listBranches}")
+    t.dropBranch("audit")
 
     // delta export: a put-if-absent commit JSON publish per version
     t.exportDelta(s"$base/delta")
