@@ -42,6 +42,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      // Hold every query's generated classes across passes: the bench's
+      // whole methodology discards pass 0 so counted passes measure the
+      // WARM engine ("per-query-SHAPE init fires only on a query's first
+      // run"), but Spark's default 100-entry codegen cache silently
+      // defeated that — 189 queries × O(10) codegen'd stages evict every
+      // entry between a query's passes, so every counted run re-paid
+      // Janino compilation (~0.2-0.5 s/stage, measured). Same setting as
+      // the production entry point (Main) — long-lived sessions compile a
+      // plan shape once.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

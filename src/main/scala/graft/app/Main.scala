@@ -33,6 +33,13 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      // Long-lived micro-batch streams re-plan the same query shapes every
+      // trigger; Spark's default 100-entry generated-class cache thrashes
+      // across the pipeline's distinct stages and re-pays Janino
+      // compilation (~0.2-0.5 s per stage) every trigger. Sized to hold
+      // the full working set; env-overridable for memory-tight drivers.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
 
     val exit = try run(spark, spec) finally spark.stop()

@@ -592,6 +592,11 @@ object Datasets {
     * CollapseProject rule keeps the projection separate because the
     * attribute is referenced many times (see [[dsirBuckets]]).
     */
+  // NOTE (r21): deliberately NOT Spread.acrossCores'd — the classifier's
+  // gradient loop persists this frame and re-reads it every iteration, so
+  // widening a tiny training set to cluster parallelism multiplied the
+  // per-iteration task count 13x for no compute win (measured +3.8 s on
+  // the quality-classifier gate).
   private[graft] def withDsirTokens(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("_dsir_toks", dsirTokens(textCol))
 

@@ -92,7 +92,9 @@ object Dedup {
   ): DataFrame = {
     graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
     val fn = if (oph) "minhash_sig_oph" else "minhash_sig"
-    docs.select(col(idCol).as("id"),
+    // signature cost is O(shingles × numHashes) per row — spread a small
+    // scan across cores so the map stage isn't bounded by split count
+    Spread.acrossCores(docs).select(col(idCol).as("id"),
       call_function(fn,
         wordShingles(col(textCol), shingleSize), lit(numHashes), lit(seed)).as("signature"))
   }
@@ -362,7 +364,8 @@ object Dedup {
     */
   def simHashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
-    docs.select(col(idCol).as("id"),
+    // tokenize+hash per row dominates the scan — spread small inputs
+    Spread.acrossCores(docs).select(col(idCol).as("id"),
       call_function("simhash64", tokenSet(col(textCol))).as("simhash"))
   }
 
@@ -453,12 +456,12 @@ object Dedup {
     // is interpreted — higher-order functions are CodegenFallback — and
     // costs ~1000x the bytes scanned, so FILE-SPLIT parallelism is the
     // wrong unit: a compact parquet puts a whole corpus slice in one
-    // split and strands the fold on one core. Spread raw rows across the
-    // cluster first; the shuffle moves only (id, text) once and the
-    // operator stays map-only afterwards.
-    val base = docs.where(col(textCol).isNotNull)
-      .select(col(idCol), col(textCol))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // split and strands the fold on one core. Spread small corpora across
+    // the cluster first ([[Spread.acrossCores]] — size-guarded, so a
+    // production-scale corpus that already plans more splits than cores
+    // is NOT shuffled); the operator stays map-only afterwards.
+    val base = Spread.acrossCores(docs.where(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol)))
       .select(col(idCol), toks.as("tk"))
       .where(size(col("tk")) > 0)
       .select(col(idCol), col("tk"), transform(col("tk"), t => hv60(t)).as("hv"))
@@ -674,8 +677,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       hashGrams: Boolean
-  ): DataFrame = df
-    .where(length(col(textCol)) >= gramLen)
+  ): DataFrame = Spread.acrossCores(df
+    .where(length(col(textCol)) >= gramLen))
     .select(col(idCol).as("doc_id"),
       explode(sequence(lit(0L), (length(col(textCol)) - gramLen).cast("long"),
         lit(stride.toLong))).as("pos"),
@@ -1516,7 +1519,9 @@ object Dedup {
     * as in [[fuzzyPairs]]).
     */
   private def fuzzyCandidates(base: DataFrame, maxDist: Int, maxBucketSize: Int): DataFrame = {
-    val variants = base
+    // the O(len^maxDist) variant explosion is the dominant map stage —
+    // spread a small corpus across cores before it
+    val variants = Spread.acrossCores(base)
       .select(col("id"), explode(deletionVariants(col("s"), maxDist)).as("vk"))
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("vk"))))
       .where(col("bucket_n") <= maxBucketSize)
@@ -1626,7 +1631,7 @@ object Dedup {
     // twice would double the most expensive map-side stage); the join's
     // skew filter comes from the same per-vk counts as the capped tally.
     val base = df.select(col(idCol).as("id"), col(strCol).as("s")).where(col("s").isNotNull)
-    val variants = base
+    val variants = Spread.acrossCores(base)
       .select(col("id"), explode(deletionVariants(col("s"), maxDist)).as("vk"))
       .cache()
     try {

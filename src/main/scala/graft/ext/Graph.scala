@@ -131,34 +131,50 @@ object Graph {
       .localCheckpoint()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val base = RankScale / nSeeds * (1000 - dampingPermille) / 1000
-    // Rank starts as the restart distribution: S div |seeds| on seeds.
-    var ranks = nodes
-      .withColumn("rank", when(col("is_seed"), lit(RankScale / nSeeds)).otherwise(lit(0L)))
-      .select(col("node"), col("rank"))
+    // The node spine carries its static out-degree (NULL = dangling), so
+    // each round's rank frame can (a) feed the inflow join without a
+    // per-round ranks⋈outDeg join and (b) expose the NEXT round's dangling
+    // mass as an `observe`d scalar on the SAME action that materializes
+    // the round — one job per iteration instead of a separate dangling
+    // aggregate job (the convergence-scalar fusion
+    // [[Dedup.connectedComponentsDetailed]] uses). Identical fixed-point
+    // arithmetic, so ranks are bit-identical to the two-job formulation.
+    val nodesD = nodes
+      .join(outDeg.select(col("src").as("node"), col("deg")), Seq("node"), "left")
       .localCheckpoint()
+    import org.apache.spark.sql.Observation
+    def ckWithDangling(df: DataFrame): (DataFrame, Long) = {
+      val obs = Observation()
+      val out = df
+        .observe(obs, coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0L)).as("d"))
+        .localCheckpoint()
+      (out, obs.get("d").asInstanceOf[Long])
+    }
+    // Rank starts as the restart distribution: S div |seeds| on seeds.
+    var (ranks, dangling) = ckWithDangling(nodesD
+      .withColumn("rank", when(col("is_seed"), lit(RankScale / nSeeds)).otherwise(lit(0L)))
+      .select(col("node"), col("is_seed"), col("deg"), col("rank")))
     for (_ <- 1 to iterations) {
-      val dangling = ranks.join(outDeg, col("node") === col("src"), "left")
-        .where(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
       val dangShare = dangling / nSeeds
       val inflow = e
-        .join(ranks.join(outDeg, col("node") === col("src")).select(
+        .join(ranks.where(col("deg").isNotNull).select(
           col("node"), expr("rank div deg").as("contrib")),
           e("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
-      val next = nodes
+      val (next, nextDangling) = ckWithDangling(nodesD
         .join(inflow, col("node") === col("dst"), "left")
-        .select(col("node"),
+        .select(col("node"), col("is_seed"), col("deg"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"($dampingPermille * (coalesce(inflow, 0L) + " +
               s"if(is_seed, ${dangShare}L, 0L))) div 1000").cast("long"))
-            .as("rank"))
-        .localCheckpoint()
+            .as("rank")))
       release(ranks)
       ranks = next
+      dangling = nextDangling
     }
     val out = ranks.select(col("node"), col("rank"))
     release(nodes)
+    release(nodesD)
     release(outDeg)
     release(e)
     release(seedDf)
@@ -211,10 +227,14 @@ object Graph {
     def halfStep(scores: DataFrame, joinSide: String, groupSide: String): DataFrame = {
       val raw = e.join(scores, col(joinSide) === col("node"))
         .groupBy(col(groupSide)).agg(sum(col("score")).as("raw"))
+      // the L1 total rides the SAME action that materializes the dense
+      // frame (observe-fused, one job) instead of a separate aggregate job
+      val obs = org.apache.spark.sql.Observation()
       val dense = nodes.join(raw, col("node") === col(groupSide), "left")
         .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .observe(obs, coalesce(sum(col("raw")), lit(0L)).as("t"))
         .localCheckpoint()
-      val total = dense.agg(coalesce(sum(col("raw")), lit(0L))).head().getLong(0)
+      val total = obs.get("t").asInstanceOf[Long]
       require(total > 0, "hits: score mass vanished (graph has no 2-step paths)")
       val next = dense.select(col("node"),
         expr(s"CAST(raw AS DECIMAL(38,0)) * $RankScale div ${total}L").as("score"))

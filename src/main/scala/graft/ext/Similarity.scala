@@ -73,7 +73,9 @@ object Similarity {
       pairFilter: org.apache.spark.sql.Column
   ): DataFrame = {
     VecDot.ensureRegistered(q.sparkSession)
-    val scored = c
+    // queries×corpus dot products run inside the corpus SCAN stage — spread
+    // a small corpus across cores so the coarse pass isn't single-split
+    val scored = graft.ext.Spread.acrossCores(c)
       .crossJoin(broadcast(q))
       .where(pairFilter)
       .select(col("query_id"), col("neighbor_id"),
@@ -320,7 +322,10 @@ object Similarity {
         transform(col("codes"), _.cast("int")).as("c_codes"))
       .withColumn("c_cn", sqrt(dot(col("c_codes"), col("c_codes"))))
       .where(col("c_cn") > 0.0)
-    val coarse = c.crossJoin(broadcast(q.select(col("query_id"), col("q_codes"), col("q_cn"))))
+    // the coarse integer-dot scan is queries×corpus compute inside the
+    // index scan stage — spread a small index across cores
+    val coarse = graft.ext.Spread.acrossCores(c)
+      .crossJoin(broadcast(q.select(col("query_id"), col("q_codes"), col("q_cn"))))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("q_codes"), col("c_codes")) / (col("q_cn") * col("c_cn"))).as("coarse"))

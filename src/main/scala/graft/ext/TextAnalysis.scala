@@ -134,8 +134,13 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      // occurrence count via LITERAL replace (StringReplace), not
+      // regexp_replace: the markers are plain substrings, and the regex
+      // engine re-scanned + re-built the padded text 56 times per row —
+      // the dominant per-row cost of every langId consumer. Same count
+      // (both replace non-overlapping occurrences left to right).
       val score = markers
-        .map(m => (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / m.length)
+        .map(m => (length(padded) - length(call_function("replace", padded, lit(m), lit("")))) / m.length)
         .reduce(_ + _)
       struct(score.cast("long").as("score"), lit(lang).as("lang"))
     }
@@ -1041,7 +1046,9 @@ object TextAnalysis {
     require(!lines.columns.exists(Set("_lang", "_prev", "_brk", "_seg")),
       "columns _lang/_prev/_brk/_seg are reserved by languageSegments")
     val w = Window.partitionBy(col(idCol)).orderBy(col(ordCol))
-    lines.where(col(lineCol).isNotNull)
+    // langId is ~56 marker scans per LINE inside the scan stage — spread
+    // small inputs across cores before it (guarded no-op at scale)
+    graft.ext.Spread.acrossCores(lines.where(col(lineCol).isNotNull))
       .withColumn("_lang", langId(col(lineCol)))
       .withColumn("_prev", lag(col("_lang"), 1).over(w))
       .withColumn("_brk",

@@ -79,6 +79,17 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     val branch: Option[String] = None) {
   import SnapshotTable._
 
+  // Dev-only phase timer (off unless -Dgraft.phaseLog=true): wraps the
+  // commit path's expensive steps so a perf investigation can attribute a
+  // commit's wall time without a listener harness (used to drive the r21
+  // write-path measurements).
+  private def ph[T](name: String)(f: => T): T =
+    if (!java.lang.Boolean.getBoolean("graft.phaseLog")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"      [ph] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s"); r
+    }
+
   private val dir = new Path(location)
   private def fs: FileSystem = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val branchesDir = new Path(dir, "_branches")
@@ -603,7 +614,8 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       // ONE pass answers both "which buckets" (bounded by n) and "how many
       // rows" (the bloom's capacity) — separate distinct/count jobs would
       // pay the per-job floor twice per commit at stream cadence
-      val h = stagedB.agg(collect_set(col("gbk")), count(lit(1))).head()
+      val h = ph("mor:gbk+count agg")(
+        stagedB.agg(collect_set(col("gbk")), count(lit(1))).head())
       val affected: Set[Int] = h.getSeq[Int](0).toSet
 
       // In-batch latest-version dedup (A14): one winner per staged key,
@@ -628,10 +640,10 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       // xxhash64(NULL) would silently drop it — a false negative).
       graft.sql.GraftExtensions.ensureRegistered(spark)
       val nStaged = math.max(h.getLong(1), 1L)
-      val bf = stagedB.agg(
+      val bf = ph("mor:bloom agg")(stagedB.agg(
         call_function("bloom_agg", xxhash64(col(mergeKeyCol)), // aligned = table key type
           lit(nStaged), lit(math.min(nStaged * 8, 67108864L))).as("_bf"))
-        .head().getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0))
       val tgtVer = read(Some(affected))
         .where(col(mergeKeyCol).isNull ||
           call_function("bloom_might_contain", lit(bf), xxhash64(col(mergeKeyCol))))
@@ -659,10 +671,11 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       val commitId = UUID.randomUUID().toString
       val newRows = decided.where(col("_upsert"))
         .select(unionSchema.fieldNames.map(f => col(s"_row.`$f`").as(f)).toIndexedSeq: _*)
-      val written = writeBucketed(newRows, mergeKeyCol, n, commitId,
-        targetBuckets = Some(affected), props = snap.properties, seq = newSeq)
+      val written = ph("mor:writeBucketed")(writeBucketed(newRows, mergeKeyCol, n, commitId,
+        targetBuckets = Some(affected), props = snap.properties, seq = newSeq))
       val delKeys = decided.where(col("_kill")).select(col("_k").as(mergeKeyCol))
-      val delWritten = writeDeletes(delKeys, mergeKeyCol, n, fn, commitId, newSeq)
+      val delWritten = ph("mor:writeDeletes")(
+        writeDeletes(delKeys, mergeKeyCol, n, fn, commitId, newSeq))
       decided.unpersist()
 
       commit(snap.copy(
@@ -687,16 +700,21 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       .write.partitionBy("gbk").mode("append").parquet(out.toString)
     if (!fs.exists(out)) return Seq.empty
     val conf = spark.sparkContext.hadoopConfiguration
-    fs.listStatus(out)
+    val entries = fs.listStatus(out)
       .filter(_.isDirectory)
       .flatMap { bdir =>
         val b = bdir.getPath.getName.stripPrefix("gbk=").toInt
         fs.listStatus(bdir.getPath)
           .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-          .map(st => DeleteFile(s"$commitId-deletes/${bdir.getPath.getName}/${st.getPath.getName}",
-            b, seq, FileStats.parquetRowCount(conf, st.getPath), st.getLen))
+          .map(st => (b, bdir.getPath.getName, st))
       }
       .toSeq
+    // footer row counts in parallel — O(new files) metadata IO, and each
+    // open is independent, so serial driver IO was pure added latency
+    SnapshotTable.parallelFooterIo(entries) { case (b, bdirName, st) =>
+      DeleteFile(s"$commitId-deletes/$bdirName/${st.getPath.getName}",
+        b, seq, FileStats.parquetRowCount(conf, st.getPath), st.getLen)
+    }
   }
 
   /** Iceberg `add_files` parity — the reachable half of external-engine
@@ -1640,6 +1658,13 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     }
     // repartition by _b so each output task writes few bucket dirs (avoids
     // the many-small-files explosion of unpartitioned writes at scale).
+    // MEASURED ALTERNATIVE (r21, rejected): a REBALANCE exchange — AQE
+    // then coalesces a small commit's write to ~1 task, but a write
+    // task's cost is dominated by per-FILE writer init + per-dir sort
+    // switches, which AQE's byte-based coalescing cannot see: one task
+    // serially opening all ~n bucket writers regressed the copy-on-write
+    // gates ~0.5-0.8 s each. The fixed fan-out below is already
+    // scale-bounded both ways (≤ touched buckets, ≤ 2× parallelism).
     val parts = targetBuckets.map(_.size).getOrElse(n).max(1)
     val partitioned = filtered.repartition(math.min(parts, maxWriteTasks), col("gbk"))
     // Write-time data layout (reference CREATE TABLE `sortedBy` +
@@ -1679,11 +1704,11 @@ class SnapshotTable(val spark: SparkSession, val location: String,
     if (!coalesceOne)
       props.get(PropMaxRowsPerFile).filter(_.nonEmpty)
         .foreach(nr => writer.option("maxRecordsPerFile", nr))
-    format match {
+    ph("wb:write job")(format match {
       case "orc"  => writer.orc(out.toString)
       case "avro" => writer.format(SnapshotTable.AvroFormatClass).save(out.toString)
       case _      => writer.parquet(out.toString)
-    }
+    })
 
     if (!fs.exists(out)) return Seq.empty
     // Manifest metadata for each NEW file, collected ONCE here — footer
@@ -1702,19 +1727,24 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       case "orc"     => (Map.empty, FileStats.orcRowCount(conf, p))
       case _         => (Map.empty, -1L)
     }
-    fs.listStatus(out)
-      .filter(_.isDirectory)
-      .flatMap { bdir =>
-        val b = bdir.getPath.getName.stripPrefix("gbk=").toInt
-        fs.listStatus(bdir.getPath)
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-          .map { st =>
-            val (stats, rows) = metaFor(st.getPath)
-            DataFile(s"$commitId/${bdir.getPath.getName}/${st.getPath.getName}", b,
-              stats, seq, rows, st.getLen)
-          }
+    ph("wb:footer stats") {
+      val entries = fs.listStatus(out)
+        .filter(_.isDirectory)
+        .flatMap { bdir =>
+          val b = bdir.getPath.getName.stripPrefix("gbk=").toInt
+          fs.listStatus(bdir.getPath)
+            .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+            .map(st => (b, bdir.getPath.getName, st))
+        }
+        .toSeq
+      // footer min/max+count in parallel — each open is independent,
+      // serial driver IO over O(new files) footers was pure added latency
+      SnapshotTable.parallelFooterIo(entries) { case (b, bdirName, st) =>
+        val (stats, rows) = metaFor(st.getPath)
+        DataFile(s"$commitId/$bdirName/${st.getPath.getName}", b,
+          stats, seq, rows, st.getLen)
       }
-      .toSeq
+    }
   }
 
   private def maxWriteTasks: Int = spark.sparkContext.defaultParallelism * 2
@@ -1742,6 +1772,31 @@ object SnapshotTable {
     * — see [[SnapshotTable.adoptFiles]].
     */
   val AdoptedBucket: Int = -1
+
+  /** Bounded daemon pool for per-file FOOTER metadata reads (manifest
+    * stats, delete-file row counts): the opens are independent, O(new
+    * files) per commit, and a few ms each — running them serially on the
+    * driver added latency linear in the commit's file count. 16 threads
+    * caps the concurrent open-file/connection count (object-store
+    * friendly) regardless of commit size.
+    */
+  private val footerIoPool = java.util.concurrent.Executors.newFixedThreadPool(
+    16,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-footer-io")
+      t.setDaemon(true)
+      t
+    })
+  private val footerIoEc = scala.concurrent.ExecutionContext.fromExecutor(footerIoPool)
+
+  private[tables] def parallelFooterIo[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = footerIoEc
+      Await.result(Future.traverse(xs)(a => Future(f(a))), Duration.Inf)
+    }
 
   /** Test-visible observability of the last DV export's DRIVER-side
     * materialization: the row count [[SnapshotTable.exportDelta]]'s only
