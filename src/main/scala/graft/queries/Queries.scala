@@ -796,17 +796,27 @@ object Queries {
     val tbl = SnapshotTable(spark, s"$root/table")
     val ev = events(spark, dir).select(col("user_id"), col("event_id"), col("event_type"))
     val third = ev.count() / 3
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
-    def latest(df: DataFrame): DataFrame =
-      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-        .withColumn("is_delete", col("event_type") === "error")
-    val seg1 = ev.where(col("event_id") < third)
-    val seg2 = ev.where(col("event_id") >= third && col("event_id") < 2 * third)
-    val seg3 = ev.where(col("event_id") >= 2 * third)
-    // backfill drops tombstones (they delete nothing from an empty table)
-    tbl.createOrReplace(latest(seg1).where(!col("is_delete")), "user_id", numBuckets = 32)
-    tbl.mergeOnRead(latest(seg3), "user_id", "event_id", "is_delete")
-    tbl.mergeOnRead(latest(seg2), "user_id", "event_id", "is_delete")
+    // ONE window pass computes per-segment latest-per-user for all three
+    // segments (partition by (segment, user) == three per-segment windows
+    // — event_id assigns each row to exactly one segment, so the winners
+    // are identical row for row), cached tiny (≤ 3 rows per user) so the
+    // three commits below stage from it instead of each re-running the
+    // events scan + window (r21: the lifecycle is the bench's hottest
+    // shared fixture — three gates and two bench sections rebuild it).
+    val seg = when(col("event_id") < third, 0)
+      .when(col("event_id") < 2 * third, 1).otherwise(2)
+    val w = Window.partitionBy(col("_seg"), col("user_id")).orderBy(col("event_id").desc)
+    val latestAll = ev.withColumn("_seg", seg)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .withColumn("is_delete", col("event_type") === "error")
+      .cache()
+    def latestSeg(s: Int): DataFrame = latestAll.where(col("_seg") === s).drop("_seg")
+    try {
+      // backfill drops tombstones (they delete nothing from an empty table)
+      tbl.createOrReplace(latestSeg(0).where(!col("is_delete")), "user_id", numBuckets = 32)
+      tbl.mergeOnRead(latestSeg(2), "user_id", "event_id", "is_delete")
+      tbl.mergeOnRead(latestSeg(1), "user_id", "event_id", "is_delete")
+    } finally latestAll.unpersist()
     tbl
   }
 
@@ -1029,16 +1039,22 @@ object Queries {
     val tbl = SnapshotTable(spark, s"$root/table")
     val ev = events(spark, dir).select(col("user_id"), col("event_id"), col("event_type"), col("value"))
     val cut = ev.count() / 2
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
-    def latest(df: DataFrame): DataFrame =
-      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-        .withColumn("is_delete", col("event_type") === "error")
-    tbl.createOrReplace(latest(ev.where(col("event_id") < cut)).where(!col("is_delete")),
-      "user_id", numBuckets = 32)
-    val v1 = tbl.currentSnapshot.version
-    val state1 = IncrementalAgg.full(tbl.read(), Seq("event_type"), Seq("value"))
-    tbl.merge(latest(ev.where(col("event_id") >= cut)), "user_id", "event_id", "is_delete")
-    val v2 = tbl.currentSnapshot.version
+    // one window pass for both halves' latest-per-user (partition by
+    // (half, user) == the two per-half windows — identical winners),
+    // cached so the merge does not re-run the events scan + window
+    val w = Window.partitionBy(col("_seg"), col("user_id")).orderBy(col("event_id").desc)
+    val latestAll = ev.withColumn("_seg", (col("event_id") >= cut).cast("int"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .withColumn("is_delete", col("event_type") === "error")
+      .cache()
+    def latestSeg(s: Int): DataFrame = latestAll.where(col("_seg") === s).drop("_seg")
+    val (v1, state1, v2) = try {
+      tbl.createOrReplace(latestSeg(0).where(!col("is_delete")), "user_id", numBuckets = 32)
+      val v1 = tbl.currentSnapshot.version
+      val state1 = IncrementalAgg.full(tbl.read(), Seq("event_type"), Seq("value"))
+      tbl.merge(latestSeg(1), "user_id", "event_id", "is_delete")
+      (v1, state1, tbl.currentSnapshot.version)
+    } finally latestAll.unpersist()
     IncrementalAgg.refresh(state1, tbl, v1, v2, Seq("event_type"), Seq("value"))
       .select(col("event_type"), col("n"),
         col("sum_value").cast("double").as("sum_value"))
