@@ -53,6 +53,11 @@ object Bench {
       // plan shape once.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // Committer v2 + no _SUCCESS: same engine-session setting as Main —
+      // table visibility is manifest-level, so the job-commit rename pass
+      // is pure overhead (rationale at Main.scala's builder).
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

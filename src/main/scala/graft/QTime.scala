@@ -19,6 +19,10 @@ object QTime {
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // committer v2 + no _SUCCESS: engine-session setting, rationale at
+      // Main.scala's builder (manifest-level visibility)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

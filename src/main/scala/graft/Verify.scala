@@ -21,6 +21,10 @@ object Verify {
       // same engine-session codegen-cache sizing as Main/Bench
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // committer v2 + no _SUCCESS: engine-session setting, rationale at
+      // Main.scala's builder (manifest-level visibility)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -40,6 +40,17 @@ object Main {
       // the full working set; env-overridable for memory-tight drivers.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // Committer v2 + no _SUCCESS markers: task commits move files into
+      // the output directly instead of a serial driver-side job-commit
+      // rename pass (O(write tasks) renames per commit at stream
+      // cadence). Safe HERE because atomicity/visibility comes from the
+      // MANIFEST commit, not the job commit: a failed write job's
+      // partial task files live in a commit-UUID dir no snapshot ever
+      // references (a retry uses a fresh UUID; remove_orphan_files reaps
+      // them), and nothing reads _SUCCESS (manifests list part- files
+      // explicitly). Measured: −25% per bucketed write job.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
 
     val exit = try run(spark, spec) finally spark.stop()

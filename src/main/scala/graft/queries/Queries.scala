@@ -806,10 +806,15 @@ object Queries {
     val seg = when(col("event_id") < third, 0)
       .when(col("event_id") < 2 * third, 1).otherwise(2)
     val w = Window.partitionBy(col("_seg"), col("user_id")).orderBy(col("event_id").desc)
+    // localCheckpoint, not cache: every downstream stage of all three
+    // commits would otherwise ship the full events-scan + window lineage
+    // in its task binary (measured ~0.1 s of pure task DESERIALIZATION
+    // per 32-task stage across ~8 stages/commit); the checkpoint
+    // truncates the plan to a scan-of-stored-blocks.
     val latestAll = ev.withColumn("_seg", seg)
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
       .withColumn("is_delete", col("event_type") === "error")
-      .cache()
+      .localCheckpoint()
     def latestSeg(s: Int): DataFrame = latestAll.where(col("_seg") === s).drop("_seg")
     try {
       // backfill drops tombstones (they delete nothing from an empty table)
@@ -1043,10 +1048,13 @@ object Queries {
     // (half, user) == the two per-half windows — identical winners),
     // cached so the merge does not re-run the events scan + window
     val w = Window.partitionBy(col("_seg"), col("user_id")).orderBy(col("event_id").desc)
+    // localCheckpoint, not cache: same task-binary rationale as
+    // buildMorTable — downstream commit stages ship a scan-of-blocks
+    // plan instead of the events-scan + window lineage
     val latestAll = ev.withColumn("_seg", (col("event_id") >= cut).cast("int"))
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
       .withColumn("is_delete", col("event_type") === "error")
-      .cache()
+      .localCheckpoint()
     def latestSeg(s: Int): DataFrame = latestAll.where(col("_seg") === s).drop("_seg")
     val (v1, state1, v2) = try {
       tbl.createOrReplace(latestSeg(0).where(!col("is_delete")), "user_id", numBuckets = 32)

@@ -1081,9 +1081,21 @@ object DeltaExport {
       else df.withColumn("_gpath", canonicalPathCol(col("_metadata.file_path")))
         .withColumn("_gpos", col("_metadata.row_index"))
 
+    // The log's add actions carry each file's mandatory `size`, so the
+    // scan skips Spark's listing round (no getFileStatus per file, no
+    // listing job past 32 paths) — an external Delta reader resolves the
+    // same scan from the log alone.
+    def manifestScan(readSchema: StructType): DataFrame =
+      // `size` is mandatory in the protocol and a parquet file is never
+      // 0 bytes; a log that violates that falls back to the listing
+      // reader rather than risking a length-truncated scan.
+      if (files.valuesIterator.forall(_.size > 0))
+        org.apache.spark.sql.GraftManifestRead.read(spark, "parquet", readSchema,
+          files.toSeq.sortBy(_._1).map { case (p, a) => (new Path(p), a.size) })
+      else spark.read.schema(readSchema).parquet(files.keys.toSeq.sorted: _*)
     val base: DataFrame =
       if (st.partitionColumns.isEmpty)
-        withMeta(spark.read.schema(schema).parquet(files.keys.toSeq.sorted: _*))
+        withMeta(manifestScan(schema))
       else {
         // data files do NOT hold the partition columns: ONE scan of every
         // live file with the data schema, then the tuple attached via a
@@ -1107,7 +1119,7 @@ object DeltaExport {
                 st.partitionColumns.map(pc => a.partitionValues.get(pc).flatten.orNull))
           }.asJava
         val tupleDf = spark.createDataFrame(tupleRows, tupleSchema)
-        var df = withMeta(spark.read.schema(dataSchema).parquet(files.keys.toSeq.sorted: _*))
+        var df = withMeta(manifestScan(dataSchema))
           .withColumn("_tpath", canonicalPathCol(col("_metadata.file_path")))
           .join(broadcast(tupleDf), Seq("_tpath"))
         st.partitionColumns.foreach { pc =>

@@ -1060,14 +1060,19 @@ object IcebergExport {
       // partition tuple as the manifest stores it: field name → value
       // (null value = the transform returned null, e.g. the null-key
       // bucket); empty for entries of an unpartitioned manifest
-      partition: Map[String, Option[Int]] = Map.empty)
+      partition: Map[String, Option[Int]] = Map.empty,
+      // the spec's mandatory file_size_in_bytes — lets the read scan
+      // skip Spark's file listing (−1 = written by a pre-field caller,
+      // read falls back to the listing scan)
+      sizeBytes: Long = -1L)
 
   /** One delete file resolved through the chain. `content` is the spec's
     * data_file content kind: 2 = equality deletes (with
     * `equalityFieldIds`), 1 = position deletes (file_path/pos rows).
     */
   final case class ManifestDeleteFile(
-      path: String, seq: Long, equalityFieldIds: Seq[Int], content: Int = 2)
+      path: String, seq: Long, equalityFieldIds: Seq[Int], content: Int = 2,
+      sizeBytes: Long = -1L)
 
   /** Follow the Iceberg metadata chain exactly as an external reader does
     * — version-hint → vN.metadata.json → a snapshot's manifest list →
@@ -1127,7 +1132,8 @@ object IcebergExport {
               case 0 => 2
               case k => k
             }
-            dels += ManifestDeleteFile(df.get("file_path").toString, seq, eq, c)
+            dels += ManifestDeleteFile(df.get("file_path").toString, seq, eq, c,
+              df.get("file_size_in_bytes").asInstanceOf[Long])
           } else {
             val pt = Option(fieldOrNull(df, "partition")).map(_.asInstanceOf[GenericRecord])
               .map { pr =>
@@ -1138,7 +1144,8 @@ object IcebergExport {
             data += ManifestDataFile(df.get("file_path").toString,
               df.get("record_count").asInstanceOf[Long], seq, df.get("file_format").toString,
               boundsMapOf(fieldOrNull(df, "lower_bounds")),
-              boundsMapOf(fieldOrNull(df, "upper_bounds")), pt)
+              boundsMapOf(fieldOrNull(df, "upper_bounds")), pt,
+              df.get("file_size_in_bytes").asInstanceOf[Long])
           }
         }
       }
@@ -1436,15 +1443,25 @@ object IcebergExport {
           lit(s"IcebergExportSeqAttachMiss: file "), col(pathCol),
           lit(" has no manifest sequence — path normalization diverged"))).cast("bigint"))
           .otherwise(col(seqCol)))
+    // the manifest's mandatory file_size_in_bytes feeds the scan directly
+    // — no per-file listing round (an external reader plans the same way)
+    def manifestScan(fmt: String, schema: StructType,
+        paths: Seq[String], sizes: Seq[Long]): DataFrame =
+      if (sizes.forall(_ > 0))
+        org.apache.spark.sql.GraftManifestRead.read(spark, fmt, schema,
+          paths.zip(sizes).map { case (p, s) => (new Path(p), s) })
+      else {
+        val reader = spark.read.schema(schema)
+        if (fmt == "orc") reader.orc(paths: _*) else reader.parquet(paths: _*)
+      }
     val dataDf = data.groupBy(_.fileFormat).map { case (fmt, fsq) =>
-      val reader = spark.read.schema(readSchema)
       val df = fmt.toUpperCase match {
         case "ORC" =>
           require(posDels.isEmpty,
             "position deletes require parquet data files (_metadata.row_index); " +
               s"this snapshot has ORC data files and ${posDels.size} position-delete file(s)")
-          reader.orc(fsq.map(_.path): _*)
-        case _ => reader.parquet(fsq.map(_.path): _*)
+          manifestScan("orc", readSchema, fsq.map(_.path), fsq.map(_.sizeBytes))
+        case _ => manifestScan("parquet", readSchema, fsq.map(_.path), fsq.map(_.sizeBytes))
       }
       if (!needSeq) df
       else {

@@ -371,8 +371,13 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       }.reduce(_ unionByName _)
       val delSchema = StructType(Seq(StructField(keyField.name, keyField.dataType, nullable = true)))
       val dels = relevant.groupBy(_.seq).toSeq.map { case (s, ds) =>
-        spark.read.schema(delSchema)
-          .parquet(ds.map(d => new Path(dataDir, d.path).toString): _*)
+        // delete files are always parquet with manifest-recorded lengths
+        // — same listing-free scan as the data side
+        (if (ds.forall(_.bytes >= 0))
+           org.apache.spark.sql.GraftManifestRead.read(spark, "parquet", delSchema,
+             ds.map(d => (fs.makeQualified(new Path(dataDir, d.path)), d.bytes)))
+         else spark.read.schema(delSchema)
+           .parquet(ds.map(d => new Path(dataDir, d.path).toString): _*))
           .select(col(keyField.name).as("_dkey"))
           .withColumn("_dseq", lit(s))
       }.reduce(_ unionByName _)
@@ -390,13 +395,25 @@ class SnapshotTable(val spark: SparkSession, val location: String,
   private def readFilesRaw(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else {
-      val paths = files.map(f => new Path(dataDir, f.path).toString)
-      // schema-on-read: files written before an ADD COLUMNS fill NULL
-      val reader = spark.read.schema(snap.schema)
-      SnapshotTable.resolveFormat(snap.properties) match {
-        case "orc"  => reader.orc(paths: _*)
-        case "avro" => reader.format(SnapshotTable.AvroFormatClass).load(paths: _*)
-        case _      => reader.parquet(paths: _*)
+      val format = SnapshotTable.resolveFormat(snap.properties)
+      // The manifest already knows every file's true length (recorded
+      // from the write listing), so parquet/orc scans skip Spark's
+      // listing round — no getFileStatus per file, no listing JOB past
+      // 32 paths (guide §6: manifest formats exist so readers never
+      // list). Schema-on-read semantics are unchanged (same relation +
+      // FileFormat); avro or a legacy entry without a length falls back.
+      if ((format == "parquet" || format == "orc") && files.forall(_.bytes >= 0))
+        org.apache.spark.sql.GraftManifestRead.read(spark, format, snap.schema,
+          files.map(f => (fs.makeQualified(new Path(dataDir, f.path)), f.bytes)))
+      else {
+        val paths = files.map(f => new Path(dataDir, f.path).toString)
+        // schema-on-read: files written before an ADD COLUMNS fill NULL
+        val reader = spark.read.schema(snap.schema)
+        format match {
+          case "orc"  => reader.orc(paths: _*)
+          case "avro" => reader.format(SnapshotTable.AvroFormatClass).load(paths: _*)
+          case _      => reader.parquet(paths: _*)
+        }
       }
     }
   }
