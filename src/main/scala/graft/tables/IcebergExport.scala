@@ -1496,7 +1496,18 @@ object IcebergExport {
         import spark.implicits._
         val dseqDf = broadcast(
           eqDels.map(d => (DeltaExport.canonicalPath(d.path), d.seq)).toDF("_edpath", "_dseq"))
-        requireSeq("_dseq", "_edfp")(spark.read.parquet(eqDels.map(_.path): _*)
+        // delete files hold exactly the key column at the table's type;
+        // reading with the explicit schema (manifest-known sizes) skips
+        // both schema-inference footer reads and the file listing. A key
+        // dropped from the current schema (time travel) falls back to
+        // the inferring reader.
+        val eqScan = readSchema.fields.find(_.name.equalsIgnoreCase(keyCol)) match {
+          case Some(kf) if eqDels.forall(_.sizeBytes > 0) =>
+            org.apache.spark.sql.GraftManifestRead.read(spark, "parquet",
+              StructType(Seq(kf)), eqDels.map(d => (new Path(d.path), d.sizeBytes)))
+          case _ => spark.read.parquet(eqDels.map(_.path): _*)
+        }
+        requireSeq("_dseq", "_edfp")(eqScan
           .select(col(keyCol),
             DeltaExport.canonicalPathCol(col("_metadata.file_path")).as("_edfp"))
           .join(dseqDf, col("_edfp") === col("_edpath"), "left"))
