@@ -58,6 +58,10 @@ object Bench {
       // is pure overhead (rationale at Main.scala's builder).
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      // speculation pinned off: the v2-committer + post-job manifest
+      // listing contract assumes one committed attempt per task (see
+      // Main.scala's builder for the full rationale)
+      .config("spark.speculation", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -25,6 +25,10 @@ object Verify {
       // Main.scala's builder (manifest-level visibility)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      // speculation pinned off: the v2-committer + post-job manifest
+      // listing contract assumes one committed attempt per task (see
+      // Main.scala's builder for the full rationale)
+      .config("spark.speculation", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

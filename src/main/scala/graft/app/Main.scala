@@ -51,6 +51,16 @@ object Main {
       // explicitly). Measured: −25% per bucketed write job.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      // Pinned OFF explicitly (it is the default) because the v2-committer
+      // safety argument above leans on it: the post-job manifest listing
+      // records every file in the commit-UUID dir as live data, which is
+      // only sound when exactly one attempt per task commits — v2 task
+      // commits are coordinator-arbitrated, but SPECULATIVE duplicate
+      // attempts racing nondeterministic recomputation into different
+      // gbk= partitions could leave an orphan part- file inside the live
+      // commit dir. Deterministic bucketing (repartition by gbk of
+      // deterministic input) plus no speculation closes that window.
+      .config("spark.speculation", "false")
       .getOrCreate()
 
     val exit = try run(spark, spec) finally spark.stop()

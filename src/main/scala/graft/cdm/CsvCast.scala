@@ -45,25 +45,35 @@ object CsvCast {
       try_to_timestamp(isoNormalized(s), lit("yyyy-MM-dd'T'HH:mm:ss"))
     ).cast(TimestampNTZType)
 
-  /** `"1/1/2020 0:00:00 PM"` — split with regexp and rebuild with
-    * make_timestamp_ntz; all codegen-friendly built-ins.
+  /** `"1/1/2020 0:00:00 PM"` — ONE regex pass (the shape guard) plus ONE
+    * split, rebuilt with make_timestamp_ntz; all codegen-friendly
+    * built-ins. Previously this ran the SAME pattern through seven
+    * regexp_extract calls (8 regex executions per row — and every
+    * reference-fixture `dateTime` is this shape, so the whole CSV intake
+    * paid it). Within a string matching the guard the delimiters `[/ :]`
+    * occur exactly six times, so `split` yields the regex's seven capture
+    * groups field for field; `get` (0-based, NULL out of bounds) keeps
+    * non-matching rows ANSI-safe even though the when() guard already
+    * short-circuits them. Field-for-field identical to the
+    * regexp_extract formulation — pinned by CsvPropertySpec.
     */
   private def parseD365(s: Column): Column = {
     val re = "^(\\d{1,2})/(\\d{1,2})/(\\d{4}) (\\d{1,2}):(\\d{2}):(\\d{2}) (AM|PM)$"
-    val m = lit(null).cast(StringType)
-    val month = try_cast_long(regexp_extract(s, re, 1))
-    val day = try_cast_long(regexp_extract(s, re, 2))
-    val year = try_cast_long(regexp_extract(s, re, 3))
-    val rawHour = try_cast_long(regexp_extract(s, re, 4))
-    val minute = try_cast_long(regexp_extract(s, re, 5))
-    val sec = try_cast_long(regexp_extract(s, re, 6))
-    val mer = regexp_extract(s, re, 7)
+    val parts = split(s, "[/ :]")
+    def field(i: Int): Column = get(parts, lit(i - 1))
+    val month = try_cast_long(field(1))
+    val day = try_cast_long(field(2))
+    val year = try_cast_long(field(3))
+    val rawHour = try_cast_long(field(4))
+    val minute = try_cast_long(field(5))
+    val sec = try_cast_long(field(6))
+    val mer = field(7)
     val hour = when(rawHour === 0 || rawHour > 12, rawHour)
       .otherwise((rawHour % 12) + when(mer === "PM", 12).otherwise(0))
     when(s.rlike(re),
       make_timestamp_ntz(year.cast(IntegerType), month.cast(IntegerType), day.cast(IntegerType),
         hour.cast(IntegerType), minute.cast(IntegerType), sec.cast(DecimalType(16, 6))))
-      .otherwise(m.cast(TimestampNTZType))
+      .otherwise(lit(null).cast(StringType).cast(TimestampNTZType))
   }
 
   private def try_cast_long(c: Column): Column = c.try_cast(LongType)

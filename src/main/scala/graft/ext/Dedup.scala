@@ -1469,37 +1469,43 @@ object Dedup {
     // refuse loudly instead of running the quadratic-ish plan; callers
     // with genuinely long short-ish strings can raise the cap, and
     // maxAvgLen <= 0 disables the probe for the caller who has measured.
-    if (maxAvgLen > 0) {
+    // Duplicate-mass probe, enforcing the companion contract: pair
+    // enumeration over a k-sized group of IDENTICAL strings is Θ(k²) by
+    // problem definition (SCALE.md "the fuzzy-pairs knee"), so a corpus
+    // whose sampled largest exact group exceeds `maxSampleGroup` fails
+    // fast pointing at Dedup.exact instead of silently running a
+    // quadratic-in-group-size plan. Bounded representative sample
+    // ([[probeSample]]); <= 0 disables either guard for the caller who
+    // has measured. BOTH guards share ONE sample and ONE fused
+    // aggregation (r22): group by the string value, then max(group
+    // count) for the mass guard and Σ(count·len)/Σ(count) — identically
+    // avg(length) over the same non-null rows — for the length guard;
+    // previously each guard paid its own sample head(1) + aggregate
+    // (4 driver actions per call, ~0.3 s of every fuzzy gate's build).
+    if (maxAvgLen > 0 || maxSampleGroup > 0) {
       val probe = probeSample(df, strCol)
-        .select(length(col(strCol)).as("l")).where(col("l").isNotNull)
-        .agg(avg(col("l"))).first()
-      val avgLen = if (probe.isNullAt(0)) 0.0 else probe.getDouble(0)
-      require(avgLen <= maxAvgLen,
-        f"fuzzyPairs: avg length of '$strCol' is $avgLen%.1f > maxAvgLen=$maxAvgLen. " +
-          s"The O(len^$maxDist) deletion neighborhood is for SHORT string columns " +
-          "(names, titles, URLs); for document bodies use minHash/simHash near-dup " +
-          "instead, or raise maxAvgLen explicitly if the column really is this wide.")
-    }
-    // Duplicate-mass probe, enforcing the contract above the same way the
-    // length probe enforces its own: pair enumeration over a k-sized group
-    // of IDENTICAL strings is Θ(k²) by problem definition (SCALE.md "the
-    // fuzzy-pairs knee"), so a corpus whose sampled largest exact group
-    // exceeds `maxSampleGroup` fails fast pointing at Dedup.exact instead
-    // of silently running a quadratic-in-group-size plan. Bounded
-    // representative sample ([[probeSample]]); <= 0 disables for the
-    // caller who has measured and truly wants mass-identical pairs
-    // enumerated.
-    if (maxSampleGroup > 0) {
-      val g = probeSample(df, strCol)
         .select(col(strCol).as("s")).where(col("s").isNotNull)
-        .groupBy(col("s")).count().agg(max(col("count"))).first()
-      val biggest = if (g.isNullAt(0)) 0L else g.getLong(0)
-      require(biggest <= maxSampleGroup,
-        s"fuzzyPairs: a sampled exact-duplicate group of '$strCol' has $biggest rows " +
-          s"(> maxSampleGroup=$maxSampleGroup). Identical strings pair quadratically in " +
-          "group size — run Dedup.exact (or a group-by on the string) FIRST and feed " +
-          "fuzzyPairs the distinct residue; raise or disable maxSampleGroup only if " +
-          "enumerating mass-identical pairs is genuinely intended.")
+        .groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")), sum(col("c") * length(col("s"))), sum(col("c")))
+        .first()
+      if (maxAvgLen > 0) {
+        val avgLen = if (probe.isNullAt(1) || probe.isNullAt(2) || probe.getLong(2) == 0L) 0.0
+          else probe.getLong(1).toDouble / probe.getLong(2)
+        require(avgLen <= maxAvgLen,
+          f"fuzzyPairs: avg length of '$strCol' is $avgLen%.1f > maxAvgLen=$maxAvgLen. " +
+            s"The O(len^$maxDist) deletion neighborhood is for SHORT string columns " +
+            "(names, titles, URLs); for document bodies use minHash/simHash near-dup " +
+            "instead, or raise maxAvgLen explicitly if the column really is this wide.")
+      }
+      if (maxSampleGroup > 0) {
+        val biggest = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+        require(biggest <= maxSampleGroup,
+          s"fuzzyPairs: a sampled exact-duplicate group of '$strCol' has $biggest rows " +
+            s"(> maxSampleGroup=$maxSampleGroup). Identical strings pair quadratically in " +
+            "group size — run Dedup.exact (or a group-by on the string) FIRST and feed " +
+            "fuzzyPairs the distinct residue; raise or disable maxSampleGroup only if " +
+            "enumerating mass-identical pairs is genuinely intended.")
+      }
     }
     val base = df.select(col(idCol).as("id"), col(strCol).as("s")).where(col("s").isNotNull)
     val candidates = fuzzyCandidates(base, maxDist, maxBucketSize)

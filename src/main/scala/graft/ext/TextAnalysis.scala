@@ -323,16 +323,18 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val toksAll = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("_tk"))
-    // exact-integer avgdl: Σ dl (long) / count (long), ONE double division
-    val statRow = toksAll.agg(
-      count(lit(1)).as("n"),
-      sum(size(col("_tk"))).as("dlsum"),
-      count(col("_tk")).as("ndl")).head()
-    val n = statRow.getLong(0)
-    val avgdl =
-      if (statRow.isNullAt(1) || statRow.getLong(2) == 0L) 1.0
-      else statRow.getLong(1).toDouble / statRow.getLong(2).toDouble
+    // exact-integer avgdl: Σ dl (long) / count (long), ONE double
+    // division — OBSERVED on the tf materialization below instead of a
+    // separate corpus aggregate, so the corpus is scanned and tokenized
+    // ONCE, not twice (the observe-rides-the-checkpoint fusion PageRank/
+    // HITS use; the metrics see every toksAll row before the query-term
+    // filter, so n/avgdl are identical to the old standalone aggregate).
+    val obs = org.apache.spark.sql.Observation()
     val toks = toksAll
+      .observe(obs,
+        count(lit(1)).as("n"),
+        sum(size(col("_tk"))).as("dlsum"),
+        count(col("_tk")).as("ndl"))
       .select(col("doc_id"), size(col("_tk")).cast("double").as("dl"),
         explode(col("_tk")).as("term"))
       .where(col("term").isin(queryTerms: _*))
@@ -346,6 +348,13 @@ object TextAnalysis {
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"), min(col("dl")).as("dl"))
       .localCheckpoint()
+    val statRow = obs.get
+    val n = statRow("n").asInstanceOf[Long]
+    val avgdl = (statRow("dlsum"), statRow("ndl")) match {
+      case (dlsum: java.lang.Long, ndl: java.lang.Long) if ndl.longValue != 0L =>
+        dlsum.toDouble / ndl.toDouble
+      case _ => 1.0
+    }
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val perTerm = tf.join(broadcast(dfTab), "term")

@@ -41,6 +41,41 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Metadata-only row count of a parquet table (file or dir): the sum of
+    * parquet FOOTER record counts over the same non-hidden files Spark
+    * would scan — exactly the number `df.count()` returns, without a scan
+    * job over the data pages (guide §1.2: don't run a full pass for a
+    * number the footers already hold). Used by gate fixtures that only
+    * need a segment boundary derived from the total row count.
+    */
+  private def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isFile) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && {
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        .map(_.getPath)
+    files.map(graft.tables.FileStats.parquetRowCount(conf, _)).sum
+  }
+
+  /** Dataset.unpersist is a NO-OP on a localCheckpoint'd frame (it only
+    * clears CacheManager entries, not the checkpoint's persisted RDD
+    * blocks) — release the underlying RDD directly so fixture blocks are
+    * freed when the gate finishes instead of accumulating across queries
+    * until driver GC (cf. Dedup/Graph's releaseCheckpoint).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** The events table's `ts` column has shipped as BOTH parquet
     * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across data generations, so
     * the reader adapts to the file's physical type instead of assuming
@@ -365,7 +400,8 @@ object Queries {
     */
   def qCdcMerge(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
-    val cut = 500L * math.max(1L, ev.count() / 1000L) // half, sf-proportional
+    // half, sf-proportional; footer count == ev.count() without the scan
+    val cut = 500L * math.max(1L, parquetRowCount(spark, s"$dir/events.parquet") / 1000L)
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
     def latest(df: DataFrame): DataFrame =
       df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
@@ -795,7 +831,8 @@ object Queries {
       new java.io.File(new org.apache.hadoop.fs.Path(root).toUri.getPath))
     val tbl = SnapshotTable(spark, s"$root/table")
     val ev = events(spark, dir).select(col("user_id"), col("event_id"), col("event_type"))
-    val third = ev.count() / 3
+    // footer count == ev.count() without a scan job per fixture build
+    val third = parquetRowCount(spark, s"$dir/events.parquet") / 3
     // ONE window pass computes per-segment latest-per-user for all three
     // segments (partition by (segment, user) == three per-segment windows
     // — event_id assigns each row to exactly one segment, so the winners
@@ -821,7 +858,7 @@ object Queries {
       tbl.createOrReplace(latestSeg(0).where(!col("is_delete")), "user_id", numBuckets = 32)
       tbl.mergeOnRead(latestSeg(2), "user_id", "event_id", "is_delete")
       tbl.mergeOnRead(latestSeg(1), "user_id", "event_id", "is_delete")
-    } finally latestAll.unpersist()
+    } finally releaseCheckpoint(latestAll)
     tbl
   }
 
@@ -1043,7 +1080,8 @@ object Queries {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val tbl = SnapshotTable(spark, s"$root/table")
     val ev = events(spark, dir).select(col("user_id"), col("event_id"), col("event_type"), col("value"))
-    val cut = ev.count() / 2
+    // footer count == ev.count() without a scan job per fixture build
+    val cut = parquetRowCount(spark, s"$dir/events.parquet") / 2
     // one window pass for both halves' latest-per-user (partition by
     // (half, user) == the two per-half windows — identical winners),
     // cached so the merge does not re-run the events scan + window
@@ -1062,7 +1100,7 @@ object Queries {
       val state1 = IncrementalAgg.full(tbl.read(), Seq("event_type"), Seq("value"))
       tbl.merge(latestSeg(1), "user_id", "event_id", "is_delete")
       (v1, state1, tbl.currentSnapshot.version)
-    } finally latestAll.unpersist()
+    } finally releaseCheckpoint(latestAll)
     IncrementalAgg.refresh(state1, tbl, v1, v2, Seq("event_type"), Seq("value"))
       .select(col("event_type"), col("n"),
         col("sum_value").cast("double").as("sum_value"))

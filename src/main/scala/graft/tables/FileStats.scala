@@ -70,6 +70,19 @@ object FileStats {
     } finally reader.close()
   }
 
+  /** Whether one parquet file's footer schema carries a top-level field
+    * of the given name (case-insensitive) — the guard an explicit-schema
+    * read needs before trusting itself: Spark reads a column MISSING from
+    * the file as all-NULL rather than failing, which downstream NULL-safe
+    * key joins would treat as real NULL keys (silent wrong deletes).
+    */
+  def parquetHasField(conf: Configuration, file: Path, name: String): Boolean = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try reader.getFileMetaData.getSchema.getFields.asScala
+      .exists(_.getName.equalsIgnoreCase(name))
+    finally reader.close()
+  }
+
   /** Footer-only row count of one parquet file (no data pages). */
   def parquetRowCount(conf: Configuration, file: Path): Long = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))

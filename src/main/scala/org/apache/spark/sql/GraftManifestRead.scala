@@ -68,13 +68,19 @@ object GraftManifestRead {
       schema: StructType,
       files: Seq[(Path, Long)]): DataFrame = {
     require(files.nonEmpty, "GraftManifestRead.read needs at least one file")
-    require(files.forall(_._2 >= 0), "GraftManifestRead.read needs true byte lengths")
+    // strictly positive: parquet/orc files are never 0 bytes, and a
+    // 0-length status would plan an EMPTY scan of a real file — silently
+    // dropped rows. Callers guard the same way and fall back to listing.
+    require(files.forall(_._2 > 0), "GraftManifestRead.read needs true positive byte lengths")
     val spark = session.asInstanceOf[classic.SparkSession]
     val statuses = files.map { case (p, len) =>
       // mtime 0: nothing downstream reads it (no FileStatusCache on this
       // index; `_metadata.file_modification_time` is unused by the
-      // engine's readers). Block size is irrelevant to split planning —
-      // FilePartition sizing uses session maxPartitionBytes.
+      // engine's readers) — an OBSERVABLE divergence from the listing
+      // reader, pinned explicitly by ManifestReadSpec so no future
+      // consumer can rely on it unknowingly. Block size is irrelevant to
+      // split planning — FilePartition sizing uses session
+      // maxPartitionBytes.
       new FileStatus(len, false, 1, 128L << 20, 0L, p)
     }
     val fileFormat = format match {

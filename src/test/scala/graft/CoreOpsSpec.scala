@@ -2,6 +2,7 @@ package graft
 
 import graft.cdm.{CdmModel, CdmSchema, CsvCast}
 import graft.ops.{FieldSelection, FieldSelectionRule, LatestVersionDedup, MergeKey}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -71,6 +72,48 @@ class CoreOpsSpec extends SparkSpec {
     bools.select(CsvCast.boolean(col("raw")).as("got"), col("expected"))
       .as[(Option[Boolean], Option[Boolean])].collect()
       .foreach { case (got, exp) => assert(got == exp) }
+  }
+
+  test("D365 split-parse ≡ the regexp_extract formulation across the hour×meridiem grid") {
+    // r22: parseD365 was rewritten from 7 same-pattern regexp_extract
+    // calls to one guard + one split. This pins field-for-field
+    // equivalence by evaluating the ORIGINAL formulation side by side
+    // over every (hour, meridiem) combination plus malformed shapes.
+    val re = "^(\\d{1,2})/(\\d{1,2})/(\\d{4}) (\\d{1,2}):(\\d{2}):(\\d{2}) (AM|PM)$"
+    def refParse(s: Column): Column = {
+      def g(i: Int) = regexp_extract(s, re, i).try_cast(LongType)
+      val (month, day, year, rawHour, minute, sec) = (g(1), g(2), g(3), g(4), g(5), g(6))
+      val mer = regexp_extract(s, re, 7)
+      val hour = when(rawHour === 0 || rawHour > 12, rawHour)
+        .otherwise((rawHour % 12) + when(mer === "PM", 12).otherwise(0))
+      when(s.rlike(re),
+        make_timestamp_ntz(year.cast(IntegerType), month.cast(IntegerType), day.cast(IntegerType),
+          hour.cast(IntegerType), minute.cast(IntegerType), sec.cast(DecimalType(16, 6))))
+        .otherwise(lit(null).cast(StringType).cast(TimestampNTZType))
+    }
+    val valid = for {
+      m <- Seq(1, 12); d <- Seq(1, 28); h <- 0 to 23
+      mi <- Seq(0, 59); se <- Seq(0, 59); mer <- Seq("AM", "PM")
+    } yield f"$m/$d/2020 $h:$mi%02d:$se%02d $mer"
+    val malformed = Seq(
+      "1/1/20 1:00:00 AM",        // 2-digit year
+      "1/1/2020 1:00:00 am",      // lowercase meridiem
+      "1/1/2020 1:00:00",         // no meridiem
+      "1/1/2020  1:00:00 PM",     // double space
+      "001/1/2020 1:00:00 PM",    // 3-digit month
+      "2020-01-01T00:15:00.0000000Z", // ISO — not this parser's shape
+      "", "garbage")
+    val df = (valid ++ malformed).toDF("raw")
+    val diff = df.select(col("raw"),
+        CsvCast.timestampNtz(col("raw")).as("split_based"),
+        coalesce(lit(null).cast(TimestampNTZType), refParse(col("raw"))).as("ref"))
+      .where(!(col("split_based") <=> col("ref")) &&
+        // ISO rows resolve through the ISO branch in timestampNtz; the
+        // D365 reference alone returns NULL there — exclude that one
+        // deliberate difference from the D365-equivalence claim
+        !col("raw").contains("T"))
+      .collect()
+    assert(diff.isEmpty, s"split/regexp divergence: ${diff.mkString("; ")}")
   }
 
   test("cast applies full schema: empty → NULL, decimal, passthrough extras") {

@@ -272,6 +272,44 @@ class IcebergExportSpec extends SparkSpec {
     assert(viaExport2 == direct)
   }
 
+  test("an equality-delete file missing the key column fails loudly, never silently deletes") {
+    // The fast path reads delete files with the explicit single-key schema
+    // (skipping inference); Spark reads a column ABSENT from a parquet file
+    // as all-NULL, and the downstream NULL-safe key join would tombstone
+    // every NULL-key data row — silent wrong deletes. The footer guard must
+    // detect the foreign/renamed-schema file and route to the inferring
+    // reader, which fails loudly on the missing column instead.
+    val t = SnapshotTable(spark, tmpDir("iceberg-mor-badeq"))
+    val df = (1 to 50).map(i => (s"k$i", 1L, s"v$i", false))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete")
+    t.createOrReplace(df, "arcane_merge_key", numBuckets = 4)
+    t.mergeOnRead(Seq(("k1", 5L, "u1", false), ("k2", 5L, null: String, true))
+      .toDF("arcane_merge_key", "versionnumber", "payload", "IsDelete"),
+      "arcane_merge_key", "versionnumber", "IsDelete")
+    val exportDir = tmpDir("iceberg-mor-badeq-out")
+    t.exportIceberg(exportDir)
+    val fs = new Path(exportDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, delFiles) = IcebergExport.readFiles(fs, new Path(exportDir))
+    assert(delFiles.nonEmpty)
+    // doctor one delete file in place: same keys, RENAMED column (the
+    // shape a foreign writer with its own field naming would produce)
+    val victim = new Path(delFiles.head.path)
+    val doctored = spark.read.parquet(victim.toString)
+      .withColumnRenamed("arcane_merge_key", "renamed_key")
+    val scratch = tmpDir("iceberg-mor-badeq-scratch")
+    doctored.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(f => f.isFile && f.getName.startsWith("part-")).get
+    fs.delete(victim, false)
+    fs.copyFromLocalFile(new Path(part.getAbsolutePath), victim)
+    val e = intercept[Exception] {
+      IcebergExport.readLiveRows(spark, exportDir, t.schema).collect()
+    }
+    val msg = e.getMessage
+    assert(msg != null && (msg.contains("arcane_merge_key") || msg.contains("UNRESOLVED")),
+      s"expected a loud missing-column failure, got: ${e.getClass.getName}: $msg")
+  }
+
   test("ORC merge-on-read export: ORC data files + parquet delete files read back correctly") {
     // the reader's per-format dispatch: data groups scan as ORC while the
     // equality-delete side is always parquet (writeDeletes' format)

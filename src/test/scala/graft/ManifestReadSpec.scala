@@ -80,14 +80,34 @@ class ManifestReadSpec extends SparkSpec {
   }
 
   test("an understated length is refused upstream: callers must pass true sizes") {
-    // the bridge itself requires non-negative lengths; the table layer
-    // guards bytes >= 0 and falls back — pin the require so a future
-    // caller cannot silently truncate a scan with a -1 placeholder
+    // the bridge itself requires strictly positive lengths; the table
+    // layer guards bytes > 0 and falls back — pin the require so a future
+    // caller cannot silently truncate a scan with a -1 (or an
+    // empty-scan-planning 0) placeholder
     val dir = tmpDir("manifest-read-guard")
     val files = writeParts(dir)
     val schema = StructType(Seq(StructField("id", LongType)))
     intercept[IllegalArgumentException] {
       GraftManifestRead.read(spark, "parquet", schema, files.map { case (p, _) => (p, -1L) })
     }
+    intercept[IllegalArgumentException] {
+      GraftManifestRead.read(spark, "parquet", schema, files.map { case (p, _) => (p, 0L) })
+    }
+  }
+
+  test("_metadata.file_modification_time is epoch 0 on manifest-fed scans (pinned contract)") {
+    // The synthesized FileStatus carries mtime 0 — manifests do not record
+    // modification times, and none of the engine's readers consume the
+    // column. This pins that OBSERVABLE divergence from the listing reader
+    // explicitly: a future consumer of file_modification_time must either
+    // carry real mtimes into the bridge or keep using the listing reader.
+    val dir = tmpDir("manifest-read-mtime")
+    val files = writeParts(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType), StructField("tag", StringType)))
+    val mtimes = GraftManifestRead.read(spark, "parquet", schema, files)
+      .select(col("_metadata.file_modification_time").cast("long").as("mt"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(mtimes === Set(0L), s"expected pinned epoch-0 mtimes, got $mtimes")
   }
 }
