@@ -38,8 +38,47 @@ object Queries {
     */
   val ExportGateRoot = "/tmp/graft-export-gate"
 
+  /** Session-lifetime cache of INFERRED parquet schemas, keyed by the
+    * table's full file signature (path + every data file's name, length
+    * and mtime). Spark re-reads footers to infer the schema on EVERY
+    * `spark.read.parquet` call, and the bench/verify mains read the same
+    * handful of input tables hundreds of times per run — stack-sampled at
+    * ~27% of all query-construction time (r22). A production table's
+    * schema comes from its catalog or manifest entry exactly once; this
+    * restores that shape for path-based reads. Holds only SCHEMAS
+    * (metadata, bytes-sized) — never rows or results — and the signature
+    * key makes a regenerated table re-infer, so no staleness window.
+    * Results are identical by construction: `schema(inferred)` is
+    * byte-for-byte the schema the inferring read would have used.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readParquetCached(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig =
+      try {
+        val st = fs.getFileStatus(p)
+        if (st.isFile) s"$path:${st.getLen}:${st.getModificationTime}"
+        else fs.listStatus(p)
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .sortBy(_.getPath.getName)
+          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .mkString(s"$path|", "|", "")
+      } catch {
+        // missing path etc.: let the inferring reader raise its own error
+        case _: java.io.IOException => return spark.read.parquet(path)
+      }
+    val schema = schemaCache.computeIfAbsent(sig, _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readParquetCached(spark, s"$dir/$name.parquet")
 
   /** Metadata-only row count of a parquet table (file or dir): the sum of
     * parquet FOOTER record counts over the same non-hidden files Spark
@@ -89,7 +128,7 @@ object Queries {
     * as-is.
     */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = readParquetCached(spark, s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
