@@ -78,8 +78,15 @@ object CsvCast {
 
   private def try_cast_long(c: Column): Column = c.try_cast(LongType)
 
+  // D365 first: the two formats are DISJOINT (the D365 guard needs
+  // "d/m/yyyy … AM|PM", which no ISO string matches, and
+  // try_to_timestamp fails on every D365 string), so coalesce order
+  // cannot change any result — but codegen's coalesce is lazy, and the
+  // reference's dateTime exports are D365-shaped, so leading with the
+  // cheap guard+split saves the 4-regex + 2-parse ISO attempt on every
+  // such row; an ISO row pays one extra failing rlike.
   def timestampNtz(s: Column): Column =
-    coalesce(parseIsoNtz(s), parseD365(s))
+    coalesce(parseD365(s), parseIsoNtz(s))
 
   /** dateTimeOffset → TimestampType. Values are offset-qualified ISO strings;
     * missing offset is treated as UTC (session timezone must be UTC).

@@ -138,6 +138,23 @@ object Quality {
         } ++
         fkRules.map(r => sum(col(r.column).isNotNull.cast("long")).as(s"fc:${r.name}"))
 
+    // The fused row-level aggregate and the per-FK orphan anti-joins are
+    // INDEPENDENT actions over the same input — run the FK counts on
+    // background threads while the fused agg runs on this one (guide
+    // §2.6: actions are only sequential because the driver calls them
+    // sequentially; each job's stage tail back-fills the other's cores).
+    // Fresh threads inherit the caller's job group/description.
+    val fkFutures: Seq[(ForeignKey, java.util.concurrent.FutureTask[Long])] =
+      fkRules.map { r =>
+        val task = new java.util.concurrent.FutureTask[Long](() =>
+          df.select(col(r.column).as("_fk")).where(col("_fk").isNotNull)
+            .join(r.parent.select(col(r.parentColumn).as("_fk")).distinct(), Seq("_fk"), "left_anti")
+            .count())
+        val t = new Thread(task, s"graft-dq-fk-${r.name}")
+        t.setDaemon(true)
+        t.start()
+        (r, task)
+      }
     val fusedRow: Option[org.apache.spark.sql.Row] =
       if (aggs.isEmpty) None else Some(df.agg(aggs.head, aggs.tail: _*).head())
     def g(n: String): Long = fusedRow
@@ -146,11 +163,8 @@ object Quality {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     rowRules.foreach { case (n, _, _) => out += ((n, g(s"v:$n"), g(s"c:$n"))) }
     uniqueRules.foreach { r => out += ((r.name, g(s"un:${r.name}") - g(s"ud:${r.name}"), g(s"un:${r.name}"))) }
-    fkRules.foreach { r =>
-      val orphans = df.select(col(r.column).as("_fk")).where(col("_fk").isNotNull)
-        .join(r.parent.select(col(r.parentColumn).as("_fk")).distinct(), Seq("_fk"), "left_anti")
-        .count()
-      out += ((r.name, orphans, g(s"fc:${r.name}")))
+    fkFutures.foreach { case (r, task) =>
+      out += ((r.name, task.get(), g(s"fc:${r.name}")))
     }
     out.toSeq.toDF("rule", "violations", "checked").orderBy(col("rule"))
   }

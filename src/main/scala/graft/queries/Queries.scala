@@ -826,11 +826,15 @@ object Queries {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_acctbal").cast("double").as("c_acctbal"),
         lit(1L).as("v"), lit(false).as("is_del"))
-    tbl.createOrReplace(cust.where(col("c_custkey") % 2 === 0), "c_custkey", numBuckets = 32)
-    // the "foreign engine": plain parquet files outside the table's layout
+    // the "foreign engine": plain parquet files outside the table's
+    // layout. The foreign write and the table CREATE are independent
+    // actions over disjoint output dirs — overlapped (guide §2.6), the
+    // same pattern as mergeOnRead's data∥delete writes.
     val foreignDir = s"$root/foreign"
-    cust.where(col("c_custkey") % 2 === 1)
-      .coalesce(2).write.mode("overwrite").parquet(foreignDir)
+    graft.tables.SnapshotTable.inParallel(
+      tbl.createOrReplace(cust.where(col("c_custkey") % 2 === 0), "c_custkey", numBuckets = 32),
+      cust.where(col("c_custkey") % 2 === 1)
+        .coalesce(2).write.mode("overwrite").parquet(foreignDir))
     val parts = new java.io.File(foreignDir).listFiles()
       .filter(f => f.isFile && f.getName.startsWith("part-"))
       .map(_.getAbsolutePath).sorted.toSeq

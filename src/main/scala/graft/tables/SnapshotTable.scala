@@ -1833,7 +1833,7 @@ object SnapshotTable {
     * description — a shared pool would freeze its first caller's); `b`
     * runs on the calling thread.
     */
-  private[tables] def inParallel[A, B](a: => A, b: => B): (A, B) = {
+  private[graft] def inParallel[A, B](a: => A, b: => B): (A, B) = {
     val ra = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, A]]()
     val t = new Thread(
       () => ra.set(try Right(a) catch { case e: Throwable => Left(e) }),
