@@ -164,7 +164,12 @@ object Quality {
     rowRules.foreach { case (n, _, _) => out += ((n, g(s"v:$n"), g(s"c:$n"))) }
     uniqueRules.foreach { r => out += ((r.name, g(s"un:${r.name}") - g(s"ud:${r.name}"), g(s"un:${r.name}"))) }
     fkFutures.foreach { case (r, task) =>
-      out += ((r.name, task.get(), g(s"fc:${r.name}")))
+      // unwrap ExecutionException so a failing FK count surfaces the SAME
+      // exception type the sequential formulation threw
+      val orphans =
+        try task.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      out += ((r.name, orphans, g(s"fc:${r.name}")))
     }
     out.toSeq.toDF("rule", "violations", "checked").orderBy(col("rule"))
   }

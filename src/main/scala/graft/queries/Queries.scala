@@ -60,7 +60,13 @@ object Queries {
     val sig =
       try {
         val st = fs.getFileStatus(p)
-        if (st.isFile) s"$path:${st.getLen}:${st.getModificationTime}"
+        // SESSION-scoped key (identityHashCode prefix): inference depends
+        // on session conf (nanosAsLong, timestamp inference mode), so a
+        // JVM hosting two differently-configured sessions (test suites)
+        // must never serve one session's inferred schema to the other.
+        // Each engine main is single-session, so nothing is lost.
+        val sess = s"${System.identityHashCode(spark)}:"
+        if (st.isFile) s"$sess$path:${st.getLen}:${st.getModificationTime}"
         else fs.listStatus(p)
           .filter { s =>
             val n = s.getPath.getName
@@ -68,7 +74,7 @@ object Queries {
           }
           .sortBy(_.getPath.getName)
           .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-          .mkString(s"$path|", "|", "")
+          .mkString(s"$sess$path|", "|", "")
       } catch {
         // missing path etc.: let the inferring reader raise its own error
         case _: java.io.IOException => return spark.read.parquet(path)
